@@ -1,0 +1,381 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.core.{Q, Tables}
+
+/** The reference's relational operator inventory (SURVEY.md §2) re-expressed
+  * as Spark DataFrame programs over the driver's test tables, each with a
+  * DuckDB oracle.
+  *
+  * Mapping notes (reference file:line cited per query):
+  *  - Aggregated floats go through exact DECIMAL sums and are cast to DOUBLE
+  *    at the end, so the result is bit-identical regardless of partition /
+  *    aggregation order — a must at 1000-executor scale, and what makes the
+  *    DuckDB hash-compare stable.
+  *  - Every query ends in a total ORDER BY over a unique key.
+  *  - Dimension-side joins are explicitly `broadcast(...)`; fact-fact joins
+  *    are left to Catalyst/AQE (sort-merge w/ shuffle on the join key).
+  */
+object RelationalQueries {
+
+  val registry: Seq[Q] = Seq(
+
+    // A1 (management.py:105-120): group-by count + HAVING range band.
+    Q("q01_groupby_having",
+      "per-customer order count restricted to an admission band",
+      (s, d) => {
+        def t(n: String): DataFrame = Tables.load(s, d, n)
+        t("orders").groupBy(col("o_custkey").as("custkey"))
+          .agg(count(lit(1)).as("n_orders"))
+          .filter(col("n_orders").between(2, 50))
+          .orderBy("custkey")
+      },
+      Some("""SELECT o_custkey AS custkey, count(*) AS n_orders
+             |FROM orders GROUP BY o_custkey
+             |HAVING count(*) BETWEEN 2 AND 50 ORDER BY custkey""".stripMargin)),
+
+    // A2 (management.py:133-149): two COUNT(DISTINCT) summary metrics.
+    Q("q02_count_distinct",
+      "compendium-summary style distinct counts (exact, map-side partials)",
+      (s, d) => {
+        def t(n: String): DataFrame = Tables.load(s, d, n)
+        t("lineitem").agg(
+          countDistinct(col("l_orderkey")).as("n_orders"),
+          countDistinct(col("l_partkey")).as("n_parts"))
+      },
+      Some("SELECT count(DISTINCT l_orderkey) AS n_orders, count(DISTINCT l_partkey) AS n_parts FROM lineitem")),
+
+    // A3 (management.py:151-156): group-by distinct-count, sorted report.
+    Q("q03_group_distinct_sort",
+      "status-report style: distinct customers per order status, sorted",
+      (s, d) => {
+        def t(n: String): DataFrame = Tables.load(s, d, n)
+        t("orders").groupBy(col("o_orderstatus").as("status"))
+          .agg(countDistinct(col("o_custkey")).as("n_customers"))
+          .orderBy(desc("n_customers"), asc("status"))
+      },
+      Some("""SELECT o_orderstatus AS status, count(DISTINCT o_custkey) AS n_customers
+             |FROM orders GROUP BY 1 ORDER BY n_customers DESC, status""".stripMargin)),
+
+    // A4 (db.py:220, 484): DISTINCT projection.
+    Q("q04_distinct",
+      "distinct projection of a low-cardinality column",
+      (s, d) => {
+        def t(n: String): DataFrame = Tables.load(s, d, n)
+        t("customer").select(col("c_mktsegment").as("mktsegment"))
+          .distinct().orderBy("mktsegment")
+      },
+      Some("SELECT DISTINCT c_mktsegment AS mktsegment FROM customer ORDER BY mktsegment")),
+
+    // P2+P8 (projects.py:67-73): conjunctive filter + IN-list + projection.
+    // Filters/pruning reach the parquet scan (PushedFilters in .explain).
+    Q("q05_filter_in",
+      "conjunctive predicate with IN-list, pushed down to the scan",
+      (s, d) => {
+        def t(n: String): DataFrame = Tables.load(s, d, n)
+        t("orders")
+          .filter(col("o_orderstatus").isin("O", "F") &&
+            col("o_orderpriority") === "1-URGENT")
+          .select("o_orderkey", "o_totalprice", "o_orderpriority")
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders
+             |WHERE o_orderstatus IN ('O','F') AND o_orderpriority = '1-URGENT'
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    // P3 (management.py:17-20): NOT IN list predicate.
+    Q("q06_not_in",
+      "non-terminal-state style NOT IN filter",
+      (s, d) => {
+        def t(n: String): DataFrame = Tables.load(s, d, n)
+        t("orders")
+          .filter(!col("o_orderstatus").isin("F", "P"))
+          .select("o_orderkey", "o_orderstatus")
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_orderstatus FROM orders
+             |WHERE o_orderstatus NOT IN ('F','P') ORDER BY o_orderkey""".stripMargin)),
+
+    // J2+P4 (db.py:483-491): LEFT OUTER JOIN + IS NULL — literal reference
+    // semantics (kept as outer+filter; Catalyst rewrites to anti-join).
+    Q("q07_outer_join_null",
+      "left outer join with IS NULL filter (reference J2 literal form)",
+      (s, d) => {
+        def t(n: String): DataFrame = Tables.load(s, d, n)
+        val c = t("customer")
+        val o = t("orders").filter(col("o_orderstatus") === "P")
+        c.join(o, col("c_custkey") === col("o_custkey"), "left_outer")
+          .filter(col("o_orderkey").isNull)
+          .select("c_custkey", "c_name")
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey, c_name FROM customer
+             |LEFT JOIN (SELECT * FROM orders WHERE o_orderstatus = 'P') o
+             |ON c_custkey = o_custkey
+             |WHERE o_orderkey IS NULL ORDER BY c_custkey""".stripMargin)),
+
+    // J1/J6 (db.py:215-221; management.py:95-125 intent): anti-join dedup.
+    Q("q08_anti_join",
+      "left anti join: customers with no urgent open order",
+      (s, d) => {
+        def t(n: String): DataFrame = Tables.load(s, d, n)
+        val c = t("customer")
+        val o = t("orders").filter(
+          col("o_orderstatus") === "O" && col("o_orderpriority") === "1-URGENT")
+        c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+          .select("c_custkey", "c_name")
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey, c_name FROM customer c
+             |WHERE NOT EXISTS (SELECT 1 FROM orders o
+             |  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O'
+             |    AND o.o_orderpriority = '1-URGENT')
+             |ORDER BY c_custkey""".stripMargin)),
+
+    // membership / EXISTS (db.py:243 `in recognized_samples` intent).
+    Q("q09_semi_join",
+      "left semi join: customers having a pending order",
+      (s, d) => {
+        def t(n: String): DataFrame = Tables.load(s, d, n)
+        val c = t("customer")
+        val o = t("orders").filter(col("o_orderstatus") === "P")
+        c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+          .select("c_custkey")
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey FROM customer c
+             |WHERE EXISTS (SELECT 1 FROM orders o
+             |  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P')
+             |ORDER BY c_custkey""".stripMargin)),
+
+    // J3 (projects.py:447-477): dimension joins — explicitly broadcast; the
+    // customer-side agg is partial/map-side combined before the shuffle.
+    Q("q10_join_agg",
+      "customer ⋈ broadcast(nation) ⋈ broadcast(region) rollup",
+      (s, d) => {
+        def t(n: String): DataFrame = Tables.load(s, d, n)
+        t("customer")
+          .join(broadcast(t("nation")), col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(t("region")), col("n_regionkey") === col("r_regionkey"))
+          .groupBy(col("r_name").as("region"))
+          .agg(count(lit(1)).as("n_customers"),
+            sum(col("c_acctbal").cast("decimal(18,2)")).cast("double").as("total_acctbal"))
+          .orderBy("region")
+      },
+      Some("""SELECT r_name AS region, count(*) AS n_customers,
+             |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
+             |FROM customer
+             |JOIN nation ON c_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |GROUP BY r_name ORDER BY region""".stripMargin)),
+
+    // J4 (projects.py:499-523): deterministic surrogate ids via window
+    // row_number — stable across re-runs because ordering is pinned.
+    Q("q11_window_surrogate",
+      "per-group surrogate id assignment (row_number over pinned order)",
+      (s, d) => {
+        def t(n: String): DataFrame = Tables.load(s, d, n)
+        val w = Window.partitionBy(col("p_brand")).orderBy(col("p_name"), col("p_partkey"))
+        t("part")
+          .select(col("p_brand").as("brand"), col("p_partkey").as("partkey"),
+            row_number().over(w).as("part_rank"))
+          .orderBy("brand", "part_rank")
+      },
+      Some("""SELECT p_brand AS brand, p_partkey AS partkey,
+             |  row_number() OVER (PARTITION BY p_brand ORDER BY p_name, p_partkey) AS part_rank
+             |FROM part ORDER BY brand, part_rank""".stripMargin)),
+
+    // S4/T4+P6 (projects.py:425-439): wide→long unpivot with sparse filter.
+    Q("q12_unpivot",
+      "unpivot wide metrics to triplets, dropping zeros (sparse-matrix form)",
+      (s, d) => {
+        def t(n: String): DataFrame = Tables.load(s, d, n)
+        t("lineitem").selectExpr(
+          "l_orderkey", "l_linenumber",
+          "stack(3, 'discount', l_discount, 'quantity', l_quantity, 'tax', l_tax) AS (metric, val)")
+          .filter(col("val") =!= 0.0)
+          .orderBy("l_orderkey", "l_linenumber", "metric")
+      },
+      Some("""SELECT l_orderkey, l_linenumber, metric, val FROM (
+             |  SELECT l_orderkey, l_linenumber, 'discount' AS metric, l_discount AS val FROM lineitem
+             |  UNION ALL SELECT l_orderkey, l_linenumber, 'quantity', l_quantity FROM lineitem
+             |  UNION ALL SELECT l_orderkey, l_linenumber, 'tax', l_tax FROM lineitem) u
+             |WHERE val <> 0 ORDER BY l_orderkey, l_linenumber, metric""".stripMargin)),
+
+    // A5+A6 (projects.py:233-311): boolean-fraction rollup + threshold
+    // decision — the reference's QC shape. One pass, map-side partials;
+    // avg of 0/1 is exact (integer sum / count).
+    Q("q13_qc_rollup",
+      "per-order flag fractions with re_run/discard threshold decisions",
+      (s, d) => {
+        def t(n: String): DataFrame = Tables.load(s, d, n)
+        t("lineitem").groupBy(col("l_orderkey"))
+          .agg(
+            count(lit(1)).as("n_items"),
+            avg(when(col("l_discount") > 0.05, 1.0).otherwise(0.0)).as("disc_warn_frac"),
+            avg(when(col("l_discount") > 0.08, 1.0).otherwise(0.0)).as("disc_error_frac"),
+            avg(when(col("l_tax") > 0.05, 1.0).otherwise(0.0)).as("tax_warn_frac"))
+          .withColumn("discard",
+            col("disc_error_frac") > 0.2 || col("disc_warn_frac") > 0.7)
+          .withColumn("re_run", !col("discard") && col("tax_warn_frac") > 0.4)
+          .orderBy("l_orderkey")
+      },
+      Some("""SELECT *,
+             |  (disc_error_frac > 0.2 OR disc_warn_frac > 0.7) AS discard,
+             |  (NOT (disc_error_frac > 0.2 OR disc_warn_frac > 0.7) AND tax_warn_frac > 0.4) AS re_run
+             |FROM (
+             |  SELECT l_orderkey, count(*) AS n_items,
+             |    avg(CASE WHEN l_discount > 0.05 THEN 1.0 ELSE 0.0 END) AS disc_warn_frac,
+             |    avg(CASE WHEN l_discount > 0.08 THEN 1.0 ELSE 0.0 END) AS disc_error_frac,
+             |    avg(CASE WHEN l_tax > 0.05 THEN 1.0 ELSE 0.0 END) AS tax_warn_frac
+             |  FROM lineitem GROUP BY l_orderkey) a
+             |ORDER BY l_orderkey""".stripMargin)),
+
+    // P7+F4 (helpers.py:8-14): substring keep/toss classifier — pure column
+    // expressions, no UDF.
+    Q("q14_keep_toss",
+      "substring-containment keep/toss filter over documents",
+      (s, d) => {
+        def t(n: String): DataFrame = Tables.load(s, d, n)
+        val keep = Seq("join", "window").map(col("text").contains(_)).reduce(_ || _)
+        val toss = Seq("stream", "vector").map(col("text").contains(_)).reduce(_ || _)
+        t("documents").filter(keep && !toss)
+          .select("doc_id", "source")
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, source FROM documents
+             |WHERE (text LIKE '%join%' OR text LIKE '%window%')
+             |  AND NOT (text LIKE '%stream%' OR text LIKE '%vector%')
+             |ORDER BY doc_id""".stripMargin)),
+
+    // F3+A9 (db.py:421-431 multi-run ';'.join): order-pinned string agg.
+    // collect_list order is nondeterministic, so sort structs then join —
+    // deterministic on any cluster.
+    Q("q15_string_agg",
+      "per-user event-type sequence joined with ';' in (ts, event_id) order",
+      (s, d) => {
+        Tables.events(s, d).groupBy(col("user_id"))
+          .agg(expr(
+            "array_join(transform(array_sort(collect_list(struct(ts, event_id, event_type))), x -> x.event_type), ';')")
+            .as("type_seq"))
+          .orderBy("user_id")
+      },
+      Some("""SELECT user_id, string_agg(event_type, ';' ORDER BY ts, event_id) AS type_seq
+             |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // O1 (db.py:281-282): ORDER BY RANDOM() LIMIT n → portable deterministic
+    // Knuth-hash sample (same pick in any engine; documented divergence).
+    // At 100 TB this is a TakeOrdered (no full sort materialization).
+    Q("q16_hash_sample",
+      "deterministic pseudo-random work sample: hash-order LIMIT",
+      (s, d) => {
+        def t(n: String): DataFrame = Tables.load(s, d, n)
+        t("orders")
+          .withColumn("h", expr("(o_orderkey * 2654435761) % 4294967296"))
+          .orderBy("h", "o_orderkey")
+          .limit(100)
+          .select("o_orderkey", "h")
+      },
+      Some("""SELECT o_orderkey, (o_orderkey * 2654435761) % 4294967296 AS h
+             |FROM orders ORDER BY h, o_orderkey LIMIT 100""".stripMargin)),
+
+    // O2/O3 (db.py:217; management.py:155): top-k — TakeOrderedAndProject.
+    Q("q17_topk",
+      "top-10 customers by balance (ties broken by key)",
+      (s, d) => {
+        def t(n: String): DataFrame = Tables.load(s, d, n)
+        t("customer")
+          .select("c_custkey", "c_acctbal")
+          .orderBy(desc("c_acctbal"), asc("c_custkey"))
+          .limit(10)
+      },
+      Some("""SELECT c_custkey, c_acctbal FROM customer
+             |ORDER BY c_acctbal DESC, c_custkey LIMIT 10""".stripMargin)),
+
+    // F1/F2/F3/F4/F6/F7 (db.py:252; projects.py:581; helpers.py:14): scalar
+    // function battery — all codegen'd builtins, no UDFs.
+    Q("q18_scalar_funcs",
+      "scalar string/cast/format functions over documents",
+      (s, d) => {
+        def t(n: String): DataFrame = Tables.load(s, d, n)
+        t("documents").selectExpr(
+          "doc_id",
+          "lower(source) AS source_lower",
+          "substr(text, 1, 20) AS prefix",
+          "substr(text, 1, greatest(length(text) - 8, 0)) AS trimmed",
+          "text LIKE '%join%' AS has_join",
+          "concat_ws(';', lang, source) AS lang_source",
+          "cast(n_chars AS INT) AS n_chars_int",
+          "format_string('%d%%', cast(floor(n_chars / 10) AS BIGINT)) AS pct_label")
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, lower(source) AS source_lower,
+             |  substr(text, 1, 20) AS prefix,
+             |  substr(text, 1, greatest(length(text) - 8, 0)) AS trimmed,
+             |  text LIKE '%join%' AS has_join,
+             |  concat_ws(';', lang, source) AS lang_source,
+             |  CAST(n_chars AS INT) AS n_chars_int,
+             |  printf('%d%%', CAST(floor(n_chars / 10) AS BIGINT)) AS pct_label
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // F8 (projects.py:131): date bucketing + exact-decimal revenue rollup.
+    Q("q19_month_agg",
+      "orders per month with exact-decimal revenue",
+      (s, d) => {
+        def t(n: String): DataFrame = Tables.load(s, d, n)
+        t("orders")
+          .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+          .agg(count(lit(1)).as("n_orders"),
+            sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("revenue"))
+          .orderBy("month")
+      },
+      Some("""SELECT date_trunc('month', o_orderdate) AS month, count(*) AS n_orders,
+             |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+             |FROM orders GROUP BY 1 ORDER BY month""".stripMargin)),
+
+    // F5 (projects.py:605-625): guarded ratio of aggregates — div-by-zero
+    // yields NULL (documented divergence: reference raises on one path).
+    Q("q20_ratio_guarded",
+      "discount-weighted price ratio per order, zero-denominator guarded",
+      (s, d) => {
+        def t(n: String): DataFrame = Tables.load(s, d, n)
+        t("lineitem").groupBy(col("l_orderkey"))
+          .agg(
+            sum((col("l_discount") * col("l_extendedprice")).cast("decimal(18,4)"))
+              .cast("double").as("disc_amount"),
+            sum(col("l_extendedprice").cast("decimal(18,2)"))
+              .cast("double").as("total_price"))
+          .withColumn("disc_ratio",
+            when(col("total_price") === 0.0, lit(null).cast("double"))
+              .otherwise(col("disc_amount") / col("total_price")))
+          .orderBy("l_orderkey")
+      },
+      Some("""SELECT l_orderkey, disc_amount, total_price,
+             |  CASE WHEN total_price = 0 THEN NULL ELSE disc_amount / total_price END AS disc_ratio
+             |FROM (
+             |  SELECT l_orderkey,
+             |    CAST(sum(CAST(l_discount * l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS disc_amount,
+             |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+             |  FROM lineitem GROUP BY l_orderkey) a
+             |ORDER BY l_orderkey""".stripMargin)),
+
+    // Streaming-equivalent batch shape (§2.9): hourly windowed agg over the
+    // events table — the Structured Streaming job in graft.streaming uses
+    // the same plan with a watermark.
+    Q("q21_events_hourly",
+      "tumbling-hour event rollup (batch twin of the streaming job)",
+      (s, d) => {
+        Tables.events(s, d)
+          .groupBy(date_trunc("hour", col("ts")).as("hour"),
+            col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast("decimal(18,4)")).cast("double").as("total_value"))
+          .orderBy("hour", "event_type")
+      },
+      Some("""SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
+             |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+             |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin))
+  )
+}
