@@ -1,0 +1,101 @@
+package graft.compendium
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** S2+K2 (SURVEY.md §3.3): eUtils run-accession enrichment.
+  *
+  * The HTTP side effect lives behind [[EUtilsClient]] so the engine stays
+  * pure and testable; the response parser reproduces db.py:388-438 exactly:
+  *  - SAMPLE accession: last wins; RUN accessions accumulate and join with
+  *    ';' when multiple (db.py:421-431);
+  *  - pubdate / total_bases: last RUN's attribute wins;
+  *  - first BioProject EXTERNAL_ID wins (break, db.py:411-414);
+  *  - LIBRARY_STRATEGY / LIBRARY_SOURCE / INSTRUMENT_MODEL: last wins;
+  *  - packages without any run are skipped (db.py:433-438).
+  */
+trait EUtilsClient {
+  /** Resolve a batch of ≤`per_query` SRS accessions → raw efetch XML. */
+  def fetch(batch: Seq[String]): String
+}
+
+object EUtils {
+
+  private val TagRe = """(?s)<(\w+)\b([^>/]*)(/?)>""".r
+  private val XmlAttrRe = """([\w:_-]+)\s*=\s*"([^"]*)"""".r
+
+  private def attrs(s: String): Map[String, String] =
+    XmlAttrRe.findAllMatchIn(s)
+      .map(m => m.group(1) -> BioSampleXml.unescape(m.group(2))).toMap
+
+  private def elemText(chunk: String, tag: String): Option[String] = {
+    val re = s"""(?s)<$tag\\b[^>]*>(.*?)</$tag>""".r
+    re.findAllMatchIn(chunk).toSeq.lastOption
+      .map(m => BioSampleXml.unescape(m.group(1)).trim)
+  }
+
+  /** Parse one EXPERIMENT_PACKAGE chunk. */
+  private[compendium] def parsePackage(chunk: String): Option[SraRunInfo] = {
+    var sample: Option[String] = None
+    for (m <- """(?s)<SAMPLE\b([^>]*)>""".r.findAllMatchIn(chunk))
+      attrs(m.group(1)).get("accession").foreach(a => sample = Some(a))
+    var runs = Vector.empty[String]
+    var pubdate: Option[String] = None
+    var totalBases: Option[Long] = None
+    for (m <- """(?s)<RUN\b([^>]*?)/?>""".r.findAllMatchIn(chunk)) {
+      val a = attrs(m.group(1))
+      a.get("accession").foreach(runs :+= _)
+      a.get("published").foreach(p => pubdate = Some(p))
+      a.get("total_bases").foreach(b => totalBases = b.toLongOption)
+    }
+    val project = """(?s)<EXTERNAL_ID\b([^>]*)>(.*?)</EXTERNAL_ID>""".r
+      .findAllMatchIn(chunk)
+      .find(m => attrs(m.group(1)).get("namespace").contains("BioProject"))
+      .map(m => BioSampleXml.unescape(m.group(2)).trim)
+    if (runs.isEmpty || sample.isEmpty) None // skip: no run (db.py:433-438)
+    else Some(SraRunInfo(
+      srs = sample.get,
+      srr = Some(runs.mkString(";")),
+      project = project,
+      pubdate = pubdate,
+      total_bases = totalBases,
+      library_strategy = elemText(chunk, "LIBRARY_STRATEGY"),
+      library_source = elemText(chunk, "LIBRARY_SOURCE"),
+      instrument = elemText(chunk, "INSTRUMENT_MODEL")))
+  }
+
+  /** Split a response into EXPERIMENT_PACKAGE chunks and parse each. */
+  def parseResponse(xml: String): Seq[SraRunInfo] =
+    xml.split("""(?=<EXPERIMENT_PACKAGE[>\s])""").toSeq
+      .filter(_.startsWith("<EXPERIMENT_PACKAGE"))
+      .flatMap(parsePackage)
+
+  /** `main.py runs <N>` (db.py:266-330): pick N unresolved samples, fetch in
+    * `batchSize` chunks via the injected client, merge results into
+    * `samples` (K2). The fan-out is driver-side like the reference — the
+    * bottleneck is NCBI throttling (0.5 s/request), not compute — but the
+    * merge itself is a distributed join.
+    */
+  def enrich(spark: SparkSession, wh: Warehouse, client: EUtilsClient,
+      budget: Int, cfg: EngineConfig = EngineConfig.default): Long = {
+    import spark.implicits._
+    val samples = wh.readOrEmpty("samples", Schemas.samples)
+    val todo = Selection.unresolvedSamples(samples, budget)
+      .as[String].collect().toSeq
+    val infos = todo.grouped(cfg.eutilsBatchSize).flatMap { batch =>
+      Thread.sleep(cfg.eutilsThrottleMs) // NCBI rate limit (db.py:321)
+      parseResponse(client.fetch(batch))
+    }.toSeq
+    if (infos.isEmpty) return 0L
+    // Option fields encode as nullable columns
+    val delta = infos.toDF()
+      .select(col("srs"), col("srr"), col("project"),
+        to_timestamp(col("pubdate")).as("pubdate"),
+        col("total_bases"), col("library_strategy"),
+        col("library_source"), col("instrument"))
+    // K2 is an UPDATE, not an INSERT (db.py:445-470): responses for samples
+    // we don't track must not create rows.
+    wh.upsert("samples", delta, "srs", insertNew = false)
+    infos.size.toLong
+  }
+}

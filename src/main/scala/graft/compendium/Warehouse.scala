@@ -1,0 +1,84 @@
+package graft.compendium
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The engine's table store (K1-K3): the reference's single SQLite file
+  * (config.db_path) becomes a warehouse directory of parquet tables
+  * partitioned to match access patterns.
+  *
+  * Upserts are join-coalesce-rewrite: plain Spark has no in-place MERGE, so
+  * K2/K3 (db.py:440-470; projects.py:87-106) are expressed as a left join of
+  * the base table with the delta, per-column `coalesce(new, old)`, written to
+  * a temp path and atomically swapped — preserving the CLI idempotence the
+  * reference gets from SQLite transactions (db.py:46).
+  *
+  * Scale notes: results tables are written partitioned by `project`
+  * (SURVEY.md §4) so per-project reads (projects.py:67, 502) prune to one
+  * partition; appends (K1) are per-project partition overwrites, not
+  * table rewrites.
+  */
+final class Warehouse(spark: SparkSession, root: String) {
+
+  private def path(table: String) = s"$root/$table"
+
+  def exists(table: String): Boolean =
+    new org.apache.hadoop.fs.Path(path(table))
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .exists(new org.apache.hadoop.fs.Path(path(table)))
+
+  def read(table: String): DataFrame = spark.read.parquet(path(table))
+
+  def readOrEmpty(table: String, schema: org.apache.spark.sql.types.StructType): DataFrame =
+    if (exists(table)) read(table)
+    else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+
+  /** K1: append rows; `partitionBy` for the project-keyed results tables.
+    * `dynamic` overwrite mode means re-loading a project replaces only that
+    * project's partition — idempotent re-runs, no cross-project rewrite.
+    */
+  def append(table: String, df: DataFrame, partitionCols: Seq[String] = Nil): Unit = {
+    val w = df.write.mode(SaveMode.Append)
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+      .parquet(path(table))
+  }
+
+  def overwritePartitions(table: String, df: DataFrame, partitionCols: Seq[String]): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionCols: _*)
+      .parquet(path(table))
+
+  /** K2 (db.py:440-470): conditional-column merge — for each delta column,
+    * take the new value when present else keep the old; rows only in the
+    * delta are appended. Equivalent to the reference's per-field UPDATE
+    * built only from present fields.
+    */
+  def upsert(table: String, delta: DataFrame, key: String,
+      insertNew: Boolean = true): Unit = {
+    val merged =
+      if (!exists(table)) { if (insertNew) delta else return }
+      else {
+        val base = read(table)
+        val d = delta.columns.filter(_ != key)
+          .foldLeft(delta)((df, c) => df.withColumnRenamed(c, s"__new_$c"))
+        base.join(d, Seq(key), if (insertNew) "full_outer" else "left_outer")
+          .select(col(key) +: base.columns.filter(_ != key).map { c =>
+            (if (d.columns.contains(s"__new_$c"))
+              coalesce(col(s"__new_$c"), col(c)) else col(c)).as(c)
+          }.toSeq: _*)
+      }
+    replace(table, merged)
+  }
+
+  /** Atomic rewrite: write to a temp dir, then rename-swap. */
+  def replace(table: String, df: DataFrame): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(path(table + "__tmp"))
+    val dst = new org.apache.hadoop.fs.Path(path(table))
+    df.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    if (fs.exists(dst)) fs.delete(dst, true)
+    fs.rename(tmp, dst)
+  }
+}

@@ -1,0 +1,124 @@
+package graft.compendium
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class BioSampleXmlSpec extends SparkTestBase {
+
+  lazy val parsed = BioSampleXml.read(spark, s"$fixtures/biosamples.xml")
+
+  test("samples without an SRA id are skipped") {
+    val srs = parsed.select("srs").collect().map(_.getString(0)).sorted
+    assert(srs === Array("SRS000001", "SRS000003", "SRS000004"))
+  }
+
+  test("tags prefer harmonized_name, lowercase values, last duplicate wins") {
+    val tags = BioSampleXml.tags(parsed)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    val s1 = tags.filter(_._1 == "SRS000001").map(t => t._2 -> t._3).toMap
+    assert(s1("host_age") === "34")
+    assert(s1("sample type") === "stool")          // attribute_name fallback
+    assert(s1("geo_loc_name") === "usa: michigan") // lowercased
+    val s3 = tags.filter(_._1 == "SRS000003").map(t => t._2 -> t._3).toMap
+    assert(s3("host_age") === "7")                 // duplicate: last wins
+    assert(!s3.contains("empty_one"))              // empty value skipped
+    assert(s3("material") === "faeces & mucus")    // entity unescaped
+    // sample 4 has no attributes at all
+    assert(!tags.exists(_._1 == "SRS000004"))
+  }
+
+  test("ingest into warehouse is idempotent (anti-join re-ingest)") {
+    val wh = new Warehouse(spark, tmpDir())
+    val n1 = Ingest.loadSamples(spark, wh, "408170", s"$fixtures/biosamples.xml")
+    assert(n1 === 3)
+    val n2 = Ingest.loadSamples(spark, wh, "408170", s"$fixtures/biosamples.xml")
+    assert(n2 === 0)
+    assert(wh.read("samples").count() === 3)
+    val t1 = Ingest.loadTags(spark, wh, s"$fixtures/biosamples.xml")
+    assert(t1 === 5) // SRS000001: 3 tags, SRS000003: 2 (dup collapsed, empty skipped)
+    val t2 = Ingest.loadTags(spark, wh, s"$fixtures/biosamples.xml")
+    assert(t2 === 0)
+  }
+}
+
+class ResultsLoadSpec extends SparkTestBase {
+
+  test("counts matrix unpivots to sparse triplets, zeros dropped") {
+    val counts = ResultsLoad.readCountsMatrix(spark, s"$fixtures/ASVs_counts.tsv")
+    val triplets = counts.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(triplets === Set(
+      ("SRR0000001", "ASV_1", 120L), ("SRR0000003", "ASV_1", 5L),
+      ("SRR0000001", "ASV_2", 33L), ("SRR0000002", "ASV_2", 17L),
+      ("SRR0000003", "ASV_3", 9L)))
+  }
+
+  test("FASTA pairs labels with sequences") {
+    val fa = ResultsLoad.readFasta(spark, s"$fixtures/ASVs.fa")
+    val m = fa.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(m.keySet === Set("ASV_1", "ASV_2", "ASV_3"))
+    assert(m("ASV_1").startsWith("CCTACGGGAGGCAGCAG"))
+    assert(m("ASV_1").length === 66)
+  }
+
+  test("full load joins taxonomy to deterministic surrogate ids") {
+    val (counts, seqs, assigns) =
+      ResultsLoad.load(spark, fixtures, "PRJNA12345")
+    assert(counts.count() === 5)
+    assert(seqs.count() === 3)
+    val a = assigns.collect()
+    assert(a.length === 3)
+    // assignment asv_id must point at the sequence row of the same ASV
+    val seqIds = seqs.collect().map(r => r.getAs[Long]("asv_id")).toSet
+    assert(a.map(_.getAs[Long]("asv_id")).toSet === seqIds)
+    assert(a.forall(_.getAs[String]("tdatabase") == "silva_nr99_v138_train_set"))
+    val genus = assigns.filter(col("genus") === "Bacteroides").collect()
+    assert(genus.length === 1)
+    // deterministic across runs
+    val (_, seqs2, _) = ResultsLoad.load(spark, fixtures, "PRJNA12345")
+    assert(seqs2.collect().map(r => r.getAs[Long]("asv_id")).toSet === seqIds)
+  }
+}
+
+class EUtilsSpec extends SparkTestBase {
+
+  test("efetch parse: multi-run ';' join, no-run skip, field extraction") {
+    val xml = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$fixtures/efetch_response.xml")), "UTF-8")
+    val infos = EUtils.parseResponse(xml)
+    assert(infos.map(_.srs) === Seq("SRS000001", "SRS000002")) // no-run skipped
+    val one = infos.head
+    assert(one.srr === Some("SRR000001"))
+    assert(one.project === Some("PRJNA100001"))
+    assert(one.pubdate === Some("2024-01-15 08:00:00"))
+    assert(one.total_bases === Some(123456789L))
+    assert(one.library_strategy === Some("AMPLICON"))
+    assert(one.library_source === Some("METAGENOMIC"))
+    assert(one.instrument === Some("Illumina MiSeq"))
+    val two = infos(1)
+    assert(two.srr === Some("SRR000002;SRR000003"))   // db.py:421-431
+    assert(two.total_bases === Some(222222L))          // last run wins
+  }
+
+  test("enrich merges into samples via K2 conditional-column upsert") {
+    import spark.implicits._
+    val wh = new Warehouse(spark, tmpDir())
+    Ingest.loadSamples(spark, wh, "408170", s"$fixtures/biosamples.xml")
+    val client = new EUtilsClient {
+      def fetch(batch: Seq[String]): String =
+        new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get("/root/repo/fixtures/efetch_response.xml")), "UTF-8")
+    }
+    val n = EUtils.enrich(spark, wh, client,
+      budget = 10, EngineConfig.default.copy(eutilsThrottleMs = 0))
+    assert(n === 2)
+    val samples = wh.read("samples")
+    val s1 = samples.filter($"srs" === "SRS000001").collect().head
+    assert(s1.getAs[String]("srr") === "SRR000001")
+    assert(s1.getAs[String]("project") === "PRJNA100001")
+    assert(s1.getAs[String]("taxon") === "408170") // untouched column kept
+    // SRS000003 had no run info → srr stays null
+    val s3 = samples.filter($"srs" === "SRS000003").collect().head
+    assert(s3.isNullAt(s3.fieldIndex("srr")))
+  }
+}

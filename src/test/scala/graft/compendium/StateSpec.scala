@@ -1,0 +1,104 @@
+package graft.compendium
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class StateMachineSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("lifecycle transitions persist through the status upsert") {
+    val wh = new Warehouse(spark, tmpDir())
+    StateMachine.initialize(spark, wh, "PRJNA1")
+    StateMachine.setStatus(spark, wh, "PRJNA1", "accession_list_created")
+    StateMachine.setStatus(spark, wh, "PRJNA1", "running")
+    StateMachine.setStatus(spark, wh, "PRJNA1", "to_re_run",
+      rerunAsSingleEnd = Some(true))
+    val row = wh.read("status").collect().head
+    assert(row.getAs[String]("status") === "to_re_run")
+    assert(row.getAs[Boolean]("rerun_as_single_end"))
+  }
+
+  test("illegal transitions are rejected") {
+    val wh = new Warehouse(spark, tmpDir())
+    StateMachine.initialize(spark, wh, "PRJNA2")
+    intercept[IllegalArgumentException] {
+      StateMachine.setStatus(spark, wh, "PRJNA2", "done")
+    }
+  }
+
+  test("react maps QC decisions to transitions (projects.py:554-571)") {
+    val decisions = Seq(
+      ("P1", true, false, true, "bad retention"),
+      ("P2", false, true, true, "16% merged errors"),
+      ("P3", false, false, true, "")
+    ).toDF("project", "discard", "re_run", "paired", "errors")
+    val out = StateMachine.react(decisions).collect()
+      .map(r => r.getString(0) -> (r.getString(1), r.getAs[String]("note1"))).toMap
+    assert(out("P1")._1 === "failed")
+    assert(out("P1")._2 === "bad retention")
+    assert(out("P2")._1 === "to_re_run")
+    assert(out("P3")._1 === "complete")
+    assert(out("P3")._2 === null)
+  }
+}
+
+class SelectionSpec extends SparkTestBase {
+  import spark.implicits._
+
+  val samples = Seq(
+    // project, srr, source, strategy — PRJ_A: 3 processable
+    ("S1", "PRJ_A", "R1", "GENOMIC", "AMPLICON"),
+    ("S2", "PRJ_A", "R2", "METAGENOMIC", "AMPLICON"),
+    ("S3", "PRJ_A", "R3", "GENOMIC", "AMPLICON"),
+    // unresolved srr → not counted
+    ("S4", "PRJ_A", null, "GENOMIC", "AMPLICON"),
+    // wrong strategy / source → not counted
+    ("S5", "PRJ_B", "R5", "GENOMIC", "WGS"),
+    ("S6", "PRJ_B", "R6", "VIRAL RNA", "AMPLICON"),
+    // PRJ_C: 2 processable
+    ("S7", "PRJ_C", "R7", "METAGENOMIC", "AMPLICON"),
+    ("S8", "PRJ_C", "R8", "METAGENOMIC", "AMPLICON"),
+    // PRJ_D: 1 — below min band
+    ("S9", "PRJ_D", "R9", "GENOMIC", "AMPLICON")
+  ).toDF("srs", "project", "srr", "library_source", "library_strategy")
+
+  test("findTodo: band filter + anti-join excludes tracked projects") {
+    val status = Seq(("PRJ_C", "running")).toDF("project", "status")
+    val todo = Selection.findTodo(samples, status,
+      needed = 5, minSamples = 2, maxSamples = 10).collect()
+    assert(todo.map(_.getString(0)).toSet === Set("PRJ_A")) // C tracked, D too small
+    assert(todo.head.getAs[Long]("samples") === 3L)
+  }
+
+  test("unresolved sample pick is deterministic") {
+    val a = Selection.unresolvedSamples(samples, 10).collect().map(_.getString(0))
+    val b = Selection.unresolvedSamples(samples, 10).collect().map(_.getString(0))
+    assert(a.toSeq === b.toSeq)
+    assert(a.toSet === Set("S4"))
+  }
+
+  test("uninferred projects via left-outer + null-either filter") {
+    val seqs = Seq(("P1", "ASV_1"), ("P2", "ASV_1"), ("P3", "ASV_9"))
+      .toDF("project", "asv")
+    val inference = Seq(("P1", "v4", 250.0), ("P2", null, 250.0))
+      .toDF("project", "region", "length")
+    val out = Selection.uninferredProjects(seqs, inference, 10)
+      .collect().map(_.getString(0)).toSet
+    assert(out === Set("P2", "P3")) // P2: null region counts; P3: no row
+  }
+
+  test("accession list matches the processable predicate") {
+    val list = Selection.accessionList(samples, "PRJ_A")
+      .collect().map(_.getString(0))
+    assert(list.toSeq === Seq("R1", "R2", "R3"))
+  }
+
+  test("compendium summary counts") {
+    val counts = Seq(("R1", "ASV_1", 5L), ("R2", "ASV_1", 3L))
+      .toDF("sample", "asv", "count")
+    val r = Selection.compendiumSummary(samples, counts).collect().head
+    assert(r.getAs[Long]("n_projects") === 4L)
+    assert(r.getAs[Long]("n_samples") === 9L)
+    assert(r.getAs[Long]("n_samples_with_results") === 2L)
+  }
+}
