@@ -26,15 +26,33 @@ object BioSampleXml {
   private val AttrRe =
     """(?s)<Attribute\b([^>]*)>(.*?)</Attribute>""".r
   private val XmlAttrRe =
-    """([\w:_-]+)\s*=\s*"([^"]*)"""".r
+    """([\w:_-]+)\s*=\s*("([^"]*)"|'([^']*)')""".r
+  private val CharRefRe = """&#(x[0-9a-fA-F]+|[0-9]+);""".r
 
-  private[compendium] def unescape(s: String): String =
-    s.replace("&lt;", "<").replace("&gt;", ">")
+  /** The five named entities plus numeric character references
+    * (&#NNN; / &#xNN;), matching ElementTree's expansion for the inputs the
+    * reference parses. &amp; last so escaped entities don't double-expand.
+    */
+  private[compendium] def unescape(s: String): String = {
+    val numeric =
+      if (s.indexOf("&#") < 0) s
+      else CharRefRe.replaceAllIn(s, m => {
+        val body = m.group(1)
+        val cp = if (body.charAt(0) == 'x' || body.charAt(0) == 'X')
+          Integer.parseInt(body.substring(1), 16)
+        else Integer.parseInt(body)
+        java.util.regex.Matcher.quoteReplacement(new String(Character.toChars(cp)))
+      })
+    numeric.replace("&lt;", "<").replace("&gt;", ">")
       .replace("&quot;", "\"").replace("&apos;", "'")
       .replace("&amp;", "&")
+  }
 
   private def xmlAttrs(s: String): Map[String, String] =
-    XmlAttrRe.findAllMatchIn(s).map(m => m.group(1) -> unescape(m.group(2))).toMap
+    XmlAttrRe.findAllMatchIn(s).map { m =>
+      val v = if (m.group(3) != null) m.group(3) else m.group(4)
+      m.group(1) -> unescape(v)
+    }.toMap
 
   /** Parse one `<BioSample>…` chunk → (srs, tags) or None if no SRA id. */
   private[compendium] def parseRecord(chunk: String)

@@ -77,13 +77,24 @@ object ResultsLoad {
       cfg: EngineConfig = EngineConfig.default)
       : (DataFrame, DataFrame, DataFrame) = {
     val counts = readCountsMatrix(spark, s"$dir/ASVs_counts.tsv")
-    val seqs = withAsvId(
-      readFasta(spark, s"$dir/ASVs.fa").withColumn("project", lit(project)))
-      .select("asv_id", "project", "asv", "seq")
+    val fasta = readFasta(spark, s"$dir/ASVs.fa")
     val tax = readTaxonomy(spark, s"$dir/ASVs_taxonomy.tsv")
+    // Reference builds `seqs` from taxa.keys() (projects.py:478): the
+    // asv_sequences table only records ASVs present in the taxonomy file —
+    // semi-join the FASTA on the taxonomy ASV set. A taxonomy ASV missing
+    // from the FASTA raises KeyError in the reference (projects.py:478);
+    // mirror that with an eager check (taxonomy side is per-project small).
+    val missing = tax.join(fasta.select("asv"), Seq("asv"), "left_anti")
+      .select("asv").limit(20).collect().map(_.getString(0))
+    if (missing.nonEmpty) throw new IllegalStateException(
+      s"taxonomy ASVs absent from FASTA for $project (reference KeyError, " +
+        s"projects.py:478): ${missing.mkString(", ")}")
+    val seqs = withAsvId(
+      fasta.join(broadcast(tax.select("asv")), Seq("asv"), "left_semi")
+        .withColumn("project", lit(project)))
+      .select("asv_id", "project", "asv", "seq")
     // J3+J4: taxonomy ⋈ sequence ids on the per-project ASV label.
-    // Reference semantics: assignments exist only for ASVs present in the
-    // taxonomy file AND the FASTA (KeyError otherwise) → inner join;
+    // Assignments exist only for ASVs present in both files → inner join;
     // broadcast the small side.
     val assignments = tax.join(
       broadcast(seqs.select("asv", "asv_id")), Seq("asv"), "inner")

@@ -34,9 +34,19 @@ object StateMachine {
   def canTransition(from: String, to: String): Boolean =
     transitions.get(from).exists(_.contains(to))
 
-  /** Initialize tracking for a project (projects.py:108-113). */
+  /** Initialize tracking for a project (projects.py:108-113). Mirrors the
+    * reference's INSERT-conflict guard (projects.py:113-119): re-initializing
+    * an already-tracked project raises instead of silently resetting its
+    * state (which would bypass canTransition and could resurrect a terminal
+    * 'done'/'failed' project).
+    */
   def initialize(spark: SparkSession, wh: Warehouse, project: String): Unit = {
     import spark.implicits._
+    val already = wh.readOrEmpty("status", Schemas.status)
+      .filter(col("project") === project).limit(1).count() > 0
+    require(!already,
+      s"project $project is already tracked; refusing to re-initialize " +
+        "(reference treats this as an IntegrityError, projects.py:113-119)")
     val row = Seq((project, "initialized", false, null.asInstanceOf[java.lang.Boolean], null.asInstanceOf[String], null.asInstanceOf[String]))
       .toDF("project", "status", "rerun_as_single_end", "paired", "note1", "note2")
     wh.upsert("status", row, "project")

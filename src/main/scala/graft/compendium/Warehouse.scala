@@ -71,14 +71,23 @@ final class Warehouse(spark: SparkSession, root: String) {
     replace(table, merged)
   }
 
-  /** Atomic rewrite: write to a temp dir, then rename-swap. */
+  /** Rewrite via rename-swap. Guarantee: the table directory is missing only
+    * within the narrow window between the two renames (not across the whole
+    * write, as delete-then-rename would be); a crash leaves either the old
+    * or the new copy recoverable on disk (`__old` / `__tmp`). On stores
+    * without atomic rename (e.g. S3) the window widens to the rename copy —
+    * a transactional table format would be required for a hard guarantee.
+    */
   def replace(table: String, df: DataFrame): Unit = {
     val fs = new org.apache.hadoop.fs.Path(root)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tmp = new org.apache.hadoop.fs.Path(path(table + "__tmp"))
+    val old = new org.apache.hadoop.fs.Path(path(table + "__old"))
     val dst = new org.apache.hadoop.fs.Path(path(table))
     df.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-    if (fs.exists(dst)) fs.delete(dst, true)
+    if (fs.exists(old)) fs.delete(old, true)
+    val hadOld = fs.exists(dst) && fs.rename(dst, old)
     fs.rename(tmp, dst)
+    if (hadOld) fs.delete(old, true)
   }
 }

@@ -27,6 +27,20 @@ class BioSampleXmlSpec extends SparkTestBase {
     assert(!tags.exists(_._1 == "SRS000004"))
   }
 
+  test("single-quoted attributes and numeric character references parse") {
+    val rec = """<BioSample access='public'>
+      |<Ids><Id db='SRA'>SRS999999</Id></Ids>
+      |<Attributes>
+      |<Attribute attribute_name='material'>Stool &#38; Mucus &#x2013; fresh</Attribute>
+      |<Attribute harmonized_name="host_age" attribute_name='age'>34</Attribute>
+      |</Attributes>""".stripMargin
+    val Some((srs, tags)) = BioSampleXml.parseRecord(rec)
+    assert(srs === "SRS999999")
+    val m = tags.toMap
+    assert(m("material") === "stool & mucus – fresh")
+    assert(m("host_age") === "34")
+  }
+
   test("ingest into warehouse is idempotent (anti-join re-ingest)") {
     val wh = new Warehouse(spark, tmpDir())
     val n1 = Ingest.loadSamples(spark, wh, "408170", s"$fixtures/biosamples.xml")
@@ -77,6 +91,40 @@ class ResultsLoadSpec extends SparkTestBase {
     // deterministic across runs
     val (_, seqs2, _) = ResultsLoad.load(spark, fixtures, "PRJNA12345")
     assert(seqs2.collect().map(r => r.getAs[Long]("asv_id")).toSet === seqIds)
+  }
+
+  test("asv_sequences keeps only taxonomy ASVs; taxonomy-only ASVs raise") {
+    // FASTA with an extra ASV not in taxonomy → excluded from seqs
+    // (reference builds seqs from taxa.keys(), projects.py:478)
+    val dir = tmpDir()
+    def cp(n: String) = java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$fixtures/$n"),
+      java.nio.file.Paths.get(s"$dir/$n"))
+    cp("ASVs_counts.tsv"); cp("ASVs_taxonomy.tsv")
+    val fa = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$fixtures/ASVs.fa")), "UTF-8")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/ASVs.fa"),
+      fa + ">ASV_99\nACGTACGTACGT\n")
+    val (_, seqs, _) = ResultsLoad.load(spark, dir, "PRJNA12345")
+    assert(seqs.collect().map(_.getAs[String]("asv")).toSet ===
+      Set("ASV_1", "ASV_2", "ASV_3"))
+
+    // taxonomy ASV missing from FASTA → reference KeyError → we raise
+    val dir2 = tmpDir()
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$fixtures/ASVs_counts.tsv"),
+      java.nio.file.Paths.get(s"$dir2/ASVs_counts.tsv"))
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$fixtures/ASVs.fa"),
+      java.nio.file.Paths.get(s"$dir2/ASVs.fa"))
+    val tax = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$fixtures/ASVs_taxonomy.tsv")), "UTF-8")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir2/ASVs_taxonomy.tsv"),
+      tax + "ASV_77\tBacteria\tFirmicutes\tClostridia\tOscillospirales\tRuminococcaceae\tFaecalibacterium\n")
+    intercept[IllegalStateException] {
+      ResultsLoad.load(spark, dir2, "PRJNA12345")
+    }
   }
 }
 

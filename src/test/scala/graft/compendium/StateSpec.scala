@@ -26,6 +26,18 @@ class StateMachineSpec extends SparkTestBase {
     }
   }
 
+  test("re-initializing a tracked project is refused (projects.py:113-119)") {
+    val wh = new Warehouse(spark, tmpDir())
+    StateMachine.initialize(spark, wh, "PRJNA3")
+    StateMachine.setStatus(spark, wh, "PRJNA3", "accession_list_created")
+    intercept[IllegalArgumentException] {
+      StateMachine.initialize(spark, wh, "PRJNA3")
+    }
+    // state untouched by the refused re-init
+    val row = wh.read("status").collect().head
+    assert(row.getAs[String]("status") === "accession_list_created")
+  }
+
   test("react maps QC decisions to transitions (projects.py:554-571)") {
     val decisions = Seq(
       ("P1", true, false, true, "bad retention"),
