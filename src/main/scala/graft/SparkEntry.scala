@@ -3,14 +3,16 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.{Q, Tables}
-import graft.operators.{CompendiumQueries, RelationalQueries}
+import graft.operators._
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
 
   /** Full registry: relational inventory + domain + scale extensions. */
   def registry: Seq[Q] =
-    RelationalQueries.registry ++ CompendiumQueries.registry
+    RelationalQueries.registry ++ CompendiumQueries.registry ++
+      TextAnalysis.registry ++ Dedup.registry ++ Similarity.registry ++
+      Multimodal.registry
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,99 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Engine-portable column expressions shared by the training-data pipeline
+  * operators (dedup, similarity, text analysis).
+  *
+  * "Portable" means: every function here has a bit-identical counterpart
+  * expressible in ANSI-ish SQL (the DuckDB oracle dialect), so operators
+  * built from them can be hash-verified across engines. The only hash
+  * primitive is md5 (identical everywhere); pseudo-random projections and
+  * permutations are derived from it, never from engine-specific hash
+  * functions (xxhash64/murmur differ between engines) or RNGs.
+  *
+  * All functions are Catalyst built-ins — no UDFs — so they stay inside
+  * whole-stage codegen and push work to executors with zero driver state.
+  */
+object Portable {
+
+  /** 60-bit non-negative hash of a string: the first 15 hex digits of md5.
+    * DuckDB twin: `('0x' || substr(md5(x), 1, 15))::BIGINT`.
+    */
+  def h60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** Whitespace tokens, empty strings dropped.
+    * DuckDB twin: `list_filter(string_split(x, ' '), t -> t <> '')`.
+    */
+  def tokens(c: Column): Column =
+    filter(split(c, " "), t => t =!= lit(""))
+
+  /** Distinct word n-grams (shingles) joined with single spaces; empty array
+    * when the document has fewer than n tokens.
+    * DuckDB twin: `list_distinct(list_transform(range(1, len(t) - (n-2)),
+    * i -> t[i] || ' ' || ... ))` (DuckDB range end is exclusive).
+    */
+  def wordNgrams(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      array_distinct(transform(sequence(lit(1), size(toks) - (n - 1)), i =>
+        concat_ws(" ", (0 until n).map(k => element_at(toks, i + k)): _*))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Normalized text: lowercase, runs of whitespace collapsed, trimmed. */
+  def normText(c: Column): Column =
+    trim(regexp_replace(lower(c), "\\s+", " "))
+
+  /** Mersenne-31 modulus used by the MinHash permutation family. Shingle
+    * hashes are first reduced mod P, so `a*h + b` stays below 2^62 —
+    * overflow-free in any 64-bit engine (DuckDB errors on bigint overflow,
+    * the JVM wraps; staying under 2^63 sidesteps the divergence).
+    */
+  val MinHashP = 2147483647L
+
+  /** Fixed universal-hash coefficients (a, b) for the 16-permutation MinHash
+    * family — literal constants so the DuckDB oracle reproduces signatures
+    * exactly.
+    */
+  val MinHashCoeffs: Seq[(Long, Long)] =
+    Seq((114060684L, 143607337L), (658016613L, 1920833000L),
+      (1625018798L, 2115868156L), (1839658157L, 1370607935L),
+      (1314768563L, 1516846532L), (899342927L, 1761721495L),
+      (1792449689L, 2056989731L), (1252576877L, 638180911L),
+      (516347111L, 86660097L), (1034123048L, 390694562L),
+      (1490082987L, 1456092803L), (997229159L, 1263980513L),
+      (768208874L, 373428980L), (381249820L, 1284903394L),
+      (434862591L, 97658013L), (635475302L, 570517314L))
+
+  /** The k-th permuted hash of a pre-reduced shingle hash g (g in [0, P)). */
+  def perm(k: Int, g: Column): Column = {
+    val (a, b) = MinHashCoeffs(k)
+    (g * a + b) % MinHashP
+  }
+
+  /** Embedding as double array (float→double cast pinned so both engines do
+    * identical IEEE arithmetic).
+    */
+  def vecD(c: Column): Column = transform(c, x => x.cast("double"))
+
+  /** Left-to-right dot product of two double arrays of length `dim`.
+    * DuckDB twin: `list_reduce(list_transform(range(1, dim+1),
+    * i -> a[i] * b[i]), (x, y) -> x + y)` — both engines fold strictly
+    * left-to-right, so the sum is bit-identical.
+    */
+  def dot(a: Column, b: Column, dim: Int): Column =
+    aggregate(sequence(lit(1), lit(dim)), lit(0.0),
+      (acc, i) => acc + element_at(a, i) * element_at(b, i))
+
+  /** L2 norm (left-to-right accumulation, then sqrt). */
+  def l2norm(a: Column, dim: Int): Column = sqrt(dot(a, a, dim))
+
+  /** Deterministic pseudo-random hyperplane component in [-1, 1]:
+    * plane `j`, coordinate `i` (both small ints). Derived from md5 so the
+    * oracle regenerates the same planes with no literal tables.
+    */
+  def hyperplane(j: Column, i: Column): Column =
+    (h60(concat(lit("hp_"), j.cast("string"), lit("_"), i.cast("string")))
+      % 2001L - 1000L).cast("double") / 1000.0
+}

@@ -1,0 +1,224 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.core.{Q, Tables}
+import graft.functions.Portable._
+
+/** Deduplication operators for a training-data pipeline over `documents`:
+  * exact (hash groupBy), word-n-gram Jaccard (all candidate pairs via a
+  * shingle-inverted-index join), MinHash + banded LSH (the 100 TB path),
+  * and SimHash (shuffle-free per-doc sketch).
+  *
+  * Scale design per operator is documented inline; the common principles:
+  *  - candidate generation is always a join on a *derived small key*
+  *    (content hash, shingle, band bucket), never a cross join;
+  *  - per-doc sketches (minhash signatures, simhash) are computed with
+  *    map-side expressions and aggregated once, so each doc's text is
+  *    scanned exactly once;
+  *  - verification joins carry pre-computed shingle sets, and the candidate
+  *    side is broadcast (it is ~|near-dup pairs|, orders of magnitude
+  *    smaller than the corpus).
+  *
+  * All hashing is md5-derived (Portable.h60) so the DuckDB oracle verifies
+  * results exactly — including the MinHash signatures themselves.
+  */
+object Dedup {
+
+  private def docs(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+
+  /** doc_id + distinct word-trigram shingle set (+ size). */
+  private def shingled(s: SparkSession, d: String): DataFrame =
+    docs(s, d).select(col("doc_id"),
+      wordNgrams(tokens(normText(col("text"))), 3).as("sh"))
+      .withColumn("nsh", size(col("sh")))
+      .filter(col("nsh") > 0)
+
+  private val sqlShingled =
+    """WITH n AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm FROM documents),
+      |tk AS (SELECT doc_id, list_filter(string_split(norm, ' '), t -> t <> '') AS toks FROM n),
+      |sg AS (SELECT doc_id,
+      |  CASE WHEN len(toks) >= 3 THEN
+      |    list_distinct(list_transform(range(1, len(toks) - 1),
+      |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+      |  ELSE [] END AS sh FROM tk),
+      |sh AS (SELECT doc_id, sh, len(sh) AS nsh FROM sg WHERE len(sh) > 0)""".stripMargin
+
+  /** Exact all-pairs trigram-Jaccard SQL (the oracle for d02 and d03):
+    * inverted-index join on the shingle, then jaccard from intersection
+    * counts.
+    */
+  private def sqlExactJaccard(threshold: Double): String =
+    s"""$sqlShingled,
+       |ex AS (SELECT doc_id, nsh, unnest(sh) AS shingle FROM sh),
+       |pairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    a.nsh AS size_a, b.nsh AS size_b, count(*)::BIGINT AS intersection
+       |  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2, 3, 4)
+       |SELECT doc_a, doc_b, size_a::BIGINT AS size_a, size_b::BIGINT AS size_b,
+       |  intersection,
+       |  intersection * 1.0 / (size_a + size_b - intersection) AS jaccard
+       |FROM pairs
+       |WHERE intersection * 1.0 / (size_a + size_b - intersection) >= $threshold
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** Spark side of the exact pair computation (shared by d02/d03-verify). */
+  private def jaccardPairs(sh: DataFrame, threshold: Double): DataFrame = {
+    val ex = sh.select(col("doc_id"), col("nsh"), explode(col("sh")).as("shingle"))
+    // Inverted-index equi-join on the shingle: only docs sharing a shingle
+    // meet, so the pair space is output-bound, not |docs|². At 100 TB the
+    // few ultra-hot shingles dominate the shuffle — AQE skew-join splits
+    // them; a frequency-capped variant (drop shingles in >1% of docs) is
+    // the standard recall-preserving mitigation for J >= 0.5 thresholds.
+    val a = ex.select(col("doc_id").as("doc_a"), col("nsh").as("size_a"), col("shingle"))
+    val b = ex.select(col("doc_id").as("doc_b"), col("nsh").as("size_b"), col("shingle"))
+    a.join(b, Seq("shingle"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b", "size_a", "size_b")
+      .agg(count(lit(1)).as("intersection"))
+      .withColumn("jaccard",
+        col("intersection") * lit(1.0) /
+          (col("size_a") + col("size_b") - col("intersection")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"),
+        col("size_a").cast("long"), col("size_b").cast("long"),
+        col("intersection"), col("jaccard"))
+  }
+
+  val registry: Seq[Q] = Seq(
+
+    Q("d01_exact_dedup",
+      "exact duplicate groups by normalized-content hash (canonical = min id)",
+      (s, d) => {
+        val w = Window.partitionBy(col("content_hash"))
+        docs(s, d)
+          .select(col("doc_id"), md5(normText(col("text"))).as("content_hash"))
+          .withColumn("canonical_id", min(col("doc_id")).over(w))
+          .withColumn("group_size", count(lit(1)).over(w))
+          .withColumn("is_duplicate", col("doc_id") =!= col("canonical_id"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+             |  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS content_hash,
+             |  min(doc_id) OVER (PARTITION BY md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))) AS canonical_id,
+             |  count(*) OVER (PARTITION BY md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))) AS group_size,
+             |  doc_id <> min(doc_id) OVER (PARTITION BY md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))) AS is_duplicate
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    Q("d02_ngram_jaccard",
+      "near-duplicate pairs by exact word-trigram Jaccard >= 0.5",
+      (s, d) => jaccardPairs(shingled(s, d), 0.5).orderBy("doc_a", "doc_b"),
+      Some(sqlExactJaccard(0.5))),
+
+    // MinHash + banded LSH — the 100 TB dedup path. 16 permutations,
+    // 8 bands x 2 rows: collision prob at J=0.9 is 1-(1-0.81)^8 ≈ 1-1.7e-6,
+    // so on corpora whose near-dups sit well above the 0.5 threshold the
+    // LSH-verified output equals the exact all-pairs answer (the oracle
+    // checks exactly that). Signature pass is one groupBy over exploded
+    // shingles (map-side partial min); candidate pass joins on (band,
+    // bucket) — only docs agreeing on a full band meet, so the shuffle is
+    // output-bound; verification broadcasts the tiny candidate set back
+    // onto the shingle arrays.
+    Q("d03_minhash_lsh",
+      "MinHash(16) + LSH(8x2) banded candidates, exact-Jaccard verified >= 0.5",
+      (s, d) => {
+        val sh = shingled(s, d).cache()
+        val g = sh.select(col("doc_id"), explode(col("sh")).as("shingle"))
+          .withColumn("g", h60(col("shingle")) % MinHashP)
+        val mhCols = (0 until 16).map(k => min(perm(k, col("g"))).as(s"mh_$k"))
+        val sigs = g.groupBy("doc_id").agg(mhCols.head, mhCols.tail: _*)
+        val bands = sigs.select(col("doc_id"), explode(array(
+          (0 until 8).map(j => struct(lit(j).as("band"),
+            concat_ws("_", col(s"mh_${2 * j}"), col(s"mh_${2 * j + 1}"))
+              .as("bkey"))): _*)).as("bb"))
+          .select(col("doc_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+        val cand = bands.as("x")
+          .join(bands.as("y"), Seq("band", "bkey"))
+          .filter(col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+          .distinct()
+        val verified = broadcast(cand)
+          .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"),
+            col("nsh").as("size_a")), Seq("doc_a"))
+          .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"),
+            col("nsh").as("size_b")), Seq("doc_b"))
+          .withColumn("intersection",
+            size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+          .withColumn("jaccard",
+            col("intersection") * lit(1.0) /
+              (col("size_a") + col("size_b") - col("intersection")))
+          .filter(col("jaccard") >= 0.5)
+        verified.select(col("doc_a"), col("doc_b"),
+          col("size_a").cast("long"), col("size_b").cast("long"),
+          col("intersection"), col("jaccard"))
+          .orderBy("doc_a", "doc_b")
+      },
+      Some(sqlExactJaccard(0.5))),
+
+    // SimHash: 60-bit per-doc sketch, zero shuffle — token counting and the
+    // per-bit weighted vote are pure array expressions over each row, so
+    // the whole operator is a narrow codegen'd projection (the form a
+    // custom Catalyst Expression would compile to anyway).
+    Q("d04_simhash",
+      "60-bit term-frequency SimHash sketch per document",
+      (s, d) => {
+        docs(s, d)
+          .select(col("doc_id"),
+            tokens(normText(col("text"))).as("toks"))
+          .selectExpr("doc_id",
+            """transform(array_distinct(toks), x -> struct(
+              |  size(filter(toks, t -> t = x)) AS cnt,
+              |  cast(conv(substring(md5(x), 1, 15), 16, 10) AS BIGINT) AS h)) AS tf"""
+              .stripMargin)
+          .selectExpr("doc_id",
+            """aggregate(sequence(0, 59), 0L, (acc, b) -> acc +
+              |  CASE WHEN aggregate(tf, 0L,
+              |      (a2, p) -> a2 + p.cnt * ((shiftright(p.h, b) & 1) * 2 - 1)) > 0
+              |    THEN shiftleft(1L, b) ELSE 0L END) AS simhash"""
+              .stripMargin)
+          .orderBy("doc_id")
+      },
+      Some("""WITH n AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm FROM documents),
+             |tk AS (SELECT doc_id, list_filter(string_split(norm, ' '), t -> t <> '') AS toks FROM n),
+             |tf AS (SELECT doc_id, list_transform(list_distinct(toks),
+             |  x -> {'cnt': len(list_filter(toks, t -> t = x)),
+             |        'h': ('0x' || substr(md5(x), 1, 15))::BIGINT}) AS tf FROM tk)
+             |SELECT doc_id,
+             |  list_reduce(list_transform(range(0, 60), b ->
+             |    CASE WHEN list_reduce(list_transform(tf,
+             |        p -> p.cnt * (((p.h >> b) & 1) * 2 - 1)), (x, y) -> x + y) > 0
+             |      THEN (1::BIGINT << b) ELSE 0::BIGINT END), (x, y) -> x + y) AS simhash
+             |FROM tf ORDER BY doc_id""".stripMargin)),
+
+    // Embedding-cosine near-dup: the brute-force O(n²) pair scan is the
+    // exactness baseline (codegen'd fused dot product, no shuffle beyond
+    // the self-join); the LSH-bucketed scale path is s02_knn_lsh.
+    Q("d05_embedding_neardup",
+      "embedding near-duplicate pairs by cosine >= 0.4 (brute-force exact)",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+          .select(col("vec_id"), vecD(col("embedding")).as("v"))
+          .withColumn("nrm", l2norm(col("v"), 64))
+        val a = e.select(col("vec_id").as("vec_a"), col("v").as("va"), col("nrm").as("na"))
+        val b = e.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("nrm").as("nb"))
+        a.crossJoin(broadcast(b))
+          .filter(col("vec_a") < col("vec_b"))
+          .withColumn("cosine", dot(col("va"), col("vb"), 64) / (col("na") * col("nb")))
+          .filter(col("cosine") >= 0.4)
+          .select("vec_a", "vec_b")
+          .orderBy("vec_a", "vec_b")
+      },
+      Some("""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+             |n AS (SELECT vec_id, v,
+             |  sqrt(list_reduce(list_transform(range(1, 65), i -> v[i] * v[i]), (x, y) -> x + y)) AS nrm
+             |FROM e)
+             |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+             |FROM n a JOIN n b ON a.vec_id < b.vec_id
+             |WHERE list_reduce(list_transform(range(1, 65), i -> a.v[i] * b.v[i]), (x, y) -> x + y)
+             |        / (a.nrm * b.nrm) >= 0.4
+             |ORDER BY vec_a, vec_b""".stripMargin))
+  )
+}

@@ -1,0 +1,119 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.{Q, Tables}
+
+/** Multimodal-column plumbing for a training-data pipeline: media payloads
+  * as opaque `binary` columns with typed metadata, processed by a
+  * per-partition decode stage.
+  *
+  * The container has no image/audio codecs, so the decode kernel is a
+  * clearly-marked DETERMINISTIC FAKE (byte-arithmetic on the payload); the
+  * Spark-side plumbing is real and is the point:
+  *  - a typed `Dataset[MediaRecord]` with a `binary` payload column — the
+  *    schema a parquet media lake would have (payload + mime + id);
+  *  - decode/feature-extract runs in `mapPartitions`, the JVM twin of
+  *    `mapInPandas`: one iterator pass per partition, so a native decoder
+  *    (libjpeg/ffmpeg via JNI) amortizes init per partition and memory
+  *    stays bounded by one record batch;
+  *  - frame sampling is a flatMap explosion (one row per sampled frame) —
+  *    downstream per-frame ops (embedding, dedup) join on (doc_id,
+  *    frame_idx).
+  *
+  * At 100 TB: payloads dominate bytes → store them in their own parquet
+  * column (columnar pruning skips them unless decoded), partition by
+  * content hash for even decode load, and never collect payloads to the
+  * driver. The fake kernel's arithmetic is reproduced by the DuckDB oracle
+  * over the source text bytes, so the whole path is hash-verified.
+  */
+object Multimodal {
+
+  final case class MediaRecord(doc_id: Long, payload: Array[Byte], mime: String)
+  final case class MediaMeta(doc_id: Long, n_bytes: Long, byte_sum16: Long,
+      codec: String, width: Long, height: Long, n_frames: Long)
+  final case class Frame(doc_id: Long, frame_idx: Long, frame_tag: Long)
+
+  /** Build the media lake view: documents' text bytes stand in for media
+    * payloads (deterministic, so results are verifiable).
+    */
+  def mediaRecords(s: SparkSession, d: String): Dataset[MediaRecord] = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("text"), col("source"))
+      .as[(Long, String, String)]
+      .map { case (id, text, source) =>
+        MediaRecord(id, text.getBytes("UTF-8"), s"media/$source")
+      }
+  }
+
+  /** FAKE decode kernel — stands in for a libjpeg/ffmpeg probe. Reads only
+    * payload bytes; all derived values are pure functions of them.
+    */
+  private def decodeOne(r: MediaRecord): MediaMeta = {
+    val bs = r.payload.take(16).map(b => (b & 0xff).toLong).sum
+    MediaMeta(
+      doc_id = r.doc_id,
+      n_bytes = r.payload.length.toLong,
+      byte_sum16 = bs,
+      codec = Seq("jpeg", "png", "webp")((bs % 3).toInt),
+      width = 64 + (bs * 31) % 1857,
+      height = 64 + (bs * 17) % 1017,
+      n_frames = r.payload.length / 100 + 1)
+  }
+
+  /** Decode/feature-extract stage: one iterator pass per partition
+    * (`mapInPandas` batch shape; a real decoder would init its native
+    * context once here, before the iterator is consumed).
+    */
+  def decode(ds: Dataset[MediaRecord]): Dataset[MediaMeta] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it => it.map(decodeOne) }
+  }
+
+  /** Frame sampling: every 7th frame index, tagged with a per-frame hash
+    * (stand-in for a per-frame feature vector).
+    */
+  def sampleFrames(ds: Dataset[MediaMeta]): Dataset[Frame] = {
+    import ds.sparkSession.implicits._
+    ds.flatMap { m =>
+      (0L until m.n_frames by 7).map { f =>
+        Frame(m.doc_id, f, (m.byte_sum16 * 2654435761L + f) % 997)
+      }
+    }
+  }
+
+  private val sqlMeta =
+    """WITH m AS (SELECT doc_id, text,
+      |  list_aggregate(list_transform(range(1, least(length(text), 16) + 1),
+      |    i -> unicode(substr(text, i, 1))), 'sum')::BIGINT AS byte_sum16
+      |FROM documents)""".stripMargin
+
+  val registry: Seq[Q] = Seq(
+
+    Q("m01_media_decode",
+      "binary payload -> typed media metadata via per-partition decode stub",
+      (s, d) => decode(mediaRecords(s, d)).toDF().orderBy("doc_id"),
+      Some(s"""$sqlMeta
+             |SELECT doc_id,
+             |  length(text)::BIGINT AS n_bytes,
+             |  byte_sum16,
+             |  (['jpeg', 'png', 'webp'])[(byte_sum16 % 3) + 1] AS codec,
+             |  64 + (byte_sum16 * 31) % 1857 AS width,
+             |  64 + (byte_sum16 * 17) % 1017 AS height,
+             |  length(text) // 100 + 1 AS n_frames
+             |FROM m ORDER BY doc_id""".stripMargin)),
+
+    Q("m02_frame_sample",
+      "frame sampling: every 7th frame exploded to (doc_id, frame_idx, tag)",
+      (s, d) => sampleFrames(decode(mediaRecords(s, d))).toDF()
+        .orderBy("doc_id", "frame_idx"),
+      Some(s"""$sqlMeta,
+             |f AS (SELECT doc_id, byte_sum16,
+             |  unnest(range(0, length(text) // 100 + 1, 7)) AS frame_idx
+             |FROM m)
+             |SELECT doc_id, frame_idx,
+             |  (byte_sum16 * 2654435761 + frame_idx) % 997 AS frame_tag
+             |FROM f ORDER BY doc_id, frame_idx""".stripMargin))
+  )
+}

@@ -1,0 +1,124 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.core.{Q, Tables}
+import graft.functions.Portable._
+
+/** Approximate-nearest-neighbor search over the `embeddings` table
+  * (64-dim float vectors).
+  *
+  *  - s01: brute-force cosine top-k — the exactness baseline. The query set
+  *    is broadcast against the corpus, the dot product is a fused codegen'd
+  *    fold (no UDF), and top-k per query is a window row_number whose
+  *    partial sort AQE keeps per-partition. Cost is |Q|·|corpus|·dim —
+  *    right up to ~10^10 cell ops, after which s02 takes over.
+  *  - s02: random-hyperplane LSH — the 100 TB path. Each vector gets a
+  *    sign-bucket from 8 md5-derived hyperplanes (deterministic, so the
+  *    oracle regenerates them); search touches only the query's bucket
+  *    (~1/256 of the corpus). Recall tunes with planes/probes; the same
+  *    plan shape serves multi-probe by unioning neighbor buckets.
+  *
+  * Both return (query_id, rank, neighbor_id) — rank ties broken by
+  * neighbor id, cosine computed in double with pinned left-to-right
+  * accumulation so the DuckDB oracle reproduces the exact ordering.
+  */
+object Similarity {
+
+  private val Dim = 64
+
+  private def vectors(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), vecD(col("embedding")).as("v"))
+      .withColumn("nrm", l2norm(col("v"), Dim))
+
+  /** Sign-pattern LSH bucket in [0, 256) from 8 md5-derived hyperplanes. */
+  private def bucketCol(v: Column): Column =
+    aggregate(sequence(lit(0), lit(7)), lit(0L), (acc, j) =>
+      acc + when(
+        aggregate(sequence(lit(1), lit(Dim)), lit(0.0),
+          (a2, i) => a2 + element_at(v, i) * hyperplane(j, i)) >= 0.0,
+        pow(lit(2.0), j).cast("long")).otherwise(lit(0L)))
+
+  private val sqlVectors =
+    """WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+      |n AS (SELECT vec_id, v,
+      |  sqrt(list_reduce(list_transform(range(1, 65), i -> v[i] * v[i]), (x, y) -> x + y)) AS nrm
+      |FROM e)""".stripMargin
+
+  private val sqlBucket =
+    """b AS (SELECT vec_id, v, nrm,
+      |  list_reduce(list_transform(range(0, 8), j ->
+      |    CASE WHEN list_reduce(list_transform(range(1, 65), i -> v[i] *
+      |        ((('0x' || substr(md5('hp_' || j || '_' || i), 1, 15))::BIGINT % 2001 - 1000) / 1000.0)),
+      |        (x, y) -> x + y) >= 0.0
+      |      THEN CAST(power(2, j) AS BIGINT) ELSE 0 END), (x, y) -> x + y) AS bucket
+      |FROM n)""".stripMargin
+
+  val registry: Seq[Q] = Seq(
+
+    Q("s01_knn_bruteforce",
+      "exact cosine top-5 neighbors for the query set (vec_id % 50 = 0)",
+      (s, d) => {
+        val e = vectors(s, d)
+        val q = e.filter(col("vec_id") % 50 === 0)
+          .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+        val w = Window.partitionBy(col("query_id"))
+          .orderBy(col("cosine").desc, col("vec_id").asc)
+        e.crossJoin(broadcast(q))
+          .filter(col("vec_id") =!= col("query_id"))
+          .withColumn("cosine",
+            dot(col("v"), col("qv"), Dim) / (col("nrm") * col("qn")))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 5)
+          .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"))
+          .orderBy("query_id", "rank")
+      },
+      Some(s"""$sqlVectors,
+             |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n WHERE vec_id % 50 = 0),
+             |scored AS (
+             |  SELECT q.query_id, n.vec_id AS neighbor_id,
+             |    list_reduce(list_transform(range(1, 65), i -> n.v[i] * q.qv[i]), (x, y) -> x + y)
+             |      / (n.nrm * q.qn) AS cosine
+             |  FROM n CROSS JOIN q WHERE n.vec_id <> q.query_id),
+             |ranked AS (SELECT query_id, neighbor_id,
+             |  row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+             |FROM scored)
+             |SELECT query_id, rank, neighbor_id FROM ranked
+             |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)),
+
+    Q("s02_knn_lsh",
+      "LSH-bucketed ANN: top-3 within the query's sign bucket (8 hyperplanes)",
+      (s, d) => {
+        val e = vectors(s, d).withColumn("bucket", bucketCol(col("v")))
+        val q = e.filter(col("vec_id") % 50 === 0)
+          .select(col("vec_id").as("query_id"), col("v").as("qv"),
+            col("nrm").as("qn"), col("bucket"))
+        val w = Window.partitionBy(col("query_id"))
+          .orderBy(col("cosine").desc, col("vec_id").asc)
+        e.join(broadcast(q), Seq("bucket"))
+          .filter(col("vec_id") =!= col("query_id"))
+          .withColumn("cosine",
+            dot(col("v"), col("qv"), Dim) / (col("nrm") * col("qn")))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 3)
+          .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+            col("bucket"))
+          .orderBy("query_id", "rank")
+      },
+      Some(s"""$sqlVectors,
+             |$sqlBucket,
+             |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn, bucket FROM b WHERE vec_id % 50 = 0),
+             |scored AS (
+             |  SELECT q.query_id, b.vec_id AS neighbor_id, b.bucket,
+             |    list_reduce(list_transform(range(1, 65), i -> b.v[i] * q.qv[i]), (x, y) -> x + y)
+             |      / (b.nrm * q.qn) AS cosine
+             |  FROM b JOIN q USING (bucket) WHERE b.vec_id <> q.query_id),
+             |ranked AS (SELECT query_id, neighbor_id, bucket,
+             |  row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+             |FROM scored)
+             |SELECT query_id, rank, neighbor_id, bucket FROM ranked
+             |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin))
+  )
+}

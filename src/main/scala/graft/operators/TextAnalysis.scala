@@ -1,0 +1,167 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.{Q, Tables}
+import graft.functions.Portable._
+
+/** Text-analysis operators for a large-scale training-data pipeline, over
+  * the `documents` table: token statistics, quality scoring, language-ID
+  * (marker-token heuristic), and content fingerprinting.
+  *
+  * Scale design: every operator is a single narrow projection — pure
+  * per-row array/string expressions, no UDFs, no shuffle, no driver state —
+  * so each runs at parquet-scan speed inside one whole-stage-codegen span
+  * and scales linearly to any number of executors. Filters/pruning reach
+  * the scan (only `doc_id`/`text`/`lang` are read).
+  */
+object TextAnalysis {
+
+  private def docs(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+
+  /** Shared SQL fragment for the oracle: whitespace tokens sans empties. */
+  private val sqlToks = "list_filter(string_split(text, ' '), t -> t <> '')"
+
+  // Language marker tokens. The scores are plain multiset counts so the
+  // heuristic is expressible identically in both engines; ties break by the
+  // fixed en > es > fr > de > zh priority, zero marker hits → 'und'.
+  private val markers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "is", "of", "and"),
+    "es" -> Seq("el", "la", "de", "es", "y"),
+    "fr" -> Seq("le", "la", "de", "est", "et"),
+    "de" -> Seq("der", "die", "das", "ist", "und"),
+    "zh" -> Seq("的", "是", "在", "了", "和"))
+
+  val registry: Seq[Q] = Seq(
+
+    Q("t01_token_stats",
+      "per-document token counts, type/token ratio, mean token length",
+      (s, d) => {
+        val t = tokens(col("text"))
+        docs(s, d).select(
+          col("doc_id"),
+          size(t).cast("long").as("n_tokens"),
+          size(array_distinct(t)).cast("long").as("n_types"),
+          when(size(t) > 0,
+            aggregate(t, lit(0L), (a, x) => a + length(x)) * lit(1.0) / size(t))
+            .as("avg_token_len"),
+          when(size(t) > 0, size(array_distinct(t)) * lit(1.0) / size(t))
+            .as("ttr"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH t AS (SELECT doc_id, $sqlToks AS toks FROM documents)
+             |SELECT doc_id,
+             |  len(toks)::BIGINT AS n_tokens,
+             |  len(list_distinct(toks))::BIGINT AS n_types,
+             |  CASE WHEN len(toks) > 0 THEN
+             |    list_aggregate(list_transform(toks, x -> len(x)), 'sum') * 1.0 / len(toks)
+             |  END AS avg_token_len,
+             |  CASE WHEN len(toks) > 0 THEN
+             |    len(list_distinct(toks)) * 1.0 / len(toks)
+             |  END AS ttr
+             |FROM t ORDER BY doc_id""".stripMargin)),
+
+    Q("t02_quality_score",
+      "heuristic document quality: alpha/digit ratios, stopword fraction",
+      (s, d) => {
+        val t = tokens(col("text"))
+        val stops = Seq("the", "a", "of", "and", "to", "in", "is", "it")
+        docs(s, d).select(
+          col("doc_id"),
+          length(col("text")).cast("long").as("n_chars_m"),
+          size(t).cast("long").as("n_tokens"),
+          (length(regexp_replace(col("text"), "[^a-z]", "")) * lit(1.0)
+            / length(col("text"))).as("alpha_ratio"),
+          (length(regexp_replace(col("text"), "[^0-9]", "")) * lit(1.0)
+            / length(col("text"))).as("digit_ratio"),
+          when(size(t) > 0,
+            size(filter(t, x => x.isin(stops: _*))) * lit(1.0) / size(t))
+            .as("stop_frac"))
+          .withColumn("quality_ok",
+            col("n_tokens") >= 10 && col("alpha_ratio") >= 0.6 &&
+              col("digit_ratio") <= 0.3)
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH t AS (SELECT doc_id, text, $sqlToks AS toks FROM documents)
+             |SELECT doc_id,
+             |  length(text)::BIGINT AS n_chars_m,
+             |  len(toks)::BIGINT AS n_tokens,
+             |  length(regexp_replace(text, '[^a-z]', '', 'g')) * 1.0 / length(text) AS alpha_ratio,
+             |  length(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0 / length(text) AS digit_ratio,
+             |  CASE WHEN len(toks) > 0 THEN
+             |    len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','it'))) * 1.0 / len(toks)
+             |  END AS stop_frac,
+             |  (len(toks) >= 10
+             |    AND length(regexp_replace(text, '[^a-z]', '', 'g')) * 1.0 / length(text) >= 0.6
+             |    AND length(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0 / length(text) <= 0.3) AS quality_ok
+             |FROM t ORDER BY doc_id""".stripMargin)),
+
+    Q("t03_langid",
+      "marker-token language ID with fixed-priority argmax and accuracy flag",
+      (s, d) => {
+        val t = tokens(col("text"))
+        val scored = docs(s, d).select(
+          (col("doc_id") +: col("lang").as("lang_label") +:
+            markers.map { case (l, ms) =>
+              size(filter(t, x => x.isin(ms: _*))).cast("long").as(s"s_$l")
+            }): _*)
+        val total = markers.map { case (l, _) => col(s"s_$l") }.reduce(_ + _)
+        val best = markers.map { case (l, _) => col(s"s_$l") }
+          .reduce((a, b) => greatest(a, b))
+        val pred = markers.foldRight(lit("und")) { case ((l, _), els) =>
+          when(total > 0 && col(s"s_$l") === best, l).otherwise(els)
+        }
+        // foldRight builds en-first WHEN chain → fixed-priority tiebreak
+        scored.withColumn("predicted", pred)
+          .withColumn("is_correct", col("predicted") === col("lang_label"))
+          .orderBy("doc_id")
+      },
+      Some {
+        val scoreSql = markers.map { case (l, ms) =>
+          val in = ms.map(m => s"'$m'").mkString(",")
+          s"len(list_filter(toks, x -> x IN ($in)))::BIGINT AS s_$l"
+        }.mkString(",\n             |  ")
+        val tot = markers.map { case (l, _) => s"s_$l" }.mkString(" + ")
+        val best = s"greatest(${markers.map { case (l, _) => s"s_$l" }.mkString(", ")})"
+        val chain = markers.map { case (l, _) =>
+          s"WHEN $tot > 0 AND s_$l = $best THEN '$l'"
+        }.mkString(" ")
+        s"""WITH t AS (SELECT doc_id, lang AS lang_label, $sqlToks AS toks FROM documents),
+           |s AS (SELECT doc_id, lang_label,
+           |  $scoreSql
+           |FROM t)
+           |SELECT doc_id, lang_label, s_en, s_es, s_fr, s_de, s_zh,
+           |  CASE $chain ELSE 'und' END AS predicted,
+           |  (CASE $chain ELSE 'und' END = lang_label) AS is_correct
+           |FROM s ORDER BY doc_id""".stripMargin
+      }),
+
+    Q("t04_fingerprint",
+      "content fingerprints: full-text, 64-char-prefix, min-shingle (1-perm minhash)",
+      (s, d) => {
+        val norm = normText(col("text"))
+        docs(s, d).select(col("doc_id"), norm.as("norm"))
+          .select(
+            col("doc_id"),
+            h60(col("norm")).as("fp_full"),
+            h60(substring(col("norm"), 1, 64)).as("fp_prefix"),
+            array_min(transform(wordNgrams(tokens(col("norm")), 3),
+              g => h60(g))).as("fp_min_shingle"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH n AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm FROM documents),
+             |t AS (SELECT doc_id, norm, list_filter(string_split(norm, ' '), t -> t <> '') AS toks FROM n),
+             |g AS (SELECT doc_id, norm, toks,
+             |  CASE WHEN len(toks) >= 3 THEN
+             |    list_distinct(list_transform(range(1, len(toks) - 1),
+             |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+             |  ELSE [] END AS sh FROM t)
+             |SELECT doc_id,
+             |  ('0x' || substr(md5(norm), 1, 15))::BIGINT AS fp_full,
+             |  ('0x' || substr(md5(substr(norm, 1, 64)), 1, 15))::BIGINT AS fp_prefix,
+             |  list_aggregate(list_transform(sh,
+             |    x -> ('0x' || substr(md5(x), 1, 15))::BIGINT), 'min') AS fp_min_shingle
+             |FROM g ORDER BY doc_id""".stripMargin))
+  )
+}

@@ -1,0 +1,139 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.DataFrame
+
+/** Semantic invariants for the training-data pipeline operators, run
+  * against the smallest driver-provided tables. Exact values are pinned by
+  * the DuckDB oracle (tools/check_oracle.py); these tests pin the
+  * *relationships* the oracle can't see: LSH recall vs the exact
+  * algorithm, sketch determinism, rank contiguity, decode arithmetic.
+  */
+class PipelineOpsSpec extends SparkTestBase {
+
+  private val sf = "/root/testdata/sf0.001"
+  private def run(name: String): DataFrame =
+    graft.SparkEntry.queries(name)(spark, sf)
+
+  test("d03 MinHash+LSH finds exactly the exact-Jaccard pair set (full recall)") {
+    val exact = run("d02_ngram_jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = run("d03_minhash_lsh").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "test data should contain planted near-dups")
+    assert(lsh === exact)
+  }
+
+  test("d02 jaccard values are in (0.5, 1] and pairs are ordered") {
+    run("d02_ngram_jaccard").collect().foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      val j = r.getAs[Double]("jaccard")
+      assert(j >= 0.5 && j <= 1.0)
+    }
+  }
+
+  test("d01 exact-dedup: canonical is group min; group sizes consistent") {
+    val rows = run("d01_exact_dedup").collect()
+    val byHash = rows.groupBy(_.getAs[String]("content_hash"))
+    byHash.values.foreach { g =>
+      val ids = g.map(_.getAs[Long]("doc_id"))
+      assert(g.forall(_.getAs[Long]("canonical_id") == ids.min))
+      assert(g.forall(_.getAs[Long]("group_size") == g.length))
+    }
+  }
+
+  test("d04 simhash is deterministic and 60-bit") {
+    val a = run("d04_simhash").collect().map(r => r.getLong(0) -> r.getLong(1))
+    val b = run("d04_simhash").collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(a.toSeq === b.toSeq)
+    assert(a.forall { case (_, h) => h >= 0 && h < (1L << 60) })
+  }
+
+  test("d04 simhash: near-duplicate pairs are closer than unrelated pairs") {
+    val sim = run("d04_simhash").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val nearPairs = run("d02_ngram_jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val nearD = nearPairs.map { case (a, b) => ham(sim(a), sim(b)) }
+    // unrelated baseline: consecutive non-near pairs
+    val nearSet = nearPairs.toSet
+    val ids = sim.keys.toSeq.sorted
+    val farD = ids.zip(ids.tail)
+      .filterNot(nearSet.contains).take(50)
+      .map { case (a, b) => ham(sim(a), sim(b)) }
+    assert(nearD.nonEmpty && farD.nonEmpty)
+    assert(nearD.sum.toDouble / nearD.size < farD.sum.toDouble / farD.size,
+      s"near mean ${nearD.sum.toDouble / nearD.size} should be < far mean ${farD.sum.toDouble / farD.size}")
+  }
+
+  test("s01 brute-force kNN: ranks contiguous 1..5 per query, no self-match") {
+    val rows = run("s01_knn_bruteforce").collect()
+    val byQ = rows.groupBy(_.getLong(0))
+    assert(byQ.nonEmpty)
+    byQ.foreach { case (q, g) =>
+      assert(g.map(_.getAs[Int]("rank")).sorted.toSeq === (1 to 5))
+      assert(g.forall(_.getAs[Long]("neighbor_id") != q))
+    }
+  }
+
+  test("s02 LSH kNN results are a subset of each query's bucket, ranked") {
+    val rows = run("s02_knn_lsh").collect()
+    rows.groupBy(_.getLong(0)).foreach { case (q, g) =>
+      val ranks = g.map(_.getAs[Int]("rank")).sorted.toSeq
+      assert(ranks === (1 to ranks.length)) // contiguous, ≤3
+      assert(ranks.length <= 3)
+      assert(g.map(_.getAs[Long]("bucket")).distinct.length === 1)
+      assert(g.forall(_.getAs[Long]("neighbor_id") != q))
+    }
+  }
+
+  test("t01/t02: ratios bounded, token accounting consistent") {
+    run("t01_token_stats").collect().foreach { r =>
+      val nTok = r.getAs[Long]("n_tokens"); val nTyp = r.getAs[Long]("n_types")
+      assert(nTyp <= nTok)
+      val ttr = r.getAs[Double]("ttr")
+      assert(ttr > 0 && ttr <= 1.0)
+    }
+    run("t02_quality_score").collect().foreach { r =>
+      Seq("alpha_ratio", "digit_ratio", "stop_frac").foreach { c =>
+        val v = r.getAs[Double](c)
+        assert(v >= 0.0 && v <= 1.0, s"$c=$v")
+      }
+    }
+  }
+
+  test("t03 langid: predictions come from the marker set and flags match") {
+    val langs = Set("en", "es", "fr", "de", "zh", "und")
+    run("t03_langid").collect().foreach { r =>
+      val pred = r.getAs[String]("predicted")
+      assert(langs.contains(pred))
+      assert(r.getAs[Boolean]("is_correct") ===
+        (pred == r.getAs[String]("lang_label")))
+    }
+  }
+
+  test("t04 fingerprints: equal texts ⇒ equal prints, distinct docs mostly differ") {
+    val fps = run("t04_fingerprint").collect().map(_.getAs[Long]("fp_full"))
+    // md5-based 60-bit prints on 500 distinct docs: collisions ~1e-14
+    assert(fps.distinct.length === fps.length)
+  }
+
+  test("m01/m02: decode stub arithmetic and frame sampling line up") {
+    val meta = run("m01_media_decode").collect()
+    meta.foreach { r =>
+      val bs = r.getAs[Long]("byte_sum16")
+      assert(r.getAs[Long]("width") === 64 + (bs * 31) % 1857)
+      assert(r.getAs[Long]("height") === 64 + (bs * 17) % 1017)
+      assert(Seq("jpeg", "png", "webp").contains(r.getAs[String]("codec")))
+      assert(r.getAs[Long]("n_frames") === r.getAs[Long]("n_bytes") / 100 + 1)
+    }
+    val nFrames = meta.map(r =>
+      r.getAs[Long]("doc_id") -> r.getAs[Long]("n_frames")).toMap
+    val frames = run("m02_frame_sample").collect()
+    frames.groupBy(_.getAs[Long]("doc_id")).foreach { case (id, g) =>
+      val expect = (0L until nFrames(id) by 7).toSeq
+      assert(g.map(_.getAs[Long]("frame_idx")).sorted.toSeq === expect)
+    }
+  }
+}
