@@ -61,6 +61,12 @@ object CompendiumQueries {
         EUtils.parseResponse(xml).toDF().orderBy("srs")
       }),
 
+    Q("c10_region_inference",
+      "per-project 16S hypervariable-region inference (SW align + majority vote)",
+      (s, _) => RegionInference.infer(
+        ResultsLoad.load(s, fixtures, "PRJNA12345")._2)
+        .orderBy("project")),
+
     Q("c09_source_filter",
       "keep/toss substring classifier over sources.txt (helpers.py:8-21)",
       (s, _) => {
