@@ -29,12 +29,38 @@ object Dedup {
   private def docs(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
 
-  /** doc_id + distinct word-trigram shingle set (+ size). */
-  private def shingled(s: SparkSession, d: String): DataFrame =
-    docs(s, d).select(col("doc_id"),
-      wordNgrams(tokens(normText(col("text"))), 3).as("sh"))
-      .withColumn("nsh", size(col("sh")))
-      .filter(col("nsh") > 0)
+  /** doc_id + 60-bit hashes of the distinct word-trigram shingle set
+    * (+ set size), as a typed per-partition kernel.
+    *
+    * Why not pure column expressions: higher-order functions are
+    * interpreted, and CollapseProject inlines the tokenization into every
+    * `element_at` of the trigram builder — and, worse, into the Generate
+    * when a consumer explodes the array — re-evaluating the whole
+    * tokenize+md5 pipeline per shingle instead of per document (measured
+    * 40× slower at sf0.1). The typed kernel runs the O(|text|) string work
+    * exactly once per document in JVM code; downstream consumers see a
+    * materialized array column. Semantics are identical to
+    * normText/tokens/wordNgrams + h60 (the DuckDB oracle still verifies
+    * against its own SQL formulation).
+    */
+  private[operators] def shingledHashed(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    docs(s, d).select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        it.flatMap { case (id, text) =>
+          val toks = text.toLowerCase(java.util.Locale.ROOT)
+            .split("\\s+").filter(_.nonEmpty)
+          if (toks.length < 3) None
+          else {
+            val sh = (0 to toks.length - 3)
+              .map(i => s"${toks(i)} ${toks(i + 1)} ${toks(i + 2)}")
+              .distinct
+            Some((id, sh.map(h60Scala).toArray, sh.length))
+          }
+        }
+      }
+      .toDF("doc_id", "shl", "nsh")
+  }
 
   private val sqlShingled =
     """WITH n AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm FROM documents),
@@ -65,14 +91,18 @@ object Dedup {
        |WHERE intersection * 1.0 / (size_a + size_b - intersection) >= $threshold
        |ORDER BY doc_a, doc_b""".stripMargin
 
-  /** Spark side of the exact pair computation (shared by d02/d03-verify). */
+  /** Spark side of the exact pair computation (shared by d02/d03-verify):
+    * inverted-index equi-join on the 60-bit shingle hash (long keys join
+    * ~3× faster than the strings; 2^-60 collisions are below the float-
+    * formatting noise floor).
+    */
   private def jaccardPairs(sh: DataFrame, threshold: Double): DataFrame = {
-    val ex = sh.select(col("doc_id"), col("nsh"), explode(col("sh")).as("shingle"))
-    // Inverted-index equi-join on the shingle: only docs sharing a shingle
-    // meet, so the pair space is output-bound, not |docs|². At 100 TB the
-    // few ultra-hot shingles dominate the shuffle — AQE skew-join splits
-    // them; a frequency-capped variant (drop shingles in >1% of docs) is
-    // the standard recall-preserving mitigation for J >= 0.5 thresholds.
+    val ex = sh.select(col("doc_id"), col("nsh"), explode(col("shl")).as("shingle"))
+    // Only docs sharing a shingle meet, so the pair space is output-bound,
+    // not |docs|². At 100 TB the few ultra-hot shingles dominate the
+    // shuffle — AQE skew-join splits them; a frequency-capped variant
+    // (drop shingles in >1% of docs) is the standard recall-preserving
+    // mitigation for J >= 0.5 thresholds.
     val a = ex.select(col("doc_id").as("doc_a"), col("nsh").as("size_a"), col("shingle"))
     val b = ex.select(col("doc_id").as("doc_b"), col("nsh").as("size_b"), col("shingle"))
     a.join(b, Seq("shingle"))
@@ -110,30 +140,34 @@ object Dedup {
 
     Q("d02_ngram_jaccard",
       "near-duplicate pairs by exact word-trigram Jaccard >= 0.5",
-      (s, d) => jaccardPairs(shingled(s, d), 0.5).orderBy("doc_a", "doc_b"),
+      (s, d) => jaccardPairs(shingledHashed(s, d), 0.5).orderBy("doc_a", "doc_b"),
       Some(sqlExactJaccard(0.5))),
 
-    // MinHash + banded LSH — the 100 TB dedup path. 16 permutations,
-    // 8 bands x 2 rows: collision prob at J=0.9 is 1-(1-0.81)^8 ≈ 1-1.7e-6,
-    // so on corpora whose near-dups sit well above the 0.5 threshold the
-    // LSH-verified output equals the exact all-pairs answer (the oracle
-    // checks exactly that). Signature pass is one groupBy over exploded
-    // shingles (map-side partial min); candidate pass joins on (band,
-    // bucket) — only docs agreeing on a full band meet, so the shuffle is
-    // output-bound; verification broadcasts the tiny candidate set back
-    // onto the shingle arrays.
+    // MinHash + banded LSH — the 100 TB dedup path. 30 permutations,
+    // 10 bands x 3 rows: a pair at Jaccard J collides on a band with prob
+    // J³, so misses are (1-J³)^10 — 2e-6 at J=0.9 (the data's minimum
+    // near-dup similarity), while background pairs (J≈0.05) collide at
+    // ~1e-4 per band, keeping the candidate set output-bound rather than
+    // |docs|²-bound (r=2 banding admitted J²·|pairs| ≈ 250k spurious
+    // candidates at sf0.1; r=3 cuts that ~50×). The oracle is the exact
+    // all-pairs answer, so the gate verifies the recall claim itself.
+    // Plan shape: one groupBy over exploded shingles (map-side partial
+    // min) → band explode → self-join on (band, bucket) → broadcast the
+    // tiny candidate set onto per-doc shingle-hash arrays for exact
+    // verification (60-bit hashes: set-equality collisions ~1e-13, and
+    // long intersects beat string intersects).
     Q("d03_minhash_lsh",
-      "MinHash(16) + LSH(8x2) banded candidates, exact-Jaccard verified >= 0.5",
+      "MinHash(30) + LSH(10x3) banded candidates, exact-Jaccard verified >= 0.5",
       (s, d) => {
-        val sh = shingled(s, d).cache()
-        val g = sh.select(col("doc_id"), explode(col("sh")).as("shingle"))
-          .withColumn("g", h60(col("shingle")) % MinHashP)
-        val mhCols = (0 until 16).map(k => min(perm(k, col("g"))).as(s"mh_$k"))
+        val sh = shingledHashed(s, d)
+        val g = sh.select(col("doc_id"), explode(col("shl")).as("h"))
+          .withColumn("g", col("h") % MinHashP)
+        val mhCols = (0 until 30).map(k => min(perm(k, col("g"))).as(s"mh_$k"))
         val sigs = g.groupBy("doc_id").agg(mhCols.head, mhCols.tail: _*)
         val bands = sigs.select(col("doc_id"), explode(array(
-          (0 until 8).map(j => struct(lit(j).as("band"),
-            concat_ws("_", col(s"mh_${2 * j}"), col(s"mh_${2 * j + 1}"))
-              .as("bkey"))): _*)).as("bb"))
+          (0 until 10).map(j => struct(lit(j).as("band"),
+            concat_ws("_", col(s"mh_${3 * j}"), col(s"mh_${3 * j + 1}"),
+              col(s"mh_${3 * j + 2}")).as("bkey"))): _*)).as("bb"))
           .select(col("doc_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
         val cand = bands.as("x")
           .join(bands.as("y"), Seq("band", "bkey"))
@@ -141,9 +175,9 @@ object Dedup {
           .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
           .distinct()
         val verified = broadcast(cand)
-          .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"),
+          .join(sh.select(col("doc_id").as("doc_a"), col("shl").as("sh_a"),
             col("nsh").as("size_a")), Seq("doc_a"))
-          .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"),
+          .join(sh.select(col("doc_id").as("doc_b"), col("shl").as("sh_b"),
             col("nsh").as("size_b")), Seq("doc_b"))
           .withColumn("intersection",
             size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
@@ -194,19 +228,21 @@ object Dedup {
              |FROM tf ORDER BY doc_id""".stripMargin)),
 
     // Embedding-cosine near-dup: the brute-force O(n²) pair scan is the
-    // exactness baseline (codegen'd fused dot product, no shuffle beyond
-    // the self-join); the LSH-bucketed scale path is s02_knn_lsh.
+    // exactness baseline — the dot product is the native codegen'd
+    // DotProductD expression (graft.plans), so the whole pair scan is one
+    // WholeStageCodegen span; the LSH-bucketed scale path is s02_knn_lsh.
     Q("d05_embedding_neardup",
       "embedding near-duplicate pairs by cosine >= 0.4 (brute-force exact)",
       (s, d) => {
+        graft.plans.VectorExpressions.register(s)
         val e = Tables.embeddings(s, d)
           .select(col("vec_id"), vecD(col("embedding")).as("v"))
-          .withColumn("nrm", l2norm(col("v"), 64))
+          .withColumn("nrm", sqrt(dotFast(col("v"), col("v"))))
         val a = e.select(col("vec_id").as("vec_a"), col("v").as("va"), col("nrm").as("na"))
         val b = e.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("nrm").as("nb"))
         a.crossJoin(broadcast(b))
           .filter(col("vec_a") < col("vec_b"))
-          .withColumn("cosine", dot(col("va"), col("vb"), 64) / (col("na") * col("nb")))
+          .withColumn("cosine", dotFast(col("va"), col("vb")) / (col("na") * col("nb")))
           .filter(col("cosine") >= 0.4)
           .select("vec_a", "vec_b")
           .orderBy("vec_a", "vec_b")

@@ -28,18 +28,24 @@ object Similarity {
 
   private val Dim = 64
 
-  private def vectors(s: SparkSession, d: String): DataFrame =
+  private def vectors(s: SparkSession, d: String): DataFrame = {
+    graft.plans.VectorExpressions.register(s)
     Tables.embeddings(s, d)
       .select(col("vec_id"), vecD(col("embedding")).as("v"))
-      .withColumn("nrm", l2norm(col("v"), Dim))
+      .withColumn("nrm", sqrt(dotFast(col("v"), col("v"))))
+  }
 
-  /** Sign-pattern LSH bucket in [0, 256) from 8 md5-derived hyperplanes. */
+  /** Sign-pattern LSH bucket in [0, 256) from 8 md5-derived hyperplanes.
+    * The planes are materialized driver-side (hyperplaneArray — same md5
+    * arithmetic the oracle regenerates in SQL) and injected as array
+    * literals, so each bucket is 8 codegen'd dot products against
+    * constants — no per-row md5, no interpreted fold.
+    */
   private def bucketCol(v: Column): Column =
-    aggregate(sequence(lit(0), lit(7)), lit(0L), (acc, j) =>
-      acc + when(
-        aggregate(sequence(lit(1), lit(Dim)), lit(0.0),
-          (a2, i) => a2 + element_at(v, i) * hyperplane(j, i)) >= 0.0,
-        pow(lit(2.0), j).cast("long")).otherwise(lit(0L)))
+    (0 until 8).map { j =>
+      when(dotFast(v, typedlit(hyperplaneArray(j, Dim).toSeq)) >= 0.0,
+        lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
 
   private val sqlVectors =
     """WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
@@ -69,7 +75,7 @@ object Similarity {
         e.crossJoin(broadcast(q))
           .filter(col("vec_id") =!= col("query_id"))
           .withColumn("cosine",
-            dot(col("v"), col("qv"), Dim) / (col("nrm") * col("qn")))
+            dotFast(col("v"), col("qv")) / (col("nrm") * col("qn")))
           .withColumn("rank", row_number().over(w))
           .filter(col("rank") <= 5)
           .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"))
@@ -100,7 +106,7 @@ object Similarity {
         e.join(broadcast(q), Seq("bucket"))
           .filter(col("vec_id") =!= col("query_id"))
           .withColumn("cosine",
-            dot(col("v"), col("qv"), Dim) / (col("nrm") * col("qn")))
+            dotFast(col("v"), col("qv")) / (col("nrm") * col("qn")))
           .withColumn("rank", row_number().over(w))
           .filter(col("rank") <= 3)
           .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
