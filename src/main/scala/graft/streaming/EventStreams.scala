@@ -1,0 +1,94 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming twins of the batch event queries (SURVEY §2.9).
+  *
+  * The reference has no streams — its `autoforward` loop is cron-style
+  * batch re-invocation (run_autoforward.slurm:22). These jobs are the
+  * continuous formulation the engine offers instead: the same logical
+  * plans as the batch queries, so one code path serves both (`hourlyRollup`
+  * applied to a batch frame is q21 modulo the window struct).
+  *
+  * Scale notes: the rollup is a streaming aggregation with watermark-bounded
+  * state (2 h of hour×type groups — thousands of rows regardless of input
+  * rate); sessionization keeps one small state record per active user and
+  * emits on event-time timeout, so state size tracks active users, not
+  * history. Both shapes shuffle by their group key only.
+  */
+object EventStreams {
+
+  /** Tumbling-hour rollup with a 2-hour watermark — the streaming twin of
+    * q21_events_hourly. Late events beyond the watermark are dropped;
+    * everything else lands in its event-time hour.
+    */
+  def hourlyRollup(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,4)")).cast("double").as("total_value"))
+      .select(col("w.start").as("hour"), col("event_type"),
+        col("n"), col("total_value"))
+
+  final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double)
+
+  final case class SessionState(start: Long, last: Long, n: Long, total: Double)
+
+  final case class Session(user_id: Long, session_start: Timestamp,
+      session_end: Timestamp, n_events: Long, total_value: Double)
+
+  /** Event-time sessionization: a session closes after `gapMinutes` of
+    * user inactivity (tracked by watermark timeout), then emits one row.
+    * `flatMapGroupsWithState` keeps exactly one `SessionState` per active
+    * user; expired users cost nothing.
+    */
+  def sessionize(events: Dataset[Event], gapMinutes: Int = 30): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapMinutes * 60L * 1000L
+
+    def update(userId: Long, rows: Iterator[Event],
+        state: GroupState[SessionState]): Iterator[Session] = {
+      if (state.hasTimedOut) {
+        val s = state.get
+        state.remove()
+        Iterator(Session(userId, new Timestamp(s.start), new Timestamp(s.last),
+          s.n, s.total))
+      } else {
+        val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+        var closed = List.empty[Session]
+        var cur = state.getOption
+        for (e <- sorted) {
+          val t = e.ts.getTime
+          cur match {
+            case Some(s) if t - s.last <= gapMs =>
+              cur = Some(s.copy(last = math.max(s.last, t), n = s.n + 1,
+                total = s.total + e.value))
+            case Some(s) =>
+              closed ::= Session(userId, new Timestamp(s.start),
+                new Timestamp(s.last), s.n, s.total)
+              cur = Some(SessionState(t, t, 1, e.value))
+            case None =>
+              cur = Some(SessionState(t, t, 1, e.value))
+          }
+        }
+        cur.foreach { s =>
+          state.update(s)
+          state.setTimeoutTimestamp(s.last + gapMs)
+        }
+        closed.reverseIterator
+      }
+    }
+
+    events
+      .withWatermark("ts", s"$gapMinutes minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(update)
+  }
+}

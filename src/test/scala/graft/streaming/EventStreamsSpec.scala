@@ -1,0 +1,87 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import graft.SparkTestBase
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+class EventStreamsSpec extends SparkTestBase {
+
+  private def ts(hhmm: String): Timestamp =
+    Timestamp.valueOf(s"2026-01-01 $hhmm:00")
+
+  test("hourlyRollup aggregates by event-time hour (streaming = batch plan)") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp, String, Double)]
+    val df = in.toDF().toDF("event_id", "ts", "event_type", "value")
+    val q = EventStreams.hourlyRollup(df)
+      .writeStream.format("memory").queryName("rollup")
+      .outputMode("complete").start()
+    try {
+      in.addData(
+        (1L, ts("10:05"), "click", 1.0),
+        (2L, ts("10:55"), "click", 2.0),
+        (3L, ts("10:30"), "view", 5.0),
+        (4L, ts("11:10"), "click", 3.0))
+      q.processAllAvailable()
+      val rows = spark.table("rollup").collect()
+        .map(r => (r.getTimestamp(0).toString, r.getString(1),
+          r.getLong(2), r.getDouble(3))).toSet
+      assert(rows === Set(
+        ("2026-01-01 10:00:00.0", "click", 2L, 3.0),
+        ("2026-01-01 10:00:00.0", "view", 1L, 5.0),
+        ("2026-01-01 11:00:00.0", "click", 1L, 3.0)))
+    } finally q.stop()
+  }
+
+  test("sessionize closes a session after the inactivity gap (event time)") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[EventStreams.Event]
+    val q = EventStreams.sessionize(in.toDS(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    try {
+      // one burst for user 1, then silence
+      in.addData(
+        EventStreams.Event(1, ts("10:00"), 1, "click", 1.0),
+        EventStreams.Event(2, ts("10:10"), 1, "click", 2.0),
+        EventStreams.Event(3, ts("10:20"), 1, "view", 3.0))
+      q.processAllAvailable()
+      assert(spark.table("sessions").isEmpty) // watermark hasn't passed
+      // much later event (user 2) advances the watermark past 10:50
+      in.addData(EventStreams.Event(9, ts("12:00"), 2, "click", 0.5))
+      q.processAllAvailable()
+      in.addData(EventStreams.Event(10, ts("13:30"), 2, "click", 0.5))
+      q.processAllAvailable()
+      val s = spark.table("sessions").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1).toString,
+          r.getTimestamp(2).toString, r.getLong(3), r.getDouble(4)))
+      assert(s.contains(
+        (1L, "2026-01-01 10:00:00.0", "2026-01-01 10:20:00.0", 3L, 6.0)))
+    } finally q.stop()
+  }
+
+  test("in-session gap splits into two sessions on the same user") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[EventStreams.Event]
+    val q = EventStreams.sessionize(in.toDS(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("sessions2")
+      .outputMode("append").start()
+    try {
+      // two bursts 2 h apart arriving in ONE batch: the first closes
+      // immediately (in-batch gap), no timeout needed
+      in.addData(
+        EventStreams.Event(1, ts("09:00"), 7, "click", 1.0),
+        EventStreams.Event(2, ts("09:05"), 7, "click", 1.0),
+        EventStreams.Event(3, ts("11:00"), 7, "view", 4.0))
+      q.processAllAvailable()
+      val s = spark.table("sessions2").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1).toString, r.getLong(3)))
+      assert(s.toSeq === Seq((7L, "2026-01-01 09:00:00.0", 2L)))
+    } finally q.stop()
+  }
+}
