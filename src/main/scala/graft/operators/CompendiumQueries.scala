@@ -4,27 +4,91 @@ import org.apache.spark.sql.functions._
 import graft.core.Q
 import graft.compendium._
 
-/** The compendium domain pipeline exposed as driver-runnable queries.
-  * These read the reference-shaped fixtures (FIXTURES.md) rather than the
-  * sfDir tables, so they carry no DuckDB oracle (driver records a rows-only
-  * check); their exact semantics are pinned by the ScalaTest golden suites.
+/** The compendium domain pipeline exposed as driver-runnable queries over
+  * the reference-shaped fixtures (FIXTURES.md). Where DuckDB can read the
+  * same fixture file (TSV/FASTA/text via read_csv/read_text), the oracle
+  * recomputes the full pipeline independently; the XML-, hash-, and
+  * alignment-based queries (c03/c04/c07/c08/c10) stay rows-only checks,
+  * pinned instead by the ScalaTest golden suites.
   */
 object CompendiumQueries {
 
   private val fixtures =
     sys.env.getOrElse("GRAFT_FIXTURES_DIR", "/root/repo/fixtures")
 
+  /** Shared oracle fragment: summary_paired.tsv → per-sample QC flags
+    * (mirrors SummaryQC.readSummaryTsv + sampleQc in DuckDB SQL).
+    */
+  private val sqlQcBase =
+    s"""WITH raw AS (SELECT * FROM read_csv('$fixtures/summary_paired.tsv', delim='\t', header=true)),
+       |s AS (SELECT
+       |    substr(column0, 1, greatest(length(column0) - 8, 0)) AS srr,
+       |    dinput::BIGINT AS dinput, "filter"::BIGINT AS "filter",
+       |    revse::BIGINT AS revse, forwd::BIGINT AS forwd, merged::BIGINT AS merged,
+       |    length::BIGINT AS length, nonchim::BIGINT AS nonchim
+       |  FROM raw),
+       |qc AS (SELECT *,
+       |    true AS is_paired,
+       |    CASE WHEN length = 0 THEN NULL ELSE 1.0 - nonchim::DOUBLE / length::DOUBLE END AS chimera_percent,
+       |    CASE WHEN dinput IS NULL OR dinput = 0 THEN NULL ELSE nonchim::DOUBLE / dinput::DOUBLE END AS retained_percent,
+       |    CASE WHEN forwd IS NULL OR forwd = 0 THEN NULL ELSE merged::DOUBLE / forwd::DOUBLE END AS merged_percent
+       |  FROM s),
+       |fl AS (SELECT *,
+       |    coalesce(chimera_percent > 0.10, false) AS chimera_warn,
+       |    coalesce(chimera_percent > 0.20, false) AS chimera_error,
+       |    coalesce(retained_percent < 0.69, false) AS retained_warn,
+       |    coalesce(retained_percent < 0.59, false) AS retained_error,
+       |    coalesce(merged_percent < 0.80, false) AS merged_warn,
+       |    coalesce(merged_percent < 0.65, false) AS merged_error
+       |  FROM qc)""".stripMargin
+
   val registry: Seq[Q] = Seq(
 
     Q("c01_qc_decision",
       "summary.tsv → per-sample QC → project rollup → save/re-run/discard",
-      (s, _) => SummaryQC.evaluate(s, s"$fixtures/summary_paired.tsv", "PRJNA12345")),
+      (s, _) => SummaryQC.evaluate(s, s"$fixtures/summary_paired.tsv", "PRJNA12345"),
+      Some(s"""$sqlQcBase,
+             |roll AS (SELECT
+             |    'PRJNA12345' AS project,
+             |    count(*)::BIGINT AS sample_count,
+             |    bool_and(is_paired) AS paired,
+             |    avg(CASE WHEN retained_warn THEN 1.0 ELSE 0.0 END) AS retained_warn_frac,
+             |    avg(CASE WHEN retained_error THEN 1.0 ELSE 0.0 END) AS retained_error_frac,
+             |    avg(CASE WHEN chimera_warn THEN 1.0 ELSE 0.0 END) AS chimera_warn_frac,
+             |    avg(CASE WHEN chimera_error THEN 1.0 ELSE 0.0 END) AS chimera_error_frac,
+             |    avg(CASE WHEN merged_warn THEN 1.0 ELSE 0.0 END) AS merged_warn_frac,
+             |    avg(CASE WHEN merged_error THEN 1.0 ELSE 0.0 END) AS merged_error_frac
+             |  FROM fl),
+             |dec AS (SELECT *,
+             |    (merged_warn_frac > 0.4 OR merged_error_frac > 0.15) AS re_run
+             |  FROM roll)
+             |SELECT project, sample_count, paired,
+             |  retained_warn_frac, retained_error_frac, chimera_warn_frac,
+             |  chimera_error_frac, merged_warn_frac, merged_error_frac,
+             |  re_run,
+             |  (NOT re_run AND (retained_warn_frac > 0.70 OR retained_error_frac > 0.20
+             |     OR chimera_warn_frac > 0.4 OR chimera_error_frac > 0.2)) AS discard,
+             |  array_to_string(list_filter([
+             |    CASE WHEN merged_warn_frac > 0.4 THEN floor(merged_warn_frac*100)::INT::VARCHAR || '% of samples had warning for merged read count.' END,
+             |    CASE WHEN merged_error_frac > 0.15 THEN floor(merged_error_frac*100)::INT::VARCHAR || '% of samples had ERROR for merged read count.' END,
+             |    CASE WHEN NOT re_run AND retained_warn_frac > 0.70 THEN floor(retained_warn_frac*100)::INT::VARCHAR || '% of samples had warning for reads retained.' END,
+             |    CASE WHEN NOT re_run AND retained_error_frac > 0.20 THEN floor(retained_error_frac*100)::INT::VARCHAR || '% of samples had ERROR for reads retained.' END,
+             |    CASE WHEN NOT re_run AND chimera_warn_frac > 0.4 THEN floor(chimera_warn_frac*100)::INT::VARCHAR || '% of samples had warning for chimeric read count.' END,
+             |    CASE WHEN NOT re_run AND chimera_error_frac > 0.2 THEN floor(chimera_error_frac*100)::INT::VARCHAR || '% of samples had ERROR for chimeric read count.' END
+             |  ], x -> x IS NOT NULL), ' / ') AS errors
+             |FROM dec""".stripMargin)),
 
     Q("c02_qc_samples",
       "per-sample QC metrics and warn/error flags (projects.py:579-629)",
       (s, _) => SummaryQC.sampleQc(
         SummaryQC.readSummaryTsv(s, s"$fixtures/summary_paired.tsv"))
-        .orderBy("srr")),
+        .orderBy("srr"),
+      Some(s"""$sqlQcBase
+             |SELECT srr, dinput, "filter", revse, forwd, merged, length, nonchim, is_paired,
+             |  chimera_percent, chimera_warn, chimera_error,
+             |  retained_percent, retained_warn, retained_error,
+             |  merged_percent, merged_warn, merged_error
+             |FROM fl ORDER BY srr""".stripMargin)),
 
     Q("c03_xml_samples",
       "BioSample XML ingest: distributed record-split parse → samples rows",
@@ -41,11 +105,25 @@ object CompendiumQueries {
     Q("c05_counts_unpivot",
       "wide ASV×sample matrix → sparse triplets, zeros dropped",
       (s, _) => ResultsLoad.readCountsMatrix(s, s"$fixtures/ASVs_counts.tsv")
-        .orderBy("sample", "asv")),
+        .orderBy("sample", "asv"),
+      Some(s"""WITH w AS (SELECT * FROM read_csv('$fixtures/ASVs_counts.tsv', delim='\t', header=true)),
+             |u AS (
+             |  SELECT SRR0000001 AS cnt, 'SRR0000001' AS sample, column0 AS asv FROM w
+             |  UNION ALL SELECT SRR0000002, 'SRR0000002', column0 FROM w
+             |  UNION ALL SELECT SRR0000003, 'SRR0000003', column0 FROM w)
+             |SELECT sample, asv, cnt::BIGINT AS count FROM u WHERE cnt <> 0
+             |ORDER BY sample, asv""".stripMargin)),
 
     Q("c06_fasta",
       "FASTA scan via '>'-delimited record split",
-      (s, _) => ResultsLoad.readFasta(s, s"$fixtures/ASVs.fa").orderBy("asv")),
+      (s, _) => ResultsLoad.readFasta(s, s"$fixtures/ASVs.fa").orderBy("asv"),
+      Some(s"""WITH t AS (SELECT content FROM read_text('$fixtures/ASVs.fa')),
+             |recs AS (SELECT unnest(string_split(content, '>')) AS rec FROM t),
+             |parsed AS (SELECT
+             |    trim(string_split(rec, chr(10))[1]) AS asv,
+             |    list_aggregate(list_filter(string_split(rec, chr(10))[2:], x -> x <> ''), 'string_agg', '') AS seq
+             |  FROM recs WHERE rec <> '')
+             |SELECT asv, seq FROM parsed WHERE asv <> '' ORDER BY asv""".stripMargin)),
 
     Q("c07_taxonomy_assignments",
       "taxonomy ⋈ sequences with deterministic surrogate asv_id",
@@ -79,6 +157,12 @@ object CompendiumQueries {
             keep.map(col("src").contains(_)).reduce(_ || _) &&
               !toss.map(col("src").contains(_)).reduce(_ || _))
           .orderBy("src")
-      })
+      },
+      Some(s"""WITH s AS (SELECT src FROM read_csv('$fixtures/sources.txt', delim='', header=false, columns={'src':'VARCHAR'}))
+             |SELECT src,
+             |  ((src LIKE '%fec%' OR src LIKE '%faec%' OR src LIKE '%stool%' OR src LIKE '%2003%' OR src LIKE '%meconium%')
+             |   AND NOT (src LIKE '%cultur%' OR src LIKE '%swab%' OR src LIKE '%incubat%' OR src LIKE '%rectum%'
+             |        OR src LIKE '%rectal%' OR src LIKE '%virus%' OR src LIKE '%tissue%' OR src LIKE '%soil%')) AS keep
+             |FROM s ORDER BY src""".stripMargin))
   )
 }
