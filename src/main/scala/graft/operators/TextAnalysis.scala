@@ -36,13 +36,18 @@ object TextAnalysis {
   val registry: Seq[Q] = Seq(
 
     Q("t01_token_stats",
-      "per-document token counts, type/token ratio, mean token length",
+      "per-document token counts, type/token ratio, BPE-ish subtoken count",
       (s, d) => {
         val t = tokens(col("text"))
+        // BPE-ish pre-tokenizer: letter runs | digit runs | single
+        // non-alnum glyph — the split a byte-pair tokenizer starts from.
+        val subtok = "[a-z]+|[0-9]+|[^a-z0-9 ]"
         docs(s, d).select(
           col("doc_id"),
           size(t).cast("long").as("n_tokens"),
           size(array_distinct(t)).cast("long").as("n_types"),
+          size(regexp_extract_all(lower(col("text")), lit(subtok), lit(0)))
+            .cast("long").as("n_subtokens"),
           when(size(t) > 0,
             aggregate(t, lit(0L), (a, x) => a + length(x)) * lit(1.0) / size(t))
             .as("avg_token_len"),
@@ -50,10 +55,11 @@ object TextAnalysis {
             .as("ttr"))
           .orderBy("doc_id")
       },
-      Some(s"""WITH t AS (SELECT doc_id, $sqlToks AS toks FROM documents)
+      Some(s"""WITH t AS (SELECT doc_id, text, $sqlToks AS toks FROM documents)
              |SELECT doc_id,
              |  len(toks)::BIGINT AS n_tokens,
              |  len(list_distinct(toks))::BIGINT AS n_types,
+             |  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]'))::BIGINT AS n_subtokens,
              |  CASE WHEN len(toks) > 0 THEN
              |    list_aggregate(list_transform(toks, x -> len(x)), 'sum') * 1.0 / len(toks)
              |  END AS avg_token_len,
@@ -138,7 +144,7 @@ object TextAnalysis {
       }),
 
     Q("t04_fingerprint",
-      "content fingerprints: full-text, 64-char-prefix, min-shingle (1-perm minhash)",
+      "content fingerprints: full, prefix, min-shingle, polynomial rolling hash",
       (s, d) => {
         val norm = normText(col("text"))
         docs(s, d).select(col("doc_id"), norm.as("norm"))
@@ -147,7 +153,13 @@ object TextAnalysis {
             h60(col("norm")).as("fp_full"),
             h60(substring(col("norm"), 1, 64)).as("fp_prefix"),
             array_min(transform(wordNgrams(tokens(col("norm")), 3),
-              g => h60(g))).as("fp_min_shingle"))
+              g => h60(g))).as("fp_min_shingle"),
+            // Rabin-Karp style left-to-right polynomial hash over chars
+            // (base 31, Mersenne-31 modulus) — the incremental form a
+            // streaming ingest would maintain per chunk
+            aggregate(filter(split(col("norm"), ""), c => c =!= lit("")),
+              lit(0L), (h, c) => (h * 31 + ascii(c)) % MinHashP)
+              .as("fp_rolling"))
           .orderBy("doc_id")
       },
       Some("""WITH n AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm FROM documents),
@@ -161,7 +173,11 @@ object TextAnalysis {
              |  ('0x' || substr(md5(norm), 1, 15))::BIGINT AS fp_full,
              |  ('0x' || substr(md5(substr(norm, 1, 64)), 1, 15))::BIGINT AS fp_prefix,
              |  list_aggregate(list_transform(sh,
-             |    x -> ('0x' || substr(md5(x), 1, 15))::BIGINT), 'min') AS fp_min_shingle
+             |    x -> ('0x' || substr(md5(x), 1, 15))::BIGINT), 'min') AS fp_min_shingle,
+             |  list_reduce(list_prepend(0::BIGINT,
+             |    list_transform(list_filter(string_split(norm, ''), c -> c <> ''),
+             |      c -> unicode(c)::BIGINT)),
+             |    (h, c) -> (h * 31 + c) % 2147483647) AS fp_rolling
              |FROM g ORDER BY doc_id""".stripMargin))
   )
 }

@@ -24,6 +24,14 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(lsh === exact)
   }
 
+  test("d06 prefix-filtered join equals the unfiltered exact join (lossless)") {
+    val exact = run("d02_ngram_jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(4))).toSet
+    val pref = run("d06_prefix_jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(4))).toSet
+    assert(pref === exact)
+  }
+
   test("d02 jaccard values are in (0.5, 1] and pairs are ordered") {
     run("d02_ngram_jaccard").collect().foreach { r =>
       assert(r.getLong(0) < r.getLong(1))
