@@ -94,6 +94,87 @@ object Similarity {
              |SELECT query_id, rank, neighbor_id FROM ranked
              |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)),
 
+    // IVF (inverted-file) ANN: coarse quantization by the `label` column's
+    // exact per-cluster centroid; a query probes only its nearest
+    // centroid's inverted list (~1/10 of the corpus here; nprobe > 1 =
+    // union more lists). Centroids are computed with a PINNED summation
+    // order (sort by vec_id, left fold) so both engines derive bit-equal
+    // centroids — the usual avg() would be partition-order-dependent and
+    // break the oracle. Centroid table is a broadcast dim; at 100 TB the
+    // lists are the partitioning key of the vector store.
+    Q("s03_knn_ivf",
+      "IVF ANN: probe nearest exact-centroid cluster, top-3 within its list",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        graft.plans.VectorExpressions.register(s)
+        val v = e.select(col("vec_id"), col("label").cast("long").as("label"),
+          vecD(col("embedding")).as("v"))
+          .withColumn("nrm", sqrt(dotFast(col("v"), col("v"))))
+        val cent = v.groupBy("label")
+          .agg(count(lit(1)).as("cnt"),
+            array_sort(collect_list(struct(col("vec_id"), col("v")))).as("vs"))
+          .select(col("label"), transform(sequence(lit(1), lit(Dim)), i =>
+            aggregate(col("vs"), lit(0.0),
+              (acc, p) => acc + element_at(p.getField("v"), i)) / col("cnt"))
+            .as("cent"))
+          .withColumn("cnrm", sqrt(dotFast(col("cent"), col("cent"))))
+        val q = v.filter(col("vec_id") % 50 === 0)
+          .select(col("vec_id").as("query_id"), col("v").as("qv"),
+            col("nrm").as("qn"))
+        val wProbe = Window.partitionBy(col("query_id"))
+          .orderBy(col("ccos").desc, col("label").asc)
+        val probe = q.crossJoin(broadcast(cent))
+          .withColumn("ccos",
+            dotFast(col("qv"), col("cent")) / (col("qn") * col("cnrm")))
+          .withColumn("crank", row_number().over(wProbe))
+          .filter(col("crank") === 1)
+          .select(col("query_id"), col("qv"), col("qn"),
+            col("label").as("probe_label"))
+        val wTop = Window.partitionBy(col("query_id"))
+          .orderBy(col("cosine").desc, col("vec_id").asc)
+        v.join(broadcast(probe), col("label") === col("probe_label"))
+          .filter(col("vec_id") =!= col("query_id"))
+          .withColumn("cosine",
+            dotFast(col("v"), col("qv")) / (col("nrm") * col("qn")))
+          .withColumn("rank", row_number().over(wTop))
+          .filter(col("rank") <= 3)
+          .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+            col("probe_label"))
+          .orderBy("query_id", "rank")
+      },
+      Some(s"""$sqlVectors,
+             |v AS (SELECT vec_id, label::BIGINT AS label, v, nrm FROM (
+             |  SELECT e2.vec_id, e2.label, n.v, n.nrm
+             |  FROM embeddings e2 JOIN n ON e2.vec_id = n.vec_id)),
+             |cent0 AS (SELECT label, count(*) AS cnt,
+             |    list(v ORDER BY vec_id) AS vs FROM v GROUP BY label),
+             |cent AS (SELECT label,
+             |    list_transform(range(1, 65), i ->
+             |      list_reduce(list_prepend(0.0::DOUBLE,
+             |        list_transform(vs, p -> p[i])), (a, b) -> a + b) / cnt) AS cent
+             |  FROM cent0),
+             |centn AS (SELECT label, cent,
+             |    sqrt(list_reduce(list_transform(range(1, 65), i -> cent[i] * cent[i]),
+             |      (x, y) -> x + y)) AS cnrm FROM cent),
+             |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM v WHERE vec_id % 50 = 0),
+             |probe0 AS (SELECT q.query_id, q.qv, q.qn, c.label,
+             |    list_reduce(list_transform(range(1, 65), i -> q.qv[i] * c.cent[i]), (x, y) -> x + y)
+             |      / (q.qn * c.cnrm) AS ccos
+             |  FROM q CROSS JOIN centn c),
+             |probe AS (SELECT query_id, qv, qn, label AS probe_label FROM (
+             |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY ccos DESC, label) AS crank
+             |    FROM probe0) WHERE crank = 1),
+             |scored AS (SELECT p.query_id, v.vec_id AS neighbor_id, p.probe_label,
+             |    list_reduce(list_transform(range(1, 65), i -> v.v[i] * p.qv[i]), (x, y) -> x + y)
+             |      / (v.nrm * p.qn) AS cosine
+             |  FROM v JOIN probe p ON v.label = p.probe_label
+             |  WHERE v.vec_id <> p.query_id),
+             |ranked AS (SELECT query_id, neighbor_id, probe_label,
+             |  row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+             |FROM scored)
+             |SELECT query_id, rank, neighbor_id, probe_label FROM ranked
+             |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin)),
+
     Q("s02_knn_lsh",
       "LSH-bucketed ANN: top-3 within the query's sign bucket (8 hyperplanes)",
       (s, d) => {

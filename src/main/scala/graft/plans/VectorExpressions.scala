@@ -74,16 +74,34 @@ case class DotProductD(left: Expression, right: Expression)
 }
 
 object VectorExpressions {
+
+  private def build(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 2, "graft_dot takes exactly 2 arguments")
+    DotProductD(exprs.head, exprs(1))
+  }
+
   /** Register `graft_dot` in the session's function registry so operators
     * can call it via `call_function` (the public Column-from-Expression
     * path in Spark 4).
     */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_dot",
-      { exprs =>
+      "graft_dot", build, "built-in")
+}
+
+/** Session-extensions entry point: deploy cluster-wide with
+  * `--conf spark.sql.extensions=graft.plans.GraftExtensions`, making
+  * `graft_dot` available to every session (SQL included) without the
+  * per-query register() call.
+  */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_dot"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[DotProductD].getName, "graft_dot"),
+      (exprs: Seq[Expression]) => {
         require(exprs.length == 2, "graft_dot takes exactly 2 arguments")
         DotProductD(exprs.head, exprs(1))
-      },
-      "built-in")
+      }))
 }

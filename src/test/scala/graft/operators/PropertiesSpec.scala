@@ -1,0 +1,83 @@
+package graft.operators
+
+import graft.SparkTestBase
+import graft.functions.Portable
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** ScalaCheck-generated property tests (SURVEY §5): cross-implementation
+  * consistency (driver-side vs Catalyst vs codegen), unpivot↔pivot
+  * round-trip, and QC flag monotonicity in thresholds. Generated inputs
+  * are batched into single Spark jobs (one job per property, not per
+  * case).
+  */
+class PropertiesSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def sample[A](g: Gen[A], n: Int, seed: Long): Seq[A] =
+    Iterator.from(0).map(i =>
+      g.apply(Gen.Parameters.default, Seed(seed + i))
+    ).flatten.take(n).toSeq
+
+  test("h60Scala (driver twin) equals the Catalyst h60 on random strings") {
+    val strs = sample(Gen.asciiPrintableStr.map(_.take(40)), 200, 1L)
+      .filter(_.nonEmpty).distinct
+    val fromSpark = strs.toDF("s")
+      .select(col("s"), Portable.h60(col("s")).as("h"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    strs.foreach { s =>
+      assert(fromSpark(s) === Portable.h60Scala(s), s"h60 mismatch for $s")
+    }
+  }
+
+  test("codegen graft_dot equals the interpreted aggregate fold bit-exactly") {
+    graft.plans.VectorExpressions.register(spark)
+    val vecGen = Gen.listOfN(64, Gen.chooseNum(-1e3, 1e3)).map(_.toArray)
+    val pairs = sample(Gen.zip(vecGen, vecGen), 100, 2L)
+    val df = pairs.toDF("a", "b")
+      .select(
+        Portable.dotFast(col("a"), col("b")).as("fast"),
+        Portable.dot(col("a"), col("b"), 64).as("slow"))
+    df.collect().foreach { r =>
+      val (f, s) = (r.getDouble(0), r.getDouble(1))
+      assert(java.lang.Double.doubleToRawLongBits(f) ===
+        java.lang.Double.doubleToRawLongBits(s))
+    }
+  }
+
+  test("unpivot drops zeros and pivot(sum)+zero-fill round-trips the matrix") {
+    val cellGen = Gen.frequency(3 -> Gen.const(0L), 2 -> Gen.chooseNum(1L, 99L))
+    val rows = sample(Gen.listOfN(4, cellGen), 30, 3L).zipWithIndex
+      .map { case (cells, i) => (s"ASV_$i", cells(0), cells(1), cells(2), cells(3)) }
+    val samplesCols = Seq("s1", "s2", "s3", "s4")
+    val wide = rows.toDF("asv" +: samplesCols: _*)
+    val long = wide.unpivot(Array(col("asv")), samplesCols.map(col).toArray,
+      "sample", "count").filter(col("count") =!= 0L)
+    val back = long.groupBy("asv").pivot("sample", samplesCols)
+      .sum("count")
+      .na.fill(0L, samplesCols)
+    val orig = rows.map(r => r._1 -> Seq(r._2, r._3, r._4, r._5)).toMap
+    back.collect().foreach { r =>
+      assert(samplesCols.zipWithIndex.forall { case (c, i) =>
+        r.getAs[Long](c) == orig(r.getString(0))(i)
+      }, s"row ${r.getString(0)} mismatch")
+    }
+    // ASVs whose cells are all zero legitimately vanish from the long form
+    val nonZeroAsvs = rows.filter(r => Seq(r._2, r._3, r._4, r._5).exists(_ != 0))
+    assert(back.count() === nonZeroAsvs.length)
+  }
+
+  test("QC flags are monotone in thresholds: stricter warn ⇒ superset of flags") {
+    import graft.compendium.{QcThresholds, SummaryQC}
+    val qc = SummaryQC.readSummaryTsv(spark, s"$fixtures/summary_paired.tsv")
+    def warnSet(th: QcThresholds): Set[String] =
+      SummaryQC.sampleQc(qc, th).filter(col("retained_warn"))
+        .select("srr").collect().map(_.getString(0)).toSet
+    val loose = warnSet(QcThresholds(retainedWarn = 0.5))
+    val mid = warnSet(QcThresholds(retainedWarn = 0.69))
+    val strict = warnSet(QcThresholds(retainedWarn = 0.9))
+    assert(loose.subsetOf(mid))
+    assert(mid.subsetOf(strict))
+  }
+}
