@@ -70,11 +70,24 @@ object EUtils {
       .filter(_.startsWith("<EXPERIMENT_PACKAGE"))
       .flatMap(parsePackage)
 
+  /** The esearch URL the reference builds per batch (db.py:303-317) — used
+    * for the 1950-char hard cap check even though the HTTP call itself
+    * lives behind the client boundary.
+    */
+  def esearchUrl(batch: Seq[String]): String =
+    "https://eutils.ncbi.nlm.nih.gov/entrez/eutils/esearch.fcgi?db=sra&term=" +
+      batch.map(_ + "[accn]").mkString("+OR+") + "&usehistory=y"
+
   /** `main.py runs <N>` (db.py:266-330): pick N unresolved samples, fetch in
     * `batchSize` chunks via the injected client, merge results into
     * `samples` (K2). The fan-out is driver-side like the reference — the
     * bottleneck is NCBI throttling (0.5 s/request), not compute — but the
     * merge itself is a distributed join.
+    *
+    * Operational envelope preserved (BASELINE.md): URL hard cap of 1950
+    * chars aborts the session (db.py:314-317); two CONSECUTIVE fetch
+    * failures abort further batches while keeping earlier results
+    * (db.py:326-384); a success resets the failure counter.
     */
   def enrich(spark: SparkSession, wh: Warehouse, client: EUtilsClient,
       budget: Int, cfg: EngineConfig = EngineConfig.default): Long = {
@@ -82,9 +95,23 @@ object EUtils {
     val samples = wh.readOrEmpty("samples", Schemas.samples)
     val todo = Selection.unresolvedSamples(samples, budget)
       .as[String].collect().toSeq
-    val infos = todo.grouped(cfg.eutilsBatchSize).flatMap { batch =>
+    var consecutiveFailures = 0
+    val infos = todo.grouped(cfg.eutilsBatchSize).takeWhile(_ =>
+      consecutiveFailures < 2).flatMap { batch =>
+      val url = esearchUrl(batch)
+      if (url.length > cfg.eutilsUrlMaxChars)
+        throw new IllegalStateException(
+          s"esearch URL ${url.length} chars exceeds ${cfg.eutilsUrlMaxChars} (db.py:314-317)")
       Thread.sleep(cfg.eutilsThrottleMs) // NCBI rate limit (db.py:321)
-      parseResponse(client.fetch(batch))
+      try {
+        val r = parseResponse(client.fetch(batch))
+        consecutiveFailures = 0
+        r
+      } catch {
+        case scala.util.control.NonFatal(_) =>
+          consecutiveFailures += 1
+          Seq.empty
+      }
     }.toSeq
     if (infos.isEmpty) return 0L
     // Option fields encode as nullable columns

@@ -148,6 +148,45 @@ class EUtilsSpec extends SparkTestBase {
     assert(two.total_bases === Some(222222L))          // last run wins
   }
 
+  test("enrich aborts after two consecutive fetch failures, keeps earlier work") {
+    import spark.implicits._
+    val wh = new Warehouse(spark, tmpDir())
+    Ingest.loadSamples(spark, wh, "408170", s"$fixtures/biosamples.xml")
+    var calls = 0
+    val flaky = new EUtilsClient {
+      def fetch(batch: Seq[String]): String = {
+        calls += 1
+        throw new RuntimeException("boom")
+      }
+    }
+    // batch size 1 → 3 unresolved samples → 3 potential batches, but the
+    // loop must stop after the 2nd consecutive failure
+    val n = EUtils.enrich(spark, wh, flaky, budget = 10,
+      EngineConfig.default.copy(eutilsThrottleMs = 0, eutilsBatchSize = 1))
+    assert(n === 0)
+    assert(calls === 2)
+  }
+
+  test("enrich refuses an esearch URL beyond the 1950-char cap") {
+    import spark.implicits._
+    val wh = new Warehouse(spark, tmpDir())
+    val longSrs = (1 to 60).map(i => f"SRS$i%0120d")
+    wh.append("samples", longSrs.map(s =>
+      (s, null.asInstanceOf[String], null.asInstanceOf[String],
+        null.asInstanceOf[String], null.asInstanceOf[String],
+        null.asInstanceOf[String], null.asInstanceOf[String],
+        null.asInstanceOf[String], null.asInstanceOf[String])).toDF(
+      "srs", "project", "taxon", "srr", "library_strategy",
+      "library_source", "instrument", "pubdate", "geo_loc_name"))
+    val client = new EUtilsClient {
+      def fetch(batch: Seq[String]): String = "<EXPERIMENT_PACKAGE_SET/>"
+    }
+    intercept[IllegalStateException] {
+      EUtils.enrich(spark, wh, client, budget = 60,
+        EngineConfig.default.copy(eutilsThrottleMs = 0, eutilsBatchSize = 30))
+    }
+  }
+
   test("enrich merges into samples via K2 conditional-column upsert") {
     import spark.implicits._
     val wh = new Warehouse(spark, tmpDir())
