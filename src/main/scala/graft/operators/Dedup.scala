@@ -91,18 +91,25 @@ object Dedup {
        |WHERE intersection * 1.0 / (size_a + size_b - intersection) >= $threshold
        |ORDER BY doc_a, doc_b""".stripMargin
 
-  /** Spark side of the exact pair computation (shared by d02/d03-verify):
-    * inverted-index equi-join on the 60-bit shingle hash (long keys join
-    * ~3× faster than the strings; 2^-60 collisions are below the float-
-    * formatting noise floor).
+  /** Flat exploded shingle frame (doc_id, nsh, shingle-hash) — the shared
+    * input of the pair joins. Flat long rows columnar-cache cheaply
+    * (unlike the array form, whose cache serialization cost exceeded its
+    * recompute savings ~10×), so callers that branch over it cache it.
     */
-  private def jaccardPairs(sh: DataFrame, threshold: Double): DataFrame = {
-    val ex = sh.select(col("doc_id"), col("nsh"), explode(col("shl")).as("shingle"))
-    // Only docs sharing a shingle meet, so the pair space is output-bound,
-    // not |docs|². At 100 TB the few ultra-hot shingles dominate the
-    // shuffle — AQE skew-join splits them; a frequency-capped variant
-    // (drop shingles in >1% of docs) is the standard recall-preserving
-    // mitigation for J >= 0.5 thresholds.
+  private[operators] def explodedShingles(s: SparkSession, d: String): DataFrame =
+    shingledHashed(s, d)
+      .select(col("doc_id"), col("nsh"), explode(col("shl")).as("shingle"))
+
+  /** Spark side of the exact pair computation (d02, and the verification
+    * stage of d03/d06): inverted-index equi-join on the 60-bit shingle
+    * hash (long keys join ~3× faster than strings; 2^-60 collisions are
+    * below the float-formatting noise floor). Only docs sharing a shingle
+    * meet, so the pair space is output-bound, not |docs|². At 100 TB the
+    * few ultra-hot shingles dominate the shuffle — AQE skew-join splits
+    * them; a frequency-capped variant (drop shingles in >1% of docs) is
+    * the standard recall-preserving mitigation for J >= 0.5 thresholds.
+    */
+  private def jaccardPairs(ex: DataFrame, threshold: Double): DataFrame = {
     val a = ex.select(col("doc_id").as("doc_a"), col("nsh").as("size_a"), col("shingle"))
     val b = ex.select(col("doc_id").as("doc_b"), col("nsh").as("size_b"), col("shingle"))
     a.join(b, Seq("shingle"))
@@ -116,6 +123,22 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"),
         col("size_a").cast("long"), col("size_b").cast("long"),
         col("intersection"), col("jaccard"))
+  }
+
+  /** Exact-Jaccard verification of an LSH/prefix candidate pair set:
+    * restrict the exploded frame to candidate docs (broadcast semi-join —
+    * the candidate set is orders of magnitude smaller than the corpus),
+    * count intersections with the same inverted-index join, and keep only
+    * the candidate pairs. No array materialization, no extra shingle
+    * kernel runs.
+    */
+  private def verifyCandidates(ex: DataFrame, cand: DataFrame,
+      threshold: Double): DataFrame = {
+    val candDocs = cand.select(col("doc_a").as("doc_id"))
+      .union(cand.select(col("doc_b").as("doc_id"))).distinct()
+    val exC = ex.join(broadcast(candDocs), Seq("doc_id"), "left_semi")
+    jaccardPairs(exC, threshold)
+      .join(broadcast(cand), Seq("doc_a", "doc_b"), "left_semi")
   }
 
   val registry: Seq[Q] = Seq(
@@ -140,7 +163,7 @@ object Dedup {
 
     Q("d02_ngram_jaccard",
       "near-duplicate pairs by exact word-trigram Jaccard >= 0.5",
-      (s, d) => jaccardPairs(shingledHashed(s, d), 0.5).orderBy("doc_a", "doc_b"),
+      (s, d) => jaccardPairs(explodedShingles(s, d), 0.5).orderBy("doc_a", "doc_b"),
       Some(sqlExactJaccard(0.5))),
 
     // MinHash + banded LSH — the 100 TB dedup path. 30 permutations,
@@ -159,9 +182,8 @@ object Dedup {
     Q("d03_minhash_lsh",
       "MinHash(30) + LSH(10x3) banded candidates, exact-Jaccard verified >= 0.5",
       (s, d) => {
-        val sh = shingledHashed(s, d)
-        val g = sh.select(col("doc_id"), explode(col("shl")).as("h"))
-          .withColumn("g", col("h") % MinHashP)
+        val ex = explodedShingles(s, d).cache()
+        val g = ex.withColumn("g", col("shingle") % MinHashP)
         val mhCols = (0 until 30).map(k => min(perm(k, col("g"))).as(s"mh_$k"))
         val sigs = g.groupBy("doc_id").agg(mhCols.head, mhCols.tail: _*)
         val bands = sigs.select(col("doc_id"), explode(array(
@@ -174,21 +196,7 @@ object Dedup {
           .filter(col("x.doc_id") < col("y.doc_id"))
           .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
           .distinct()
-        val verified = broadcast(cand)
-          .join(sh.select(col("doc_id").as("doc_a"), col("shl").as("sh_a"),
-            col("nsh").as("size_a")), Seq("doc_a"))
-          .join(sh.select(col("doc_id").as("doc_b"), col("shl").as("sh_b"),
-            col("nsh").as("size_b")), Seq("doc_b"))
-          .withColumn("intersection",
-            size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
-          .withColumn("jaccard",
-            col("intersection") * lit(1.0) /
-              (col("size_a") + col("size_b") - col("intersection")))
-          .filter(col("jaccard") >= 0.5)
-        verified.select(col("doc_a"), col("doc_b"),
-          col("size_a").cast("long"), col("size_b").cast("long"),
-          col("intersection"), col("jaccard"))
-          .orderBy("doc_a", "doc_b")
+        verifyCandidates(ex, cand, 0.5).orderBy("doc_a", "doc_b")
       },
       Some(sqlExactJaccard(0.5))),
 
@@ -201,39 +209,27 @@ object Dedup {
     // join output far more, with zero recall loss. The oracle is the same
     // exact all-pairs answer as d02, so the gate proves losslessness.
     // At 100 TB this is the exact-dedup workhorse when LSH's probabilistic
-    // recall isn't acceptable; the frequency table is a broadcast dim.
+    // recall isn't acceptable. The frequency table broadcasts here; at
+    // corpus scale (billions of distinct shingles) it becomes a shuffle
+    // join — or a broadcast Count-Min sketch, since prefix selection only
+    // needs approximate frequency ORDER, not exact counts.
     Q("d06_prefix_jaccard",
       "prefix-filtered exact trigram-Jaccard join (lossless candidate pruning)",
       (s, d) => {
         val t = 0.5
-        val sh = shingledHashed(s, d)
-        val ex = sh.select(col("doc_id"), col("nsh"), explode(col("shl")).as("h"))
-        val freq = ex.groupBy("h").agg(count(lit(1)).as("df"))
+        val ex = explodedShingles(s, d).cache()
+        val freq = ex.groupBy("shingle").agg(count(lit(1)).as("df"))
         val w = Window.partitionBy(col("doc_id"))
-          .orderBy(col("df").asc, col("h").asc)
-        val prefix = ex.join(broadcast(freq), Seq("h"))
+          .orderBy(col("df").asc, col("shingle").asc)
+        val prefix = ex.join(broadcast(freq), Seq("shingle"))
           .withColumn("rk", row_number().over(w))
           .filter(col("rk") <= col("nsh") - ceil(col("nsh") * t) + 1)
-          .select(col("doc_id"), col("h"))
-        val cand = prefix.as("x").join(prefix.as("y"), Seq("h"))
+          .select(col("doc_id"), col("shingle"))
+        val cand = prefix.as("x").join(prefix.as("y"), Seq("shingle"))
           .filter(col("x.doc_id") < col("y.doc_id"))
           .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
           .distinct()
-        broadcast(cand)
-          .join(sh.select(col("doc_id").as("doc_a"), col("shl").as("sh_a"),
-            col("nsh").as("size_a")), Seq("doc_a"))
-          .join(sh.select(col("doc_id").as("doc_b"), col("shl").as("sh_b"),
-            col("nsh").as("size_b")), Seq("doc_b"))
-          .withColumn("intersection",
-            size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
-          .withColumn("jaccard",
-            col("intersection") * lit(1.0) /
-              (col("size_a") + col("size_b") - col("intersection")))
-          .filter(col("jaccard") >= t)
-          .select(col("doc_a"), col("doc_b"),
-            col("size_a").cast("long"), col("size_b").cast("long"),
-            col("intersection"), col("jaccard"))
-          .orderBy("doc_a", "doc_b")
+        verifyCandidates(ex, cand, t).orderBy("doc_a", "doc_b")
       },
       Some(sqlExactJaccard(0.5))),
 
