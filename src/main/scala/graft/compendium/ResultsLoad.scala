@@ -13,12 +13,15 @@ import org.apache.spark.sql.functions._
   *    triplet list in a Python list, projects.py:423-440);
   *  - FASTA splits on '>' record boundaries so multi-TB FASTA scans
   *    parallelize;
-  *  - the surrogate `asv_id` is `xxhash64(project, asv)` — deterministic and
-  *    computed where the row lives, replacing SQLite rowids (which require a
-  *    serialized insert + read-back round trip, projects.py:499-523) with a
-  *    shuffle-free pure function. Collision probability at compendium scale
-  *    (~10^7 ASVs) is ~10^-5 per table and acceptable for an analytics key;
-  *    a window row_number alternative is kept for strict uniqueness.
+  *  - the surrogate `asv_id` is the 60-bit md5-derived hash of
+  *    `project\n asv` (graft.functions.Portable.h60) — deterministic
+  *    and computed where the row lives, replacing SQLite rowids (which
+  *    require a serialized insert + read-back round trip,
+  *    projects.py:499-523) with a shuffle-free pure function that any
+  *    engine reproduces (the correctness oracle recomputes it in SQL).
+  *    Collision probability at compendium scale (~10^7 ASVs) is ~4×10^-5
+  *    per table and acceptable for an analytics key; a window row_number
+  *    alternative remains available for strict uniqueness.
   */
 object ResultsLoad {
 
@@ -66,9 +69,14 @@ object ResultsLoad {
       .toDF(("asv" +: ranks.take(keep.length - 1)): _*)
   }
 
-  /** Deterministic surrogate id (J4). */
+  /** Deterministic, engine-portable surrogate id (J4): h60 over the
+    * newline-delimited (project, asv) pair — line-oriented accession/ASV
+    * labels cannot contain a newline, so the pairing is injective. DuckDB
+    * twin: `('0x' || substr(md5(project || chr(10) || asv), 1, 15))::BIGINT`.
+    */
   def withAsvId(df: DataFrame): DataFrame =
-    df.withColumn("asv_id", xxhash64(col("project"), col("asv")))
+    df.withColumn("asv_id", graft.functions.Portable.h60(
+      concat(col("project"), lit("\n"), col("asv"))))
 
   /** Full per-project load (projects.py:481-523): returns the three table
     * deltas ready to append.

@@ -5,10 +5,10 @@ import graft.core.Q
 import graft.compendium._
 
 /** The compendium domain pipeline exposed as driver-runnable queries over
-  * the reference-shaped fixtures (FIXTURES.md). Where DuckDB can read the
-  * same fixture file (TSV/FASTA/text via read_csv/read_text), the oracle
-  * recomputes the full pipeline independently; the XML-, hash-, and
-  * alignment-based queries (c03/c04/c07/c08/c10) stay rows-only checks,
+  * the reference-shaped fixtures (FIXTURES.md). The oracle SQL re-reads the
+  * same fixture files (read_csv/read_text + regexp extraction) and
+  * recomputes each pipeline independently in DuckDB; only c08 (efetch
+  * parse) and c10 (Smith-Waterman region inference) stay rows-only checks,
   * pinned instead by the ScalaTest golden suites.
   */
 object CompendiumQueries {
@@ -94,13 +94,41 @@ object CompendiumQueries {
       "BioSample XML ingest: distributed record-split parse → samples rows",
       (s, _) => BioSampleXml.samples(
         BioSampleXml.read(s, s"$fixtures/biosamples.xml"), "408170")
-        .orderBy("srs")),
+        .orderBy("srs"),
+      Some(s"""WITH recs AS (SELECT unnest(string_split(content, '</BioSample>')) AS rec
+             |  FROM read_text('$fixtures/biosamples.xml')),
+             |ids AS (SELECT
+             |    regexp_extract_all(rec, '<Id[^>]*db="SRA"[^>]*>([^<]*)</Id>', 1) AS sras
+             |  FROM recs WHERE rec LIKE '%<BioSample%'),
+             |good AS (SELECT trim(sras[-1]) AS srs FROM ids WHERE len(sras) > 0)
+             |SELECT srs, '408170' AS taxon FROM good WHERE srs <> '' ORDER BY srs""".stripMargin)),
 
     Q("c04_xml_tags",
       "BioSample XML ingest: EAV tag explode (harmonized-name preference)",
       (s, _) => BioSampleXml.tags(
         BioSampleXml.read(s, s"$fixtures/biosamples.xml"))
-        .orderBy("srs", "tag")),
+        .orderBy("srs", "tag"),
+      Some(s"""WITH recs AS (SELECT unnest(string_split(content, '</BioSample>')) AS rec
+             |  FROM read_text('$fixtures/biosamples.xml')),
+             |ids AS (SELECT rec,
+             |    regexp_extract_all(rec, '<Id[^>]*db="SRA"[^>]*>([^<]*)</Id>', 1) AS sras
+             |  FROM recs WHERE rec LIKE '%<BioSample%'),
+             |good AS (SELECT trim(sras[-1]) AS srs, rec FROM ids
+             |  WHERE len(sras) > 0 AND trim(sras[-1]) <> ''),
+             |attrs AS (SELECT srs,
+             |    unnest(regexp_extract_all(rec, '<Attribute [^>]*>[^<]*</Attribute>')) AS m,
+             |    generate_subscripts(regexp_extract_all(rec, '<Attribute [^>]*>[^<]*</Attribute>'), 1) AS pos
+             |  FROM good),
+             |parsed AS (SELECT srs, pos,
+             |    coalesce(nullif(regexp_extract(m, 'harmonized_name="([^"]*)"', 1), ''),
+             |             nullif(regexp_extract(m, 'attribute_name="([^"]*)"', 1), '')) AS tag,
+             |    lower(replace(replace(replace(replace(replace(
+             |      regexp_extract(m, '>([^<]*)<', 1),
+             |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&apos;', chr(39)), '&amp;', '&')) AS value
+             |  FROM attrs),
+             |dedup AS (SELECT srs, tag, arg_max(value, pos) AS value
+             |  FROM parsed WHERE tag IS NOT NULL AND value <> '' GROUP BY srs, tag)
+             |SELECT srs, tag, value FROM dedup ORDER BY srs, tag""".stripMargin)),
 
     Q("c05_counts_unpivot",
       "wide ASV×sample matrix → sparse triplets, zeros dropped",
@@ -128,7 +156,19 @@ object CompendiumQueries {
     Q("c07_taxonomy_assignments",
       "taxonomy ⋈ sequences with deterministic surrogate asv_id",
       (s, _) => ResultsLoad.load(s, fixtures, "PRJNA12345")._3
-        .orderBy("asv_id")),
+        .orderBy("asv_id"),
+      Some(s"""WITH tax AS (SELECT column0 AS asv, Kingdom AS kingdom, Phylum AS phylum,
+             |    Class AS tclass, "Order" AS torder, Family AS family, Genus AS genus
+             |  FROM read_csv('$fixtures/ASVs_taxonomy.tsv', delim='\t', header=true)),
+             |fa AS (SELECT trim(string_split(rec, chr(10))[1]) AS asv
+             |  FROM (SELECT unnest(string_split(content, '>')) AS rec
+             |        FROM read_text('$fixtures/ASVs.fa')) WHERE rec <> '')
+             |SELECT
+             |  ('0x' || substr(md5('PRJNA12345' || chr(10) || asv), 1, 15))::BIGINT AS asv_id,
+             |  'silva_nr99_v138_train_set' AS tdatabase,
+             |  kingdom, phylum, tclass, torder, family, genus
+             |FROM tax WHERE asv IN (SELECT asv FROM fa)
+             |ORDER BY asv_id""".stripMargin)),
 
     Q("c08_efetch_parse",
       "eUtils efetch XML → SraRunInfo rows (multi-run ';' join, no-run skip)",
