@@ -177,7 +177,30 @@ object CompendiumQueries {
         val xml = new String(java.nio.file.Files.readAllBytes(
           java.nio.file.Paths.get(s"$fixtures/efetch_response.xml")), "UTF-8")
         EUtils.parseResponse(xml).toDF().orderBy("srs")
-      }),
+      },
+      Some(s"""WITH recs AS (SELECT unnest(string_split(content, '</EXPERIMENT_PACKAGE>')) AS rec
+             |  FROM read_text('$fixtures/efetch_response.xml')),
+             |p AS (SELECT rec,
+             |    regexp_extract_all(rec, '<SAMPLE[^>]*accession="([^"]*)"', 1) AS samples,
+             |    regexp_extract_all(rec, '<RUN [^>]*accession="([^"]*)"', 1) AS runs,
+             |    regexp_extract_all(rec, '<RUN [^>]*published="([^"]*)"', 1) AS pubs,
+             |    regexp_extract_all(rec, '<RUN [^>]*total_bases="([^"]*)"', 1) AS bases,
+             |    regexp_extract_all(rec, '<EXTERNAL_ID[^>]*namespace="BioProject"[^>]*>([^<]*)</EXTERNAL_ID>', 1) AS projects,
+             |    regexp_extract_all(rec, '<LIBRARY_STRATEGY>([^<]*)</LIBRARY_STRATEGY>', 1) AS strat,
+             |    regexp_extract_all(rec, '<LIBRARY_SOURCE>([^<]*)</LIBRARY_SOURCE>', 1) AS src,
+             |    regexp_extract_all(rec, '<INSTRUMENT_MODEL>([^<]*)</INSTRUMENT_MODEL>', 1) AS instr
+             |  FROM recs WHERE rec LIKE '%<EXPERIMENT_PACKAGE%')
+             |SELECT
+             |  samples[-1] AS srs,
+             |  array_to_string(runs, ';') AS srr,
+             |  CASE WHEN len(projects) > 0 THEN trim(projects[1]) END AS project,
+             |  CASE WHEN len(pubs) > 0 THEN pubs[-1] END AS pubdate,
+             |  CASE WHEN len(bases) > 0 THEN bases[-1]::BIGINT END AS total_bases,
+             |  CASE WHEN len(strat) > 0 THEN trim(strat[-1]) END AS library_strategy,
+             |  CASE WHEN len(src) > 0 THEN trim(src[-1]) END AS library_source,
+             |  CASE WHEN len(instr) > 0 THEN trim(instr[-1]) END AS instrument
+             |FROM p WHERE len(runs) > 0 AND len(samples) > 0
+             |ORDER BY srs""".stripMargin)),
 
     Q("c10_region_inference",
       "per-project 16S hypervariable-region inference (SW align + majority vote)",
