@@ -7,9 +7,9 @@ import graft.compendium._
 /** The compendium domain pipeline exposed as driver-runnable queries over
   * the reference-shaped fixtures (FIXTURES.md). The oracle SQL re-reads the
   * same fixture files (read_csv/read_text + regexp extraction) and
-  * recomputes each pipeline independently in DuckDB; only c08 (efetch
-  * parse) and c10 (Smith-Waterman region inference) stay rows-only checks,
-  * pinned instead by the ScalaTest golden suites.
+  * recomputes each pipeline independently in DuckDB; only c10
+  * (Smith-Waterman region inference) stays a rows-only check, pinned
+  * instead by the golden specs against an independent DP implementation.
   */
 object CompendiumQueries {
 
