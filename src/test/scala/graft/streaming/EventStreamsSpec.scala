@@ -64,6 +64,34 @@ class EventStreamsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("file-source stream over the events table equals the batch rollup") {
+    import org.apache.spark.sql.functions._
+    val src = tmpDir()
+    // stage the real sf0.001 events as a watched directory (ts read as
+    // nanos-long then truncated, same as Tables.events)
+    val batch = graft.core.Tables.events(spark, "/root/testdata/sf0.001")
+      .select("event_id", "ts", "event_type", "value")
+    batch.write.mode("overwrite").parquet(src)
+    val stream = spark.readStream.schema(batch.schema).parquet(src)
+    val q = EventStreams.hourlyRollup(stream)
+      .writeStream.format("memory").queryName("file_rollup")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("file_rollup").collect()
+        .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2),
+          r.getDouble(3))).toSet
+      val expected = batch
+        .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,4)")).cast("double").as("total_value"))
+        .collect()
+        .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2),
+          r.getDouble(3))).toSet
+      assert(streamed === expected)
+    } finally q.stop()
+  }
+
   test("in-session gap splits into two sessions on the same user") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
