@@ -161,9 +161,14 @@ object Dedup {
              |  doc_id <> min(doc_id) OVER (PARTITION BY md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))) AS is_duplicate
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // The self-join consumes the exploded frame twice; caching the flat
+    // rows halves wall-clock by skipping the second shingle-kernel run
+    // (at petabyte scale you'd persist DISK_ONLY or rely on the shuffle
+    // files of a pre-partitioning exchange instead of memory).
     Q("d02_ngram_jaccard",
       "near-duplicate pairs by exact word-trigram Jaccard >= 0.5",
-      (s, d) => jaccardPairs(explodedShingles(s, d), 0.5).orderBy("doc_a", "doc_b"),
+      (s, d) => jaccardPairs(explodedShingles(s, d).cache(), 0.5)
+        .orderBy("doc_a", "doc_b"),
       Some(sqlExactJaccard(0.5))),
 
     // MinHash + banded LSH — the 100 TB dedup path. 30 permutations,
