@@ -28,3 +28,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+
+// Forward forked runMain output directly to stdout (no [info] prefix) so
+// the driver's bench/verify parsers can read the JSON metric line as-is.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
