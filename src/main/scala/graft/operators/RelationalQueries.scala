@@ -376,6 +376,51 @@ object RelationalQueries {
       },
       Some("""SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
              |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
-             |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin))
+             |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin)),
+
+    // Batch sessionization (gaps-and-islands): the batch twin of
+    // graft.streaming.EventStreams.sessionize — same 30-minute inactivity
+    // gap, same session shape; a spec asserts the two agree on real data.
+    // Two windows over one shuffle on user_id (lag then running sum share
+    // the partitioning); session totals go through exact decimal sums.
+    Q("q22_sessionize_batch",
+      "per-user session windows by 30-min inactivity gap (lag + running sum)",
+      (s, d) => {
+        val byUser = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        Tables.events(s, d)
+          .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+          .withColumn("new_session",
+            when(col("prev_ts").isNull ||
+              unix_millis(col("ts")) - unix_millis(col("prev_ts")) > 1800000L, 1L)
+              .otherwise(0L))
+          .withColumn("session_idx",
+            sum(col("new_session")).over(
+              byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy(col("user_id"), col("session_idx"))
+          .agg(
+            min(col("ts")).as("session_start"),
+            max(col("ts")).as("session_end"),
+            count(lit(1)).as("n_events"),
+            sum(col("value").cast("decimal(18,4)")).cast("double").as("total_value"))
+          .orderBy("user_id", "session_idx")
+      },
+      Some("""WITH w AS (SELECT user_id, ts, event_id, value,
+             |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+             |  FROM events),
+             |flags AS (SELECT *,
+             |    CASE WHEN prev_ts IS NULL
+             |      OR epoch_ms(ts) - epoch_ms(prev_ts) > 1800000
+             |    THEN 1 ELSE 0 END AS new_session FROM w),
+             |sess AS (SELECT *,
+             |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+             |  FROM flags)
+             |SELECT user_id, session_idx::BIGINT AS session_idx,
+             |  min(ts) AS session_start, max(ts) AS session_end,
+             |  count(*) AS n_events,
+             |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+             |FROM sess GROUP BY user_id, session_idx
+             |ORDER BY user_id, session_idx""".stripMargin))
   )
 }

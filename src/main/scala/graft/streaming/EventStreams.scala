@@ -38,7 +38,12 @@ object EventStreams {
   final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
       event_type: String, value: Double)
 
-  final case class SessionState(start: Long, last: Long, n: Long, total: Double)
+  /** State keeps the original Timestamps (not epoch millis) so sub-ms
+    * precision survives into the emitted sessions — required for exact
+    * agreement with the batch twin (q22) on microsecond event times.
+    */
+  final case class SessionState(start: Timestamp, last: Timestamp,
+      n: Long, total: Double)
 
   final case class Session(user_id: Long, session_start: Timestamp,
       session_end: Timestamp, n_events: Long, total_value: Double)
@@ -46,7 +51,8 @@ object EventStreams {
   /** Event-time sessionization: a session closes after `gapMinutes` of
     * user inactivity (tracked by watermark timeout), then emits one row.
     * `flatMapGroupsWithState` keeps exactly one `SessionState` per active
-    * user; expired users cost nothing.
+    * user; expired users cost nothing. Gap comparison is on epoch millis,
+    * matching the batch twin's `unix_millis` arithmetic.
     */
   def sessionize(events: Dataset[Event], gapMinutes: Int = 30): Dataset[Session] = {
     import events.sparkSession.implicits._
@@ -57,29 +63,27 @@ object EventStreams {
       if (state.hasTimedOut) {
         val s = state.get
         state.remove()
-        Iterator(Session(userId, new Timestamp(s.start), new Timestamp(s.last),
-          s.n, s.total))
+        Iterator(Session(userId, s.start, s.last, s.n, s.total))
       } else {
         val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
         var closed = List.empty[Session]
         var cur = state.getOption
         for (e <- sorted) {
-          val t = e.ts.getTime
           cur match {
-            case Some(s) if t - s.last <= gapMs =>
-              cur = Some(s.copy(last = math.max(s.last, t), n = s.n + 1,
+            case Some(s) if e.ts.getTime - s.last.getTime <= gapMs =>
+              val last = if (e.ts.getTime >= s.last.getTime) e.ts else s.last
+              cur = Some(s.copy(last = last, n = s.n + 1,
                 total = s.total + e.value))
             case Some(s) =>
-              closed ::= Session(userId, new Timestamp(s.start),
-                new Timestamp(s.last), s.n, s.total)
-              cur = Some(SessionState(t, t, 1, e.value))
+              closed ::= Session(userId, s.start, s.last, s.n, s.total)
+              cur = Some(SessionState(e.ts, e.ts, 1, e.value))
             case None =>
-              cur = Some(SessionState(t, t, 1, e.value))
+              cur = Some(SessionState(e.ts, e.ts, 1, e.value))
           }
         }
         cur.foreach { s =>
           state.update(s)
-          state.setTimeoutTimestamp(s.last + gapMs)
+          state.setTimeoutTimestamp(s.last.getTime + gapMs)
         }
         closed.reverseIterator
       }

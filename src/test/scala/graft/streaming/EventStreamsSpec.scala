@@ -92,6 +92,48 @@ class EventStreamsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("batch sessionization (q22) equals streaming sessionize on real events") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sq = spark.sqlContext
+    val d = "/root/testdata/sf0.001"
+    val batch = graft.SparkEntry.queries("q22_sessionize_batch")(spark, d)
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(2), r.getTimestamp(3),
+        r.getLong(4), r.getAs[Double]("total_value"))).toSet
+
+    val events = graft.core.Tables.events(spark, d)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+      .as[EventStreams.Event].collect().toSeq
+    val in = MemoryStream[EventStreams.Event]
+    val q = EventStreams.sessionize(in.toDS(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("eq_sessions")
+      .outputMode("append").start()
+    try {
+      in.addData(events)
+      q.processAllAvailable()
+      // push the watermark far past the last event so every session closes
+      val lastTs = events.map(_.ts.getTime).max
+      in.addData(EventStreams.Event(-1, new java.sql.Timestamp(
+        lastTs + 7L * 24 * 3600 * 1000), -999L, "flush", 0.0))
+      q.processAllAvailable()
+      val streamed = spark.table("eq_sessions")
+        .filter(col("user_id") =!= -999L).collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2),
+          r.getLong(3), r.getDouble(4))).toSet
+      assert(streamed.size === batch.size)
+      // identical keys; totals agree to fp-accumulation noise (streaming
+      // folds doubles in event order, batch sums exact decimals)
+      val bKeys = batch.map(t => (t._1, t._2, t._3, t._4))
+      val sKeys = streamed.map(t => (t._1, t._2, t._3, t._4))
+      assert(sKeys === bKeys)
+      val bTot = batch.toSeq.sortBy(t => (t._1, t._2.getTime)).map(_._5)
+      val sTot = streamed.toSeq.sortBy(t => (t._1, t._2.getTime)).map(_._5)
+      bTot.zip(sTot).foreach { case (x, y) => assert(math.abs(x - y) < 1e-6) }
+    } finally q.stop()
+  }
+
   test("in-session gap splits into two sessions on the same user") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
