@@ -421,6 +421,56 @@ object RelationalQueries {
              |  count(*) AS n_events,
              |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
              |FROM sess GROUP BY user_id, session_idx
-             |ORDER BY user_id, session_idx""".stripMargin))
+             |ORDER BY user_id, session_idx""".stripMargin)),
+
+    // Rolling window aggregates: per-user 3-event trailing sum and
+    // previous-event delta (lag). One shuffle on user_id serves both
+    // frames; sums stay in exact decimals for cross-engine equality.
+    Q("q23_rolling_window",
+      "per-user trailing 3-event value sum and inter-event gap seconds",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        Tables.events(s, d).select(
+          col("user_id"), col("event_id"), col("ts"), col("value"),
+          sum(col("value").cast("decimal(18,4)"))
+            .over(w.rowsBetween(-2, Window.currentRow))
+            .cast("double").as("trailing3_sum"),
+          (unix_millis(col("ts")) -
+            unix_millis(lag(col("ts"), 1).over(w))).as("gap_ms"))
+          .orderBy("user_id", "ts", "event_id")
+      },
+      Some("""SELECT user_id, event_id, ts, value,
+             |  CAST(sum(CAST(value AS DECIMAL(18,4))) OVER (
+             |    PARTITION BY user_id ORDER BY ts, event_id
+             |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS trailing3_sum,
+             |  epoch_ms(ts) - epoch_ms(lag(ts) OVER (
+             |    PARTITION BY user_id ORDER BY ts, event_id)) AS gap_ms
+             |FROM events ORDER BY user_id, ts, event_id""".stripMargin)),
+
+    // Hierarchical rollup (beyond the reference's flat GROUP BYs): region →
+    // nation → grand total in one pass with grouping-set expansion; the
+    // aggregate stays map-side partial per grouping set.
+    Q("q24_rollup",
+      "customer counts and balances rolled up region → nation → total",
+      (s, d) => {
+        def t(n: String): DataFrame = Tables.load(s, d, n)
+        t("customer")
+          .join(broadcast(t("nation")), col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(t("region")), col("n_regionkey") === col("r_regionkey"))
+          .rollup(col("r_name").as("region"), col("n_name").as("nation"))
+          .agg(count(lit(1)).as("n_customers"),
+            sum(col("c_acctbal").cast("decimal(18,2)")).cast("double").as("total_acctbal"),
+            grouping_id().cast("long").as("gid"))
+          .orderBy(asc_nulls_first("region"), asc_nulls_first("nation"))
+      },
+      Some("""SELECT r_name AS region, n_name AS nation, count(*) AS n_customers,
+             |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal,
+             |  (GROUPING(r_name) * 2 + GROUPING(n_name))::BIGINT AS gid
+             |FROM customer
+             |JOIN nation ON c_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |GROUP BY ROLLUP (r_name, n_name)
+             |ORDER BY region ASC NULLS FIRST, nation ASC NULLS FIRST""".stripMargin))
   )
 }
