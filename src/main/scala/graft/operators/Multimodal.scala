@@ -31,7 +31,8 @@ object Multimodal {
 
   final case class MediaRecord(doc_id: Long, payload: Array[Byte], mime: String)
   final case class MediaMeta(doc_id: Long, n_bytes: Long, byte_sum16: Long,
-      codec: String, width: Long, height: Long, n_frames: Long)
+      codec: String, width: Long, height: Long, resized_w: Long,
+      resized_h: Long, n_frames: Long)
   final case class Frame(doc_id: Long, frame_idx: Long, frame_tag: Long)
 
   /** Build the media lake view: documents' text bytes stand in for media
@@ -52,13 +53,23 @@ object Multimodal {
     */
   private def decodeOne(r: MediaRecord): MediaMeta = {
     val bs = r.payload.take(16).map(b => (b & 0xff).toLong).sum
+    val w = 64 + (bs * 31) % 1857
+    val h = 64 + (bs * 17) % 1017
+    // fake resize: cap the long edge at 256, integer-exact aspect scaling
+    // (pure integer math so the oracle reproduces it bit-for-bit)
+    val (rw, rh) =
+      if (w <= 256 && h <= 256) (w, h)
+      else if (w >= h) (256L, h * 256 / w)
+      else (w * 256 / h, 256L)
     MediaMeta(
       doc_id = r.doc_id,
       n_bytes = r.payload.length.toLong,
       byte_sum16 = bs,
       codec = Seq("jpeg", "png", "webp")((bs % 3).toInt),
-      width = 64 + (bs * 31) % 1857,
-      height = 64 + (bs * 17) % 1017,
+      width = w,
+      height = h,
+      resized_w = rw,
+      resized_h = rh,
       n_frames = r.payload.length / 100 + 1)
   }
 
@@ -94,15 +105,24 @@ object Multimodal {
     Q("m01_media_decode",
       "binary payload -> typed media metadata via per-partition decode stub",
       (s, d) => decode(mediaRecords(s, d)).toDF().orderBy("doc_id"),
-      Some(s"""$sqlMeta
+      Some(s"""$sqlMeta,
+             |dims AS (SELECT doc_id, text, byte_sum16,
+             |    64 + (byte_sum16 * 31) % 1857 AS width,
+             |    64 + (byte_sum16 * 17) % 1017 AS height
+             |  FROM m)
              |SELECT doc_id,
              |  length(text)::BIGINT AS n_bytes,
              |  byte_sum16,
              |  (['jpeg', 'png', 'webp'])[(byte_sum16 % 3) + 1] AS codec,
-             |  64 + (byte_sum16 * 31) % 1857 AS width,
-             |  64 + (byte_sum16 * 17) % 1017 AS height,
+             |  width, height,
+             |  CASE WHEN width <= 256 AND height <= 256 THEN width
+             |       WHEN width >= height THEN 256
+             |       ELSE width * 256 // height END AS resized_w,
+             |  CASE WHEN width <= 256 AND height <= 256 THEN height
+             |       WHEN width >= height THEN height * 256 // width
+             |       ELSE 256 END AS resized_h,
              |  length(text) // 100 + 1 AS n_frames
-             |FROM m ORDER BY doc_id""".stripMargin)),
+             |FROM dims ORDER BY doc_id""".stripMargin)),
 
     Q("m02_frame_sample",
       "frame sampling: every 7th frame exploded to (doc_id, frame_idx, tag)",
