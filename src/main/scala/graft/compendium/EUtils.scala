@@ -96,23 +96,37 @@ object EUtils {
     val todo = Selection.unresolvedSamples(samples, budget)
       .as[String].collect().toSeq
     var consecutiveFailures = 0
-    val infos = todo.grouped(cfg.eutilsBatchSize).takeWhile(_ =>
-      consecutiveFailures < 2).flatMap { batch =>
+    val infos = Vector.newBuilder[SraRunInfo]
+    // The reference persists each batch (_record_data, db.py:440-470) before
+    // its hard exits, so a URL-cap abort must not discard batches already
+    // fetched: accumulate, merge what we have, then rethrow.
+    var abort: Option[Throwable] = None
+    val it = todo.grouped(cfg.eutilsBatchSize)
+    while (it.hasNext && consecutiveFailures < 2 && abort.isEmpty) {
+      val batch = it.next()
       val url = esearchUrl(batch)
       if (url.length > cfg.eutilsUrlMaxChars)
-        throw new IllegalStateException(
-          s"esearch URL ${url.length} chars exceeds ${cfg.eutilsUrlMaxChars} (db.py:314-317)")
-      Thread.sleep(cfg.eutilsThrottleMs) // NCBI rate limit (db.py:321)
-      try {
-        val r = parseResponse(client.fetch(batch))
-        consecutiveFailures = 0
-        r
-      } catch {
-        case scala.util.control.NonFatal(_) =>
-          consecutiveFailures += 1
-          Seq.empty
+        abort = Some(new IllegalStateException(
+          s"esearch URL ${url.length} chars exceeds ${cfg.eutilsUrlMaxChars} (db.py:314-317)"))
+      else {
+        Thread.sleep(cfg.eutilsThrottleMs) // NCBI rate limit (db.py:321)
+        try {
+          infos ++= parseResponse(client.fetch(batch))
+          consecutiveFailures = 0
+        } catch {
+          case scala.util.control.NonFatal(_) =>
+            consecutiveFailures += 1
+        }
       }
-    }.toSeq
+    }
+    val merged = mergeInfos(spark, wh, infos.result())
+    abort.foreach(e => throw e)
+    merged
+  }
+
+  private def mergeInfos(spark: SparkSession, wh: Warehouse,
+      infos: Seq[SraRunInfo]): Long = {
+    import spark.implicits._
     if (infos.isEmpty) return 0L
     // Option fields encode as nullable columns
     val delta = infos.toDF()

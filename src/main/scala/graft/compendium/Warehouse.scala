@@ -87,7 +87,14 @@ final class Warehouse(spark: SparkSession, root: String) {
     df.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
     if (fs.exists(old)) fs.delete(old, true)
     val hadOld = fs.exists(dst) && fs.rename(dst, old)
-    fs.rename(tmp, dst)
+    if (!fs.rename(tmp, dst) || !fs.exists(dst)) {
+      // Roll the backup forward so the table never ends up missing with its
+      // only copy deleted; surface the failure instead of silently dropping it.
+      if (hadOld) fs.rename(old, dst)
+      throw new java.io.IOException(
+        s"replace($table): rename ${tmp} -> ${dst} failed" +
+          (if (hadOld) "; previous copy restored" else ""))
+    }
     if (hadOld) fs.delete(old, true)
   }
 }

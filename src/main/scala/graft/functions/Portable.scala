@@ -99,14 +99,24 @@ object Portable {
     (h60(concat(lit("hp_"), j.cast("string"), lit("_"), i.cast("string")))
       % 2001L - 1000L).cast("double") / 1000.0
 
-  /** Driver-side twin of h60 — for materializing the hyperplanes as
-    * literals (Spark computes md5 over UTF-8 the same way).
+  /** JVM twin of h60 — used by the typed shingle kernel and for
+    * materializing hyperplanes as literals. The first 15 hex digits of the
+    * md5 equal the unsigned big-endian first-8-bytes value shifted right
+    * one nibble, so no hex-string round-trip is needed; the MessageDigest
+    * is reused per thread (it resets after digest()) — both matter at
+    * millions of shingles per partition.
     */
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
   def h60Scala(s: String): Long = {
-    val d = java.security.MessageDigest.getInstance("MD5")
-      .digest(s.getBytes("UTF-8"))
-    java.lang.Long.parseLong(
-      d.take(8).map(b => f"$b%02x").mkString.take(15), 16)
+    val d = md5Local.get().digest(s.getBytes("UTF-8"))
+    var v = 0L
+    var i = 0
+    while (i < 8) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    v >>> 4
   }
 
   /** Driver-side twin of `hyperplane` for plane `j`, coords 1..dim. */

@@ -214,19 +214,22 @@ object Dedup {
     // join output far more, with zero recall loss. The oracle is the same
     // exact all-pairs answer as d02, so the gate proves losslessness.
     // At 100 TB this is the exact-dedup workhorse when LSH's probabilistic
-    // recall isn't acceptable. The frequency table broadcasts here; at
-    // corpus scale (billions of distinct shingles) it becomes a shuffle
-    // join — or a broadcast Count-Min sketch, since prefix selection only
-    // needs approximate frequency ORDER, not exact counts.
+    // recall isn't acceptable. Document frequency comes from a window count
+    // over the exploded frame — one shuffle by shingle, fully distributed
+    // (an earlier broadcast-join formulation collected every distinct
+    // shingle to the driver: wrong at any scale, and 2× slower even at
+    // sf0.1). Prefix selection only needs approximate frequency ORDER, so
+    // a Count-Min sketch is a valid substitute when even the window's
+    // shuffle is unwelcome.
     Q("d06_prefix_jaccard",
       "prefix-filtered exact trigram-Jaccard join (lossless candidate pruning)",
       (s, d) => {
         val t = 0.5
         val ex = explodedShingles(s, d).cache()
-        val freq = ex.groupBy("shingle").agg(count(lit(1)).as("df"))
+        val wDf = Window.partitionBy(col("shingle"))
         val w = Window.partitionBy(col("doc_id"))
           .orderBy(col("df").asc, col("shingle").asc)
-        val prefix = ex.join(broadcast(freq), Seq("shingle"))
+        val prefix = ex.withColumn("df", count(lit(1)).over(wDf))
           .withColumn("rk", row_number().over(w))
           .filter(col("rk") <= col("nsh") - ceil(col("nsh") * t) + 1)
           .select(col("doc_id"), col("shingle"))

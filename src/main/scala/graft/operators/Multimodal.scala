@@ -30,7 +30,7 @@ import graft.core.{Q, Tables}
 object Multimodal {
 
   final case class MediaRecord(doc_id: Long, payload: Array[Byte], mime: String)
-  final case class MediaMeta(doc_id: Long, n_bytes: Long, byte_sum16: Long,
+  final case class MediaMeta(doc_id: Long, n_bytes: Long, cp_sum16: Long,
       codec: String, width: Long, height: Long, resized_w: Long,
       resized_h: Long, n_frames: Long)
   final case class Frame(doc_id: Long, frame_idx: Long, frame_tag: Long)
@@ -49,10 +49,19 @@ object Multimodal {
   }
 
   /** FAKE decode kernel — stands in for a libjpeg/ffmpeg probe. Reads only
-    * payload bytes; all derived values are pure functions of them.
+    * the payload; all derived values are pure functions of it.
+    *
+    * Byte-vs-codepoint pinning: `n_bytes`/`n_frames` come from the raw
+    * payload byte length (oracle: `octet_length(encode(text))`), while the
+    * content checksum `cp_sum16` is pinned to UNICODE CODEPOINTS of the
+    * decoded text (oracle: `unicode(substr(text, i, 1))`) — byte-level
+    * sums would need blob indexing DuckDB doesn't expose, and a 16-byte
+    * prefix can split a multibyte character. Locked by a non-ASCII spec.
     */
-  private def decodeOne(r: MediaRecord): MediaMeta = {
-    val bs = r.payload.take(16).map(b => (b & 0xff).toLong).sum
+  private[operators] def decodeOne(r: MediaRecord): MediaMeta = {
+    val text = new String(r.payload, "UTF-8")
+    val cps = text.codePoints().limit(16).toArray
+    val bs = cps.map(_.toLong).sum
     val w = 64 + (bs * 31) % 1857
     val h = 64 + (bs * 17) % 1017
     // fake resize: cap the long edge at 256, integer-exact aspect scaling
@@ -64,7 +73,7 @@ object Multimodal {
     MediaMeta(
       doc_id = r.doc_id,
       n_bytes = r.payload.length.toLong,
-      byte_sum16 = bs,
+      cp_sum16 = bs,
       codec = Seq("jpeg", "png", "webp")((bs % 3).toInt),
       width = w,
       height = h,
@@ -89,15 +98,16 @@ object Multimodal {
     import ds.sparkSession.implicits._
     ds.flatMap { m =>
       (0L until m.n_frames by 7).map { f =>
-        Frame(m.doc_id, f, (m.byte_sum16 * 2654435761L + f) % 997)
+        Frame(m.doc_id, f, (m.cp_sum16 * 2654435761L + f) % 997)
       }
     }
   }
 
   private val sqlMeta =
     """WITH m AS (SELECT doc_id, text,
+      |  octet_length(encode(text))::BIGINT AS n_bytes,
       |  list_aggregate(list_transform(range(1, least(length(text), 16) + 1),
-      |    i -> unicode(substr(text, i, 1))), 'sum')::BIGINT AS byte_sum16
+      |    i -> unicode(substr(text, i, 1))), 'sum')::BIGINT AS cp_sum16
       |FROM documents)""".stripMargin
 
   val registry: Seq[Q] = Seq(
@@ -106,14 +116,14 @@ object Multimodal {
       "binary payload -> typed media metadata via per-partition decode stub",
       (s, d) => decode(mediaRecords(s, d)).toDF().orderBy("doc_id"),
       Some(s"""$sqlMeta,
-             |dims AS (SELECT doc_id, text, byte_sum16,
-             |    64 + (byte_sum16 * 31) % 1857 AS width,
-             |    64 + (byte_sum16 * 17) % 1017 AS height
+             |dims AS (SELECT doc_id, n_bytes, cp_sum16,
+             |    64 + (cp_sum16 * 31) % 1857 AS width,
+             |    64 + (cp_sum16 * 17) % 1017 AS height
              |  FROM m)
              |SELECT doc_id,
-             |  length(text)::BIGINT AS n_bytes,
-             |  byte_sum16,
-             |  (['jpeg', 'png', 'webp'])[(byte_sum16 % 3) + 1] AS codec,
+             |  n_bytes,
+             |  cp_sum16,
+             |  (['jpeg', 'png', 'webp'])[(cp_sum16 % 3) + 1] AS codec,
              |  width, height,
              |  CASE WHEN width <= 256 AND height <= 256 THEN width
              |       WHEN width >= height THEN 256
@@ -121,7 +131,7 @@ object Multimodal {
              |  CASE WHEN width <= 256 AND height <= 256 THEN height
              |       WHEN width >= height THEN height * 256 // width
              |       ELSE 256 END AS resized_h,
-             |  length(text) // 100 + 1 AS n_frames
+             |  n_bytes // 100 + 1 AS n_frames
              |FROM dims ORDER BY doc_id""".stripMargin)),
 
     Q("m02_frame_sample",
@@ -129,11 +139,11 @@ object Multimodal {
       (s, d) => sampleFrames(decode(mediaRecords(s, d))).toDF()
         .orderBy("doc_id", "frame_idx"),
       Some(s"""$sqlMeta,
-             |f AS (SELECT doc_id, byte_sum16,
-             |  unnest(range(0, length(text) // 100 + 1, 7)) AS frame_idx
+             |f AS (SELECT doc_id, cp_sum16,
+             |  unnest(range(0, n_bytes // 100 + 1, 7)) AS frame_idx
              |FROM m)
              |SELECT doc_id, frame_idx,
-             |  (byte_sum16 * 2654435761 + frame_idx) % 997 AS frame_tag
+             |  (cp_sum16 * 2654435761 + frame_idx) % 997 AS frame_tag
              |FROM f ORDER BY doc_id, frame_idx""".stripMargin))
   )
 }

@@ -146,6 +146,7 @@ object TextAnalysis {
     Q("t04_fingerprint",
       "content fingerprints: full, prefix, min-shingle, polynomial rolling hash",
       (s, d) => {
+        graft.plans.VectorExpressions.register(s)
         val norm = normText(col("text"))
         docs(s, d).select(col("doc_id"), norm.as("norm"))
           .select(
@@ -154,12 +155,12 @@ object TextAnalysis {
             h60(substring(col("norm"), 1, 64)).as("fp_prefix"),
             array_min(transform(wordNgrams(tokens(col("norm")), 3),
               g => h60(g))).as("fp_min_shingle"),
-            // Rabin-Karp style left-to-right polynomial hash over chars
-            // (base 31, Mersenne-31 modulus) — the incremental form a
-            // streaming ingest would maintain per chunk
-            aggregate(filter(split(col("norm"), ""), c => c =!= lit("")),
-              lit(0L), (h, c) => (h * 31 + ascii(c)) % MinHashP)
-              .as("fp_rolling"))
+            // Rabin-Karp style left-to-right polynomial hash (base 31,
+            // Mersenne-31 modulus) — the incremental form a streaming
+            // ingest would maintain per chunk. Native codegen expression
+            // pinned to unicode CODEPOINTS so the oracle's unicode()
+            // matches on non-ASCII text (Spark's ascii() would not).
+            call_function("graft_rolling_hash", col("norm")).as("fp_rolling"))
           .orderBy("doc_id")
       },
       Some("""WITH n AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm FROM documents),

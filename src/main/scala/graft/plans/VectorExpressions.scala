@@ -73,6 +73,65 @@ case class DotProductD(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Polynomial rolling hash over a string's UNICODE CODEPOINTS:
+  * `h := (h * 31 + codepoint) % 2147483647`, strictly left to right —
+  * the incremental fingerprint form a streaming ingest maintains per
+  * chunk (t04).
+  *
+  * Pinned to codepoints (not UTF-8 bytes, not UTF-16 units) so the DuckDB
+  * oracle (`unicode()` over `string_split(s, '')`) reproduces it for any
+  * text, including non-BMP; Spark's `ascii()` diverges on non-ASCII and a
+  * per-char HOF fold is interpreted — this is both the correctness and
+  * the codegen fix.
+  */
+case class RollingHash60(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: org.apache.spark.sql.types.StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_rolling_hash expects string, got ${t.sql}")
+  }
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "graft_rolling_hash"
+
+  @inline private def hashOf(s: String): Long = {
+    var h = 0L
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      h = (h * 31 + cp) % 2147483647L
+      i += Character.charCount(cp)
+    }
+    h
+  }
+
+  override protected def nullSafeEval(a: Any): Any =
+    hashOf(a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val s = ctx.freshName("s")
+      val h = ctx.freshName("h")
+      val i = ctx.freshName("i")
+      val cp = ctx.freshName("cp")
+      s"""
+         |java.lang.String $s = $a.toString();
+         |long $h = 0L;
+         |int $i = 0;
+         |while ($i < $s.length()) {
+         |  int $cp = $s.codePointAt($i);
+         |  $h = ($h * 31 + $cp) % 2147483647L;
+         |  $i += java.lang.Character.charCount($cp);
+         |}
+         |${ev.value} = $h;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): RollingHash60 =
+    copy(child = newChild)
+}
+
 object VectorExpressions {
 
   private def build(exprs: Seq[Expression]): Expression = {
@@ -80,13 +139,21 @@ object VectorExpressions {
     DotProductD(exprs.head, exprs(1))
   }
 
-  /** Register `graft_dot` in the session's function registry so operators
-    * can call it via `call_function` (the public Column-from-Expression
-    * path in Spark 4).
+  private def buildRolling(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 1, "graft_rolling_hash takes exactly 1 argument")
+    RollingHash60(exprs.head)
+  }
+
+  /** Register `graft_dot` / `graft_rolling_hash` in the session's function
+    * registry so operators can call them via `call_function` (the public
+    * Column-from-Expression path in Spark 4).
     */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_dot", build, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_rolling_hash", buildRolling, "built-in")
+  }
 }
 
 /** Session-extensions entry point: deploy cluster-wide with
@@ -95,7 +162,7 @@ object VectorExpressions {
   * per-query register() call.
   */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     ext.injectFunction((
       new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_dot"),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
@@ -104,4 +171,13 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
         require(exprs.length == 2, "graft_dot takes exactly 2 arguments")
         DotProductD(exprs.head, exprs(1))
       }))
+    ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_rolling_hash"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[RollingHash60].getName, "graft_rolling_hash"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1, "graft_rolling_hash takes exactly 1 argument")
+        RollingHash60(exprs.head)
+      }))
+  }
 }

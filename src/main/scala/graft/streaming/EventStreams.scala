@@ -71,8 +71,12 @@ object EventStreams {
         for (e <- sorted) {
           cur match {
             case Some(s) if e.ts.getTime - s.last.getTime <= gapMs =>
+              // A late-but-within-watermark event can sort before the stored
+              // session start (it arrived in a later batch); widen both ends
+              // so cross-batch boundaries match the globally-sorted batch twin.
+              val start = if (e.ts.getTime < s.start.getTime) e.ts else s.start
               val last = if (e.ts.getTime >= s.last.getTime) e.ts else s.last
-              cur = Some(s.copy(last = last, n = s.n + 1,
+              cur = Some(s.copy(start = start, last = last, n = s.n + 1,
                 total = s.total + e.value))
             case Some(s) =>
               closed ::= Session(userId, s.start, s.last, s.n, s.total)

@@ -127,10 +127,34 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(fps.distinct.length === fps.length)
   }
 
+  test("t04/m01 kernels pin to codepoints on non-ASCII text (oracle twin)") {
+    // Twin of the DuckDB formulas over text with 2- and 3-byte UTF-8 chars:
+    // unicode(substr(s,i,1)) == Java codePointAt; octet_length(encode(s))
+    // == UTF-8 byte count. Locks the byte-vs-codepoint choice in.
+    val s = "héllo 世界 the end"
+    val cps = s.codePoints().toArray
+    // graft_rolling_hash over codepoints, not Spark ascii() bytes
+    import spark.implicits._
+    graft.plans.VectorExpressions.register(spark)
+    val got = Seq(s).toDF("t")
+      .select(org.apache.spark.sql.functions
+        .call_function("graft_rolling_hash", org.apache.spark.sql.functions.col("t")))
+      .as[Long].head()
+    val want = cps.foldLeft(0L)((h, c) => (h * 31 + c) % 2147483647L)
+    assert(got === want)
+    // multimodal decode stub: n_bytes from UTF-8 payload, checksum from
+    // the first 16 codepoints of the decoded text
+    val rec = Multimodal.MediaRecord(7L, s.getBytes("UTF-8"), "media/x")
+    val meta = Multimodal.decodeOne(rec)
+    assert(meta.n_bytes === s.getBytes("UTF-8").length.toLong)
+    assert(meta.cp_sum16 === cps.take(16).map(_.toLong).sum)
+    assert(meta.n_frames === s.getBytes("UTF-8").length / 100 + 1)
+  }
+
   test("m01/m02: decode stub arithmetic and frame sampling line up") {
     val meta = run("m01_media_decode").collect()
     meta.foreach { r =>
-      val bs = r.getAs[Long]("byte_sum16")
+      val bs = r.getAs[Long]("cp_sum16")
       assert(r.getAs[Long]("width") === 64 + (bs * 31) % 1857)
       assert(r.getAs[Long]("height") === 64 + (bs * 17) % 1017)
       assert(Seq("jpeg", "png", "webp").contains(r.getAs[String]("codec")))

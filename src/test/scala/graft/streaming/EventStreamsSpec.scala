@@ -134,6 +134,35 @@ class EventStreamsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("late-but-within-watermark event in a later batch widens session start") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[EventStreams.Event]
+    val q = EventStreams.sessionize(in.toDS(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("sessions3")
+      .outputMode("append").start()
+    try {
+      // batch 1: user 3 at 10:10 → watermark becomes 09:40
+      in.addData(EventStreams.Event(1, ts("10:10"), 3, "click", 1.0))
+      q.processAllAvailable()
+      // batch 2: OUT-OF-ORDER event at 10:05 (after 09:40 watermark, before
+      // the stored session start) must extend the session backwards, exactly
+      // as the globally-sorted batch twin (q22) would place it
+      in.addData(EventStreams.Event(2, ts("10:05"), 3, "view", 2.0))
+      q.processAllAvailable()
+      // flush: push the watermark far past 10:40 so the session closes
+      in.addData(EventStreams.Event(9, ts("23:00"), 4, "click", 0.0))
+      q.processAllAvailable()
+      in.addData(EventStreams.Event(10, ts("23:59"), 4, "click", 0.0))
+      q.processAllAvailable()
+      val s = spark.table("sessions3").filter(col("user_id") === 3L).collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1).toString,
+          r.getTimestamp(2).toString, r.getLong(3), r.getDouble(4)))
+      assert(s.toSeq === Seq(
+        (3L, "2026-01-01 10:05:00.0", "2026-01-01 10:10:00.0", 2L, 3.0)))
+    } finally q.stop()
+  }
+
   test("in-session gap splits into two sessions on the same user") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
