@@ -29,37 +29,55 @@ object Dedup {
   private def docs(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
 
-  /** doc_id + 60-bit hashes of the distinct word-trigram shingle set
-    * (+ set size), as a typed per-partition kernel.
+  /** Distinct word-trigram 60-bit shingle hashes of one document — the
+    * typed kernel behind [[explodedShingles]].
     *
     * Why not pure column expressions: higher-order functions are
     * interpreted, and CollapseProject inlines the tokenization into every
     * `element_at` of the trigram builder — and, worse, into the Generate
     * when a consumer explodes the array — re-evaluating the whole
     * tokenize+md5 pipeline per shingle instead of per document (measured
-    * 40× slower at sf0.1). The typed kernel runs the O(|text|) string work
-    * exactly once per document in JVM code; downstream consumers see a
-    * materialized array column. Semantics are identical to
+    * 40× slower at sf0.1). The kernel runs the O(|text|) string work
+    * exactly once per document in JVM code. Semantics are identical to
     * normText/tokens/wordNgrams + h60 (the DuckDB oracle still verifies
     * against its own SQL formulation).
     */
-  private[operators] def shingledHashed(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    docs(s, d).select(col("doc_id"), col("text")).as[(Long, String)]
-      .mapPartitions { it =>
-        it.flatMap { case (id, text) =>
-          val toks = text.toLowerCase(java.util.Locale.ROOT)
-            .split("\\s+").filter(_.nonEmpty)
-          if (toks.length < 3) None
-          else {
-            val sh = (0 to toks.length - 3)
-              .map(i => s"${toks(i)} ${toks(i + 1)} ${toks(i + 2)}")
-              .distinct
-            Some((id, sh.map(h60Scala).toArray, sh.length))
-          }
-        }
+  private def tokenize(text: String): Array[String] = {
+    // manual whitespace scan: String.split compiles its regex per call,
+    // which showed up at millions of documents. The character set is
+    // exactly regex \s (Java and RE2 agree: [ \t\n\f\r]) — NOT
+    // Character.isWhitespace, which adds unicode separators the oracle's
+    // regexp_replace would keep.
+    def ws(c: Char): Boolean =
+      c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val n = text.length
+    var i = 0
+    while (i < n) {
+      while (i < n && ws(text.charAt(i))) i += 1
+      val start = i
+      while (i < n && !ws(text.charAt(i))) i += 1
+      if (i > start) out += text.substring(start, i)
+    }
+    out.toArray
+  }
+
+  private def shinglesOf(text: String): Array[Long] = {
+    val toks = tokenize(text.toLowerCase(java.util.Locale.ROOT))
+    if (toks.length < 3) Array.emptyLongArray
+    else {
+      val seen = new java.util.LinkedHashSet[String](toks.length * 2)
+      var i = 0
+      while (i <= toks.length - 3) {
+        seen.add(toks(i) + " " + toks(i + 1) + " " + toks(i + 2))
+        i += 1
       }
-      .toDF("doc_id", "shl", "nsh")
+      val out = new Array[Long](seen.size)
+      val jt = seen.iterator()
+      var k = 0
+      while (jt.hasNext) { out(k) = h60Scala(jt.next()); k += 1 }
+      out
+    }
   }
 
   private val sqlShingled =
@@ -96,9 +114,17 @@ object Dedup {
     * (unlike the array form, whose cache serialization cost exceeded its
     * recompute savings ~10×), so callers that branch over it cache it.
     */
-  private[operators] def explodedShingles(s: SparkSession, d: String): DataFrame =
-    shingledHashed(s, d)
-      .select(col("doc_id"), col("nsh"), explode(col("shl")).as("shingle"))
+  private[graft] def explodedShingles(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    docs(s, d).select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        it.flatMap { case (id, text) =>
+          val sh = shinglesOf(text)
+          sh.map(h => (id, sh.length, h))
+        }
+      }
+      .toDF("doc_id", "nsh", "shingle")
+  }
 
   /** Spark side of the exact pair computation (d02, and the verification
     * stage of d03/d06): inverted-index equi-join on the 60-bit shingle
@@ -110,8 +136,12 @@ object Dedup {
     * the standard recall-preserving mitigation for J >= 0.5 thresholds.
     */
   private def jaccardPairs(ex: DataFrame, threshold: Double): DataFrame = {
-    val a = ex.select(col("doc_id").as("doc_a"), col("nsh").as("size_a"), col("shingle"))
-    val b = ex.select(col("doc_id").as("doc_b"), col("nsh").as("size_b"), col("shingle"))
+    // Pre-partition ONCE by the join key: both self-join sides then plan
+    // identical exchanges and Spark's ReuseExchange computes the shuffle
+    // once instead of twice (measured ~25% off the whole pair stage).
+    val exP = ex.repartition(col("shingle"))
+    val a = exP.select(col("doc_id").as("doc_a"), col("nsh").as("size_a"), col("shingle"))
+    val b = exP.select(col("doc_id").as("doc_b"), col("nsh").as("size_b"), col("shingle"))
     a.join(b, Seq("shingle"))
       .filter(col("doc_a") < col("doc_b"))
       .groupBy("doc_a", "doc_b", "size_a", "size_b")
@@ -131,14 +161,22 @@ object Dedup {
     * count intersections with the same inverted-index join, and keep only
     * the candidate pairs. No array materialization, no extra shingle
     * kernel runs.
+    *
+    * `pairLevel = false` skips the final pair semi-join: correct when the
+    * candidate generator is LOSSLESS (d06's prefix filter — every true
+    * pair is a candidate, so qualifying pairs among candidate docs ARE the
+    * answer). A probabilistic generator (d03's LSH) must keep it, else the
+    * output would silently include pairs LSH missed and the recall claim
+    * the oracle checks would be vacuous.
     */
   private def verifyCandidates(ex: DataFrame, cand: DataFrame,
-      threshold: Double): DataFrame = {
+      threshold: Double, pairLevel: Boolean = true): DataFrame = {
     val candDocs = cand.select(col("doc_a").as("doc_id"))
       .union(cand.select(col("doc_b").as("doc_id"))).distinct()
     val exC = ex.join(broadcast(candDocs), Seq("doc_id"), "left_semi")
-    jaccardPairs(exC, threshold)
-      .join(broadcast(cand), Seq("doc_a", "doc_b"), "left_semi")
+    val exact = jaccardPairs(exC, threshold)
+    if (pairLevel) exact.join(broadcast(cand), Seq("doc_a", "doc_b"), "left_semi")
+    else exact
   }
 
   val registry: Seq[Q] = Seq(
@@ -232,12 +270,16 @@ object Dedup {
         val prefix = ex.withColumn("df", count(lit(1)).over(wDf))
           .withColumn("rk", row_number().over(w))
           .filter(col("rk") <= col("nsh") - ceil(col("nsh") * t) + 1)
-          .select(col("doc_id"), col("shingle"))
+          .select(col("doc_id"), col("nsh"), col("shingle"))
+        // Size filter (J >= t forces t·|a| <= |b| <= |a|/t) prunes pairs
+        // before the exchange; pair-level distinct is unnecessary since
+        // only the distinct participating DOCS feed verification.
         val cand = prefix.as("x").join(prefix.as("y"), Seq("shingle"))
-          .filter(col("x.doc_id") < col("y.doc_id"))
+          .filter(col("x.doc_id") < col("y.doc_id") &&
+            col("y.nsh") >= col("x.nsh") * t && col("x.nsh") >= col("y.nsh") * t)
           .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-          .distinct()
-        verifyCandidates(ex, cand, t).orderBy("doc_a", "doc_b")
+        verifyCandidates(ex, cand, t, pairLevel = false)
+          .orderBy("doc_a", "doc_b")
       },
       Some(sqlExactJaccard(0.5))),
 
