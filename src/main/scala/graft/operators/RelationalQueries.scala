@@ -471,6 +471,111 @@ object RelationalQueries {
              |JOIN nation ON c_nationkey = n_nationkey
              |JOIN region ON n_regionkey = r_regionkey
              |GROUP BY ROLLUP (r_name, n_name)
-             |ORDER BY region ASC NULLS FIRST, nation ASC NULLS FIRST""".stripMargin))
+             |ORDER BY region ASC NULLS FIRST, nation ASC NULLS FIRST""".stripMargin)),
+
+    // Exact order statistics per group. PERCENTILE_DISC (not _CONT): the
+    // discrete variant SELECTS an element instead of interpolating, so the
+    // result is bit-exact across engines with no float-arithmetic pinning.
+    // Exact percentiles need the whole group sorted — at 100 TB switch to
+    // approx_percentile (t-digest, mergeable map-side sketches); kept exact
+    // here because the gate hash-compares values.
+    Q("q25_quantiles",
+      "exact per-type value percentiles (PERCENTILE_DISC) over events",
+      (s, d) => {
+        Tables.events(s, d).groupBy(col("event_type"))
+          .agg(
+            count(lit(1)).as("n"),
+            min(col("value")).as("min_value"),
+            expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value)").as("median_value"),
+            expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY value)").as("p95_value"),
+            max(col("value")).as("max_value"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type, count(*) AS n,
+             |  min(value) AS min_value,
+             |  quantile_disc(value, 0.5) AS median_value,
+             |  quantile_disc(value, 0.95) AS p95_value,
+             |  max(value) AS max_value
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // Set operators (§2.7: none in the reference — engine surface). Each
+    // branch is a distinct-projection set op; Spark plans them as
+    // hash-aggregates over a single shuffle per branch.
+    Q("q26_setops",
+      "INTERSECT / EXCEPT / UNION over customers-with-orders vs all customers",
+      (s, d) => {
+        def t(n: String): DataFrame = Tables.load(s, d, n)
+        val cust = t("customer").select(col("c_custkey").as("key"))
+        val withOrders = t("orders").select(col("o_custkey").as("key"))
+        val both = cust.intersect(withOrders).withColumn("tag", lit("has_orders"))
+        val none = cust.except(withOrders).withColumn("tag", lit("no_orders"))
+        both.union(none).select("tag", "key").orderBy("tag", "key")
+      },
+      Some("""SELECT 'has_orders' AS tag, key FROM (
+             |  SELECT c_custkey AS key FROM customer
+             |  INTERSECT SELECT o_custkey FROM orders)
+             |UNION ALL
+             |SELECT 'no_orders' AS tag, key FROM (
+             |  SELECT c_custkey AS key FROM customer
+             |  EXCEPT SELECT o_custkey FROM orders)
+             |ORDER BY tag, key""".stripMargin)),
+
+    // Long→wide pivot — the inverse of q12's unpivot (the export shape the
+    // reference's wide counts matrix arrives in, S4). The pivot column
+    // domain is declared explicitly: Spark then plans a single map-side
+    // pivot aggregate with no distinct-values discovery job, which is also
+    // the only shape that scales (an undeclared domain collects distinct
+    // values to the driver).
+    Q("q27_pivot",
+      "monthly event counts pivoted wide by event type (declared domain)",
+      (s, d) => {
+        val types = Seq("click", "error", "purchase", "signup", "view")
+        val p = Tables.events(s, d)
+          .withColumn("month", date_trunc("month", col("ts")))
+          .groupBy("month").pivot("event_type", types).count()
+        types.foldLeft(p)((df, t) =>
+          df.withColumn(t, coalesce(col(t), lit(0L))))
+          .orderBy("month")
+      },
+      Some("""SELECT date_trunc('month', ts) AS month,
+             |  count(*) FILTER (WHERE event_type = 'click') AS click,
+             |  count(*) FILTER (WHERE event_type = 'error') AS error,
+             |  count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+             |  count(*) FILTER (WHERE event_type = 'signup') AS signup,
+             |  count(*) FILTER (WHERE event_type = 'view') AS view
+             |FROM events GROUP BY 1 ORDER BY month""".stripMargin)),
+
+    // As-of join — an operator Spark lacks natively (DuckDB: ASOF JOIN).
+    // Composed from existing ops per the preference order: union the two
+    // event roles, one window pass per user carries the latest view time
+    // forward (last_value ignoreNulls), and purchases read it — O(n log n)
+    // in the partition, no range self-join blowup. Ties: views sort before
+    // purchases at equal ts (kind 0 < 1), matching ASOF's v.ts <= p.ts.
+    // At 100 TB this shuffles once by user_id — the same partitioning the
+    // sessionization and rolling-window queries reuse.
+    Q("q28_asof_join",
+      "for each purchase, the latest view at or before it (as-of join)",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val views = ev.filter(col("event_type") === "view")
+          .select(col("user_id"), col("ts"), lit(0).as("kind"),
+            lit(null).cast("long").as("event_id"), col("ts").as("vts"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"), lit(1).as("kind"),
+            col("event_id"), lit(null).cast("timestamp").as("vts"))
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts").asc, col("kind").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        views.union(purchases)
+          .withColumn("view_ts", last(col("vts"), ignoreNulls = true).over(w))
+          .filter(col("kind") === 1 && col("view_ts").isNotNull)
+          .select(col("event_id"), col("user_id"), col("ts"), col("view_ts"))
+          .orderBy("event_id")
+      },
+      Some("""WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+             |v AS (SELECT user_id, ts AS view_ts FROM events WHERE event_type = 'view')
+             |SELECT p.event_id, p.user_id, p.ts, v.view_ts
+             |FROM p ASOF JOIN v ON p.user_id = v.user_id AND v.view_ts <= p.ts
+             |ORDER BY event_id""".stripMargin))
   )
 }

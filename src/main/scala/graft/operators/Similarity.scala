@@ -175,6 +175,65 @@ object Similarity {
              |SELECT query_id, rank, neighbor_id, probe_label FROM ranked
              |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin)),
 
+    // Vector quantization / cluster assignment — the build step of the IVF
+    // index (one k-means assignment iteration): every vector goes to its
+    // nearest exact centroid. Centroid derivation shares s03's pinned-order
+    // fold; assignment is a broadcast cross join (k centroids) + one window,
+    // i.e. O(n·k·dim) codegen'd dots with NO shuffle of the corpus — at
+    // 100 TB the corpus stays put and only the k×dim centroid table moves.
+    Q("s04_centroid_assign",
+      "assign each vector to its nearest exact-centroid cluster",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        graft.plans.VectorExpressions.register(s)
+        val v = e.select(col("vec_id"), col("label").cast("long").as("own_label"),
+          vecD(col("embedding")).as("v"))
+          .withColumn("nrm", sqrt(dotFast(col("v"), col("v"))))
+        val cent = v.groupBy(col("own_label").as("clabel"))
+          .agg(count(lit(1)).as("cnt"),
+            array_sort(collect_list(struct(col("vec_id"), col("v")))).as("vs"))
+          .select(col("clabel"), transform(sequence(lit(1), lit(Dim)), i =>
+            aggregate(col("vs"), lit(0.0),
+              (acc, p) => acc + element_at(p.getField("v"), i)) / col("cnt"))
+            .as("cent"))
+          .withColumn("cnrm", sqrt(dotFast(col("cent"), col("cent"))))
+        val w = Window.partitionBy(col("vec_id"))
+          .orderBy(col("ccos").desc, col("clabel").asc)
+        v.crossJoin(broadcast(cent))
+          .withColumn("ccos",
+            dotFast(col("v"), col("cent")) / (col("nrm") * col("cnrm")))
+          .withColumn("crank", row_number().over(w))
+          .filter(col("crank") === 1)
+          .select(col("vec_id"), col("own_label"),
+            col("clabel").as("assigned_label"),
+            (col("own_label") === col("clabel")).as("is_own"))
+          .orderBy("vec_id")
+      },
+      Some(s"""$sqlVectors,
+             |v AS (SELECT vec_id, own_label, v, nrm FROM (
+             |  SELECT e2.vec_id, e2.label::BIGINT AS own_label, n.v, n.nrm
+             |  FROM embeddings e2 JOIN n ON e2.vec_id = n.vec_id)),
+             |cent0 AS (SELECT own_label AS clabel, count(*) AS cnt,
+             |    list(v ORDER BY vec_id) AS vs FROM v GROUP BY own_label),
+             |cent AS (SELECT clabel,
+             |    list_transform(range(1, 65), i ->
+             |      list_reduce(list_prepend(0.0::DOUBLE,
+             |        list_transform(vs, p -> p[i])), (a, b) -> a + b) / cnt) AS cent
+             |  FROM cent0),
+             |centn AS (SELECT clabel, cent,
+             |    sqrt(list_reduce(list_transform(range(1, 65), i -> cent[i] * cent[i]),
+             |      (x, y) -> x + y)) AS cnrm FROM cent),
+             |scored AS (SELECT v.vec_id, v.own_label, c.clabel,
+             |    list_reduce(list_transform(range(1, 65), i -> v.v[i] * c.cent[i]), (x, y) -> x + y)
+             |      / (v.nrm * c.cnrm) AS ccos
+             |  FROM v CROSS JOIN centn c),
+             |ranked AS (SELECT vec_id, own_label, clabel, ccos,
+             |  row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, clabel) AS crank
+             |FROM scored)
+             |SELECT vec_id, own_label, clabel AS assigned_label,
+             |  own_label = clabel AS is_own
+             |FROM ranked WHERE crank = 1 ORDER BY vec_id""".stripMargin)),
+
     Q("s02_knn_lsh",
       "LSH-bucketed ANN: top-3 within the query's sign bucket (8 hyperplanes)",
       (s, d) => {

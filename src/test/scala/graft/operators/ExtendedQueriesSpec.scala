@@ -1,0 +1,116 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Semantic invariants for the round-3 additions (q25-q28, s04): the
+  * DuckDB oracle pins exact values; these pin the relationships — as-of
+  * ordering, pivot mass conservation, set-op partitioning, percentile
+  * membership, assignment optimality.
+  */
+class ExtendedQueriesSpec extends SparkTestBase {
+
+  private val sf = "/root/testdata/sf0.001"
+  private def run(name: String): DataFrame =
+    graft.SparkEntry.queries(name)(spark, sf)
+
+  test("q25 percentiles are elements of their group with correct rank bounds") {
+    val byType = graft.core.Tables.events(spark, sf)
+      .select("event_type", "value").collect()
+      .groupBy(_.getString(0)).map { case (t, rs) =>
+        t -> rs.map(_.getDouble(1)).sorted
+      }
+    run("q25_quantiles").collect().foreach { r =>
+      val vals = byType(r.getString(0))
+      val med = r.getAs[Double]("median_value")
+      val p95 = r.getAs[Double]("p95_value")
+      assert(vals.contains(med), "PERCENTILE_DISC must select an element")
+      assert(vals.contains(p95))
+      // discrete percentile: smallest element with cume_dist >= p
+      val n = vals.length
+      assert(vals.count(_ <= med) >= math.ceil(0.5 * n).toInt)
+      assert(vals.count(_ < med) < math.ceil(0.5 * n).toInt)
+      assert(med <= p95 && p95 <= r.getAs[Double]("max_value"))
+    }
+  }
+
+  test("q26 set ops partition the customer keys") {
+    val rows = run("q26_setops").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val custs = graft.core.Tables.load(spark, sf, "customer")
+      .select("c_custkey").collect().map(_.getLong(0)).toSet
+    val has = rows.filter(_._1 == "has_orders").map(_._2).toSet
+    val not = rows.filter(_._1 == "no_orders").map(_._2).toSet
+    assert(has.intersect(not).isEmpty)
+    assert(has.union(not) === custs)
+  }
+
+  test("q27 pivot conserves event mass and matches q12-style long counts") {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val wide = run("q27_pivot").collect()
+    val total = wide.map(r => types.map(t => r.getAs[Long](t)).sum).sum
+    val expected = graft.core.Tables.events(spark, sf).count()
+    assert(total === expected)
+  }
+
+  test("q28 as-of join: view_ts is the max view time at or before each purchase") {
+    val views = graft.core.Tables.events(spark, sf)
+      .filter(col("event_type") === "view")
+      .select("user_id", "ts").collect()
+      .groupBy(_.getLong(0))
+      .map { case (u, rs) => u -> rs.map(_.getTimestamp(1).getTime).sorted }
+    val purchases = graft.core.Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase").count()
+    val out = run("q28_asof_join").collect()
+    assert(out.nonEmpty && out.length <= purchases)
+    out.foreach { r =>
+      val u = r.getLong(1)
+      val ts = r.getTimestamp(2).getTime
+      val vts = r.getTimestamp(3).getTime
+      val eligible = views.getOrElse(u, Array.empty[Long]).filter(_ <= ts)
+      assert(eligible.nonEmpty && vts === eligible.max,
+        s"user $u purchase@$ts expected ${eligible.lastOption}, got $vts")
+    }
+  }
+
+  test("s04 assignment is the argmax-cosine centroid (driver-side recompute)") {
+    // recompute centroids and assignments in plain Scala with the same
+    // pinned fold order, then compare the full assignment
+    val vecs = graft.core.Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding", "label").collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[Float](1).map(_.toDouble).toArray, r.getInt(2).toLong))
+      .sortBy(_._1)
+    val centroids = vecs.groupBy(_._3).map { case (l, vs) =>
+      val dim = vs.head._2.length
+      val c = new Array[Double](dim)
+      for (i <- 0 until dim) {
+        var acc = 0.0
+        vs.sortBy(_._1).foreach(v => acc += v._2(i)) // left fold by vec_id
+        c(i) = acc / vs.length
+      }
+      l -> c
+    }
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    def nrm(a: Array[Double]) = math.sqrt(dot(a, a))
+    val expected = vecs.map { case (id, v, own) =>
+      val best = centroids.toSeq.map { case (l, c) =>
+        (dot(v, c) / (nrm(v) * nrm(c)), l)
+      }.maxBy { case (cos, l) => (cos, -l) } // cosine desc, label asc
+      id -> best._2
+    }.toMap
+    val rows = run("s04_centroid_assign").collect()
+    assert(rows.length === vecs.length)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getAs[Long]("assigned_label") === expected(id),
+        s"vec $id assigned to non-optimal centroid")
+      assert(r.getAs[Boolean]("is_own") ===
+        (r.getAs[Long]("own_label") == expected(id)))
+    }
+  }
+}
