@@ -1,0 +1,107 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.DataFrame
+
+/** Physical-plan audits: the properties that decide whether a query
+  * survives a 100× scale-up — filter/column pushdown into the parquet
+  * scan, broadcast vs shuffle join choice, and shuffle counts — asserted
+  * against the executed plan so a regression (a lost broadcast hint, a
+  * filter that stopped pushing, an accidental extra exchange) fails CI
+  * instead of surfacing as a 10× slowdown on the cluster.
+  *
+  * Plans are inspected AFTER collect(): with AQE the final physical plan
+  * only exists once the query ran.
+  */
+class PlanShapeSpec extends SparkTestBase {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  /** The FINAL adaptive plan only — AQE's toString appends the initial
+    * plan too, which would double-count operators.
+    */
+  private def executedPlan(name: String): String = {
+    val df = graft.SparkEntry.queries(name)(spark, sf)
+    df.collect()
+    val full = df.queryExecution.executedPlan.toString
+    val cut = full.indexOf("== Initial Plan ==")
+    if (cut >= 0) full.substring(0, cut) else full
+  }
+
+  private def countOf(plan: String, token: String): Int =
+    token.r.findAllMatchIn(plan).length
+
+  test("q05: conjunctive filter and IN-list push down to the parquet scan") {
+    val plan = executedPlan("q05_filter_in")
+    assert(plan.contains("PushedFilters: ["), plan.take(2000))
+    assert(plan.contains("In(o_orderstatus") || plan.contains("In(value=o_orderstatus"),
+      "IN-list should reach the scan")
+    assert(plan.contains("EqualTo(o_orderpriority"), "equality should reach the scan")
+  }
+
+  test("q05: scan reads only the projected columns (pruning)") {
+    val plan = executedPlan("q05_filter_in")
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("o_orderkey") && readSchema.contains("o_totalprice"))
+    assert(!readSchema.contains("o_comment") && !readSchema.contains("o_custkey"),
+      s"scan reads columns the query never uses: $readSchema")
+  }
+
+  test("q10: dimension joins are broadcast, not shuffled") {
+    val plan = executedPlan("q10_join_agg")
+    assert(countOf(plan, "BroadcastHashJoin") == 2, "nation and region broadcast")
+    assert(!plan.contains("SortMergeJoin"),
+      "a dimension join fell back to sort-merge")
+  }
+
+  test("t01: token stats is a pure narrow projection — zero pre-sort shuffles") {
+    val plan = executedPlan("t01_token_stats")
+    // the only exchange allowed is the final ORDER BY's range partitioning
+    val exchanges = plan.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.forall(_.contains("rangepartitioning")),
+      s"narrow operator acquired a data shuffle: $exchanges")
+  }
+
+  test("d04: simhash sketch adds no shuffle beyond the final sort") {
+    val plan = executedPlan("d04_simhash")
+    val exchanges = plan.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.forall(_.contains("rangepartitioning")),
+      s"sketch operator acquired a data shuffle: $exchanges")
+  }
+
+  test("q28: as-of join shuffles once by user, not per role") {
+    val plan = executedPlan("q28_asof_join")
+    val hashExchanges = plan.linesIterator
+      .filter(l => l.contains("Exchange hashpartitioning")).toSeq
+    assert(hashExchanges.size == 1,
+      s"expected exactly one hash exchange (user_id), got: $hashExchanges")
+    assert(hashExchanges.head.contains("user_id"))
+  }
+
+  test("q01: aggregation is partial (map-side combine) before the exchange") {
+    val plan = executedPlan("q01_groupby_having")
+    assert(plan.contains("partial_count") || plan.contains("HashAggregate"),
+      "groupBy should plan partial aggregation")
+    // partial agg must appear below the exchange: find first Exchange line
+    val lines = plan.linesIterator.toSeq
+    val exIdx = lines.indexWhere(_.contains("Exchange hashpartitioning"))
+    val partialBelow = lines.drop(exIdx).exists(_.contains("partial_count"))
+    assert(exIdx >= 0 && partialBelow, "no map-side partial aggregate found")
+  }
+
+  test("s01: brute-force kNN broadcasts the query side (corpus never moves)") {
+    val plan = executedPlan("s01_knn_bruteforce")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      "query set should broadcast")
+    assert(!plan.contains("CartesianProduct"),
+      "corpus-side cartesian product would shuffle the corpus")
+  }
+
+  test("hot relational queries stay inside whole-stage codegen") {
+    for (name <- Seq("q01_groupby_having", "q05_filter_in", "q13_qc_rollup")) {
+      val plan = executedPlan(name)
+      // executedPlan.toString marks codegen stages with a "*(n)" prefix
+      assert(plan.contains("*("), s"$name lost codegen:\n${plan.take(1500)}")
+    }
+  }
+}
