@@ -38,6 +38,19 @@ object EventStreams {
   final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
       event_type: String, value: Double)
 
+  /** At-least-once ingest dedup: an upstream source that redelivers (Kafka
+    * without transactions, HTTP retries — the reference's own re-scanned
+    * ingest, db.py:215-221) is deduped on event_id inside the watermark
+    * window, the streaming twin of the batch anti-join J1 / d01 hash dedup.
+    * State holds only ids younger than the watermark, so memory tracks the
+    * redelivery horizon, not history — the property that lets this run
+    * forever at 100 TB/day.
+    */
+  def dedupedIngest(events: Dataset[Event], watermark: String = "2 hours"): Dataset[Event] =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** State keeps the original Timestamps (not epoch millis) so sub-ms
     * precision survives into the emitted sessions — required for exact
     * agreement with the batch twin (q22) on microsecond event times.

@@ -134,6 +134,29 @@ class EventStreamsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("dedupedIngest drops at-least-once redeliveries across batches") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[EventStreams.Event]
+    val q = EventStreams.dedupedIngest(in.toDS())
+      .writeStream.format("memory").queryName("dedup_ingest")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        EventStreams.Event(1, ts("10:00"), 1, "click", 1.0),
+        EventStreams.Event(2, ts("10:05"), 1, "view", 2.0),
+        EventStreams.Event(2, ts("10:05"), 1, "view", 2.0)) // in-batch dup
+      q.processAllAvailable()
+      // redelivery in a LATER batch (same id, within the watermark)
+      in.addData(
+        EventStreams.Event(1, ts("10:00"), 1, "click", 1.0),
+        EventStreams.Event(3, ts("10:20"), 2, "click", 3.0))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_ingest").collect().map(_.getLong(0)).sorted
+      assert(ids.toSeq === Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
   test("late-but-within-watermark event in a later batch widens session start") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
