@@ -10,11 +10,21 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Warm the JVM/codegen/parquet-footer paths so the first measured query
-    // isn't charged session startup (~3-4 s of JIT + file-index building).
+    // Warm the JVM/codegen/datasource paths so the first measured queries
+    // aren't charged session startup: JIT + codegen compiler init, parquet
+    // footer/file-index building per table, and the CSV/text reader class
+    // loading the fixture queries hit first (alphabetical order puts c01
+    // in front).
     try {
       spark.range(1000).selectExpr("sum(id)").collect()
-      spark.read.parquet(s"$sfDir/lineitem.parquet").limit(1).collect()
+      graft.core.Tables.all.filterNot(_ == "events").foreach { t =>
+        try graft.core.Tables.load(spark, sfDir, t).limit(1).collect()
+        catch { case _: Throwable => () }
+      }
+      graft.core.Tables.events(spark, sfDir).limit(1).collect()
+      spark.read.option("sep", "\t").option("header", "true")
+        .csv("fixtures/summary.tsv").limit(1).collect()
+      spark.read.text("fixtures/sources.txt").limit(1).collect()
     } catch { case _: Throwable => () }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
