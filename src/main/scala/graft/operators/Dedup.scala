@@ -252,11 +252,16 @@ object Dedup {
     // shingles by ascending global frequency; for threshold t a pair with
     // J >= t MUST share an element within both docs' first
     // n − ⌈t·n⌉ + 1 shingles — so the inverted-index join runs only on
-    // those prefixes (rarest shingles first), shrinking join input ~2× and
-    // join output far more, with zero recall loss. The oracle is the same
-    // exact all-pairs answer as d02, so the gate proves losslessness.
-    // At 100 TB this is the exact-dedup workhorse when LSH's probabilistic
-    // recall isn't acceptable. Document frequency comes from a window count
+    // those prefixes (rarest shingles first), with zero recall loss. The
+    // oracle is the exact all-pairs answer, so the gate proves
+    // losslessness. Run at t = 0.9 (the planted near-dup level): prefix
+    // filtering is the high-threshold workhorse — the prefix is ~n/10, so
+    // candidates collapse to ~the true pair set and verification touches
+    // only those docs, where d02's full join must group every
+    // shingle-sharing pair. (At t = 0.5 the prefix is n/2 and pruning
+    // barely pays — that regime belongs to d03's LSH.) At 100 TB this is
+    // the exact-dedup path when LSH's probabilistic recall isn't
+    // acceptable. Document frequency comes from a window count
     // over the exploded frame — one shuffle by shingle, fully distributed
     // (an earlier broadcast-join formulation collected every distinct
     // shingle to the driver: wrong at any scale, and 2× slower even at
@@ -264,9 +269,9 @@ object Dedup {
     // a Count-Min sketch is a valid substitute when even the window's
     // shuffle is unwelcome.
     Q("d06_prefix_jaccard",
-      "prefix-filtered exact trigram-Jaccard join (lossless candidate pruning)",
+      "prefix-filtered exact trigram-Jaccard join at 0.9 (lossless pruning)",
       (s, d) => {
-        val t = 0.5
+        val t = 0.9
         val ex = explodedShingles(s, d).cache()
         val wDf = Window.partitionBy(col("shingle"))
         val w = Window.partitionBy(col("doc_id"))
@@ -285,7 +290,7 @@ object Dedup {
         verifyCandidates(ex, cand, t, pairLevel = false)
           .orderBy("doc_a", "doc_b")
       },
-      Some(sqlExactJaccard(0.5))),
+      Some(sqlExactJaccard(0.9))),
 
     // SimHash: 60-bit per-doc sketch, zero shuffle — token counting and the
     // per-bit weighted vote are pure array expressions over each row, so
