@@ -600,6 +600,32 @@ object RelationalQueries {
              |  min(json_extract(props, '$.k')::BIGINT) AS min_k,
              |  max(json_extract(props, '$.k')::BIGINT) AS max_k,
              |  count(DISTINCT json_extract(props, '$.k')::BIGINT) AS distinct_k
-             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin))
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // Skew-salted large-x-large join (operators/Skew.scala): the fact side
+    // of each key spreads across 8 salt partitions, the dim side
+    // replicates 8x, and the aggregate rolls the salt back up — the
+    // oracle is the PLAIN join+group, proving salting is
+    // semantics-preserving. For a truly dimension-sized side you'd
+    // broadcast instead (q10); salting is for two large inputs whose hot
+    // keys a single reducer can't hold. AQE skew-split is the runtime
+    // alternative for SMJ plans.
+    Q("q30_salted_join",
+      "orders ⋈ customer via explicit 8-way salting, revenue per nation",
+      (s, d) => {
+        def t(n: String): DataFrame = Tables.load(s, d, n)
+        val orders = t("orders").select(col("o_custkey").as("c_custkey"),
+          col("o_totalprice"))
+        val cust = t("customer").select(col("c_custkey"), col("c_nationkey"))
+        Skew.saltedJoin(orders, cust, "c_custkey", salts = 8)
+          .groupBy(col("c_nationkey").as("nationkey"))
+          .agg(count(lit(1)).as("n_orders"),
+            sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("revenue"))
+          .orderBy("nationkey")
+      },
+      Some("""SELECT c_nationkey AS nationkey, count(*) AS n_orders,
+             |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+             |FROM orders JOIN customer ON o_custkey = c_custkey
+             |GROUP BY 1 ORDER BY nationkey""".stripMargin))
   )
 }

@@ -265,6 +265,53 @@ object Similarity {
              |  row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
              |FROM scored)
              |SELECT query_id, rank, neighbor_id, bucket FROM ranked
+             |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin)),
+
+    // Multi-probe LSH: also search the 8 Hamming-distance-1 buckets (one
+    // hyperplane sign flipped). Probing m buckets buys the recall of ~m
+    // independent tables at the cost of ONE stored copy — the standard
+    // memory/recall trade (Lv et al., VLDB'07). Implementation: the query
+    // side explodes into 9 (bucket, query) probe rows, the corpus is
+    // untouched — the probe table stays the broadcast side, the corpus
+    // never reshuffles. Recall vs s01 is asserted by spec; the oracle
+    // re-derives the same probe set in SQL (bucket XOR 2^j).
+    Q("s05_knn_lsh_multiprobe",
+      "multi-probe LSH ANN: top-3 across the query's bucket + 8 Hamming-1 probes",
+      (s, d) => {
+        val e = vectors(s, d).withColumn("bucket", bucketCol(col("v")))
+        val q = e.filter(col("vec_id") % 50 === 0)
+          .select(col("vec_id").as("query_id"), col("v").as("qv"),
+            col("nrm").as("qn"), col("bucket"))
+          .withColumn("probe", explode(array(
+            col("bucket") +: (0 until 8).map(j =>
+              col("bucket").bitwiseXOR(lit(1L << j))): _*)))
+          .drop("bucket")
+        val w = Window.partitionBy(col("query_id"))
+          .orderBy(col("cosine").desc, col("vec_id").asc)
+        e.join(broadcast(q), col("bucket") === col("probe"))
+          .filter(col("vec_id") =!= col("query_id"))
+          .withColumn("cosine",
+            dotFast(col("v"), col("qv")) / (col("nrm") * col("qn")))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 3)
+          .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"))
+          .orderBy("query_id", "rank")
+      },
+      Some(s"""$sqlVectors,
+             |$sqlBucket,
+             |q0 AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn, bucket FROM b WHERE vec_id % 50 = 0),
+             |q AS (SELECT query_id, qv, qn, unnest(list_prepend(bucket,
+             |    list_transform(range(0, 8), j -> xor(bucket, CAST(power(2, j) AS BIGINT))))) AS probe
+             |  FROM q0),
+             |scored AS (
+             |  SELECT q.query_id, b.vec_id AS neighbor_id,
+             |    list_reduce(list_transform(range(1, 65), i -> b.v[i] * q.qv[i]), (x, y) -> x + y)
+             |      / (b.nrm * q.qn) AS cosine
+             |  FROM b JOIN q ON b.bucket = q.probe WHERE b.vec_id <> q.query_id),
+             |ranked AS (SELECT query_id, neighbor_id,
+             |  row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+             |FROM scored)
+             |SELECT query_id, rank, neighbor_id FROM ranked
              |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin))
   )
 }

@@ -115,6 +115,33 @@ class PipelineOpsSpec extends SparkTestBase {
     }
   }
 
+  test("s05 multi-probe top-1 dominates single-bucket s02 top-1 (superset probes)") {
+    // multiprobe searches the s02 bucket plus 8 Hamming-1 buckets — a
+    // strict candidate superset — so its best neighbor must be at least
+    // as close; verify with driver-side cosine recompute
+    val vecs = graft.core.Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .toMap
+    def cos(a: Long, b: Long): Double = {
+      val (x, y) = (vecs(a), vecs(b))
+      var (d, nx, ny) = (0.0, 0.0, 0.0)
+      for (i <- x.indices) { d += x(i) * y(i); nx += x(i) * x(i); ny += y(i) * y(i) }
+      d / math.sqrt(nx * ny)
+    }
+    def top1(name: String) = run(name).collect()
+      .filter(_.getAs[Int]("rank") == 1)
+      .map(r => r.getLong(0) -> r.getAs[Long]("neighbor_id")).toMap
+    val s1 = top1("s02_knn_lsh")
+    val m1 = top1("s05_knn_lsh_multiprobe")
+    assert(s1.keySet.subsetOf(m1.keySet),
+      "multiprobe must answer every query single-probe answers")
+    s1.foreach { case (q, n) =>
+      assert(cos(q, m1(q)) >= cos(q, n) - 1e-12,
+        s"query $q: multiprobe top-1 worse than single-probe")
+    }
+  }
+
   test("t03 langid: predictions come from the marker set and flags match") {
     val langs = Set("en", "es", "fr", "de", "zh", "und")
     run("t03_langid").collect().foreach { r =>
