@@ -179,6 +179,99 @@ object TextAnalysis {
              |    list_transform(list_filter(string_split(norm, ''), c -> c <> ''),
              |      c -> unicode(c)::BIGINT)),
              |    (h, c) -> (h * 31 + c) % 2147483647) AS fp_rolling
-             |FROM g ORDER BY doc_id""".stripMargin))
+             |FROM g ORDER BY doc_id""".stripMargin)),
+
+    // Gopher-style repetition metrics (Rae et al. 2021 §A1.1 use duplicate
+    // n-gram and top-n-gram character fractions as boilerplate signals).
+    // Spark side is a single-pass typed kernel: per-row hash-map counting
+    // is O(|doc|), needs no shuffle, and avoids the CollapseProject×HOF
+    // re-evaluation trap — the shape that survives a 100 TB corpus (the
+    // metric is embarrassingly parallel; cost is one parquet scan). The
+    // oracle recomputes with list functions plus a per-doc group-by for
+    // the arg-max bigram; ties break by (count DESC, bigram ASC) in both
+    // engines (kernel compares UTF-8 bytes = DuckDB binary collation).
+    Q("t05_repetition",
+      "repetition/boilerplate: duplicate n-gram fractions, top token/bigram mass",
+      (s, d) => {
+        import s.implicits._
+        docs(s, d).select(col("doc_id"), col("text")).as[(Long, String)]
+          .mapPartitions(_.map { case (id, tx) => repetitionOf(id, tx) })
+          .toDF()
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id, text, list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM documents),
+             |g AS (SELECT doc_id, text, toks, len(toks) AS n,
+             |  list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]) AS bg,
+             |  list_transform(range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS tg
+             |  FROM t),
+             |bx AS (SELECT doc_id, unnest(bg) AS b FROM g),
+             |bc AS (SELECT doc_id, b, count(*) AS c FROM bx GROUP BY 1, 2),
+             |top AS (SELECT doc_id, b, c,
+             |  row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, b) AS rn FROM bc)
+             |SELECT g.doc_id,
+             |  len(bg)::BIGINT AS n_bigrams,
+             |  CASE WHEN len(bg) > 0 THEN 1 - len(list_distinct(bg)) * 1.0 / len(bg) END AS dup_bigram_frac,
+             |  CASE WHEN len(tg) > 0 THEN 1 - len(list_distinct(tg)) * 1.0 / len(tg) END AS dup_trigram_frac,
+             |  CASE WHEN n > 0 THEN list_max(list_transform(list_distinct(toks), u -> len(list_filter(toks, x -> x = u)))) * 1.0 / n END AS top_token_frac,
+             |  top.b AS top_bigram,
+             |  CASE WHEN top.b IS NOT NULL THEN len(top.b) * top.c * 1.0 / len(text) END AS top_bigram_char_frac
+             |FROM g LEFT JOIN top ON g.doc_id = top.doc_id AND top.rn = 1
+             |ORDER BY g.doc_id""".stripMargin))
   )
+
+  /** Row shape of t05 — fractions are None where the denominator is 0. */
+  private[operators] final case class T05(doc_id: Long, n_bigrams: Long,
+      dup_bigram_frac: Option[Double], dup_trigram_frac: Option[Double],
+      top_token_frac: Option[Double], top_bigram: Option[String],
+      top_bigram_char_frac: Option[Double])
+
+  /** Single-pass repetition kernel for one document. Tokenization matches
+    * the oracle's `string_split(text, ' ')` + drop-empties exactly (split
+    * on the space character only); all character counts are unicode
+    * codepoints (= DuckDB `len`), not UTF-16 units, so non-ASCII text
+    * hashes identically.
+    */
+  private[operators] def repetitionOf(docId: Long, text: String): T05 = {
+    val toks = text.split(" ").filter(_.nonEmpty)
+    val n = toks.length
+    def cp(s: String): Int = s.codePointCount(0, s.length)
+    // UTF-8 byte order == codepoint order == DuckDB's binary collation;
+    // Scala's String ordering is UTF-16 code-unit order, which differs
+    // for supplementary characters.
+    def utf8Lt(a: String, b: String): Boolean =
+      java.util.Arrays.compareUnsigned(
+        a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        b.getBytes(java.nio.charset.StandardCharsets.UTF_8)) < 0
+    val bigrams = new java.util.HashMap[String, Int]()
+    var i = 0
+    while (i < n - 1) {
+      bigrams.merge(toks(i) + " " + toks(i + 1), 1, Integer.sum)
+      i += 1
+    }
+    val trigrams = new java.util.HashSet[String]()
+    i = 0
+    while (i < n - 2) {
+      trigrams.add(toks(i) + " " + toks(i + 1) + " " + toks(i + 2))
+      i += 1
+    }
+    val tokCounts = new java.util.HashMap[String, Int]()
+    toks.foreach(t => tokCounts.merge(t, 1, Integer.sum))
+    var maxTok = 0
+    tokCounts.values.forEach(v => if (v > maxTok) maxTok = v)
+    var topB: String = null
+    var topC = 0
+    bigrams.forEach { (k, v) =>
+      if (v > topC || (v == topC && topC > 0 && utf8Lt(k, topB))) {
+        topB = k; topC = v
+      }
+    }
+    val nb = math.max(n - 1, 0)
+    val nt = math.max(n - 2, 0)
+    T05(docId, nb.toLong,
+      if (nb > 0) Some(1.0 - bigrams.size * 1.0 / nb) else None,
+      if (nt > 0) Some(1.0 - trigrams.size * 1.0 / nt) else None,
+      if (n > 0) Some(maxTok * 1.0 / n) else None,
+      Option(topB),
+      if (topB != null) Some(cp(topB) * topC * 1.0 / cp(text)) else None)
+  }
 }

@@ -142,6 +142,36 @@ class PipelineOpsSpec extends SparkTestBase {
     }
   }
 
+  test("t05 repetition metrics match a naive independent recompute") {
+    // independent formulation: group-by over sliding windows, no hash
+    // maps — guards the kernel against off-by-ones and tie-break slips
+    val docs = graft.core.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val got = run("t05_repetition").collect()
+    assert(got.length === docs.size)
+    got.foreach { r =>
+      val text = docs(r.getLong(0))
+      val toks = text.split(" ").filter(_.nonEmpty).toSeq
+      val bg = toks.sliding(2).filter(_.size == 2).map(_.mkString(" ")).toSeq
+      val tg = toks.sliding(3).filter(_.size == 3).map(_.mkString(" ")).toSeq
+      assert(r.getLong(1) === bg.size.toLong)
+      if (bg.nonEmpty) {
+        assert(r.getDouble(2) === 1.0 - bg.distinct.size * 1.0 / bg.size)
+        val top = bg.groupBy(identity).view.mapValues(_.size).toSeq
+          .minBy { case (g, c) => (-c, g) } // ASCII fixture: String order = UTF-8 order
+        assert(r.getString(5) === top._1)
+        assert(r.getDouble(6) === top._1.length * top._2 * 1.0 / text.length)
+      } else assert(r.isNullAt(2) && r.isNullAt(5))
+      if (tg.nonEmpty)
+        assert(r.getDouble(3) === 1.0 - tg.distinct.size * 1.0 / tg.size)
+      if (toks.nonEmpty) {
+        val m = toks.groupBy(identity).values.map(_.size).max
+        assert(r.getDouble(4) === m * 1.0 / toks.size)
+      }
+    }
+  }
+
   test("t03 langid: predictions come from the marker set and flags match") {
     val langs = Set("en", "es", "fr", "de", "zh", "und")
     run("t03_langid").collect().foreach { r =>
