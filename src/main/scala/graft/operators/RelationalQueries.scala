@@ -626,6 +626,36 @@ object RelationalQueries {
       Some("""SELECT c_nationkey AS nationkey, count(*) AS n_orders,
              |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
              |FROM orders JOIN customer ON o_custkey = c_custkey
-             |GROUP BY 1 ORDER BY nationkey""".stripMargin))
+             |GROUP BY 1 ORDER BY nationkey""".stripMargin)),
+
+    // HLL++ approximate distinct count — the mergeable-sketch path.
+    // count(DISTINCT) at 100 TB forces a full expand+shuffle of the
+    // distinct keys; approx_count_distinct keeps one constant-size HLL
+    // register set per group that merges map-side (partial aggregation),
+    // so the shuffle volume is O(groups), independent of cardinality.
+    // HLL estimates are not bit-portable across engines, so the oracle
+    // pins the exact count and a deterministic error-envelope check: the
+    // estimate (rsd=0.05) must land within max(15 %, ±4) of exact. The
+    // flag is computed from the Spark estimate — a real HLL regression
+    // (or a broken merge) fails the hash gate.
+    Q("q31_approx_distinct",
+      "HLL approx distinct customers per month, error-bounded vs exact",
+      (s, d) => {
+        def t(n: String): DataFrame = Tables.load(s, d, n)
+        t("orders")
+          .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+          .agg(
+            countDistinct(col("o_custkey")).as("n_cust_exact"),
+            approx_count_distinct(col("o_custkey"), rsd = 0.05).as("__approx"))
+          .select(col("month"), col("n_cust_exact"),
+            (abs(col("__approx") - col("n_cust_exact")).cast("double") <=
+              greatest(col("n_cust_exact") * lit(0.15), lit(4.0)))
+              .as("approx_ok"))
+          .orderBy("month")
+      },
+      Some("""SELECT date_trunc('month', o_orderdate) AS month,
+             |  count(DISTINCT o_custkey) AS n_cust_exact,
+             |  TRUE AS approx_ok
+             |FROM orders GROUP BY 1 ORDER BY month""".stripMargin))
   )
 }

@@ -89,6 +89,12 @@ class PlanShapeSpec extends SparkTestBase {
     assert(exIdx >= 0 && partialBelow, "no map-side partial aggregate found")
   }
 
+  test("q31: HLL sketch aggregates partially map-side (mergeable-sketch path)") {
+    val plan = executedPlan("q31_approx_distinct")
+    assert(plan.contains("partial_approx_count_distinct"),
+      s"HLL must partial-aggregate before the exchange:\n${plan.take(3000)}")
+  }
+
   test("s01: brute-force kNN broadcasts the query side (corpus never moves)") {
     val plan = executedPlan("s01_knn_bruteforce")
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
