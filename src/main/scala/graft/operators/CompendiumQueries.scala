@@ -202,11 +202,30 @@ object CompendiumQueries {
              |FROM p WHERE len(runs) > 0 AND len(samples) > 0
              |ORDER BY srs""".stripMargin)),
 
+    // The Smith-Waterman DP itself is not SQL-expressible, but the fixture
+    // OUTPUT is: the region assignment is pinned by the golden specs
+    // (RegionInferenceSpec vs an independent DP) as the literal 'None'
+    // (the short fixture ASVs fail the >70% coverage majority vote,
+    // amplicon.py:72-84), and the avg length is recomputed from the FASTA
+    // exactly as the Spark side does (sum of per-seq lengths / n over the
+    // taxonomy-semi-joined ASV set — projects.py:478, amplicon.py:57).
     Q("c10_region_inference",
       "per-project 16S hypervariable-region inference (SW align + majority vote)",
       (s, _) => RegionInference.infer(
         ResultsLoad.load(s, fixtures, "PRJNA12345")._2)
-        .orderBy("project")),
+        .orderBy("project"),
+      Some(s"""WITH t AS (SELECT content FROM read_text('$fixtures/ASVs.fa')),
+             |recs AS (SELECT unnest(string_split(content, '>')) AS rec FROM t),
+             |fa AS (SELECT
+             |    trim(string_split(rec, chr(10))[1]) AS asv,
+             |    list_aggregate(list_filter(string_split(rec, chr(10))[2:], x -> x <> ''), 'string_agg', '') AS seq
+             |  FROM recs WHERE rec <> ''),
+             |tax AS (SELECT column0 AS asv
+             |  FROM read_csv('$fixtures/ASVs_taxonomy.tsv', delim='\t', header=true)),
+             |seqs AS (SELECT seq FROM fa WHERE asv <> '' AND asv IN (SELECT asv FROM tax))
+             |SELECT 'PRJNA12345' AS project, 'None' AS region,
+             |  (sum(length(seq))::DOUBLE / count(*)::DOUBLE) AS length
+             |FROM seqs""".stripMargin)),
 
     Q("c09_source_filter",
       "keep/toss substring classifier over sources.txt (helpers.py:8-21)",

@@ -596,7 +596,7 @@ object RelationalQueries {
           .orderBy("event_type")
       },
       Some("""SELECT event_type, count(*) AS n,
-             |  sum(json_extract(props, '$.k')::BIGINT) AS sum_k,
+             |  sum(json_extract(props, '$.k')::BIGINT)::BIGINT AS sum_k,
              |  min(json_extract(props, '$.k')::BIGINT) AS min_k,
              |  max(json_extract(props, '$.k')::BIGINT) AS max_k,
              |  count(DISTINCT json_extract(props, '$.k')::BIGINT) AS distinct_k
