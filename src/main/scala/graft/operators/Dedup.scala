@@ -261,22 +261,24 @@ object Dedup {
     // shingle-sharing pair. (At t = 0.5 the prefix is n/2 and pruning
     // barely pays — that regime belongs to d03's LSH.) At 100 TB this is
     // the exact-dedup path when LSH's probabilistic recall isn't
-    // acceptable. Document frequency comes from a window count
-    // over the exploded frame — one shuffle by shingle, fully distributed
-    // (an earlier broadcast-join formulation collected every distinct
-    // shingle to the driver: wrong at any scale, and 2× slower even at
-    // sf0.1). Prefix selection only needs approximate frequency ORDER, so
-    // a Count-Min sketch is a valid substitute when even the window's
-    // shuffle is unwelcome.
+    // acceptable. Document frequency comes from a map-side-partial
+    // groupBy over the exploded frame, joined back with a shuffle-HASH
+    // join: the build side is the distinct-shingle counts (bounded per
+    // partition), so neither side is sorted — where the earlier
+    // window-count formulation sorted every exploded shingle row, and an
+    // even earlier broadcast-join one collected every distinct shingle to
+    // the driver (wrong at any scale). Prefix selection only needs
+    // approximate frequency ORDER, so a Count-Min sketch is a valid
+    // substitute when even the aggregation's shuffle is unwelcome.
     Q("d06_prefix_jaccard",
       "prefix-filtered exact trigram-Jaccard join at 0.9 (lossless pruning)",
       (s, d) => {
         val t = 0.9
         val ex = explodedShingles(s, d).cache()
-        val wDf = Window.partitionBy(col("shingle"))
+        val dfCounts = ex.groupBy("shingle").agg(count(lit(1)).as("df"))
         val w = Window.partitionBy(col("doc_id"))
           .orderBy(col("df").asc, col("shingle").asc)
-        val prefix = ex.withColumn("df", count(lit(1)).over(wDf))
+        val prefix = ex.join(dfCounts.hint("shuffle_hash"), Seq("shingle"))
           .withColumn("rk", row_number().over(w))
           .filter(col("rk") <= col("nsh") - ceil(col("nsh") * t) + 1)
           .select(col("doc_id"), col("nsh"), col("shingle"))
@@ -291,6 +293,68 @@ object Dedup {
           .orderBy("doc_a", "doc_b")
       },
       Some(sqlExactJaccard(0.9))),
+
+    // Frequency-capped n-gram Jaccard — the hot-shingle mitigation d02's
+    // comment names, as its own gated operator. Shingles present in more
+    // than 1% of documents are dropped from EVERY doc's set before the
+    // pair join (the cap is integer-exact: keep iff df * 100 <= ndocs, so
+    // both engines agree without float thresholds), and Jaccard is
+    // computed over the capped sets. Hot shingles are exactly the ones
+    // that blow up the inverted-index join's hottest reducer at 100 TB —
+    // a shingle in f docs contributes f² pair rows — while carrying the
+    // least similarity signal (boilerplate, stop-phrase trigrams); capping
+    // bounds every shingle's fan-out at (0.01·n)² and is the standard
+    // recall-preserving step for J >= 0.5 thresholds. Per-doc capped sizes
+    // re-attach via shuffle-HASH joins (build sides: distinct-shingle
+    // counts, per-doc sizes — both bounded per partition, nothing sorted,
+    // nothing broadcast that grows with the corpus).
+    Q("d07_capped_jaccard",
+      "near-dup pairs by trigram Jaccard >= 0.5 over frequency-capped (df <= 1%) shingle sets",
+      (s, d) => {
+        val ex = explodedShingles(s, d).cache()
+        val nd = ex.agg(countDistinct(col("doc_id")).as("ndocs"))
+        val dfc = ex.groupBy("shingle").agg(count(lit(1)).as("df"))
+        val capped = ex.join(dfc.hint("shuffle_hash"), Seq("shingle"))
+          .crossJoin(broadcast(nd))
+          .filter(col("df") * lit(100) <= col("ndocs"))
+          .select("doc_id", "shingle")
+        val sizes = capped.groupBy("doc_id").agg(count(lit(1)).as("nsh_c"))
+        val cp = capped.join(sizes.hint("shuffle_hash"), Seq("doc_id"))
+          .repartition(col("shingle"))
+        val a = cp.select(col("doc_id").as("doc_a"), col("nsh_c").as("size_a"), col("shingle"))
+        val b = cp.select(col("doc_id").as("doc_b"), col("nsh_c").as("size_b"), col("shingle"))
+        a.join(b, Seq("shingle"))
+          .filter(col("doc_a") < col("doc_b"))
+          .groupBy("doc_a", "doc_b", "size_a", "size_b")
+          .agg(count(lit(1)).as("intersection"))
+          .withColumn("jaccard",
+            col("intersection") * lit(1.0) /
+              (col("size_a") + col("size_b") - col("intersection")))
+          .filter(col("jaccard") >= 0.5)
+          .select(col("doc_a"), col("doc_b"), col("size_a"), col("size_b"),
+            col("intersection"), col("jaccard"))
+          .orderBy("doc_a", "doc_b")
+      },
+      Some(s"""$sqlShingled,
+             |ex AS (SELECT doc_id, unnest(sh) AS shingle FROM sh),
+             |nd AS (SELECT count(*) AS ndocs FROM sh),
+             |dfc AS (SELECT shingle, count(*) AS df FROM ex GROUP BY 1),
+             |capped AS (SELECT e.doc_id, e.shingle
+             |  FROM ex e JOIN dfc USING (shingle) CROSS JOIN nd
+             |  WHERE dfc.df * 100 <= nd.ndocs),
+             |sizes AS (SELECT doc_id, count(*)::BIGINT AS nsh_c FROM capped GROUP BY 1),
+             |pairs AS (
+             |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS intersection
+             |  FROM capped a JOIN capped b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+             |  GROUP BY 1, 2)
+             |SELECT doc_a, doc_b, sa.nsh_c AS size_a, sb.nsh_c AS size_b,
+             |  intersection,
+             |  intersection * 1.0 / (sa.nsh_c + sb.nsh_c - intersection) AS jaccard
+             |FROM pairs
+             |  JOIN sizes sa ON sa.doc_id = doc_a
+             |  JOIN sizes sb ON sb.doc_id = doc_b
+             |WHERE intersection * 1.0 / (sa.nsh_c + sb.nsh_c - intersection) >= 0.5
+             |ORDER BY doc_a, doc_b""".stripMargin)),
 
     // SimHash: 60-bit per-doc sketch, zero shuffle — token counting and the
     // per-bit weighted vote are pure array expressions over each row, so
