@@ -27,6 +27,7 @@ final case class EngineConfig(
     eutilsBatchSize: Int = 80,       // db.py:266
     eutilsThrottleMs: Long = 500,    // db.py:321
     eutilsUrlMaxChars: Int = 1950,   // db.py:314
+    eutilsTimeoutSec: Int = 25,      // config_template.py:30
     taxonomyDatabase: String = "silva_nr99_v138_train_set") // projects.py:517
 
 object EngineConfig { val default: EngineConfig = EngineConfig() }

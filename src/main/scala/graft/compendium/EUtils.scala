@@ -19,6 +19,49 @@ trait EUtilsClient {
   def fetch(batch: Seq[String]): String
 }
 
+/** Default [[EUtilsClient]] over `java.net.http`: the reference's two-step
+  * esearch(usehistory=y) → parse WebEnv → efetch(WebEnv) flow
+  * (db.py:304-372), with the reference's 25 s request timeout
+  * (config_template.py:30). Throttling, the 1950-char URL cap, and the
+  * two-consecutive-failures abort live in [[EUtils.enrich]], which treats
+  * any exception thrown here as one failed batch.
+  *
+  * Deliberately not exercised by unit tests — the sandbox has no network;
+  * the enrich envelope is tested against fake clients. Constructing the
+  * class performs no I/O.
+  */
+final class HttpEUtilsClient(cfg: EngineConfig = EngineConfig.default)
+    extends EUtilsClient {
+  import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+
+  private lazy val http = HttpClient.newBuilder()
+    .connectTimeout(java.time.Duration.ofSeconds(cfg.eutilsTimeoutSec.toLong))
+    .followRedirects(HttpClient.Redirect.NORMAL)
+    .build()
+
+  private def get(url: String): String = {
+    val req = HttpRequest.newBuilder(java.net.URI.create(url))
+      .timeout(java.time.Duration.ofSeconds(cfg.eutilsTimeoutSec.toLong))
+      .GET().build()
+    val resp = http.send(req, HttpResponse.BodyHandlers.ofString())
+    if (resp.statusCode() / 100 != 2)
+      throw new java.io.IOException(
+        s"eUtils HTTP ${resp.statusCode()} for ${url.takeWhile(_ != '?')}")
+    resp.body()
+  }
+
+  override def fetch(batch: Seq[String]): String = {
+    val search = get(EUtils.esearchUrl(batch))
+    // The reference skips (and counts a failure) when the esearch response
+    // carries no WebEnv (db.py:345-352) — surfacing that as an exception
+    // reaches the same consecutive-failure accounting in enrich().
+    val webenv = """<WebEnv>([^<]+)</WebEnv>""".r.findFirstMatchIn(search)
+      .map(_.group(1)).getOrElse(throw new java.io.IOException(
+        "esearch response has no WebEnv field (db.py:345-352)"))
+    get(EUtils.efetchUrl(webenv))
+  }
+}
+
 object EUtils {
 
   private val TagRe = """(?s)<(\w+)\b([^>/]*)(/?)>""".r
@@ -77,6 +120,14 @@ object EUtils {
   def esearchUrl(batch: Seq[String]): String =
     "https://eutils.ncbi.nlm.nih.gov/entrez/eutils/esearch.fcgi?db=sra&term=" +
       batch.map(_ + "[accn]").mkString("+OR+") + "&usehistory=y"
+
+  /** The efetch URL for a previously-posted search session
+    * (config_template.py:34 + db.py:355): `query_key` is always 1 because
+    * each esearch posts exactly one query to a fresh history session.
+    */
+  def efetchUrl(webenv: String): String =
+    "https://eutils.ncbi.nlm.nih.gov/entrez/eutils/efetch.fcgi?db=sra" +
+      s"&query_key=1&WebEnv=$webenv"
 
   /** `main.py runs <N>` (db.py:266-330): pick N unresolved samples, fetch in
     * `batchSize` chunks via the injected client, merge results into

@@ -15,8 +15,8 @@ import org.apache.spark.sql.functions._
   *
   * `saltedJoin` is semantics-preserving: the dimension side is replicated
   * `salts` times (once per salt value), the fact side gets a uniform salt
-  * drawn from a hash of its whole row partition position — here a cheap
-  * deterministic hash of the key and a per-row monotonic id is enough —
+  * — a deterministic hash of the per-row monotonic id alone; the key need
+  * not participate because the dim side replicates across every salt —
   * and the join runs on (key, salt), spreading each hot key across
   * `salts` reducers. The result equals the unsalted join exactly (proven
   * by the q30 oracle and SkewSpec).

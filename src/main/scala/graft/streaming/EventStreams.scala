@@ -66,10 +66,22 @@ object EventStreams {
     * `flatMapGroupsWithState` keeps exactly one `SessionState` per active
     * user; expired users cost nothing. Gap comparison is on epoch millis,
     * matching the batch twin's `unix_millis` arithmetic.
+    *
+    * `watermarkMinutes` (default: the gap) is how long out-of-order events
+    * are admitted. While it equals the gap, every admitted late event is
+    * within one gap of the open session's start and merges exactly as the
+    * globally-sorted batch twin would. Widening it admits older stragglers,
+    * which emit as closed singleton sessions (see the merge guard below) —
+    * a documented approximation, since a true batch re-sort could merge
+    * consecutive stragglers with each other.
     */
-  def sessionize(events: Dataset[Event], gapMinutes: Int = 30): Dataset[Session] = {
+  def sessionize(events: Dataset[Event], gapMinutes: Int = 30,
+      watermarkMinutes: Option[Int] = None): Dataset[Session] = {
     import events.sparkSession.implicits._
     val gapMs = gapMinutes * 60L * 1000L
+    val wmMinutes = watermarkMinutes.getOrElse(gapMinutes)
+    require(wmMinutes >= gapMinutes,
+      "watermark delay below the gap would drop events the gap logic admits")
 
     def update(userId: Long, rows: Iterator[Event],
         state: GroupState[SessionState]): Iterator[Session] = {
@@ -83,14 +95,27 @@ object EventStreams {
         var cur = state.getOption
         for (e <- sorted) {
           cur match {
-            case Some(s) if e.ts.getTime - s.last.getTime <= gapMs =>
+            case Some(s) if e.ts.getTime - s.last.getTime <= gapMs &&
+                s.start.getTime - e.ts.getTime <= gapMs =>
               // A late-but-within-watermark event can sort before the stored
               // session start (it arrived in a later batch); widen both ends
               // so cross-batch boundaries match the globally-sorted batch twin.
+              // The second guard bounds how far BEFORE session_start a late
+              // event may merge: while the watermark delay equals the gap it
+              // is provably never violated (accepted ⇒ ts >= maxSeen − gap
+              // >= session_start − gap), but the merge must not silently
+              // absorb arbitrarily-old stragglers if the watermark delay is
+              // ever widened beyond the gap.
               val start = if (e.ts.getTime < s.start.getTime) e.ts else s.start
               val last = if (e.ts.getTime >= s.last.getTime) e.ts else s.last
               cur = Some(s.copy(start = start, last = last, n = s.n + 1,
                 total = s.total + e.value))
+            case Some(s) if s.start.getTime - e.ts.getTime > gapMs =>
+              // Straggler more than a gap before the open session (reachable
+              // only when watermark delay > gap): in event-time order its
+              // session closed before `s` began — emit it as a closed
+              // singleton, leaving the open session untouched.
+              closed ::= Session(userId, e.ts, e.ts, 1, e.value)
             case Some(s) =>
               closed ::= Session(userId, s.start, s.last, s.n, s.total)
               cur = Some(SessionState(e.ts, e.ts, 1, e.value))
@@ -107,7 +132,7 @@ object EventStreams {
     }
 
     events
-      .withWatermark("ts", s"$gapMinutes minutes")
+      .withWatermark("ts", s"$wmMinutes minutes")
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.EventTimeTimeout)(update)

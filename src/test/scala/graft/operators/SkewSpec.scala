@@ -23,6 +23,53 @@ class SkewSpec extends SparkTestBase {
     assert(salted === plain)
   }
 
+  test("d03 band-bucket self-join: AQE splits a planted hot bucket") {
+    // d03's claimed 100 TB safety is that the band self-join never
+    // degenerates to one reducer on a hot bucket. Reproduce the hazard at
+    // test scale: half the docs share ONE band key, AQE skew-join
+    // thresholds lowered so the hot partition qualifies, then assert the
+    // executed SMJ is actually marked skew=true (i.e. the hot bucket was
+    // split across reducers, not serialized onto one).
+    val overrides = Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "8KB",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.0",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "4KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = overrides.map { case (k, _) =>
+      k -> scala.util.Try(spark.conf.get(k)).toOption }
+    overrides.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val n = 20000
+      // same shape as d03's candidate stage: (doc_id, bkey) self-joined on
+      // bkey; bucket 0 holds a tenth of the corpus (2000² candidate pairs)
+      val bands = spark.range(n.toLong).select(col("id").as("doc_id"),
+        when(col("id") % 10 === 0, lit(0L))
+          .otherwise(xxhash64(col("id"))).as("bkey"))
+      val cand = bands.as("x").join(bands.as("y"), Seq("bkey"))
+        .filter(col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        // post-join thinning so collect() doesn't pull the full 2M-pair
+        // hot-bucket output to the driver. Must be NON-equi: an equality
+        // filter would be promoted to a join key, re-spreading the planted
+        // hot bucket and defeating the test
+        .filter(col("doc_b") - col("doc_a") <= 10)
+      // collect() (not count()) so THIS frame's queryExecution finalizes —
+      // count() builds its own plan and leaves cand's adaptive plan initial
+      cand.collect()
+      val plan = cand.queryExecution.executedPlan.toString
+      val cut = plan.indexOf("== Initial Plan ==")
+      val finalPlan = if (cut >= 0) plan.substring(0, cut) else plan
+      assert(finalPlan.contains("skew=true"),
+        s"hot band bucket must trigger AQE skew-join split, got:\n$finalPlan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("q30 salted join plan carries the salt in the join keys") {
     val df = graft.SparkEntry.queries("q30_salted_join")(
       spark, "/root/testdata/sf0.001")

@@ -186,6 +186,88 @@ class EventStreamsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("hourlyRollup under late data: watermark-drop semantics vs batch twin") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp, String, Double)]
+    val df = in.toDF().toDF("event_id", "ts", "event_type", "value")
+    // APPEND mode — windows emit only once the 2 h watermark passes them,
+    // which is what makes dropped-late-event semantics observable.
+    val q = EventStreams.hourlyRollup(df)
+      .writeStream.format("memory").queryName("late_rollup")
+      .outputMode("append").start()
+    try {
+      // batch 1: 10:05/10:45 plus a 13:00 event → watermark becomes 11:00
+      in.addData(
+        (1L, ts("10:05"), "click", 1.0),
+        (2L, ts("10:45"), "view", 4.0),
+        (3L, ts("13:00"), "click", 2.0))
+      q.processAllAvailable()
+      // batch 2 straddles the watermark: 10:30 is BEHIND 11:00 (its hour
+      // window is finalized → dropped); 12:30 is ahead (accepted)
+      in.addData(
+        (4L, ts("10:30"), "click", 100.0),
+        (5L, ts("12:30"), "click", 3.0))
+      q.processAllAvailable()
+      // flush far forward so every real window closes
+      in.addData((6L, Timestamp.valueOf("2026-01-02 06:00:00"), "flush", 0.0))
+      q.processAllAvailable()
+      in.addData((7L, Timestamp.valueOf("2026-01-02 12:00:00"), "flush", 0.0))
+      q.processAllAvailable()
+      val streamed = spark.table("late_rollup")
+        .filter(col("event_type") =!= "flush").collect()
+        .map(r => (r.getTimestamp(0).toString, r.getString(1),
+          r.getLong(2), r.getDouble(3))).toSet
+      // batch twin (q21 shape) over the NON-DROPPED subset: event 4 gone
+      val expected = Seq(
+        (1L, ts("10:05"), "click", 1.0),
+        (2L, ts("10:45"), "view", 4.0),
+        (3L, ts("13:00"), "click", 2.0),
+        (5L, ts("12:30"), "click", 3.0))
+        .toDF("event_id", "ts", "event_type", "value")
+        .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,4)")).cast("double").as("total_value"))
+        .collect()
+        .map(r => (r.getTimestamp(0).toString, r.getString(1),
+          r.getLong(2), r.getDouble(3))).toSet
+      assert(streamed === expected)
+    } finally q.stop()
+  }
+
+  test("straggler older than one gap emits as a closed singleton session") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[EventStreams.Event]
+    // widened watermark (2 h) against a 30 min gap — the only regime where
+    // an admitted event can be more than a gap before the open session
+    val q = EventStreams.sessionize(in.toDS(), gapMinutes = 30,
+        watermarkMinutes = Some(120))
+      .writeStream.format("memory").queryName("sessions4")
+      .outputMode("append").start()
+    try {
+      // batch 1: user 5 at 12:00 → watermark 10:00
+      in.addData(EventStreams.Event(1, ts("12:00"), 5, "click", 1.0))
+      q.processAllAvailable()
+      // batch 2: straggler at 10:30 — admitted (>= 10:00) but 90 min before
+      // the open session's start: must NOT merge into it, and must NOT
+      // displace it; emits alone
+      in.addData(EventStreams.Event(2, ts("10:30"), 5, "view", 2.0))
+      q.processAllAvailable()
+      // flush: close the 12:00 session
+      in.addData(EventStreams.Event(9, ts("20:00"), 6, "click", 0.0))
+      q.processAllAvailable()
+      in.addData(EventStreams.Event(10, ts("23:00"), 6, "click", 0.0))
+      q.processAllAvailable()
+      val s = spark.table("sessions4").filter(col("user_id") === 5L).collect()
+        .map(r => (r.getTimestamp(1).toString, r.getTimestamp(2).toString,
+          r.getLong(3), r.getDouble(4))).toSet
+      assert(s === Set(
+        ("2026-01-01 10:30:00.0", "2026-01-01 10:30:00.0", 1L, 2.0),
+        ("2026-01-01 12:00:00.0", "2026-01-01 12:00:00.0", 1L, 1.0)))
+    } finally q.stop()
+  }
+
   test("in-session gap splits into two sessions on the same user") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
