@@ -109,6 +109,27 @@ object Dedup {
        |WHERE intersection * 1.0 / (size_a + size_b - intersection) >= $threshold
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** Positional window frame (doc_id, pos, span_hash): the 60-bit hash of
+    * every `w`-token window at every token position — NOT distinct, unlike
+    * [[explodedShingles]], because span dedup needs to know WHERE the
+    * duplicate text sits. Same typed-kernel rationale as the shingle
+    * kernel (one O(|text|) pass per document, no Generate re-evaluation).
+    */
+  private[graft] def positionalWindows(s: SparkSession, d: String,
+      w: Int): DataFrame = {
+    import s.implicits._
+    docs(s, d).select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        it.flatMap { case (id, text) =>
+          val toks = tokenize(text.toLowerCase(java.util.Locale.ROOT))
+          (0 to toks.length - w).iterator.map { i =>
+            (id, i.toLong, h60Scala(toks.slice(i, i + w).mkString(" ")))
+          }
+        }
+      }
+      .toDF("doc_id", "pos", "span_hash")
+  }
+
   /** Flat exploded shingle frame (doc_id, nsh, shingle-hash) — the shared
     * input of the pair joins. Flat long rows columnar-cache cheaply
     * (unlike the array form, whose cache serialization cost exceeded its
@@ -355,6 +376,44 @@ object Dedup {
              |  JOIN sizes sb ON sb.doc_id = doc_b
              |WHERE intersection * 1.0 / (sa.nsh_c + sb.nsh_c - intersection) >= 0.5
              |ORDER BY doc_a, doc_b""".stripMargin)),
+
+    // Exact duplicated-SPAN detection (the "Deduplicating Training Data
+    // Makes Language Models Better" substring-dedup shape, Lee et al.
+    // 2022, at word granularity): every 12-token window of every document
+    // is hashed WITH its position; windows whose hash appears in 2+
+    // distinct documents mark cross-document duplicated text spans — the
+    // per-position answer that lets a pipeline CUT the repeated span
+    // rather than drop a whole near-dup document. Plan: one typed-kernel
+    // pass emits (doc, pos, hash) rows; a map-side-partial groupBy counts
+    // distinct docs per hash; qualifying hashes re-attach by shuffle-HASH
+    // join. At 100 TB the hot-boilerplate hashes are the d07 story again —
+    // the groupBy is count-distinct (output-bound), and a df cap on spans
+    // composes the same way. Suffix-array exactness (arbitrary-length
+    // spans) trades to fixed windows here — the standard scalable
+    // approximation; chained overlapping windows recover longer spans.
+    Q("d08_dup_spans",
+      "cross-document duplicated 12-token spans (positional window hash, n_docs >= 2)",
+      (s, d) => {
+        val win = positionalWindows(s, d, 12)
+        val shared = win.groupBy("span_hash")
+          .agg(countDistinct(col("doc_id")).as("n_docs"))
+          .filter(col("n_docs") >= 2)
+        win.join(shared.hint("shuffle_hash"), Seq("span_hash"))
+          .select(col("doc_id"), col("pos"), col("span_hash"), col("n_docs"))
+          .orderBy("doc_id", "pos")
+      },
+      Some("""WITH n AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm FROM documents),
+             |tk AS (SELECT doc_id, list_filter(string_split(norm, ' '), t -> t <> '') AS toks FROM n),
+             |w AS (SELECT doc_id, toks, unnest(range(1, len(toks) - 10)) AS p
+             |  FROM tk WHERE len(toks) >= 12),
+             |h AS (SELECT doc_id, (p - 1)::BIGINT AS pos,
+             |    ('0x' || substr(md5(array_to_string(toks[p:p+11], ' ')), 1, 15))::BIGINT AS span_hash
+             |  FROM w),
+             |sh AS (SELECT span_hash, count(DISTINCT doc_id)::BIGINT AS n_docs
+             |  FROM h GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2)
+             |SELECT doc_id, pos, span_hash, n_docs
+             |FROM h JOIN sh USING (span_hash)
+             |ORDER BY doc_id, pos""".stripMargin)),
 
     // SimHash: 60-bit per-doc sketch, zero shuffle — token counting and the
     // per-bit weighted vote are pure array expressions over each row, so

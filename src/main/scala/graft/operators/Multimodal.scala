@@ -103,6 +103,44 @@ object Multimodal {
     }
   }
 
+  final case class AudioFrame(doc_id: Long, frame_idx: Long, energy: Long,
+      peak: Long)
+
+  /** Audio-style windowed feature extraction: fixed-size frames (64
+    * "samples", hop 32 — the 25 ms / 10 ms MFCC framing shape) over the
+    * payload's decoded codepoint stream, per-frame energy (Σ s²) and peak.
+    * A real pipeline swaps the codepoint stream for PCM samples and the
+    * two features for a filterbank — the plumbing (one decode per record,
+    * frames emitted per partition pass, downstream ops keyed on
+    * (doc_id, frame_idx)) is what carries to 100 TB: frames never
+    * materialize as a per-doc array column (the measured 10× cache trap),
+    * and records shorter than one frame emit nothing rather than padding.
+    */
+  def audioFrames(ds: Dataset[MediaRecord], frame: Int = 64,
+      hop: Int = 32): Dataset[AudioFrame] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      it.flatMap { r =>
+        val cps = new String(r.payload, "UTF-8").codePoints().toArray
+        val n = cps.length
+        val nFrames = if (n < frame) 0 else (n - frame) / hop + 1
+        (0 until nFrames).iterator.map { f =>
+          val st = f * hop
+          var e = 0L
+          var p = 0L
+          var i = st
+          while (i < st + frame) {
+            val c = cps(i).toLong
+            e += c * c
+            if (c > p) p = c
+            i += 1
+          }
+          AudioFrame(r.doc_id, f.toLong, e, p)
+        }
+      }
+    }
+  }
+
   private val sqlMeta =
     """WITH m AS (SELECT doc_id, text,
       |  octet_length(encode(text))::BIGINT AS n_bytes,
@@ -144,6 +182,29 @@ object Multimodal {
              |FROM m)
              |SELECT doc_id, frame_idx,
              |  (cp_sum16 * 2654435761 + frame_idx) % 997 AS frame_tag
-             |FROM f ORDER BY doc_id, frame_idx""".stripMargin))
+             |FROM f ORDER BY doc_id, frame_idx""".stripMargin)),
+
+    // The oracle decodes the same codepoint stream (length() and unicode()
+    // are codepoint-exact in DuckDB) and recomputes each frame's fold;
+    // squares go through BIGINT so supplementary-plane codepoints can't
+    // overflow INT32 in either engine.
+    Q("m03_audio_features",
+      "windowed feature extraction: 64-cp frames, hop 32, energy + peak per frame",
+      (s, d) => audioFrames(mediaRecords(s, d)).toDF()
+        .orderBy("doc_id", "frame_idx"),
+      Some("""WITH cps AS (SELECT doc_id,
+             |    list_transform(range(1, length(text) + 1),
+             |      i -> unicode(substr(text, i, 1))::BIGINT) AS cp
+             |  FROM documents),
+             |fr AS (SELECT doc_id, cp,
+             |    unnest(range(0, CASE WHEN len(cp) < 64 THEN 0
+             |                         ELSE (len(cp) - 64) // 32 + 1 END)) AS f
+             |  FROM cps)
+             |SELECT doc_id, f::BIGINT AS frame_idx,
+             |  list_aggregate(list_transform(range(f * 32 + 1, f * 32 + 65),
+             |    i -> cp[i] * cp[i]), 'sum')::BIGINT AS energy,
+             |  list_aggregate(list_transform(range(f * 32 + 1, f * 32 + 65),
+             |    i -> cp[i]), 'max')::BIGINT AS peak
+             |FROM fr ORDER BY doc_id, frame_idx""".stripMargin))
   )
 }

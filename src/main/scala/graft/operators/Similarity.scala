@@ -312,6 +312,185 @@ object Similarity {
              |  row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
              |FROM scored)
              |SELECT query_id, rank, neighbor_id FROM ranked
-             |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin))
+             |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin)),
+
+    // Product quantization (Jégou et al., PAMI'11) — the memory-bound ANN
+    // path: vectors are L2-normalized (so ADC euclidean ranks like
+    // cosine), the 64 dims split into 8 subspaces × 16 centroids, and
+    // each corpus vector compresses to 8 four-bit codes (4 bytes vs 256).
+    // Pipeline: md5-derived seed codebook (same determinism trick as the
+    // s02 hyperplanes) → ONE distributed Lloyd refinement (assign, then
+    // per-(m,k) pinned-order centroid mean — the s03/s04 fold, so both
+    // engines train bit-identical codebooks; empty cells keep their seed)
+    // → re-encode → ADC top-50 candidates per query → EXACT re-rank of
+    // just those 50. Measured at sf0.01 the refinement+re-rank lifts
+    // recall@5 vs s01 from 0.06 (raw random codebook, top-5 by ADC) to
+    // ~0.36 — on unstructured vectors, where distance concentration makes
+    // ANN recall intrinsically hard.
+    // Scale: assignment is corpus×8 sub-rows joined to a BROADCAST 128-row
+    // codebook (three 8-dim codegen'd dots each; corpus never reshuffles
+    // for the codebook); training's collect_list-per-cell is the
+    // oracle-pinned formulation — production trains on a bounded sample
+    // (the mean is order-free mathematically) and keeps codes beside the
+    // s03 IVF lists: coarse cluster prunes, PQ scans the surviving list at
+    // 64× compression, exact distance touches only the final candidates.
+    Q("s06_knn_pq",
+      "PQ/ADC ANN: 8x16 codebook + 1 Lloyd step, ADC top-50, exact re-rank top-5",
+      (s, d) => {
+        val e = vectors(s, d)
+        val vn = e.select(col("vec_id"),
+          transform(col("v"), x => x / col("nrm")).as("vn"))
+        val cb0 = pqSeedCodebook(s)
+        val sub = e.select(col("vec_id"),
+            explode(sequence(lit(0), lit(PqM - 1))).as("m"),
+            col("v"), col("nrm"))
+          .select(col("vec_id"), col("m"),
+            transform(slice(col("v"), col("m") * PqSubDim + 1, lit(PqSubDim)),
+              x => x / col("nrm")).as("subv"))
+          // consumed by BOTH assignment passes (train + re-encode); the
+          // rows are 8-double slivers, cheap to cache unlike wide arrays
+          .cache()
+        val a0 = pqAssign(sub, cb0)
+        // one Lloyd step: pinned-order per-cell mean (sorted by vec_id,
+        // left fold, divide) — bit-equal across engines; empty cells fall
+        // back to the seed centroid
+        val trained = a0.groupBy("m", "k")
+          .agg(count(lit(1)).as("cnt"),
+            array_sort(collect_list(struct(col("vec_id"), col("subv")))).as("vs"))
+          .select(col("m"), col("k"),
+            transform(sequence(lit(1), lit(PqSubDim)), i =>
+              aggregate(col("vs"), lit(0.0),
+                (acc, p) => acc + element_at(p.getField("subv"), i)) / col("cnt"))
+              .as("tc"))
+        val cb1 = cb0.join(trained, Seq("m", "k"), "left")
+          .select(col("m"), col("k"), coalesce(col("tc"), col("c")).as("c"))
+        val rec = pqAssign(sub, cb1).groupBy("vec_id")
+          .agg(array_sort(collect_list(struct(col("m"), col("c")))).as("cs"))
+          .select(col("vec_id"),
+            flatten(transform(col("cs"), p => p.getField("c"))).as("rv"))
+          .withColumn("drv", dotFast(col("rv"), col("rv")))
+        val q = vn.filter(col("vec_id") % 50 === 0)
+          .select(col("vec_id").as("query_id"), col("vn").as("qv"))
+          .withColumn("dq", dotFast(col("qv"), col("qv")))
+        val wAdc = Window.partitionBy(col("query_id"))
+          .orderBy(col("dist2").asc, col("vec_id").asc)
+        val cand = rec.crossJoin(broadcast(q))
+          .filter(col("vec_id") =!= col("query_id"))
+          .withColumn("dist2",
+            col("dq") - lit(2.0) * dotFast(col("qv"), col("rv")) + col("drv"))
+          .withColumn("adc_rank", row_number().over(wAdc))
+          .filter(col("adc_rank") <= 50)
+          .select(col("query_id"), col("qv"), col("vec_id"))
+        val wR = Window.partitionBy(col("query_id"))
+          .orderBy(col("cosine").desc, col("vec_id").asc)
+        cand.join(vn, Seq("vec_id"))
+          .withColumn("cosine", dotFast(col("qv"), col("vn")))
+          .withColumn("rank", row_number().over(wR))
+          .filter(col("rank") <= 5)
+          .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+            col("cosine"))
+          .orderBy("query_id", "rank")
+      },
+      Some(s"""$sqlVectors,
+             |vn AS (SELECT vec_id, list_transform(v, x -> x / nrm) AS vn FROM n),
+             |cb0 AS (
+             |  SELECT m.m, k.k,
+             |    list_transform(range(1, 9), i ->
+             |      (('0x' || substr(md5('pq_' || m.m || '_' || k.k || '_' || i), 1, 15))::BIGINT
+             |        % 2001 - 1000) / 1000.0) AS c
+             |  FROM (SELECT unnest(range(0, 8)) AS m) m,
+             |       (SELECT unnest(range(0, 16)) AS k) k),
+             |sub AS (
+             |  SELECT n.vec_id, mm.m,
+             |    list_transform(n.v[mm.m * 8 + 1 : mm.m * 8 + 8], x -> x / n.nrm) AS subv
+             |  FROM n CROSS JOIN (SELECT unnest(range(0, 8)) AS m) mm),
+             |s0 AS (
+             |  SELECT sub.vec_id, sub.m, cb0.k, sub.subv, cb0.c,
+             |    list_reduce(list_transform(range(1, 9), i -> subv[i] * subv[i]), (x, y) -> x + y)
+             |    - 2.0 * list_reduce(list_transform(range(1, 9), i -> subv[i] * c[i]), (x, y) -> x + y)
+             |    + list_reduce(list_transform(range(1, 9), i -> c[i] * c[i]), (x, y) -> x + y) AS d2
+             |  FROM sub JOIN cb0 ON sub.m = cb0.m),
+             |a0 AS (SELECT vec_id, m, k, subv FROM (
+             |    SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, k) AS rn FROM s0)
+             |  WHERE rn = 1),
+             |tr AS (SELECT m, k, count(*) AS cnt, list(subv ORDER BY vec_id) AS vs
+             |  FROM a0 GROUP BY m, k),
+             |cb1 AS (
+             |  SELECT cb0.m, cb0.k,
+             |    CASE WHEN tr.m IS NULL THEN cb0.c ELSE
+             |      list_transform(range(1, 9), i ->
+             |        list_reduce(list_prepend(0.0::DOUBLE, list_transform(tr.vs, p -> p[i])),
+             |          (a, b) -> a + b) / tr.cnt)
+             |    END AS c
+             |  FROM cb0 LEFT JOIN tr ON cb0.m = tr.m AND cb0.k = tr.k),
+             |s1 AS (
+             |  SELECT sub.vec_id, sub.m, cb1.k, cb1.c,
+             |    list_reduce(list_transform(range(1, 9), i -> subv[i] * subv[i]), (x, y) -> x + y)
+             |    - 2.0 * list_reduce(list_transform(range(1, 9), i -> subv[i] * c[i]), (x, y) -> x + y)
+             |    + list_reduce(list_transform(range(1, 9), i -> c[i] * c[i]), (x, y) -> x + y) AS d2
+             |  FROM sub JOIN cb1 ON sub.m = cb1.m),
+             |a1 AS (SELECT vec_id, m, c FROM (
+             |    SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, k) AS rn FROM s1)
+             |  WHERE rn = 1),
+             |rec AS (SELECT vec_id, flatten(list(c ORDER BY m)) AS rv FROM a1 GROUP BY vec_id),
+             |cor AS (SELECT vec_id, rv,
+             |    list_reduce(list_transform(range(1, 65), i -> rv[i] * rv[i]), (x, y) -> x + y) AS drv
+             |  FROM rec),
+             |q AS (SELECT vec_id AS query_id, vn AS qv,
+             |    list_reduce(list_transform(range(1, 65), i -> vn[i] * vn[i]), (x, y) -> x + y) AS dq
+             |  FROM vn WHERE vec_id % 50 = 0),
+             |adc AS (SELECT query_id, qv, vec_id FROM (
+             |    SELECT q.query_id, q.qv, cor.vec_id,
+             |      row_number() OVER (PARTITION BY q.query_id ORDER BY
+             |        q.dq - 2.0 * list_reduce(list_transform(range(1, 65),
+             |          i -> q.qv[i] * cor.rv[i]), (x, y) -> x + y) + cor.drv,
+             |        cor.vec_id) AS adc_rank
+             |    FROM cor CROSS JOIN q WHERE cor.vec_id <> q.query_id)
+             |  WHERE adc_rank <= 50),
+             |rr AS (SELECT adc.query_id, vn.vec_id AS neighbor_id,
+             |    list_reduce(list_transform(range(1, 65), i -> adc.qv[i] * vn.vn[i]), (x, y) -> x + y) AS cosine
+             |  FROM adc JOIN vn ON adc.vec_id = vn.vec_id),
+             |ranked AS (SELECT query_id, neighbor_id, cosine,
+             |  row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+             |FROM rr)
+             |SELECT query_id, rank, neighbor_id, cosine FROM ranked
+             |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin))
   )
+
+  private val PqM = 8
+  private val PqSubDim = 8
+  private val PqK = 16
+
+  /** md5-derived seed codebook as a 128-row broadcastable frame (m, k, c):
+    * coordinate (m, k, i) mirrors the oracle's
+    * `('0x'||substr(md5('pq_m_k_i'),1,15))::BIGINT % 2001` arithmetic
+    * (coordinates 1-based like the hyperplanes).
+    */
+  private def pqSeedCodebook(s: SparkSession): DataFrame = {
+    import s.implicits._
+    (for { m <- 0 until PqM; k <- 0 until PqK } yield
+      (m, k, (1 to PqSubDim).map(i =>
+        (graft.functions.Portable.h60Scala(s"pq_${m}_${k}_${i}") % 2001L
+          - 1000L).toDouble / 1000.0)))
+      .toDF("m", "k", "c")
+  }
+
+  /** Nearest-centroid assignment of sub-vectors to a codebook: broadcast
+    * the 128-row codebook onto the (vec_id, m, subv) frame, d² from three
+    * pinned dot folds, argmin ties to the LOWER k (`ORDER BY d2, k` in
+    * both engines). Keeps every column the callers need (subv for
+    * training, c for reconstruction).
+    */
+  private def pqAssign(sub: DataFrame, cb: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("vec_id"), col("m"))
+      .orderBy(col("d2").asc, col("k").asc)
+    sub.join(broadcast(cb), Seq("m"))
+      .withColumn("d2",
+        dotFast(col("subv"), col("subv"))
+          - lit(2.0) * dotFast(col("subv"), col("c"))
+          + dotFast(col("c"), col("c")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("m"), col("k"), col("subv"), col("c"))
+  }
 }
