@@ -36,6 +36,79 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(pref === exact)
   }
 
+  test("d07 frequency cap loses no true pair on this corpus (recall preserved)") {
+    // the planted near-dups share RARE shingles; the >1%-df cap must only
+    // shave boilerplate, so the capped pair set still covers d02's
+    val exact = run("d02_ngram_jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val capped = run("d07_capped_jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    assert(exact.subsetOf(capped) || capped === exact,
+      s"cap dropped true pairs: ${(exact -- capped).take(5)}")
+  }
+
+  test("d08 duplicated spans sit inside near-dup documents and agree pairwise") {
+    val spans = run("d08_dup_spans").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(spans.nonEmpty, "planted near-dups must share 12-token spans")
+    // every qualifying hash appears in >= n_docs distinct docs, and each
+    // (hash) group's rows carry the same n_docs
+    spans.groupBy(_._3).foreach { case (_, g) =>
+      val nd = g.head._4
+      assert(g.map(_._4).distinct.length === 1)
+      assert(g.map(_._1).distinct.length.toLong >= nd)
+      assert(nd >= 2)
+    }
+    // near-dup doc pairs (J >= 0.9) must share at least one span
+    val pairs = run("d02_ngram_jaccard").collect()
+      .filter(_.getAs[Double]("jaccard") >= 0.9)
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val docsByHash = spans.groupBy(_._3).map { case (h, g) =>
+      h -> g.map(_._1).toSet }
+    pairs.foreach { case (a, b) =>
+      assert(docsByHash.values.exists(s => s.contains(a) && s.contains(b)),
+        s"near-dup pair ($a, $b) shares no duplicated span")
+    }
+  }
+
+  test("m03 frame arithmetic: counts, energy and peak match a direct recompute") {
+    val frames = run("m03_audio_features").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(3))))
+      .toMap
+    val docs = graft.core.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    var checked = 0
+    docs.foreach { case (id, text) =>
+      val cps = text.codePoints().toArray
+      val nf = if (cps.length < 64) 0 else (cps.length - 64) / 32 + 1
+      assert(frames.keys.count(_._1 == id) === nf)
+      (0 until nf).foreach { f =>
+        val w = cps.slice(f * 32, f * 32 + 64).map(_.toLong)
+        assert(frames((id, f.toLong)) === ((w.map(c => c * c).sum, w.max)))
+        checked += 1
+      }
+    }
+    assert(checked > 0)
+  }
+
+  test("s06 PQ re-rank: ranks contiguous, cosines descending, beats raw ADC") {
+    val rows = run("s06_knn_pq").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (_, g) =>
+      val sorted = g.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq === (1 to sorted.length))
+      // cosine non-increasing with rank (exact re-rank ordering)
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a._4 >= b._4)
+        case _ =>
+      }
+      assert(g.forall(r => r._3 != r._1), "self must be excluded")
+    }
+  }
+
   test("d02 jaccard values are in (0.5, 1] and pairs are ordered") {
     run("d02_ngram_jaccard").collect().foreach { r =>
       assert(r.getLong(0) < r.getLong(1))
