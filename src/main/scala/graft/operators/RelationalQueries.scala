@@ -656,6 +656,108 @@ object RelationalQueries {
       Some("""SELECT date_trunc('month', o_orderdate) AS month,
              |  count(DISTINCT o_custkey) AS n_cust_exact,
              |  TRUE AS approx_ok
-             |FROM orders GROUP BY 1 ORDER BY month""".stripMargin))
+             |FROM orders GROUP BY 1 ORDER BY month""".stripMargin)),
+
+    // CUBE / grouping sets: all four (nation × month) rollup strata in ONE
+    // aggregation pass — Spark expands the grouping sets before the
+    // exchange, so partial aggregation still combines map-side and the
+    // shuffle carries ~4× group rows, not 4× input rows (vs running four
+    // separate groupBys over the fact table). The stratum marker is
+    // derived with CASE WHEN ... IS NULL (portable) rather than
+    // grouping_id(), whose bit order is engine-defined; sorting by it
+    // keeps every stratum's null pattern constant, so null-ordering
+    // defaults (Spark NULLS FIRST vs DuckDB NULLS LAST) never see a mixed
+    // column.
+    Q("q32_cube",
+      "orders ⋈ customer revenue by CUBE(nation, month): 4 strata, one pass",
+      (s, d) => {
+        def t(n: String): DataFrame = Tables.load(s, d, n)
+        t("orders")
+          .join(broadcast(t("customer")
+            .select(col("c_custkey"), col("c_nationkey"))),
+            col("o_custkey") === col("c_custkey"))
+          .select(col("c_nationkey").as("nationkey"),
+            date_trunc("month", col("o_orderdate")).as("month"),
+            col("o_totalprice"))
+          .cube(col("nationkey"), col("month"))
+          .agg(count(lit(1)).as("n_orders"),
+            sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("revenue"))
+          .withColumn("stratum",
+            when(col("nationkey").isNull, lit(2)).otherwise(lit(0)) +
+              when(col("month").isNull, lit(1)).otherwise(lit(0)))
+          .select(col("stratum"), col("nationkey"), col("month"),
+            col("n_orders"), col("revenue"))
+          .orderBy("stratum", "nationkey", "month")
+      },
+      Some("""SELECT
+             |  (CASE WHEN c_nationkey IS NULL THEN 2 ELSE 0 END
+             |    + CASE WHEN date_trunc('month', o_orderdate) IS NULL THEN 1 ELSE 0 END) AS stratum,
+             |  c_nationkey AS nationkey,
+             |  date_trunc('month', o_orderdate) AS month,
+             |  count(*) AS n_orders,
+             |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+             |FROM orders JOIN customer ON o_custkey = c_custkey
+             |GROUP BY CUBE (c_nationkey, date_trunc('month', o_orderdate))
+             |ORDER BY stratum, nationkey, month""".stripMargin)),
+
+    // Interval / range join, bin-bucketed (the operator Spark has no
+    // native physical strategy for — a naive formulation plans
+    // BroadcastNestedLoopJoin, which dies when neither side broadcasts).
+    // Windows here are data-derived "incident windows": hot hours (count
+    // above 1.2× the event type's hourly mean) padded to [hour−30 min,
+    // hour+90 min). The scale technique: explode each bounded-length
+    // interval into the hour BINS it overlaps (≤3), hash-join events on
+    // (type, hour-bin) — a plain shuffled equi-join — and apply the exact
+    // range predicate as a residual filter. Cost is |events| + 3×|windows|
+    // shuffled, never |events|×|windows|. The oracle is the NAIVE
+    // BETWEEN join, proving the binning is semantics-preserving (an event
+    // inside two overlapping padded windows counts in both, same as the
+    // naive join). Bins work because the interval length is bounded by
+    // construction — unbounded intervals take the sort-based
+    // interval-tree path instead.
+    Q("q33_range_join",
+      "events ⋈ padded hot-hour windows via hour-bin equi-join + residual",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .select(col("ts"), col("event_type"), col("value"))
+        val hourly = ev
+          .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+          .agg(count(lit(1)).as("n"))
+        val stats = hourly.groupBy("event_type")
+          .agg(avg(col("n")).as("avg_n"))
+        val hot = hourly.join(broadcast(stats), Seq("event_type"))
+          .filter(col("n") > col("avg_n") * lit(1.2))
+          .select(col("event_type"),
+            (col("hour") - expr("INTERVAL 30 MINUTES")).as("w_start"),
+            (col("hour") + expr("INTERVAL 90 MINUTES")).as("w_end"))
+        val bins = hot.withColumn("bin",
+          explode(sequence(
+            date_trunc("hour", col("w_start")),
+            date_trunc("hour", col("w_end") - expr("INTERVAL 1 MICROSECOND")),
+            expr("INTERVAL 1 HOUR"))))
+        ev.withColumn("bin", date_trunc("hour", col("ts")))
+          .join(bins, Seq("event_type", "bin"))
+          .filter(col("ts") >= col("w_start") && col("ts") < col("w_end"))
+          .groupBy("event_type", "w_start")
+          .agg(count(lit(1)).as("n_events"),
+            sum(col("value").cast("decimal(18,4)")).cast("double").as("total_value"))
+          .orderBy("event_type", "w_start")
+      },
+      Some("""WITH hourly AS (
+             |  SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n
+             |  FROM events GROUP BY 1, 2),
+             |stats AS (SELECT event_type, avg(n) AS avg_n FROM hourly GROUP BY 1),
+             |hot AS (
+             |  SELECT h.event_type,
+             |    h.hour - INTERVAL 30 MINUTE AS w_start,
+             |    h.hour + INTERVAL 90 MINUTE AS w_end
+             |  FROM hourly h JOIN stats s USING (event_type)
+             |  WHERE h.n > s.avg_n * 1.2)
+             |SELECT e.event_type AS event_type, hot.w_start, count(*) AS n_events,
+             |  CAST(sum(CAST(e.value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+             |FROM events e JOIN hot
+             |  ON e.event_type = hot.event_type
+             |  AND e.ts >= hot.w_start AND e.ts < hot.w_end
+             |GROUP BY 1, 2 ORDER BY event_type, w_start""".stripMargin))
   )
 }

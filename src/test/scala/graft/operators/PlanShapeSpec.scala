@@ -103,6 +103,24 @@ class PlanShapeSpec extends SparkTestBase {
       "corpus-side cartesian product would shuffle the corpus")
   }
 
+  test("q33: bin-bucketed range join is a hash join, never a nested loop") {
+    val plan = executedPlan("q33_range_join")
+    // The naive interval formulation plans BroadcastNestedLoopJoin; the
+    // binned one must be an equi-join on (event_type, bin) with the range
+    // predicate as a residual.
+    assert(!plan.contains("NestedLoop") && !plan.contains("CartesianProduct"),
+      s"range join degenerated to a non-equi physical join:\n${plan.take(2000)}")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin")
+      || plan.contains("ShuffledHashJoin"), "expected an equi hash/merge join")
+  }
+
+  test("q32: cube aggregates partially before the exchange (one-pass strata)") {
+    val plan = executedPlan("q32_cube")
+    assert(plan.contains("Expand"), "cube should expand grouping sets")
+    assert(countOf(plan, "HashAggregate") >= 2,
+      "cube must partial-aggregate map-side after the Expand")
+  }
+
   test("hot relational queries stay inside whole-stage codegen") {
     for (name <- Seq("q01_groupby_having", "q05_filter_in", "q13_qc_rollup")) {
       val plan = executedPlan(name)
