@@ -478,19 +478,21 @@ object Similarity {
   /** Nearest-centroid assignment of sub-vectors to a codebook: broadcast
     * the 128-row codebook onto the (vec_id, m, subv) frame, d² from three
     * pinned dot folds, argmin ties to the LOWER k (`ORDER BY d2, k` in
-    * both engines). Keeps every column the callers need (subv for
-    * training, c for reconstruction).
+    * both engines; (d2, k) pairs are unique per group so the lexicographic
+    * struct-min is exact). The argmin is `min(struct(d2, k, …))` — a
+    * regular aggregate that PARTIALLY combines map-side, so the shuffle
+    * carries one best-so-far row per (vec, subspace) instead of all 16
+    * candidates that a row_number window would sort.
     */
   private def pqAssign(sub: DataFrame, cb: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("vec_id"), col("m"))
-      .orderBy(col("d2").asc, col("k").asc)
     sub.join(broadcast(cb), Seq("m"))
       .withColumn("d2",
         dotFast(col("subv"), col("subv"))
           - lit(2.0) * dotFast(col("subv"), col("c"))
           + dotFast(col("c"), col("c")))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("m"), col("k"), col("subv"), col("c"))
+      .groupBy("vec_id", "m")
+      .agg(min(struct(col("d2"), col("k"), col("subv"), col("c"))).as("best"))
+      .select(col("vec_id"), col("m"), col("best.k").as("k"),
+        col("best.subv").as("subv"), col("best.c").as("c"))
   }
 }
