@@ -758,6 +758,46 @@ object RelationalQueries {
              |FROM events e JOIN hot
              |  ON e.event_type = hot.event_type
              |  AND e.ts >= hot.w_start AND e.ts < hot.w_end
-             |GROUP BY 1, 2 ORDER BY event_type, w_start""".stripMargin))
+             |GROUP BY 1, 2 ORDER BY event_type, w_start""".stripMargin)),
+
+    // Time-bounded self-join (purchase attribution): each purchase pairs
+    // with the same user's clicks in the preceding hour. Unlike q33 the
+    // equi-key (user_id) is already selective, so NO binning is needed:
+    // the hash join on user_id carries the work and the time bound is a
+    // residual predicate — per-user event counts bound each match group,
+    // so the join is output-bound at any corpus size. This is also the
+    // batch twin of EventStreams.purchaseAttribution (stream-stream
+    // interval join); a spec asserts they agree. The oracle casts the
+    // nanosecond timestamps to microseconds (both engines floor) because
+    // the interval arithmetic here compares RAW event times — sub-µs
+    // precision the Spark reader truncates would otherwise flip boundary
+    // comparisons.
+    Q("q34_event_attribution",
+      "purchases ⋈ same-user clicks within the preceding hour (time-bounded self-join)",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .select(col("event_id"), col("ts"), col("user_id"),
+            col("event_type"), col("value"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts").as("click_ts"),
+            col("event_id").as("click_id"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts").as("purchase_ts"),
+            col("event_id").as("purchase_id"), col("value"))
+        purchases.join(clicks, Seq("user_id"))
+          .filter(col("click_ts") <= col("purchase_ts") &&
+            col("click_ts") >= col("purchase_ts") - expr("INTERVAL 1 HOUR"))
+          .select(col("user_id"), col("purchase_id"), col("purchase_ts"),
+            col("click_id"), col("click_ts"), col("value"))
+          .orderBy("purchase_id", "click_id")
+      },
+      Some("""WITH ev AS (SELECT event_id, ts::TIMESTAMP AS ts, user_id, event_type, value FROM events),
+             |c AS (SELECT user_id, ts AS click_ts, event_id AS click_id FROM ev WHERE event_type = 'click'),
+             |p AS (SELECT user_id, ts AS purchase_ts, event_id AS purchase_id, value FROM ev WHERE event_type = 'purchase')
+             |SELECT p.user_id, purchase_id, purchase_ts, click_id, click_ts, value
+             |FROM p JOIN c ON p.user_id = c.user_id
+             |  AND click_ts <= purchase_ts
+             |  AND click_ts >= purchase_ts - INTERVAL 1 HOUR
+             |ORDER BY purchase_id, click_id""".stripMargin))
   )
 }

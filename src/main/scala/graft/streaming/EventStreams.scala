@@ -137,4 +137,35 @@ object EventStreams {
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.EventTimeTimeout)(update)
   }
+
+  /** Stream-stream time-interval join — the streaming twin of
+    * q34_event_attribution: each purchase joins the SAME user's clicks
+    * from the preceding hour, continuously. Both sides carry watermarks
+    * AND the join condition time-bounds one stream against the other,
+    * which is exactly what lets Spark expire join state: a buffered click
+    * is droppable once the purchase-side watermark passes
+    * click_ts + 1 h (no future purchase can still match it), so state
+    * tracks the watermark horizon, not history. Emits only matched pairs
+    * (inner join) in append mode — late events beyond the watermark drop,
+    * the same semantics the batch twin sees on the non-dropped subset.
+    */
+  def purchaseAttribution(events: Dataset[Event],
+      watermark: String = "2 hours"): DataFrame = {
+    val clicks = events.toDF()
+      .filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("click_ts", watermark)
+    val purchases = events.toDF()
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user_id"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"), col("value"))
+      .withWatermark("purchase_ts", watermark)
+    purchases.join(clicks,
+        col("p_user_id") === col("user_id") &&
+          col("click_ts") <= col("purchase_ts") &&
+          col("click_ts") >= col("purchase_ts") - expr("INTERVAL 1 HOUR"))
+      .select(col("user_id"), col("purchase_id"), col("purchase_ts"),
+        col("click_id"), col("click_ts"), col("value"))
+  }
 }

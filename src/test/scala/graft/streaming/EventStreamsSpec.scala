@@ -268,6 +268,54 @@ class EventStreamsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("stream-stream interval join matches clicks across batches, bounds state") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[EventStreams.Event]
+    val q = EventStreams.purchaseAttribution(in.toDS())
+      .writeStream.format("memory").queryName("attrib")
+      .outputMode("append").start()
+    try {
+      // batch 1: clicks only — buffered in join state
+      in.addData(
+        EventStreams.Event(1, ts("10:00"), 1, "click", 0.0),
+        EventStreams.Event(2, ts("10:30"), 1, "click", 0.0),
+        EventStreams.Event(3, ts("08:00"), 1, "click", 0.0), // > 1 h before
+        EventStreams.Event(4, ts("10:20"), 2, "click", 0.0)) // other user
+      q.processAllAvailable()
+      // batch 2: the purchase arrives later — must still see batch-1 clicks
+      in.addData(EventStreams.Event(5, ts("10:45"), 1, "purchase", 9.99))
+      q.processAllAvailable()
+      val got = spark.table("attrib").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+      assert(got === Set((1L, 5L, 1L), (1L, 5L, 2L)),
+        "exactly the same-user clicks within the preceding hour")
+    } finally q.stop()
+  }
+
+  test("streaming attribution equals batch q34 on real events (flushed)") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val d = "/root/testdata/sf0.001"
+    val batch = graft.SparkEntry.queries("q34_event_attribution")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+    val events = graft.core.Tables.events(spark, d)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+      .as[EventStreams.Event].collect().toSeq
+    val in = MemoryStream[EventStreams.Event]
+    val q = EventStreams.purchaseAttribution(in.toDS())
+      .writeStream.format("memory").queryName("attrib_eq")
+      .outputMode("append").start()
+    try {
+      in.addData(events)
+      q.processAllAvailable()
+      val streamed = spark.table("attrib_eq").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
   test("in-session gap splits into two sessions on the same user") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
