@@ -415,6 +415,74 @@ object Dedup {
              |FROM h JOIN sh USING (span_hash)
              |ORDER BY doc_id, pos""".stripMargin)),
 
+    // Connected components over the near-dup pair graph — the step that
+    // turns PAIRS into CLUSTERS so dedup keeps one survivor per component
+    // (a pair list alone double-drops when A~B and B~C). Pregel-style
+    // min-label propagation: every node starts labeled with itself; each
+    // round takes the min of its neighbors' labels; fixpoint in
+    // O(component diameter) rounds — near-dup clusters are shallow, and
+    // the loop is capped. The per-round driver action is the CONVERGENCE
+    // CHECK ONLY (a count, the standard Pregel driver loop) — labels
+    // themselves never leave the executors; each round persists and
+    // materializes its frame so lineage stays flat. At 100 TB swap the
+    // propagation for large-star/small-star (O(log n) rounds,
+    // Kiveris et al. 2014) and checkpoint between rounds; the join
+    // structure below is unchanged. The oracle computes the same
+    // components with a recursive transitive-closure CTE.
+    Q("d09_dedup_components",
+      "near-dup clusters: connected components of d02's pair graph, canonical = min id",
+      (s, d) => {
+        val edges = jaccardPairs(explodedShingles(s, d).cache(), 0.5)
+          .select(col("doc_a"), col("doc_b")).cache()
+        val sym = edges.union(
+          edges.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+        var labels = sym.select(col("doc_a").as("node")).distinct()
+          .withColumn("label", col("node"))
+        var converged = false
+        var iter = 0
+        while (!converged && iter < 20) {
+          val nbrMin = sym.join(labels, col("doc_b") === col("node"))
+            .groupBy(col("doc_a"))
+            .agg(min(col("label")).as("nbr_min"))
+          val next = labels
+            .join(nbrMin, col("node") === col("doc_a"), "left")
+            .select(col("node"),
+              least(col("label"), coalesce(col("nbr_min"), col("label")))
+                .as("label"))
+            .persist()
+          val changed = next.join(
+              labels.withColumnRenamed("label", "old"), Seq("node"))
+            .filter(col("label") =!= col("old")).count()
+          labels.unpersist()
+          labels = next
+          converged = changed == 0
+          iter += 1
+        }
+        val sizes = labels.groupBy(col("label").as("canonical_id"))
+          .agg(count(lit(1)).as("component_size"))
+        labels.select(col("node").as("doc_id"), col("label").as("canonical_id"))
+          .join(broadcast(sizes), Seq("canonical_id"))
+          .select(col("doc_id"), col("canonical_id"), col("component_size"))
+          .orderBy("doc_id")
+      },
+      Some(s"""${sqlShingled.replaceFirst("WITH ", "WITH RECURSIVE ")},
+             |ex AS (SELECT doc_id, nsh, unnest(sh) AS shingle FROM sh),
+             |p0 AS (
+             |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             |    a.nsh AS size_a, b.nsh AS size_b, count(*)::BIGINT AS intersection
+             |  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+             |  GROUP BY 1, 2, 3, 4),
+             |pr AS (SELECT doc_a, doc_b FROM p0
+             |  WHERE intersection * 1.0 / (size_a + size_b - intersection) >= 0.5),
+             |edges AS (SELECT doc_a, doc_b FROM pr UNION SELECT doc_b, doc_a FROM pr),
+             |reach AS (
+             |  SELECT doc_a AS node, doc_b AS r FROM edges
+             |  UNION
+             |  SELECT reach.node, edges.doc_b AS r FROM reach JOIN edges ON reach.r = edges.doc_a)
+             |SELECT node AS doc_id, least(node, min(r))::BIGINT AS canonical_id,
+             |  count(DISTINCT r)::BIGINT AS component_size
+             |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin)),
+
     // SimHash: 60-bit per-doc sketch, zero shuffle — token counting and the
     // per-bit weighted vote are pure array expressions over each row, so
     // the whole operator is a narrow codegen'd projection (the form a

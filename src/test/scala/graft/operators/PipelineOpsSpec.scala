@@ -72,6 +72,25 @@ class PipelineOpsSpec extends SparkTestBase {
     }
   }
 
+  test("d09 components: pairs land in one cluster, canonical is the min, sizes add up") {
+    val pairs = run("d02_ngram_jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val comp = run("d09_dedup_components").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(comp.nonEmpty)
+    // every edge's endpoints share a component
+    pairs.foreach { case (a, b) =>
+      assert(comp(a)._1 === comp(b)._1, s"pair ($a,$b) split across components")
+    }
+    // node set is exactly the docs that appear in pairs
+    assert(comp.keySet === pairs.flatMap(p => Seq(p._1, p._2)).toSet)
+    // canonical is the member min; size equals the member count
+    comp.groupBy(_._2._1).foreach { case (canon, members) =>
+      assert(canon === members.keys.min)
+      assert(members.values.map(_._2).toSet === Set(members.size.toLong))
+    }
+  }
+
   test("m03 frame arithmetic: counts, energy and peak match a direct recompute") {
     val frames = run("m03_audio_features").collect()
       .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(3))))
