@@ -40,4 +40,15 @@ object Bucketing {
     spark.table(left).join(spark.table(right),
       col(leftKey) === col(rightKey))
   }
+
+  /** Hive-style directory partitioning — the OTHER layout lever: a filter
+    * on the partition column prunes whole directories at PLANNING time
+    * (`PartitionFilters` on the scan), so a day's query over a 100 TB
+    * event lake lists one directory instead of scanning every file's
+    * footer. Partition by coarse, low-cardinality keys (date, source);
+    * bucket by fine join keys — the two compose (partitionBy + bucketBy).
+    */
+  def writeDatePartitioned(df: DataFrame, path: String,
+      partitionCol: String): Unit =
+    df.write.mode("overwrite").partitionBy(partitionCol).parquet(path)
 }

@@ -138,6 +138,18 @@ object EventStreams {
         GroupStateTimeout.EventTimeTimeout)(update)
   }
 
+  /** Stream-static enrichment join: the event stream against a STATIC
+    * reference frame (a dimension table). No state, no watermark — the
+    * static side is (re)resolved per micro-batch and broadcast under the
+    * usual threshold, so a file-backed dim picks up replacements between
+    * batches. This is the reference-data shape for a 100 TB/day stream:
+    * the stream never shuffles; only the dim moves. Left join so events
+    * without reference rows pass through (enrichment must not drop data).
+    */
+  def enrichedIngest(events: Dataset[Event], dim: DataFrame): DataFrame =
+    events.toDF().join(
+      org.apache.spark.sql.functions.broadcast(dim), Seq("user_id"), "left")
+
   /** Stream-stream time-interval join — the streaming twin of
     * q34_event_attribution: each purchase joins the SAME user's clicks
     * from the preceding hour, continuously. Both sides carry watermarks

@@ -51,6 +51,29 @@ class BucketingSpec extends SparkTestBase {
     }
   }
 
+  test("date-partitioned layout: partition filter prunes directories at plan time") {
+    import org.apache.spark.sql.functions._
+    val dir = tmpDir()
+    val ev = graft.core.Tables.events(spark, sf)
+      .withColumn("event_date", to_date(col("ts")))
+    Bucketing.writeDatePartitioned(ev, dir, "event_date")
+    val someDay = ev.select("event_date").head().getDate(0)
+    val q = spark.read.parquet(dir)
+      .filter(col("event_date") === lit(someDay))
+      .select("event_id", "event_type")
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+    val scanLine = plan.linesIterator.find(_.contains("FileScan")).getOrElse("")
+    assert(scanLine.contains("PartitionFilters: [") &&
+      scanLine.replaceAll(".*PartitionFilters: \\[([^\\]]*)\\].*", "$1")
+        .contains("event_date"),
+      s"date filter must be a partition filter, not a data filter:\n$scanLine")
+    // and it must NOT be pushed as a row-level parquet filter — the
+    // directory listing already excluded the other days
+    assert(!scanLine.replaceAll(".*PushedFilters: \\[([^\\]]*)\\].*", "$1")
+      .contains("event_date"), s"partition column leaked into PushedFilters:\n$scanLine")
+  }
+
   test("bucket-pruned scan: equality filter on the bucket key reads one bucket") {
     val spark0 = spark
     import org.apache.spark.sql.functions._

@@ -316,6 +316,34 @@ class EventStreamsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("stream-static enrichment joins the broadcast dim, keeps unmatched events") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val dimPath = tmpDir()
+    Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
+      .write.mode("overwrite").parquet(dimPath)
+    val dim = spark.read.parquet(dimPath)
+    val in = MemoryStream[EventStreams.Event]
+    val q = EventStreams.enrichedIngest(in.toDS(), dim)
+      .select(col("event_id"), col("user_id"), col("tier"))
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        EventStreams.Event(1, ts("10:00"), 1, "click", 1.0),
+        EventStreams.Event(2, ts("10:01"), 2, "view", 2.0),
+        EventStreams.Event(3, ts("10:02"), 7, "click", 3.0)) // no dim row
+      q.processAllAvailable()
+      val got = spark.table("enriched").collect()
+        .map(r => (r.getLong(0), r.getLong(1), Option(r.getString(2))))
+        .sortBy(_._1).toSeq
+      assert(got === Seq(
+        (1L, 1L, Some("gold")),
+        (2L, 2L, Some("basic")),
+        (3L, 7L, None)))
+    } finally q.stop()
+  }
+
   test("in-session gap splits into two sessions on the same user") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
