@@ -798,6 +798,40 @@ object RelationalQueries {
              |FROM p JOIN c ON p.user_id = c.user_id
              |  AND click_ts <= purchase_ts
              |  AND click_ts >= purchase_ts - INTERVAL 1 HOUR
-             |ORDER BY purchase_id, click_id""".stripMargin))
+             |ORDER BY purchase_id, click_id""".stripMargin)),
+
+    // Ranking-function battery: rank / dense_rank / percent_rank /
+    // cume_dist / ntile over one window — all five share a single sort
+    // within one shuffle by the partition key (WindowExec evaluates the
+    // whole frame list per partition). The ORDER BY includes the unique
+    // key (c_custkey) so tie-dependent outputs (ntile, percent_rank) are
+    // deterministic and engine-portable; percent_rank's
+    // (rank−1)/(rows−1) double is the same arithmetic in both engines.
+    Q("q35_rank_battery",
+      "per-nation customer balance ranks: rank/dense/percent/cume_dist/ntile(4)",
+      (s, d) => {
+        val w = Window.partitionBy(col("c_nationkey"))
+          .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+        Tables.load(s, d, "customer")
+          .select(col("c_nationkey").as("nationkey"),
+            col("c_custkey").as("custkey"),
+            col("c_acctbal").as("acctbal"),
+            rank().over(w).as("bal_rank"),
+            dense_rank().over(w).as("bal_dense_rank"),
+            percent_rank().over(w).as("bal_pct_rank"),
+            cume_dist().over(w).as("bal_cume_dist"),
+            ntile(4).over(w).as("bal_quartile"))
+          .orderBy("nationkey", "bal_rank")
+      },
+      Some("""SELECT c_nationkey AS nationkey, c_custkey AS custkey,
+             |  c_acctbal AS acctbal,
+             |  rank() OVER w AS bal_rank,
+             |  dense_rank() OVER w AS bal_dense_rank,
+             |  percent_rank() OVER w AS bal_pct_rank,
+             |  cume_dist() OVER w AS bal_cume_dist,
+             |  ntile(4) OVER w AS bal_quartile
+             |FROM customer
+             |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)
+             |ORDER BY nationkey, bal_rank""".stripMargin))
   )
 }
