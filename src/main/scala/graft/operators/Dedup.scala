@@ -436,8 +436,15 @@ object Dedup {
           .select(col("doc_a"), col("doc_b")).cache()
         val sym = edges.union(
           edges.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-        var labels = sym.select(col("doc_a").as("node")).distinct()
-          .withColumn("label", col("node"))
+        // seed labels with the first propagation hop fused in:
+        // label₀ = min(self, direct neighbors) — same shuffle the plain
+        // distinct() would pay, one fewer loop round (pair components
+        // converge immediately)
+        var labels = sym.groupBy(col("doc_a").as("node"))
+          .agg(min(col("doc_b")).as("nbr_min"))
+          .select(col("node"),
+            least(col("node"), col("nbr_min")).as("label"))
+          .persist()
         var converged = false
         var iter = 0
         while (!converged && iter < 20) {
