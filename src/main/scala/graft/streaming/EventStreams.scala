@@ -138,6 +138,29 @@ object EventStreams {
         GroupStateTimeout.EventTimeTimeout)(update)
   }
 
+  /** Continuous warehouse ingest — the production shape for streaming
+    * writes to a non-transactional store: watermark-bounded stream dedup
+    * (at-least-once sources) feeding `foreachBatch`, whose body reuses
+    * the BATCH upsert (join-coalesce keyed on event_id, rename-swap
+    * commit). The layering gives two independent idempotence guarantees:
+    * dedup absorbs redeliveries inside the watermark horizon; the keyed
+    * upsert absorbs replays beyond it (a restarted query re-emitting an
+    * old micro-batch rewrites the same rows). The whole-table rewrite per
+    * epoch is the dim-scale trade — at fact scale partition the table and
+    * let the upsert rewrite only touched partitions, or swap the sink for
+    * a transactional format whose MERGE does the same join server-side.
+    * Caller starts the returned writer (and picks trigger/checkpoint).
+    */
+  def warehouseIngest(events: Dataset[Event],
+      wh: graft.compendium.Warehouse, table: String,
+      watermark: String = "2 hours")
+      : org.apache.spark.sql.streaming.DataStreamWriter[Event] =
+    dedupedIngest(events, watermark).writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[Event], _: Long) =>
+        wh.upsert(table, batch.toDF(), "event_id")
+      }
+
   /** Stream-static enrichment join: the event stream against a STATIC
     * reference frame (a dimension table). No state, no watermark — the
     * static side is (re)resolved per micro-batch and broadcast under the

@@ -344,6 +344,39 @@ class EventStreamsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("warehouse ingest: dedup inside the watermark, keyed upsert beyond it") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val wh = new graft.compendium.Warehouse(spark, tmpDir())
+    val in = MemoryStream[EventStreams.Event]
+    val q = EventStreams.warehouseIngest(in.toDS(), wh, "events_ingested")
+      .start()
+    try {
+      in.addData(
+        EventStreams.Event(1, ts("10:00"), 1, "click", 1.0),
+        EventStreams.Event(2, ts("10:05"), 1, "view", 2.0),
+        EventStreams.Event(2, ts("10:05"), 1, "view", 2.0)) // in-batch dup
+      q.processAllAvailable()
+      // redelivery in a later batch, still inside the watermark → dedup
+      in.addData(
+        EventStreams.Event(1, ts("10:00"), 1, "click", 1.0),
+        EventStreams.Event(3, ts("10:20"), 2, "click", 3.0))
+      q.processAllAvailable()
+      assert(wh.read("events_ingested").select("event_id").collect()
+        .map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L, 3L))
+      // replay BEYOND the watermark horizon: advance event time far, then
+      // redeliver event 1 — dedup state is gone, but the keyed upsert
+      // rewrites the same row instead of duplicating it
+      in.addData(EventStreams.Event(9, ts("20:00"), 3, "click", 0.5))
+      q.processAllAvailable()
+      in.addData(EventStreams.Event(1, ts("10:00"), 1, "click", 1.0))
+      q.processAllAvailable()
+      val rows = wh.read("events_ingested").collect()
+      assert(rows.map(_.getAs[Long]("event_id")).sorted.toSeq ===
+        Seq(1L, 2L, 3L, 9L), "replay beyond the watermark must not duplicate")
+    } finally q.stop()
+  }
+
   test("in-session gap splits into two sessions on the same user") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
