@@ -141,6 +141,44 @@ object Multimodal {
     }
   }
 
+  final case class Patch(doc_id: Long, patch_row: Long, patch_col: Long,
+      patch_sum: Long, patch_max: Long)
+
+  /** ViT-style patch grid: the payload's first 256 decoded codepoints as a
+    * 16×16 "image", split into a 4×4 grid of 4×4 patches with per-patch
+    * sum and max (stand-ins for the patch embedding a vision tower would
+    * compute). Records shorter than one image emit nothing. The plumbing
+    * is the point: patches explode to rows keyed (doc_id, row, col), the
+    * unit downstream similarity/dedup ops join on — at 100 TB patch rows
+    * feed straight into the s-ops' ANN pipeline without re-decoding.
+    */
+  def patchGrid(ds: Dataset[MediaRecord], side: Int = 16,
+      patch: Int = 4): Dataset[Patch] = {
+    import ds.sparkSession.implicits._
+    val grid = side / patch
+    ds.mapPartitions { it =>
+      it.flatMap { r =>
+        val cps = new String(r.payload, "UTF-8").codePoints().toArray
+        if (cps.length < side * side) Iterator.empty
+        else (0 until grid * grid).iterator.map { p =>
+          val pr = p / grid
+          val pc = p % grid
+          var sum = 0L
+          var max = 0L
+          var i = 0
+          while (i < patch * patch) {
+            val c = cps((pr * patch + i / patch) * side + pc * patch
+              + i % patch).toLong
+            sum += c
+            if (c > max) max = c
+            i += 1
+          }
+          Patch(r.doc_id, pr.toLong, pc.toLong, sum, max)
+        }
+      }
+    }
+  }
+
   private val sqlMeta =
     """WITH m AS (SELECT doc_id, text,
       |  octet_length(encode(text))::BIGINT AS n_bytes,
@@ -205,6 +243,25 @@ object Multimodal {
              |    i -> cp[i] * cp[i]), 'sum')::BIGINT AS energy,
              |  list_aggregate(list_transform(range(f * 32 + 1, f * 32 + 65),
              |    i -> cp[i]), 'max')::BIGINT AS peak
-             |FROM fr ORDER BY doc_id, frame_idx""".stripMargin))
+             |FROM fr ORDER BY doc_id, frame_idx""".stripMargin)),
+
+    Q("m04_patch_grid",
+      "ViT-style patching: 16x16 payload image -> 4x4 grid of 4x4 patches with sum/max",
+      (s, d) => patchGrid(mediaRecords(s, d)).toDF()
+        .orderBy("doc_id", "patch_row", "patch_col"),
+      Some("""WITH cps AS (SELECT doc_id,
+             |    list_transform(range(1, length(text) + 1),
+             |      i -> unicode(substr(text, i, 1))::BIGINT) AS cp
+             |  FROM documents WHERE length(text) >= 256),
+             |p AS (SELECT doc_id, cp, unnest(range(0, 16)) AS p FROM cps),
+             |cells AS (SELECT doc_id, (p // 4)::BIGINT AS patch_row,
+             |    (p % 4)::BIGINT AS patch_col,
+             |    list_transform(range(0, 16),
+             |      i -> cp[((p // 4) * 4 + i // 4) * 16 + (p % 4) * 4 + (i % 4) + 1]) AS vals
+             |  FROM p)
+             |SELECT doc_id, patch_row, patch_col,
+             |  list_aggregate(vals, 'sum')::BIGINT AS patch_sum,
+             |  list_aggregate(vals, 'max')::BIGINT AS patch_max
+             |FROM cells ORDER BY doc_id, patch_row, patch_col""".stripMargin))
   )
 }

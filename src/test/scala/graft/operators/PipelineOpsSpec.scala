@@ -112,6 +112,28 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(checked > 0)
   }
 
+  test("m04 patches: 16 per qualifying doc, sums tile the 256-cp image exactly") {
+    val patches = run("m04_patch_grid").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val docs = graft.core.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).codePoints().toArray)
+    val byDoc = patches.groupBy(_._1)
+    docs.foreach { case (id, cps) =>
+      if (cps.length < 256) assert(!byDoc.contains(id))
+      else {
+        val g = byDoc(id)
+        assert(g.length === 16)
+        assert(g.map(p => (p._2, p._3)).toSet ===
+          (for (r <- 0L until 4L; c <- 0L until 4L) yield (r, c)).toSet)
+        // the 16 patch sums partition the image: together they add to the
+        // sum of the first 256 codepoints
+        assert(g.map(_._4).sum === cps.take(256).map(_.toLong).sum)
+      }
+    }
+    assert(byDoc.nonEmpty)
+  }
+
   test("s06 PQ re-rank: ranks contiguous, cosines descending, beats raw ADC") {
     val rows = run("s06_knn_pq").collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
