@@ -13,8 +13,9 @@ import org.apache.spark.sql.SparkSession
   * GRAFT_PROJECTS (pipeline workspace root, default ./projects).
   * External side effects (sbatch/git/HTTP) run through the injected
   * boundaries; the default launcher logs intended commands (no SLURM in
-  * this environment) and the default EUtils client must be provided by
-  * the deployment (zero-egress here).
+  * this environment) and the default EUtils client is the real
+  * `java.net.http` implementation (specs inject fakes; the zero-egress
+  * test environment never exercises it).
   */
 object Cli {
 
@@ -48,8 +49,10 @@ object Cli {
         println(s"$n new tags")
       case "runs" =>
         val budget = if (args.length > 1) args(1).toInt else 2000
-        val client = eutils.getOrElse(sys.error(
-          "runs requires an EUtilsClient (network boundary)"))
+        // default = the real NCBI client (db.py:324-372) — constructing it
+        // performs no I/O, so the zero-egress test environment is
+        // unaffected (specs always inject fakes)
+        val client = eutils.getOrElse(new HttpEUtilsClient(d.cfg))
         val n = EUtils.enrich(spark, d.wh, client, budget, d.cfg)
         println(s"$n samples enriched")
       case "asvs" =>
