@@ -832,6 +832,45 @@ object RelationalQueries {
              |  ntile(4) OVER w AS bal_quartile
              |FROM customer
              |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)
-             |ORDER BY nationkey, bal_rank""".stripMargin))
+             |ORDER BY nationkey, bal_rank""".stripMargin)),
+
+    // Mergeable quantile sketch — q31's story for percentiles: exact
+    // percentile_disc must hold every group's values (a sort-based
+    // aggregate whose state grows with the data), while approx_percentile
+    // keeps a constant-size Greenwald-Khanna summary per group that
+    // merges map-side, so the shuffle is O(groups) at any scale. GK's
+    // guarantee is on RANK error (≤ n/accuracy), so the gate bounds the
+    // estimate between exact neighbors ±2% of rank around each target
+    // percentile; the flags are computed from the Spark estimate — a
+    // sketch regression fails the hash gate — and the oracle pins the
+    // exact values plus TRUE flags (q31 pattern).
+    Q("q36_approx_quantiles",
+      "GK-sketch approximate p50/p95 per type, rank-error-bounded vs exact",
+      (s, d) => {
+        Tables.events(s, d).groupBy(col("event_type"))
+          .agg(
+            count(lit(1)).as("n"),
+            expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value)").as("p50_exact"),
+            expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY value)").as("p95_exact"),
+            expr("percentile_disc(0.48) WITHIN GROUP (ORDER BY value)").as("__p50_lo"),
+            expr("percentile_disc(0.52) WITHIN GROUP (ORDER BY value)").as("__p50_hi"),
+            expr("percentile_disc(0.93) WITHIN GROUP (ORDER BY value)").as("__p95_lo"),
+            expr("percentile_disc(0.97) WITHIN GROUP (ORDER BY value)").as("__p95_hi"),
+            expr("approx_percentile(value, 0.5, 100)").as("__a50"),
+            expr("approx_percentile(value, 0.95, 100)").as("__a95"))
+          .select(col("event_type"), col("n"),
+            col("p50_exact"), col("p95_exact"),
+            (col("__a50") >= col("__p50_lo") && col("__a50") <= col("__p50_hi"))
+              .as("p50_ok"),
+            (col("__a95") >= col("__p95_lo") && col("__a95") <= col("__p95_hi"))
+              .as("p95_ok"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type, count(*) AS n,
+             |  quantile_disc(value, 0.5) AS p50_exact,
+             |  quantile_disc(value, 0.95) AS p95_exact,
+             |  TRUE AS p50_ok,
+             |  TRUE AS p95_ok
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin))
   )
 }
