@@ -7,6 +7,7 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -17,6 +18,7 @@ object Bench {
     // in front).
     try {
       spark.range(1000).selectExpr("sum(id)").collect()
+      spark.range(1000).write.format("noop").mode("overwrite").save()
       graft.core.Tables.all.filterNot(_ == "events").foreach { t =>
         try graft.core.Tables.load(spark, sfDir, t).limit(1).collect()
         catch { case _: Throwable => () }
@@ -33,23 +35,47 @@ object Bench {
       java.lang.management.ManagementFactory.getOperatingSystemMXBean
         .getSystemLoadAverage
     // Local-iteration escape hatch (never set by the driver): bench only a
-    // comma-separated subset of query names.
+    // comma-separated subset of query names. The emitted JSON carries the
+    // filter so a subset total is never mistaken for a full-sweep total.
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).toSet)
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        name -> (System.nanoTime() - t0) / 1e9
-      }.toMap
+        // noop write, not count(): count() lets Catalyst elide each query's
+        // final global sort, under-measuring the output stage; the noop
+        // sink materializes every output row through the full plan.
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case _: Throwable => () }
+        val sec = (System.nanoTime() - t0) / 1e9
+        // Session hygiene between queries: several dedup/similarity queries
+        // cache their shared shingle/sub-vector frames for the duration of
+        // their own action; dropping them here keeps query N's storage from
+        // inflating query N+1's times (this contaminated round 4's s* runs).
+        spark.catalog.clearCache()
+        name -> sec
+      }
     val loadAfter =
       java.lang.management.ManagementFactory.getOperatingSystemMXBean
         .getSystemLoadAverage
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // 3-decimal fixed-point formatting: 17-digit doubles once overflowed the
+    // driver's single-line output capture and truncated the JSON.
+    def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","load_avg_before":$loadBefore,"load_avg_after":$loadAfter}""")
+    val total = results.map(_._2).sum
+    val subset = only.map(names =>
+      s""","subset":true,"only":"${names.toSeq.sorted.mkString(",")}"""")
+      .getOrElse("")
+    val json =
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","action":"noop_write","load_avg_before":${f3(loadBefore)},"load_avg_after":${f3(loadAfter)}$subset}"""
+    // Belt and braces: stdout for the driver's capture AND a file, so a
+    // truncated tail can never lose the round's perf signal again.
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_results.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), json + "\n")
+    catch { case _: Throwable => () }
+    println(json)
     spark.stop()
   }
 }

@@ -200,6 +200,89 @@ object Dedup {
     else exact
   }
 
+  /** Connected components of an undirected pair list (doc_a, doc_b) by
+    * alternating large-star / small-star (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", SoCC'14): converges in O(log n)
+    * rounds regardless of component DIAMETER — where plain min-label
+    * propagation needs O(diameter) rounds and a deep path graph would
+    * exhaust any fixed cap — and its fixpoint is a star forest in which
+    * every node points directly at its component's minimum id.
+    *
+    *  - large-star(u): every neighbor v > u re-links to
+    *    m = min(Γ(u) ∪ {u});
+    *  - small-star(u): edges orient high→low, then every low neighbor and
+    *    u itself link to the minimum.
+    *
+    * Each is one groupBy + one self-join on the current edge set; the
+    * per-round driver actions are the CONVERGENCE CHECK ONLY (two
+    * empty-difference probes — edges never leave the executors). Each
+    * round CHECKPOINTS eagerly (localCheckpoint): both star ops reference
+    * their input several times, so without truncation the logical plan
+    * grows multiplicatively per round and the optimizer itself becomes
+    * the bottleneck long before the data does — the standard iterative-
+    * graph discipline (GraphFrames checkpoints its CC loop the same way).
+    * Checkpointed edge frames are a few longs per clustered doc; the
+    * ContextCleaner reclaims them when the loop's references drop.
+    * Non-convergence within `maxRounds` THROWS: a silent cap would emit
+    * plausible-looking wrong labels (the round-4 defect this replaces).
+    * 50 rounds covers any graph reachable this side of 2^50 nodes with
+    * huge slack.
+    *
+    * Returns an eagerly-materialized (node, label) frame (localCheckpoint
+    * — it is one row per clustered doc, orders of magnitude smaller than
+    * the corpus) holding NO persisted inputs, so callers can consume it
+    * repeatedly without re-running the loop and nothing leaks into the
+    * session cache.
+    */
+  private[graft] def connectedComponents(pairs: DataFrame,
+      maxRounds: Int = 50): DataFrame = {
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+      val mins = sym.groupBy("src").agg(min(col("dst")).as("mn"))
+        .select(col("src"), least(col("src"), col("mn")).as("m"))
+      sym.join(mins, "src")
+        .filter(col("dst") > col("src"))
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .distinct()
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      val or = e.select(greatest(col("src"), col("dst")).as("src"),
+        least(col("src"), col("dst")).as("dst")).distinct()
+      val mins = or.groupBy("src").agg(min(col("dst")).as("m"))
+      or.join(mins, "src")
+        .filter(col("dst") =!= col("m"))
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .union(mins.select(col("src"), col("m").as("dst")))
+        .distinct()
+    }
+    val init = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .distinct().persist()
+    val nodes = init.select(col("src").as("node"))
+      .union(init.select(col("dst").as("node"))).distinct()
+    var edges = init
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < maxRounds) {
+      val next = smallStar(largeStar(edges)).localCheckpoint(true)
+      converged = next.except(edges).limit(1).count() +
+        edges.except(next).limit(1).count() == 0
+      edges = next
+      rounds += 1
+    }
+    if (!converged) {
+      init.unpersist()
+      throw new IllegalStateException(
+        s"connected components did not converge within $maxRounds " +
+          "large/small-star rounds — labels would be silently wrong")
+    }
+    val labels = nodes
+      .join(edges.withColumnRenamed("src", "node"), Seq("node"), "left")
+      .select(col("node"), coalesce(col("dst"), col("node")).as("label"))
+      .localCheckpoint(true)
+    init.unpersist()
+    labels
+  }
+
   val registry: Seq[Q] = Seq(
 
     Q("d01_exact_dedup",
@@ -220,13 +303,16 @@ object Dedup {
              |  doc_id <> min(doc_id) OVER (PARTITION BY md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))) AS is_duplicate
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
-    // The self-join consumes the exploded frame twice; caching the flat
-    // rows halves wall-clock by skipping the second shingle-kernel run
-    // (at petabyte scale you'd persist DISK_ONLY or rely on the shuffle
-    // files of a pre-partitioning exchange instead of memory).
+    // No cache here: jaccardPairs pre-partitions the exploded frame once
+    // and BOTH self-join sides read that single exchange (ReuseExchange),
+    // so the shingle kernel already runs exactly once — a cache would be
+    // pure leaked storage. (Queries whose branches genuinely lack a common
+    // exchange — d03/d06/d07 — do cache, for the duration of their own
+    // action; the library's runners clear the session cache between
+    // queries.)
     Q("d02_ngram_jaccard",
       "near-duplicate pairs by exact word-trigram Jaccard >= 0.5",
-      (s, d) => jaccardPairs(explodedShingles(s, d).cache(), 0.5)
+      (s, d) => jaccardPairs(explodedShingles(s, d), 0.5)
         .orderBy("doc_a", "doc_b"),
       Some(sqlExactJaccard(0.5))),
 
@@ -417,54 +503,17 @@ object Dedup {
 
     // Connected components over the near-dup pair graph — the step that
     // turns PAIRS into CLUSTERS so dedup keeps one survivor per component
-    // (a pair list alone double-drops when A~B and B~C). Pregel-style
-    // min-label propagation: every node starts labeled with itself; each
-    // round takes the min of its neighbors' labels; fixpoint in
-    // O(component diameter) rounds — near-dup clusters are shallow, and
-    // the loop is capped. The per-round driver action is the CONVERGENCE
-    // CHECK ONLY (a count, the standard Pregel driver loop) — labels
-    // themselves never leave the executors; each round persists and
-    // materializes its frame so lineage stays flat. At 100 TB swap the
-    // propagation for large-star/small-star (O(log n) rounds,
-    // Kiveris et al. 2014) and checkpoint between rounds; the join
-    // structure below is unchanged. The oracle computes the same
-    // components with a recursive transitive-closure CTE.
+    // (a pair list alone double-drops when A~B and B~C). Implementation is
+    // [[connectedComponents]]: alternating large-star/small-star — O(log n)
+    // rounds regardless of component diameter, loud failure instead of
+    // silently-partial labels if the round cap is ever hit. The oracle
+    // computes the same components with a recursive transitive-closure CTE.
     Q("d09_dedup_components",
       "near-dup clusters: connected components of d02's pair graph, canonical = min id",
       (s, d) => {
-        val edges = jaccardPairs(explodedShingles(s, d).cache(), 0.5)
-          .select(col("doc_a"), col("doc_b")).cache()
-        val sym = edges.union(
-          edges.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-        // seed labels with the first propagation hop fused in:
-        // label₀ = min(self, direct neighbors) — same shuffle the plain
-        // distinct() would pay, one fewer loop round (pair components
-        // converge immediately)
-        var labels = sym.groupBy(col("doc_a").as("node"))
-          .agg(min(col("doc_b")).as("nbr_min"))
-          .select(col("node"),
-            least(col("node"), col("nbr_min")).as("label"))
-          .persist()
-        var converged = false
-        var iter = 0
-        while (!converged && iter < 20) {
-          val nbrMin = sym.join(labels, col("doc_b") === col("node"))
-            .groupBy(col("doc_a"))
-            .agg(min(col("label")).as("nbr_min"))
-          val next = labels
-            .join(nbrMin, col("node") === col("doc_a"), "left")
-            .select(col("node"),
-              least(col("label"), coalesce(col("nbr_min"), col("label")))
-                .as("label"))
-            .persist()
-          val changed = next.join(
-              labels.withColumnRenamed("label", "old"), Seq("node"))
-            .filter(col("label") =!= col("old")).count()
-          labels.unpersist()
-          labels = next
-          converged = changed == 0
-          iter += 1
-        }
+        val pairs = jaccardPairs(explodedShingles(s, d), 0.5)
+          .select(col("doc_a"), col("doc_b"))
+        val labels = connectedComponents(pairs)
         val sizes = labels.groupBy(col("label").as("canonical_id"))
           .agg(count(lit(1)).as("component_size"))
         labels.select(col("node").as("doc_id"), col("label").as("canonical_id"))

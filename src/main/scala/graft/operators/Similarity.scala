@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
 import graft.core.{Q, Tables}
 import graft.functions.Portable._
 
@@ -27,6 +28,41 @@ import graft.functions.Portable._
 object Similarity {
 
   private val Dim = 64
+
+  /** Exact per-dimension mean of a vector column per group — order-free
+    * AND bit-portable. Each dimension sums as DECIMAL(38,18): exact and
+    * commutative, so it partial-aggregates map-side and the result is
+    * independent of partition count/order at any executor count, and the
+    * aggregation state is `dim` decimals + a count per group — unlike the
+    * earlier array_sort(collect_list(struct(...))) + pinned-fold
+    * formulation, whose per-group buffer was the cluster's ENTIRE vector
+    * set (an executor memory bomb at 100 TB).
+    *
+    * Portability note: Spark's double→decimal cast goes through the
+    * shortest decimal representation (BigDecimal.valueOf), while DuckDB's
+    * direct cast multiplies in double and diverges in the 17th digit — the
+    * oracle must cast VARCHAR→DECIMAL ([[sqlMeanList]]), which is
+    * bit-equal (verified through sum + double cast on both engines).
+    */
+  private def exactMeanVec(df: DataFrame, keys: Seq[String], vecCol: String,
+      dim: Int, outCol: String): DataFrame = {
+    val sums = (1 to dim).map(i =>
+      sum(element_at(col(vecCol), i).cast(DecimalType(38, 18))).as(s"_s$i"))
+    df.groupBy(keys.map(col): _*)
+      .agg(sums.head, (sums.tail :+ count(lit(1)).as("_cnt")): _*)
+      .select(keys.map(col) :+
+        array((1 to dim).map(i =>
+          col(s"_s$i").cast("double") / col("_cnt")): _*).as(outCol): _*)
+  }
+
+  /** DuckDB twin of [[exactMeanVec]]: a per-dimension exact-decimal mean
+    * list for a GROUP BY (see the portability note there for the VARCHAR
+    * hop).
+    */
+  private def sqlMeanList(vecExpr: String, dim: Int): String =
+    (1 to dim).map(i =>
+      s"CAST(sum(CAST($vecExpr[$i] AS VARCHAR)::DECIMAL(38,18)) AS DOUBLE) / count(*)")
+      .mkString("[", ",\n      ", "]")
 
   private def vectors(s: SparkSession, d: String): DataFrame = {
     graft.plans.VectorExpressions.register(s)
@@ -61,6 +97,10 @@ object Similarity {
       |        (x, y) -> x + y) >= 0.0
       |      THEN CAST(power(2, j) AS BIGINT) ELSE 0 END), (x, y) -> x + y) AS bucket
       |FROM n)""".stripMargin
+
+  private val PqM = 8
+  private val PqSubDim = 8
+  private val PqK = 16
 
   val registry: Seq[Q] = Seq(
 
@@ -97,11 +137,13 @@ object Similarity {
     // IVF (inverted-file) ANN: coarse quantization by the `label` column's
     // exact per-cluster centroid; a query probes only its nearest
     // centroid's inverted list (~1/10 of the corpus here; nprobe > 1 =
-    // union more lists). Centroids are computed with a PINNED summation
-    // order (sort by vec_id, left fold) so both engines derive bit-equal
-    // centroids — the usual avg() would be partition-order-dependent and
-    // break the oracle. Centroid table is a broadcast dim; at 100 TB the
-    // lists are the partitioning key of the vector store.
+    // union more lists). Centroids come from exactMeanVec's per-dimension
+    // DECIMAL sums — exact, order-free and map-side-partial, so both
+    // engines derive bit-equal centroids at any partitioning (the usual
+    // avg() would be partition-order-dependent and break the oracle, and
+    // a collect_list formulation would buffer whole clusters). Centroid
+    // table is a broadcast dim; at 100 TB the lists are the partitioning
+    // key of the vector store.
     Q("s03_knn_ivf",
       "IVF ANN: probe nearest exact-centroid cluster, top-3 within its list",
       (s, d) => {
@@ -110,13 +152,8 @@ object Similarity {
         val v = e.select(col("vec_id"), col("label").cast("long").as("label"),
           vecD(col("embedding")).as("v"))
           .withColumn("nrm", sqrt(dotFast(col("v"), col("v"))))
-        val cent = v.groupBy("label")
-          .agg(count(lit(1)).as("cnt"),
-            array_sort(collect_list(struct(col("vec_id"), col("v")))).as("vs"))
-          .select(col("label"), transform(sequence(lit(1), lit(Dim)), i =>
-            aggregate(col("vs"), lit(0.0),
-              (acc, p) => acc + element_at(p.getField("v"), i)) / col("cnt"))
-            .as("cent"))
+        val cent = exactMeanVec(v.select(col("label"), col("v")),
+            Seq("label"), "v", Dim, "cent")
           .withColumn("cnrm", sqrt(dotFast(col("cent"), col("cent"))))
         val q = v.filter(col("vec_id") % 50 === 0)
           .select(col("vec_id").as("query_id"), col("v").as("qv"),
@@ -146,13 +183,8 @@ object Similarity {
              |v AS (SELECT vec_id, label::BIGINT AS label, v, nrm FROM (
              |  SELECT e2.vec_id, e2.label, n.v, n.nrm
              |  FROM embeddings e2 JOIN n ON e2.vec_id = n.vec_id)),
-             |cent0 AS (SELECT label, count(*) AS cnt,
-             |    list(v ORDER BY vec_id) AS vs FROM v GROUP BY label),
-             |cent AS (SELECT label,
-             |    list_transform(range(1, 65), i ->
-             |      list_reduce(list_prepend(0.0::DOUBLE,
-             |        list_transform(vs, p -> p[i])), (a, b) -> a + b) / cnt) AS cent
-             |  FROM cent0),
+             |cent AS (SELECT label, ${sqlMeanList("v", Dim)} AS cent
+             |  FROM v GROUP BY label),
              |centn AS (SELECT label, cent,
              |    sqrt(list_reduce(list_transform(range(1, 65), i -> cent[i] * cent[i]),
              |      (x, y) -> x + y)) AS cnrm FROM cent),
@@ -177,10 +209,11 @@ object Similarity {
 
     // Vector quantization / cluster assignment — the build step of the IVF
     // index (one k-means assignment iteration): every vector goes to its
-    // nearest exact centroid. Centroid derivation shares s03's pinned-order
-    // fold; assignment is a broadcast cross join (k centroids) + one window,
-    // i.e. O(n·k·dim) codegen'd dots with NO shuffle of the corpus — at
-    // 100 TB the corpus stays put and only the k×dim centroid table moves.
+    // nearest exact centroid. Centroid derivation shares s03's exact
+    // decimal-sum mean; assignment is a broadcast cross join (k centroids)
+    // + one window, i.e. O(n·k·dim) codegen'd dots with NO shuffle of the
+    // corpus — at 100 TB the corpus stays put and only the k×dim centroid
+    // table moves.
     Q("s04_centroid_assign",
       "assign each vector to its nearest exact-centroid cluster",
       (s, d) => {
@@ -189,13 +222,9 @@ object Similarity {
         val v = e.select(col("vec_id"), col("label").cast("long").as("own_label"),
           vecD(col("embedding")).as("v"))
           .withColumn("nrm", sqrt(dotFast(col("v"), col("v"))))
-        val cent = v.groupBy(col("own_label").as("clabel"))
-          .agg(count(lit(1)).as("cnt"),
-            array_sort(collect_list(struct(col("vec_id"), col("v")))).as("vs"))
-          .select(col("clabel"), transform(sequence(lit(1), lit(Dim)), i =>
-            aggregate(col("vs"), lit(0.0),
-              (acc, p) => acc + element_at(p.getField("v"), i)) / col("cnt"))
-            .as("cent"))
+        val cent = exactMeanVec(
+            v.select(col("own_label").as("clabel"), col("v")),
+            Seq("clabel"), "v", Dim, "cent")
           .withColumn("cnrm", sqrt(dotFast(col("cent"), col("cent"))))
         val w = Window.partitionBy(col("vec_id"))
           .orderBy(col("ccos").desc, col("clabel").asc)
@@ -213,13 +242,8 @@ object Similarity {
              |v AS (SELECT vec_id, own_label, v, nrm FROM (
              |  SELECT e2.vec_id, e2.label::BIGINT AS own_label, n.v, n.nrm
              |  FROM embeddings e2 JOIN n ON e2.vec_id = n.vec_id)),
-             |cent0 AS (SELECT own_label AS clabel, count(*) AS cnt,
-             |    list(v ORDER BY vec_id) AS vs FROM v GROUP BY own_label),
-             |cent AS (SELECT clabel,
-             |    list_transform(range(1, 65), i ->
-             |      list_reduce(list_prepend(0.0::DOUBLE,
-             |        list_transform(vs, p -> p[i])), (a, b) -> a + b) / cnt) AS cent
-             |  FROM cent0),
+             |cent AS (SELECT own_label AS clabel, ${sqlMeanList("v", Dim)} AS cent
+             |  FROM v GROUP BY own_label),
              |centn AS (SELECT clabel, cent,
              |    sqrt(list_reduce(list_transform(range(1, 65), i -> cent[i] * cent[i]),
              |      (x, y) -> x + y)) AS cnrm FROM cent),
@@ -320,20 +344,21 @@ object Similarity {
     // each corpus vector compresses to 8 four-bit codes (4 bytes vs 256).
     // Pipeline: md5-derived seed codebook (same determinism trick as the
     // s02 hyperplanes) → ONE distributed Lloyd refinement (assign, then
-    // per-(m,k) pinned-order centroid mean — the s03/s04 fold, so both
-    // engines train bit-identical codebooks; empty cells keep their seed)
-    // → re-encode → ADC top-50 candidates per query → EXACT re-rank of
-    // just those 50. Measured at sf0.01 the refinement+re-rank lifts
-    // recall@5 vs s01 from 0.06 (raw random codebook, top-5 by ADC) to
-    // ~0.36 — on unstructured vectors, where distance concentration makes
-    // ANN recall intrinsically hard.
+    // per-(m,k) exact decimal-sum mean — exactMeanVec, order-free and
+    // map-side-partial, so both engines train bit-identical codebooks at
+    // any partitioning; empty cells keep their seed) → re-encode → ADC
+    // top-50 candidates per query → EXACT re-rank of just those 50.
+    // Measured at sf0.01 the refinement+re-rank lifts recall@5 vs s01
+    // from 0.06 (raw random codebook, top-5 by ADC) to ~0.36 — on
+    // unstructured vectors, where distance concentration makes ANN recall
+    // intrinsically hard.
     // Scale: assignment is corpus×8 sub-rows joined to a BROADCAST 128-row
     // codebook (three 8-dim codegen'd dots each; corpus never reshuffles
-    // for the codebook); training's collect_list-per-cell is the
-    // oracle-pinned formulation — production trains on a bounded sample
-    // (the mean is order-free mathematically) and keeps codes beside the
-    // s03 IVF lists: coarse cluster prunes, PQ scans the surviving list at
-    // 64× compression, exact distance touches only the final candidates.
+    // for the codebook); Lloyd's per-cell state is 8 decimals + a count.
+    // This query's ADC deliberately scans the WHOLE corpus (it isolates
+    // PQ); the IVF-pruned composition — coarse cluster prunes, PQ scans
+    // only the surviving list, exact distance touches the final
+    // candidates — is s07_knn_ivfpq below.
     Q("s06_knn_pq",
       "PQ/ADC ANN: 8x16 codebook + 1 Lloyd step, ADC top-50, exact re-rank top-5",
       (s, d) => {
@@ -351,17 +376,11 @@ object Similarity {
           // rows are 8-double slivers, cheap to cache unlike wide arrays
           .cache()
         val a0 = pqAssign(sub, cb0)
-        // one Lloyd step: pinned-order per-cell mean (sorted by vec_id,
-        // left fold, divide) — bit-equal across engines; empty cells fall
-        // back to the seed centroid
-        val trained = a0.groupBy("m", "k")
-          .agg(count(lit(1)).as("cnt"),
-            array_sort(collect_list(struct(col("vec_id"), col("subv")))).as("vs"))
-          .select(col("m"), col("k"),
-            transform(sequence(lit(1), lit(PqSubDim)), i =>
-              aggregate(col("vs"), lit(0.0),
-                (acc, p) => acc + element_at(p.getField("subv"), i)) / col("cnt"))
-              .as("tc"))
+        // one Lloyd step: exact per-dimension decimal-sum mean — bit-equal
+        // across engines and partitionings; empty cells fall back to the
+        // seed centroid
+        val trained = exactMeanVec(a0.select(col("m"), col("k"), col("subv")),
+          Seq("m", "k"), "subv", PqSubDim, "tc")
         val cb1 = cb0.join(trained, Seq("m", "k"), "left")
           .select(col("m"), col("k"), coalesce(col("tc"), col("c")).as("c"))
         val rec = pqAssign(sub, cb1).groupBy("vec_id")
@@ -413,15 +432,10 @@ object Similarity {
              |a0 AS (SELECT vec_id, m, k, subv FROM (
              |    SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, k) AS rn FROM s0)
              |  WHERE rn = 1),
-             |tr AS (SELECT m, k, count(*) AS cnt, list(subv ORDER BY vec_id) AS vs
+             |tr AS (SELECT m, k, ${sqlMeanList("subv", PqSubDim)} AS tc
              |  FROM a0 GROUP BY m, k),
              |cb1 AS (
-             |  SELECT cb0.m, cb0.k,
-             |    CASE WHEN tr.m IS NULL THEN cb0.c ELSE
-             |      list_transform(range(1, 9), i ->
-             |        list_reduce(list_prepend(0.0::DOUBLE, list_transform(tr.vs, p -> p[i])),
-             |          (a, b) -> a + b) / tr.cnt)
-             |    END AS c
+             |  SELECT cb0.m, cb0.k, coalesce(tr.tc, cb0.c) AS c
              |  FROM cb0 LEFT JOIN tr ON cb0.m = tr.m AND cb0.k = tr.k),
              |s1 AS (
              |  SELECT sub.vec_id, sub.m, cb1.k, cb1.c,
@@ -456,10 +470,6 @@ object Similarity {
              |SELECT query_id, rank, neighbor_id, cosine FROM ranked
              |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin))
   )
-
-  private val PqM = 8
-  private val PqSubDim = 8
-  private val PqK = 16
 
   /** md5-derived seed codebook as a 128-row broadcastable frame (m, k, c):
     * coordinate (m, k, i) mirrors the oracle's

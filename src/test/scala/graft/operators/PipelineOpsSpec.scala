@@ -91,6 +91,35 @@ class PipelineOpsSpec extends SparkTestBase {
     }
   }
 
+  test("d09 components: a 60-diameter path converges to one min-labeled cluster") {
+    // The pre-round-5 min-label loop capped at 20 rounds and SILENTLY
+    // emitted split components on any graph deeper than the cap — this
+    // path needs 60 propagation hops, but large/small-star collapses it in
+    // O(log n) rounds. Also proves zero session-cache leakage.
+    import spark.implicits._
+    val pairs = (0L until 60L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val labels = Dedup.connectedComponents(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(labels.length === 61)
+    assert(labels.forall(_._2 == 0L),
+      s"mislabeled nodes: ${labels.filter(_._2 != 0L).take(5).toSeq}")
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "connectedComponents leaked a persisted frame into the session cache")
+  }
+
+  test("d09 components: non-convergence fails loudly instead of mislabeling") {
+    import spark.implicits._
+    val pairs = (0L until 40L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    // a cap of 1 round cannot settle a 40-hop path: require the THROW —
+    // the alternative (plausible-looking partial labels) was the defect
+    val e = intercept[IllegalStateException] {
+      Dedup.connectedComponents(pairs, maxRounds = 1)
+    }
+    assert(e.getMessage.contains("did not converge"))
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "failed run left persisted frames behind")
+  }
+
   test("m03 frame arithmetic: counts, energy and peak match a direct recompute") {
     val frames = run("m03_audio_features").collect()
       .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(3))))
