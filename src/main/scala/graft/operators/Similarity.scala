@@ -64,6 +64,13 @@ object Similarity {
       s"CAST(sum(CAST($vecExpr[$i] AS VARCHAR)::DECIMAL(38,18)) AS DOUBLE) / count(*)")
       .mkString("[", ",\n      ", "]")
 
+  /** Exact per-label coarse centroids (label, cent, cnrm) — the IVF
+    * coarse-quantizer table (s03/s04/s07), a k×dim broadcast dim.
+    */
+  private def coarseCentroids(v: DataFrame, labelCol: String): DataFrame =
+    exactMeanVec(v.select(col(labelCol), col("v")), Seq(labelCol), "v", Dim, "cent")
+      .withColumn("cnrm", sqrt(dotFast(col("cent"), col("cent"))))
+
   private def vectors(s: SparkSession, d: String): DataFrame = {
     graft.plans.VectorExpressions.register(s)
     Tables.embeddings(s, d)
@@ -101,6 +108,53 @@ object Similarity {
   private val PqM = 8
   private val PqSubDim = 8
   private val PqK = 16
+
+  private val sqlVn =
+    "vn AS (SELECT vec_id, list_transform(v, x -> x / nrm) AS vn FROM n)"
+
+  /** cb0→cor: the oracle twin of [[pqReconstruct]] — seed codebook, one
+    * Lloyd step (exact decimal-sum cell means), re-encode; `cor` is the
+    * reconstructed corpus (vec_id, rv, drv). Shared by s06 and s07.
+    */
+  private val sqlPq =
+    s"""cb0 AS (
+       |  SELECT m.m, k.k,
+       |    list_transform(range(1, 9), i ->
+       |      (('0x' || substr(md5('pq_' || m.m || '_' || k.k || '_' || i), 1, 15))::BIGINT
+       |        % 2001 - 1000) / 1000.0) AS c
+       |  FROM (SELECT unnest(range(0, 8)) AS m) m,
+       |       (SELECT unnest(range(0, 16)) AS k) k),
+       |sub AS (
+       |  SELECT n.vec_id, mm.m,
+       |    list_transform(n.v[mm.m * 8 + 1 : mm.m * 8 + 8], x -> x / n.nrm) AS subv
+       |  FROM n CROSS JOIN (SELECT unnest(range(0, 8)) AS m) mm),
+       |s0 AS (
+       |  SELECT sub.vec_id, sub.m, cb0.k, sub.subv, cb0.c,
+       |    list_reduce(list_transform(range(1, 9), i -> subv[i] * subv[i]), (x, y) -> x + y)
+       |    - 2.0 * list_reduce(list_transform(range(1, 9), i -> subv[i] * c[i]), (x, y) -> x + y)
+       |    + list_reduce(list_transform(range(1, 9), i -> c[i] * c[i]), (x, y) -> x + y) AS d2
+       |  FROM sub JOIN cb0 ON sub.m = cb0.m),
+       |a0 AS (SELECT vec_id, m, k, subv FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, k) AS rn FROM s0)
+       |  WHERE rn = 1),
+       |tr AS (SELECT m, k, ${sqlMeanList("subv", PqSubDim)} AS tc
+       |  FROM a0 GROUP BY m, k),
+       |cb1 AS (
+       |  SELECT cb0.m, cb0.k, coalesce(tr.tc, cb0.c) AS c
+       |  FROM cb0 LEFT JOIN tr ON cb0.m = tr.m AND cb0.k = tr.k),
+       |s1 AS (
+       |  SELECT sub.vec_id, sub.m, cb1.k, cb1.c,
+       |    list_reduce(list_transform(range(1, 9), i -> subv[i] * subv[i]), (x, y) -> x + y)
+       |    - 2.0 * list_reduce(list_transform(range(1, 9), i -> subv[i] * c[i]), (x, y) -> x + y)
+       |    + list_reduce(list_transform(range(1, 9), i -> c[i] * c[i]), (x, y) -> x + y) AS d2
+       |  FROM sub JOIN cb1 ON sub.m = cb1.m),
+       |a1 AS (SELECT vec_id, m, c FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, k) AS rn FROM s1)
+       |  WHERE rn = 1),
+       |rec AS (SELECT vec_id, flatten(list(c ORDER BY m)) AS rv FROM a1 GROUP BY vec_id),
+       |cor AS (SELECT vec_id, rv,
+       |    list_reduce(list_transform(range(1, 65), i -> rv[i] * rv[i]), (x, y) -> x + y) AS drv
+       |  FROM rec)""".stripMargin
 
   val registry: Seq[Q] = Seq(
 
@@ -152,9 +206,7 @@ object Similarity {
         val v = e.select(col("vec_id"), col("label").cast("long").as("label"),
           vecD(col("embedding")).as("v"))
           .withColumn("nrm", sqrt(dotFast(col("v"), col("v"))))
-        val cent = exactMeanVec(v.select(col("label"), col("v")),
-            Seq("label"), "v", Dim, "cent")
-          .withColumn("cnrm", sqrt(dotFast(col("cent"), col("cent"))))
+        val cent = coarseCentroids(v, "label")
         val q = v.filter(col("vec_id") % 50 === 0)
           .select(col("vec_id").as("query_id"), col("v").as("qv"),
             col("nrm").as("qn"))
@@ -222,10 +274,8 @@ object Similarity {
         val v = e.select(col("vec_id"), col("label").cast("long").as("own_label"),
           vecD(col("embedding")).as("v"))
           .withColumn("nrm", sqrt(dotFast(col("v"), col("v"))))
-        val cent = exactMeanVec(
-            v.select(col("own_label").as("clabel"), col("v")),
-            Seq("clabel"), "v", Dim, "cent")
-          .withColumn("cnrm", sqrt(dotFast(col("cent"), col("cent"))))
+        val cent = coarseCentroids(
+          v.select(col("own_label").as("clabel"), col("v")), "clabel")
         val w = Window.partitionBy(col("vec_id"))
           .orderBy(col("ccos").desc, col("clabel").asc)
         v.crossJoin(broadcast(cent))
@@ -365,29 +415,7 @@ object Similarity {
         val e = vectors(s, d)
         val vn = e.select(col("vec_id"),
           transform(col("v"), x => x / col("nrm")).as("vn"))
-        val cb0 = pqSeedCodebook(s)
-        val sub = e.select(col("vec_id"),
-            explode(sequence(lit(0), lit(PqM - 1))).as("m"),
-            col("v"), col("nrm"))
-          .select(col("vec_id"), col("m"),
-            transform(slice(col("v"), col("m") * PqSubDim + 1, lit(PqSubDim)),
-              x => x / col("nrm")).as("subv"))
-          // consumed by BOTH assignment passes (train + re-encode); the
-          // rows are 8-double slivers, cheap to cache unlike wide arrays
-          .cache()
-        val a0 = pqAssign(sub, cb0)
-        // one Lloyd step: exact per-dimension decimal-sum mean — bit-equal
-        // across engines and partitionings; empty cells fall back to the
-        // seed centroid
-        val trained = exactMeanVec(a0.select(col("m"), col("k"), col("subv")),
-          Seq("m", "k"), "subv", PqSubDim, "tc")
-        val cb1 = cb0.join(trained, Seq("m", "k"), "left")
-          .select(col("m"), col("k"), coalesce(col("tc"), col("c")).as("c"))
-        val rec = pqAssign(sub, cb1).groupBy("vec_id")
-          .agg(array_sort(collect_list(struct(col("m"), col("c")))).as("cs"))
-          .select(col("vec_id"),
-            flatten(transform(col("cs"), p => p.getField("c"))).as("rv"))
-          .withColumn("drv", dotFast(col("rv"), col("rv")))
+        val rec = pqReconstruct(e)
         val q = vn.filter(col("vec_id") % 50 === 0)
           .select(col("vec_id").as("query_id"), col("vn").as("qv"))
           .withColumn("dq", dotFast(col("qv"), col("qv")))
@@ -411,45 +439,8 @@ object Similarity {
           .orderBy("query_id", "rank")
       },
       Some(s"""$sqlVectors,
-             |vn AS (SELECT vec_id, list_transform(v, x -> x / nrm) AS vn FROM n),
-             |cb0 AS (
-             |  SELECT m.m, k.k,
-             |    list_transform(range(1, 9), i ->
-             |      (('0x' || substr(md5('pq_' || m.m || '_' || k.k || '_' || i), 1, 15))::BIGINT
-             |        % 2001 - 1000) / 1000.0) AS c
-             |  FROM (SELECT unnest(range(0, 8)) AS m) m,
-             |       (SELECT unnest(range(0, 16)) AS k) k),
-             |sub AS (
-             |  SELECT n.vec_id, mm.m,
-             |    list_transform(n.v[mm.m * 8 + 1 : mm.m * 8 + 8], x -> x / n.nrm) AS subv
-             |  FROM n CROSS JOIN (SELECT unnest(range(0, 8)) AS m) mm),
-             |s0 AS (
-             |  SELECT sub.vec_id, sub.m, cb0.k, sub.subv, cb0.c,
-             |    list_reduce(list_transform(range(1, 9), i -> subv[i] * subv[i]), (x, y) -> x + y)
-             |    - 2.0 * list_reduce(list_transform(range(1, 9), i -> subv[i] * c[i]), (x, y) -> x + y)
-             |    + list_reduce(list_transform(range(1, 9), i -> c[i] * c[i]), (x, y) -> x + y) AS d2
-             |  FROM sub JOIN cb0 ON sub.m = cb0.m),
-             |a0 AS (SELECT vec_id, m, k, subv FROM (
-             |    SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, k) AS rn FROM s0)
-             |  WHERE rn = 1),
-             |tr AS (SELECT m, k, ${sqlMeanList("subv", PqSubDim)} AS tc
-             |  FROM a0 GROUP BY m, k),
-             |cb1 AS (
-             |  SELECT cb0.m, cb0.k, coalesce(tr.tc, cb0.c) AS c
-             |  FROM cb0 LEFT JOIN tr ON cb0.m = tr.m AND cb0.k = tr.k),
-             |s1 AS (
-             |  SELECT sub.vec_id, sub.m, cb1.k, cb1.c,
-             |    list_reduce(list_transform(range(1, 9), i -> subv[i] * subv[i]), (x, y) -> x + y)
-             |    - 2.0 * list_reduce(list_transform(range(1, 9), i -> subv[i] * c[i]), (x, y) -> x + y)
-             |    + list_reduce(list_transform(range(1, 9), i -> c[i] * c[i]), (x, y) -> x + y) AS d2
-             |  FROM sub JOIN cb1 ON sub.m = cb1.m),
-             |a1 AS (SELECT vec_id, m, c FROM (
-             |    SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, k) AS rn FROM s1)
-             |  WHERE rn = 1),
-             |rec AS (SELECT vec_id, flatten(list(c ORDER BY m)) AS rv FROM a1 GROUP BY vec_id),
-             |cor AS (SELECT vec_id, rv,
-             |    list_reduce(list_transform(range(1, 65), i -> rv[i] * rv[i]), (x, y) -> x + y) AS drv
-             |  FROM rec),
+             |$sqlVn,
+             |$sqlPq,
              |q AS (SELECT vec_id AS query_id, vn AS qv,
              |    list_reduce(list_transform(range(1, 65), i -> vn[i] * vn[i]), (x, y) -> x + y) AS dq
              |  FROM vn WHERE vec_id % 50 = 0),
@@ -470,6 +461,36 @@ object Similarity {
              |SELECT query_id, rank, neighbor_id, cosine FROM ranked
              |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin))
   )
+
+  /** PQ-reconstructed corpus (vec_id, rv, drv): md5-derived seed codebook
+    * → one distributed Lloyd step (per-cell exact decimal-sum mean —
+    * bit-equal across engines and partitionings; empty cells fall back to
+    * the seed centroid) → re-encode every vector as its 8 nearest
+    * sub-centroids. Shared by s06 (whole-corpus ADC) and s07 (IVF-pruned
+    * ADC). The 8-double sub-vector slivers cache for the TWO assignment
+    * passes (train + re-encode; cheap to cache unlike wide arrays — the
+    * library's runners clear the session cache between queries).
+    */
+  private def pqReconstruct(e: DataFrame): DataFrame = {
+    val cb0 = pqSeedCodebook(e.sparkSession)
+    val sub = e.select(col("vec_id"),
+        explode(sequence(lit(0), lit(PqM - 1))).as("m"),
+        col("v"), col("nrm"))
+      .select(col("vec_id"), col("m"),
+        transform(slice(col("v"), col("m") * PqSubDim + 1, lit(PqSubDim)),
+          x => x / col("nrm")).as("subv"))
+      .cache()
+    val a0 = pqAssign(sub, cb0)
+    val trained = exactMeanVec(a0.select(col("m"), col("k"), col("subv")),
+      Seq("m", "k"), "subv", PqSubDim, "tc")
+    val cb1 = cb0.join(trained, Seq("m", "k"), "left")
+      .select(col("m"), col("k"), coalesce(col("tc"), col("c")).as("c"))
+    pqAssign(sub, cb1).groupBy("vec_id")
+      .agg(array_sort(collect_list(struct(col("m"), col("c")))).as("cs"))
+      .select(col("vec_id"),
+        flatten(transform(col("cs"), p => p.getField("c"))).as("rv"))
+      .withColumn("drv", dotFast(col("rv"), col("rv")))
+  }
 
   /** md5-derived seed codebook as a 128-row broadcastable frame (m, k, c):
     * coordinate (m, k, i) mirrors the oracle's
