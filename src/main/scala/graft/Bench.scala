@@ -46,15 +46,17 @@ object Bench {
         // noop write, not count(): count() lets Catalyst elide each query's
         // final global sort, under-measuring the output stage; the noop
         // sink materializes every output row through the full plan.
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case _: Throwable => () }
+        // A query that throws is RECORDED (the "errors" JSON field), never
+        // swallowed — a crashed query must not read as a fast success.
+        val ok =
+          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+          catch { case _: Throwable => false }
         val sec = (System.nanoTime() - t0) / 1e9
-        // Session hygiene between queries: several dedup/similarity queries
-        // cache their shared shingle/sub-vector frames for the duration of
-        // their own action; dropping them here keeps query N's storage from
-        // inflating query N+1's times (this contaminated round 4's s* runs).
+        // Session hygiene between queries: queries themselves leave the
+        // CacheManager empty (CacheHygieneSpec pins it), but a defensive
+        // clear keeps any future regression from contaminating neighbors.
         spark.catalog.clearCache()
-        name -> sec
+        (name, sec, ok)
       }
     val loadAfter =
       java.lang.management.ManagementFactory.getOperatingSystemMXBean
@@ -62,14 +64,16 @@ object Bench {
     // 3-decimal fixed-point formatting: 17-digit doubles once overflowed the
     // driver's single-line output capture and truncated the JSON.
     def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f3(v) }
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    val errs = results.collect { case (k, _, false) => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
     val subset = only.map(names =>
       s""","subset":true,"only":"${names.toSeq.sorted.mkString(",")}"""")
       .getOrElse("")
     val json =
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","action":"noop_write","load_avg_before":${f3(loadBefore)},"load_avg_after":${f3(loadAfter)}$subset}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","action":"noop_write","load_avg_before":${f3(loadBefore)},"load_avg_after":${f3(loadAfter)}$subset}"""
     // Belt and braces: stdout for the driver's capture AND a file, so a
     // truncated tail can never lose the round's perf signal again.
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_results.json")

@@ -1,0 +1,124 @@
+package graft.functions
+
+import graft.functions.Portable.h60Scala
+
+/** JVM-side typed kernels shared by the pipeline operators' mapPartitions
+  * stages (d02–d10 shingling, d04 SimHash, t04 fingerprints, t05
+  * repetition).
+  *
+  * Why kernels and not column expressions: Spark's higher-order functions
+  * are evaluated interpretively, and CollapseProject inlines a derived
+  * array into every consumer — an expensive derivation feeding `explode`
+  * or `element_at` re-runs PER OUTPUT ROW (measured 40× at sf0.1), and a
+  * per-token interpreted md5 costs ~100× its JVM twin. Each kernel here
+  * runs the O(|text|) work exactly once per document in straight JVM code;
+  * semantics are pinned to the DuckDB oracle's formulation (see each
+  * function's note), so the hash-compare correctness gate still verifies
+  * every operator built on them.
+  */
+object Kernels {
+
+  /** Whitespace tokenization — the exact twin of the oracle's
+    * `list_filter(string_split(trim(regexp_replace(lower(text),'\s+',' ','g')),' '), t -> t <> '')`
+    * when fed pre-lowered text: a manual scan over the regex-`\s` character
+    * set (Java and RE2 agree: [ \t\n\x0B\f\r]) — NOT Character.isWhitespace,
+    * which adds unicode separators the oracle's regexp would keep.
+    * String.split is avoided because it compiles its regex per call, which
+    * showed up at millions of documents.
+    */
+  def tokenize(text: String): Array[String] = {
+    def ws(c: Char): Boolean =
+      c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val n = text.length
+    var i = 0
+    while (i < n) {
+      while (i < n && ws(text.charAt(i))) i += 1
+      val start = i
+      while (i < n && !ws(text.charAt(i))) i += 1
+      if (i > start) out += text.substring(start, i)
+    }
+    out.toArray
+  }
+
+  /** Lower-cased whitespace tokens of raw text — the shared first step of
+    * every document kernel (= the oracle's normalize-then-split).
+    */
+  def lowerTokens(text: String): Array[String] =
+    tokenize(text.toLowerCase(java.util.Locale.ROOT))
+
+  /** Distinct word-trigram 60-bit shingle hashes of a token array. Twin of
+    * `list_distinct(list_transform(range(1, len(toks)-1), i -> toks[i] || ' ' || ...))`
+    * hashed with h60; empty when the document has fewer than 3 tokens.
+    */
+  def shingles(toks: Array[String]): Array[Long] = {
+    if (toks.length < 3) Array.emptyLongArray
+    else {
+      val seen = new java.util.LinkedHashSet[String](toks.length * 2)
+      var i = 0
+      while (i <= toks.length - 3) {
+        seen.add(toks(i) + " " + toks(i + 1) + " " + toks(i + 2))
+        i += 1
+      }
+      val out = new Array[Long](seen.size)
+      val jt = seen.iterator()
+      var k = 0
+      while (jt.hasNext) { out(k) = h60Scala(jt.next()); k += 1 }
+      out
+    }
+  }
+
+  /** Minimum word-trigram shingle hash (t04's fp_min_shingle): the min of
+    * h60 over the distinct trigrams — distinctness is irrelevant to a min,
+    * but the dedupe set still pays: set membership is cheaper than the md5
+    * it skips on repetitive text. None when fewer than 3 tokens (the twin
+    * of `list_aggregate([], 'min')` = NULL).
+    */
+  def minShingle(toks: Array[String]): Option[Long] = {
+    if (toks.length < 3) None
+    else {
+      val seen = new java.util.HashSet[String](toks.length * 2)
+      var mn = Long.MaxValue
+      var i = 0
+      while (i <= toks.length - 3) {
+        val g = toks(i) + " " + toks(i + 1) + " " + toks(i + 2)
+        if (seen.add(g)) {
+          val h = h60Scala(g)
+          if (h < mn) mn = h
+        }
+        i += 1
+      }
+      Some(mn)
+    }
+  }
+
+  /** 60-bit term-frequency SimHash of pre-lowered tokens (d04): hash-map
+    * term counts, then one 60-lane weighted vote per distinct term —
+    * O(|doc| + 60·|types|) total, where the column-expression formulation
+    * (`size(filter(toks, t -> t = x))` per distinct token) is
+    * O(|types|·|tokens|) interpreted comparisons plus an interpreted md5
+    * per type (93 s → the whole operator now rides the parquet scan).
+    * Semantics twin: vote_b = Σ_types cnt · ((h60(type) >> b & 1)·2 − 1),
+    * bit b set iff vote_b > 0 — iteration order is irrelevant because
+    * integer addition commutes, so the HashMap walk is safe.
+    */
+  def simhash60(toks: Array[String]): Long = {
+    val counts = new java.util.HashMap[String, Int]()
+    var i = 0
+    while (i < toks.length) { counts.merge(toks(i), 1, Integer.sum); i += 1 }
+    val votes = new Array[Long](60)
+    counts.forEach { (tok, c) =>
+      val h = h60Scala(tok)
+      val cl = c.toLong
+      var b = 0
+      while (b < 60) {
+        votes(b) += cl * (((h >>> b) & 1L) * 2L - 1L)
+        b += 1
+      }
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 60) { if (votes(b) > 0L) sig |= 1L << b; b += 1 }
+    sig
+  }
+}

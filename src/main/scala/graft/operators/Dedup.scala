@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.core.{Q, Tables}
+import graft.functions.Kernels
 import graft.functions.Portable._
 
 /** Deduplication operators for a training-data pipeline over `documents`:
@@ -28,57 +29,6 @@ object Dedup {
 
   private def docs(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
-
-  /** Distinct word-trigram 60-bit shingle hashes of one document — the
-    * typed kernel behind [[explodedShingles]].
-    *
-    * Why not pure column expressions: higher-order functions are
-    * interpreted, and CollapseProject inlines the tokenization into every
-    * `element_at` of the trigram builder — and, worse, into the Generate
-    * when a consumer explodes the array — re-evaluating the whole
-    * tokenize+md5 pipeline per shingle instead of per document (measured
-    * 40× slower at sf0.1). The kernel runs the O(|text|) string work
-    * exactly once per document in JVM code. Semantics are identical to
-    * normText/tokens/wordNgrams + h60 (the DuckDB oracle still verifies
-    * against its own SQL formulation).
-    */
-  private def tokenize(text: String): Array[String] = {
-    // manual whitespace scan: String.split compiles its regex per call,
-    // which showed up at millions of documents. The character set is
-    // exactly regex \s (Java and RE2 agree: [ \t\n\f\r]) — NOT
-    // Character.isWhitespace, which adds unicode separators the oracle's
-    // regexp_replace would keep.
-    def ws(c: Char): Boolean =
-      c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
-    val out = scala.collection.mutable.ArrayBuffer.empty[String]
-    val n = text.length
-    var i = 0
-    while (i < n) {
-      while (i < n && ws(text.charAt(i))) i += 1
-      val start = i
-      while (i < n && !ws(text.charAt(i))) i += 1
-      if (i > start) out += text.substring(start, i)
-    }
-    out.toArray
-  }
-
-  private def shinglesOf(text: String): Array[Long] = {
-    val toks = tokenize(text.toLowerCase(java.util.Locale.ROOT))
-    if (toks.length < 3) Array.emptyLongArray
-    else {
-      val seen = new java.util.LinkedHashSet[String](toks.length * 2)
-      var i = 0
-      while (i <= toks.length - 3) {
-        seen.add(toks(i) + " " + toks(i + 1) + " " + toks(i + 2))
-        i += 1
-      }
-      val out = new Array[Long](seen.size)
-      val jt = seen.iterator()
-      var k = 0
-      while (jt.hasNext) { out(k) = h60Scala(jt.next()); k += 1 }
-      out
-    }
-  }
 
   private val sqlShingled =
     """WITH n AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm FROM documents),
@@ -121,7 +71,7 @@ object Dedup {
     docs(s, d).select(col("doc_id"), col("text")).as[(Long, String)]
       .mapPartitions { it =>
         it.flatMap { case (id, text) =>
-          val toks = tokenize(text.toLowerCase(java.util.Locale.ROOT))
+          val toks = Kernels.lowerTokens(text)
           (0 to toks.length - w).iterator.map { i =>
             (id, i.toLong, h60Scala(toks.slice(i, i + w).mkString(" ")))
           }
@@ -131,16 +81,22 @@ object Dedup {
   }
 
   /** Flat exploded shingle frame (doc_id, nsh, shingle-hash) — the shared
-    * input of the pair joins. Flat long rows columnar-cache cheaply
-    * (unlike the array form, whose cache serialization cost exceeded its
-    * recompute savings ~10×), so callers that branch over it cache it.
+    * input of the pair joins (kernels: [[Kernels.lowerTokens]] +
+    * [[Kernels.shingles]]). Flat long rows materialize cheaply (unlike the
+    * array form, whose columnar serialization cost exceeded its recompute
+    * savings ~10×); callers whose branches lack a common exchange
+    * materialize it with an EAGER localCheckpoint rather than cache() —
+    * RDD-level blocks the ContextCleaner reclaims when the query's
+    * references drop, with nothing registered in the session
+    * CacheManager, so no storage outlives the query and embedding
+    * applications never need a clearCache contract.
     */
   private[graft] def explodedShingles(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     docs(s, d).select(col("doc_id"), col("text")).as[(Long, String)]
       .mapPartitions { it =>
         it.flatMap { case (id, text) =>
-          val sh = shinglesOf(text)
+          val sh = Kernels.shingles(Kernels.lowerTokens(text))
           sh.map(h => (id, sh.length, h))
         }
       }
@@ -257,30 +213,31 @@ object Dedup {
     }
     val init = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .distinct().persist()
-    val nodes = init.select(col("src").as("node"))
-      .union(init.select(col("dst").as("node"))).distinct()
-    var edges = init
-    var converged = false
-    var rounds = 0
-    while (!converged && rounds < maxRounds) {
-      val next = smallStar(largeStar(edges)).localCheckpoint(true)
-      converged = next.except(edges).limit(1).count() +
-        edges.except(next).limit(1).count() == 0
-      edges = next
-      rounds += 1
-    }
-    if (!converged) {
-      init.unpersist()
-      throw new IllegalStateException(
-        s"connected components did not converge within $maxRounds " +
-          "large/small-star rounds — labels would be silently wrong")
-    }
-    val labels = nodes
-      .join(edges.withColumnRenamed("src", "node"), Seq("node"), "left")
-      .select(col("node"), coalesce(col("dst"), col("node")).as("label"))
-      .localCheckpoint(true)
-    init.unpersist()
-    labels
+    // try/finally, not explicit unpersist-per-path: an executor failure
+    // inside the loop's actions would otherwise leak the persisted frame
+    // into the session cache for the life of the session.
+    try {
+      val nodes = init.select(col("src").as("node"))
+        .union(init.select(col("dst").as("node"))).distinct()
+      var edges = init
+      var converged = false
+      var rounds = 0
+      while (!converged && rounds < maxRounds) {
+        val next = smallStar(largeStar(edges)).localCheckpoint(true)
+        converged = next.except(edges).limit(1).count() +
+          edges.except(next).limit(1).count() == 0
+        edges = next
+        rounds += 1
+      }
+      if (!converged)
+        throw new IllegalStateException(
+          s"connected components did not converge within $maxRounds " +
+            "large/small-star rounds — labels would be silently wrong")
+      nodes
+        .join(edges.withColumnRenamed("src", "node"), Seq("node"), "left")
+        .select(col("node"), coalesce(col("dst"), col("node")).as("label"))
+        .localCheckpoint(true)
+    } finally init.unpersist()
   }
 
   val registry: Seq[Q] = Seq(
@@ -303,13 +260,12 @@ object Dedup {
              |  doc_id <> min(doc_id) OVER (PARTITION BY md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))) AS is_duplicate
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
-    // No cache here: jaccardPairs pre-partitions the exploded frame once
-    // and BOTH self-join sides read that single exchange (ReuseExchange),
-    // so the shingle kernel already runs exactly once — a cache would be
-    // pure leaked storage. (Queries whose branches genuinely lack a common
-    // exchange — d03/d06/d07 — do cache, for the duration of their own
-    // action; the library's runners clear the session cache between
-    // queries.)
+    // No materialization here: jaccardPairs pre-partitions the exploded
+    // frame once and BOTH self-join sides read that single exchange
+    // (ReuseExchange), so the shingle kernel already runs exactly once.
+    // (Queries whose branches genuinely lack a common exchange —
+    // d03/d06/d07 — materialize it via eager localCheckpoint; see
+    // [[explodedShingles]].)
     Q("d02_ngram_jaccard",
       "near-duplicate pairs by exact word-trigram Jaccard >= 0.5",
       (s, d) => jaccardPairs(explodedShingles(s, d), 0.5)
@@ -332,7 +288,7 @@ object Dedup {
     Q("d03_minhash_lsh",
       "MinHash(30) + LSH(10x3) banded candidates, exact-Jaccard verified >= 0.5",
       (s, d) => {
-        val ex = explodedShingles(s, d).cache()
+        val ex = explodedShingles(s, d).localCheckpoint(true)
         val g = ex.withColumn("g", col("shingle") % MinHashP)
         val mhCols = (0 until 30).map(k => min(perm(k, col("g"))).as(s"mh_$k"))
         val sigs = g.groupBy("doc_id").agg(mhCols.head, mhCols.tail: _*)
@@ -381,7 +337,7 @@ object Dedup {
       "prefix-filtered exact trigram-Jaccard join at 0.9 (lossless pruning)",
       (s, d) => {
         val t = 0.9
-        val ex = explodedShingles(s, d).cache()
+        val ex = explodedShingles(s, d).localCheckpoint(true)
         val dfCounts = ex.groupBy("shingle").agg(count(lit(1)).as("df"))
         val w = Window.partitionBy(col("doc_id"))
           .orderBy(col("df").asc, col("shingle").asc)
@@ -418,7 +374,7 @@ object Dedup {
     Q("d07_capped_jaccard",
       "near-dup pairs by trigram Jaccard >= 0.5 over frequency-capped (df <= 1%) shingle sets",
       (s, d) => {
-        val ex = explodedShingles(s, d).cache()
+        val ex = explodedShingles(s, d).localCheckpoint(true)
         val nd = ex.agg(countDistinct(col("doc_id")).as("ndocs"))
         val dfc = ex.groupBy("shingle").agg(count(lit(1)).as("df"))
         val capped = ex.join(dfc.hint("shuffle_hash"), Seq("shingle"))
@@ -501,6 +457,47 @@ object Dedup {
              |FROM h JOIN sh USING (span_hash)
              |ORDER BY doc_id, pos""".stripMargin)),
 
+    // Frequency-capped duplicated spans — d08 with the d07 hot-key
+    // mitigation at span granularity: span hashes present in more than 1%
+    // of span-bearing documents are dropped BEFORE the re-attach join.
+    // Hot boilerplate spans (headers, licenses, navigation chrome) are
+    // exactly the rows that blow up d08's join fan-out at 100 TB — a span
+    // in f docs re-attaches f times per position — while marking text a
+    // pipeline would cut by document-level rules anyway; the cap bounds
+    // every span's fan-out at 0.01·n. The cap is integer-exact
+    // (n_docs * 100 <= ndocs) so both engines agree without float
+    // thresholds, and ndocs counts span-BEARING docs (>= 12 tokens), the
+    // population the frequencies are relative to.
+    Q("d10_capped_spans",
+      "cross-document duplicated 12-token spans, hot spans (df > 1% of docs) capped out",
+      (s, d) => {
+        val win = positionalWindows(s, d, 12)
+        val nd = win.agg(countDistinct(col("doc_id")).as("ndocs"))
+        val shared = win.groupBy("span_hash")
+          .agg(countDistinct(col("doc_id")).as("n_docs"))
+          .crossJoin(broadcast(nd))
+          .filter(col("n_docs") >= 2 && col("n_docs") * lit(100) <= col("ndocs"))
+          .select("span_hash", "n_docs")
+        win.join(shared.hint("shuffle_hash"), Seq("span_hash"))
+          .select(col("doc_id"), col("pos"), col("span_hash"), col("n_docs"))
+          .orderBy("doc_id", "pos")
+      },
+      Some("""WITH n AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm FROM documents),
+             |tk AS (SELECT doc_id, list_filter(string_split(norm, ' '), t -> t <> '') AS toks FROM n),
+             |w AS (SELECT doc_id, toks, unnest(range(1, len(toks) - 10)) AS p
+             |  FROM tk WHERE len(toks) >= 12),
+             |h AS (SELECT doc_id, (p - 1)::BIGINT AS pos,
+             |    ('0x' || substr(md5(array_to_string(toks[p:p+11], ' ')), 1, 15))::BIGINT AS span_hash
+             |  FROM w),
+             |nd AS (SELECT count(DISTINCT doc_id) AS ndocs FROM h),
+             |sh AS (SELECT span_hash, count(DISTINCT doc_id)::BIGINT AS n_docs
+             |  FROM h GROUP BY 1),
+             |keep AS (SELECT span_hash, n_docs FROM sh CROSS JOIN nd
+             |  WHERE n_docs >= 2 AND n_docs * 100 <= ndocs)
+             |SELECT doc_id, pos, span_hash, n_docs
+             |FROM h JOIN keep USING (span_hash)
+             |ORDER BY doc_id, pos""".stripMargin)),
+
     // Connected components over the near-dup pair graph — the step that
     // turns PAIRS into CLUSTERS so dedup keeps one survivor per component
     // (a pair list alone double-drops when A~B and B~C). Implementation is
@@ -539,27 +536,23 @@ object Dedup {
              |  count(DISTINCT r)::BIGINT AS component_size
              |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin)),
 
-    // SimHash: 60-bit per-doc sketch, zero shuffle — token counting and the
-    // per-bit weighted vote are pure array expressions over each row, so
-    // the whole operator is a narrow codegen'd projection (the form a
-    // custom Catalyst Expression would compile to anyway).
+    // SimHash: 60-bit per-doc sketch, zero shuffle — one O(|doc|) typed
+    // kernel pass per document ([[Kernels.simhash60]]: hash-map term
+    // counts + 60-lane weighted vote), so the operator rides the parquet
+    // scan. The earlier column-expression formulation was semantically
+    // identical but O(types×tokens) in the INTERPRETED HOF evaluator plus
+    // an interpreted md5 per distinct token — 93 s at sf0.1 vs <2 s for
+    // this kernel; the CollapseProject×HOF trap graft.functions.Kernels
+    // documents.
     Q("d04_simhash",
       "60-bit term-frequency SimHash sketch per document",
       (s, d) => {
-        docs(s, d)
-          .select(col("doc_id"),
-            tokens(normText(col("text"))).as("toks"))
-          .selectExpr("doc_id",
-            """transform(array_distinct(toks), x -> struct(
-              |  size(filter(toks, t -> t = x)) AS cnt,
-              |  cast(conv(substring(md5(x), 1, 15), 16, 10) AS BIGINT) AS h)) AS tf"""
-              .stripMargin)
-          .selectExpr("doc_id",
-            """aggregate(sequence(0, 59), 0L, (acc, b) -> acc +
-              |  CASE WHEN aggregate(tf, 0L,
-              |      (a2, p) -> a2 + p.cnt * ((shiftright(p.h, b) & 1) * 2 - 1)) > 0
-              |    THEN shiftleft(1L, b) ELSE 0L END) AS simhash"""
-              .stripMargin)
+        import s.implicits._
+        docs(s, d).select(col("doc_id"), col("text")).as[(Long, String)]
+          .mapPartitions(_.map { case (id, tx) =>
+            (id, Kernels.simhash60(Kernels.lowerTokens(tx)))
+          })
+          .toDF("doc_id", "simhash")
           .orderBy("doc_id")
       },
       Some("""WITH n AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm FROM documents),

@@ -459,6 +459,81 @@ object Similarity {
              |  row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
              |FROM rr)
              |SELECT query_id, rank, neighbor_id, cosine FROM ranked
+             |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)),
+
+    // IVF + PQ — the composed 100 TB ANN path (the IVFADC scheme of Jégou
+    // et al., PAMI'11 §IV): the coarse quantizer (s03's exact per-label
+    // centroids) prunes each query to ONE inverted list, ADC scans only
+    // the PQ codes of that list (~1/|lists| of the corpus instead of s06's
+    // full scan), and the exact re-rank touches only the ADC top-20.
+    // Plan shape: centroids and the probe table are broadcast dims, the
+    // reconstructed corpus joins its label by vec_id (co-partitionable at
+    // scale), and the ADC join key is label = probe_label — so corpus rows
+    // outside probed lists are filtered at the join, which the plan-shape
+    // spec pins by row count. Recall trades with nprobe exactly
+    // as s03; memory per corpus vector is the 4-byte PQ code, as s06.
+    Q("s07_knn_ivfpq",
+      "IVF+PQ ANN: coarse probe prunes to one list, ADC within it, exact re-rank top-5",
+      (s, d) => {
+        val adcIn = ivfpqAdcInput(s, d)
+        val wAdc = Window.partitionBy(col("query_id"))
+          .orderBy(col("dist2").asc, col("vec_id").asc)
+        val cand = adcIn
+          .withColumn("dist2",
+            col("dq") - lit(2.0) * dotFast(col("qv"), col("rv")) + col("drv"))
+          .withColumn("adc_rank", row_number().over(wAdc))
+          .filter(col("adc_rank") <= 20)
+          .select(col("query_id"), col("qv"), col("vec_id"), col("probe_label"))
+        val vn = vectors(s, d).select(col("vec_id"),
+          transform(col("v"), x => x / col("nrm")).as("vn"))
+        val wR = Window.partitionBy(col("query_id"))
+          .orderBy(col("cosine").desc, col("vec_id").asc)
+        cand.join(vn, Seq("vec_id"))
+          .withColumn("cosine", dotFast(col("qv"), col("vn")))
+          .withColumn("rank", row_number().over(wR))
+          .filter(col("rank") <= 5)
+          .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+            col("probe_label"), col("cosine"))
+          .orderBy("query_id", "rank")
+      },
+      Some(s"""$sqlVectors,
+             |$sqlVn,
+             |$sqlPq,
+             |lab AS (SELECT vec_id, label::BIGINT AS label FROM embeddings),
+             |cent0 AS (SELECT lab.label, ${sqlMeanList("n.v", Dim)} AS cent
+             |  FROM n JOIN lab ON n.vec_id = lab.vec_id GROUP BY lab.label),
+             |centn AS (SELECT label, cent,
+             |    sqrt(list_reduce(list_transform(range(1, 65), i -> cent[i] * cent[i]),
+             |      (x, y) -> x + y)) AS cnrm FROM cent0),
+             |q0 AS (SELECT vec_id AS query_id, v AS qv0, nrm AS qn FROM n WHERE vec_id % 50 = 0),
+             |probe0 AS (SELECT q0.query_id, q0.qv0, q0.qn, c.label,
+             |    list_reduce(list_transform(range(1, 65), i -> q0.qv0[i] * c.cent[i]), (x, y) -> x + y)
+             |      / (q0.qn * c.cnrm) AS ccos
+             |  FROM q0 CROSS JOIN centn c),
+             |probe AS (SELECT query_id, qv, probe_label,
+             |    list_reduce(list_transform(range(1, 65), i -> qv[i] * qv[i]), (x, y) -> x + y) AS dq
+             |  FROM (SELECT query_id, list_transform(qv0, x -> x / qn) AS qv, label AS probe_label
+             |    FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY ccos DESC, label) AS crank
+             |      FROM probe0)
+             |    WHERE crank = 1)),
+             |corL AS (SELECT cor.vec_id, cor.rv, cor.drv, lab.label
+             |  FROM cor JOIN lab USING (vec_id)),
+             |adc AS (SELECT query_id, qv, vec_id, probe_label FROM (
+             |    SELECT p.query_id, p.qv, c.vec_id, p.probe_label,
+             |      row_number() OVER (PARTITION BY p.query_id ORDER BY
+             |        p.dq - 2.0 * list_reduce(list_transform(range(1, 65),
+             |          i -> p.qv[i] * c.rv[i]), (x, y) -> x + y) + c.drv,
+             |        c.vec_id) AS adc_rank
+             |    FROM corL c JOIN probe p ON c.label = p.probe_label
+             |    WHERE c.vec_id <> p.query_id)
+             |  WHERE adc_rank <= 20),
+             |rr AS (SELECT adc.query_id, vn.vec_id AS neighbor_id, adc.probe_label,
+             |    list_reduce(list_transform(range(1, 65), i -> adc.qv[i] * vn.vn[i]), (x, y) -> x + y) AS cosine
+             |  FROM adc JOIN vn ON adc.vec_id = vn.vec_id),
+             |ranked AS (SELECT query_id, neighbor_id, probe_label, cosine,
+             |  row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+             |FROM rr)
+             |SELECT query_id, rank, neighbor_id, probe_label, cosine FROM ranked
              |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin))
   )
 
@@ -467,9 +542,12 @@ object Similarity {
     * bit-equal across engines and partitionings; empty cells fall back to
     * the seed centroid) → re-encode every vector as its 8 nearest
     * sub-centroids. Shared by s06 (whole-corpus ADC) and s07 (IVF-pruned
-    * ADC). The 8-double sub-vector slivers cache for the TWO assignment
-    * passes (train + re-encode; cheap to cache unlike wide arrays — the
-    * library's runners clear the session cache between queries).
+    * ADC). The 8-double sub-vector slivers materialize ONCE for the two
+    * assignment passes (train + re-encode) via an eager localCheckpoint:
+    * RDD-level blocks the ContextCleaner reclaims when the query drops
+    * its references, with nothing registered in the session CacheManager —
+    * so tests, direct library use, and s07 all see a clean cache with no
+    * runner clearCache contract.
     */
   private def pqReconstruct(e: DataFrame): DataFrame = {
     val cb0 = pqSeedCodebook(e.sparkSession)
@@ -479,7 +557,7 @@ object Similarity {
       .select(col("vec_id"), col("m"),
         transform(slice(col("v"), col("m") * PqSubDim + 1, lit(PqSubDim)),
           x => x / col("nrm")).as("subv"))
-      .cache()
+      .localCheckpoint(true)
     val a0 = pqAssign(sub, cb0)
     val trained = exactMeanVec(a0.select(col("m"), col("k"), col("subv")),
       Seq("m", "k"), "subv", PqSubDim, "tc")
@@ -490,6 +568,41 @@ object Similarity {
       .select(col("vec_id"),
         flatten(transform(col("cs"), p => p.getField("c"))).as("rv"))
       .withColumn("drv", dotFast(col("rv"), col("rv")))
+  }
+
+  /** The IVF-pruned ADC input of s07 (one row per (query, corpus vector in
+    * the query's probed list)): queries pick their nearest exact coarse
+    * centroid (s03's probe), the PQ-reconstructed corpus re-attaches its
+    * inverted-list label, and the join on label = probe_label drops every
+    * corpus row outside a probed list BEFORE any distance work. Exposed
+    * for the plan-shape spec, which asserts the row count equals the
+    * probed lists' sizes — i.e. the ADC stage really scans one list, not
+    * the corpus.
+    */
+  private[graft] def ivfpqAdcInput(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    graft.plans.VectorExpressions.register(s)
+    val v = e.select(col("vec_id"), col("label").cast("long").as("label"),
+      vecD(col("embedding")).as("v"))
+      .withColumn("nrm", sqrt(dotFast(col("v"), col("v"))))
+    val cent = coarseCentroids(v.select(col("label"), col("v")), "label")
+    val q0 = v.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("query_id"), col("v").as("qv0"), col("nrm").as("qn"))
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("ccos").desc, col("label").asc)
+    val probe = q0.crossJoin(broadcast(cent))
+      .withColumn("ccos",
+        dotFast(col("qv0"), col("cent")) / (col("qn") * col("cnrm")))
+      .withColumn("crank", row_number().over(wProbe))
+      .filter(col("crank") === 1)
+      .select(col("query_id"),
+        transform(col("qv0"), x => x / col("qn")).as("qv"),
+        col("label").as("probe_label"))
+      .withColumn("dq", dotFast(col("qv"), col("qv")))
+    val rec = pqReconstruct(v)
+    rec.join(v.select(col("vec_id"), col("label")), Seq("vec_id"))
+      .join(broadcast(probe), col("label") === col("probe_label"))
+      .filter(col("vec_id") =!= col("query_id"))
   }
 
   /** md5-derived seed codebook as a 128-row broadcastable frame (m, k, c):

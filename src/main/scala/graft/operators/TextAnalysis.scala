@@ -143,18 +143,31 @@ object TextAnalysis {
            |FROM s ORDER BY doc_id""".stripMargin
       }),
 
+    // The min-shingle print runs in the typed shingle kernel
+    // (graft.functions.Kernels): `array_min(transform(wordNgrams(...),
+    // g -> h60(g)))` evaluated an INTERPRETED md5 per shingle per row
+    // (21.6 s at sf0.1 — the CollapseProject×HOF trap); the kernel hashes
+    // each distinct trigram once in JVM code (<2 s). It also rebuilds the
+    // normalized string (tokens joined by single spaces ≡ normText's
+    // collapse+trim — d01/d02's hash-green results pin the equivalence),
+    // so normalization runs once and the other three fingerprints stay
+    // codegen'd column expressions over it.
     Q("t04_fingerprint",
       "content fingerprints: full, prefix, min-shingle, polynomial rolling hash",
       (s, d) => {
         graft.plans.VectorExpressions.register(s)
-        val norm = normText(col("text"))
-        docs(s, d).select(col("doc_id"), norm.as("norm"))
+        import s.implicits._
+        docs(s, d).select(col("doc_id"), col("text")).as[(Long, String)]
+          .mapPartitions(_.map { case (id, tx) =>
+            val toks = graft.functions.Kernels.lowerTokens(tx)
+            (id, toks.mkString(" "), graft.functions.Kernels.minShingle(toks))
+          })
+          .toDF("doc_id", "norm", "fp_min_shingle")
           .select(
             col("doc_id"),
             h60(col("norm")).as("fp_full"),
             h60(substring(col("norm"), 1, 64)).as("fp_prefix"),
-            array_min(transform(wordNgrams(tokens(col("norm")), 3),
-              g => h60(g))).as("fp_min_shingle"),
+            col("fp_min_shingle"),
             // Rabin-Karp style left-to-right polynomial hash (base 31,
             // Mersenne-31 modulus) — the incremental form a streaming
             // ingest would maintain per chunk. Native codegen expression

@@ -355,6 +355,63 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(meta.n_frames === s.getBytes("UTF-8").length / 100 + 1)
   }
 
+  test("s07 IVF+PQ: ADC stage scans exactly one inverted list per query") {
+    // the point of composing IVF with PQ: the ADC join input must hold one
+    // row per (query, member of the query's SINGLE probed list) — never
+    // the whole corpus per query (s06's deliberate shape)
+    val adc = Similarity.ivfpqAdcInput(spark, sf)
+      .select("query_id", "probe_label", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(adc.nonEmpty)
+    val emb = graft.core.Tables.embeddings(spark, sf)
+      .selectExpr("vec_id", "cast(label as long)").collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val labelOf = emb.toMap
+    val listSizes = emb.groupBy(_._2).map { case (l, g) => l -> g.size }
+    val corpus = emb.length
+    val byQ = adc.groupBy(_._1)
+    byQ.foreach { case (q, rows) =>
+      val probed = rows.map(_._2).distinct
+      assert(probed.length === 1, s"query $q probed ${probed.length} lists")
+      val l = probed.head
+      val expect = listSizes(l) - (if (labelOf(q) == l) 1 else 0)
+      assert(rows.length === expect,
+        s"query $q: ADC input ${rows.length} != list size $expect")
+      assert(rows.map(_._3).forall(v => labelOf(v) == l))
+    }
+    assert(adc.length < corpus * byQ.size,
+      "ADC stage scanned as much as the unpruned corpus")
+  }
+
+  test("s07 IVF+PQ: ranks contiguous, cosines descending, no self-match") {
+    val rows = run("s07_knn_ivfpq").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(4)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (q, g) =>
+      val sorted = g.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq === (1 to sorted.length))
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a._4 >= b._4)
+        case _ =>
+      }
+      assert(g.forall(_._3 != q), "self must be excluded")
+    }
+  }
+
+  test("d10 capped spans = d08 minus spans hotter than 1% of span-bearing docs") {
+    val d08 = run("d08_dup_spans").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // the cap population: docs holding at least one 12-token window
+    val ndocs = graft.core.Tables.documents(spark, sf)
+      .select("text").collect()
+      .count(_.getString(0).trim.split("\\s+").count(_.nonEmpty) >= 12)
+    val want = d08.filter(_._4 * 100 <= ndocs).toSet
+    val got = run("d10_capped_spans").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got === want)
+    assert(got.subsetOf(d08.toSet))
+  }
+
   test("m01/m02: decode stub arithmetic and frame sampling line up") {
     val meta = run("m01_media_decode").collect()
     meta.foreach { r =>
