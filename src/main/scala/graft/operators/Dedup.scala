@@ -40,6 +40,23 @@ object Dedup {
       |  ELSE [] END AS sh FROM tk),
       |sh AS (SELECT doc_id, sh, len(sh) AS nsh FROM sg WHERE len(sh) > 0)""".stripMargin
 
+  /** Per-document 60-bit SimHash SQL (CTE `sk`) — the oracle twin of
+    * [[Kernels.simhash60]], shared by d04 (the sketches themselves) and
+    * d11 (the exact all-pairs Hamming answer the banded join must equal).
+    */
+  private val sqlSimhashed =
+    """WITH n AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm FROM documents),
+      |tk AS (SELECT doc_id, list_filter(string_split(norm, ' '), t -> t <> '') AS toks FROM n),
+      |tf AS (SELECT doc_id, list_transform(list_distinct(toks),
+      |  x -> {'cnt': len(list_filter(toks, t -> t = x)),
+      |        'h': ('0x' || substr(md5(x), 1, 15))::BIGINT}) AS tf FROM tk),
+      |sk AS (SELECT doc_id,
+      |  list_reduce(list_transform(range(0, 60), b ->
+      |    CASE WHEN list_reduce(list_transform(tf,
+      |        p -> p.cnt * (((p.h >> b) & 1) * 2 - 1)), (x, y) -> x + y) > 0
+      |      THEN (1::BIGINT << b) ELSE 0::BIGINT END), (x, y) -> x + y) AS simhash
+      |FROM tf)""".stripMargin
+
   /** Exact all-pairs trigram-Jaccard SQL (the oracle for d02 and d03):
     * inverted-index join on the shingle, then jaccard from intersection
     * counts.
@@ -170,8 +187,9 @@ object Dedup {
     *    u itself link to the minimum.
     *
     * Each is one groupBy + one self-join on the current edge set; the
-    * per-round driver actions are the CONVERGENCE CHECK ONLY (two
-    * empty-difference probes — edges never leave the executors). Each
+    * per-round driver action is the CONVERGENCE CHECK ONLY (one job
+    * unioning both empty-difference probes — edges never leave the
+    * executors). Each
     * round CHECKPOINTS eagerly (localCheckpoint): both star ops reference
     * their input several times, so without truncation the logical plan
     * grows multiplicatively per round and the optimizer itself becomes
@@ -224,8 +242,10 @@ object Dedup {
       var rounds = 0
       while (!converged && rounds < maxRounds) {
         val next = smallStar(largeStar(edges)).localCheckpoint(true)
-        converged = next.except(edges).limit(1).count() +
-          edges.except(next).limit(1).count() == 0
+        // one driver action per round, not two: both empty-difference
+        // probes ride a single job (LocalLimit pushes into each union arm)
+        converged = next.except(edges).union(edges.except(next))
+          .limit(1).count() == 0
         edges = next
         rounds += 1
       }
@@ -555,17 +575,51 @@ object Dedup {
           .toDF("doc_id", "simhash")
           .orderBy("doc_id")
       },
-      Some("""WITH n AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm FROM documents),
-             |tk AS (SELECT doc_id, list_filter(string_split(norm, ' '), t -> t <> '') AS toks FROM n),
-             |tf AS (SELECT doc_id, list_transform(list_distinct(toks),
-             |  x -> {'cnt': len(list_filter(toks, t -> t = x)),
-             |        'h': ('0x' || substr(md5(x), 1, 15))::BIGINT}) AS tf FROM tk)
-             |SELECT doc_id,
-             |  list_reduce(list_transform(range(0, 60), b ->
-             |    CASE WHEN list_reduce(list_transform(tf,
-             |        p -> p.cnt * (((p.h >> b) & 1) * 2 - 1)), (x, y) -> x + y) > 0
-             |      THEN (1::BIGINT << b) ELSE 0::BIGINT END), (x, y) -> x + y) AS simhash
-             |FROM tf ORDER BY doc_id""".stripMargin)),
+      Some(s"$sqlSimhashed\nSELECT doc_id, simhash FROM sk ORDER BY doc_id")),
+
+    // SimHash Hamming-distance pair join — the CONSUMER of d04's sketches
+    // and the web-scale dedup design of Manku/Jain/Sarma (WWW'07): a pair
+    // within Hamming distance 3 of a 60-bit sketch must, by pigeonhole,
+    // agree EXACTLY on at least one of 4 disjoint 15-bit bands — so
+    // candidate generation is an equi-join on band values (LOSSLESS, like
+    // d06's prefix filter; the oracle is the exact all-pairs answer and
+    // proves it), and the all-pairs scan never happens. Band keys fold the
+    // band id into one xxhash64 long (the d03 trick); both self-join sides
+    // read ONE pre-partitioned exchange (ReuseExchange), so the sketch
+    // kernel runs once per document. At 100 TB: 2^15 buckets per band
+    // bound the expected fan-out, and the degenerate hot bucket (all-zero
+    // sketches from empty docs) is the d07 frequency-cap story again.
+    Q("d11_simhash_hamming",
+      "near-dup pairs at SimHash Hamming distance <= 3 (4x15-bit banded join, pigeonhole-lossless)",
+      (s, d) => {
+        import s.implicits._
+        val sk = docs(s, d).select(col("doc_id"), col("text")).as[(Long, String)]
+          .mapPartitions(_.map { case (id, tx) =>
+            (id, Kernels.simhash60(Kernels.lowerTokens(tx)))
+          })
+          .toDF("doc_id", "simhash")
+        val bands = sk.select(col("doc_id"), col("simhash"),
+          explode(array((0 until 4).map(j =>
+            xxhash64(lit(j), shiftright(col("simhash"), 15 * j)
+              .bitwiseAND(lit(0x7FFFL)))): _*)).as("bkey"))
+          .repartition(col("bkey"))
+        bands.as("x").join(bands.as("y"), Seq("bkey"))
+          .filter(col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+            col("x.simhash").as("sa"), col("y.simhash").as("sb"))
+          .distinct()
+          .withColumn("hamming",
+            bit_count(col("sa").bitwiseXOR(col("sb"))).cast("long"))
+          .filter(col("hamming") <= 3)
+          .select(col("doc_a"), col("doc_b"), col("hamming"))
+          .orderBy("doc_a", "doc_b")
+      },
+      Some(s"""$sqlSimhashed
+             |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             |  bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+             |FROM sk a JOIN sk b ON a.doc_id < b.doc_id
+             |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+             |ORDER BY doc_a, doc_b""".stripMargin)),
 
     // Embedding-cosine near-dup: the brute-force O(n²) pair scan is the
     // exactness baseline — the dot product is the native codegen'd

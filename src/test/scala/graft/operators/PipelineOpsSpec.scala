@@ -204,6 +204,25 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(a.forall { case (_, h) => h >= 0 && h < (1L << 60) })
   }
 
+  test("d11 banded join equals the all-pairs Hamming<=3 set (pigeonhole lossless)") {
+    // independent recompute: brute-force all-pairs over d04's sketches —
+    // the banded equi-join must find EXACTLY this set, because a pair
+    // differing in <=3 of 60 bits must agree on one of 4 disjoint 15-bit
+    // bands
+    val sk = run("d04_simhash").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val want = (for {
+      i <- sk.indices.iterator
+      j <- (i + 1) until sk.length
+      h = java.lang.Long.bitCount(sk(i)._2 ^ sk(j)._2)
+      if h <= 3
+    } yield (sk(i)._1, sk(j)._1, h.toLong)).toSet
+    val got = run("d11_simhash_hamming").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === want)
+    assert(got.nonEmpty, "fixture should contain sketch-close pairs")
+  }
+
   test("d04 simhash: near-duplicate pairs are closer than unrelated pairs") {
     val sim = run("d04_simhash").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
