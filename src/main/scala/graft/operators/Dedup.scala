@@ -556,6 +556,43 @@ object Dedup {
              |  count(DISTINCT r)::BIGINT AS component_size
              |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin)),
 
+    // Benchmark decontamination — the training-pipeline step that keeps
+    // eval data out of the training set (the 13-gram overlap rule of the
+    // GPT-3 appendix / PaLM §C): a corpus document is contaminated if ANY
+    // of its 13-token windows appears in the eval split (here the
+    // deterministic doc_id % 10 = 7 slice; in production, the benchmark
+    // suites). Scale shape is the defining point: eval sets are tiny and
+    // the corpus is 100 TB, so the distinct eval window hashes BROADCAST
+    // (left-semi) onto the corpus window stream — the corpus is scanned
+    // once and never shuffles; the only exchange is the per-doc rollup of
+    // the (rare) hits. Output: contaminated doc, how many windows hit,
+    // where the first hit starts — enough to cut spans instead of
+    // dropping documents.
+    Q("d12_decontaminate",
+      "eval-split decontamination: corpus docs sharing any 13-token window with eval docs",
+      (s, d) => {
+        val win = positionalWindows(s, d, 13)
+        val ev = win.filter(col("doc_id") % 10 === 7)
+          .select(col("span_hash")).distinct()
+        win.filter(col("doc_id") % 10 =!= 7)
+          .join(broadcast(ev), Seq("span_hash"), "left_semi")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_hits"), min(col("pos")).as("first_pos"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH n AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm FROM documents),
+             |tk AS (SELECT doc_id, list_filter(string_split(norm, ' '), t -> t <> '') AS toks FROM n),
+             |w AS (SELECT doc_id, toks, unnest(range(1, len(toks) - 11)) AS p
+             |  FROM tk WHERE len(toks) >= 13),
+             |h AS (SELECT doc_id, (p - 1)::BIGINT AS pos,
+             |    ('0x' || substr(md5(array_to_string(toks[p:p+12], ' ')), 1, 15))::BIGINT AS span_hash
+             |  FROM w),
+             |ev AS (SELECT DISTINCT span_hash FROM h WHERE doc_id % 10 = 7)
+             |SELECT doc_id, count(*)::BIGINT AS n_hits, min(pos) AS first_pos
+             |FROM h JOIN ev USING (span_hash)
+             |WHERE doc_id % 10 <> 7
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
     // SimHash: 60-bit per-doc sketch, zero shuffle — one O(|doc|) typed
     // kernel pass per document ([[Kernels.simhash60]]: hash-map term
     // counts + 60-lane weighted vote), so the operator rides the parquet

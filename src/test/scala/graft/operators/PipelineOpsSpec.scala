@@ -223,6 +223,26 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(got.nonEmpty, "fixture should contain sketch-close pairs")
   }
 
+  test("d12 decontamination matches a driver-side 13-gram overlap recompute") {
+    val docs = graft.core.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) ->
+        r.getString(1).toLowerCase(java.util.Locale.ROOT)
+          .trim.split("\\s+").filter(_.nonEmpty))
+    def grams(t: Array[String]): Array[String] =
+      t.sliding(13).filter(_.length == 13).map(_.mkString(" ")).toArray
+    val evalSet = docs.filter(_._1 % 10 == 7).flatMap(d => grams(d._2)).toSet
+    val want = docs.filter(_._1 % 10 != 7).flatMap { case (id, toks) =>
+      val hits = grams(toks).zipWithIndex.filter(g => evalSet.contains(g._1))
+      if (hits.isEmpty) None
+      else Some((id, hits.length.toLong, hits.map(_._2.toLong).min))
+    }.toSet
+    val got = run("d12_decontaminate").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === want)
+    assert(got.nonEmpty, "fixture should contain eval-overlapping docs")
+  }
+
   test("d04 simhash: near-duplicate pairs are closer than unrelated pairs") {
     val sim = run("d04_simhash").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap

@@ -121,6 +121,28 @@ class PlanShapeSpec extends SparkTestBase {
       "cube must partial-aggregate map-side after the Expand")
   }
 
+  test("d11: sketch kernel runs once — the band self-join reuses one exchange") {
+    val plan = executedPlan("d11_simhash_hamming")
+    assert(countOf(plan, "MapPartitions") == 1,
+      s"simhash kernel must run once, not per join side:\n${plan.take(2000)}")
+    assert(plan.contains("ReusedExchange"),
+      "second self-join side should reuse the pre-partitioned band exchange")
+  }
+
+  test("s07: ADC probe join is broadcast — PQ codes never reshuffle for the probe") {
+    val plan = executedPlan("s07_knn_ivfpq")
+    assert("BroadcastHashJoin \\[label".r.findFirstIn(plan).isDefined,
+      s"label = probe_label join must broadcast the probe side:\n${plan.take(2000)}")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("d12: eval window set broadcasts left-semi onto the corpus stream") {
+    val plan = executedPlan("d12_decontaminate")
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      s"eval hashes must broadcast; corpus must not shuffle to meet them:\n${plan.take(2000)}")
+    assert(!plan.contains("SortMergeJoin"))
+  }
+
   test("hot relational queries stay inside whole-stage codegen") {
     for (name <- Seq("q01_groupby_having", "q05_filter_in", "q13_qc_rollup")) {
       val plan = executedPlan(name)
