@@ -229,8 +229,111 @@ object TextAnalysis {
              |  top.b AS top_bigram,
              |  CASE WHEN top.b IS NOT NULL THEN len(top.b) * top.c * 1.0 / len(text) END AS top_bigram_char_frac
              |FROM g LEFT JOIN top ON g.doc_id = top.doc_id AND top.rn = 1
-             |ORDER BY g.doc_id""".stripMargin))
+             |ORDER BY g.doc_id""".stripMargin)),
+
+    // The composite quality FILTER a pipeline actually runs (the
+    // Gopher-rule battery, Rae et al. 2021 §A1.1): a fixed-order rule
+    // chain over the t01/t02/t05 signal families — word count in
+    // [20, 10000], mean word length in [2, 12], a-z character ratio
+    // >= 0.55, stopword fraction >= 0.01, duplicate-bigram fraction
+    // <= 0.1 — with the FIRST failing rule recorded, so a pipeline can
+    // report per-rule attrition, not just a keep bit. One typed kernel
+    // pass per document (all signals from one token-array scan), zero
+    // shuffle; on this fixture the chain exercises too_short,
+    // no_stopwords and repetitive (423 keep / 77 drop at sf0.01) while
+    // word_length/symbol_heavy guard inputs this synthetic corpus
+    // doesn't contain.
+    Q("t06_quality_filter",
+      "Gopher-style composite quality filter: keep/drop with first failing rule",
+      (s, d) => {
+        import s.implicits._
+        docs(s, d).select(col("doc_id"), col("text")).as[(Long, String)]
+          .mapPartitions(_.map { case (id, tx) => qualityFilterOf(id, tx) })
+          .toDF()
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH t AS (SELECT doc_id, text, $sqlToks AS toks FROM documents),
+             |s AS (SELECT doc_id,
+             |  len(toks)::BIGINT AS n_words,
+             |  CASE WHEN len(toks) > 0 THEN
+             |    list_aggregate(list_transform(toks, x -> len(x)), 'sum') * 1.0 / len(toks)
+             |  END AS mean_word_len,
+             |  CASE WHEN length(text) > 0 THEN
+             |    length(regexp_replace(text, '[^a-z]', '', 'g')) * 1.0 / length(text)
+             |  END AS alpha_ratio,
+             |  CASE WHEN len(toks) > 0 THEN
+             |    len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','it'))) * 1.0 / len(toks)
+             |  END AS stop_frac,
+             |  CASE WHEN len(toks) >= 2 THEN
+             |    1 - len(list_distinct(list_transform(range(1, len(toks)),
+             |      i -> toks[i] || ' ' || toks[i+1]))) * 1.0 / (len(toks) - 1)
+             |  END AS dup_bigram_frac
+             |FROM t)
+             |SELECT doc_id, n_words, mean_word_len, alpha_ratio, stop_frac,
+             |  dup_bigram_frac, drop_reason, drop_reason IS NULL AS keep
+             |FROM (SELECT *,
+             |  CASE WHEN n_words < 20 THEN 'too_short'
+             |       WHEN n_words > 10000 THEN 'too_long'
+             |       WHEN mean_word_len < 2 OR mean_word_len > 12 THEN 'word_length'
+             |       WHEN alpha_ratio < 0.55 THEN 'symbol_heavy'
+             |       WHEN stop_frac < 0.01 THEN 'no_stopwords'
+             |       WHEN dup_bigram_frac > 0.1 THEN 'repetitive'
+             |       ELSE NULL END AS drop_reason
+             |  FROM s)
+             |ORDER BY doc_id""".stripMargin))
   )
+
+  /** Row shape of t06 — signal fractions are None where the denominator
+    * is 0 (unreachable by the rule chain: the too_short rule fires first).
+    */
+  private[operators] final case class T06(doc_id: Long, n_words: Long,
+      mean_word_len: Option[Double], alpha_ratio: Option[Double],
+      stop_frac: Option[Double], dup_bigram_frac: Option[Double],
+      drop_reason: Option[String], keep: Boolean)
+
+  private val stopSet: java.util.Set[String] =
+    java.util.Set.of("the", "a", "of", "and", "to", "in", "is", "it")
+
+  /** Single-pass quality-filter kernel for one document: every signal the
+    * rule chain needs (word count, mean word length in CODEPOINTS, a-z
+    * ratio, stopword fraction, duplicate-bigram fraction) from one scan of
+    * the token array — the t05 discipline. Signal formulas are the exact
+    * twins of the t01/t02/t05 oracle SQL (integer counts, one final
+    * `* 1.0 / n` IEEE division), so the threshold comparisons decide
+    * identically in both engines.
+    */
+  private[operators] def qualityFilterOf(id: Long, text: String): T06 = {
+    val toks = text.split(" ").filter(_.nonEmpty)
+    val n = toks.length
+    def cp(s: String): Int = s.codePointCount(0, s.length)
+    val mwl =
+      if (n > 0) Some(toks.iterator.map(cp(_).toLong).sum * 1.0 / n) else None
+    val textCp = cp(text)
+    var alphaCnt = 0L
+    var i = 0
+    while (i < text.length) {
+      val c = text.codePointAt(i)
+      if (c >= 'a' && c <= 'z') alphaCnt += 1
+      i += Character.charCount(c)
+    }
+    val alpha = if (textCp > 0) Some(alphaCnt * 1.0 / textCp) else None
+    val stopf =
+      if (n > 0) Some(toks.count(stopSet.contains) * 1.0 / n) else None
+    val bigrams = new java.util.HashSet[String]()
+    i = 0
+    while (i < n - 1) { bigrams.add(toks(i) + " " + toks(i + 1)); i += 1 }
+    val nb = math.max(n - 1, 0)
+    val dupbg = if (nb > 0) Some(1.0 - bigrams.size * 1.0 / nb) else None
+    val reason =
+      if (n < 20) Some("too_short")
+      else if (n > 10000) Some("too_long")
+      else if (mwl.get < 2.0 || mwl.get > 12.0) Some("word_length")
+      else if (alpha.get < 0.55) Some("symbol_heavy")
+      else if (stopf.get < 0.01) Some("no_stopwords")
+      else if (dupbg.get > 0.1) Some("repetitive")
+      else None
+    T06(id, n.toLong, mwl, alpha, stopf, dupbg, reason, reason.isEmpty)
+  }
 
   /** Row shape of t05 — fractions are None where the denominator is 0. */
   private[operators] final case class T05(doc_id: Long, n_bigrams: Long,

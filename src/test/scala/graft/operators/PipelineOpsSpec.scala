@@ -354,6 +354,35 @@ class PipelineOpsSpec extends SparkTestBase {
     }
   }
 
+  test("t06 quality filter: verdicts consistent with t01/t05 signals, both classes present") {
+    val t01 = run("t01_token_stats").collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("n_tokens")).toMap
+    val t05 = run("t05_repetition").collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    val rows = run("t06_quality_filter").collect()
+    assert(rows.length === t01.size)
+    val allowed = Set("too_short", "too_long", "word_length",
+      "symbol_heavy", "no_stopwords", "repetitive")
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val reason = Option(r.getAs[String]("drop_reason"))
+      assert(r.getAs[Boolean]("keep") === reason.isEmpty)
+      assert(reason.forall(allowed.contains))
+      // n_words is t01's token count; dup_bigram_frac is t05's, exactly
+      assert(r.getAs[Long]("n_words") === t01(id))
+      assert((if (r.isNullAt(5)) None else Some(r.getDouble(5))) === t05(id))
+      if (reason.contains("too_short")) assert(t01(id) < 20)
+      if (reason.contains("repetitive")) assert(t05(id).exists(_ > 0.1))
+      if (reason.isEmpty) {
+        assert(t01(id) >= 20)
+        assert(t05(id).forall(_ <= 0.1))
+      }
+    }
+    assert(rows.exists(_.getAs[Boolean]("keep")), "fixture should keep docs")
+    assert(rows.exists(!_.getAs[Boolean]("keep")), "fixture should drop docs")
+  }
+
   test("t03 langid: predictions come from the marker set and flags match") {
     val langs = Set("en", "es", "fr", "de", "zh", "und")
     run("t03_langid").collect().foreach { r =>
