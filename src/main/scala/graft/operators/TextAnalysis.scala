@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.core.{Q, Tables}
 import graft.functions.Portable._
 
@@ -280,7 +281,73 @@ object TextAnalysis {
              |       WHEN dup_bigram_frac > 0.1 THEN 'repetitive'
              |       ELSE NULL END AS drop_reason
              |  FROM s)
-             |ORDER BY doc_id""".stripMargin))
+             |ORDER BY doc_id""".stripMargin)),
+
+    // Data mixing — the per-domain up/down-sampling step that sets a
+    // training mixture (e.g. Pile/ROOTS-style language weights). The
+    // sampling decision is a DETERMINISTIC md5 hash slot per document
+    // (h60("mix_" || doc_id) mod 1000 vs the language's rate threshold):
+    // reproducible across runs and engines (the oracle re-derives every
+    // verdict, where rand() could never be gated), stable under
+    // re-partitioning, and zero-shuffle — the filter rides the scan, so
+    // at 100 TB mixing costs one pass and prunes before any downstream
+    // work. Rates here: en 100%, es/fr 50%, de 25%, zh 10%, other 5%.
+    Q("t07_mixture_sample",
+      "deterministic per-language mixture sampling (md5 slot vs rate threshold)",
+      (s, d) => {
+        val thresh = when(col("lang") === "en", 1000L)
+          .when(col("lang") === "es", 500L)
+          .when(col("lang") === "fr", 500L)
+          .when(col("lang") === "de", 250L)
+          .when(col("lang") === "zh", 100L)
+          .otherwise(50L)
+        docs(s, d).select(col("doc_id"), col("lang"))
+          .withColumn("mix_slot",
+            h60(concat(lit("mix_"), col("doc_id").cast("string"))) % 1000)
+          .filter(col("mix_slot") < thresh)
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, lang,
+             |  ('0x' || substr(md5('mix_' || doc_id), 1, 15))::BIGINT % 1000 AS mix_slot
+             |FROM documents
+             |WHERE ('0x' || substr(md5('mix_' || doc_id), 1, 15))::BIGINT % 1000 <
+             |  CASE lang WHEN 'en' THEN 1000 WHEN 'es' THEN 500 WHEN 'fr' THEN 500
+             |            WHEN 'de' THEN 250 WHEN 'zh' THEN 100 ELSE 50 END
+             |ORDER BY doc_id""".stripMargin)),
+
+    // Greedy sequence packing — assign documents to fixed-token-budget
+    // training chunks (2048 here): a running token count per shard maps
+    // each doc to the sequence it starts in and its offset within it (the
+    // standard pre-tokenization packing approximation; exact packing
+    // splits/pads at sequence boundaries downstream). The shard key is
+    // `lang` here; at 100 TB it is the output shard (hash bucket), so
+    // every partition packs independently — one window per shard, no
+    // global order, no driver state. Integer arithmetic only (`div`/`%`),
+    // so both engines agree exactly.
+    Q("t08_sequence_pack",
+      "greedy token-budget sequence packing per language shard (2048-token chunks)",
+      (s, d) => {
+        val t = tokens(col("text"))
+        val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        docs(s, d)
+          .select(col("doc_id"), col("lang"), size(t).cast("long").as("n_tokens"))
+          .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+          .withColumn("seq_id",
+            expr("(cum_tokens - n_tokens) div 2048"))
+          .withColumn("seq_offset",
+            (col("cum_tokens") - col("n_tokens")) % 2048)
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH t AS (SELECT doc_id, lang, len($sqlToks)::BIGINT AS n_tokens FROM documents),
+             |c AS (SELECT doc_id, lang, n_tokens,
+             |  (sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS cum_tokens
+             |FROM t)
+             |SELECT doc_id, lang, n_tokens, cum_tokens,
+             |  ((cum_tokens - n_tokens) // 2048)::BIGINT AS seq_id,
+             |  (cum_tokens - n_tokens) % 2048 AS seq_offset
+             |FROM c ORDER BY doc_id""".stripMargin))
   )
 
   /** Row shape of t06 — signal fractions are None where the denominator

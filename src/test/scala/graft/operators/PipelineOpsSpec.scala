@@ -383,6 +383,51 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(rows.exists(!_.getAs[Boolean]("keep")), "fixture should drop docs")
   }
 
+  test("t07 mixture sample: exact deterministic keep set, per-language rates honored") {
+    val docs = graft.core.Tables.documents(spark, sf)
+      .select("doc_id", "lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val rates = Map("en" -> 1000L, "es" -> 500L, "fr" -> 500L,
+      "de" -> 250L, "zh" -> 100L)
+    val want = docs.filter { case (id, lang) =>
+      graft.functions.Portable.h60Scala(s"mix_$id") % 1000 <
+        rates.getOrElse(lang, 50L)
+    }.map(_._1).toSet
+    val got = run("t07_mixture_sample").collect().map(_.getLong(0)).toSet
+    assert(got === want)
+    // en is rate-1.0: every English doc survives
+    val en = docs.filter(_._2 == "en").map(_._1).toSet
+    assert(en.subsetOf(got))
+    // downsampled languages actually lose documents
+    val zh = docs.filter(_._2 == "zh").map(_._1).toSet
+    assert((zh -- got).nonEmpty, "zh at 10% should drop docs")
+  }
+
+  test("t08 sequence packing: offsets within budget, chunks fill contiguously per shard") {
+    val rows = run("t08_sequence_pack").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._2).foreach { case (_, shard) =>
+      val ordered = shard.sortBy(_._1)
+      // running sum is consistent and seq assignment derives from it
+      var cum = 0L
+      ordered.foreach { case (_, _, n, c, seqId, off) =>
+        assert(c === cum + n)
+        assert(seqId === cum / 2048)
+        assert(off === cum % 2048)
+        assert(off >= 0 && off < 2048)
+        cum = c
+      }
+      // seq ids are nondecreasing and start at 0
+      assert(ordered.head._5 === 0L && ordered.head._6 === 0L)
+      assert(ordered.map(_._5).sliding(2).forall {
+        case Array(a, b) => a <= b
+        case _ => true
+      })
+    }
+  }
+
   test("t03 langid: predictions come from the marker set and flags match") {
     val langs = Set("en", "es", "fr", "de", "zh", "und")
     run("t03_langid").collect().foreach { r =>
