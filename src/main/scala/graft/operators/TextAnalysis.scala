@@ -34,6 +34,38 @@ object TextAnalysis {
     "de" -> Seq("der", "die", "das", "ist", "und"),
     "zh" -> Seq("的", "是", "在", "了", "和"))
 
+  /** Quality-signal + rule-chain SQL (CTE `v`) — the oracle twin of
+    * [[qualityFilterOf]], shared by t06 (the per-doc verdicts) and t09
+    * (the per-source funnel that consumes them).
+    */
+  private val sqlQualityChain =
+    s"""t AS (SELECT doc_id, lang, source, text, $sqlToks AS toks FROM documents),
+      |s AS (SELECT doc_id, lang, source, text,
+      |  len(toks)::BIGINT AS n_words,
+      |  CASE WHEN len(toks) > 0 THEN
+      |    list_aggregate(list_transform(toks, x -> len(x)), 'sum') * 1.0 / len(toks)
+      |  END AS mean_word_len,
+      |  CASE WHEN length(text) > 0 THEN
+      |    length(regexp_replace(text, '[^a-z]', '', 'g')) * 1.0 / length(text)
+      |  END AS alpha_ratio,
+      |  CASE WHEN len(toks) > 0 THEN
+      |    len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','it'))) * 1.0 / len(toks)
+      |  END AS stop_frac,
+      |  CASE WHEN len(toks) >= 2 THEN
+      |    1 - len(list_distinct(list_transform(range(1, len(toks)),
+      |      i -> toks[i] || ' ' || toks[i+1]))) * 1.0 / (len(toks) - 1)
+      |  END AS dup_bigram_frac
+      |FROM t),
+      |v AS (SELECT *,
+      |  CASE WHEN n_words < 20 THEN 'too_short'
+      |       WHEN n_words > 10000 THEN 'too_long'
+      |       WHEN mean_word_len < 2 OR mean_word_len > 12 THEN 'word_length'
+      |       WHEN alpha_ratio < 0.55 THEN 'symbol_heavy'
+      |       WHEN stop_frac < 0.01 THEN 'no_stopwords'
+      |       WHEN dup_bigram_frac > 0.1 THEN 'repetitive'
+      |       ELSE NULL END AS drop_reason
+      |  FROM s)""".stripMargin
+
   val registry: Seq[Q] = Seq(
 
     Q("t01_token_stats",
@@ -253,35 +285,10 @@ object TextAnalysis {
           .toDF()
           .orderBy("doc_id")
       },
-      Some(s"""WITH t AS (SELECT doc_id, text, $sqlToks AS toks FROM documents),
-             |s AS (SELECT doc_id,
-             |  len(toks)::BIGINT AS n_words,
-             |  CASE WHEN len(toks) > 0 THEN
-             |    list_aggregate(list_transform(toks, x -> len(x)), 'sum') * 1.0 / len(toks)
-             |  END AS mean_word_len,
-             |  CASE WHEN length(text) > 0 THEN
-             |    length(regexp_replace(text, '[^a-z]', '', 'g')) * 1.0 / length(text)
-             |  END AS alpha_ratio,
-             |  CASE WHEN len(toks) > 0 THEN
-             |    len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','it'))) * 1.0 / len(toks)
-             |  END AS stop_frac,
-             |  CASE WHEN len(toks) >= 2 THEN
-             |    1 - len(list_distinct(list_transform(range(1, len(toks)),
-             |      i -> toks[i] || ' ' || toks[i+1]))) * 1.0 / (len(toks) - 1)
-             |  END AS dup_bigram_frac
-             |FROM t)
+      Some(s"""WITH $sqlQualityChain
              |SELECT doc_id, n_words, mean_word_len, alpha_ratio, stop_frac,
              |  dup_bigram_frac, drop_reason, drop_reason IS NULL AS keep
-             |FROM (SELECT *,
-             |  CASE WHEN n_words < 20 THEN 'too_short'
-             |       WHEN n_words > 10000 THEN 'too_long'
-             |       WHEN mean_word_len < 2 OR mean_word_len > 12 THEN 'word_length'
-             |       WHEN alpha_ratio < 0.55 THEN 'symbol_heavy'
-             |       WHEN stop_frac < 0.01 THEN 'no_stopwords'
-             |       WHEN dup_bigram_frac > 0.1 THEN 'repetitive'
-             |       ELSE NULL END AS drop_reason
-             |  FROM s)
-             |ORDER BY doc_id""".stripMargin)),
+             |FROM v ORDER BY doc_id""".stripMargin)),
 
     // Data mixing — the per-domain up/down-sampling step that sets a
     // training mixture (e.g. Pile/ROOTS-style language weights). The
@@ -347,7 +354,86 @@ object TextAnalysis {
              |SELECT doc_id, lang, n_tokens, cum_tokens,
              |  ((cum_tokens - n_tokens) // 2048)::BIGINT AS seq_id,
              |  (cum_tokens - n_tokens) % 2048 AS seq_offset
-             |FROM c ORDER BY doc_id""".stripMargin))
+             |FROM c ORDER BY doc_id""".stripMargin)),
+
+    // The end-to-end attrition report — what a data-curation team actually
+    // reads: per (source, lang), how many documents each pipeline stage
+    // removed, in funnel order (quality rules → exact dedup among quality
+    // survivors → mixture downsampling), plus the surviving token mass.
+    // Each document is charged to the FIRST stage that drops it, so the
+    // four counts partition n_docs exactly. One kernel pass computes the
+    // quality verdict AND the normalized string for the content hash
+    // (eagerly localCheckpointed — the frame forks into survivor/dropped
+    // branches); the dedup window and the final rollup are the only
+    // shuffles, both on corpus-reduced frames.
+    Q("t09_pipeline_funnel",
+      "per-(source, lang) funnel: quality -> exact-dedup -> mixture, with kept-token mass",
+      (s, d) => {
+        import s.implicits._
+        val base = docs(s, d)
+          .select(col("doc_id"), col("lang"), col("source"), col("text"))
+          .as[(Long, String, String, String)]
+          .mapPartitions(_.map { case (id, lang, source, tx) =>
+            val f = qualityFilterOf(id, tx)
+            val norm = graft.functions.Kernels.lowerTokens(tx).mkString(" ")
+            (id, lang, source, f.n_words, f.keep, norm)
+          })
+          .toDF("doc_id", "lang", "source", "n_words", "quality_keep", "norm")
+          .localCheckpoint(true)
+        val thresh = when(col("lang") === "en", 1000L)
+          .when(col("lang") === "es", 500L)
+          .when(col("lang") === "fr", 500L)
+          .when(col("lang") === "de", 250L)
+          .when(col("lang") === "zh", 100L)
+          .otherwise(50L)
+        val w = Window.partitionBy(col("content_hash"))
+        val surv = base.filter(col("quality_keep"))
+          .withColumn("content_hash", md5(col("norm")))
+          .withColumn("canonical", min(col("doc_id")).over(w))
+          .withColumn("stage",
+            when(col("doc_id") =!= col("canonical"), "duplicate")
+              .when(h60(concat(lit("mix_"), col("doc_id").cast("string")))
+                % 1000 >= thresh, "mixture")
+              .otherwise("kept"))
+          .select(col("source"), col("lang"), col("n_words"), col("stage"))
+        val dropped = base.filter(!col("quality_keep"))
+          .select(col("source"), col("lang"), col("n_words"),
+            lit("quality").as("stage"))
+        surv.union(dropped)
+          .groupBy("source", "lang")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            count(when(col("stage") === "quality", 1)).as("n_quality_drop"),
+            count(when(col("stage") === "duplicate", 1)).as("n_dup_drop"),
+            count(when(col("stage") === "mixture", 1)).as("n_mix_drop"),
+            count(when(col("stage") === "kept", 1)).as("n_kept"),
+            sum(when(col("stage") === "kept", col("n_words")).otherwise(0L))
+              .as("tokens_kept"))
+          .orderBy("source", "lang")
+      },
+      Some(s"""WITH $sqlQualityChain,
+             |qd AS (SELECT source, lang, n_words, 'quality' AS stage
+             |  FROM v WHERE drop_reason IS NOT NULL),
+             |qp AS (SELECT doc_id, lang, source, n_words,
+             |    md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS ch
+             |  FROM v WHERE drop_reason IS NULL),
+             |w AS (SELECT *, min(doc_id) OVER (PARTITION BY ch) AS canonical FROM qp),
+             |m AS (SELECT source, lang, n_words,
+             |  CASE WHEN doc_id <> canonical THEN 'duplicate'
+             |       WHEN ('0x' || substr(md5('mix_' || doc_id), 1, 15))::BIGINT % 1000 >=
+             |         CASE lang WHEN 'en' THEN 1000 WHEN 'es' THEN 500 WHEN 'fr' THEN 500
+             |                   WHEN 'de' THEN 250 WHEN 'zh' THEN 100 ELSE 50 END
+             |         THEN 'mixture'
+             |       ELSE 'kept' END AS stage
+             |  FROM w),
+             |u AS (SELECT * FROM qd UNION ALL SELECT * FROM m)
+             |SELECT source, lang, count(*)::BIGINT AS n_docs,
+             |  count(CASE WHEN stage = 'quality' THEN 1 END)::BIGINT AS n_quality_drop,
+             |  count(CASE WHEN stage = 'duplicate' THEN 1 END)::BIGINT AS n_dup_drop,
+             |  count(CASE WHEN stage = 'mixture' THEN 1 END)::BIGINT AS n_mix_drop,
+             |  count(CASE WHEN stage = 'kept' THEN 1 END)::BIGINT AS n_kept,
+             |  sum(CASE WHEN stage = 'kept' THEN n_words ELSE 0 END)::BIGINT AS tokens_kept
+             |FROM u GROUP BY source, lang ORDER BY source, lang""".stripMargin))
   )
 
   /** Row shape of t06 — signal fractions are None where the denominator

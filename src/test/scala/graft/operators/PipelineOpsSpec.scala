@@ -428,6 +428,44 @@ class PipelineOpsSpec extends SparkTestBase {
     }
   }
 
+  test("t09 funnel: stages partition each group and agree with t06/d01/t07/t01") {
+    val meta = graft.core.Tables.documents(spark, sf)
+      .select("doc_id", "source", "lang").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+    val keepQ = run("t06_quality_filter").collect()
+      .map(r => r.getLong(0) -> r.getAs[Boolean]("keep")).toMap
+    val hashOf = run("d01_exact_dedup").collect()
+      .map(r => r.getLong(0) -> r.getAs[String]("content_hash")).toMap
+    val mixKeep = run("t07_mixture_sample").collect().map(_.getLong(0)).toSet
+    val nTok = run("t01_token_stats").collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("n_tokens")).toMap
+    // funnel dedup canonicals are over QUALITY SURVIVORS only (not d01's
+    // whole-corpus canonicals — the funnel order matters)
+    val canon = meta.keys.filter(keepQ).toSeq.groupBy(hashOf)
+      .flatMap { case (_, ids) => ids.map(_ -> ids.min) }
+    def stage(id: Long): String =
+      if (!keepQ(id)) "quality"
+      else if (id != canon(id)) "duplicate"
+      else if (!mixKeep(id)) "mixture"
+      else "kept"
+    val want = meta.toSeq.groupBy(_._2).map { case ((src, lang), ds) =>
+      val stages = ds.map(d => (d._1, stage(d._1)))
+      (src, lang) -> (ds.size.toLong,
+        stages.count(_._2 == "quality").toLong,
+        stages.count(_._2 == "duplicate").toLong,
+        stages.count(_._2 == "mixture").toLong,
+        stages.count(_._2 == "kept").toLong,
+        stages.filter(_._2 == "kept").map(s => nTok(s._1)).sum)
+    }
+    val got = run("t09_pipeline_funnel").collect().map { r =>
+      (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))
+    }.toMap
+    assert(got === want)
+    // counts partition: every group's stage counts add to n_docs
+    got.values.foreach { case (n, q, du, m, k, _) => assert(q + du + m + k === n) }
+  }
+
   test("t03 langid: predictions come from the marker set and flags match") {
     val langs = Set("en", "es", "fr", "de", "zh", "und")
     run("t03_langid").collect().foreach { r =>
