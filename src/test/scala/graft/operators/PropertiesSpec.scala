@@ -68,6 +68,73 @@ class PropertiesSpec extends SparkTestBase {
     assert(back.count() === nonZeroAsvs.length)
   }
 
+  // Generator for nasty document text: vocab with case, digits, unicode
+  // (2- and 3-byte UTF-8), separated by random runs drawn from the full
+  // regex-\s whitespace set — the inputs where a kernel/column-expression
+  // divergence would hide.
+  private val textGen: Gen[String] = {
+    val word = Gen.oneOf("The", "cat", "SAT", "on", "MAT", "héllo",
+      "世界", "a1", "42", "x-y", "...")
+    val ws = Gen.nonEmptyListOf(
+      Gen.oneOf(' ', '\t', '\n', '\u000B', '\f', '\r')).map(_.mkString)
+    Gen.chooseNum(0, 30).flatMap(n =>
+      Gen.listOfN(n, Gen.zip(word, ws))
+        .map(_.map { case (w, s) => w + s }.mkString))
+  }
+
+  test("Kernels.lowerTokens equals the Catalyst tokens(normText(...)) on random text") {
+    val texts = sample(textGen, 200, 4L).distinct
+    val fromSpark = texts.toDF("t")
+      .select(col("t"), Portable.tokens(Portable.normText(col("t"))).as("toks"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    texts.foreach { t =>
+      assert(graft.functions.Kernels.lowerTokens(t).toSeq === fromSpark(t),
+        s"tokenization diverged for ${t.take(60).replace("\n", "\\n")}")
+    }
+  }
+
+  test("Kernels.shingles/minShingle equal the t04-style column formulation") {
+    // the exact expression t04 computed before the kernel rewrite — the
+    // rewrite must be a pure performance change
+    val texts = sample(textGen, 150, 5L).distinct
+    val fromSpark = texts.toDF("t")
+      .select(col("t"),
+        transform(Portable.wordNgrams(
+          Portable.tokens(Portable.normText(col("t"))), 3),
+          g => Portable.h60(g)).as("hs"),
+        array_min(transform(Portable.wordNgrams(
+          Portable.tokens(Portable.normText(col("t"))), 3),
+          g => Portable.h60(g))).as("mn"))
+      .collect()
+      .map(r => r.getString(0) ->
+        (r.getSeq[Long](1), if (r.isNullAt(2)) None else Some(r.getLong(2))))
+      .toMap
+    texts.foreach { t =>
+      val toks = graft.functions.Kernels.lowerTokens(t)
+      val (wantHs, wantMn) = fromSpark(t)
+      assert(graft.functions.Kernels.shingles(toks).toSeq === wantHs,
+        s"shingle hashes diverged for ${t.take(60)}")
+      assert(graft.functions.Kernels.minShingle(toks) === wantMn,
+        s"min shingle diverged for ${t.take(60)}")
+    }
+  }
+
+  test("Kernels.simhash60 equals a naive per-bit weighted-vote recompute") {
+    val texts = sample(textGen, 200, 6L).distinct
+    texts.foreach { t =>
+      val toks = graft.functions.Kernels.lowerTokens(t)
+      val naive = (0 until 60).foldLeft(0L) { (acc, b) =>
+        val vote = toks.distinct.map { x =>
+          val h = Portable.h60Scala(x)
+          toks.count(_ == x).toLong * (((h >> b) & 1L) * 2L - 1L)
+        }.sum
+        if (vote > 0) acc | (1L << b) else acc
+      }
+      assert(graft.functions.Kernels.simhash60(toks) === naive,
+        s"simhash diverged for ${t.take(60)}")
+    }
+  }
+
   test("QC flags are monotone in thresholds: stricter warn ⇒ superset of flags") {
     import graft.compendium.{QcThresholds, SummaryQC}
     val qc = SummaryQC.readSummaryTsv(spark, s"$fixtures/summary_paired.tsv")
