@@ -52,10 +52,17 @@ object Bench {
           try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
           catch { case _: Throwable => false }
         val sec = (System.nanoTime() - t0) / 1e9
-        // Session hygiene between queries: queries themselves leave the
-        // CacheManager empty (CacheHygieneSpec pins it), but a defensive
-        // clear keeps any future regression from contaminating neighbors.
+        // Session hygiene between queries: queries leave the CacheManager
+        // empty (CacheHygieneSpec pins it), but intra-query eager
+        // localCheckpoints live as RDD-level blocks the CacheManager never
+        // sees, released only when GC + the async ContextCleaner get to
+        // them — nondeterministic within a 65 s sweep. Drop them
+        // deterministically so query N's storage can never skew query
+        // N+1's timing (safe here: the finished query's frames are never
+        // consumed again).
         spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
         (name, sec, ok)
       }
     val loadAfter =

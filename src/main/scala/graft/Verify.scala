@@ -29,9 +29,13 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
-      // drop any frame a query cached for its own action, so one query's
-      // storage can't skew (or OOM) the next in this 70-query sweep
+      // drop any storage the finished query materialized — CacheManager
+      // entries AND the RDD-level blocks of intra-query eager
+      // localCheckpoints (invisible to clearCache, otherwise held until
+      // GC + ContextCleaner) — so one query can't skew or OOM the next
       spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

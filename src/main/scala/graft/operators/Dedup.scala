@@ -456,7 +456,7 @@ object Dedup {
     Q("d08_dup_spans",
       "cross-document duplicated 12-token spans (positional window hash, n_docs >= 2)",
       (s, d) => {
-        val win = positionalWindows(s, d, 12)
+        val win = positionalWindows(s, d, 12).localCheckpoint(true)
         val shared = win.groupBy("span_hash")
           .agg(countDistinct(col("doc_id")).as("n_docs"))
           .filter(col("n_docs") >= 2)
@@ -491,7 +491,7 @@ object Dedup {
     Q("d10_capped_spans",
       "cross-document duplicated 12-token spans, hot spans (df > 1% of docs) capped out",
       (s, d) => {
-        val win = positionalWindows(s, d, 12)
+        val win = positionalWindows(s, d, 12).localCheckpoint(true)
         val nd = win.agg(countDistinct(col("doc_id")).as("ndocs"))
         val shared = win.groupBy("span_hash")
           .agg(countDistinct(col("doc_id")).as("n_docs"))
@@ -571,7 +571,7 @@ object Dedup {
     Q("d12_decontaminate",
       "eval-split decontamination: corpus docs sharing any 13-token window with eval docs",
       (s, d) => {
-        val win = positionalWindows(s, d, 13)
+        val win = positionalWindows(s, d, 13).localCheckpoint(true)
         val ev = win.filter(col("doc_id") % 10 === 7)
           .select(col("span_hash")).distinct()
         win.filter(col("doc_id") % 10 =!= 7)

@@ -66,6 +66,22 @@ object TextAnalysis {
       |       ELSE NULL END AS drop_reason
       |  FROM s)""".stripMargin
 
+  /** The mixture policy — md5 slot per document and per-language rate
+    * threshold (slots of 1000) — defined ONCE and shared by t07 (the
+    * sampler) and t09 (the funnel's mixture stage), so the two can never
+    * silently diverge on a rate edit.
+    */
+  private val mixSlot: Column =
+    h60(concat(lit("mix_"), col("doc_id").cast("string"))) % 1000
+
+  private val mixThreshold: Column =
+    when(col("lang") === "en", 1000L)
+      .when(col("lang") === "es", 500L)
+      .when(col("lang") === "fr", 500L)
+      .when(col("lang") === "de", 250L)
+      .when(col("lang") === "zh", 100L)
+      .otherwise(50L)
+
   val registry: Seq[Q] = Seq(
 
     Q("t01_token_stats",
@@ -302,16 +318,9 @@ object TextAnalysis {
     Q("t07_mixture_sample",
       "deterministic per-language mixture sampling (md5 slot vs rate threshold)",
       (s, d) => {
-        val thresh = when(col("lang") === "en", 1000L)
-          .when(col("lang") === "es", 500L)
-          .when(col("lang") === "fr", 500L)
-          .when(col("lang") === "de", 250L)
-          .when(col("lang") === "zh", 100L)
-          .otherwise(50L)
         docs(s, d).select(col("doc_id"), col("lang"))
-          .withColumn("mix_slot",
-            h60(concat(lit("mix_"), col("doc_id").cast("string"))) % 1000)
-          .filter(col("mix_slot") < thresh)
+          .withColumn("mix_slot", mixSlot)
+          .filter(col("mix_slot") < mixThreshold)
           .orderBy("doc_id")
       },
       Some("""SELECT doc_id, lang,
@@ -380,20 +389,13 @@ object TextAnalysis {
           })
           .toDF("doc_id", "lang", "source", "n_words", "quality_keep", "norm")
           .localCheckpoint(true)
-        val thresh = when(col("lang") === "en", 1000L)
-          .when(col("lang") === "es", 500L)
-          .when(col("lang") === "fr", 500L)
-          .when(col("lang") === "de", 250L)
-          .when(col("lang") === "zh", 100L)
-          .otherwise(50L)
         val w = Window.partitionBy(col("content_hash"))
         val surv = base.filter(col("quality_keep"))
           .withColumn("content_hash", md5(col("norm")))
           .withColumn("canonical", min(col("doc_id")).over(w))
           .withColumn("stage",
             when(col("doc_id") =!= col("canonical"), "duplicate")
-              .when(h60(concat(lit("mix_"), col("doc_id").cast("string")))
-                % 1000 >= thresh, "mixture")
+              .when(mixSlot >= mixThreshold, "mixture")
               .otherwise("kept"))
           .select(col("source"), col("lang"), col("n_words"), col("stage"))
         val dropped = base.filter(!col("quality_keep"))

@@ -560,6 +560,7 @@ class PipelineOpsSpec extends SparkTestBase {
     val got = run("d10_capped_spans").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
     assert(got === want)
+    assert(got.nonEmpty, "cap must not empty the fixture's shared-span set")
     assert(got.subsetOf(d08.toSet))
   }
 
