@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.core.{Q, Tables}
+import graft.functions.Kernels
 import graft.functions.Portable._
 
 /** Text-analysis operators for a large-scale training-data pipeline, over
@@ -208,8 +209,8 @@ object TextAnalysis {
         import s.implicits._
         docs(s, d).select(col("doc_id"), col("text")).as[(Long, String)]
           .mapPartitions(_.map { case (id, tx) =>
-            val toks = graft.functions.Kernels.lowerTokens(tx)
-            (id, toks.mkString(" "), graft.functions.Kernels.minShingle(toks))
+            val toks = Kernels.lowerTokens(tx)
+            (id, toks.mkString(" "), Kernels.minShingle(toks))
           })
           .toDF("doc_id", "norm", "fp_min_shingle")
           .select(
@@ -384,7 +385,7 @@ object TextAnalysis {
           .as[(Long, String, String, String)]
           .mapPartitions(_.map { case (id, lang, source, tx) =>
             val f = qualityFilterOf(id, tx)
-            val norm = graft.functions.Kernels.lowerTokens(tx).mkString(" ")
+            val norm = Kernels.lowerTokens(tx).mkString(" ")
             (id, lang, source, f.n_words, f.keep, norm)
           })
           .toDF("doc_id", "lang", "source", "n_words", "quality_keep", "norm")
@@ -435,7 +436,96 @@ object TextAnalysis {
              |  count(CASE WHEN stage = 'mixture' THEN 1 END)::BIGINT AS n_mix_drop,
              |  count(CASE WHEN stage = 'kept' THEN 1 END)::BIGINT AS n_kept,
              |  sum(CASE WHEN stage = 'kept' THEN n_words ELSE 0 END)::BIGINT AS tokens_kept
-             |FROM u GROUP BY source, lang ORDER BY source, lang""".stripMargin))
+             |FROM u GROUP BY source, lang ORDER BY source, lang""".stripMargin)),
+
+    // Corpus vocabulary statistics — the input to tokenizer/BPE training
+    // and the first corpus-health report: global term and document
+    // frequency per token, top-100 by tf. THE wordcount at scale: the
+    // kernel pre-aggregates per-document counts (so the shuffle carries
+    // one row per (doc, type), not per token occurrence), the groupBy
+    // partial-aggregates map-side, and top-100 is TakeOrderedAndProject —
+    // no global sort of the vocabulary.
+    Q("t10_vocab_stats",
+      "corpus vocabulary: top-100 tokens by term frequency, with document frequency",
+      (s, d) => {
+        import s.implicits._
+        docs(s, d).select(col("doc_id"), col("text")).as[(Long, String)]
+          .mapPartitions(_.flatMap { case (_, tx) =>
+            val counts = new java.util.HashMap[String, Int]()
+            Kernels.lowerTokens(tx).foreach(t => counts.merge(t, 1, Integer.sum))
+            val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+            counts.forEach((t, c) => out += ((t, c.toLong)))
+            out
+          })
+          .toDF("token", "tf_doc")
+          .groupBy("token")
+          .agg(sum(col("tf_doc")).as("tf"), count(lit(1)).as("df"))
+          .orderBy(col("tf").desc, col("token").asc)
+          .limit(100)
+          .orderBy(col("tf").desc, col("token").asc)
+      },
+      Some("""WITH n AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm FROM documents),
+             |tk AS (SELECT doc_id, list_filter(string_split(norm, ' '), t -> t <> '') AS toks FROM n),
+             |e AS (SELECT doc_id, unnest(toks) AS token FROM tk),
+             |g AS (SELECT token, count(*)::BIGINT AS tf,
+             |    count(DISTINCT doc_id)::BIGINT AS df
+             |  FROM e GROUP BY 1)
+             |SELECT token, tf, df FROM g
+             |ORDER BY tf DESC, token LIMIT 100""".stripMargin)),
+
+    // Token-rarity document scoring — the frequency-table-based quality
+    // signal (the CCNet/KenLM idea: score each document against corpus
+    // statistics). Kept INTEGER-exact where CCNet uses log-probabilities:
+    // ln() is not bit-identical across engines/libms, so the score is the
+    // mean GLOBAL term frequency of the document's tokens (low = rare
+    // vocabulary) plus the rare-token fraction, where "rare" is an
+    // integer-exact document-frequency cap (df·20 <= ndocs, i.e. <= 5 %
+    // of token-bearing docs — the d07 cap inverted). Integer sums with
+    // one final division, which both engines compute identically. Plan:
+    // the exploded token stream joins the frequency table with a
+    // shuffle-HASH join (the vocabulary is NOT broadcastable at 100 TB),
+    // per-doc sums partial-aggregate map-side.
+    Q("t11_token_rarity",
+      "per-document rarity vs corpus frequencies: mean token tf, rare-token (df <= 5%) fraction",
+      (s, d) => {
+        import s.implicits._
+        val ex = docs(s, d).select(col("doc_id"), col("text")).as[(Long, String)]
+          .mapPartitions(_.flatMap { case (id, tx) =>
+            Kernels.lowerTokens(tx).iterator.map(t => (id, t))
+          })
+          .toDF("doc_id", "token")
+          .localCheckpoint(true)
+        val nd = ex.agg(countDistinct(col("doc_id")).as("ndocs"))
+        val freq = ex.groupBy("token")
+          .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
+        ex.join(freq.hint("shuffle_hash"), Seq("token"))
+          .crossJoin(broadcast(nd))
+          .groupBy("doc_id")
+          .agg(
+            count(lit(1)).as("n_tokens"),
+            sum(col("tf")).as("sum_tf"),
+            count(when(col("df") * 20 <= col("ndocs"), 1)).as("n_rare"))
+          .select(col("doc_id"), col("n_tokens"), col("sum_tf"),
+            (col("sum_tf") * lit(1.0) / col("n_tokens")).as("mean_tf"),
+            (col("n_rare") * lit(1.0) / col("n_tokens")).as("rare_frac"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH n AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm FROM documents),
+             |tk AS (SELECT doc_id, list_filter(string_split(norm, ' '), t -> t <> '') AS toks FROM n),
+             |e AS (SELECT doc_id, unnest(toks) AS token FROM tk),
+             |nd AS (SELECT count(DISTINCT doc_id) AS ndocs FROM e),
+             |g AS (SELECT token, count(*)::BIGINT AS tf,
+             |    count(DISTINCT doc_id)::BIGINT AS df
+             |  FROM e GROUP BY 1),
+             |j AS (SELECT e.doc_id, g.tf, g.df FROM e JOIN g USING (token)),
+             |s AS (SELECT doc_id, count(*)::BIGINT AS n_tokens,
+             |    sum(tf)::BIGINT AS sum_tf,
+             |    count(CASE WHEN df * 20 <= ndocs THEN 1 END)::BIGINT AS n_rare
+             |  FROM j CROSS JOIN nd GROUP BY doc_id)
+             |SELECT doc_id, n_tokens, sum_tf,
+             |  sum_tf * 1.0 / n_tokens AS mean_tf,
+             |  n_rare * 1.0 / n_tokens AS rare_frac
+             |FROM s ORDER BY doc_id""".stripMargin))
   )
 
   /** Row shape of t06 — signal fractions are None where the denominator

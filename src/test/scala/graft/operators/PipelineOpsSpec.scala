@@ -466,6 +466,34 @@ class PipelineOpsSpec extends SparkTestBase {
     got.values.foreach { case (n, q, du, m, k, _) => assert(q + du + m + k === n) }
   }
 
+  test("t10/t11 vocabulary and rarity agree with a driver-side frequency recompute") {
+    val docs = graft.core.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) ->
+        r.getString(1).toLowerCase(java.util.Locale.ROOT)
+          .trim.split("\\s+").filter(_.nonEmpty))
+    val tf = docs.flatMap(_._2).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val df = docs.flatMap { case (id, ts) => ts.distinct.map(_ -> id) }
+      .groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val wantTop = tf.toSeq.map { case (t, f) => (t, f, df(t)) }
+      .sortBy { case (t, f, _) => (-f, t) }.take(100)
+    val gotTop = run("t10_vocab_stats").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(gotTop === wantTop)
+    val ndocs = docs.count(_._2.nonEmpty).toLong
+    val rows = run("t11_token_rarity").collect()
+    assert(rows.length === docs.count(_._2.nonEmpty))
+    rows.foreach { r =>
+      val toks = docs.toMap.apply(r.getLong(0))
+      assert(r.getLong(1) === toks.length.toLong)
+      assert(r.getLong(2) === toks.map(tf).sum)
+      val nRare = toks.count(t => df(t) * 20 <= ndocs)
+      assert(r.getDouble(4) === nRare * 1.0 / toks.length)
+    }
+    assert(rows.exists(_.getDouble(4) > 0),
+      "fixture should contain rare-token docs")
+  }
+
   test("t03 langid: predictions come from the marker set and flags match") {
     val langs = Set("en", "es", "fr", "de", "zh", "und")
     run("t03_langid").collect().foreach { r =>
