@@ -10,7 +10,10 @@ import graft.functions.Portable._
 /** Deduplication operators for a training-data pipeline over `documents`:
   * exact (hash groupBy), word-n-gram Jaccard (all candidate pairs via a
   * shingle-inverted-index join), MinHash + banded LSH (the 100 TB path),
-  * and SimHash (shuffle-free per-doc sketch).
+  * prefix-filtered and frequency-capped exact joins, SimHash sketches +
+  * the Manku-banded Hamming pair join, positional span dedup (plain and
+  * capped), connected-component canonicalization, embedding near-dup,
+  * and eval-set decontamination.
   *
   * Scale design per operator is documented inline; the common principles:
   *  - candidate generation is always a join on a *derived small key*

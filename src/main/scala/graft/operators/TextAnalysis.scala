@@ -8,14 +8,18 @@ import graft.functions.Kernels
 import graft.functions.Portable._
 
 /** Text-analysis operators for a large-scale training-data pipeline, over
-  * the `documents` table: token statistics, quality scoring, language-ID
-  * (marker-token heuristic), and content fingerprinting.
+  * the `documents` table: token statistics, quality scoring + the
+  * composite Gopher filter, language-ID (marker-token heuristic), content
+  * fingerprinting, mixture sampling, sequence packing, the per-source
+  * funnel report, vocabulary statistics and token-rarity scoring.
   *
-  * Scale design: every operator is a single narrow projection — pure
-  * per-row array/string expressions, no UDFs, no shuffle, no driver state —
-  * so each runs at parquet-scan speed inside one whole-stage-codegen span
-  * and scales linearly to any number of executors. Filters/pruning reach
-  * the scan (only `doc_id`/`text`/`lang` are read).
+  * Scale design: the per-document operators (t01–t07) are single narrow
+  * projections or one-pass typed kernels — no shuffle, no driver state —
+  * running at parquet-scan speed; the corpus-level ones shuffle only
+  * what their semantics require (t08 one window per shard, t09 a dedup
+  * window + rollup over kernel output, t10/t11 a map-side-partial
+  * frequency aggregation and a shuffle-hash frequency join). Pruning
+  * reaches the scan: each query reads only the columns it names.
   */
 object TextAnalysis {
 
