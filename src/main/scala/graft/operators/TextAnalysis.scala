@@ -535,7 +535,7 @@ object TextAnalysis {
   /** Row shape of t06 — signal fractions are None where the denominator
     * is 0 (unreachable by the rule chain: the too_short rule fires first).
     */
-  private[operators] final case class T06(doc_id: Long, n_words: Long,
+  private[graft] final case class T06(doc_id: Long, n_words: Long,
       mean_word_len: Option[Double], alpha_ratio: Option[Double],
       stop_frac: Option[Double], dup_bigram_frac: Option[Double],
       drop_reason: Option[String], keep: Boolean)
@@ -551,7 +551,7 @@ object TextAnalysis {
     * `* 1.0 / n` IEEE division), so the threshold comparisons decide
     * identically in both engines.
     */
-  private[operators] def qualityFilterOf(id: Long, text: String): T06 = {
+  private[graft] def qualityFilterOf(id: Long, text: String): T06 = {
     val toks = text.split(" ").filter(_.nonEmpty)
     val n = toks.length
     def cp(s: String): Int = s.codePointCount(0, s.length)

@@ -1,0 +1,73 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import graft.SparkTestBase
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+class DocumentStreamsSpec extends SparkTestBase {
+
+  private def ts(hhmm: String): Timestamp =
+    Timestamp.valueOf(s"2026-01-01 $hhmm:00")
+
+  // >= 20 words, stopword-rich, low repetition — passes every t06 rule
+  private val goodText =
+    "the cat sat on a warm mat and it is a fine day in the sun to sit and think about many things"
+  private val shortText = "too short to keep"
+
+  test("curatedIngest: quality-drops, dedups across batches, keeps originals") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[DocumentStreams.Doc]
+    val q = DocumentStreams.curatedIngest(in.toDS())
+      .writeStream.format("memory").queryName("curated")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        DocumentStreams.Doc(1L, ts("10:00"), goodText, "en", "src0"),
+        DocumentStreams.Doc(2L, ts("10:01"), shortText, "en", "src0"),
+        DocumentStreams.Doc(3L, ts("10:02"), goodText + " extra tail words here", "en", "src1"))
+      q.processAllAvailable()
+      // same normalized content as doc 1 (case/whitespace noise only),
+      // arriving in a LATER micro-batch — must dedup against state
+      in.addData(
+        DocumentStreams.Doc(4L, ts("10:10"), goodText.toUpperCase + "  ", "en", "src2"),
+        DocumentStreams.Doc(5L, ts("10:11"), "fresh distinct text " + goodText, "en", "src0"))
+      q.processAllAvailable()
+      val kept = spark.table("curated").collect()
+        .map(_.getAs[Long]("doc_id")).toSet
+      assert(kept === Set(1L, 3L, 5L),
+        "expected: quality-drop 2, duplicate-drop 4, keep first arrivals")
+    } finally q.stop()
+  }
+
+  test("streaming verdicts equal the batch t06 kernel on the documents table") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text", "lang", "source").collect()
+      .map(r => DocumentStreams.Doc(r.getLong(0), ts("09:00"),
+        r.getString(1), r.getString(2), r.getString(3)))
+    // batch path: the same scoring map on a batch Dataset
+    val batch = DocumentStreams.scored(docs.toSeq.toDS()).collect()
+      .map(s => s.doc_id -> (s.keep, s.drop_reason, s.content_hash)).toMap
+    // stream path
+    val in = MemoryStream[DocumentStreams.Doc]
+    val q = DocumentStreams.scored(in.toDS())
+      .writeStream.format("memory").queryName("scored_stream")
+      .outputMode("append").start()
+    try {
+      in.addData(docs.toSeq)
+      q.processAllAvailable()
+      val streamed = spark.table("scored_stream").as[DocumentStreams.Scored]
+        .collect().map(s => s.doc_id -> (s.keep, s.drop_reason, s.content_hash))
+        .toMap
+      assert(streamed === batch)
+      // and the verdicts are t06's (registry query on the same table)
+      val t06 = graft.SparkEntry.queries("t06_quality_filter")(
+        spark, "/root/testdata/sf0.001").collect()
+        .map(r => r.getLong(0) -> r.getAs[Boolean]("keep")).toMap
+      batch.foreach { case (id, (keep, _, _)) => assert(keep === t06(id)) }
+    } finally q.stop()
+  }
+}
