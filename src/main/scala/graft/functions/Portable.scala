@@ -119,6 +119,25 @@ object Portable {
     v >>> 4
   }
 
+  /** JVM twin of Spark's `md5()` column function: lowercase hex of the
+    * full 128-bit digest — the exact d01 content-hash key, for callers
+    * (the streaming dedup) that must classify duplicate pairs IDENTICALLY
+    * to the batch query (a truncated hash would drop distinct documents
+    * on collision at crawl scale).
+    */
+  def md5HexScala(s: String): String = {
+    val d = md5Local.get().digest(s.getBytes("UTF-8"))
+    val hex = "0123456789abcdef"
+    val out = new Array[Char](32)
+    var i = 0
+    while (i < 16) {
+      out(2 * i) = hex((d(i) >> 4) & 0xf)
+      out(2 * i + 1) = hex(d(i) & 0xf)
+      i += 1
+    }
+    new String(out)
+  }
+
   /** Driver-side twin of `hyperplane` for plane `j`, coords 1..dim. */
   def hyperplaneArray(j: Int, dim: Int): Array[Double] =
     (1 to dim).map(i =>

@@ -5,7 +5,7 @@ import java.sql.Timestamp
 import org.apache.spark.sql.Dataset
 
 import graft.functions.Kernels
-import graft.functions.Portable.h60Scala
+import graft.functions.Portable.md5HexScala
 import graft.operators.TextAnalysis
 
 /** Structured Streaming twins of the training-data pipeline's
@@ -34,11 +34,14 @@ object DocumentStreams {
       lang: String, source: String)
 
   /** A quality-scored document: the t06 verdict fields plus the d01
-    * normalized-content hash (64-bit here — the stream dedup key).
+    * normalized-content hash — the FULL 128-bit md5 hex, identical to
+    * the batch d01 key, so stream and batch classify exactly the same
+    * pairs as duplicates (a truncated hash would silently drop distinct
+    * documents on collision at crawl scale).
     */
   final case class Scored(doc_id: Long, ingest_ts: Timestamp, lang: String,
       source: String, n_words: Long, keep: Boolean,
-      drop_reason: Option[String], content_hash: Long)
+      drop_reason: Option[String], content_hash: String)
 
   /** Stateless per-document scoring — usable on a stream OR a batch
     * frame (the spec runs it on both and asserts equality).
@@ -49,7 +52,7 @@ object DocumentStreams {
       val f = TextAnalysis.qualityFilterOf(d.doc_id, d.text)
       val norm = Kernels.lowerTokens(d.text).mkString(" ")
       Scored(d.doc_id, d.ingest_ts, d.lang, d.source, f.n_words, f.keep,
-        f.drop_reason, h60Scala(norm))
+        f.drop_reason, md5HexScala(norm))
     }
   }
 
@@ -59,12 +62,9 @@ object DocumentStreams {
     * crawl-overlap copies are absorbed. Streaming twin of t06 → d01.
     */
   def curatedIngest(docs: Dataset[Doc],
-      watermark: String = "2 hours"): Dataset[Scored] = {
-    import docs.sparkSession.implicits._
+      watermark: String = "2 hours"): Dataset[Scored] =
     scored(docs)
       .filter(_.keep)
       .withWatermark("ingest_ts", watermark)
       .dropDuplicatesWithinWatermark("content_hash")
-      .as[Scored]
-  }
 }

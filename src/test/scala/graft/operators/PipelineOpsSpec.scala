@@ -475,16 +475,25 @@ class PipelineOpsSpec extends SparkTestBase {
     val tf = docs.flatMap(_._2).groupBy(identity).view.mapValues(_.size.toLong).toMap
     val df = docs.flatMap { case (id, ts) => ts.distinct.map(_ -> id) }
       .groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    // tf ties break in UTF-8 BYTE order (Spark's binary string sort), not
+    // Scala's UTF-16 order — they differ for supplementary-plane tokens
+    def utf8Lt(a: String, b: String): Boolean =
+      java.util.Arrays.compareUnsigned(
+        a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        b.getBytes(java.nio.charset.StandardCharsets.UTF_8)) < 0
     val wantTop = tf.toSeq.map { case (t, f) => (t, f, df(t)) }
-      .sortBy { case (t, f, _) => (-f, t) }.take(100)
+      .sortWith { case ((ta, fa, _), (tb, fb, _)) =>
+        fa > fb || (fa == fb && utf8Lt(ta, tb))
+      }.take(100)
     val gotTop = run("t10_vocab_stats").collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
     assert(gotTop === wantTop)
     val ndocs = docs.count(_._2.nonEmpty).toLong
     val rows = run("t11_token_rarity").collect()
     assert(rows.length === docs.count(_._2.nonEmpty))
+    val byId = docs.toMap
     rows.foreach { r =>
-      val toks = docs.toMap.apply(r.getLong(0))
+      val toks = byId(r.getLong(0))
       assert(r.getLong(1) === toks.length.toLong)
       assert(r.getLong(2) === toks.map(tf).sum)
       val nRare = toks.count(t => df(t) * 20 <= ndocs)

@@ -28,10 +28,17 @@ class DocumentStreamsSpec extends SparkTestBase {
         DocumentStreams.Doc(2L, ts("10:01"), shortText, "en", "src0"),
         DocumentStreams.Doc(3L, ts("10:02"), goodText + " extra tail words here", "en", "src1"))
       q.processAllAvailable()
-      // same normalized content as doc 1 (case/whitespace noise only),
-      // arriving in a LATER micro-batch — must dedup against state
+      // same normalized content as doc 1 (whitespace noise only — doubled
+      // spaces and a tab collapse away), arriving in a LATER micro-batch —
+      // must dedup against state. Guard against vacuity first: the dup
+      // MUST pass the quality stage, else this test never reaches dedup.
+      val dupText = goodText.replace(" ", "  ") + " \t"
+      assert(DocumentStreams.scored(
+        Seq(DocumentStreams.Doc(4L, ts("10:10"), dupText, "en", "src2")).toDS())
+        .collect().head.keep,
+        "duplicate probe must survive the quality stage to exercise dedup")
       in.addData(
-        DocumentStreams.Doc(4L, ts("10:10"), goodText.toUpperCase + "  ", "en", "src2"),
+        DocumentStreams.Doc(4L, ts("10:10"), dupText, "en", "src2"),
         DocumentStreams.Doc(5L, ts("10:11"), "fresh distinct text " + goodText, "en", "src0"))
       q.processAllAvailable()
       val kept = spark.table("curated").collect()
