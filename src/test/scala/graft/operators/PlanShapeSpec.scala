@@ -143,6 +143,20 @@ class PlanShapeSpec extends SparkTestBase {
     assert(!plan.contains("SortMergeJoin"))
   }
 
+  test("t10: vocabulary top-k is TakeOrdered over one kernel pass — no global sort") {
+    val plan = executedPlan("t10_vocab_stats")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-100 must plan TakeOrdered, not a full vocabulary sort:\n${plan.take(2000)}")
+    assert(countOf(plan, "MapPartitions") == 1)
+  }
+
+  test("t11: frequency join is shuffle-hash (vocab never broadcasts or sorts)") {
+    val plan = executedPlan("t11_token_rarity")
+    assert(plan.contains("ShuffledHashJoin"),
+      s"token-frequency join must honor the shuffle_hash hint:\n${plan.take(2000)}")
+    assert(!plan.contains("SortMergeJoin"))
+  }
+
   test("hot relational queries stay inside whole-stage codegen") {
     for (name <- Seq("q01_groupby_having", "q05_filter_in", "q13_qc_rollup")) {
       val plan = executedPlan(name)
