@@ -871,6 +871,61 @@ object RelationalQueries {
              |  quantile_disc(value, 0.95) AS p95_exact,
              |  TRUE AS p50_ok,
              |  TRUE AS p95_ok
-             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin))
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // Statistical-moments battery computed ORDER-INDEPENDENTLY: built-in
+    // stddev/var/corr accumulate doubles in partition order, so their last
+    // bits change with executor count — fine for analytics, fatal for a
+    // reproducibility gate (and for any diff-based regression check at
+    // 100 TB). Here every power sum (Σx, Σx², Σy, Σy², Σxy) aggregates as
+    // exact DECIMAL(38,18) — commutative, map-side-partial, identical at
+    // any partitioning — and the moments derive from the sums in one
+    // final double expression whose shape both engines share. The per-row
+    // products (x·x, x·y) are single IEEE ops, portable by definition.
+    // Same results every run, every cluster size, both engines — the
+    // exactMeanVec discipline extended to second moments.
+    Q("q37_moment_battery",
+      "order-independent mean/var/stddev/corr per type from exact decimal power sums",
+      (s, d) => {
+        val ev = Tables.events(s, d).select(col("event_type"),
+          col("value").as("x"), hour(col("ts")).cast("double").as("y"))
+        val g = ev.groupBy("event_type").agg(
+          count(lit(1)).as("n"),
+          sum(col("x").cast("decimal(38,18)")).as("_sx"),
+          sum((col("x") * col("x")).cast("decimal(38,18)")).as("_sx2"),
+          sum(col("y").cast("decimal(38,18)")).as("_sy"),
+          sum((col("y") * col("y")).cast("decimal(38,18)")).as("_sy2"),
+          sum((col("x") * col("y")).cast("decimal(38,18)")).as("_sxy"))
+        val n = col("n")
+        val sx = col("_sx").cast("double")
+        val sx2 = col("_sx2").cast("double")
+        val sy = col("_sy").cast("double")
+        val sy2 = col("_sy2").cast("double")
+        val sxy = col("_sxy").cast("double")
+        g.select(col("event_type"), n,
+            (sx / n).as("mean_value"),
+            ((sx2 - sx * sx / n) / (n - lit(1))).as("var_value"),
+            sqrt((sx2 - sx * sx / n) / (n - lit(1))).as("stddev_value"),
+            ((n * sxy - sx * sy) /
+              sqrt((n * sx2 - sx * sx) * (n * sy2 - sy * sy)))
+              .as("corr_value_hour"))
+          .orderBy("event_type")
+      },
+      Some("""WITH e AS (SELECT event_type, value AS x,
+             |    CAST(hour(ts) AS DOUBLE) AS y FROM events),
+             |g AS (SELECT event_type, count(*)::BIGINT AS n,
+             |  CAST(CAST(sum(CAST(CAST(x AS VARCHAR) AS DECIMAL(38,18))) AS VARCHAR) AS DOUBLE) AS sx,
+             |  CAST(CAST(sum(CAST(CAST(x * x AS VARCHAR) AS DECIMAL(38,18))) AS VARCHAR) AS DOUBLE) AS sx2,
+             |  CAST(CAST(sum(CAST(CAST(y AS VARCHAR) AS DECIMAL(38,18))) AS VARCHAR) AS DOUBLE) AS sy,
+             |  CAST(CAST(sum(CAST(CAST(y * y AS VARCHAR) AS DECIMAL(38,18))) AS VARCHAR) AS DOUBLE) AS sy2,
+             |  CAST(CAST(sum(CAST(CAST(x * y AS VARCHAR) AS DECIMAL(38,18))) AS VARCHAR) AS DOUBLE) AS sxy
+             |  FROM e GROUP BY 1)
+             |SELECT event_type, n,
+             |  sx / n AS mean_value,
+             |  (sx2 - sx * sx / n) / (n - 1) AS var_value,
+             |  sqrt((sx2 - sx * sx / n) / (n - 1)) AS stddev_value,
+             |  (n * sxy - sx * sy) /
+             |    sqrt((n * sx2 - sx * sx) * (n * sy2 - sy * sy)) AS corr_value_hour
+             |FROM g ORDER BY event_type""".stripMargin))
   )
 }

@@ -503,6 +503,29 @@ class PipelineOpsSpec extends SparkTestBase {
       "fixture should contain rare-token docs")
   }
 
+  test("q37 deterministic moments equal Spark's built-in statistics (tolerance)") {
+    // the decimal-power-sum formulation must compute the SAME statistic
+    // the built-ins do — only the float-accumulation order differs
+    import org.apache.spark.sql.functions._
+    val ev = graft.core.Tables.events(spark, sf).select(col("event_type"),
+      col("value").as("x"), hour(col("ts")).cast("double").as("y"))
+    val builtin = ev.groupBy("event_type").agg(
+      avg(col("x")).as("m"), var_samp(col("x")).as("v"),
+      stddev_samp(col("x")).as("sd"), corr(col("x"), col("y")).as("c"))
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    val got = run("q37_moment_battery").collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val (m, v, sd, c) = builtin(r.getString(0))
+      assert(math.abs(r.getDouble(2) - m) <= 1e-9 * math.max(1, math.abs(m)))
+      assert(math.abs(r.getDouble(3) - v) <= 1e-9 * math.max(1, math.abs(v)))
+      assert(math.abs(r.getDouble(4) - sd) <= 1e-9 * math.max(1, math.abs(sd)))
+      assert(math.abs(r.getDouble(5) - c) <= 1e-6,
+        s"corr ${r.getDouble(5)} vs builtin $c")
+    }
+  }
+
   test("t03 langid: predictions come from the marker set and flags match") {
     val langs = Set("en", "es", "fr", "de", "zh", "und")
     run("t03_langid").collect().foreach { r =>
