@@ -121,4 +121,27 @@ object Kernels {
     while (b < 60) { if (votes(b) > 0L) sig |= 1L << b; b += 1 }
     sig
   }
+
+  /** Integer lexical-diversity moments of a token array (t12): token
+    * count, type count, Σ count², hapax (count-1 type) count — one
+    * hash-map pass, O(|doc|). All four are exact integers, so every
+    * derived diversity index (Gini–Simpson numerator n²−Σc², repeat mass
+    * n−types, TTR) is bit-portable with no transcendental in sight; the
+    * oracle's O(types·tokens) `list_filter` recount is affordable there
+    * because the oracle only ever runs at gate scale.
+    */
+  def diversityMoments(toks: Array[String]): (Long, Long, Long, Long) = {
+    val counts = new java.util.HashMap[String, Int]()
+    var i = 0
+    while (i < toks.length) { counts.merge(toks(i), 1, Integer.sum); i += 1 }
+    var sq = 0L
+    var hapax = 0L
+    val it = counts.values().iterator()
+    while (it.hasNext) {
+      val c = it.next().toLong
+      sq += c * c
+      if (c == 1L) hapax += 1L
+    }
+    (toks.length.toLong, counts.size.toLong, sq, hapax)
+  }
 }

@@ -926,6 +926,45 @@ object RelationalQueries {
              |  sqrt((sx2 - sx * sx / n) / (n - 1)) AS stddev_value,
              |  (n * sxy - sx * sy) /
              |    sqrt((n * sx2 - sx * sx) * (n * sy2 - sy * sy)) AS corr_value_hour
-             |FROM g ORDER BY event_type""".stripMargin))
+             |FROM g ORDER BY event_type""".stripMargin)),
+
+    // Type-2 slowly-changing-dimension build — the canonical warehouse
+    // dimension-history derivation: compress each user's event_type
+    // sequence into validity intervals [valid_from, valid_to) with a
+    // version number and a current-row flag. Change detection (lag),
+    // versioning (row_number) and interval close (lead) all share ONE
+    // window spec, and the filter between them preserves both the hash
+    // distribution and the sort order — so the whole query is a single
+    // shuffle on user_id and a single sort, however many users. Ordering
+    // includes event_id so same-timestamp ties version deterministically
+    // in both engines.
+    Q("q38_scd2_build",
+      "SCD2 dimension history: per-user event_type validity intervals with version + current flag",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts").asc, col("event_id").asc)
+        Tables.events(s, d)
+          .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+          .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+          .filter(col("prev_type").isNull ||
+            col("prev_type") =!= col("event_type"))
+          .withColumn("version", row_number().over(w))
+          .withColumn("valid_to", lead(col("ts"), 1).over(w))
+          .select(col("user_id"), col("version"), col("event_type"),
+            col("ts").as("valid_from"), col("valid_to"),
+            col("valid_to").isNull.as("is_current"))
+          .orderBy("user_id", "version")
+      },
+      Some("""WITH ev AS (SELECT user_id, ts::TIMESTAMP AS ts, event_id, event_type FROM events),
+             |c AS (SELECT *, lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type FROM ev),
+             |ch AS (SELECT user_id, ts, event_id, event_type FROM c
+             |  WHERE prev_type IS NULL OR prev_type <> event_type),
+             |v AS (SELECT user_id, event_type, ts AS valid_from,
+             |    row_number() OVER w AS version,
+             |    lead(ts) OVER w AS valid_to
+             |  FROM ch WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+             |SELECT user_id, version, event_type, valid_from, valid_to,
+             |  valid_to IS NULL AS is_current
+             |FROM v ORDER BY user_id, version""".stripMargin))
   )
 }

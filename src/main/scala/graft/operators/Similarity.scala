@@ -534,7 +534,151 @@ object Similarity {
              |  row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
              |FROM rr)
              |SELECT query_id, rank, neighbor_id, probe_label, cosine FROM ranked
-             |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin))
+             |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)),
+
+    // IVF with nprobe=2 — the recall knob every IVF index exposes
+    // (FAISS's nprobe): probe the TWO nearest coarse centroids and search
+    // the union of their inverted lists. The lists are disjoint (each
+    // corpus vector lives in exactly one), so the union needs no dedup;
+    // candidates double vs s03 and recall rises accordingly, while the
+    // corpus still never reshuffles — the 2-rows-per-query probe table is
+    // the broadcast side, exactly s03's plan with twice the probe rows.
+    // probe_rank records which probe produced each neighbor, making the
+    // recall contribution of the second list auditable from the output.
+    Q("s08_knn_ivf_multiprobe",
+      "IVF ANN with nprobe=2: top-3 exact cosine within the two nearest centroids' lists",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        graft.plans.VectorExpressions.register(s)
+        val v = e.select(col("vec_id"), col("label").cast("long").as("label"),
+          vecD(col("embedding")).as("v"))
+          .withColumn("nrm", sqrt(dotFast(col("v"), col("v"))))
+        val cent = coarseCentroids(v, "label")
+        val q = v.filter(col("vec_id") % 50 === 0)
+          .select(col("vec_id").as("query_id"), col("v").as("qv"),
+            col("nrm").as("qn"))
+        val wProbe = Window.partitionBy(col("query_id"))
+          .orderBy(col("ccos").desc, col("label").asc)
+        val probe = q.crossJoin(broadcast(cent))
+          .withColumn("ccos",
+            dotFast(col("qv"), col("cent")) / (col("qn") * col("cnrm")))
+          .withColumn("crank", row_number().over(wProbe))
+          .filter(col("crank") <= 2)
+          .select(col("query_id"), col("qv"), col("qn"),
+            col("label").as("probe_label"), col("crank").as("probe_rank"))
+        val wTop = Window.partitionBy(col("query_id"))
+          .orderBy(col("cosine").desc, col("vec_id").asc)
+        v.join(broadcast(probe), col("label") === col("probe_label"))
+          .filter(col("vec_id") =!= col("query_id"))
+          .withColumn("cosine",
+            dotFast(col("v"), col("qv")) / (col("nrm") * col("qn")))
+          .withColumn("rank", row_number().over(wTop))
+          .filter(col("rank") <= 3)
+          .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+            col("probe_label"), col("probe_rank"))
+          .orderBy("query_id", "rank")
+      },
+      Some(s"""$sqlVectors,
+             |v AS (SELECT vec_id, label::BIGINT AS label, v, nrm FROM (
+             |  SELECT e2.vec_id, e2.label, n.v, n.nrm
+             |  FROM embeddings e2 JOIN n ON e2.vec_id = n.vec_id)),
+             |cent AS (SELECT label, ${sqlMeanList("v", Dim)} AS cent
+             |  FROM v GROUP BY label),
+             |centn AS (SELECT label, cent,
+             |    sqrt(list_reduce(list_transform(range(1, 65), i -> cent[i] * cent[i]),
+             |      (x, y) -> x + y)) AS cnrm FROM cent),
+             |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM v WHERE vec_id % 50 = 0),
+             |probe0 AS (SELECT q.query_id, q.qv, q.qn, c.label,
+             |    list_reduce(list_transform(range(1, 65), i -> q.qv[i] * c.cent[i]), (x, y) -> x + y)
+             |      / (q.qn * c.cnrm) AS ccos
+             |  FROM q CROSS JOIN centn c),
+             |probe AS (SELECT query_id, qv, qn, label AS probe_label, crank AS probe_rank FROM (
+             |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY ccos DESC, label) AS crank
+             |    FROM probe0) WHERE crank <= 2),
+             |scored AS (SELECT p.query_id, v.vec_id AS neighbor_id, p.probe_label, p.probe_rank,
+             |    list_reduce(list_transform(range(1, 65), i -> v.v[i] * p.qv[i]), (x, y) -> x + y)
+             |      / (v.nrm * p.qn) AS cosine
+             |  FROM v JOIN probe p ON v.label = p.probe_label
+             |  WHERE v.vec_id <> p.query_id),
+             |ranked AS (SELECT query_id, neighbor_id, probe_label, probe_rank,
+             |  row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+             |FROM scored)
+             |SELECT query_id, rank, neighbor_id, probe_label, probe_rank FROM ranked
+             |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin)),
+
+    // SemDeDup (Abbas et al., 2023) — semantic near-dup removal at
+    // embedding scale, and the scale path for d05's brute-force
+    // all-pairs: k-means-cluster the corpus, then compare ONLY within a
+    // cluster, so the pair space drops from n² to Σ|cluster|². Pipeline
+    // here: exact-decimal centroids (s03's trainer) → nearest-centroid
+    // assignment (s04, broadcast k×dim — the corpus never shuffles for
+    // it) → one repartition by cluster feeding BOTH self-join sides via
+    // ReuseExchange (the d02/d11 trick) → within-cluster cosine ≥ 0.35
+    // pairs → each duplicate charged to its best-matching lower-id
+    // keeper. At 100 TB: k grows with n to bound Σ|cluster|², a hot
+    // cluster is AQE's skew-split case, and the verdict per vector is
+    // one output row — registered in the Dedup family (d13) though it
+    // lives here with the vector machinery.
+    Q("d13_semantic_dedup",
+      "SemDeDup: within-cluster cosine >= 0.35 marks higher-id vector a dup of its best lower-id keeper",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        graft.plans.VectorExpressions.register(s)
+        val v = e.select(col("vec_id"), col("label").cast("long").as("own_label"),
+          vecD(col("embedding")).as("v"))
+          .withColumn("nrm", sqrt(dotFast(col("v"), col("v"))))
+        val cent = coarseCentroids(
+          v.select(col("own_label").as("clabel"), col("v")), "clabel")
+        val wA = Window.partitionBy(col("vec_id"))
+          .orderBy(col("ccos").desc, col("clabel").asc)
+        val assigned = v.crossJoin(broadcast(cent))
+          .withColumn("ccos",
+            dotFast(col("v"), col("cent")) / (col("nrm") * col("cnrm")))
+          .withColumn("arank", row_number().over(wA))
+          .filter(col("arank") === 1)
+          .select(col("vec_id"), col("v"), col("nrm"),
+            col("clabel").as("cluster"))
+          .repartition(col("cluster"))
+        val wBest = Window.partitionBy(col("dup_id"))
+          .orderBy(col("cosine").desc, col("keep_id").asc)
+        assigned.as("a").join(assigned.as("b"), Seq("cluster"))
+          .filter(col("a.vec_id") < col("b.vec_id"))
+          .withColumn("cosine",
+            dotFast(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")))
+          .filter(col("cosine") >= 0.35)
+          .select(col("cluster"), col("a.vec_id").as("keep_id"),
+            col("b.vec_id").as("dup_id"), col("cosine"))
+          .withColumn("prank", row_number().over(wBest))
+          .filter(col("prank") === 1)
+          .select(col("dup_id"), col("keep_id"), col("cluster"), col("cosine"))
+          .orderBy("dup_id")
+      },
+      Some(s"""$sqlVectors,
+             |lab AS (SELECT vec_id, label::BIGINT AS clabel0 FROM embeddings),
+             |v AS (SELECT n.vec_id, n.v, n.nrm, lab.clabel0
+             |  FROM n JOIN lab ON n.vec_id = lab.vec_id),
+             |cent AS (SELECT clabel0 AS clabel, ${sqlMeanList("v", Dim)} AS cent
+             |  FROM v GROUP BY clabel0),
+             |centn AS (SELECT clabel, cent,
+             |    sqrt(list_reduce(list_transform(range(1, 65), i -> cent[i] * cent[i]),
+             |      (x, y) -> x + y)) AS cnrm FROM cent),
+             |a0 AS (SELECT v.vec_id, v.v, v.nrm, c.clabel,
+             |    list_reduce(list_transform(range(1, 65), i -> v.v[i] * c.cent[i]), (x, y) -> x + y)
+             |      / (v.nrm * c.cnrm) AS ccos
+             |  FROM v CROSS JOIN centn c),
+             |assigned AS (SELECT vec_id, v, nrm, clabel AS cluster FROM (
+             |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, clabel) AS arank
+             |    FROM a0) WHERE arank = 1),
+             |p AS (SELECT a.cluster, a.vec_id AS keep_id, b.vec_id AS dup_id,
+             |    list_reduce(list_transform(range(1, 65), i -> a.v[i] * b.v[i]), (x, y) -> x + y)
+             |      / (a.nrm * b.nrm) AS cosine
+             |  FROM assigned a JOIN assigned b
+             |    ON a.cluster = b.cluster AND a.vec_id < b.vec_id),
+             |best AS (SELECT dup_id, keep_id, cluster, cosine FROM (
+             |    SELECT *, row_number() OVER (PARTITION BY dup_id ORDER BY cosine DESC, keep_id) AS prank
+             |    FROM p WHERE cosine >= 0.35) WHERE prank = 1)
+             |SELECT dup_id, keep_id, cluster, cosine FROM best
+             |ORDER BY dup_id""".stripMargin))
   )
 
   /** PQ-reconstructed corpus (vec_id, rv, drv): md5-derived seed codebook

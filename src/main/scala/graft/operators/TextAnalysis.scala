@@ -529,7 +529,52 @@ object TextAnalysis {
              |SELECT doc_id, n_tokens, sum_tf,
              |  sum_tf * 1.0 / n_tokens AS mean_tf,
              |  n_rare * 1.0 / n_tokens AS rare_frac
-             |FROM s ORDER BY doc_id""".stripMargin))
+             |FROM s ORDER BY doc_id""".stripMargin)),
+
+    // Lexical diversity, integer-exact. Shannon entropy is the textbook
+    // diversity score but ln() is not bit-stable across engines, so the
+    // score here is the Gini–Simpson numerator n² − Σc² (the pairwise-
+    // unequal count: how many ordered token pairs differ — 0 for a
+    // one-word doc, maximal for all-distinct), plus repeat mass n − types
+    // and the hapax count — all from one O(|doc|) hash-map kernel pass
+    // (the d04/t05 discipline; the HOF recount would be O(types·tokens)
+    // interpreted). Zero shuffle: rides the parquet scan at any scale.
+    // The final `* 1.0 /` divisions are single IEEE ops, portable.
+    Q("t12_lexical_diversity",
+      "integer-exact lexical diversity: Gini-Simpson numerator, repeat mass, hapax count",
+      (s, d) => {
+        import s.implicits._
+        docs(s, d).select(col("doc_id"), col("text")).as[(Long, String)]
+          .mapPartitions(_.map { case (id, tx) =>
+            val (n, types, sq, hapax) =
+              Kernels.diversityMoments(Kernels.tokenize(tx))
+            (id, n, types, sq, n * n - sq, n - types, hapax)
+          })
+          .toDF("doc_id", "n_tokens", "n_types", "sq_counts", "gini_num",
+            "repeat_mass", "hapax")
+          .withColumn("gini_simpson",
+            when(col("n_tokens") > 1,
+              col("gini_num") * lit(1.0) /
+                (col("n_tokens") * (col("n_tokens") - 1))))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH t AS (SELECT doc_id, $sqlToks AS toks FROM documents),
+             |c AS (SELECT doc_id, len(toks)::BIGINT AS n_tokens,
+             |    list_transform(list_distinct(toks),
+             |      x -> len(list_filter(toks, t -> t = x))::BIGINT) AS cnts
+             |  FROM t),
+             |m AS (SELECT doc_id, n_tokens,
+             |    len(cnts)::BIGINT AS n_types,
+             |    coalesce(list_aggregate(list_transform(cnts, c -> c * c), 'sum'), 0)::BIGINT AS sq_counts,
+             |    len(list_filter(cnts, c -> c = 1))::BIGINT AS hapax
+             |  FROM c)
+             |SELECT doc_id, n_tokens, n_types, sq_counts,
+             |  (n_tokens * n_tokens - sq_counts)::BIGINT AS gini_num,
+             |  (n_tokens - n_types)::BIGINT AS repeat_mass, hapax,
+             |  CASE WHEN n_tokens > 1 THEN
+             |    (n_tokens * n_tokens - sq_counts) * 1.0 / (n_tokens * (n_tokens - 1))
+             |  END AS gini_simpson
+             |FROM m ORDER BY doc_id""".stripMargin))
   )
 
   /** Row shape of t06 — signal fractions are None where the denominator

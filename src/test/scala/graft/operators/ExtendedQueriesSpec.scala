@@ -113,4 +113,45 @@ class ExtendedQueriesSpec extends SparkTestBase {
         (r.getAs[Long]("own_label") == expected(id)))
     }
   }
+
+  test("q38 SCD2 intervals chain gaplessly with one current row per user") {
+    val rows = run("q38_scd2_build").collect().map(r =>
+      (r.getLong(0), r.getInt(1), r.getString(2),
+        r.getTimestamp(3), Option(r.getTimestamp(4)), r.getBoolean(5)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (u, g) =>
+      val hist = g.sortBy(_._2)
+      // versions contiguous from 1
+      assert(hist.map(_._2).toSeq === (1 to hist.length), s"user $u")
+      // each interval closes exactly where the next opens; only the last
+      // is open-ended, and only it carries the current flag
+      hist.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._5.contains(b._4), s"user $u: gap/overlap at v${a._2}")
+          assert(a._3 != b._3, s"user $u: consecutive versions same type")
+        case _ =>
+      }
+      assert(hist.last._5.isEmpty && hist.last._6)
+      assert(hist.init.forall(!_._6))
+      assert(hist.count(_._6) === 1)
+    }
+    // change compression is faithful: replaying events per user yields the
+    // same (type, change-timestamp) sequence
+    val ev = graft.core.Tables.events(spark, sf)
+      .select("user_id", "ts", "event_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getString(3)))
+    val expected = ev.groupBy(_._1).map { case (u, g) =>
+      val ordered = g.sortBy(e => (e._2.getTime, e._3))
+      val changes = ordered.foldLeft(List.empty[(String, java.sql.Timestamp)]) {
+        case (acc, e) =>
+          if (acc.headOption.exists(_._1 == e._4)) acc
+          else (e._4, e._2) :: acc
+      }.reverse
+      u -> changes
+    }
+    rows.groupBy(_._1).foreach { case (u, g) =>
+      val got = g.sortBy(_._2).map(r => (r._3, r._4)).toList
+      assert(got === expected(u), s"user $u: history differs from replay")
+    }
+  }
 }

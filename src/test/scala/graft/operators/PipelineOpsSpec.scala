@@ -641,4 +641,100 @@ class PipelineOpsSpec extends SparkTestBase {
       assert(g.map(_.getAs[Long]("frame_idx")).sorted.toSeq === expect)
     }
   }
+
+  test("t12 diversity moments agree with t01's Catalyst counts and their identities") {
+    // t01 computes n_tokens/n_types through column expressions, t12
+    // through the hash-map kernel — the two formulations must agree doc
+    // by doc, and the derived columns must satisfy their definitions
+    val t01 = run("t01_token_stats").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val rows = run("t12_lexical_diversity").collect()
+    assert(rows.length === t01.size)
+    rows.foreach { r =>
+      val (id, n, types) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      val (sq, gini, rep, hapax) =
+        (r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))
+      assert((n, types) === t01(id), s"doc $id: kernel vs Catalyst counts")
+      assert(gini === n * n - sq)
+      assert(rep === n - types)
+      assert(hapax >= 0 && hapax <= types)
+      // Σc² bounds: all-distinct (=n) up to one-type (=n²)
+      assert(sq >= n && sq <= n * n)
+      if (n > 1) {
+        val gs = r.getAs[Double]("gini_simpson")
+        assert(gs >= 0.0 && gs <= 1.0)
+        assert(math.abs(gs - gini.toDouble / (n * (n - 1))) < 1e-12)
+      }
+    }
+  }
+
+  test("s08 nprobe=2 candidates superset s03's, so top-1 can only improve") {
+    val vecs = graft.core.Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .toMap
+    def cos(a: Long, b: Long): Double = {
+      val (x, y) = (vecs(a), vecs(b))
+      var (d, nx, ny) = (0.0, 0.0, 0.0)
+      for (i <- x.indices) { d += x(i) * y(i); nx += x(i) * x(i); ny += y(i) * y(i) }
+      d / math.sqrt(nx * ny)
+    }
+    val s3 = run("s03_knn_ivf").collect()
+      .filter(_.getAs[Int]("rank") == 1)
+      .map(r => r.getLong(0) -> r.getAs[Long]("neighbor_id")).toMap
+    val s8rows = run("s08_knn_ivf_multiprobe").collect()
+    // every returned neighbor came from probe 1 or 2, never elsewhere
+    assert(s8rows.forall(r => Set(1, 2).contains(r.getAs[Int]("probe_rank"))))
+    val s8 = s8rows.filter(_.getAs[Int]("rank") == 1)
+      .map(r => r.getLong(0) -> r.getAs[Long]("neighbor_id")).toMap
+    assert(s3.keySet.subsetOf(s8.keySet),
+      "nprobe=2 must answer every query nprobe=1 answers")
+    s3.foreach { case (q, n) =>
+      assert(cos(q, s8(q)) >= cos(q, n) - 1e-12,
+        s"query $q: second probe made the answer worse")
+    }
+  }
+
+  test("d13 SemDeDup pairs match a driver-side recompute of the clustered pair scan") {
+    // independent recompute: double-precision label centroids, argmax
+    // assignment, within-cluster pairs at cosine >= 0.35, best lower-id
+    // keeper per dup — the s04-spec methodology extended to the pair stage
+    val raw = graft.core.Tables.embeddings(spark, sf)
+      .selectExpr("vec_id", "embedding", "cast(label as long)").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray,
+        r.getLong(2)))
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    def nrm(a: Array[Double]) = math.sqrt(dot(a, a))
+    val cents = raw.groupBy(_._3).map { case (l, g) =>
+      val c = new Array[Double](64)
+      g.foreach(v => for (i <- c.indices) c(i) += v._2(i))
+      for (i <- c.indices) c(i) /= g.length
+      l -> c
+    }
+    val assign = raw.map { case (id, v, _) =>
+      id -> cents.toSeq.map { case (l, c) =>
+        (dot(v, c) / (nrm(v) * nrm(c)), l)
+      }.maxBy { case (c2, l) => (c2, -l) }._2
+    }.toMap
+    val byId = raw.map(t => t._1 -> t._2).toMap
+    val ids = raw.map(_._1).sorted
+    val pairs = for {
+      i <- ids.indices; j <- (i + 1) until ids.length
+      a = ids(i); b = ids(j)
+      if assign(a) == assign(b)
+      c = dot(byId(a), byId(b)) / (nrm(byId(a)) * nrm(byId(b)))
+      if c >= 0.35
+    } yield (b, a, c) // (dup, keeper, cosine)
+    val want = pairs.groupBy(_._1).map { case (dup, g) =>
+      val best = g.maxBy { case (_, keep, c) => (c, -keep) }
+      dup -> (best._2, assign(dup))
+    }
+    val got = run("d13_semantic_dedup").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got.nonEmpty, "fixture corpus must contain semantic near-dups")
+    assert(got === want)
+  }
 }
