@@ -164,4 +164,40 @@ class PlanShapeSpec extends SparkTestBase {
       assert(plan.contains("*("), s"$name lost codegen:\n${plan.take(1500)}")
     }
   }
+
+  test("s08: nprobe=2 probe table broadcasts — corpus plan identical to s03's") {
+    val plan = executedPlan("s08_knn_ivf_multiprobe")
+    assert("BroadcastHashJoin \\[label".r.findFirstIn(plan).isDefined,
+      s"list-membership join must broadcast the 2-rows-per-query probe side:\n${plan.take(2000)}")
+    assert(!plan.contains("SortMergeJoin"),
+      "the corpus must never sort-merge against the probe table")
+  }
+
+  test("d13: one cluster exchange feeds both self-join sides (ReuseExchange)") {
+    val plan = executedPlan("d13_semantic_dedup")
+    assert(plan.contains("ReusedExchange"),
+      s"the within-cluster self-join must reuse the single repartition-by-cluster exchange:\n${plan.take(2000)}")
+    assert(!plan.contains("CartesianProduct"),
+      "pair generation must stay an equi-join on cluster, never a cross product")
+  }
+
+  test("q38: change-detect, version and interval-close share one shuffle and one sort") {
+    val plan = executedPlan("q38_scd2_build")
+    // one hash exchange on user_id for the windows; the only other
+    // exchange is the final presentation sort's range partitioning
+    assert(countOf(plan, "Exchange hashpartitioning") == 1,
+      s"lag/row_number/lead must share a single user_id shuffle:\n${plan.take(2000)}")
+    // the filter between the two window blocks preserves distribution
+    // and order, so the second window must not re-sort
+    assert(countOf(plan, "\\bSort \\[user_id") <= 2,
+      s"windows should share the (user_id, ts, event_id) sort:\n${plan.take(2000)}")
+  }
+
+  test("t12: diversity kernel runs once with no shuffle before the output sort") {
+    val plan = executedPlan("t12_lexical_diversity")
+    assert(countOf(plan, "MapPartitions") == 1,
+      s"moments kernel must run exactly once:\n${plan.take(2000)}")
+    assert(countOf(plan, "Exchange hashpartitioning") == 0,
+      s"a per-document projection must not shuffle:\n${plan.take(2000)}")
+  }
 }
