@@ -689,6 +689,72 @@ object Dedup {
              |FROM n a JOIN n b ON a.vec_id < b.vec_id
              |WHERE list_reduce(list_transform(range(1, 65), i -> a.v[i] * b.v[i]), (x, y) -> x + y)
              |        / (a.nrm * b.nrm) >= 0.4
-             |ORDER BY vec_a, vec_b""".stripMargin))
+             |ORDER BY vec_a, vec_b""".stripMargin)),
+
+    // Signature-only verification — Broder's resemblance estimator
+    // (SEQUENCES'97): a candidate pair's Jaccard is ESTIMATED as the
+    // fraction of agreeing MinHash components, never touching the shingle
+    // sets again. d03 re-verifies candidates exactly (recall contract);
+    // this is the path when re-joining candidate pairs back to a 100 TB
+    // exploded-shingle frame is the bottleneck: per-doc state is the
+    // 30-long signature (240 B at ANY document size), candidate verify is
+    // O(30) per pair, and the estimator's error is the binomial
+    // sqrt(J(1−J)/30) — the standard sketch-accuracy trade, audited by a
+    // spec against d02's exact answers. Same banded candidate generation
+    // as d03 (band keys engine-internal); the oracle regenerates
+    // signatures AND band agreement from the same md5-derived
+    // permutations, so the gate pins the estimates bit-for-bit.
+    Q("d14_minhash_estimate",
+      "banded LSH candidates kept by SIGNATURE-agreement estimate (matches/30 >= 0.5), no shingle re-scan",
+      (s, d) => {
+        val ex = explodedShingles(s, d).localCheckpoint(true)
+        val g = ex.withColumn("g", col("shingle") % MinHashP)
+        val mhCols = (0 until 30).map(k => min(perm(k, col("g"))).as(s"mh_$k"))
+        val sigs = g.groupBy("doc_id").agg(mhCols.head, mhCols.tail: _*)
+          .localCheckpoint(true)
+        val bands = sigs.select(col("doc_id"), explode(array(
+          (0 until 10).map(j =>
+            xxhash64(lit(j), col(s"mh_${3 * j}"), col(s"mh_${3 * j + 1}"),
+              col(s"mh_${3 * j + 2}"))): _*)).as("bkey"))
+        val cand = bands.as("x")
+          .join(bands.as("y"), Seq("bkey"))
+          .filter(col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+          .distinct()
+        val aSide = sigs.select(col("doc_id").as("doc_a") +:
+          (0 until 30).map(k => col(s"mh_$k").as(s"a_$k")): _*)
+        val bSide = sigs.select(col("doc_id").as("doc_b") +:
+          (0 until 30).map(k => col(s"mh_$k").as(s"b_$k")): _*)
+        val matches = (0 until 30).map(k =>
+          when(col(s"a_$k") === col(s"b_$k"), 1L).otherwise(0L)).reduce(_ + _)
+        cand.join(aSide, "doc_a").join(bSide, "doc_b")
+          .withColumn("est_matches", matches)
+          .filter(col("est_matches") >= 15)
+          .select(col("doc_a"), col("doc_b"), col("est_matches"),
+            (col("est_matches") * lit(1.0) / 30).as("est_jaccard"))
+          .orderBy("doc_a", "doc_b")
+      },
+      Some {
+        val aList = MinHashCoeffs.map(_._1).mkString("[", ",", "]")
+        val bList = MinHashCoeffs.map(_._2).mkString("[", ",", "]")
+        s"""$sqlShingled,
+           |hs AS (SELECT doc_id,
+           |    list_transform(sh, g0 -> ('0x' || substr(md5(g0), 1, 15))::BIGINT % 2147483647) AS gs
+           |  FROM sh),
+           |sig AS (SELECT doc_id, list_transform(range(0, 30), k ->
+           |      list_aggregate(list_transform(gs,
+           |        g -> (g * ($aList)[k+1] + ($bList)[k+1]) % 2147483647), 'min')) AS sig
+           |  FROM hs),
+           |cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sig AS sa, b.sig AS sb
+           |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+           |  WHERE len(list_filter(range(0, 10), j ->
+           |    a.sig[3*j+1] = b.sig[3*j+1] AND a.sig[3*j+2] = b.sig[3*j+2]
+           |      AND a.sig[3*j+3] = b.sig[3*j+3])) > 0),
+           |est AS (SELECT doc_a, doc_b,
+           |    len(list_filter(range(0, 30), k -> sa[k+1] = sb[k+1]))::BIGINT AS est_matches
+           |  FROM cand)
+           |SELECT doc_a, doc_b, est_matches, est_matches * 1.0 / 30 AS est_jaccard
+           |FROM est WHERE est_matches >= 15 ORDER BY doc_a, doc_b""".stripMargin
+      })
   )
 }

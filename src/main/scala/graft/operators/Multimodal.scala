@@ -262,6 +262,71 @@ object Multimodal {
              |SELECT doc_id, patch_row, patch_col,
              |  list_aggregate(vals, 'sum')::BIGINT AS patch_sum,
              |  list_aggregate(vals, 'max')::BIGINT AS patch_max
-             |FROM cells ORDER BY doc_id, patch_row, patch_col""".stripMargin))
+             |FROM cells ORDER BY doc_id, patch_row, patch_col""".stripMargin)),
+
+    // The multimodal→ANN bridge m04's header promises: each decoded
+    // image's 16 patch sums, flattened row-major, ARE its embedding (the
+    // stand-in for a vision tower's pooled output), searched with the
+    // s01 plan — broadcast query side (1/50 of docs), codegen'd dots,
+    // window top-k. Exactness note: patch sums are 16-codepoint integer
+    // sums < 2^25, so every dot-product partial (< 2^53) is exactly
+    // representable in double — the cosine is bit-identical across
+    // engines with no decimal hop. At 100 TB the vector build rides the
+    // decode scan (no shuffle before the 16-double vectors, ~128 B/doc),
+    // and the search swaps in any s02–s08 index over the same column.
+    Q("m05_patch_knn",
+      "multimodal retrieval: m04 patch-sum vectors as embeddings, exact cosine top-3",
+      (s, d) => {
+        graft.plans.VectorExpressions.register(s)
+        import graft.functions.Portable.dotFast
+        val vecAggs = (0 until 16).map(p =>
+          max(when(col("patch_row") === p / 4 && col("patch_col") === p % 4,
+            col("patch_sum"))).as(s"p_$p"))
+        val vec = patchGrid(mediaRecords(s, d)).toDF()
+          .groupBy("doc_id").agg(vecAggs.head, vecAggs.tail: _*)
+          .select(col("doc_id"),
+            array((0 until 16).map(p => col(s"p_$p").cast("double")): _*)
+              .as("v"))
+          .withColumn("nrm", sqrt(dotFast(col("v"), col("v"))))
+        val q = vec.filter(col("doc_id") % 50 === 0)
+          .select(col("doc_id").as("query_doc"), col("v").as("qv"),
+            col("nrm").as("qn"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("query_doc"))
+          .orderBy(col("cosine").desc, col("doc_id").asc)
+        vec.crossJoin(broadcast(q))
+          .filter(col("doc_id") =!= col("query_doc"))
+          .withColumn("cosine",
+            dotFast(col("v"), col("qv")) / (col("nrm") * col("qn")))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 3)
+          .select(col("query_doc"), col("rank"),
+            col("doc_id").as("neighbor_doc"), col("cosine"))
+          .orderBy("query_doc", "rank")
+      },
+      Some("""WITH cps AS (SELECT doc_id,
+             |    list_transform(range(1, length(text) + 1),
+             |      i -> unicode(substr(text, i, 1))::BIGINT) AS cp
+             |  FROM documents WHERE length(text) >= 256),
+             |vec AS (SELECT doc_id, list_transform(range(0, 16), p ->
+             |    list_aggregate(list_transform(range(0, 16),
+             |      i -> cp[((p // 4) * 4 + i // 4) * 16 + (p % 4) * 4 + (i % 4) + 1]),
+             |      'sum')::DOUBLE) AS v
+             |  FROM cps),
+             |n AS (SELECT doc_id, v,
+             |    sqrt(list_reduce(list_transform(range(1, 17), i -> v[i] * v[i]),
+             |      (x, y) -> x + y)) AS nrm
+             |  FROM vec),
+             |q AS (SELECT doc_id AS query_doc, v AS qv, nrm AS qn FROM n
+             |  WHERE doc_id % 50 = 0),
+             |scored AS (SELECT q.query_doc, n.doc_id AS neighbor_doc,
+             |    list_reduce(list_transform(range(1, 17), i -> n.v[i] * q.qv[i]),
+             |      (x, y) -> x + y) / (n.nrm * q.qn) AS cosine
+             |  FROM n JOIN q ON n.doc_id <> q.query_doc),
+             |ranked AS (SELECT query_doc, neighbor_doc, cosine,
+             |  row_number() OVER (PARTITION BY query_doc ORDER BY cosine DESC, neighbor_doc) AS rank
+             |FROM scored)
+             |SELECT query_doc, rank, neighbor_doc, cosine FROM ranked
+             |WHERE rank <= 3 ORDER BY query_doc, rank""".stripMargin))
   )
 }

@@ -965,6 +965,46 @@ object RelationalQueries {
              |  FROM ch WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
              |SELECT user_id, version, event_type, valid_from, valid_to,
              |  valid_to IS NULL AS is_current
-             |FROM v ORDER BY user_id, version""".stripMargin))
+             |FROM v ORDER BY user_id, version""".stripMargin)),
+
+    // Explicit GROUPING SETS — the surface between GROUP BY and CUBE:
+    // exactly the strata the report needs ((flag, status), (flag), ())
+    // in ONE pass, where q32's cube always pays all 2^n. Strata are
+    // identified by grouping() markers, not IS NULL probes — the textbook
+    // reason grouping() exists (a real NULL group value would alias the
+    // subtotal rows). gid leads the ORDER BY so nulled-out dimensions are
+    // constant within each sort group and the engines' NULLS FIRST/LAST
+    // divergence can never reorder rows. Same scale shape as cube:
+    // Expand replicates each input row once per set, partial-aggregates
+    // map-side, one shuffle.
+    Q("q39_grouping_sets",
+      "lineitem rollup over explicit GROUPING SETS with grouping() stratum markers",
+      (s, d) => {
+        Tables.load(s, d, "lineitem")
+          .select(col("l_returnflag").as("returnflag"),
+            col("l_linestatus").as("linestatus"),
+            col("l_quantity"), col("l_extendedprice"))
+          .groupingSets(
+            Seq(Seq(col("returnflag"), col("linestatus")),
+              Seq(col("returnflag")), Seq.empty),
+            col("returnflag"), col("linestatus"))
+          .agg(
+            (grouping(col("returnflag")) * 2 + grouping(col("linestatus")))
+              .cast("long").as("gid"),
+            count(lit(1)).as("n"),
+            sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+              .as("sum_qty"),
+            sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+              .as("sum_price"))
+          .orderBy("gid", "returnflag", "linestatus")
+      },
+      Some("""SELECT l_returnflag AS returnflag, l_linestatus AS linestatus,
+             |  (GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus))::BIGINT AS gid,
+             |  count(*) AS n,
+             |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+             |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+             |FROM lineitem
+             |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+             |ORDER BY gid, returnflag, linestatus""".stripMargin))
   )
 }

@@ -203,4 +203,65 @@ object EventStreams {
       .select(col("user_id"), col("purchase_id"), col("purchase_ts"),
         col("click_id"), col("click_ts"), col("value"))
   }
+
+  /** One user's open SCD2 interval: the dimension's CURRENT row, held as
+    * group state until the next type change closes it.
+    */
+  final case class ScdState(cur_type: String, valid_from: Timestamp,
+      version: Int)
+
+  final case class ScdClosed(user_id: Long, version: Int, event_type: String,
+      valid_from: Timestamp, valid_to: Timestamp)
+
+  /** Continuous SCD2 dimension build — the streaming twin of
+    * q38_scd2_build. Append mode emits each validity interval exactly
+    * once, at the moment the next type change closes it — precisely the
+    * batch twin's `valid_to IS NOT NULL` rows. The open (current) row per
+    * user IS the group state: one small record per live user, which is
+    * how the dimension's current view stays queryable without ever
+    * re-emitting or revising output — SCD2 history is append-only, and
+    * append-mode streaming enforces that structurally.
+    *
+    * Exactness contract: per-user event-time-ordered arrival (across any
+    * batch boundaries; each batch is sorted internally) reproduces the
+    * batch history bit-for-bit. An out-of-order event OLDER than the open
+    * interval's start would have to rewrite already-emitted history —
+    * forbidden in append mode — so it is dropped, the same policy a
+    * warehouse MERGE into an append-only SCD2 table applies. State never
+    * expires on its own (a dimension's current row has no timeout); a
+    * production job bounds live users by the keyspace, not the watermark.
+    */
+  def scd2Stream(events: Dataset[Event],
+      watermark: String = "2 hours"): Dataset[ScdClosed] = {
+    import events.sparkSession.implicits._
+
+    def update(userId: Long, rows: Iterator[Event],
+        state: GroupState[ScdState]): Iterator[ScdClosed] = {
+      val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+      var closed = List.empty[ScdClosed]
+      var cur = state.getOption
+      for (e <- sorted) {
+        cur match {
+          case None =>
+            cur = Some(ScdState(e.event_type, e.ts, 1))
+          case Some(s) if e.ts.getTime < s.valid_from.getTime =>
+            () // straggler behind emitted history: append-only, dropped
+          case Some(s) if e.event_type == s.cur_type =>
+            () // no change: the open interval simply persists
+          case Some(s) =>
+            closed ::= ScdClosed(userId, s.version, s.cur_type,
+              s.valid_from, e.ts)
+            cur = Some(ScdState(e.event_type, e.ts, s.version + 1))
+        }
+      }
+      cur.foreach(state.update)
+      closed.reverseIterator
+    }
+
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(update)
+  }
 }

@@ -737,4 +737,26 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(got.nonEmpty, "fixture corpus must contain semantic near-dups")
     assert(got === want)
   }
+
+  test("d14 signature estimates track d02's exact Jaccard within binomial error") {
+    val exact = run("d02_ngram_jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Double]("jaccard")).toMap
+    val est = run("d14_minhash_estimate").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Double]("est_jaccard")).toMap
+    assert(est.nonEmpty)
+    // every strong true pair must survive estimation: at J >= 0.85 the
+    // chance of fewer than 15/30 agreeing components is ~0
+    val strong = exact.filter(_._2 >= 0.85).keySet
+    assert(strong.nonEmpty && strong.subsetOf(est.keySet),
+      s"estimator dropped strong pairs: ${(strong -- est.keySet).take(5)}")
+    // and on the shared pairs the estimate sits within a generous 5-sigma
+    // binomial envelope of the exact value (sigma = sqrt(J(1-J)/30))
+    est.foreach { case (pair, e) =>
+      exact.get(pair).foreach { j =>
+        val sigma = math.sqrt(j * (1 - j) / 30.0)
+        assert(math.abs(e - j) <= 5 * sigma + 1e-9,
+          s"pair $pair: estimate $e vs exact $j exceeds 5 sigma")
+      }
+    }
+  }
 }

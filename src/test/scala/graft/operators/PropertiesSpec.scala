@@ -147,4 +147,24 @@ class PropertiesSpec extends SparkTestBase {
     assert(loose.subsetOf(mid))
     assert(mid.subsetOf(strict))
   }
+
+  test("Kernels.diversityMoments equals a naive multiset recompute on random text") {
+    import graft.functions.Kernels
+    val wordGen = Gen.oneOf("a", "bb", "ccc", "dd", "a", "e f", "", "  ")
+    val textGen = Gen.listOf(wordGen).map(_.mkString(" "))
+    sample(textGen, 300, 9L).foreach { text =>
+      val toks = Kernels.tokenize(text)
+      val (n, types, sq, hapax) = Kernels.diversityMoments(toks)
+      val counts = toks.groupBy(identity).view.mapValues(_.length.toLong)
+      assert(n === toks.length.toLong)
+      assert(types === counts.size.toLong)
+      assert(sq === counts.values.map(c => c * c).sum)
+      assert(hapax === counts.values.count(_ == 1L).toLong)
+      // the meaning t12's gini_num publishes: n² − Σc² counts exactly the
+      // ordered token pairs that DIFFER
+      val unequalPairs =
+        (for (a <- toks; b <- toks if a != b) yield 1).length.toLong
+      assert(n * n - sq === unequalPairs)
+    }
+  }
 }

@@ -397,4 +397,54 @@ class EventStreamsSpec extends SparkTestBase {
       assert(s.toSeq === Seq((7L, "2026-01-01 09:00:00.0", 2L)))
     } finally q.stop()
   }
+
+  test("batch SCD2 (q38) closed intervals equal streaming scd2Stream across batches") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sq = spark.sqlContext
+    val d = "/root/testdata/sf0.001"
+    val batch = graft.SparkEntry.queries("q38_scd2_build")(spark, d).collect()
+    val batchClosed = batch.filter(!_.isNullAt(4))
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2),
+        r.getTimestamp(3), r.getTimestamp(4))).toSet
+    val batchCurrent = batch.filter(_.isNullAt(4))
+      .map(r => (r.getLong(0), r.getInt(1))).toMap
+
+    // two batches split on the median timestamp: per-user event-time
+    // order holds across the boundary, which is the twin's exactness
+    // contract — open intervals must carry over as state and close
+    // against second-batch changes
+    val events = graft.core.Tables.events(spark, d)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+      .as[EventStreams.Event].collect().sortBy(e => (e.ts.getTime, e.event_id))
+    val (first, second) = events.splitAt(events.length / 2)
+    val in = MemoryStream[EventStreams.Event]
+    val q = EventStreams.scd2Stream(in.toDS())
+      .writeStream.format("memory").queryName("scd2")
+      .outputMode("append").start()
+    try {
+      in.addData(first.toSeq)
+      q.processAllAvailable()
+      val afterFirst = spark.table("scd2").count()
+      in.addData(second.toSeq)
+      q.processAllAvailable()
+      val streamed = spark.table("scd2").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getString(2),
+          r.getTimestamp(3), r.getTimestamp(4))).toSet
+      assert(streamed === batchClosed,
+        "streamed closed intervals must equal the batch twin's valid_to IS NOT NULL rows")
+      assert(afterFirst > 0 && afterFirst < streamed.size,
+        "the split must exercise both in-batch and cross-batch closes")
+      // every user's open interval stayed in state: exactly one batch
+      // current-row per user, versioned one past the last streamed close
+      val lastStreamed = streamed.groupBy(_._1).map { case (u, g) =>
+        u -> g.map(_._2).max
+      }
+      batchCurrent.foreach { case (u, v) =>
+        assert(v === lastStreamed.getOrElse(u, 0) + 1,
+          s"user $u: current version $v must extend the streamed history")
+      }
+    } finally q.stop()
+  }
 }
