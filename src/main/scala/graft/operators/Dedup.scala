@@ -13,7 +13,9 @@ import graft.functions.Portable._
   * prefix-filtered and frequency-capped exact joins, SimHash sketches +
   * the Manku-banded Hamming pair join, positional span dedup (plain and
   * capped), connected-component canonicalization, embedding near-dup,
-  * and eval-set decontamination.
+  * eval-set decontamination, and Broder signature-agreement Jaccard
+  * estimation (d14; its semantic sibling d13 SemDeDup lives in
+  * Similarity with the vector machinery).
   *
   * Scale design per operator is documented inline; the common principles:
   *  - candidate generation is always a join on a *derived small key*
@@ -121,6 +123,37 @@ object Dedup {
         }
       }
       .toDF("doc_id", "nsh", "shingle")
+  }
+
+  /** 30-permutation MinHash signature per document (columns doc_id,
+    * mh_0..mh_29) from the exploded-shingle frame — shared by d03 (LSH
+    * candidates, exact verify) and d14 (signature-agreement estimates),
+    * so a permutation-family change can never diverge the two.
+    */
+  private def minhashSigs(ex: DataFrame): DataFrame = {
+    val g = ex.withColumn("g", col("shingle") % MinHashP)
+    val mhCols = (0 until 30).map(k => min(perm(k, col("g"))).as(s"mh_$k"))
+    g.groupBy("doc_id").agg(mhCols.head, mhCols.tail: _*)
+  }
+
+  /** Banded LSH candidate pairs (doc_a < doc_b, distinct) from MinHash
+    * signatures: 10 bands × 3 rows. The band bucket key is
+    * engine-internal (never oracle-compared), so it can be one xxhash64
+    * long instead of a concat string — the bucket join then
+    * shuffles/compares 8-byte keys, not ~60-byte strings. The band id is
+    * folded INTO the hash, collapsing the (band, bkey) composite key to a
+    * single long.
+    */
+  private def bandedCandidates(sigs: DataFrame): DataFrame = {
+    val bands = sigs.select(col("doc_id"), explode(array(
+      (0 until 10).map(j =>
+        xxhash64(lit(j), col(s"mh_${3 * j}"), col(s"mh_${3 * j + 1}"),
+          col(s"mh_${3 * j + 2}"))): _*)).as("bkey"))
+    bands.as("x")
+      .join(bands.as("y"), Seq("bkey"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
   }
 
   /** Spark side of the exact pair computation (d02, and the verification
@@ -312,23 +345,7 @@ object Dedup {
       "MinHash(30) + LSH(10x3) banded candidates, exact-Jaccard verified >= 0.5",
       (s, d) => {
         val ex = explodedShingles(s, d).localCheckpoint(true)
-        val g = ex.withColumn("g", col("shingle") % MinHashP)
-        val mhCols = (0 until 30).map(k => min(perm(k, col("g"))).as(s"mh_$k"))
-        val sigs = g.groupBy("doc_id").agg(mhCols.head, mhCols.tail: _*)
-        // The band bucket key is engine-internal (never oracle-compared), so
-        // it can be one xxhash64 long instead of a concat string — the
-        // bucket join then shuffles/compares 8-byte keys, not ~60-byte
-        // strings. The band id is folded INTO the hash, collapsing the
-        // (band, bkey) composite key to a single long.
-        val bands = sigs.select(col("doc_id"), explode(array(
-          (0 until 10).map(j =>
-            xxhash64(lit(j), col(s"mh_${3 * j}"), col(s"mh_${3 * j + 1}"),
-              col(s"mh_${3 * j + 2}")).as(s"b_$j")): _*)).as("bkey"))
-        val cand = bands.as("x")
-          .join(bands.as("y"), Seq("bkey"))
-          .filter(col("x.doc_id") < col("y.doc_id"))
-          .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-          .distinct()
+        val cand = bandedCandidates(minhashSigs(ex))
         verifyCandidates(ex, cand, 0.5).orderBy("doc_a", "doc_b")
       },
       Some(sqlExactJaccard(0.5))),
@@ -707,20 +724,12 @@ object Dedup {
     Q("d14_minhash_estimate",
       "banded LSH candidates kept by SIGNATURE-agreement estimate (matches/30 >= 0.5), no shingle re-scan",
       (s, d) => {
-        val ex = explodedShingles(s, d).localCheckpoint(true)
-        val g = ex.withColumn("g", col("shingle") % MinHashP)
-        val mhCols = (0 until 30).map(k => min(perm(k, col("g"))).as(s"mh_$k"))
-        val sigs = g.groupBy("doc_id").agg(mhCols.head, mhCols.tail: _*)
-          .localCheckpoint(true)
-        val bands = sigs.select(col("doc_id"), explode(array(
-          (0 until 10).map(j =>
-            xxhash64(lit(j), col(s"mh_${3 * j}"), col(s"mh_${3 * j + 1}"),
-              col(s"mh_${3 * j + 2}"))): _*)).as("bkey"))
-        val cand = bands.as("x")
-          .join(bands.as("y"), Seq("bkey"))
-          .filter(col("x.doc_id") < col("y.doc_id"))
-          .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-          .distinct()
+        // no checkpoint on the exploded frame here: unlike d03 (which
+        // re-joins it for exact verification) the shingles feed the
+        // signature aggregation ONCE and are never touched again — the
+        // signatures are the only thing worth materializing (3 consumers)
+        val sigs = minhashSigs(explodedShingles(s, d)).localCheckpoint(true)
+        val cand = bandedCandidates(sigs)
         val aSide = sigs.select(col("doc_id").as("doc_a") +:
           (0 until 30).map(k => col(s"mh_$k").as(s"a_$k")): _*)
         val bSide = sigs.select(col("doc_id").as("doc_b") +:

@@ -156,6 +156,85 @@ object Similarity {
        |    list_reduce(list_transform(range(1, 65), i -> rv[i] * rv[i]), (x, y) -> x + y) AS drv
        |  FROM rec)""".stripMargin
 
+  /** IVF kNN shared by s03 (nprobe=1) and s08 (nprobe=2): exact coarse
+    * centroids (broadcast k×dim), top-`nprobe` probes per query, exact
+    * cosine top-3 within the probed disjoint lists (no dedup needed —
+    * each corpus vector lives in exactly one). One body so a probe-logic
+    * change (tie-breaks, centroid derivation, self-exclusion) can never
+    * diverge the two gated queries. probe_rank — which probe produced
+    * each neighbor — is emitted only for nprobe > 1 (s03's gated schema
+    * predates it).
+    */
+  private def ivfKnn(s: SparkSession, d: String, nprobe: Int): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    graft.plans.VectorExpressions.register(s)
+    val v = e.select(col("vec_id"), col("label").cast("long").as("label"),
+      vecD(col("embedding")).as("v"))
+      .withColumn("nrm", sqrt(dotFast(col("v"), col("v"))))
+    val cent = coarseCentroids(v, "label")
+    val q = v.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn"))
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("ccos").desc, col("label").asc)
+    val probeCols = Seq(col("query_id"), col("qv"), col("qn"),
+      col("label").as("probe_label")) ++
+      (if (nprobe > 1) Seq(col("crank").as("probe_rank")) else Nil)
+    val probe = q.crossJoin(broadcast(cent))
+      .withColumn("ccos",
+        dotFast(col("qv"), col("cent")) / (col("qn") * col("cnrm")))
+      .withColumn("crank", row_number().over(wProbe))
+      .filter(col("crank") <= nprobe)
+      .select(probeCols: _*)
+    val wTop = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    val outCols = Seq(col("query_id"), col("rank"),
+      col("vec_id").as("neighbor_id"), col("probe_label")) ++
+      (if (nprobe > 1) Seq(col("probe_rank")) else Nil)
+    v.join(broadcast(probe), col("label") === col("probe_label"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cosine",
+        dotFast(col("v"), col("qv")) / (col("nrm") * col("qn")))
+      .withColumn("rank", row_number().over(wTop))
+      .filter(col("rank") <= 3)
+      .select(outCols: _*)
+      .orderBy("query_id", "rank")
+  }
+
+  /** DuckDB twin of [[ivfKnn]], parameterized the same way. */
+  private def sqlIvfKnn(nprobe: Int): String = {
+    val prProbe = if (nprobe > 1) ", crank AS probe_rank" else ""
+    val prScored = if (nprobe > 1) ", p.probe_rank" else ""
+    val pr = if (nprobe > 1) ", probe_rank" else ""
+    s"""$sqlVectors,
+       |v AS (SELECT vec_id, label::BIGINT AS label, v, nrm FROM (
+       |  SELECT e2.vec_id, e2.label, n.v, n.nrm
+       |  FROM embeddings e2 JOIN n ON e2.vec_id = n.vec_id)),
+       |cent AS (SELECT label, ${sqlMeanList("v", Dim)} AS cent
+       |  FROM v GROUP BY label),
+       |centn AS (SELECT label, cent,
+       |    sqrt(list_reduce(list_transform(range(1, 65), i -> cent[i] * cent[i]),
+       |      (x, y) -> x + y)) AS cnrm FROM cent),
+       |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM v WHERE vec_id % 50 = 0),
+       |probe0 AS (SELECT q.query_id, q.qv, q.qn, c.label,
+       |    list_reduce(list_transform(range(1, 65), i -> q.qv[i] * c.cent[i]), (x, y) -> x + y)
+       |      / (q.qn * c.cnrm) AS ccos
+       |  FROM q CROSS JOIN centn c),
+       |probe AS (SELECT query_id, qv, qn, label AS probe_label$prProbe FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY ccos DESC, label) AS crank
+       |    FROM probe0) WHERE crank <= $nprobe),
+       |scored AS (SELECT p.query_id, v.vec_id AS neighbor_id, p.probe_label$prScored,
+       |    list_reduce(list_transform(range(1, 65), i -> v.v[i] * p.qv[i]), (x, y) -> x + y)
+       |      / (v.nrm * p.qn) AS cosine
+       |  FROM v JOIN probe p ON v.label = p.probe_label
+       |  WHERE v.vec_id <> p.query_id),
+       |ranked AS (SELECT query_id, neighbor_id, probe_label$pr,
+       |  row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+       |FROM scored)
+       |SELECT query_id, rank, neighbor_id, probe_label$pr FROM ranked
+       |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+  }
+
   val registry: Seq[Q] = Seq(
 
     Q("s01_knn_bruteforce",
@@ -200,64 +279,8 @@ object Similarity {
     // key of the vector store.
     Q("s03_knn_ivf",
       "IVF ANN: probe nearest exact-centroid cluster, top-3 within its list",
-      (s, d) => {
-        val e = Tables.embeddings(s, d)
-        graft.plans.VectorExpressions.register(s)
-        val v = e.select(col("vec_id"), col("label").cast("long").as("label"),
-          vecD(col("embedding")).as("v"))
-          .withColumn("nrm", sqrt(dotFast(col("v"), col("v"))))
-        val cent = coarseCentroids(v, "label")
-        val q = v.filter(col("vec_id") % 50 === 0)
-          .select(col("vec_id").as("query_id"), col("v").as("qv"),
-            col("nrm").as("qn"))
-        val wProbe = Window.partitionBy(col("query_id"))
-          .orderBy(col("ccos").desc, col("label").asc)
-        val probe = q.crossJoin(broadcast(cent))
-          .withColumn("ccos",
-            dotFast(col("qv"), col("cent")) / (col("qn") * col("cnrm")))
-          .withColumn("crank", row_number().over(wProbe))
-          .filter(col("crank") === 1)
-          .select(col("query_id"), col("qv"), col("qn"),
-            col("label").as("probe_label"))
-        val wTop = Window.partitionBy(col("query_id"))
-          .orderBy(col("cosine").desc, col("vec_id").asc)
-        v.join(broadcast(probe), col("label") === col("probe_label"))
-          .filter(col("vec_id") =!= col("query_id"))
-          .withColumn("cosine",
-            dotFast(col("v"), col("qv")) / (col("nrm") * col("qn")))
-          .withColumn("rank", row_number().over(wTop))
-          .filter(col("rank") <= 3)
-          .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
-            col("probe_label"))
-          .orderBy("query_id", "rank")
-      },
-      Some(s"""$sqlVectors,
-             |v AS (SELECT vec_id, label::BIGINT AS label, v, nrm FROM (
-             |  SELECT e2.vec_id, e2.label, n.v, n.nrm
-             |  FROM embeddings e2 JOIN n ON e2.vec_id = n.vec_id)),
-             |cent AS (SELECT label, ${sqlMeanList("v", Dim)} AS cent
-             |  FROM v GROUP BY label),
-             |centn AS (SELECT label, cent,
-             |    sqrt(list_reduce(list_transform(range(1, 65), i -> cent[i] * cent[i]),
-             |      (x, y) -> x + y)) AS cnrm FROM cent),
-             |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM v WHERE vec_id % 50 = 0),
-             |probe0 AS (SELECT q.query_id, q.qv, q.qn, c.label,
-             |    list_reduce(list_transform(range(1, 65), i -> q.qv[i] * c.cent[i]), (x, y) -> x + y)
-             |      / (q.qn * c.cnrm) AS ccos
-             |  FROM q CROSS JOIN centn c),
-             |probe AS (SELECT query_id, qv, qn, label AS probe_label FROM (
-             |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY ccos DESC, label) AS crank
-             |    FROM probe0) WHERE crank = 1),
-             |scored AS (SELECT p.query_id, v.vec_id AS neighbor_id, p.probe_label,
-             |    list_reduce(list_transform(range(1, 65), i -> v.v[i] * p.qv[i]), (x, y) -> x + y)
-             |      / (v.nrm * p.qn) AS cosine
-             |  FROM v JOIN probe p ON v.label = p.probe_label
-             |  WHERE v.vec_id <> p.query_id),
-             |ranked AS (SELECT query_id, neighbor_id, probe_label,
-             |  row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
-             |FROM scored)
-             |SELECT query_id, rank, neighbor_id, probe_label FROM ranked
-             |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin)),
+      (s, d) => ivfKnn(s, d, nprobe = 1),
+      Some(sqlIvfKnn(nprobe = 1))),
 
     // Vector quantization / cluster assignment — the build step of the IVF
     // index (one k-means assignment iteration): every vector goes to its
@@ -547,64 +570,8 @@ object Similarity {
     // recall contribution of the second list auditable from the output.
     Q("s08_knn_ivf_multiprobe",
       "IVF ANN with nprobe=2: top-3 exact cosine within the two nearest centroids' lists",
-      (s, d) => {
-        val e = Tables.embeddings(s, d)
-        graft.plans.VectorExpressions.register(s)
-        val v = e.select(col("vec_id"), col("label").cast("long").as("label"),
-          vecD(col("embedding")).as("v"))
-          .withColumn("nrm", sqrt(dotFast(col("v"), col("v"))))
-        val cent = coarseCentroids(v, "label")
-        val q = v.filter(col("vec_id") % 50 === 0)
-          .select(col("vec_id").as("query_id"), col("v").as("qv"),
-            col("nrm").as("qn"))
-        val wProbe = Window.partitionBy(col("query_id"))
-          .orderBy(col("ccos").desc, col("label").asc)
-        val probe = q.crossJoin(broadcast(cent))
-          .withColumn("ccos",
-            dotFast(col("qv"), col("cent")) / (col("qn") * col("cnrm")))
-          .withColumn("crank", row_number().over(wProbe))
-          .filter(col("crank") <= 2)
-          .select(col("query_id"), col("qv"), col("qn"),
-            col("label").as("probe_label"), col("crank").as("probe_rank"))
-        val wTop = Window.partitionBy(col("query_id"))
-          .orderBy(col("cosine").desc, col("vec_id").asc)
-        v.join(broadcast(probe), col("label") === col("probe_label"))
-          .filter(col("vec_id") =!= col("query_id"))
-          .withColumn("cosine",
-            dotFast(col("v"), col("qv")) / (col("nrm") * col("qn")))
-          .withColumn("rank", row_number().over(wTop))
-          .filter(col("rank") <= 3)
-          .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
-            col("probe_label"), col("probe_rank"))
-          .orderBy("query_id", "rank")
-      },
-      Some(s"""$sqlVectors,
-             |v AS (SELECT vec_id, label::BIGINT AS label, v, nrm FROM (
-             |  SELECT e2.vec_id, e2.label, n.v, n.nrm
-             |  FROM embeddings e2 JOIN n ON e2.vec_id = n.vec_id)),
-             |cent AS (SELECT label, ${sqlMeanList("v", Dim)} AS cent
-             |  FROM v GROUP BY label),
-             |centn AS (SELECT label, cent,
-             |    sqrt(list_reduce(list_transform(range(1, 65), i -> cent[i] * cent[i]),
-             |      (x, y) -> x + y)) AS cnrm FROM cent),
-             |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM v WHERE vec_id % 50 = 0),
-             |probe0 AS (SELECT q.query_id, q.qv, q.qn, c.label,
-             |    list_reduce(list_transform(range(1, 65), i -> q.qv[i] * c.cent[i]), (x, y) -> x + y)
-             |      / (q.qn * c.cnrm) AS ccos
-             |  FROM q CROSS JOIN centn c),
-             |probe AS (SELECT query_id, qv, qn, label AS probe_label, crank AS probe_rank FROM (
-             |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY ccos DESC, label) AS crank
-             |    FROM probe0) WHERE crank <= 2),
-             |scored AS (SELECT p.query_id, v.vec_id AS neighbor_id, p.probe_label, p.probe_rank,
-             |    list_reduce(list_transform(range(1, 65), i -> v.v[i] * p.qv[i]), (x, y) -> x + y)
-             |      / (v.nrm * p.qn) AS cosine
-             |  FROM v JOIN probe p ON v.label = p.probe_label
-             |  WHERE v.vec_id <> p.query_id),
-             |ranked AS (SELECT query_id, neighbor_id, probe_label, probe_rank,
-             |  row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
-             |FROM scored)
-             |SELECT query_id, rank, neighbor_id, probe_label, probe_rank FROM ranked
-             |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin)),
+      (s, d) => ivfKnn(s, d, nprobe = 2),
+      Some(sqlIvfKnn(nprobe = 2))),
 
     // SemDeDup (Abbas et al., 2023) — semantic near-dup removal at
     // embedding scale, and the scale path for d05's brute-force

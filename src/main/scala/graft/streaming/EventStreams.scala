@@ -205,13 +205,25 @@ object EventStreams {
   }
 
   /** One user's open SCD2 interval: the dimension's CURRENT row, held as
-    * group state until the next type change closes it.
+    * group state until the next type change closes it. `last` is the
+    * max event time already folded into the history (NOT valid_from —
+    * same-type events advance it without a version change), the frontier
+    * the straggler guard compares against.
     */
   final case class ScdState(cur_type: String, valid_from: Timestamp,
-      version: Int)
+      version: Int, last: Timestamp)
 
   final case class ScdClosed(user_id: Long, version: Int, event_type: String,
       valid_from: Timestamp, valid_to: Timestamp)
+
+  /** Epoch MICROseconds of a Timestamp — ordering must match the batch
+    * twin's full-precision `ts` comparisons; `getTime` alone truncates to
+    * milliseconds and would order two same-millisecond events by
+    * event_id where the batch twin orders them by their microsecond
+    * parts.
+    */
+  private def micros(t: Timestamp): Long =
+    Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
 
   /** Continuous SCD2 dimension build — the streaming twin of
     * q38_scd2_build. Append mode emits each validity interval exactly
@@ -224,34 +236,37 @@ object EventStreams {
     *
     * Exactness contract: per-user event-time-ordered arrival (across any
     * batch boundaries; each batch is sorted internally) reproduces the
-    * batch history bit-for-bit. An out-of-order event OLDER than the open
-    * interval's start would have to rewrite already-emitted history —
-    * forbidden in append mode — so it is dropped, the same policy a
-    * warehouse MERGE into an append-only SCD2 table applies. State never
-    * expires on its own (a dimension's current row has no timeout); a
-    * production job bounds live users by the keyspace, not the watermark.
+    * batch history bit-for-bit. An out-of-order event at or behind the
+    * state's `last` frontier would have to rewrite history the fold has
+    * already committed to — even a same-type absorbed event moves the
+    * frontier, since an intervening change would have versioned between
+    * it and the frontier — so it is dropped, the same policy a warehouse
+    * MERGE into an append-only SCD2 table applies. No watermark is
+    * declared because none would act: state timeout is NoTimeout (a
+    * dimension's current row never expires) and the straggler guard, not
+    * a watermark, is what bounds disorder — a production job bounds live
+    * users by the keyspace.
     */
-  def scd2Stream(events: Dataset[Event],
-      watermark: String = "2 hours"): Dataset[ScdClosed] = {
+  def scd2Stream(events: Dataset[Event]): Dataset[ScdClosed] = {
     import events.sparkSession.implicits._
 
     def update(userId: Long, rows: Iterator[Event],
         state: GroupState[ScdState]): Iterator[ScdClosed] = {
-      val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+      val sorted = rows.toSeq.sortBy(e => (micros(e.ts), e.event_id))
       var closed = List.empty[ScdClosed]
       var cur = state.getOption
       for (e <- sorted) {
         cur match {
           case None =>
-            cur = Some(ScdState(e.event_type, e.ts, 1))
-          case Some(s) if e.ts.getTime < s.valid_from.getTime =>
-            () // straggler behind emitted history: append-only, dropped
+            cur = Some(ScdState(e.event_type, e.ts, 1, e.ts))
+          case Some(s) if micros(e.ts) < micros(s.last) =>
+            () // straggler behind the committed frontier: append-only, dropped
           case Some(s) if e.event_type == s.cur_type =>
-            () // no change: the open interval simply persists
+            cur = Some(s.copy(last = e.ts)) // no change; frontier advances
           case Some(s) =>
             closed ::= ScdClosed(userId, s.version, s.cur_type,
               s.valid_from, e.ts)
-            cur = Some(ScdState(e.event_type, e.ts, s.version + 1))
+            cur = Some(ScdState(e.event_type, e.ts, s.version + 1, e.ts))
         }
       }
       cur.foreach(state.update)
@@ -259,7 +274,6 @@ object EventStreams {
     }
 
     events
-      .withWatermark("ts", watermark)
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.NoTimeout)(update)

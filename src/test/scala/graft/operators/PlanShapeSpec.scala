@@ -193,6 +193,18 @@ class PlanShapeSpec extends SparkTestBase {
       s"windows should share the (user_id, ts, event_id) sort:\n${plan.take(2000)}")
   }
 
+  test("d14: verification never re-touches the shingle frame") {
+    val plan = executedPlan("d14_minhash_estimate")
+    // the operator's whole point: the shingle kernel ran ONCE, inside the
+    // eager signature checkpoint, so the executed pair-verification plan
+    // contains NO MapPartitions at all — candidates are verified from the
+    // 30-long signatures alone (d03's shape would re-scan shingles here)
+    assert(countOf(plan, "MapPartitions") == 0,
+      s"verification plan must be signature-only:\n${plan.take(2000)}")
+    assert(plan.contains("ReusedExchange"),
+      s"the band self-join must reuse one exchange:\n${plan.take(2000)}")
+  }
+
   test("t12: diversity kernel runs once with no shuffle before the output sort") {
     val plan = executedPlan("t12_lexical_diversity")
     assert(countOf(plan, "MapPartitions") == 1,

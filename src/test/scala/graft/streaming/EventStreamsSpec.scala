@@ -447,4 +447,38 @@ class EventStreamsSpec extends SparkTestBase {
       }
     } finally q.stop()
   }
+
+  test("scd2Stream drops a straggler behind the committed frontier (append-only)") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[EventStreams.Event]
+    val q = EventStreams.scd2Stream(in.toDS())
+      .writeStream.format("memory").queryName("scd2_late")
+      .outputMode("append").start()
+    try {
+      // batch 1: A@09:00 and A@09:30 — same type, no close, but the
+      // frontier advances to 09:30
+      in.addData(
+        EventStreams.Event(1, ts("09:00"), 5, "A", 0.0),
+        EventStreams.Event(2, ts("09:30"), 5, "A", 0.0))
+      q.processAllAvailable()
+      // batch 2: late B@09:15 — between two already-folded events; a
+      // batch replay would produce A[09:00,09:15) B[09:15,09:30)
+      // A[09:30,…), i.e. rewrite history. Append-only drops it instead
+      // of fabricating a DIFFERENT history (the old valid_from-based
+      // guard accepted it and emitted A[09:00,09:15) B[09:15,…)).
+      in.addData(EventStreams.Event(3, ts("09:15"), 5, "B", 0.0))
+      q.processAllAvailable()
+      assert(spark.table("scd2_late").count() === 0,
+        "no interval may close off a straggler behind the frontier")
+      // an in-order change still closes normally afterwards
+      in.addData(EventStreams.Event(4, ts("10:00"), 5, "C", 0.0))
+      q.processAllAvailable()
+      val rows = spark.table("scd2_late").collect()
+        .map(r => (r.getInt(1), r.getString(2),
+          r.getTimestamp(3).toString, r.getTimestamp(4).toString))
+      assert(rows.toSeq === Seq(
+        (1, "A", "2026-01-01 09:00:00.0", "2026-01-01 10:00:00.0")))
+    } finally q.stop()
+  }
 }
