@@ -130,6 +130,37 @@ object Kernels {
     * oracle's O(types·tokens) `list_filter` recount is affordable there
     * because the oracle only ever runs at gate scale.
     */
+  private val MhA: Array[Long] = Portable.MinHashCoeffs.map(_._1).toArray
+  private val MhB: Array[Long] = Portable.MinHashCoeffs.map(_._2).toArray
+
+  /** 30-permutation MinHash signature of a token array, or None when the
+    * document has no trigram shingles — the JVM twin of the batch
+    * formulation (d03/d14: `min((shingle % P) * a_k + b_k) % P` per
+    * permutation over the exploded frame), bit-equal because both run
+    * the same Long arithmetic over the same distinct shingle-hash set.
+    * Used by the streaming near-dup frontier, where signatures must be
+    * computed per arriving document rather than by a groupBy.
+    */
+  def minhashSig(toks: Array[String]): Option[Array[Long]] = {
+    val sh = shingles(toks)
+    if (sh.isEmpty) None
+    else {
+      val sig = Array.fill(30)(Long.MaxValue)
+      var i = 0
+      while (i < sh.length) {
+        val g = sh(i) % Portable.MinHashP
+        var k = 0
+        while (k < 30) {
+          val v = (g * MhA(k) + MhB(k)) % Portable.MinHashP
+          if (v < sig(k)) sig(k) = v
+          k += 1
+        }
+        i += 1
+      }
+      Some(sig)
+    }
+  }
+
   def diversityMoments(toks: Array[String]): (Long, Long, Long, Long) = {
     val counts = new java.util.HashMap[String, Int]()
     var i = 0

@@ -8,22 +8,32 @@ import graft.core.{Q, Tables}
 import graft.functions.Portable._
 
 /** Approximate-nearest-neighbor search over the `embeddings` table
-  * (64-dim float vectors).
+  * (64-dim float vectors), plus the embedding-space dedup that shares
+  * its machinery:
   *
   *  - s01: brute-force cosine top-k — the exactness baseline. The query set
   *    is broadcast against the corpus, the dot product is a fused codegen'd
   *    fold (no UDF), and top-k per query is a window row_number whose
   *    partial sort AQE keeps per-partition. Cost is |Q|·|corpus|·dim —
-  *    right up to ~10^10 cell ops, after which s02 takes over.
-  *  - s02: random-hyperplane LSH — the 100 TB path. Each vector gets a
-  *    sign-bucket from 8 md5-derived hyperplanes (deterministic, so the
-  *    oracle regenerates them); search touches only the query's bucket
-  *    (~1/256 of the corpus). Recall tunes with planes/probes; the same
-  *    plan shape serves multi-probe by unioning neighbor buckets.
+  *    right up to ~10^10 cell ops, after which the indexes take over.
+  *  - s02/s05: random-hyperplane LSH, single- and multi-probe — sign
+  *    buckets from 8 md5-derived hyperplanes (deterministic, so the
+  *    oracle regenerates them); search touches the query's bucket
+  *    (~1/256 of the corpus), multi-probe adds the 8 Hamming-1 buckets.
+  *  - s03/s08: IVF over exact-decimal coarse centroids, nprobe = 1 / 2
+  *    (one parameterized body, [[ivfKnn]]); s04 is the index-build
+  *    assignment step.
+  *  - s06/s07: product quantization (8×16 codebook, one distributed
+  *    Lloyd step, ADC + exact re-rank), alone and composed with IVF
+  *    pruning.
+  *  - d13: SemDeDup — within-centroid-cluster cosine pairs, the scale
+  *    path for d05's brute-force near-dup scan; lives here because it
+  *    shares the centroid/assignment machinery.
   *
-  * Both return (query_id, rank, neighbor_id) — rank ties broken by
-  * neighbor id, cosine computed in double with pinned left-to-right
-  * accumulation so the DuckDB oracle reproduces the exact ordering.
+  * The kNN queries return (query_id, rank, neighbor_id, …) — rank ties
+  * broken by neighbor id, cosine computed in double with pinned
+  * left-to-right accumulation so the DuckDB oracle reproduces the exact
+  * ordering.
   */
 object Similarity {
 

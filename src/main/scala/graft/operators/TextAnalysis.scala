@@ -11,10 +11,12 @@ import graft.functions.Portable._
   * the `documents` table: token statistics, quality scoring + the
   * composite Gopher filter, language-ID (marker-token heuristic), content
   * fingerprinting, mixture sampling, sequence packing, the per-source
-  * funnel report, vocabulary statistics and token-rarity scoring.
+  * funnel report, vocabulary statistics, token-rarity scoring and
+  * integer-exact lexical diversity (t12).
   *
-  * Scale design: the per-document operators (t01–t07) are single narrow
-  * projections or one-pass typed kernels — no shuffle, no driver state —
+  * Scale design: the per-document operators (t01–t07, t12) are single
+  * narrow projections or one-pass typed kernels — no shuffle, no driver
+  * state —
   * running at parquet-scan speed; the corpus-level ones shuffle only
   * what their semantics require (t08 one window per shard, t09 a dedup
   * window + rollup over kernel output, t10/t11 a map-side-partial

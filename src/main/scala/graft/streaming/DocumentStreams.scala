@@ -67,4 +67,80 @@ object DocumentStreams {
       .filter(_.keep)
       .withWatermark("ingest_ts", watermark)
       .dropDuplicatesWithinWatermark("content_hash")
+
+  /** One band row of a document's MinHash signature: `bkey` is an
+    * engine-internal fold of (band id, the band's 3 signature rows) —
+    * collisions only create candidate comparisons, which the full
+    * 30-component agreement check then rejects, so the fold needs no
+    * cryptographic strength.
+    */
+  final case class BandRow(bkey: Long, doc_id: Long, sig: Array[Long])
+
+  /** A detected near-duplicate: `doc_id` arrived after `dup_of` and their
+    * signatures agree on `est_matches` of 30 components.
+    */
+  final case class NearDup(doc_id: Long, dup_of: Long, est_matches: Long)
+
+  /** Continuous NEAR-dup detection — the streaming frontier of the d03/d14
+    * banded-MinHash design, complementing [[curatedIngest]]'s exact-hash
+    * stage: each arriving document's 30-permutation signature (the same
+    * kernel arithmetic as the batch queries, [[Kernels.minhashSig]])
+    * explodes into 10 band rows; per band BUCKET, group state holds the
+    * signatures seen so far, and a new arrival emits one row per stored
+    * signature agreeing on >= `minMatches` of 30 components — d14's
+    * estimator, evaluated incrementally. Cross-band re-detections of the
+    * same pair collapse via a streaming dropDuplicates.
+    *
+    * Scale notes: state is per-BUCKET (2^15-ish buckets per band bound
+    * the expected occupancy — the d03 story), and each entry is a 240 B
+    * signature, never the document. State here never expires (the spec's
+    * exactness contract vs the batch answer needs the full horizon); a
+    * production frontier TTLs buckets by ingest time — accepting
+    * horizon-bounded dedup exactly as [[curatedIngest]] does — and
+    * periodically re-runs the batch d09 components over the sink.
+    */
+  def nearDupStream(docs: Dataset[Doc],
+      minMatches: Int = 15): Dataset[NearDup] = {
+    import docs.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+    val banded = docs.flatMap { d =>
+      Kernels.minhashSig(Kernels.lowerTokens(d.text)) match {
+        case None => Iterator.empty // < 3 tokens: no shingles, no signature
+        case Some(sig) =>
+          (0 until 10).iterator.map { j =>
+            var h = 1125899906842597L * (j + 1)
+            var k = 0
+            while (k < 3) { h = h * 31 + sig(3 * j + k); k += 1 }
+            BandRow(h, d.doc_id, sig)
+          }
+      }
+    }
+
+    def update(bkey: Long, rows: Iterator[BandRow],
+        state: GroupState[List[(Long, Array[Long])]]): Iterator[NearDup] = {
+      val sorted = rows.toSeq.sortBy(_.doc_id)
+      var seen = state.getOption.getOrElse(Nil)
+      val out = List.newBuilder[NearDup]
+      for (r <- sorted) {
+        if (!seen.exists(_._1 == r.doc_id)) { // redelivery: already folded
+          for ((prev, psig) <- seen) {
+            var m = 0
+            var k = 0
+            while (k < 30) { if (psig(k) == r.sig(k)) m += 1; k += 1 }
+            if (m >= minMatches) out += NearDup(r.doc_id, prev, m.toLong)
+          }
+          seen = (r.doc_id, r.sig) :: seen
+        }
+      }
+      state.update(seen)
+      out.result().iterator
+    }
+
+    banded.groupByKey(_.bkey)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(update)
+      .dropDuplicates("doc_id", "dup_of")
+      .as[NearDup]
+  }
 }

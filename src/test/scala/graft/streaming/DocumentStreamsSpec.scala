@@ -77,4 +77,43 @@ class DocumentStreamsSpec extends SparkTestBase {
       batch.foreach { case (id, (keep, _, _)) => assert(keep === t06(id)) }
     } finally q.stop()
   }
+
+  test("nearDupStream finds exactly d14's estimated pairs across batch boundaries") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    implicit val sq = spark.sqlContext
+    val d = "/root/testdata/sf0.001"
+    // batch answer: banded candidates kept at >= 15/30 signature agreement
+    val batch = graft.SparkEntry.queries("d14_minhash_estimate")(spark, d)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+
+    // feed in doc_id order split across two batches, so later-id docs
+    // find earlier-id ones in bucket state — both within one batch and
+    // across the boundary — and dup_of is always the lower id
+    val docs = graft.core.Tables.documents(spark, d)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"))
+      .collect().sortBy(_.getLong(0))
+      .map(r => DocumentStreams.Doc(r.getLong(0), ts("09:00"),
+        r.getString(1), r.getString(2), r.getString(3)))
+    val (first, second) = docs.splitAt(docs.length / 2)
+    val in = MemoryStream[DocumentStreams.Doc]
+    val q = DocumentStreams.nearDupStream(in.toDS())
+      .writeStream.format("memory").queryName("neardup_stream")
+      .outputMode("append").start()
+    try {
+      in.addData(first.toSeq)
+      q.processAllAvailable()
+      val afterFirst = spark.table("neardup_stream").count()
+      in.addData(second.toSeq)
+      q.processAllAvailable()
+      val streamed = spark.table("neardup_stream")
+        .as[DocumentStreams.NearDup].collect()
+        .map(n => (n.dup_of, n.doc_id) -> n.est_matches).toMap
+      assert(streamed === batch,
+        "streamed near-dup pairs and estimates must equal the batch d14 answer")
+      assert(afterFirst > 0 && afterFirst < streamed.size,
+        "the split must exercise both in-batch and cross-batch detection")
+    } finally q.stop()
+  }
 }
