@@ -193,6 +193,22 @@ class PlanShapeSpec extends SparkTestBase {
       s"windows should share the (user_id, ts, event_id) sort:\n${plan.take(2000)}")
   }
 
+  test("kNN top-k windows run under WindowGroupLimit (bounded partial top-k)") {
+    // Catalyst pushes a rank() <= k filter into WindowGroupLimitExec: a
+    // size-k heap per group BEFORE the window's full sort, partial on the
+    // map side — the optimization a hand-rolled top-k operator would
+    // re-implement. Pin it so a refactor that breaks the pushdown (e.g.
+    // filtering on a column derived FROM the rank instead of the rank
+    // itself) fails here instead of surfacing as an executor-memory
+    // regression on wide groups at scale.
+    for (name <- Seq("s01_knn_bruteforce", "s03_knn_ivf",
+        "s08_knn_ivf_multiprobe", "m05_patch_knn")) {
+      val plan = executedPlan(name)
+      assert(plan.contains("WindowGroupLimit"),
+        s"$name lost the rank-filter pushdown:\n${plan.take(2000)}")
+    }
+  }
+
   test("d14: verification never re-touches the shingle frame") {
     val plan = executedPlan("d14_minhash_estimate")
     // the operator's whole point: the shingle kernel ran ONCE, inside the
