@@ -45,7 +45,11 @@ object Bucketing {
     * on the partition column prunes whole directories at PLANNING time
     * (`PartitionFilters` on the scan), so a day's query over a 100 TB
     * event lake lists one directory instead of scanning every file's
-    * footer. Partition by coarse, low-cardinality keys (date, source);
+    * footer. When the selective filter lives on a JOINED dimension
+    * instead, dynamic partition pruning turns the broadcast dim's key
+    * set into a runtime partition filter on the fact scan
+    * (`dynamicpruningexpression` — spec-pinned in BucketingSpec).
+    * Partition by coarse, low-cardinality keys (date, source);
     * bucket by fine join keys — the two compose (partitionBy + bucketBy).
     */
   def writeDatePartitioned(df: DataFrame, path: String,

@@ -101,4 +101,35 @@ class BucketingSpec extends SparkTestBase {
       spark0.sql("DROP TABLE IF EXISTS bp_orders")
     }
   }
+
+  test("dynamic partition pruning: a dim-side filter prunes fact partitions at runtime") {
+    import org.apache.spark.sql.functions._
+    // The filter that selects the dates lives on the DIMENSION, so
+    // plan-time pruning cannot see it — only DPP can: the broadcast dim's
+    // key set becomes a runtime partition filter on the fact scan
+    // (dynamicpruningexpression), and a day-filtered join over a 100 TB
+    // event lake lists only the surviving directories.
+    val dir = tmpDir()
+    val ev = graft.core.Tables.events(spark, sf)
+      .withColumn("event_date", to_date(col("ts")))
+    Bucketing.writeDatePartitioned(ev, dir, "event_date")
+    val fact = spark.read.parquet(dir)
+    val calendar = ev.select("event_date").distinct()
+      .withColumn("dow", dayofweek(col("event_date")))
+    val nDates = calendar.count()
+    val chosenDow = calendar.head().getInt(1)
+    val dim = calendar.filter(col("dow") === chosenDow)
+    val nPicked = dim.count()
+    assert(nPicked > 0 && nPicked < nDates,
+      "the dim filter must keep a strict subset of partitions")
+    val joined = fact.join(broadcast(dim), Seq("event_date"))
+      .select("event_id", "event_type", "event_date")
+    val got = joined.collect()
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruningexpression"),
+      s"the fact scan must carry a runtime partition filter:\n${plan.take(2000)}")
+    // and the pruned join returns exactly the rows of the picked dates
+    val expected = ev.join(dim.select("event_date"), Seq("event_date")).count()
+    assert(got.length.toLong === expected)
+  }
 }
