@@ -193,6 +193,52 @@ class PlanShapeSpec extends SparkTestBase {
       s"windows should share the (user_id, ts, event_id) sort:\n${plan.take(2000)}")
   }
 
+  test("runtime bloom filter: a dim-side filter row-filters the fact before its shuffle") {
+    // The shuffle-join sibling of dynamic partition pruning: when the
+    // join key is NOT the partition key, InjectRuntimeFilter builds a
+    // bloom filter from the filtered creation side and semi-filters the
+    // fact's rows BEFORE the join shuffle (might_contain on the scan
+    // side) — at 100 TB that is the difference between shuffling the
+    // whole fact table and shuffling the matching fraction. Thresholds
+    // are sized for petabyte plans, so the spec lowers them to make the
+    // injection observable at fixture scale.
+    import org.apache.spark.sql.functions._
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val li = graft.core.Tables.load(spark, sf, "lineitem")
+      val ord = graft.core.Tables.load(spark, sf, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+      val j = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .select("l_orderkey", "l_quantity", "o_totalprice")
+      val n = j.collect().length
+      val plan = {
+        val full = j.queryExecution.executedPlan.toString
+        val cut = full.indexOf("== Initial Plan ==")
+        if (cut >= 0) full.substring(0, cut) else full
+      }
+      assert(plan.contains("might_contain"),
+        s"fact side must be bloom-filtered before its shuffle:\n${plan.take(2000)}")
+      assert(plan.contains("bloom_filter_agg"),
+        "the filtered dim must build the bloom filter")
+      // the filter is a pure pruning aid: result cardinality is unchanged
+      val expected = graft.core.Tables.load(spark, sf, "lineitem")
+        .join(graft.core.Tables.load(spark, sf, "orders")
+          .filter(col("o_orderpriority") === "1-URGENT")
+          .hint("broadcast"), col("l_orderkey") === col("o_orderkey"))
+        .count()
+      assert(n.toLong === expected)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("kNN top-k windows run under WindowGroupLimit (bounded partial top-k)") {
     // Catalyst pushes a rank() <= k filter into WindowGroupLimitExec: a
     // size-k heap per group BEFORE the window's full sort, partial on the
