@@ -193,6 +193,42 @@ class PlanShapeSpec extends SparkTestBase {
       s"windows should share the (user_id, ts, event_id) sort:\n${plan.take(2000)}")
   }
 
+  test("parquet aggregate pushdown: COUNT/MIN/MAX answered from footer statistics") {
+    // Whole-table COUNT/MIN/MAX need not read ANY data pages: parquet
+    // footers already carry per-row-group counts and column min/max, and
+    // the DSv2 scan answers the aggregate from them (PushedAggregation)
+    // — on a 100 TB lake that is metadata-only I/O instead of a full
+    // scan. Needs the V2 parquet path; the conf flip is session-local
+    // and restored.
+    import org.apache.spark.sql.functions._
+    val confs = Seq(
+      "spark.sql.sources.useV1SourceList" -> "",
+      "spark.sql.parquet.aggregatePushdown" -> "true")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    val pushed =
+      try {
+        val q = graft.core.Tables.load(spark, sf, "lineitem")
+          .agg(count(lit(1)).as("n"), min(col("l_orderkey")).as("mn"),
+            max(col("l_orderkey")).as("mx"))
+        val row = q.collect().head
+        val plan = q.queryExecution.executedPlan.toString
+        assert(plan.contains(
+          "PushedAggregation: [COUNT(*), MIN(l_orderkey), MAX(l_orderkey)]"),
+          s"aggregate must be answered from footer stats:\n${plan.take(2000)}")
+        (row.getLong(0), row.getLong(1), row.getLong(2))
+      } finally saved.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+    // recompute on the restored default (v1 full-scan) path: the
+    // footer-stat answer must be the data's answer
+    val full = graft.core.Tables.load(spark, sf, "lineitem")
+      .agg(count(lit(1)), min(col("l_orderkey")), max(col("l_orderkey")))
+      .collect().head
+    assert(pushed === ((full.getLong(0), full.getLong(1), full.getLong(2))))
+  }
+
   test("runtime bloom filter: a dim-side filter row-filters the fact before its shuffle") {
     // The shuffle-join sibling of dynamic partition pruning: when the
     // join key is NOT the partition key, InjectRuntimeFilter builds a
