@@ -130,6 +130,21 @@ object Kernels {
     * oracle's O(types·tokens) `list_filter` recount is affordable there
     * because the oracle only ever runs at gate scale.
     */
+  def diversityMoments(toks: Array[String]): (Long, Long, Long, Long) = {
+    val counts = new java.util.HashMap[String, Int]()
+    var i = 0
+    while (i < toks.length) { counts.merge(toks(i), 1, Integer.sum); i += 1 }
+    var sq = 0L
+    var hapax = 0L
+    val it = counts.values().iterator()
+    while (it.hasNext) {
+      val c = it.next().toLong
+      sq += c * c
+      if (c == 1L) hapax += 1L
+    }
+    (toks.length.toLong, counts.size.toLong, sq, hapax)
+  }
+
   private val MhA: Array[Long] = Portable.MinHashCoeffs.map(_._1).toArray
   private val MhB: Array[Long] = Portable.MinHashCoeffs.map(_._2).toArray
 
@@ -159,20 +174,5 @@ object Kernels {
       }
       Some(sig)
     }
-  }
-
-  def diversityMoments(toks: Array[String]): (Long, Long, Long, Long) = {
-    val counts = new java.util.HashMap[String, Int]()
-    var i = 0
-    while (i < toks.length) { counts.merge(toks(i), 1, Integer.sum); i += 1 }
-    var sq = 0L
-    var hapax = 0L
-    val it = counts.values().iterator()
-    while (it.hasNext) {
-      val c = it.next().toLong
-      sq += c * c
-      if (c == 1L) hapax += 1L
-    }
-    (toks.length.toLong, counts.size.toLong, sq, hapax)
   }
 }

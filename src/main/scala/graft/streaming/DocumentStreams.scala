@@ -68,11 +68,13 @@ object DocumentStreams {
       .withWatermark("ingest_ts", watermark)
       .dropDuplicatesWithinWatermark("content_hash")
 
-  /** One band row of a document's MinHash signature: `bkey` is an
-    * engine-internal fold of (band id, the band's 3 signature rows) —
-    * collisions only create candidate comparisons, which the full
-    * 30-component agreement check then rejects, so the fold needs no
-    * cryptographic strength.
+  /** One band row of a document's MinHash signature: `bkey` is the SAME
+    * xxhash64 fold of (band id, the band's 3 signature rows) the batch
+    * queries build with `xxhash64(lit(j), mh₃ⱼ, mh₃ⱼ₊₁, mh₃ⱼ₊₂)` —
+    * seed 42, then one chained hash per value — so the stream's
+    * candidate pairs are STRUCTURALLY the batch d14 candidate set, not
+    * merely probabilistically (a weaker fold could collide non-agreeing
+    * band triples and emit a pair the batch answer lacks).
     */
   final case class BandRow(bkey: Long, doc_id: Long, sig: Array[Long])
 
@@ -109,9 +111,14 @@ object DocumentStreams {
         case None => Iterator.empty // < 3 tokens: no shingles, no signature
         case Some(sig) =>
           (0 until 10).iterator.map { j =>
-            var h = 1125899906842597L * (j + 1)
+            var h = org.apache.spark.sql.catalyst.expressions.XXH64
+              .hashInt(j, 42L)
             var k = 0
-            while (k < 3) { h = h * 31 + sig(3 * j + k); k += 1 }
+            while (k < 3) {
+              h = org.apache.spark.sql.catalyst.expressions.XXH64
+                .hashLong(sig(3 * j + k), h)
+              k += 1
+            }
             BandRow(h, d.doc_id, sig)
           }
       }

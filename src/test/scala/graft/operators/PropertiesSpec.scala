@@ -148,6 +148,29 @@ class PropertiesSpec extends SparkTestBase {
     assert(mid.subsetOf(strict))
   }
 
+  test("JVM XXH64 band fold equals Catalyst xxhash64(lit(j), mh0, mh1, mh2)") {
+    // the streaming near-dup frontier buckets with a driver-side XXH64
+    // chain; it must produce the BATCH band keys (d03/d14's
+    // xxhash64(band, 3 signature rows)) bit-for-bit, or stream and batch
+    // candidate sets silently diverge
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    val g = Gen.zip(Gen.chooseNum(0, 9),
+      Gen.listOfN(3, Gen.chooseNum(0L, graft.functions.Portable.MinHashP)))
+    val cases = sample(g, 150, 11L).map { case (j, ms) =>
+      (j, ms(0), ms(1), ms(2))
+    }
+    val fromSpark = cases.toDF("j", "m0", "m1", "m2")
+      .select(xxhash64(col("j"), col("m0"), col("m1"), col("m2")).as("h"))
+      .collect().map(_.getLong(0))
+    cases.zip(fromSpark).foreach { case ((j, m0, m1, m2), want) =>
+      var h = XXH64.hashInt(j, 42L)
+      h = XXH64.hashLong(m0, h)
+      h = XXH64.hashLong(m1, h)
+      h = XXH64.hashLong(m2, h)
+      assert(h === want, s"fold mismatch for ($j, $m0, $m1, $m2)")
+    }
+  }
+
   test("Kernels.diversityMoments equals a naive multiset recompute on random text") {
     import graft.functions.Kernels
     val wordGen = Gen.oneOf("a", "bb", "ccc", "dd", "a", "e f", "", "  ")
