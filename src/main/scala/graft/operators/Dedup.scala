@@ -136,6 +136,20 @@ object Dedup {
     g.groupBy("doc_id").agg(mhCols.head, mhCols.tail: _*)
   }
 
+  /** Per-document 60-bit SimHash sketches (doc_id, simhash) — ONE
+    * derivation shared by d04 (the sketch query) and d11 (the Hamming
+    * pair join that consumes them), so the two can never silently
+    * diverge on the sketch arithmetic.
+    */
+  private def simhashFrame(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    docs(s, d).select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions(_.map { case (id, tx) =>
+        (id, Kernels.simhash60(Kernels.lowerTokens(tx)))
+      })
+      .toDF("doc_id", "simhash")
+  }
+
   /** Banded LSH candidate pairs (doc_a < doc_b, distinct) from MinHash
     * signatures: 10 bands × 3 rows. The band bucket key is
     * engine-internal (never oracle-compared), so it can be one xxhash64
@@ -623,15 +637,7 @@ object Dedup {
     // documents.
     Q("d04_simhash",
       "60-bit term-frequency SimHash sketch per document",
-      (s, d) => {
-        import s.implicits._
-        docs(s, d).select(col("doc_id"), col("text")).as[(Long, String)]
-          .mapPartitions(_.map { case (id, tx) =>
-            (id, Kernels.simhash60(Kernels.lowerTokens(tx)))
-          })
-          .toDF("doc_id", "simhash")
-          .orderBy("doc_id")
-      },
+      (s, d) => simhashFrame(s, d).orderBy("doc_id"),
       Some(s"$sqlSimhashed\nSELECT doc_id, simhash FROM sk ORDER BY doc_id")),
 
     // SimHash Hamming-distance pair join — the CONSUMER of d04's sketches
@@ -649,12 +655,7 @@ object Dedup {
     Q("d11_simhash_hamming",
       "near-dup pairs at SimHash Hamming distance <= 3 (4x15-bit banded join, pigeonhole-lossless)",
       (s, d) => {
-        import s.implicits._
-        val sk = docs(s, d).select(col("doc_id"), col("text")).as[(Long, String)]
-          .mapPartitions(_.map { case (id, tx) =>
-            (id, Kernels.simhash60(Kernels.lowerTokens(tx)))
-          })
-          .toDF("doc_id", "simhash")
+        val sk = simhashFrame(s, d)
         val bands = sk.select(col("doc_id"), col("simhash"),
           explode(array((0 until 4).map(j =>
             xxhash64(lit(j), shiftright(col("simhash"), 15 * j)

@@ -902,12 +902,19 @@ object RelationalQueries {
         val sy = col("_sy").cast("double")
         val sy2 = col("_sy2").cast("double")
         val sxy = col("_sxy").cast("double")
+        // degenerate-group guards, mirrored in the oracle: a singleton
+        // group's (n-1) divisor is a 0/0 (NULL in Spark's non-ANSI
+        // divide, NaN in DuckDB — a silent cross-engine divergence), and
+        // a zero-variance side zeroes corr's denominator the same way;
+        // both become explicit NULLs in both engines
         g.select(col("event_type"), n,
             (sx / n).as("mean_value"),
-            ((sx2 - sx * sx / n) / (n - lit(1))).as("var_value"),
-            sqrt((sx2 - sx * sx / n) / (n - lit(1))).as("stddev_value"),
-            ((n * sxy - sx * sy) /
-              sqrt((n * sx2 - sx * sx) * (n * sy2 - sy * sy)))
+            when(n > 1, (sx2 - sx * sx / n) / (n - lit(1))).as("var_value"),
+            when(n > 1, sqrt((sx2 - sx * sx / n) / (n - lit(1))))
+              .as("stddev_value"),
+            when((n * sx2 - sx * sx) * (n * sy2 - sy * sy) > 0,
+              (n * sxy - sx * sy) /
+                sqrt((n * sx2 - sx * sx) * (n * sy2 - sy * sy)))
               .as("corr_value_hour"))
           .orderBy("event_type")
       },
@@ -922,10 +929,12 @@ object RelationalQueries {
              |  FROM e GROUP BY 1)
              |SELECT event_type, n,
              |  sx / n AS mean_value,
-             |  (sx2 - sx * sx / n) / (n - 1) AS var_value,
-             |  sqrt((sx2 - sx * sx / n) / (n - 1)) AS stddev_value,
-             |  (n * sxy - sx * sy) /
-             |    sqrt((n * sx2 - sx * sx) * (n * sy2 - sy * sy)) AS corr_value_hour
+             |  CASE WHEN n > 1 THEN (sx2 - sx * sx / n) / (n - 1) END AS var_value,
+             |  CASE WHEN n > 1 THEN sqrt((sx2 - sx * sx / n) / (n - 1)) END AS stddev_value,
+             |  CASE WHEN (n * sx2 - sx * sx) * (n * sy2 - sy * sy) > 0 THEN
+             |    (n * sxy - sx * sy) /
+             |      sqrt((n * sx2 - sx * sx) * (n * sy2 - sy * sy))
+             |  END AS corr_value_hour
              |FROM g ORDER BY event_type""".stripMargin)),
 
     // Type-2 slowly-changing-dimension build — the canonical warehouse

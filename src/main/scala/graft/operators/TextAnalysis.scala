@@ -548,8 +548,12 @@ object TextAnalysis {
         import s.implicits._
         docs(s, d).select(col("doc_id"), col("text")).as[(Long, String)]
           .mapPartitions(_.map { case (id, tx) =>
+            // space-only split — the exact twin of the oracle's sqlToks
+            // (string_split(text, ' ')); Kernels.tokenize's full \s set
+            // would diverge on tab/newline-bearing text (the other raw-
+            // text kernels split the same way, e.g. qualityFilterOf)
             val (n, types, sq, hapax) =
-              Kernels.diversityMoments(Kernels.tokenize(tx))
+              Kernels.diversityMoments(tx.split(" ").filter(_.nonEmpty))
             (id, n, types, sq, n * n - sq, n - types, hapax)
           })
           .toDF("doc_id", "n_tokens", "n_types", "sq_counts", "gini_num",

@@ -74,9 +74,11 @@ object DocumentStreams {
     * seed 42, then one chained hash per value — so the stream's
     * candidate pairs are STRUCTURALLY the batch d14 candidate set, not
     * merely probabilistically (a weaker fold could collide non-agreeing
-    * band triples and emit a pair the batch answer lacks).
+    * band triples and emit a pair the batch answer lacks). `band`
+    * carries the band id for the min-agreeing-band emission rule.
     */
-  final case class BandRow(bkey: Long, doc_id: Long, sig: Array[Long])
+  final case class BandRow(band: Int, bkey: Long, doc_id: Long,
+      sig: Array[Long])
 
   /** A detected near-duplicate: `doc_id` arrived after `dup_of` and their
     * signatures agree on `est_matches` of 30 components.
@@ -90,16 +92,20 @@ object DocumentStreams {
     * explodes into 10 band rows; per band BUCKET, group state holds the
     * signatures seen so far, and a new arrival emits one row per stored
     * signature agreeing on >= `minMatches` of 30 components — d14's
-    * estimator, evaluated incrementally. Cross-band re-detections of the
-    * same pair collapse via a streaming dropDuplicates.
+    * estimator, evaluated incrementally. A pair sharing several bands
+    * would re-detect in each; emission is restricted to the pair's
+    * SMALLEST agreeing band — computable inside the bucket because both
+    * full signatures are at hand — so every pair emits exactly once with
+    * no cross-bucket coordination and no second dedup state store.
     *
-    * Scale notes: state is per-BUCKET (2^15-ish buckets per band bound
-    * the expected occupancy — the d03 story), and each entry is a 240 B
-    * signature, never the document. State here never expires (the spec's
-    * exactness contract vs the batch answer needs the full horizon); a
-    * production frontier TTLs buckets by ingest time — accepting
-    * horizon-bounded dedup exactly as [[curatedIngest]] does — and
-    * periodically re-runs the batch d09 components over the sink.
+    * Scale notes: the per-bucket signature lists are the ONLY state
+    * (2^15-ish buckets per band bound the expected occupancy — the d03
+    * story), and each entry is a 240 B signature, never the document.
+    * State here never expires (the spec's exactness contract vs the
+    * batch answer needs the full horizon); a production frontier TTLs
+    * buckets by ingest time — accepting horizon-bounded dedup exactly as
+    * [[curatedIngest]] does — and periodically re-runs the batch d09
+    * components over the sink.
     */
   def nearDupStream(docs: Dataset[Doc],
       minMatches: Int = 15): Dataset[NearDup] = {
@@ -119,12 +125,25 @@ object DocumentStreams {
                 .hashLong(sig(3 * j + k), h)
               k += 1
             }
-            BandRow(h, d.doc_id, sig)
+            BandRow(j, h, d.doc_id, sig)
           }
       }
     }
 
-    def update(bkey: Long, rows: Iterator[BandRow],
+    // smallest band on which the two signatures agree exactly (they
+    // share at least one — they met in a bucket), the pair's unique
+    // emission site
+    def minAgreeingBand(a: Array[Long], b: Array[Long]): Int = {
+      var j = 0
+      while (j < 10) {
+        if (a(3 * j) == b(3 * j) && a(3 * j + 1) == b(3 * j + 1) &&
+          a(3 * j + 2) == b(3 * j + 2)) return j
+        j += 1
+      }
+      -1
+    }
+
+    def update(band: Int, rows: Iterator[BandRow],
         state: GroupState[List[(Long, Array[Long])]]): Iterator[NearDup] = {
       val sorted = rows.toSeq.sortBy(_.doc_id)
       var seen = state.getOption.getOrElse(Nil)
@@ -135,7 +154,8 @@ object DocumentStreams {
             var m = 0
             var k = 0
             while (k < 30) { if (psig(k) == r.sig(k)) m += 1; k += 1 }
-            if (m >= minMatches) out += NearDup(r.doc_id, prev, m.toLong)
+            if (m >= minMatches && minAgreeingBand(psig, r.sig) == band)
+              out += NearDup(r.doc_id, prev, m.toLong)
           }
           seen = (r.doc_id, r.sig) :: seen
         }
@@ -144,10 +164,12 @@ object DocumentStreams {
       out.result().iterator
     }
 
-    banded.groupByKey(_.bkey)
+    banded.groupByKey(b => (b.band, b.bkey))
       .flatMapGroupsWithState(OutputMode.Append,
-        GroupStateTimeout.NoTimeout)(update)
-      .dropDuplicates("doc_id", "dup_of")
-      .as[NearDup]
+        GroupStateTimeout.NoTimeout) {
+        (key: (Int, Long), rows: Iterator[BandRow],
+            state: GroupState[List[(Long, Array[Long])]]) =>
+          update(key._1, rows, state)
+      }
   }
 }

@@ -205,13 +205,16 @@ object EventStreams {
   }
 
   /** One user's open SCD2 interval: the dimension's CURRENT row, held as
-    * group state until the next type change closes it. `last` is the
-    * max event time already folded into the history (NOT valid_from —
-    * same-type events advance it without a version change), the frontier
-    * the straggler guard compares against.
+    * group state until the next type change closes it. `(last, last_id)`
+    * is the (event time, event_id) frontier already folded into the
+    * history (NOT valid_from — same-type events advance it without a
+    * version change): the straggler guard compares against the full
+    * (ts, event_id) ORDER KEY, because an event with the frontier's
+    * exact timestamp but a lower event_id also sorts before it in the
+    * batch twin and would rewrite history.
     */
   final case class ScdState(cur_type: String, valid_from: Timestamp,
-      version: Int, last: Timestamp)
+      version: Int, last: Timestamp, last_id: Long)
 
   final case class ScdClosed(user_id: Long, version: Int, event_type: String,
       valid_from: Timestamp, valid_to: Timestamp)
@@ -258,15 +261,18 @@ object EventStreams {
       for (e <- sorted) {
         cur match {
           case None =>
-            cur = Some(ScdState(e.event_type, e.ts, 1, e.ts))
-          case Some(s) if micros(e.ts) < micros(s.last) =>
-            () // straggler behind the committed frontier: append-only, dropped
+            cur = Some(ScdState(e.event_type, e.ts, 1, e.ts, e.event_id))
+          case Some(s) if micros(e.ts) < micros(s.last) ||
+              (micros(e.ts) == micros(s.last) && e.event_id <= s.last_id) =>
+            () // at or behind the committed (ts, event_id) frontier:
+               // would sort before already-folded history — dropped
           case Some(s) if e.event_type == s.cur_type =>
-            cur = Some(s.copy(last = e.ts)) // no change; frontier advances
+            cur = Some(s.copy(last = e.ts, last_id = e.event_id))
           case Some(s) =>
             closed ::= ScdClosed(userId, s.version, s.cur_type,
               s.valid_from, e.ts)
-            cur = Some(ScdState(e.event_type, e.ts, s.version + 1, e.ts))
+            cur = Some(ScdState(e.event_type, e.ts, s.version + 1,
+              e.ts, e.event_id))
         }
       }
       cur.foreach(state.update)

@@ -140,8 +140,13 @@ class ExtendedQueriesSpec extends SparkTestBase {
     val ev = graft.core.Tables.events(spark, sf)
       .select("user_id", "ts", "event_id", "event_type").collect()
       .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getString(3)))
+    // replay in the query's full-precision order: getTime truncates to
+    // milliseconds, so two same-millisecond events could replay in a
+    // different order than q38's (ts, event_id) sort
+    def micros(t: java.sql.Timestamp): Long =
+      Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
     val expected = ev.groupBy(_._1).map { case (u, g) =>
-      val ordered = g.sortBy(e => (e._2.getTime, e._3))
+      val ordered = g.sortBy(e => (micros(e._2), e._3))
       val changes = ordered.foldLeft(List.empty[(String, java.sql.Timestamp)]) {
         case (acc, e) =>
           if (acc.headOption.exists(_._1 == e._4)) acc
