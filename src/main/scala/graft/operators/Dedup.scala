@@ -13,9 +13,11 @@ import graft.functions.Portable._
   * prefix-filtered and frequency-capped exact joins, SimHash sketches +
   * the Manku-banded Hamming pair join, positional span dedup (plain and
   * capped), connected-component canonicalization, embedding near-dup,
-  * eval-set decontamination, and Broder signature-agreement Jaccard
-  * estimation (d14; its semantic sibling d13 SemDeDup lives in
-  * Similarity with the vector machinery).
+  * eval-set decontamination (parameterized over any external eval
+  * table), Broder signature-agreement Jaccard estimation (d14; its
+  * semantic sibling d13 SemDeDup lives in Similarity with the vector
+  * machinery), and incremental dedup of a new batch against the
+  * warehouse's persisted signature store (d15).
   *
   * Scale design per operator is documented inline; the common principles:
   *  - candidate generation is always a join on a *derived small key*
@@ -88,9 +90,15 @@ object Dedup {
     * kernel (one O(|text|) pass per document, no Generate re-evaluation).
     */
   private[graft] def positionalWindows(s: SparkSession, d: String,
+      w: Int): DataFrame = positionalWindowsOf(docs(s, d), w)
+
+  /** [[positionalWindows]] over an arbitrary (doc_id, text) frame — the
+    * form [[decontaminate]] needs to window an EXTERNAL eval table.
+    */
+  private[graft] def positionalWindowsOf(docFrame: DataFrame,
       w: Int): DataFrame = {
-    import s.implicits._
-    docs(s, d).select(col("doc_id"), col("text")).as[(Long, String)]
+    import docFrame.sparkSession.implicits._
+    docFrame.select(col("doc_id"), col("text")).as[(Long, String)]
       .mapPartitions { it =>
         it.flatMap { case (id, text) =>
           val toks = Kernels.lowerTokens(text)
@@ -113,9 +121,16 @@ object Dedup {
     * CacheManager, so no storage outlives the query and embedding
     * applications never need a clearCache contract.
     */
-  private[graft] def explodedShingles(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    docs(s, d).select(col("doc_id"), col("text")).as[(Long, String)]
+  private[graft] def explodedShingles(s: SparkSession, d: String): DataFrame =
+    explodedShinglesOf(docs(s, d))
+
+  /** [[explodedShingles]] over an arbitrary (doc_id, text) frame — the
+    * form d15 needs to shingle ONLY the new batch, never the corpus the
+    * signature store already covers.
+    */
+  private[graft] def explodedShinglesOf(docFrame: DataFrame): DataFrame = {
+    import docFrame.sparkSession.implicits._
+    docFrame.select(col("doc_id"), col("text")).as[(Long, String)]
       .mapPartitions { it =>
         it.flatMap { case (id, text) =>
           val sh = Kernels.shingles(Kernels.lowerTokens(text))
@@ -156,18 +171,57 @@ object Dedup {
     * long instead of a concat string — the bucket join then
     * shuffles/compares 8-byte keys, not ~60-byte strings. The band id is
     * folded INTO the hash, collapsing the (band, bkey) composite key to a
-    * single long.
+    * single long. Each band row also carries its 3 signature components
+    * and the join re-checks their equality AFTER the bucket match, so a
+    * candidate pair is DEFINED by true band-triple agreement — the
+    * ~2^-64 xxhash64 collision on non-agreeing triples can never create
+    * a Spark-only candidate the d14 oracle (which tests real agreement)
+    * or the streaming twin's minAgreeingBand would lack.
     */
+  /** One row per (doc, band): the folded bucket key plus the band's 3
+    * signature components (for the post-join agreement re-check).
+    */
+  private def bandRows(sigs: DataFrame): DataFrame =
+    sigs.select(col("doc_id"), explode(array(
+      (0 until 10).map { j =>
+        val (a, b, c) = (col(s"mh_${3 * j}"), col(s"mh_${3 * j + 1}"),
+          col(s"mh_${3 * j + 2}"))
+        struct(xxhash64(lit(j), a, b, c).as("bkey"),
+          a.as("m0"), b.as("m1"), c.as("m2"))
+      }: _*)).as("b"))
+      .select(col("doc_id"), col("b.bkey").as("bkey"),
+        col("b.m0").as("m0"), col("b.m1").as("m1"), col("b.m2").as("m2"))
+
   private def bandedCandidates(sigs: DataFrame): DataFrame = {
-    val bands = sigs.select(col("doc_id"), explode(array(
-      (0 until 10).map(j =>
-        xxhash64(lit(j), col(s"mh_${3 * j}"), col(s"mh_${3 * j + 1}"),
-          col(s"mh_${3 * j + 2}"))): _*)).as("bkey"))
-    bands.as("x")
+    val bands = bandRows(sigs)
+    // merge-hinted: a corpus band frame never broadcasts (jaccardPairs)
+    bands.as("x").hint("merge")
       .join(bands.as("y"), Seq("bkey"))
-      .filter(col("x.doc_id") < col("y.doc_id"))
+      .filter(col("x.doc_id") < col("y.doc_id") &&
+        col("x.m0") === col("y.m0") && col("x.m1") === col("y.m1") &&
+        col("x.m2") === col("y.m2"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
+  }
+
+  /** Broder signature-agreement estimation of a candidate pair set:
+    * attach both docs' 30-long signatures, count agreeing components,
+    * keep pairs at estimate >= 0.5 — O(30) per pair, the shingle sets are
+    * never re-touched. Shared by d14 (one-frame batch) and d15 (new batch
+    * vs the persisted store).
+    */
+  private def signatureEstimates(cand: DataFrame, sigs: DataFrame): DataFrame = {
+    val aSide = sigs.select(col("doc_id").as("doc_a") +:
+      (0 until 30).map(k => col(s"mh_$k").as(s"a_$k")): _*)
+    val bSide = sigs.select(col("doc_id").as("doc_b") +:
+      (0 until 30).map(k => col(s"mh_$k").as(s"b_$k")): _*)
+    val matches = (0 until 30).map(k =>
+      when(col(s"a_$k") === col(s"b_$k"), 1L).otherwise(0L)).reduce(_ + _)
+    cand.join(aSide, "doc_a").join(bSide, "doc_b")
+      .withColumn("est_matches", matches)
+      .filter(col("est_matches") >= 15)
+      .select(col("doc_a"), col("doc_b"), col("est_matches"),
+        (col("est_matches") * lit(1.0) / 30).as("est_jaccard"))
   }
 
   /** Spark side of the exact pair computation (d02, and the verification
@@ -180,13 +234,23 @@ object Dedup {
     * the standard recall-preserving mitigation for J >= 0.5 thresholds.
     */
   private def jaccardPairs(ex: DataFrame, threshold: Double): DataFrame = {
-    // Pre-partition ONCE by the join key: both self-join sides then plan
-    // identical exchanges and Spark's ReuseExchange computes the shuffle
-    // once instead of twice (measured ~25% off the whole pair stage).
-    val exP = ex.repartition(col("shingle"))
-    val a = exP.select(col("doc_id").as("doc_a"), col("nsh").as("size_a"), col("shingle"))
-    val b = exP.select(col("doc_id").as("doc_b"), col("nsh").as("size_b"), col("shingle"))
-    a.join(b, Seq("shingle"))
+    // Self-join shape, chosen deliberately (SkewSpec pins it):
+    //  - merge hint, NOT broadcast: a corpus self-join side is never
+    //    broadcastable at scale, but Catalyst ESTIMATES the exploded
+    //    kernel output from the parquet input size, so at small-file
+    //    scale it would statically build a multi-million-row hash
+    //    relation AND run the shingle kernel once per side (measured 2×
+    //    the SMJ time at sf0.1; an OOM at 100 TB);
+    //  - no explicit repartition: the two sides are the same frame, so
+    //    the ENSURE_REQUIREMENTS exchanges are canonically identical and
+    //    ReuseExchange computes the shuffle ONCE anyway — while an
+    //    explicit repartition(col)'s REPARTITION_BY_COL origin makes
+    //    AQE's OptimizeSkewedJoin refuse to split a hot shingle
+    //    (overriding a user-requested distribution), silently trading
+    //    away the skew protection this join needs most.
+    val a = ex.select(col("doc_id").as("doc_a"), col("nsh").as("size_a"), col("shingle"))
+    val b = ex.select(col("doc_id").as("doc_b"), col("nsh").as("size_b"), col("shingle"))
+    a.hint("merge").join(b, Seq("shingle"))
       .filter(col("doc_a") < col("doc_b"))
       .groupBy("doc_a", "doc_b", "size_a", "size_b")
       .agg(count(lit(1)).as("intersection"))
@@ -223,6 +287,28 @@ object Dedup {
     else exact
   }
 
+  /** Benchmark decontamination against an ARBITRARY eval table (any frame
+    * with doc_id + text — benchmark suites shipped as their own parquet
+    * in production, a slice of `documents` in the d12 gate): a corpus doc
+    * is contaminated if any of its `w`-token windows appears in the eval
+    * set. The scale shape is d12's defining point and is independent of
+    * where the eval rows come from: eval sets are tiny and the corpus is
+    * 100 TB, so the distinct eval window hashes BROADCAST (left-semi)
+    * onto the corpus window stream — the corpus is scanned once and never
+    * shuffles; the only exchange is the per-doc rollup of the (rare)
+    * hits.
+    */
+  def decontaminate(corpus: DataFrame, evalDocs: DataFrame,
+      w: Int = 13): DataFrame = {
+    val ev = positionalWindowsOf(evalDocs, w)
+      .select(col("span_hash")).distinct()
+    positionalWindowsOf(corpus, w)
+      .join(broadcast(ev), Seq("span_hash"), "left_semi")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_hits"), min(col("pos")).as("first_pos"))
+      .orderBy("doc_id")
+  }
+
   /** Connected components of an undirected pair list (doc_a, doc_b) by
     * alternating large-star / small-star (Kiveris et al., "Connected
     * Components in MapReduce and Beyond", SoCC'14): converges in O(log n)
@@ -237,9 +323,10 @@ object Dedup {
     *    u itself link to the minimum.
     *
     * Each is one groupBy + one self-join on the current edge set; the
-    * per-round driver action is the CONVERGENCE CHECK ONLY (one job
-    * unioning both empty-difference probes — edges never leave the
-    * executors). Each
+    * per-round driver action is the CONVERGENCE CHECK ONLY — one light
+    * aggregate (count + order-free xxhash64 xor/sum fingerprint) over the
+    * new edge set, compared to the previous round's carried-over
+    * fingerprint. Edge rows never leave the executors. Each
     * round CHECKPOINTS eagerly (localCheckpoint): both star ops reference
     * their input several times, so without truncation the logical plan
     * grows multiplicatively per round and the optimizer itself becomes
@@ -287,16 +374,36 @@ object Dedup {
     try {
       val nodes = init.select(col("src").as("node"))
         .union(init.select(col("dst").as("node"))).distinct()
+      // Order-free set fingerprint: count + bit-xor + exact-decimal sum of
+      // xxhash64(src, dst). Every round's edge set is already DISTINCT
+      // (both star ops end in .distinct()), so fingerprint equality means
+      // set equality up to an engineered ~2^-128 collision — the same
+      // information the earlier probe bought with two `except`s, i.e. two
+      // distinct-aggregating JOINS (~4 extra shuffles) per round that were
+      // ~a third of d09's total cost. The previous round's fingerprint is
+      // CARRIED OVER, so convergence costs ONE map-side-partial aggregate
+      // job per round, never a join.
+      def fingerprint(e: DataFrame): (Long, Long, java.math.BigDecimal) = {
+        val r = e.agg(
+          count(lit(1)),
+          expr("bit_xor(xxhash64(src, dst))"),
+          sum(xxhash64(col("src"), col("dst")).cast("decimal(38,0)")))
+          .collect().head
+        (r.getLong(0),
+          if (r.isNullAt(1)) 0L else r.getLong(1),
+          if (r.isNullAt(2)) java.math.BigDecimal.ZERO else r.getDecimal(2))
+      }
       var edges = init
+      var fpPrev = fingerprint(init)
       var converged = false
       var rounds = 0
       while (!converged && rounds < maxRounds) {
         val next = smallStar(largeStar(edges)).localCheckpoint(true)
-        // one driver action per round, not two: both empty-difference
-        // probes ride a single job (LocalLimit pushes into each union arm)
-        converged = next.except(edges).union(edges.except(next))
-          .limit(1).count() == 0
+        val fpNext = fingerprint(next)
+        converged = fpNext._1 == fpPrev._1 && fpNext._2 == fpPrev._2 &&
+          fpNext._3.compareTo(fpPrev._3) == 0
         edges = next
+        fpPrev = fpNext
         rounds += 1
       }
       if (!converged)
@@ -330,15 +437,14 @@ object Dedup {
              |  doc_id <> min(doc_id) OVER (PARTITION BY md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))) AS is_duplicate
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
-    // No materialization here: jaccardPairs pre-partitions the exploded
-    // frame once and BOTH self-join sides read that single exchange
-    // (ReuseExchange), so the shingle kernel already runs exactly once.
-    // (Queries whose branches genuinely lack a common exchange —
-    // d03/d06/d07 — materialize it via eager localCheckpoint; see
-    // [[explodedShingles]].)
+    // Eager localCheckpoint before the self-join, like d03/d06/d07: the
+    // two join sides' exchanges only canonicalize equal (ReuseExchange)
+    // over a common leaf — duplicated MapPartitions (typed-kernel)
+    // subtrees do NOT, so an un-materialized frame runs the shingle
+    // kernel once per side (measured +40% at sf0.1).
     Q("d02_ngram_jaccard",
       "near-duplicate pairs by exact word-trigram Jaccard >= 0.5",
-      (s, d) => jaccardPairs(explodedShingles(s, d), 0.5)
+      (s, d) => jaccardPairs(explodedShingles(s, d).localCheckpoint(true), 0.5)
         .orderBy("doc_a", "doc_b"),
       Some(sqlExactJaccard(0.5))),
 
@@ -436,11 +542,14 @@ object Dedup {
           .filter(col("df") * lit(100) <= col("ndocs"))
           .select("doc_id", "shingle")
         val sizes = capped.groupBy("doc_id").agg(count(lit(1)).as("nsh_c"))
+        // merge-hinted self-join over shared ENSURE_REQUIREMENTS
+        // exchanges: one shuffle (ReuseExchange), AQE-skew-splittable,
+        // never a static broadcast of a misestimated exploded frame —
+        // the jaccardPairs rationale
         val cp = capped.join(sizes.hint("shuffle_hash"), Seq("doc_id"))
-          .repartition(col("shingle"))
         val a = cp.select(col("doc_id").as("doc_a"), col("nsh_c").as("size_a"), col("shingle"))
         val b = cp.select(col("doc_id").as("doc_b"), col("nsh_c").as("size_b"), col("shingle"))
-        a.join(b, Seq("shingle"))
+        a.hint("merge").join(b, Seq("shingle"))
           .filter(col("doc_a") < col("doc_b"))
           .groupBy("doc_a", "doc_b", "size_a", "size_b")
           .agg(count(lit(1)).as("intersection"))
@@ -562,7 +671,7 @@ object Dedup {
     Q("d09_dedup_components",
       "near-dup clusters: connected components of d02's pair graph, canonical = min id",
       (s, d) => {
-        val pairs = jaccardPairs(explodedShingles(s, d), 0.5)
+        val pairs = jaccardPairs(explodedShingles(s, d).localCheckpoint(true), 0.5)
           .select(col("doc_a"), col("doc_b"))
         val labels = connectedComponents(pairs)
         val sizes = labels.groupBy(col("label").as("canonical_id"))
@@ -605,14 +714,13 @@ object Dedup {
     Q("d12_decontaminate",
       "eval-split decontamination: corpus docs sharing any 13-token window with eval docs",
       (s, d) => {
-        val win = positionalWindows(s, d, 13).localCheckpoint(true)
-        val ev = win.filter(col("doc_id") % 10 === 7)
-          .select(col("span_hash")).distinct()
-        win.filter(col("doc_id") % 10 =!= 7)
-          .join(broadcast(ev), Seq("span_hash"), "left_semi")
-          .groupBy("doc_id")
-          .agg(count(lit(1)).as("n_hits"), min(col("pos")).as("first_pos"))
-          .orderBy("doc_id")
+        // the gate's eval set is the deterministic doc_id % 10 = 7 slice
+        // (both frames derive from one table so DuckDB can mirror it);
+        // [[decontaminate]] itself takes ANY external eval table —
+        // DecontaminateSpec runs that path against an independent fixture
+        val all = docs(s, d)
+        decontaminate(all.filter(col("doc_id") % 10 =!= 7),
+          all.filter(col("doc_id") % 10 === 7))
       },
       Some("""WITH n AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm FROM documents),
              |tk AS (SELECT doc_id, list_filter(string_split(norm, ' '), t -> t <> '') AS toks FROM n),
@@ -648,20 +756,25 @@ object Dedup {
     // d06's prefix filter; the oracle is the exact all-pairs answer and
     // proves it), and the all-pairs scan never happens. Band keys fold the
     // band id into one xxhash64 long (the d03 trick); both self-join sides
-    // read ONE pre-partitioned exchange (ReuseExchange), so the sketch
+    // read ONE shared exchange (ReuseExchange), so the sketch
     // kernel runs once per document. At 100 TB: 2^15 buckets per band
     // bound the expected fan-out, and the degenerate hot bucket (all-zero
     // sketches from empty docs) is the d07 frequency-cap story again.
     Q("d11_simhash_hamming",
       "near-dup pairs at SimHash Hamming distance <= 3 (4x15-bit banded join, pigeonhole-lossless)",
       (s, d) => {
-        val sk = simhashFrame(s, d)
+        // eager checkpoint (the d14 discipline): the 16 B/doc sketch frame
+        // feeds both self-join sides, so the kernel runs exactly once and
+        // the executed pair plan is sketch-only
+        val sk = simhashFrame(s, d).localCheckpoint(true)
+        // merge-hinted self-join over shared ENSURE_REQUIREMENTS
+        // exchanges: one shuffle (ReuseExchange), AQE-skew-splittable,
+        // never a broadcast of a corpus-sized band frame (jaccardPairs)
         val bands = sk.select(col("doc_id"), col("simhash"),
           explode(array((0 until 4).map(j =>
             xxhash64(lit(j), shiftright(col("simhash"), 15 * j)
               .bitwiseAND(lit(0x7FFFL)))): _*)).as("bkey"))
-          .repartition(col("bkey"))
-        bands.as("x").join(bands.as("y"), Seq("bkey"))
+        bands.as("x").hint("merge").join(bands.as("y"), Seq("bkey"))
           .filter(col("x.doc_id") < col("y.doc_id"))
           .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
             col("x.simhash").as("sa"), col("y.simhash").as("sb"))
@@ -730,41 +843,84 @@ object Dedup {
         // signature aggregation ONCE and are never touched again — the
         // signatures are the only thing worth materializing (3 consumers)
         val sigs = minhashSigs(explodedShingles(s, d)).localCheckpoint(true)
-        val cand = bandedCandidates(sigs)
-        val aSide = sigs.select(col("doc_id").as("doc_a") +:
-          (0 until 30).map(k => col(s"mh_$k").as(s"a_$k")): _*)
-        val bSide = sigs.select(col("doc_id").as("doc_b") +:
-          (0 until 30).map(k => col(s"mh_$k").as(s"b_$k")): _*)
-        val matches = (0 until 30).map(k =>
-          when(col(s"a_$k") === col(s"b_$k"), 1L).otherwise(0L)).reduce(_ + _)
-        cand.join(aSide, "doc_a").join(bSide, "doc_b")
-          .withColumn("est_matches", matches)
-          .filter(col("est_matches") >= 15)
-          .select(col("doc_a"), col("doc_b"), col("est_matches"),
-            (col("est_matches") * lit(1.0) / 30).as("est_jaccard"))
+        signatureEstimates(bandedCandidates(sigs), sigs)
           .orderBy("doc_a", "doc_b")
       },
-      Some {
-        val aList = MinHashCoeffs.map(_._1).mkString("[", ",", "]")
-        val bList = MinHashCoeffs.map(_._2).mkString("[", ",", "]")
-        s"""$sqlShingled,
-           |hs AS (SELECT doc_id,
-           |    list_transform(sh, g0 -> ('0x' || substr(md5(g0), 1, 15))::BIGINT % 2147483647) AS gs
-           |  FROM sh),
-           |sig AS (SELECT doc_id, list_transform(range(0, 30), k ->
-           |      list_aggregate(list_transform(gs,
-           |        g -> (g * ($aList)[k+1] + ($bList)[k+1]) % 2147483647), 'min')) AS sig
-           |  FROM hs),
-           |cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sig AS sa, b.sig AS sb
-           |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
-           |  WHERE len(list_filter(range(0, 10), j ->
-           |    a.sig[3*j+1] = b.sig[3*j+1] AND a.sig[3*j+2] = b.sig[3*j+2]
-           |      AND a.sig[3*j+3] = b.sig[3*j+3])) > 0),
-           |est AS (SELECT doc_a, doc_b,
-           |    len(list_filter(range(0, 30), k -> sa[k+1] = sb[k+1]))::BIGINT AS est_matches
-           |  FROM cand)
-           |SELECT doc_a, doc_b, est_matches, est_matches * 1.0 / 30 AS est_jaccard
-           |FROM est WHERE est_matches >= 15 ORDER BY doc_a, doc_b""".stripMargin
-      })
+      Some(minhashEstimateSql(""))),
+
+    // Incremental batch dedup against a PERSISTED signature store — the
+    // production middle path between d14 (both sides sketched in one
+    // frame) and nearDupStream (continuous state): TODAY's batch (the
+    // deterministic doc_id % 5 = 4 slice) is shingled and signed, the
+    // rest of the corpus is represented ONLY by its stored 30-perm
+    // signatures, written to and read back from a parquet warehouse
+    // table exactly as an ingest pipeline would append them. The dedup
+    // plan therefore scans 240 B signature rows for the stored side —
+    // never the corpus text (plan-asserted: zero shingle kernels in the
+    // executed plan, the store's parquet in its scans). At 100 TB that is
+    // the difference between re-reading the warehouse (~100 TB) and
+    // reading its signature sidecar (~0.1% of it) per daily batch.
+    // Candidates are (new × all) band-agreement pairs — new×stored AND
+    // new×new, so a batch with internal dupes still dedups itself — and
+    // the verdict is d14's signature-agreement estimator; the oracle is
+    // d14's answer restricted to pairs touching the new batch, so the
+    // gate proves store-side dedup loses nothing vs re-sketching the
+    // whole corpus.
+    Q("d15_incremental_neardup",
+      "new-batch (doc_id%5=4) near-dup estimates against the persisted signature store, corpus never re-shingled",
+      (s, d) => {
+        val isNew = col("doc_id") % 5 === 4
+        // the warehouse side: built here so the gated query stays a pure
+        // function of the input tables; in production this parquet is
+        // appended once per ingested batch
+        val store = new java.io.File("target/graft_sigstore_" +
+          md5HexScala(d).take(12)).getAbsolutePath
+        minhashSigs(explodedShinglesOf(docs(s, d).filter(!isNew)))
+          .write.mode("overwrite").parquet(store)
+        val stored = s.read.parquet(store)
+        val fresh = minhashSigs(explodedShinglesOf(docs(s, d).filter(isNew)))
+          .localCheckpoint(true)
+        val all = stored.unionByName(fresh)
+        val nb = bandRows(fresh)
+        val ab = bandRows(all)
+        val cand = nb.as("x").join(ab.as("y"), Seq("bkey"))
+          .filter(col("x.doc_id") =!= col("y.doc_id") &&
+            col("x.m0") === col("y.m0") && col("x.m1") === col("y.m1") &&
+            col("x.m2") === col("y.m2"))
+          .select(least(col("x.doc_id"), col("y.doc_id")).as("doc_a"),
+            greatest(col("x.doc_id"), col("y.doc_id")).as("doc_b"))
+          .distinct()
+        signatureEstimates(cand, all).orderBy("doc_a", "doc_b")
+      },
+      Some(minhashEstimateSql("(a.doc_id % 5 = 4 OR b.doc_id % 5 = 4) AND ")))
   )
+
+  /** DuckDB twin of the d14/d15 signature pipeline: regenerates the
+    * 30-perm signatures, band agreement and the Broder estimates from the
+    * same md5-derived permutations, so the gates pin the estimates
+    * bit-for-bit. `candPred` restricts the candidate pair space (d15's
+    * at-least-one-new rule); "" gates the full frame (d14).
+    */
+  private def minhashEstimateSql(candPred: String): String = {
+    val aList = MinHashCoeffs.map(_._1).mkString("[", ",", "]")
+    val bList = MinHashCoeffs.map(_._2).mkString("[", ",", "]")
+    s"""$sqlShingled,
+       |hs AS (SELECT doc_id,
+       |    list_transform(sh, g0 -> ('0x' || substr(md5(g0), 1, 15))::BIGINT % 2147483647) AS gs
+       |  FROM sh),
+       |sig AS (SELECT doc_id, list_transform(range(0, 30), k ->
+       |      list_aggregate(list_transform(gs,
+       |        g -> (g * ($aList)[k+1] + ($bList)[k+1]) % 2147483647), 'min')) AS sig
+       |  FROM hs),
+       |cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sig AS sa, b.sig AS sb
+       |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+       |  WHERE ${candPred}len(list_filter(range(0, 10), j ->
+       |    a.sig[3*j+1] = b.sig[3*j+1] AND a.sig[3*j+2] = b.sig[3*j+2]
+       |      AND a.sig[3*j+3] = b.sig[3*j+3])) > 0),
+       |est AS (SELECT doc_a, doc_b,
+       |    len(list_filter(range(0, 30), k -> sa[k+1] = sb[k+1]))::BIGINT AS est_matches
+       |  FROM cand)
+       |SELECT doc_a, doc_b, est_matches, est_matches * 1.0 / 30 AS est_jaccard
+       |FROM est WHERE est_matches >= 15 ORDER BY doc_a, doc_b""".stripMargin
+  }
 }

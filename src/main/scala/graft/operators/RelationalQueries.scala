@@ -906,13 +906,17 @@ object RelationalQueries {
         // group's (n-1) divisor is a 0/0 (NULL in Spark's non-ANSI
         // divide, NaN in DuckDB — a silent cross-engine divergence), and
         // a zero-variance side zeroes corr's denominator the same way;
-        // both become explicit NULLs in both engines
+        // both become explicit NULLs in both engines. Each variance
+        // factor is guarded INDEPENDENTLY (not their product): float
+        // cancellation can nudge both zero-variance factors slightly
+        // negative, and a positive product would then admit a
+        // meaningless corr in both engines at once
         g.select(col("event_type"), n,
             (sx / n).as("mean_value"),
             when(n > 1, (sx2 - sx * sx / n) / (n - lit(1))).as("var_value"),
             when(n > 1, sqrt((sx2 - sx * sx / n) / (n - lit(1))))
               .as("stddev_value"),
-            when((n * sx2 - sx * sx) * (n * sy2 - sy * sy) > 0,
+            when((n * sx2 - sx * sx) > 0 && (n * sy2 - sy * sy) > 0,
               (n * sxy - sx * sy) /
                 sqrt((n * sx2 - sx * sx) * (n * sy2 - sy * sy)))
               .as("corr_value_hour"))
@@ -931,7 +935,7 @@ object RelationalQueries {
              |  sx / n AS mean_value,
              |  CASE WHEN n > 1 THEN (sx2 - sx * sx / n) / (n - 1) END AS var_value,
              |  CASE WHEN n > 1 THEN sqrt((sx2 - sx * sx / n) / (n - 1)) END AS stddev_value,
-             |  CASE WHEN (n * sx2 - sx * sx) * (n * sy2 - sy * sy) > 0 THEN
+             |  CASE WHEN (n * sx2 - sx * sx) > 0 AND (n * sy2 - sy * sy) > 0 THEN
              |    (n * sxy - sx * sy) /
              |      sqrt((n * sx2 - sx * sx) * (n * sy2 - sy * sy))
              |  END AS corr_value_hour

@@ -589,8 +589,10 @@ object Similarity {
     // cluster, so the pair space drops from n² to Σ|cluster|². Pipeline
     // here: exact-decimal centroids (s03's trainer) → nearest-centroid
     // assignment (s04, broadcast k×dim — the corpus never shuffles for
-    // it) → one repartition by cluster feeding BOTH self-join sides via
-    // ReuseExchange (the d02/d11 trick) → within-cluster cosine ≥ 0.35
+    // it) → ONE cluster exchange feeding BOTH self-join sides via
+    // ReuseExchange (ENSURE_REQUIREMENTS, not an explicit repartition —
+    // the d02 lesson: REPARTITION_BY_COL would block AQE's skew-split on
+    // a hot cluster) → within-cluster cosine ≥ 0.35
     // pairs → each duplicate charged to its best-matching lower-id
     // keeper. At 100 TB: k grows with n to bound Σ|cluster|², a hot
     // cluster is AQE's skew-split case, and the verdict per vector is
@@ -615,10 +617,12 @@ object Similarity {
           .filter(col("arank") === 1)
           .select(col("vec_id"), col("v"), col("nrm"),
             col("clabel").as("cluster"))
-          .repartition(col("cluster"))
         val wBest = Window.partitionBy(col("dup_id"))
           .orderBy(col("cosine").desc, col("keep_id").asc)
-        assigned.as("a").join(assigned.as("b"), Seq("cluster"))
+        // merge-hinted self-join (the d02 rationale): one reused
+        // ENSURE_REQUIREMENTS cluster exchange, AQE-skew-splittable on a
+        // hot cluster, never a broadcast of the corpus side
+        assigned.as("a").hint("merge").join(assigned.as("b"), Seq("cluster"))
           .filter(col("a.vec_id") < col("b.vec_id"))
           .withColumn("cosine",
             dotFast(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")))

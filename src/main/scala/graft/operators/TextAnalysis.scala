@@ -342,11 +342,15 @@ object TextAnalysis {
     // training chunks (2048 here): a running token count per shard maps
     // each doc to the sequence it starts in and its offset within it (the
     // standard pre-tokenization packing approximation; exact packing
-    // splits/pads at sequence boundaries downstream). The shard key is
-    // `lang` here; at 100 TB it is the output shard (hash bucket), so
-    // every partition packs independently — one window per shard, no
-    // global order, no driver state. Integer arithmetic only (`div`/`%`),
-    // so both engines agree exactly.
+    // splits/pads at sequence boundaries downstream). The shard key here
+    // is `lang` — the per-corpus-slice packing a mixture-aware loader
+    // wants, kept as the SMALL-cardinality gate; its ~6 distinct values
+    // cap parallelism at 6 and sort each language's whole corpus in one
+    // partition, so it is NOT the 100 TB shape. The scale form is
+    // t13_sequence_pack_sharded below: the shard is a 256-way hash bucket
+    // of doc_id and lang rides along as metadata — same integer-exact
+    // arithmetic, parallelism bounded by the bucket count, not the
+    // language count.
     Q("t08_sequence_pack",
       "greedy token-budget sequence packing per language shard (2048-token chunks)",
       (s, d) => {
@@ -368,6 +372,47 @@ object TextAnalysis {
              |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS cum_tokens
              |FROM t)
              |SELECT doc_id, lang, n_tokens, cum_tokens,
+             |  ((cum_tokens - n_tokens) // 2048)::BIGINT AS seq_id,
+             |  (cum_tokens - n_tokens) % 2048 AS seq_offset
+             |FROM c ORDER BY doc_id""".stripMargin)),
+
+    // t08's 100 TB form: the packing shard is a 256-way HASH BUCKET of
+    // doc_id (md5-derived h60, so the oracle computes the identical
+    // bucket), not a natural attribute. Parallelism is then bounded by
+    // the bucket count — a knob, not the data's language skew: the window
+    // sort runs per bucket (~n/256 rows each), every bucket packs
+    // independently, and at 100 TB the bucket IS the output shard a
+    // training-data writer wants (one packed file per bucket). `lang`
+    // stays a metadata column; a sequence id is (shard, seq_id). A
+    // mixture-aware loader that needs language purity runs t08 per
+    // language SLICE instead — the point here is that the ENGINE's
+    // parallelism never keys on a ~6-value column. Integer arithmetic
+    // only, so both engines agree exactly.
+    Q("t13_sequence_pack_sharded",
+      "greedy token-budget sequence packing within 256-way hash-bucket shards (the 100 TB shard key)",
+      (s, d) => {
+        val t = tokens(col("text"))
+        val shard = h60(concat(lit("shard_"), col("doc_id").cast("string"))) % 256
+        val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        docs(s, d)
+          .select(col("doc_id"), col("lang"), shard.as("shard"),
+            size(t).cast("long").as("n_tokens"))
+          .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+          .withColumn("seq_id",
+            expr("(cum_tokens - n_tokens) div 2048"))
+          .withColumn("seq_offset",
+            (col("cum_tokens") - col("n_tokens")) % 2048)
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH t AS (SELECT doc_id, lang,
+             |  ('0x' || substr(md5('shard_' || doc_id), 1, 15))::BIGINT % 256 AS shard,
+             |  len($sqlToks)::BIGINT AS n_tokens FROM documents),
+             |c AS (SELECT doc_id, lang, shard, n_tokens,
+             |  (sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS cum_tokens
+             |FROM t)
+             |SELECT doc_id, lang, shard, n_tokens, cum_tokens,
              |  ((cum_tokens - n_tokens) // 2048)::BIGINT AS seq_id,
              |  (cum_tokens - n_tokens) % 2048 AS seq_offset
              |FROM c ORDER BY doc_id""".stripMargin)),

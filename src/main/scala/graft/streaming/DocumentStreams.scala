@@ -75,10 +75,12 @@ object DocumentStreams {
     * candidate pairs are STRUCTURALLY the batch d14 candidate set, not
     * merely probabilistically (a weaker fold could collide non-agreeing
     * band triples and emit a pair the batch answer lacks). `band`
-    * carries the band id for the min-agreeing-band emission rule.
+    * carries the band id for the min-agreeing-band emission rule;
+    * `ingest_ts` carries the document's event time so the TTL'd variant
+    * can watermark and expire on it.
     */
   final case class BandRow(band: Int, bkey: Long, doc_id: Long,
-      sig: Array[Long])
+      ingest_ts: Timestamp, sig: Array[Long])
 
   /** A detected near-duplicate: `doc_id` arrived after `dup_of` and their
     * signatures agree on `est_matches` of 30 components.
@@ -102,17 +104,15 @@ object DocumentStreams {
     * (2^15-ish buckets per band bound the expected occupancy — the d03
     * story), and each entry is a 240 B signature, never the document.
     * State here never expires (the spec's exactness contract vs the
-    * batch answer needs the full horizon); a production frontier TTLs
-    * buckets by ingest time — accepting horizon-bounded dedup exactly as
-    * [[curatedIngest]] does — and periodically re-runs the batch d09
-    * components over the sink.
+    * batch answer needs the full horizon); [[nearDupStreamTTL]] is the
+    * production variant that TTLs bucket state by event time — accepting
+    * horizon-bounded dedup exactly as [[curatedIngest]] does — with the
+    * batch d09 components over the sink catching cross-horizon pairs.
     */
-  def nearDupStream(docs: Dataset[Doc],
-      minMatches: Int = 15): Dataset[NearDup] = {
+  /** Shared band-explode stage: one [[BandRow]] per (document, band). */
+  private def bandedOf(docs: Dataset[Doc]): Dataset[BandRow] = {
     import docs.sparkSession.implicits._
-    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
-
-    val banded = docs.flatMap { d =>
+    docs.flatMap { d =>
       Kernels.minhashSig(Kernels.lowerTokens(d.text)) match {
         case None => Iterator.empty // < 3 tokens: no shingles, no signature
         case Some(sig) =>
@@ -125,31 +125,44 @@ object DocumentStreams {
                 .hashLong(sig(3 * j + k), h)
               k += 1
             }
-            BandRow(j, h, d.doc_id, sig)
+            BandRow(j, h, d.doc_id, d.ingest_ts, sig)
           }
       }
     }
+  }
 
-    // smallest band on which the two signatures agree exactly (they
-    // share at least one — they met in a bucket), the pair's unique
-    // emission site
-    def minAgreeingBand(a: Array[Long], b: Array[Long]): Int = {
-      var j = 0
-      while (j < 10) {
-        if (a(3 * j) == b(3 * j) && a(3 * j + 1) == b(3 * j + 1) &&
-          a(3 * j + 2) == b(3 * j + 2)) return j
-        j += 1
-      }
-      -1
+  /** Smallest band on which the two signatures agree exactly (they share
+    * at least one — they met in a bucket), the pair's unique emission
+    * site.
+    */
+  private def minAgreeingBand(a: Array[Long], b: Array[Long]): Int = {
+    var j = 0
+    while (j < 10) {
+      if (a(3 * j) == b(3 * j) && a(3 * j + 1) == b(3 * j + 1) &&
+        a(3 * j + 2) == b(3 * j + 2)) return j
+      j += 1
     }
+    -1
+  }
+
+  def nearDupStream(docs: Dataset[Doc],
+      minMatches: Int = 15): Dataset[NearDup] = {
+    import docs.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+    val banded = bandedOf(docs)
 
     def update(band: Int, rows: Iterator[BandRow],
         state: GroupState[List[(Long, Array[Long])]]): Iterator[NearDup] = {
       val sorted = rows.toSeq.sortBy(_.doc_id)
       var seen = state.getOption.getOrElse(Nil)
+      // O(1) redelivery check: a hot bucket's fold must not re-scan the
+      // whole signature list per arriving row (the pair-emission scan
+      // below is O(k) by necessity; the membership probe is not)
+      val seenIds = scala.collection.mutable.HashSet(seen.map(_._1): _*)
       val out = List.newBuilder[NearDup]
       for (r <- sorted) {
-        if (!seen.exists(_._1 == r.doc_id)) { // redelivery: already folded
+        if (seenIds.add(r.doc_id)) { // false: redelivery, already folded
           for ((prev, psig) <- seen) {
             var m = 0
             var k = 0
@@ -169,6 +182,86 @@ object DocumentStreams {
         GroupStateTimeout.NoTimeout) {
         (key: (Int, Long), rows: Iterator[BandRow],
             state: GroupState[List[(Long, Array[Long])]]) =>
+          update(key._1, rows, state)
+      }
+  }
+
+  /** The PRODUCTION variant of [[nearDupStream]]: per-bucket signature
+    * state expires `horizonMinutes` of EVENT TIME after each entry's
+    * ingest — so total state is bounded by the horizon's document volume
+    * (times 10 band rows), not by stream history, and the query runs
+    * forever at any corpus rate. The price is the documented recall
+    * trade: a near-dup pair whose arrivals straddle more than the
+    * horizon is NOT detected (exactly [[curatedIngest]]'s
+    * dropDuplicatesWithinWatermark contract, at near-dup granularity) —
+    * the periodic batch d09/d14 over the sink catches those, which is
+    * how production pipelines layer the two. Within the horizon the
+    * verdicts are IDENTICAL to [[nearDupStream]]'s (same signatures,
+    * same buckets, same min-agreeing-band emission; eviction is
+    * deterministic on the global watermark, so every bucket of a pair
+    * expires consistently and the unique-emission rule survives).
+    *
+    * Mechanics: the band rows carry the document's event time; the
+    * stream watermarks on it with the same horizon (late data beyond the
+    * horizon is as undetectable as expired state — one knob, no second
+    * contract); on every bucket visit, entries older than
+    * watermark − horizon drop before the fold, and the group's timeout
+    * is (re)set to its newest entry + horizon so buckets that stop
+    * receiving expire and REMOVE their state entirely instead of
+    * lingering forever.
+    */
+  def nearDupStreamTTL(docs: Dataset[Doc], minMatches: Int = 15,
+      horizonMinutes: Long = 120): Dataset[NearDup] = {
+    import docs.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val horizonMs = horizonMinutes * 60000L
+
+    def update(band: Int, rows: Iterator[BandRow],
+        state: GroupState[List[(Long, Array[Long], Long)]])
+        : Iterator[NearDup] = {
+      if (state.hasTimedOut) {
+        // no arrivals since the newest entry + horizon: every entry is
+        // past the horizon, drop the bucket
+        state.remove()
+        Iterator.empty
+      } else {
+        val wm = state.getCurrentWatermarkMs()
+        // evict entries the watermark has aged out BEFORE the fold: an
+        // arriving doc never compares against state older than the horizon
+        var seen = state.getOption.getOrElse(Nil)
+          .filter(_._3 + horizonMs > wm)
+        val seenIds = scala.collection.mutable.HashSet(seen.map(_._1): _*)
+        val out = List.newBuilder[NearDup]
+        for (r <- rows.toSeq.sortBy(_.doc_id)) {
+          if (seenIds.add(r.doc_id)) { // false: redelivery, already folded
+            for ((prev, psig, _) <- seen) {
+              var m = 0
+              var k = 0
+              while (k < 30) { if (psig(k) == r.sig(k)) m += 1; k += 1 }
+              if (m >= minMatches && minAgreeingBand(psig, r.sig) == band)
+                out += NearDup(r.doc_id, prev, m.toLong)
+            }
+            seen = (r.doc_id, r.sig, r.ingest_ts.getTime) :: seen
+          }
+        }
+        if (seen.isEmpty) state.remove()
+        else {
+          state.update(seen)
+          // surviving entries all have ts + horizon > wm, so this is
+          // strictly in the future — the setTimeoutTimestamp contract
+          state.setTimeoutTimestamp(seen.map(_._3).max + horizonMs)
+        }
+        out.result().iterator
+      }
+    }
+
+    bandedOf(docs)
+      .withWatermark("ingest_ts", s"$horizonMinutes minutes")
+      .groupByKey(b => (b.band, b.bkey))
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout) {
+        (key: (Int, Long), rows: Iterator[BandRow],
+            state: GroupState[List[(Long, Array[Long], Long)]]) =>
           update(key._1, rows, state)
       }
   }

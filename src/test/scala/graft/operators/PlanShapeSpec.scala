@@ -123,10 +123,17 @@ class PlanShapeSpec extends SparkTestBase {
 
   test("d11: sketch kernel runs once — the band self-join reuses one exchange") {
     val plan = executedPlan("d11_simhash_hamming")
-    assert(countOf(plan, "MapPartitions") == 1,
-      s"simhash kernel must run once, not per join side:\n${plan.take(2000)}")
+    // the sketch kernel ran once, inside the eager checkpoint — the
+    // executed pair plan is sketch-only (the d14 discipline)
+    assert(countOf(plan, "MapPartitions") == 0,
+      s"pair plan must be sketch-only, kernel runs inside the checkpoint:\n${plan.take(2000)}")
+    // merge-hinted self-join: SMJ over ONE reused ENSURE_REQUIREMENTS
+    // exchange at every scale — never a broadcast of a corpus-sized band
+    // frame off a misestimated input
     assert(plan.contains("ReusedExchange"),
-      "second self-join side should reuse the pre-partitioned band exchange")
+      "second self-join side should reuse the band exchange")
+    assert(!plan.contains("BroadcastHashJoin"),
+      "the corpus band self-join must never broadcast")
   }
 
   test("s07: ADC probe join is broadcast — PQ codes never reshuffle for the probe") {
@@ -301,6 +308,26 @@ class PlanShapeSpec extends SparkTestBase {
       s"verification plan must be signature-only:\n${plan.take(2000)}")
     assert(plan.contains("ReusedExchange"),
       s"the band self-join must reuse one exchange:\n${plan.take(2000)}")
+  }
+
+  test("t13: packing pre-sort exchange partitions on the hash-bucket shard, never lang") {
+    val plan = executedPlan("t13_sequence_pack_sharded")
+    val hashEx = plan.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(hashEx.nonEmpty && hashEx.forall(_.contains("shard")),
+      s"the running-sum window must shuffle on the 256-way bucket:\n$hashEx")
+    assert(!hashEx.exists(_.contains("lang")),
+      s"packing parallelism must not key on the ~6-value lang column:\n$hashEx")
+  }
+
+  test("d15: dedup plan reads the signature store, never re-shingles the corpus") {
+    val plan = executedPlan("d15_incremental_neardup")
+    assert(plan.contains("graft_sigstore"),
+      s"stored side must scan the persisted signature parquet:\n${plan.take(2000)}")
+    // zero shingle kernels in the executed dedup plan: the new batch's
+    // signatures are eagerly checkpointed, the warehouse side is parquet
+    assert(countOf(plan, "MapPartitions") == 0,
+      s"no text kernel may run in the incremental dedup plan:\n${plan.take(2000)}")
   }
 
   test("t12: diversity kernel runs once with no shuffle before the output sort") {

@@ -70,6 +70,55 @@ class SkewSpec extends SparkTestBase {
     }
   }
 
+  test("d02/d07 shingle pair join: AQE splits a planted hot shingle AND reuses one exchange") {
+    // The 100 TB hazard d02's comment reasons about: one boilerplate
+    // shingle in a tenth of the corpus would serialize the pair join onto
+    // one reducer. Reproduce jaccardPairs' EXACT shape — same frame
+    // merge-hint self-joined on the shingle with NO explicit repartition
+    // — and assert the two properties that shape buys together: AQE
+    // skew-split fires on the hot shingle, and both sides still read ONE
+    // reused exchange. (An explicit repartition(col("shingle")) keeps
+    // the reuse but its REPARTITION_BY_COL origin makes
+    // OptimizeSkewedJoin refuse the split — probe-verified, which is why
+    // jaccardPairs doesn't pre-partition.)
+    val overrides = Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "8KB",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.0",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "4KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = overrides.map { case (k, _) =>
+      k -> scala.util.Try(spark.conf.get(k)).toOption }
+    overrides.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val n = 20000
+      val ex = spark.range(n.toLong).select(col("id").as("doc_id"),
+        lit(10L).as("nsh"),
+        when(col("id") % 10 === 0, lit(0L))
+          .otherwise(xxhash64(col("id"))).as("shingle"))
+      val a = ex.select(col("doc_id").as("doc_a"), col("nsh").as("size_a"), col("shingle"))
+      val b = ex.select(col("doc_id").as("doc_b"), col("nsh").as("size_b"), col("shingle"))
+      val pairs = a.hint("merge").join(b, Seq("shingle"))
+        .filter(col("doc_a") < col("doc_b"))
+        // post-join thinning so collect() doesn't pull the hot bucket's
+        // 2M pairs to the driver; NON-equi so it can't become a join key
+        .filter(col("doc_b") - col("doc_a") <= 10)
+      pairs.collect()
+      val plan = pairs.queryExecution.executedPlan.toString
+      val cut = plan.indexOf("== Initial Plan ==")
+      val finalPlan = if (cut >= 0) plan.substring(0, cut) else plan
+      assert(finalPlan.contains("skew=true"),
+        s"hot shingle must trigger AQE skew-join split, got:\n$finalPlan")
+      assert(finalPlan.contains("ReusedExchange"),
+        s"the self-join must still read one exchange:\n$finalPlan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("q30 salted join plan carries the salt in the join keys") {
     val df = graft.SparkEntry.queries("q30_salted_join")(
       spark, "/root/testdata/sf0.001")

@@ -78,6 +78,64 @@ class DocumentStreamsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("nearDupStreamTTL: detects within horizon, forgets past it, state tracks the horizon") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    // four mutual near-dups (tiny tail edits of the same long text) and
+    // a herd of distinct fillers to populate—and then expire—state
+    val base = goodText + " plus some more distinct trailing words to shingle on"
+    def doc(id: Long, when: String, text: String) =
+      DocumentStreams.Doc(id, ts(when), text, "en", "src")
+    val in = MemoryStream[DocumentStreams.Doc]
+    val q = DocumentStreams.nearDupStreamTTL(in.toDS(), horizonMinutes = 120)
+      .writeStream.format("memory").queryName("neardup_ttl")
+      .outputMode("append").start()
+    def pairs() = spark.table("neardup_ttl")
+      .as[DocumentStreams.NearDup].collect()
+      .map(n => (n.dup_of, n.doc_id)).toSet
+    def stateRows() = q.lastProgress.stateOperators
+      .map(_.numRowsTotal).sum
+    try {
+      in.addData(doc(1L, "10:00", base + " one"))
+      q.processAllAvailable()
+      in.addData(doc(2L, "10:30", base + " two"))
+      q.processAllAvailable()
+      assert(pairs() === Set((1L, 2L)),
+        "a near-dup arriving within the horizon must be detected")
+      // 50 pairwise-DISSIMILAR fillers at 15:00 drive the watermark to
+      // 13:00 — past docs 1/2's (ingest + 2h) expiry — and fatten state
+      // (every token is filler-unique, so no two share a single trigram)
+      in.addData((100L to 149L).map(i =>
+        doc(i, "15:00", (1 to 30).map(k => s"w${i}x$k").mkString(" "))))
+      q.processAllAvailable()
+      val peak = stateRows()
+      // doc 3 is a near-dup of 1/2 but arrives after their horizon: the
+      // documented recall trade — NOT detected (the batch d09/d14 over
+      // the sink owns cross-horizon pairs)
+      in.addData(doc(3L, "15:30", base + " three"))
+      q.processAllAvailable()
+      assert(pairs() === Set((1L, 2L)),
+        "state past the horizon must be forgotten (recall trade, by contract)")
+      // doc 4 near-dups doc 3 WITHIN the horizon: still detected
+      in.addData(doc(4L, "15:40", base + " four"))
+      q.processAllAvailable()
+      assert(pairs() === Set((1L, 2L), (3L, 4L)),
+        "detection within the horizon must survive the TTL machinery")
+      // two far-future batches advance the watermark past every filler's
+      // expiry; their buckets time out and REMOVE state — total state
+      // tracks the horizon's volume, not stream history
+      in.addData(doc(900L, "22:00", "late window opener " + goodText))
+      q.processAllAvailable()
+      in.addData(doc(901L, "22:05", "late window closer " + goodText.reverse))
+      q.processAllAvailable()
+      val settled = stateRows()
+      assert(settled < peak,
+        s"expired buckets must leave state (peak=$peak settled=$settled)")
+      assert(settled <= 40,
+        s"state must hold only the last horizon's documents, got $settled")
+    } finally q.stop()
+  }
+
   test("nearDupStream finds exactly d14's estimated pairs across batch boundaries") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col

@@ -414,10 +414,16 @@ class EventStreamsSpec extends SparkTestBase {
     // order holds across the boundary, which is the twin's exactness
     // contract — open intervals must carry over as state and close
     // against second-batch changes
+    // feed in the SAME full-precision order the query and its batch twin
+    // use: getTime truncates to milliseconds, so two same-millisecond
+    // events could otherwise cross the batch split in an order the
+    // straggler guard drops
+    def micros(t: java.sql.Timestamp): Long =
+      Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
     val events = graft.core.Tables.events(spark, d)
       .select(col("event_id"), col("ts"), col("user_id"),
         col("event_type"), col("value"))
-      .as[EventStreams.Event].collect().sortBy(e => (e.ts.getTime, e.event_id))
+      .as[EventStreams.Event].collect().sortBy(e => (micros(e.ts), e.event_id))
     val (first, second) = events.splitAt(events.length / 2)
     val in = MemoryStream[EventStreams.Event]
     val q = EventStreams.scd2Stream(in.toDS())
