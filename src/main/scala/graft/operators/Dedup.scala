@@ -217,7 +217,11 @@ object Dedup {
       (0 until 30).map(k => col(s"mh_$k").as(s"b_$k")): _*)
     val matches = (0 until 30).map(k =>
       when(col(s"a_$k") === col(s"b_$k"), 1L).otherwise(0L)).reduce(_ + _)
-    cand.join(aSide, "doc_a").join(bSide, "doc_b")
+    // merge-hinted attaches: the signature side is corpus-sized (d14) or
+    // the whole warehouse store (d15) — broadcasting it is never right,
+    // but a small store parquet's size estimate would statically pick
+    // exactly that; SMJ shuffles the (output-bound) pair set instead
+    cand.join(aSide.hint("merge"), "doc_a").join(bSide.hint("merge"), "doc_b")
       .withColumn("est_matches", matches)
       .filter(col("est_matches") >= 15)
       .select(col("doc_a"), col("doc_b"), col("est_matches"),
@@ -508,7 +512,10 @@ object Dedup {
         // Size filter (J >= t forces t·|a| <= |b| <= |a|/t) prunes pairs
         // before the exchange; pair-level distinct is unnecessary since
         // only the distinct participating DOCS feed verification.
-        val cand = prefix.as("x").join(prefix.as("y"), Seq("shingle"))
+        // Merge-hinted (the jaccardPairs rationale): the prefix frame is
+        // ~n/10 of the corpus — a static broadcast off its misestimated
+        // size would OOM at scale, and SMJ reuses one exchange instead.
+        val cand = prefix.as("x").hint("merge").join(prefix.as("y"), Seq("shingle"))
           .filter(col("x.doc_id") < col("y.doc_id") &&
             col("y.nsh") >= col("x.nsh") * t && col("x.nsh") >= col("y.nsh") * t)
           .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))

@@ -328,6 +328,12 @@ class PlanShapeSpec extends SparkTestBase {
     // signatures are eagerly checkpointed, the warehouse side is parquet
     assert(countOf(plan, "MapPartitions") == 0,
       s"no text kernel may run in the incremental dedup plan:\n${plan.take(2000)}")
+    // the only broadcast allowed is the NEW-batch band side of the
+    // candidate join (the desirable 100 TB plan: the store never moves);
+    // the estimate attaches are merge-hinted so a small store parquet's
+    // size estimate can never statically broadcast the warehouse side
+    assert(countOf(plan, "BroadcastExchange") <= 1,
+      s"only the new-batch candidate side may broadcast:\n${plan.take(3000)}")
   }
 
   test("t12: diversity kernel runs once with no shuffle before the output sort") {
