@@ -899,7 +899,60 @@ object Dedup {
           .distinct()
         signatureEstimates(cand, all).orderBy("doc_a", "doc_b")
       },
-      Some(minhashEstimateSql("(a.doc_id % 5 = 4 OR b.doc_id % 5 = 4) AND ")))
+      Some(minhashEstimateSql("(a.doc_id % 5 = 4 OR b.doc_id % 5 = 4) AND "))),
+
+    // d15's EXACT twin, completing the incremental-warehouse pair: dedup
+    // TODAY's batch against the warehouse's persisted content-hash
+    // sidecar — the (content_hash, canonical_id) table an ingest pipeline
+    // maintains, one 16-byte-keyed row per DISTINCT document ever seen.
+    // Scale shape (the whole point): the batch's distinct hashes
+    // BROADCAST left-semi onto the store scan (the d12 pattern), so the
+    // store — the big side, ~0.02% of corpus text bytes but still TBs at
+    // 100 TB — is scanned once and NEVER shuffled or broadcast
+    // (plan-asserted); the surviving store rows are ≤ |batch| and join
+    // back broadcast. A new doc's canonical is the min doc_id across
+    // store ∪ batch for its hash: least(store canonical if present,
+    // batch min) — so batches with internal dupes still dedup
+    // themselves, and the oracle (the full-corpus d01 canonical
+    // restricted to new docs) proves store-side dedup loses nothing.
+    Q("d16_incremental_exact",
+      "new-batch (doc_id%5=4) exact dedup against the persisted content-hash store, corpus never re-read",
+      (s, d) => {
+        val isNew = col("doc_id") % 5 === 4
+        // the warehouse sidecar: built here so the gated query stays a
+        // pure function of the input tables; production appends per batch
+        val store = new java.io.File("target/graft_hashstore_" +
+          md5HexScala(d).take(12)).getAbsolutePath
+        docs(s, d).filter(!isNew)
+          .select(col("doc_id"), md5(normText(col("text"))).as("content_hash"))
+          .groupBy("content_hash").agg(min(col("doc_id")).as("stored_canonical"))
+          .write.mode("overwrite").parquet(store)
+        val stored = s.read.parquet(store)
+        val fresh = docs(s, d).filter(isNew)
+          .select(col("doc_id"), md5(normText(col("text"))).as("content_hash"))
+          .localCheckpoint(true)
+        val hit = stored.join(
+          broadcast(fresh.select("content_hash").distinct()),
+          Seq("content_hash"), "left_semi")
+        val batchMin = fresh.groupBy("content_hash")
+          .agg(min(col("doc_id")).as("batch_min"))
+        fresh.join(batchMin.hint("shuffle_hash"), Seq("content_hash"))
+          .join(broadcast(hit), Seq("content_hash"), "left")
+          .select(col("doc_id"), col("content_hash"),
+            least(coalesce(col("stored_canonical"), col("batch_min")),
+              col("batch_min")).as("canonical_id"))
+          .withColumn("is_duplicate", col("doc_id") =!= col("canonical_id"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH h AS (SELECT doc_id,
+             |    md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS content_hash
+             |  FROM documents),
+             |c AS (SELECT content_hash, min(doc_id) AS canonical_id FROM h GROUP BY 1)
+             |SELECT h.doc_id, h.content_hash, c.canonical_id,
+             |  h.doc_id <> c.canonical_id AS is_duplicate
+             |FROM h JOIN c USING (content_hash)
+             |WHERE h.doc_id % 5 = 4
+             |ORDER BY doc_id""".stripMargin))
   )
 
   /** DuckDB twin of the d14/d15 signature pipeline: regenerates the

@@ -248,7 +248,15 @@ object EventStreams {
     * declared because none would act: state timeout is NoTimeout (a
     * dimension's current row never expires) and the straggler guard, not
     * a watermark, is what bounds disorder — a production job bounds live
-    * users by the keyspace.
+    * users by the keyspace. A TTL'd variant (the
+    * DocumentStreams.nearDupStreamTTL treatment) is deliberately NOT
+    * offered here: near-dup bucket state grows with stream HISTORY and
+    * expiring it trades recall, but SCD2 state is one row per live
+    * ENTITY — already the dimension's own cardinality — and expiring a
+    * user's current row would corrupt the history (their next event
+    * would open version 1 again instead of closing the real interval).
+    * Bounded-state-by-TTL and correct-SCD2 are mutually exclusive;
+    * bounding the keyspace is the production lever.
     */
   def scd2Stream(events: Dataset[Event]): Dataset[ScdClosed] = {
     import events.sparkSession.implicits._

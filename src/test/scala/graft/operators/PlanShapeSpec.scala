@@ -336,6 +336,22 @@ class PlanShapeSpec extends SparkTestBase {
       s"only the new-batch candidate side may broadcast:\n${plan.take(3000)}")
   }
 
+  test("d16: batch hashes broadcast-semi onto the store scan — the store never shuffles") {
+    // asserted on the FULL adaptive string (initial plan included): at
+    // fixture scale no batch hash hits the store, and AQE's
+    // empty-relation propagation rightly erases the store subtree from
+    // the final plan — the scale property lives in the static shape
+    val df = graft.SparkEntry.queries("d16_incremental_exact")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_hashstore"),
+      s"warehouse side must scan the persisted hash sidecar:\n${plan.take(2000)}")
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      s"batch hashes must broadcast left-semi onto the store:\n${plan.take(2000)}")
+    assert(!plan.contains("SortMergeJoin"),
+      "the store must never sort or shuffle to meet the batch")
+  }
+
   test("t12: diversity kernel runs once with no shuffle before the output sort") {
     val plan = executedPlan("t12_lexical_diversity")
     assert(countOf(plan, "MapPartitions") == 1,
