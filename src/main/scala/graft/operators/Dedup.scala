@@ -142,10 +142,12 @@ object Dedup {
 
   /** 30-permutation MinHash signature per document (columns doc_id,
     * mh_0..mh_29) from the exploded-shingle frame — shared by d03 (LSH
-    * candidates, exact verify) and d14 (signature-agreement estimates),
-    * so a permutation-family change can never diverge the two.
+    * candidates, exact verify), d14 (signature-agreement estimates),
+    * d15 (the store build) and the streaming store ingest
+    * (DocumentStreams.signatureIngest), so a permutation-family change
+    * can never diverge any of them.
     */
-  private def minhashSigs(ex: DataFrame): DataFrame = {
+  private[graft] def minhashSigs(ex: DataFrame): DataFrame = {
     val g = ex.withColumn("g", col("shingle") % MinHashP)
     val mhCols = (0 until 30).map(k => min(perm(k, col("g"))).as(s"mh_$k"))
     g.groupBy("doc_id").agg(mhCols.head, mhCols.tail: _*)

@@ -265,4 +265,39 @@ object DocumentStreams {
           update(key._1, rows, state)
       }
   }
+
+  /** One micro-batch of the signature-store ingest: compute the batch's
+    * 30-perm signatures with the SAME aggregation the batch queries use
+    * (graft.operators.Dedup.minhashSigs over the exploded-shingle
+    * kernel — bit-identical to what d15 would compute) and write them
+    * to `store/batch_id=<id>` in OVERWRITE mode. The batch-id subdir is
+    * the idempotence mechanism: foreachBatch re-delivers a batch after
+    * a failure with the SAME id, and the rewrite replaces that batch's
+    * rows instead of appending duplicates — the standard exactly-once
+    * parquet-sink discipline. Exposed separately so the spec can replay
+    * a batch id directly.
+    */
+  private[graft] def writeSignatureBatch(batch: Dataset[Doc],
+      store: String, batchId: Long): Unit = {
+    val sigs = graft.operators.Dedup.minhashSigs(
+      graft.operators.Dedup.explodedShinglesOf(
+        batch.toDF().select("doc_id", "text")))
+    sigs.write.mode("overwrite").parquet(s"$store/batch_id=$batchId")
+  }
+
+  /** The streaming PRODUCER of the warehouse signature sidecar that
+    * d15_incremental_neardup consumes: as documents stream in, each
+    * micro-batch's signatures append to the store (idempotently, via
+    * [[writeSignatureBatch]]'s per-batch overwrite), so the daily
+    * incremental dedup batch reads an up-to-date 240 B/doc store and
+    * never re-touches document text. Completes the incremental story:
+    * curatedIngest/nearDupStreamTTL curate the frontier, this maintains
+    * the store, d15/d16 reconcile batches against it.
+    */
+  def signatureIngest(docs: Dataset[Doc], store: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[Doc] =
+    docs.writeStream.foreachBatch {
+      (batch: Dataset[Doc], batchId: Long) =>
+        writeSignatureBatch(batch, store, batchId)
+    }
 }

@@ -136,6 +136,44 @@ class DocumentStreamsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("signatureIngest: streamed store equals the batch signatures; replays are idempotent") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    implicit val sq = spark.sqlContext
+    val d = "/root/testdata/sf0.001"
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_sig_ingest").toString
+    val docs = graft.core.Tables.documents(spark, d)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"))
+      .collect().sortBy(_.getLong(0))
+      .map(r => DocumentStreams.Doc(r.getLong(0), ts("09:00"),
+        r.getString(1), r.getString(2), r.getString(3)))
+    val (first, second) = docs.splitAt(docs.length / 2)
+    val in = MemoryStream[DocumentStreams.Doc]
+    val q = DocumentStreams.signatureIngest(in.toDS(), store).start()
+    try {
+      in.addData(first.toSeq)
+      q.processAllAvailable()
+      in.addData(second.toSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    // the streamed store is bit-identical to the batch computation d15
+    // would run over the same documents
+    val stored = spark.read.parquet(store).drop("batch_id")
+    val expected = graft.operators.Dedup.minhashSigs(
+      graft.operators.Dedup.explodedShinglesOf(
+        graft.core.Tables.documents(spark, d).select("doc_id", "text")))
+    assert(stored.count() === expected.count())
+    assert(stored.exceptAll(expected).isEmpty && expected.exceptAll(stored).isEmpty,
+      "streamed signatures must equal the batch-computed signatures")
+    // a failure-redelivered batch rewrites its own subdir, never appends:
+    // replay the second micro-batch (id 1) and expect an unchanged store
+    val before = spark.read.parquet(store).count()
+    DocumentStreams.writeSignatureBatch(second.toSeq.toDS(), store, 1L)
+    assert(spark.read.parquet(store).count() === before,
+      "replaying a delivered batch id must be a no-op for the store")
+  }
+
   test("nearDupStream finds exactly d14's estimated pairs across batch boundaries") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
