@@ -186,6 +186,45 @@ object Multimodal {
       |    i -> unicode(substr(text, i, 1))), 'sum')::BIGINT AS cp_sum16
       |FROM documents)""".stripMargin
 
+  /** The m05/m06 retrieval column: each decoded image's 16 patch sums,
+    * flattened row-major, as a normalized embedding (doc_id, v, nrm) —
+    * the stand-in for a vision tower's pooled output. Patch sums are
+    * 16-codepoint integer sums < 2^25, so every dot-product partial
+    * (< 2^53) is exactly representable in double — cosines and
+    * hyperplane signs are bit-identical across engines with no decimal
+    * hop. At 100 TB the build rides the decode scan: no shuffle before
+    * the 16-double vectors (~128 B/doc).
+    */
+  private def patchVectors(s: SparkSession, d: String): DataFrame = {
+    graft.plans.VectorExpressions.register(s)
+    import graft.functions.Portable.dotFast
+    val vecAggs = (0 until 16).map(p =>
+      max(when(col("patch_row") === p / 4 && col("patch_col") === p % 4,
+        col("patch_sum"))).as(s"p_$p"))
+    patchGrid(mediaRecords(s, d)).toDF()
+      .groupBy("doc_id").agg(vecAggs.head, vecAggs.tail: _*)
+      .select(col("doc_id"),
+        array((0 until 16).map(p => col(s"p_$p").cast("double")): _*)
+          .as("v"))
+      .withColumn("nrm", sqrt(dotFast(col("v"), col("v"))))
+  }
+
+  /** DuckDB twin of [[patchVectors]] (CTEs cps → vec → n). */
+  private val sqlPatchVectors =
+    """WITH cps AS (SELECT doc_id,
+      |    list_transform(range(1, length(text) + 1),
+      |      i -> unicode(substr(text, i, 1))::BIGINT) AS cp
+      |  FROM documents WHERE length(text) >= 256),
+      |vec AS (SELECT doc_id, list_transform(range(0, 16), p ->
+      |    list_aggregate(list_transform(range(0, 16),
+      |      i -> cp[((p // 4) * 4 + i // 4) * 16 + (p % 4) * 4 + (i % 4) + 1]),
+      |      'sum')::DOUBLE) AS v
+      |  FROM cps),
+      |n AS (SELECT doc_id, v,
+      |    sqrt(list_reduce(list_transform(range(1, 17), i -> v[i] * v[i]),
+      |      (x, y) -> x + y)) AS nrm
+      |  FROM vec)""".stripMargin
+
   val registry: Seq[Q] = Seq(
 
     Q("m01_media_decode",
@@ -264,30 +303,15 @@ object Multimodal {
              |  list_aggregate(vals, 'max')::BIGINT AS patch_max
              |FROM cells ORDER BY doc_id, patch_row, patch_col""".stripMargin)),
 
-    // The multimodal→ANN bridge m04's header promises: each decoded
-    // image's 16 patch sums, flattened row-major, ARE its embedding (the
-    // stand-in for a vision tower's pooled output), searched with the
-    // s01 plan — broadcast query side (1/50 of docs), codegen'd dots,
-    // window top-k. Exactness note: patch sums are 16-codepoint integer
-    // sums < 2^25, so every dot-product partial (< 2^53) is exactly
-    // representable in double — the cosine is bit-identical across
-    // engines with no decimal hop. At 100 TB the vector build rides the
-    // decode scan (no shuffle before the 16-double vectors, ~128 B/doc),
-    // and the search swaps in any s02–s08 index over the same column.
+    // The multimodal→ANN bridge m04's header promises: [[patchVectors]]
+    // searched with the s01 plan — broadcast query side (1/50 of docs),
+    // codegen'd dots, window top-k. The exactness baseline; m06 swaps
+    // the index.
     Q("m05_patch_knn",
       "multimodal retrieval: m04 patch-sum vectors as embeddings, exact cosine top-3",
       (s, d) => {
-        graft.plans.VectorExpressions.register(s)
         import graft.functions.Portable.dotFast
-        val vecAggs = (0 until 16).map(p =>
-          max(when(col("patch_row") === p / 4 && col("patch_col") === p % 4,
-            col("patch_sum"))).as(s"p_$p"))
-        val vec = patchGrid(mediaRecords(s, d)).toDF()
-          .groupBy("doc_id").agg(vecAggs.head, vecAggs.tail: _*)
-          .select(col("doc_id"),
-            array((0 until 16).map(p => col(s"p_$p").cast("double")): _*)
-              .as("v"))
-          .withColumn("nrm", sqrt(dotFast(col("v"), col("v"))))
+        val vec = patchVectors(s, d)
         val q = vec.filter(col("doc_id") % 50 === 0)
           .select(col("doc_id").as("query_doc"), col("v").as("qv"),
             col("nrm").as("qn"))
@@ -304,19 +328,7 @@ object Multimodal {
             col("doc_id").as("neighbor_doc"), col("cosine"))
           .orderBy("query_doc", "rank")
       },
-      Some("""WITH cps AS (SELECT doc_id,
-             |    list_transform(range(1, length(text) + 1),
-             |      i -> unicode(substr(text, i, 1))::BIGINT) AS cp
-             |  FROM documents WHERE length(text) >= 256),
-             |vec AS (SELECT doc_id, list_transform(range(0, 16), p ->
-             |    list_aggregate(list_transform(range(0, 16),
-             |      i -> cp[((p // 4) * 4 + i // 4) * 16 + (p % 4) * 4 + (i % 4) + 1]),
-             |      'sum')::DOUBLE) AS v
-             |  FROM cps),
-             |n AS (SELECT doc_id, v,
-             |    sqrt(list_reduce(list_transform(range(1, 17), i -> v[i] * v[i]),
-             |      (x, y) -> x + y)) AS nrm
-             |  FROM vec),
+      Some(s"""$sqlPatchVectors,
              |q AS (SELECT doc_id AS query_doc, v AS qv, nrm AS qn FROM n
              |  WHERE doc_id % 50 = 0),
              |scored AS (SELECT q.query_doc, n.doc_id AS neighbor_doc,
@@ -327,6 +339,64 @@ object Multimodal {
              |  row_number() OVER (PARTITION BY query_doc ORDER BY cosine DESC, neighbor_doc) AS rank
              |FROM scored)
              |SELECT query_doc, rank, neighbor_doc, cosine FROM ranked
+             |WHERE rank <= 3 ORDER BY query_doc, rank""".stripMargin)),
+
+    // The index swap m05's comment promises, DEMONSTRATED: the same
+    // [[patchVectors]] column searched with s02's sign-LSH index —
+    // 8 md5-derived hyperplanes (the shared Portable.hyperplaneArray
+    // family, instantiated at dim 16) bucket the corpus into 256 sign
+    // patterns; search touches only the query's bucket (~1/256 of the
+    // corpus), probe side broadcast, corpus never reshuffles. Hyperplane
+    // signs are exact (integer patch sums ⇒ every dot partial exact in
+    // double), so bucket assignment — and therefore the result set — is
+    // bit-identical across engines, and the oracle regenerates the
+    // planes from the same md5 arithmetic. At 100 TB this is the
+    // retrieval shape: vector build rides the decode scan, the bucket
+    // column is the vector store's partition key, a query reads one
+    // partition.
+    Q("m06_patch_knn_lsh",
+      "multimodal retrieval, indexed: m05's vectors under s02's sign-LSH buckets (top-3 in-bucket)",
+      (s, d) => {
+        import graft.functions.Portable.{dotFast, hyperplaneArray}
+        val bucket = (0 until 8).map { j =>
+          when(dotFast(col("v"), typedlit(hyperplaneArray(j, 16).toSeq)) >= 0.0,
+            lit(1L << j)).otherwise(lit(0L))
+        }.reduce(_ + _)
+        val vec = patchVectors(s, d).withColumn("bucket", bucket)
+        val q = vec.filter(col("doc_id") % 50 === 0)
+          .select(col("doc_id").as("query_doc"), col("v").as("qv"),
+            col("nrm").as("qn"), col("bucket"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("query_doc"))
+          .orderBy(col("cosine").desc, col("doc_id").asc)
+        vec.join(broadcast(q), Seq("bucket"))
+          .filter(col("doc_id") =!= col("query_doc"))
+          .withColumn("cosine",
+            dotFast(col("v"), col("qv")) / (col("nrm") * col("qn")))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 3)
+          .select(col("query_doc"), col("rank"),
+            col("doc_id").as("neighbor_doc"), col("bucket"))
+          .orderBy("query_doc", "rank")
+      },
+      Some(s"""$sqlPatchVectors,
+             |b AS (SELECT doc_id, v, nrm,
+             |  list_reduce(list_transform(range(0, 8), j ->
+             |    CASE WHEN list_reduce(list_transform(range(1, 17), i -> v[i] *
+             |        ((('0x' || substr(md5('hp_' || j || '_' || i), 1, 15))::BIGINT % 2001 - 1000) / 1000.0)),
+             |        (x, y) -> x + y) >= 0.0
+             |      THEN CAST(power(2, j) AS BIGINT) ELSE 0 END), (x, y) -> x + y) AS bucket
+             |FROM n),
+             |q AS (SELECT doc_id AS query_doc, v AS qv, nrm AS qn, bucket FROM b
+             |  WHERE doc_id % 50 = 0),
+             |scored AS (SELECT q.query_doc, b.doc_id AS neighbor_doc, b.bucket,
+             |    list_reduce(list_transform(range(1, 17), i -> b.v[i] * q.qv[i]),
+             |      (x, y) -> x + y) / (b.nrm * q.qn) AS cosine
+             |  FROM b JOIN q USING (bucket) WHERE b.doc_id <> q.query_doc),
+             |ranked AS (SELECT query_doc, neighbor_doc, bucket,
+             |  row_number() OVER (PARTITION BY query_doc ORDER BY cosine DESC, neighbor_doc) AS rank
+             |FROM scored)
+             |SELECT query_doc, rank, neighbor_doc, bucket FROM ranked
              |WHERE rank <= 3 ORDER BY query_doc, rank""".stripMargin))
   )
 }

@@ -291,7 +291,7 @@ class PlanShapeSpec extends SparkTestBase {
     // itself) fails here instead of surfacing as an executor-memory
     // regression on wide groups at scale.
     for (name <- Seq("s01_knn_bruteforce", "s03_knn_ivf",
-        "s08_knn_ivf_multiprobe", "m05_patch_knn")) {
+        "s08_knn_ivf_multiprobe", "m05_patch_knn", "m06_patch_knn_lsh")) {
       val plan = executedPlan(name)
       assert(plan.contains("WindowGroupLimit"),
         s"$name lost the rank-filter pushdown:\n${plan.take(2000)}")
