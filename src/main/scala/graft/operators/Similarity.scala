@@ -51,8 +51,12 @@ object Similarity {
     * Portability note: Spark's double→decimal cast goes through the
     * shortest decimal representation (BigDecimal.valueOf), while DuckDB's
     * direct cast multiplies in double and diverges in the 17th digit — the
-    * oracle must cast VARCHAR→DECIMAL ([[sqlMeanList]]), which is
-    * bit-equal (verified through sum + double cast on both engines).
+    * oracle must cast VARCHAR→DECIMAL ([[sqlMeanList]]). Even then the
+    * final decimal→double cast can differ by 1 ULP between engines
+    * (s09's gate caught it), which is harmless for ARGMIN consumers
+    * (s03/s04/s09/d13 rank on the derived cosine; a 1-ULP flip needs a
+    * near-exact centroid tie) but means centroid-derived doubles must
+    * not appear in hash-gated OUTPUT columns.
     */
   private def exactMeanVec(df: DataFrame, keys: Seq[String], vecCol: String,
       dim: Int, outCol: String): DataFrame = {
@@ -659,7 +663,70 @@ object Similarity {
              |    SELECT *, row_number() OVER (PARTITION BY dup_id ORDER BY cosine DESC, keep_id) AS prank
              |    FROM p WHERE cosine >= 0.35) WHERE prank = 1)
              |SELECT dup_id, keep_id, cluster, cosine FROM best
-             |ORDER BY dup_id""".stripMargin))
+             |ORDER BY dup_id""".stripMargin)),
+
+    // The vector leg of the incremental-warehouse trio (d15 near-dup,
+    // d16 exact, s09 ANN): a production IVF index is MAINTAINED, not
+    // retrained — centroids live as a k×dim warehouse table and each
+    // arriving batch is assigned against them and appended to its
+    // inverted list. Here TODAY's batch (vec_id % 5 = 4) is assigned
+    // against centroids PERSISTED from the stored corpus only (written/
+    // read back exactly as an index build would leave them): the stored
+    // VECTORS never enter the assignment plan — only their k-row
+    // centroid summary does, broadcast onto the new batch, which itself
+    // never shuffles (the s04 scale shape, now with the dimension table
+    // coming from parquet instead of a same-frame aggregate). The
+    // oracle recomputes stored-slice centroids and the assignment
+    // exactly (decimal-exact means, pinned-fold cosines).
+    Q("s09_incremental_assign",
+      "new-batch (vec_id%5=4) vectors assigned against the persisted centroid store, stored vectors never re-read",
+      (s, d) => {
+        graft.plans.VectorExpressions.register(s)
+        val isNew = col("vec_id") % 5 === 4
+        val e = Tables.embeddings(s, d)
+        val store = new java.io.File("target/graft_centstore_" +
+          md5HexScala(d).take(12)).getAbsolutePath
+        coarseCentroids(
+          e.filter(!isNew).select(col("label").cast("long").as("clabel"),
+            vecD(col("embedding")).as("v")), "clabel")
+          .write.mode("overwrite").parquet(store)
+        val cent = s.read.parquet(store)
+        val vNew = e.filter(isNew)
+          .select(col("vec_id"), vecD(col("embedding")).as("v"))
+          .withColumn("nrm", sqrt(dotFast(col("v"), col("v"))))
+        val w = Window.partitionBy(col("vec_id"))
+          .orderBy(col("ccos").desc, col("clabel").asc)
+        vNew.crossJoin(broadcast(cent))
+          .withColumn("ccos",
+            dotFast(col("v"), col("cent")) / (col("nrm") * col("cnrm")))
+          .withColumn("crank", row_number().over(w))
+          .filter(col("crank") === 1)
+          // assignment only, no raw ccos column: centroid-derived
+          // cosines can differ by 1 ULP across engines (the decimal →
+          // double cast's last bit), which is harmless for the argmin
+          // (s03/s04/d13 rank on it) but would fail a bit-exact output
+          // hash
+          .select(col("vec_id"), col("clabel").as("assigned_label"))
+          .orderBy("vec_id")
+      },
+      Some(s"""$sqlVectors,
+             |v AS (SELECT n.vec_id, e2.label::BIGINT AS clabel0, n.v, n.nrm
+             |  FROM n JOIN embeddings e2 ON e2.vec_id = n.vec_id),
+             |cent AS (SELECT clabel0 AS clabel, ${sqlMeanList("v", Dim)} AS cent
+             |  FROM v WHERE vec_id % 5 <> 4 GROUP BY clabel0),
+             |centn AS (SELECT clabel, cent,
+             |    sqrt(list_reduce(list_transform(range(1, 65), i -> cent[i] * cent[i]),
+             |      (x, y) -> x + y)) AS cnrm FROM cent),
+             |newv AS (SELECT vec_id, v, nrm FROM n WHERE vec_id % 5 = 4),
+             |scored AS (SELECT newv.vec_id, c.clabel,
+             |    list_reduce(list_transform(range(1, 65), i -> newv.v[i] * c.cent[i]), (x, y) -> x + y)
+             |      / (newv.nrm * c.cnrm) AS ccos
+             |  FROM newv CROSS JOIN centn c),
+             |ranked AS (SELECT vec_id, clabel, ccos,
+             |  row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, clabel) AS crank
+             |FROM scored)
+             |SELECT vec_id, clabel AS assigned_label
+             |FROM ranked WHERE crank = 1 ORDER BY vec_id""".stripMargin))
   )
 
   /** PQ-reconstructed corpus (vec_id, rv, drv): md5-derived seed codebook

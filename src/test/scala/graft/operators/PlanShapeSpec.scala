@@ -352,6 +352,22 @@ class PlanShapeSpec extends SparkTestBase {
       "the store must never sort or shuffle to meet the batch")
   }
 
+  test("s09: assignment reads the centroid store; the new batch never shuffles") {
+    val plan = executedPlan("s09_incremental_assign")
+    assert(plan.contains("graft_centstore"),
+      s"assignment must read the persisted k-row centroid table:\n${plan.take(2000)}")
+    // the stored corpus's vectors appear in the plan ONLY as their
+    // centroid summary: exactly one embeddings scan (the new batch)
+    assert(countOf(plan, "embeddings.parquet") == 1,
+      s"stored vectors must never enter the assignment plan:\n${plan.take(2000)}")
+    // centroids broadcast onto the batch; the batch itself never
+    // exchanges before the per-vector argmin window
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      "the k-row centroid table must broadcast")
+    assert(!plan.contains("SortMergeJoin"),
+      "the new batch must not shuffle to meet the centroids")
+  }
+
   test("t12: diversity kernel runs once with no shuffle before the output sort") {
     val plan = executedPlan("t12_lexical_diversity")
     assert(countOf(plan, "MapPartitions") == 1,
