@@ -167,21 +167,18 @@ object Dedup {
       .toDF("doc_id", "simhash")
   }
 
-  /** Banded LSH candidate pairs (doc_a < doc_b, distinct) from MinHash
-    * signatures: 10 bands × 3 rows. The band bucket key is
-    * engine-internal (never oracle-compared), so it can be one xxhash64
-    * long instead of a concat string — the bucket join then
-    * shuffles/compares 8-byte keys, not ~60-byte strings. The band id is
-    * folded INTO the hash, collapsing the (band, bkey) composite key to a
-    * single long. Each band row also carries its 3 signature components
-    * and the join re-checks their equality AFTER the bucket match, so a
-    * candidate pair is DEFINED by true band-triple agreement — the
-    * ~2^-64 xxhash64 collision on non-agreeing triples can never create
-    * a Spark-only candidate the d14 oracle (which tests real agreement)
-    * or the streaming twin's minAgreeingBand would lack.
-    */
   /** One row per (doc, band): the folded bucket key plus the band's 3
-    * signature components (for the post-join agreement re-check).
+    * signature components. The bucket key is engine-internal (never
+    * oracle-compared), so it can be one xxhash64 long instead of a
+    * concat string — the bucket join then shuffles/compares 8-byte
+    * keys, not ~60-byte strings — with the band id folded INTO the
+    * hash, collapsing the (band, bkey) composite key to a single long.
+    * The 3 raw components ride along so consumers re-check their
+    * equality AFTER the bucket match: a candidate pair is then DEFINED
+    * by true band-triple agreement — the ~2^-64 xxhash64 collision on
+    * non-agreeing triples can never create a Spark-only candidate the
+    * d14 oracle (which tests real agreement) or the streaming twin's
+    * minAgreeingBand would lack.
     */
   private def bandRows(sigs: DataFrame): DataFrame =
     sigs.select(col("doc_id"), explode(array(
@@ -194,6 +191,10 @@ object Dedup {
       .select(col("doc_id"), col("b.bkey").as("bkey"),
         col("b.m0").as("m0"), col("b.m1").as("m1"), col("b.m2").as("m2"))
 
+  /** Banded LSH candidate pairs (doc_a < doc_b, distinct) from MinHash
+    * signatures: 10 bands × 3 rows ([[bandRows]]), self-joined on the
+    * bucket key with the post-join triple-agreement re-check.
+    */
   private def bandedCandidates(sigs: DataFrame): DataFrame = {
     val bands = bandRows(sigs)
     // merge-hinted: a corpus band frame never broadcasts (jaccardPairs)
@@ -940,9 +941,11 @@ object Dedup {
           .agg(min(col("doc_id")).as("batch_min"))
         fresh.join(batchMin.hint("shuffle_hash"), Seq("content_hash"))
           .join(broadcast(hit), Seq("content_hash"), "left")
+          // least() skips NULLs, so a hash absent from the store (null
+          // stored_canonical) resolves to the batch minimum directly
           .select(col("doc_id"), col("content_hash"),
-            least(coalesce(col("stored_canonical"), col("batch_min")),
-              col("batch_min")).as("canonical_id"))
+            least(col("stored_canonical"), col("batch_min"))
+              .as("canonical_id"))
           .withColumn("is_duplicate", col("doc_id") =!= col("canonical_id"))
           .orderBy("doc_id")
       },

@@ -187,49 +187,54 @@ object DocumentStreams {
   }
 
   /** The PRODUCTION variant of [[nearDupStream]]: per-bucket signature
-    * state expires `horizonMinutes` of EVENT TIME after each entry's
-    * ingest — so total state is bounded by the horizon's document volume
-    * (times 10 band rows), not by stream history, and the query runs
-    * forever at any corpus rate. The price is the documented recall
-    * trade: a near-dup pair whose arrivals straddle more than the
-    * horizon is NOT detected (exactly [[curatedIngest]]'s
-    * dropDuplicatesWithinWatermark contract, at near-dup granularity) —
-    * the periodic batch d09/d14 over the sink catches those, which is
-    * how production pipelines layer the two. Within the horizon the
+    * state expires once the WATERMARK (event time minus the horizon)
+    * passes an entry's ingest time — so total state is bounded by one
+    * horizon's document volume behind the event-time frontier (times 10
+    * band rows, plus watermark lag), not by stream history, and the
+    * query runs forever at any corpus rate. The contract is
+    * [[curatedIngest]]'s dropDuplicatesWithinWatermark contract at
+    * near-dup granularity: a pair whose arrivals lie WITHIN the horizon
+    * is always detected; a pair straddling more is detected only
+    * best-effort (same micro-batch, or watermark still lagging) — the
+    * periodic batch d09/d14 over the sink owns those, which is how
+    * production pipelines layer the two. For detected pairs the
     * verdicts are IDENTICAL to [[nearDupStream]]'s (same signatures,
     * same buckets, same min-agreeing-band emission; eviction is
     * deterministic on the global watermark, so every bucket of a pair
     * expires consistently and the unique-emission rule survives).
     *
     * Mechanics: the band rows carry the document's event time; the
-    * stream watermarks on it with the same horizon (late data beyond the
+    * stream watermarks on it with the horizon (late data beyond the
     * horizon is as undetectable as expired state — one knob, no second
-    * contract); on every bucket visit, entries older than
-    * watermark − horizon drop before the fold, and the group's timeout
-    * is (re)set to its newest entry + horizon so buckets that stop
-    * receiving expire and REMOVE their state entirely instead of
-    * lingering forever.
+    * contract); on every bucket visit, entries at or behind the
+    * CURRENT WATERMARK drop before the fold (keeping them to
+    * ts + horizon would silently retain up to TWO horizons of state),
+    * and the group's timeout is (re)set to its newest entry's event
+    * time so buckets that stop receiving expire and REMOVE their state
+    * entirely once the watermark passes them, instead of lingering
+    * forever.
     */
   def nearDupStreamTTL(docs: Dataset[Doc], minMatches: Int = 15,
       horizonMinutes: Long = 120): Dataset[NearDup] = {
     import docs.sparkSession.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
-    val horizonMs = horizonMinutes * 60000L
 
     def update(band: Int, rows: Iterator[BandRow],
         state: GroupState[List[(Long, Array[Long], Long)]])
         : Iterator[NearDup] = {
       if (state.hasTimedOut) {
-        // no arrivals since the newest entry + horizon: every entry is
-        // past the horizon, drop the bucket
+        // the watermark passed the bucket's newest entry: every entry is
+        // aged out, drop the bucket
         state.remove()
         Iterator.empty
       } else {
         val wm = state.getCurrentWatermarkMs()
-        // evict entries the watermark has aged out BEFORE the fold: an
-        // arriving doc never compares against state older than the horizon
+        // evict entries at or behind the watermark BEFORE the fold: the
+        // watermark already lags the event-time frontier by the horizon,
+        // so surviving state is exactly the horizon's window (filtering
+        // on ts + horizon instead would retain up to 2× the horizon)
         var seen = state.getOption.getOrElse(Nil)
-          .filter(_._3 + horizonMs > wm)
+          .filter(_._3 > wm)
         val seenIds = scala.collection.mutable.HashSet(seen.map(_._1): _*)
         val out = List.newBuilder[NearDup]
         for (r <- rows.toSeq.sortBy(_.doc_id)) {
@@ -247,9 +252,11 @@ object DocumentStreams {
         if (seen.isEmpty) state.remove()
         else {
           state.update(seen)
-          // surviving entries all have ts + horizon > wm, so this is
-          // strictly in the future — the setTimeoutTimestamp contract
-          state.setTimeoutTimestamp(seen.map(_._3).max + horizonMs)
+          // surviving entries all have ts > wm, so the newest entry's
+          // event time is strictly in the watermark's future — the
+          // setTimeoutTimestamp contract; the group times out exactly
+          // when its whole state is evictable
+          state.setTimeoutTimestamp(seen.map(_._3).max)
         }
         out.result().iterator
       }

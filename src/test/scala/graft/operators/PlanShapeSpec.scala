@@ -334,6 +334,22 @@ class PlanShapeSpec extends SparkTestBase {
     // size estimate can never statically broadcast the warehouse side
     assert(countOf(plan, "BroadcastExchange") <= 1,
       s"only the new-batch candidate side may broadcast:\n${plan.take(3000)}")
+    // and pin WHICH side: no BroadcastExchange subtree may contain the
+    // store scan (subtree = following lines with deeper indentation)
+    val lines = plan.linesIterator.toVector
+    // tree depth = length of the structural prefix (spaces, ':', '+-');
+    // stops BEFORE the '*(n)' codegen marker, which would otherwise
+    // inflate a sibling's depth past its parent's
+    def indent(l: String): Int =
+      l.takeWhile(c => c == ' ' || c == ':' || c == '+' || c == '-').length
+    lines.zipWithIndex.filter(_._1.contains("BroadcastExchange")).foreach {
+      case (bl, i) =>
+        val bi = indent(bl)
+        val subtree = lines.drop(i + 1).takeWhile(l =>
+          l.trim.isEmpty || indent(l) > bi)
+        assert(!subtree.exists(_.contains("graft_sigstore")),
+          s"the warehouse signature store must never broadcast:\n$bl\n${subtree.take(12).mkString("\n")}")
+    }
   }
 
   test("d16: batch hashes broadcast-semi onto the store scan — the store never shuffles") {
