@@ -358,10 +358,14 @@ object Dedup {
       val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
       val mins = sym.groupBy("src").agg(min(col("dst")).as("mn"))
         .select(col("src"), least(col("src"), col("mn")).as("m"))
+      // no trailing distinct: the only consumer is smallStar, whose
+      // first step re-keys and distincts anyway — the duplicates here
+      // are bounded by |E| (the mins join is 1:1 per sym row), so
+      // deduplicating twice paid an exchange + aggregate per round for
+      // nothing
       sym.join(mins, "src")
         .filter(col("dst") > col("src"))
         .select(col("dst").as("src"), col("m").as("dst"))
-        .distinct()
     }
     def smallStar(e: DataFrame): DataFrame = {
       val or = e.select(greatest(col("src"), col("dst")).as("src"),
@@ -383,7 +387,8 @@ object Dedup {
         .union(init.select(col("dst").as("node"))).distinct()
       // Order-free set fingerprint: count + bit-xor + exact-decimal sum of
       // xxhash64(src, dst). Every round's edge set is already DISTINCT
-      // (both star ops end in .distinct()), so fingerprint equality means
+      // (each round ends in smallStar's .distinct()), so fingerprint
+      // equality means
       // set equality up to an engineered ~2^-128 collision — the same
       // information the earlier probe bought with two `except`s, i.e. two
       // distinct-aggregating JOINS (~4 extra shuffles) per round that were
