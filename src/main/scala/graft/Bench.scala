@@ -75,9 +75,13 @@ object Bench {
         }
         // headline = best SUCCESSFUL run: a crashed repeat's (typically
         // fast) duration must never become the per-query number — the
-        // query still lands in `errors` if ANY repeat failed
+        // query still lands in `errors` if ANY repeat failed. When EVERY
+        // repeat failed, record the MAX duration: a crash may read
+        // slower than it ran, never faster, so an all-failed query can
+        // never pull the summed total DOWN across rounds
         val good = runs.filter(_._2)
-        val best = (if (good.nonEmpty) good else runs).map(_._1).min
+        val best =
+          if (good.nonEmpty) good.map(_._1).min else runs.map(_._1).max
         (name, best, runs.forall(_._2), runs.map(_._1))
       }
     val loadAfter =

@@ -187,17 +187,23 @@ object DocumentStreams {
   }
 
   /** The PRODUCTION variant of [[nearDupStream]]: per-bucket signature
-    * state expires once the WATERMARK (event time minus the horizon)
-    * passes an entry's ingest time — so total state is bounded by one
-    * horizon's document volume behind the event-time frontier (times 10
-    * band rows, plus watermark lag), not by stream history, and the
-    * query runs forever at any corpus rate. The contract is
-    * [[curatedIngest]]'s dropDuplicatesWithinWatermark contract at
-    * near-dup granularity: a pair whose arrivals lie WITHIN the horizon
-    * is always detected; a pair straddling more is detected only
-    * best-effort (same micro-batch, or watermark still lagging) — the
-    * periodic batch d09/d14 over the sink owns those, which is how
-    * production pipelines layer the two. For detected pairs the
+    * state expires once the WATERMARK passes an entry's ingest time
+    * PLUS the horizon — the exact retention rule of
+    * dropDuplicatesWithinWatermark, and for the same reason: an entry
+    * must outlive every arrival the watermark still admits that could
+    * pair with it within the horizon, even when the watermark advances
+    * mid-horizon on unrelated traffic (evicting at the bare watermark
+    * would silently drop a within-horizon pair whose second half
+    * arrives out of order — reviewed and reverted). The guarantee: a
+    * pair whose arrivals lie WITHIN the horizon of each other is ALWAYS
+    * detected; pairs separated by between one and two horizons are
+    * detected best-effort (retention reaches up to 2× the horizon
+    * behind the event-time frontier); anything further is missed by
+    * contract — the periodic batch d09/d14 over the sink owns those,
+    * which is how production pipelines layer the two. State is
+    * therefore bounded by up to TWO horizons of document volume (times
+    * 10 band rows, plus watermark lag), not by stream history, and the
+    * query runs forever at any corpus rate. For detected pairs the
     * verdicts are IDENTICAL to [[nearDupStream]]'s (same signatures,
     * same buckets, same min-agreeing-band emission; eviction is
     * deterministic on the global watermark, so every bucket of a pair
@@ -206,35 +212,37 @@ object DocumentStreams {
     * Mechanics: the band rows carry the document's event time; the
     * stream watermarks on it with the horizon (late data beyond the
     * horizon is as undetectable as expired state — one knob, no second
-    * contract); on every bucket visit, entries at or behind the
-    * CURRENT WATERMARK drop before the fold (keeping them to
-    * ts + horizon would silently retain up to TWO horizons of state),
-    * and the group's timeout is (re)set to its newest entry's event
-    * time so buckets that stop receiving expire and REMOVE their state
-    * entirely once the watermark passes them, instead of lingering
-    * forever.
+    * contract); on every bucket visit, entries the watermark has aged
+    * past (ts + horizon <= wm) drop before the fold, and the group's
+    * timeout is (re)set to its newest entry + horizon so buckets that
+    * stop receiving expire and REMOVE their state entirely instead of
+    * lingering forever.
     */
   def nearDupStreamTTL(docs: Dataset[Doc], minMatches: Int = 15,
       horizonMinutes: Long = 120): Dataset[NearDup] = {
     import docs.sparkSession.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val horizonMs = horizonMinutes * 60000L
 
     def update(band: Int, rows: Iterator[BandRow],
         state: GroupState[List[(Long, Array[Long], Long)]])
         : Iterator[NearDup] = {
       if (state.hasTimedOut) {
-        // the watermark passed the bucket's newest entry: every entry is
+        // the watermark passed newest-entry + horizon: every entry is
         // aged out, drop the bucket
         state.remove()
         Iterator.empty
       } else {
         val wm = state.getCurrentWatermarkMs()
-        // evict entries at or behind the watermark BEFORE the fold: the
-        // watermark already lags the event-time frontier by the horizon,
-        // so surviving state is exactly the horizon's window (filtering
-        // on ts + horizon instead would retain up to 2× the horizon)
+        // evict entries the watermark has aged PAST THE HORIZON before
+        // the fold — ts + horizon > wm keeps each entry alive for every
+        // arrival the watermark still admits that is within the horizon
+        // of it (the dropDuplicatesWithinWatermark retention rule;
+        // evicting at the bare watermark would miss within-horizon
+        // pairs arriving out of order once unrelated traffic advances
+        // the watermark)
         var seen = state.getOption.getOrElse(Nil)
-          .filter(_._3 > wm)
+          .filter(_._3 + horizonMs > wm)
         val seenIds = scala.collection.mutable.HashSet(seen.map(_._1): _*)
         val out = List.newBuilder[NearDup]
         for (r <- rows.toSeq.sortBy(_.doc_id)) {
@@ -252,11 +260,11 @@ object DocumentStreams {
         if (seen.isEmpty) state.remove()
         else {
           state.update(seen)
-          // surviving entries all have ts > wm, so the newest entry's
-          // event time is strictly in the watermark's future — the
-          // setTimeoutTimestamp contract; the group times out exactly
-          // when its whole state is evictable
-          state.setTimeoutTimestamp(seen.map(_._3).max)
+          // surviving entries all have ts + horizon > wm, so this is
+          // strictly in the watermark's future — the setTimeoutTimestamp
+          // contract; the group times out exactly when its whole state
+          // is evictable
+          state.setTimeoutTimestamp(seen.map(_._3).max + horizonMs)
         }
         out.result().iterator
       }

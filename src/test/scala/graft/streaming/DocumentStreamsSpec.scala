@@ -102,24 +102,38 @@ class DocumentStreamsSpec extends SparkTestBase {
       q.processAllAvailable()
       assert(pairs() === Set((1L, 2L)),
         "a near-dup arriving within the horizon must be detected")
+      // OUT-OF-ORDER within-horizon detection — the guarantee that
+      // forces the dropDuplicatesWithinWatermark retention rule
+      // (ts + horizon > wm, NOT ts > wm): unrelated traffic at 12:20
+      // advances the watermark to 10:20, then doc 5 arrives LATE with
+      // ts 10:40 — admitted (above the watermark) and within the
+      // horizon of docs 1 and 2, so both pairs must still emit even
+      // though the watermark has moved past both stored entries
+      in.addData(doc(800L, "12:20", "unrelated watermark driver " +
+        (1 to 25).map(k => s"u$k").mkString(" ")))
+      q.processAllAvailable()
+      in.addData(doc(5L, "10:40", base + " five"))
+      q.processAllAvailable()
+      assert(pairs() === Set((1L, 2L), (1L, 5L), (2L, 5L)),
+        "an out-of-order arrival within the horizon of stored docs must pair with them")
       // 50 pairwise-DISSIMILAR fillers at 15:00 drive the watermark to
-      // 13:00 — past docs 1/2's (ingest + 2h) expiry — and fatten state
-      // (every token is filler-unique, so no two share a single trigram)
+      // 13:00 — past docs 1/2/5's (ingest + 2h) expiry — and fatten
+      // state (every token is filler-unique, no two share a trigram)
       in.addData((100L to 149L).map(i =>
         doc(i, "15:00", (1 to 30).map(k => s"w${i}x$k").mkString(" "))))
       q.processAllAvailable()
       val peak = stateRows()
-      // doc 3 is a near-dup of 1/2 but arrives after their horizon: the
-      // documented recall trade — NOT detected (the batch d09/d14 over
-      // the sink owns cross-horizon pairs)
+      // doc 3 is a near-dup of 1/2/5 but arrives after their horizon:
+      // the documented recall trade — NOT detected (the batch d09/d14
+      // over the sink owns cross-horizon pairs)
       in.addData(doc(3L, "15:30", base + " three"))
       q.processAllAvailable()
-      assert(pairs() === Set((1L, 2L)),
+      assert(pairs() === Set((1L, 2L), (1L, 5L), (2L, 5L)),
         "state past the horizon must be forgotten (recall trade, by contract)")
       // doc 4 near-dups doc 3 WITHIN the horizon: still detected
       in.addData(doc(4L, "15:40", base + " four"))
       q.processAllAvailable()
-      assert(pairs() === Set((1L, 2L), (3L, 4L)),
+      assert(pairs() === Set((1L, 2L), (1L, 5L), (2L, 5L), (3L, 4L)),
         "detection within the horizon must survive the TTL machinery")
       // two far-future batches advance the watermark past every filler's
       // expiry; their buckets time out and REMOVE state — total state
