@@ -884,28 +884,17 @@ object Dedup {
     Q("d15_incremental_neardup",
       "new-batch (doc_id%5=4) near-dup estimates against the persisted signature store, corpus never re-shingled",
       (s, d) => {
-        val isNew = col("doc_id") % 5 === 4
         // the warehouse side: built here so the gated query stays a pure
         // function of the input tables; in production this parquet is
-        // appended once per ingested batch
+        // maintained by ingest (batch appends or the streaming
+        // DocumentStreams.signatureIngest — the integration spec runs
+        // THAT producer against this consumer)
         val store = new java.io.File("target/graft_sigstore_" +
           md5HexScala(d).take(12)).getAbsolutePath
-        minhashSigs(explodedShinglesOf(docs(s, d).filter(!isNew)))
+        minhashSigs(explodedShinglesOf(
+          docs(s, d).filter(!(col("doc_id") % 5 === 4))))
           .write.mode("overwrite").parquet(store)
-        val stored = s.read.parquet(store)
-        val fresh = minhashSigs(explodedShinglesOf(docs(s, d).filter(isNew)))
-          .localCheckpoint(true)
-        val all = stored.unionByName(fresh)
-        val nb = bandRows(fresh)
-        val ab = bandRows(all)
-        val cand = nb.as("x").join(ab.as("y"), Seq("bkey"))
-          .filter(col("x.doc_id") =!= col("y.doc_id") &&
-            col("x.m0") === col("y.m0") && col("x.m1") === col("y.m1") &&
-            col("x.m2") === col("y.m2"))
-          .select(least(col("x.doc_id"), col("y.doc_id")).as("doc_a"),
-            greatest(col("x.doc_id"), col("y.doc_id")).as("doc_b"))
-          .distinct()
-        signatureEstimates(cand, all).orderBy("doc_a", "doc_b")
+        incrementalNearDup(s, d, store)
       },
       Some(minhashEstimateSql("(a.doc_id % 5 = 4 OR b.doc_id % 5 = 4) AND "))),
 
@@ -964,6 +953,35 @@ object Dedup {
              |WHERE h.doc_id % 5 = 4
              |ORDER BY doc_id""".stripMargin))
   )
+
+  /** The d15 consumer, parameterized by the signature-store path so ANY
+    * producer of the store — the gate's batch rebuild, or the streaming
+    * [[graft.streaming.DocumentStreams.signatureIngest]] — feeds the
+    * same dedup. Reads exactly the signature columns (producers may add
+    * bookkeeping columns like the ingest's batch_id partition; they are
+    * not the store's contract), shingles ONLY the new batch, and
+    * estimates (new × all) band-agreement candidates from signatures
+    * alone.
+    */
+  private[graft] def incrementalNearDup(s: SparkSession, d: String,
+      storePath: String): DataFrame = {
+    val sigCols = col("doc_id") +: (0 until 30).map(k => col(s"mh_$k"))
+    val stored = s.read.parquet(storePath).select(sigCols: _*)
+    val fresh = minhashSigs(explodedShinglesOf(
+      docs(s, d).filter(col("doc_id") % 5 === 4)))
+      .localCheckpoint(true)
+    val all = stored.unionByName(fresh)
+    val nb = bandRows(fresh)
+    val ab = bandRows(all)
+    val cand = nb.as("x").join(ab.as("y"), Seq("bkey"))
+      .filter(col("x.doc_id") =!= col("y.doc_id") &&
+        col("x.m0") === col("y.m0") && col("x.m1") === col("y.m1") &&
+        col("x.m2") === col("y.m2"))
+      .select(least(col("x.doc_id"), col("y.doc_id")).as("doc_a"),
+        greatest(col("x.doc_id"), col("y.doc_id")).as("doc_b"))
+      .distinct()
+    signatureEstimates(cand, all).orderBy("doc_a", "doc_b")
+  }
 
   /** DuckDB twin of the d14/d15 signature pipeline: regenerates the
     * 30-perm signatures, band agreement and the Broder estimates from the

@@ -188,6 +188,41 @@ class DocumentStreamsSpec extends SparkTestBase {
       "replaying a delivered batch id must be a no-op for the store")
   }
 
+  test("d15 consumes a signatureIngest-streamed store: producer and batch consumer agree") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    implicit val sq = spark.sqlContext
+    val d = "/root/testdata/sf0.001"
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_streamed_store").toString
+    // stream ONLY the stored slice (what the warehouse held before
+    // today's batch) through the production producer, two micro-batches
+    val docs = graft.core.Tables.documents(spark, d)
+      .filter(col("doc_id") % 5 =!= 4)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"))
+      .collect().sortBy(_.getLong(0))
+      .map(r => DocumentStreams.Doc(r.getLong(0), ts("09:00"),
+        r.getString(1), r.getString(2), r.getString(3)))
+    val (first, second) = docs.splitAt(docs.length / 2)
+    val in = MemoryStream[DocumentStreams.Doc]
+    val q = DocumentStreams.signatureIngest(in.toDS(), store).start()
+    try {
+      in.addData(first.toSeq)
+      q.processAllAvailable()
+      in.addData(second.toSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    // the batch consumer reads the STREAMED store (batch_id partition
+    // column and all) and must produce exactly the d15 gate's answer
+    val viaStream = graft.operators.Dedup
+      .incrementalNearDup(spark, d, store).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val viaGate = graft.SparkEntry.queries("d15_incremental_neardup")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(viaStream === viaGate,
+      "the streamed store must be drop-in for the batch-rebuilt store")
+  }
+
   test("nearDupStream finds exactly d14's estimated pairs across batch boundaries") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
