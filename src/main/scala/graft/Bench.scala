@@ -68,9 +68,28 @@ object Bench {
           // deterministically so run N's storage can never skew run
           // N+1's timing (safe here: the finished run's frames are never
           // consumed again).
+          //
+          // blocking = TRUE is load-bearing (the r7 d10 incident): with
+          // blocking = false the removal only ENQUEUES, so run N's block
+          // set can still be resident while run N+1 re-creates the same
+          // volume — double-resident checkpoint storage that evicts
+          // MEMORY_AND_DISK blocks to disk exactly for the checkpoint-
+          // heavy neighbors. The r7 driver sweep
+          // (bench_archive/r07_driver_sweep.json) recorded one contiguous
+          // ~30 s slow window spanning d09-run2 (16.4 s) → d10-run1
+          // (8.2 s) → d10-run2 (5.8 s) — the two adjacent queries with
+          // the registry's largest checkpoint frames (d09: per-round CC
+          // edges; d10: every positional 12-token window) — on
+          // byte-identical code whose re-run at the same load_avg gives
+          // d09 4.3–4.7 s and d10 0.85–1.3 s
+          // (bench_archive/r08_samecode_sweep.json, still blocking=false)
+          // and with this fix d09 4.5–5.6 s, d10 0.96–1.42 s at HIGHER
+          // load (bench_archive/r08_postfix_sweep.json). The synchronous
+          // wait costs milliseconds and removes the only cross-run state
+          // channel a sweep has.
           spark.catalog.clearCache()
           spark.sparkContext.getPersistentRDDs.values
-            .foreach(_.unpersist(blocking = false))
+            .foreach(_.unpersist(blocking = true))
           (sec, ok)
         }
         // headline = best SUCCESSFUL run: a crashed repeat's (typically
