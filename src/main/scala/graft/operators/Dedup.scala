@@ -884,16 +884,18 @@ object Dedup {
     Q("d15_incremental_neardup",
       "new-batch (doc_id%5=4) near-dup estimates against the persisted signature store, corpus never re-shingled",
       (s, d) => {
-        // the warehouse side: built here so the gated query stays a pure
-        // function of the input tables; in production this parquet is
+        // the warehouse side: built from the input tables ONCE per JVM
+        // (StoreFixture — per-process path, no cross-process races), so
+        // the gated query itself is consume-only, the cost a daily
+        // incremental batch actually pays; in production this parquet is
         // maintained by ingest (batch appends or the streaming
         // DocumentStreams.signatureIngest — the integration spec runs
         // THAT producer against this consumer)
-        val store = new java.io.File("target/graft_sigstore_" +
-          md5HexScala(d).take(12)).getAbsolutePath
-        minhashSigs(explodedShinglesOf(
-          docs(s, d).filter(!(col("doc_id") % 5 === 4))))
-          .write.mode("overwrite").parquet(store)
+        val store = graft.core.StoreFixture("graft_sigstore", d) { p =>
+          minhashSigs(explodedShinglesOf(
+            docs(s, d).filter(!(col("doc_id") % 5 === 4))))
+            .write.mode("overwrite").parquet(p)
+        }
         incrementalNearDup(s, d, store)
       },
       Some(minhashEstimateSql("(a.doc_id % 5 = 4 OR b.doc_id % 5 = 4) AND "))),
@@ -915,33 +917,16 @@ object Dedup {
     Q("d16_incremental_exact",
       "new-batch (doc_id%5=4) exact dedup against the persisted content-hash store, corpus never re-read",
       (s, d) => {
-        val isNew = col("doc_id") % 5 === 4
-        // the warehouse sidecar: built here so the gated query stays a
-        // pure function of the input tables; production appends per batch
-        val store = new java.io.File("target/graft_hashstore_" +
-          md5HexScala(d).take(12)).getAbsolutePath
-        docs(s, d).filter(!isNew)
-          .select(col("doc_id"), md5(normText(col("text"))).as("content_hash"))
-          .groupBy("content_hash").agg(min(col("doc_id")).as("stored_canonical"))
-          .write.mode("overwrite").parquet(store)
-        val stored = s.read.parquet(store)
-        val fresh = docs(s, d).filter(isNew)
-          .select(col("doc_id"), md5(normText(col("text"))).as("content_hash"))
-          .localCheckpoint(true)
-        val hit = stored.join(
-          broadcast(fresh.select("content_hash").distinct()),
-          Seq("content_hash"), "left_semi")
-        val batchMin = fresh.groupBy("content_hash")
-          .agg(min(col("doc_id")).as("batch_min"))
-        fresh.join(batchMin.hint("shuffle_hash"), Seq("content_hash"))
-          .join(broadcast(hit), Seq("content_hash"), "left")
-          // least() skips NULLs, so a hash absent from the store (null
-          // stored_canonical) resolves to the batch minimum directly
-          .select(col("doc_id"), col("content_hash"),
-            least(col("stored_canonical"), col("batch_min"))
-              .as("canonical_id"))
-          .withColumn("is_duplicate", col("doc_id") =!= col("canonical_id"))
-          .orderBy("doc_id")
+        // the warehouse sidecar: built from the input tables ONCE per
+        // JVM (StoreFixture — per-process path, no cross-process
+        // races), so the gated query times the consumer only;
+        // production appends per batch (streaming: hashIngest)
+        val store = graft.core.StoreFixture("graft_hashstore", d) { p =>
+          contentHashes(docs(s, d).filter(!(col("doc_id") % 5 === 4)))
+            .groupBy("content_hash").agg(min(col("doc_id")).as("stored_canonical"))
+            .write.mode("overwrite").parquet(p)
+        }
+        incrementalExact(s, d, store)
       },
       Some("""WITH h AS (SELECT doc_id,
              |    md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS content_hash
@@ -964,12 +949,30 @@ object Dedup {
     * alone.
     */
   private[graft] def incrementalNearDup(s: SparkSession, d: String,
+      storePath: String): DataFrame =
+    incrementalNearDupOf(docs(s, d).filter(col("doc_id") % 5 === 4),
+      storePath)
+
+  /** [[incrementalNearDup]] over an arbitrary (doc_id, text) batch frame
+    * — the form the multi-batch evolution specs drive: batch N dedups
+    * against the store, appends its own signatures, batch N+1 dedups
+    * against the grown store.
+    */
+  private[graft] def incrementalNearDupOf(batchDocs: DataFrame,
       storePath: String): DataFrame = {
+    val s = batchDocs.sparkSession
     val sigCols = col("doc_id") +: (0 until 30).map(k => col(s"mh_$k"))
-    val stored = s.read.parquet(storePath).select(sigCols: _*)
     val fresh = minhashSigs(explodedShinglesOf(
-      docs(s, d).filter(col("doc_id") % 5 === 4)))
+      batchDocs.select("doc_id", "text")))
       .localCheckpoint(true)
+    // "works with ANY producer" means tolerating a store that already
+    // contains some of this batch's doc_ids (an ingest that ran ahead of
+    // the dedup pass): anti-join those out so a re-ingested doc's
+    // signature is never duplicated into the pair estimates. The batch
+    // id-list broadcasts (it is the small side); the store side stays a
+    // streamed scan, preserving the store-never-shuffles plan shape.
+    val stored = s.read.parquet(storePath).select(sigCols: _*)
+      .join(broadcast(fresh.select("doc_id")), Seq("doc_id"), "left_anti")
     val all = stored.unionByName(fresh)
     val nb = bandRows(fresh)
     val ab = bandRows(all)
@@ -981,6 +984,62 @@ object Dedup {
         greatest(col("x.doc_id"), col("y.doc_id")).as("doc_b"))
       .distinct()
     signatureEstimates(cand, all).orderBy("doc_a", "doc_b")
+  }
+
+  /** (doc_id, content_hash) of a (doc_id, text) frame — the d01/d16
+    * exact-dedup key (md5 of the normalized text), shared by the gates,
+    * the batch store build, and the streaming
+    * [[graft.streaming.DocumentStreams.hashIngest]] producer, so every
+    * producer/consumer pairing agrees on the key bit-for-bit.
+    */
+  private[graft] def contentHashes(docFrame: DataFrame): DataFrame =
+    docFrame.select(col("doc_id"), md5(normText(col("text"))).as("content_hash"))
+
+  /** The d16 consumer, parameterized by the content-hash-store path so
+    * ANY producer — the gate's batch rebuild, or the streaming
+    * [[graft.streaming.DocumentStreams.hashIngest]] — feeds the same
+    * incremental exact dedup. Scale shape (the operator's point): the
+    * batch's distinct hashes BROADCAST left-semi onto the store scan, so
+    * the store — TBs at 100 TB corpus scale — is scanned once and never
+    * shuffled or broadcast; everything after the semi-join is ≤ |batch|
+    * rows.
+    */
+  private[graft] def incrementalExact(s: SparkSession, d: String,
+      storePath: String): DataFrame =
+    incrementalExactOf(docs(s, d).filter(col("doc_id") % 5 === 4),
+      storePath)
+
+  /** [[incrementalExact]] over an arbitrary (doc_id, text) batch frame —
+    * the multi-batch evolution form (see [[incrementalNearDupOf]]).
+    */
+  private[graft] def incrementalExactOf(batchDocs: DataFrame,
+      storePath: String): DataFrame = {
+    val s = batchDocs.sparkSession
+    val stored = s.read.parquet(storePath)
+      .select(col("content_hash"), col("stored_canonical"))
+    val fresh = contentHashes(batchDocs)
+      .localCheckpoint(true)
+    val hit = stored.join(
+        broadcast(fresh.select("content_hash").distinct()),
+        Seq("content_hash"), "left_semi")
+      // a multi-batch store (the hashIngest producer appends one subdir
+      // per micro-batch) holds one row per (hash, batch that saw it);
+      // min over the semi-join survivors is the least()-merge on
+      // conflict, aggregated AFTER the semi-join so it only ever touches
+      // ≤ |batch| rows — the store itself still never shuffles
+      .groupBy("content_hash")
+      .agg(min(col("stored_canonical")).as("stored_canonical"))
+    val batchMin = fresh.groupBy("content_hash")
+      .agg(min(col("doc_id")).as("batch_min"))
+    fresh.join(batchMin.hint("shuffle_hash"), Seq("content_hash"))
+      .join(broadcast(hit), Seq("content_hash"), "left")
+      // least() skips NULLs, so a hash absent from the store (null
+      // stored_canonical) resolves to the batch minimum directly
+      .select(col("doc_id"), col("content_hash"),
+        least(col("stored_canonical"), col("batch_min"))
+          .as("canonical_id"))
+      .withColumn("is_duplicate", col("doc_id") =!= col("canonical_id"))
+      .orderBy("doc_id")
   }
 
   /** DuckDB twin of the d14/d15 signature pipeline: regenerates the

@@ -328,12 +328,15 @@ class PlanShapeSpec extends SparkTestBase {
     // signatures are eagerly checkpointed, the warehouse side is parquet
     assert(countOf(plan, "MapPartitions") == 0,
       s"no text kernel may run in the incremental dedup plan:\n${plan.take(2000)}")
-    // the only broadcast allowed is the NEW-batch band side of the
-    // candidate join (the desirable 100 TB plan: the store never moves);
-    // the estimate attaches are merge-hinted so a small store parquet's
-    // size estimate can never statically broadcast the warehouse side
-    assert(countOf(plan, "BroadcastExchange") <= 1,
-      s"only the new-batch candidate side may broadcast:\n${plan.take(3000)}")
+    // the only broadcasts allowed are NEW-batch-sized: the candidate
+    // band side, plus the producer-overlap anti-join's batch id-list —
+    // which appears once per consumer of the guarded store (band rows
+    // and the signature attach), hence 3; the estimate attaches are
+    // merge-hinted so a small store parquet's size estimate can never
+    // statically broadcast the warehouse side. WHICH side broadcasts is
+    // the load-bearing property and is pinned by the subtree walk below.
+    assert(countOf(plan, "BroadcastExchange") <= 3,
+      s"only new-batch-sized sides may broadcast:\n${plan.take(3000)}")
     // and pin WHICH side: no BroadcastExchange subtree may contain the
     // store scan (subtree = following lines with deeper indentation)
     val lines = plan.linesIterator.toVector
@@ -382,6 +385,33 @@ class PlanShapeSpec extends SparkTestBase {
       "the k-row centroid table must broadcast")
     assert(!plan.contains("SortMergeJoin"),
       "the new batch must not shuffle to meet the centroids")
+  }
+
+  test("s10: centroid maintenance folds stats from the store scan; stored vectors never re-read") {
+    val plan = executedPlan("s10_centroid_update")
+    assert(plan.contains("graft_centstore"),
+      s"the fold must read the persisted stats sidecar:\n${plan.take(2000)}")
+    // the stored corpus enters ONLY via its stats: exactly one
+    // embeddings scan (the new batch) in the whole update plan
+    assert(countOf(plan, "embeddings.parquet") == 1,
+      s"stored vectors must never enter the maintenance plan:\n${plan.take(2000)}")
+    assert(!plan.contains("SortMergeJoin"),
+      "the k-by-64-row stats fold must never sort-merge")
+  }
+
+  test("d08/d10: span re-attach is a shuffle-hash join over a map-side partial count-distinct") {
+    // the shuffle_hash hint is load-bearing at 100 TB: a sort-merge
+    // re-attach would SORT every span row of the corpus to meet the
+    // qualifying-hash build side, and losing the partial (map-side)
+    // count-distinct would shuffle every raw (span, doc) row into the
+    // groupBy. Pin both, for the plain and the frequency-capped variant.
+    for (name <- Seq("d08_dup_spans", "d10_capped_spans")) {
+      val plan = executedPlan(name)
+      assert(plan.contains("ShuffledHashJoin"),
+        s"$name: the span re-attach must be a shuffle-hash join:\n${plan.take(2000)}")
+      assert(plan.contains("partial_count(distinct"),
+        s"$name: doc-count per span must partial-aggregate map-side:\n${plan.take(2000)}")
+    }
   }
 
   test("t12: diversity kernel runs once with no shuffle before the output sort") {
