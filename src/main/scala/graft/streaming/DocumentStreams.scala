@@ -204,10 +204,19 @@ object DocumentStreams {
     * therefore bounded by up to TWO horizons of document volume (times
     * 10 band rows, plus watermark lag), not by stream history, and the
     * query runs forever at any corpus rate. For detected pairs the
-    * verdicts are IDENTICAL to [[nearDupStream]]'s (same signatures,
-    * same buckets, same min-agreeing-band emission; eviction is
-    * deterministic on the global watermark, so every bucket of a pair
-    * expires consistently and the unique-emission rule survives).
+    * verdicts MATCH [[nearDupStream]]'s (same signatures, same buckets,
+    * same min-agreeing-band emission; eviction is deterministic on the
+    * global watermark, so every bucket of a pair expires consistently
+    * and the unique-emission rule survives) — with ONE best-effort
+    * divergence the eviction itself creates: the redelivery guard
+    * (seenIds) only spans entries still in state, so a row redelivered
+    * AFTER its original entry was TTL-evicted is indistinguishable from
+    * a new arrival — it re-pairs against surviving entries and can emit
+    * a pair a second time to the append sink. nearDupStream's
+    * exactly-once pair emission therefore degrades to at-least-once
+    * under redelivery-past-eviction; sinks that must not double-count
+    * dedup on (doc_id, dup_of) downstream (cheap: detected pairs are
+    * output-scale, not corpus-scale).
     *
     * Mechanics: the band rows carry the document's event time; the
     * stream watermarks on it with the horizon (late data beyond the
@@ -314,5 +323,48 @@ object DocumentStreams {
     docs.writeStream.foreachBatch {
       (batch: Dataset[Doc], batchId: Long) =>
         writeSignatureBatch(batch, store, batchId)
+    }
+
+  /** One micro-batch of the content-hash-store ingest: the batch's
+    * (content_hash, min doc_id) rows — the SAME md5-of-normalized-text
+    * key the batch gates compute ([[graft.operators.Dedup.contentHashes]],
+    * bit-identical to d01/d16) — written to `store/batch_id=<id>` in
+    * OVERWRITE mode, the [[writeSignatureBatch]] idempotence discipline:
+    * a failure-redelivered batch rewrites its own subdir instead of
+    * appending duplicates. A hash seen by several batches therefore
+    * holds one row PER BATCH; the conflict resolves at read time with a
+    * least()-merge (the consumer's min over semi-join survivors,
+    * [[graft.operators.Dedup.incrementalExact]]) — cheaper than
+    * rewriting the store per batch to merge eagerly, and conflict rows
+    * are exactly the cross-batch duplicates, a vanishing fraction of a
+    * deduplicated corpus.
+    */
+  private[graft] def writeHashBatch(batch: Dataset[Doc],
+      store: String, batchId: Long): Unit = {
+    graft.operators.Dedup.contentHashes(
+      batch.toDF().select("doc_id", "text"))
+      .groupBy("content_hash")
+      .agg(org.apache.spark.sql.functions.min(
+        org.apache.spark.sql.functions.col("doc_id")).as("stored_canonical"))
+      .write.mode("overwrite").parquet(s"$store/batch_id=$batchId")
+  }
+
+  /** The streaming PRODUCER of the warehouse content-hash sidecar that
+    * d16_incremental_exact consumes — the exact-dedup twin of
+    * [[signatureIngest]]: as documents stream in, each micro-batch's
+    * (content_hash, min doc_id) rows append to the store (idempotently,
+    * via [[writeHashBatch]]'s per-batch overwrite), so the daily
+    * incremental exact-dedup batch reads an up-to-date 16-byte-keyed
+    * store and never re-reads corpus text. With this, BOTH incremental
+    * warehouse paths (near-dup signatures, exact hashes) have a
+    * continuous ingest story; s09's centroid store is maintained by the
+    * periodic s10 re-train instead (a k-row table has no per-batch
+    * append shape).
+    */
+  def hashIngest(docs: Dataset[Doc], store: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[Doc] =
+    docs.writeStream.foreachBatch {
+      (batch: Dataset[Doc], batchId: Long) =>
+        writeHashBatch(batch, store, batchId)
     }
 }

@@ -223,6 +223,82 @@ class DocumentStreamsSpec extends SparkTestBase {
       "the streamed store must be drop-in for the batch-rebuilt store")
   }
 
+  test("hashIngest: streamed store min-merges to the batch canonicals; replays are idempotent") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, min}
+    implicit val sq = spark.sqlContext
+    val d = "/root/testdata/sf0.001"
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_hash_ingest").toString
+    val docs = graft.core.Tables.documents(spark, d)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"))
+      .collect().sortBy(_.getLong(0))
+      .map(r => DocumentStreams.Doc(r.getLong(0), ts("09:00"),
+        r.getString(1), r.getString(2), r.getString(3)))
+    val (first, second) = docs.splitAt(docs.length / 2)
+    val in = MemoryStream[DocumentStreams.Doc]
+    val q = DocumentStreams.hashIngest(in.toDS(), store).start()
+    try {
+      in.addData(first.toSeq)
+      q.processAllAvailable()
+      in.addData(second.toSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    // min-merged across the per-batch rows, the streamed store equals
+    // the batch one-shot (content_hash, min doc_id) computation
+    val stored = spark.read.parquet(store)
+      .groupBy("content_hash")
+      .agg(min(col("stored_canonical")).as("stored_canonical"))
+    val expected = graft.operators.Dedup.contentHashes(
+      graft.core.Tables.documents(spark, d).select("doc_id", "text"))
+      .groupBy("content_hash")
+      .agg(min(col("doc_id")).as("stored_canonical"))
+    assert(stored.exceptAll(expected).isEmpty && expected.exceptAll(stored).isEmpty,
+      "streamed store must min-merge to the batch-computed canonicals")
+    // a failure-redelivered batch rewrites its own subdir, never appends
+    val before = spark.read.parquet(store).count()
+    DocumentStreams.writeHashBatch(second.toSeq.toDS(), store, 1L)
+    assert(spark.read.parquet(store).count() === before,
+      "replaying a delivered batch id must be a no-op for the store")
+  }
+
+  test("d16 consumes a hashIngest-streamed store: producer and batch consumer agree") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    implicit val sq = spark.sqlContext
+    val d = "/root/testdata/sf0.001"
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_streamed_hashstore").toString
+    // stream ONLY the stored slice (what the warehouse held before
+    // today's batch) through the production producer, two micro-batches
+    val docs = graft.core.Tables.documents(spark, d)
+      .filter(col("doc_id") % 5 =!= 4)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"))
+      .collect().sortBy(_.getLong(0))
+      .map(r => DocumentStreams.Doc(r.getLong(0), ts("09:00"),
+        r.getString(1), r.getString(2), r.getString(3)))
+    val (first, second) = docs.splitAt(docs.length / 2)
+    val in = MemoryStream[DocumentStreams.Doc]
+    val q = DocumentStreams.hashIngest(in.toDS(), store).start()
+    try {
+      in.addData(first.toSeq)
+      q.processAllAvailable()
+      in.addData(second.toSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    // the batch consumer reads the STREAMED store (one subdir per
+    // micro-batch, min-merged at read) and must produce exactly the
+    // d16 gate's oracle-checked answer
+    val viaStream = graft.operators.Dedup
+      .incrementalExact(spark, d, store).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getBoolean(3))).toSeq
+    val viaGate = graft.SparkEntry.queries("d16_incremental_exact")(spark, d)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getBoolean(3))).toSeq
+    assert(viaStream === viaGate,
+      "the streamed store must be drop-in for the batch-rebuilt store")
+  }
+
   test("nearDupStream finds exactly d14's estimated pairs across batch boundaries") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
