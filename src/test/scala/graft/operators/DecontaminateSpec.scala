@@ -42,17 +42,31 @@ class DecontaminateSpec extends SparkTestBase {
       s"expected docs 10 and 12 flagged with hit counts/positions, got ${got.toSeq}")
   }
 
-  test("contaminated docs are flagged however the eval set arrives (slice vs external)") {
-    // the d12 gate's slice and an equivalent external table must agree
+  test("the external-table path matches an independently-folded window overlap") {
+    // NOT the gate-vs-helper comparison an earlier version ran (the d12
+    // gate routes through Dedup.decontaminate itself, so both sides
+    // executed identical code and the test was tautological): the
+    // expected answer here is re-derived by a plain Scala fold over the
+    // raw positional windows — same inputs, none of the operator's
+    // join/rollup machinery — so a regression in the external path's
+    // semi-join or per-doc aggregation fails this even if the gate moves
+    // in lockstep.
+    import org.apache.spark.sql.functions.col
     val d = "/root/testdata/sf0.001"
     val all = graft.core.Tables.documents(spark, d)
-    val viaSlice = graft.SparkEntry.queries("d12_decontaminate")(spark, d)
+    val external = all.filter(col("doc_id") % 10 === 7).select("doc_id", "text")
+    val corpus = all.filter(col("doc_id") % 10 =!= 7).select("doc_id", "text")
+    val got = Dedup.decontaminate(corpus, external)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
-    val external = all.filter(org.apache.spark.sql.functions.col("doc_id") % 10 === 7)
-      .select("doc_id", "text")
-    val viaExternal = Dedup.decontaminate(
-      all.filter(org.apache.spark.sql.functions.col("doc_id") % 10 =!= 7), external)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
-    assert(viaExternal === viaSlice)
+    val evalHashes = Dedup.positionalWindowsOf(external, 13)
+      .select("span_hash").collect().map(_.getLong(0)).toSet
+    val expected = Dedup.positionalWindowsOf(corpus, 13)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .filter(w => evalHashes(w._3))
+      .groupBy(_._1)
+      .map { case (id, ws) => (id, ws.length.toLong, ws.map(_._2).min) }
+      .toSet
+    assert(got === expected,
+      "decontaminate must equal the plain-Scala window-overlap fold")
   }
 }
