@@ -103,7 +103,7 @@ object Similarity {
     * 10^4-row test clusters with huge margin, and both engines round
     * the element cast HALF_UP from the shortest double representation.
     */
-  private def centroidStats(v: DataFrame, labelCol: String): DataFrame = {
+  private[graft] def centroidStats(v: DataFrame, labelCol: String): DataFrame = {
     val sums = (1 to Dim).map(i =>
       sum(element_at(col("v"), i).cast(DecimalType(18, 9)))
         .cast(DecimalType(30, 9)).as(s"s_$i"))
@@ -788,43 +788,18 @@ object Similarity {
       "Lloyd maintenance of the persisted centroid store: fold the new batch (vec_id%5=4) into exact per-dim sums/counts, stored vectors never re-read",
       (s, d) => {
         graft.plans.VectorExpressions.register(s)
-        val isNew = col("vec_id") % 5 === 4
-        val store = centroidStore(s, d)
-        val stats = s.read.parquet(store)
-        val vNew = Tables.embeddings(s, d).filter(isNew)
+        val vNew = Tables.embeddings(s, d).filter(col("vec_id") % 5 === 4)
           .select(col("vec_id"), vecD(col("embedding")).as("v"))
-          .withColumn("nrm", sqrt(dotFast(col("v"), col("v"))))
-        val w = Window.partitionBy(col("vec_id"))
-          .orderBy(col("ccos").desc, col("clabel").asc)
-        val assigned = vNew
-          .crossJoin(broadcast(stats.select(col("clabel"), col("cent"), col("cnrm"))))
-          .withColumn("ccos",
-            dotFast(col("v"), col("cent")) / (col("nrm") * col("cnrm")))
-          .withColumn("crank", row_number().over(w))
-          .filter(col("crank") === 1)
-          .select(col("clabel"), col("v"))
-        // the batch's own sufficient statistics, long-form: one narrow
-        // shuffle of k×64 groups (map-side partial decimal sums)
-        val batch = assigned
-          .select(col("clabel"), posexplode(col("v")).as(Seq("pos", "x")))
-          .groupBy(col("clabel"), (col("pos") + 1).as("dim"))
-          .agg(sum(col("x").cast(DecimalType(18, 9)))
-            .cast(DecimalType(30, 9)).as("bsum"),
-            count(lit(1)).as("bcnt"))
-        // unpivot the store's wide stats and fold: a left join (a
-        // cluster the batch never hit keeps its stats unchanged); both
-        // sides are k×64 rows, nothing corpus-sized moves
-        val storedLong = stats.select(col("clabel"), col("cnt"),
+        // one fold implementation: the gate's output is the unpivot of
+        // the WRITE-BACK frame ([[foldedCentroidStats]] — what an
+        // actual maintenance job would overwrite the sidecar with), so
+        // the oracle gates the very statistics the next day's s09 reads
+        val upd = foldedCentroidStats(
+          s.read.parquet(centroidStore(s, d)), vNew)
+        upd.select(col("clabel"), col("cnt").as("upd_cnt"),
             posexplode(array((1 to Dim).map(i => col(s"s_$i")): _*))
-              .as(Seq("pos", "csum")))
+              .as(Seq("pos", "fold")))
           .select(col("clabel"), (col("pos") + 1).as("dim"),
-            col("csum"), col("cnt"))
-        storedLong.join(batch, Seq("clabel", "dim"), "left")
-          .select(col("clabel"), col("dim"),
-            (col("csum") + coalesce(col("bsum"),
-              lit(0).cast(DecimalType(30, 9)))).as("fold"),
-            (col("cnt") + coalesce(col("bcnt"), lit(0L))).as("upd_cnt"))
-          .select(col("clabel"), col("dim"),
             col("fold").cast("double").as("upd_sum"), col("upd_cnt"),
             (col("fold").cast("double") / col("upd_cnt")).as("upd_mean"))
           .orderBy("clabel", "dim")
@@ -862,6 +837,50 @@ object Similarity {
              |  CAST(f AS DOUBLE) / upd_cnt AS upd_mean
              |FROM fold ORDER BY clabel, dim""".stripMargin))
   )
+
+  /** One Lloyd maintenance step in WRITE-BACK form: assign each batch
+    * vector (vec_id, v) to its nearest stored centroid (s09's argmin,
+    * same tie-break), fold the batch's per-dimension exact decimal sums
+    * and count into the store's, and return the updated store — SAME
+    * schema as [[centroidStats]], ready to overwrite the sidecar for
+    * the next day's s09 assignment. Because the statistics are exact
+    * decimals, the fold COMPOSES: folding day A then day B is bit-equal
+    * to rebuilding the statistics from scratch over stored ∪ A ∪ B with
+    * the same assignments — the invariant the multi-day lifecycle spec
+    * pins (decimal addition is associative; double summation is not,
+    * which is exactly why the store holds sums, not means).
+    * Scale shape: the k-row store broadcasts onto the batch for the
+    * argmin; the fold joins two k-row frames; stored vectors never
+    * enter the plan.
+    */
+  private[graft] def foldedCentroidStats(stats: DataFrame,
+      batch: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("ccos").desc, col("clabel").asc)
+    val assigned = batch
+      .withColumn("nrm", sqrt(dotFast(col("v"), col("v"))))
+      .crossJoin(broadcast(stats.select(col("clabel"), col("cent"), col("cnrm"))))
+      .withColumn("ccos",
+        dotFast(col("v"), col("cent")) / (col("nrm") * col("cnrm")))
+      .withColumn("crank", row_number().over(w))
+      .filter(col("crank") === 1)
+      .select(col("clabel"), col("v"))
+    val bsums = (1 to Dim).map(i =>
+      sum(element_at(col("v"), i).cast(DecimalType(18, 9)))
+        .cast(DecimalType(30, 9)).as(s"b_$i"))
+    val bstats = assigned.groupBy(col("clabel"))
+      .agg(bsums.head, (bsums.tail :+ count(lit(1)).as("bcnt")): _*)
+    stats
+      .select((col("clabel") +: (1 to Dim).map(i => col(s"s_$i"))) :+ col("cnt"): _*)
+      .join(bstats, Seq("clabel"), "left")
+      .select((col("clabel") +: (1 to Dim).map(i =>
+        (col(s"s_$i") + coalesce(col(s"b_$i"), lit(0).cast(DecimalType(30, 9))))
+          .cast(DecimalType(30, 9)).as(s"s_$i"))) :+
+        (col("cnt") + coalesce(col("bcnt"), lit(0L))).as("cnt"): _*)
+      .withColumn("cent", array((1 to Dim).map(i =>
+        col(s"s_$i").cast("double") / col("cnt")): _*))
+      .withColumn("cnrm", sqrt(dotFast(col("cent"), col("cent"))))
+  }
 
   /** The persisted centroid-index sidecar the incremental ANN gates
     * share (s09 assigns against it, s10 folds new batches into it):

@@ -137,6 +137,82 @@ class IncrementalStoreSpec extends SparkTestBase {
       "a doc's canonical must never change when later batches arrive")
   }
 
+  test("s09/s10 multi-day lifecycle: fold, write back, re-assign — two folds equal one rebuild") {
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    import graft.functions.Portable.vecD
+    graft.plans.VectorExpressions.register(spark)
+    val e = graft.core.Tables.embeddings(spark, sf)
+    val ids = e.select("vec_id").collect().map(_.getLong(0)).sorted
+    val (c1, c2) = (ids(ids.length / 3), ids(2 * ids.length / 3))
+    val base = tmpDir()
+    // day 0: the index BUILD — label-grouped statistics of the first
+    // arrival third, persisted as the sidecar
+    Similarity.centroidStats(
+      e.filter(col("vec_id") < c1)
+        .select(col("label").cast("long").as("clabel"),
+          vecD(col("embedding")).as("v")), "clabel")
+      .write.parquet(s"$base/day0")
+    // days A and B: assign against the CURRENT store, fold, write the
+    // next version — the production maintenance loop, twice over
+    val dayA = e.filter(col("vec_id") >= c1 && col("vec_id") < c2)
+      .select(col("vec_id"), vecD(col("embedding")).as("v"))
+    Similarity.foldedCentroidStats(spark.read.parquet(s"$base/day0"), dayA)
+      .write.parquet(s"$base/day1")
+    val dayB = e.filter(col("vec_id") >= c2)
+      .select(col("vec_id"), vecD(col("embedding")).as("v"))
+    Similarity.foldedCentroidStats(spark.read.parquet(s"$base/day1"), dayB)
+      .write.parquet(s"$base/day2")
+
+    // Reference rebuild, entirely in plain Scala (no operator code):
+    // replay both days' argmin assignments from the persisted centroid
+    // versions (dotFast is a left-to-right double fold; ties to the
+    // lower clabel), then one flat BigDecimal sum over all three days'
+    // members per cluster. Exact-decimal statistics must make the two
+    // incremental folds EQUAL this from-scratch rebuild.
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    def centroids(day: String): Seq[(Long, Array[Double], Double)] =
+      spark.read.parquet(s"$base/$day").select("clabel", "cent", "cnrm")
+        .collect().map(r => (r.getLong(0),
+          r.getSeq[Double](1).toArray, r.getDouble(2))).toSeq
+    def assign(cents: Seq[(Long, Array[Double], Double)],
+        v: Array[Double]): Long = {
+      val nrm = math.sqrt(dot(v, v))
+      cents.map { case (cl, c, cn) => (dot(v, c) / (nrm * cn), cl) }
+        .minBy { case (ccos, cl) => (-ccos, cl) }._2
+    }
+    def vecsOf(df: org.apache.spark.sql.DataFrame): Seq[Array[Double]] =
+      df.select("v").collect().map(_.getSeq[Double](0).toArray).toSeq
+    val members = scala.collection.mutable.Map[Long, Vector[Array[Double]]]()
+      .withDefaultValue(Vector.empty)
+    e.filter(col("vec_id") < c1)
+      .select(col("label").cast("long"), vecD(col("embedding")))
+      .collect().foreach(r =>
+        members(r.getLong(0)) :+= r.getSeq[Double](1).toArray)
+    val centsA = centroids("day0")
+    vecsOf(dayA).foreach(v => members(assign(centsA, v)) :+= v)
+    val centsB = centroids("day1")
+    vecsOf(dayB).foreach(v => members(assign(centsB, v)) :+= v)
+
+    val got = spark.read.parquet(s"$base/day2").collect()
+      .map(r => (r.getLong(0),
+        (1 to 64).map(i => r.getDecimal(i)).toVector,
+        r.getLong(65))).sortBy(_._1)
+    assert(got.map(_._1) === members.keys.toSeq.sorted)
+    for ((cl, sums, cnt) <- got) {
+      val ms = members(cl)
+      assert(cnt === ms.length.toLong, s"cluster $cl count")
+      for (i <- 0 until 64) {
+        val want = ms.map(v => JBD.valueOf(v(i)).setScale(9, RoundingMode.HALF_UP))
+          .foldLeft(JBD.ZERO.setScale(9))(_.add(_))
+        assert(sums(i).compareTo(want) === 0,
+          s"cluster $cl dim ${i + 1}: folded ${sums(i)} != rebuilt $want")
+      }
+    }
+  }
+
   test("d16: a store already holding the batch's own hashes leaves canonicals unchanged") {
     val store = tmpDir() + "/hashstore_overlap"
     DocumentStreams.writeHashBatch(
