@@ -16,8 +16,10 @@ import graft.functions.Portable._
   * eval-set decontamination (parameterized over any external eval
   * table), Broder signature-agreement Jaccard estimation (d14; its
   * semantic sibling d13 SemDeDup lives in Similarity with the vector
-  * machinery), and incremental dedup of a new batch against the
-  * warehouse's persisted signature store (d15).
+  * machinery), incremental dedup of a new batch against the warehouse's
+  * persisted signature and content-hash stores (d15/d16, with streaming
+  * producers in graft.streaming.DocumentStreams), and the
+  * duplicated-span CUT rewrite (d17) that removes what d08 detects.
   *
   * Scale design per operator is documented inline; the common principles:
   *  - candidate generation is always a join on a *derived small key*
@@ -936,6 +938,74 @@ object Dedup {
              |  h.doc_id <> c.canonical_id AS is_duplicate
              |FROM h JOIN c USING (content_hash)
              |WHERE h.doc_id % 5 = 4
+             |ORDER BY doc_id""".stripMargin)),
+
+    // The CUT step d08 exists to enable (Lee et al. 2022's actual
+    // remedy): rather than dropping a whole document for containing
+    // boilerplate, REWRITE it with every cross-document duplicated
+    // 12-token span removed — tokens covered by ANY window whose hash
+    // 2+ distinct documents share are cut, the rest re-join in order.
+    // Output per document: token count, tokens cut, and the md5 of the
+    // cleaned text (the gate compares the rewrite itself, hash-compact).
+    // Plan: d08's window/count-distinct/re-attach shape produces each
+    // doc's sorted cut-position list (spans only — ~the duplicated
+    // fraction of the corpus, not |tokens| rows); the rewrite is then
+    // one typed-kernel pass over (text, cut positions). The corpus
+    // shuffles ONCE on doc_id to meet its cut lists (shuffle-hash, spans
+    // build side — same discipline as the re-attach); that single
+    // shuffle is the cut step's irreducible cost at 100 TB, and docs
+    // with no duplicated span skip the state entirely (left join,
+    // empty-list fallback).
+    Q("d17_span_cut",
+      "rewrite documents with cross-document duplicated 12-token spans cut out",
+      (s, d) => {
+        import s.implicits._
+        val w = 12
+        val win = positionalWindows(s, d, w).localCheckpoint(true)
+        val shared = win.groupBy("span_hash")
+          .agg(countDistinct(col("doc_id")).as("n_docs"))
+          .filter(col("n_docs") >= 2)
+        val cuts = win.join(shared.hint("shuffle_hash"), Seq("span_hash"))
+          .groupBy("doc_id")
+          .agg(sort_array(collect_set(col("pos"))).as("cut_pos"))
+        docs(s, d)
+          .join(cuts.hint("shuffle_hash"), Seq("doc_id"), "left")
+          .select(col("doc_id"), col("text"),
+            coalesce(col("cut_pos"), typedlit(Seq.empty[Long])).as("cut_pos"))
+          .as[(Long, String, Seq[Long])]
+          .mapPartitions(_.map { case (id, text, cut) =>
+            val toks = Kernels.lowerTokens(text)
+            val covered = new Array[Boolean](toks.length)
+            cut.foreach { p =>
+              var i = p.toInt
+              val end = math.min(toks.length, p.toInt + w)
+              while (i < end) { covered(i) = true; i += 1 }
+            }
+            val kept = toks.indices.collect { case i if !covered(i) => toks(i) }
+            (id, toks.length.toLong, covered.count(identity).toLong,
+              md5HexScala(kept.mkString(" ")))
+          })
+          .toDF("doc_id", "n_tokens", "n_cut", "cleaned_hash")
+          .orderBy("doc_id")
+      },
+      Some("""WITH n AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm FROM documents),
+             |tk AS (SELECT doc_id, list_filter(string_split(norm, ' '), t -> t <> '') AS toks FROM n),
+             |w AS (SELECT doc_id, toks, unnest(range(1, len(toks) - 10)) AS p
+             |  FROM tk WHERE len(toks) >= 12),
+             |h AS (SELECT doc_id, (p - 1)::BIGINT AS pos,
+             |    ('0x' || substr(md5(array_to_string(toks[p:p+11], ' ')), 1, 15))::BIGINT AS span_hash
+             |  FROM w),
+             |sh AS (SELECT span_hash FROM h GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2),
+             |cut AS (SELECT doc_id, list(DISTINCT pos) AS cps
+             |  FROM h JOIN sh USING (span_hash) GROUP BY doc_id)
+             |SELECT t.doc_id, len(t.toks)::BIGINT AS n_tokens,
+             |  len(list_filter(range(0, len(t.toks)),
+             |    i -> len(list_filter(coalesce(c.cps, []::BIGINT[]), q -> i >= q AND i < q + 12)) > 0))::BIGINT AS n_cut,
+             |  md5(coalesce(array_to_string(list_transform(
+             |    list_filter(range(0, len(t.toks)),
+             |      i -> len(list_filter(coalesce(c.cps, []::BIGINT[]), q -> i >= q AND i < q + 12)) = 0),
+             |    i -> t.toks[i + 1]), ' '), '')) AS cleaned_hash
+             |FROM tk t LEFT JOIN cut c USING (doc_id)
              |ORDER BY doc_id""".stripMargin))
   )
 
