@@ -417,6 +417,47 @@ object TextAnalysis {
              |  (cum_tokens - n_tokens) % 2048 AS seq_offset
              |FROM c ORDER BY doc_id""".stripMargin)),
 
+    // Distribution-RELATIVE quality gating — the production complement
+    // to t06's absolute rules: corpora differ by language, so "drop the
+    // worst quarter PER LANGUAGE" (CCNet's perplexity-bucket idea, here
+    // on the t02 alpha-ratio) needs each language's own p25. The exact
+    // PERCENTILE_DISC is computed SCALABLY: never percentile_disc over
+    // raw rows (its aggregation state buffers every group value — an
+    // executor memory bomb on a 100 TB language), but a (lang, score)
+    // count rollup (map-side partial, state = distinct scores) + one
+    // cumulative window over those counts + the ceil(q·n) position rule
+    // — the same answer, proven by the oracle's native quantile_disc.
+    // Thresholds re-attach by BROADCAST (k languages); the corpus never
+    // shuffles for the verdict.
+    Q("t14_quality_gate",
+      "per-language relative quality gate: keep docs at/above their language's p25 alpha-ratio (exact disc percentile, rollup-computed)",
+      (s, d) => {
+        val scored = docs(s, d).select(col("doc_id"), col("lang"),
+          (length(regexp_replace(col("text"), "[^a-z]", "")) * lit(1.0)
+            / length(col("text"))).as("score"))
+        val counts = scored.groupBy("lang", "score").agg(count(lit(1)).as("c"))
+        val wCum = Window.partitionBy(col("lang")).orderBy(col("score"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wTot = Window.partitionBy(col("lang"))
+        val thresh = counts
+          .withColumn("cum", sum(col("c")).over(wCum))
+          .withColumn("n", sum(col("c")).over(wTot))
+          .filter(col("cum") >= ceil(col("n") * lit(0.25)))
+          .groupBy("lang").agg(min(col("score")).as("lang_p25"))
+        scored.join(broadcast(thresh), Seq("lang"))
+          .withColumn("keep", col("score") >= col("lang_p25"))
+          .select("doc_id", "lang", "score", "lang_p25", "keep")
+          .orderBy("doc_id")
+      },
+      Some("""WITH s AS (SELECT doc_id, lang,
+             |    length(regexp_replace(text, '[^a-z]', '', 'g')) * 1.0 / length(text) AS score
+             |  FROM documents),
+             |q AS (SELECT lang, quantile_disc(score, 0.25) AS lang_p25
+             |  FROM s GROUP BY lang)
+             |SELECT doc_id, lang, score, lang_p25, score >= lang_p25 AS keep
+             |FROM s JOIN q USING (lang)
+             |ORDER BY doc_id""".stripMargin)),
+
     // The end-to-end attrition report — what a data-curation team actually
     // reads: per (source, lang), how many documents each pipeline stage
     // removed, in funnel order (quality rules → exact dedup among quality
