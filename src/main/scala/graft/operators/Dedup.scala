@@ -395,25 +395,35 @@ object Dedup {
       // information the earlier probe bought with two `except`s, i.e. two
       // distinct-aggregating JOINS (~4 extra shuffles) per round that were
       // ~a third of d09's total cost. The previous round's fingerprint is
-      // CARRIED OVER, so convergence costs ONE map-side-partial aggregate
-      // job per round, never a join.
-      def fingerprint(e: DataFrame): (Long, Long, java.math.BigDecimal) = {
-        val r = e.agg(
-          count(lit(1)),
-          expr("bit_xor(xxhash64(src, dst))"),
-          sum(xxhash64(col("src"), col("dst")).cast("decimal(38,0)")))
-          .collect().head
-        (r.getLong(0),
-          if (r.isNullAt(1)) 0L else r.getLong(1),
-          if (r.isNullAt(2)) java.math.BigDecimal.ZERO else r.getDecimal(2))
-      }
+      // CARRIED OVER, and since round 8 it rides the checkpoint
+      // materialization itself via observe() — the aggregates accumulate
+      // WHILE the round's edges materialize, so convergence detection
+      // launches ZERO extra jobs per round (the earlier formulation
+      // re-read the fresh checkpoint once per round; cheap per row, but
+      // a whole extra stage launch per round of a many-round loop).
+      val fpCols = Seq(
+        count(lit(1)).as("n"),
+        expr("bit_xor(xxhash64(src, dst))").as("x"),
+        sum(xxhash64(col("src"), col("dst")).cast("decimal(38,0)")).as("s"))
+      def fpOf(row: org.apache.spark.sql.Row): (Long, Long, java.math.BigDecimal) =
+        (row.getLong(0),
+          if (row.isNullAt(1)) 0L else row.getLong(1),
+          if (row.isNullAt(2)) java.math.BigDecimal.ZERO else row.getDecimal(2))
       var edges = init
-      var fpPrev = fingerprint(init)
+      var fpPrev = fpOf(init.agg(fpCols.head, fpCols.tail: _*).collect().head)
       var converged = false
       var rounds = 0
       while (!converged && rounds < maxRounds) {
-        val next = smallStar(largeStar(edges)).localCheckpoint(true)
-        val fpNext = fingerprint(next)
+        val obs = org.apache.spark.sql.Observation(s"cc_round_$rounds")
+        val next = smallStar(largeStar(edges))
+          .observe(obs, fpCols.head, fpCols.tail: _*)
+          .localCheckpoint(true)
+        val or = obs.getAsJava
+        val fpNext = (
+          or.get("n").asInstanceOf[Long],
+          Option(or.get("x")).map(_.asInstanceOf[Long]).getOrElse(0L),
+          Option(or.get("s")).map(_.asInstanceOf[java.math.BigDecimal])
+            .getOrElse(java.math.BigDecimal.ZERO))
         converged = fpNext._1 == fpPrev._1 && fpNext._2 == fpPrev._2 &&
           fpNext._3.compareTo(fpPrev._3) == 0
         edges = next
