@@ -397,6 +397,71 @@ object Multimodal {
              |  row_number() OVER (PARTITION BY query_doc ORDER BY cosine DESC, neighbor_doc) AS rank
              |FROM scored)
              |SELECT query_doc, rank, neighbor_doc, bucket FROM ranked
-             |WHERE rank <= 3 ORDER BY query_doc, rank""".stripMargin))
+             |WHERE rank <= 3 ORDER BY query_doc, rank""".stripMargin)),
+
+    // Cross-video duplicate-FRAME overlap — the video-dedup primitive
+    // (shared keyframes mark re-uploads, clips, and edits of the same
+    // footage): m02's sampled frame tags stand in for perceptual frame
+    // hashes, and video pairs are scored by how many distinct tags they
+    // share — d07's capped set-overlap shape at frame granularity.
+    // Hot tags (a tag present in more than 25% of videos — intros,
+    // color bars, black frames) are capped OUT before the pair join,
+    // integer-exact (tf * 4 <= nvids): at 100 TB a tag in f videos
+    // contributes f² pair rows, and the universal-frame tags carry no
+    // identity signal — the d07 rationale verbatim. Per-video tag-set
+    // sizes re-attach shuffle-hash; the self-join is merge-hinted over
+    // one reused exchange, AQE-skew-splittable, never a broadcast of a
+    // corpus-sized frame table.
+    Q("m07_video_overlap",
+      "video pairs sharing a sampled frame tag (capped hot tags), with overlap fraction",
+      (s, d) => {
+        val fr = sampleFrames(decode(mediaRecords(s, d))).toDF()
+          .select(col("doc_id"), col("frame_tag")).distinct()
+          .localCheckpoint(true)
+        val nv = fr.agg(countDistinct(col("doc_id")).as("nvids"))
+        val tf = fr.groupBy("frame_tag").agg(count(lit(1)).as("tf"))
+        val capped = fr.join(tf.hint("shuffle_hash"), Seq("frame_tag"))
+          .crossJoin(broadcast(nv))
+          .filter(col("tf") * lit(4) <= col("nvids"))
+          .select("doc_id", "frame_tag")
+        val sizes = capped.groupBy("doc_id").agg(count(lit(1)).as("ntags"))
+        val cp = capped.join(sizes.hint("shuffle_hash"), Seq("doc_id"))
+        val a = cp.select(col("doc_id").as("doc_a"),
+          col("ntags").as("na"), col("frame_tag"))
+        val b = cp.select(col("doc_id").as("doc_b"),
+          col("ntags").as("nb"), col("frame_tag"))
+        a.hint("merge").join(b, Seq("frame_tag"))
+          .filter(col("doc_a") < col("doc_b"))
+          .groupBy("doc_a", "doc_b", "na", "nb")
+          .agg(count(lit(1)).as("n_shared"))
+          .filter(col("n_shared") >= 1)
+          .withColumn("overlap",
+            col("n_shared") * lit(1.0) / (col("na") + col("nb") - col("n_shared")))
+          .select("doc_a", "doc_b", "n_shared", "overlap")
+          .orderBy("doc_a", "doc_b")
+      },
+      Some(s"""$sqlMeta,
+             |f AS (SELECT doc_id, cp_sum16,
+             |  unnest(range(0, n_bytes // 100 + 1, 7)) AS frame_idx
+             |FROM m),
+             |ft AS (SELECT DISTINCT doc_id,
+             |  (cp_sum16 * 2654435761 + frame_idx) % 997 AS frame_tag FROM f),
+             |nv AS (SELECT count(DISTINCT doc_id) AS nvids FROM ft),
+             |tf AS (SELECT frame_tag, count(*) AS tf FROM ft GROUP BY 1),
+             |capped AS (SELECT doc_id, frame_tag
+             |  FROM ft JOIN tf USING (frame_tag) CROSS JOIN nv
+             |  WHERE tf.tf * 4 <= nv.nvids),
+             |sz AS (SELECT doc_id, count(*)::BIGINT AS ntags FROM capped GROUP BY 1),
+             |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS n_shared
+             |  FROM capped a JOIN capped b
+             |    ON a.frame_tag = b.frame_tag AND a.doc_id < b.doc_id
+             |  GROUP BY 1, 2)
+             |SELECT doc_a, doc_b, n_shared,
+             |  n_shared * 1.0 / (sa.ntags + sb.ntags - n_shared) AS overlap
+             |FROM p
+             |  JOIN sz sa ON sa.doc_id = doc_a
+             |  JOIN sz sb ON sb.doc_id = doc_b
+             |WHERE n_shared >= 1
+             |ORDER BY doc_a, doc_b""".stripMargin))
   )
 }
