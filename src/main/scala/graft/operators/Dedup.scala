@@ -214,19 +214,44 @@ object Dedup {
     * keep pairs at estimate >= 0.5 — O(30) per pair, the shingle sets are
     * never re-touched. Shared by d14 (one-frame batch) and d15 (new batch
     * vs the persisted store).
+    *
+    * The attach shape depends on WHOSE candidates these are:
+    *  - d14 (`broadcastCand = false`): the candidate set spans the whole
+    *    corpus — output-bound but corpus-proportional, so it must never
+    *    broadcast; merge-hinted SMJs shuffle the pair set AND the
+    *    signature side (broadcasting the signature side is never right
+    *    either, and a small parquet's size estimate would statically
+    *    pick exactly that).
+    *  - d15 (`broadcastCand = true`): candidates all touch one daily
+    *    batch — batch-bound — so they BROADCAST and the warehouse
+    *    signature store STREAMS through both attaches with zero
+    *    exchanges. This is the difference between shuffling the whole
+    *    240 B/doc sidecar (TBs at a 10^9-doc corpus) per daily batch
+    *    and reading it exactly once, exchange-free (plan-asserted).
     */
-  private def signatureEstimates(cand: DataFrame, sigs: DataFrame): DataFrame = {
+  private def signatureEstimates(cand: DataFrame, sigs: DataFrame,
+      broadcastCand: Boolean = false): DataFrame = {
     val aSide = sigs.select(col("doc_id").as("doc_a") +:
       (0 until 30).map(k => col(s"mh_$k").as(s"a_$k")): _*)
     val bSide = sigs.select(col("doc_id").as("doc_b") +:
       (0 until 30).map(k => col(s"mh_$k").as(s"b_$k")): _*)
     val matches = (0 until 30).map(k =>
       when(col(s"a_$k") === col(s"b_$k"), 1L).otherwise(0L)).reduce(_ + _)
-    // merge-hinted attaches: the signature side is corpus-sized (d14) or
-    // the whole warehouse store (d15) — broadcasting it is never right,
-    // but a small store parquet's size estimate would statically pick
-    // exactly that; SMJ shuffles the (output-bound) pair set instead
-    cand.join(aSide.hint("merge"), "doc_a").join(bSide.hint("merge"), "doc_b")
+    val attached =
+      if (broadcastCand) {
+        // first attach: candidates broadcast, the store STREAMS. Its
+        // result is pair-bound (|cand| rows), so it eagerly
+        // materializes (localCheckpoint) and broadcasts for the second
+        // attach — the broadcast build is then a measured-size RDD of
+        // batch data, never a subtree containing a store scan, and the
+        // store is read exactly twice, exchange-free both times.
+        val firstAttach = broadcast(cand).join(aSide, "doc_a")
+          .localCheckpoint(true)
+        broadcast(firstAttach).join(bSide, "doc_b")
+      } else
+        cand.join(aSide.hint("merge"), "doc_a")
+          .join(bSide.hint("merge"), "doc_b")
+    attached
       .withColumn("est_matches", matches)
       .filter(col("est_matches") >= 15)
       .select(col("doc_a"), col("doc_b"), col("est_matches"),
@@ -1056,14 +1081,18 @@ object Dedup {
     val all = stored.unionByName(fresh)
     val nb = bandRows(fresh)
     val ab = bandRows(all)
-    val cand = nb.as("x").join(ab.as("y"), Seq("bkey"))
+    // the batch's band rows broadcast EXPLICITLY (10 rows/doc of one
+    // daily batch) so the store's band rows stream — relying on a size
+    // estimate here would shuffle the store the day the estimate is off
+    val cand = broadcast(nb.as("x")).join(ab.as("y"), Seq("bkey"))
       .filter(col("x.doc_id") =!= col("y.doc_id") &&
         col("x.m0") === col("y.m0") && col("x.m1") === col("y.m1") &&
         col("x.m2") === col("y.m2"))
       .select(least(col("x.doc_id"), col("y.doc_id")).as("doc_a"),
         greatest(col("x.doc_id"), col("y.doc_id")).as("doc_b"))
       .distinct()
-    signatureEstimates(cand, all).orderBy("doc_a", "doc_b")
+    signatureEstimates(cand, all, broadcastCand = true)
+      .orderBy("doc_a", "doc_b")
   }
 
   /** (doc_id, content_hash) of a (doc_id, text) frame — the d01/d16

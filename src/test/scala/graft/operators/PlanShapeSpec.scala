@@ -328,15 +328,23 @@ class PlanShapeSpec extends SparkTestBase {
     // signatures are eagerly checkpointed, the warehouse side is parquet
     assert(countOf(plan, "MapPartitions") == 0,
       s"no text kernel may run in the incremental dedup plan:\n${plan.take(2000)}")
-    // the only broadcasts allowed are NEW-batch-sized: the candidate
-    // band side, plus the producer-overlap anti-join's batch id-list —
-    // which appears once per consumer of the guarded store (band rows
-    // and the signature attach), hence 3; the estimate attaches are
-    // merge-hinted so a small store parquet's size estimate can never
-    // statically broadcast the warehouse side. WHICH side broadcasts is
-    // the load-bearing property and is pinned by the subtree walk below.
-    assert(countOf(plan, "BroadcastExchange") <= 3,
+    // every broadcast must be NEW-batch-sized: the band probe, the
+    // producer-overlap anti-join's batch id-list (once per consumer of
+    // the guarded store), and the two batch-bound candidate attaches.
+    // WHICH side broadcasts is the load-bearing property and is pinned
+    // by the subtree walk below; the count just bounds plan growth.
+    assert(countOf(plan, "BroadcastExchange") <= 6,
       s"only new-batch-sized sides may broadcast:\n${plan.take(3000)}")
+    // the r8 shape: with batch-bound candidates BROADCAST onto the
+    // streamed store, NO hash exchange may carry the store's signature
+    // columns — the warehouse sidecar is read exactly once,
+    // exchange-free (shuffling it per daily batch was the last
+    // corpus-proportional cost in this plan). The pair-level distinct
+    // (doc_a/doc_b) is the only hash exchange allowed.
+    val hashEx = plan.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(hashEx.forall(l => !l.contains("mh_")),
+      s"the signature store must never shuffle:\n$hashEx")
     // and pin WHICH side: no BroadcastExchange subtree may contain the
     // store scan (subtree = following lines with deeper indentation)
     val lines = plan.linesIterator.toVector
