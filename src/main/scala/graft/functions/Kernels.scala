@@ -42,10 +42,16 @@ object Kernels {
   }
 
   /** Lower-cased whitespace tokens of raw text — the shared first step of
-    * every document kernel (= the oracle's normalize-then-split).
+    * every document kernel (= the oracle's normalize-then-split). NULL
+    * text tokenizes as the empty document: the synthetic tables carry no
+    * nulls, but a crawl's do, and a kernel NPE inside mapPartitions
+    * fails the whole task (the column-expression queries are already
+    * null-propagating on both engines; this is the typed paths' twin of
+    * that contract).
     */
   def lowerTokens(text: String): Array[String] =
-    tokenize(text.toLowerCase(java.util.Locale.ROOT))
+    if (text == null) Array.empty
+    else tokenize(text.toLowerCase(java.util.Locale.ROOT))
 
   /** Distinct word-trigram 60-bit shingle hashes of a token array. Twin of
     * `list_distinct(list_transform(range(1, len(toks)-1), i -> toks[i] || ' ' || ...))`

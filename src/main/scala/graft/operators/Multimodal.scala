@@ -44,7 +44,9 @@ object Multimodal {
       .select(col("doc_id"), col("text"), col("source"))
       .as[(Long, String, String)]
       .map { case (id, text, source) =>
-        MediaRecord(id, text.getBytes("UTF-8"), s"media/$source")
+        // null text ≡ empty payload (the Kernels.lowerTokens contract)
+        MediaRecord(id, (if (text == null) "" else text).getBytes("UTF-8"),
+          s"media/$source")
       }
   }
 

@@ -638,8 +638,8 @@ object TextAnalysis {
             // (string_split(text, ' ')); Kernels.tokenize's full \s set
             // would diverge on tab/newline-bearing text (the other raw-
             // text kernels split the same way, e.g. qualityFilterOf)
-            val (n, types, sq, hapax) =
-              Kernels.diversityMoments(tx.split(" ").filter(_.nonEmpty))
+            val (n, types, sq, hapax) = Kernels.diversityMoments(
+              (if (tx == null) "" else tx).split(" ").filter(_.nonEmpty))
             (id, n, types, sq, n * n - sq, n - types, hapax)
           })
           .toDF("doc_id", "n_tokens", "n_types", "sq_counts", "gini_num",
@@ -688,7 +688,11 @@ object TextAnalysis {
     * `* 1.0 / n` IEEE division), so the threshold comparisons decide
     * identically in both engines.
     */
-  private[graft] def qualityFilterOf(id: Long, text: String): T06 = {
+  private[graft] def qualityFilterOf(id: Long, rawText: String): T06 = {
+    // null text ≡ empty document (the Kernels.lowerTokens contract): a
+    // kernel NPE inside mapPartitions fails the whole task on real
+    // crawl data; an empty doc just fails the min-words rule
+    val text = if (rawText == null) "" else rawText
     val toks = text.split(" ").filter(_.nonEmpty)
     val n = toks.length
     def cp(s: String): Int = s.codePointCount(0, s.length)
@@ -733,7 +737,8 @@ object TextAnalysis {
     * codepoints (= DuckDB `len`), not UTF-16 units, so non-ASCII text
     * hashes identically.
     */
-  private[operators] def repetitionOf(docId: Long, text: String): T05 = {
+  private[operators] def repetitionOf(docId: Long, rawText: String): T05 = {
+    val text = if (rawText == null) "" else rawText // null ≡ empty doc
     val toks = text.split(" ").filter(_.nonEmpty)
     val n = toks.length
     def cp(s: String): Int = s.codePointCount(0, s.length)
