@@ -33,7 +33,15 @@ import graft.functions.Portable.md5HexScala
 private[graft] object StoreFixture {
   private lazy val base = {
     val dir = java.nio.file.Files.createTempDirectory("graft_stores_")
-    dir.toFile.deleteOnExit()
+    // recursive delete at JVM exit — deleteOnExit() would silently no-op
+    // on a non-empty directory and leak every store set into /tmp
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(): Unit
+      }
+      rm(dir.toFile)
+    }))
     dir.toString
   }
   private val built = new ConcurrentHashMap[String, String]()

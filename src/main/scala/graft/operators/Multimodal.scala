@@ -436,7 +436,6 @@ object Multimodal {
           .filter(col("doc_a") < col("doc_b"))
           .groupBy("doc_a", "doc_b", "na", "nb")
           .agg(count(lit(1)).as("n_shared"))
-          .filter(col("n_shared") >= 1)
           .withColumn("overlap",
             col("n_shared") * lit(1.0) / (col("na") + col("nb") - col("n_shared")))
           .select("doc_a", "doc_b", "n_shared", "overlap")
@@ -463,7 +462,6 @@ object Multimodal {
              |FROM p
              |  JOIN sz sa ON sa.doc_id = doc_a
              |  JOIN sz sb ON sb.doc_id = doc_b
-             |WHERE n_shared >= 1
              |ORDER BY doc_a, doc_b""".stripMargin))
   )
 }

@@ -94,25 +94,44 @@ object Similarity {
     *
     * Scale is (18,9), not exactMeanVec's (38,18): sums must survive a
     * decimal→double cast bit-identically in BOTH engines, and that cast
-    * is only safely single-rounded while the unscaled value stays under
-    * 2^53 (the q19/q20 money-sum discipline; at scale 18 the unscaled
-    * sums pass 10^18 and DuckDB's int128→double→÷10^18 double-rounding
-    * can drift 1 ULP from Spark's correctly-rounded BigDecimal cast —
-    * the exactMeanVec portability note). 9 fractional digits on |x|≲10
-    * elements keeps a trillion-row cluster's sum exact under 2^53 …
-    * 10^4-row test clusters with huge margin, and both engines round
-    * the element cast HALF_UP from the shortest double representation.
+    * is only safely single-rounded while the UNSCALED value — |sum|·10⁹
+    * — stays under 2^53 (the q19/q20 money-sum discipline; at scale 18
+    * the unscaled sums pass 10^18 immediately and DuckDB's
+    * int128→double→÷10^s double-rounding can drift 1 ULP from Spark's
+    * correctly-rounded BigDecimal cast — the exactMeanVec portability
+    * note). The honest bound: |sum| < 2^53/10⁹ ≈ 9.0·10⁶, i.e. ~10⁶
+    * members per cluster at |x|≲10 — far above any IVF list an index
+    * would tolerate (list size is a quality knob kept in the thousands;
+    * a 10⁹-vector index raises k, not list mass). The SUMS themselves
+    * stay exact at ANY size (decimal addition never rounds); only the
+    * derived double output narrows, so past the bound the fold is still
+    * correct and only the cross-engine bit-equality of the cast output
+    * weakens to 1 ULP — which the argmin consumers tolerate by design.
+    * Both engines round the element cast HALF_UP from the shortest
+    * double representation.
     */
-  private[graft] def centroidStats(v: DataFrame, labelCol: String): DataFrame = {
-    val sums = (1 to Dim).map(i =>
+  private[graft] def centroidStats(v: DataFrame, labelCol: String): DataFrame =
+    withCentroid(v.groupBy(col(labelCol).as("clabel"))
+      .agg(statSumCols("s").head,
+        (statSumCols("s").tail :+ count(lit(1)).as("cnt")): _*))
+
+  /** The shared per-dimension exact-decimal sum aggregates of the
+    * centroid store (see [[centroidStats]] for the scale rationale) —
+    * ONE definition so the build and the fold can never drift.
+    */
+  private def statSumCols(prefix: String): Seq[org.apache.spark.sql.Column] =
+    (1 to Dim).map(i =>
       sum(element_at(col("v"), i).cast(DecimalType(18, 9)))
-        .cast(DecimalType(30, 9)).as(s"s_$i"))
-    v.groupBy(col(labelCol).as("clabel"))
-      .agg(sums.head, (sums.tail :+ count(lit(1)).as("cnt")): _*)
+        .cast(DecimalType(30, 9)).as(s"${prefix}_$i"))
+
+  /** Derive the centroid columns (cent, cnrm) from a stats frame's
+    * s_1..s_64 + cnt — shared by the build and the fold.
+    */
+  private def withCentroid(stats: DataFrame): DataFrame =
+    stats
       .withColumn("cent", array((1 to Dim).map(i =>
         col(s"s_$i").cast("double") / col("cnt")): _*))
       .withColumn("cnrm", sqrt(dotFast(col("cent"), col("cent"))))
-  }
 
   /** DuckDB twin of [[centroidStats]]'s centroid derivation: scale-(18,9)
     * exact-decimal per-dimension mean list (see centroidStats for why
@@ -865,21 +884,16 @@ object Similarity {
       .withColumn("crank", row_number().over(w))
       .filter(col("crank") === 1)
       .select(col("clabel"), col("v"))
-    val bsums = (1 to Dim).map(i =>
-      sum(element_at(col("v"), i).cast(DecimalType(18, 9)))
-        .cast(DecimalType(30, 9)).as(s"b_$i"))
+    val bsums = statSumCols("b")
     val bstats = assigned.groupBy(col("clabel"))
       .agg(bsums.head, (bsums.tail :+ count(lit(1)).as("bcnt")): _*)
-    stats
+    withCentroid(stats
       .select((col("clabel") +: (1 to Dim).map(i => col(s"s_$i"))) :+ col("cnt"): _*)
       .join(bstats, Seq("clabel"), "left")
       .select((col("clabel") +: (1 to Dim).map(i =>
         (col(s"s_$i") + coalesce(col(s"b_$i"), lit(0).cast(DecimalType(30, 9))))
           .cast(DecimalType(30, 9)).as(s"s_$i"))) :+
-        (col("cnt") + coalesce(col("bcnt"), lit(0L))).as("cnt"): _*)
-      .withColumn("cent", array((1 to Dim).map(i =>
-        col(s"s_$i").cast("double") / col("cnt")): _*))
-      .withColumn("cnrm", sqrt(dotFast(col("cent"), col("cent"))))
+        (col("cnt") + coalesce(col("bcnt"), lit(0L))).as("cnt"): _*))
   }
 
   /** The persisted centroid-index sidecar the incremental ANN gates

@@ -336,15 +336,16 @@ class PlanShapeSpec extends SparkTestBase {
     assert(countOf(plan, "BroadcastExchange") <= 6,
       s"only new-batch-sized sides may broadcast:\n${plan.take(3000)}")
     // the r8 shape: with batch-bound candidates BROADCAST onto the
-    // streamed store, NO hash exchange may carry the store's signature
-    // columns — the warehouse sidecar is read exactly once,
-    // exchange-free (shuffling it per daily batch was the last
-    // corpus-proportional cost in this plan). The pair-level distinct
-    // (doc_a/doc_b) is the only hash exchange allowed.
-    val hashEx = plan.linesIterator
-      .filter(_.contains("Exchange hashpartitioning")).toSeq
-    assert(hashEx.forall(l => !l.contains("mh_")),
-      s"the signature store must never shuffle:\n$hashEx")
+    // streamed store, every JOIN in the plan is broadcast-built from a
+    // batch-bound side and the store only ever STREAMS — so no shuffled
+    // join may appear at all. (Asserting on exchange partition keys
+    // would be vacuous: partition keys are pair/bucket columns in both
+    // the good and the regressed plan. A revert to the merge-hinted
+    // attaches — the exact regression this pins — reintroduces
+    // SortMergeJoins that shuffle the whole 240 B/doc sidecar per
+    // daily batch.)
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"every d15 join must broadcast a batch-bound side; the store only streams:\n${plan.take(3000)}")
     // and pin WHICH side: no BroadcastExchange subtree may contain the
     // store scan (subtree = following lines with deeper indentation)
     val lines = plan.linesIterator.toVector
