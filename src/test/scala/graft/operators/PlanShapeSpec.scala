@@ -423,6 +423,48 @@ class PlanShapeSpec extends SparkTestBase {
     }
   }
 
+  test("d17: one rewrite kernel; cut lists re-attach shuffle-hash, never sort-merge") {
+    val plan = executedPlan("d17_span_cut")
+    // the window kernel ran inside the eager checkpoint during query
+    // construction; the executed plan's ONLY typed kernel is the
+    // rewrite pass over (text, cut positions)
+    assert(countOf(plan, "MapPartitions") == 1,
+      s"exactly the rewrite kernel may run in the cut plan:\n${plan.take(2000)}")
+    // both attach joins (qualifying spans onto windows, cut lists onto
+    // the corpus) are shuffle-hash: a sort-merge would sort every span
+    // row / every document to meet a build side that is bounded
+    assert(plan.contains("ShuffledHashJoin") && !plan.contains("SortMergeJoin"),
+      s"cut-list attaches must be shuffle-hash joins:\n${plan.take(2000)}")
+    assert(plan.contains("partial_count(distinct"),
+      s"span doc-counts must partial-aggregate map-side:\n${plan.take(2000)}")
+  }
+
+  test("m07: frame-overlap self-join reuses one exchange and broadcasts nothing corpus-sized") {
+    val plan = executedPlan("m07_video_overlap")
+    // the two self-join sides derive from one checkpointed tag frame:
+    // their ENSURE_REQUIREMENTS exchanges canonicalize equal and the
+    // shuffle computes once (the d07 discipline at frame granularity)
+    assert(plan.contains("ReusedExchange"),
+      s"the tag self-join must reuse one exchange:\n${plan.take(2000)}")
+    // the only broadcast allowed is the one-row video-count scalar
+    // (IdentityBroadcastMode under the cross join — its subtree
+    // naturally derives from the tag frame); no HASH-RELATION build
+    // (the broadcast-join kind that would OOM on a corpus-sized side)
+    // may contain the per-video tag frame
+    val lines = plan.linesIterator.toVector
+    def indent(l: String): Int =
+      l.takeWhile(c => c == ' ' || c == ':' || c == '+' || c == '-').length
+    lines.zipWithIndex
+      .filter(_._1.contains("HashedRelationBroadcastMode")).foreach {
+        case (bl, i) =>
+          val bi = indent(bl)
+          val subtree = lines.drop(i + 1).takeWhile(l =>
+            l.trim.isEmpty || indent(l) > bi)
+          assert(!subtree.exists(_.contains("frame_tag")),
+            s"the per-video tag frame must never build a broadcast hash relation:\n$bl")
+      }
+  }
+
   test("t12: diversity kernel runs once with no shuffle before the output sort") {
     val plan = executedPlan("t12_lexical_diversity")
     assert(countOf(plan, "MapPartitions") == 1,
