@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.core.{Q, Tables}
@@ -18,8 +18,11 @@ import graft.functions.Portable._
   * semantic sibling d13 SemDeDup lives in Similarity with the vector
   * machinery), incremental dedup of a new batch against the warehouse's
   * persisted signature and content-hash stores (d15/d16, with streaming
-  * producers in graft.streaming.DocumentStreams), and the
-  * duplicated-span CUT rewrite (d17) that removes what d08 detects.
+  * producers in graft.streaming.DocumentStreams), the
+  * duplicated-span CUT rewrite (d17) that removes what d08 detects,
+  * the bloom-filter membership prefilter over the hash store (d18),
+  * and quality-argmax cluster canonicalization (d19 — keep each
+  * duplicate cluster's best document, not its min id).
   *
   * Scale design per operator is documented inline; the common principles:
   *  - candidate generation is always a join on a *derived small key*
@@ -953,18 +956,7 @@ object Dedup {
     // restricted to new docs) proves store-side dedup loses nothing.
     Q("d16_incremental_exact",
       "new-batch (doc_id%5=4) exact dedup against the persisted content-hash store, corpus never re-read",
-      (s, d) => {
-        // the warehouse sidecar: built from the input tables ONCE per
-        // JVM (StoreFixture — per-process path, no cross-process
-        // races), so the gated query times the consumer only;
-        // production appends per batch (streaming: hashIngest)
-        val store = graft.core.StoreFixture("graft_hashstore", d) { p =>
-          contentHashes(docs(s, d).filter(!(col("doc_id") % 5 === 4)))
-            .groupBy("content_hash").agg(min(col("doc_id")).as("stored_canonical"))
-            .write.mode("overwrite").parquet(p)
-        }
-        incrementalExact(s, d, store)
-      },
+      (s, d) => incrementalExact(s, d, hashStorePath(s, d)),
       Some("""WITH h AS (SELECT doc_id,
              |    md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS content_hash
              |  FROM documents),
@@ -1041,8 +1033,167 @@ object Dedup {
              |      i -> len(list_filter(coalesce(c.cps, []::BIGINT[]), q -> i >= q AND i < q + 12)) = 0),
              |    i -> t.toks[i + 1]), ' '), '')) AS cleaned_hash
              |FROM tk t LEFT JOIN cut c USING (doc_id)
-             |ORDER BY doc_id""".stripMargin))
+             |ORDER BY doc_id""".stripMargin)),
+
+    // Bloom-filter membership prefilter — the approximate-membership
+    // sidecar that lets a daily batch SKIP the warehouse store for the
+    // overwhelmingly-common case (hash not seen before). The bloom is m
+    // bits (m = 4096 here — a knob; ~1.2 bytes/key at 1 % fp in
+    // production) with k = 3 md5-derived bit positions per key, so it is
+    // orders of magnitude smaller than d16's (hash, canonical) store and
+    // BROADCASTS where the store can only be scanned. Crucially the
+    // bloom is a pure FOLD like s10's sufficient statistics: bits only
+    // turn on, so ingest maintains it by unioning each batch's
+    // positions — no rebuild, and a union of per-shard blooms is the
+    // corpus bloom. The batch probes the broadcast bit set (k rows/doc,
+    // batch-bound groupBy); only bloom-POSITIVE hashes — true dupes
+    // plus the bounded false-positive rate — touch the store, via the
+    // d16 broadcast-semi onto its scan. No false negatives ever
+    // (bloom_hit is implied by is_known, and the oracle recomputes both
+    // exactly, false positives included — the gate pins the fp set).
+    Q("d18_bloom_prefilter",
+      "new-batch (doc_id%5=4) membership prefilter: 4096-bit/3-hash bloom over the hash store, store touched only for positives",
+      (s, d) => {
+        val bloomBits = graft.core.StoreFixture("graft_bloomstore", d) { p =>
+          // built by folding the hash store's keys once (in production:
+          // ingest ORs each batch's positions in as it appends the store)
+          s.read.parquet(hashStorePath(s, d))
+            .select(explode(bloomPositions(col("content_hash"))).as("bit_pos"))
+            .distinct()
+            .write.mode("overwrite").parquet(p)
+        }
+        val bits = s.read.parquet(bloomBits)
+        val probe = contentHashes(docs(s, d).filter(col("doc_id") % 5 === 4))
+          .localCheckpoint(true)
+        // k probe rows per doc against the broadcast bit set; the count
+        // of matched positions folds map-side (batch-bound groupBy)
+        val hitCounts = probe
+          .select(col("doc_id"), col("content_hash"),
+            explode(bloomPositions(col("content_hash"))).as("bit_pos"))
+          .join(broadcast(bits.withColumn("present", lit(1))),
+            Seq("bit_pos"), "left")
+          .groupBy("doc_id", "content_hash")
+          .agg(count(col("present")).as("n_hit"))
+          .withColumn("bloom_hit", col("n_hit") === 3)
+        // the store is scanned ONLY for bloom-positive hashes (the
+        // operator's point): positives broadcast left-semi onto the scan
+        val positives = hitCounts.filter(col("bloom_hit"))
+          .select("content_hash").distinct()
+        val known = s.read.parquet(hashStorePath(s, d))
+          .join(broadcast(positives), Seq("content_hash"), "left_semi")
+          .select(col("content_hash"), lit(true).as("is_known"))
+        hitCounts
+          .join(broadcast(known), Seq("content_hash"), "left")
+          .select(col("doc_id"), col("content_hash"), col("bloom_hit"),
+            coalesce(col("is_known"), lit(false)).as("is_known"))
+          // no false negatives: ¬bloom_hit ⇒ ¬is_known, so the non-
+          // probed hashes' is_known=false is exact, not an approximation
+          .withColumn("false_positive", col("bloom_hit") && !col("is_known"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH h AS (SELECT doc_id,
+             |    md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS content_hash
+             |  FROM documents),
+             |store AS (SELECT DISTINCT content_hash FROM h WHERE doc_id % 5 <> 4),
+             |bits AS (SELECT DISTINCT
+             |    ('0x' || substr(md5('bloom' || j || '_' || content_hash), 1, 15))::BIGINT % 4096 AS bit_pos
+             |  FROM store, (SELECT unnest(range(0, 3)) AS j)),
+             |batch AS (SELECT doc_id, content_hash FROM h WHERE doc_id % 5 = 4),
+             |pb AS (SELECT doc_id, content_hash,
+             |    ('0x' || substr(md5('bloom' || j || '_' || content_hash), 1, 15))::BIGINT % 4096 AS bit_pos
+             |  FROM batch, (SELECT unnest(range(0, 3)) AS j)),
+             |hc AS (SELECT doc_id, content_hash, count(b.bit_pos)::BIGINT AS n_hit
+             |  FROM pb LEFT JOIN bits b USING (bit_pos) GROUP BY 1, 2)
+             |SELECT p.doc_id, p.content_hash, p.n_hit = 3 AS bloom_hit,
+             |  s.content_hash IS NOT NULL AS is_known,
+             |  (p.n_hit = 3 AND s.content_hash IS NULL) AS false_positive
+             |FROM hc p LEFT JOIN store s USING (content_hash)
+             |ORDER BY doc_id""".stripMargin)),
+
+    // Cluster canonicalization by QUALITY — what production dedup
+    // actually keeps: d09 canonicalizes to the min doc_id (the only
+    // choice expressible from ids alone), but a pipeline keeps each
+    // duplicate cluster's BEST document (highest quality score, here the
+    // t02/t14 alpha-ratio; per-row IEEE division, so both engines rank
+    // identically), ties by doc_id. Plan: the component labels cover
+    // only documents that appear in near-dup pairs — the duplicated
+    // minority, orders of magnitude smaller than the corpus — so they
+    // BROADCAST onto the scored corpus scan (the d12 pattern; the
+    // corpus never shuffles to learn its cluster), and the argmax
+    // window runs on the labeled subset only, partitioned by cluster.
+    Q("d19_cluster_best",
+      "near-dup clusters keep their best-quality doc: argmax(alpha-ratio) per d09 component, ties by doc_id",
+      (s, d) => {
+        val pairs = jaccardPairs(explodedShingles(s, d).localCheckpoint(true), 0.5)
+          .select(col("doc_a"), col("doc_b"))
+        val labels = connectedComponents(pairs)
+          .withColumnRenamed("node", "doc_id")
+          .withColumnRenamed("label", "canonical_id")
+        val w = Window.partitionBy(col("canonical_id"))
+          .orderBy(col("score").desc, col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        docs(s, d)
+          .select(col("doc_id"), col("text"))
+          .join(broadcast(labels), Seq("doc_id"))
+          // score AFTER the label join: the quality regex runs on the
+          // duplicated minority only, not the whole corpus
+          .select(col("doc_id"), col("canonical_id"),
+            (length(regexp_replace(col("text"), "[^a-z]", "")) * lit(1.0)
+              / length(col("text"))).as("score"))
+          .withColumn("best_id", first(col("doc_id")).over(w))
+          .withColumn("is_kept", col("doc_id") === col("best_id"))
+          .select("doc_id", "canonical_id", "score", "best_id", "is_kept")
+          .orderBy("doc_id")
+      },
+      Some(s"""${sqlShingled.replaceFirst("WITH ", "WITH RECURSIVE ")},
+             |ex AS (SELECT doc_id, nsh, unnest(sh) AS shingle FROM sh),
+             |p0 AS (
+             |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             |    a.nsh AS size_a, b.nsh AS size_b, count(*)::BIGINT AS intersection
+             |  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+             |  GROUP BY 1, 2, 3, 4),
+             |pr AS (SELECT doc_a, doc_b FROM p0
+             |  WHERE intersection * 1.0 / (size_a + size_b - intersection) >= 0.5),
+             |edges AS (SELECT doc_a, doc_b FROM pr UNION SELECT doc_b, doc_a FROM pr),
+             |reach AS (
+             |  SELECT doc_a AS node, doc_b AS r FROM edges
+             |  UNION
+             |  SELECT reach.node, edges.doc_b AS r FROM reach JOIN edges ON reach.r = edges.doc_a),
+             |lbl AS (SELECT node AS doc_id, least(node, min(r))::BIGINT AS canonical_id
+             |  FROM reach GROUP BY node),
+             |sc AS (SELECT doc_id,
+             |    length(regexp_replace(text, '[^a-z]', '', 'g')) * 1.0 / length(text) AS score
+             |  FROM documents),
+             |j AS (SELECT l.doc_id, l.canonical_id, sc.score,
+             |    first_value(l.doc_id) OVER (PARTITION BY l.canonical_id
+             |      ORDER BY sc.score DESC, l.doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS best_id
+             |  FROM lbl l JOIN sc USING (doc_id))
+             |SELECT doc_id, canonical_id, score, best_id,
+             |  doc_id = best_id AS is_kept
+             |FROM j ORDER BY doc_id""".stripMargin))
   )
+
+  /** The d16/d18 warehouse sidecar — one (content_hash, stored_canonical)
+    * row per distinct document ever seen outside the gate batch — built
+    * from the input tables ONCE per JVM (StoreFixture: per-process path,
+    * no cross-process races) so the gated queries time the consumer
+    * only; production appends per batch (streaming: hashIngest).
+    */
+  private def hashStorePath(s: SparkSession, d: String): String =
+    graft.core.StoreFixture("graft_hashstore", d) { p =>
+      contentHashes(docs(s, d).filter(!(col("doc_id") % 5 === 4)))
+        .groupBy("content_hash").agg(min(col("doc_id")).as("stored_canonical"))
+        .write.mode("overwrite").parquet(p)
+    }
+
+  /** The k = 3 bloom bit positions of a content-hash key, md5-derived so
+    * the oracle regenerates them (`('0x' || substr(md5('bloom' || j ||
+    * '_' || h), 1, 15))::BIGINT % 4096`). m = 4096 bits.
+    */
+  private def bloomPositions(hash: Column): Column =
+    array((0 until 3).map(j =>
+      h60(concat(lit(s"bloom${j}_"), hash)) % 4096L): _*)
 
   /** The d15 consumer, parameterized by the signature-store path so ANY
     * producer of the store — the gate's batch rebuild, or the streaming

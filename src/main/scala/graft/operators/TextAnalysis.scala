@@ -11,8 +11,10 @@ import graft.functions.Portable._
   * the `documents` table: token statistics, quality scoring + the
   * composite Gopher filter, language-ID (marker-token heuristic), content
   * fingerprinting, mixture sampling, sequence packing, the per-source
-  * funnel report, vocabulary statistics, token-rarity scoring and
-  * integer-exact lexical diversity (t12).
+  * funnel report, vocabulary statistics, token-rarity scoring,
+  * integer-exact lexical diversity (t12), per-source top-K capping
+  * (t15) and integer-exact importance resampling to a target mixture
+  * (t16, the DSIR shape).
   *
   * Scale design: the per-document operators (t01–t07, t12) are single
   * narrow projections or one-pass typed kernels — no shuffle, no driver
@@ -666,7 +668,94 @@ object TextAnalysis {
              |  CASE WHEN n_tokens > 1 THEN
              |    (n_tokens * n_tokens - sq_counts) * 1.0 / (n_tokens * (n_tokens - 1))
              |  END AS gini_simpson
-             |FROM m ORDER BY doc_id""".stripMargin))
+             |FROM m ORDER BY doc_id""".stripMargin)),
+
+    // Per-source document capping — the domain-cap step of crawl
+    // pipelines (RefinedWeb/C4 bound any single domain's share so one
+    // hot site can't dominate the mixture): keep each source's top-K
+    // documents by quality (the t02/t14 alpha-ratio; per-row IEEE, so
+    // both engines rank identically), ties broken by doc_id. The scale
+    // point is HOW the rank is computed: the `row_number() <= K` filter
+    // compiles to WindowGroupLimit (plan-asserted), so every input
+    // partition forwards at most K rows per source to the shuffle — a
+    // hot domain with 10^9 pages costs K·|partitions touching it| rows,
+    // not a 10^9-row single-partition sort. Output is the kept corpus.
+    Q("t15_source_cap",
+      "per-source top-20 cap by quality score (WindowGroupLimit partial top-k, ties by doc_id)",
+      (s, d) => {
+        val w = Window.partitionBy(col("source"))
+          .orderBy(col("score").desc, col("doc_id"))
+        docs(s, d)
+          .select(col("doc_id"), col("source"),
+            (length(regexp_replace(col("text"), "[^a-z]", "")) * lit(1.0)
+              / length(col("text"))).as("score"))
+          .withColumn("src_rank", row_number().over(w))
+          .filter(col("src_rank") <= 20)
+          .orderBy("doc_id")
+      },
+      Some("""WITH s AS (SELECT doc_id, source,
+             |    length(regexp_replace(text, '[^a-z]', '', 'g')) * 1.0 / length(text) AS score
+             |  FROM documents),
+             |r AS (SELECT doc_id, source, score,
+             |    row_number() OVER (PARTITION BY source ORDER BY score DESC, doc_id) AS src_rank
+             |  FROM s)
+             |SELECT doc_id, source, score, src_rank::BIGINT AS src_rank
+             |FROM r WHERE src_rank <= 20 ORDER BY doc_id""".stripMargin)),
+
+    // Importance resampling to a TARGET mixture (the DSIR shape, Xie et
+    // al. 2023: select pretraining data so a feature's distribution
+    // matches a target's — here the feature is `lang` and the target is
+    // a fixed per-mille mixture). Acceptance rate per bucket ∝
+    // target_share / corpus_share, normalized so the most under-
+    // represented bucket keeps everything; the verdict is the t07 md5
+    // slot against that rate, made INTEGER-exact by cross-multiplying:
+    // keep iff slot·t_m·n_l < 1000·t_l·n_m, where (t_m, n_m) is the
+    // max-weight bucket — no float thresholds, so both engines decide
+    // every row identically, reproducible under re-partitioning. Plan:
+    // one tiny lang rollup (map-side partial), the 1-row argmax and the
+    // k-row rate table broadcast back; the corpus itself never shuffles
+    // for the verdict — at 100 TB this costs one scan, like t07.
+    Q("t16_dsir_resample",
+      "distribution-matched importance resampling to a target lang mixture (integer cross-multiplied rates)",
+      (s, d) => {
+        val tgt = when(col("lang") === "en", 300L)
+          .when(col("lang") === "es", 150L)
+          .when(col("lang") === "fr", 150L)
+          .when(col("lang") === "de", 150L)
+          .when(col("lang") === "zh", 250L)
+          .otherwise(0L)
+        val counts = docs(s, d).groupBy("lang")
+          .agg(count(lit(1)).as("n_lang"))
+          .withColumn("tgt", tgt)
+        // the argmax-weight bucket: maximal t_l/n_l (each a single IEEE
+        // division — identical doubles in both engines), ties by lang
+        val best = counts
+          .orderBy((col("tgt") * lit(1.0) / col("n_lang")).desc, col("lang"))
+          .limit(1)
+          .select(col("n_lang").as("m_n"), col("tgt").as("m_tgt"))
+        val slot = h60(concat(lit("dsir_"), col("doc_id").cast("string"))) % 1000
+        docs(s, d).select(col("doc_id"), col("lang"))
+          .join(broadcast(counts.crossJoin(best)), Seq("lang"))
+          .withColumn("slot", slot)
+          .select(col("doc_id"), col("lang"), col("slot"), col("n_lang"),
+            (col("slot") * col("m_tgt") * col("n_lang") <
+              lit(1000L) * col("tgt") * col("m_n")).as("keep"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH c AS (SELECT lang, count(*)::BIGINT AS n_lang FROM documents GROUP BY lang),
+             |t AS (SELECT lang, n_lang,
+             |    (CASE lang WHEN 'en' THEN 300 WHEN 'es' THEN 150 WHEN 'fr' THEN 150
+             |               WHEN 'de' THEN 150 WHEN 'zh' THEN 250 ELSE 0 END)::BIGINT AS tgt
+             |  FROM c),
+             |m AS (SELECT n_lang AS m_n, tgt AS m_tgt FROM t
+             |  ORDER BY tgt * 1.0 / n_lang DESC, lang LIMIT 1),
+             |v AS (SELECT d.doc_id, d.lang,
+             |    ('0x' || substr(md5('dsir_' || d.doc_id), 1, 15))::BIGINT % 1000 AS slot,
+             |    t.n_lang, t.tgt, m.m_n, m.m_tgt
+             |  FROM documents d JOIN t USING (lang) CROSS JOIN m)
+             |SELECT doc_id, lang, slot, n_lang,
+             |  slot * m_tgt * n_lang < 1000 * tgt * m_n AS keep
+             |FROM v ORDER BY doc_id""".stripMargin))
   )
 
   /** Row shape of t06 — signal fractions are None where the denominator

@@ -472,4 +472,72 @@ class PlanShapeSpec extends SparkTestBase {
     assert(countOf(plan, "Exchange hashpartitioning") == 0,
       s"a per-document projection must not shuffle:\n${plan.take(2000)}")
   }
+
+  test("t15: the rank<=K cap runs under WindowGroupLimit, shuffling on source only") {
+    // the 100 TB property: each input partition forwards at most K rows
+    // per source to the shuffle — losing the group-limit pushdown turns a
+    // hot domain into a single-partition full sort
+    val plan = executedPlan("t15_source_cap")
+    assert(plan.contains("WindowGroupLimit"),
+      s"rank<=20 must compile to a partial per-partition top-k:\n${plan.take(2000)}")
+    val hashEx = plan.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(hashEx.nonEmpty && hashEx.forall(_.contains("source")),
+      s"the cap must shuffle on source, nothing else:\n$hashEx")
+  }
+
+  test("t16: resampling verdict rides the scan — rate table broadcasts, corpus never shuffles") {
+    val plan = executedPlan("t16_dsir_resample")
+    // the only allowed hash exchanges belong to the tiny lang rollup
+    // (map-side partial first); the corpus side joins the broadcast rate
+    // table and goes straight to the output sort
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the k-row rate table must broadcast onto the corpus:\n${plan.take(2000)}")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"the corpus must never shuffle to learn its rate:\n${plan.take(2000)}")
+    val hashEx = plan.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(hashEx.forall(_.contains("lang")),
+      s"only the lang rollup may hash-exchange:\n$hashEx")
+  }
+
+  test("d18: probe joins the broadcast bloom bits; the store is touched only via the positives semi-join") {
+    // asserted on the FULL adaptive string (d16 rationale): at fixture
+    // scale the positive set may be empty and AQE's empty-relation
+    // propagation erases the store subtree from the final plan
+    val df = graft.SparkEntry.queries("d18_bloom_prefilter")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_bloomstore"),
+      s"the probe must read the persisted bloom sidecar:\n${plan.take(2000)}")
+    assert(plan.contains("graft_hashstore"),
+      s"the exact verify must read the hash store:\n${plan.take(2000)}")
+    assert(plan.contains("LeftSemi"),
+      s"bloom-positive hashes must semi-join the store scan:\n${plan.take(2000)}")
+    assert(!plan.contains("SortMergeJoin"),
+      "neither the store nor the batch may sort-merge: bits and positives broadcast")
+  }
+
+  test("d19: cluster labels broadcast onto the corpus scan; the corpus never shuffles to learn its cluster") {
+    val plan = executedPlan("d19_cluster_best")
+    // labels are the checkpointed component output (the duplicated
+    // minority) — they must be the BUILD side of a broadcast join, and
+    // the documents scan must never appear under a broadcast (the d15
+    // walk: a corpus-sized broadcast OOMs the cluster)
+    assert(plan.contains("BroadcastHashJoin"),
+      s"labels must broadcast onto the scored corpus:\n${plan.take(2000)}")
+    assert(!plan.contains("SortMergeJoin"),
+      s"the corpus must not shuffle to meet its labels:\n${plan.take(2000)}")
+    val lines = plan.linesIterator.toVector
+    def indent(l: String): Int =
+      l.takeWhile(c => c == ' ' || c == ':' || c == '+' || c == '-').length
+    lines.zipWithIndex.filter(_._1.contains("BroadcastExchange")).foreach {
+      case (bl, i) =>
+        val bi = indent(bl)
+        val subtree = lines.drop(i + 1).takeWhile(l =>
+          l.trim.isEmpty || indent(l) > bi)
+        assert(!subtree.exists(_.contains("documents.parquet")),
+          s"the corpus must never broadcast:\n$bl\n${subtree.take(12).mkString("\n")}")
+    }
+  }
 }
