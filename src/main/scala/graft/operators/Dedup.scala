@@ -1062,34 +1062,8 @@ object Dedup {
             .distinct()
             .write.mode("overwrite").parquet(p)
         }
-        val bits = s.read.parquet(bloomBits)
-        val probe = contentHashes(docs(s, d).filter(col("doc_id") % 5 === 4))
-          .localCheckpoint(true)
-        // k probe rows per doc against the broadcast bit set; the count
-        // of matched positions folds map-side (batch-bound groupBy)
-        val hitCounts = probe
-          .select(col("doc_id"), col("content_hash"),
-            explode(bloomPositions(col("content_hash"))).as("bit_pos"))
-          .join(broadcast(bits.withColumn("present", lit(1))),
-            Seq("bit_pos"), "left")
-          .groupBy("doc_id", "content_hash")
-          .agg(count(col("present")).as("n_hit"))
-          .withColumn("bloom_hit", col("n_hit") === 3)
-        // the store is scanned ONLY for bloom-positive hashes (the
-        // operator's point): positives broadcast left-semi onto the scan
-        val positives = hitCounts.filter(col("bloom_hit"))
-          .select("content_hash").distinct()
-        val known = s.read.parquet(hashStorePath(s, d))
-          .join(broadcast(positives), Seq("content_hash"), "left_semi")
-          .select(col("content_hash"), lit(true).as("is_known"))
-        hitCounts
-          .join(broadcast(known), Seq("content_hash"), "left")
-          .select(col("doc_id"), col("content_hash"), col("bloom_hit"),
-            coalesce(col("is_known"), lit(false)).as("is_known"))
-          // no false negatives: ¬bloom_hit ⇒ ¬is_known, so the non-
-          // probed hashes' is_known=false is exact, not an approximation
-          .withColumn("false_positive", col("bloom_hit") && !col("is_known"))
-          .orderBy("doc_id")
+        bloomPrefilterOf(docs(s, d).filter(col("doc_id") % 5 === 4),
+          bloomBits, hashStorePath(s, d))
       },
       Some("""WITH h AS (SELECT doc_id,
              |    md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS content_hash
@@ -1189,11 +1163,58 @@ object Dedup {
 
   /** The k = 3 bloom bit positions of a content-hash key, md5-derived so
     * the oracle regenerates them (`('0x' || substr(md5('bloom' || j ||
-    * '_' || h), 1, 15))::BIGINT % 4096`). m = 4096 bits.
+    * '_' || h), 1, 15))::BIGINT % 4096`). m = 4096 bits. Shared by the
+    * d18 consumer, the gate's sidecar build, and the streaming
+    * [[graft.streaming.DocumentStreams.bloomIngest]] producer, so every
+    * producer/consumer pairing derives identical bits.
     */
-  private def bloomPositions(hash: Column): Column =
+  private[graft] def bloomPositions(hash: Column): Column =
     array((0 until 3).map(j =>
       h60(concat(lit(s"bloom${j}_"), hash)) % 4096L): _*)
+
+  /** The d18 consumer, over an arbitrary (doc_id, text) batch frame and
+    * any producer's bloom/store sidecars — the form the streaming
+    * integration and multi-batch evolution specs drive. The bit
+    * positions are DISTINCT'd at read (≤ m rows either way): a
+    * multi-batch producer appends one subdir per micro-batch, so a
+    * position set twice by different batches holds two rows — without
+    * the dedup the probe join would fan out and `n_hit = k` would read
+    * a PRESENT key as absent (a false negative, the one error class a
+    * bloom filter must never commit).
+    */
+  private[graft] def bloomPrefilterOf(batchDocs: DataFrame,
+      bloomPath: String, storePath: String): DataFrame = {
+    val s = batchDocs.sparkSession
+    val bits = s.read.parquet(bloomPath).select("bit_pos").distinct()
+    val probe = contentHashes(batchDocs.select("doc_id", "text"))
+      .localCheckpoint(true)
+    // k probe rows per doc against the broadcast bit set; the count
+    // of matched positions folds map-side (batch-bound groupBy)
+    val hitCounts = probe
+      .select(col("doc_id"), col("content_hash"),
+        explode(bloomPositions(col("content_hash"))).as("bit_pos"))
+      .join(broadcast(bits.withColumn("present", lit(1))),
+        Seq("bit_pos"), "left")
+      .groupBy("doc_id", "content_hash")
+      .agg(count(col("present")).as("n_hit"))
+      .withColumn("bloom_hit", col("n_hit") === 3)
+    // the store is scanned ONLY for bloom-positive hashes (the
+    // operator's point): positives broadcast left-semi onto the scan
+    val positives = hitCounts.filter(col("bloom_hit"))
+      .select("content_hash").distinct()
+    val known = s.read.parquet(storePath)
+      .join(broadcast(positives), Seq("content_hash"), "left_semi")
+      .select(col("content_hash")).distinct()
+      .withColumn("is_known", lit(true))
+    hitCounts
+      .join(broadcast(known), Seq("content_hash"), "left")
+      .select(col("doc_id"), col("content_hash"), col("bloom_hit"),
+        coalesce(col("is_known"), lit(false)).as("is_known"))
+      // no false negatives: ¬bloom_hit ⇒ ¬is_known, so the non-
+      // probed hashes' is_known=false is exact, not an approximation
+      .withColumn("false_positive", col("bloom_hit") && !col("is_known"))
+      .orderBy("doc_id")
+  }
 
   /** The d15 consumer, parameterized by the signature-store path so ANY
     * producer of the store — the gate's batch rebuild, or the streaming

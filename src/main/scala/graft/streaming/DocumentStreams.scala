@@ -367,4 +367,45 @@ object DocumentStreams {
       (batch: Dataset[Doc], batchId: Long) =>
         writeHashBatch(batch, store, batchId)
     }
+
+  /** One micro-batch of the bloom-sidecar ingest: the batch's DISTINCT
+    * bloom bit positions ([[graft.operators.Dedup.bloomPositions]] over
+    * the same content hashes the batch gates compute — bit-identical to
+    * d18's), written to `store/batch_id=<id>` in OVERWRITE mode, the
+    * [[writeSignatureBatch]] idempotence discipline. A bloom is a pure
+    * monotone fold — bits only turn ON — so per-batch position sets
+    * UNION into the corpus bloom by construction; cross-batch duplicate
+    * positions are resolved by the consumer's read-time distinct
+    * ([[graft.operators.Dedup.bloomPrefilterOf]]), never by rewriting
+    * the store.
+    */
+  private[graft] def writeBloomBatch(batch: Dataset[Doc],
+      store: String, batchId: Long): Unit = {
+    import org.apache.spark.sql.functions.{col, explode}
+    graft.operators.Dedup.contentHashes(
+      batch.toDF().select("doc_id", "text"))
+      .select(explode(
+        graft.operators.Dedup.bloomPositions(col("content_hash")))
+        .as("bit_pos"))
+      .distinct()
+      .write.mode("overwrite").parquet(s"$store/batch_id=$batchId")
+  }
+
+  /** The streaming PRODUCER of the bloom membership sidecar that
+    * d18_bloom_prefilter consumes — the approximate-membership twin of
+    * [[hashIngest]]: as documents stream in, each micro-batch's bit
+    * positions append to the sidecar (idempotently, via
+    * [[writeBloomBatch]]'s per-batch overwrite), so the daily batch's
+    * membership probe reads an up-to-date ≤ m-row bit set and touches
+    * the hash store only for bloom-positive keys. With this every
+    * warehouse sidecar has a continuous ingest story: signatures
+    * (signatureIngest → d15), exact hashes (hashIngest → d16), bloom
+    * bits (bloomIngest → d18), centroids (the periodic s10 re-train).
+    */
+  def bloomIngest(docs: Dataset[Doc], store: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[Doc] =
+    docs.writeStream.foreachBatch {
+      (batch: Dataset[Doc], batchId: Long) =>
+        writeBloomBatch(batch, store, batchId)
+    }
 }

@@ -137,6 +137,37 @@ class IncrementalStoreSpec extends SparkTestBase {
       "a doc's canonical must never change when later batches arrive")
   }
 
+  test("d18: a bloom grown batch-by-batch composes to the gate's verdicts — no false negatives ever") {
+    val bloom = tmpDir() + "/bloomstore"
+    val store = tmpDir() + "/hashstore_bloom"
+    // day 0: the warehouse holds slices {0,1,2}; day 1 ingests slice 3
+    val day0 = docFrame(col("doc_id") % 5 < 3)
+    DocumentStreams.writeBloomBatch(asDocs(day0), bloom, 0L)
+    DocumentStreams.writeHashBatch(asDocs(day0), store, 0L)
+    val dayA = docFrame(col("doc_id") % 5 === 3)
+    val resA = Dedup.bloomPrefilterOf(dayA, bloom, store).collect()
+    // the structural bloom contract at every store state: a key the
+    // store HOLDS must probe positive (is_known ⇒ bloom_hit)
+    assert(resA.forall(r =>
+      !r.getAs[Boolean]("is_known") || r.getAs[Boolean]("bloom_hit")),
+      "a bloom filter must never commit a false negative")
+    DocumentStreams.writeBloomBatch(asDocs(dayA), bloom, 1L)
+    DocumentStreams.writeHashBatch(asDocs(dayA), store, 1L)
+    // day 2 (the gate's batch, slice 4) against the twice-grown
+    // sidecars: they now cover exactly the gate's stored slice
+    // (%5 != 4), so verdicts — bloom_hit, is_known AND the
+    // false-positive set — must equal the gate's oracle-checked output
+    val dayB = docFrame(col("doc_id") % 5 === 4)
+    def rows(df: DataFrame) = df.collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getBoolean(2), r.getBoolean(3),
+        r.getBoolean(4))).toSeq
+    val composed = rows(Dedup.bloomPrefilterOf(dayB, bloom, store))
+    val gate = rows(
+      graft.SparkEntry.queries("d18_bloom_prefilter")(spark, sf))
+    assert(composed === gate,
+      "batch-by-batch bloom growth must compose to the one-shot gate answer")
+  }
+
   test("s09/s10 multi-day lifecycle: fold, write back, re-assign — two folds equal one rebuild") {
     import java.math.{BigDecimal => JBD, RoundingMode}
     import graft.functions.Portable.vecD

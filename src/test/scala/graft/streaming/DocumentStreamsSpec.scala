@@ -262,6 +262,89 @@ class DocumentStreamsSpec extends SparkTestBase {
       "replaying a delivered batch id must be a no-op for the store")
   }
 
+  test("bloomIngest: streamed bit set unions to the batch bloom; replays are idempotent") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, explode}
+    implicit val sq = spark.sqlContext
+    val d = "/root/testdata/sf0.001"
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_bloom_ingest").toString
+    val docs = graft.core.Tables.documents(spark, d)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"))
+      .collect().sortBy(_.getLong(0))
+      .map(r => DocumentStreams.Doc(r.getLong(0), ts("09:00"),
+        r.getString(1), r.getString(2), r.getString(3)))
+    val (first, second) = docs.splitAt(docs.length / 2)
+    val in = MemoryStream[DocumentStreams.Doc]
+    val q = DocumentStreams.bloomIngest(in.toDS(), store).start()
+    try {
+      in.addData(first.toSeq)
+      q.processAllAvailable()
+      in.addData(second.toSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    // the bloom is a monotone fold: the union of per-batch position
+    // sets equals the positions of a one-shot batch build
+    val streamed = spark.read.parquet(store)
+      .select("bit_pos").distinct().collect().map(_.getLong(0)).toSet
+    val expected = graft.operators.Dedup.contentHashes(
+      graft.core.Tables.documents(spark, d).select("doc_id", "text"))
+      .select(explode(graft.operators.Dedup.bloomPositions(
+        col("content_hash"))).as("bit_pos"))
+      .distinct().collect().map(_.getLong(0)).toSet
+    assert(streamed === expected,
+      "streamed bit set must union to the batch-computed bloom")
+    // a failure-redelivered batch rewrites its own subdir, never appends
+    val before = spark.read.parquet(store).count()
+    DocumentStreams.writeBloomBatch(second.toSeq.toDS(), store, 1L)
+    assert(spark.read.parquet(store).count() === before,
+      "replaying a delivered batch id must be a no-op for the store")
+  }
+
+  test("d18 consumes bloomIngest-streamed sidecars: producer and batch consumer agree") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    implicit val sq = spark.sqlContext
+    val d = "/root/testdata/sf0.001"
+    val bloom = java.nio.file.Files
+      .createTempDirectory("graft_streamed_bloom").toString
+    val hashes = java.nio.file.Files
+      .createTempDirectory("graft_streamed_bloomhash").toString
+    // stream ONLY the stored slice through BOTH production producers
+    // (the bloom sidecar and the hash store it prefilters), two
+    // micro-batches each
+    val docs = graft.core.Tables.documents(spark, d)
+      .filter(col("doc_id") % 5 =!= 4)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"))
+      .collect().sortBy(_.getLong(0))
+      .map(r => DocumentStreams.Doc(r.getLong(0), ts("09:00"),
+        r.getString(1), r.getString(2), r.getString(3)))
+    val (first, second) = docs.splitAt(docs.length / 2)
+    val in = MemoryStream[DocumentStreams.Doc]
+    val qb = DocumentStreams.bloomIngest(in.toDS(), bloom).start()
+    val qh = DocumentStreams.hashIngest(in.toDS(), hashes).start()
+    try {
+      in.addData(first.toSeq)
+      qb.processAllAvailable(); qh.processAllAvailable()
+      in.addData(second.toSeq)
+      qb.processAllAvailable(); qh.processAllAvailable()
+    } finally { qb.stop(); qh.stop() }
+    // the batch consumer reads the STREAMED sidecars (one subdir per
+    // micro-batch, distinct'd/deduped at read) and must produce exactly
+    // the d18 gate's oracle-checked verdicts
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getBoolean(2), r.getBoolean(3),
+        r.getBoolean(4))).toSeq
+    val batch = graft.core.Tables.documents(spark, d)
+      .filter(col("doc_id") % 5 === 4).select("doc_id", "text")
+    val viaStream = rows(
+      graft.operators.Dedup.bloomPrefilterOf(batch, bloom, hashes))
+    val viaGate = rows(
+      graft.SparkEntry.queries("d18_bloom_prefilter")(spark, d))
+    assert(viaStream === viaGate,
+      "the streamed sidecars must be drop-in for the batch-rebuilt ones")
+  }
+
   test("d16 consumes a hashIngest-streamed store: producer and batch consumer agree") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
