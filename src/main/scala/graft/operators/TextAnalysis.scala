@@ -755,7 +755,141 @@ object TextAnalysis {
              |  FROM documents d JOIN t USING (lang) CROSS JOIN m)
              |SELECT doc_id, lang, slot, n_lang,
              |  slot * m_tgt * n_lang < 1000 * tgt * m_n AS keep
-             |FROM v ORDER BY doc_id""".stripMargin))
+             |FROM v ORDER BY doc_id""".stripMargin)),
+
+    // Fixed-size token chunking with stride — the context-window prep
+    // step every pretraining/RAG pipeline runs (split each document
+    // into C-token windows every S tokens, trailing window flush to the
+    // end). Chunk count and offsets are INTEGER-exact (ceil by integer
+    // add-divide, never float), the chunk text itself is gated by md5 —
+    // hash-compact like d17's rewrite. Chunk geometry (C=64, S=48,
+    // overlap 16) is a knob; the last chunk always ends at the final
+    // token, and every chunk is non-empty by construction (the last
+    // start is < n because S < C). Plan: pure per-row projection +
+    // explode riding the parquet scan — zero shuffle at any corpus
+    // size (the final global sort is the gate's determinism, not the
+    // operator); output rows ≈ corpus_tokens / S, the operator's
+    // irreducible output volume.
+    Q("t17_chunking",
+      "fixed-size token chunks with stride (C=64, S=48): integer-exact offsets + per-chunk md5",
+      (s, d) => {
+        val C = 64L
+        val S = 48L
+        val t = tokens(col("text"))
+        // ceil((n-C)/S) via integer add-divide: Column./ is IEEE double
+        // division, exact here (operands < 2^53) — truncating cast =
+        // floor for the non-negative numerator
+        val nchunks = when(col("n") === 0, lit(0L)).otherwise(
+          lit(1L) + ((greatest(col("n") - C, lit(0L)) + (S - 1)) / S)
+            .cast("long"))
+        val start0 = col("chunk_idx") * S // 0-based first token
+        docs(s, d)
+          .select(col("doc_id"), t.as("toks"),
+            size(t).cast("long").as("n"))
+          .withColumn("nchunks", nchunks)
+          // sequence(0, -1) would DESCEND ([0, -1]) for empty docs —
+          // guard to an empty array so explode drops them (= the
+          // oracle's empty range(0, 0))
+          .withColumn("chunk_idx", explode(when(col("nchunks") > 0,
+            sequence(lit(0L), col("nchunks") - 1))
+            .otherwise(array().cast("array<long>"))))
+          .select(col("doc_id"), col("chunk_idx"),
+            (start0 + 1).as("chunk_start"),
+            (least(start0 + C, col("n")) - start0).as("n_chunk_tokens"),
+            md5(concat_ws(" ", slice(col("toks"),
+              (start0 + 1).cast("int"),
+              (least(start0 + C, col("n")) - start0).cast("int"))))
+              .as("chunk_md5"))
+          .orderBy("doc_id", "chunk_idx")
+      },
+      Some(s"""WITH t AS (SELECT doc_id, $sqlToks AS toks FROM documents),
+             |n AS (SELECT doc_id, toks, len(toks)::BIGINT AS n FROM t),
+             |c AS (SELECT doc_id, toks, n,
+             |    CASE WHEN n = 0 THEN 0
+             |         ELSE 1 + (greatest(n - 64, 0) + 47) // 48 END AS nchunks
+             |  FROM n)
+             |SELECT doc_id, i AS chunk_idx,
+             |  (i*48 + 1)::BIGINT AS chunk_start,
+             |  (least(i*48 + 64, n) - i*48)::BIGINT AS n_chunk_tokens,
+             |  md5(array_to_string(
+             |    list_slice(toks, i*48 + 1, least(i*48 + 64, n)), ' ')) AS chunk_md5
+             |FROM c, unnest(range(0, nchunks)) AS u(i)
+             |ORDER BY doc_id, chunk_idx""".stripMargin)),
+
+    // Pruned bigram-LM familiarity scoring — the perplexity-filter shape
+    // (CCNet/KenLM: score new text against a reference language model)
+    // with the LM pruned to a FIXED SIZE (top-500 bigrams by reference
+    // count) instead of log-probabilities: ln() is not bit-stable across
+    // engines (the t11/t12 rationale), so the score is integer-exact
+    // occurrence/count sums with one final IEEE division. The boundary
+    // tiebreak is md5(bigram) — count ties at the K-th rank are real
+    // (the probe found 60+ at sf0.01) and byte-order ties via raw
+    // strings would diverge on supplementary codepoints (UTF-16 vs
+    // UTF-8 collation), while md5 hex is pure ASCII in both engines.
+    // The FIXED LM size is the scale story: a production LM is pruned
+    // to fit memory by construction, so the LM side always BROADCASTS —
+    // the batch's bigram stream joins it without shuffling, the only
+    // corpus-scale exchange is the reference slice's count aggregation
+    // (map-side partial) + its global top-K (TakeOrderedAndProject,
+    // K rows per partition, never a full sort).
+    Q("t18_lm_familiarity",
+      "new-batch bigram familiarity vs a fixed-size (top-500) reference LM: known fraction + count mass",
+      (s, d) => {
+        import s.implicits._
+        // bigram occurrences via a one-pass kernel (the t11/t12
+        // discipline: array HOFs are CodegenFallback — interpreted per
+        // row — a 2-3× tax on a corpus-wide extraction); space-only
+        // split = the oracle's string_split(text, ' ') exactly, and the
+        // slice filter is applied BEFORE the kernel so it pushes to
+        // the parquet scan
+        def bgOcc(df: DataFrame): DataFrame =
+          df.select(col("doc_id"), col("text")).as[(Long, String)]
+            .mapPartitions(_.flatMap { case (id, tx) =>
+              val toks = (if (tx == null) "" else tx)
+                .split(" ").filter(_.nonEmpty)
+              (0 until toks.length - 1).iterator
+                .map(i => (id, toks(i) + " " + toks(i + 1)))
+            })
+            .toDF("doc_id", "bg")
+        val lm = bgOcc(docs(s, d).filter(col("doc_id") % 5 =!= 4))
+          .groupBy("bg").agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, md5(col("bg")))
+          .limit(500)
+        val scored = bgOcc(docs(s, d).filter(col("doc_id") % 5 === 4))
+          .join(broadcast(lm), Seq("bg"), "left")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("nb"), count(col("cnt")).as("nk"),
+            coalesce(sum(col("cnt")), lit(0L)).as("fam"))
+        // docs too short for a bigram still get a scored row (zeroes)
+        docs(s, d).filter(col("doc_id") % 5 === 4).select("doc_id")
+          .join(scored, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("nb"), lit(0L)).as("n_bigrams"),
+            coalesce(col("nk"), lit(0L)).as("n_known"),
+            coalesce(col("fam"), lit(0L)).as("familiarity"),
+            when(coalesce(col("nb"), lit(0L)) > 0,
+              col("nk") * lit(1.0) / col("nb")).as("coverage"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH t AS (SELECT doc_id, $sqlToks AS toks FROM documents),
+             |b AS (SELECT doc_id, toks[i] || ' ' || toks[i+1] AS bg
+             |  FROM t, unnest(range(1, len(toks))) AS u(i)),
+             |lm AS (SELECT bg, count(*)::BIGINT AS cnt FROM b
+             |  WHERE doc_id % 5 <> 4 GROUP BY bg
+             |  ORDER BY cnt DESC, md5(bg) LIMIT 500),
+             |sc AS (SELECT b.doc_id, count(*)::BIGINT AS n_bigrams,
+             |    count(lm.bg)::BIGINT AS n_known,
+             |    coalesce(sum(lm.cnt), 0)::BIGINT AS familiarity
+             |  FROM b LEFT JOIN lm USING (bg)
+             |  WHERE b.doc_id % 5 = 4 GROUP BY b.doc_id)
+             |SELECT d.doc_id,
+             |  coalesce(sc.n_bigrams, 0) AS n_bigrams,
+             |  coalesce(sc.n_known, 0) AS n_known,
+             |  coalesce(sc.familiarity, 0) AS familiarity,
+             |  CASE WHEN coalesce(sc.n_bigrams, 0) > 0
+             |       THEN sc.n_known * 1.0 / sc.n_bigrams END AS coverage
+             |FROM documents d LEFT JOIN sc USING (doc_id)
+             |WHERE d.doc_id % 5 = 4 ORDER BY d.doc_id""".stripMargin))
   )
 
   /** Row shape of t06 — signal fractions are None where the denominator

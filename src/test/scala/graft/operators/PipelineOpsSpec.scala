@@ -759,4 +759,57 @@ class PipelineOpsSpec extends SparkTestBase {
       }
     }
   }
+
+  test("t17 chunks tile every document: full coverage, exact stride, C-bounded, tail flush") {
+    // the oracle pins Spark ≡ DuckDB; this pins that the shared formula
+    // actually CHUNKS — an off-by-one identical in both engines would
+    // pass the hash gate but drop/duplicate tokens here
+    val nTok = run("t01_token_stats").collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("n_tokens")).toMap
+    val byDoc = run("t17_chunking").collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("chunk_idx"),
+        r.getAs[Long]("chunk_start"), r.getAs[Long]("n_chunk_tokens")))
+      .groupBy(_._1)
+    nTok.foreach { case (id, n) =>
+      val chunks = byDoc.getOrElse(id, Array.empty).sortBy(_._2)
+      if (n == 0) assert(chunks.isEmpty, s"doc $id: empty doc must emit no chunks")
+      else {
+        assert(chunks.head._3 === 1L, s"doc $id: first chunk must start at token 1")
+        assert(chunks.map(_._2).toSeq === chunks.indices.map(_.toLong),
+          s"doc $id: chunk indices must be contiguous from 0")
+        chunks.foreach { case (_, i, start, len) =>
+          assert(start === i * 48 + 1, s"doc $id chunk $i: stride must be exactly 48")
+          assert(len >= 1 && len <= 64, s"doc $id chunk $i: length $len outside (0, C]")
+          assert(start + len - 1 <= n, s"doc $id chunk $i: overruns the document")
+        }
+        val last = chunks.last
+        assert(last._3 + last._4 - 1 === n,
+          s"doc $id: the last chunk must flush to the final token")
+        // union of [start, start+len) covers [1, n]: starts advance by
+        // 48 < 64 so consecutive chunks always overlap or touch
+        assert(chunks.forall(c => c._3 <= n), s"doc $id: chunk starts past the end")
+      }
+    }
+    assert(nTok.values.sum > 0, "fixture should contain non-empty docs")
+  }
+
+  test("t18 scores are internally consistent and discriminate (known <= total, familiarity >= known)") {
+    val nTok = run("t01_token_stats").collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("n_tokens")).toMap
+    val rows = run("t18_lm_familiarity").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (id, nb, nk, fam) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(nb === math.max(nTok(id) - 1, 0L),
+        s"doc $id: bigram count must be max(n_tokens - 1, 0)")
+      assert(nk <= nb, s"doc $id: known occurrences can't exceed total")
+      // every known occurrence contributes its reference count (>= 1)
+      assert(fam >= nk, s"doc $id: familiarity mass below known count")
+      if (nb == 0) assert(r.isNullAt(4), s"doc $id: coverage must be null without bigrams")
+      else assert(math.abs(r.getDouble(4) - nk.toDouble / nb) < 1e-15)
+    }
+    // the pruned LM must actually discriminate: not every doc fully covered
+    assert(rows.exists(r => r.getLong(1) > 0 && r.getLong(2) < r.getLong(1)),
+      "top-500 prune should leave some bigrams unknown at fixture scale")
+  }
 }

@@ -540,4 +540,36 @@ class PlanShapeSpec extends SparkTestBase {
           s"the corpus must never broadcast:\n$bl\n${subtree.take(12).mkString("\n")}")
     }
   }
+
+  test("t17: chunking rides the scan — zero hash exchanges, no join, output-sort only") {
+    // the 100 TB property: chunk geometry is pure per-row arithmetic, so
+    // the operator must cost one scan + explode; any hash exchange here
+    // means a planner regression turned a map-op into a shuffle
+    val plan = executedPlan("t17_chunking")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"chunking must not shuffle:\n${plan.take(2000)}")
+    assert(!plan.contains("Join"),
+      s"chunking must not join:\n${plan.take(2000)}")
+    assert(plan.contains("Generate explode"),
+      s"chunk rows must come from an in-map explode:\n${plan.take(2000)}")
+  }
+
+  test("t18: the pruned LM is a global top-k and broadcasts; the batch never shuffles on bigram") {
+    val plan = executedPlan("t18_lm_familiarity")
+    // fixed LM size ⇒ TakeOrderedAndProject (K rows per partition fold),
+    // never a full global sort of the vocabulary
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"the top-500 prune must be a partial top-k, not a full sort:\n${plan.take(2000)}")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the 500-row LM must broadcast onto the batch's bigram stream:\n${plan.take(2000)}")
+    assert(!plan.contains("SortMergeJoin"),
+      s"no side may sort-merge — the LM is bounded by construction:\n${plan.take(2000)}")
+    // the reference slice's count aggregation is the one irreducible
+    // corpus-scale exchange, and it must fold map-side first
+    val lines = plan.linesIterator.toVector
+    val exIdx = lines.indexWhere(_.contains("Exchange hashpartitioning"))
+    assert(exIdx >= 0 && lines.drop(exIdx + 1)
+        .exists(l => l.contains("HashAggregate") && l.contains("partial_count")),
+      s"the LM count must partial-aggregate below its exchange:\n${plan.take(2000)}")
+  }
 }
