@@ -462,6 +462,70 @@ object Multimodal {
              |FROM p
              |  JOIN sz sa ON sa.doc_id = doc_a
              |  JOIN sz sb ON sb.doc_id = doc_b
+             |ORDER BY doc_a, doc_b""".stripMargin)),
+
+    // Image near-dup via a perceptual hash — the image-dedup primitive
+    // (re-encodes, crops, minor edits collapse to nearby hashes): a
+    // 16-bit sign-SimHash of each image's CENTERED patch vector (v − v̄;
+    // raw patch sums are dominated by global magnitude — the un-centered
+    // probe collapsed 291 images to 7 signatures, centered gives 268 —
+    // the dHash/pHash idea of hashing deviation-from-mean, not
+    // brightness). All arithmetic is engine-exact: patch sums are
+    // integers < 2^25, v̄ divides by 16 (a power of two — exact), so the
+    // centered coords are exact doubles and the hyperplane dot products
+    // round identically left-to-right (the m06/d11 contract). Pairing is
+    // d11's pigeonhole banding sized to the threshold: Hamming <= 1
+    // cannot differ in BOTH 8-bit halves, so the 2-band join is
+    // lossless; candidates are band-bucket-bound, never all-pairs, and
+    // the sketch frame (16 B/image) eager-checkpoints so the pair plan
+    // is sketch-only — at 100 TB the images are read once for the
+    // patch kernel and never again.
+    Q("m08_image_neardup",
+      "image near-dup pairs: centered patch-vector SimHash at Hamming <= 1 (2x8-bit bands, lossless)",
+      (s, d) => {
+        import graft.functions.Portable.{dotFast, hyperplaneArray}
+        val vbar = ((1 to 16).map(i => element_at(col("v"), i))
+          .reduce(_ + _) / lit(16.0)).as("vbar")
+        val cv = array((1 to 16).map(i =>
+          element_at(col("v"), i) - col("vbar")): _*).as("cv")
+        val sig = (0 until 16).map { j =>
+          when(dotFast(col("cv"),
+            typedlit(hyperplaneArray(j, 16).toSeq)) >= 0.0,
+            lit(1L << j)).otherwise(lit(0L))
+        }.reduce(_ + _)
+        val sk = patchVectors(s, d)
+          .select(col("doc_id"), col("v"), vbar)
+          .select(col("doc_id"), cv)
+          .select(col("doc_id"), sig.as("sig"))
+          .localCheckpoint(true)
+        val bands = sk.select(col("doc_id"), col("sig"),
+          explode(array((0 until 2).map(j =>
+            xxhash64(lit(j), shiftright(col("sig"), 8 * j)
+              .bitwiseAND(lit(0xFFL)))): _*)).as("bkey"))
+        bands.as("x").hint("merge").join(bands.as("y"), Seq("bkey"))
+          .filter(col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+            col("x.sig").as("sa"), col("y.sig").as("sb"))
+          .distinct()
+          .withColumn("hamming",
+            bit_count(col("sa").bitwiseXOR(col("sb"))).cast("long"))
+          .filter(col("hamming") <= 1)
+          .select(col("doc_a"), col("doc_b"), col("hamming"))
+          .orderBy("doc_a", "doc_b")
+      },
+      Some(s"""$sqlPatchVectors,
+             |c AS (SELECT doc_id, v, list_aggregate(v, 'sum') / 16.0 AS vbar FROM n),
+             |sk AS (SELECT doc_id,
+             |  list_reduce(list_transform(range(0, 16), j ->
+             |    CASE WHEN list_reduce(list_transform(range(1, 17), i -> (v[i] - vbar) *
+             |        ((('0x' || substr(md5('hp_' || j || '_' || i), 1, 15))::BIGINT % 2001 - 1000) / 1000.0)),
+             |        (x, y) -> x + y) >= 0.0
+             |      THEN CAST(power(2, j) AS BIGINT) ELSE 0 END), (x, y) -> x + y) AS sig
+             |FROM c)
+             |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             |  bit_count(xor(a.sig, b.sig))::BIGINT AS hamming
+             |FROM sk a JOIN sk b ON a.doc_id < b.doc_id
+             |WHERE bit_count(xor(a.sig, b.sig)) <= 1
              |ORDER BY doc_a, doc_b""".stripMargin))
   )
 }

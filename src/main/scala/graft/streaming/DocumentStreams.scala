@@ -68,6 +68,35 @@ object DocumentStreams {
       .withWatermark("ingest_ts", watermark)
       .dropDuplicatesWithinWatermark("content_hash")
 
+  /** One context-window chunk of an arriving document (t17's geometry). */
+  final case class Chunk(doc_id: Long, ingest_ts: Timestamp, chunk_idx: Long,
+      chunk_start: Long, n_chunk_tokens: Long, chunk_md5: String)
+
+  /** Stateless streaming twin of t17_chunking — the context-window prep
+    * runs on the frontier instead of a nightly re-scan. The SAME
+    * C=64/S=48 geometry as a per-document flatMap kernel (space-only
+    * tokens, integer ceil by add-divide, md5 of the space-joined chunk),
+    * usable on a stream OR a batch frame; the spec runs it against the
+    * t17 gate's Catalyst formulation and asserts chunk-for-chunk
+    * equality — a cross-implementation property, not just batch≡stream.
+    * No shuffle, no state: chunk rows emit at source rate.
+    */
+  def chunked(docs: Dataset[Doc]): Dataset[Chunk] = {
+    import docs.sparkSession.implicits._
+    docs.flatMap { d =>
+      val toks = (if (d.text == null) "" else d.text)
+        .split(" ").filter(_.nonEmpty)
+      val n = toks.length
+      val nchunks = if (n == 0) 0 else 1 + (math.max(n - 64, 0) + 47) / 48
+      (0 until nchunks).iterator.map { i =>
+        val start = i * 48
+        val len = math.min(start + 64, n) - start
+        Chunk(d.doc_id, d.ingest_ts, i.toLong, start + 1L, len.toLong,
+          md5HexScala(toks.slice(start, start + len).mkString(" ")))
+      }
+    }
+  }
+
   /** One band row of a document's MinHash signature: `bkey` is the SAME
     * xxhash64 fold of (band id, the band's 3 signature rows) the batch
     * queries build with `xxhash64(lit(j), mh₃ⱼ, mh₃ⱼ₊₁, mh₃ⱼ₊₂)` —

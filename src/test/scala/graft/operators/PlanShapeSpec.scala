@@ -541,6 +541,18 @@ class PlanShapeSpec extends SparkTestBase {
     }
   }
 
+  test("m08: image sketch checkpoints once; the band self-join reuses one exchange, no broadcast") {
+    val plan = executedPlan("m08_image_neardup")
+    // the patch kernel + 16-hyperplane signing ran once, inside the
+    // eager checkpoint — the executed pair plan is sketch-only (d11)
+    assert(countOf(plan, "MapPartitions") == 0,
+      s"pair plan must be sketch-only:\n${plan.take(2000)}")
+    assert(plan.contains("ReusedExchange"),
+      "second self-join side should reuse the band exchange")
+    assert(!plan.contains("BroadcastHashJoin"),
+      "the corpus band self-join must never broadcast")
+  }
+
   test("t17: chunking rides the scan — zero hash exchanges, no join, output-sort only") {
     // the 100 TB property: chunk geometry is pure per-row arithmetic, so
     // the operator must cost one scan + explode; any hash exchange here

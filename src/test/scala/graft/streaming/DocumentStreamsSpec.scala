@@ -48,6 +48,41 @@ class DocumentStreamsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("chunked: streamed chunk rows equal the t17 gate chunk-for-chunk (kernel vs Catalyst)") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val d = "/root/testdata/sf0.001"
+    val docs = graft.core.Tables.documents(spark, d)
+      .select("doc_id", "text", "lang", "source").collect()
+      .map(r => DocumentStreams.Doc(r.getLong(0), ts("09:00"),
+        r.getString(1), r.getString(2), r.getString(3)))
+    val (first, second) = docs.splitAt(docs.length / 2)
+    val in = MemoryStream[DocumentStreams.Doc]
+    val q = DocumentStreams.chunked(in.toDS())
+      .writeStream.format("memory").queryName("chunks")
+      .outputMode("append").start()
+    try {
+      in.addData(first.toSeq)
+      q.processAllAvailable()
+      in.addData(second.toSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    def key(r: org.apache.spark.sql.Row, off: Int) =
+      (r.getLong(0), r.getLong(off), r.getLong(off + 1), r.getLong(off + 2),
+        r.getString(off + 3))
+    // the stream is a flatMap KERNEL, the gate is Catalyst sequence/
+    // slice/concat_ws — equality pins the two formulations to the same
+    // geometry and the same md5 input byte-for-byte
+    val streamed = spark.table("chunks")
+      .select("doc_id", "chunk_idx", "chunk_start", "n_chunk_tokens", "chunk_md5")
+      .collect().map(key(_, 1)).sortBy(c => (c._1, c._2))
+    val gate = graft.SparkEntry.queries("t17_chunking")(spark, d)
+      .collect().map(key(_, 1)).sortBy(c => (c._1, c._2))
+    assert(streamed.length === gate.length)
+    assert(streamed === gate,
+      "streamed chunks must equal the batch gate's chunk rows exactly")
+  }
+
   test("streaming verdicts equal the batch t06 kernel on the documents table") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
