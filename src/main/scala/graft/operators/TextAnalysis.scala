@@ -772,36 +772,7 @@ object TextAnalysis {
     // irreducible output volume.
     Q("t17_chunking",
       "fixed-size token chunks with stride (C=64, S=48): integer-exact offsets + per-chunk md5",
-      (s, d) => {
-        val C = 64L
-        val S = 48L
-        val t = tokens(col("text"))
-        // ceil((n-C)/S) via integer add-divide: Column./ is IEEE double
-        // division, exact here (operands < 2^53) — truncating cast =
-        // floor for the non-negative numerator
-        val nchunks = when(col("n") === 0, lit(0L)).otherwise(
-          lit(1L) + ((greatest(col("n") - C, lit(0L)) + (S - 1)) / S)
-            .cast("long"))
-        val start0 = col("chunk_idx") * S // 0-based first token
-        docs(s, d)
-          .select(col("doc_id"), t.as("toks"),
-            size(t).cast("long").as("n"))
-          .withColumn("nchunks", nchunks)
-          // sequence(0, -1) would DESCEND ([0, -1]) for empty docs —
-          // guard to an empty array so explode drops them (= the
-          // oracle's empty range(0, 0))
-          .withColumn("chunk_idx", explode(when(col("nchunks") > 0,
-            sequence(lit(0L), col("nchunks") - 1))
-            .otherwise(array().cast("array<long>"))))
-          .select(col("doc_id"), col("chunk_idx"),
-            (start0 + 1).as("chunk_start"),
-            (least(start0 + C, col("n")) - start0).as("n_chunk_tokens"),
-            md5(concat_ws(" ", slice(col("toks"),
-              (start0 + 1).cast("int"),
-              (least(start0 + C, col("n")) - start0).cast("int"))))
-              .as("chunk_md5"))
-          .orderBy("doc_id", "chunk_idx")
-      },
+      (s, d) => chunksOf(docs(s, d)),
       Some(s"""WITH t AS (SELECT doc_id, $sqlToks AS toks FROM documents),
              |n AS (SELECT doc_id, toks, len(toks)::BIGINT AS n FROM t),
              |c AS (SELECT doc_id, toks, n,
@@ -891,6 +862,46 @@ object TextAnalysis {
              |FROM documents d LEFT JOIN sc USING (doc_id)
              |WHERE d.doc_id % 5 = 4 ORDER BY d.doc_id""".stripMargin))
   )
+
+  /** The t17 chunker over an arbitrary (doc_id, text) frame — the form
+    * the null-robustness spec drives. Geometry: C=64-token chunks every
+    * S=48 tokens, trailing chunk flushed to the last token; all offsets
+    * integer-exact, chunk text gated by md5.
+    */
+  private[graft] def chunksOf(docFrame: DataFrame): DataFrame = {
+    val C = 64L
+    val S = 48L
+    // null ≡ empty doc (the kernel contract): without the coalesce,
+    // size(tokens(null)) = -1 slips past the n === 0 guard and emits
+    // one phantom chunk where the oracle's NULL range emits none —
+    // the one null-semantics divergence in this family
+    val t = tokens(coalesce(col("text"), lit("")))
+    // ceil((n-C)/S) via integer add-divide: Column./ is IEEE double
+    // division, exact here (operands < 2^53) — truncating cast =
+    // floor for the non-negative numerator
+    val nchunks = when(col("n") === 0, lit(0L)).otherwise(
+      lit(1L) + ((greatest(col("n") - C, lit(0L)) + (S - 1)) / S)
+        .cast("long"))
+    val start0 = col("chunk_idx") * S // 0-based first token
+    docFrame
+      .select(col("doc_id"), t.as("toks"),
+        size(t).cast("long").as("n"))
+      .withColumn("nchunks", nchunks)
+      // sequence(0, -1) would DESCEND ([0, -1]) for empty docs —
+      // guard to an empty array so explode drops them (= the
+      // oracle's empty range(0, 0))
+      .withColumn("chunk_idx", explode(when(col("nchunks") > 0,
+        sequence(lit(0L), col("nchunks") - 1))
+        .otherwise(array().cast("array<long>"))))
+      .select(col("doc_id"), col("chunk_idx"),
+        (start0 + 1).as("chunk_start"),
+        (least(start0 + C, col("n")) - start0).as("n_chunk_tokens"),
+        md5(concat_ws(" ", slice(col("toks"),
+          (start0 + 1).cast("int"),
+          (least(start0 + C, col("n")) - start0).cast("int"))))
+          .as("chunk_md5"))
+      .orderBy("doc_id", "chunk_idx")
+  }
 
   /** Row shape of t06 — signal fractions are None where the denominator
     * is 0 (unreachable by the rule chain: the too_short rule fires first).

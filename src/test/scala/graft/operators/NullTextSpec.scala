@@ -62,4 +62,30 @@ class NullTextSpec extends SparkTestBase {
     assert(metas(1L).n_bytes === 0L && metas(1L).cp_sum16 === 0L)
     assert(recs.count() > 0) // and the real path still reads
   }
+
+  test("chunking emits zero chunks for null/empty docs in BOTH formulations") {
+    import org.apache.spark.sql.functions.col
+    // Catalyst gate form: size(tokens(null)) = -1 would slip past the
+    // n === 0 guard and emit a phantom chunk without the coalesce
+    val cat = TextAnalysis.chunksOf(mixed).collect()
+    assert(!cat.exists(r => r.getLong(0) == 1L || r.getLong(0) == 3L),
+      "null/empty docs must emit no chunks from the Catalyst form")
+    assert(cat.count(_.getLong(0) == 2L) === 1,
+      "the 13-token doc is one chunk")
+    // streaming kernel form agrees
+    import spark.implicits._
+    val streamed = graft.streaming.DocumentStreams.chunked(
+      mixed.collect().map(r => graft.streaming.DocumentStreams.Doc(
+        r.getLong(0), java.sql.Timestamp.valueOf("2026-01-01 09:00:00"),
+        r.getString(1), "en", "s")).toSeq.toDS()).collect()
+    assert(streamed.map(c => (c.doc_id, c.chunk_idx, c.chunk_start,
+      c.n_chunk_tokens, c.chunk_md5)).sorted.toSeq ===
+      cat.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4))).sorted.toSeq,
+      "kernel and Catalyst chunkers must agree on null-bearing frames")
+    // and the t18 bigram kernel survives the same frame (guarded split)
+    val fam = graft.SparkEntry.queries("t18_lm_familiarity")(
+      spark, "/root/testdata/sf0.001")
+    assert(fam.filter(col("n_bigrams") >= 0).count() === fam.count())
+  }
 }
