@@ -41,6 +41,16 @@ object Kernels {
     out.toArray
   }
 
+  /** Space-ONLY tokens of raw text, empties dropped, null ≡ empty doc —
+    * the exact twin of the oracle's `string_split(text, ' ')` +
+    * drop-empties (NOT [[tokenize]], whose full \s set would diverge on
+    * tab/newline-bearing text). Every kernel that mirrors a `sqlToks`
+    * oracle goes through here so no call site can forget the null guard
+    * (a kernel NPE inside mapPartitions fails the whole task).
+    */
+  def spaceTokens(text: String): Array[String] =
+    (if (text == null) "" else text).split(" ").filter(_.nonEmpty)
+
   /** Lower-cased whitespace tokens of raw text — the shared first step of
     * every document kernel (= the oracle's normalize-then-split). NULL
     * text tokenizes as the empty document: the synthetic tables carry no

@@ -33,6 +33,15 @@ object TextAnalysis {
   /** Shared SQL fragment for the oracle: whitespace tokens sans empties. */
   private val sqlToks = "list_filter(string_split(text, ' '), t -> t <> '')"
 
+  /** t17's chunk geometry — ONE definition for the Catalyst form, the
+    * streaming kernel ([[graft.streaming.DocumentStreams.chunked]]) and
+    * the oracle SQL, so turning the knob can't desynchronize them.
+    * S < C is load-bearing: it guarantees the last chunk start < n,
+    * hence every chunk non-empty.
+    */
+  private[graft] val ChunkC = 64
+  private[graft] val ChunkS = 48
+
   // Language marker tokens. The scores are plain multiset counts so the
   // heuristic is expressible identically in both engines; ties break by the
   // fixed en > es > fr > de > zh priority, zero marker hits → 'und'.
@@ -636,12 +645,8 @@ object TextAnalysis {
         import s.implicits._
         docs(s, d).select(col("doc_id"), col("text")).as[(Long, String)]
           .mapPartitions(_.map { case (id, tx) =>
-            // space-only split — the exact twin of the oracle's sqlToks
-            // (string_split(text, ' ')); Kernels.tokenize's full \s set
-            // would diverge on tab/newline-bearing text (the other raw-
-            // text kernels split the same way, e.g. qualityFilterOf)
             val (n, types, sq, hapax) = Kernels.diversityMoments(
-              (if (tx == null) "" else tx).split(" ").filter(_.nonEmpty))
+              Kernels.spaceTokens(tx))
             (id, n, types, sq, n * n - sq, n - types, hapax)
           })
           .toDF("doc_id", "n_tokens", "n_types", "sq_counts", "gini_num",
@@ -773,17 +778,19 @@ object TextAnalysis {
     Q("t17_chunking",
       "fixed-size token chunks with stride (C=64, S=48): integer-exact offsets + per-chunk md5",
       (s, d) => chunksOf(docs(s, d)),
-      Some(s"""WITH t AS (SELECT doc_id, $sqlToks AS toks FROM documents),
+      Some(s"""WITH t AS (SELECT doc_id,
+             |    list_filter(string_split(coalesce(text, ''), ' '), t -> t <> '') AS toks
+             |  FROM documents),
              |n AS (SELECT doc_id, toks, len(toks)::BIGINT AS n FROM t),
              |c AS (SELECT doc_id, toks, n,
              |    CASE WHEN n = 0 THEN 0
-             |         ELSE 1 + (greatest(n - 64, 0) + 47) // 48 END AS nchunks
+             |         ELSE 1 + (greatest(n - ${ChunkC}, 0) + ${ChunkS - 1}) // ${ChunkS} END AS nchunks
              |  FROM n)
              |SELECT doc_id, i AS chunk_idx,
-             |  (i*48 + 1)::BIGINT AS chunk_start,
-             |  (least(i*48 + 64, n) - i*48)::BIGINT AS n_chunk_tokens,
+             |  (i*${ChunkS} + 1)::BIGINT AS chunk_start,
+             |  (least(i*${ChunkS} + ${ChunkC}, n) - i*${ChunkS})::BIGINT AS n_chunk_tokens,
              |  md5(array_to_string(
-             |    list_slice(toks, i*48 + 1, least(i*48 + 64, n)), ' ')) AS chunk_md5
+             |    list_slice(toks, i*${ChunkS} + 1, least(i*${ChunkS} + ${ChunkC}, n)), ' ')) AS chunk_md5
              |FROM c, unnest(range(0, nchunks)) AS u(i)
              |ORDER BY doc_id, chunk_idx""".stripMargin)),
 
@@ -806,27 +813,11 @@ object TextAnalysis {
     Q("t18_lm_familiarity",
       "new-batch bigram familiarity vs a fixed-size (top-500) reference LM: known fraction + count mass",
       (s, d) => {
-        import s.implicits._
-        // bigram occurrences via a one-pass kernel (the t11/t12
-        // discipline: array HOFs are CodegenFallback — interpreted per
-        // row — a 2-3× tax on a corpus-wide extraction); space-only
-        // split = the oracle's string_split(text, ' ') exactly, and the
-        // slice filter is applied BEFORE the kernel so it pushes to
-        // the parquet scan
-        def bgOcc(df: DataFrame): DataFrame =
-          df.select(col("doc_id"), col("text")).as[(Long, String)]
-            .mapPartitions(_.flatMap { case (id, tx) =>
-              val toks = (if (tx == null) "" else tx)
-                .split(" ").filter(_.nonEmpty)
-              (0 until toks.length - 1).iterator
-                .map(i => (id, toks(i) + " " + toks(i + 1)))
-            })
-            .toDF("doc_id", "bg")
-        val lm = bgOcc(docs(s, d).filter(col("doc_id") % 5 =!= 4))
+        val lm = bigramOcc(docs(s, d).filter(col("doc_id") % 5 =!= 4))
           .groupBy("bg").agg(count(lit(1)).as("cnt"))
           .orderBy(col("cnt").desc, md5(col("bg")))
           .limit(500)
-        val scored = bgOcc(docs(s, d).filter(col("doc_id") % 5 === 4))
+        val scored = bigramOcc(docs(s, d).filter(col("doc_id") % 5 === 4))
           .join(broadcast(lm), Seq("bg"), "left")
           .groupBy("doc_id")
           .agg(count(lit(1)).as("nb"), count(col("cnt")).as("nk"),
@@ -863,18 +854,40 @@ object TextAnalysis {
              |WHERE d.doc_id % 5 = 4 ORDER BY d.doc_id""".stripMargin))
   )
 
+  /** t18's bigram-occurrence stream over an arbitrary (doc_id, text)
+    * frame — one row per ADJACENT token pair, occurrences not distinct.
+    * A one-pass kernel (the t11/t12 discipline: array HOFs are
+    * CodegenFallback — interpreted per row — a measured 3.4× tax on a
+    * corpus-wide extraction); space-only split = the oracle's
+    * string_split(text, ' ') exactly, null ≡ empty doc
+    * ([[graft.functions.Kernels.spaceTokens]]). Callers filter BEFORE
+    * invoking so the predicate pushes to the parquet scan.
+    */
+  private[graft] def bigramOcc(df: DataFrame): DataFrame = {
+    import df.sparkSession.implicits._
+    df.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions(_.flatMap { case (id, tx) =>
+        val toks = Kernels.spaceTokens(tx)
+        (0 until toks.length - 1).iterator
+          .map(i => (id, toks(i) + " " + toks(i + 1)))
+      })
+      .toDF("doc_id", "bg")
+  }
+
   /** The t17 chunker over an arbitrary (doc_id, text) frame — the form
     * the null-robustness spec drives. Geometry: C=64-token chunks every
     * S=48 tokens, trailing chunk flushed to the last token; all offsets
     * integer-exact, chunk text gated by md5.
     */
   private[graft] def chunksOf(docFrame: DataFrame): DataFrame = {
-    val C = 64L
-    val S = 48L
-    // null ≡ empty doc (the kernel contract): without the coalesce,
-    // size(tokens(null)) = -1 slips past the n === 0 guard and emits
-    // one phantom chunk where the oracle's NULL range emits none —
-    // the one null-semantics divergence in this family
+    val C = ChunkC.toLong
+    val S = ChunkS.toLong
+    // null ≡ empty doc (the kernel contract), and BOTH engines need the
+    // guard: Spark's size(tokens(null)) = -1 slips past the n === 0
+    // test, and DuckDB 1.0's greatest()/least() IGNORE null operands
+    // (greatest(NULL - 64, 0) = 0), so each side would emit one phantom
+    // chunk for a null doc without its coalesce — the oracle carries
+    // the matching coalesce(text, '')
     val t = tokens(coalesce(col("text"), lit("")))
     // ceil((n-C)/S) via integer add-divide: Column./ is IEEE double
     // division, exact here (operands < 2^53) — truncating cast =
@@ -927,7 +940,7 @@ object TextAnalysis {
     // kernel NPE inside mapPartitions fails the whole task on real
     // crawl data; an empty doc just fails the min-words rule
     val text = if (rawText == null) "" else rawText
-    val toks = text.split(" ").filter(_.nonEmpty)
+    val toks = Kernels.spaceTokens(text)
     val n = toks.length
     def cp(s: String): Int = s.codePointCount(0, s.length)
     val mwl =
@@ -973,7 +986,7 @@ object TextAnalysis {
     */
   private[operators] def repetitionOf(docId: Long, rawText: String): T05 = {
     val text = if (rawText == null) "" else rawText // null ≡ empty doc
-    val toks = text.split(" ").filter(_.nonEmpty)
+    val toks = Kernels.spaceTokens(text)
     val n = toks.length
     def cp(s: String): Int = s.codePointCount(0, s.length)
     // UTF-8 byte order == codepoint order == DuckDB's binary collation;

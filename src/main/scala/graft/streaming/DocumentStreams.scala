@@ -84,13 +84,14 @@ object DocumentStreams {
   def chunked(docs: Dataset[Doc]): Dataset[Chunk] = {
     import docs.sparkSession.implicits._
     docs.flatMap { d =>
-      val toks = (if (d.text == null) "" else d.text)
-        .split(" ").filter(_.nonEmpty)
+      val toks = Kernels.spaceTokens(d.text)
       val n = toks.length
-      val nchunks = if (n == 0) 0 else 1 + (math.max(n - 64, 0) + 47) / 48
+      val C = TextAnalysis.ChunkC
+      val S = TextAnalysis.ChunkS
+      val nchunks = if (n == 0) 0 else 1 + (math.max(n - C, 0) + S - 1) / S
       (0 until nchunks).iterator.map { i =>
-        val start = i * 48
-        val len = math.min(start + 64, n) - start
+        val start = i * S
+        val len = math.min(start + C, n) - start
         Chunk(d.doc_id, d.ingest_ts, i.toLong, start + 1L, len.toLong,
           md5HexScala(toks.slice(start, start + len).mkString(" ")))
       }

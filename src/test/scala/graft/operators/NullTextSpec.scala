@@ -83,9 +83,12 @@ class NullTextSpec extends SparkTestBase {
       cat.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
         r.getString(4))).sorted.toSeq,
       "kernel and Catalyst chunkers must agree on null-bearing frames")
-    // and the t18 bigram kernel survives the same frame (guarded split)
-    val fam = graft.SparkEntry.queries("t18_lm_familiarity")(
-      spark, "/root/testdata/sf0.001")
-    assert(fam.filter(col("n_bigrams") >= 0).count() === fam.count())
+    // and the t18 bigram kernel emits zero occurrences for null/empty
+    // docs on the SAME null-bearing frame — deleting spaceTokens' null
+    // guard NPEs this, not just a synthetic-data path
+    val bg = TextAnalysis.bigramOcc(mixed).collect()
+    assert(!bg.exists(r => r.getLong(0) == 1L || r.getLong(0) == 3L),
+      "null/empty docs must contribute no bigram occurrences")
+    assert(bg.count(_.getLong(0) == 2L) === 12, "13 tokens -> 12 bigrams")
   }
 }
