@@ -833,26 +833,95 @@ object TextAnalysis {
               col("nk") * lit(1.0) / col("nb")).as("coverage"))
           .orderBy("doc_id")
       },
-      Some(s"""WITH t AS (SELECT doc_id, $sqlToks AS toks FROM documents),
-             |b AS (SELECT doc_id, toks[i] || ' ' || toks[i+1] AS bg
-             |  FROM t, unnest(range(1, len(toks))) AS u(i)),
-             |lm AS (SELECT bg, count(*)::BIGINT AS cnt FROM b
-             |  WHERE doc_id % 5 <> 4 GROUP BY bg
-             |  ORDER BY cnt DESC, md5(bg) LIMIT 500),
-             |sc AS (SELECT b.doc_id, count(*)::BIGINT AS n_bigrams,
-             |    count(lm.bg)::BIGINT AS n_known,
-             |    coalesce(sum(lm.cnt), 0)::BIGINT AS familiarity
-             |  FROM b LEFT JOIN lm USING (bg)
-             |  WHERE b.doc_id % 5 = 4 GROUP BY b.doc_id)
-             |SELECT d.doc_id,
-             |  coalesce(sc.n_bigrams, 0) AS n_bigrams,
-             |  coalesce(sc.n_known, 0) AS n_known,
-             |  coalesce(sc.familiarity, 0) AS familiarity,
-             |  CASE WHEN coalesce(sc.n_bigrams, 0) > 0
-             |       THEN sc.n_known * 1.0 / sc.n_bigrams END AS coverage
-             |FROM documents d LEFT JOIN sc USING (doc_id)
-             |WHERE d.doc_id % 5 = 4 ORDER BY d.doc_id""".stripMargin))
+      Some(sqlFamiliarity)),
+
+    // t18's INCREMENTAL twin, extending the warehouse-sidecar family
+    // (d15 signatures, d16 hashes, d18 bloom bits, s09/s10 centroids)
+    // to the reference LM: the daily familiarity pass reads a PERSISTED
+    // bigram-count sidecar — the table an ingest pipeline maintains,
+    // one (bg, cnt) row per distinct stored-slice bigram — and never
+    // re-reads the corpus text to build its LM. Counts are a pure
+    // additive fold (the bloom/centroid-statistics rule, SURVEY §7.4
+    // rule 9): per-batch count tables SUM into the corpus table, so the
+    // consumer folds across batch subdirs at read (map-side partial),
+    // takes the same top-500 (same md5 tiebreak — equal counts fold to
+    // equal counts), and proceeds exactly as t18. Scale: the sidecar is
+    // vocabulary-sized (≪ corpus tokens); the fold + top-K touch it
+    // once; the oracle (t18's, verbatim) proves the persisted path
+    // loses nothing vs re-deriving the LM from text.
+    Q("t19_incremental_familiarity",
+      "t18's scorer against the persisted bigram-count sidecar — corpus text never re-read for the LM",
+      (s, d) => familiarityOf(
+        docs(s, d).filter(col("doc_id") % 5 === 4).select("doc_id", "text"),
+        lmStorePath(s, d)),
+      Some(sqlFamiliarity))
   )
+
+  /** t18/t19's shared oracle: the LM re-derived from the stored slice's
+    * text — for t19 this is the INDEPENDENT recomputation proving the
+    * persisted count sidecar is lossless.
+    */
+  private lazy val sqlFamiliarity =
+    s"""WITH t AS (SELECT doc_id, $sqlToks AS toks FROM documents),
+      |b AS (SELECT doc_id, toks[i] || ' ' || toks[i+1] AS bg
+      |  FROM t, unnest(range(1, len(toks))) AS u(i)),
+      |lm AS (SELECT bg, count(*)::BIGINT AS cnt FROM b
+      |  WHERE doc_id % 5 <> 4 GROUP BY bg
+      |  ORDER BY cnt DESC, md5(bg) LIMIT 500),
+      |sc AS (SELECT b.doc_id, count(*)::BIGINT AS n_bigrams,
+      |    count(lm.bg)::BIGINT AS n_known,
+      |    coalesce(sum(lm.cnt), 0)::BIGINT AS familiarity
+      |  FROM b LEFT JOIN lm USING (bg)
+      |  WHERE b.doc_id % 5 = 4 GROUP BY b.doc_id)
+      |SELECT d.doc_id,
+      |  coalesce(sc.n_bigrams, 0) AS n_bigrams,
+      |  coalesce(sc.n_known, 0) AS n_known,
+      |  coalesce(sc.familiarity, 0) AS familiarity,
+      |  CASE WHEN coalesce(sc.n_bigrams, 0) > 0
+      |       THEN sc.n_known * 1.0 / sc.n_bigrams END AS coverage
+      |FROM documents d LEFT JOIN sc USING (doc_id)
+      |WHERE d.doc_id % 5 = 4 ORDER BY d.doc_id""".stripMargin
+
+  /** Per-process LM count sidecar (the t19 fixture) — the stored
+    * slice's bigram counts at the same per-batch layout the streaming
+    * [[graft.streaming.DocumentStreams.lmIngest]] producer writes, so
+    * the gate's store is structurally a one-batch instance of the
+    * streamed store.
+    */
+  private def lmStorePath(s: SparkSession, d: String): String =
+    graft.core.StoreFixture("graft_lmstore", d) { p =>
+      bigramOcc(docs(s, d).filter(col("doc_id") % 5 =!= 4))
+        .groupBy("bg").agg(count(lit(1)).as("cnt"))
+        .write.mode("overwrite").parquet(s"$p/batch_id=0")
+    }
+
+  /** The t19 consumer over an arbitrary (doc_id, text) batch frame and
+    * ANY producer's count sidecar (the gate's one-batch fixture or the
+    * streamed multi-batch store) — per-batch counts SUM at read (the
+    * additive fold), then t18's exact scoring path.
+    */
+  private[graft] def familiarityOf(batchDocs: DataFrame,
+      storePath: String): DataFrame = {
+    val s = batchDocs.sparkSession
+    val lm = s.read.parquet(storePath)
+      .groupBy("bg").agg(sum(col("cnt")).as("cnt"))
+      .orderBy(col("cnt").desc, md5(col("bg")))
+      .limit(500)
+    val scored = bigramOcc(batchDocs)
+      .join(broadcast(lm), Seq("bg"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("nb"), count(col("cnt")).as("nk"),
+        coalesce(sum(col("cnt")), lit(0L)).as("fam"))
+    batchDocs.select("doc_id")
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("nb"), lit(0L)).as("n_bigrams"),
+        coalesce(col("nk"), lit(0L)).as("n_known"),
+        coalesce(col("fam"), lit(0L)).as("familiarity"),
+        when(coalesce(col("nb"), lit(0L)) > 0,
+          col("nk") * lit(1.0) / col("nb")).as("coverage"))
+      .orderBy("doc_id")
+  }
 
   /** t18's bigram-occurrence stream over an arbitrary (doc_id, text)
     * frame — one row per ADJACENT token pair, occurrences not distinct.

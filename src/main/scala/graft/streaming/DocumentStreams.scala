@@ -438,4 +438,39 @@ object DocumentStreams {
       (batch: Dataset[Doc], batchId: Long) =>
         writeBloomBatch(batch, store, batchId)
     }
+
+  /** One micro-batch of the LM-sidecar ingest: the batch's bigram
+    * COUNTS ([[graft.operators.TextAnalysis.bigramOcc]] — the same
+    * kernel t18/t19's scorer runs), written to `store/batch_id=<id>`
+    * in OVERWRITE mode, the [[writeSignatureBatch]] idempotence
+    * discipline. Counts are a pure ADDITIVE fold: per-batch tables sum
+    * into the corpus count table by construction, so cross-batch
+    * duplicates of a bigram resolve at read time by the consumer's
+    * sum-merge ([[graft.operators.TextAnalysis.familiarityOf]]), never
+    * by rewriting the store.
+    */
+  private[graft] def writeLmBatch(batch: Dataset[Doc],
+      store: String, batchId: Long): Unit = {
+    import org.apache.spark.sql.functions.{count, lit}
+    graft.operators.TextAnalysis.bigramOcc(
+      batch.toDF().select("doc_id", "text"))
+      .groupBy("bg").agg(count(lit(1)).as("cnt"))
+      .write.mode("overwrite").parquet(s"$store/batch_id=$batchId")
+  }
+
+  /** The streaming PRODUCER of the bigram-count sidecar that
+    * t19_incremental_familiarity consumes — the last leg of the
+    * warehouse-sidecar family's continuous ingest story: signatures
+    * (signatureIngest → d15), exact hashes (hashIngest → d16), bloom
+    * bits (bloomIngest → d18), centroid statistics (the periodic s10
+    * re-train), and now the reference LM's counts (lmIngest → t19) —
+    * every store the daily batches consume can be maintained by a
+    * stream instead of a rebuild.
+    */
+  def lmIngest(docs: Dataset[Doc], store: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[Doc] =
+    docs.writeStream.foreachBatch {
+      (batch: Dataset[Doc], batchId: Long) =>
+        writeLmBatch(batch, store, batchId)
+    }
 }

@@ -566,6 +566,32 @@ class PlanShapeSpec extends SparkTestBase {
       s"chunk rows must come from an in-map explode:\n${plan.take(2000)}")
   }
 
+  test("t19: the LM comes from the count sidecar — one documents scan, store folds map-side, LM broadcasts") {
+    val plan = executedPlan("t19_incremental_familiarity")
+    assert(plan.contains("graft_lmstore"),
+      s"the LM must come from the persisted count sidecar:\n${plan.take(2000)}")
+    // the batch side is the ONLY text read: re-reading the corpus to
+    // build the LM is exactly what the sidecar exists to avoid. Two
+    // documents scans are legitimate (the bigram kernel + the id spine
+    // of the left join) — but only ONE may read the text column, and
+    // the spine's must be pruned to doc_id
+    val docScans = plan.linesIterator
+      .filter(_.contains("documents.parquet")).toSeq
+    assert(docScans.size == 2,
+      s"expected the bigram-kernel scan + the doc_id spine scan:\n$docScans")
+    assert(docScans.count(_.contains("text")) == 1,
+      s"corpus text must be read once (the batch bigrams), never for the LM:\n$docScans")
+    assert(plan.contains("TakeOrderedAndProject") &&
+      plan.contains("BroadcastHashJoin") && !plan.contains("SortMergeJoin"),
+      s"top-500 partial top-k + broadcast LM, no sort-merge:\n${plan.take(2000)}")
+    // the sidecar fold must partial-aggregate below its exchange
+    val lines = plan.linesIterator.toVector
+    val exIdx = lines.indexWhere(_.contains("Exchange hashpartitioning"))
+    assert(exIdx >= 0 && lines.drop(exIdx + 1)
+        .exists(l => l.contains("HashAggregate") && l.contains("partial_sum")),
+      s"the count fold must partial-sum below its exchange:\n${plan.take(2000)}")
+  }
+
   test("t18: the pruned LM is a global top-k and broadcasts; the batch never shuffles on bigram") {
     val plan = executedPlan("t18_lm_familiarity")
     // fixed LM size ⇒ TakeOrderedAndProject (K rows per partition fold),

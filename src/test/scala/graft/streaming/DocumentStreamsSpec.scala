@@ -380,6 +380,52 @@ class DocumentStreamsSpec extends SparkTestBase {
       "the streamed sidecars must be drop-in for the batch-rebuilt ones")
   }
 
+  test("t19 consumes an lmIngest-streamed count sidecar: per-batch counts sum to the one-shot LM") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    implicit val sq = spark.sqlContext
+    val d = "/root/testdata/sf0.001"
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_streamed_lm").toString
+    // stream ONLY the stored slice (the LM's training side), two
+    // micro-batches — the per-batch count tables must SUM to the
+    // one-shot LM so the consumer's verdicts equal the gate's
+    val docs = graft.core.Tables.documents(spark, d)
+      .filter(col("doc_id") % 5 =!= 4)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"))
+      .collect().sortBy(_.getLong(0))
+      .map(r => DocumentStreams.Doc(r.getLong(0), ts("09:00"),
+        r.getString(1), r.getString(2), r.getString(3)))
+    val (first, second) = docs.splitAt(docs.length / 2)
+    val in = MemoryStream[DocumentStreams.Doc]
+    val q = DocumentStreams.lmIngest(in.toDS(), store).start()
+    try {
+      in.addData(first.toSeq)
+      q.processAllAvailable()
+      in.addData(second.toSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4)))).toSeq
+    val batch = graft.core.Tables.documents(spark, d)
+      .filter(col("doc_id") % 5 === 4).select("doc_id", "text")
+    val viaStream = rows(
+      graft.operators.TextAnalysis.familiarityOf(batch, store))
+    val viaGate = rows(
+      graft.SparkEntry.queries("t19_incremental_familiarity")(spark, d))
+    assert(viaStream === viaGate,
+      "the streamed count sidecar must be drop-in for the one-shot LM store")
+    // a failure-redelivered batch rewrites its own subdir, never
+    // double-counts
+    val before = rows(
+      graft.operators.TextAnalysis.familiarityOf(batch, store))
+    DocumentStreams.writeLmBatch(second.toSeq.toDS(), store, 1L)
+    assert(rows(graft.operators.TextAnalysis.familiarityOf(batch, store))
+      === before,
+      "replaying a delivered batch id must not change any count")
+  }
+
   test("d16 consumes a hashIngest-streamed store: producer and batch consumer agree") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
