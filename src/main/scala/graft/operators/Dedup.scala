@@ -1145,7 +1145,85 @@ object Dedup {
              |  FROM lbl l JOIN sc USING (doc_id))
              |SELECT doc_id, canonical_id, score, best_id,
              |  doc_id = best_id AS is_kept
-             |FROM j ORDER BY doc_id""".stripMargin))
+             |FROM j ORDER BY doc_id""".stripMargin)),
+
+    // LSH index-quality audit — the tuning report every probabilistic
+    // dedup deployment runs before trusting its band geometry: full-outer
+    // join the banded candidate pairs (d03's generator) against the exact
+    // >= 0.5 Jaccard ground truth (d02's join), roll up to ONE metrics
+    // row: recall (true pairs the index surfaced) and precision (surfaced
+    // pairs that are true). Both sides reuse the registry's own
+    // candidate/truth machinery verbatim — the audit can never drift from
+    // what d03 actually ships. Scale shape: both inputs are output-bound
+    // pair sets (never |docs|²), the full-outer join keys on the pair
+    // (high-cardinality), and the rollup is a single partial-aggregated
+    // global sum. The exact side is the expensive leg at 100 TB — in
+    // production this audit runs on a deterministic hash-sample of the
+    // corpus (the q16 sampler composes in front), sized so the exact join
+    // fits; the estimate's variance falls out of the audited pair count,
+    // not the corpus size.
+    Q("d20_lsh_recall_audit",
+      "LSH band-geometry audit: banded candidates vs exact Jaccard>=0.5 truth — one recall/precision row",
+      (s, d) => {
+        val ex = explodedShingles(s, d).localCheckpoint(true)
+        val truth = jaccardPairs(ex, 0.5)
+          .select(col("doc_a"), col("doc_b"), lit(1).as("t"))
+        val cand = bandedCandidates(minhashSigs(ex))
+          .select(col("doc_a"), col("doc_b"), lit(1).as("c"))
+        truth.join(cand, Seq("doc_a", "doc_b"), "full_outer")
+          .agg(
+            count(col("t")).as("n_true"),
+            count(col("c")).as("n_cand"),
+            count(when(col("t").isNotNull && col("c").isNotNull, lit(1)))
+              .as("n_hit"))
+          .select(col("n_true"), col("n_cand"), col("n_hit"),
+            (col("n_true") - col("n_hit")).as("n_missed"),
+            (col("n_cand") - col("n_hit")).as("n_spurious"),
+            when(col("n_true") > 0, col("n_hit") * lit(1.0) / col("n_true"))
+              .as("recall"),
+            when(col("n_cand") > 0, col("n_hit") * lit(1.0) / col("n_cand"))
+              .as("precision"))
+      },
+      Some {
+        val aList = MinHashCoeffs.map(_._1).mkString("[", ",", "]")
+        val bList = MinHashCoeffs.map(_._2).mkString("[", ",", "]")
+        s"""$sqlShingled,
+           |ex AS (SELECT doc_id, nsh, unnest(sh) AS shingle FROM sh),
+           |tru AS (
+           |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           |    a.nsh AS size_a, b.nsh AS size_b, count(*)::BIGINT AS i
+           |  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+           |  GROUP BY 1, 2, 3, 4
+           |  HAVING i * 1.0 / (size_a + size_b - i) >= 0.5),
+           |hs AS (SELECT doc_id,
+           |    list_transform(sh, g0 -> ('0x' || substr(md5(g0), 1, 15))::BIGINT % 2147483647) AS gs
+           |  FROM sh),
+           |sig AS (SELECT doc_id, list_transform(range(0, 30), k ->
+           |      list_aggregate(list_transform(gs,
+           |        g -> (g * ($aList)[k+1] + ($bList)[k+1]) % 2147483647), 'min')) AS sig
+           |  FROM hs),
+           |cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+           |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+           |  WHERE len(list_filter(range(0, 10), j ->
+           |    a.sig[3*j+1] = b.sig[3*j+1] AND a.sig[3*j+2] = b.sig[3*j+2]
+           |      AND a.sig[3*j+3] = b.sig[3*j+3])) > 0),
+           |fo AS (SELECT
+           |    coalesce(t.doc_a, c.doc_a) AS doc_a,
+           |    coalesce(t.doc_b, c.doc_b) AS doc_b,
+           |    (t.doc_a IS NOT NULL)::INT AS is_t,
+           |    (c.doc_a IS NOT NULL)::INT AS is_c
+           |  FROM (SELECT doc_a, doc_b FROM tru) t
+           |  FULL OUTER JOIN cand c ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b)
+           |SELECT sum(is_t)::BIGINT AS n_true, sum(is_c)::BIGINT AS n_cand,
+           |  sum(is_t * is_c)::BIGINT AS n_hit,
+           |  (sum(is_t) - sum(is_t * is_c))::BIGINT AS n_missed,
+           |  (sum(is_c) - sum(is_t * is_c))::BIGINT AS n_spurious,
+           |  CASE WHEN sum(is_t) > 0
+           |    THEN sum(is_t * is_c) * 1.0 / sum(is_t) END AS recall,
+           |  CASE WHEN sum(is_c) > 0
+           |    THEN sum(is_t * is_c) * 1.0 / sum(is_c) END AS precision
+           |FROM fo""".stripMargin
+      })
   )
 
   /** The d16/d18 warehouse sidecar — one (content_hash, stored_canonical)

@@ -2,7 +2,9 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.core.{Q, Tables}
+import graft.functions.Portable.{h60, tokens}
 
 /** Multimodal-column plumbing for a training-data pipeline: media payloads
   * as opaque `binary` columns with typed metadata, processed by a
@@ -526,6 +528,52 @@ object Multimodal {
              |  bit_count(xor(a.sig, b.sig))::BIGINT AS hamming
              |FROM sk a JOIN sk b ON a.doc_id < b.doc_id
              |WHERE bit_count(xor(a.sig, b.sig)) <= 1
-             |ORDER BY doc_a, doc_b""".stripMargin))
+             |ORDER BY doc_a, doc_b""".stripMargin)),
+
+    // Interleaved multimodal sequence packing — the training-sequence
+    // writer for image+text corpora (LLaVA/Flamingo-style): a document's
+    // budget cost is its text tokens PLUS the patch tokens its image
+    // contributes (m04's geometry: a decodable >= 256-char payload yields
+    // a 4x4 grid = 16 patch tokens; shorter payloads decode to no image),
+    // packed greedily into 2048-token sequences within t13's 256-way
+    // hash-bucket shards. Same scale stance as t13: parallelism keys on
+    // the md5-derived bucket (a knob), never a natural skewed column; one
+    // window sort per bucket of ~n/256 rows; the bucket is the output
+    // shard a multimodal loader reads. Pure integer arithmetic, so both
+    // engines agree exactly; char-length eligibility matches m04's
+    // oracle convention (codepoints, not bytes).
+    Q("m09_interleaved_pack",
+      "multimodal packing: text + ViT patch tokens per doc, 2048-token sequences in 256-way hash shards",
+      (s, d) => {
+        val t = coalesce(col("text"), lit(""))
+        val shard = h60(concat(lit("shard_"), col("doc_id").cast("string"))) % 256
+        val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.documents(s, d)
+          .select(col("doc_id"), shard.as("shard"),
+            size(tokens(t)).cast("long").as("n_text_tokens"),
+            when(length(t) >= 256, lit(16L)).otherwise(lit(0L))
+              .as("n_patch_tokens"))
+          .withColumn("cost", col("n_text_tokens") + col("n_patch_tokens"))
+          .withColumn("cum", sum(col("cost")).over(w))
+          .select(col("doc_id"), col("shard"),
+            col("n_text_tokens"), col("n_patch_tokens"),
+            expr("(cum - cost) div 2048").as("seq_id"),
+            ((col("cum") - col("cost")) % 2048).as("seq_offset"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id,
+             |  ('0x' || substr(md5('shard_' || doc_id), 1, 15))::BIGINT % 256 AS shard,
+             |  len(list_filter(string_split(coalesce(text, ''), ' '), x -> x <> ''))::BIGINT AS n_text_tokens,
+             |  (CASE WHEN length(coalesce(text, '')) >= 256 THEN 16 ELSE 0 END)::BIGINT AS n_patch_tokens
+             |FROM documents),
+             |c AS (SELECT *, n_text_tokens + n_patch_tokens AS cost,
+             |  (sum(n_text_tokens + n_patch_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS cum
+             |FROM t)
+             |SELECT doc_id, shard, n_text_tokens, n_patch_tokens,
+             |  ((cum - cost) // 2048)::BIGINT AS seq_id,
+             |  ((cum - cost) % 2048)::BIGINT AS seq_offset
+             |FROM c ORDER BY doc_id""".stripMargin))
   )
 }

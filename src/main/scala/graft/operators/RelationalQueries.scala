@@ -1018,6 +1018,49 @@ object RelationalQueries {
              |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
              |FROM lineitem
              |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
-             |ORDER BY gid, returnflag, linestatus""".stripMargin))
+             |ORDER BY gid, returnflag, linestatus""".stripMargin)),
+
+    // Cohort retention — the product-analytics matrix (users cohorted by
+    // first-active month, distinct actives per (cohort, month offset)).
+    // Three exchanges, each one the semantics' floor: (1) distinct
+    // user-months — the raw event stream collapses map-side-partial to at
+    // most |users|×|months| rows before anything else runs; (2) the
+    // per-user window attaching the cohort month (min over the user's
+    // months — a window, not a groupBy+self-join, so the user's rows are
+    // touched once and there is no join to mis-plan); (3) the final
+    // (cohort, offset) rollup with a partial-aggregated distinct count.
+    // All keys are high-cardinality (user_id, then cohort×offset), so no
+    // reducer inherits the corpus: at 100 TB the distinct-user-month
+    // frame — the only corpus-scale intermediate — is bounded by
+    // users × months, orders below raw events. The offset is
+    // integer-exact month arithmetic (never months_between's float
+    // days-division), so both engines agree bit-for-bit.
+    Q("q40_cohort_retention",
+      "user cohorts by first-active month: distinct active users per (cohort, month offset)",
+      (s, d) => {
+        val um = Tables.events(s, d)
+          .select(col("user_id"),
+            date_trunc("month", col("ts")).as("m"))
+          .distinct()
+        val w = Window.partitionBy(col("user_id"))
+        um.withColumn("cohort_month", min(col("m")).over(w))
+          .groupBy(col("cohort_month"),
+            ((year(col("m")) - year(col("cohort_month"))) * 12 +
+              (month(col("m")) - month(col("cohort_month"))))
+              .cast("long").as("month_offset"))
+          .agg(count_distinct(col("user_id")).as("n_users"))
+          .orderBy("cohort_month", "month_offset")
+      },
+      Some("""WITH um AS (
+             |  SELECT DISTINCT user_id, date_trunc('month', ts) AS m
+             |  FROM events),
+             |c AS (SELECT user_id, m,
+             |    min(m) OVER (PARTITION BY user_id) AS cohort_month
+             |  FROM um)
+             |SELECT cohort_month,
+             |  ((year(m) - year(cohort_month)) * 12
+             |    + (month(m) - month(cohort_month)))::BIGINT AS month_offset,
+             |  count(DISTINCT user_id)::BIGINT AS n_users
+             |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
   )
 }

@@ -100,6 +100,15 @@ object TextAnalysis {
       .when(col("lang") === "zh", 100L)
       .otherwise(50L)
 
+  /** t20's redaction classes — ONE definition for both engines. Word-
+    * boundary alternations (RE2 and java.util.regex agree on `\b`);
+    * production replaces these with email/phone/ID patterns unchanged.
+    * Defined BEFORE the registry val: the oracle SQL interpolates them at
+    * registry construction time.
+    */
+  private[graft] val RedactEntityPat = "\\b(customer|supplier)\\b"
+  private[graft] val RedactTermPat = "\\b(spark|vector)\\b"
+
   val registry: Seq[Q] = Seq(
 
     Q("t01_token_stats",
@@ -854,7 +863,47 @@ object TextAnalysis {
       (s, d) => familiarityOf(
         docs(s, d).filter(col("doc_id") % 5 === 4).select("doc_id", "text"),
         lmStorePath(s, d)),
-      Some(sqlFamiliarity))
+      Some(sqlFamiliarity)),
+
+    // Pattern redaction — the PII-scrub plumbing (mask entity classes,
+    // count hits, fingerprint the scrubbed text so downstream dedup keys
+    // on the REDACTED form). The class list is configuration: production
+    // swaps in email/phone/SSN regexes; here two classes that are LIVE on
+    // the synthetic vocabulary stand in, so the gate is non-vacuous
+    // (394/500 docs carry an entity hit at sf0.01). Scale shape: a pure
+    // narrow projection — regexp count + nested replace, all codegen'd
+    // built-ins, zero shuffle, zero kernel; the scan reads (doc_id, text)
+    // only. Replacement order is pinned (entity first, then term) and the
+    // classes are disjoint by construction, so the nested replace is
+    // order-independent anyway; md5 of the scrubbed text gives both
+    // engines the same 32-hex fingerprint.
+    Q("t20_redaction",
+      "multi-class pattern redaction: per-class hit counts + md5 of the scrubbed text",
+      (s, d) => {
+        val t = coalesce(col("text"), lit(""))
+        val scrubbed = regexp_replace(
+          regexp_replace(t, RedactEntityPat, "[ENT]"),
+          RedactTermPat, "[TERM]")
+        docs(s, d).select(
+          col("doc_id"),
+          size(regexp_extract_all(t, lit(RedactEntityPat), lit(0)))
+            .cast("long").as("n_entity"),
+          size(regexp_extract_all(t, lit(RedactTermPat), lit(0)))
+            .cast("long").as("n_term"),
+          md5(scrubbed).as("redacted_md5"))
+          .withColumn("already_clean",
+            col("n_entity") + col("n_term") === 0)
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH t AS (SELECT doc_id, coalesce(text, '') AS tx FROM documents)
+             |SELECT doc_id,
+             |  len(regexp_extract_all(tx, '$RedactEntityPat'))::BIGINT AS n_entity,
+             |  len(regexp_extract_all(tx, '$RedactTermPat'))::BIGINT AS n_term,
+             |  md5(regexp_replace(regexp_replace(tx, '$RedactEntityPat', '[ENT]', 'g'),
+             |    '$RedactTermPat', '[TERM]', 'g')) AS redacted_md5,
+             |  (len(regexp_extract_all(tx, '$RedactEntityPat'))
+             |    + len(regexp_extract_all(tx, '$RedactTermPat'))) = 0 AS already_clean
+             |FROM t ORDER BY doc_id""".stripMargin))
   )
 
   /** t18/t19's shared oracle: the LM re-derived from the stored slice's
