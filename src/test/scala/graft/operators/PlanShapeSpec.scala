@@ -473,6 +473,68 @@ class PlanShapeSpec extends SparkTestBase {
       s"a per-document projection must not shuffle:\n${plan.take(2000)}")
   }
 
+  test("m09: interleaved packing shuffles on the hash-bucket shard, never a natural column") {
+    // t13's scale property carried to the multimodal writer: the running
+    // token-budget window must key on the 256-way md5 bucket (a knob),
+    // never a low-cardinality natural column whose skew would bound
+    // parallelism
+    val plan = executedPlan("m09_interleaved_pack")
+    val hashEx = plan.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(hashEx.nonEmpty && hashEx.forall(_.contains("shard")),
+      s"the packing window must shuffle on the hash bucket:\n$hashEx")
+    assert(!hashEx.exists(l => l.contains("lang") || l.contains("source")),
+      s"packing parallelism must not key on a natural skewed column:\n$hashEx")
+  }
+
+  test("t20: redaction is a pure narrow projection — zero data shuffles, two-column scan") {
+    val plan = executedPlan("t20_redaction")
+    val exchanges = plan.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.forall(_.contains("rangepartitioning")),
+      s"a per-document scrub must not shuffle data:\n$exchanges")
+    assert(countOf(plan, "MapPartitions") == 0,
+      s"redaction must ride codegen'd built-ins, no typed kernel:\n${plan.take(2000)}")
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("text"),
+      s"scan must read the text column: $readSchema")
+    assert(!readSchema.contains("lang") && !readSchema.contains("source"),
+      s"scan reads columns the scrub never uses: $readSchema")
+  }
+
+  test("q40: every retention exchange keys on high-cardinality columns; aggregates are partial") {
+    // the 100 TB property: the raw event stream collapses to distinct
+    // user-months map-side BEFORE any other exchange, and no shuffle keys
+    // on a low-cardinality column — no reducer inherits the corpus
+    val plan = executedPlan("q40_cohort_retention")
+    val lines = plan.linesIterator.toSeq
+    val exIdx = lines.indexWhere(_.contains("Exchange hashpartitioning"))
+    assert(exIdx >= 0 && lines.drop(exIdx).exists(_.contains("HashAggregate")),
+      s"the user-month distinct must partial-aggregate below its exchange:\n${plan.take(2000)}")
+    val hashEx = lines.filter(_.contains("Exchange hashpartitioning"))
+    assert(hashEx.forall(l => l.contains("user_id") || l.contains("cohort_month")),
+      s"every exchange must key on user_id or the cohort pair:\n$hashEx")
+    // cohort month attaches via a per-user window — no self-join to mis-plan
+    assert(!plan.contains("Join"),
+      s"the cohort attach must be a window, never a self-join:\n${plan.take(2000)}")
+  }
+
+  test("d20: the audit joins output-bound pair sets and rolls up map-side") {
+    // the index-quality report must stay pair-set-sized: the truth/candidate
+    // legs meet in an equi-join on the pair (never a cartesian), and the
+    // one-row metrics rollup partial-aggregates before its single exchange
+    val plan = executedPlan("d20_lsh_recall_audit")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoop"),
+      s"the truth/candidate meet must be an equi-join on the pair:\n${plan.take(2000)}")
+    assert(plan.contains("FullOuter"),
+      s"missed AND spurious pairs must both survive the meet:\n${plan.take(2000)}")
+    assert(plan.contains("partial_count"),
+      s"the metrics rollup must partial-aggregate map-side:\n${plan.take(2000)}")
+    // both legs derive from the one eagerly-checkpointed shingle frame:
+    // no text kernel may run in the executed audit plan
+    assert(countOf(plan, "MapPartitions") == 0,
+      s"the audit plan must be checkpoint-fed, no re-shingling:\n${plan.take(2000)}")
+  }
+
   test("t15: the rank<=K cap runs under WindowGroupLimit, shuffling on source only") {
     // the 100 TB property: each input partition forwards at most K rows
     // per source to the shuffle — losing the group-limit pushdown turns a
