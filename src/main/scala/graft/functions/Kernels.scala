@@ -161,6 +161,39 @@ object Kernels {
     (toks.length.toLong, counts.size.toLong, sq, hapax)
   }
 
+  /** Per-vector symmetric int8 quantization (s11): scale amax = max|xᵢ|
+    * (pure selection over exact float→double widenings — no arithmetic,
+    * so amax carries the float32 bit pattern), code_i =
+    * floor(xᵢ·127/amax + 0.5) ∈ [−127, 127], and the per-dimension
+    * absolute reconstruction error |code·amax/127 − xᵢ|. Every IEEE op
+    * runs in pinned left-to-right order ((x·127)/amax, then
+    * (code·amax)/127) so the DuckDB oracle reproduces each double
+    * bit-for-bit. A zero vector (amax = 0) quantizes to all-zero codes
+    * with zero error. One pass, O(dim), no allocation beyond the
+    * outputs — rides the parquet scan (the rule-11 alternative to a
+    * per-row Catalyst HOF chain, which is CodegenFallback).
+    */
+  def int8Quant(v: Array[Float]): (Double, Array[Long], Array[Double]) = {
+    var amax = 0.0
+    var i = 0
+    while (i < v.length) {
+      val a = math.abs(v(i).toDouble)
+      if (a > amax) amax = a
+      i += 1
+    }
+    val codes = new Array[Long](v.length)
+    val errs = new Array[Double](v.length)
+    i = 0
+    while (i < v.length) {
+      val x = v(i).toDouble
+      val c = if (amax == 0) 0L else math.floor(x * 127.0 / amax + 0.5).toLong
+      codes(i) = c
+      errs(i) = math.abs(c * amax / 127.0 - x)
+      i += 1
+    }
+    (amax, codes, errs)
+  }
+
   private val MhA: Array[Long] = Portable.MinHashCoeffs.map(_._1).toArray
   private val MhB: Array[Long] = Portable.MinHashCoeffs.map(_._2).toArray
 

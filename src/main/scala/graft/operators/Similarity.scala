@@ -854,7 +854,54 @@ object Similarity {
              |  FROM stats s LEFT JOIN batch b ON s.clabel = b.clabel AND s.dim = b.dim)
              |SELECT clabel, dim, CAST(f AS DOUBLE) AS upd_sum, upd_cnt,
              |  CAST(f AS DOUBLE) / upd_cnt AS upd_mean
-             |FROM fold ORDER BY clabel, dim""".stripMargin))
+             |FROM fold ORDER BY clabel, dim""".stripMargin)),
+
+    // Int8 vector compression — the scalar-quantization storage step
+    // (FAISS SQ8) every production vector store runs before indexing:
+    // per-vector symmetric scale amax = max|x_i|, code_i =
+    // round(x_i·127/amax) ∈ [-127,127] — float32 shrinks 4×, and the
+    // per-dimension reconstruction error is bounded by amax/254. The
+    // gate emits codes, scale AND the error column so the compression's
+    // quality is itself hash-audited. Everything is bit-portable: amax
+    // is a selection (carries a float32 bit pattern), codes derive from
+    // two pinned-order IEEE ops + floor, the error from two more —
+    // both engines run the identical op sequence (Kernels.int8Quant vs
+    // the oracle's expression twin). Scale shape: one typed-kernel
+    // pass, zero shuffle, output 64 rows/vector — the operator rides
+    // the parquet scan at any corpus size (the t01/d04 narrow-
+    // projection class), and the codes are exactly what the s06/s07 PQ
+    // path would persist.
+    Q("s11_int8_quantize",
+      "per-vector symmetric int8 quantization: codes, scale, per-dim reconstruction error",
+      (s, d) => {
+        import s.implicits._
+        Tables.embeddings(s, d)
+          .filter(col("embedding").isNotNull)
+          .select(col("vec_id"), col("embedding"))
+          .as[(Long, Array[Float])]
+          .mapPartitions(_.flatMap { case (id, v) =>
+            val (amax, codes, errs) = graft.functions.Kernels.int8Quant(v)
+            codes.indices.iterator.map(i =>
+              (id, (i + 1).toLong, codes(i), amax, errs(i)))
+          })
+          .toDF("vec_id", "dim", "code", "amax", "abs_err")
+          .orderBy("vec_id", "dim")
+      },
+      Some(s"""WITH a AS (SELECT vec_id, embedding,
+             |    list_aggregate(list_transform(embedding,
+             |      x -> abs(CAST(x AS DOUBLE))), 'max') AS amax
+             |  FROM embeddings WHERE embedding IS NOT NULL),
+             |idx AS (SELECT unnest(range(1, ${Dim + 1})) AS dim),
+             |q AS (SELECT vec_id, dim, amax,
+             |    CAST(embedding[dim] AS DOUBLE) AS x
+             |  FROM a CROSS JOIN idx),
+             |c AS (SELECT vec_id, dim,
+             |    (CASE WHEN amax = 0 THEN 0
+             |      ELSE floor((x * 127.0) / amax + 0.5) END)::BIGINT AS code,
+             |    amax, x FROM q)
+             |SELECT vec_id, dim, code, amax,
+             |  abs((code * amax) / 127.0 - x) AS abs_err
+             |FROM c ORDER BY vec_id, dim""".stripMargin))
   )
 
   /** One Lloyd maintenance step in WRITE-BACK form: assign each batch

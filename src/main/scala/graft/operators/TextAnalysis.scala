@@ -903,7 +903,59 @@ object TextAnalysis {
              |    '$RedactTermPat', '[TERM]', 'g')) AS redacted_md5,
              |  (len(regexp_extract_all(tx, '$RedactEntityPat'))
              |    + len(regexp_extract_all(tx, '$RedactTermPat'))) = 0 AS already_clean
-             |FROM t ORDER BY doc_id""".stripMargin))
+             |FROM t ORDER BY doc_id""".stripMargin)),
+
+    // TF-IDF keyword extraction — each document's top-5 most
+    // REPRESENTATIVE tokens (high in-doc frequency, low corpus
+    // document-frequency): the search-indexing / topic-labeling /
+    // "why did dedup flag these two" explanation primitive. The score
+    // is the raw tf/df ratio: tf and df are exact integers and the
+    // score one IEEE division (the t11/t12 discipline — idf's log() is
+    // monotone in 1/df, so the RANKING is identical and the
+    // transcendental adds nothing but cross-engine risk). Ties at the
+    // rank boundary break on the token itself. Scale shape: the
+    // (doc, token) tf rollup and the vocab-sized df rollup both
+    // partial-aggregate map-side; the df table re-attaches
+    // shuffle-HASH (t11's rationale: a 100 TB corpus's vocabulary is
+    // not broadcastable); the top-5 filter compiles to
+    // WindowGroupLimit (t15's rationale: each partition forwards ≤ 5
+    // rows per doc to the rank shuffle, so the output side is
+    // output-bound, never corpus-bound).
+    Q("t21_tfidf_keywords",
+      "per-document top-5 tokens by tf/df: exact integer tf and df, one IEEE division for the score",
+      (s, d) => {
+        import s.implicits._
+        val ex = docs(s, d).select(col("doc_id"), col("text")).as[(Long, String)]
+          .mapPartitions(_.flatMap { case (id, tx) =>
+            Kernels.lowerTokens(tx).iterator.map(t => (id, t))
+          })
+          .toDF("doc_id", "token")
+          .localCheckpoint(true)
+        val tf = ex.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+        val dfT = ex.groupBy("token")
+          .agg(countDistinct(col("doc_id")).as("df"))
+        val w = Window.partitionBy(col("doc_id"))
+          .orderBy(col("score").desc, col("token").asc)
+        tf.join(dfT.hint("shuffle_hash"), Seq("token"))
+          .withColumn("score", col("tf") * lit(1.0) / col("df"))
+          .withColumn("kw_rank", row_number().over(w))
+          .filter(col("kw_rank") <= 5)
+          .select(col("doc_id"), col("kw_rank"), col("token"),
+            col("tf"), col("df"), col("score"))
+          .orderBy("doc_id", "kw_rank")
+      },
+      Some("""WITH n AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm FROM documents),
+             |tk AS (SELECT doc_id, list_filter(string_split(norm, ' '), t -> t <> '') AS toks FROM n),
+             |e AS (SELECT doc_id, unnest(toks) AS token FROM tk),
+             |tf AS (SELECT doc_id, token, count(*)::BIGINT AS tf FROM e GROUP BY 1, 2),
+             |df AS (SELECT token, count(DISTINCT doc_id)::BIGINT AS df FROM e GROUP BY 1),
+             |j AS (SELECT tf.doc_id, tf.token, tf.tf, df.df,
+             |    tf.tf * 1.0 / df.df AS score
+             |  FROM tf JOIN df USING (token)),
+             |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+             |    ORDER BY score DESC, token) AS kw_rank FROM j)
+             |SELECT doc_id, kw_rank, token, tf, df, score
+             |FROM r WHERE kw_rank <= 5 ORDER BY doc_id, kw_rank""".stripMargin))
   )
 
   /** t18/t19's shared oracle: the LM re-derived from the stored slice's

@@ -535,6 +535,32 @@ class PlanShapeSpec extends SparkTestBase {
       s"the audit plan must be checkpoint-fed, no re-shingling:\n${plan.take(2000)}")
   }
 
+  test("t21: df attaches shuffle-hash (vocab never broadcast); top-5 runs under WindowGroupLimit") {
+    // the two 100 TB properties: a corpus vocabulary is not
+    // broadcastable (t11's rule — losing the hint re-plans a
+    // multi-GB broadcast build at scale), and the per-doc top-5 must
+    // group-limit BEFORE the rank shuffle (t15's rule — otherwise every
+    // (doc, token, tf) row shuffles to the window)
+    val plan = executedPlan("t21_tfidf_keywords")
+    assert(plan.contains("ShuffledHashJoin"),
+      s"the df table must join shuffle-hash:\n${plan.take(2000)}")
+    assert(!plan.contains("BroadcastHashJoin") && !plan.contains("SortMergeJoin"),
+      s"the vocab side must neither broadcast nor sort-merge:\n${plan.take(2000)}")
+    assert(plan.contains("WindowGroupLimit"),
+      s"kw_rank<=5 must compile to a partial per-partition top-k:\n${plan.take(2000)}")
+    assert(plan.contains("partial_count"),
+      s"tf/df rollups must partial-aggregate map-side:\n${plan.take(2000)}")
+  }
+
+  test("s11: quantization is one kernel pass with zero data shuffles") {
+    val plan = executedPlan("s11_int8_quantize")
+    assert(countOf(plan, "MapPartitions") == 1,
+      s"exactly the quantize kernel may run:\n${plan.take(2000)}")
+    val exchanges = plan.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.forall(_.contains("rangepartitioning")),
+      s"a per-vector projection must not shuffle data:\n$exchanges")
+  }
+
   test("t15: the rank<=K cap runs under WindowGroupLimit, shuffling on source only") {
     // the 100 TB property: each input partition forwards at most K rows
     // per source to the shuffle — losing the group-limit pushdown turns a

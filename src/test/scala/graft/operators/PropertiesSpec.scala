@@ -171,6 +171,35 @@ class PropertiesSpec extends SparkTestBase {
     }
   }
 
+  test("Kernels.int8Quant: codes bounded, error within half a quantization step, scale exact") {
+    val vecGen = Gen.listOfN(64,
+      Gen.chooseNum(-10f, 10f)).map(_.toArray)
+    val vecs = sample(vecGen, 200, 11L) :+ Array.fill(64)(0f)
+    vecs.foreach { v =>
+      val (amax, codes, errs) = graft.functions.Kernels.int8Quant(v)
+      assert(amax === v.map(x => math.abs(x.toDouble)).max,
+        "amax must be the exact max-abs selection")
+      assert(codes.forall(c => c >= -127L && c <= 127L),
+        s"codes must fit int8's symmetric range: ${codes.mkString(",")}")
+      if (amax == 0) {
+        assert(codes.forall(_ == 0L) && errs.forall(_ == 0.0),
+          "the zero vector must quantize losslessly")
+      } else {
+        // half a step amax/254, with 3 ULP of headroom for the three
+        // pinned IEEE roundings in the code/error chain
+        val bound = amax / 254.0 * (1.0 + 1e-12)
+        errs.zipWithIndex.foreach { case (e, i) =>
+          assert(e <= bound,
+            s"dim $i reconstruction error $e exceeds half-step $bound (amax=$amax)")
+        }
+        // the extreme magnitude dim must hit a full-scale code
+        val iMax = v.indexWhere(x => math.abs(x.toDouble) == amax)
+        assert(math.abs(codes(iMax)) === 127L,
+          "the max-magnitude dimension must quantize to full scale")
+      }
+    }
+  }
+
   test("Kernels.diversityMoments equals a naive multiset recompute on random text") {
     import graft.functions.Kernels
     val wordGen = Gen.oneOf("a", "bb", "ccc", "dd", "a", "e f", "", "  ")
