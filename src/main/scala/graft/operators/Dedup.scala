@@ -1223,6 +1223,72 @@ object Dedup {
            |  CASE WHEN sum(is_c) > 0
            |    THEN sum(is_t * is_c) * 1.0 / sum(is_c) END AS precision
            |FROM fo""".stripMargin
+      }),
+
+    // Source-pair overlap map — "how much does crawl A duplicate
+    // crawl B?", the corpus-curation question that decides whether a
+    // new source is worth ingesting at all. Per SOURCE union-MinHash
+    // (Broder: the min of a permutation over a UNION of sets is the min
+    // over the members' mins, so a source's 30-perm signature folds
+    // from its docs' shingles by plain min-aggregation), then
+    // est_J(A,B) = matching perms / 30 over source PAIRS — d14's
+    // estimator lifted from document pairs to source pairs. Same
+    // md5-derived permutation family as d03/d14/d15 (one constant
+    // table, oracle-regenerated). Scale shape: the corpus is scanned
+    // ONCE and collapses map-side — the partial min-agg reduces every
+    // partition to |sources|×30 cells before the (tiny) shuffle, the
+    // pair join is |sources|² rows on a broadcast, and NO document
+    // pair is ever enumerated — at 100 TB this is the only affordable
+    // overlap measure (the exact answer is a corpus self-join), with
+    // the binomial ±sqrt(J(1-J)/30) accuracy trade d14 documents.
+    Q("d21_source_overlap",
+      "pairwise source-level Jaccard estimates from per-source union-MinHash signatures (matches/30)",
+      (s, d) => {
+        import s.implicits._
+        val ex = docs(s, d).select(col("source"), col("text"))
+          .as[(String, String)]
+          .mapPartitions(_.flatMap { case (src, tx) =>
+            Kernels.shingles(Kernels.lowerTokens(tx)).iterator
+              .map(h => (src, h))
+          })
+          .toDF("source", "shingle")
+        val g = ex.withColumn("g", col("shingle") % MinHashP)
+        val mhCols = (0 until 30).map(k => min(perm(k, col("g"))).as(s"mh_$k"))
+        val sigs = g.groupBy("source").agg(mhCols.head, mhCols.tail: _*)
+        val b = sigs.toDF(sigs.columns.map(c =>
+          if (c == "source") "source_b" else s"${c}_b"): _*)
+        val matches = (0 until 30).map(k =>
+          when(col(s"mh_$k") === col(s"mh_${k}_b"), 1L).otherwise(0L))
+          .reduce(_ + _)
+        sigs.join(broadcast(b), col("source") < col("source_b"))
+          .withColumn("est_matches", matches)
+          .select(col("source").as("source_a"), col("source_b"),
+            col("est_matches"),
+            (col("est_matches") * lit(1.0) / 30).as("est_jaccard"))
+          .orderBy("source_a", "source_b")
+      },
+      Some {
+        val aList = MinHashCoeffs.map(_._1).mkString("[", ",", "]")
+        val bList = MinHashCoeffs.map(_._2).mkString("[", ",", "]")
+        s"""$sqlShingled,
+           |hs AS (SELECT s2.doc_id,
+           |    ('0x' || substr(md5(g0), 1, 15))::BIGINT % 2147483647 AS g
+           |  FROM sh s2, unnest(s2.sh) AS u(g0)),
+           |sg2 AS (SELECT d.source, hs.g
+           |  FROM hs JOIN documents d USING (doc_id)),
+           |m AS (SELECT source, k.k,
+           |    min((g * ($aList)[k.k+1] + ($bList)[k.k+1]) % 2147483647) AS mh
+           |  FROM sg2 CROSS JOIN (SELECT unnest(range(0, 30)) AS k) k
+           |  GROUP BY source, k.k),
+           |sigp AS (SELECT source, list(mh ORDER BY k) AS sig
+           |  FROM m GROUP BY source)
+           |SELECT a.source AS source_a, b.source AS source_b,
+           |  len(list_filter(range(0, 30),
+           |    k -> a.sig[k+1] = b.sig[k+1]))::BIGINT AS est_matches,
+           |  len(list_filter(range(0, 30),
+           |    k -> a.sig[k+1] = b.sig[k+1]))::BIGINT * 1.0 / 30 AS est_jaccard
+           |FROM sigp a JOIN sigp b ON a.source < b.source
+           |ORDER BY source_a, source_b""".stripMargin
       })
   )
 

@@ -901,7 +901,113 @@ object Similarity {
              |    amax, x FROM q)
              |SELECT vec_id, dim, code, amax,
              |  abs((code * amax) / 127.0 - x) AS abs_err
-             |FROM c ORDER BY vec_id, dim""".stripMargin))
+             |FROM c ORDER BY vec_id, dim""".stripMargin)),
+
+    // Quantization recall audit — did s11's 4× compression cost any
+    // retrieval quality? Asymmetric-distance search (the ADC setup of
+    // s06/s07: queries stay full-precision, the CORPUS is int8-
+    // reconstructed) re-ranks the s01 query set against the quantized
+    // corpus, and recall@5 = |top5_exact ∩ top5_quant| / 5 per query —
+    // the d20 discipline (an index change ships with its measured
+    // quality bill) applied to the compression step, closing the
+    // quantize → search → audit lifecycle. Bit-portability: the
+    // reconstruction (floor-code · amax / 127) is s11's pinned IEEE
+    // chain, both cosines are dotFast's left-fold order, and the rank
+    // tiebreak is vec_id — every double is bit-equal cross-engine, so
+    // the intersection COUNT is exact. Scale shape: one kernel pass
+    // emits (v, rv) together so the corpus is scanned ONCE; the sampled
+    // query set broadcasts (never the corpus); both rank windows
+    // partition on query_id so they share ONE exchange (plan-asserted).
+    // The Q×N window volume is the audit's irreducible cost — it runs
+    // on the sampled query set by design (the d20/s01 audit class), not
+    // per-corpus-row.
+    Q("s12_int8_recall_audit",
+      "recall@5 of int8-quantized-corpus search vs exact search, full-precision queries (ADC)",
+      (s, d) => {
+        import s.implicits._
+        graft.plans.VectorExpressions.register(s)
+        val rec = Tables.embeddings(s, d)
+          .filter(col("embedding").isNotNull)
+          .select(col("vec_id"), col("embedding"))
+          .as[(Long, Array[Float])]
+          .mapPartitions(_.map { case (id, emb) =>
+            val (amax, codes, _) = graft.functions.Kernels.int8Quant(emb)
+            val v = new Array[Double](emb.length)
+            val rv = new Array[Double](emb.length)
+            var i = 0
+            while (i < emb.length) {
+              v(i) = emb(i).toDouble
+              rv(i) = codes(i) * amax / 127.0
+              i += 1
+            }
+            (id, v, rv)
+          })
+          .toDF("vec_id", "v", "rv")
+          .withColumn("nrm", sqrt(dotFast(col("v"), col("v"))))
+          .withColumn("rnrm", sqrt(dotFast(col("rv"), col("rv"))))
+        // queries are FULL-PRECISION (ADC) so they never need the
+        // kernel: derive them straight off the scan with the sample
+        // filter applied first — the kernel pass stays corpus-side only
+        // (plan-asserted: one MapPartitions in the whole plan)
+        val q = Tables.embeddings(s, d)
+          .filter(col("embedding").isNotNull && col("vec_id") % 50 === 0)
+          .select(col("vec_id").as("query_id"),
+            vecD(col("embedding")).as("qv"))
+          .withColumn("qn", sqrt(dotFast(col("qv"), col("qv"))))
+        val we = Window.partitionBy(col("query_id"))
+          .orderBy(col("ce").desc, col("vec_id").asc)
+        val wq = Window.partitionBy(col("query_id"))
+          .orderBy(col("cq").desc, col("vec_id").asc)
+        rec.crossJoin(broadcast(q))
+          .filter(col("vec_id") =!= col("query_id"))
+          .withColumn("ce", dotFast(col("v"), col("qv")) / (col("nrm") * col("qn")))
+          .withColumn("cq", dotFast(col("rv"), col("qv")) / (col("rnrm") * col("qn")))
+          .withColumn("rank_e", row_number().over(we))
+          .withColumn("rank_q", row_number().over(wq))
+          .filter(col("rank_e") <= 5 || col("rank_q") <= 5)
+          .groupBy("query_id")
+          .agg(sum(when(col("rank_e") <= 5 && col("rank_q") <= 5, 1L)
+            .otherwise(0L)).as("n_common"))
+          .withColumn("recall_at_5", col("n_common") * lit(1.0) / 5)
+          .orderBy("query_id")
+      },
+      Some(s"""WITH a AS (SELECT vec_id,
+             |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+             |    list_aggregate(list_transform(embedding,
+             |      x -> abs(CAST(x AS DOUBLE))), 'max') AS amax
+             |  FROM embeddings WHERE embedding IS NOT NULL),
+             |r AS (SELECT vec_id, v,
+             |    list_transform(range(1, ${Dim + 1}), i ->
+             |      CASE WHEN amax = 0 THEN 0.0
+             |        ELSE (floor((v[i] * 127.0) / amax + 0.5) * amax) / 127.0
+             |      END) AS rv
+             |  FROM a),
+             |n AS (SELECT vec_id, v, rv,
+             |    sqrt(list_reduce(list_transform(range(1, ${Dim + 1}),
+             |      i -> v[i] * v[i]), (x, y) -> x + y)) AS nrm,
+             |    sqrt(list_reduce(list_transform(range(1, ${Dim + 1}),
+             |      i -> rv[i] * rv[i]), (x, y) -> x + y)) AS rnrm
+             |  FROM r),
+             |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn
+             |  FROM n WHERE vec_id % 50 = 0),
+             |sc AS (SELECT q.query_id, n.vec_id,
+             |    list_reduce(list_transform(range(1, ${Dim + 1}),
+             |      i -> n.v[i] * q.qv[i]), (x, y) -> x + y) / (n.nrm * q.qn) AS ce,
+             |    list_reduce(list_transform(range(1, ${Dim + 1}),
+             |      i -> n.rv[i] * q.qv[i]), (x, y) -> x + y) / (n.rnrm * q.qn) AS cq
+             |  FROM n CROSS JOIN q WHERE n.vec_id <> q.query_id),
+             |rk AS (SELECT query_id, vec_id,
+             |    row_number() OVER (PARTITION BY query_id
+             |      ORDER BY ce DESC, vec_id) AS rank_e,
+             |    row_number() OVER (PARTITION BY query_id
+             |      ORDER BY cq DESC, vec_id) AS rank_q
+             |  FROM sc)
+             |SELECT query_id,
+             |  sum(CASE WHEN rank_e <= 5 AND rank_q <= 5 THEN 1 ELSE 0 END)::BIGINT
+             |    AS n_common,
+             |  sum(CASE WHEN rank_e <= 5 AND rank_q <= 5 THEN 1 ELSE 0 END)::BIGINT
+             |    * 1.0 / 5 AS recall_at_5
+             |FROM rk GROUP BY query_id ORDER BY query_id""".stripMargin))
   )
 
   /** One Lloyd maintenance step in WRITE-BACK form: assign each batch

@@ -552,6 +552,42 @@ class PlanShapeSpec extends SparkTestBase {
       s"tf/df rollups must partial-aggregate map-side:\n${plan.take(2000)}")
   }
 
+  test("s12: one corpus kernel pass, query side broadcast, both rank windows share one exchange") {
+    // the three 100 TB properties: the quantize kernel runs ONCE
+    // (corpus side — a second pass on the query branch would re-scan
+    // the corpus to extract the sample), the sampled query set is the
+    // broadcast side (never the corpus), and both row_number windows
+    // partition on query_id so they ride ONE hash exchange
+    val plan = executedPlan("s12_int8_recall_audit")
+    assert(countOf(plan, "MapPartitions") == 1,
+      s"exactly the corpus-side quantize kernel may run:\n${plan.take(3000)}")
+    assert(plan.contains("BroadcastNestedLoopJoin BuildRight"),
+      s"the query sample must be the broadcast build side:\n${plan.take(3000)}")
+    assert(countOf(plan, "Exchange hashpartitioning\\(query_id") == 1,
+      s"the two rank windows must share one query_id exchange:\n${plan.take(3000)}")
+    assert(countOf(plan, "Window ") == 2,
+      s"both exact and quantized ranks must be windowed:\n${plan.take(3000)}")
+  }
+
+  test("d21: corpus collapses map-side to |sources|x30 cells; pair join broadcast over a reused exchange") {
+    // the 100 TB properties: partial_min folds every partition to
+    // |sources|×30 cells BEFORE the (tiny) shuffle — the corpus itself
+    // never shuffles; the pair join's second signature branch reuses
+    // the first's exchange instead of re-scanning the corpus; and the
+    // |sources|² pair join is a broadcast, never a sort-merge
+    val plan = executedPlan("d21_source_overlap")
+    assert(plan.contains("partial_min"),
+      s"per-source signature mins must partial-aggregate map-side:\n${plan.take(3000)}")
+    assert(countOf(plan, "MapPartitions") == 1,
+      s"the shingle kernel may run once:\n${plan.take(3000)}")
+    assert(plan.contains("ReusedExchange"),
+      s"the pair join's b-side must reuse the signature exchange:\n${plan.take(3000)}")
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"the |sources|^2 pair join must broadcast:\n${plan.take(3000)}")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"no corpus-sized join may appear:\n${plan.take(3000)}")
+  }
+
   test("s11: quantization is one kernel pass with zero data shuffles") {
     val plan = executedPlan("s11_int8_quantize")
     assert(countOf(plan, "MapPartitions") == 1,
