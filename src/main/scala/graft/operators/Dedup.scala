@@ -158,6 +158,60 @@ object Dedup {
     g.groupBy("doc_id").agg(mhCols.head, mhCols.tail: _*)
   }
 
+  /** Per-SOURCE union-MinHash signatures (source, mh_0..mh_29) from any
+    * (source, text) frame: the min of each permutation over the UNION
+    * of a source's shingle sets folds from plain min-aggregation over
+    * its documents' shingles (Broder). Same permutation family as
+    * [[minhashSigs]]. Shared by d21 (the batch overlap map), the
+    * streaming store producer
+    * ([[graft.streaming.DocumentStreams.sourceSigIngest]]) and the
+    * read-time merge ([[mergeSourceSigs]]) — min-folding is associative,
+    * commutative and IDEMPOTENT, so batch-partitioned signatures merge
+    * losslessly in any grouping and a redelivered batch changes nothing.
+    */
+  private[graft] def sourceSignatures(docFrame: DataFrame): DataFrame = {
+    import docFrame.sparkSession.implicits._
+    val ex = docFrame.select(col("source"), col("text"))
+      .as[(String, String)]
+      .mapPartitions(_.flatMap { case (src, tx) =>
+        Kernels.shingles(Kernels.lowerTokens(tx)).iterator
+          .map(h => (src, h))
+      })
+      .toDF("source", "shingle")
+    val g = ex.withColumn("g", col("shingle") % MinHashP)
+    val mhCols = (0 until 30).map(k => min(perm(k, col("g"))).as(s"mh_$k"))
+    g.groupBy("source").agg(mhCols.head, mhCols.tail: _*)
+  }
+
+  /** Read-time min-merge of a batch-partitioned source-signature store
+    * (one subdir per producer micro-batch): a source written by many
+    * batches holds one row per batch; the element-wise min recovers
+    * exactly the whole-corpus signature ([[sourceSignatures]]'s
+    * idempotence note).
+    */
+  private[graft] def mergeSourceSigs(raw: DataFrame): DataFrame = {
+    val mhCols = (0 until 30).map(k => min(col(s"mh_$k")).as(s"mh_$k"))
+    raw.groupBy("source").agg(mhCols.head, mhCols.tail: _*)
+  }
+
+  /** The |sources|² overlap map over a signature frame — d21's pair
+    * join, parameterized over the signature producer (inline batch
+    * derivation, or the merged streaming store).
+    */
+  private[graft] def sourceOverlapOf(sigs: DataFrame): DataFrame = {
+    val b = sigs.toDF(sigs.columns.map(c =>
+      if (c == "source") "source_b" else s"${c}_b"): _*)
+    val matches = (0 until 30).map(k =>
+      when(col(s"mh_$k") === col(s"mh_${k}_b"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    sigs.join(broadcast(b), col("source") < col("source_b"))
+      .withColumn("est_matches", matches)
+      .select(col("source").as("source_a"), col("source_b"),
+        col("est_matches"),
+        (col("est_matches") * lit(1.0) / 30).as("est_jaccard"))
+      .orderBy("source_a", "source_b")
+  }
+
   /** Per-document 60-bit SimHash sketches (doc_id, simhash) — ONE
     * derivation shared by d04 (the sketch query) and d11 (the Hamming
     * pair join that consumes them), so the two can never silently
@@ -1243,30 +1297,7 @@ object Dedup {
     // the binomial ±sqrt(J(1-J)/30) accuracy trade d14 documents.
     Q("d21_source_overlap",
       "pairwise source-level Jaccard estimates from per-source union-MinHash signatures (matches/30)",
-      (s, d) => {
-        import s.implicits._
-        val ex = docs(s, d).select(col("source"), col("text"))
-          .as[(String, String)]
-          .mapPartitions(_.flatMap { case (src, tx) =>
-            Kernels.shingles(Kernels.lowerTokens(tx)).iterator
-              .map(h => (src, h))
-          })
-          .toDF("source", "shingle")
-        val g = ex.withColumn("g", col("shingle") % MinHashP)
-        val mhCols = (0 until 30).map(k => min(perm(k, col("g"))).as(s"mh_$k"))
-        val sigs = g.groupBy("source").agg(mhCols.head, mhCols.tail: _*)
-        val b = sigs.toDF(sigs.columns.map(c =>
-          if (c == "source") "source_b" else s"${c}_b"): _*)
-        val matches = (0 until 30).map(k =>
-          when(col(s"mh_$k") === col(s"mh_${k}_b"), 1L).otherwise(0L))
-          .reduce(_ + _)
-        sigs.join(broadcast(b), col("source") < col("source_b"))
-          .withColumn("est_matches", matches)
-          .select(col("source").as("source_a"), col("source_b"),
-            col("est_matches"),
-            (col("est_matches") * lit(1.0) / 30).as("est_jaccard"))
-          .orderBy("source_a", "source_b")
-      },
+      (s, d) => sourceOverlapOf(sourceSignatures(docs(s, d))),
       Some {
         val aList = MinHashCoeffs.map(_._1).mkString("[", ",", "]")
         val bList = MinHashCoeffs.map(_._2).mkString("[", ",", "]")

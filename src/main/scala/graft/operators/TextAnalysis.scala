@@ -955,7 +955,56 @@ object TextAnalysis {
              |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
              |    ORDER BY score DESC, token) AS kw_rank FROM j)
              |SELECT doc_id, kw_rank, token, tf, df, score
-             |FROM r WHERE kw_rank <= 5 ORDER BY doc_id, kw_rank""".stripMargin))
+             |FROM r WHERE kw_rank <= 5 ORDER BY doc_id, kw_rank""".stripMargin)),
+
+    // BPE merge-candidate statistics — the FIRST merge step of
+    // byte-pair-encoding tokenizer training: count every adjacent
+    // character pair inside every word across the corpus and rank the
+    // top-20 (the pair a BPE trainer would merge first, plus its
+    // runners-up). Complements t01 (which COUNTS BPE-ish pre-tokens)
+    // and t10 (unigram vocab) with the pair-statistics leg a tokenizer
+    // trainer actually iterates on. Boundary tiebreak is t18's md5
+    // discipline (count ties at K are real; raw-string order would
+    // diverge on supplementary codepoints). Pairing is over UTF-16
+    // code units on the Spark side vs codepoints in the oracle —
+    // identical on BMP text, the same caveat t03's char-level ops
+    // carry. Scale shape: one kernel pass rides the scan; the pair key
+    // space is ALPHABET-bounded (not corpus-bounded), so the count
+    // collapses map-side to |alphabet|² cells and the top-20 is
+    // TakeOrderedAndProject (K rows per partition forwarded, never a
+    // full sort); the rank window runs over the 20 survivors only.
+    Q("t22_bpe_pairs",
+      "top-20 corpus-wide adjacent-char pair counts inside words — the first BPE merge step",
+      (s, d) => {
+        import s.implicits._
+        val pairs = docs(s, d).select(col("doc_id"), col("text"))
+          .as[(Long, String)]
+          .mapPartitions(_.flatMap { case (_, tx) =>
+            Kernels.lowerTokens(tx).iterator.flatMap { w =>
+              (0 until w.length - 1).iterator.map(i => w.substring(i, i + 2))
+            }
+          })
+          .toDF("pair")
+        val top = pairs.groupBy("pair").agg(count(lit(1)).as("pair_count"))
+          .orderBy(col("pair_count").desc, md5(col("pair")))
+          .limit(20)
+        val w = Window.orderBy(col("pair_count").desc, md5(col("pair")))
+        top.withColumn("rank", row_number().over(w))
+          .select(col("rank").cast("long").as("rank"),
+            col("pair"), col("pair_count"))
+          .orderBy("rank")
+      },
+      Some("""WITH n AS (SELECT trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+             |  FROM documents WHERE text IS NOT NULL),
+             |w AS (SELECT unnest(list_filter(string_split(norm, ' '), t -> t <> '')) AS word FROM n),
+             |p AS (SELECT substr(word, i, 2) AS pair
+             |  FROM w, unnest(range(1, len(word))) AS u(i)
+             |  WHERE len(word) >= 2),
+             |c AS (SELECT pair, count(*)::BIGINT AS pair_count FROM p GROUP BY pair),
+             |r AS (SELECT pair, pair_count, row_number() OVER (
+             |    ORDER BY pair_count DESC, md5(pair)) AS rank FROM c)
+             |SELECT rank, pair, pair_count FROM r
+             |WHERE rank <= 20 ORDER BY rank""".stripMargin))
   )
 
   /** t18/t19's shared oracle: the LM re-derived from the stored slice's

@@ -398,6 +398,41 @@ object DocumentStreams {
         writeHashBatch(batch, store, batchId)
     }
 
+  /** One micro-batch of the source-signature ingest: the batch's
+    * per-source union-MinHash rows
+    * ([[graft.operators.Dedup.sourceSignatures]] — bit-identical to
+    * what d21 derives) written to `store/batch_id=<id>` in OVERWRITE
+    * mode, the [[writeSignatureBatch]] idempotence discipline. A source
+    * spanning several batches holds one row per batch; the conflict
+    * resolves at read with an element-wise min-merge
+    * ([[graft.operators.Dedup.mergeSourceSigs]]) — and because min is
+    * IDEMPOTENT as well as associative/commutative, even a
+    * NON-overwritten duplicate batch subdir would merge to the same
+    * signature (strictly stronger than the hash store's least()-merge
+    * contract).
+    */
+  private[graft] def writeSourceSigBatch(batch: Dataset[Doc],
+      store: String, batchId: Long): Unit =
+    graft.operators.Dedup.sourceSignatures(
+      batch.toDF().select("source", "text"))
+      .write.mode("overwrite").parquet(s"$store/batch_id=$batchId")
+
+  /** The streaming PRODUCER of the per-source union-MinHash sidecar
+    * that d21's overlap map can consume instead of re-shingling the
+    * corpus: as documents stream in, each micro-batch folds its
+    * |sources|×30 signature cells into the store, so the corpus-overlap
+    * question ("how much does crawl A duplicate crawl B?") is answered
+    * from a sources-sized sidecar at ANY corpus size. The monotone
+    * min-fold makes this the best-behaved sidecar of the family: state
+    * is bounded by |sources|, never by documents.
+    */
+  def sourceSigIngest(docs: Dataset[Doc], store: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[Doc] =
+    docs.writeStream.foreachBatch {
+      (batch: Dataset[Doc], batchId: Long) =>
+        writeSourceSigBatch(batch, store, batchId)
+    }
+
   /** One micro-batch of the bloom-sidecar ingest: the batch's DISTINCT
     * bloom bit positions ([[graft.operators.Dedup.bloomPositions]] over
     * the same content hashes the batch gates compute — bit-identical to

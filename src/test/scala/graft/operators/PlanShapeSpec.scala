@@ -588,6 +588,21 @@ class PlanShapeSpec extends SparkTestBase {
       s"no corpus-sized join may appear:\n${plan.take(3000)}")
   }
 
+  test("t22: pair counts collapse map-side; top-20 is TakeOrdered, never a full sort") {
+    // the 100 TB properties: the pair key space is alphabet-bounded, so
+    // partial_count collapses every partition to |alphabet|² cells
+    // before the shuffle, and the top-20 forwards K rows per partition
+    // (TakeOrderedAndProject) — a global Sort of the pair table would
+    // mark the rank window leaking to corpus scale
+    val plan = executedPlan("t22_bpe_pairs")
+    assert(countOf(plan, "MapPartitions") == 1,
+      s"exactly the pair kernel may run:\n${plan.take(3000)}")
+    assert(plan.contains("partial_count"),
+      s"pair counts must partial-aggregate map-side:\n${plan.take(3000)}")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"the top-20 must be a partition-capped TakeOrdered:\n${plan.take(3000)}")
+  }
+
   test("s11: quantization is one kernel pass with zero data shuffles") {
     val plan = executedPlan("s11_int8_quantize")
     assert(countOf(plan, "MapPartitions") == 1,

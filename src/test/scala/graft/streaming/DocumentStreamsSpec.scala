@@ -223,6 +223,53 @@ class DocumentStreamsSpec extends SparkTestBase {
       "replaying a delivered batch id must be a no-op for the store")
   }
 
+  test("sourceSigIngest: streamed store min-merges to the batch signatures; d21 overlap identical") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    implicit val sq = spark.sqlContext
+    val d = "/root/testdata/sf0.001"
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_srcsig_ingest").toString
+    val docs = graft.core.Tables.documents(spark, d)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"))
+      .collect().sortBy(_.getLong(0))
+      .map(r => DocumentStreams.Doc(r.getLong(0), ts("09:00"),
+        r.getString(1), r.getString(2), r.getString(3)))
+    // split mid-stream so most sources SPAN the batch boundary — the
+    // min-merge, not per-batch luck, must recover the corpus signature
+    val (first, second) = docs.splitAt(docs.length / 2)
+    val in = MemoryStream[DocumentStreams.Doc]
+    val q = DocumentStreams.sourceSigIngest(in.toDS(), store).start()
+    try {
+      in.addData(first.toSeq)
+      q.processAllAvailable()
+      in.addData(second.toSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    val merged = graft.operators.Dedup.mergeSourceSigs(
+      spark.read.parquet(store).drop("batch_id"))
+    val expected = graft.operators.Dedup.sourceSignatures(
+      graft.core.Tables.documents(spark, d).select("source", "text"))
+    assert(merged.count() === expected.count())
+    assert(merged.exceptAll(expected).isEmpty && expected.exceptAll(merged).isEmpty,
+      "min-merged streamed signatures must equal the whole-corpus signatures")
+    // min is idempotent: a duplicate batch subdir (NOT overwritten —
+    // written under a fresh id, the worst redelivery case) merges to
+    // the same signatures
+    DocumentStreams.writeSourceSigBatch(second.toSeq.toDS(), store, 99L)
+    val remerged = graft.operators.Dedup.mergeSourceSigs(
+      spark.read.parquet(store).drop("batch_id"))
+    assert(remerged.exceptAll(expected).isEmpty && expected.exceptAll(remerged).isEmpty,
+      "a duplicated batch under a fresh id must not change the merged signatures")
+    // and the overlap map over the merged store equals d21's gate answer
+    val viaStore = graft.operators.Dedup.sourceOverlapOf(merged)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    val viaGate = graft.SparkEntry.queries("d21_source_overlap")(spark, d)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    assert(viaStore === viaGate,
+      "the streamed sidecar must be drop-in for d21's inline derivation")
+  }
+
   test("d15 consumes a signatureIngest-streamed store: producer and batch consumer agree") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
