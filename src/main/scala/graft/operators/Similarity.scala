@@ -1007,7 +1007,79 @@ object Similarity {
              |    AS n_common,
              |  sum(CASE WHEN rank_e <= 5 AND rank_q <= 5 THEN 1 ELSE 0 END)::BIGINT
              |    * 1.0 / 5 AS recall_at_5
-             |FROM rk GROUP BY query_id ORDER BY query_id""".stripMargin))
+             |FROM rk GROUP BY query_id ORDER BY query_id""".stripMargin)),
+
+    // IVF index health report — the third leg of the index-audit triad
+    // (d20: LSH band geometry, s12: quantization loss, s13: list
+    // BALANCE and centroid SEPARATION). List skew is THE IVF failure
+    // mode at scale: a list holding 30% of the corpus makes nprobe=1
+    // probes scan 30% of 100 TB, and two near-coincident centroids make
+    // probe choice arbitrary (recall collapses for queries between
+    // them). Per list: mass, corpus share (one IEEE division over exact
+    // integers), and the nearest-other-centroid Euclidean margin with
+    // its argmin label (tiebreak: label). Centroids are the PERSISTED
+    // index's scale-(18,9) exact-decimal means (centroidStats — the
+    // same derivation s09 assigns against and s10 folds into, so the
+    // audit measures the index that actually serves). Distances run the
+    // pinned chain (a_i−b_i)·(a_i−b_i) left-folded then sqrt — both
+    // engines bit-equal. Scale shape: ONE corpus scan collapses
+    // map-side to k sufficient-statistics rows (checkpointed — k rows,
+    // not data); everything after (k² pair distances, the argmin
+    // window, the 1-row total) is k-bounded driver-trivia that never
+    // touches the corpus again.
+    Q("s13_ivf_balance",
+      "IVF health: per-list mass + share + nearest-centroid separation margin from the persisted index stats",
+      (s, d) => {
+        graft.plans.VectorExpressions.register(s)
+        val v = Tables.embeddings(s, d)
+          .filter(col("embedding").isNotNull)
+          .select(col("label").cast("long").as("clabel"),
+            vecD(col("embedding")).as("v"))
+        val lists = centroidStats(v, "clabel")
+          .select(col("clabel"), col("cnt").as("n_vectors"), col("cent"))
+          .localCheckpoint(true)
+        val total = lists.agg(sum(col("n_vectors")).as("total"))
+        val pairs = lists.select(col("clabel"), col("cent"))
+          .crossJoin(broadcast(lists.select(col("clabel").as("olabel"),
+            col("cent").as("ocent"))))
+          .filter(col("clabel") =!= col("olabel"))
+          .withColumn("diff",
+            zip_with(col("cent"), col("ocent"), (x, y) => x - y))
+          .withColumn("dist", sqrt(dotFast(col("diff"), col("diff"))))
+        val w = Window.partitionBy(col("clabel"))
+          .orderBy(col("dist").asc, col("olabel").asc)
+        val nn = pairs.withColumn("rk", row_number().over(w))
+          .filter(col("rk") === 1)
+          .select(col("clabel"), col("olabel").as("nn_label"),
+            col("dist").as("nn_dist"))
+        lists.join(nn, Seq("clabel"))
+          .crossJoin(broadcast(total))
+          .select(col("clabel"), col("n_vectors"),
+            (col("n_vectors") * lit(1.0) / col("total")).as("share"),
+            col("nn_label"), col("nn_dist"))
+          .orderBy("clabel")
+      },
+      Some(s"""WITH e AS (SELECT label::BIGINT AS clabel,
+             |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+             |  FROM embeddings WHERE embedding IS NOT NULL),
+             |st AS (SELECT clabel, ${sqlStatsMeanList("v", Dim)} AS cent,
+             |    count(*)::BIGINT AS n_vectors
+             |  FROM e GROUP BY clabel),
+             |tot AS (SELECT sum(n_vectors)::BIGINT AS total FROM st),
+             |p AS (SELECT a.clabel, b.clabel AS olabel,
+             |    sqrt(list_reduce(list_transform(range(1, ${Dim + 1}),
+             |      i -> (a.cent[i] - b.cent[i]) * (a.cent[i] - b.cent[i])),
+             |      (x, y) -> x + y)) AS dist
+             |  FROM st a JOIN st b ON a.clabel <> b.clabel),
+             |nn AS (SELECT clabel, olabel, dist,
+             |    row_number() OVER (PARTITION BY clabel
+             |      ORDER BY dist, olabel) AS rk FROM p)
+             |SELECT s.clabel, s.n_vectors,
+             |  s.n_vectors * 1.0 / t.total AS share,
+             |  nn.olabel AS nn_label, nn.dist AS nn_dist
+             |FROM st s CROSS JOIN tot t
+             |  JOIN nn ON nn.clabel = s.clabel AND nn.rk = 1
+             |ORDER BY s.clabel""".stripMargin))
   )
 
   /** One Lloyd maintenance step in WRITE-BACK form: assign each batch

@@ -588,6 +588,21 @@ class PlanShapeSpec extends SparkTestBase {
       s"no corpus-sized join may appear:\n${plan.take(3000)}")
   }
 
+  test("s13: audit runs on the k-row checkpointed stats — the corpus parquet never re-enters") {
+    // the 100 TB property: the one corpus scan collapses to k
+    // sufficient-statistics rows at checkpoint build; every consumer
+    // (k² pair distances, argmin window, 1-row total, share join) reads
+    // those k rows — a FileScan in the final plan would mean the audit
+    // re-reads the corpus per consumer
+    val plan = executedPlan("s13_ivf_balance")
+    assert(!plan.contains("FileScan parquet"),
+      s"all consumers must read the checkpointed k-row stats:\n${plan.take(3000)}")
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"the k^2 pair join must broadcast:\n${plan.take(3000)}")
+    assert(!plan.contains("SortMergeJoin"),
+      s"nothing here is corpus-sized, nothing may sort-merge:\n${plan.take(3000)}")
+  }
+
   test("t22: pair counts collapse map-side; top-20 is TakeOrdered, never a full sort") {
     // the 100 TB properties: the pair key space is alphabet-bounded, so
     // partial_count collapses every partition to |alphabet|² cells
