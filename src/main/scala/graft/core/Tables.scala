@@ -25,16 +25,30 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
-  /** events.parquet stores `ts` as parquet TIMESTAMP(NANOS), which Spark's
-    * vectorized reader rejects. Read nanos as LongType and floor-truncate to
-    * microseconds — the same truncation DuckDB applies (its TIMESTAMP is µs),
-    * so oracle comparisons stay exact.
+  /** events.parquet has shipped with two physical `ts` encodings across
+    * testdata generations: parquet TIMESTAMP(NANOS) (which Spark's
+    * vectorized reader rejects — read nanos as LongType and floor-truncate
+    * to microseconds, the same truncation DuckDB applies since its
+    * TIMESTAMP is µs) and TIMESTAMP(MICROS, isAdjustedToUTC=false) (reads
+    * as TIMESTAMP_NTZ). Normalize both to TIMESTAMP_LTZ: every session
+    * here pins spark.sql.session.timeZone=UTC, so the NTZ→LTZ cast maps
+    * wall time to the identical instant DuckDB's naive-as-UTC reader sees,
+    * and epoch functions (unix_millis & co) — which reject NTZ — keep
+    * working across generations. The oracle reads the same file, so
+    * comparisons stay exact in all cases.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events")
-      .withColumn("ts",
-        org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    val df = load(s, d, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts",
+          org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts",
+          df("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => df
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
