@@ -1320,8 +1320,114 @@ object Dedup {
            |    k -> a.sig[k+1] = b.sig[k+1]))::BIGINT * 1.0 / 30 AS est_jaccard
            |FROM sigp a JOIN sigp b ON a.source < b.source
            |ORDER BY source_a, source_b""".stripMargin
-      })
+      }),
+
+    // One-sided prefix-filtered CONTAINMENT join — the asymmetric overlap
+    // measure c(A,B) = |A∩B| / |A| over trigram sets. This is a distinct
+    // dedup family from d02/d03/d06: a short doc embedded verbatim in a
+    // much longer one (truncation, quote-expansion, boilerplate wrapping —
+    // the classic crawl-dup shapes) has c = 1.0 but Jaccard ≈ |A|/|B|,
+    // structurally INVISIBLE to any symmetric threshold, and LSH over
+    // full-set MinHash misses it for the same reason. The prefix principle
+    // adapts one-sidedly (Chaudhuri/Ganti/Kaushik ICDE'06 divide-merge;
+    // Xiao et al. WWW'08 §3): order A's shingles by ascending global df;
+    // if c(A,B) >= t then B must contain one of A's first
+    // ⌊(1−t)·|A|⌋+1 rarest shingles (else the intersection tops out below
+    // t·|A|) — so only the CONTAINED side is prefix-pruned (~(1−t) of the
+    // exploded corpus at t=0.9) and the index side keeps its full sets.
+    // Candidate volume stays output-bound precisely BECAUSE the prefix
+    // keeps each doc's df-RAREST shingles: a prefix row on shingle g
+    // fans out to at most df(g) index rows, and df-ascending ordering
+    // biases the prefix toward df≈1. The size filter |B| >= t·|A| (an
+    // upper bound on achievable containment) prunes before the exchange.
+    // Verification recomputes exact intersections over candidate docs
+    // only; the filter is lossless, so qualifying ordered pairs among
+    // candidate docs ARE the answer (the d06 pairLevel=false argument).
+    // At 100 TB: both joins are shuffle-partitioned on the shingle with
+    // AQE skew-split headroom; nothing corpus-sized broadcasts; the
+    // df-cap mitigation (d07) composes if the corpus carries hot
+    // boilerplate shingles.
+    Q("d22_containment",
+      "contained-doc pairs by one-sided prefix filter: trigram containment |A∩B|/|A| >= 0.9",
+      (s, d) => containmentJoin(docs(s, d), 0.9),
+      Some(sqlExactContainment(0.9)))
   )
+
+  /** One-sided prefix-filtered containment join over an arbitrary
+    * (doc_id, text) frame — d22's engine, public like [[decontaminate]]
+    * so any corpus (or corpus-vs-reference pair study) can run it.
+    * Returns every ordered pair (doc_a contained-in doc_b) with
+    * c = |A∩B| / |A| >= t.
+    */
+  def containmentJoin(docFrame: DataFrame, t: Double): DataFrame = {
+    val ex = explodedShinglesOf(docFrame).localCheckpoint(true)
+    val dfCounts = ex.groupBy("shingle").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("df").asc, col("shingle").asc)
+    val prefix = ex.join(dfCounts.hint("shuffle_hash"), Seq("shingle"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= col("nsh") - ceil(col("nsh") * t) + 1)
+      .select(col("doc_id").as("doc_a"), col("nsh").as("size_a"),
+        col("shingle"))
+    val full = ex.select(col("doc_id").as("doc_b"),
+      col("nsh").as("size_b"), col("shingle"))
+    val cand = prefix.hint("merge").join(full, Seq("shingle"))
+      .filter(col("doc_a") =!= col("doc_b") &&
+        col("size_b") >= col("size_a") * t)
+      .select(col("doc_a"), col("doc_b"))
+    containmentPairs(restrictToCandidateDocs(ex, cand), t)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Exact ordered-pair containment over an exploded-shingle frame:
+    * c(a,b) = |a∩b| / |a| for every a ≠ b sharing a shingle. Same
+    * inverted-index join + merge-hint shape as [[jaccardPairs]] (one
+    * reused ENSURE_REQUIREMENTS exchange, AQE-skew-splittable, never a
+    * static broadcast of the misestimated exploded frame); differs in
+    * keeping BOTH orientations — containment is asymmetric, and a
+    * near-equal-size pair can qualify in both directions.
+    */
+  private def containmentPairs(ex: DataFrame, threshold: Double): DataFrame = {
+    val a = ex.select(col("doc_id").as("doc_a"), col("nsh").as("size_a"), col("shingle"))
+    val b = ex.select(col("doc_id").as("doc_b"), col("nsh").as("size_b"), col("shingle"))
+    a.hint("merge").join(b, Seq("shingle"))
+      .filter(col("doc_a") =!= col("doc_b"))
+      .groupBy("doc_a", "doc_b", "size_a", "size_b")
+      .agg(count(lit(1)).as("intersection"))
+      .withColumn("containment",
+        col("intersection") * lit(1.0) / col("size_a"))
+      .filter(col("containment") >= threshold)
+      .select(col("doc_a"), col("doc_b"),
+        col("size_a").cast("long"), col("size_b").cast("long"),
+        col("intersection"), col("containment"))
+  }
+
+  /** Broadcast-semi restriction of the exploded frame to the docs named by
+    * a candidate pair set — the shared head of every lossless-candidate
+    * verification (the candidate set is ~|true pairs|, orders of magnitude
+    * under the corpus).
+    */
+  private def restrictToCandidateDocs(ex: DataFrame, cand: DataFrame): DataFrame = {
+    val candDocs = cand.select(col("doc_a").as("doc_id"))
+      .union(cand.select(col("doc_b").as("doc_id"))).distinct()
+    ex.join(broadcast(candDocs), Seq("doc_id"), "left_semi")
+  }
+
+  /** Exact all-ordered-pairs containment SQL (the d22 oracle). */
+  private def sqlExactContainment(threshold: Double): String =
+    s"""$sqlShingled,
+       |ex AS (SELECT doc_id, nsh, unnest(sh) AS shingle FROM sh),
+       |pairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    a.nsh AS size_a, b.nsh AS size_b, count(*)::BIGINT AS intersection
+       |  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+       |  GROUP BY 1, 2, 3, 4)
+       |SELECT doc_a, doc_b, size_a::BIGINT AS size_a, size_b::BIGINT AS size_b,
+       |  intersection,
+       |  intersection * 1.0 / size_a AS containment
+       |FROM pairs
+       |WHERE intersection * 1.0 / size_a >= $threshold
+       |ORDER BY doc_a, doc_b""".stripMargin
 
   /** The d16/d18 warehouse sidecar — one (content_hash, stored_canonical)
     * row per distinct document ever seen outside the gate batch — built

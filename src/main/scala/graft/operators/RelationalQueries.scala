@@ -1061,6 +1061,53 @@ object RelationalQueries {
              |  ((year(m) - year(cohort_month)) * 12
              |    + (month(m) - month(cohort_month)))::BIGINT AS month_offset,
              |  count(DISTINCT user_id)::BIGINT AS n_users
-             |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+             |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // Ordered-funnel pattern match — MATCH_RECOGNIZE semantics (SQL:2016
+    // row-pattern recognition; Spark has no MATCH_RECOGNIZE clause) via
+    // the portable reduction: compress each user's (ts, event_id)-ordered
+    // event history to a one-char-per-event string, then test the funnel's
+    // stages as greedy regex SUBSEQUENCE patterns (signup ⊏ view ⊏ click
+    // ⊏ purchase — '.*'-separated, so unrelated events between stages
+    // don't break the match, which is exactly what min(ts)-per-type
+    // comparisons get wrong: a purchase BEFORE the first signup must not
+    // count, and per-type min-ts cascades need one extra shuffled
+    // aggregation per stage to express that). ONE exchange total: the
+    // per-user groupBy that builds the string (the q15 shape — array_sort
+    // of a collect_list buffers a single user's events, bounded by the
+    // per-user history, never a corpus-scale buffer); the stage CASE is a
+    // map-side projection after it. At 100 TB this is the standard
+    // behavioral-analytics funnel over billions of users: high-cardinality
+    // key, partial-aggregated list build, no join, no second shuffle.
+    Q("q41_funnel_pattern",
+      "deepest signup->view->click->purchase funnel stage per user, regex subsequence over the ordered event string",
+      (s, d) => {
+        Tables.events(s, d)
+          .select(col("user_id"), col("ts"), col("event_id"),
+            substring(col("event_type"), 1, 1).as("ini"))
+          .groupBy(col("user_id"))
+          .agg(
+            count(lit(1)).as("n_events"),
+            expr("array_join(transform(array_sort(collect_list(struct(ts, event_id, ini))), x -> x.ini), '')")
+              .as("seq"))
+          .select(col("user_id"), col("n_events"),
+            when(col("seq").rlike("s.*v.*c.*p"), lit(4))
+              .when(col("seq").rlike("s.*v.*c"), lit(3))
+              .when(col("seq").rlike("s.*v"), lit(2))
+              .when(col("seq").rlike("s"), lit(1))
+              .otherwise(lit(0)).as("funnel_stage"))
+          .orderBy("user_id")
+      },
+      Some("""WITH sq AS (
+             |  SELECT user_id, count(*)::BIGINT AS n_events,
+             |    string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id) AS seq
+             |  FROM events GROUP BY user_id)
+             |SELECT user_id, n_events,
+             |  CASE WHEN regexp_matches(seq, 's.*v.*c.*p') THEN 4
+             |       WHEN regexp_matches(seq, 's.*v.*c') THEN 3
+             |       WHEN regexp_matches(seq, 's.*v') THEN 2
+             |       WHEN regexp_matches(seq, 's') THEN 1
+             |       ELSE 0 END AS funnel_stage
+             |FROM sq ORDER BY user_id""".stripMargin))
   )
 }

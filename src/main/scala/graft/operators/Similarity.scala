@@ -1079,7 +1079,123 @@ object Similarity {
              |  nn.olabel AS nn_label, nn.dist AS nn_dist
              |FROM st s CROSS JOIN tot t
              |  JOIN nn ON nn.clabel = s.clabel AND nn.rk = 1
-             |ORDER BY s.clabel""".stripMargin))
+             |ORDER BY s.clabel""".stripMargin)),
+
+    // IVF recall curve — the parameter-selection audit that closes the ANN
+    // family: measured recall@3 against the EXACT answer for
+    // nprobe ∈ {1, 2, 4}, in ONE pass over a shared candidate frame. This
+    // is the number an operator actually tunes nprobe with (s03/s08 gate
+    // each setting's OUTPUT; d20/s12 audit LSH and int8-ADC the same way).
+    // Shape: probe ranks ≤ 4 computed once (broadcast k×dim centroids, the
+    // s03 path), candidates scored once, then a tiny 3-row levels dim
+    // cross-joins in to rank each nprobe's admissible candidates — the
+    // corpus is scanned once and the 3 curves share one exchange, vs 3×
+    // the cost of running s03/s08 separately. Ground truth is the s01
+    // brute-force top-3 on the SAME sampled query set: the audit is
+    // O(|Q|·n) by construction, priced by sampling the queries (|Q| =
+    // n/50 here) — at 100 TB recall is estimated on a query sample, never
+    // the full corpus, and the curve transfers because recall depends on
+    // the list/centroid geometry, not on which queries probe it. All
+    // counts are integers and recall is one IEEE division, so both
+    // engines agree bit-exactly.
+    Q("s14_ivf_recall_curve",
+      "measured recall@3 of IVF ANN vs exact top-3 for nprobe in {1,2,4}, one shared candidate pass",
+      (s, d) => {
+        import s.implicits._
+        val e = Tables.embeddings(s, d)
+        graft.plans.VectorExpressions.register(s)
+        val v = e.select(col("vec_id"), col("label").cast("long").as("label"),
+          vecD(col("embedding")).as("v"))
+          .withColumn("nrm", sqrt(dotFast(col("v"), col("v"))))
+        val cent = coarseCentroids(v, "label")
+        val q = v.filter(col("vec_id") % 50 === 0)
+          .select(col("vec_id").as("query_id"), col("v").as("qv"),
+            col("nrm").as("qn"))
+        val wProbe = Window.partitionBy(col("query_id"))
+          .orderBy(col("ccos").desc, col("label").asc)
+        val probe = q.crossJoin(broadcast(cent))
+          .withColumn("ccos",
+            dotFast(col("qv"), col("cent")) / (col("qn") * col("cnrm")))
+          .withColumn("probe_rank", row_number().over(wProbe))
+          .filter(col("probe_rank") <= 4)
+          .select(col("query_id"), col("qv"), col("qn"),
+            col("label").as("probe_label"), col("probe_rank"))
+        val scored = v.join(broadcast(probe), col("label") === col("probe_label"))
+          .filter(col("vec_id") =!= col("query_id"))
+          .withColumn("cosine",
+            dotFast(col("v"), col("qv")) / (col("nrm") * col("qn")))
+          .select(col("query_id"), col("vec_id").as("neighbor_id"),
+            col("probe_rank"), col("cosine"))
+        val levels = Seq(1, 2, 4).toDF("nprobe")
+        val wTop = Window.partitionBy(col("query_id"), col("nprobe"))
+          .orderBy(col("cosine").desc, col("neighbor_id").asc)
+        val approx = scored
+          .join(broadcast(levels), col("probe_rank") <= col("nprobe"))
+          .withColumn("rank", row_number().over(wTop))
+          .filter(col("rank") <= 3)
+          .select(col("nprobe"), col("query_id"), col("neighbor_id"))
+        val wT = Window.partitionBy(col("query_id"))
+          .orderBy(col("cosine").desc, col("vec_id").asc)
+        val truth = v.crossJoin(broadcast(q))
+          .filter(col("vec_id") =!= col("query_id"))
+          .withColumn("cosine",
+            dotFast(col("v"), col("qv")) / (col("nrm") * col("qn")))
+          .withColumn("rank", row_number().over(wT))
+          .filter(col("rank") <= 3)
+          .select(col("query_id"), col("vec_id").as("neighbor_id"))
+        val nq = truth.agg(
+          countDistinct(col("query_id")).as("n_queries"),
+          count(lit(1)).as("truth_rows"))
+        approx.join(truth, Seq("query_id", "neighbor_id"), "left_semi")
+          .groupBy("nprobe").agg(count(lit(1)).as("hits"))
+          .crossJoin(broadcast(nq))
+          .select(col("nprobe"), col("n_queries"), col("hits"),
+            (col("hits") * lit(1.0) / col("truth_rows")).as("recall"))
+          .orderBy("nprobe")
+      },
+      Some(s"""$sqlVectors,
+             |v AS (SELECT e2.vec_id, e2.label::BIGINT AS label, n.v, n.nrm
+             |  FROM embeddings e2 JOIN n ON e2.vec_id = n.vec_id),
+             |cent AS (SELECT label, ${sqlMeanList("v", Dim)} AS cent
+             |  FROM v GROUP BY label),
+             |centn AS (SELECT label, cent,
+             |    sqrt(list_reduce(list_transform(range(1, ${Dim + 1}), i -> cent[i] * cent[i]),
+             |      (x, y) -> x + y)) AS cnrm FROM cent),
+             |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM v WHERE vec_id % 50 = 0),
+             |probe AS (SELECT query_id, qv, qn, label AS probe_label, crank AS probe_rank FROM (
+             |    SELECT q.query_id, q.qv, q.qn, c.label,
+             |      row_number() OVER (PARTITION BY q.query_id ORDER BY
+             |        list_reduce(list_transform(range(1, ${Dim + 1}), i -> q.qv[i] * c.cent[i]), (x, y) -> x + y)
+             |          / (q.qn * c.cnrm) DESC, c.label) AS crank
+             |    FROM q CROSS JOIN centn c) WHERE crank <= 4),
+             |scored AS (SELECT p.query_id, v.vec_id AS neighbor_id, p.probe_rank,
+             |    list_reduce(list_transform(range(1, ${Dim + 1}), i -> v.v[i] * p.qv[i]), (x, y) -> x + y)
+             |      / (v.nrm * p.qn) AS cosine
+             |  FROM v JOIN probe p ON v.label = p.probe_label
+             |  WHERE v.vec_id <> p.query_id),
+             |lv AS (SELECT unnest([1, 2, 4]) AS nprobe),
+             |approx AS (SELECT nprobe, query_id, neighbor_id FROM (
+             |    SELECT l.nprobe, s.query_id, s.neighbor_id,
+             |      row_number() OVER (PARTITION BY s.query_id, l.nprobe
+             |        ORDER BY s.cosine DESC, s.neighbor_id) AS rank
+             |    FROM scored s JOIN lv l ON s.probe_rank <= l.nprobe)
+             |  WHERE rank <= 3),
+             |truth AS (SELECT query_id, neighbor_id FROM (
+             |    SELECT q.query_id, v.vec_id AS neighbor_id,
+             |      row_number() OVER (PARTITION BY q.query_id ORDER BY
+             |        list_reduce(list_transform(range(1, ${Dim + 1}), i -> v.v[i] * q.qv[i]), (x, y) -> x + y)
+             |          / (v.nrm * q.qn) DESC, v.vec_id) AS rank
+             |    FROM v CROSS JOIN q WHERE v.vec_id <> q.query_id)
+             |  WHERE rank <= 3),
+             |nq AS (SELECT count(DISTINCT query_id)::BIGINT AS n_queries,
+             |    count(*)::BIGINT AS truth_rows FROM truth)
+             |SELECT a.nprobe, nq.n_queries, count(*)::BIGINT AS hits,
+             |  count(*)::BIGINT * 1.0 / nq.truth_rows AS recall
+             |FROM approx a JOIN truth t
+             |  ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id
+             |  CROSS JOIN nq
+             |GROUP BY a.nprobe, nq.n_queries, nq.truth_rows
+             |ORDER BY a.nprobe""".stripMargin))
   )
 
   /** One Lloyd maintenance step in WRITE-BACK form: assign each batch

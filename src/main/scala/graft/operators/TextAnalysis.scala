@@ -1004,7 +1004,63 @@ object TextAnalysis {
              |r AS (SELECT pair, pair_count, row_number() OVER (
              |    ORDER BY pair_count DESC, md5(pair)) AS rank FROM c)
              |SELECT rank, pair, pair_count FROM r
-             |WHERE rank <= 20 ORDER BY rank""".stripMargin))
+             |WHERE rank <= 20 ORDER BY rank""".stripMargin)),
+
+    // Token-budget epoch scheduling — the step BETWEEN mixture design
+    // (t16 decides which docs survive) and the loader (t08/t13 pack
+    // sequences): given a target mixture weight per language and a global
+    // training-token budget, how many PASSES (epochs) over each
+    // language's available tokens does the trainer schedule? The
+    // repeat-count question is what data-constrained scaling actually
+    // plans around (Muennighoff et al. 2023 — value decays past ~4
+    // epochs; a scheduler needs the per-slice repeat factor, not just
+    // fractions). Arithmetic is cross-multiplied-integer end to end —
+    // target tokens by integer div, the ceil'd repeat count by
+    // (a + b − 1) div b — with ONE IEEE division for the fractional
+    // epochs column, so both engines agree bit-exactly. Shape: per-doc
+    // token counts collapse map-side into a ~|langs|-row frame; the
+    // budget split is a broadcast cross join against a one-row total.
+    // At 100 TB the only corpus-scale stage is the first projection —
+    // everything after runs on rows-per-language.
+    Q("t23_epoch_schedule",
+      "per-language epoch schedule for a 1M-token budget under the t16 target mixture (integer-exact)",
+      (s, d) => {
+        val budget = 1000000L
+        val tgt = when(col("lang") === "en", 300L)
+          .when(col("lang") === "es", 150L)
+          .when(col("lang") === "fr", 150L)
+          .when(col("lang") === "de", 150L)
+          .when(col("lang") === "zh", 250L)
+          .otherwise(0L)
+        val counts = docs(s, d)
+          .select(col("lang"), size(tokens(col("text"))).cast("long").as("n_tok"))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+          .withColumn("weight", tgt)
+        val tot = counts.agg(sum(col("weight")).as("w_total"))
+        counts.crossJoin(broadcast(tot))
+          .withColumn("target_tokens",
+            expr(s"($budget * weight) div w_total"))
+          .select(col("lang"), col("n_docs"), col("n_tokens"), col("weight"),
+            col("target_tokens"),
+            (col("target_tokens") * lit(1.0) / col("n_tokens")).as("epochs"),
+            expr("(target_tokens + n_tokens - 1) div n_tokens").as("n_repeats"))
+          .orderBy("lang")
+      },
+      Some(s"""WITH t AS (SELECT lang, len($sqlToks)::BIGINT AS n_tok FROM documents),
+             |c AS (SELECT lang, count(*)::BIGINT AS n_docs, sum(n_tok)::BIGINT AS n_tokens
+             |  FROM t GROUP BY lang),
+             |w AS (SELECT lang, n_docs, n_tokens,
+             |    (CASE lang WHEN 'en' THEN 300 WHEN 'es' THEN 150 WHEN 'fr' THEN 150
+             |               WHEN 'de' THEN 150 WHEN 'zh' THEN 250 ELSE 0 END)::BIGINT AS weight
+             |  FROM c),
+             |tot AS (SELECT sum(weight)::BIGINT AS w_total FROM w),
+             |s AS (SELECT w.*, (1000000 * weight) // w_total AS target_tokens
+             |  FROM w CROSS JOIN tot)
+             |SELECT lang, n_docs, n_tokens, weight, target_tokens,
+             |  target_tokens * 1.0 / n_tokens AS epochs,
+             |  (target_tokens + n_tokens - 1) // n_tokens AS n_repeats
+             |FROM s ORDER BY lang""".stripMargin))
   )
 
   /** t18/t19's shared oracle: the LM re-derived from the stored slice's

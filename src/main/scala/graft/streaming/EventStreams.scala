@@ -292,4 +292,84 @@ object EventStreams {
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.NoTimeout)(update)
   }
+
+  /** Per-stage candidate timestamps, each list ascending (micros,
+    * event_id). Only funnel-type events enter; see the prune rule in
+    * [[funnelStream]] for why the lists stay small once stages complete.
+    */
+  final case class FunnelState(s: Vector[(Long, Long)], v: Vector[(Long, Long)],
+      c: Vector[(Long, Long)], p: Vector[(Long, Long)])
+
+  final case class FunnelDepth(user_id: Long, funnel_stage: Int)
+
+  /** Continuous funnel-depth tracking — the streaming twin of
+    * q41_funnel_pattern, exact under ARBITRARY cross-batch disorder
+    * (unlike scd2Stream's in-order contract): a late-arriving signup must
+    * be able to unlock a view/click/purchase chain that already streamed
+    * past.
+    *
+    * Correctness rests on two facts. (1) The greedy-earliest chain is
+    * optimal: f₁ = min ts(signup), fₖ = min ts(stageₖ) > fₖ₋₁ — if any
+    * ordered subsequence reaches stage k, the greedy one does, so depth =
+    * longest defined prefix of (f₁..f₄), exactly the batch twin's regex
+    * subsequence test. (2) Every fₖ is MONOTONE NON-INCREASING as events
+    * accumulate — new events only add candidates — which yields an exact
+    * prune: a stage-k candidate above the current fₖ can never be chosen
+    * later (fₖ only moves down), so each list keeps only candidates
+    * ≤ fₖ while fₖ is defined. State per user is therefore the four
+    * candidate lists BELOW the current chain — collapsing toward one
+    * entry per completed stage — plus unbounded tails only for stages the
+    * user never reached, the irreducible information a late unlock needs.
+    * At 100 TB scale the production lever is the same TTL horizon as
+    * nearDupStreamTTL: expire users idle past the disorder horizon.
+    *
+    * Update mode: one FunnelDepth row per touched user per micro-batch
+    * (its current depth; the sink keeps the latest).
+    */
+  def funnelStream(events: Dataset[Event]): Dataset[FunnelDepth] = {
+    import events.sparkSession.implicits._
+    val stageOf = Map("signup" -> 0, "view" -> 1, "click" -> 2, "purchase" -> 3)
+    val ord = implicitly[Ordering[(Long, Long)]]
+
+    def chain(st: FunnelState): Seq[Option[(Long, Long)]] = {
+      val lists = Seq(st.s, st.v, st.c, st.p)
+      var cur: Option[(Long, Long)] = Some((Long.MinValue, Long.MinValue))
+      lists.map { lst =>
+        cur = cur.flatMap(prev => lst.find(e => ord.gt(e, prev)))
+        cur
+      }
+    }
+
+    def update(userId: Long, rows: Iterator[Event],
+        state: GroupState[FunnelState]): FunnelDepth = {
+      var st = state.getOption.getOrElse(
+        FunnelState(Vector.empty, Vector.empty, Vector.empty, Vector.empty))
+      rows.foreach { e =>
+        stageOf.get(e.event_type).foreach { k =>
+          val key = (micros(e.ts), e.event_id)
+          def ins(lst: Vector[(Long, Long)]): Vector[(Long, Long)] = {
+            val i = lst.indexWhere(x => ord.gt(x, key))
+            if (i < 0) lst :+ key else (lst.take(i) :+ key) ++ lst.drop(i)
+          }
+          st = k match {
+            case 0 => st.copy(s = ins(st.s))
+            case 1 => st.copy(v = ins(st.v))
+            case 2 => st.copy(c = ins(st.c))
+            case _ => st.copy(p = ins(st.p))
+          }
+        }
+      }
+      val ch = chain(st)
+      def prune(lst: Vector[(Long, Long)], f: Option[(Long, Long)]) =
+        f.map(fk => lst.filter(e => ord.lteq(e, fk))).getOrElse(lst)
+      st = FunnelState(prune(st.s, ch(0)), prune(st.v, ch(1)),
+        prune(st.c, ch(2)), prune(st.p, ch(3)))
+      state.update(st)
+      FunnelDepth(userId, ch.takeWhile(_.isDefined).length)
+    }
+
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(update)
+  }
 }
