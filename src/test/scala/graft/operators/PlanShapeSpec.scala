@@ -746,6 +746,50 @@ class PlanShapeSpec extends SparkTestBase {
       s"the count fold must partial-sum below its exchange:\n${plan.take(2000)}")
   }
 
+  test("d22: df-attach is shuffle-hash, candidate semi broadcasts, pair rollup is partial") {
+    val plan = executedPlan("d22_containment")
+    assert(plan.contains("ShuffledHashJoin"),
+      s"the per-shingle df table must attach shuffle-hash (never sorted, never broadcast):\n${plan.take(2000)}")
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      s"the candidate doc set must broadcast-semi onto the exploded frame:\n${plan.take(2000)}")
+    assert(plan.contains("partial_count(1)"),
+      s"the intersection count must partial-aggregate map-side:\n${plan.take(2000)}")
+    // prefix⋈full and the verification join are merge joins over shared
+    // canonical exchanges — the d02 one-exchange discipline
+    assert(plan.contains("SortMergeJoin") && plan.contains("ReusedExchange"),
+      s"candidate/verify joins must reuse shingle exchanges:\n${plan.take(2000)}")
+  }
+
+  test("q41: funnel is ONE user exchange with a map-side partial list build") {
+    val plan = executedPlan("q41_funnel_pattern")
+    assert(countOf(plan, "Exchange hashpartitioning") == 1,
+      s"the per-user groupBy must be the only data shuffle:\n${plan.take(2000)}")
+    assert(plan.contains("partial_collect_list"),
+      s"the event-string build must partial-aggregate map-side:\n${plan.take(2000)}")
+    assert(!plan.contains("Join"), s"no join belongs in this plan:\n${plan.take(2000)}")
+  }
+
+  test("t23: corpus collapses map-side to language rows; the budget total broadcasts") {
+    val plan = executedPlan("t23_epoch_schedule")
+    val lines = plan.linesIterator.toVector
+    val exIdx = lines.indexWhere(l => l.contains("Exchange hashpartitioning") && l.contains("lang"))
+    assert(exIdx >= 0 && lines.drop(exIdx + 1)
+        .exists(l => l.contains("HashAggregate") && l.contains("partial_")),
+      s"per-language stats must partial-aggregate below their exchange:\n${plan.take(2000)}")
+    assert(plan.contains("BroadcastNestedLoopJoin") && plan.contains("IdentityBroadcastMode"),
+      s"the 1-row weight total must broadcast, never shuffle the stats:\n${plan.take(2000)}")
+  }
+
+  test("s14: corpus never sort-merges — probes broadcast, truth reuses the query exchange") {
+    val plan = executedPlan("s14_ivf_recall_curve")
+    assert(!plan.contains("SortMergeJoin"),
+      s"no corpus-side sort-merge belongs in the recall audit:\n${plan.take(2000)}")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the probe table must broadcast onto the corpus lists:\n${plan.take(2000)}")
+    assert(plan.contains("ReusedExchange"),
+      s"the truth/audit legs must share the query_id exchange:\n${plan.take(2000)}")
+  }
+
   test("t18: the pruned LM is a global top-k and broadcasts; the batch never shuffles on bigram") {
     val plan = executedPlan("t18_lm_familiarity")
     // fixed LM size ⇒ TakeOrderedAndProject (K rows per partition fold),
