@@ -574,6 +574,64 @@ object Multimodal {
              |SELECT doc_id, shard, n_text_tokens, n_patch_tokens,
              |  ((cum - cost) // 2048)::BIGINT AS seq_id,
              |  ((cum - cost) % 2048)::BIGINT AS seq_offset
-             |FROM c ORDER BY doc_id""".stripMargin))
+             |FROM c ORDER BY doc_id""".stripMargin)),
+
+    // Shot/segment boundary detection over the decoded frame stream — the
+    // video-pipeline step between frame extraction (m02/m03) and sampling:
+    // a training pipeline samples per SEGMENT, not per fixed stride, so
+    // one static shot can't flood the batch with near-identical frames
+    // (the frame-level analogue of d01's dedup rationale). A boundary is
+    // a relative energy jump: |e_t − e_{t−1}| · 10 > e_{t−1}, i.e. >10 %
+    // change — cross-multiplied INTEGER arithmetic on m03's exact
+    // codepoint energies, no float thresholds, so both engines agree
+    // bit-for-bit. segment_id is the running cut count, turning the
+    // boolean stream into the per-doc segmentation the sampler consumes.
+    // Shape: the frame kernel rides the scan (m03's zero-shuffle
+    // property), then ONE doc-keyed exchange feeds BOTH stacked windows
+    // (lag + running sum share the (doc_id, frame_idx) sort); per-doc
+    // frame counts bound every window buffer. At 100 TB: high-cardinality
+    // doc key, no join, the same single-exchange class as q41.
+    Q("m10_scene_segments",
+      "segment boundaries where frame energy jumps >10% (integer cross-multiply); running segment ids",
+      (s, d) => {
+        val fr = audioFrames(mediaRecords(s, d)).toDF()
+        val w = Window.partitionBy(col("doc_id")).orderBy(col("frame_idx"))
+        val wCum = Window.partitionBy(col("doc_id")).orderBy(col("frame_idx"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        fr.withColumn("prev_energy", lag(col("energy"), 1).over(w))
+          .withColumn("delta",
+            col("energy") - coalesce(col("prev_energy"), col("energy")))
+          .withColumn("is_cut",
+            abs(col("delta")) * lit(10L) > coalesce(col("prev_energy"), lit(0L)))
+          .withColumn("segment_id",
+            sum(when(col("is_cut"), 1L).otherwise(0L)).over(wCum))
+          .select(col("doc_id"), col("frame_idx"), col("energy"),
+            col("delta"), col("is_cut"), col("segment_id"))
+          .orderBy("doc_id", "frame_idx")
+      },
+      Some("""WITH cps AS (SELECT doc_id,
+             |    list_transform(range(1, length(text) + 1),
+             |      i -> unicode(substr(text, i, 1))::BIGINT) AS cp
+             |  FROM documents),
+             |fr AS (SELECT doc_id, cp,
+             |    unnest(range(0, CASE WHEN len(cp) < 64 THEN 0
+             |                         ELSE (len(cp) - 64) // 32 + 1 END)) AS f
+             |  FROM cps),
+             |en AS (SELECT doc_id, f::BIGINT AS frame_idx,
+             |    list_aggregate(list_transform(range(f * 32 + 1, f * 32 + 65),
+             |      i -> cp[i] * cp[i]), 'sum')::BIGINT AS energy
+             |  FROM fr),
+             |lg AS (SELECT doc_id, frame_idx, energy,
+             |    lag(energy) OVER (PARTITION BY doc_id ORDER BY frame_idx) AS prev_energy
+             |  FROM en),
+             |dl AS (SELECT doc_id, frame_idx, energy, prev_energy,
+             |    energy - coalesce(prev_energy, energy) AS delta,
+             |    abs(energy - coalesce(prev_energy, energy)) * 10 > coalesce(prev_energy, 0) AS is_cut
+             |  FROM lg)
+             |SELECT doc_id, frame_idx, energy, delta, is_cut,
+             |  (sum(CASE WHEN is_cut THEN 1 ELSE 0 END) OVER (PARTITION BY doc_id
+             |    ORDER BY frame_idx ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT
+             |    AS segment_id
+             |FROM dl ORDER BY doc_id, frame_idx""".stripMargin))
   )
 }

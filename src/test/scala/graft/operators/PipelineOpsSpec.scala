@@ -886,6 +886,32 @@ class PipelineOpsSpec extends SparkTestBase {
     }
   }
 
+  test("m10 segments: cuts recompute from m03 energies, segment ids are running counts") {
+    val energies = run("m03_audio_features").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    val rows = run("m10_scene_segments").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (doc, frames) =>
+      val sorted = frames.sortBy(_._2)
+      var prevE = -1L
+      var segs = 0L
+      sorted.foreach { case (_, idx, e, delta, cut, seg) =>
+        assert(e === energies((doc, idx)), "energy must match m03's")
+        val expDelta = if (prevE < 0) 0L else e - prevE
+        assert(delta === expDelta)
+        val expCut = prevE >= 0 && math.abs(expDelta) * 10 > prevE
+        assert(cut === expCut, s"doc $doc frame $idx: cut flag")
+        if (expCut) segs += 1
+        assert(seg === segs, s"doc $doc frame $idx: running segment id")
+        prevE = e
+      }
+      assert(!sorted.head._5, "the first frame can never be a cut")
+    }
+    assert(rows.exists(_._5), "fixture energies should produce at least one cut")
+  }
+
   test("q41 funnel stage matches an independent per-user subsequence recomputation") {
     val events = graft.core.Tables.events(spark, sf)
       .select("user_id", "ts", "event_id", "event_type").collect()

@@ -790,6 +790,13 @@ class PlanShapeSpec extends SparkTestBase {
       s"the truth/audit legs must share the query_id exchange:\n${plan.take(2000)}")
   }
 
+  test("m10: both stacked windows share ONE doc exchange; no join") {
+    val plan = executedPlan("m10_scene_segments")
+    assert(countOf(plan, "Exchange hashpartitioning") == 1,
+      s"lag + running-sum must share the (doc_id, frame_idx) exchange:\n${plan.take(2000)}")
+    assert(!plan.contains("Join"), s"no join belongs in this plan:\n${plan.take(2000)}")
+  }
+
   test("t18: the pruned LM is a global top-k and broadcasts; the batch never shuffles on bigram") {
     val plan = executedPlan("t18_lm_familiarity")
     // fixed LM size ⇒ TakeOrderedAndProject (K rows per partition fold),
