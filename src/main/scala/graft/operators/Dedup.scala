@@ -1350,7 +1350,91 @@ object Dedup {
     Q("d22_containment",
       "contained-doc pairs by one-sided prefix filter: trigram containment |A∩B|/|A| >= 0.9",
       (s, d) => containmentJoin(docs(s, d), 0.9),
-      Some(sqlExactContainment(0.9)))
+      Some(sqlExactContainment(0.9))),
+
+    // Containment ESTIMATION from signatures — d22's screening path when
+    // even the one-sided prefix join is too hot: Broder's Ĵ =
+    // matches/30 plus the EXACT set sizes (one long per doc, carried in
+    // the signature sidecar) algebraically recover the intersection,
+    // |A∩B| = J/(1+J)·(|A|+|B|), hence ĉ(A,B) = Ĵ/(1+Ĵ)·(|A|+|B|)/|A| —
+    // both orientations from ONE estimate, O(30) per pair, shingles never
+    // re-touched (the d14 discipline). Scope is honest and documented:
+    // candidates are the full-set-MinHash LSH bands, whose recall decays
+    // with symmetric J — a low-J containment (tiny doc in huge doc) needs
+    // d22's exact one-sided join; THIS operator prices the common case
+    // (competitive sizes, J ≥ ~0.5) at sketch cost and flags both
+    // directions. ĉ can exceed 1 (estimator noise); emitted raw so the
+    // audit spec can measure the error against d22's exact answer.
+    // Shape: signature/size attaches are merge-hinted SMJs and
+    // shuffle-hash joins (corpus-proportional sides never broadcast);
+    // the estimate filter is a map-side projection after them.
+    Q("d23_containment_estimate",
+      "both-direction containment estimates from MinHash signatures + exact sizes, banded candidates",
+      (s, d) => {
+        val ex = explodedShingles(s, d).localCheckpoint(true)
+        val sizes = ex.groupBy("doc_id").agg(max(col("nsh")).as("nsh"))
+        val sigs = minhashSigs(ex).localCheckpoint(true)
+        val cand = bandedCandidates(sigs)
+        val aSide = sigs.select(col("doc_id").as("doc_a") +:
+          (0 until 30).map(k => col(s"mh_$k").as(s"a_$k")): _*)
+        val bSide = sigs.select(col("doc_id").as("doc_b") +:
+          (0 until 30).map(k => col(s"mh_$k").as(s"b_$k")): _*)
+        val matches = (0 until 30).map(k =>
+          when(col(s"a_$k") === col(s"b_$k"), 1L).otherwise(0L)).reduce(_ + _)
+        val est = cand.join(aSide.hint("merge"), "doc_a")
+          .join(bSide.hint("merge"), "doc_b")
+          .withColumn("est_matches", matches)
+          .select("doc_a", "doc_b", "est_matches")
+        est
+          .join(sizes.select(col("doc_id").as("doc_a"),
+            col("nsh").as("size_a")).hint("shuffle_hash"), Seq("doc_a"))
+          .join(sizes.select(col("doc_id").as("doc_b"),
+            col("nsh").as("size_b")).hint("shuffle_hash"), Seq("doc_b"))
+          .withColumn("est_j", col("est_matches") * lit(1.0) / 30)
+          .withColumn("est_c_a_in_b",
+            col("est_j") / (lit(1.0) + col("est_j"))
+              * (col("size_a") + col("size_b")) / col("size_a"))
+          .withColumn("est_c_b_in_a",
+            col("est_j") / (lit(1.0) + col("est_j"))
+              * (col("size_a") + col("size_b")) / col("size_b"))
+          .filter(greatest(col("est_c_a_in_b"), col("est_c_b_in_a")) >= 0.85)
+          .select(col("doc_a"), col("doc_b"),
+            col("size_a").cast("long"), col("size_b").cast("long"),
+            col("est_matches"), col("est_c_a_in_b"), col("est_c_b_in_a"))
+          .orderBy("doc_a", "doc_b")
+      },
+      Some {
+        val aList = MinHashCoeffs.map(_._1).mkString("[", ",", "]")
+        val bList = MinHashCoeffs.map(_._2).mkString("[", ",", "]")
+        s"""$sqlShingled,
+           |hs AS (SELECT doc_id,
+           |    list_transform(sh, g0 -> ('0x' || substr(md5(g0), 1, 15))::BIGINT % 2147483647) AS gs
+           |  FROM sh),
+           |sig AS (SELECT doc_id, list_transform(range(0, 30), k ->
+           |      list_aggregate(list_transform(gs,
+           |        g -> (g * ($aList)[k+1] + ($bList)[k+1]) % 2147483647), 'min')) AS sig
+           |  FROM hs),
+           |cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sig AS sa, b.sig AS sb
+           |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+           |  WHERE len(list_filter(range(0, 10), j ->
+           |    a.sig[3*j+1] = b.sig[3*j+1] AND a.sig[3*j+2] = b.sig[3*j+2]
+           |      AND a.sig[3*j+3] = b.sig[3*j+3])) > 0),
+           |est AS (SELECT doc_a, doc_b,
+           |    len(list_filter(range(0, 30), k -> sa[k+1] = sb[k+1]))::BIGINT AS est_matches
+           |  FROM cand),
+           |j AS (SELECT e.doc_a, e.doc_b, a.nsh AS size_a, b.nsh AS size_b,
+           |    e.est_matches, e.est_matches * 1.0 / 30 AS est_j
+           |  FROM est e JOIN sh a ON e.doc_a = a.doc_id
+           |    JOIN sh b ON e.doc_b = b.doc_id)
+           |SELECT doc_a, doc_b, size_a::BIGINT AS size_a, size_b::BIGINT AS size_b,
+           |  est_matches,
+           |  est_j / (1.0 + est_j) * (size_a + size_b) / size_a AS est_c_a_in_b,
+           |  est_j / (1.0 + est_j) * (size_a + size_b) / size_b AS est_c_b_in_a
+           |FROM j
+           |WHERE greatest(est_j / (1.0 + est_j) * (size_a + size_b) / size_a,
+           |  est_j / (1.0 + est_j) * (size_a + size_b) / size_b) >= 0.85
+           |ORDER BY doc_a, doc_b""".stripMargin
+      })
   )
 
   /** One-sided prefix-filtered containment join over an arbitrary

@@ -886,6 +886,39 @@ class PipelineOpsSpec extends SparkTestBase {
     }
   }
 
+  test("d23 containment estimates track d22's exact answer and stay internally consistent") {
+    val exact = run("d22_containment").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getAs[Double]("containment"))).toMap
+    val rows = run("d23_containment_estimate").collect()
+    assert(rows.nonEmpty, "planted near-dups must survive the 0.85 screen")
+    rows.foreach { r =>
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      assert(a < b, "banded candidates are ordered")
+      val m = r.getAs[Long]("est_matches")
+      assert(m >= 0 && m <= 30)
+      val (sa, sb) = (r.getAs[Long]("size_a"), r.getAs[Long]("size_b"))
+      val (ca, cb) = (r.getAs[Double]("est_c_a_in_b"), r.getAs[Double]("est_c_b_in_a"))
+      // one shared intersection estimate behind both orientations
+      assert(math.abs(ca * sa - cb * sb) < 1e-6 * math.max(sa, sb))
+      // where d22 confirmed the containment exactly, the estimate must be
+      // within the 30-perm binomial noise (±~3 sd of Ĵ propagated)
+      exact.get((a, b)).foreach { c =>
+        assert(math.abs(ca - c) < 0.25,
+          s"pair ($a,$b): est $ca vs exact $c drifted past sketch noise")
+      }
+      exact.get((b, a)).foreach { c =>
+        assert(math.abs(cb - c) < 0.25,
+          s"pair ($b,$a): est $cb vs exact $c drifted past sketch noise")
+      }
+    }
+    // the screen must actually find the exact operator's pairs (recall at
+    // the planted J >= 0.9 level, where banding is near-certain)
+    val found = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expectedPairs = exact.keySet.map(p => if (p._1 < p._2) p else p.swap)
+    assert(expectedPairs.forall(found.contains),
+      "every exact containment pair at the planted level must be screened in")
+  }
+
   test("m10 segments: cuts recompute from m03 energies, segment ids are running counts") {
     val energies = run("m03_audio_features").collect()
       .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
