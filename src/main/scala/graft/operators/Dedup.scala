@@ -1455,6 +1455,11 @@ object Dedup {
         col("shingle"))
     val full = ex.select(col("doc_id").as("doc_b"),
       col("nsh").as("size_b"), col("shingle"))
+    // NOT checkpointed: the union in restrictToCandidateDocs does re-run
+    // this join once per projection, but the re-run reads ReusedExchange
+    // shuffles (measured ~4% of the query at sf0.1 — within load noise),
+    // and materializing the pair set would hide the candidate phase from
+    // the executed plan the PlanShapeSpec gate audits
     val cand = prefix.hint("merge").join(full, Seq("shingle"))
       .filter(col("doc_a") =!= col("doc_b") &&
         col("size_b") >= col("size_a") * t)
