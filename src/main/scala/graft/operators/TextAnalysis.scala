@@ -1060,7 +1060,58 @@ object TextAnalysis {
              |SELECT lang, n_docs, n_tokens, weight, target_tokens,
              |  target_tokens * 1.0 / n_tokens AS epochs,
              |  (target_tokens + n_tokens - 1) // n_tokens AS n_repeats
-             |FROM s ORDER BY lang""".stripMargin))
+             |FROM s ORDER BY lang""".stripMargin)),
+
+    // Dataset card — the per-(source, lang) summary grid a curator
+    // actually publishes with a released corpus (the Dolma/C4 dataset-card
+    // numbers): document and token counts, corpus share, and the
+    // exact-duplicate rate under d01's normalized-content-hash definition
+    // (a doc is a duplicate iff it is not its hash group's min id — the
+    // same docs d01 would drop, so the card's dup_rate IS the dedup
+    // pressure the release notes quote). Counts are integers; shares are
+    // one IEEE division each, bit-equal cross-engine. Shape: the dup flag
+    // is ONE corpus-keyed window exchange (content_hash —
+    // high-cardinality), the grid rollup collapses map-side to
+    // |sources|×|langs| rows, and the 1-row total broadcasts back; at
+    // 100 TB nothing after the first two exchanges touches corpus-sized
+    // data.
+    Q("t24_dataset_card",
+      "per-(source, lang) dataset card: doc/token counts, corpus share, exact-dup rate",
+      (s, d) => {
+        val w = Window.partitionBy(col("content_hash"))
+        val flagged = docs(s, d)
+          .select(col("doc_id"), col("source"), col("lang"),
+            size(tokens(col("text"))).cast("long").as("n_tok"),
+            md5(normText(col("text"))).as("content_hash"))
+          .withColumn("is_dup",
+            col("doc_id") =!= min(col("doc_id")).over(w))
+        val per = flagged.groupBy("source", "lang").agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("n_tokens"),
+          sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dup_docs"))
+        val tot = per.agg(sum(col("n_docs")).as("total_docs"))
+        per.crossJoin(broadcast(tot))
+          .select(col("source"), col("lang"), col("n_docs"), col("n_tokens"),
+            col("n_dup_docs"),
+            (col("n_docs") * lit(1.0) / col("total_docs")).as("doc_share"),
+            (col("n_dup_docs") * lit(1.0) / col("n_docs")).as("dup_rate"))
+          .orderBy("source", "lang")
+      },
+      Some(s"""WITH f AS (SELECT doc_id, source, lang,
+             |    len($sqlToks)::BIGINT AS n_tok,
+             |    md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS content_hash
+             |  FROM documents),
+             |fl AS (SELECT *, doc_id <> min(doc_id) OVER (PARTITION BY content_hash) AS is_dup
+             |  FROM f),
+             |per AS (SELECT source, lang, count(*)::BIGINT AS n_docs,
+             |    sum(n_tok)::BIGINT AS n_tokens,
+             |    sum(CASE WHEN is_dup THEN 1 ELSE 0 END)::BIGINT AS n_dup_docs
+             |  FROM fl GROUP BY source, lang),
+             |tot AS (SELECT sum(n_docs)::BIGINT AS total_docs FROM per)
+             |SELECT source, lang, n_docs, n_tokens, n_dup_docs,
+             |  n_docs * 1.0 / total_docs AS doc_share,
+             |  n_dup_docs * 1.0 / n_docs AS dup_rate
+             |FROM per CROSS JOIN tot ORDER BY source, lang""".stripMargin))
   )
 
   /** t18/t19's shared oracle: the LM re-derived from the stored slice's

@@ -945,6 +945,32 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(rows.exists(_._5), "fixture energies should produce at least one cut")
   }
 
+  test("t24 dataset card reconciles with d01 dup flags and t01 token counts") {
+    val card = run("t24_dataset_card").collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getAs[Double]("doc_share"), r.getAs[Double]("dup_rate"))))
+    assert(card.nonEmpty)
+    val d01 = run("d01_exact_dedup").collect()
+      .map(r => r.getLong(0) -> r.getAs[Boolean]("is_duplicate")).toMap
+    val nTok = run("t01_token_stats").collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("n_tokens")).toMap
+    val meta = graft.core.Tables.documents(spark, sf)
+      .select("doc_id", "source", "lang").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getString(2)))
+    val total = meta.length.toLong
+    assert(card.map(_._2._1).sum === total, "doc counts must cover the corpus")
+    assert(math.abs(card.map(_._2._4).sum - 1.0) < 1e-9, "shares sum to 1")
+    card.foreach { case ((src, lg), (nd, nt, ndup, share, rate)) =>
+      val ids = meta.filter(_._2 == (src, lg)).map(_._1)
+      assert(nd === ids.length.toLong)
+      assert(nt === ids.map(nTok).sum, s"($src,$lg): token sum")
+      assert(ndup === ids.count(d01), s"($src,$lg): dup count vs d01 flags")
+      assert(math.abs(share - nd.toDouble / total) < 1e-15)
+      assert(math.abs(rate - ndup.toDouble / nd) < 1e-15)
+    }
+  }
+
   test("q41 funnel stage matches an independent per-user subsequence recomputation") {
     val events = graft.core.Tables.events(spark, sf)
       .select("user_id", "ts", "event_id", "event_type").collect()
