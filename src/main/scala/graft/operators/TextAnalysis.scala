@@ -1089,8 +1089,13 @@ object TextAnalysis {
           count(lit(1)).as("n_docs"),
           sum(col("n_tok")).as("n_tokens"),
           sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dup_docs"))
-        val tot = per.agg(sum(col("n_docs")).as("total_docs"))
-        per.crossJoin(broadcast(tot))
+        // corpus total via an EMPTY-partition window over the grid — the
+        // grid is |sources|×|langs| rows by construction, so the single
+        // partition is bounded; a separate agg branch would re-scan and
+        // re-shuffle the corpus a second time (Catalyst can't share the
+        // un-materialized rollup between the two consumers)
+        val wAll = Window.partitionBy()
+        per.withColumn("total_docs", sum(col("n_docs")).over(wAll))
           .select(col("source"), col("lang"), col("n_docs"), col("n_tokens"),
             col("n_dup_docs"),
             (col("n_docs") * lit(1.0) / col("total_docs")).as("doc_share"),
@@ -1107,11 +1112,11 @@ object TextAnalysis {
              |    sum(n_tok)::BIGINT AS n_tokens,
              |    sum(CASE WHEN is_dup THEN 1 ELSE 0 END)::BIGINT AS n_dup_docs
              |  FROM fl GROUP BY source, lang),
-             |tot AS (SELECT sum(n_docs)::BIGINT AS total_docs FROM per)
+             |t AS (SELECT *, sum(n_docs) OVER ()::BIGINT AS total_docs FROM per)
              |SELECT source, lang, n_docs, n_tokens, n_dup_docs,
              |  n_docs * 1.0 / total_docs AS doc_share,
              |  n_dup_docs * 1.0 / n_docs AS dup_rate
-             |FROM per CROSS JOIN tot ORDER BY source, lang""".stripMargin))
+             |FROM t ORDER BY source, lang""".stripMargin))
   )
 
   /** t18/t19's shared oracle: the LM re-derived from the stored slice's

@@ -797,6 +797,17 @@ class PlanShapeSpec extends SparkTestBase {
     assert(!plan.contains("Join"), s"no join belongs in this plan:\n${plan.take(2000)}")
   }
 
+  test("t24: ONE corpus scan — hash window + grid rollup; total is a grid-bounded window") {
+    val plan = executedPlan("t24_dataset_card")
+    // content-hash window + (source, lang) grid = the only corpus shuffles
+    assert(countOf(plan, "Exchange hashpartitioning") == 2,
+      s"card must cost two corpus exchanges (dup window, grid rollup):\n${plan.take(2000)}")
+    assert(countOf(plan, "FileScan") == 1 && !plan.contains("Join"),
+      s"a second corpus scan/join crept in:\n${plan.take(2000)}")
+    assert(plan.contains("partial_count") || plan.contains("partial_sum"),
+      s"the grid rollup must partial-aggregate map-side:\n${plan.take(2000)}")
+  }
+
   test("t18: the pruned LM is a global top-k and broadcasts; the batch never shuffles on bigram") {
     val plan = executedPlan("t18_lm_familiarity")
     // fixed LM size ⇒ TakeOrderedAndProject (K rows per partition fold),
