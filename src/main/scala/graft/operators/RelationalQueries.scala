@@ -1108,6 +1108,61 @@ object RelationalQueries {
              |       WHEN regexp_matches(seq, 's.*v') THEN 2
              |       WHEN regexp_matches(seq, 's') THEN 1
              |       ELSE 0 END AS funnel_stage
-             |FROM sq ORDER BY user_id""".stripMargin))
+             |FROM sq ORDER BY user_id""".stripMargin)),
+
+    // Multi-touch attribution with time decay — q34's last-touch join
+    // generalized to the model marketing analytics actually runs: every
+    // click in the 24 h before a purchase gets credit that halves per
+    // hour of distance. The decay weights are EXACT LONGS by
+    // construction — w = 1 << (30 − floor(Δ/1h)), so a purchase's weight
+    // total is exact integer arithmetic at ANY join order and the only
+    // float op is the final share division + the credited-value product,
+    // bit-identical in both engines (no pow(), no float accumulation
+    // ordering to diverge). Plan shape: q34's selective user_id hash join
+    // with the time bound as a residual predicate (output-bound per-user
+    // groups), then ONE purchase-keyed window exchange for the total —
+    // at 100 TB both keys are high-cardinality and nothing corpus-sized
+    // broadcasts.
+    Q("q42_multi_touch",
+      "time-decay multi-touch attribution: per-purchase click shares from exact integer halving weights",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .select(col("event_id"), col("ts"), col("user_id"),
+            col("event_type"), col("value"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts").as("click_ts"),
+            col("event_id").as("click_id"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts").as("purchase_ts"),
+            col("event_id").as("purchase_id"), col("value"))
+        val w = Window.partitionBy(col("purchase_id"))
+        purchases.join(clicks, Seq("user_id"))
+          .filter(col("click_ts") <= col("purchase_ts") &&
+            col("click_ts") > col("purchase_ts") - expr("INTERVAL 24 HOURS"))
+          .withColumn("hours_before",
+            expr("(unix_millis(purchase_ts) - unix_millis(click_ts)) div 3600000"))
+          .withColumn("weight", expr("shiftleft(CAST(1 AS BIGINT), CAST(30 - hours_before AS INT))"))
+          .withColumn("total_weight", sum(col("weight")).over(w))
+          .select(col("user_id"), col("purchase_id"), col("click_id"),
+            col("hours_before"), col("weight"),
+            (col("weight") * lit(1.0) / col("total_weight")).as("share"),
+            (col("value") * (col("weight") * lit(1.0) / col("total_weight")))
+              .as("credited_value"))
+          .orderBy("purchase_id", "click_id")
+      },
+      Some("""WITH ev AS (SELECT event_id, ts::TIMESTAMP AS ts, user_id, event_type, value FROM events),
+             |c AS (SELECT user_id, ts AS click_ts, event_id AS click_id FROM ev WHERE event_type = 'click'),
+             |p AS (SELECT user_id, ts AS purchase_ts, event_id AS purchase_id, value FROM ev WHERE event_type = 'purchase'),
+             |j AS (SELECT p.user_id, purchase_id, click_id, value,
+             |    (epoch_ms(purchase_ts) - epoch_ms(click_ts)) // 3600000 AS hours_before
+             |  FROM p JOIN c ON p.user_id = c.user_id
+             |    AND click_ts <= purchase_ts
+             |    AND click_ts > purchase_ts - INTERVAL 24 HOURS),
+             |wts AS (SELECT *, (1::BIGINT << (30 - hours_before))::BIGINT AS weight FROM j),
+             |tot AS (SELECT *, sum(weight) OVER (PARTITION BY purchase_id)::BIGINT AS total_weight FROM wts)
+             |SELECT user_id, purchase_id, click_id, hours_before, weight,
+             |  weight * 1.0 / total_weight AS share,
+             |  value * (weight * 1.0 / total_weight) AS credited_value
+             |FROM tot ORDER BY purchase_id, click_id""".stripMargin))
   )
 }

@@ -159,4 +159,26 @@ class ExtendedQueriesSpec extends SparkTestBase {
       assert(got === expected(u), s"user $u: history differs from replay")
     }
   }
+
+  test("q42 multi-touch: exact halving weights, shares sum to 1, covers q34's last-touch pairs") {
+    val rows = run("q42_multi_touch").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getAs[Long]("hours_before"),
+        r.getAs[Long]("weight"), r.getAs[Double]("share")))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, _, h, w, sh) =>
+      assert(h >= 0 && h <= 23)
+      assert(w === (1L << (30 - h)).toLong, "weight must be the exact power of two")
+      assert(sh > 0.0 && sh <= 1.0)
+    }
+    rows.groupBy(_._1).foreach { case (p, g) =>
+      // every share is w_i/W with an exact integer W, so the float sum of
+      // the group is 1 up to representation error only
+      assert(math.abs(g.map(_._5).sum - 1.0) < 1e-12, s"purchase $p shares")
+    }
+    // q34's 1-hour window pairs are exactly the hours_before = 0 rows
+    val q34 = run("q34_event_attribution").collect()
+      .map(r => (r.getLong(1), r.getLong(3))).toSet
+    val h0 = rows.filter(_._3 === 0L).map(r => (r._1, r._2)).toSet
+    assert(h0 === q34, "the first decay bucket must equal the last-touch join")
+  }
 }
