@@ -144,8 +144,18 @@ object Bench {
     // (committed) and in the full line above; the LAST line printed is a
     // compact summary guaranteed to fit the window, with `queries`
     // populated only when the full map still fits.
+    // errors are capped in the compact line: a sweep where MOST queries
+    // fail (bad SF dir, another schema-drift round hitting every table)
+    // would otherwise push even the queries:{} fallback past the window —
+    // exactly the failure the compact line exists to report. Full list
+    // stays in the JSON file and the full line above.
+    val errNames = results.collect { case (k, _, false, _) => k }
+    val errsCompact =
+      if (errNames.size <= 8) errs
+      else errNames.take(8).map("\"" + _ + "\"")
+        .mkString("[", ",", s""",\"...${errNames.size - 8} more\"]""")
     val compactBase =
-      s""""unit":"sec","best_of":$repeats,"n_queries":${results.size},"queries_file":"$outFile","errors":$errs,"sf":"$sfDir","action":"noop_write","load_avg_before":${f3(loadBefore)},"load_avg_after":${f3(loadAfter)}$subset}"""
+      s""""unit":"sec","best_of":$repeats,"n_queries":${results.size},"n_errors":${errNames.size},"queries_file":"$outFile","errors":$errsCompact,"sf":"$sfDir","action":"noop_write","load_avg_before":${f3(loadBefore)},"load_avg_after":${f3(loadAfter)}$subset}"""
     val withQs =
       s"""{"metric":"total","value":${f3(total)},"queries":$qs,$compactBase"""
     val compact =

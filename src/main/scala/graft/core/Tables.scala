@@ -39,6 +39,11 @@ object Tables {
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Pin the session zone HERE, not just in our own mains: the NTZ→LTZ
+    // cast below reads it, and the driver contract hands us arbitrary
+    // sessions — on a non-UTC host default the cast would silently shift
+    // every instant away from the oracle's naive-as-UTC read.
+    s.conf.set("spark.sql.session.timeZone", "UTC")
     val df = load(s, d, "events")
     df.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>

@@ -286,7 +286,13 @@ object Dedup {
     *    240 B/doc sidecar (TBs at a 10^9-doc corpus) per daily batch
     *    and reading it exactly once, exchange-free (plan-asserted).
     */
-  private def signatureEstimates(cand: DataFrame, sigs: DataFrame,
+  /** The filterless attach + match count behind [[signatureEstimates]]
+    * and d23 (which must keep sub-0.5 estimates for its containment
+    * algebra): one place owns the mh_0..mh_29 column contract, so a
+    * permutation-family or signature-width change can't diverge the
+    * consumers.
+    */
+  private def signatureAttach(cand: DataFrame, sigs: DataFrame,
       broadcastCand: Boolean = false): DataFrame = {
     val aSide = sigs.select(col("doc_id").as("doc_a") +:
       (0 until 30).map(k => col(s"mh_$k").as(s"a_$k")): _*)
@@ -308,12 +314,15 @@ object Dedup {
       } else
         cand.join(aSide.hint("merge"), "doc_a")
           .join(bSide.hint("merge"), "doc_b")
-    attached
-      .withColumn("est_matches", matches)
+    attached.withColumn("est_matches", matches)
+  }
+
+  private def signatureEstimates(cand: DataFrame, sigs: DataFrame,
+      broadcastCand: Boolean = false): DataFrame =
+    signatureAttach(cand, sigs, broadcastCand)
       .filter(col("est_matches") >= 15)
       .select(col("doc_a"), col("doc_b"), col("est_matches"),
         (col("est_matches") * lit(1.0) / 30).as("est_jaccard"))
-  }
 
   /** Spark side of the exact pair computation (d02, and the verification
     * stage of d03/d06): inverted-index equi-join on the 60-bit shingle
@@ -1375,15 +1384,7 @@ object Dedup {
         val sizes = ex.groupBy("doc_id").agg(max(col("nsh")).as("nsh"))
         val sigs = minhashSigs(ex).localCheckpoint(true)
         val cand = bandedCandidates(sigs)
-        val aSide = sigs.select(col("doc_id").as("doc_a") +:
-          (0 until 30).map(k => col(s"mh_$k").as(s"a_$k")): _*)
-        val bSide = sigs.select(col("doc_id").as("doc_b") +:
-          (0 until 30).map(k => col(s"mh_$k").as(s"b_$k")): _*)
-        val matches = (0 until 30).map(k =>
-          when(col(s"a_$k") === col(s"b_$k"), 1L).otherwise(0L)).reduce(_ + _)
-        val est = cand.join(aSide.hint("merge"), "doc_a")
-          .join(bSide.hint("merge"), "doc_b")
-          .withColumn("est_matches", matches)
+        val est = signatureAttach(cand, sigs)
           .select("doc_a", "doc_b", "est_matches")
         est
           .join(sizes.select(col("doc_id").as("doc_a"),

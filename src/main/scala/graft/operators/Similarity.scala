@@ -1146,11 +1146,17 @@ object Similarity {
         val nq = truth.agg(
           countDistinct(col("query_id")).as("n_queries"),
           count(lit(1)).as("truth_rows"))
-        approx.join(truth, Seq("query_id", "neighbor_id"), "left_semi")
+        // levels LEFT-join the hit counts: an nprobe setting with ZERO
+        // hits must report recall = 0.0, not vanish from the curve —
+        // the audit's contract is one row per audited setting
+        val hits = approx.join(truth, Seq("query_id", "neighbor_id"), "left_semi")
           .groupBy("nprobe").agg(count(lit(1)).as("hits"))
+        levels.join(hits, Seq("nprobe"), "left")
           .crossJoin(broadcast(nq))
-          .select(col("nprobe"), col("n_queries"), col("hits"),
-            (col("hits") * lit(1.0) / col("truth_rows")).as("recall"))
+          .select(col("nprobe"), col("n_queries"),
+            coalesce(col("hits"), lit(0L)).as("hits"),
+            (coalesce(col("hits"), lit(0L)) * lit(1.0) / col("truth_rows"))
+              .as("recall"))
           .orderBy("nprobe")
       },
       Some(s"""$sqlVectors,
@@ -1188,14 +1194,16 @@ object Similarity {
              |    FROM v CROSS JOIN q WHERE v.vec_id <> q.query_id)
              |  WHERE rank <= 3),
              |nq AS (SELECT count(DISTINCT query_id)::BIGINT AS n_queries,
-             |    count(*)::BIGINT AS truth_rows FROM truth)
-             |SELECT a.nprobe, nq.n_queries, count(*)::BIGINT AS hits,
-             |  count(*)::BIGINT * 1.0 / nq.truth_rows AS recall
-             |FROM approx a JOIN truth t
-             |  ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id
+             |    count(*)::BIGINT AS truth_rows FROM truth),
+             |hits AS (SELECT a.nprobe, count(*)::BIGINT AS hits
+             |  FROM approx a JOIN truth t
+             |    ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id
+             |  GROUP BY a.nprobe)
+             |SELECT l.nprobe, nq.n_queries, coalesce(h.hits, 0)::BIGINT AS hits,
+             |  coalesce(h.hits, 0)::BIGINT * 1.0 / nq.truth_rows AS recall
+             |FROM lv l LEFT JOIN hits h ON l.nprobe = h.nprobe
              |  CROSS JOIN nq
-             |GROUP BY a.nprobe, nq.n_queries, nq.truth_rows
-             |ORDER BY a.nprobe""".stripMargin))
+             |ORDER BY l.nprobe""".stripMargin))
   )
 
   /** One Lloyd maintenance step in WRITE-BACK form: assign each batch

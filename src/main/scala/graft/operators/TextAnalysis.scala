@@ -1038,6 +1038,11 @@ object TextAnalysis {
           .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
           .withColumn("weight", tgt)
         val tot = counts.agg(sum(col("weight")).as("w_total"))
+        // a zero-token language slice (all-empty text) yields NULL epochs
+        // and n_repeats: Spark's non-ANSI /-and-div already return null
+        // on a zero divisor, and the oracle mirrors it with explicit
+        // CASEs (DuckDB's // would otherwise ABORT on division by zero —
+        // a whole-gate failure, not a row mismatch)
         counts.crossJoin(broadcast(tot))
           .withColumn("target_tokens",
             expr(s"($budget * weight) div w_total"))
@@ -1058,8 +1063,10 @@ object TextAnalysis {
              |s AS (SELECT w.*, (1000000 * weight) // w_total AS target_tokens
              |  FROM w CROSS JOIN tot)
              |SELECT lang, n_docs, n_tokens, weight, target_tokens,
-             |  target_tokens * 1.0 / n_tokens AS epochs,
-             |  (target_tokens + n_tokens - 1) // n_tokens AS n_repeats
+             |  CASE WHEN n_tokens = 0 THEN NULL
+             |       ELSE target_tokens * 1.0 / n_tokens END AS epochs,
+             |  CASE WHEN n_tokens = 0 THEN NULL
+             |       ELSE (target_tokens + n_tokens - 1) // n_tokens END AS n_repeats
              |FROM s ORDER BY lang""".stripMargin)),
 
     // Dataset card — the per-(source, lang) summary grid a curator

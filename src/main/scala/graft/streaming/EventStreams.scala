@@ -364,7 +364,13 @@ object EventStreams {
         f.map(fk => lst.filter(e => ord.lteq(e, fk))).getOrElse(lst)
       st = FunnelState(prune(st.s, ch(0)), prune(st.v, ch(1)),
         prune(st.c, ch(2)), prune(st.p, ch(3)))
-      state.update(st)
+      // never store a row for a user who has no funnel-type events at
+      // all: at scale the state store must track funnel-ACTIVE users,
+      // not every user the stream has ever seen (the depth-0 output row
+      // still emits). Once any funnel event entered, the lists stay
+      // non-empty — pruning keeps each chosen fₖ itself.
+      if (st.s.nonEmpty || st.v.nonEmpty || st.c.nonEmpty || st.p.nonEmpty)
+        state.update(st)
       FunnelDepth(userId, ch.takeWhile(_.isDefined).length)
     }
 

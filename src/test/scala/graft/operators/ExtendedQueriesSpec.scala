@@ -175,10 +175,17 @@ class ExtendedQueriesSpec extends SparkTestBase {
       // the group is 1 up to representation error only
       assert(math.abs(g.map(_._5).sum - 1.0) < 1e-12, s"purchase $p shares")
     }
-    // q34's 1-hour window pairs are exactly the hours_before = 0 rows
-    val q34 = run("q34_event_attribution").collect()
+    // q34's window is CLOSED at exactly one hour (>=) while the zero-hour
+    // decay bucket is half-open ([0, 1h)); compare against q34's strict
+    // interior so a click at exactly Δ = 1 h can't fail the spec
+    def micros(t: java.sql.Timestamp): Long =
+      Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+    val q34Strict = run("q34_event_attribution").collect()
+      .filter(r => micros(r.getTimestamp(2)) - micros(r.getTimestamp(4))
+        < 3600L * 1000000L)
       .map(r => (r.getLong(1), r.getLong(3))).toSet
     val h0 = rows.filter(_._3 === 0L).map(r => (r._1, r._2)).toSet
-    assert(h0 === q34, "the first decay bucket must equal the last-touch join")
+    assert(h0 === q34Strict,
+      "the first decay bucket must equal the last-touch join's strict interior")
   }
 }
