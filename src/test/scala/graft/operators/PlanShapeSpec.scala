@@ -808,6 +808,21 @@ class PlanShapeSpec extends SparkTestBase {
       s"the grid rollup must partial-aggregate map-side:\n${plan.take(2000)}")
   }
 
+  test("d23: band self-join reuses one exchange; size attaches are shuffle-hash; nothing broadcasts") {
+    val plan = executedPlan("d23_containment_estimate")
+    // the banded candidate generator's two sides must share ONE canonical
+    // signature exchange (the d11/d13 discipline)
+    assert(plan.contains("ReusedExchange"),
+      s"the band self-join must reuse the signature exchange:\n${plan.take(2000)}")
+    // signature attaches merge-SMJ; the two per-doc size attaches are
+    // shuffle-hash — corpus-proportional sides, so NO broadcast join of
+    // any kind belongs in this plan
+    assert(plan.contains("SortMergeJoin") && countOf(plan, "ShuffledHashJoin") == 2,
+      s"attach shapes drifted:\n${plan.take(2000)}")
+    assert(!plan.contains("BroadcastHashJoin") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"a corpus-proportional side got broadcast:\n${plan.take(2000)}")
+  }
+
   test("t18: the pruned LM is a global top-k and broadcasts; the batch never shuffles on bigram") {
     val plan = executedPlan("t18_lm_familiarity")
     // fixed LM size ⇒ TakeOrderedAndProject (K rows per partition fold),
