@@ -36,13 +36,31 @@ object Tables {
     * and epoch functions (unix_millis & co) — which reject NTZ — keep
     * working across generations. The oracle reads the same file, so
     * comparisons stay exact in all cases.
+    *
+    * ==Side effect (deliberate, permanent)==
+    * This loader SETS `spark.sql.session.timeZone=UTC` on the caller's
+    * session and does NOT restore it. Scoping the pin to the NTZ→LTZ
+    * cast would not be enough: every DOWNSTREAM wall-time expression
+    * over the returned LTZ column (`date_trunc`, `year`/`month`,
+    * `hour` — q21's hourly rollup, q40's cohort months) resolves the
+    * session zone at ITS OWN analysis time, after this method returned,
+    * and the DuckDB oracle reads the same file naive-as-UTC — so on a
+    * non-UTC host a save/restore here would silently shift every
+    * wall-time-derived result away from the oracle while the loader
+    * itself looked "clean". UTC-pinned sessions are therefore part of
+    * this loader's contract (every main in this repo pins it at build
+    * time anyway); callers embedding graft in a session that NEEDS a
+    * different zone for their own queries must re-set it after the
+    * events-derived frames are materialized.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // Pin the session zone HERE, not just in our own mains: the NTZ→LTZ
     // cast below reads it, and the driver contract hands us arbitrary
     // sessions — on a non-UTC host default the cast would silently shift
-    // every instant away from the oracle's naive-as-UTC read.
+    // every instant away from the oracle's naive-as-UTC read. See the
+    // class doc: downstream wall-time exprs need the pin too, so a
+    // save/restore would be WRONG, not just cosmetic.
     s.conf.set("spark.sql.session.timeZone", "UTC")
     val df = load(s, d, "events")
     df.schema("ts").dataType match {

@@ -987,16 +987,34 @@ object RelationalQueries {
     // reason grouping() exists (a real NULL group value would alias the
     // subtotal rows). gid leads the ORDER BY so nulled-out dimensions are
     // constant within each sort group and the engines' NULLS FIRST/LAST
-    // divergence can never reorder rows. Same scale shape as cube:
-    // Expand replicates each input row once per set, partial-aggregates
-    // map-side, one shuffle.
+    // divergence can never reorder rows.
+    //
+    // Shape (round 10): PRE-AGGREGATE THEN EXPAND. The naive formulation
+    // runs Expand×3 over the full lineitem scan — a 3× replicated
+    // shuffle, the registry's priciest pure-relational stage (2.0-2.3 s
+    // at sf0.1, and 3× the corpus at 100 TB). Every aggregate here is
+    // ALGEBRAIC (counts and decimal sums re-aggregate losslessly:
+    // decimal addition is associative, count folds by sum — the §7.4
+    // rule-9 sufficient-statistics argument), so the corpus pass is a
+    // plain (flag, status) grid rollup — map-side partial, ONE unreplicated
+    // shuffle to ~|flags|×|status| rows — and the GROUPING SETS Expand
+    // runs over the TINY grid. Same answer bit-for-bit: the outer sums
+    // fold the inner decimal partials exactly, and the final double cast
+    // happens once at the end as before. The oracle keeps the canonical
+    // single-pass GROUPING SETS SQL — which is also the semantic spec
+    // the reformulation must (and does) hash-match.
     Q("q39_grouping_sets",
-      "lineitem rollup over explicit GROUPING SETS with grouping() stratum markers",
+      "lineitem rollup over explicit GROUPING SETS with grouping() stratum markers (pre-aggregated grid)",
       (s, d) => {
-        Tables.load(s, d, "lineitem")
+        val grid = Tables.load(s, d, "lineitem")
           .select(col("l_returnflag").as("returnflag"),
             col("l_linestatus").as("linestatus"),
             col("l_quantity"), col("l_extendedprice"))
+          .groupBy("returnflag", "linestatus")
+          .agg(count(lit(1)).as("pn"),
+            sum(col("l_quantity").cast("decimal(18,2)")).as("pq"),
+            sum(col("l_extendedprice").cast("decimal(18,2)")).as("pp"))
+        grid
           .groupingSets(
             Seq(Seq(col("returnflag"), col("linestatus")),
               Seq(col("returnflag")), Seq.empty),
@@ -1004,11 +1022,9 @@ object RelationalQueries {
           .agg(
             (grouping(col("returnflag")) * 2 + grouping(col("linestatus")))
               .cast("long").as("gid"),
-            count(lit(1)).as("n"),
-            sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
-              .as("sum_qty"),
-            sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double")
-              .as("sum_price"))
+            sum(col("pn")).as("n"),
+            sum(col("pq")).cast("double").as("sum_qty"),
+            sum(col("pp")).cast("double").as("sum_price"))
           .orderBy("gid", "returnflag", "linestatus")
       },
       Some("""SELECT l_returnflag AS returnflag, l_linestatus AS linestatus,
@@ -1082,9 +1098,18 @@ object RelationalQueries {
     Q("q41_funnel_pattern",
       "deepest signup->view->click->purchase funnel stage per user, regex subsequence over the ordered event string",
       (s, d) => {
+        // stage letters by EXPLICIT type mapping, never substr(type,1,1):
+        // a future regenerated type starting with s/v/c/p ('search',
+        // 'checkout') must map to the 'x' filler, not silently alias a
+        // funnel stage — and the streaming twin (funnelStream) matches
+        // full names, so the two engines must share this exact map
         Tables.events(s, d)
           .select(col("user_id"), col("ts"), col("event_id"),
-            substring(col("event_type"), 1, 1).as("ini"))
+            when(col("event_type") === "signup", "s")
+              .when(col("event_type") === "view", "v")
+              .when(col("event_type") === "click", "c")
+              .when(col("event_type") === "purchase", "p")
+              .otherwise("x").as("ini"))
           .groupBy(col("user_id"))
           .agg(
             count(lit(1)).as("n_events"),
@@ -1100,7 +1125,10 @@ object RelationalQueries {
       },
       Some("""WITH sq AS (
              |  SELECT user_id, count(*)::BIGINT AS n_events,
-             |    string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id) AS seq
+             |    string_agg(CASE event_type WHEN 'signup' THEN 's'
+             |        WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'
+             |        WHEN 'purchase' THEN 'p' ELSE 'x' END,
+             |      '' ORDER BY ts, event_id) AS seq
              |  FROM events GROUP BY user_id)
              |SELECT user_id, n_events,
              |  CASE WHEN regexp_matches(seq, 's.*v.*c.*p') THEN 4

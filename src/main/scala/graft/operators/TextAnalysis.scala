@@ -1060,7 +1060,9 @@ object TextAnalysis {
              |               WHEN 'de' THEN 150 WHEN 'zh' THEN 250 ELSE 0 END)::BIGINT AS weight
              |  FROM c),
              |tot AS (SELECT sum(weight)::BIGINT AS w_total FROM w),
-             |s AS (SELECT w.*, (1000000 * weight) // w_total AS target_tokens
+             |s AS (SELECT w.*,
+             |    CASE WHEN w_total = 0 THEN NULL
+             |         ELSE (1000000 * weight) // w_total END AS target_tokens
              |  FROM w CROSS JOIN tot)
              |SELECT lang, n_docs, n_tokens, weight, target_tokens,
              |  CASE WHEN n_tokens = 0 THEN NULL

@@ -20,7 +20,11 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * emits on event-time timeout, so state size tracks active users, not
   * history. Both shapes shuffle by their group key only.
   */
-object EventStreams {
+// Serializable: the funnel helpers (funnelChain/funnelInsert/funnelPrune)
+// are object-level so both funnel variants share them, which makes the
+// mapGroupsWithState closures capture the singleton — it carries only
+// constant Maps, so shipping it is free.
+object EventStreams extends Serializable {
 
   /** Tumbling-hour rollup with a 2-hour watermark — the streaming twin of
     * q21_events_hourly. Late events beyond the watermark are dropped;
@@ -302,6 +306,54 @@ object EventStreams {
 
   final case class FunnelDepth(user_id: Long, funnel_stage: Int)
 
+  private val funnelStageOf =
+    Map("signup" -> 0, "view" -> 1, "click" -> 2, "purchase" -> 3)
+  private val funnelOrd = implicitly[Ordering[(Long, Long)]]
+
+  /** Greedy-earliest chain over the four candidate lists: f₁ = min
+    * signup, fₖ = min stageₖ candidate > fₖ₋₁; depth = longest defined
+    * prefix. Shared by [[funnelStream]] and [[funnelStreamTTL]] so the
+    * two variants can never disagree on what a chain is.
+    */
+  private def funnelChain(st: FunnelState): Seq[Option[(Long, Long)]] = {
+    val lists = Seq(st.s, st.v, st.c, st.p)
+    var cur: Option[(Long, Long)] = Some((Long.MinValue, Long.MinValue))
+    lists.map { lst =>
+      cur = cur.flatMap(prev => lst.find(e => funnelOrd.gt(e, prev)))
+      cur
+    }
+  }
+
+  /** Fold one event into the state's per-stage ascending candidate list
+    * (non-funnel types are ignored).
+    */
+  private def funnelInsert(st: FunnelState, e: Event): FunnelState =
+    funnelStageOf.get(e.event_type).fold(st) { k =>
+      val key = (micros(e.ts), e.event_id)
+      def ins(lst: Vector[(Long, Long)]): Vector[(Long, Long)] = {
+        val i = lst.indexWhere(x => funnelOrd.gt(x, key))
+        if (i < 0) lst :+ key else (lst.take(i) :+ key) ++ lst.drop(i)
+      }
+      k match {
+        case 0 => st.copy(s = ins(st.s))
+        case 1 => st.copy(v = ins(st.v))
+        case 2 => st.copy(c = ins(st.c))
+        case _ => st.copy(p = ins(st.p))
+      }
+    }
+
+  /** The exact prune: while fₖ is defined, stage-k candidates above it
+    * can never be chosen later (fₖ is monotone non-increasing), so each
+    * list keeps only entries ≤ fₖ.
+    */
+  private def funnelPrune(st: FunnelState,
+      ch: Seq[Option[(Long, Long)]]): FunnelState = {
+    def prune(lst: Vector[(Long, Long)], f: Option[(Long, Long)]) =
+      f.map(fk => lst.filter(e => funnelOrd.lteq(e, fk))).getOrElse(lst)
+    FunnelState(prune(st.s, ch(0)), prune(st.v, ch(1)),
+      prune(st.c, ch(2)), prune(st.p, ch(3)))
+  }
+
   /** Continuous funnel-depth tracking — the streaming twin of
     * q41_funnel_pattern, exact under ARBITRARY cross-batch disorder
     * (unlike scd2Stream's in-order contract): a late-arriving signup must
@@ -328,42 +380,14 @@ object EventStreams {
     */
   def funnelStream(events: Dataset[Event]): Dataset[FunnelDepth] = {
     import events.sparkSession.implicits._
-    val stageOf = Map("signup" -> 0, "view" -> 1, "click" -> 2, "purchase" -> 3)
-    val ord = implicitly[Ordering[(Long, Long)]]
-
-    def chain(st: FunnelState): Seq[Option[(Long, Long)]] = {
-      val lists = Seq(st.s, st.v, st.c, st.p)
-      var cur: Option[(Long, Long)] = Some((Long.MinValue, Long.MinValue))
-      lists.map { lst =>
-        cur = cur.flatMap(prev => lst.find(e => ord.gt(e, prev)))
-        cur
-      }
-    }
 
     def update(userId: Long, rows: Iterator[Event],
         state: GroupState[FunnelState]): FunnelDepth = {
       var st = state.getOption.getOrElse(
         FunnelState(Vector.empty, Vector.empty, Vector.empty, Vector.empty))
-      rows.foreach { e =>
-        stageOf.get(e.event_type).foreach { k =>
-          val key = (micros(e.ts), e.event_id)
-          def ins(lst: Vector[(Long, Long)]): Vector[(Long, Long)] = {
-            val i = lst.indexWhere(x => ord.gt(x, key))
-            if (i < 0) lst :+ key else (lst.take(i) :+ key) ++ lst.drop(i)
-          }
-          st = k match {
-            case 0 => st.copy(s = ins(st.s))
-            case 1 => st.copy(v = ins(st.v))
-            case 2 => st.copy(c = ins(st.c))
-            case _ => st.copy(p = ins(st.p))
-          }
-        }
-      }
-      val ch = chain(st)
-      def prune(lst: Vector[(Long, Long)], f: Option[(Long, Long)]) =
-        f.map(fk => lst.filter(e => ord.lteq(e, fk))).getOrElse(lst)
-      st = FunnelState(prune(st.s, ch(0)), prune(st.v, ch(1)),
-        prune(st.c, ch(2)), prune(st.p, ch(3)))
+      rows.foreach(e => st = funnelInsert(st, e))
+      val ch = funnelChain(st)
+      st = funnelPrune(st, ch)
       // never store a row for a user who has no funnel-type events at
       // all: at scale the state store must track funnel-ACTIVE users,
       // not every user the stream has ever seen (the depth-0 output row
@@ -377,5 +401,80 @@ object EventStreams {
     events
       .groupByKey(_.user_id)
       .mapGroupsWithState(GroupStateTimeout.NoTimeout)(update)
+  }
+
+  /** The PRODUCTION variant of [[funnelStream]] — the TTL lever its doc
+    * comment names, made concrete in the [[graft.streaming.DocumentStreams.nearDupStreamTTL]]
+    * mold: the stream watermarks `ts` with the disorder horizon, and
+    * per-user candidate state ages out against that watermark, so state
+    * per user converges to the ≤ 4 chosen chain entries plus at most one
+    * horizon of fresh candidates — never the unbounded stage tails the
+    * exact variant must keep for arbitrarily-late unlocks.
+    *
+    * Unlike nearDupStreamTTL's best-effort band, this eviction is EXACT
+    * within the watermark contract (it only narrows disorder tolerance,
+    * never changes a depth): depths equal [[funnelStream]]'s whenever no
+    * event arrives later than the horizon allows. Why an aged non-chain
+    * candidate can never be missed: chain values fₖ only move DOWN, and
+    * they move only when an arrival creates a new minimum at some stage
+    * j. The lowest changed stage must choose the arrival itself (an
+    * older eligible candidate would already have been chosen), so
+    * f'ⱼ = ts(arrival) > watermark − horizon, and chain values strictly
+    * increase along stages, so every newly-chosen value at stages > j
+    * exceeds it too. A candidate with ts + horizon ≤ watermark can
+    * therefore never be newly chosen — evicting it is lossless. Chosen
+    * chain entries are exempt from eviction at ANY age: a year-old
+    * signup still anchors its user's funnel, exactly as in the batch
+    * twin.
+    *
+    * The EventTimeTimeout wakes IDLE users once their oldest non-chain
+    * candidate ages past the horizon, shrinking them to chain-only state
+    * without waiting for their next event; chain-only users carry no
+    * timeout (≤ 4 longs per funnel-active user is the semantic floor —
+    * dropping it would forget achieved depth, which the batch twin never
+    * does). Users with no funnel-type events are never stored, as in the
+    * exact variant.
+    */
+  def funnelStreamTTL(events: Dataset[Event],
+      horizonMinutes: Long = 120): Dataset[FunnelDepth] = {
+    import events.sparkSession.implicits._
+    val horizonMs = horizonMinutes * 60000L
+
+    def update(userId: Long, rows: Iterator[Event],
+        state: GroupState[FunnelState]): FunnelDepth = {
+      var st = state.getOption.getOrElse(
+        FunnelState(Vector.empty, Vector.empty, Vector.empty, Vector.empty))
+      if (!state.hasTimedOut) rows.foreach(e => st = funnelInsert(st, e))
+      val ch = funnelChain(st)
+      st = funnelPrune(st, ch)
+      // age-evict non-chain candidates the watermark has passed by more
+      // than the horizon (keys are (micros, event_id); watermark is ms)
+      val wmMs = state.getCurrentWatermarkMs()
+      val chosen = ch.flatten.toSet
+      def live(e: (Long, Long)): Boolean =
+        chosen.contains(e) || e._1 / 1000L + horizonMs > wmMs
+      st = FunnelState(st.s.filter(live), st.v.filter(live),
+        st.c.filter(live), st.p.filter(live))
+      if (st.s.nonEmpty || st.v.nonEmpty || st.c.nonEmpty || st.p.nonEmpty) {
+        state.update(st)
+        // wake when the oldest surviving NON-chain candidate ages out;
+        // survivors satisfy ts + horizon > wm, so the timeout is always
+        // in the watermark's future (the setTimeoutTimestamp contract)
+        val nonChain = (st.s ++ st.v ++ st.c ++ st.p).filterNot(chosen)
+        if (nonChain.nonEmpty)
+          state.setTimeoutTimestamp(nonChain.map(_._1).min / 1000L + horizonMs)
+      } else if (state.exists) {
+        // an unanchored user's whole candidate set aged out (no chain
+        // to keep): drop the row entirely — update() would pin empty
+        // vectors in the store forever
+        state.remove()
+      }
+      FunnelDepth(userId, ch.takeWhile(_.isDefined).length)
+    }
+
+    events
+      .withWatermark("ts", s"$horizonMinutes minutes")
+      .groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.EventTimeTimeout)(update)
   }
 }

@@ -674,10 +674,17 @@ class PlanShapeSpec extends SparkTestBase {
 
   test("d19: cluster labels broadcast onto the corpus scan; the corpus never shuffles to learn its cluster") {
     val plan = executedPlan("d19_cluster_best")
-    // labels are the checkpointed component output (the duplicated
-    // minority) — they must be the BUILD side of a broadcast join, and
-    // the documents scan must never appear under a broadcast (the d15
-    // walk: a corpus-sized broadcast OOMs the cluster)
+    // CONSUME-ONLY (round 10): the labels enter as a SCAN of the
+    // persisted component sidecar — the d09 CC loop must never run
+    // inline here (its shingle kernel would surface as MapPartitions)
+    assert(plan.contains("graft_labelstore"),
+      s"d19 must read the persisted label store:\n${plan.take(2000)}")
+    assert(countOf(plan, "MapPartitions") == 0,
+      s"the CC build leaked back into the consumer plan:\n${plan.take(2000)}")
+    // labels are the duplicated minority — they must be the BUILD side
+    // of a broadcast join, and the documents scan must never appear
+    // under a broadcast (the d15 walk: a corpus-sized broadcast OOMs
+    // the cluster)
     assert(plan.contains("BroadcastHashJoin"),
       s"labels must broadcast onto the scored corpus:\n${plan.take(2000)}")
     assert(!plan.contains("SortMergeJoin"),

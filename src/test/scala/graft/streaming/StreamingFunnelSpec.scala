@@ -62,6 +62,69 @@ class StreamingFunnelSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("TTL variant: aged chain entries survive, aged unanchored candidates evict") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[EventStreams.Event]
+    val q = EventStreams.funnelStreamTTL(in.toDS(), horizonMinutes = 60)
+      .writeStream.format("memory").queryName("funnelTTL1")
+      .outputMode("update").start()
+    try {
+      // u9 anchors a 2-deep chain; u5 holds an unanchored view
+      in.addData(
+        EventStreams.Event(1, ts("10:00"), 9, "signup", 0.0),
+        EventStreams.Event(2, ts("10:10"), 9, "view", 0.0),
+        EventStreams.Event(3, ts("10:05"), 5, "view", 0.0))
+      q.processAllAvailable()
+      assert(lastDepths("funnelTTL1")(9L) === 2)
+      assert(lastDepths("funnelTTL1")(5L) === 0)
+      // a non-funnel event 10 h later advances the watermark far past
+      // both users' horizon
+      in.addData(EventStreams.Event(4, ts("20:00"), 8, "error", 0.0))
+      q.processAllAvailable()
+      // u9's CHOSEN chain must survive aging: a fresh click continues
+      // the funnel from the year-old anchor, exactly like the batch twin
+      in.addData(
+        EventStreams.Event(5, ts("20:30"), 9, "click", 0.0),
+        // u5's aged unanchored view is gone; only the fresh chain counts
+        EventStreams.Event(6, ts("20:10"), 5, "signup", 0.0),
+        EventStreams.Event(7, ts("20:20"), 5, "view", 0.0))
+      q.processAllAvailable()
+      assert(lastDepths("funnelTTL1")(9L) === 3,
+        "aged chain anchor must still unlock later stages")
+      assert(lastDepths("funnelTTL1")(5L) === 2,
+        "fresh chain after eviction counts from scratch")
+    } finally q.stop()
+  }
+
+  test("TTL variant with a horizon wider than the stream equals the exact variant") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    val events = graft.core.Tables.events(spark, sf)
+      .select("event_id", "ts", "user_id", "event_type", "value").collect()
+      .map(r => EventStreams.Event(r.getLong(0), r.getTimestamp(1),
+        r.getLong(2), r.getString(3), r.getDouble(4)))
+    val shuffled = events.sortBy(e => (e.event_id % 7, -e.event_id))
+    val in = MemoryStream[EventStreams.Event]
+    // horizon far beyond the dataset's time span: nothing is ever late,
+    // nothing ever evicts — must reproduce the batch answer exactly
+    val q = EventStreams.funnelStreamTTL(in.toDS(),
+        horizonMinutes = 10L * 365 * 24 * 60)
+      .writeStream.format("memory").queryName("funnelTTL2")
+      .outputMode("update").start()
+    try {
+      shuffled.grouped(shuffled.length / 5 + 1).foreach { batch =>
+        in.addData(batch.toSeq)
+        q.processAllAvailable()
+      }
+      val expected = graft.SparkEntry.queries("q41_funnel_pattern")(spark, sf)
+        .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+      assert(lastDepths("funnelTTL2") === expected,
+        "wide-horizon TTL stream must equal the batch regex stages")
+    } finally q.stop()
+  }
+
   test("stream over shuffled sf0.001 events equals the batch q41 stages") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
