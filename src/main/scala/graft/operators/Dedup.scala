@@ -1439,6 +1439,103 @@ object Dedup {
            |WHERE greatest(est_j / (1.0 + est_j) * (size_a + size_b) / size_a,
            |  est_j / (1.0 + est_j) * (size_a + size_b) / size_b) >= 0.85
            |ORDER BY doc_a, doc_b""".stripMargin
+      }),
+
+    // The PRODUCTION containment path — d23's sketch screen COMPOSED
+    // with d22's exact verify, priced as the one plan a pipeline ships
+    // (before round 10 the two legs were only priced separately). The
+    // screen keeps banded pairs whose estimated containment clears 0.85
+    // in either direction — a 0.05 MARGIN below the verify threshold
+    // 0.9, absorbing the ±sqrt(c(1-c)/30) estimator noise band (d14's
+    // binomial argument; the recall spec measures what the margin
+    // misses); the verify leg then recomputes exact intersections over
+    // the SCREENED docs only and keeps ordered pairs that (a) clear the
+    // exact threshold and (b) arose from a screened candidate — so the
+    // answer is exactly d22 restricted to the screen, which is also
+    // what the oracle computes. Scope inherits d23's honesty: the
+    // candidates are full-set LSH bands, so low-J containments (tiny
+    // doc inside a huge one) are invisible to the screen — d22's
+    // one-sided prefix join remains the exact tool for those; THIS
+    // query prices the competitive-size common case. Shape: ONE shingle
+    // kernel pass (the checkpointed exploded frame feeds signatures,
+    // sizes AND the verify's inverted index — ReusedExchange, plan-
+    // asserted); the screened pair set is output-bound and BROADCASTS
+    // into both the doc restriction and the pair-level semi-join; at
+    // 100 TB the exact leg touches only screened docs' shingles, the
+    // property that makes the composition affordable where d22 alone
+    // prefix-scans the whole corpus.
+    Q("d24_containment_screened",
+      "production containment: d23 sketch screen (margin 0.85) feeding d22's exact verify at t=0.9",
+      (s, d) => {
+        val ex = explodedShingles(s, d).localCheckpoint(true)
+        val sizes = ex.groupBy("doc_id").agg(max(col("nsh")).as("nsh"))
+        val sigs = minhashSigs(ex).localCheckpoint(true)
+        val est = signatureAttach(bandedCandidates(sigs), sigs)
+          .select(col("doc_a"), col("doc_b"),
+            (col("est_matches") * lit(1.0) / 30).as("est_j"))
+        val screened = est
+          .join(sizes.select(col("doc_id").as("doc_a"),
+            col("nsh").as("size_a")).hint("shuffle_hash"), Seq("doc_a"))
+          .join(sizes.select(col("doc_id").as("doc_b"),
+            col("nsh").as("size_b")).hint("shuffle_hash"), Seq("doc_b"))
+          .filter(greatest(
+            col("est_j") / (lit(1.0) + col("est_j"))
+              * (col("size_a") + col("size_b")) / col("size_a"),
+            col("est_j") / (lit(1.0) + col("est_j"))
+              * (col("size_a") + col("size_b")) / col("size_b")) >= 0.85)
+          .select(col("doc_a"), col("doc_b"))
+          // output-bound by the screen: materialize once, broadcast into
+          // both verify-leg joins below
+          .localCheckpoint(true)
+        containmentPairs(restrictToCandidateDocs(ex, screened), 0.9)
+          // doc-level restriction over-generates (two screened docs can
+          // meet through partners outside their screened pair) — keep
+          // exactly the screened PAIRS, either orientation
+          .join(broadcast(screened.select(col("doc_a").as("ka"),
+              col("doc_b").as("kb"))),
+            least(col("doc_a"), col("doc_b")) === col("ka") &&
+              greatest(col("doc_a"), col("doc_b")) === col("kb"),
+            "left_semi")
+          .orderBy("doc_a", "doc_b")
+      },
+      Some {
+        val aList = MinHashCoeffs.map(_._1).mkString("[", ",", "]")
+        val bList = MinHashCoeffs.map(_._2).mkString("[", ",", "]")
+        s"""$sqlShingled,
+           |hs AS (SELECT doc_id,
+           |    list_transform(sh, g0 -> ('0x' || substr(md5(g0), 1, 15))::BIGINT % 2147483647) AS gs
+           |  FROM sh),
+           |sig AS (SELECT doc_id, list_transform(range(0, 30), k ->
+           |      list_aggregate(list_transform(gs,
+           |        g -> (g * ($aList)[k+1] + ($bList)[k+1]) % 2147483647), 'min')) AS sig
+           |  FROM hs),
+           |cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sig AS sa, b.sig AS sb
+           |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+           |  WHERE len(list_filter(range(0, 10), j ->
+           |    a.sig[3*j+1] = b.sig[3*j+1] AND a.sig[3*j+2] = b.sig[3*j+2]
+           |      AND a.sig[3*j+3] = b.sig[3*j+3])) > 0),
+           |est AS (SELECT doc_a, doc_b,
+           |    len(list_filter(range(0, 30), k -> sa[k+1] = sb[k+1])) * 1.0 / 30 AS est_j
+           |  FROM cand),
+           |scr AS (SELECT e.doc_a, e.doc_b
+           |  FROM est e JOIN sh a ON e.doc_a = a.doc_id
+           |    JOIN sh b ON e.doc_b = b.doc_id
+           |  WHERE greatest(est_j / (1.0 + est_j) * (a.nsh + b.nsh) / a.nsh,
+           |    est_j / (1.0 + est_j) * (a.nsh + b.nsh) / b.nsh) >= 0.85),
+           |ex AS (SELECT doc_id, nsh, unnest(sh) AS shingle FROM sh),
+           |pairs AS (
+           |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           |    a.nsh AS size_a, b.nsh AS size_b, count(*)::BIGINT AS intersection
+           |  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+           |  GROUP BY 1, 2, 3, 4)
+           |SELECT p.doc_a, p.doc_b, p.size_a::BIGINT AS size_a,
+           |  p.size_b::BIGINT AS size_b, p.intersection,
+           |  p.intersection * 1.0 / p.size_a AS containment
+           |FROM pairs p JOIN scr s
+           |  ON least(p.doc_a, p.doc_b) = s.doc_a
+           |  AND greatest(p.doc_a, p.doc_b) = s.doc_b
+           |WHERE p.intersection * 1.0 / p.size_a >= 0.9
+           |ORDER BY p.doc_a, p.doc_b""".stripMargin
       })
   )
 

@@ -830,6 +830,41 @@ class PlanShapeSpec extends SparkTestBase {
       s"a corpus-proportional side got broadcast:\n${plan.take(2000)}")
   }
 
+  test("d24: one kernel pass feeds screen and verify; screened pairs broadcast; corpus never does") {
+    val plan = executedPlan("d24_containment_screened")
+    // every kernel (shingles, signatures) ran inside the eager
+    // checkpoints during construction — the composed plan is
+    // checkpoint-scan-only
+    assert(countOf(plan, "MapPartitions") == 0,
+      s"a kernel leaked into the composed containment plan:\n${plan.take(2000)}")
+    // the screen leg (band join, size attaches) ran inside the screened
+    // set's eager checkpoint — its shapes are pinned by the d23 test;
+    // HERE the executed plan is the verify leg, whose inverted-index
+    // self-join must reuse one canonical shingle exchange and stay a
+    // merge join (spillable, skew-splittable — never a static broadcast
+    // of the misestimated exploded frame)
+    assert(plan.contains("ReusedExchange"),
+      s"the verify self-join must reuse the shingle exchange:\n${plan.take(2000)}")
+    assert(plan.contains("SortMergeJoin"),
+      s"the verify join must stay a merge join:\n${plan.take(2000)}")
+    // the output-bound screened pair set broadcasts into the verify leg
+    // (doc restriction + pair-level semi)
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      s"screened candidates must broadcast into the verify joins:\n${plan.take(2000)}")
+    // and nothing corpus-sized may sit under a broadcast
+    val lines = plan.linesIterator.toVector
+    def indent(l: String): Int =
+      l.takeWhile(c => c == ' ' || c == ':' || c == '+' || c == '-').length
+    lines.zipWithIndex.filter(_._1.contains("BroadcastExchange")).foreach {
+      case (bl, i) =>
+        val bi = indent(bl)
+        val subtree = lines.drop(i + 1).takeWhile(l =>
+          l.trim.isEmpty || indent(l) > bi)
+        assert(!subtree.exists(l => l.contains("documents.parquet")),
+          s"the corpus must never broadcast:\n$bl\n${subtree.take(12).mkString("\n")}")
+    }
+  }
+
   test("t18: the pruned LM is a global top-k and broadcasts; the batch never shuffles on bigram") {
     val plan = executedPlan("t18_lm_familiarity")
     // fixed LM size ⇒ TakeOrderedAndProject (K rows per partition fold),
