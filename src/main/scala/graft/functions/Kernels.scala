@@ -63,6 +63,43 @@ object Kernels {
     if (text == null) Array.empty
     else tokenize(text.toLowerCase(java.util.Locale.ROOT))
 
+  /** Greedy BPE merge application (t25): start from the word's UTF-16
+    * code units, then for each 2-char merge pair in RANK ORDER run one
+    * left-to-right non-overlapping pass replacing adjacent singleton
+    * tokens (x, y) with the merged token xy — exactly the semantics of
+    * a sequential `replace()` on a token-delimited string, which is how
+    * the DuckDB oracle computes the same segmentation (the t25
+    * kernel↔oracle property pins the equivalence). Merges from t22 are
+    * always char pairs, so merged tokens are 2 units long and never
+    * themselves merge-eligible — the honest scope of applying FIRST-
+    * ROUND pair statistics (true BPE would recount pairs after every
+    * merge; t22/t25 price the first K merges of round one).
+    */
+  def bpeApply(word: String, merges: Array[String]): Array[String] = {
+    var toks: Array[String] = {
+      val a = new Array[String](word.length)
+      var i = 0
+      while (i < word.length) { a(i) = word.substring(i, i + 1); i += 1 }
+      a
+    }
+    var mi = 0
+    while (mi < merges.length) {
+      val m = merges(mi)
+      val x = m.substring(0, 1)
+      val y = m.substring(1)
+      val b = Array.newBuilder[String]
+      var i = 0
+      while (i < toks.length) {
+        if (i + 1 < toks.length && toks(i) == x && toks(i + 1) == y) {
+          b += m; i += 2
+        } else { b += toks(i); i += 1 }
+      }
+      toks = b.result()
+      mi += 1
+    }
+    toks
+  }
+
   /** Distinct word-trigram 60-bit shingle hashes of a token array. Twin of
     * `list_distinct(list_transform(range(1, len(toks)-1), i -> toks[i] || ' ' || ...))`
     * hashed with h60; empty when the document has fewer than 3 tokens.

@@ -1125,7 +1125,109 @@ object TextAnalysis {
              |SELECT source, lang, n_docs, n_tokens, n_dup_docs,
              |  n_docs * 1.0 / total_docs AS doc_share,
              |  n_dup_docs * 1.0 / n_docs AS dup_rate
-             |FROM t ORDER BY source, lang""".stripMargin))
+             |FROM t ORDER BY source, lang""".stripMargin)),
+
+    // BPE merge APPLICATION — the leg that closes the tokenizer loop
+    // t01 (pre-token counts) → t10 (vocab) → t22 (pair statistics) →
+    // HERE: segment every document with t22's top-20 merges applied in
+    // rank order and fingerprint the result, i.e. what a tokenizer
+    // build actually does with the statistics it trained. Segmentation
+    // is [[Kernels.bpeApply]]: per word, greedy left-to-right passes
+    // over the char tokens, one pass per merge in rank order (the
+    // honest first-round-statistics scope — true BPE recounts pairs
+    // between merges; the doc comment there details the equivalence
+    // with the oracle's sequential delimiter-replace). Output per doc:
+    // the post-merge token count and an md5 fingerprint of the full
+    // segmented form (tokens joined by US within words, words by
+    // space), so the gate pins every token boundary of every document
+    // without shipping corpus-sized text. Shape (§7.4 rule 12): the
+    // merge table is FIXED-SIZE by construction (top-20) — it folds
+    // map-side through TakeOrderedAndProject, collapses to ONE ordered
+    // array row, and broadcasts into the segmentation kernel's cross
+    // join; the corpus is scanned once, segment + count + md5 ride the
+    // scan, and the only corpus exchange is the output sort. At 100 TB
+    // nothing here shuffles or buffers beyond the 20-row sidecar.
+    Q("t25_bpe_apply",
+      "segment every doc with t22's top-20 merges in rank order: per-doc token count + md5 of the segmented form",
+      (s, d) => {
+        import s.implicits._
+        val pairs = docs(s, d).select(col("doc_id"), col("text"))
+          .as[(Long, String)]
+          .mapPartitions(_.flatMap { case (_, tx) =>
+            Kernels.lowerTokens(tx).iterator.flatMap { w =>
+              (0 until w.length - 1).iterator.map(i => w.substring(i, i + 2))
+            }
+          })
+          .toDF("pair")
+        // rank-ordered merge array: sort_array over (-count, md5, pair)
+        // structs = t22's exact (count desc, md5 tiebreak) order, fully
+        // deterministic where a bare collect_list is not; the transform
+        // HOF runs once over one 20-element row (rule 11 does not apply)
+        val merges = pairs.groupBy("pair")
+          .agg(count(lit(1)).as("pair_count"))
+          .orderBy(col("pair_count").desc, md5(col("pair")))
+          .limit(20)
+          .agg(sort_array(collect_list(struct(
+            (-col("pair_count")).as("nc"), md5(col("pair")).as("tb"),
+            col("pair").as("p")))).as("ms"))
+          .select(expr("transform(ms, x -> x.p)").as("merges"))
+        docs(s, d).select(col("doc_id"), col("text"))
+          .crossJoin(broadcast(merges))
+          .as[(Long, String, Seq[String])]
+          .mapPartitions { it =>
+            var mArr: Array[String] = null
+            it.map { case (id, text, ms) =>
+              if (mArr == null) mArr = ms.toArray
+              val words = Kernels.lowerTokens(text)
+              var n = 0L
+              val sb = new StringBuilder
+              var wi = 0
+              while (wi < words.length) {
+                if (wi > 0) sb.append(' ')
+                val toks = Kernels.bpeApply(words(wi), mArr)
+                n += toks.length
+                var ti = 0
+                while (ti < toks.length) {
+                  if (ti > 0) sb.append('\u001f')
+                  sb.append(toks(ti))
+                  ti += 1
+                }
+                wi += 1
+              }
+              (id, n, md5HexScala(sb.toString))
+            }
+          }
+          .toDF("doc_id", "n_tokens", "seg_md5")
+          .orderBy("doc_id")
+      },
+      Some("""WITH n AS (SELECT doc_id,
+             |    coalesce(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '') AS norm
+             |  FROM documents),
+             |w AS (SELECT unnest(list_filter(string_split(norm, ' '), t -> t <> '')) AS word FROM n),
+             |p AS (SELECT substr(word, i, 2) AS pair
+             |  FROM w, unnest(range(1, len(word))) AS u(i)
+             |  WHERE len(word) >= 2),
+             |c AS (SELECT pair, count(*)::BIGINT AS pair_count FROM p GROUP BY pair),
+             |r AS (SELECT pair, row_number() OVER (ORDER BY pair_count DESC, md5(pair)) AS rank FROM c),
+             |m AS (SELECT list(pair ORDER BY rank) AS merges FROM r WHERE rank <= 20),
+             |tw AS (SELECT doc_id, list_filter(string_split(norm, ' '), t -> t <> '') AS toks FROM n),
+             |seg AS (SELECT doc_id, list_transform(toks, wd ->
+             |    replace(trim(
+             |      list_reduce(
+             |        list_prepend(
+             |          list_aggregate(list_transform(string_split(wd, ''),
+             |            ch -> chr(30) || ch || chr(30)), 'string_agg', ''),
+             |          merges),
+             |        (acc, mm) -> replace(acc,
+             |          chr(30) || substr(mm, 1, 1) || chr(30) || chr(30) || substr(mm, 2, 1) || chr(30),
+             |          chr(30) || mm || chr(30))),
+             |      chr(30)), chr(30) || chr(30), chr(31))) AS word_forms
+             |  FROM tw CROSS JOIN m)
+             |SELECT doc_id,
+             |  coalesce(list_aggregate(list_transform(word_forms,
+             |    f -> len(string_split(f, chr(31)))), 'sum'), 0)::BIGINT AS n_tokens,
+             |  md5(coalesce(list_aggregate(word_forms, 'string_agg', ' '), '')) AS seg_md5
+             |FROM seg ORDER BY doc_id""".stripMargin))
   )
 
   /** t18/t19's shared oracle: the LM re-derived from the stored slice's

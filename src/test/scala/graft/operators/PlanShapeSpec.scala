@@ -865,6 +865,20 @@ class PlanShapeSpec extends SparkTestBase {
     }
   }
 
+  test("t25: the merge table is a broadcast top-k fold; the corpus never shuffles to segment") {
+    val plan = executedPlan("t25_bpe_apply")
+    // top-20 merge selection folds partially (K rows per partition),
+    // never a full sort of the pair vocabulary
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"the top-20 merge prune must be a partial top-k:\n${plan.take(2000)}")
+    // the one-row rank-ordered merge array broadcasts into the
+    // segmentation kernel's cross join; the corpus side stays in-map
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"the merge array must broadcast onto the corpus scan:\n${plan.take(2000)}")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"segmentation must not shuffle the corpus:\n${plan.take(2000)}")
+  }
+
   test("t18: the pruned LM is a global top-k and broadcasts; the batch never shuffles on bigram") {
     val plan = executedPlan("t18_lm_familiarity")
     // fixed LM size ⇒ TakeOrderedAndProject (K rows per partition fold),

@@ -219,4 +219,27 @@ class PropertiesSpec extends SparkTestBase {
       assert(n * n - sq === unequalPairs)
     }
   }
+
+  test("Kernels.bpeApply equals the oracle's sequential delimiter-replace on random words") {
+    import graft.functions.Kernels
+    // a 4-letter alphabet with 6 random merges maximizes cascade
+    // interactions (aa on aaaa, overlapping x/y roles, dead merges)
+    val wordGen = Gen.nonEmptyListOf(Gen.oneOf('a', 'b', 'c', 'd'))
+      .map(_.mkString.take(24))
+    val mergeGen = Gen.listOfN(6,
+      Gen.zip(Gen.oneOf('a', 'b', 'c', 'd'), Gen.oneOf('a', 'b', 'c', 'd'))
+        .map { case (x, y) => s"$x$y" }).map(_.distinct)
+    val RS = "\u001e"
+    sample(Gen.zip(wordGen, mergeGen), 400, 11L).foreach { case (w, ms) =>
+      val kernel = Kernels.bpeApply(w, ms.toArray).toSeq
+      // the t25 oracle's algorithm verbatim: wrap each char as RS c RS,
+      // then per merge one global left-to-right non-overlapping
+      // replace(RS x RS RS y RS -> RS xy RS) — String.replace and
+      // DuckDB's replace share that contract
+      var s = w.map(c => s"$RS$c$RS").mkString
+      for (m <- ms) s = s.replace(s"$RS${m(0)}$RS$RS${m(1)}$RS", s"$RS$m$RS")
+      val ref = s.stripPrefix(RS).stripSuffix(RS).split(s"$RS$RS").toSeq
+      assert(kernel === ref, s"word=$w merges=$ms")
+    }
+  }
 }
