@@ -242,8 +242,14 @@ object Kernels {
     * Used by the streaming near-dup frontier, where signatures must be
     * computed per arriving document rather than by a groupBy.
     */
-  def minhashSig(toks: Array[String]): Option[Array[Long]] = {
-    val sh = shingles(toks)
+  def minhashSig(toks: Array[String]): Option[Array[Long]] =
+    minhashSigOf(shingles(toks))
+
+  /** [[minhashSig]] from an already-computed distinct-shingle array — for
+    * callers that also need the shingle COUNT (the containment stream's
+    * exact set sizes) and must not pay the shingle pass twice.
+    */
+  def minhashSigOf(sh: Array[Long]): Option[Array[Long]] = {
     if (sh.isEmpty) None
     else {
       val sig = Array.fill(30)(Long.MaxValue)

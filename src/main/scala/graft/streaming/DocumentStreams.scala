@@ -110,7 +110,7 @@ object DocumentStreams {
     * can watermark and expire on it.
     */
   final case class BandRow(band: Int, bkey: Long, doc_id: Long,
-      ingest_ts: Timestamp, sig: Array[Long])
+      ingest_ts: Timestamp, sig: Array[Long], nsh: Long)
 
   /** A detected near-duplicate: `doc_id` arrived after `dup_of` and their
     * signatures agree on `est_matches` of 30 components.
@@ -143,7 +143,8 @@ object DocumentStreams {
   private def bandedOf(docs: Dataset[Doc]): Dataset[BandRow] = {
     import docs.sparkSession.implicits._
     docs.flatMap { d =>
-      Kernels.minhashSig(Kernels.lowerTokens(d.text)) match {
+      val sh = Kernels.shingles(Kernels.lowerTokens(d.text))
+      Kernels.minhashSigOf(sh) match {
         case None => Iterator.empty // < 3 tokens: no shingles, no signature
         case Some(sig) =>
           (0 until 10).iterator.map { j =>
@@ -155,7 +156,9 @@ object DocumentStreams {
                 .hashLong(sig(3 * j + k), h)
               k += 1
             }
-            BandRow(j, h, d.doc_id, d.ingest_ts, sig)
+            // nsh = the distinct-shingle count, the batch explodedShingles
+            // `nsh` — ContainmentStream's exact set size, free here
+            BandRow(j, h, d.doc_id, d.ingest_ts, sig, sh.length.toLong)
           }
       }
     }
@@ -316,6 +319,157 @@ object DocumentStreams {
         GroupStateTimeout.EventTimeTimeout) {
         (key: (Int, Long), rows: Iterator[BandRow],
             state: GroupState[List[(Long, Array[Long], Long)]]) =>
+          update(key._1, rows, state)
+      }
+  }
+
+  /** A screened containment candidate, the batch d23 row shape: `doc_a`
+    * < `doc_b` always (the batch normalization), exact distinct-shingle
+    * sizes, the 30-component agreement count, and Broder's containment
+    * estimates in both orientations from the one symmetric estimate.
+    */
+  final case class ContainmentEst(doc_a: Long, doc_b: Long, size_a: Long,
+      size_b: Long, est_matches: Long, est_c_a_in_b: Double,
+      est_c_b_in_a: Double)
+
+  /** Shared pair fold of [[containmentStream]]/[[containmentStreamTTL]]:
+    * the d23 algebra on one (stored, arriving) signature pair —
+    * Ĵ = matches/30, |A∩B| = Ĵ/(1+Ĵ)·(|A|+|B|), ĉ both ways — emitted
+    * only when the pair's smallest agreeing band is THIS bucket's (the
+    * nearDupStream unique-emission rule) and either orientation clears
+    * `minEst`. The float expressions mirror the batch d23 column
+    * arithmetic operation-for-operation (same IEEE ops, same
+    * associativity), so the batch≡stream spec can require bit equality,
+    * not tolerance.
+    */
+  private def containmentEmit(band: Int, r: BandRow,
+      prev: (Long, Array[Long], Long), minEst: Double)
+      : Option[ContainmentEst] = {
+    val (pid, psig, pnsh) = prev
+    var m = 0
+    var k = 0
+    while (k < 30) { if (psig(k) == r.sig(k)) m += 1; k += 1 }
+    if (minAgreeingBand(psig, r.sig) != band) None
+    else {
+      val (aId, aN, bId, bN) =
+        if (pid < r.doc_id) (pid, pnsh, r.doc_id, r.nsh)
+        else (r.doc_id, r.nsh, pid, pnsh)
+      val estJ = m * 1.0 / 30
+      val cAB = estJ / (1.0 + estJ) * (aN + bN) / aN
+      val cBA = estJ / (1.0 + estJ) * (aN + bN) / bN
+      if (math.max(cAB, cBA) >= minEst)
+        Some(ContainmentEst(aId, bId, aN, bN, m.toLong, cAB, cBA))
+      else None
+    }
+  }
+
+  /** Continuous CONTAINMENT screening — the streaming twin of d23
+    * (graft.operators.Dedup, d23_containment_estimate), the sketch
+    * screen of the d24 production path run incrementally: each arriving
+    * document's signature lands in its 10 band buckets (the
+    * [[nearDupStream]] mold — same band fold, same bucket keys, so the
+    * candidate pairs are STRUCTURALLY the batch LSH candidate set); the
+    * bucket state holds (doc_id, signature, exact set size) — the size
+    * attach that is a shuffle-hash join in the batch plan is a FIELD
+    * here, carried with the signature, so the stream pays zero extra
+    * exchanges for it — and a new arrival emits the d23 estimate row
+    * against every stored signature whose smallest agreeing band is
+    * this bucket's and whose estimated containment clears `minEst` in
+    * either direction. Scope inherits d23's honesty: band recall decays
+    * with symmetric J, so low-J containments (tiny doc inside a huge
+    * one) are invisible — the periodic batch d22 over the sink owns
+    * those. State: 248 B per (doc, band) entry, never the document;
+    * this exact variant never expires (the batch≡stream contract needs
+    * the full horizon); [[containmentStreamTTL]] is the production
+    * lever.
+    */
+  def containmentStream(docs: Dataset[Doc],
+      minEst: Double = 0.85): Dataset[ContainmentEst] = {
+    import docs.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+    def update(band: Int, rows: Iterator[BandRow],
+        state: GroupState[List[(Long, Array[Long], Long)]])
+        : Iterator[ContainmentEst] = {
+      var seen = state.getOption.getOrElse(Nil)
+      val seenIds = scala.collection.mutable.HashSet(seen.map(_._1): _*)
+      val out = List.newBuilder[ContainmentEst]
+      for (r <- rows.toSeq.sortBy(_.doc_id)) {
+        if (seenIds.add(r.doc_id)) { // false: redelivery, already folded
+          for (prev <- seen; hit <- containmentEmit(band, r, prev, minEst))
+            out += hit
+          seen = (r.doc_id, r.sig, r.nsh) :: seen
+        }
+      }
+      state.update(seen)
+      out.result().iterator
+    }
+
+    bandedOf(docs).groupByKey(b => (b.band, b.bkey))
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        (key: (Int, Long), rows: Iterator[BandRow],
+            state: GroupState[List[(Long, Array[Long], Long)]]) =>
+          update(key._1, rows, state)
+      }
+  }
+
+  /** The PRODUCTION variant of [[containmentStream]] — the
+    * [[nearDupStreamTTL]] retention rule verbatim: per-bucket entries
+    * expire once the watermark passes ingest + horizon (an entry
+    * outlives every arrival the watermark still admits that could pair
+    * with it within the horizon), groups time out at newest-entry +
+    * horizon and REMOVE their state. Same guarantee ladder: pairs
+    * within one horizon of each other always screen; one-to-two
+    * horizons best-effort; further apart is the periodic batch d22/d23
+    * over the sink's job. Same at-least-once degradation under
+    * redelivery-past-eviction; sinks dedup on (doc_a, doc_b). State is
+    * bounded by ≤2 horizons of document volume × 10 band rows at
+    * 256 B/entry regardless of stream lifetime.
+    */
+  def containmentStreamTTL(docs: Dataset[Doc], minEst: Double = 0.85,
+      horizonMinutes: Long = 120): Dataset[ContainmentEst] = {
+    import docs.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val horizonMs = horizonMinutes * 60000L
+
+    def update(band: Int, rows: Iterator[BandRow],
+        state: GroupState[List[(Long, Array[Long], Long, Long)]])
+        : Iterator[ContainmentEst] = {
+      if (state.hasTimedOut) {
+        state.remove()
+        Iterator.empty
+      } else {
+        val wm = state.getCurrentWatermarkMs()
+        var seen = state.getOption.getOrElse(Nil)
+          .filter(_._4 + horizonMs > wm)
+        val seenIds = scala.collection.mutable.HashSet(seen.map(_._1): _*)
+        val out = List.newBuilder[ContainmentEst]
+        for (r <- rows.toSeq.sortBy(_.doc_id)) {
+          if (seenIds.add(r.doc_id)) {
+            for {
+              (pid, psig, pnsh, _) <- seen
+              hit <- containmentEmit(band, r, (pid, psig, pnsh), minEst)
+            } out += hit
+            seen = (r.doc_id, r.sig, r.nsh, r.ingest_ts.getTime) :: seen
+          }
+        }
+        if (seen.isEmpty) state.remove()
+        else {
+          state.update(seen)
+          state.setTimeoutTimestamp(seen.map(_._4).max + horizonMs)
+        }
+        out.result().iterator
+      }
+    }
+
+    bandedOf(docs)
+      .withWatermark("ingest_ts", s"$horizonMinutes minutes")
+      .groupByKey(b => (b.band, b.bkey))
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout) {
+        (key: (Int, Long), rows: Iterator[BandRow],
+            state: GroupState[List[(Long, Array[Long], Long, Long)]]) =>
           update(key._1, rows, state)
       }
   }

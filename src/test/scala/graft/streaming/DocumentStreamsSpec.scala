@@ -548,4 +548,85 @@ class DocumentStreamsSpec extends SparkTestBase {
         "the split must exercise both in-batch and cross-batch detection")
     } finally q.stop()
   }
+
+  test("containmentStream equals the batch d23 answer on shuffled replay across batch boundaries") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    implicit val sq = spark.sqlContext
+    val d = "/root/testdata/sf0.001"
+    // batch answer: banded candidates with either-direction estimated
+    // containment >= 0.85 — full row tuples, doubles compared EXACTLY
+    // (the stream mirrors the batch float expressions op-for-op)
+    val batch = graft.SparkEntry.queries("d23_containment_estimate")(spark, d)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5),
+          r.getDouble(6))).toMap
+    assert(batch.nonEmpty, "fixture must plant qualifying containments")
+
+    // SHUFFLED replay: arrival order must not matter — the stream
+    // normalizes each emitted pair to (min id, max id) like the batch
+    val docs = graft.core.Tables.documents(spark, d)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"))
+      .collect()
+      .map(r => DocumentStreams.Doc(r.getLong(0), ts("09:00"),
+        r.getString(1), r.getString(2), r.getString(3)))
+    val shuffled = new scala.util.Random(42L).shuffle(docs.toSeq)
+    val (first, second) = shuffled.splitAt(shuffled.length / 2)
+    val in = MemoryStream[DocumentStreams.Doc]
+    val q = DocumentStreams.containmentStream(in.toDS())
+      .writeStream.format("memory").queryName("containment_stream")
+      .outputMode("append").start()
+    try {
+      in.addData(first)
+      q.processAllAvailable()
+      in.addData(second)
+      q.processAllAvailable()
+      val streamed = spark.table("containment_stream")
+        .as[DocumentStreams.ContainmentEst].collect()
+        .map(c => (c.doc_a, c.doc_b) ->
+          (c.size_a, c.size_b, c.est_matches, c.est_c_a_in_b,
+            c.est_c_b_in_a)).toMap
+      assert(streamed === batch,
+        "streamed containment screen must equal the batch d23 answer")
+    } finally q.stop()
+  }
+
+  test("containmentStreamTTL: screens within horizon, forgets past it") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val base = goodText + " plus some more distinct trailing words to shingle on"
+    def doc(id: Long, when: String, text: String) =
+      DocumentStreams.Doc(id, ts(when), text, "en", "src")
+    val in = MemoryStream[DocumentStreams.Doc]
+    val q = DocumentStreams.containmentStreamTTL(in.toDS(), horizonMinutes = 120)
+      .writeStream.format("memory").queryName("containment_ttl")
+      .outputMode("append").start()
+    def pairs() = spark.table("containment_ttl")
+      .as[DocumentStreams.ContainmentEst].collect()
+      .map(c => (c.doc_a, c.doc_b)).toSet
+    try {
+      // 2 is 1 plus a short tail: 1's shingles are a subset, so the
+      // containment screen must flag the pair (J is high because the
+      // sizes are competitive — the operator's documented sweet spot)
+      in.addData(doc(1L, "10:00", base),
+        doc(2L, "10:05", base + " tiny tail appended"))
+      q.processAllAvailable()
+      assert(pairs() === Set((1L, 2L)), "within-horizon pair must screen")
+      // distinct far-future filler advances the watermark ~8h: every
+      // stored entry ages past ingest + horizon
+      in.addData(doc(99L, "20:00",
+        "completely different filler content with enough words to build " +
+          "its own shingles and advance the event time frontier far ahead"))
+      q.processAllAvailable()
+      // 3 replays 1's text after expiry: the old pair partners are
+      // forgotten (documented recall trade — the batch d22/d23 over the
+      // sink owns cross-horizon pairs); 4 within 3's horizon screens
+      in.addData(doc(3L, "20:05", base),
+        doc(4L, "20:06", base + " tiny tail appended"))
+      q.processAllAvailable()
+      assert(pairs() === Set((1L, 2L), (3L, 4L)),
+        "expired partners must not screen; fresh within-horizon pair must")
+    } finally q.stop()
+  }
 }
