@@ -915,15 +915,38 @@ object Dedup {
     // DotProductD expression (graft.plans), so the whole pair scan is one
     // WholeStageCodegen span; the LSH-bucketed scale path is s02_knn_lsh.
     Q("d05_embedding_neardup",
-      "embedding near-duplicate pairs by cosine >= 0.4 (brute-force exact)",
+      "embedding near-duplicate pairs by cosine >= 0.4 (brute-force exact, block-bipartite)",
       (s, d) => {
+        // Exact all-pairs WITHOUT broadcasting the corpus: the classic
+        // block-bipartite (triangle) join. Each side replicates B× onto
+        // a broadcast B×B block grid and the join colocates block pair
+        // (ba, bb) = (vec_id_a % B, vec_id_b % B), so every unordered
+        // pair meets in EXACTLY one of the B² equi-join groups (the
+        // ordered (blk a, blk b) cell; vec_a < vec_b picks the
+        // direction). Same n²/2 comparisons as a corpus broadcast, but
+        // the memory shape ships: B× row replication through a shuffle
+        // (tunable; B² >= cores for parallelism) instead of an n-row
+        // broadcast build that OOMs the moment the embedding table
+        // outgrows one executor. This stays the deliberately-EXACT
+        // baseline the s-family / d13 sketch paths are audited against;
+        // at real corpus scale you run those, not this — but this one
+        // now degrades in time, not in feasibility.
         graft.plans.VectorExpressions.register(s)
+        import s.implicits._
+        val B = 8
+        val grid = broadcast(
+          (for { i <- 0 until B; j <- 0 until B } yield (i, j))
+            .toDF("ba", "bb"))
         val e = Tables.embeddings(s, d)
           .select(col("vec_id"), vecD(col("embedding")).as("v"))
           .withColumn("nrm", sqrt(dotFast(col("v"), col("v"))))
-        val a = e.select(col("vec_id").as("vec_a"), col("v").as("va"), col("nrm").as("na"))
-        val b = e.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("nrm").as("nb"))
-        a.crossJoin(broadcast(b))
+        val a = e.select(col("vec_id").as("vec_a"), col("v").as("va"),
+          col("nrm").as("na"), pmod(col("vec_id"), lit(B)).cast("int").as("ba"))
+          .join(grid, Seq("ba"))
+        val b = e.select(col("vec_id").as("vec_b"), col("v").as("vb"),
+          col("nrm").as("nb"), pmod(col("vec_id"), lit(B)).cast("int").as("bb"))
+          .join(grid, Seq("bb"))
+        a.join(b.hint("shuffle_hash"), Seq("ba", "bb"))
           .filter(col("vec_a") < col("vec_b"))
           .withColumn("cosine", dotFast(col("va"), col("vb")) / (col("na") * col("nb")))
           .filter(col("cosine") >= 0.4)
