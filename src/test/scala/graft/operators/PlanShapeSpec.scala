@@ -767,6 +767,20 @@ class PlanShapeSpec extends SparkTestBase {
       s"candidate/verify joins must reuse shingle exchanges:\n${plan.take(2000)}")
   }
 
+  test("d05: block-bipartite all-pairs — only the block grid broadcasts, the corpus shuffle-hash colocates") {
+    val plan = executedPlan("d05_embedding_neardup")
+    // the ONLY broadcast builds are the 64-row block grid joins; the
+    // embeddings table itself must reach the pair join through a shuffle
+    // (the feasibility property: no corpus-sized broadcast build)
+    assert(plan.contains("ShuffledHashJoin") || plan.contains("SortMergeJoin"),
+      s"block pair join must colocate via shuffle, not broadcast:\n${plan.take(2000)}")
+    val bhjCount = countOf(plan, "BroadcastHashJoin")
+    assert(bhjCount == 2,
+      s"exactly the two grid replications may broadcast (got $bhjCount):\n${plan.take(2000)}")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      "all-pairs must be the equi-join on (ba, bb), never a nested loop")
+  }
+
   test("q41: funnel is ONE user exchange with a map-side partial list build") {
     val plan = executedPlan("q41_funnel_pattern")
     assert(countOf(plan, "Exchange hashpartitioning") == 1,
