@@ -158,6 +158,23 @@ object Dedup {
     g.groupBy("doc_id").agg(mhCols.head, mhCols.tail: _*)
   }
 
+  /** [[minhashSigs]] plus the exact distinct-shingle count (`nsh`) in
+    * the SAME aggregation pass — the signature-sidecar schema once the
+    * containment family consumes it too: d15 reads the signature
+    * columns, d25 additionally reads `nsh` (one long/doc, the price of
+    * turning the symmetric-J sidecar into a containment-capable one —
+    * Broder's Ĵ + exact sizes recover both orientations' ĉ, the d23
+    * algebra, without ever re-touching shingles). `nsh` is constant per
+    * doc in the exploded frame, so max() is exact and folds map-side
+    * with the mins.
+    */
+  private[graft] def minhashSigsSized(ex: DataFrame): DataFrame = {
+    val g = ex.withColumn("g", col("shingle") % MinHashP)
+    val aggs = (0 until 30).map(k => min(perm(k, col("g"))).as(s"mh_$k")) :+
+      max(col("nsh")).as("nsh")
+    g.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+  }
+
   /** Per-SOURCE union-MinHash signatures (source, mh_0..mh_29) from any
     * (source, text) frame: the min of each permutation over the UNION
     * of a source's shingle sets folds from plain min-aggregation over
@@ -1017,12 +1034,7 @@ object Dedup {
         // maintained by ingest (batch appends or the streaming
         // DocumentStreams.signatureIngest — the integration spec runs
         // THAT producer against this consumer)
-        val store = graft.core.StoreFixture("graft_sigstore", d) { p =>
-          minhashSigs(explodedShinglesOf(
-            docs(s, d).filter(!(col("doc_id") % 5 === 4))))
-            .write.mode("overwrite").parquet(p)
-        }
-        incrementalNearDup(s, d, store)
+        incrementalNearDup(s, d, sigStorePath(s, d))
       },
       Some(minhashEstimateSql("(a.doc_id % 5 = 4 OR b.doc_id % 5 = 4) AND "))),
 
@@ -1431,38 +1443,7 @@ object Dedup {
             col("est_matches"), col("est_c_a_in_b"), col("est_c_b_in_a"))
           .orderBy("doc_a", "doc_b")
       },
-      Some {
-        val aList = MinHashCoeffs.map(_._1).mkString("[", ",", "]")
-        val bList = MinHashCoeffs.map(_._2).mkString("[", ",", "]")
-        s"""$sqlShingled,
-           |hs AS (SELECT doc_id,
-           |    list_transform(sh, g0 -> ('0x' || substr(md5(g0), 1, 15))::BIGINT % 2147483647) AS gs
-           |  FROM sh),
-           |sig AS (SELECT doc_id, list_transform(range(0, 30), k ->
-           |      list_aggregate(list_transform(gs,
-           |        g -> (g * ($aList)[k+1] + ($bList)[k+1]) % 2147483647), 'min')) AS sig
-           |  FROM hs),
-           |cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sig AS sa, b.sig AS sb
-           |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
-           |  WHERE len(list_filter(range(0, 10), j ->
-           |    a.sig[3*j+1] = b.sig[3*j+1] AND a.sig[3*j+2] = b.sig[3*j+2]
-           |      AND a.sig[3*j+3] = b.sig[3*j+3])) > 0),
-           |est AS (SELECT doc_a, doc_b,
-           |    len(list_filter(range(0, 30), k -> sa[k+1] = sb[k+1]))::BIGINT AS est_matches
-           |  FROM cand),
-           |j AS (SELECT e.doc_a, e.doc_b, a.nsh AS size_a, b.nsh AS size_b,
-           |    e.est_matches, e.est_matches * 1.0 / 30 AS est_j
-           |  FROM est e JOIN sh a ON e.doc_a = a.doc_id
-           |    JOIN sh b ON e.doc_b = b.doc_id)
-           |SELECT doc_a, doc_b, size_a::BIGINT AS size_a, size_b::BIGINT AS size_b,
-           |  est_matches,
-           |  est_j / (1.0 + est_j) * (size_a + size_b) / size_a AS est_c_a_in_b,
-           |  est_j / (1.0 + est_j) * (size_a + size_b) / size_b AS est_c_b_in_a
-           |FROM j
-           |WHERE greatest(est_j / (1.0 + est_j) * (size_a + size_b) / size_a,
-           |  est_j / (1.0 + est_j) * (size_a + size_b) / size_b) >= 0.85
-           |ORDER BY doc_a, doc_b""".stripMargin
-      }),
+      Some(sqlContainmentEstimate(""))),
 
     // The PRODUCTION containment path — d23's sketch screen COMPOSED
     // with d22's exact verify, priced as the one plan a pipeline ships
@@ -1559,7 +1540,26 @@ object Dedup {
            |  AND greatest(p.doc_a, p.doc_b) = s.doc_b
            |WHERE p.intersection * 1.0 / p.size_a >= 0.9
            |ORDER BY p.doc_a, p.doc_b""".stripMargin
-      })
+      }),
+
+    // The containment family's STORE leg, completing its batch (d23) /
+    // stream (containmentStream) / incremental triad in the d15 mold:
+    // TODAY's batch (doc_id % 5 = 4) is shingled and sized; the rest of
+    // the corpus is represented ONLY by the persisted signature+size
+    // sidecar — d15's store schema plus one long (`nsh`), which is all
+    // containment needs over symmetric-J (the d23 algebra recovers both
+    // orientations' ĉ from Ĵ + exact sizes). ONE physical sidecar
+    // serves d15 and d25; consumers select the columns they own. Scale
+    // shape is incrementalNearDup's: the batch's band rows broadcast
+    // explicitly, the store's band rows STREAM (never shuffled, never
+    // broadcast — relying on size estimates would shuffle the store the
+    // day the estimate is off); the oracle is d23's answer restricted
+    // to pairs touching the batch, proving store-side screening loses
+    // nothing vs re-sketching the corpus.
+    Q("d25_incremental_containment",
+      "new-batch (doc_id%5=4) containment screen against the persisted signature+size sidecar",
+      (s, d) => incrementalContainment(s, d, sigStorePath(s, d)),
+      Some(sqlContainmentEstimate("(a.doc_id % 5 = 4 OR b.doc_id % 5 = 4) AND ")))
   )
 
   /** One-sided prefix-filtered containment join over an arbitrary
@@ -1625,6 +1625,45 @@ object Dedup {
     val candDocs = cand.select(col("doc_a").as("doc_id"))
       .union(cand.select(col("doc_b").as("doc_id"))).distinct()
     ex.join(broadcast(candDocs), Seq("doc_id"), "left_semi")
+  }
+
+  /** DuckDB twin of the d23/d25 containment-estimation pipeline:
+    * regenerates signatures, band agreement, and the both-orientation
+    * containment algebra from the same md5-derived permutations.
+    * `candPred` restricts the candidate pair space (d25's
+    * at-least-one-new rule); "" gates the full frame (d23).
+    */
+  private def sqlContainmentEstimate(candPred: String): String = {
+    val aList = MinHashCoeffs.map(_._1).mkString("[", ",", "]")
+    val bList = MinHashCoeffs.map(_._2).mkString("[", ",", "]")
+    s"""$sqlShingled,
+       |hs AS (SELECT doc_id,
+       |    list_transform(sh, g0 -> ('0x' || substr(md5(g0), 1, 15))::BIGINT % 2147483647) AS gs
+       |  FROM sh),
+       |sig AS (SELECT doc_id, list_transform(range(0, 30), k ->
+       |      list_aggregate(list_transform(gs,
+       |        g -> (g * ($aList)[k+1] + ($bList)[k+1]) % 2147483647), 'min')) AS sig
+       |  FROM hs),
+       |cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sig AS sa, b.sig AS sb
+       |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+       |  WHERE $candPred len(list_filter(range(0, 10), j ->
+       |    a.sig[3*j+1] = b.sig[3*j+1] AND a.sig[3*j+2] = b.sig[3*j+2]
+       |      AND a.sig[3*j+3] = b.sig[3*j+3])) > 0),
+       |est AS (SELECT doc_a, doc_b,
+       |    len(list_filter(range(0, 30), k -> sa[k+1] = sb[k+1]))::BIGINT AS est_matches
+       |  FROM cand),
+       |j AS (SELECT e.doc_a, e.doc_b, a.nsh AS size_a, b.nsh AS size_b,
+       |    e.est_matches, e.est_matches * 1.0 / 30 AS est_j
+       |  FROM est e JOIN sh a ON e.doc_a = a.doc_id
+       |    JOIN sh b ON e.doc_b = b.doc_id)
+       |SELECT doc_a, doc_b, size_a::BIGINT AS size_a, size_b::BIGINT AS size_b,
+       |  est_matches,
+       |  est_j / (1.0 + est_j) * (size_a + size_b) / size_a AS est_c_a_in_b,
+       |  est_j / (1.0 + est_j) * (size_a + size_b) / size_b AS est_c_b_in_a
+       |FROM j
+       |WHERE greatest(est_j / (1.0 + est_j) * (size_a + size_b) / size_a,
+       |  est_j / (1.0 + est_j) * (size_a + size_b) / size_b) >= 0.85
+       |ORDER BY doc_a, doc_b""".stripMargin
   }
 
   /** Exact all-ordered-pairs containment SQL (the d22 oracle). */
@@ -1735,6 +1774,23 @@ object Dedup {
         .write.mode("overwrite").parquet(p)
     }
 
+  /** The d15/d25 warehouse sidecar — 30-perm signature + exact set size
+    * per document outside the gate batch, built ONCE per JVM
+    * (StoreFixture discipline; production maintains it per batch via
+    * the streaming signatureIngest, which writes the same sized
+    * schema). ONE physical sidecar serves both consumers: d15 reads the
+    * signature columns (symmetric near-dup estimates), d25 additionally
+    * reads `nsh` (containment screening) — the store contract is
+    * "select the columns you own", so producers may append bookkeeping
+    * columns without breaking either.
+    */
+  private def sigStorePath(s: SparkSession, d: String): String =
+    graft.core.StoreFixture("graft_sigstore", d) { p =>
+      minhashSigsSized(explodedShinglesOf(
+        docs(s, d).filter(!(col("doc_id") % 5 === 4))))
+        .write.mode("overwrite").parquet(p)
+    }
+
   /** The k = 3 bloom bit positions of a content-hash key, md5-derived so
     * the oracle regenerates them (`('0x' || substr(md5('bloom' || j ||
     * '_' || h), 1, 15))::BIGINT % 4096`). m = 4096 bits. Shared by the
@@ -1838,6 +1894,74 @@ object Dedup {
         greatest(col("x.doc_id"), col("y.doc_id")).as("doc_b"))
       .distinct()
     signatureEstimates(cand, all, broadcastCand = true)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** The d25 consumer, parameterized by the signature+size-store path so
+    * ANY producer — the gate's batch rebuild ([[minhashSigsSized]]) or
+    * the streaming signatureIngest — feeds the same containment screen.
+    */
+  private[graft] def incrementalContainment(s: SparkSession, d: String,
+      storePath: String): DataFrame =
+    incrementalContainmentOf(docs(s, d).filter(col("doc_id") % 5 === 4),
+      storePath)
+
+  /** [[incrementalContainment]] over an arbitrary (doc_id, text) batch
+    * frame — the multi-batch evolution form (see
+    * [[incrementalNearDupOf]], whose candidate discipline this shares:
+    * batch band rows broadcast, store band rows stream, candidates are
+    * (new × all) so a batch with internal containments still screens
+    * itself). The verdict stage is d23's containment algebra over the
+    * attached signatures and EXACT set sizes — both carried by the
+    * store, so the corpus text is never re-read for the stored side.
+    */
+  private[graft] def incrementalContainmentOf(batchDocs: DataFrame,
+      storePath: String, minEst: Double = 0.85): DataFrame = {
+    val s = batchDocs.sparkSession
+    val sizedCols = col("doc_id") +:
+      ((0 until 30).map(k => col(s"mh_$k")) :+ col("nsh"))
+    val fresh = minhashSigsSized(explodedShinglesOf(
+      batchDocs.select("doc_id", "text")))
+      .localCheckpoint(true)
+    val stored = s.read.parquet(storePath).select(sizedCols: _*)
+      .join(broadcast(fresh.select("doc_id")), Seq("doc_id"), "left_anti")
+    val all = stored.unionByName(fresh)
+    val nb = bandRows(fresh)
+    val ab = bandRows(all)
+    val cand = broadcast(nb.as("x")).join(ab.as("y"), Seq("bkey"))
+      .filter(col("x.doc_id") =!= col("y.doc_id") &&
+        col("x.m0") === col("y.m0") && col("x.m1") === col("y.m1") &&
+        col("x.m2") === col("y.m2"))
+      .select(least(col("x.doc_id"), col("y.doc_id")).as("doc_a"),
+        greatest(col("x.doc_id"), col("y.doc_id")).as("doc_b"))
+      .distinct()
+    // attach signature AND size in one pass per side (the
+    // signatureAttach broadcastCand shape, with nsh riding along): the
+    // pair-bound candidate set broadcasts, the store-backed side
+    // streams through both attaches exchange-free
+    val aSide = all.select(col("doc_id").as("doc_a") +:
+      ((0 until 30).map(k => col(s"mh_$k").as(s"a_$k")) :+
+        col("nsh").as("size_a")): _*)
+    val bSide = all.select(col("doc_id").as("doc_b") +:
+      ((0 until 30).map(k => col(s"mh_$k").as(s"b_$k")) :+
+        col("nsh").as("size_b")): _*)
+    val matches = (0 until 30).map(k =>
+      when(col(s"a_$k") === col(s"b_$k"), 1L).otherwise(0L)).reduce(_ + _)
+    val firstAttach = broadcast(cand).join(aSide, "doc_a")
+      .localCheckpoint(true)
+    broadcast(firstAttach).join(bSide, "doc_b")
+      .withColumn("est_matches", matches)
+      .withColumn("est_j", col("est_matches") * lit(1.0) / 30)
+      .withColumn("est_c_a_in_b",
+        col("est_j") / (lit(1.0) + col("est_j"))
+          * (col("size_a") + col("size_b")) / col("size_a"))
+      .withColumn("est_c_b_in_a",
+        col("est_j") / (lit(1.0) + col("est_j"))
+          * (col("size_a") + col("size_b")) / col("size_b"))
+      .filter(greatest(col("est_c_a_in_b"), col("est_c_b_in_a")) >= minEst)
+      .select(col("doc_a"), col("doc_b"),
+        col("size_a").cast("long"), col("size_b").cast("long"),
+        col("est_matches"), col("est_c_a_in_b"), col("est_c_b_in_a"))
       .orderBy("doc_a", "doc_b")
   }
 

@@ -487,7 +487,10 @@ object DocumentStreams {
     */
   private[graft] def writeSignatureBatch(batch: Dataset[Doc],
       store: String, batchId: Long): Unit = {
-    val sigs = graft.operators.Dedup.minhashSigs(
+    // sized schema (signatures + exact distinct-shingle count): the one
+    // sidecar serves BOTH consumers — d15 selects the signature columns,
+    // d25's containment screen additionally selects nsh
+    val sigs = graft.operators.Dedup.minhashSigsSized(
       graft.operators.Dedup.explodedShinglesOf(
         batch.toDF().select("doc_id", "text")))
     sigs.write.mode("overwrite").parquet(s"$store/batch_id=$batchId")

@@ -364,6 +364,30 @@ class PlanShapeSpec extends SparkTestBase {
     }
   }
 
+  test("d25: containment screen reads the sized store; batch sides broadcast, the store only streams") {
+    val plan = executedPlan("d25_incremental_containment")
+    assert(plan.contains("graft_sigstore"),
+      s"stored side must scan the persisted signature+size parquet:\n${plan.take(2000)}")
+    assert(countOf(plan, "MapPartitions") == 0,
+      s"no text kernel may run in the incremental screen plan:\n${plan.take(2000)}")
+    // the d15 discipline verbatim: every join broadcast-builds from a
+    // batch-bound side (band probe, anti-join id-list, two candidate
+    // attaches); the store streams through all of them
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"every d25 join must broadcast a batch-bound side; the store only streams:\n${plan.take(3000)}")
+    val lines = plan.linesIterator.toVector
+    def indent(l: String): Int =
+      l.takeWhile(c => c == ' ' || c == ':' || c == '+' || c == '-').length
+    lines.zipWithIndex.filter(_._1.contains("BroadcastExchange")).foreach {
+      case (bl, i) =>
+        val bi = indent(bl)
+        val subtree = lines.drop(i + 1).takeWhile(l =>
+          l.trim.isEmpty || indent(l) > bi)
+        assert(!subtree.exists(_.contains("graft_sigstore")),
+          s"the warehouse signature store must never broadcast:\n$bl\n${subtree.take(12).mkString("\n")}")
+    }
+  }
+
   test("d16: batch hashes broadcast-semi onto the store scan — the store never shuffles") {
     // asserted on the FULL adaptive string (initial plan included): at
     // fixture scale no batch hash hits the store, and AQE's

@@ -209,7 +209,7 @@ class DocumentStreamsSpec extends SparkTestBase {
     // the streamed store is bit-identical to the batch computation d15
     // would run over the same documents
     val stored = spark.read.parquet(store).drop("batch_id")
-    val expected = graft.operators.Dedup.minhashSigs(
+    val expected = graft.operators.Dedup.minhashSigsSized(
       graft.operators.Dedup.explodedShinglesOf(
         graft.core.Tables.documents(spark, d).select("doc_id", "text")))
     assert(stored.count() === expected.count())
@@ -303,6 +303,19 @@ class DocumentStreamsSpec extends SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
     assert(viaStream === viaGate,
       "the streamed store must be drop-in for the batch-rebuilt store")
+    // and the SAME streamed store feeds the d25 containment consumer —
+    // the one-sidecar-two-consumers contract (d15 reads signatures,
+    // d25 additionally reads nsh)
+    val contStream = graft.operators.Dedup
+      .incrementalContainment(spark, d, store).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getDouble(6))).toSeq
+    val contGate = graft.SparkEntry.queries("d25_incremental_containment")(
+      spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getDouble(6))).toSeq
+    assert(contStream === contGate,
+      "the streamed sized store must be drop-in for d25's batch-rebuilt store")
   }
 
   test("hashIngest: streamed store min-merges to the batch canonicals; replays are idempotent") {
