@@ -1191,6 +1191,47 @@ object RelationalQueries {
              |SELECT user_id, purchase_id, click_id, hours_before, weight,
              |  weight * 1.0 / total_weight AS share,
              |  value * (weight * 1.0 / total_weight) AS credited_value
-             |FROM tot ORDER BY purchase_id, click_id""".stripMargin))
+             |FROM tot ORDER BY purchase_id, click_id""".stripMargin)),
+
+    // Event transition matrix — the Markov next-step counts behind every
+    // user-flow / Sankey report (q41's funnel asks "did the ordered
+    // chain complete"; this asks "where do users GO from each state").
+    // Per user, each event's successor comes from ONE lead() over the
+    // (ts, event_id) order — the same single user-keyed exchange as
+    // q41/q22 (billions of users = high-cardinality key, per-user window
+    // buffers bounded by per-user history). Everything after is
+    // grid-sized: the (type, next_type) rollup collapses map-side to at
+    // most |types|² cells, and the row-share denominator is a window
+    // over those cells — so the transition PROBABILITIES cost nothing
+    // beyond the counts. Last events (no successor) aggregate into the
+    // 'exit' column rather than dropping: flow reports need the
+    // absorbing state, and silently losing rows would understate every
+    // out-share. n is exact long; share is one IEEE division, bit-equal
+    // in both engines.
+    Q("q43_event_transitions",
+      "Markov transition matrix: next-event counts and row shares per event type, exits absorbed",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        Tables.events(s, d)
+          .select(col("user_id"), col("ts"), col("event_id"),
+            col("event_type"))
+          .withColumn("next_type",
+            coalesce(lead(col("event_type"), 1).over(w), lit("exit")))
+          .groupBy(col("event_type"), col("next_type"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("share", col("n") * lit(1.0) /
+            sum(col("n")).over(Window.partitionBy(col("event_type"))))
+          .orderBy("event_type", "next_type")
+      },
+      Some("""WITH nx AS (SELECT event_type,
+             |    coalesce(lead(event_type, 1) OVER (
+             |      PARTITION BY user_id ORDER BY ts, event_id), 'exit') AS next_type
+             |  FROM events),
+             |grid AS (SELECT event_type, next_type, count(*)::BIGINT AS n
+             |  FROM nx GROUP BY 1, 2)
+             |SELECT event_type, next_type, n,
+             |  n * 1.0 / sum(n) OVER (PARTITION BY event_type) AS share
+             |FROM grid ORDER BY event_type, next_type""".stripMargin))
   )
 }

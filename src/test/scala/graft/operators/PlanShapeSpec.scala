@@ -805,6 +805,19 @@ class PlanShapeSpec extends SparkTestBase {
       "all-pairs must be the equi-join on (ba, bb), never a nested loop")
   }
 
+  test("q43: transitions are ONE user exchange; the grid rollup partial-aggregates") {
+    val plan = executedPlan("q43_event_transitions")
+    val userEx = plan.linesIterator
+      .filter(l => l.contains("Exchange hashpartitioning") && l.contains("user_id"))
+      .toSeq
+    assert(userEx.size == 1,
+      s"expected exactly one user_id exchange (the lead window), got: $userEx")
+    assert(plan.contains("partial_count"),
+      s"the (type, next_type) grid must partial-aggregate map-side:\n${plan.take(2000)}")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin"),
+      "no join belongs in this plan")
+  }
+
   test("q41: funnel is ONE user exchange with a map-side partial list build") {
     val plan = executedPlan("q41_funnel_pattern")
     assert(countOf(plan, "Exchange hashpartitioning") == 1,
