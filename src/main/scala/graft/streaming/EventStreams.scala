@@ -297,6 +297,91 @@ object EventStreams extends Serializable {
         GroupStateTimeout.NoTimeout)(update)
   }
 
+  final case class Transition(user_id: Long, event_type: String,
+      next_type: String)
+
+  /** Per-user transition state: `bridge` is the LAST settled event (the
+    * left endpoint of the next emission — one tuple per live user, the
+    * sessionize/scd2 state class), `buf` the not-yet-settled arrivals
+    * (bounded by the watermark lag, NOT by history).
+    */
+  final case class TransState(bridge: Option[(Long, Long, String)],
+      buf: Vector[(Long, Long, String)])
+
+  /** Continuous event-transition emission — the streaming twin of
+    * q43_event_transitions, exact under arbitrary cross-batch disorder
+    * via WATERMARK-ORDERED EMISSION: a transition (A → B) is only
+    * correct once no event can still arrive between A and B, so
+    * arrivals buffer un-emitted until the watermark passes them; on
+    * each visit (new rows OR event-time timeout) the settled prefix —
+    * buffered events at or behind the watermark, sorted by the batch
+    * twin's (ts, event_id) order — emits its consecutive transitions in
+    * append mode and collapses into the bridge. This is a different
+    * disorder mechanism from [[funnelStream]]'s (monotone-depth
+    * algebra): transitions have no monotone structure, so correctness
+    * has to come from delayed ordering, the same reason event-time
+    * session windows emit on watermark. The q43 matrix is the grid
+    * rollup of these rows; 'exit' rows never emit (a stream cannot know
+    * an event is a user's last — the batch twin over the sink owns the
+    * absorbing state), so the contract is batch-minus-exits, which the
+    * spec pins on shuffled replay.
+    *
+    * Guarantees and bounds: events later than the watermark allowance
+    * are dropped (one knob, the hourlyRollup contract — emitting them
+    * would order-corrupt an already-emitted pair). State per user =
+    * one bridge tuple (the sessionize "tracks active users, not
+    * history" class) + a buffer bounded by the allowance horizon of
+    * that user's traffic; groups with a non-empty buffer re-arm an
+    * event-time timeout at watermark+1 so settlement needs no new
+    * arrivals. At 100 TB the production lever for idle users is the
+    * keyspace bound, as scd2Stream documents — expiring a bridge would
+    * fabricate a chain break (the scd2 argument verbatim).
+    */
+  def transitionStream(events: Dataset[Event],
+      allowance: String = "2 hours"): Dataset[Transition] = {
+    import events.sparkSession.implicits._
+
+    def settle(userId: Long, st: TransState, wm: Long,
+        state: GroupState[TransState]): Iterator[Transition] = {
+      val (ready, rest) = st.buf.partition(_._1 / 1000L <= wm)
+      val ordered = ready.sortBy(e => (e._1, e._2))
+      val chain = st.bridge.toVector ++ ordered
+      val out = chain.sliding(2).collect {
+        case Vector((_, _, a), (_, _, b)) => Transition(userId, a, b)
+      }.toVector
+      val bridge = ordered.lastOption.orElse(st.bridge)
+      state.update(TransState(bridge, rest))
+      if (rest.nonEmpty) state.setTimeoutTimestamp(wm + 1L)
+      out.iterator
+    }
+
+    def update(userId: Long, rows: Iterator[Event],
+        state: GroupState[TransState]): Iterator[Transition] = {
+      val wm = state.getCurrentWatermarkMs()
+      val st0 = state.getOption.getOrElse(TransState(None, Vector.empty))
+      val st =
+        if (state.hasTimedOut) st0
+        else rows.foldLeft(st0) { (st, e) =>
+          val t = micros(e.ts)
+          // beyond-watermark-late, or a redelivery of a buffered or
+          // already-settled (≤ bridge frontier) event: drop — emitting
+          // it would order-corrupt pairs already in the sink
+          val lateOrDup = t / 1000L <= wm ||
+            st.buf.exists(b => b._2 == e.event_id) ||
+            st.bridge.exists(br => (t, e.event_id) == ((br._1, br._2)))
+          if (lateOrDup) st
+          else st.copy(buf = st.buf :+ ((t, e.event_id, e.event_type)))
+        }
+      settle(userId, st, wm, state)
+    }
+
+    events
+      .withWatermark("ts", allowance)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(update)
+  }
+
   /** Per-stage candidate timestamps, each list ascending (micros,
     * event_id). Only funnel-type events enter; see the prune rule in
     * [[funnelStream]] for why the lists stay small once stages complete.

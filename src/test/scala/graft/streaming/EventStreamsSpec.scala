@@ -487,4 +487,55 @@ class EventStreamsSpec extends SparkTestBase {
         (1, "A", "2026-01-01 09:00:00.0", "2026-01-01 10:00:00.0")))
     } finally q.stop()
   }
+
+  test("transitionStream rollup equals batch q43 minus exits on shuffled replay") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sq = spark.sqlContext
+    val d = "/root/testdata/sf0.001"
+    // batch answer minus the absorbing 'exit' rows — the documented
+    // stream contract (a stream cannot know an event is a user's last)
+    val batch = graft.SparkEntry.queries("q43_event_transitions")(spark, d)
+      .filter(col("next_type") =!= "exit").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+
+    val events = graft.core.Tables.events(spark, d)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+      .as[EventStreams.Event].collect().toSeq
+    // SHUFFLED replay across three batches: watermark-ordered emission,
+    // not arrival order, must reconstruct every within-user chain. The
+    // allowance out-spans the replay disorder so nothing is late-dropped
+    // (the late-drop contract is hourlyRollup's, tested there).
+    val shuffled = new scala.util.Random(7L).shuffle(events)
+    val third = shuffled.length / 3
+    val in = MemoryStream[EventStreams.Event]
+    val q = EventStreams.transitionStream(in.toDS(), allowance = "3650 days")
+      .writeStream.format("memory").queryName("transitions")
+      .outputMode("append").start()
+    try {
+      val lastTs = events.map(_.ts.getTime).max
+      in.addData(shuffled.take(third))
+      q.processAllAvailable()
+      in.addData(shuffled.slice(third, 2 * third))
+      q.processAllAvailable()
+      in.addData(shuffled.drop(2 * third))
+      q.processAllAvailable()
+      // two far-future fillers on their own users: the first advances
+      // the watermark past every real event + allowance, the second
+      // triggers the batch in which the armed timeouts settle the tails
+      in.addData(EventStreams.Event(-1L, new java.sql.Timestamp(
+        lastTs + 4000L * 24 * 3600 * 1000), -998L, "flush", 0.0))
+      q.processAllAvailable()
+      in.addData(EventStreams.Event(-2L, new java.sql.Timestamp(
+        lastTs + 4001L * 24 * 3600 * 1000), -999L, "flush", 0.0))
+      q.processAllAvailable()
+      val streamed = spark.table("transitions")
+        .filter(col("user_id") >= 0)
+        .groupBy("event_type", "next_type").count().collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      assert(streamed === batch,
+        "streamed transition rollup must equal the batch matrix minus exits")
+    } finally q.stop()
+  }
 }
