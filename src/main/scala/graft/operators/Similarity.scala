@@ -1203,7 +1203,74 @@ object Similarity {
              |  coalesce(h.hits, 0)::BIGINT * 1.0 / nq.truth_rows AS recall
              |FROM lv l LEFT JOIN hits h ON l.nprobe = h.nprobe
              |  CROSS JOIN nq
-             |ORDER BY l.nprobe""".stripMargin))
+             |ORDER BY l.nprobe""".stripMargin)),
+
+    // Matryoshka truncation audit — the fourth leg of the index-audit
+    // family (d20 band geometry, s12 quantization loss, s13 list
+    // balance, s16 DIMENSION truncation): recall@5 of searching on the
+    // 16-dim PREFIX of each embedding vs exact full-dim search. MRL-
+    // trained embeddings (Kusupati et al. 2022) put most signal in the
+    // prefix dims precisely so retrieval can run at a fraction of the
+    // memory/FLOPs — 16/64ths here — and THIS number is what that trade
+    // costs on YOUR corpus; for non-MRL embeddings it measures how much
+    // of the geometry the leading dims happen to carry. Same plan class
+    // as s12: corpus never moves, the sampled query set broadcasts,
+    // both rank windows share ONE query_id exchange, and the dual
+    // rank-filter keeps only rows either ranking admits before the
+    // per-query rollup.
+    Q("s16_matryoshka_audit",
+      "recall@5 of 16-dim-prefix search vs exact 64-dim search, sampled queries",
+      (s, d) => {
+        val pDim = 16
+        val e = vectors(s, d)
+          .withColumn("pv", slice(col("v"), 1, pDim))
+          .withColumn("pnrm", sqrt(dotFast(col("pv"), col("pv"))))
+        val q = e.filter(col("vec_id") % 50 === 0)
+          .select(col("vec_id").as("query_id"), col("v").as("qv"),
+            col("nrm").as("qn"), col("pv").as("qpv"), col("pnrm").as("qpn"))
+        val we = Window.partitionBy(col("query_id"))
+          .orderBy(col("ce").desc, col("vec_id").asc)
+        val wp = Window.partitionBy(col("query_id"))
+          .orderBy(col("cp").desc, col("vec_id").asc)
+        e.crossJoin(broadcast(q))
+          .filter(col("vec_id") =!= col("query_id"))
+          .withColumn("ce", dotFast(col("v"), col("qv")) / (col("nrm") * col("qn")))
+          .withColumn("cp", dotFast(col("pv"), col("qpv")) / (col("pnrm") * col("qpn")))
+          .withColumn("rank_e", row_number().over(we))
+          .withColumn("rank_p", row_number().over(wp))
+          .filter(col("rank_e") <= 5 || col("rank_p") <= 5)
+          .groupBy("query_id")
+          .agg(sum(when(col("rank_e") <= 5 && col("rank_p") <= 5, 1L)
+            .otherwise(0L)).as("n_common"))
+          .withColumn("recall_at_5", col("n_common") * lit(1.0) / 5)
+          .orderBy("query_id")
+      },
+      Some(s"""$sqlVectors,
+             |p AS (SELECT vec_id, v, nrm, v[1:16] AS pv,
+             |    sqrt(list_reduce(list_transform(range(1, 17),
+             |      i -> v[i] * v[i]), (x, y) -> x + y)) AS pnrm
+             |  FROM n),
+             |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn,
+             |    pv AS qpv, pnrm AS qpn
+             |  FROM p WHERE vec_id % 50 = 0),
+             |sc AS (SELECT q.query_id, p.vec_id,
+             |    list_reduce(list_transform(range(1, 65),
+             |      i -> p.v[i] * q.qv[i]), (x, y) -> x + y) / (p.nrm * q.qn) AS ce,
+             |    list_reduce(list_transform(range(1, 17),
+             |      i -> p.pv[i] * q.qpv[i]), (x, y) -> x + y) / (p.pnrm * q.qpn) AS cp
+             |  FROM p CROSS JOIN q WHERE p.vec_id <> q.query_id),
+             |rk AS (SELECT query_id, vec_id,
+             |    row_number() OVER (PARTITION BY query_id
+             |      ORDER BY ce DESC, vec_id) AS rank_e,
+             |    row_number() OVER (PARTITION BY query_id
+             |      ORDER BY cp DESC, vec_id) AS rank_p
+             |  FROM sc)
+             |SELECT query_id,
+             |  sum(CASE WHEN rank_e <= 5 AND rank_p <= 5 THEN 1 ELSE 0 END)::BIGINT
+             |    AS n_common,
+             |  sum(CASE WHEN rank_e <= 5 AND rank_p <= 5 THEN 1 ELSE 0 END)::BIGINT
+             |    * 1.0 / 5 AS recall_at_5
+             |FROM rk GROUP BY query_id ORDER BY query_id""".stripMargin))
   )
 
   /** One Lloyd maintenance step in WRITE-BACK form: assign each batch

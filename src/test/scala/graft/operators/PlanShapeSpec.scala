@@ -805,6 +805,17 @@ class PlanShapeSpec extends SparkTestBase {
       "all-pairs must be the equi-join on (ba, bb), never a nested loop")
   }
 
+  test("s16: both rank windows share ONE query_id exchange; the query set broadcasts") {
+    val plan = executedPlan("s16_matryoshka_audit")
+    val hashEx = plan.linesIterator
+      .filter(l => l.contains("Exchange hashpartitioning") && l.contains("query_id"))
+      .toSeq
+    assert(hashEx.size == 1,
+      s"full-dim and prefix-dim rankings must share one query exchange, got: $hashEx")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      "the sampled query set must broadcast; the corpus never moves")
+  }
+
   test("q43: transitions are ONE user exchange; the grid rollup partial-aggregates") {
     val plan = executedPlan("q43_event_transitions")
     val userEx = plan.linesIterator
