@@ -805,6 +805,28 @@ class PlanShapeSpec extends SparkTestBase {
       "all-pairs must be the equi-join on (ba, bb), never a nested loop")
   }
 
+  test("m11: only the screened pair set broadcasts — the patch-kernel corpus side never does") {
+    val plan = executedPlan("m11_image_dedup_verified")
+    val lines = plan.linesIterator.toVector
+    def indent(l: String): Int =
+      l.takeWhile(c => c == ' ' || c == ':' || c == '+' || c == '-').length
+    lines.zipWithIndex.filter(_._1.contains("BroadcastExchange")).foreach {
+      case (bl, i) =>
+        val bi = indent(bl)
+        val subtree = lines.drop(i + 1).takeWhile(l =>
+          l.trim.isEmpty || indent(l) > bi)
+        // the verify attaches broadcast the pair-bound screened set
+        // (checkpointed RDD scans); the corpus side carries the patch
+        // kernel (MapPartitions) and must stream through both joins
+        assert(!subtree.exists(_.contains("MapPartitions")),
+          s"the patch-vector corpus side must never broadcast:\n$bl")
+    }
+    // only the SECOND attach is visible here — the first is consumed by
+    // the eager checkpoint and runs as its own job (the d15 shape)
+    assert(countOf(plan, "BroadcastHashJoin") >= 1,
+      s"the visible verify attach should broadcast the screened pairs:\n${plan.take(2000)}")
+  }
+
   test("s16: both rank windows share ONE query_id exchange; the query set broadcasts") {
     val plan = executedPlan("s16_matryoshka_audit")
     val hashEx = plan.linesIterator
