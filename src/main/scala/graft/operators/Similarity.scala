@@ -1155,7 +1155,12 @@ object Similarity {
           .crossJoin(broadcast(nq))
           .select(col("nprobe"), col("n_queries"),
             coalesce(col("hits"), lit(0L)).as("hits"),
-            (coalesce(col("hits"), lit(0L)) * lit(1.0) / col("truth_rows"))
+            // empty corpus → zero truth rows: recall is UNDEFINED (null),
+            // not a crash — ANSI division would abort the whole audit on
+            // the day a partition is empty (EmptyInputSweepSpec)
+            when(col("truth_rows") === 0, lit(null))
+              .otherwise(coalesce(col("hits"), lit(0L)) * lit(1.0)
+                / col("truth_rows"))
               .as("recall"))
           .orderBy("nprobe")
       },
@@ -1200,7 +1205,8 @@ object Similarity {
              |    ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id
              |  GROUP BY a.nprobe)
              |SELECT l.nprobe, nq.n_queries, coalesce(h.hits, 0)::BIGINT AS hits,
-             |  coalesce(h.hits, 0)::BIGINT * 1.0 / nq.truth_rows AS recall
+             |  CASE WHEN nq.truth_rows = 0 THEN NULL
+             |    ELSE coalesce(h.hits, 0)::BIGINT * 1.0 / nq.truth_rows END AS recall
              |FROM lv l LEFT JOIN hits h ON l.nprobe = h.nprobe
              |  CROSS JOIN nq
              |ORDER BY l.nprobe""".stripMargin)),
