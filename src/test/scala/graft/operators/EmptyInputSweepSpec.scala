@@ -44,4 +44,29 @@ class EmptyInputSweepSpec extends SparkTestBase {
     assert(failures.isEmpty,
       s"queries crashing on an empty corpus:\n  ${failures.mkString("\n  ")}")
   }
+
+  test("every registry query completes on a single-row corpus") {
+    // one row per table: the n=1 paths — sample stddev of one value,
+    // self-joins with no qualifying pair, windows with a single frame,
+    // centroid sets of one — are a distinct crash class from n=0
+    // (different branches survive the emptiness checks)
+    val src = "/root/testdata/sf0.001"
+    val dir = tmpDir()
+    graft.core.Tables.all.foreach { t =>
+      val df =
+        if (t == "events") graft.core.Tables.events(spark, src)
+        else graft.core.Tables.load(spark, src, t)
+      df.limit(1).write.mode("overwrite").parquet(s"$dir/$t.parquet")
+    }
+    val failures = graft.SparkEntry.registry.flatMap { q =>
+      try { q.run(spark, dir).collect(); Nil }
+      catch {
+        case e: Throwable =>
+          Seq(s"${q.name}: ${e.getClass.getSimpleName}: " +
+            String.valueOf(e.getMessage).takeWhile(_ != '\n').take(160))
+      }
+    }
+    assert(failures.isEmpty,
+      s"queries crashing on a single-row corpus:\n  ${failures.mkString("\n  ")}")
+  }
 }
