@@ -742,6 +742,99 @@ object Multimodal {
              |  JOIN cn y ON s.doc_b = y.doc_id
              |WHERE list_reduce(list_transform(range(1, 17), i -> x.cv[i] * y.cv[i]),
              |    (x2, y2) -> x2 + y2) / (x.cnrm * y.cnrm) >= 0.9
-             |ORDER BY doc_a, doc_b""".stripMargin))
+             |ORDER BY doc_a, doc_b""".stripMargin)),
+
+    // Audio fingerprint matching — the Wang'03 (Shazam) landmark scheme
+    // over m03's frame features: consecutive-frame shingles are the
+    // landmarks, equal landmarks across tracks are candidate
+    // correspondences, and a pair of tracks MATCHES when many
+    // correspondences agree on one time offset (the offset-delta vote —
+    // random collisions scatter across deltas; true containment piles
+    // onto one). This is the audio twin of d08's positional span hashes:
+    // content-derived keys plus POSITION, so the verdict localizes
+    // (best_delta says WHERE track B sits inside track A). Landmark key
+    // is the raw 6-value shingle tuple (portable string form), not an
+    // engine hash, so both engines bucket identically with no collision
+    // caveat. Hot landmarks (silence, synth boilerplate) are df-capped
+    // at 50 docs — d07's policy — and singleton landmarks drop before
+    // the join, so candidate pairs stay output-bound. Shape: the shingle
+    // build is ONE doc-keyed window exchange riding the decode scan
+    // (m10's shape); the df-cap join and pair self-join are both keyed
+    // by landmark (the pair join reuses the cap join's exchange); the
+    // vote is a map-side-collapsing (a, b, delta) count; at 100 TB no
+    // stage touches more than the landmark stream and the true-match
+    // pair set.
+    Q("m12_audio_fingerprint",
+      "Shazam-style landmark match: 3-frame shingle landmarks, offset-delta vote, best alignment per track pair (votes >= 3)",
+      (s, d) => {
+        val w = Window.partitionBy(col("doc_id")).orderBy(col("frame_idx"))
+        val lm = audioFrames(mediaRecords(s, d)).toDF()
+          .withColumn("e1", lead(col("energy"), 1).over(w))
+          .withColumn("p1", lead(col("peak"), 1).over(w))
+          .withColumn("e2", lead(col("energy"), 2).over(w))
+          .withColumn("p2", lead(col("peak"), 2).over(w))
+          .filter(col("e2").isNotNull)
+          .select(col("doc_id"), col("frame_idx"),
+            concat_ws("_", col("energy"), col("peak"), col("e1"),
+              col("p1"), col("e2"), col("p2")).as("lkey"))
+        val keep = lm.groupBy("lkey")
+          .agg(countDistinct(col("doc_id")).as("ndocs"))
+          .filter(col("ndocs") >= 2 && col("ndocs") <= 50)
+          .select("lkey")
+        // shuffle-hash, never broadcast: the surviving-landmark set is
+        // corpus-scale at 100 TB (d07's df-cap policy); the pair
+        // self-join is merge-hinted so both sides reuse the lkey
+        // exchange the cap join already paid for
+        val flt = lm.join(keep.hint("shuffle_hash"), Seq("lkey"))
+        val a = flt.select(col("lkey").as("ka"),
+          col("doc_id").as("doc_a"), col("frame_idx").as("fa"))
+        val b = flt.select(col("lkey").as("kb"),
+          col("doc_id").as("doc_b"), col("frame_idx").as("fb"))
+        val wBest = Window.partitionBy(col("doc_a"), col("doc_b"))
+          .orderBy(col("votes").desc, col("offset_delta").asc)
+        a.hint("merge").join(b, col("ka") === col("kb") && col("doc_a") < col("doc_b"))
+          .select(col("doc_a"), col("doc_b"),
+            (col("fa") - col("fb")).as("offset_delta"))
+          .groupBy("doc_a", "doc_b", "offset_delta")
+          .agg(count(lit(1)).as("votes"))
+          .withColumn("rn", row_number().over(wBest))
+          .filter(col("rn") === 1 && col("votes") >= 3)
+          .select(col("doc_a"), col("doc_b"), col("offset_delta"), col("votes"))
+          .orderBy("doc_a", "doc_b")
+      },
+      Some("""WITH cps AS (SELECT doc_id,
+             |    list_transform(range(1, length(text) + 1),
+             |      i -> unicode(substr(text, i, 1))::BIGINT) AS cp
+             |  FROM documents),
+             |fr AS (SELECT doc_id, cp,
+             |    unnest(range(0, CASE WHEN len(cp) < 64 THEN 0
+             |                         ELSE (len(cp) - 64) // 32 + 1 END)) AS f
+             |  FROM cps),
+             |fa AS (SELECT doc_id, f::BIGINT AS frame_idx,
+             |    list_aggregate(list_transform(range(f * 32 + 1, f * 32 + 65),
+             |      i -> cp[i] * cp[i]), 'sum')::BIGINT AS energy,
+             |    list_aggregate(list_transform(range(f * 32 + 1, f * 32 + 65),
+             |      i -> cp[i]), 'max')::BIGINT AS peak
+             |  FROM fr),
+             |lm0 AS (SELECT doc_id, frame_idx,
+             |    energy || '_' || peak || '_'
+             |      || lead(energy, 1) OVER w || '_' || lead(peak, 1) OVER w || '_'
+             |      || lead(energy, 2) OVER w || '_' || lead(peak, 2) OVER w AS lkey,
+             |    lead(energy, 2) OVER w AS e2
+             |  FROM fa WINDOW w AS (PARTITION BY doc_id ORDER BY frame_idx)),
+             |lm AS (SELECT doc_id, frame_idx, lkey FROM lm0 WHERE e2 IS NOT NULL),
+             |keep AS (SELECT lkey FROM (
+             |    SELECT lkey, count(DISTINCT doc_id) AS ndocs FROM lm GROUP BY lkey)
+             |  WHERE ndocs BETWEEN 2 AND 50),
+             |flt AS (SELECT lm.* FROM lm JOIN keep USING (lkey)),
+             |pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             |    a.frame_idx - b.frame_idx AS offset_delta
+             |  FROM flt a JOIN flt b ON a.lkey = b.lkey AND a.doc_id < b.doc_id),
+             |v AS (SELECT doc_a, doc_b, offset_delta, count(*)::BIGINT AS votes
+             |  FROM pr GROUP BY doc_a, doc_b, offset_delta),
+             |r AS (SELECT *, row_number() OVER (PARTITION BY doc_a, doc_b
+             |    ORDER BY votes DESC, offset_delta) AS rn FROM v)
+             |SELECT doc_a, doc_b, offset_delta, votes FROM r
+             |WHERE rn = 1 AND votes >= 3 ORDER BY doc_a, doc_b""".stripMargin))
   )
 }

@@ -1211,6 +1211,84 @@ object Similarity {
              |  CROSS JOIN nq
              |ORDER BY l.nprobe""".stripMargin)),
 
+    // Attribute-filtered vector search — the production question every
+    // metadata-constrained retrieval system faces (FAISS IDSelector,
+    // Milvus/Vespa filtered HNSW): given a predicate (here: same `label`
+    // as the query), PRE-filtering searches only the satisfying subset
+    // and is exact by construction, while POST-filtering takes the
+    // global top-K and drops non-matching rows — cheap, but its recall
+    // collapses as predicate selectivity shrinks (with ~1/10 selectivity
+    // a global top-20 holds ~2 matching rows IF matches were random;
+    // clustered embeddings do better exactly when label correlates with
+    // geometry, and THIS query measures that on your corpus). Output
+    // grain is the pre-filter truth top-3 per query with a post_hit
+    // flag: did the global top-20 (the post-filter candidate pool)
+    // contain this truth neighbor? sum(post_hit)/3 is recall@3-from-20.
+    // Plan: ONE corpus×queries pass (queries broadcast, corpus never
+    // reshuffles) feeding TWO windows — rank within the label-matching
+    // rows and rank over all rows — that share a single query_id
+    // exchange (HashPartitioning(query_id) satisfies both clusterings;
+    // the s16 trick). The dual rank-filter keeps only rows either
+    // ranking admits. At 100 TB the pre-filter leg is why vector stores
+    // partition by hot metadata columns: label-bucketed storage turns
+    // the truth leg into a pruned scan of 1/|labels| of the corpus,
+    // while the post-filter leg is a full scan whatever the predicate.
+    Q("s15_filtered_knn",
+      "attribute-filtered ANN: exact same-label top-3 truth + did the global top-20 post-filter pool contain it",
+      (s, d) => {
+        graft.plans.VectorExpressions.register(s)
+        val e = Tables.embeddings(s, d)
+          .select(col("vec_id"), col("label"), vecD(col("embedding")).as("v"))
+          .withColumn("nrm", sqrt(dotFast(col("v"), col("v"))))
+        val q = e.filter(col("vec_id") % 50 === 0)
+          .select(col("vec_id").as("query_id"), col("label").as("qlabel"),
+            col("v").as("qv"), col("nrm").as("qn"))
+        val wLab = Window.partitionBy(col("query_id"), col("lm"))
+          .orderBy(col("cosine").desc, col("vec_id").asc)
+        val wAll = Window.partitionBy(col("query_id"))
+          .orderBy(col("cosine").desc, col("vec_id").asc)
+        e.crossJoin(broadcast(q))
+          .filter(col("vec_id") =!= col("query_id"))
+          .withColumn("lm", col("label") === col("qlabel"))
+          .withColumn("cosine",
+            dotFast(col("v"), col("qv")) / (col("nrm") * col("qn")))
+          // rank_all FIRST: its window clusters by query_id alone, and
+          // HashPartitioning(query_id) also satisfies the (query_id, lm)
+          // clustering of rank_lab's window — this order makes the two
+          // windows share one exchange; reversed, the (query_id, lm)
+          // partitioning cannot serve the query_id window and the plan
+          // pays a second shuffle (asserted in PlanShapeSpec)
+          .withColumn("rank_all", row_number().over(wAll))
+          .withColumn("rank_lab", row_number().over(wLab))
+          .filter(col("lm") && col("rank_lab") <= 3)
+          .select(col("query_id"), col("rank_lab").as("rank"),
+            col("vec_id").as("neighbor_id"),
+            (col("rank_all") <= 20).as("post_hit"))
+          .orderBy("query_id", "rank")
+      },
+      Some(s"""WITH e AS (SELECT vec_id, label,
+             |    list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+             |n AS (SELECT vec_id, label, v,
+             |    sqrt(list_reduce(list_transform(range(1, ${Dim + 1}),
+             |      i -> v[i] * v[i]), (x, y) -> x + y)) AS nrm
+             |  FROM e),
+             |q AS (SELECT vec_id AS query_id, label AS qlabel, v AS qv, nrm AS qn
+             |  FROM n WHERE vec_id % 50 = 0),
+             |sc AS (SELECT q.query_id, n.vec_id, n.label = q.qlabel AS lm,
+             |    list_reduce(list_transform(range(1, ${Dim + 1}),
+             |      i -> n.v[i] * q.qv[i]), (x, y) -> x + y) / (n.nrm * q.qn) AS cosine
+             |  FROM n CROSS JOIN q WHERE n.vec_id <> q.query_id),
+             |rk AS (SELECT query_id, vec_id, lm, cosine,
+             |    row_number() OVER (PARTITION BY query_id, lm
+             |      ORDER BY cosine DESC, vec_id) AS rank_lab,
+             |    row_number() OVER (PARTITION BY query_id
+             |      ORDER BY cosine DESC, vec_id) AS rank_all
+             |  FROM sc)
+             |SELECT query_id, rank_lab AS rank, vec_id AS neighbor_id,
+             |  rank_all <= 20 AS post_hit
+             |FROM rk WHERE lm AND rank_lab <= 3
+             |ORDER BY query_id, rank""".stripMargin)),
+
     // Matryoshka truncation audit — the fourth leg of the index-audit
     // family (d20 band geometry, s12 quantization loss, s13 list
     // balance, s16 DIMENSION truncation): recall@5 of searching on the

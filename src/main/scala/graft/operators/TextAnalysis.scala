@@ -1227,7 +1227,87 @@ object TextAnalysis {
              |  coalesce(list_aggregate(list_transform(word_forms,
              |    f -> len(string_split(f, chr(31)))), 'sum'), 0)::BIGINT AS n_tokens,
              |  md5(coalesce(list_aggregate(word_forms, 'string_agg', ' '), '')) AS seg_md5
-             |FROM seg ORDER BY doc_id""".stripMargin))
+             |FROM seg ORDER BY doc_id""".stripMargin)),
+
+    // Leak-proof split assignment — the curation step every training run
+    // does LAST: partition the corpus into train/val/test. The correct
+    // key is a CONTENT hash (exact duplicates must co-locate in one
+    // split, or val/test scores are contaminated by memorized training
+    // rows); the tempting key — doc_id, "just mod the primary key" — is
+    // the classic leak, because duplicated content carries distinct ids
+    // that scatter across splits. This query runs BOTH strategies over
+    // one scan and emits, per (strategy, split): docs, distinct
+    // contents, and how many of those contents also appear in some
+    // OTHER split of the same strategy. The content-hash rows are the
+    // proof (n_leaked = 0 by construction); the doc_id rows price the
+    // leak on your corpus. Split math is the q16 trick: h60 of a salted
+    // content key mod 10 → 0-7 train, 8 val, 9 test — deterministic,
+    // engine-portable, and independent of the d01 dedup hash (different
+    // salt) so split choice never correlates with dedup bucketing.
+    // Shape: one corpus scan, ONE content-keyed exchange (the exact
+    // leak count per content is irreducibly a groupBy content_hash —
+    // d01's key; both strategies ride it via a pre-shuffle 2× unpivot),
+    // then a map-side-collapsing rollup to the 2×3 report rows. The
+    // per-content collect_list is bounded by the duplicate-group size —
+    // the same bound d01's window carries.
+    Q("t26_hash_split",
+      "train/val/test split audit: content-hash vs doc_id assignment, per-split doc/content counts + cross-split content leaks",
+      (s, d) => {
+        val splitName = (b: Column) => when(b < 8, "train")
+          .when(b === 8, "val").otherwise("test")
+        // unpivot to (strategy, content_hash, split) BEFORE the exchange:
+        // both strategies ride the same shuffle, keyed by the content
+        // hash (d01's key), and the per-content split multiset is bounded
+        // by the content's duplicate-group size
+        val u = docs(s, d)
+          .select(col("doc_id"), md5(normText(col("text"))).as("content_hash"))
+          .select(col("content_hash"), explode(array(
+            struct(lit("content_hash").as("strategy"),
+              splitName(pmod(h60(concat(lit("split_"), col("content_hash"))),
+                lit(10L))).as("split")),
+            struct(lit("doc_id").as("strategy"),
+              splitName(pmod(col("doc_id"), lit(10L))).as("split")))).as("x"))
+          .select(col("x.strategy").as("strategy"), col("content_hash"),
+            col("x.split").as("split"))
+        u.groupBy("strategy", "content_hash")
+          .agg(collect_list(col("split")).as("ss"))
+          .withColumn("ds", array_distinct(col("ss")))
+          .withColumn("leaked", size(col("ds")) > 1)
+          .select(col("strategy"), col("leaked"), col("ss"),
+            explode(col("ds")).as("split"))
+          .withColumn("n_docs",
+            size(filter(col("ss"), z => z === col("split"))).cast("long"))
+          .groupBy("strategy", "split")
+          .agg(sum(col("n_docs")).as("n_docs"),
+            count(lit(1)).as("n_contents"),
+            sum(when(col("leaked"), 1L).otherwise(0L)).as("n_leaked"))
+          .orderBy("strategy", "split")
+      },
+      Some("""WITH b AS (SELECT doc_id,
+             |    md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS content_hash
+             |  FROM documents),
+             |sp AS (SELECT doc_id, content_hash,
+             |    CASE WHEN m < 8 THEN 'train' WHEN m = 8 THEN 'val' ELSE 'test' END AS split_c,
+             |    CASE WHEN doc_id % 10 < 8 THEN 'train'
+             |         WHEN doc_id % 10 = 8 THEN 'val' ELSE 'test' END AS split_i
+             |  FROM (SELECT *,
+             |      ('0x' || substr(md5('split_' || content_hash), 1, 15))::BIGINT % 10 AS m
+             |    FROM b)),
+             |u AS (SELECT content_hash, 'content_hash' AS strategy, split_c AS split FROM sp
+             |  UNION ALL
+             |  SELECT content_hash, 'doc_id' AS strategy, split_i AS split FROM sp),
+             |pc AS (SELECT strategy, content_hash, split, count(*)::BIGINT AS n_docs
+             |  FROM u GROUP BY strategy, content_hash, split),
+             |lk AS (SELECT strategy, content_hash,
+             |    count(*) > 1 AS leaked FROM pc GROUP BY strategy, content_hash)
+             |SELECT pc.strategy, pc.split,
+             |  sum(pc.n_docs)::BIGINT AS n_docs,
+             |  count(*)::BIGINT AS n_contents,
+             |  sum(CASE WHEN lk.leaked THEN 1 ELSE 0 END)::BIGINT AS n_leaked
+             |FROM pc JOIN lk ON pc.strategy = lk.strategy
+             |  AND pc.content_hash = lk.content_hash
+             |GROUP BY pc.strategy, pc.split
+             |ORDER BY pc.strategy, pc.split""".stripMargin))
   )
 
   /** t18/t19's shared oracle: the LM re-derived from the stored slice's

@@ -1001,4 +1001,103 @@ class PipelineOpsSpec extends SparkTestBase {
     // per-user recomputation above
     assert(got.nonEmpty && got.values.forall(s => s >= 0 && s <= 4))
   }
+
+  test("s15 filtered kNN: truth is same-label top-3, post_hit equals global-top-20 membership") {
+    import org.apache.spark.sql.functions.col
+    val vecs = graft.core.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("label"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        r.getSeq[Float](2).map(_.toDouble).toArray))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val got = run("s15_filtered_knn").collect()
+      .map(r => (r.getLong(0), r.getInt(1)) ->
+        (r.getLong(2), r.getBoolean(3))).toMap
+    assert(got.nonEmpty)
+    vecs.filter(_._1 % 50 == 0).foreach { case (qid, qlab, qv) =>
+      val scored = vecs.filter(_._1 != qid)
+        .map { case (id, lab, v) => (id, lab, cos(v, qv)) }
+        .sortBy { case (id, _, c) => (-c, id) }
+      val top20 = scored.take(20).map(_._1).toSet
+      val truth = scored.filter(_._2 == qlab).take(3)
+      truth.zipWithIndex.foreach { case ((nid, _, _), i) =>
+        val (gNid, gHit) = got((qid, i + 1))
+        assert(gNid === nid, s"query $qid rank ${i + 1}: truth neighbor")
+        assert(gHit === top20.contains(nid),
+          s"query $qid rank ${i + 1}: post_hit flag")
+      }
+    }
+    // the audit is only informative if post-filtering actually misses
+    // something somewhere at 1/|labels| selectivity
+    assert(got.values.exists(!_._2),
+      "expected at least one truth neighbor outside the global top-20")
+  }
+
+  test("t26 split audit: content-hash split never leaks, doc_id split leaks planted dup groups") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // ten copies of one content spanning ids 0-9: the doc_id%10 split
+    // scatters them over train(0-7)/val(8)/test(9); the content split
+    // must co-locate all ten — plus unique filler so every split is
+    // non-empty under both strategies
+    val dup = (0L until 10L).map(id => (id, "the planted duplicate payload"))
+    val uniq = (10L until 110L).map(id => (id, s"unique filler number $id"))
+    val dir = tmpDir()
+    (dup ++ uniq).toDF("doc_id", "text")
+      .withColumn("lang", org.apache.spark.sql.functions.lit("en"))
+      .withColumn("source", org.apache.spark.sql.functions.lit("t"))
+      .withColumn("n_chars", org.apache.spark.sql.functions.length(col("text")).cast("long"))
+      .write.parquet(s"$dir/documents.parquet")
+    val rows = graft.SparkEntry.queries("t26_hash_split")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val strategies = rows.keySet.map(_._1)
+    assert(strategies === Set("content_hash", "doc_id"))
+    // both strategies account for all 110 docs
+    strategies.foreach { st =>
+      val docs = rows.collect { case ((s2, _), (nd, _, _)) if s2 == st => nd }.sum
+      assert(docs === 110L, s"$st: doc conservation")
+    }
+    // content split: zero leaks by construction
+    assert(rows.collect { case ((s2, _), (_, _, nl)) if s2 == "content_hash" => nl }.sum === 0L)
+    // doc_id split: the dup content appears in all three splits -> it
+    // counts as leaked in each split it touches
+    val idLeaks = rows.collect { case ((s2, _), (_, _, nl)) if s2 == "doc_id" => nl }.sum
+    assert(idLeaks === 3L,
+      s"the planted dup group must leak into train+val+test, got $idLeaks")
+  }
+
+  test("m12 fingerprint match: a frame-aligned planted containment wins at its offset with full votes") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // doc 2 = 64-cp filler + doc 1's text: frame f of doc 1 equals
+    // frame f+2 of doc 2 (hop 32), so every shared landmark agrees on
+    // delta = -2; doc 3 is unrelated filler so no cross votes
+    val innerLong = (1 to 120).map(i => ('a' + (i * 7) % 26).toChar.toString * 3)
+      .mkString(" ") // 479 cps -> 13 frames -> 11 shingles
+    val filler64 = "z" * 64
+    val other = (1 to 120).map(i => ('A' + (i * 11) % 26).toChar.toString * 3)
+      .mkString(" ")
+    val dir = tmpDir()
+    Seq((1L, innerLong), (2L, filler64 + innerLong), (3L, other))
+      .toDF("doc_id", "text")
+      .withColumn("lang", org.apache.spark.sql.functions.lit("en"))
+      .withColumn("source", org.apache.spark.sql.functions.lit("t"))
+      .withColumn("n_chars", org.apache.spark.sql.functions.length(col("text")).cast("long"))
+      .write.parquet(s"$dir/documents.parquet")
+    val out = graft.SparkEntry.queries("m12_audio_fingerprint")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(out.contains((1L, 2L)), s"planted containment must match: ${out.keySet}")
+    val (delta, votes) = out((1L, 2L))
+    assert(delta === -2L, "the alignment offset must localize the 64-cp prefix")
+    // doc 1: 479 cps -> 13 frames -> 11 shingles, all shared
+    val nCps = innerLong.length
+    val nFrames = (nCps - 64) / 32 + 1
+    assert(votes === (nFrames - 2).toLong, "every doc-1 shingle votes for the true offset")
+    assert(!out.keySet.exists(p => p._1 == 3L || p._2 == 3L),
+      "the unrelated doc must not match")
+  }
 }

@@ -981,4 +981,47 @@ class PlanShapeSpec extends SparkTestBase {
         .exists(l => l.contains("HashAggregate") && l.contains("partial_count")),
       s"the LM count must partial-aggregate below its exchange:\n${plan.take(2000)}")
   }
+
+  test("s15: both rank windows share ONE query_id exchange; the query set broadcasts") {
+    val plan = executedPlan("s15_filtered_knn")
+    // rank_all's query_id-only window runs below rank_lab's
+    // (query_id, lm) window, and HashPartitioning(query_id) satisfies
+    // both clusterings — reversed order would pay a second shuffle
+    val hashEx = plan.linesIterator
+      .filter(l => l.contains("Exchange hashpartitioning") && l.contains("query_id"))
+      .toSeq
+    assert(hashEx.size == 1,
+      s"global and within-label rankings must share one query exchange, got: $hashEx")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      "the sampled query set must broadcast; the corpus never moves")
+  }
+
+  test("t26: one content-keyed exchange, map-side partial rollup, no join") {
+    val plan = executedPlan("t26_hash_split")
+    // the strategy unpivot happens before the shuffle, so the exact
+    // leak count needs exactly one corpus-scale exchange (strategy,
+    // content_hash); the 2x3 report rollup partial-aggregates
+    val corpusEx = plan.linesIterator
+      .filter(l => l.contains("Exchange hashpartitioning") && l.contains("content_hash"))
+      .toSeq
+    assert(corpusEx.size == 1,
+      s"expected exactly one content-keyed exchange, got: $corpusEx")
+    assert(!plan.contains("Join"), s"no join belongs in this plan:\n${plan.take(2000)}")
+    assert(plan.contains("partial_count") || plan.contains("partial_sum"),
+      s"the report rollup must partial-aggregate map-side:\n${plan.take(2000)}")
+  }
+
+  test("m12: df-cap and pair joins stay shuffled on the landmark key — nothing corpus-scale broadcasts") {
+    val plan = executedPlan("m12_audio_fingerprint")
+    // the surviving-landmark set is corpus-scale at 100 TB: the cap
+    // join must be shuffled-hash (d07's policy) and the pair self-join
+    // sort-merge on the same key — a BroadcastHashJoin anywhere here
+    // would ship an unbounded side
+    assert(!plan.contains("BroadcastHashJoin") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"no unbounded side may broadcast:\n${plan.take(2000)}")
+    assert(plan.contains("ShuffledHashJoin"),
+      s"the df-cap join must be shuffled-hash:\n${plan.take(2000)}")
+    assert(plan.contains("SortMergeJoin"),
+      s"the pair self-join must sort-merge on the landmark key:\n${plan.take(2000)}")
+  }
 }
