@@ -562,4 +562,100 @@ object EventStreams extends Serializable {
       .groupByKey(_.user_id)
       .mapGroupsWithState(GroupStateTimeout.EventTimeTimeout)(update)
   }
+
+  /** Per-user multi-touch state: `clicks` are retained touch candidates
+    * (micros, click_id) inside the attribution horizon, `pending` the
+    * purchases (micros, purchase_id, value) the watermark has not yet
+    * settled.
+    */
+  final case class MultiTouchState(clicks: Vector[(Long, Long)],
+      pending: Vector[(Long, Long, Double)])
+
+  final case class TouchCredit(user_id: Long, purchase_id: Long,
+      click_id: Long, hours_before: Long, weight: Long, share: Double,
+      credited_value: Double)
+
+  /** Continuous time-decay multi-touch attribution — the streaming twin
+    * of q42_multi_touch, exact under cross-batch disorder via the
+    * transitionStream mechanism (watermark-ordered emission): a
+    * purchase's click shares are only final once no click at or before
+    * its timestamp can still arrive, so purchases buffer until the
+    * watermark passes them, then emit every in-window click's credit
+    * with the batch twin's EXACT integer halving weight
+    * (w = 1 << (30 − floor(Δ/1h)), share = w/Σw — the one IEEE division,
+    * bit-equal to batch at any arrival order). Zero-click purchases
+    * emit nothing, exactly the batch inner join.
+    *
+    * Unlike transitionStream's bridge, this state is bounded WITHOUT a
+    * TTL knob by the model itself: a click can only ever be credited
+    * inside the 24 h attribution window, so clicks at or behind
+    * wm − 24 h are evicted on every visit (pending purchases are all
+    * ahead of the watermark, so no surviving purchase can reach them),
+    * and pending purchases are bounded by the allowance horizon. The
+    * 24 h window IS the TTL. Events later than the allowance drop (the
+    * hourlyRollup contract); buffered purchases re-arm an event-time
+    * timeout at wm+1 so settlement needs no new arrivals.
+    */
+  def attributionDecayStream(events: Dataset[Event],
+      allowance: String = "2 hours"): Dataset[TouchCredit] = {
+    import events.sparkSession.implicits._
+    val windowMs = 24L * 3600 * 1000
+
+    def settle(userId: Long, st: MultiTouchState, wm: Long,
+        state: GroupState[MultiTouchState]): Iterator[TouchCredit] = {
+      val (ready, rest) = st.pending.partition(_._1 / 1000L <= wm)
+      val out = ready.sortBy(p => (p._1, p._2)).flatMap {
+        case (pt, pid, value) =>
+          val pMs = pt / 1000L
+          val weighted = st.clicks.collect {
+            case (ct, cid)
+                if ct / 1000L <= pMs && ct / 1000L > pMs - windowMs =>
+              val hours = (pMs - ct / 1000L) / 3600000L
+              (cid, hours, 1L << (30 - hours))
+          }
+          val total = weighted.map(_._3).sum
+          weighted.map { case (cid, hours, w) =>
+            val share = w * 1.0 / total
+            TouchCredit(userId, pid, cid, hours, w, share, value * share)
+          }
+      }
+      val keepClicks = st.clicks.filter(_._1 / 1000L > wm - windowMs)
+      if (keepClicks.nonEmpty || rest.nonEmpty) {
+        state.update(MultiTouchState(keepClicks, rest))
+        if (rest.nonEmpty) state.setTimeoutTimestamp(wm + 1L)
+      } else if (state.exists) {
+        state.remove()
+      }
+      out.iterator
+    }
+
+    def update(userId: Long, rows: Iterator[Event],
+        state: GroupState[MultiTouchState]): Iterator[TouchCredit] = {
+      val wm = state.getCurrentWatermarkMs()
+      val st0 = state.getOption.getOrElse(
+        MultiTouchState(Vector.empty, Vector.empty))
+      val st =
+        if (state.hasTimedOut) st0
+        else rows.foldLeft(st0) { (st, e) =>
+          val t = micros(e.ts)
+          // beyond-watermark-late (emitting would change already-final
+          // shares) or an at-least-once redelivery: drop
+          if (t / 1000L <= wm) st
+          else e.event_type match {
+            case "click" if !st.clicks.exists(_._2 == e.event_id) =>
+              st.copy(clicks = st.clicks :+ ((t, e.event_id)))
+            case "purchase" if !st.pending.exists(_._2 == e.event_id) =>
+              st.copy(pending = st.pending :+ ((t, e.event_id, e.value)))
+            case _ => st
+          }
+        }
+      settle(userId, st, wm, state)
+    }
+
+    events
+      .withWatermark("ts", allowance)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(update)
+  }
 }

@@ -538,4 +538,56 @@ class EventStreamsSpec extends SparkTestBase {
         "streamed transition rollup must equal the batch matrix minus exits")
     } finally q.stop()
   }
+
+  test("attributionDecayStream equals batch q42 row-for-row on shuffled replay") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sq = spark.sqlContext
+    val d = "/root/testdata/sf0.001"
+    val batch = graft.SparkEntry.queries("q42_multi_touch")(spark, d)
+      .collect()
+      .map(r => (r.getLong(1), r.getLong(2)) ->
+        (r.getLong(0), r.getLong(3), r.getLong(4),
+          r.getDouble(5), r.getDouble(6))).toMap
+    assert(batch.nonEmpty, "sf0.001 must contain attributable purchases")
+
+    val events = graft.core.Tables.events(spark, d)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+      .as[EventStreams.Event].collect().toSeq
+    // shuffled three-batch replay: purchases must wait for the watermark
+    // before crediting, so clicks arriving in LATER batches than their
+    // purchase still land in its window
+    val shuffled = new scala.util.Random(11L).shuffle(events)
+    val third = shuffled.length / 3
+    val in = MemoryStream[EventStreams.Event]
+    val q = EventStreams.attributionDecayStream(in.toDS(), allowance = "3650 days")
+      .writeStream.format("memory").queryName("touch_credits")
+      .outputMode("append").start()
+    try {
+      val lastTs = events.map(_.ts.getTime).max
+      in.addData(shuffled.take(third))
+      q.processAllAvailable()
+      in.addData(shuffled.slice(third, 2 * third))
+      q.processAllAvailable()
+      in.addData(shuffled.drop(2 * third))
+      q.processAllAvailable()
+      in.addData(EventStreams.Event(-1L, new java.sql.Timestamp(
+        lastTs + 4000L * 24 * 3600 * 1000), -998L, "flush", 0.0))
+      q.processAllAvailable()
+      in.addData(EventStreams.Event(-2L, new java.sql.Timestamp(
+        lastTs + 4001L * 24 * 3600 * 1000), -999L, "flush", 0.0))
+      q.processAllAvailable()
+      val streamed = spark.table("touch_credits")
+        .filter(col("user_id") >= 0).collect()
+        .map(r => (r.getLong(1), r.getLong(2)) ->
+          (r.getLong(0), r.getLong(3), r.getLong(4),
+            r.getDouble(5), r.getDouble(6))).toMap
+      assert(streamed.size === spark.table("touch_credits")
+          .filter(col("user_id") >= 0).count(),
+        "append-mode credits must be emitted exactly once per (purchase, click)")
+      assert(streamed === batch,
+        "streamed credits must equal batch q42 bit-for-bit (exact weights, one IEEE division)")
+    } finally q.stop()
+  }
 }
