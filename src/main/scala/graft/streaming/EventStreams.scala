@@ -658,4 +658,99 @@ object EventStreams extends Serializable {
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.EventTimeTimeout)(update)
   }
+
+  /** Per-user retention state: `minMonth`/`emitted`/`pending` are month
+    * INDICES (year*12 + month − 1, so offsets are plain differences —
+    * the same integer-exact arithmetic as batch q40's
+    * (yearΔ*12 + monthΔ)). Long.MaxValue = no event seen yet.
+    */
+  final case class RetentionState(minMonth: Long, emitted: Set[Long],
+      pending: Set[Long])
+
+  final case class CohortActivity(user_id: Long, cohort_month: Timestamp,
+      month_offset: Long)
+
+  /** Continuous cohort-retention feed — the streaming twin of
+    * q40_cohort_retention. Emits each (user, active month) exactly once
+    * as (user_id, cohort_month, month_offset); the q40 grid is the
+    * consumer's distinct-count rollup of these rows (the
+    * transitionStream contract: the stream owns the corpus-scale
+    * per-user work, the grid rollup runs over emitted rows).
+    *
+    * The disorder hazard is the COHORT: a user's first-active month can
+    * only move EARLIER, and a late event in an earlier month would
+    * re-base every already-emitted offset. So activity buffers until
+    * the watermark passes the START of the user's earliest seen month —
+    * from then on, any event that could lower the cohort would be
+    * beyond-watermark-late and is dropped, i.e. the cohort is frozen
+    * and every offset is final (watermark-ordered emission at month
+    * granularity). After the freeze, new months emit in the arrival
+    * batch. Buffered users re-arm an event-time timeout at the freeze
+    * instant, so settlement needs no new arrivals.
+    *
+    * State per user = cohort index + the distinct-month set (bounded by
+    * the user's LIFETIME IN MONTHS — tens of longs after years, the
+    * batch twin's users×months bound, not event history). Unlike
+    * attributionDecayStream there is no model-given eviction: offsets
+    * of far-future activity need the cohort forever, so at 100 TB the
+    * production lever is demoting long-idle users' state to a keyed
+    * warehouse sidecar (the d15/d16 store discipline) and re-hydrating
+    * on their next event — expiring it would re-base their cohort.
+    */
+  def retentionStream(events: Dataset[Event],
+      allowance: String = "60 days"): Dataset[CohortActivity] = {
+    import events.sparkSession.implicits._
+
+    def monthIndex(ms: Long): Long = {
+      val d = java.time.Instant.ofEpochMilli(ms)
+        .atZone(java.time.ZoneOffset.UTC)
+      d.getYear * 12L + d.getMonthValue - 1
+    }
+    def monthStartMs(idx: Long): Long =
+      java.time.LocalDate.of((idx / 12).toInt, (idx % 12).toInt + 1, 1)
+        .atStartOfDay(java.time.ZoneOffset.UTC).toInstant.toEpochMilli
+
+    def update(userId: Long, rows: Iterator[Event],
+        state: GroupState[RetentionState]): Iterator[CohortActivity] = {
+      val wm = state.getCurrentWatermarkMs()
+      val st0 = state.getOption.getOrElse(
+        RetentionState(Long.MaxValue, Set.empty, Set.empty))
+      val st =
+        if (state.hasTimedOut) st0
+        else rows.foldLeft(st0) { (st, e) =>
+          val t = e.ts.getTime
+          if (t <= wm) st // beyond-watermark-late: could re-base the cohort
+          else {
+            val mi = monthIndex(t)
+            if (st.emitted.contains(mi) || st.pending.contains(mi)) st
+            else RetentionState(math.min(st.minMonth, mi), st.emitted,
+              st.pending + mi)
+          }
+        }
+      if (st.minMonth != Long.MaxValue && wm >= monthStartMs(st.minMonth)) {
+        // cohort frozen: every pending month's offset is final
+        val cohortTs = new Timestamp(monthStartMs(st.minMonth))
+        val out = st.pending.toVector.sorted.map(mi =>
+          CohortActivity(userId, cohortTs, mi - st.minMonth))
+        state.update(RetentionState(st.minMonth, st.emitted ++ st.pending,
+          Set.empty))
+        out.iterator
+      } else {
+        if (st.minMonth != Long.MaxValue) {
+          state.update(st)
+          // freeze instant is ahead of the watermark by the branch
+          // condition, satisfying the setTimeoutTimestamp contract
+          if (st.pending.nonEmpty)
+            state.setTimeoutTimestamp(monthStartMs(st.minMonth))
+        }
+        Iterator.empty
+      }
+    }
+
+    events
+      .withWatermark("ts", allowance)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(update)
+  }
 }

@@ -590,4 +590,53 @@ class EventStreamsSpec extends SparkTestBase {
         "streamed credits must equal batch q42 bit-for-bit (exact weights, one IEEE division)")
     } finally q.stop()
   }
+
+  test("retentionStream rollup equals batch q40 on shuffled replay, exactly once per user-month") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sq = spark.sqlContext
+    val d = "/root/testdata/sf0.001"
+    val batch = graft.SparkEntry.queries("q40_cohort_retention")(spark, d)
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(batch.nonEmpty)
+
+    val events = graft.core.Tables.events(spark, d)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+      .as[EventStreams.Event].collect().toSeq
+    // shuffled replay: a user's earliest month may arrive LAST — the
+    // freeze rule must hold every offset back until the cohort is safe
+    val shuffled = new scala.util.Random(13L).shuffle(events)
+    val third = shuffled.length / 3
+    val in = MemoryStream[EventStreams.Event]
+    val q = EventStreams.retentionStream(in.toDS(), allowance = "3650 days")
+      .writeStream.format("memory").queryName("cohort_activity")
+      .outputMode("append").start()
+    try {
+      val lastTs = events.map(_.ts.getTime).max
+      in.addData(shuffled.take(third))
+      q.processAllAvailable()
+      in.addData(shuffled.slice(third, 2 * third))
+      q.processAllAvailable()
+      in.addData(shuffled.drop(2 * third))
+      q.processAllAvailable()
+      in.addData(EventStreams.Event(-1L, new java.sql.Timestamp(
+        lastTs + 4000L * 24 * 3600 * 1000), -998L, "flush", 0.0))
+      q.processAllAvailable()
+      in.addData(EventStreams.Event(-2L, new java.sql.Timestamp(
+        lastTs + 4001L * 24 * 3600 * 1000), -999L, "flush", 0.0))
+      q.processAllAvailable()
+      val rows = spark.table("cohort_activity").filter(col("user_id") >= 0)
+      assert(rows.count() ===
+          rows.select("user_id", "cohort_month", "month_offset").distinct().count(),
+        "each (user, month) must emit exactly once")
+      val streamed = rows
+        .groupBy("cohort_month", "month_offset")
+        .agg(count_distinct(col("user_id")).as("n_users")).collect()
+        .map(r => (r.getTimestamp(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(streamed === batch,
+        "streamed cohort grid must equal batch q40")
+    } finally q.stop()
+  }
 }
