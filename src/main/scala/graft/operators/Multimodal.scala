@@ -835,6 +835,82 @@ object Multimodal {
              |r AS (SELECT *, row_number() OVER (PARTITION BY doc_a, doc_b
              |    ORDER BY votes DESC, offset_delta) AS rn FROM v)
              |SELECT doc_a, doc_b, offset_delta, votes FROM r
-             |WHERE rn = 1 AND votes >= 3 ORDER BY doc_a, doc_b""".stripMargin))
+             |WHERE rn = 1 AND votes >= 3 ORDER BY doc_a, doc_b""".stripMargin)),
+
+    // Keyframe selection — the step m10's header promises ("per-segment
+    // sampling keeps one static shot from flooding a batch"): from each
+    // scene segment pick ONE representative frame, the argmax-energy
+    // frame with lowest-index tie-break (the classic keyframe rule —
+    // highest-information frame per shot), plus the segment's extent
+    // (first frame, frame count) so a downstream packer can weight or
+    // re-sample shots by length. Training relevance: vision-language
+    // batches sample k frames per VIDEO SEGMENT, not per video — without
+    // the segment grain a 10-minute static shot contributes 100× the
+    // frames of a 5-second cut at equal information. Shape: m10's frame
+    // kernel and cut/segment windows, plus the per-(doc, segment)
+    // argmax/extent windows — ALL of them cluster by doc_id subsets, so
+    // the whole five-window stack rides m10's single doc-keyed exchange
+    // (plan-asserted: one hash exchange total). At 100 TB this stays
+    // the q41 single-exchange class; per-doc frame counts bound every
+    // window buffer.
+    Q("m13_keyframes",
+      "per-scene keyframe: argmax-energy frame of each m10 segment + segment extent",
+      (s, d) => {
+        val fr = audioFrames(mediaRecords(s, d)).toDF()
+        val w = Window.partitionBy(col("doc_id")).orderBy(col("frame_idx"))
+        val wCum = Window.partitionBy(col("doc_id")).orderBy(col("frame_idx"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wSeg = Window.partitionBy(col("doc_id"), col("segment_id"))
+          .orderBy(col("energy").desc, col("frame_idx").asc)
+        val wSegAll = Window.partitionBy(col("doc_id"), col("segment_id"))
+        fr.withColumn("prev_energy", lag(col("energy"), 1).over(w))
+          .withColumn("delta",
+            col("energy") - coalesce(col("prev_energy"), col("energy")))
+          .withColumn("is_cut",
+            abs(col("delta")) * lit(10L) > coalesce(col("prev_energy"), lit(0L)))
+          .withColumn("segment_id",
+            sum(when(col("is_cut"), 1L).otherwise(0L)).over(wCum))
+          .withColumn("rn", row_number().over(wSeg))
+          .withColumn("n_frames", count(lit(1)).over(wSegAll))
+          .withColumn("seg_start", min(col("frame_idx")).over(wSegAll))
+          .filter(col("rn") === 1)
+          .select(col("doc_id"), col("segment_id"),
+            col("frame_idx").as("keyframe_idx"),
+            col("energy").as("keyframe_energy"),
+            col("n_frames"), col("seg_start"))
+          .orderBy("doc_id", "segment_id")
+      },
+      Some("""WITH cps AS (SELECT doc_id,
+             |    list_transform(range(1, length(text) + 1),
+             |      i -> unicode(substr(text, i, 1))::BIGINT) AS cp
+             |  FROM documents),
+             |fr AS (SELECT doc_id, cp,
+             |    unnest(range(0, CASE WHEN len(cp) < 64 THEN 0
+             |                         ELSE (len(cp) - 64) // 32 + 1 END)) AS f
+             |  FROM cps),
+             |en AS (SELECT doc_id, f::BIGINT AS frame_idx,
+             |    list_aggregate(list_transform(range(f * 32 + 1, f * 32 + 65),
+             |      i -> cp[i] * cp[i]), 'sum')::BIGINT AS energy
+             |  FROM fr),
+             |lg AS (SELECT doc_id, frame_idx, energy,
+             |    lag(energy) OVER (PARTITION BY doc_id ORDER BY frame_idx) AS prev_energy
+             |  FROM en),
+             |dl AS (SELECT doc_id, frame_idx, energy,
+             |    abs(energy - coalesce(prev_energy, energy)) * 10 > coalesce(prev_energy, 0) AS is_cut
+             |  FROM lg),
+             |seg AS (SELECT doc_id, frame_idx, energy,
+             |    (sum(CASE WHEN is_cut THEN 1 ELSE 0 END) OVER (PARTITION BY doc_id
+             |      ORDER BY frame_idx ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT
+             |      AS segment_id
+             |  FROM dl),
+             |r AS (SELECT doc_id, segment_id, frame_idx, energy,
+             |    row_number() OVER (PARTITION BY doc_id, segment_id
+             |      ORDER BY energy DESC, frame_idx) AS rn,
+             |    count(*) OVER (PARTITION BY doc_id, segment_id)::BIGINT AS n_frames,
+             |    min(frame_idx) OVER (PARTITION BY doc_id, segment_id)::BIGINT AS seg_start
+             |  FROM seg)
+             |SELECT doc_id, segment_id, frame_idx AS keyframe_idx,
+             |  energy AS keyframe_energy, n_frames, seg_start
+             |FROM r WHERE rn = 1 ORDER BY doc_id, segment_id""".stripMargin))
   )
 }

@@ -1100,4 +1100,25 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(!out.keySet.exists(p => p._1 == 3L || p._2 == 3L),
       "the unrelated doc must not match")
   }
+
+  test("m13 keyframes: argmax-energy per m10 segment, extent conserves the frame count") {
+    val segs = run("m10_scene_segments").collect()
+      .map(r => (r.getLong(0), r.getLong(5), r.getLong(1), r.getLong(2)))
+      .groupBy(t => (t._1, t._2)) // (doc, segment) -> frames
+    val keys = run("m13_keyframes").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(keys.keySet === segs.keySet,
+      "one keyframe per m10 segment, no segment dropped")
+    segs.foreach { case (k, frames) =>
+      val (kfIdx, kfEnergy, nFrames, segStart) = keys(k)
+      val best = frames.map(t => (t._3, t._4))
+        .minBy { case (idx, e) => (-e, idx) }
+      assert((kfIdx, kfEnergy) === best, s"segment $k: argmax frame")
+      assert(nFrames === frames.length.toLong, s"segment $k: extent count")
+      assert(segStart === frames.map(_._3).min, s"segment $k: first frame")
+    }
+    assert(keys.values.map(_._3).sum === segs.values.map(_.length.toLong).sum,
+      "segment extents must tile every frame exactly once")
+  }
 }

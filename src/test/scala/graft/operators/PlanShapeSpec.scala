@@ -1024,4 +1024,15 @@ class PlanShapeSpec extends SparkTestBase {
     assert(plan.contains("SortMergeJoin"),
       s"the pair self-join must sort-merge on the landmark key:\n${plan.take(2000)}")
   }
+
+  test("m13: the whole five-window stack rides ONE doc-keyed exchange") {
+    val plan = executedPlan("m13_keyframes")
+    // lag/cut-sum cluster by doc_id, argmax/extent by (doc_id,
+    // segment_id) — a doc_id subset — so no window may add a shuffle
+    val hashEx = plan.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(hashEx.size == 1,
+      s"expected exactly one hash exchange (doc_id), got: $hashEx")
+    assert(!plan.contains("Join"), s"no join belongs in this plan:\n${plan.take(2000)}")
+  }
 }
