@@ -1307,7 +1307,79 @@ object TextAnalysis {
              |FROM pc JOIN lk ON pc.strategy = lk.strategy
              |  AND pc.content_hash = lk.content_hash
              |GROUP BY pc.strategy, pc.split
-             |ORDER BY pc.strategy, pc.split""".stripMargin))
+             |ORDER BY pc.strategy, pc.split""".stripMargin)),
+
+    // Mixture drift monitor — the operational twin of t24's dataset
+    // card: compare TODAY's batch (an md5-derived 1-in-5 hash of
+    // doc_id — see driftBatchCol for why NOT the gates' doc_id%5
+    // convention here) against the persisted card sidecar (per-(source,
+    // lang) doc counts the ingest pipeline maintains; built once per
+    // JVM via StoreFixture like the d16/t19 stores) and flag every
+    // grid cell whose corpus share moved more than 2× in either
+    // direction — plus 'new' (unseen cell) and 'vanished' (cell with
+    // no arrivals), the two states a ratio can't express. Pipelines
+    // page on this, not on the card itself: an upstream crawler change
+    // shows up as a drifted source share long before any quality
+    // metric moves. The 2× test is CROSS-MULTIPLIED INTEGERS
+    // (batch·N_stored vs 2·stored·N_batch), so verdicts are exact at
+    // any scale; the two share columns are one IEEE division each,
+    // bit-equal cross-engine. Shape: batch counts collapse map-side to
+    // grid size; the store enters as a scan (rule 8); everything after
+    // the two aggregations — full-outer grid join, two broadcast 1-row
+    // totals, the CASE — runs on |sources|×|langs| rows. At 100 TB the
+    // only corpus-scale stage is the batch scan.
+    Q("t27_mixture_drift",
+      "per-(source, lang) share drift of today's batch vs the stored dataset card: new/vanished/over/under/stable",
+      (s, d) => {
+        val stored = s.read.parquet(cardStorePath(s, d))
+        val batch = docs(s, d).filter(driftBatchCol)
+          .groupBy("source", "lang").agg(count(lit(1)).as("batch_docs"))
+        val grid = stored.join(batch, Seq("source", "lang"), "full_outer")
+          .na.fill(0L, Seq("stored_docs", "batch_docs"))
+        val totS = stored.agg(sum(col("stored_docs")).as("n_stored_total"))
+        val totB = batch.agg(sum(col("batch_docs")).as("n_batch_total"))
+        grid.crossJoin(broadcast(totS)).crossJoin(broadcast(totB))
+          .withColumn("status",
+            when(col("stored_docs") === 0, "new")
+              .when(col("batch_docs") === 0, "vanished")
+              .when(col("batch_docs") * col("n_stored_total") >
+                col("stored_docs") * col("n_batch_total") * 2, "over")
+              .when(col("batch_docs") * col("n_stored_total") * 2 <
+                col("stored_docs") * col("n_batch_total"), "under")
+              .otherwise("stable"))
+          .select(col("source"), col("lang"),
+            col("stored_docs"), col("batch_docs"),
+            (col("stored_docs") * lit(1.0) / col("n_stored_total"))
+              .as("stored_share"),
+            (col("batch_docs") * lit(1.0) / col("n_batch_total"))
+              .as("batch_share"),
+            col("status"))
+          .orderBy("source", "lang")
+      },
+      Some("""WITH m AS (SELECT source, lang,
+             |    ('0x' || substr(md5('drift_' || doc_id), 1, 15))::BIGINT % 5 = 4 AS in_batch
+             |  FROM documents),
+             |st AS (SELECT source, lang, count(*)::BIGINT AS stored_docs
+             |  FROM m WHERE NOT in_batch GROUP BY 1, 2),
+             |ba AS (SELECT source, lang, count(*)::BIGINT AS batch_docs
+             |  FROM m WHERE in_batch GROUP BY 1, 2),
+             |g AS (SELECT coalesce(st.source, ba.source) AS source,
+             |    coalesce(st.lang, ba.lang) AS lang,
+             |    coalesce(stored_docs, 0)::BIGINT AS stored_docs,
+             |    coalesce(batch_docs, 0)::BIGINT AS batch_docs
+             |  FROM st FULL OUTER JOIN ba
+             |    ON st.source = ba.source AND st.lang = ba.lang),
+             |t AS (SELECT (SELECT sum(stored_docs) FROM g)::BIGINT AS n_s,
+             |    (SELECT sum(batch_docs) FROM g)::BIGINT AS n_b)
+             |SELECT source, lang, stored_docs, batch_docs,
+             |  stored_docs * 1.0 / n_s AS stored_share,
+             |  batch_docs * 1.0 / n_b AS batch_share,
+             |  CASE WHEN stored_docs = 0 THEN 'new'
+             |       WHEN batch_docs = 0 THEN 'vanished'
+             |       WHEN batch_docs * n_s > stored_docs * n_b * 2 THEN 'over'
+             |       WHEN batch_docs * n_s * 2 < stored_docs * n_b THEN 'under'
+             |       ELSE 'stable' END AS status
+             |FROM g CROSS JOIN t ORDER BY source, lang""".stripMargin))
   )
 
   /** t18/t19's shared oracle: the LM re-derived from the stored slice's
@@ -1346,6 +1418,31 @@ object TextAnalysis {
       bigramOcc(docs(s, d).filter(col("doc_id") % 5 =!= 4))
         .groupBy("bg").agg(count(lit(1)).as("cnt"))
         .write.mode("overwrite").parquet(s"$p/batch_id=0")
+    }
+
+  /** t27's batch membership: an md5-derived 1-in-5 hash of doc_id, NOT
+    * the incremental gates' doc_id%5 — the synthetic generator assigns
+    * source = src(doc_id % 20), so ANY modular id split is perfectly
+    * correlated with source and every grid cell would read as
+    * new/vanished; the hash split decorrelates while staying
+    * deterministic and oracle-reproducible.
+    * DuckDB twin: `('0x' || substr(md5('drift_' || doc_id), 1, 15))
+    * ::BIGINT % 5 = 4`.
+    */
+  private def driftBatchCol: Column =
+    h60(concat(lit("drift_"), col("doc_id").cast("string"))) % 5 === 4
+
+  /** The t27 card sidecar — per-(source, lang) doc counts over
+    * everything OUTSIDE the gate batch, the stored half of the drift
+    * comparison; grid-sized (|sources|×|langs| rows), built once per
+    * JVM (StoreFixture discipline), maintained per batch in production
+    * by the same additive fold as every count sidecar here.
+    */
+  private def cardStorePath(s: SparkSession, d: String): String =
+    graft.core.StoreFixture("graft_cardstore", d) { p =>
+      docs(s, d).filter(!driftBatchCol)
+        .groupBy("source", "lang").agg(count(lit(1)).as("stored_docs"))
+        .write.mode("overwrite").parquet(p)
     }
 
   /** The t19 consumer over an arbitrary (doc_id, text) batch frame and

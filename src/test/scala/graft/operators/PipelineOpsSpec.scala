@@ -1121,4 +1121,39 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(keys.values.map(_._3).sum === segs.values.map(_.length.toLong).sum,
       "segment extents must tile every frame exactly once")
   }
+
+  test("t27 drift statuses match a driver-side recomputation of both halves") {
+    import graft.functions.Portable.h60Scala
+    val meta = graft.core.Tables.documents(spark, sf)
+      .select("doc_id", "source", "lang").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val (batch, stored) = meta.partition { case (id, _, _) =>
+      h60Scala(s"drift_$id") % 5 == 4
+    }
+    val sCnt = stored.groupBy(t => (t._2, t._3)).view.mapValues(_.length.toLong).toMap
+    val bCnt = batch.groupBy(t => (t._2, t._3)).view.mapValues(_.length.toLong).toMap
+    val nS = stored.length.toLong
+    val nB = batch.length.toLong
+    val got = run("t27_mixture_drift").collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getString(6))).toMap
+    assert(got.keySet === (sCnt.keySet ++ bCnt.keySet),
+      "one row per grid cell present in either half")
+    got.foreach { case (cell, (sd, bd, status)) =>
+      assert(sd === sCnt.getOrElse(cell, 0L), s"$cell stored count")
+      assert(bd === bCnt.getOrElse(cell, 0L), s"$cell batch count")
+      val expected =
+        if (sd == 0) "new"
+        else if (bd == 0) "vanished"
+        else if (bd * nS > sd * nB * 2) "over"
+        else if (bd * nS * 2 < sd * nB) "under"
+        else "stable"
+      assert(status === expected, s"$cell status (sd=$sd bd=$bd)")
+    }
+    // the monitor is only useful if the hash split decorrelates from
+    // the generator's source = f(doc_id % 20): some cell must be
+    // genuinely comparable (both halves non-empty)
+    assert(got.values.exists(v => v._1 > 0 && v._2 > 0),
+      "the drift split must not reproduce the modular-source pathology")
+  }
 }

@@ -1035,4 +1035,24 @@ class PlanShapeSpec extends SparkTestBase {
       s"expected exactly one hash exchange (doc_id), got: $hashEx")
     assert(!plan.contains("Join"), s"no join belongs in this plan:\n${plan.take(2000)}")
   }
+
+  test("t27: store enters as a scan, batch partial-aggregates, the corpus never broadcasts") {
+    val plan = executedPlan("t27_mixture_drift")
+    assert(plan.contains("graft_cardstore"),
+      s"the stored card must enter as a parquet scan:\n${plan.take(2000)}")
+    assert(plan.contains("partial_count"),
+      s"the batch grid count must partial-aggregate map-side:\n${plan.take(2000)}")
+    // grid-sized sides may broadcast; the documents scan must not
+    val lines = plan.linesIterator.toVector
+    def indent(l: String): Int =
+      l.takeWhile(c => c == ' ' || c == ':' || c == '+' || c == '-').length
+    lines.zipWithIndex.filter(_._1.contains("BroadcastExchange")).foreach {
+      case (bl, i) =>
+        val bi = indent(bl)
+        val subtree = lines.drop(i + 1).takeWhile(l =>
+          l.trim.isEmpty || indent(l) > bi)
+        assert(!subtree.exists(_.contains("documents.parquet")),
+          s"the corpus must never broadcast:\n$bl")
+    }
+  }
 }
