@@ -1330,32 +1330,8 @@ object TextAnalysis {
     // only corpus-scale stage is the batch scan.
     Q("t27_mixture_drift",
       "per-(source, lang) share drift of today's batch vs the stored dataset card: new/vanished/over/under/stable",
-      (s, d) => {
-        val stored = s.read.parquet(cardStorePath(s, d))
-        val batch = docs(s, d).filter(driftBatchCol)
-          .groupBy("source", "lang").agg(count(lit(1)).as("batch_docs"))
-        val grid = stored.join(batch, Seq("source", "lang"), "full_outer")
-          .na.fill(0L, Seq("stored_docs", "batch_docs"))
-        val totS = stored.agg(sum(col("stored_docs")).as("n_stored_total"))
-        val totB = batch.agg(sum(col("batch_docs")).as("n_batch_total"))
-        grid.crossJoin(broadcast(totS)).crossJoin(broadcast(totB))
-          .withColumn("status",
-            when(col("stored_docs") === 0, "new")
-              .when(col("batch_docs") === 0, "vanished")
-              .when(col("batch_docs") * col("n_stored_total") >
-                col("stored_docs") * col("n_batch_total") * 2, "over")
-              .when(col("batch_docs") * col("n_stored_total") * 2 <
-                col("stored_docs") * col("n_batch_total"), "under")
-              .otherwise("stable"))
-          .select(col("source"), col("lang"),
-            col("stored_docs"), col("batch_docs"),
-            (col("stored_docs") * lit(1.0) / col("n_stored_total"))
-              .as("stored_share"),
-            (col("batch_docs") * lit(1.0) / col("n_batch_total"))
-              .as("batch_share"),
-            col("status"))
-          .orderBy("source", "lang")
-      },
+      (s, d) => driftOf(docs(s, d).filter(driftBatchCol),
+        cardStorePath(s, d)),
       Some("""WITH m AS (SELECT source, lang,
              |    ('0x' || substr(md5('drift_' || doc_id), 1, 15))::BIGINT % 5 = 4 AS in_batch
              |  FROM documents),
@@ -1442,8 +1418,44 @@ object TextAnalysis {
     graft.core.StoreFixture("graft_cardstore", d) { p =>
       docs(s, d).filter(!driftBatchCol)
         .groupBy("source", "lang").agg(count(lit(1)).as("stored_docs"))
-        .write.mode("overwrite").parquet(p)
+        .write.mode("overwrite").parquet(s"$p/batch_id=0")
     }
+
+  /** The t27 consumer over an arbitrary batch frame and ANY producer's
+    * card sidecar (the gate's one-batch fixture or the streamed
+    * multi-batch store — per-batch cell counts SUM at read, the
+    * familiarityOf additive-fold discipline).
+    */
+  private[graft] def driftOf(batchDocs: DataFrame,
+      storePath: String): DataFrame = {
+    val s = batchDocs.sparkSession
+    val stored = s.read.parquet(storePath)
+      .groupBy("source", "lang")
+      .agg(sum(col("stored_docs")).as("stored_docs"))
+    val batch = batchDocs
+      .groupBy("source", "lang").agg(count(lit(1)).as("batch_docs"))
+    val grid = stored.join(batch, Seq("source", "lang"), "full_outer")
+      .na.fill(0L, Seq("stored_docs", "batch_docs"))
+    val totS = stored.agg(sum(col("stored_docs")).as("n_stored_total"))
+    val totB = batch.agg(sum(col("batch_docs")).as("n_batch_total"))
+    grid.crossJoin(broadcast(totS)).crossJoin(broadcast(totB))
+      .withColumn("status",
+        when(col("stored_docs") === 0, "new")
+          .when(col("batch_docs") === 0, "vanished")
+          .when(col("batch_docs") * col("n_stored_total") >
+            col("stored_docs") * col("n_batch_total") * 2, "over")
+          .when(col("batch_docs") * col("n_stored_total") * 2 <
+            col("stored_docs") * col("n_batch_total"), "under")
+          .otherwise("stable"))
+      .select(col("source"), col("lang"),
+        col("stored_docs"), col("batch_docs"),
+        (col("stored_docs") * lit(1.0) / col("n_stored_total"))
+          .as("stored_share"),
+        (col("batch_docs") * lit(1.0) / col("n_batch_total"))
+          .as("batch_share"),
+        col("status"))
+      .orderBy("source", "lang")
+  }
 
   /** The t19 consumer over an arbitrary (doc_id, text) batch frame and
     * ANY producer's count sidecar (the gate's one-batch fixture or the

@@ -665,4 +665,36 @@ object DocumentStreams {
       (batch: Dataset[Doc], batchId: Long) =>
         writeLmBatch(batch, store, batchId)
     }
+
+  /** One micro-batch of the dataset-card ingest: the batch's
+    * per-(source, lang) doc counts written to `store/batch_id=<id>` in
+    * OVERWRITE mode (the [[writeLmBatch]] idempotence discipline —
+    * a redelivered micro-batch rewrites its own partition, never
+    * double-counts). Counts are the same pure additive fold as the LM
+    * sidecar: the consumer sum-merges per cell at read, so the
+    * streamed multi-batch store and the one-shot fixture are
+    * interchangeable inputs to t27_mixture_drift.
+    */
+  private[graft] def writeCardBatch(batch: Dataset[Doc],
+      store: String, batchId: Long): Unit = {
+    import org.apache.spark.sql.functions.{count, lit}
+    batch.toDF().groupBy("source", "lang")
+      .agg(count(lit(1)).as("stored_docs"))
+      .write.mode("overwrite").parquet(s"$store/batch_id=$batchId")
+  }
+
+  /** The streaming PRODUCER of the (source, lang) card sidecar that
+    * t27_mixture_drift compares today's batch against — the mixture
+    * monitor's reference distribution stays current without a corpus
+    * rebuild, like every other store here: signatures (signatureIngest
+    * → d15/d25), exact hashes (hashIngest → d16), bloom bits
+    * (bloomIngest → d18), LM counts (lmIngest → t19), per-source
+    * union-MinHash (sourceSigIngest → d21).
+    */
+  def cardIngest(docs: Dataset[Doc], store: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[Doc] =
+    docs.writeStream.foreachBatch {
+      (batch: Dataset[Doc], batchId: Long) =>
+        writeCardBatch(batch, store, batchId)
+    }
 }

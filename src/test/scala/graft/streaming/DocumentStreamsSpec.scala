@@ -486,6 +486,53 @@ class DocumentStreamsSpec extends SparkTestBase {
       "replaying a delivered batch id must not change any count")
   }
 
+  test("t27 consumes a cardIngest-streamed sidecar: per-batch cell counts sum to the one-shot card") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    implicit val sq = spark.sqlContext
+    val d = "/root/testdata/sf0.001"
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_streamed_card").toString
+    // stream ONLY the stored half (t27's md5-derived drift split — NOT
+    // the gates' doc_id%5; see driftBatchCol), two micro-batches
+    val docs = graft.core.Tables.documents(spark, d)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"))
+      .collect().sortBy(_.getLong(0))
+      .map(r => DocumentStreams.Doc(r.getLong(0), ts("09:00"),
+        r.getString(1), r.getString(2), r.getString(3)))
+      .filter(doc =>
+        graft.functions.Portable.h60Scala(s"drift_${doc.doc_id}") % 5 != 4)
+    val (first, second) = docs.splitAt(docs.length / 2)
+    val in = MemoryStream[DocumentStreams.Doc]
+    val q = DocumentStreams.cardIngest(in.toDS(), store).start()
+    try {
+      in.addData(first.toSeq)
+      q.processAllAvailable()
+      in.addData(second.toSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+      (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5), r.getString(6))).toSeq
+    val batchDocs = graft.core.Tables.documents(spark, d)
+      .filter(graft.functions.Portable.h60(
+        org.apache.spark.sql.functions.concat(
+          org.apache.spark.sql.functions.lit("drift_"),
+          col("doc_id").cast("string"))) % 5 === 4)
+    val viaStream = rows(
+      graft.operators.TextAnalysis.driftOf(batchDocs, store))
+    val viaGate = rows(
+      graft.SparkEntry.queries("t27_mixture_drift")(spark, d))
+    assert(viaStream === viaGate,
+      "the streamed card sidecar must be drop-in for the one-shot store")
+    // a failure-redelivered batch rewrites its own subdir, never
+    // double-counts
+    DocumentStreams.writeCardBatch(second.toSeq.toDS(), store, 1L)
+    assert(rows(graft.operators.TextAnalysis.driftOf(batchDocs, store))
+      === viaStream,
+      "replaying a delivered batch id must not change any cell count")
+  }
+
   test("d16 consumes a hashIngest-streamed store: producer and batch consumer agree") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
