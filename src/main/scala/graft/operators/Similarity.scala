@@ -1354,7 +1354,98 @@ object Similarity {
              |    AS n_common,
              |  sum(CASE WHEN rank_e <= 5 AND rank_p <= 5 THEN 1 ELSE 0 END)::BIGINT
              |    * 1.0 / 5 AS recall_at_5
-             |FROM rk GROUP BY query_id ORDER BY query_id""".stripMargin))
+             |FROM rk GROUP BY query_id ORDER BY query_id""".stripMargin)),
+
+    // The tuning curve for s15's design question (the s14 discipline —
+    // price the whole knob range from ONE shared pass, not one query
+    // per setting): post-filtering over-retrieves a global top-K pool
+    // and keeps predicate matches, so the ONLY production knob is K —
+    // and this query measures recall@3-vs-truth for K ∈ {5,10,20,50}
+    // against the exact same-label top-3. The knee of this curve is
+    // what you ship; below it post-filtering silently loses neighbors,
+    // above it you pay dead exact-distance work per query. Plan: s15's
+    // single corpus×queries pass and shared query_id exchange, the
+    // K levels join the truth rows as a broadcast 4-row frame, and the
+    // rollup is 4 rows — the curve costs one s15, not four.
+    Q("s17_filter_recall_curve",
+      "post-filter recall@3 vs exact same-label truth for top-K pools, K in {5,10,20,50}, one shared pass",
+      (s, d) => {
+        import s.implicits._
+        graft.plans.VectorExpressions.register(s)
+        val e = Tables.embeddings(s, d)
+          .select(col("vec_id"), col("label"), vecD(col("embedding")).as("v"))
+          .withColumn("nrm", sqrt(dotFast(col("v"), col("v"))))
+        val q = e.filter(col("vec_id") % 50 === 0)
+          .select(col("vec_id").as("query_id"), col("label").as("qlabel"),
+            col("v").as("qv"), col("nrm").as("qn"))
+        val wAll = Window.partitionBy(col("query_id"))
+          .orderBy(col("cosine").desc, col("vec_id").asc)
+        // within-label rank AFTER the lm filter, ordered by rank_all:
+        // identical semantics to a (query_id, lm) window (rank_all
+        // already encodes the (cosine desc, vec_id) order), but both
+        // windows now key on query_id alone AND the filtered rows stay
+        // sorted — one exchange, no second sort (vs the two-key form,
+        // where the planner orders the (query_id, lm) window first and
+        // pays a second shuffle; measured in PlanShapeSpec)
+        val wLab = Window.partitionBy(col("query_id"))
+          .orderBy(col("rank_all").asc)
+        val truth = e.crossJoin(broadcast(q))
+          .filter(col("vec_id") =!= col("query_id"))
+          .withColumn("lm", col("label") === col("qlabel"))
+          .withColumn("cosine",
+            dotFast(col("v"), col("qv")) / (col("nrm") * col("qn")))
+          .withColumn("rank_all", row_number().over(wAll))
+          .filter(col("lm"))
+          .withColumn("rank_lab", row_number().over(wLab))
+          .filter(col("rank_lab") <= 3)
+        val levels = Seq(5, 10, 20, 50).toDF("k_pool")
+        // denominators fold into the SAME 4-row aggregation (each truth
+        // row appears once per level), so the corpus pass runs once —
+        // no separate count branch re-scanning the pair space
+        truth.crossJoin(broadcast(levels))
+          .groupBy("k_pool")
+          .agg(countDistinct(col("query_id")).as("n_queries"),
+            count(lit(1)).as("truth_rows"),
+            sum(when(col("rank_all") <= col("k_pool"), 1L).otherwise(0L))
+              .as("hits"))
+          .select(col("k_pool"), col("n_queries"), col("truth_rows"),
+            col("hits"),
+            when(col("truth_rows") === 0, lit(null))
+              .otherwise(col("hits") * lit(1.0) / col("truth_rows"))
+              .as("recall"))
+          .orderBy("k_pool")
+      },
+      Some(s"""WITH e AS (SELECT vec_id, label,
+             |    list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+             |n AS (SELECT vec_id, label, v,
+             |    sqrt(list_reduce(list_transform(range(1, ${Dim + 1}),
+             |      i -> v[i] * v[i]), (x, y) -> x + y)) AS nrm
+             |  FROM e),
+             |q AS (SELECT vec_id AS query_id, label AS qlabel, v AS qv, nrm AS qn
+             |  FROM n WHERE vec_id % 50 = 0),
+             |sc AS (SELECT q.query_id, n.vec_id, n.label = q.qlabel AS lm,
+             |    list_reduce(list_transform(range(1, ${Dim + 1}),
+             |      i -> n.v[i] * q.qv[i]), (x, y) -> x + y) / (n.nrm * q.qn) AS cosine
+             |  FROM n CROSS JOIN q WHERE n.vec_id <> q.query_id),
+             |rk AS (SELECT query_id, vec_id, lm, cosine,
+             |    row_number() OVER (PARTITION BY query_id, lm
+             |      ORDER BY cosine DESC, vec_id) AS rank_lab,
+             |    row_number() OVER (PARTITION BY query_id
+             |      ORDER BY cosine DESC, vec_id) AS rank_all
+             |  FROM sc),
+             |tr AS (SELECT query_id, vec_id, rank_all FROM rk
+             |  WHERE lm AND rank_lab <= 3),
+             |nq AS (SELECT count(DISTINCT query_id)::BIGINT AS n_queries,
+             |    count(*)::BIGINT AS truth_rows FROM tr),
+             |lv AS (SELECT unnest([5, 10, 20, 50]) AS k_pool),
+             |h AS (SELECT lv.k_pool::INT AS k_pool,
+             |    sum(CASE WHEN tr.rank_all <= lv.k_pool THEN 1 ELSE 0 END)::BIGINT AS hits
+             |  FROM tr CROSS JOIN lv GROUP BY 1)
+             |SELECT h.k_pool, nq.n_queries, nq.truth_rows, h.hits,
+             |  CASE WHEN nq.truth_rows = 0 THEN NULL
+             |    ELSE h.hits * 1.0 / nq.truth_rows END AS recall
+             |FROM h CROSS JOIN nq
+             |ORDER BY h.k_pool""".stripMargin))
   )
 
   /** One Lloyd maintenance step in WRITE-BACK form: assign each batch

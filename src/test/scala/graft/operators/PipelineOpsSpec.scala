@@ -1156,4 +1156,27 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(got.values.exists(v => v._1 > 0 && v._2 > 0),
       "the drift split must not reproduce the modular-source pathology")
   }
+
+  test("s17 recall curve is monotone in K and its K=20 point equals s15's post_hit count") {
+    val curve = run("s17_filter_recall_curve").collect()
+      .map(r => r.getInt(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(curve.keySet === Set(5, 10, 20, 50))
+    val (nq, tr, _) = curve(5)
+    curve.values.foreach { case (q2, t2, h) =>
+      assert((q2, t2) === ((nq, tr)), "shared truth denominators")
+      assert(h >= 0 && h <= t2)
+    }
+    // a bigger pool can only add hits
+    assert(curve(5)._3 <= curve(10)._3 && curve(10)._3 <= curve(20)._3 &&
+      curve(20)._3 <= curve(50)._3, "recall must be monotone in K")
+    // cross-query consistency: s15's per-row post_hit flags ARE the
+    // K=20 point of this curve
+    val s15Hits = run("s15_filtered_knn").collect()
+      .count(_.getBoolean(3)).toLong
+    assert(curve(20)._3 === s15Hits,
+      "curve(K=20) must equal the sum of s15 post_hit flags")
+    assert(tr === run("s15_filtered_knn").count(),
+      "truth_rows must equal s15's output rows")
+  }
 }

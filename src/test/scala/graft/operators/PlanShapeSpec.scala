@@ -1036,6 +1036,17 @@ class PlanShapeSpec extends SparkTestBase {
     assert(!plan.contains("Join"), s"no join belongs in this plan:\n${plan.take(2000)}")
   }
 
+  test("s17: the whole K-curve shares ONE query_id exchange, like s15") {
+    val plan = executedPlan("s17_filter_recall_curve")
+    val hashEx = plan.linesIterator
+      .filter(l => l.contains("Exchange hashpartitioning") && l.contains("query_id"))
+      .toSeq
+    assert(hashEx.size == 1,
+      s"all four K levels must price from one query exchange, got: $hashEx")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      "the query set and the 4-row level frame broadcast; the corpus never moves")
+  }
+
   test("t27: store enters as a scan, batch partial-aggregates, the corpus never broadcasts") {
     val plan = executedPlan("t27_mixture_drift")
     assert(plan.contains("graft_cardstore"),
