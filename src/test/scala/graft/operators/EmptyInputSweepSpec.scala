@@ -69,4 +69,40 @@ class EmptyInputSweepSpec extends SparkTestBase {
     assert(failures.isEmpty,
       s"queries crashing on a single-row corpus:\n  ${failures.mkString("\n  ")}")
   }
+
+  test("every registry query completes on a null-text-bearing corpus") {
+    // real crawls deliver null text (fetch failures, encoding bombs);
+    // NullTextSpec pins the kernel-level contracts, this sweep makes
+    // the whole registry's tolerance CI — a null NPE inside one
+    // mapPartitions kills the task, i.e. the daily batch
+    import org.apache.spark.sql.functions.{col, lit}
+    val src = "/root/testdata/sf0.001"
+    val dir = tmpDir()
+    graft.core.Tables.all.foreach { t =>
+      val df =
+        if (t == "events") graft.core.Tables.events(spark, src)
+        else graft.core.Tables.load(spark, src, t)
+      val out =
+        if (t == "documents") {
+          val maxId = df.agg(org.apache.spark.sql.functions.max(col("doc_id")))
+            .head.getLong(0)
+          val nulls = df.limit(3)
+            .select((col("doc_id") + lit(maxId + 1)).as("doc_id"),
+              lit(null).cast("string").as("text"),
+              col("lang"), col("source"), lit(0L).as("n_chars"))
+          df.unionByName(nulls)
+        } else df
+      out.write.mode("overwrite").parquet(s"$dir/$t.parquet")
+    }
+    val failures = graft.SparkEntry.registry.flatMap { q =>
+      try { q.run(spark, dir).collect(); Nil }
+      catch {
+        case e: Throwable =>
+          Seq(s"${q.name}: ${e.getClass.getSimpleName}: " +
+            String.valueOf(e.getMessage).takeWhile(_ != '\n').take(160))
+      }
+    }
+    assert(failures.isEmpty,
+      s"queries crashing on a null-text corpus:\n  ${failures.mkString("\n  ")}")
+  }
 }
