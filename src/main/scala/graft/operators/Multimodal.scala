@@ -678,9 +678,11 @@ object Multimodal {
     // losslessness radius (<= 1) — a deliberate best-effort band, the
     // d23 scope discipline, documented rather than hidden. Shape: ONE
     // patch kernel pass feeds sketch and verify (patchVectors); the
-    // screened pair set is output-bound and BROADCASTS through both
-    // vector attaches (the d24/signatureAttach discipline), so the
-    // image corpus never shuffles for its verify.
+    // verify attaches are SHUFFLED joins with the corpus-vector side
+    // as build — the screened pair set must never broadcast, because a
+    // FIXED-width sketch saturates as the corpus grows (see the
+    // in-body note; the one-decade check caught the old broadcast
+    // build OOMing at sf1).
     Q("m11_image_dedup_verified",
       "production image dedup: banded pHash screen (Hamming <= 2) + exact centered-cosine verify >= 0.9",
       (s, d) => {
@@ -693,7 +695,6 @@ object Multimodal {
         val screened = sketchPairsOf(imageSketchesOf(pv))
           .filter(col("hamming") <= 2)
           .select(col("doc_a"), col("doc_b"), col("hamming"))
-          .localCheckpoint(true)
         val vbar = ((1 to 16).map(i => element_at(col("v"), i))
           .reduce(_ + _) / lit(16.0)).as("vbar")
         val cvv = array((1 to 16).map(i =>
@@ -706,9 +707,18 @@ object Multimodal {
           col("cv").as("ca"), col("cnrm").as("na"))
         val bSide = cn.select(col("doc_id").as("doc_b"),
           col("cv").as("cb"), col("cnrm").as("nb"))
-        val firstAttach = broadcast(screened).join(aSide, Seq("doc_a"))
-          .localCheckpoint(true)
-        broadcast(firstAttach).join(bSide, Seq("doc_b"))
+        // SHUFFLED attaches with the corpus-vector side as build (the
+        // d22/d23 size-attach discipline), never a pair-side broadcast:
+        // the fixed 16-bit sketch SATURATES as the corpus grows — each
+        // 8-bit band holds ≤256 values, so candidate pairs scale
+        // ~n²/256 and stop being output-bound (the one-decade check
+        // measured the old broadcast build failing at sf1 with a
+        // driver OOM). Pair rows stream through both joins; production
+        // restores output-boundedness by WIDENING the sketch with the
+        // corpus (64-bit/4-band pHash at crawl scale) — width is a
+        // fixture constant here because the gated hashes pin it.
+        screened.join(aSide.hint("shuffle_hash"), Seq("doc_a"))
+          .join(bSide.hint("shuffle_hash"), Seq("doc_b"))
           .withColumn("cosine",
             dotFast(col("ca"), col("cb")) / (col("na") * col("nb")))
           .filter(col("cosine") >= 0.9)

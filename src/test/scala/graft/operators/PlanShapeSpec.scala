@@ -805,26 +805,17 @@ class PlanShapeSpec extends SparkTestBase {
       "all-pairs must be the equi-join on (ba, bb), never a nested loop")
   }
 
-  test("m11: only the screened pair set broadcasts — the patch-kernel corpus side never does") {
+  test("m11: nothing broadcasts — the saturable screened pair set and the corpus both shuffle") {
     val plan = executedPlan("m11_image_dedup_verified")
-    val lines = plan.linesIterator.toVector
-    def indent(l: String): Int =
-      l.takeWhile(c => c == ' ' || c == ':' || c == '+' || c == '-').length
-    lines.zipWithIndex.filter(_._1.contains("BroadcastExchange")).foreach {
-      case (bl, i) =>
-        val bi = indent(bl)
-        val subtree = lines.drop(i + 1).takeWhile(l =>
-          l.trim.isEmpty || indent(l) > bi)
-        // the verify attaches broadcast the pair-bound screened set
-        // (checkpointed RDD scans); the corpus side carries the patch
-        // kernel (MapPartitions) and must stream through both joins
-        assert(!subtree.exists(_.contains("MapPartitions")),
-          s"the patch-vector corpus side must never broadcast:\n$bl")
-    }
-    // only the SECOND attach is visible here — the first is consumed by
-    // the eager checkpoint and runs as its own job (the d15 shape)
-    assert(countOf(plan, "BroadcastHashJoin") >= 1,
-      s"the visible verify attach should broadcast the screened pairs:\n${plan.take(2000)}")
+    // a fixed 16-bit sketch saturates with corpus size (pairs ~n²/256),
+    // so the screened set is NOT output-bound and must never be a
+    // broadcast build (the sf1 decade check caught the old plan's
+    // driver OOM); the corpus-vector sides are the shuffled-hash build
+    assert(!plan.contains("BroadcastHashJoin") &&
+        !plan.contains("BroadcastNestedLoopJoin"),
+      s"no side of the verify attaches may broadcast:\n${plan.take(2000)}")
+    assert(countOf(plan, "ShuffledHashJoin") >= 2,
+      s"both vector attaches must be shuffled-hash with the corpus side as build:\n${plan.take(2000)}")
   }
 
   test("s16: both rank windows share ONE query_id exchange; the query set broadcasts") {
