@@ -895,6 +895,12 @@ object Dedup {
     // kernel runs once per document. At 100 TB: 2^15 buckets per band
     // bound the expected fan-out, and the degenerate hot bucket (all-zero
     // sketches from empty docs) is the d07 frequency-cap story again.
+    // FIXED-width caveat (rule 18): unlike d03's 60-bit MinHash bands,
+    // 15-bit bands saturate — candidates grow ~n²/2^15 past ~millions
+    // of docs. The plan DEGRADES rather than crashes (everything
+    // streams through the merge join; nothing here may broadcast), and
+    // production widens the sketch/bands with the corpus, trading the
+    // pigeonhole radius accordingly.
     Q("d11_simhash_hamming",
       "near-dup pairs at SimHash Hamming distance <= 3 (4x15-bit banded join, pigeonhole-lossless)",
       (s, d) => {
