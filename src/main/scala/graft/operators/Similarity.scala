@@ -307,6 +307,69 @@ object Similarity {
        |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
   }
 
+  /** s15/s17's shared truth scaffold: per sampled query, the EXACT
+    * same-label (pre-filter) top-3 rows, each carrying its rank in the
+    * GLOBAL cosine ordering (`rank_all` — the post-filter pool
+    * membership test). One corpus×queries pass, the query set
+    * broadcast. The within-label rank derives from rank_all AFTER the
+    * label filter rather than a (query_id, lm) window: identical
+    * semantics (rank_all already encodes the (cosine desc, vec_id)
+    * order), but both windows then key on query_id alone and the
+    * filtered rows stay sorted — ONE exchange, no second sort (the
+    * two-key form plans the (query_id, lm) window first and pays a
+    * second shuffle; asserted in PlanShapeSpec). DuckDB twin:
+    * [[sqlFilteredTruth]].
+    */
+  private def filteredTruth(s: SparkSession, d: String): DataFrame = {
+    graft.plans.VectorExpressions.register(s)
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"), vecD(col("embedding")).as("v"))
+      .withColumn("nrm", sqrt(dotFast(col("v"), col("v"))))
+    val q = e.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("query_id"), col("label").as("qlabel"),
+        col("v").as("qv"), col("nrm").as("qn"))
+    val wAll = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    val wLab = Window.partitionBy(col("query_id"))
+      .orderBy(col("rank_all").asc)
+    e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("lm", col("label") === col("qlabel"))
+      .withColumn("cosine",
+        dotFast(col("v"), col("qv")) / (col("nrm") * col("qn")))
+      .withColumn("rank_all", row_number().over(wAll))
+      .filter(col("lm"))
+      .withColumn("rank_lab", row_number().over(wLab))
+      .filter(col("rank_lab") <= 3)
+  }
+
+  /** Oracle twin of [[filteredTruth]] — CTEs e→n→q→sc→rk→tr; `tr` is
+    * the truth frame (query_id, vec_id, rank_lab, rank_all). Shared by
+    * the s15 and s17 oracles so the sampling rate, cosine, and
+    * tie-break can never diverge between them.
+    */
+  private val sqlFilteredTruth =
+    s"""WITH e AS (SELECT vec_id, label,
+       |    list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+       |n AS (SELECT vec_id, label, v,
+       |    sqrt(list_reduce(list_transform(range(1, ${Dim + 1}),
+       |      i -> v[i] * v[i]), (x, y) -> x + y)) AS nrm
+       |  FROM e),
+       |q AS (SELECT vec_id AS query_id, label AS qlabel, v AS qv, nrm AS qn
+       |  FROM n WHERE vec_id % 50 = 0),
+       |sc AS (SELECT q.query_id, n.vec_id, n.label = q.qlabel AS lm,
+       |    list_reduce(list_transform(range(1, ${Dim + 1}),
+       |      i -> n.v[i] * q.qv[i]), (x, y) -> x + y) / (n.nrm * q.qn) AS cosine
+       |  FROM n CROSS JOIN q WHERE n.vec_id <> q.query_id),
+       |rk AS (SELECT query_id, vec_id, lm, cosine,
+       |    row_number() OVER (PARTITION BY query_id, lm
+       |      ORDER BY cosine DESC, vec_id) AS rank_lab,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cosine DESC, vec_id) AS rank_all
+       |  FROM sc),
+       |tr AS (SELECT query_id, vec_id, rank_lab, rank_all FROM rk
+       |  WHERE lm AND rank_lab <= 3)""".stripMargin
+
   val registry: Seq[Q] = Seq(
 
     Q("s01_knn_bruteforce",
@@ -1235,59 +1298,15 @@ object Similarity {
     // while the post-filter leg is a full scan whatever the predicate.
     Q("s15_filtered_knn",
       "attribute-filtered ANN: exact same-label top-3 truth + did the global top-20 post-filter pool contain it",
-      (s, d) => {
-        graft.plans.VectorExpressions.register(s)
-        val e = Tables.embeddings(s, d)
-          .select(col("vec_id"), col("label"), vecD(col("embedding")).as("v"))
-          .withColumn("nrm", sqrt(dotFast(col("v"), col("v"))))
-        val q = e.filter(col("vec_id") % 50 === 0)
-          .select(col("vec_id").as("query_id"), col("label").as("qlabel"),
-            col("v").as("qv"), col("nrm").as("qn"))
-        val wLab = Window.partitionBy(col("query_id"), col("lm"))
-          .orderBy(col("cosine").desc, col("vec_id").asc)
-        val wAll = Window.partitionBy(col("query_id"))
-          .orderBy(col("cosine").desc, col("vec_id").asc)
-        e.crossJoin(broadcast(q))
-          .filter(col("vec_id") =!= col("query_id"))
-          .withColumn("lm", col("label") === col("qlabel"))
-          .withColumn("cosine",
-            dotFast(col("v"), col("qv")) / (col("nrm") * col("qn")))
-          // rank_all FIRST: its window clusters by query_id alone, and
-          // HashPartitioning(query_id) also satisfies the (query_id, lm)
-          // clustering of rank_lab's window — this order makes the two
-          // windows share one exchange; reversed, the (query_id, lm)
-          // partitioning cannot serve the query_id window and the plan
-          // pays a second shuffle (asserted in PlanShapeSpec)
-          .withColumn("rank_all", row_number().over(wAll))
-          .withColumn("rank_lab", row_number().over(wLab))
-          .filter(col("lm") && col("rank_lab") <= 3)
-          .select(col("query_id"), col("rank_lab").as("rank"),
-            col("vec_id").as("neighbor_id"),
-            (col("rank_all") <= 20).as("post_hit"))
-          .orderBy("query_id", "rank")
-      },
-      Some(s"""WITH e AS (SELECT vec_id, label,
-             |    list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
-             |n AS (SELECT vec_id, label, v,
-             |    sqrt(list_reduce(list_transform(range(1, ${Dim + 1}),
-             |      i -> v[i] * v[i]), (x, y) -> x + y)) AS nrm
-             |  FROM e),
-             |q AS (SELECT vec_id AS query_id, label AS qlabel, v AS qv, nrm AS qn
-             |  FROM n WHERE vec_id % 50 = 0),
-             |sc AS (SELECT q.query_id, n.vec_id, n.label = q.qlabel AS lm,
-             |    list_reduce(list_transform(range(1, ${Dim + 1}),
-             |      i -> n.v[i] * q.qv[i]), (x, y) -> x + y) / (n.nrm * q.qn) AS cosine
-             |  FROM n CROSS JOIN q WHERE n.vec_id <> q.query_id),
-             |rk AS (SELECT query_id, vec_id, lm, cosine,
-             |    row_number() OVER (PARTITION BY query_id, lm
-             |      ORDER BY cosine DESC, vec_id) AS rank_lab,
-             |    row_number() OVER (PARTITION BY query_id
-             |      ORDER BY cosine DESC, vec_id) AS rank_all
-             |  FROM sc)
+      (s, d) => filteredTruth(s, d)
+        .select(col("query_id"), col("rank_lab").as("rank"),
+          col("vec_id").as("neighbor_id"),
+          (col("rank_all") <= 20).as("post_hit"))
+        .orderBy("query_id", "rank"),
+      Some(s"""$sqlFilteredTruth
              |SELECT query_id, rank_lab AS rank, vec_id AS neighbor_id,
              |  rank_all <= 20 AS post_hit
-             |FROM rk WHERE lm AND rank_lab <= 3
-             |ORDER BY query_id, rank""".stripMargin)),
+             |FROM tr ORDER BY query_id, rank""".stripMargin)),
 
     // Matryoshka truncation audit — the fourth leg of the index-audit
     // family (d20 band geometry, s12 quantization loss, s13 list
@@ -1371,38 +1390,11 @@ object Similarity {
       "post-filter recall@3 vs exact same-label truth for top-K pools, K in {5,10,20,50}, one shared pass",
       (s, d) => {
         import s.implicits._
-        graft.plans.VectorExpressions.register(s)
-        val e = Tables.embeddings(s, d)
-          .select(col("vec_id"), col("label"), vecD(col("embedding")).as("v"))
-          .withColumn("nrm", sqrt(dotFast(col("v"), col("v"))))
-        val q = e.filter(col("vec_id") % 50 === 0)
-          .select(col("vec_id").as("query_id"), col("label").as("qlabel"),
-            col("v").as("qv"), col("nrm").as("qn"))
-        val wAll = Window.partitionBy(col("query_id"))
-          .orderBy(col("cosine").desc, col("vec_id").asc)
-        // within-label rank AFTER the lm filter, ordered by rank_all:
-        // identical semantics to a (query_id, lm) window (rank_all
-        // already encodes the (cosine desc, vec_id) order), but both
-        // windows now key on query_id alone AND the filtered rows stay
-        // sorted — one exchange, no second sort (vs the two-key form,
-        // where the planner orders the (query_id, lm) window first and
-        // pays a second shuffle; measured in PlanShapeSpec)
-        val wLab = Window.partitionBy(col("query_id"))
-          .orderBy(col("rank_all").asc)
-        val truth = e.crossJoin(broadcast(q))
-          .filter(col("vec_id") =!= col("query_id"))
-          .withColumn("lm", col("label") === col("qlabel"))
-          .withColumn("cosine",
-            dotFast(col("v"), col("qv")) / (col("nrm") * col("qn")))
-          .withColumn("rank_all", row_number().over(wAll))
-          .filter(col("lm"))
-          .withColumn("rank_lab", row_number().over(wLab))
-          .filter(col("rank_lab") <= 3)
         val levels = Seq(5, 10, 20, 50).toDF("k_pool")
         // denominators fold into the SAME 4-row aggregation (each truth
         // row appears once per level), so the corpus pass runs once —
         // no separate count branch re-scanning the pair space
-        truth.crossJoin(broadcast(levels))
+        filteredTruth(s, d).crossJoin(broadcast(levels))
           .groupBy("k_pool")
           .agg(countDistinct(col("query_id")).as("n_queries"),
             count(lit(1)).as("truth_rows"),
@@ -1415,37 +1407,17 @@ object Similarity {
               .as("recall"))
           .orderBy("k_pool")
       },
-      Some(s"""WITH e AS (SELECT vec_id, label,
-             |    list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
-             |n AS (SELECT vec_id, label, v,
-             |    sqrt(list_reduce(list_transform(range(1, ${Dim + 1}),
-             |      i -> v[i] * v[i]), (x, y) -> x + y)) AS nrm
-             |  FROM e),
-             |q AS (SELECT vec_id AS query_id, label AS qlabel, v AS qv, nrm AS qn
-             |  FROM n WHERE vec_id % 50 = 0),
-             |sc AS (SELECT q.query_id, n.vec_id, n.label = q.qlabel AS lm,
-             |    list_reduce(list_transform(range(1, ${Dim + 1}),
-             |      i -> n.v[i] * q.qv[i]), (x, y) -> x + y) / (n.nrm * q.qn) AS cosine
-             |  FROM n CROSS JOIN q WHERE n.vec_id <> q.query_id),
-             |rk AS (SELECT query_id, vec_id, lm, cosine,
-             |    row_number() OVER (PARTITION BY query_id, lm
-             |      ORDER BY cosine DESC, vec_id) AS rank_lab,
-             |    row_number() OVER (PARTITION BY query_id
-             |      ORDER BY cosine DESC, vec_id) AS rank_all
-             |  FROM sc),
-             |tr AS (SELECT query_id, vec_id, rank_all FROM rk
-             |  WHERE lm AND rank_lab <= 3),
-             |nq AS (SELECT count(DISTINCT query_id)::BIGINT AS n_queries,
-             |    count(*)::BIGINT AS truth_rows FROM tr),
-             |lv AS (SELECT unnest([5, 10, 20, 50]) AS k_pool),
-             |h AS (SELECT lv.k_pool::INT AS k_pool,
-             |    sum(CASE WHEN tr.rank_all <= lv.k_pool THEN 1 ELSE 0 END)::BIGINT AS hits
-             |  FROM tr CROSS JOIN lv GROUP BY 1)
-             |SELECT h.k_pool, nq.n_queries, nq.truth_rows, h.hits,
-             |  CASE WHEN nq.truth_rows = 0 THEN NULL
-             |    ELSE h.hits * 1.0 / nq.truth_rows END AS recall
-             |FROM h CROSS JOIN nq
-             |ORDER BY h.k_pool""".stripMargin))
+      Some(s"""$sqlFilteredTruth,
+             |lv AS (SELECT unnest([5, 10, 20, 50]) AS k_pool)
+             |SELECT lv.k_pool::INT AS k_pool,
+             |  count(DISTINCT tr.query_id)::BIGINT AS n_queries,
+             |  count(*)::BIGINT AS truth_rows,
+             |  sum(CASE WHEN tr.rank_all <= lv.k_pool THEN 1 ELSE 0 END)::BIGINT AS hits,
+             |  CASE WHEN count(*) = 0 THEN NULL
+             |    ELSE sum(CASE WHEN tr.rank_all <= lv.k_pool THEN 1 ELSE 0 END)
+             |      * 1.0 / count(*) END AS recall
+             |FROM tr CROSS JOIN lv
+             |GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 
   /** One Lloyd maintenance step in WRITE-BACK form: assign each batch

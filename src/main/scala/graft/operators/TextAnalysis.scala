@@ -1305,7 +1305,7 @@ object TextAnalysis {
              |  count(*)::BIGINT AS n_contents,
              |  sum(CASE WHEN lk.leaked THEN 1 ELSE 0 END)::BIGINT AS n_leaked
              |FROM pc JOIN lk ON pc.strategy = lk.strategy
-             |  AND pc.content_hash = lk.content_hash
+             |  AND pc.content_hash IS NOT DISTINCT FROM lk.content_hash
              |GROUP BY pc.strategy, pc.split
              |ORDER BY pc.strategy, pc.split""".stripMargin)),
 
@@ -1352,8 +1352,8 @@ object TextAnalysis {
              |  batch_docs * 1.0 / n_b AS batch_share,
              |  CASE WHEN stored_docs = 0 THEN 'new'
              |       WHEN batch_docs = 0 THEN 'vanished'
-             |       WHEN batch_docs * n_s > stored_docs * n_b * 2 THEN 'over'
-             |       WHEN batch_docs * n_s * 2 < stored_docs * n_b THEN 'under'
+             |       WHEN batch_docs::HUGEINT * n_s > stored_docs::HUGEINT * n_b * 2 THEN 'over'
+             |       WHEN batch_docs::HUGEINT * n_s * 2 < stored_docs::HUGEINT * n_b THEN 'under'
              |       ELSE 'stable' END AS status
              |FROM g CROSS JOIN t ORDER BY source, lang""".stripMargin))
   )
@@ -1438,14 +1438,21 @@ object TextAnalysis {
       .na.fill(0L, Seq("stored_docs", "batch_docs"))
     val totS = stored.agg(sum(col("stored_docs")).as("n_stored_total"))
     val totB = batch.agg(sum(col("batch_docs")).as("n_batch_total"))
+    // cross products in decimal(38,0): counts can reach ~1e10 at the
+    // 100 TB corpus this monitor narrates, and 1e9-count cells times a
+    // 1e10 total overflow a long — exactly the hazard MinHashP
+    // documents (DuckDB aborts on bigint overflow, the JVM silently
+    // wraps). Decimal keeps the verdicts exact; the oracle's twin is
+    // HUGEINT.
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
     grid.crossJoin(broadcast(totS)).crossJoin(broadcast(totB))
       .withColumn("status",
         when(col("stored_docs") === 0, "new")
           .when(col("batch_docs") === 0, "vanished")
-          .when(col("batch_docs") * col("n_stored_total") >
-            col("stored_docs") * col("n_batch_total") * 2, "over")
-          .when(col("batch_docs") * col("n_stored_total") * 2 <
-            col("stored_docs") * col("n_batch_total"), "under")
+          .when(dec(col("batch_docs")) * dec(col("n_stored_total")) >
+            dec(col("stored_docs")) * dec(col("n_batch_total")) * 2, "over")
+          .when(dec(col("batch_docs")) * dec(col("n_stored_total")) * 2 <
+            dec(col("stored_docs")) * dec(col("n_batch_total")), "under")
           .otherwise("stable"))
       .select(col("source"), col("lang"),
         col("stored_docs"), col("batch_docs"),

@@ -592,7 +592,11 @@ object EventStreams extends Serializable {
     * wm − 24 h are evicted on every visit (pending purchases are all
     * ahead of the watermark, so no surviving purchase can reach them),
     * and pending purchases are bounded by the allowance horizon. The
-    * 24 h window IS the TTL. Events later than the allowance drop (the
+    * 24 h window IS the TTL — including for IDLE users: a group with
+    * retained clicks but nothing pending arms an event-time timeout at
+    * its youngest click's age-out instant, so click-only users (the
+    * common case) are revisited exactly once more and their dead state
+    * removed, never leaked. Events later than the allowance drop (the
     * hourlyRollup contract); buffered purchases re-arm an event-time
     * timeout at wm+1 so settlement needs no new arrivals.
     */
@@ -606,11 +610,15 @@ object EventStreams extends Serializable {
       val (ready, rest) = st.pending.partition(_._1 / 1000L <= wm)
       val out = ready.sortBy(p => (p._1, p._2)).flatMap {
         case (pt, pid, value) =>
-          val pMs = pt / 1000L
+          // window membership at FULL microsecond precision — the batch
+          // twin's join compares Timestamps, and same-millisecond
+          // events carry distinct microsecond parts (the micros()
+          // docstring); only hours_before floors to millis, because
+          // that is what batch unix_millis arithmetic does
           val weighted = st.clicks.collect {
             case (ct, cid)
-                if ct / 1000L <= pMs && ct / 1000L > pMs - windowMs =>
-              val hours = (pMs - ct / 1000L) / 3600000L
+                if ct <= pt && ct > pt - windowMs * 1000L =>
+              val hours = (pt / 1000L - ct / 1000L) / 3600000L
               (cid, hours, 1L << (30 - hours))
           }
           val total = weighted.map(_._3).sum
@@ -623,6 +631,15 @@ object EventStreams extends Serializable {
       if (keepClicks.nonEmpty || rest.nonEmpty) {
         state.update(MultiTouchState(keepClicks, rest))
         if (rest.nonEmpty) state.setTimeoutTimestamp(wm + 1L)
+        else {
+          // click-only users (no purchase pending) must still be
+          // revisited once their youngest click ages past the
+          // attribution window, or their dead state lives in the store
+          // forever; the wake instant is > wm because every kept click
+          // satisfies ct/1000 + windowMs > wm
+          state.setTimeoutTimestamp(
+            keepClicks.map(_._1).max / 1000L + windowMs)
+        }
       } else if (state.exists) {
         state.remove()
       }

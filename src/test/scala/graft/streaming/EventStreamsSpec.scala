@@ -591,6 +591,60 @@ class EventStreamsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("attributionDecayStream honors microsecond window edges and reaps click-only state") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    implicit val sq = spark.sqlContext
+    def tsMicros(ms: Long, extraMicros: Int): java.sql.Timestamp = {
+      val t = new java.sql.Timestamp(ms)
+      t.setNanos(extraMicros * 1000)
+      t
+    }
+    val W = 24L * 3600 * 1000 // attribution window, ms
+    val base = java.sql.Timestamp.valueOf("2026-03-01 12:00:00").getTime
+    val events = Seq(
+      // purchase at base ms + 500µs
+      EventStreams.Event(10L, tsMicros(base, 500), 1L, "purchase", 100.0),
+      // same-millisecond boundary pair: 1µs BEFORE the purchase is
+      // credited at hours 0; 1µs AFTER must not be (batch joins at
+      // full Timestamp precision — a ms-floored compare gets both
+      // wrong-way cases)
+      EventStreams.Event(11L, tsMicros(base, 499), 1L, "click", 0.0),
+      EventStreams.Event(12L, tsMicros(base, 501), 1L, "click", 0.0),
+      // lower edge: exactly at purchase − 24h is excluded (strict >),
+      // 1µs inside is credited at hours 24
+      EventStreams.Event(13L, tsMicros(base - W, 500), 1L, "click", 0.0),
+      EventStreams.Event(14L, tsMicros(base - W, 501), 1L, "click", 0.0),
+      // a click-only user: state must be reaped once the window passes
+      EventStreams.Event(20L, tsMicros(base, 0), 2L, "click", 0.0))
+    val in = MemoryStream[EventStreams.Event]
+    val q = EventStreams.attributionDecayStream(in.toDS(), allowance = "1 hour")
+      .writeStream.format("memory").queryName("micro_credits")
+      .outputMode("append").start()
+    try {
+      in.addData(events)
+      q.processAllAvailable()
+      in.addData(EventStreams.Event(-1L, new java.sql.Timestamp(
+        base + 4L * W), -998L, "flush", 0.0))
+      q.processAllAvailable()
+      in.addData(EventStreams.Event(-2L, new java.sql.Timestamp(
+        base + 5L * W), -999L, "flush", 0.0))
+      q.processAllAvailable()
+      val rows = spark.table("micro_credits").collect()
+        .map(r => r.getLong(2) -> (r.getLong(3), r.getLong(4))).toMap
+      assert(rows.keySet === Set(11L, 14L),
+        s"exactly the strictly-inside clicks are credited, got ${rows.keySet}")
+      assert(rows(11L) === ((0L, 1L << 30)), "same-ms earlier click: hours 0")
+      assert(rows(14L) === ((24L, 1L << 6)), "1µs inside the 24h edge: hours 24")
+      // every user's state is gone: the purchase settled, user 2's
+      // lone click aged out via its self-armed timeout
+      val lastState = q.recentProgress.reverse
+        .flatMap(_.stateOperators.headOption).headOption
+      assert(lastState.exists(_.numRowsTotal == 0L),
+        s"state store must be empty after the window passes, got ${lastState.map(_.numRowsTotal)}")
+    } finally q.stop()
+  }
+
   test("retentionStream rollup equals batch q40 on shuffled replay, exactly once per user-month") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
