@@ -1565,7 +1565,72 @@ object Dedup {
     Q("d25_incremental_containment",
       "new-batch (doc_id%5=4) containment screen against the persisted signature+size sidecar",
       (s, d) => incrementalContainment(s, d, sigStorePath(s, d)),
-      Some(sqlContainmentEstimate("(a.doc_id % 5 = 4 OR b.doc_id % 5 = 4) AND ")))
+      Some(sqlContainmentEstimate("(a.doc_id % 5 = 4 OR b.doc_id % 5 = 4) AND "))),
+
+    // Cluster-size histogram — the distribution every dedup paper
+    // reports (and the number that DECIDES the dedup budget: the share
+    // of the corpus sitting in size-k clusters IS the fraction dedup
+    // can reclaim, and a heavy tail says one boilerplate template
+    // dominates). Consume-only against the d19 label sidecar (rule
+    // 4/8: the CC build is the store producer's amortized cost, this
+    // query prices the report); docs absent from the store — the
+    // non-duplicated majority — are their own size-1 clusters via the
+    // left-join coalesce, so doc conservation holds by construction
+    // (spec-pinned: sizes tile the corpus). Shape: one corpus-id scan
+    // left-joins the store SHUFFLED on doc_id (the store is
+    // corpus-minority but still corpus-scale at 100 TB — never a
+    // broadcast), one canonical-keyed exchange for sizes, and the
+    // histogram rollup collapses map-side to |distinct sizes| rows
+    // with a broadcast 1-row total.
+    Q("d26_cluster_histogram",
+      "near-dup cluster size distribution: clusters, docs and corpus share per component size (singletons included)",
+      (s, d) => {
+        val labels = s.read.parquet(labelStorePath(s, d))
+          .select(col("doc_id"), col("canonical_id"))
+        val ids = docs(s, d).select(col("doc_id"))
+        val sizes = ids
+          .join(labels.hint("shuffle_hash"), Seq("doc_id"), "left")
+          .select(coalesce(col("canonical_id"), col("doc_id"))
+            .as("canonical_id"))
+          .groupBy("canonical_id")
+          .agg(count(lit(1)).as("component_size"))
+        val tot = ids.agg(count(lit(1)).as("n_total"))
+        sizes.groupBy("component_size")
+          .agg(count(lit(1)).as("n_clusters"))
+          .crossJoin(broadcast(tot))
+          .select(col("component_size"), col("n_clusters"),
+            (col("component_size") * col("n_clusters")).as("n_docs"),
+            (col("component_size") * col("n_clusters") * lit(1.0) /
+              col("n_total")).as("doc_share"))
+          .orderBy("component_size")
+      },
+      Some(s"""${sqlShingled.replaceFirst("WITH ", "WITH RECURSIVE ")},
+             |ex AS (SELECT doc_id, nsh, unnest(sh) AS shingle FROM sh),
+             |p0 AS (
+             |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             |    a.nsh AS size_a, b.nsh AS size_b, count(*)::BIGINT AS intersection
+             |  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+             |  GROUP BY 1, 2, 3, 4),
+             |pr AS (SELECT doc_a, doc_b FROM p0
+             |  WHERE intersection * 1.0 / (size_a + size_b - intersection) >= 0.5),
+             |edges AS (SELECT doc_a, doc_b FROM pr UNION SELECT doc_b, doc_a FROM pr),
+             |reach AS (
+             |  SELECT doc_a AS node, doc_b AS r FROM edges
+             |  UNION
+             |  SELECT reach.node, edges.doc_b AS r FROM reach JOIN edges ON reach.r = edges.doc_a),
+             |lab AS (SELECT node AS doc_id, least(node, min(r))::BIGINT AS canonical_id
+             |  FROM reach GROUP BY node),
+             |canon AS (SELECT coalesce(lab.canonical_id, dd.doc_id) AS canonical_id
+             |  FROM documents dd LEFT JOIN lab ON dd.doc_id = lab.doc_id),
+             |sz AS (SELECT canonical_id, count(*)::BIGINT AS component_size
+             |  FROM canon GROUP BY 1),
+             |tot AS (SELECT count(*)::BIGINT AS n_total FROM documents)
+             |SELECT component_size, count(*)::BIGINT AS n_clusters,
+             |  (component_size * count(*))::BIGINT AS n_docs,
+             |  component_size * count(*) * 1.0 / n_total AS doc_share
+             |FROM sz CROSS JOIN tot
+             |GROUP BY component_size, n_total
+             |ORDER BY component_size""".stripMargin))
   )
 
   /** One-sided prefix-filtered containment join over an arbitrary

@@ -1157,6 +1157,32 @@ class PipelineOpsSpec extends SparkTestBase {
       "the drift split must not reproduce the modular-source pathology")
   }
 
+  test("d26 histogram reconciles with d09 components and tiles the corpus exactly") {
+    val hist = run("d26_cluster_histogram").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getAs[Double]("doc_share"))).toMap
+    val d09 = run("d09_dedup_components").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val total = graft.core.Tables.documents(spark, sf).count()
+    // multi-doc buckets match d09's clusters exactly
+    val byCluster = d09.groupBy(_._2).map { case (_, rows) =>
+      val s2 = rows.head._3
+      assert(rows.length.toLong === s2, "d09 size column self-consistent")
+      s2
+    }.toSeq
+    byCluster.groupBy(identity).foreach { case (size, cs) =>
+      assert(hist(size)._1 === cs.length.toLong,
+        s"size-$size cluster count vs d09")
+    }
+    // singletons = everything d09 didn't label
+    assert(hist(1L)._1 === total - d09.length.toLong,
+      "singleton bucket covers the non-duplicated majority")
+    assert(hist.values.map(_._2).sum === total,
+      "bucket doc counts must tile the corpus exactly")
+    assert(math.abs(hist.values.map(_._3).sum - 1.0) < 1e-9,
+      "doc shares sum to 1")
+  }
+
   test("s17 recall curve is monotone in K and its K=20 point equals s15's post_hit count") {
     val curve = run("s17_filter_recall_curve").collect()
       .map(r => r.getInt(0) ->

@@ -1038,6 +1038,33 @@ class PlanShapeSpec extends SparkTestBase {
       "the query set and the 4-row level frame broadcast; the corpus never moves")
   }
 
+  test("d26: label store enters as a SHUFFLED scan — neither corpus ids nor the store broadcast") {
+    val plan = executedPlan("d26_cluster_histogram")
+    assert(plan.contains("graft_labelstore"),
+      s"the component labels must enter as a parquet scan:\n${plan.take(2000)}")
+    // the store is corpus-minority but corpus-SCALE: the id attach must
+    // be a shuffled join; the only permitted broadcast is the 1-row total
+    assert(plan.contains("ShuffledHashJoin") || plan.contains("SortMergeJoin"),
+      s"the label attach must shuffle, not broadcast:\n${plan.take(2000)}")
+    val lines = plan.linesIterator.toVector
+    def indent(l: String): Int =
+      l.takeWhile(c => c == ' ' || c == ':' || c == '+' || c == '-').length
+    lines.zipWithIndex.filter(_._1.contains("BroadcastExchange")).foreach {
+      case (bl, i) =>
+        val bi = indent(bl)
+        val subtree = lines.drop(i + 1).takeWhile(l =>
+          l.trim.isEmpty || indent(l) > bi)
+        // a broadcast whose subtree reaches a corpus-scale scan is fine
+        // ONLY below an aggregation (the 1-row total); a raw scan
+        // broadcast would be the m11 failure class
+        val reachesScan = subtree.exists(l =>
+          l.contains("documents.parquet") || l.contains("graft_labelstore"))
+        val collapsed = subtree.exists(_.contains("HashAggregate"))
+        assert(!reachesScan || collapsed,
+          s"only an aggregated total may broadcast:\n$bl")
+    }
+  }
+
   test("t27: store enters as a scan, batch partial-aggregates, the corpus never broadcasts") {
     val plan = executedPlan("t27_mixture_drift")
     assert(plan.contains("graft_cardstore"),
