@@ -52,6 +52,30 @@ object Dedup {
       |  ELSE [] END AS sh FROM tk),
       |sh AS (SELECT doc_id, sh, len(sh) AS nsh FROM sg WHERE len(sh) > 0)""".stripMargin
 
+  /** Oracle twin of the corpus component structure ([[connectedComponents]]
+    * over the ≥ 0.5 Jaccard pair graph): the recursive-CTE chain
+    * shingles→pairs→edges→reach, where `reach` maps every component
+    * node to its reachable set. ONE definition shared by the d09, d19
+    * and d26 oracles — the pair threshold, shingle normalization and
+    * direction union live here exactly once, so the label-store
+    * producer's gate and its consumers' gates can never drift apart.
+    */
+  private lazy val sqlComponents =
+    s"""${sqlShingled.replaceFirst("WITH ", "WITH RECURSIVE ")},
+       |ex AS (SELECT doc_id, nsh, unnest(sh) AS shingle FROM sh),
+       |p0 AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    a.nsh AS size_a, b.nsh AS size_b, count(*)::BIGINT AS intersection
+       |  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2, 3, 4),
+       |pr AS (SELECT doc_a, doc_b FROM p0
+       |  WHERE intersection * 1.0 / (size_a + size_b - intersection) >= 0.5),
+       |edges AS (SELECT doc_a, doc_b FROM pr UNION SELECT doc_b, doc_a FROM pr),
+       |reach AS (
+       |  SELECT doc_a AS node, doc_b AS r FROM edges
+       |  UNION
+       |  SELECT reach.node, edges.doc_b AS r FROM reach JOIN edges ON reach.r = edges.doc_a)""".stripMargin
+
   /** Per-document 60-bit SimHash SQL (CTE `sk`) — the oracle twin of
     * [[Kernels.simhash60]], shared by d04 (the sketches themselves) and
     * d11 (the exact all-pairs Hamming answer the banded join must equal).
@@ -816,20 +840,7 @@ object Dedup {
           .select(col("doc_id"), col("canonical_id"), col("component_size"))
           .orderBy("doc_id")
       },
-      Some(s"""${sqlShingled.replaceFirst("WITH ", "WITH RECURSIVE ")},
-             |ex AS (SELECT doc_id, nsh, unnest(sh) AS shingle FROM sh),
-             |p0 AS (
-             |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-             |    a.nsh AS size_a, b.nsh AS size_b, count(*)::BIGINT AS intersection
-             |  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-             |  GROUP BY 1, 2, 3, 4),
-             |pr AS (SELECT doc_a, doc_b FROM p0
-             |  WHERE intersection * 1.0 / (size_a + size_b - intersection) >= 0.5),
-             |edges AS (SELECT doc_a, doc_b FROM pr UNION SELECT doc_b, doc_a FROM pr),
-             |reach AS (
-             |  SELECT doc_a AS node, doc_b AS r FROM edges
-             |  UNION
-             |  SELECT reach.node, edges.doc_b AS r FROM reach JOIN edges ON reach.r = edges.doc_a)
+      Some(s"""$sqlComponents
              |SELECT node AS doc_id, least(node, min(r))::BIGINT AS canonical_id,
              |  count(DISTINCT r)::BIGINT AS component_size
              |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin)),
@@ -1227,20 +1238,7 @@ object Dedup {
           .select("doc_id", "canonical_id", "score", "best_id", "is_kept")
           .orderBy("doc_id")
       },
-      Some(s"""${sqlShingled.replaceFirst("WITH ", "WITH RECURSIVE ")},
-             |ex AS (SELECT doc_id, nsh, unnest(sh) AS shingle FROM sh),
-             |p0 AS (
-             |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-             |    a.nsh AS size_a, b.nsh AS size_b, count(*)::BIGINT AS intersection
-             |  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-             |  GROUP BY 1, 2, 3, 4),
-             |pr AS (SELECT doc_a, doc_b FROM p0
-             |  WHERE intersection * 1.0 / (size_a + size_b - intersection) >= 0.5),
-             |edges AS (SELECT doc_a, doc_b FROM pr UNION SELECT doc_b, doc_a FROM pr),
-             |reach AS (
-             |  SELECT doc_a AS node, doc_b AS r FROM edges
-             |  UNION
-             |  SELECT reach.node, edges.doc_b AS r FROM reach JOIN edges ON reach.r = edges.doc_a),
+      Some(s"""$sqlComponents,
              |lbl AS (SELECT node AS doc_id, least(node, min(r))::BIGINT AS canonical_id
              |  FROM reach GROUP BY node),
              |sc AS (SELECT doc_id,
@@ -1576,60 +1574,49 @@ object Dedup {
     // query prices the report); docs absent from the store — the
     // non-duplicated majority — are their own size-1 clusters via the
     // left-join coalesce, so doc conservation holds by construction
-    // (spec-pinned: sizes tile the corpus). Shape: one corpus-id scan
+    // (spec-pinned: sizes tile the corpus). Shape: ONE corpus-id scan
     // left-joins the store SHUFFLED on doc_id (the store is
     // corpus-minority but still corpus-scale at 100 TB — never a
-    // broadcast), one canonical-keyed exchange for sizes, and the
-    // histogram rollup collapses map-side to |distinct sizes| rows
-    // with a broadcast 1-row total.
+    // broadcast), one canonical-keyed exchange for sizes, the
+    // histogram rollup collapses map-side to |distinct sizes| rows,
+    // and the share denominator is a global window over THOSE rows —
+    // the tiling invariant makes a second corpus scan unnecessary.
     Q("d26_cluster_histogram",
       "near-dup cluster size distribution: clusters, docs and corpus share per component size (singletons included)",
       (s, d) => {
         val labels = s.read.parquet(labelStorePath(s, d))
           .select(col("doc_id"), col("canonical_id"))
-        val ids = docs(s, d).select(col("doc_id"))
-        val sizes = ids
+        val sizes = docs(s, d).select(col("doc_id"))
           .join(labels.hint("shuffle_hash"), Seq("doc_id"), "left")
           .select(coalesce(col("canonical_id"), col("doc_id"))
             .as("canonical_id"))
           .groupBy("canonical_id")
           .agg(count(lit(1)).as("component_size"))
-        val tot = ids.agg(count(lit(1)).as("n_total"))
+        // the denominator comes from the histogram itself (buckets tile
+        // the corpus — spec-pinned), so the corpus-id column is scanned
+        // exactly once; the global window runs over <=|distinct sizes|
+        // rows
         sizes.groupBy("component_size")
           .agg(count(lit(1)).as("n_clusters"))
-          .crossJoin(broadcast(tot))
+          .withColumn("n_docs", col("component_size") * col("n_clusters"))
+          .withColumn("doc_share", col("n_docs") * lit(1.0) /
+            sum(col("n_docs")).over(Window.partitionBy()))
           .select(col("component_size"), col("n_clusters"),
-            (col("component_size") * col("n_clusters")).as("n_docs"),
-            (col("component_size") * col("n_clusters") * lit(1.0) /
-              col("n_total")).as("doc_share"))
+            col("n_docs"), col("doc_share"))
           .orderBy("component_size")
       },
-      Some(s"""${sqlShingled.replaceFirst("WITH ", "WITH RECURSIVE ")},
-             |ex AS (SELECT doc_id, nsh, unnest(sh) AS shingle FROM sh),
-             |p0 AS (
-             |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-             |    a.nsh AS size_a, b.nsh AS size_b, count(*)::BIGINT AS intersection
-             |  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-             |  GROUP BY 1, 2, 3, 4),
-             |pr AS (SELECT doc_a, doc_b FROM p0
-             |  WHERE intersection * 1.0 / (size_a + size_b - intersection) >= 0.5),
-             |edges AS (SELECT doc_a, doc_b FROM pr UNION SELECT doc_b, doc_a FROM pr),
-             |reach AS (
-             |  SELECT doc_a AS node, doc_b AS r FROM edges
-             |  UNION
-             |  SELECT reach.node, edges.doc_b AS r FROM reach JOIN edges ON reach.r = edges.doc_a),
+      Some(s"""$sqlComponents,
              |lab AS (SELECT node AS doc_id, least(node, min(r))::BIGINT AS canonical_id
              |  FROM reach GROUP BY node),
              |canon AS (SELECT coalesce(lab.canonical_id, dd.doc_id) AS canonical_id
              |  FROM documents dd LEFT JOIN lab ON dd.doc_id = lab.doc_id),
              |sz AS (SELECT canonical_id, count(*)::BIGINT AS component_size
-             |  FROM canon GROUP BY 1),
-             |tot AS (SELECT count(*)::BIGINT AS n_total FROM documents)
+             |  FROM canon GROUP BY 1)
              |SELECT component_size, count(*)::BIGINT AS n_clusters,
              |  (component_size * count(*))::BIGINT AS n_docs,
-             |  component_size * count(*) * 1.0 / n_total AS doc_share
-             |FROM sz CROSS JOIN tot
-             |GROUP BY component_size, n_total
+             |  (component_size * count(*)) * 1.0
+             |    / sum(component_size * count(*)) OVER () AS doc_share
+             |FROM sz GROUP BY component_size
              |ORDER BY component_size""".stripMargin))
   )
 
