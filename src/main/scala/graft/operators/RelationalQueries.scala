@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.core.{Q, Tables}
@@ -1233,5 +1233,57 @@ object RelationalQueries {
              |SELECT event_type, next_type, n,
              |  n * 1.0 / sum(n) OVER (PARTITION BY event_type) AS share
              |FROM grid ORDER BY event_type, next_type""".stripMargin))
+  ) ++ Seq(
+
+    // Volume-anomaly flags — the monitoring query every event pipeline
+    // pages on (did click volume spike 3σ today?), with the z-score
+    // test made ENGINE-EXACT: flagging |x − μ| > 3σ via IEEE mean/std
+    // would hinge tie-cases on float rounding that differs with
+    // aggregation order, so the test is cross-multiplied into integers
+    // — with n days, S = Σx, SS = Σx², the condition |x − S/n| > 3σ
+    // squares to (n·x − S)² > 9·(n·SS − S²), every term an exact sum
+    // of longs. Products run in decimal(38,0)/HUGEINT (the t27 rule:
+    // daily counts at 100 TB overflow long² arithmetic). Population σ
+    // over the type's own days — the denominator convention stated
+    // here because monitoring dashboards disagree; a 1-day type can
+    // never flag (variance 0 and x = S). Shape: the only corpus-scale
+    // stage is the (type, day) rollup (map-side partial, one
+    // exchange); moments and flags run on the ≤|types|×|days| grid,
+    // with the per-type moment attach a broadcast of ≤|types| rows.
+    Q("q44_volume_anomaly",
+      "per-(event_type, day) volume with an integer-exact 3-sigma anomaly flag",
+      (s, d) => {
+        val daily = Tables.events(s, d)
+          .groupBy(col("event_type"),
+            date_trunc("day", col("ts")).as("day"))
+          .agg(count(lit(1)).as("n_events"))
+        val dec = (c: Column) => c.cast("decimal(38,0)")
+        val moments = daily.groupBy("event_type")
+          .agg(count(lit(1)).as("n_days"),
+            sum(col("n_events")).as("s"),
+            sum(dec(col("n_events")) * dec(col("n_events"))).as("ss"))
+        daily.join(broadcast(moments), Seq("event_type"))
+          .withColumn("lhs",
+            (dec(col("n_days")) * dec(col("n_events")) - dec(col("s"))) *
+              (dec(col("n_days")) * dec(col("n_events")) - dec(col("s"))))
+          .withColumn("rhs",
+            lit(9) * (dec(col("n_days")) * col("ss") -
+              dec(col("s")) * dec(col("s"))))
+          .select(col("event_type"), col("day"), col("n_events"),
+            col("n_days"), (col("lhs") > col("rhs")).as("is_anomaly"))
+          .orderBy("event_type", "day")
+      },
+      Some("""WITH daily AS (SELECT event_type, date_trunc('day', ts) AS day,
+             |    count(*)::BIGINT AS n_events
+             |  FROM events GROUP BY 1, 2),
+             |m AS (SELECT event_type, count(*)::BIGINT AS n_days,
+             |    sum(n_events)::BIGINT AS s,
+             |    sum(n_events::HUGEINT * n_events::HUGEINT) AS ss
+             |  FROM daily GROUP BY 1)
+             |SELECT daily.event_type, day, n_events, n_days,
+             |  (n_days::HUGEINT * n_events - s) * (n_days::HUGEINT * n_events - s)
+             |    > 9 * (n_days::HUGEINT * ss - s::HUGEINT * s) AS is_anomaly
+             |FROM daily JOIN m ON daily.event_type = m.event_type
+             |ORDER BY daily.event_type, day""".stripMargin))
   )
 }

@@ -1183,6 +1183,57 @@ class PipelineOpsSpec extends SparkTestBase {
       "doc shares sum to 1")
   }
 
+  test("q44 anomaly flags: planted spike flags, uniform type stays quiet, flags match exact rationals") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit}
+    // planted corpus: type 'steady' has 10 identical days (variance 0 —
+    // no day may flag); type 'spiky' has 17 days of 10 events and one
+    // of 100. The day count matters: a SINGLE outlier's population z
+    // is bounded by sqrt(n-1), so with 10 days a lone spike tops out
+    // at exactly 3 sigma and can never flag — 18 days lift the bound
+    // to ~4.1 and this spike lands at z ≈ 3.6
+    val base = java.sql.Timestamp.valueOf("2026-04-01 00:00:00").getTime
+    val day = 24L * 3600 * 1000
+    def mk(ty: String, d2: Int, k: Int, id0: Long) = (0 until k).map(i =>
+      (id0 + d2 * 1000L + i, new java.sql.Timestamp(base + d2 * day + i * 1000L),
+        1L, ty, 1.0, "{}"))
+    val rows = (0 until 10).flatMap(d2 => mk("steady", d2, 5, 0L)) ++
+      (0 until 17).flatMap(d2 => mk("spiky", d2, 10, 100000L)) ++
+      mk("spiky", 17, 100, 100000L)
+    val dir = tmpDir()
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val got = graft.SparkEntry.queries("q44_volume_anomaly")(spark, dir)
+      .collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).toString) ->
+        (r.getLong(2), r.getBoolean(4))).toMap
+    assert(got.size === 28)
+    got.foreach { case ((ty, dy), (n, flag)) =>
+      val expect = ty == "spiky" && n == 100L
+      assert(flag === expect, s"($ty, $dy, n=$n)")
+    }
+    // real data: flags equal an exact-rational recomputation
+    val daily = graft.core.Tables.events(spark, sf)
+      .groupBy(col("event_type"),
+        org.apache.spark.sql.functions.date_trunc("day", col("ts")).as("day"))
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("n")).collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).toString, r.getLong(2)))
+    val byType = daily.groupBy(_._1)
+    val expected = daily.map { case (ty, dy, x) =>
+      val xs = byType(ty).map(_._3)
+      val n = xs.length.toLong
+      val s2 = xs.sum
+      val ss = xs.map(v => BigInt(v) * v).sum
+      val lhs = (BigInt(n) * x - s2).pow(2)
+      val rhs = 9 * (BigInt(n) * ss - BigInt(s2) * s2)
+      (ty, dy) -> (lhs > rhs)
+    }.toMap
+    val real = graft.SparkEntry.queries("q44_volume_anomaly")(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).toString) -> r.getBoolean(4)).toMap
+    assert(real === expected, "flags must equal the BigInt rational recomputation")
+  }
+
   test("s17 recall curve is monotone in K and its K=20 point equals s15's post_hit count") {
     val curve = run("s17_filter_recall_curve").collect()
       .map(r => r.getInt(0) ->

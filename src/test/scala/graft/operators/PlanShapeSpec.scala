@@ -1027,6 +1027,16 @@ class PlanShapeSpec extends SparkTestBase {
     assert(!plan.contains("Join"), s"no join belongs in this plan:\n${plan.take(2000)}")
   }
 
+  test("q44: one corpus-scale rollup exchange; the per-type moments broadcast back") {
+    val plan = executedPlan("q44_volume_anomaly")
+    assert(plan.contains("partial_count"),
+      s"the (type, day) rollup must partial-aggregate map-side:\n${plan.take(2000)}")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the <=|types|-row moment frame must broadcast onto the daily grid:\n${plan.take(2000)}")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"nothing here may shuffle-join — both join sides are grid-sized:\n${plan.take(2000)}")
+  }
+
   test("s17: the whole K-curve shares ONE query_id exchange, like s15") {
     val plan = executedPlan("s17_filter_recall_curve")
     val hashEx = plan.linesIterator
