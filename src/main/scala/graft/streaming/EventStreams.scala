@@ -718,14 +718,21 @@ object EventStreams extends Serializable {
       allowance: String = "60 days"): Dataset[CohortActivity] = {
     import events.sparkSession.implicits._
 
+    // Month boundaries follow the SESSION timezone, captured once at
+    // plan-build time on the driver — the batch twin's
+    // date_trunc('month')/year()/month() resolve against
+    // spark.sql.session.timeZone, so a hard-coded UTC here would silently
+    // break the streamed-equals-batch contract in any non-UTC session.
+    val zoneId = java.time.ZoneId.of(
+      events.sparkSession.sessionState.conf.sessionLocalTimeZone)
+
     def monthIndex(ms: Long): Long = {
-      val d = java.time.Instant.ofEpochMilli(ms)
-        .atZone(java.time.ZoneOffset.UTC)
+      val d = java.time.Instant.ofEpochMilli(ms).atZone(zoneId)
       d.getYear * 12L + d.getMonthValue - 1
     }
     def monthStartMs(idx: Long): Long =
       java.time.LocalDate.of((idx / 12).toInt, (idx % 12).toInt + 1, 1)
-        .atStartOfDay(java.time.ZoneOffset.UTC).toInstant.toEpochMilli
+        .atStartOfDay(zoneId).toInstant.toEpochMilli
 
     def update(userId: Long, rows: Iterator[Event],
         state: GroupState[RetentionState]): Iterator[CohortActivity] = {

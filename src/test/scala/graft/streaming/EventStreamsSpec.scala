@@ -693,4 +693,46 @@ class EventStreamsSpec extends SparkTestBase {
         "streamed cohort grid must equal batch q40")
     } finally q.stop()
   }
+
+  test("retentionStream month boundaries follow the session timezone, not UTC") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    // 2024-03-01T02:00:00Z is still 2024-02-29 21:00 in America/New_York:
+    // the cohort month must be February there, March in a UTC session.
+    val tricky = new java.sql.Timestamp(
+      java.time.Instant.parse("2024-03-01T02:00:00Z").toEpochMilli)
+    val prior = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try {
+      val in = MemoryStream[EventStreams.Event]
+      // zoneId captured at plan-build time — build INSIDE the NY session
+      val q = EventStreams.retentionStream(in.toDS(), allowance = "1 day")
+        .writeStream.format("memory").queryName("cohort_tz")
+        .outputMode("append").start()
+      try {
+        in.addData(EventStreams.Event(1L, tricky, 7L, "view", 0.0))
+        q.processAllAvailable()
+        in.addData(EventStreams.Event(2L, new java.sql.Timestamp(
+          tricky.getTime + 90L * 24 * 3600 * 1000), -999L, "flush", 0.0))
+        q.processAllAvailable()
+        val got = spark.table("cohort_tz")
+          .filter(col("user_id") === 7L).collect()
+        assert(got.length === 1)
+        val cohort = got.head.getTimestamp(
+          got.head.fieldIndex("cohort_month"))
+        // batch twin's definition of the same boundary, same session tz
+        // (timestamp_millis is tz-agnostic: avoids a literal whose parse
+        // would itself depend on the session timezone)
+        val expected = spark.sql(
+          s"SELECT date_trunc('month', timestamp_millis(${tricky.getTime}))")
+          .collect().head.getTimestamp(0)
+        assert(cohort === expected,
+          s"cohort must be the session-tz month start, got $cohort")
+        val ld = cohort.toInstant
+          .atZone(java.time.ZoneId.of("America/New_York")).toLocalDate
+        assert(ld.getMonthValue === 2 && ld.getDayOfMonth === 1,
+          s"in a NY session the cohort month is February, got $ld")
+      } finally q.stop()
+    } finally spark.conf.set("spark.sql.session.timeZone", prior)
+  }
 }
