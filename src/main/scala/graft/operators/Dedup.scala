@@ -139,6 +139,96 @@ object Dedup {
       .toDF("doc_id", "pos", "span_hash")
   }
 
+  /** Token-suffix frame (doc_id, pos, anchor, key) — one row per token
+    * position with at least `minLen` tokens remaining (shorter suffixes
+    * cannot host a >= minLen duplicated span). `key` is the suffix's
+    * first `cap` tokens — the sort key of the distributed suffix array —
+    * and `anchor` is the h60 of its first `anchorLen` tokens, the
+    * window's shard key: two suffixes agreeing on >= anchorLen tokens
+    * share the anchor by construction, so sorting WITHIN anchor groups
+    * loses no neighbor whose LCP could reach minLen (cross-anchor pairs
+    * have LCP < anchorLen < minLen). One typed-kernel pass, same
+    * rationale as [[positionalWindowsOf]].
+    */
+  private[graft] def suffixFrame(docFrame: DataFrame, minLen: Int,
+      cap: Int, anchorLen: Int): DataFrame = {
+    import docFrame.sparkSession.implicits._
+    docFrame.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        it.flatMap { case (id, text) =>
+          val toks = Kernels.lowerTokens(text)
+          (0 to toks.length - minLen).iterator.map { p =>
+            (id, p.toLong,
+              h60Scala(toks.slice(p, p + anchorLen).mkString(" ")),
+              toks.slice(p, math.min(toks.length, p + cap)).toSeq)
+          }
+        }
+      }
+      .toDF("doc_id", "pos", "anchor", "key")
+  }
+
+  /** Token-LCP of two capped suffix keys (0 when the neighbor is absent):
+    * position of the first per-element mismatch, or min length when one
+    * key prefixes the other. Catalyst higher-order functions only — the
+    * DuckDB twin is the same list_transform/list_position expression.
+    */
+  private def lcpCol(a: Column, b: Column): Column = {
+    val firstFalse =
+      array_position(zip_with(a, b, (x, y) => x.eqNullSafe(y)), lit(false))
+    when(b.isNull, lit(0L)).otherwise(
+      when(firstFalse === 0, least(size(a), size(b)).cast("long"))
+        .otherwise(firstFalse - 1))
+  }
+
+  /** Maximal duplicated substrings (the Lee et al. 2022 ExactSubstr
+    * operator at token granularity, suffix-array-shaped for Spark):
+    * for every token position, `dup_len` = the longest match (capped at
+    * `cap` tokens) between the suffix starting there and ANY other
+    * suffix in the corpus — other documents or elsewhere in the same
+    * one, the paper's definition of duplicated text. Exactness without
+    * all-pairs: in lexicographic suffix order the max LCP of a suffix
+    * is attained at an ADJACENT suffix, so one sort + lag/lead
+    * neighbor-compare computes every dup_len; sharding that sort by the
+    * `anchorLen`-token anchor keeps it distributed (each window group
+    * is one anchor's suffixes, df-bounded like d07's shingle groups)
+    * while losing only pairs with LCP < anchorLen — invisible below the
+    * minLen threshold. The per-doc second window then keeps LEFT-MAXIMAL
+    * spans: a position whose predecessor's span already covers it
+    * (prev dup_len >= dup_len + 1) is a sub-span, not a finding.
+    * Result: (doc_id, pos, len) per maximal duplicated span, len in
+    * [minLen, cap].
+    *
+    * 100 TB: the suffix frame is |tokens| rows carrying <= cap tokens
+    * each — a ~cap× amplification of the corpus through ONE exchange;
+    * that is the method's published cost (suffix-array dedup ships the
+    * corpus into sorted order). The anchor both shards the sort and
+    * bounds each window group at the anchor's df; hot boilerplate
+    * anchors cap out exactly like d10's hot spans. The second window
+    * ships only (doc_id, pos, dup_len) — 24 bytes/row. d08's fixed
+    * windows remain the cheap screen; this is the exact-length answer.
+    */
+  def maximalDupSpans(docFrame: DataFrame, minLen: Int = 12,
+      cap: Int = 64, anchorLen: Int = 4): DataFrame = {
+    val suff = suffixFrame(docFrame, minLen, cap, anchorLen)
+    val ws = Window.partitionBy("anchor").orderBy("key")
+    // pk/nk materialize ONCE each: inlining the lag/lead into lcpCol's
+    // four references would make the Window operator compute four
+    // copies of each neighbor array per row
+    val neigh = suff
+      .withColumn("pk", lag(col("key"), 1).over(ws))
+      .withColumn("nk", lead(col("key"), 1).over(ws))
+      .withColumn("dup_len", greatest(
+        lcpCol(col("key"), col("pk")), lcpCol(col("key"), col("nk"))))
+      .select(col("doc_id"), col("pos"), col("dup_len"))
+    val wd = Window.partitionBy("doc_id").orderBy("pos")
+    neigh
+      .withColumn("prev_len", lag(col("dup_len"), 1).over(wd))
+      .filter(col("dup_len") >= minLen &&
+        (col("prev_len").isNull || col("prev_len") < col("dup_len") + 1))
+      .select(col("doc_id"), col("pos"), col("dup_len").as("len"))
+      .orderBy("doc_id", "pos")
+  }
+
   /** Flat exploded shingle frame (doc_id, nsh, shingle-hash) — the shared
     * input of the pair joins (kernels: [[Kernels.lowerTokens]] +
     * [[Kernels.shingles]]). Flat long rows materialize cheaply (unlike the
@@ -1617,7 +1707,44 @@ object Dedup {
              |  (component_size * count(*)) * 1.0
              |    / sum(component_size * count(*)) OVER () AS doc_share
              |FROM sz GROUP BY component_size
-             |ORDER BY component_size""".stripMargin))
+             |ORDER BY component_size""".stripMargin)),
+
+    // Suffix-array-style substring dedup — the exact variable-length
+    // answer d08/d10 approximate with fixed 12-token windows. See
+    // [[maximalDupSpans]] for the algorithm and scale story: one
+    // anchor-sharded suffix sort, lag/lead LCP, per-doc left-maximality.
+    // The oracle recomputes the identical suffix order + LCP windows in
+    // SQL; dup_len is engine-sort-independent (max-LCP over a multiset),
+    // so both engines agree bit-exactly even where their tie-breaking
+    // differs.
+    Q("d27_max_dup_spans",
+      "maximal duplicated substrings >= 12 tokens (sorted-suffix neighbor LCP, capped at 64)",
+      (s, d) => maximalDupSpans(docs(s, d)),
+      Some("""WITH n AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm FROM documents),
+             |tk AS (SELECT doc_id, list_filter(string_split(norm, ' '), t -> t <> '') AS toks FROM n),
+             |sf AS (SELECT doc_id, toks, unnest(range(1, len(toks) - 10)) AS p
+             |  FROM tk WHERE len(toks) >= 12),
+             |k AS (SELECT doc_id, (p - 1)::BIGINT AS pos,
+             |    ('0x' || substr(md5(array_to_string(toks[p:p+3], ' ')), 1, 15))::BIGINT AS anchor,
+             |    toks[p:p+63] AS key
+             |  FROM sf),
+             |nb AS (SELECT doc_id, pos, key,
+             |    lag(key) OVER (PARTITION BY anchor ORDER BY key) AS pk,
+             |    lead(key) OVER (PARTITION BY anchor ORDER BY key) AS nk
+             |  FROM k),
+             |d AS (SELECT doc_id, pos, greatest(
+             |    CASE WHEN pk IS NULL THEN 0
+             |      ELSE coalesce(nullif(list_position(list_transform(range(1, greatest(len(key), len(pk)) + 1),
+             |        i -> coalesce(key[i] = pk[i], false)), false), 0) - 1, least(len(key), len(pk))) END,
+             |    CASE WHEN nk IS NULL THEN 0
+             |      ELSE coalesce(nullif(list_position(list_transform(range(1, greatest(len(key), len(nk)) + 1),
+             |        i -> coalesce(key[i] = nk[i], false)), false), 0) - 1, least(len(key), len(nk))) END
+             |  )::BIGINT AS dup_len FROM nb),
+             |m AS (SELECT doc_id, pos, dup_len,
+             |    lag(dup_len) OVER (PARTITION BY doc_id ORDER BY pos) AS prev_len FROM d)
+             |SELECT doc_id, pos, dup_len AS len FROM m
+             |WHERE dup_len >= 12 AND (prev_len IS NULL OR prev_len < dup_len + 1)
+             |ORDER BY doc_id, pos""".stripMargin))
   )
 
   /** One-sided prefix-filtered containment join over an arbitrary

@@ -72,6 +72,44 @@ class PipelineOpsSpec extends SparkTestBase {
     }
   }
 
+  test("d27 finds planted maximal spans exactly: cross-doc, self-repeat, sub-span suppression") {
+    import spark.implicits._
+    def toks(prefix: String, n: Int): Seq[String] =
+      (1 to n).map(i => s"$prefix$i")
+    val s30 = toks("s", 30) // shared 30-token span
+    val t15 = toks("t", 15) // self-repeated 15-token span
+    val doc1 = (toks("u", 10) ++ s30 ++ toks("v", 10)).mkString(" ")
+    val doc2 = (toks("w", 5) ++ s30 ++ toks("x", 20)).mkString(" ")
+    val doc3 = (toks("y", 3) ++ t15 ++ toks("z", 5) ++ t15 ++ toks("q", 5))
+      .mkString(" ")
+    val frame = Seq((1L, doc1), (2L, doc2), (3L, doc3)).toDF("doc_id", "text")
+    val got = Dedup.maximalDupSpans(frame).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // exactly the four maximal spans: the shared 30-gram at each host
+    // position, and both copies of the within-doc 15-gram repeat; every
+    // interior position (LCP 29, 28, ... / 14, 13, 12) is contained in
+    // its predecessor's span and must be suppressed
+    assert(got === Set((1L, 10L, 30L), (2L, 5L, 30L),
+      (3L, 3L, 15L), (3L, 23L, 15L)))
+  }
+
+  test("d27 cap semantics: identical 80-token docs emit capped 64-token runs, then suppress") {
+    import spark.implicits._
+    val a80 = (1 to 80).map(i => s"a$i").mkString(" ")
+    val frame = Seq((4L, a80), (5L, a80)).toDF("doc_id", "text")
+    val got = Dedup.maximalDupSpans(frame).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // positions 0..16 all report the cap (their true span extends past
+    // it, so none is provably contained in its predecessor); from 17 on
+    // the suffix is shorter than the cap and the containment chain
+    // suppresses — per doc: 17 capped heads, nothing else
+    for (d <- Seq(4L, 5L)) {
+      val mine = got.filter(_._1 == d)
+      assert(mine.map(r => (r._2, r._3)).toSet ===
+        (0 to 16).map(p => (p.toLong, 64L)).toSet, s"doc $d: ${mine.toSeq}")
+    }
+  }
+
   test("d09 components: pairs land in one cluster, canonical is the min, sizes add up") {
     val pairs = run("d02_ngram_jaccard").collect()
       .map(r => (r.getLong(0), r.getLong(1)))

@@ -1094,4 +1094,30 @@ class PlanShapeSpec extends SparkTestBase {
           s"the corpus must never broadcast:\n$bl")
     }
   }
+
+  test("d27: ONE key-carrying suffix sort; the maximality window ships only thin rows; no joins") {
+    val plan = executedPlan("d27_max_dup_spans")
+    // the corpus-keyed sort: exactly one Sort whose key list carries the
+    // suffix array column (anchor, key) — the distributed suffix-array
+    // order. The per-doc maximality window sorts too, but only AFTER the
+    // projection to (doc_id, pos, dup_len), so its exchange ships 24-byte
+    // rows, never the capped token arrays.
+    val sorts = plan.linesIterator.filter(_.contains("Sort [")).toVector
+    assert(sorts.count(_.contains("key#")) == 1,
+      s"exactly one suffix-key sort expected:\n$sorts")
+    val exchanges = plan.linesIterator.filter(_.contains("Exchange")).toVector
+    assert(exchanges.count(_.contains("hashpartitioning(anchor")) == 1 &&
+      exchanges.count(_.contains("hashpartitioning(doc_id")) == 1 &&
+      exchanges.count(_.contains("rangepartitioning")) == 1 &&
+      exchanges.size == 3,
+      s"anchor window + thin doc window + output sort only:\n$exchanges")
+    assert(!plan.contains("Join") && !plan.contains("BroadcastExchange"),
+      "pure window pipeline: no joins, nothing broadcasts")
+    // the doc-keyed exchange must sit ABOVE the dup_len projection — its
+    // input schema must not contain the token-array column
+    val docEx = plan.linesIterator.indexWhere(_.contains("hashpartitioning(doc_id"))
+    val below = plan.linesIterator.drop(docEx + 1).takeWhile(!_.contains("hashpartitioning(anchor")).toVector
+    assert(below.exists(_.contains("Project [doc_id")),
+      "the thin projection must precede the doc-keyed shuffle")
+  }
 }
