@@ -267,4 +267,26 @@ object Kernels {
       Some(sig)
     }
   }
+
+  /** Character-trigram counts of the d17-normalized text (lowercased
+    * tokens joined by single spaces — the normText equivalence d01/d17
+    * pin): one (trigram, count) pair per distinct trigram, empty when
+    * the normalized text is shorter than 3 chars. DuckDB twin:
+    * `list_transform(range(1, length(norm) - 1), i -> norm[i:i+2])`
+    * counted per value.
+    */
+  def charTrigramCounts(text: String): Iterator[(String, Long)] = {
+    val norm = lowerTokens(text).mkString(" ")
+    if (norm.length < 3) Iterator.empty
+    else {
+      val counts = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+      var i = 0
+      while (i + 3 <= norm.length) {
+        val tg = norm.substring(i, i + 3)
+        counts.update(tg, counts.getOrElse(tg, 0L) + 1L)
+        i += 1
+      }
+      counts.iterator
+    }
+  }
 }

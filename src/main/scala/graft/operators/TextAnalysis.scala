@@ -1355,8 +1355,162 @@ object TextAnalysis {
              |       WHEN batch_docs::HUGEINT * n_s > stored_docs::HUGEINT * n_b * 2 THEN 'over'
              |       WHEN batch_docs::HUGEINT * n_s * 2 < stored_docs::HUGEINT * n_b THEN 'under'
              |       ELSE 'stable' END AS status
-             |FROM g CROSS JOIN t ORDER BY source, lang""".stripMargin))
+             |FROM g CROSS JOIN t ORDER BY source, lang""".stripMargin)),
+
+    // N-gram-profile language ID (Cavnar & Trenkle 1994) — the trained
+    // upgrade of t03's marker screen, and the langid that gates every
+    // multilingual mixture decision (t07/t16/t23 key on `lang`):
+    // per-language top-200 character-trigram profiles build from the
+    // labeled train slice (doc_id%5<>4); each held-out doc's top-50
+    // trigram profile scores against every language by OUT-OF-PLACE
+    // distance — sum over the doc's ranked trigrams of |doc rank −
+    // language rank|, missing trigram = the profile size 200 — and the
+    // argmin (t03's en-first priority chain) predicts. Every rank and
+    // distance is an exact integer; ties inside a profile break on
+    // md5(trigram) (t18's tiebreak), so both engines rank identically.
+    // On THIS corpus the labels carry no character signal (one shared
+    // vocabulary — accuracy is chance, same caveat as t03); the planted
+    // fixture spec is where the capability shows. See [[ngramLangId]]
+    // for the scale shape.
+    Q("t28_ngram_langid",
+      "character-trigram profile language ID: out-of-place distance to top-200 per-language profiles",
+      (s, d) => ngramLangId(docs(s, d)),
+      Some(sqlNgramLangId))
   )
+
+  /** t28's engine over an arbitrary (doc_id, lang, text) frame.
+    *
+    * Scale shape: both sides count trigrams INSIDE the scan
+    * ([[Kernels.charTrigramCounts]] — one local hash map per doc, no
+    * corpus-scale trigram explode ever shuffles). The train rollup
+    * partial-aggregates pre-counted (lang, tg, cnt) rows to the
+    * vocabulary-sized (lang, trigram) space; its rank window partitions
+    * by `lang` (|langs| groups over vocab-sized input — bounded, never
+    * corpus-bound). The pruned profile pivots to ≤ |langs|·profileN
+    * rows and BROADCASTS (the t18/t25 fixed-size-reference discipline).
+    * The batch side emits ≤ docM ranked rows per doc straight from the
+    * kernel (top-M selection is per-doc-local), so the distance join
+    * touches docM·|batch| rows against a broadcast, and the per-doc
+    * rollup ships only those. The corpus never shuffles on trigram.
+    */
+  def ngramLangId(docFrame: DataFrame, profileN: Int = 200,
+      docM: Int = 50): DataFrame = {
+    val langs = markers.map(_._1)
+    val train = docFrame.filter(col("doc_id") % 5 =!= 4)
+    val test = docFrame.filter(col("doc_id") % 5 === 4)
+    val wp = Window.partitionBy("lang")
+      .orderBy(col("cnt").desc, md5(col("tg")))
+    val prof = langTrigramCounts(train)
+      .groupBy("lang", "tg").agg(sum("cnt").as("cnt"))
+      .withColumn("rk", row_number().over(wp))
+      .filter(col("rk") <= profileN)
+    val pivotCols = langs.map(l =>
+      max(when(col("lang") === l, col("rk"))).as(s"r_$l"))
+    val pivoted = prof.groupBy("tg").agg(pivotCols.head, pivotCols.tail: _*)
+    val distCols = langs.map(l =>
+      sum(coalesce(abs(col("drk") - col(s"r_$l")), lit(profileN.toLong)))
+        .as(s"dist_$l"))
+    val scored = docTrigramProfile(test, docM)
+      .join(broadcast(pivoted), Seq("tg"), "left")
+      .groupBy("doc_id", "lang_label")
+      .agg(count(lit(1)).as("n_profile"), distCols: _*)
+    val full = test.select(col("doc_id"), col("lang").as("lang_label"))
+      .join(scored, Seq("doc_id", "lang_label"), "left")
+      .select(col("doc_id") +: col("lang_label") +:
+        coalesce(col("n_profile"), lit(0L)).as("n_profile") +:
+        langs.map(l => coalesce(col(s"dist_$l"), lit(0L)).as(s"dist_$l")): _*)
+    val best = langs.map(l => col(s"dist_$l")).reduce(least(_, _))
+    val pred = langs.foldRight(lit("und")) { case (l, els) =>
+      when(col("n_profile") > 0 && col(s"dist_$l") === best, l).otherwise(els)
+    }
+    full.withColumn("predicted", pred)
+      .withColumn("is_correct", col("predicted") === col("lang_label"))
+      .orderBy("doc_id")
+  }
+
+  /** Per-doc ranked top-M trigram profile, computed entirely inside the
+    * scan: (doc_id, lang_label, tg, drk) with drk = rank by (count desc,
+    * md5 asc) — the oracle's row_number twin, selected doc-locally so no
+    * corpus-scale trigram frame ever exists. Docs with no trigram emit
+    * nothing (the caller's left join restores them).
+    */
+  private[graft] def docTrigramProfile(docFrame: DataFrame,
+      m: Int): DataFrame = {
+    import docFrame.sparkSession.implicits._
+    docFrame.select(col("doc_id"), col("lang"),
+        coalesce(col("text"), lit("")))
+      .as[(Long, String, String)]
+      .mapPartitions { it =>
+        it.flatMap { case (id, lang, text) =>
+          Kernels.charTrigramCounts(text).toSeq
+            .sortBy { case (tg, c) => (-c, md5HexScala(tg)) }
+            .take(m).iterator.zipWithIndex
+            .map { case ((tg, _), r) => (id, lang, tg, (r + 1).toLong) }
+        }
+      }
+      .toDF("doc_id", "lang_label", "tg", "drk")
+  }
+
+  /** Flat (lang, tg, cnt) rows — per-doc trigram counts from the same
+    * kernel, pre-counted so the global (lang, trigram) rollup
+    * partial-aggregates map-side over ≤ |doc trigram set| rows per doc.
+    */
+  private[graft] def langTrigramCounts(docFrame: DataFrame): DataFrame = {
+    import docFrame.sparkSession.implicits._
+    docFrame.select(col("lang"), coalesce(col("text"), lit("")))
+      .as[(String, String)]
+      .mapPartitions { it =>
+        it.flatMap { case (lang, text) =>
+          Kernels.charTrigramCounts(text).map { case (tg, c) => (lang, tg, c) }
+        }
+      }
+      .toDF("lang", "tg", "cnt")
+  }
+
+  /** Oracle twin of [[ngramLangId]] at (profileN=200, docM=50): the same
+    * trigram extraction, md5-tiebroken ranks, out-of-place distances and
+    * priority-chain argmin, recomputed relationally.
+    */
+  private lazy val sqlNgramLangId: String = {
+    val langs = markers.map(_._1)
+    val pivots = langs
+      .map(l => s"max(CASE WHEN lang = '$l' THEN rk END) AS r_$l")
+      .mkString(", ")
+    val contribs = langs
+      .map(l => s"sum(coalesce(abs(drk - r_$l), 200))::BIGINT AS dist_$l")
+      .mkString(",\n       |    ")
+    val dcols = langs
+      .map(l => s"coalesce(dist_$l, 0)::BIGINT AS dist_$l")
+      .mkString(", ")
+    val bestSql = s"least(${langs.map(l => s"dist_$l").mkString(", ")})"
+    val chain = langs
+      .map(l => s"WHEN n_profile > 0 AND dist_$l = $bestSql THEN '$l'")
+      .mkString(" ")
+    s"""WITH nt AS (SELECT doc_id, lang,
+       |    trim(regexp_replace(lower(coalesce(text, '')), '\\s+', ' ', 'g')) AS norm FROM documents),
+       |tg AS (SELECT doc_id, lang, unnest(list_transform(range(1, length(norm) - 1),
+       |    i -> norm[i:i+2])) AS tg FROM nt WHERE length(norm) >= 3),
+       |tr AS (SELECT lang, tg, count(*)::BIGINT AS cnt FROM tg WHERE doc_id % 5 <> 4 GROUP BY 1, 2),
+       |pr AS (SELECT lang, tg, row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, md5(tg)) AS rk FROM tr),
+       |pv AS (SELECT tg, $pivots FROM pr WHERE rk <= 200 GROUP BY tg),
+       |bc AS (SELECT doc_id, lang AS lang_label, tg, count(*)::BIGINT AS cnt
+       |  FROM tg WHERE doc_id % 5 = 4 GROUP BY 1, 2, 3),
+       |br AS (SELECT doc_id, lang_label, tg,
+       |    row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, md5(tg)) AS drk FROM bc),
+       |dj AS (SELECT doc_id, lang_label, count(*)::BIGINT AS n_profile,
+       |    $contribs
+       |  FROM (SELECT doc_id, lang_label, tg, drk FROM br WHERE drk <= 50) b
+       |  LEFT JOIN pv USING (tg)
+       |  GROUP BY 1, 2),
+       |f AS (SELECT d.doc_id, d.lang AS lang_label,
+       |    coalesce(n_profile, 0)::BIGINT AS n_profile, $dcols
+       |  FROM documents d LEFT JOIN dj ON d.doc_id = dj.doc_id AND d.lang = dj.lang_label
+       |  WHERE d.doc_id % 5 = 4)
+       |SELECT doc_id, lang_label, n_profile, ${langs.map(l => s"dist_$l").mkString(", ")},
+       |  CASE $chain ELSE 'und' END AS predicted,
+       |  (CASE $chain ELSE 'und' END = lang_label) AS is_correct
+       |FROM f ORDER BY doc_id""".stripMargin
+  }
 
   /** t18/t19's shared oracle: the LM re-derived from the stored slice's
     * text — for t19 this is the INDEPENDENT recomputation proving the

@@ -574,6 +574,56 @@ class PipelineOpsSpec extends SparkTestBase {
     }
   }
 
+  test("t28 n-gram profiles classify planted character distributions; t03's markers can't") {
+    import spark.implicits._
+    // three synthetic "languages" with genuinely distinct CHARACTER
+    // distributions but no marker token anywhere — the regime where the
+    // trained profile works and the marker screen is blind. Train docs
+    // (id%5<>4) build the profiles; held-out docs (id%5=4) classify.
+    val enWords = Seq("alpha", "apple", "anchor", "animal", "arrival")
+    val esWords = Seq("zorro", "azulejo", "zumbido", "razon", "zarza")
+    val zhWords = Seq("mmkqq", "qkmmp", "kqpmm", "pqkmq", "mqkpp")
+    def mk(words: Seq[String], seed: Int): String =
+      (0 until 40).map(i => words((i * 7 + seed) % words.size)).mkString(" ")
+    val rows = Seq(
+      ("en", enWords), ("es", esWords), ("zh", zhWords)
+    ).zipWithIndex.flatMap { case ((lang, words), li) =>
+      (0 to 4).map(k => (li * 5L + k, lang, mk(words, k)))
+    }
+    val frame = rows.toDF("doc_id", "lang", "text")
+    val got = TextAnalysis.ngramLangId(frame).collect()
+    assert(got.length === 3, "one held-out doc per planted language")
+    got.foreach { r =>
+      assert(r.getAs[Boolean]("is_correct"),
+        s"doc ${r.getLong(0)} labeled ${r.getAs[String]("lang_label")} " +
+          s"predicted ${r.getAs[String]("predicted")}")
+      assert(r.getAs[Long]("n_profile") > 0)
+      // the correct language's distance is a STRICT argmin here
+      val mine = r.getAs[Long](s"dist_${r.getAs[String]("lang_label")}")
+      val others = Seq("en", "es", "fr", "de", "zh")
+        .filterNot(_ == r.getAs[String]("lang_label"))
+        .map(l => r.getAs[Long](s"dist_$l"))
+      assert(others.forall(_ > mine), s"argmin not strict: $mine vs $others")
+    }
+  }
+
+  test("t28: docs with no trigram still get a scored row (und, zero distances)") {
+    import spark.implicits._
+    val frame = Seq(
+      (0L, "en", "alpha beta gamma delta"), (1L, "en", "beta alpha gamma"),
+      (2L, "en", "gamma delta alpha"), (3L, "en", "delta gamma beta"),
+      (4L, "en", "x"), (9L, "es", null.asInstanceOf[String])
+    ).toDF("doc_id", "lang", "text")
+    val got = TextAnalysis.ngramLangId(frame).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(got.keySet === Set(4L, 9L))
+    Seq(4L, 9L).foreach { id =>
+      assert(got(id).getAs[Long]("n_profile") === 0L)
+      assert(got(id).getAs[String]("predicted") === "und")
+      assert(!got(id).getAs[Boolean]("is_correct"))
+    }
+  }
+
   test("t04 fingerprints: equal texts ⇒ equal prints, distinct docs mostly differ") {
     val fps = run("t04_fingerprint").collect().map(_.getAs[Long]("fp_full"))
     // md5-based 60-bit prints on 500 distinct docs: collisions ~1e-14

@@ -1095,6 +1095,25 @@ class PlanShapeSpec extends SparkTestBase {
     }
   }
 
+  test("t28: the pruned profile broadcasts; trigram counting rides the scans (no corpus trigram shuffle)") {
+    val plan = executedPlan("t28_ngram_langid")
+    // the authored broadcast is the pivoted ≤|langs|·200-row profile,
+    // probed on tg; AQE may add a size-based broadcast for the doc-id
+    // attach at this tiny SF (both sides are doc-scale in production —
+    // the invariant-sweep's auto-broadcast-off run polices that one)
+    val bhj = plan.linesIterator.filter(_.contains("BroadcastHashJoin")).toVector
+    assert(bhj.exists(_.contains("tg#")),
+      s"the distance join must probe the broadcast profile on tg: $bhj")
+    // per-doc counting and top-M selection happen inside the kernels —
+    // no exchange may hash on the trigram + doc key (the corpus-scale
+    // trigram frame must never exist); the train rollup's (lang, tg)
+    // exchange is vocabulary-sized and allowed
+    val exchanges = plan.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toVector
+    assert(!exchanges.exists(e => e.contains("doc_id") && e.contains("tg#")),
+      s"corpus-scale (doc, trigram) shuffle: $exchanges")
+  }
+
   test("d27: ONE key-carrying suffix sort; the maximality window ships only thin rows; no joins") {
     val plan = executedPlan("d27_max_dup_spans")
     // the corpus-keyed sort: exactly one Sort whose key list carries the
