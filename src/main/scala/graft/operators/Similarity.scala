@@ -177,6 +177,34 @@ object Similarity {
       |      THEN CAST(power(2, j) AS BIGINT) ELSE 0 END), (x, y) -> x + y) AS bucket
       |FROM n)""".stripMargin
 
+  /** 4-plane sign bucket in [0, 16) over planes [j0, j0+4) of the
+    * [[bucketCol]] hyperplane family — s18's graph-seed tables (two
+    * INDEPENDENT tables: planes 0–3 and 4–7). Fewer planes than s02's 8
+    * is the occupancy knob (buckets of ~tens of vectors, see s18 doc).
+    */
+  private def bucket4Col(v: Column, j0: Int): Column =
+    (0 until 4).map { j =>
+      when(dotFast(v, typedlit(hyperplaneArray(j0 + j, Dim).toSeq)) >= 0.0,
+        lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** CTE `b4`: both 4-plane table buckets per vector (planes 0–3 → a,
+    * 4–7 → b), the oracle twin of two [[bucket4Col]] calls.
+    */
+  private val sqlBucket4 =
+    """b4 AS (SELECT vec_id, v, nrm,
+      |  list_reduce(list_transform(range(0, 4), j ->
+      |    CASE WHEN list_reduce(list_transform(range(1, 65), i -> v[i] *
+      |        ((('0x' || substr(md5('hp_' || j || '_' || i), 1, 15))::BIGINT % 2001 - 1000) / 1000.0)),
+      |        (x, y) -> x + y) >= 0.0
+      |      THEN CAST(power(2, j) AS BIGINT) ELSE 0 END), (x, y) -> x + y) AS bucket_a,
+      |  list_reduce(list_transform(range(4, 8), j ->
+      |    CASE WHEN list_reduce(list_transform(range(1, 65), i -> v[i] *
+      |        ((('0x' || substr(md5('hp_' || j || '_' || i), 1, 15))::BIGINT % 2001 - 1000) / 1000.0)),
+      |        (x, y) -> x + y) >= 0.0
+      |      THEN CAST(power(2, j - 4) AS BIGINT) ELSE 0 END), (x, y) -> x + y) AS bucket_b
+      |FROM n)""".stripMargin
+
   private val PqM = 8
   private val PqSubDim = 8
   private val PqK = 16
@@ -1417,8 +1445,183 @@ object Similarity {
              |    ELSE sum(CASE WHEN tr.rank_all <= lv.k_pool THEN 1 ELSE 0 END)
              |      * 1.0 / count(*) END AS recall
              |FROM tr CROSS JOIN lv
-             |GROUP BY 1 ORDER BY 1""".stripMargin))
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Graph-ANN leg: one k-NN-DESCENT refinement round (Dong et al.,
+    // WWW'11 — the build step HNSW/NSG-class graph indexes share) over
+    // a TWO-TABLE LSH-seeded k-NN graph, audited against exact search.
+    // Seed: each node's top-5 over the union of its bucket-mates in two
+    // INDEPENDENT 4-plane sign tables (planes 0-3 and 4-7). Two tables
+    // is load-bearing, not a recall tweak: with a single bucketing the
+    // seed graph is bucket-LOCAL — every adjacency edge stays inside
+    // its bucket, so neighbors-of-neighbors can never leave the query's
+    // own bucket and one descent round is PROVABLY a no-op (measured
+    // before the fix: zero candidates outside g0's own bucket). With
+    // two tables a 2-hop path composes table A then table B and
+    // escapes both partitions — the same reason multi-table LSH works.
+    // 4 planes (not s02's 8) is the occupancy knob: buckets must hold
+    // ~tens of vectors to seed; at scale the plane count grows
+    // ~log2(n/c) to hold bucket size c constant, which also keeps the
+    // build's parallelism at n/c tasks. See [[knnDescentAudit]] for
+    // the round and the audit.
+    Q("s18_knn_descent",
+      "one k-NN-descent round over a two-table LSH-seeded 5-NN graph: per-query recall@5 vs exact, seed and refined",
+      (s, d) => knnDescentAudit(vectors(s, d)),
+      Some(s"""$sqlVectors,
+             |$sqlBucket4,
+             |p0 AS (SELECT s.vec_id AS src, t.vec_id AS dst,
+             |    list_reduce(list_transform(range(1, 65), i -> s.v[i] * t.v[i]), (x, y) -> x + y)
+             |      / (s.nrm * t.nrm) AS cosine
+             |  FROM b4 s JOIN b4 t ON s.bucket_a = t.bucket_a AND s.vec_id <> t.vec_id
+             |  UNION
+             |  SELECT s.vec_id, t.vec_id,
+             |    list_reduce(list_transform(range(1, 65), i -> s.v[i] * t.v[i]), (x, y) -> x + y)
+             |      / (s.nrm * t.nrm)
+             |  FROM b4 s JOIN b4 t ON s.bucket_b = t.bucket_b AND s.vec_id <> t.vec_id),
+             |g0 AS (SELECT src, dst, cosine FROM (
+             |    SELECT src, dst, cosine,
+             |      row_number() OVER (PARTITION BY src ORDER BY cosine DESC, dst) AS rk
+             |    FROM p0) WHERE rk <= 5),
+             |rv AS (SELECT dst AS src, src AS dst FROM (
+             |    SELECT src, dst,
+             |      row_number() OVER (PARTITION BY dst ORDER BY cosine DESC, src) AS rrk
+             |    FROM g0) WHERE rrk <= 5),
+             |adj AS (SELECT src, dst FROM g0 UNION SELECT src, dst FROM rv),
+             |non AS (SELECT DISTINCT a.src AS src, c.dst AS dst
+             |  FROM adj a JOIN adj c ON a.dst = c.src WHERE a.src <> c.dst),
+             |sc AS (SELECT non.src, non.dst,
+             |    list_reduce(list_transform(range(1, 65), i -> s.v[i] * t.v[i]), (x, y) -> x + y)
+             |      / (s.nrm * t.nrm) AS cosine
+             |  FROM non JOIN n s ON non.src = s.vec_id JOIN n t ON non.dst = t.vec_id),
+             |u AS (SELECT src, dst, max(cosine) AS cosine FROM (
+             |    SELECT src, dst, cosine FROM g0
+             |    UNION ALL SELECT src, dst, cosine FROM sc) GROUP BY 1, 2),
+             |g1 AS (SELECT src, dst FROM (
+             |    SELECT src, dst,
+             |      row_number() OVER (PARTITION BY src ORDER BY cosine DESC, dst) AS rk
+             |    FROM u) WHERE rk <= 5),
+             |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n WHERE vec_id % 50 = 0),
+             |ex AS (SELECT query_id, vec_id AS tru FROM (
+             |    SELECT q.query_id, n.vec_id,
+             |      row_number() OVER (PARTITION BY q.query_id ORDER BY
+             |        list_reduce(list_transform(range(1, 65), i -> n.v[i] * q.qv[i]), (x, y) -> x + y)
+             |          / (n.nrm * q.qn) DESC, n.vec_id) AS rank
+             |    FROM n CROSS JOIN q WHERE n.vec_id <> q.query_id) WHERE rank <= 5),
+             |h0 AS (SELECT ex.query_id, count(*)::BIGINT AS n FROM ex
+             |  JOIN g0 g ON ex.query_id = g.src AND ex.tru = g.dst GROUP BY 1),
+             |h1 AS (SELECT ex.query_id, count(*)::BIGINT AS n FROM ex
+             |  JOIN g1 g ON ex.query_id = g.src AND ex.tru = g.dst GROUP BY 1)
+             |SELECT q.query_id,
+             |  coalesce(h0.n, 0)::BIGINT AS n_init,
+             |  coalesce(h1.n, 0)::BIGINT AS n_desc,
+             |  coalesce(h0.n, 0) * 1.0 / 5 AS recall_init,
+             |  coalesce(h1.n, 0) * 1.0 / 5 AS recall_desc
+             |FROM q LEFT JOIN h0 ON q.query_id = h0.query_id
+             |LEFT JOIN h1 ON q.query_id = h1.query_id
+             |ORDER BY q.query_id""".stripMargin))
   )
+
+  /** s18's engine over any (vec_id, v, nrm) frame — public so the
+    * planted-cluster spec can run it on crafted vectors.
+    *
+    * Round: seed graph g0 = per-node top-K over the union of both
+    * 4-plane tables' bucket-mates; adjacency = forward ∪ top-K reverse
+    * edges (reverse cap bounds hub in-degree); candidates =
+    * neighbors-of-neighbors, exact-rescored, unioned with g0,
+    * re-top-K'd into g1. Audit: per query (vec_id % queryMod = 0),
+    * hits of g0 and g1 against the exact cosine top-K.
+    *
+    * Scale: every join is keyed (bucket / node id) and SHUFFLED — the
+    * graph, adjacency and candidate frames are all O(n·K²) and
+    * output-bound; nothing corpus-scale broadcasts (the query set
+    * alone does, s01's discipline). The bucket self-joins' Σ|b|² cost
+    * is the documented plane-count trade, and ONE round is the d09
+    * bounded-loop discipline: production iterates rounds-to-convergence
+    * with this exact per-round plan. Monotonicity is structural: g1 is
+    * the top-K of a superset of g0's edges, so descent recall never
+    * drops below seed recall.
+    */
+  private[graft] def knnDescentAudit(vecs: DataFrame,
+      queryMod: Int = 50): DataFrame = {
+    val K = 5
+    val e = vecs
+      .withColumn("bucket_a", bucket4Col(col("v"), 0))
+      .withColumn("bucket_b", bucket4Col(col("v"), 4))
+      .localCheckpoint(true)
+    def side(role: String): DataFrame = e.select(
+      col("vec_id").as(role),
+      col("v").as(s"${role.head}v"), col("nrm").as(s"${role.head}n"),
+      col("bucket_a"), col("bucket_b"))
+    val src = side("src")
+    val dst = side("dst")
+    def bucketPairs(bucket: String): DataFrame =
+      src.drop(if (bucket == "bucket_a") "bucket_b" else "bucket_a")
+        .hint("shuffle_hash").join(
+          dst.drop(if (bucket == "bucket_a") "bucket_b" else "bucket_a"),
+          Seq(bucket))
+        .filter(col("src") =!= col("dst"))
+        .withColumn("cosine",
+          dotFast(col("sv"), col("dv")) / (col("sn") * col("dn")))
+        .select("src", "dst", "cosine")
+    def topK(edges: DataFrame): DataFrame = {
+      val w = Window.partitionBy("src")
+        .orderBy(col("cosine").desc, col("dst").asc)
+      edges.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= K).select("src", "dst", "cosine")
+    }
+    val g0 = topK(bucketPairs("bucket_a").union(bucketPairs("bucket_b"))
+      .distinct())
+      .localCheckpoint(true)
+    val wr = Window.partitionBy("dst")
+      .orderBy(col("cosine").desc, col("src").asc)
+    val rev = g0.withColumn("rrk", row_number().over(wr))
+      .filter(col("rrk") <= K)
+      .select(col("dst").as("src"), col("src").as("dst"))
+    val adj = g0.select("src", "dst").union(rev).distinct()
+    val non = adj.select(col("src"), col("dst").as("mid"))
+      .hint("shuffle_hash")
+      .join(adj.select(col("src").as("mid"), col("dst")), Seq("mid"))
+      .filter(col("src") =!= col("dst"))
+      .select("src", "dst").distinct()
+    val scored = non
+      .join(e.select(col("vec_id").as("src"), col("v").as("sv"),
+        col("nrm").as("sn")).hint("shuffle_hash"), Seq("src"))
+      .join(e.select(col("vec_id").as("dst"), col("v").as("dv"),
+        col("nrm").as("dn")).hint("shuffle_hash"), Seq("dst"))
+      .withColumn("cosine",
+        dotFast(col("sv"), col("dv")) / (col("sn") * col("dn")))
+      .select("src", "dst", "cosine")
+    val g1 = topK(g0.union(scored)
+      .groupBy("src", "dst").agg(max(col("cosine")).as("cosine")))
+    val q = e.filter(col("vec_id") % queryMod === 0)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn"))
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    val exact = e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cosine",
+        dotFast(col("v"), col("qv")) / (col("nrm") * col("qn")))
+      .withColumn("rank", row_number().over(wq))
+      .filter(col("rank") <= K)
+      .select(col("query_id"), col("vec_id").as("tru"))
+      .localCheckpoint(true)
+    def hitsOf(g: DataFrame, as: String): DataFrame = exact
+      .join(g.select(col("src").as("query_id"), col("dst").as("tru")),
+        Seq("query_id", "tru"), "left_semi")
+      .groupBy("query_id").agg(count(lit(1)).as(as))
+    q.select("query_id")
+      .join(hitsOf(g0, "n_init"), Seq("query_id"), "left")
+      .join(hitsOf(g1, "n_desc"), Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_init"), lit(0L)).as("n_init"),
+        coalesce(col("n_desc"), lit(0L)).as("n_desc"),
+        (coalesce(col("n_init"), lit(0L)) * lit(1.0) / K)
+          .as("recall_init"),
+        (coalesce(col("n_desc"), lit(0L)) * lit(1.0) / K)
+          .as("recall_desc"))
+      .orderBy("query_id")
+  }
 
   /** One Lloyd maintenance step in WRITE-BACK form: assign each batch
     * vector (vec_id, v) to its nearest stored centroid (s09's argmin,

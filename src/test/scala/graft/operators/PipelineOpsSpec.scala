@@ -941,6 +941,47 @@ class PipelineOpsSpec extends SparkTestBase {
       "containment must cover every symmetric-near-dup pair")
   }
 
+  test("s18 descent recall is monotone vs seed on the corpus (structural superset)") {
+    val got = run("s18_knn_descent").collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val init = r.getAs[Long]("n_init")
+      val desc = r.getAs[Long]("n_desc")
+      assert(desc >= init,
+        s"query ${r.getLong(0)}: descent recall dropped ($init -> $desc)")
+      assert(desc <= 5L && init >= 0L)
+      assert(r.getAs[Double]("recall_desc") === desc.toDouble / 5)
+    }
+  }
+
+  test("s18 one descent round strictly improves recall on a planted clustered corpus") {
+    import spark.implicits._
+    graft.plans.VectorExpressions.register(spark)
+    import org.apache.spark.sql.functions.{col, sqrt}
+    // 3 well-separated clusters; perturbations scatter each cluster
+    // across the sign buckets of both tables, so the SEED graph is
+    // imperfect while 2-hop cross-table paths can reach the true
+    // neighbors — the regime descent exists for
+    val rnd = new scala.util.Random(7L)
+    val dim = 64
+    val rows = (0 until 90).map { i =>
+      val c = i % 3
+      val v = Array.tabulate(dim) { k =>
+        (if (k == c) 1.0 else 0.0) + 0.25 * (rnd.nextDouble() * 2 - 1)
+      }
+      (i.toLong, v)
+    }
+    val vecs = rows.toDF("vec_id", "v")
+      .withColumn("nrm", sqrt(graft.functions.Portable.dotFast(col("v"), col("v"))))
+    val got = Similarity.knnDescentAudit(vecs, queryMod = 10).collect()
+    assert(got.length === 9)
+    val init = got.map(_.getAs[Long]("n_init")).sum
+    val desc = got.map(_.getAs[Long]("n_desc")).sum
+    got.foreach(r => assert(r.getAs[Long]("n_desc") >= r.getAs[Long]("n_init")))
+    assert(desc > init,
+      s"descent must strictly improve on clustered data: $init -> $desc")
+  }
+
   test("s14 recall curve is monotone in nprobe and consistent with s01 truth size") {
     val rows = run("s14_ivf_recall_curve").collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getAs[Double]("recall")))
