@@ -30,6 +30,11 @@ object TextAnalysis {
   private def docs(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
 
+  /** Fixture root for the planted blocklist (the CompendiumQueries
+    * convention). */
+  private val fixtures =
+    sys.env.getOrElse("GRAFT_FIXTURES_DIR", "/root/repo/fixtures")
+
   /** Shared SQL fragment for the oracle: whitespace tokens sans empties. */
   private val sqlToks = "list_filter(string_split(text, ' '), t -> t <> '')"
 
@@ -1375,8 +1380,114 @@ object TextAnalysis {
     Q("t28_ngram_langid",
       "character-trigram profile language ID: out-of-place distance to top-200 per-language profiles",
       (s, d) => ngramLangId(docs(s, d)),
-      Some(sqlNgramLangId))
+      Some(sqlNgramLangId)),
+
+    // URL/domain-level gating — the axis real crawls key quality on
+    // (C4/RefinedWeb blocklists, per-domain caps): registrable-domain
+    // (eTLD+1) extraction, a planted blocklist gate, and t24's
+    // dedup-pressure card re-cut at domain grain, so "which domains are
+    // blocked / template-heavy" is one report. The corpus has no URL
+    // column, so a deterministic synthetic URL stands in (md5-derived
+    // subdomain + source-derived host + md5-derived public suffix +
+    // path — the t20/m01 stand-in discipline: the DERIVATION is
+    // throwaway, the extraction/gate/report plumbing is what
+    // transfers). Extraction handles multi-label public suffixes
+    // (co.uk/ac.uk — longest-suffix-first CASE chain over the PSL
+    // subset; the full list is configuration, t20's class-list
+    // rationale) and strips arbitrary subdomains. Scale: URL build,
+    // host parse and registrable-domain extraction are codegen'd
+    // regex/string expressions riding the scan; the content-hash dup
+    // window and domain rollup are t24's two corpus exchanges; the
+    // blocklist is a broadcast fixture table; shares run on the
+    // |domains|-row grid.
+    Q("t29_domain_gate",
+      "registrable-domain blocklist gate + per-domain dedup-pressure card (docs/tokens/dup-rate/share)",
+      (s, d) => {
+        val sub = element_at(typedlit(Seq("www.", "cdn.", "blog.", "")),
+          (h60(concat(lit("sub_"), col("doc_id").cast("string"))) % 4 + 1)
+            .cast("int"))
+        val sfx = element_at(typedlit(Seq("com", "org", "net", "co.uk", "ac.uk")),
+          (h60(concat(lit("tld_"), col("source"))) % 5 + 1).cast("int"))
+        val url = concat(lit("https://"), sub, col("source"), lit("."),
+          sfx, lit("/doc/"), col("doc_id").cast("string"))
+        val w = Window.partitionBy(col("content_hash"))
+        val flagged = docs(s, d)
+          .select(col("doc_id"), col("source"),
+            size(tokens(col("text"))).cast("long").as("n_tok"),
+            md5(normText(col("text"))).as("content_hash"),
+            registrableOf(
+              regexp_extract(url, "^[a-z]+://([^/]+)", 1)).as("domain"))
+          .withColumn("is_dup",
+            col("doc_id") =!= min(col("doc_id")).over(w))
+        val per = flagged.groupBy("domain").agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("n_tokens"),
+          sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dup_docs"))
+        val block = s.read.text(s"$fixtures/blocklist.txt")
+          .select(trim(col("value")).as("domain"))
+          .withColumn("in_blocklist", lit(true))
+        val wAll = Window.partitionBy()
+        per.join(broadcast(block), Seq("domain"), "left")
+          .withColumn("blocked", coalesce(col("in_blocklist"), lit(false)))
+          .withColumn("total_docs", sum(col("n_docs")).over(wAll))
+          .select(col("domain"), col("blocked"),
+            when(col("blocked"), "toss_blocklist").otherwise("keep")
+              .as("verdict"),
+            col("n_docs"), col("n_tokens"), col("n_dup_docs"),
+            (col("n_docs") * lit(1.0) / col("total_docs")).as("doc_share"),
+            (col("n_dup_docs") * lit(1.0) / col("n_docs")).as("dup_rate"))
+          .orderBy("domain")
+      },
+      Some(s"""WITH u AS (SELECT doc_id, source, text,
+             |    'https://' ||
+             |    ['www.', 'cdn.', 'blog.', ''][(('0x' || substr(md5('sub_' || doc_id), 1, 15))::BIGINT % 4) + 1] ||
+             |    source || '.' ||
+             |    ['com', 'org', 'net', 'co.uk', 'ac.uk'][(('0x' || substr(md5('tld_' || source), 1, 15))::BIGINT % 5) + 1] ||
+             |    '/doc/' || doc_id AS url
+             |  FROM documents),
+             |h AS (SELECT doc_id, text, regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host FROM u),
+             |rd AS (SELECT doc_id, text,
+             |    CASE WHEN regexp_matches(host, '(^|\\.)[^.]+\\.co\\.uk$$')
+             |           THEN regexp_extract(host, '([^.]+\\.co\\.uk)$$', 1)
+             |         WHEN regexp_matches(host, '(^|\\.)[^.]+\\.ac\\.uk$$')
+             |           THEN regexp_extract(host, '([^.]+\\.ac\\.uk)$$', 1)
+             |         ELSE regexp_extract(host, '([^.]+\\.[^.]+)$$', 1) END AS domain
+             |  FROM h),
+             |f AS (SELECT doc_id, domain,
+             |    len($sqlToks)::BIGINT AS n_tok,
+             |    md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS content_hash
+             |  FROM rd),
+             |fl AS (SELECT *, doc_id <> min(doc_id) OVER (PARTITION BY content_hash) AS is_dup
+             |  FROM f),
+             |per AS (SELECT domain, count(*)::BIGINT AS n_docs,
+             |    sum(n_tok)::BIGINT AS n_tokens,
+             |    sum(CASE WHEN is_dup THEN 1 ELSE 0 END)::BIGINT AS n_dup_docs
+             |  FROM fl GROUP BY 1),
+             |bl AS (SELECT trim(bd) AS domain
+             |  FROM read_csv('$fixtures/blocklist.txt', delim='', header=false, columns={'bd': 'VARCHAR'})),
+             |t AS (SELECT *, sum(n_docs) OVER ()::BIGINT AS total_docs FROM per)
+             |SELECT t.domain, (bl.domain IS NOT NULL) AS blocked,
+             |  CASE WHEN bl.domain IS NOT NULL THEN 'toss_blocklist' ELSE 'keep' END AS verdict,
+             |  n_docs, n_tokens, n_dup_docs,
+             |  n_docs * 1.0 / total_docs AS doc_share,
+             |  n_dup_docs * 1.0 / n_docs AS dup_rate
+             |FROM t LEFT JOIN bl ON t.domain = bl.domain
+             |ORDER BY t.domain""".stripMargin))
   )
+
+  /** Registrable domain (eTLD+1) of a hostname: longest matching
+    * public suffix from the configured multi-label subset plus one
+    * label, falling back to the last two labels. The PSL subset is
+    * configuration (t20's class-list rationale) — production swaps in
+    * the full public-suffix list.
+    */
+  private[graft] def registrableOf(host: Column): Column =
+    Seq("co.uk", "ac.uk").foldRight(
+      regexp_extract(host, "([^.]+\\.[^.]+)$", 1)) { case (sfx, els) =>
+      val esc = sfx.replace(".", "\\.")
+      when(host.rlike(s"(^|\\.)[^.]+\\.$esc$$"),
+        regexp_extract(host, s"([^.]+\\.$esc)$$", 1)).otherwise(els)
+    }
 
   /** t28's engine over an arbitrary (doc_id, lang, text) frame.
     *

@@ -624,6 +624,44 @@ class PipelineOpsSpec extends SparkTestBase {
     }
   }
 
+  test("t29 registrable-domain extraction: multi-label suffixes, deep subdomains, two-label fallback") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val cases = Seq(
+      ("www.src6.co.uk", "src6.co.uk"),
+      ("a.b.c.src6.co.uk", "src6.co.uk"),
+      ("src6.co.uk", "src6.co.uk"),
+      ("cdn.images.example.ac.uk", "example.ac.uk"),
+      ("example.com", "example.com"),
+      ("deep.sub.example.org", "example.org"),
+      ("colors.co.net", "co.net")) // 'co' is only special under .uk here
+    val got = cases.map(_._1).toDF("host")
+      .select(col("host"), TextAnalysis.registrableOf(col("host")).as("d"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    cases.foreach { case (h, want) =>
+      assert(got(h) === want, s"host $h")
+    }
+  }
+
+  test("t29 gate: planted blocklist flags exactly its live domains; dup mass ties to t24") {
+    val rows = run("t29_domain_gate").collect()
+    val blocked = rows.filter(_.getAs[Boolean]("blocked"))
+      .map(_.getAs[String]("domain")).toSet
+    // example.com is in the blocklist but no corpus doc maps to it —
+    // the gate must flag exactly the LIVE entries
+    assert(blocked === Set("src6.co.uk", "src12.org"))
+    rows.foreach { r =>
+      assert(r.getAs[String]("verdict") ===
+        (if (r.getAs[Boolean]("blocked")) "toss_blocklist" else "keep"))
+    }
+    // same content-hash dup definition as t24: totals must reconcile
+    val t24 = run("t24_dataset_card").collect()
+    assert(rows.map(_.getAs[Long]("n_dup_docs")).sum ===
+      t24.map(_.getAs[Long]("n_dup_docs")).sum)
+    assert(rows.map(_.getAs[Long]("n_docs")).sum ===
+      t24.map(_.getAs[Long]("n_docs")).sum)
+  }
+
   test("t04 fingerprints: equal texts ⇒ equal prints, distinct docs mostly differ") {
     val fps = run("t04_fingerprint").collect().map(_.getAs[Long]("fp_full"))
     // md5-based 60-bit prints on 500 distinct docs: collisions ~1e-14
