@@ -227,6 +227,34 @@ object CompendiumQueries {
              |  (sum(length(seq))::DOUBLE / count(*)::DOUBLE) AS length
              |FROM seqs""".stripMargin)),
 
+    // c10's vote is degenerate by fixture (66 bp ASVs fail the 70 %
+    // coverage rule → 'None'); this leg pins a NON-degenerate region
+    // call end-to-end at the fixture level: five V3–V4 amplicons (exact
+    // J01859 substrings, starts 335–347 in the v2–v3 gap, ends at 805
+    // in the v4–v5 gap) all pass coverage, every forward vote lands v3
+    // and every reverse vote v4, so the majority calls 'v3-v4' through
+    // the full load → align → map → vote pipeline. The oracle, like
+    // c10's, states the planted verdict (SW is not SQL-expressible —
+    // the DP itself is golden-tested against an independent
+    // implementation) and recomputes the average length from the FASTA.
+    Q("c11_region_inference_positive",
+      "per-project region inference on V3-V4 amplicons: majority vote lands 'v3-v4'",
+      (s, _) => RegionInference.infer(
+        ResultsLoad.load(s, s"$fixtures/longasv", "PRJNA67890")._2)
+        .orderBy("project"),
+      Some(s"""WITH t AS (SELECT content FROM read_text('$fixtures/longasv/ASVs.fa')),
+             |recs AS (SELECT unnest(string_split(content, '>')) AS rec FROM t),
+             |fa AS (SELECT
+             |    trim(string_split(rec, chr(10))[1]) AS asv,
+             |    list_aggregate(list_filter(string_split(rec, chr(10))[2:], x -> x <> ''), 'string_agg', '') AS seq
+             |  FROM recs WHERE rec <> ''),
+             |tax AS (SELECT column0 AS asv
+             |  FROM read_csv('$fixtures/longasv/ASVs_taxonomy.tsv', delim='\t', header=true)),
+             |seqs AS (SELECT seq FROM fa WHERE asv <> '' AND asv IN (SELECT asv FROM tax))
+             |SELECT 'PRJNA67890' AS project, 'v3-v4' AS region,
+             |  (sum(length(seq))::DOUBLE / count(*)::DOUBLE) AS length
+             |FROM seqs""".stripMargin)),
+
     Q("c09_source_filter",
       "keep/toss substring classifier over sources.txt (helpers.py:8-21)",
       (s, _) => {

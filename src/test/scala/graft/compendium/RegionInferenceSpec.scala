@@ -50,6 +50,16 @@ class RegionInferenceSpec extends SparkTestBase {
     assert(len === 280.0)
   }
 
+  test("c11 fixture: the longasv FASTA votes 'v3-v4' through the full load pipeline") {
+    val seqs = graft.compendium.ResultsLoad
+      .load(spark, s"$fixtures/longasv", "PRJNA67890")._2
+    val out = RegionInference.infer(seqs).collect()
+    assert(out.length === 1)
+    assert(out.head.getString(1) === "v3-v4",
+      "the planted V3-V4 amplicons must produce a non-degenerate call")
+    assert(out.head.getDouble(2) === 464.0)
+  }
+
   test("short-alignment ASVs are excluded; no majority → 'None'") {
     // random non-16S sequences: best local alignment far below 70 % of length
     val rnd = new scala.util.Random(1)
