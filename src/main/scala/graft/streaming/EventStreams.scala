@@ -717,64 +717,122 @@ object EventStreams extends Serializable {
   def retentionStream(events: Dataset[Event],
       allowance: String = "60 days"): Dataset[CohortActivity] = {
     import events.sparkSession.implicits._
-
-    // Month boundaries follow the SESSION timezone, captured once at
-    // plan-build time on the driver — the batch twin's
-    // date_trunc('month')/year()/month() resolve against
-    // spark.sql.session.timeZone, so a hard-coded UTC here would silently
-    // break the streamed-equals-batch contract in any non-UTC session.
-    val zoneId = java.time.ZoneId.of(
-      events.sparkSession.sessionState.conf.sessionLocalTimeZone)
-
-    def monthIndex(ms: Long): Long = {
-      val d = java.time.Instant.ofEpochMilli(ms).atZone(zoneId)
-      d.getYear * 12L + d.getMonthValue - 1
-    }
-    def monthStartMs(idx: Long): Long =
-      java.time.LocalDate.of((idx / 12).toInt, (idx % 12).toInt + 1, 1)
-        .atStartOfDay(zoneId).toInstant.toEpochMilli
-
-    def update(userId: Long, rows: Iterator[Event],
-        state: GroupState[RetentionState]): Iterator[CohortActivity] = {
-      val wm = state.getCurrentWatermarkMs()
-      val st0 = state.getOption.getOrElse(
-        RetentionState(Long.MaxValue, Set.empty, Set.empty))
-      val st =
-        if (state.hasTimedOut) st0
-        else rows.foldLeft(st0) { (st, e) =>
-          val t = e.ts.getTime
-          if (t <= wm) st // beyond-watermark-late: could re-base the cohort
-          else {
-            val mi = monthIndex(t)
-            if (st.emitted.contains(mi) || st.pending.contains(mi)) st
-            else RetentionState(math.min(st.minMonth, mi), st.emitted,
-              st.pending + mi)
-          }
-        }
-      if (st.minMonth != Long.MaxValue && wm >= monthStartMs(st.minMonth)) {
-        // cohort frozen: every pending month's offset is final
-        val cohortTs = new Timestamp(monthStartMs(st.minMonth))
-        val out = st.pending.toVector.sorted.map(mi =>
-          CohortActivity(userId, cohortTs, mi - st.minMonth))
-        state.update(RetentionState(st.minMonth, st.emitted ++ st.pending,
-          Set.empty))
-        out.iterator
-      } else {
-        if (st.minMonth != Long.MaxValue) {
-          state.update(st)
-          // freeze instant is ahead of the watermark by the branch
-          // condition, satisfying the setTimeoutTimestamp contract
-          if (st.pending.nonEmpty)
-            state.setTimeoutTimestamp(monthStartMs(st.minMonth))
-        }
-        Iterator.empty
-      }
-    }
-
     events
       .withWatermark("ts", allowance)
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append,
-        GroupStateTimeout.EventTimeTimeout)(update)
+        GroupStateTimeout.EventTimeTimeout)(
+        retentionUpdate(sessionZone(events)))
+  }
+
+  /** [[retentionStream]] REHYDRATED from a demoted-state sidecar — the
+    * production lever the X81s state-bound documents: long-idle users'
+    * state is demoted to a keyed warehouse table, the continuous query
+    * restarts without them, and `initial` seeds the new query's state
+    * store so a returning user's offsets still count from their ORIGINAL
+    * cohort (an un-seeded restart would re-base them at their next
+    * active month — [[retentionStateFrom]] is the demote/rehydrate
+    * codec, and the spec pins two-phase ≡ continuous).
+    *
+    * Contract: equivalence holds for arrivals AFTER the demote
+    * watermark — the same events the continuous run would accept. (The
+    * restarted query's own watermark rebuilds from its first batch, so
+    * feeding it pre-demote-watermark stragglers would ACCEPT rows the
+    * continuous run had late-dropped; a production demote stamps the
+    * watermark into the sidecar and filters the replay the same way.)
+    */
+  def retentionStream(events: Dataset[Event], allowance: String,
+      initial: Dataset[(Long, RetentionState)]): Dataset[CohortActivity] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", allowance)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout,
+        initial.groupByKey(_._1).mapValues(_._2))(
+        retentionUpdate(sessionZone(events)))
+  }
+
+  /** Demote codec: rebuild each user's [[RetentionState]] from their
+    * emitted rows in the warehouse sidecar (the consumer's append-only
+    * table of CohortActivity rows). Exactly lossless for SETTLED users —
+    * frozen cohort, empty pending — which is precisely the demotable
+    * population: a user is only idle-demoted once the watermark is past
+    * their last activity, at which point every buffered month has
+    * emitted. cohort index + emitted set reconstruct; pending = empty.
+    */
+  def retentionStateFrom(sidecar: Dataset[CohortActivity])
+      : Dataset[(Long, RetentionState)] = {
+    import sidecar.sparkSession.implicits._
+    val zoneId = sessionZone(sidecar)
+    sidecar.groupByKey(_.user_id).mapGroups { (uid, rows) =>
+      val rs = rows.toVector
+      val mi = monthIndexAt(zoneId, rs.head.cohort_month.getTime)
+      (uid, RetentionState(mi, rs.map(r => mi + r.month_offset).toSet,
+        Set.empty))
+    }
+  }
+
+  /** Session timezone captured at plan-build time on the driver — the
+    * batch twin's date_trunc('month')/year()/month() resolve against
+    * spark.sql.session.timeZone, so a hard-coded UTC here would silently
+    * break the streamed-equals-batch contract in any non-UTC session.
+    */
+  private def sessionZone(ds: Dataset[_]): java.time.ZoneId =
+    java.time.ZoneId.of(
+      ds.sparkSession.sessionState.conf.sessionLocalTimeZone)
+
+  private def monthIndexAt(zoneId: java.time.ZoneId, ms: Long): Long = {
+    val d = java.time.Instant.ofEpochMilli(ms).atZone(zoneId)
+    d.getYear * 12L + d.getMonthValue - 1
+  }
+
+  private def monthStartMsAt(zoneId: java.time.ZoneId, idx: Long): Long =
+    java.time.LocalDate.of((idx / 12).toInt, (idx % 12).toInt + 1, 1)
+      .atStartOfDay(zoneId).toInstant.toEpochMilli
+
+  /** The shared retention update function (see [[retentionStream]] for
+    * the watermark-ordered-emission argument). Also invoked once per
+    * rehydrated key on the seeded query's first batch (possibly with no
+    * data): the empty fold leaves the state intact and the emitted-set
+    * guard prevents any re-emission.
+    */
+  private def retentionUpdate(zoneId: java.time.ZoneId)(
+      userId: Long, rows: Iterator[Event],
+      state: GroupState[RetentionState]): Iterator[CohortActivity] = {
+    val wm = state.getCurrentWatermarkMs()
+    val st0 = state.getOption.getOrElse(
+      RetentionState(Long.MaxValue, Set.empty, Set.empty))
+    val st =
+      if (state.hasTimedOut) st0
+      else rows.foldLeft(st0) { (st, e) =>
+        val t = e.ts.getTime
+        if (t <= wm) st // beyond-watermark-late: could re-base the cohort
+        else {
+          val mi = monthIndexAt(zoneId, t)
+          if (st.emitted.contains(mi) || st.pending.contains(mi)) st
+          else RetentionState(math.min(st.minMonth, mi), st.emitted,
+            st.pending + mi)
+        }
+      }
+    if (st.minMonth != Long.MaxValue &&
+        wm >= monthStartMsAt(zoneId, st.minMonth)) {
+      // cohort frozen: every pending month's offset is final
+      val cohortTs = new Timestamp(monthStartMsAt(zoneId, st.minMonth))
+      val out = st.pending.toVector.sorted.map(mi =>
+        CohortActivity(userId, cohortTs, mi - st.minMonth))
+      state.update(RetentionState(st.minMonth, st.emitted ++ st.pending,
+        Set.empty))
+      out.iterator
+    } else {
+      if (st.minMonth != Long.MaxValue) {
+        state.update(st)
+        // freeze instant is ahead of the watermark by the branch
+        // condition, satisfying the setTimeoutTimestamp contract
+        if (st.pending.nonEmpty)
+          state.setTimeoutTimestamp(monthStartMsAt(zoneId, st.minMonth))
+      }
+      Iterator.empty
+    }
   }
 }

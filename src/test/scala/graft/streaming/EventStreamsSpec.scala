@@ -694,6 +694,91 @@ class EventStreamsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("retention demote/rehydrate: sidecar-seeded restart equals the continuous run; unseeded diverges") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    def ev(id: Long, uid: Long, t: String) = EventStreams.Event(
+      id, java.sql.Timestamp.valueOf(t), uid, "view", 1.0)
+    // u1/u4 span both phases (the rehydration case), u2 is settled-idle,
+    // u3 is new in phase 2
+    val batch1 = Seq(
+      ev(1, 1, "2024-01-15 10:00:00"), ev(2, 1, "2024-02-20 09:00:00"),
+      ev(3, 2, "2024-03-05 12:00:00"),
+      ev(4, 4, "2024-01-03 08:00:00"), ev(5, 4, "2024-06-28 23:00:00"))
+    val batch2 = Seq(
+      ev(6, 1, "2024-09-10 11:00:00"),
+      ev(7, 3, "2024-09-01 07:00:00"), ev(8, 3, "2024-10-30 19:00:00"),
+      ev(9, 4, "2024-12-24 18:00:00"))
+    val flush1 = ev(-1, -998, "2024-07-15 00:00:00")
+    val flush2 = ev(-2, -999, "2025-06-01 00:00:00")
+    def rowsOf(table: String) = spark.table(table)
+      .filter(col("user_id") >= 0).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2))).toSet
+
+    // continuous reference: both batches through one query
+    val inC = MemoryStream[EventStreams.Event]
+    val qC = EventStreams.retentionStream(inC.toDS(), "1 day")
+      .writeStream.format("memory").queryName("ret_cont")
+      .outputMode("append").start()
+    val cont = try {
+      val rnd = new scala.util.Random(5L)
+      inC.addData(rnd.shuffle(batch1)); qC.processAllAvailable()
+      inC.addData(flush1); qC.processAllAvailable()
+      inC.addData(rnd.shuffle(batch2)); qC.processAllAvailable()
+      inC.addData(flush2); qC.processAllAvailable()
+      rowsOf("ret_cont")
+    } finally qC.stop()
+
+    // phase 1: run, settle, DEMOTE (query stops; state dies with it)
+    val in1 = MemoryStream[EventStreams.Event]
+    val q1 = EventStreams.retentionStream(in1.toDS(), "1 day")
+      .writeStream.format("memory").queryName("ret_p1")
+      .outputMode("append").start()
+    val r1 = try {
+      in1.addData(new scala.util.Random(6L).shuffle(batch1))
+      q1.processAllAvailable()
+      in1.addData(flush1); q1.processAllAvailable()
+      rowsOf("ret_p1")
+    } finally q1.stop()
+
+    // the warehouse sidecar is exactly the emitted rows; rehydrate
+    val sidecar = r1.toSeq
+      .map { case (u, c, o) => EventStreams.CohortActivity(u, c, o) }
+      .toDS()
+    val in2 = MemoryStream[EventStreams.Event]
+    val q2 = EventStreams.retentionStream(in2.toDS(), "1 day",
+        EventStreams.retentionStateFrom(sidecar))
+      .writeStream.format("memory").queryName("ret_p2")
+      .outputMode("append").start()
+    val r2 = try {
+      in2.addData(new scala.util.Random(7L).shuffle(batch2))
+      q2.processAllAvailable()
+      in2.addData(flush2); q2.processAllAvailable()
+      rowsOf("ret_p2")
+    } finally q2.stop()
+
+    assert(r1.intersect(r2).isEmpty, "rehydration must not re-emit settled months")
+    assert(r1.union(r2) === cont, "two-phase demote/rehydrate must equal the continuous run")
+    // the load-bearing row: u1's September offset counts from the
+    // JANUARY cohort only because the state was rehydrated
+    val jan = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    assert(r2.contains((1L, jan, 8L)))
+
+    // negative control: an UNSEEDED restart re-bases returning users
+    val in3 = MemoryStream[EventStreams.Event]
+    val q3 = EventStreams.retentionStream(in3.toDS(), "1 day")
+      .writeStream.format("memory").queryName("ret_p2_unseeded")
+      .outputMode("append").start()
+    val r3 = try {
+      in3.addData(batch2); q3.processAllAvailable()
+      in3.addData(flush2); q3.processAllAvailable()
+      rowsOf("ret_p2_unseeded")
+    } finally q3.stop()
+    val sep = java.sql.Timestamp.valueOf("2024-09-01 00:00:00")
+    assert(r3.contains((1L, sep, 0L)) && !(r1.union(r3) === cont),
+      "without rehydration the returning user's cohort re-bases — the divergence demote/rehydrate exists to prevent")
+  }
+
   test("retentionStream month boundaries follow the session timezone, not UTC") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
