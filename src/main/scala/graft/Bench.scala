@@ -47,10 +47,31 @@ object Bench {
     // the spread itself stays auditable (BASELINE.md methodology note).
     val repeats = sys.env.get("SPARK_GRAFT_BENCH_REPEATS")
       .map(_.toInt).getOrElse(2).max(1)
+    // Load adjudication (the r10 d21/d20/q31 incident: three 3-6x load
+    // artifacts shipped in the round artifact and read as regressions):
+    // a committed trailing-median file (tools/bench_trailing.json,
+    // regenerated per round by tools/make_trailing.py from the closing
+    // sweeps) gives each query a reference; a query whose best-of
+    // exceeds 2x its trailing median (with a 0.3 s absolute slack so
+    // sub-100 ms queries don't re-run over jitter) gets up to 2 EXTRA
+    // repeats before the JSON is written. Every adjudication is
+    // recorded in the `outliers` field — trailing, first best, final
+    // best, extra-run count — so a number that STAYS slow after the
+    // re-runs is an annotated genuine finding, never a silent artifact.
+    // Queries absent from the file (new this round) are not adjudicated.
+    val trailingFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_TRAILING",
+      "tools/bench_trailing.json")
+    val trailing: Map[String, Double] =
+      try {
+        val txt = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(trailingFile)))
+        "\"([^\"]+)\"\\s*:\\s*([0-9.]+)".r.findAllMatchIn(txt)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      } catch { case _: Throwable => Map.empty }
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
-        val runs = (1 to repeats).map { _ =>
+        def runOnce(): (Double, Boolean) = {
           val t0 = System.nanoTime()
           // noop write, not count(): count() lets Catalyst elide each query's
           // final global sort, under-measuring the output stage; the noop
@@ -101,16 +122,32 @@ object Bench {
             .foreach(_.unpersist(blocking = true))
           (sec, ok)
         }
-        // headline = best SUCCESSFUL run: a crashed repeat's (typically
-        // fast) duration must never become the per-query number — the
-        // query still lands in `errors` if ANY repeat failed. When EVERY
-        // repeat failed, record the MAX duration: a crash may read
-        // slower than it ran, never faster, so an all-failed query can
-        // never pull the summed total DOWN across rounds
-        val good = runs.filter(_._2)
-        val best =
-          if (good.nonEmpty) good.map(_._1).min else runs.map(_._1).max
-        (name, best, runs.forall(_._2), runs.map(_._1))
+        val baseRuns = (1 to repeats).map(_ => runOnce())
+        def bestOf(rs: Seq[(Double, Boolean)]): Double = {
+          // headline = best SUCCESSFUL run: a crashed repeat's (typically
+          // fast) duration must never become the per-query number — the
+          // query still lands in `errors` if ANY repeat failed. When EVERY
+          // repeat failed, record the MAX duration: a crash may read
+          // slower than it ran, never faster, so an all-failed query can
+          // never pull the summed total DOWN across rounds
+          val good = rs.filter(_._2)
+          if (good.nonEmpty) good.map(_._1).min else rs.map(_._1).max
+        }
+        // load adjudication: only successful-and-slow triggers re-runs
+        // (a crashed query is an `errors` finding, not a load artifact)
+        val firstBest = bestOf(baseRuns)
+        def slow(b: Double, t: Double): Boolean = b > 2 * t && b - t > 0.3
+        val adjudication = trailing.get(name)
+          .filter(t => baseRuns.forall(_._2) && slow(firstBest, t))
+        val extraRuns = adjudication.toSeq.flatMap { t =>
+          // up to 2 extra runs, stopping as soon as one lands in-range
+          val r1 = runOnce()
+          if (r1._2 && !slow(r1._1, t)) Seq(r1) else Seq(r1, runOnce())
+        }
+        val runs = baseRuns ++ extraRuns
+        val best = bestOf(runs)
+        val outlier = adjudication.map(t => (t, firstBest, best, extraRuns.size))
+        (name, best, runs.forall(_._2), runs.map(_._1), outlier)
       }
     val loadAfter =
       java.lang.management.ManagementFactory.getOperatingSystemMXBean
@@ -118,19 +155,27 @@ object Bench {
     // 3-decimal fixed-point formatting: 17-digit doubles once overflowed the
     // driver's single-line output capture and truncated the JSON.
     def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + f3(v) }
+    val qs = results.map { case (k, v, _, _, _) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
-    val reps = results.map { case (k, _, _, rs) =>
+    val reps = results.map { case (k, _, _, rs, _) =>
       "\"" + k + "\":" + rs.map(f3).mkString("[", ",", "]") }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val errs = results.collect { case (k, _, false, _) => "\"" + k + "\"" }
+    val errs = results.collect { case (k, _, false, _, _) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
+    // every load adjudication, annotated: trailing median, the best
+    // before re-runs, the final best, and how many extra runs it took.
+    // resolved = the re-runs brought the query back inside the 2x gate;
+    // an unresolved entry is a genuine finding, not an artifact.
+    val outliers = results.collect { case (k, _, _, _, Some((t, fb, b, n))) =>
+      val resolved = !(b > 2 * t && b - t > 0.3)
+      s"""\"$k\":{"trailing":${f3(t)},"first_best":${f3(fb)},"final_best":${f3(b)},"extra_runs":$n,"resolved":$resolved}"""
+    }.mkString("{", ",", "}")
     val subset = only.map(names =>
       s""","subset":true,"only":"${names.toSeq.sorted.mkString(",")}"""")
       .getOrElse("")
     val json =
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","best_of":$repeats,"queries":$qs,"repeats":$reps,"errors":$errs,"sf":"$sfDir","action":"noop_write","load_avg_before":${f3(loadBefore)},"load_avg_after":${f3(loadAfter)}$subset}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","best_of":$repeats,"queries":$qs,"repeats":$reps,"errors":$errs,"outliers":$outliers,"sf":"$sfDir","action":"noop_write","load_avg_before":${f3(loadBefore)},"load_avg_after":${f3(loadAfter)}$subset}"""
     // Belt and braces: stdout for the driver's capture AND a file, so a
     // truncated tail can never lose the round's perf signal again.
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_results.json")
@@ -149,13 +194,13 @@ object Bench {
     // would otherwise push even the queries:{} fallback past the window —
     // exactly the failure the compact line exists to report. Full list
     // stays in the JSON file and the full line above.
-    val errNames = results.collect { case (k, _, false, _) => k }
+    val errNames = results.collect { case (k, _, false, _, _) => k }
     val errsCompact =
       if (errNames.size <= 8) errs
       else errNames.take(8).map("\"" + _ + "\"")
         .mkString("[", ",", s""",\"...${errNames.size - 8} more\"]""")
     val compactBase =
-      s""""unit":"sec","best_of":$repeats,"n_queries":${results.size},"n_errors":${errNames.size},"queries_file":"$outFile","errors":$errsCompact,"sf":"$sfDir","action":"noop_write","load_avg_before":${f3(loadBefore)},"load_avg_after":${f3(loadAfter)}$subset}"""
+      s""""unit":"sec","best_of":$repeats,"n_queries":${results.size},"n_errors":${errNames.size},"n_outliers":${results.count(_._5.isDefined)},"queries_file":"$outFile","errors":$errsCompact,"sf":"$sfDir","action":"noop_write","load_avg_before":${f3(loadBefore)},"load_avg_after":${f3(loadAfter)}$subset}"""
     val withQs =
       s"""{"metric":"total","value":${f3(total)},"queries":$qs,$compactBase"""
     val compact =
