@@ -32,7 +32,8 @@ class RegistrySpec extends AnyFunSuite {
     // each is consciously listed here, so a future orderless oracle
     // still fails loudly unless it argues its way onto this list
     val singleRow = Set("c01_qc_decision", "c10_region_inference",
-      "d20_lsh_recall_audit", "q02_count_distinct")
+      "c11_region_inference_positive", "d20_lsh_recall_audit",
+      "q02_count_distinct")
     val bad = (SparkEntry.oracleSql -- singleRow).filterNot { case (_, sql) =>
       sql.toUpperCase.replaceAll("\\s+", " ").contains("ORDER BY")
     }.keys

@@ -1,0 +1,81 @@
+#!/usr/bin/env python3
+"""Build the registry-wide decade-scaling table from two bench sweeps.
+
+Usage:
+    python3 tools/make_scaling.py SF01.json SF1.json OUT.json [--factor 10]
+
+For every query present in both sweeps: t_small, t_big, ratio, and the
+scaling exponent log(ratio)/log(factor). exponent < 1.0 = sublinear per
+decade (the scale gate); >= 1.0 entries are listed first in the output
+and summarized on stdout so a caveat can be written per exception.
+
+Sub-second small-SF times are noise-dominated (JVM/startup constants
+swamp the data-dependent part), so the table also records
+`noise_floor`: true when t_small < 0.5 s — for those, ratio is mostly
+constant-cost amortization and the exponent is not a scaling signal
+unless t_big is ALSO large.
+"""
+import json
+import math
+import sys
+
+
+def load(path):
+    with open(path) as f:
+        d = json.load(f)
+    times = dict(d.get("queries", {}))
+    for q, rs in (d.get("repeats") or {}).items():
+        if rs:
+            times[q] = min(min(rs), times.get(q, float("inf")))
+    errored = {str(e).split(":")[0] for e in (d.get("errors") or [])}
+    return times, errored, d
+
+
+def main():
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    factor = 10.0
+    for a in sys.argv[1:]:
+        if a.startswith("--factor"):
+            factor = float(a.split("=", 1)[1])
+    small_p, big_p, out_p = args
+    small, err_s, meta_s = load(small_p)
+    big, err_b, meta_b = load(big_p)
+    rows = {}
+    for q in sorted(set(small) & set(big)):
+        if q in err_s or q in err_b:
+            rows[q] = {"error": True}
+            continue
+        ts, tb = small[q], big[q]
+        ratio = tb / ts if ts > 0 else float("inf")
+        exp = math.log(ratio) / math.log(factor) if ratio > 0 else None
+        rows[q] = {
+            "t_small": round(ts, 3), "t_big": round(tb, 3),
+            "ratio": round(ratio, 3), "exponent": round(exp, 3),
+            "noise_floor": ts < 0.5,
+        }
+    flagged = {q: r for q, r in rows.items()
+               if not r.get("error") and r["exponent"] >= 1.0
+               and not (r["noise_floor"] and r["t_big"] < 2.0)}
+    out = {
+        "factor": factor,
+        "small_sf": meta_s.get("sf"), "big_sf": meta_b.get("sf"),
+        "load_small": [meta_s.get("load_avg_before"), meta_s.get("load_avg_after")],
+        "load_big": [meta_b.get("load_avg_before"), meta_b.get("load_avg_after")],
+        "n_queries": len(rows),
+        "n_superlinear": len(flagged),
+        "superlinear": sorted(flagged),
+        "queries": rows,
+    }
+    with open(out_p, "w") as f:
+        json.dump(out, f, indent=1, sort_keys=False)
+        f.write("\n")
+    print(f"{out_p}: {len(rows)} queries, "
+          f"{len(flagged)} superlinear-and-material: {sorted(flagged)}")
+    for q in sorted(flagged):
+        r = rows[q]
+        print(f"  {q}: {r['t_small']}s -> {r['t_big']}s "
+              f"(x{r['ratio']}, exp {r['exponent']})")
+
+
+if __name__ == "__main__":
+    main()
