@@ -268,17 +268,23 @@ object RelationalQueries {
     // O1 (db.py:281-282): ORDER BY RANDOM() LIMIT n → portable deterministic
     // Knuth-hash sample (same pick in any engine; documented divergence).
     // At 100 TB this is a TakeOrdered (no full sort materialization).
+    // The key reduces mod 2^31 BEFORE the multiply (t27/q44's overflow
+    // rule: keep every product under 2^63 — the r11 registry-wide sf1
+    // sweep caught the unreduced form overflowing ANSI long multiply
+    // once keys pass 2^63/2654435761 ≈ 3.5e9, i.e. on any real key
+    // space; for keys below 2^31 the reduced hash is bit-identical).
     Q("q16_hash_sample",
       "deterministic pseudo-random work sample: hash-order LIMIT",
       (s, d) => {
         def t(n: String): DataFrame = Tables.load(s, d, n)
         t("orders")
-          .withColumn("h", expr("(o_orderkey * 2654435761) % 4294967296"))
+          .withColumn("h",
+            expr("((o_orderkey % 2147483648) * 2654435761) % 4294967296"))
           .orderBy("h", "o_orderkey")
           .limit(100)
           .select("o_orderkey", "h")
       },
-      Some("""SELECT o_orderkey, (o_orderkey * 2654435761) % 4294967296 AS h
+      Some("""SELECT o_orderkey, ((o_orderkey % 2147483648) * 2654435761) % 4294967296 AS h
              |FROM orders ORDER BY h, o_orderkey LIMIT 100""".stripMargin)),
 
     // O2/O3 (db.py:217; management.py:155): top-k — TakeOrderedAndProject.
