@@ -29,6 +29,21 @@ object Bench {
         .csv("fixtures/summary.tsv").limit(1).collect()
       spark.read.text("fixtures/sources.txt").limit(1).collect()
     } catch { case _: Throwable => () }
+    // Pre-build the once-per-JVM warehouse sidecars (StoreFixture) the
+    // incremental/consume-only gates read, so every repeat of a
+    // store-consuming query times the CONSUMER leg — the quantity the
+    // gates document ("the store build is the producer's amortized
+    // cost"). best_of >= 2 already hid the build in the discarded first
+    // run; this makes best-of-1 sweeps (the sf1 decade leg) measure the
+    // same thing: r11's best-of-1 sweep charged the full d09 CC build
+    // to d19's single run (12.8 s vs sub-second warm, a phantom 1.6
+    // scaling exponent). Each family is guarded separately — a failed
+    // warm just falls back to first-consumer-builds.
+    Seq[(SparkSession, String) => Unit](
+      graft.operators.Dedup.warmStores,
+      graft.operators.Similarity.warmStores,
+      graft.operators.TextAnalysis.warmStores
+    ).foreach { w => try w(spark, sfDir) catch { case _: Throwable => () } }
     // Machine-load provenance: bench numbers at local[32] swing ±30% under
     // background load, so record the 1-min load average before and after —
     // a regression on a loaded machine is classifiable without a re-run.

@@ -364,15 +364,24 @@ object Multimodal {
              |FROM cells ORDER BY doc_id, patch_row, patch_col""".stripMargin)),
 
     // The multimodal→ANN bridge m04's header promises: [[patchVectors]]
-    // searched with the s01 plan — broadcast query side (1/50 of docs),
-    // codegen'd dots, window top-k. The exactness baseline; m06 swaps
-    // the index.
+    // searched with the s01 plan — broadcast query side, codegen'd dots,
+    // window top-k. The exactness baseline; m06 swaps the index.
+    // Query workload is PINNED (doc_id % 50 = 0 AND doc_id < 5000): the
+    // id window covers every gate-SF doc (sf0.1 tops out at doc_id
+    // 4999 — results there are unchanged) and freezes the query count
+    // as the corpus scales past it. The r11 decade sweep measured the
+    // un-windowed form at sf0.1→sf1 exponents 1.44 (m05) / 1.54 (m06):
+    // a query set proportional to the corpus turns every retrieval leg
+    // O(n²/50), which is a statement about the benchmark's workload
+    // model, not the plan — retrieval query rate doesn't grow with
+    // corpus size. See the Similarity header for the same contract on
+    // the vec_id gates.
     Q("m05_patch_knn",
       "multimodal retrieval: m04 patch-sum vectors as embeddings, exact cosine top-3",
       (s, d) => {
         import graft.functions.Portable.dotFast
         val vec = patchVectors(s, d)
-        val q = vec.filter(col("doc_id") % 50 === 0)
+        val q = vec.filter(col("doc_id") % 50 === 0 && col("doc_id") < 5000)
           .select(col("doc_id").as("query_doc"), col("v").as("qv"),
             col("nrm").as("qn"))
         val w = org.apache.spark.sql.expressions.Window
@@ -390,7 +399,7 @@ object Multimodal {
       },
       Some(s"""$sqlPatchVectors,
              |q AS (SELECT doc_id AS query_doc, v AS qv, nrm AS qn FROM n
-             |  WHERE doc_id % 50 = 0),
+             |  WHERE doc_id % 50 = 0 AND doc_id < 5000),
              |scored AS (SELECT q.query_doc, n.doc_id AS neighbor_doc,
              |    list_reduce(list_transform(range(1, 17), i -> n.v[i] * q.qv[i]),
              |      (x, y) -> x + y) / (n.nrm * q.qn) AS cosine
@@ -423,7 +432,7 @@ object Multimodal {
             lit(1L << j)).otherwise(lit(0L))
         }.reduce(_ + _)
         val vec = patchVectors(s, d).withColumn("bucket", bucket)
-        val q = vec.filter(col("doc_id") % 50 === 0)
+        val q = vec.filter(col("doc_id") % 50 === 0 && col("doc_id") < 5000)
           .select(col("doc_id").as("query_doc"), col("v").as("qv"),
             col("nrm").as("qn"), col("bucket"))
         val w = org.apache.spark.sql.expressions.Window
@@ -448,7 +457,7 @@ object Multimodal {
              |      THEN CAST(power(2, j) AS BIGINT) ELSE 0 END), (x, y) -> x + y) AS bucket
              |FROM n),
              |q AS (SELECT doc_id AS query_doc, v AS qv, nrm AS qn, bucket FROM b
-             |  WHERE doc_id % 50 = 0),
+             |  WHERE doc_id % 50 = 0 AND doc_id < 5000),
              |scored AS (SELECT q.query_doc, b.doc_id AS neighbor_doc, b.bucket,
              |    list_reduce(list_transform(range(1, 17), i -> b.v[i] * q.qv[i]),
              |      (x, y) -> x + y) / (b.nrm * q.qn) AS cosine

@@ -34,6 +34,20 @@ import graft.functions.Portable._
   * broken by neighbor id, cosine computed in double with pinned
   * left-to-right accumulation so the DuckDB oracle reproduces the exact
   * ordering.
+  *
+  * Query workload is PINNED, not proportional: every retrieval gate's
+  * query set is `vec_id % 50 = 0 AND vec_id < 2000` — the id window
+  * covers the whole corpus at the gate SFs (sf0.1 tops out at vec_id
+  * 1999, so the window changes nothing there) and FREEZES the query
+  * count as the corpus scales past it. Without the window the query
+  * set grows with the corpus and every corpus×queries retrieval leg
+  * turns O(n²/50) — the r11 registry-wide decade sweep caught exactly
+  * that shape on the un-windowed m05/m06 twins (sf0.1→sf1 exponents
+  * 1.44/1.54). A retrieval system's query rate is workload-determined,
+  * independent of corpus size, so fixed-queries-vs-growing-corpus is
+  * the scaling question worth measuring — and the 100 TB story (s02:
+  * bucket = the vector store's partition key; per-query cost ∝ list
+  * size) only holds under it.
   */
 object Similarity {
 
@@ -272,7 +286,7 @@ object Similarity {
       vecD(col("embedding")).as("v"))
       .withColumn("nrm", sqrt(dotFast(col("v"), col("v"))))
     val cent = coarseCentroids(v, "label")
-    val q = v.filter(col("vec_id") % 50 === 0)
+    val q = v.filter(col("vec_id") % 50 === 0 && col("vec_id") < 2000)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("nrm").as("qn"))
     val wProbe = Window.partitionBy(col("query_id"))
@@ -315,7 +329,7 @@ object Similarity {
        |centn AS (SELECT label, cent,
        |    sqrt(list_reduce(list_transform(range(1, 65), i -> cent[i] * cent[i]),
        |      (x, y) -> x + y)) AS cnrm FROM cent),
-       |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM v WHERE vec_id % 50 = 0),
+       |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM v WHERE vec_id % 50 = 0 AND vec_id < 2000),
        |probe0 AS (SELECT q.query_id, q.qv, q.qn, c.label,
        |    list_reduce(list_transform(range(1, 65), i -> q.qv[i] * c.cent[i]), (x, y) -> x + y)
        |      / (q.qn * c.cnrm) AS ccos
@@ -353,7 +367,7 @@ object Similarity {
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), col("label"), vecD(col("embedding")).as("v"))
       .withColumn("nrm", sqrt(dotFast(col("v"), col("v"))))
-    val q = e.filter(col("vec_id") % 50 === 0)
+    val q = e.filter(col("vec_id") % 50 === 0 && col("vec_id") < 2000)
       .select(col("vec_id").as("query_id"), col("label").as("qlabel"),
         col("v").as("qv"), col("nrm").as("qn"))
     val wAll = Window.partitionBy(col("query_id"))
@@ -384,7 +398,7 @@ object Similarity {
        |      i -> v[i] * v[i]), (x, y) -> x + y)) AS nrm
        |  FROM e),
        |q AS (SELECT vec_id AS query_id, label AS qlabel, v AS qv, nrm AS qn
-       |  FROM n WHERE vec_id % 50 = 0),
+       |  FROM n WHERE vec_id % 50 = 0 AND vec_id < 2000),
        |sc AS (SELECT q.query_id, n.vec_id, n.label = q.qlabel AS lm,
        |    list_reduce(list_transform(range(1, ${Dim + 1}),
        |      i -> n.v[i] * q.qv[i]), (x, y) -> x + y) / (n.nrm * q.qn) AS cosine
@@ -401,10 +415,10 @@ object Similarity {
   val registry: Seq[Q] = Seq(
 
     Q("s01_knn_bruteforce",
-      "exact cosine top-5 neighbors for the query set (vec_id % 50 = 0)",
+      "exact cosine top-5 neighbors for the query set (vec_id % 50 = 0 AND vec_id < 2000)",
       (s, d) => {
         val e = vectors(s, d)
-        val q = e.filter(col("vec_id") % 50 === 0)
+        val q = e.filter(col("vec_id") % 50 === 0 && col("vec_id") < 2000)
           .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
         val w = Window.partitionBy(col("query_id"))
           .orderBy(col("cosine").desc, col("vec_id").asc)
@@ -418,7 +432,7 @@ object Similarity {
           .orderBy("query_id", "rank")
       },
       Some(s"""$sqlVectors,
-             |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n WHERE vec_id % 50 = 0),
+             |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n WHERE vec_id % 50 = 0 AND vec_id < 2000),
              |scored AS (
              |  SELECT q.query_id, n.vec_id AS neighbor_id,
              |    list_reduce(list_transform(range(1, 65), i -> n.v[i] * q.qv[i]), (x, y) -> x + y)
@@ -498,7 +512,7 @@ object Similarity {
       "LSH-bucketed ANN: top-3 within the query's sign bucket (8 hyperplanes)",
       (s, d) => {
         val e = vectors(s, d).withColumn("bucket", bucketCol(col("v")))
-        val q = e.filter(col("vec_id") % 50 === 0)
+        val q = e.filter(col("vec_id") % 50 === 0 && col("vec_id") < 2000)
           .select(col("vec_id").as("query_id"), col("v").as("qv"),
             col("nrm").as("qn"), col("bucket"))
         val w = Window.partitionBy(col("query_id"))
@@ -515,7 +529,7 @@ object Similarity {
       },
       Some(s"""$sqlVectors,
              |$sqlBucket,
-             |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn, bucket FROM b WHERE vec_id % 50 = 0),
+             |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn, bucket FROM b WHERE vec_id % 50 = 0 AND vec_id < 2000),
              |scored AS (
              |  SELECT q.query_id, b.vec_id AS neighbor_id, b.bucket,
              |    list_reduce(list_transform(range(1, 65), i -> b.v[i] * q.qv[i]), (x, y) -> x + y)
@@ -539,7 +553,7 @@ object Similarity {
       "multi-probe LSH ANN: top-3 across the query's bucket + 8 Hamming-1 probes",
       (s, d) => {
         val e = vectors(s, d).withColumn("bucket", bucketCol(col("v")))
-        val q = e.filter(col("vec_id") % 50 === 0)
+        val q = e.filter(col("vec_id") % 50 === 0 && col("vec_id") < 2000)
           .select(col("vec_id").as("query_id"), col("v").as("qv"),
             col("nrm").as("qn"), col("bucket"))
           .withColumn("probe", explode(array(
@@ -559,7 +573,7 @@ object Similarity {
       },
       Some(s"""$sqlVectors,
              |$sqlBucket,
-             |q0 AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn, bucket FROM b WHERE vec_id % 50 = 0),
+             |q0 AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn, bucket FROM b WHERE vec_id % 50 = 0 AND vec_id < 2000),
              |q AS (SELECT query_id, qv, qn, unnest(list_prepend(bucket,
              |    list_transform(range(0, 8), j -> xor(bucket, CAST(power(2, j) AS BIGINT))))) AS probe
              |  FROM q0),
@@ -602,7 +616,7 @@ object Similarity {
         val vn = e.select(col("vec_id"),
           transform(col("v"), x => x / col("nrm")).as("vn"))
         val rec = pqReconstruct(e)
-        val q = vn.filter(col("vec_id") % 50 === 0)
+        val q = vn.filter(col("vec_id") % 50 === 0 && col("vec_id") < 2000)
           .select(col("vec_id").as("query_id"), col("vn").as("qv"))
           .withColumn("dq", dotFast(col("qv"), col("qv")))
         val wAdc = Window.partitionBy(col("query_id"))
@@ -629,7 +643,7 @@ object Similarity {
              |$sqlPq,
              |q AS (SELECT vec_id AS query_id, vn AS qv,
              |    list_reduce(list_transform(range(1, 65), i -> vn[i] * vn[i]), (x, y) -> x + y) AS dq
-             |  FROM vn WHERE vec_id % 50 = 0),
+             |  FROM vn WHERE vec_id % 50 = 0 AND vec_id < 2000),
              |adc AS (SELECT query_id, qv, vec_id FROM (
              |    SELECT q.query_id, q.qv, cor.vec_id,
              |      row_number() OVER (PARTITION BY q.query_id ORDER BY
@@ -691,7 +705,7 @@ object Similarity {
              |centn AS (SELECT label, cent,
              |    sqrt(list_reduce(list_transform(range(1, 65), i -> cent[i] * cent[i]),
              |      (x, y) -> x + y)) AS cnrm FROM cent0),
-             |q0 AS (SELECT vec_id AS query_id, v AS qv0, nrm AS qn FROM n WHERE vec_id % 50 = 0),
+             |q0 AS (SELECT vec_id AS query_id, v AS qv0, nrm AS qn FROM n WHERE vec_id % 50 = 0 AND vec_id < 2000),
              |probe0 AS (SELECT q0.query_id, q0.qv0, q0.qn, c.label,
              |    list_reduce(list_transform(range(1, 65), i -> q0.qv0[i] * c.cent[i]), (x, y) -> x + y)
              |      / (q0.qn * c.cnrm) AS ccos
@@ -1041,7 +1055,7 @@ object Similarity {
         // filter applied first — the kernel pass stays corpus-side only
         // (plan-asserted: one MapPartitions in the whole plan)
         val q = Tables.embeddings(s, d)
-          .filter(col("embedding").isNotNull && col("vec_id") % 50 === 0)
+          .filter(col("embedding").isNotNull && col("vec_id") % 50 === 0 && col("vec_id") < 2000)
           .select(col("vec_id").as("query_id"),
             vecD(col("embedding")).as("qv"))
           .withColumn("qn", sqrt(dotFast(col("qv"), col("qv"))))
@@ -1080,7 +1094,7 @@ object Similarity {
              |      i -> rv[i] * rv[i]), (x, y) -> x + y)) AS rnrm
              |  FROM r),
              |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn
-             |  FROM n WHERE vec_id % 50 = 0),
+             |  FROM n WHERE vec_id % 50 = 0 AND vec_id < 2000),
              |sc AS (SELECT q.query_id, n.vec_id,
              |    list_reduce(list_transform(range(1, ${Dim + 1}),
              |      i -> n.v[i] * q.qv[i]), (x, y) -> x + y) / (n.nrm * q.qn) AS ce,
@@ -1199,7 +1213,7 @@ object Similarity {
           vecD(col("embedding")).as("v"))
           .withColumn("nrm", sqrt(dotFast(col("v"), col("v"))))
         val cent = coarseCentroids(v, "label")
-        val q = v.filter(col("vec_id") % 50 === 0)
+        val q = v.filter(col("vec_id") % 50 === 0 && col("vec_id") < 2000)
           .select(col("vec_id").as("query_id"), col("v").as("qv"),
             col("nrm").as("qn"))
         val wProbe = Window.partitionBy(col("query_id"))
@@ -1263,7 +1277,7 @@ object Similarity {
              |centn AS (SELECT label, cent,
              |    sqrt(list_reduce(list_transform(range(1, ${Dim + 1}), i -> cent[i] * cent[i]),
              |      (x, y) -> x + y)) AS cnrm FROM cent),
-             |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM v WHERE vec_id % 50 = 0),
+             |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM v WHERE vec_id % 50 = 0 AND vec_id < 2000),
              |probe AS (SELECT query_id, qv, qn, label AS probe_label, crank AS probe_rank FROM (
              |    SELECT q.query_id, q.qv, q.qn, c.label,
              |      row_number() OVER (PARTITION BY q.query_id ORDER BY
@@ -1356,7 +1370,7 @@ object Similarity {
         val e = vectors(s, d)
           .withColumn("pv", slice(col("v"), 1, pDim))
           .withColumn("pnrm", sqrt(dotFast(col("pv"), col("pv"))))
-        val q = e.filter(col("vec_id") % 50 === 0)
+        val q = e.filter(col("vec_id") % 50 === 0 && col("vec_id") < 2000)
           .select(col("vec_id").as("query_id"), col("v").as("qv"),
             col("nrm").as("qn"), col("pv").as("qpv"), col("pnrm").as("qpn"))
         val we = Window.partitionBy(col("query_id"))
@@ -1383,7 +1397,7 @@ object Similarity {
              |  FROM n),
              |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn,
              |    pv AS qpv, pnrm AS qpn
-             |  FROM p WHERE vec_id % 50 = 0),
+             |  FROM p WHERE vec_id % 50 = 0 AND vec_id < 2000),
              |sc AS (SELECT q.query_id, p.vec_id,
              |    list_reduce(list_transform(range(1, 65),
              |      i -> p.v[i] * q.qv[i]), (x, y) -> x + y) / (p.nrm * q.qn) AS ce,
@@ -1500,7 +1514,7 @@ object Similarity {
              |    SELECT src, dst,
              |      row_number() OVER (PARTITION BY src ORDER BY cosine DESC, dst) AS rk
              |    FROM u) WHERE rk <= 5),
-             |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n WHERE vec_id % 50 = 0),
+             |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n WHERE vec_id % 50 = 0 AND vec_id < 2000),
              |ex AS (SELECT query_id, vec_id AS tru FROM (
              |    SELECT q.query_id, n.vec_id,
              |      row_number() OVER (PARTITION BY q.query_id ORDER BY
@@ -1677,6 +1691,15 @@ object Similarity {
         .write.mode("overwrite").parquet(p)
     }
 
+  /** Force-build the Similarity sidecar (the s09/s10 centroid index)
+    * for input `d` — Bench warmup hook; see Dedup.warmStores for why a
+    * best-of-1 sweep must not charge the once-per-JVM store build to
+    * the first gated consumer.
+    */
+  private[graft] def warmStores(s: SparkSession, d: String): Unit = {
+    centroidStore(s, d); ()
+  }
+
   /** PQ-reconstructed corpus (vec_id, rv, drv): md5-derived seed codebook
     * → one distributed Lloyd step (per-cell exact decimal-sum mean —
     * bit-equal across engines and partitionings; empty cells fall back to
@@ -1726,7 +1749,7 @@ object Similarity {
       vecD(col("embedding")).as("v"))
       .withColumn("nrm", sqrt(dotFast(col("v"), col("v"))))
     val cent = coarseCentroids(v.select(col("label"), col("v")), "label")
-    val q0 = v.filter(col("vec_id") % 50 === 0)
+    val q0 = v.filter(col("vec_id") % 50 === 0 && col("vec_id") < 2000)
       .select(col("vec_id").as("query_id"), col("v").as("qv0"), col("nrm").as("qn"))
     val wProbe = Window.partitionBy(col("query_id"))
       .orderBy(col("ccos").desc, col("label").asc)
