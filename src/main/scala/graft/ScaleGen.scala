@@ -16,14 +16,21 @@ import org.apache.spark.sql.functions._
   *    are far below 10^12), consistently on both sides of each FK
   *    (orders.o_custkey and customer.c_custkey shift together, etc.), so
   *    join fan-outs per key are EXACTLY the originals.
-  *  - documents: replica 0 is verbatim; replica i suffixes every token
-  *    with `_ri`. Within a replica, pairwise similarity structure is
-  *    bit-identical to the original corpus (same shingle relationships
-  *    under a renamed alphabet); across replicas every trigram differs,
-  *    so Jaccard/containment are 0 and dedup pair counts scale by
-  *    `factor`, not `factor²` — the corpus behaves as `factor`
-  *    independent shards, which is what a 10× bigger real crawl looks
-  *    like to these operators (dup rate is scale-free, not quadratic).
+  *  - documents: replica 0 is verbatim; replica i rotates the lowercase
+  *    alphabet by i positions (`translate`) — a LENGTH-PRESERVING
+  *    renaming, so `factor`× the docs is exactly `factor`× the bytes
+  *    (the first cut of this generator suffixed `_ri` per token, which
+  *    inflated replica text ~1.5× and made every linear-in-chars text
+  *    plan read as exponent ~1.17 against the 10× doc-count decade).
+  *    Within a replica, pairwise similarity structure is bit-identical
+  *    to the original corpus (same shingle relationships under a renamed
+  *    alphabet); across replicas the rotations differ mod 26, every
+  *    token contains letters (driver corpus is lowercase word salad), so
+  *    all shingles differ, Jaccard/containment are 0, and dedup pair
+  *    counts scale by `factor`, not `factor²` — the corpus behaves as
+  *    `factor` independent shards, which is what a 10× bigger real crawl
+  *    looks like to these operators (dup rate is scale-free, not
+  *    quadratic).
   *  - embeddings: vectors copy with shifted ids — the vector
   *    distribution (hence k-means geometry, inverted-list occupancy
   *    ratios, ADC cost per probe) is unchanged while N grows 10×.
@@ -55,6 +62,8 @@ object ScaleGen {
 
   def generate(spark: SparkSession, src: String, dst: String,
       factor: Int): Unit = {
+    require(factor <= 26,
+      "documents replicas are distinguished by alphabet rotation (26 max)")
     def read(t: String): DataFrame = spark.read.parquet(s"$src/$t.parquet")
     def write(df: DataFrame, t: String): Unit =
       df.write.mode("overwrite").parquet(s"$dst/$t.parquet")
@@ -81,12 +90,12 @@ object ScaleGen {
     replicate("lineitem", Seq("l_orderkey", "l_partkey", "l_suppkey"))
     replicate("events", Seq("event_id", "user_id"))
     replicate("embeddings", Seq("vec_id"))
+    val alpha = "abcdefghijklmnopqrstuvwxyz"
     replicate("documents", Seq("doc_id"), (df, i) =>
       if (i == 0) df
-      else df
-        .withColumn("text",
-          array_join(transform(split(col("text"), " "),
-            t => concat(t, lit(s"_r$i"))), " "))
-        .withColumn("n_chars", length(col("text"))))
+      else {
+        val rot = alpha.drop(i % 26) + alpha.take(i % 26)
+        df.withColumn("text", translate(col("text"), alpha, rot))
+      })
   }
 }

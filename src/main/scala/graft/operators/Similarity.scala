@@ -191,19 +191,21 @@ object Similarity {
       |      THEN CAST(power(2, j) AS BIGINT) ELSE 0 END), (x, y) -> x + y) AS bucket
       |FROM n)""".stripMargin
 
-  /** 4-plane sign bucket in [0, 16) over planes [j0, j0+4) of the
-    * [[bucketCol]] hyperplane family — s18's graph-seed tables (two
-    * INDEPENDENT tables: planes 0–3 and 4–7). Fewer planes than s02's 8
-    * is the occupancy knob (buckets of ~tens of vectors, see s18 doc).
+  /** `p`-plane sign bucket over the md5 hyperplane family starting at
+    * plane `j0` — s18's graph-seed tables (two INDEPENDENT tables:
+    * planes [0,p) and [p,2p); the family is unbounded). s18 derives
+    * `p` from the corpus count so bucket occupancy stays ~8–12 as the
+    * corpus scales: p = 4 (planes 0–3 / 4–7, the oracle twin
+    * [[sqlBucket4]]) at the sf0.01 gate.
     */
-  private def bucket4Col(v: Column, j0: Int): Column =
-    (0 until 4).map { j =>
+  private def bucketPCol(v: Column, j0: Int, p: Int): Column =
+    (0 until p).map { j =>
       when(dotFast(v, typedlit(hyperplaneArray(j0 + j, Dim).toSeq)) >= 0.0,
         lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
 
   /** CTE `b4`: both 4-plane table buckets per vector (planes 0–3 → a,
-    * 4–7 → b), the oracle twin of two [[bucket4Col]] calls.
+    * 4–7 → b), the oracle twin of two [[bucketPCol]] calls at p = 4.
     */
   private val sqlBucket4 =
     """b4 AS (SELECT vec_id, v, nrm,
@@ -1473,11 +1475,10 @@ object Similarity {
     // before the fix: zero candidates outside g0's own bucket). With
     // two tables a 2-hop path composes table A then table B and
     // escapes both partitions — the same reason multi-table LSH works.
-    // 4 planes (not s02's 8) is the occupancy knob: buckets must hold
-    // ~tens of vectors to seed; at scale the plane count grows
-    // ~log2(n/c) to hold bucket size c constant, which also keeps the
-    // build's parallelism at n/c tasks. See [[knnDescentAudit]] for
-    // the round and the audit.
+    // Plane count is ADAPTIVE (knnDescentAudit): p = max(4,
+    // ceil(log2(n/32))) holds bucket occupancy ~16–32 so the seed
+    // self-join stays linear in the corpus; p = 4 exactly at the
+    // sf0.01 gate, where this oracle's fixed planes 0–3 / 4–7 apply.
     Q("s18_knn_descent",
       "one k-NN-descent round over a two-table LSH-seeded 5-NN graph: per-query recall@5 vs exact, seed and refined",
       (s, d) => knnDescentAudit(vectors(s, d)),
@@ -1556,11 +1557,25 @@ object Similarity {
     * drops below seed recall.
     */
   private[graft] def knnDescentAudit(vecs: DataFrame,
-      queryMod: Int = 50): DataFrame = {
+      queryMod: Int = 50, queryCap: Long = 2000L): DataFrame = {
     val K = 5
+    // Index-build-time occupancy knob: p planes per table holds bucket
+    // size n/2^p at ~16–32 vectors, so the seed self-join's Σ|b|² is
+    // n·occupancy — LINEAR in the corpus, not n²/2^p at fixed p (the
+    // r11 decade sweep measured the fixed-4-plane build at exponent
+    // 1.21/decade). p(n) = max(4, ceil(log2(n/32))), integer-exact
+    // (ln-ratio log2 is off by 1 ulp exactly at powers of two, which
+    // would bump the gate off its oracle): 4 at the sf0.01 oracle gate
+    // (n = 500, matching the SQL twin's planes 0–3 / 4–7), 6 at sf0.1,
+    // 10 at sf1. The count() is one metadata-cheap action — the
+    // production analogue is the index builder reading the vector
+    // store's row count before choosing its hash family.
+    val n = vecs.count()
+    var p = 4
+    while (n > (32L << p)) p += 1
     val e = vecs
-      .withColumn("bucket_a", bucket4Col(col("v"), 0))
-      .withColumn("bucket_b", bucket4Col(col("v"), 4))
+      .withColumn("bucket_a", bucketPCol(col("v"), 0, p))
+      .withColumn("bucket_b", bucketPCol(col("v"), p, p))
       .localCheckpoint(true)
     def side(role: String): DataFrame = e.select(
       col("vec_id").as(role),
@@ -1607,7 +1622,8 @@ object Similarity {
       .select("src", "dst", "cosine")
     val g1 = topK(g0.union(scored)
       .groupBy("src", "dst").agg(max(col("cosine")).as("cosine")))
-    val q = e.filter(col("vec_id") % queryMod === 0)
+    val q = e.filter(col("vec_id") % queryMod === 0 &&
+        col("vec_id") < queryCap)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("nrm").as("qn"))
     val wq = Window.partitionBy(col("query_id"))
