@@ -149,4 +149,13 @@ object Portable {
     */
   def dotFast(a: Column, b: Column): Column =
     call_function("graft_dot", a, b)
+
+  /** Bounded-state KMV bottom-k distinct sketch aggregate
+    * (graft.plans.KmvBottomK) — call after SketchAggregates.register.
+    * Emits the ascending sorted ≤ k smallest distinct values of an
+    * [[h60]] hash column; DuckDB twin:
+    * `list_sort(list(DISTINCT h))[1:k]`.
+    */
+  def kmvSketch(h: Column, k: Int): Column =
+    call_function("graft_kmv", h, lit(k))
 }

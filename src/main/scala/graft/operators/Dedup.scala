@@ -1087,6 +1087,53 @@ object Dedup {
              |        / (a.nrm * b.nrm) >= 0.4
              |ORDER BY vec_a, vec_b""".stripMargin)),
 
+    // d05's SCALE PATH made concrete (the r11 decade table's one
+    // annotated superlinear entry — tools/scaling_caveats.json): exact
+    // all-pairs is n²/2 by definition, so at corpus scale you audit a
+    // FIXED-SIZE anchor sample instead. Anchors are a deterministic
+    // hash gate WINDOWED like every retrieval query set (h60 % 20
+    // inside vec_id < 2000 — fixed count as the corpus scales past the
+    // window; an un-windowed fraction would still be n²/20). Each
+    // anchor is exact-scored against the FULL corpus, so per-anchor
+    // results are bit-identical to d05's rows and anchor-incident pair
+    // counts are an unbiased density estimate of d05's total (each
+    // unordered pair is sampled with the anchor-inclusion probability).
+    // Cost: corpus × |anchors| — s01's broadcast-query discipline,
+    // linear per decade where d05 is quadratic.
+    Q("d28_neardup_sample_audit",
+      "exact near-dup audit on a fixed hash-gated anchor sample: every anchor scored against the full corpus, cosine >= 0.4",
+      (s, d) => {
+        graft.plans.VectorExpressions.register(s)
+        val e = Tables.embeddings(s, d)
+          .select(col("vec_id"), vecD(col("embedding")).as("v"))
+          .withColumn("nrm", sqrt(dotFast(col("v"), col("v"))))
+        val anchors = e.filter(
+          h60(concat(lit("d28_"), col("vec_id").cast("string"))) % 20 === 0 &&
+            col("vec_id") < 2000)
+          .select(col("vec_id").as("anchor"), col("v").as("qv"),
+            col("nrm").as("qn"))
+        e.crossJoin(broadcast(anchors))
+          .filter(col("vec_id") =!= col("anchor"))
+          .withColumn("cosine",
+            dotFast(col("v"), col("qv")) / (col("nrm") * col("qn")))
+          .filter(col("cosine") >= 0.4)
+          .select(col("anchor"), col("vec_id").as("neighbor"))
+          .orderBy("anchor", "neighbor")
+      },
+      Some("""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+             |n AS (SELECT vec_id, v,
+             |  sqrt(list_reduce(list_transform(range(1, 65), i -> v[i] * v[i]), (x, y) -> x + y)) AS nrm
+             |FROM e),
+             |q AS (SELECT vec_id AS anchor, v AS qv, nrm AS qn FROM n
+             |  WHERE ('0x' || substr(md5('d28_' || vec_id), 1, 15))::BIGINT % 20 = 0
+             |    AND vec_id < 2000)
+             |SELECT q.anchor, n.vec_id AS neighbor
+             |FROM n CROSS JOIN q
+             |WHERE n.vec_id <> q.anchor
+             |  AND list_reduce(list_transform(range(1, 65), i -> n.v[i] * q.qv[i]), (x, y) -> x + y)
+             |        / (n.nrm * q.qn) >= 0.4
+             |ORDER BY anchor, neighbor""".stripMargin)),
+
     // Signature-only verification — Broder's resemblance estimator
     // (SEQUENCES'97): a candidate pair's Jaccard is ESTIMATED as the
     // fraction of agreeing MinHash components, never touching the shingle

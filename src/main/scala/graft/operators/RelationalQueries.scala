@@ -1290,6 +1290,80 @@ object RelationalQueries {
              |  (n_days::HUGEINT * n_events - s) * (n_days::HUGEINT * n_events - s)
              |    > 9 * (n_days::HUGEINT * ss - s::HUGEINT * s) AS is_anomaly
              |FROM daily JOIN m ON daily.event_type = m.event_type
-             |ORDER BY daily.event_type, day""".stripMargin))
+             |ORDER BY daily.event_type, day""".stripMargin)),
+
+    // KMV distinct-sketch SET ALGEBRA — the capability q31's HLL lacks.
+    // count(DISTINCT) across segment PAIRS at 100 TB means co-shuffling
+    // raw user ids per pair; a KMV (bottom-k) sketch is a bounded
+    // (≤ k longs), MERGEABLE per-group summary (graft_kmv, a
+    // TypedImperativeAggregate with map-side partial merge — the
+    // exchange carries O(groups·k) regardless of cardinality), and two
+    // groups' sketches combine into union / intersection / Jaccard
+    // estimates with pure array arithmetic on the sketch grain. Because
+    // the sketch keeps md5-derived h60 HASHES (not HLL registers), the
+    // DuckDB oracle rebuilds sketches and estimates BIT-EXACTLY — a
+    // hash-gated estimator, strictly stronger than q31's envelope
+    // check. Estimators (Beyer et al., SIGMOD'07): a sketch holding
+    // fewer than k hashes IS the exact distinct set (estimate = size);
+    // at k, n̂ = (k-1)·2^60/h_(k) (hashes uniform in [0, 2^60));
+    // intersection via the union sketch R = bottom-k(A ∪ B):
+    // n̂∩ = |R ∩ A ∩ B|/|R| · n̂∪. All-double arithmetic with pinned
+    // operand order, so both engines round identically.
+    Q("q45_kmv_distinct_algebra",
+      "KMV bottom-64 user sketches per event type; pairwise union/intersection/Jaccard estimates by sketch algebra",
+      (s, d) => {
+        graft.plans.SketchAggregates.register(s)
+        import graft.functions.Portable.{h60, kmvSketch}
+        val K = 64
+        val sk = Tables.events(s, d)
+          .select(col("event_type"),
+            h60(concat(lit("kmv_"), col("user_id").cast("string"))).as("h"))
+          .groupBy("event_type")
+          .agg(kmvSketch(col("h"), K).as("sk"))
+        def est(c: Column): Column =
+          when(size(c) < K, size(c).cast("double"))
+            .otherwise(lit(63.0) * lit(1152921504606846976.0) /
+              element_at(c, K).cast("double"))
+        val a = sk.select(col("event_type").as("type_a"), col("sk").as("ska"))
+        val b = sk.select(col("event_type").as("type_b"), col("sk").as("skb"))
+        a.join(broadcast(b), col("type_a") < col("type_b"))
+          .withColumn("r", slice(array_sort(array_union(col("ska"), col("skb"))), 1, K))
+          .withColumn("n_common",
+            size(array_intersect(array_intersect(col("r"), col("ska")), col("skb"))))
+          .withColumn("est_union", est(col("r")))
+          .select(col("type_a"), col("type_b"),
+            est(col("ska")).as("est_a"),
+            est(col("skb")).as("est_b"),
+            col("est_union"),
+            (col("n_common").cast("double") / size(col("r")).cast("double") *
+              col("est_union")).as("est_intersect"),
+            (col("n_common").cast("double") / size(col("r")).cast("double"))
+              .as("jaccard"))
+          .orderBy("type_a", "type_b")
+      },
+      Some("""WITH h AS (SELECT event_type,
+             |    ('0x' || substr(md5('kmv_' || user_id), 1, 15))::BIGINT AS h
+             |  FROM events),
+             |sk AS (SELECT event_type, list_sort(list(DISTINCT h))[1:64] AS sk
+             |  FROM h GROUP BY 1),
+             |p AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+             |    a.sk AS ska, b.sk AS skb,
+             |    list_sort(list_distinct(a.sk || b.sk))[1:64] AS r
+             |  FROM sk a JOIN sk b ON a.event_type < b.event_type),
+             |c AS (SELECT type_a, type_b, ska, skb, r,
+             |    len(list_filter(r, x -> list_contains(ska, x)
+             |      AND list_contains(skb, x))) AS n_common,
+             |    CASE WHEN len(r) < 64 THEN len(r)::DOUBLE
+             |         ELSE 63.0 * 1152921504606846976.0 / r[64] END AS est_union
+             |  FROM p)
+             |SELECT type_a, type_b,
+             |  CASE WHEN len(ska) < 64 THEN len(ska)::DOUBLE
+             |       ELSE 63.0 * 1152921504606846976.0 / ska[64] END AS est_a,
+             |  CASE WHEN len(skb) < 64 THEN len(skb)::DOUBLE
+             |       ELSE 63.0 * 1152921504606846976.0 / skb[64] END AS est_b,
+             |  est_union,
+             |  n_common::DOUBLE / len(r)::DOUBLE * est_union AS est_intersect,
+             |  n_common::DOUBLE / len(r)::DOUBLE AS jaccard
+             |FROM c ORDER BY type_a, type_b""".stripMargin))
   )
 }

@@ -179,5 +179,10 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
         require(exprs.length == 1, "graft_rolling_hash takes exactly 1 argument")
         RollingHash60(exprs.head)
       }))
+    ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_kmv"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[KmvBottomK].getName, "graft_kmv"),
+      (exprs: Seq[Expression]) => SketchAggregates.buildKmv(exprs)))
   }
 }

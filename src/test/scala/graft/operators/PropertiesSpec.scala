@@ -46,6 +46,36 @@ class PropertiesSpec extends SparkTestBase {
     }
   }
 
+  test("graft_kmv equals brute-force bottom-k of distinct across shuffled partitions") {
+    graft.plans.SketchAggregates.register(spark)
+    // heavy duplication + several groups; repartition(7) forces partial
+    // buffers through serialize/merge before the final eval
+    val rows = sample(Gen.zip(Gen.chooseNum(0, 3), Gen.chooseNum(0L, 500L)),
+      2000, 11L)
+    val df = rows.toDF("g", "h").repartition(7)
+    val got = df.groupBy("g")
+      .agg(Portable.kmvSketch(col("h"), 16).as("sk"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Long](1)).toMap
+    val expect = rows.groupBy(_._1).map { case (g, rs) =>
+      g -> rs.map(_._2).distinct.sorted.take(16)
+    }
+    expect.foreach { case (g, want) =>
+      assert(got(g) === want, s"group $g sketch mismatch")
+    }
+  }
+
+  test("graft_kmv with k above the distinct count is the exact sorted set; nulls ignored") {
+    graft.plans.SketchAggregates.register(spark)
+    val df = Seq[(Int, java.lang.Long)](
+      (1, 5L), (1, 3L), (1, 5L), (1, null), (1, 9L), (2, null))
+      .toDF("g", "h").repartition(3)
+    val got = df.groupBy("g")
+      .agg(Portable.kmvSketch(col("h"), 64).as("sk"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Long](1)).toMap
+    assert(got(1) === Seq(3L, 5L, 9L))
+    assert(got(2) === Seq.empty)
+  }
+
   test("unpivot drops zeros and pivot(sum)+zero-fill round-trips the matrix") {
     val cellGen = Gen.frequency(3 -> Gen.const(0L), 2 -> Gen.chooseNum(1L, 99L))
     val rows = sample(Gen.listOfN(4, cellGen), 30, 3L).zipWithIndex
