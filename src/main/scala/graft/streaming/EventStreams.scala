@@ -26,6 +26,29 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 // constant Maps, so shipping it is free.
 object EventStreams extends Serializable {
 
+  /** Streaming KMV distinct-user sketch per event type — q45's sketch
+    * maintained continuously. KMV is ORDER-INDEPENDENT and mergeable
+    * (bottom-k of distinct is a set function), so the streamed sketch
+    * is BIT-IDENTICAL to the batch sketch under any micro-batching or
+    * replay order — the strongest stream≡batch contract available, and
+    * the reason sketches (not counters) are what production pipelines
+    * keep in streaming state. State per group = the serialized ≤ k-long
+    * KmvBottomK buffer in the state store (O(groups·k) total,
+    * independent of user cardinality); q45's pairwise set-algebra
+    * estimators read the emitted sketch frame unchanged. Complete/update
+    * output mode (global aggregate, no watermark — the sketch never
+    * needs eviction because its state is bounded by construction).
+    */
+  def kmvDistinctStream(events: DataFrame, k: Int = 64): DataFrame = {
+    graft.plans.SketchAggregates.register(events.sparkSession)
+    import graft.functions.Portable.{h60, kmvSketch}
+    events
+      .select(col("event_type"),
+        h60(concat(lit("kmv_"), col("user_id").cast("string"))).as("h"))
+      .groupBy("event_type")
+      .agg(kmvSketch(col("h"), k).as("sk"))
+  }
+
   /** Tumbling-hour rollup with a 2-hour watermark — the streaming twin of
     * q21_events_hourly. Late events beyond the watermark are dropped;
     * everything else lands in its event-time hour.

@@ -36,6 +36,38 @@ class EventStreamsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("kmvDistinctStream: shuffled micro-batched sketch equals the batch sketch bit-exactly") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    // real sf0.001 events, shuffled deterministically and split into 4
+    // micro-batches: order-independence means the streamed bottom-k per
+    // type must equal the one-shot batch aggregate exactly
+    val batch = graft.core.Tables.events(spark, "/root/testdata/sf0.001")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    val rows = batch.collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2),
+        r.getString(3), r.getDouble(4)))
+      .sortBy(t => graft.functions.Portable.h60Scala(s"shuf_${t._1}"))
+    val in = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val df = in.toDF().toDF("event_id", "ts", "user_id", "event_type", "value")
+    val q = EventStreams.kmvDistinctStream(df, k = 8)
+      .writeStream.format("memory").queryName("kmv_stream")
+      .outputMode("complete").start()
+    try {
+      rows.grouped(math.max(1, rows.length / 4 + 1)).foreach { chunk =>
+        in.addData(chunk.toIndexedSeq)
+        q.processAllAvailable()
+      }
+      val streamed = spark.table("kmv_stream").collect()
+        .map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+      val expect = EventStreams.kmvDistinctStream(batch, k = 8).collect()
+        .map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+      assert(streamed === expect)
+      // the sketch is genuinely bounded (k), and bounded below by data
+      assert(streamed.values.forall(_.length == 8)) // 15 distinct users/type > k
+    } finally q.stop()
+  }
+
   test("sessionize closes a session after the inactivity gap (event time)") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
