@@ -1423,4 +1423,47 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(tr === run("s15_filtered_knn").count(),
       "truth_rows must equal s15's output rows")
   }
+
+  test("q45 estimators: exact below k (sf0.001), within KMV error above k (sf0.01)") {
+    import org.apache.spark.sql.functions._
+    def truth(d: String): Map[(String, String), (Long, Long, Long, Long)] = {
+      val ev = graft.core.Tables.events(spark, d)
+        .select(col("event_type"), col("user_id")).distinct()
+      val types = ev.select("event_type").distinct()
+        .collect().map(_.getString(0)).sorted
+      val byType = types.map(t => t -> ev.filter(col("event_type") === t)
+        .select("user_id").collect().map(_.getLong(0)).toSet).toMap
+      (for { a <- types; b <- types if a < b } yield {
+        val (sa, sb) = (byType(a), byType(b))
+        (a, b) -> (sa.size.toLong, sb.size.toLong,
+          (sa | sb).size.toLong, (sa & sb).size.toLong)
+      }).toMap
+    }
+    // sub-k regime: 15 distinct users/type < 64 — every sketch IS the
+    // exact distinct set and all four estimators must be integer-exact
+    run("q45_kmv_distinct_algebra").collect().foreach { r =>
+      val (na, nb, nu, ni) = truth(sf)((r.getString(0), r.getString(1)))
+      assert(r.getDouble(2) === na.toDouble && r.getDouble(3) === nb.toDouble)
+      assert(r.getDouble(4) === nu.toDouble)
+      assert(r.getDouble(5) === ni.toDouble,
+        s"sub-k intersection must be exact: ${r.getDouble(5)} vs $ni")
+    }
+    // sketch regime: 150 distinct/type > 64 — KMV standard error is
+    // ~1/sqrt(k-1) ≈ 12.6%; accept 3 sigma. Intersection inherits the
+    // union estimate's error times the ratio-estimator noise, so give
+    // it the same relative band around the true value plus a small
+    // absolute floor for near-empty intersections.
+    val big = truth("/root/testdata/sf0.01")
+    graft.SparkEntry.queries("q45_kmv_distinct_algebra")(
+        spark, "/root/testdata/sf0.01").collect().foreach { r =>
+      val (na, nb, nu, ni) = big((r.getString(0), r.getString(1)))
+      def within(est: Double, exact: Long, tol: Double, floor: Double = 0.0): Unit =
+        assert(math.abs(est - exact) <= math.max(tol * exact, floor),
+          s"${r.getString(0)}x${r.getString(1)}: est $est vs exact $exact")
+      within(r.getDouble(2), na, 0.38)
+      within(r.getDouble(3), nb, 0.38)
+      within(r.getDouble(4), nu, 0.38)
+      within(r.getDouble(5), ni, 0.45, floor = 15.0)
+    }
+  }
 }

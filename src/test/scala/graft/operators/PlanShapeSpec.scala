@@ -1139,4 +1139,57 @@ class PlanShapeSpec extends SparkTestBase {
     assert(below.exists(_.contains("Project [doc_id")),
       "the thin projection must precede the doc-keyed shuffle")
   }
+
+  test("q45: one corpus exchange of partial KMV buffers, reused for both pair sides; sketch-grain pair join") {
+    val plan = executedPlan("q45_kmv_distinct_algebra")
+    // map-side combine: the partial graft_kmv aggregate sits BELOW the
+    // one hash exchange, so the shuffle carries <= k-long buffers per
+    // (partition, group) — never raw user ids
+    assert(plan.contains("partial_graft_kmv"),
+      "KMV must partial-aggregate map-side")
+    val exchanges = plan.linesIterator.filter(_.contains("Exchange")).toVector
+    // a ReusedExchange line echoes the referenced exchange's text —
+    // count only real Exchange operators
+    assert(exchanges.count(l => l.contains("hashpartitioning(event_type") &&
+      !l.contains("ReusedExchange")) == 1,
+      s"exactly one sketch-build exchange:\n$exchanges")
+    // the second pair side REUSES that exchange (one corpus pass total)
+    assert(plan.contains("ReusedExchange"),
+      "pair sides must share the single sketch-build exchange")
+    // the pair grid joins aggregated sketch frames only — one broadcast,
+    // built on the ObjectHashAggregate output, never a corpus frame
+    assert(exchanges.count(_.contains("BroadcastExchange")) == 1 &&
+      !plan.contains("SortMergeJoin"),
+      "pair join = broadcast over the groups-row sketch frame")
+  }
+
+  test("d28: the anchor window pushes to the scan; only the fixed anchor set broadcasts") {
+    val plan = executedPlan("d28_neardup_sample_audit")
+    // the id window that freezes the anchor count reaches the parquet
+    // scan — at scale the anchor side reads a vanishing file subset
+    assert(plan.contains("LessThan(vec_id,2000)"),
+      "anchor window must be a pushed filter")
+    val exchanges = plan.linesIterator.filter(_.contains("Exchange")).toVector
+    assert(exchanges.count(_.contains("BroadcastExchange")) == 1,
+      s"exactly the anchor set broadcasts:\n$exchanges")
+    // corpus side: one scan, no shuffle anywhere before the output sort
+    assert(exchanges.count(_.contains("hashpartitioning")) == 0,
+      "the audit is shuffle-free except the output sort")
+  }
+
+  test("t30: probe selection is TakeOrderedAndProject; cells broadcast; both rollups partial-aggregate") {
+    val plan = executedPlan("t30_cms_ngram_freq")
+    assert(plan.contains("TakeOrderedAndProject(limit=100"),
+      "probe selection must not materialize a full-vocab sort")
+    val exchanges = plan.linesIterator.filter(_.contains("Exchange")).toVector
+    // gram-frequency exchange + (j, bucket) cell exchange — both fed by
+    // partial_count (map-side combine), the cell frame then broadcasts
+    assert(exchanges.count(_.contains("hashpartitioning(gram")) == 1 &&
+      exchanges.count(_.contains("hashpartitioning(j")) == 1 &&
+      exchanges.count(_.contains("BroadcastExchange")) == 1,
+      s"one vocab exchange, one d*W cell exchange, cells broadcast:\n$exchanges")
+    assert(plan.contains("partial_count"), "CMS cells merge map-side")
+    assert(!plan.contains("SortMergeJoin"),
+      "probe lookup joins the broadcast cells")
+  }
 }
