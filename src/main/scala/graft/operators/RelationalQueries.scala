@@ -1364,6 +1364,136 @@ object RelationalQueries {
              |  est_union,
              |  n_common::DOUBLE / len(r)::DOUBLE * est_union AS est_intersect,
              |  n_common::DOUBLE / len(r)::DOUBLE AS jaccard
-             |FROM c ORDER BY type_a, type_b""".stripMargin))
+             |FROM c ORDER BY type_a, type_b""".stripMargin)),
+
+    // Z-order data layout + min/max data-skipping audit — the LAKEHOUSE
+    // layout decision (Delta OPTIMIZE ZORDER / Iceberg sort orders /
+    // Hudi clustering): at 100 TB the scan cost of every box-predicate
+    // query is set by how many files the engine can PRUNE from footer
+    // min/max stats, which is a property of the write-time row→file
+    // layout. Three layouts over orders, same 32-file budget, all by
+    // FIXED-GRID assignment (pure projections — a real OPTIMIZE uses a
+    // sampled range partition for equal file sizes; fixed z-width cells
+    // keep the assignment deterministic for the oracle AND make the
+    // resulting file-size skew visible in n_rows, which is itself part
+    // of the audit): 'linear' files by insertion-order key (o_orderkey
+    // ranges — what you get WITHOUT clustering), 'bykey' by single-dim
+    // custkey sort (perfect pruning on custkey, none on date), 'zorder'
+    // by 8+8-bit Morton interleave of (custkey, orderdate) rank-buckets
+    // — bounded pruning on BOTH dims. Each file carries the stats a
+    // parquet footer would (min/max per dim, row count); a planted
+    // middle-decile box query (custkey ∈ P45–P55 × orderdate ∈ P45–P55
+    // of the value ranges, integer-derived) is then priced per layout:
+    // `scanned` = the footer-overlap test, `layout_files_read` = the
+    // audit headline. Everything is 64-bit integer arithmetic (bucket
+    // quantization, bit interleave, percentile bounds) — bit-exact in
+    // both engines. Scale shape: one stats rollup (1 row, broadcast
+    // back), one narrow projection computing buckets/z/file ids riding
+    // the scan, one groupBy on (layout, file_id) — 96 groups, map-side
+    // partial; the window runs on 96 rows. The corpus is never sorted
+    // and never reshuffled beyond the 96-group rollup.
+    Q("q46_zorder_skipping",
+      "z-order vs single-key vs linear layout: per-file min/max stats and data-skipping audit for a planted box query",
+      (s, d) => {
+        val zExpr = (0 until 8).map(i =>
+          s"(shiftleft(shiftright(bck, $i) & 1, ${2 * i + 1}) + " +
+            s"shiftleft(shiftright(bdy, $i) & 1, ${2 * i}))").mkString(" + ")
+        val o = Tables.load(s, d, "orders")
+          .select(col("o_orderkey").as("ok"), col("o_custkey").as("ck"),
+            datediff(to_date(col("o_orderdate")),
+              to_date(lit("1970-01-01"))).cast("long").as("dy"))
+        val st = o.agg(
+          min("ck").as("lo_ck"), max("ck").as("hi_ck"),
+          min("dy").as("lo_dy"), max("dy").as("hi_dy"),
+          min("ok").as("lo_ok"), max("ok").as("hi_ok"))
+        val b = o.crossJoin(broadcast(st))
+          .withColumn("bck", expr("((ck - lo_ck) * 256) div (hi_ck - lo_ck + 1)"))
+          .withColumn("bdy", expr("((dy - lo_dy) * 256) div (hi_dy - lo_dy + 1)"))
+          .withColumn("bok", expr("((ok - lo_ok) * 32) div (hi_ok - lo_ok + 1)"))
+          .withColumn("z", expr(zExpr))
+          .withColumn("q_lo_ck", expr("lo_ck + ((hi_ck - lo_ck + 1) * 45) div 100"))
+          .withColumn("q_hi_ck", expr("lo_ck + ((hi_ck - lo_ck + 1) * 55) div 100"))
+          .withColumn("q_lo_dy", expr("lo_dy + ((hi_dy - lo_dy + 1) * 45) div 100"))
+          .withColumn("q_hi_dy", expr("lo_dy + ((hi_dy - lo_dy + 1) * 55) div 100"))
+          .withColumn("matched",
+            col("ck").between(col("q_lo_ck"), col("q_hi_ck")) &&
+              col("dy").between(col("q_lo_dy"), col("q_hi_dy")))
+        val files = b
+          .select(col("ck"), col("dy"), col("matched"),
+            col("q_lo_ck"), col("q_hi_ck"), col("q_lo_dy"), col("q_hi_dy"),
+            expr("stack(3, 'zorder', z div 2048, 'bykey', bck div 8, " +
+              "'linear', bok) AS (layout, file_id)"))
+          .groupBy("layout", "file_id")
+          .agg(count(lit(1)).as("n_rows"),
+            sum(when(col("matched"), 1L).otherwise(0L)).as("n_match"),
+            min("ck").as("min_ck"), max("ck").as("max_ck"),
+            min("dy").as("min_day"), max("dy").as("max_day"),
+            max("q_lo_ck").as("q_lo_ck"), max("q_hi_ck").as("q_hi_ck"),
+            max("q_lo_dy").as("q_lo_dy"), max("q_hi_dy").as("q_hi_dy"))
+          .withColumn("scanned",
+            !(col("max_ck") < col("q_lo_ck") || col("min_ck") > col("q_hi_ck") ||
+              col("max_day") < col("q_lo_dy") || col("min_day") > col("q_hi_dy")))
+          // second planted query: date-range ONLY — the predicate class a
+          // single-key custkey sort cannot prune at all, where the
+          // interleave earns its keep (z-order's defining trade: bounded
+          // pruning on EVERY indexed dim vs perfect on one)
+          .withColumn("scanned_day",
+            !(col("max_day") < col("q_lo_dy") || col("min_day") > col("q_hi_dy")))
+        val wlay = Window.partitionBy(col("layout"))
+        files
+          .withColumn("layout_files_read",
+            sum(when(col("scanned"), 1L).otherwise(0L)).over(wlay))
+          .withColumn("layout_files_read_day",
+            sum(when(col("scanned_day"), 1L).otherwise(0L)).over(wlay))
+          .select(col("layout"), col("file_id"), col("n_rows"), col("n_match"),
+            col("min_ck"), col("max_ck"), col("min_day"), col("max_day"),
+            col("scanned"), col("scanned_day"),
+            col("layout_files_read"), col("layout_files_read_day"))
+          .orderBy("layout", "file_id")
+      },
+      Some {
+        val zSql = (0 until 8).map(i =>
+          s"((((bck >> $i) & 1) << ${2 * i + 1}) + (((bdy >> $i) & 1) << ${2 * i}))")
+          .mkString(" + ")
+        s"""WITH o AS (SELECT o_orderkey AS ok, o_custkey AS ck,
+           |    (o_orderdate::DATE - DATE '1970-01-01')::BIGINT AS dy FROM orders),
+           |st AS (SELECT min(ck) AS lo_ck, max(ck) AS hi_ck, min(dy) AS lo_dy,
+           |    max(dy) AS hi_dy, min(ok) AS lo_ok, max(ok) AS hi_ok FROM o),
+           |b AS (SELECT ok, ck, dy,
+           |    ((ck - lo_ck) * 256) // (hi_ck - lo_ck + 1) AS bck,
+           |    ((dy - lo_dy) * 256) // (hi_dy - lo_dy + 1) AS bdy,
+           |    ((ok - lo_ok) * 32) // (hi_ok - lo_ok + 1) AS bok,
+           |    lo_ck + ((hi_ck - lo_ck + 1) * 45) // 100 AS q_lo_ck,
+           |    lo_ck + ((hi_ck - lo_ck + 1) * 55) // 100 AS q_hi_ck,
+           |    lo_dy + ((hi_dy - lo_dy + 1) * 45) // 100 AS q_lo_dy,
+           |    lo_dy + ((hi_dy - lo_dy + 1) * 55) // 100 AS q_hi_dy
+           |  FROM o CROSS JOIN st),
+           |zz AS (SELECT *, ck BETWEEN q_lo_ck AND q_hi_ck
+           |      AND dy BETWEEN q_lo_dy AND q_hi_dy AS matched,
+           |    $zSql AS z FROM b),
+           |f AS (SELECT 'zorder' AS layout, z // 2048 AS file_id, ck, dy, matched,
+           |    q_lo_ck, q_hi_ck, q_lo_dy, q_hi_dy FROM zz
+           |  UNION ALL SELECT 'bykey', bck // 8, ck, dy, matched,
+           |    q_lo_ck, q_hi_ck, q_lo_dy, q_hi_dy FROM zz
+           |  UNION ALL SELECT 'linear', bok, ck, dy, matched,
+           |    q_lo_ck, q_hi_ck, q_lo_dy, q_hi_dy FROM zz),
+           |g AS (SELECT layout, file_id, count(*)::BIGINT AS n_rows,
+           |    sum(CASE WHEN matched THEN 1 ELSE 0 END)::BIGINT AS n_match,
+           |    min(ck) AS min_ck, max(ck) AS max_ck,
+           |    min(dy) AS min_day, max(dy) AS max_day,
+           |    max(q_lo_ck) AS q_lo_ck, max(q_hi_ck) AS q_hi_ck,
+           |    max(q_lo_dy) AS q_lo_dy, max(q_hi_dy) AS q_hi_dy
+           |  FROM f GROUP BY 1, 2),
+           |sc AS (SELECT *, NOT (max_ck < q_lo_ck OR min_ck > q_hi_ck
+           |    OR max_day < q_lo_dy OR min_day > q_hi_dy) AS scanned,
+           |  NOT (max_day < q_lo_dy OR min_day > q_hi_dy) AS scanned_day FROM g)
+           |SELECT layout, file_id, n_rows, n_match, min_ck, max_ck,
+           |  min_day, max_day, scanned, scanned_day,
+           |  sum(CASE WHEN scanned THEN 1 ELSE 0 END)
+           |    OVER (PARTITION BY layout)::BIGINT AS layout_files_read,
+           |  sum(CASE WHEN scanned_day THEN 1 ELSE 0 END)
+           |    OVER (PARTITION BY layout)::BIGINT AS layout_files_read_day
+           |FROM sc ORDER BY layout, file_id""".stripMargin
+      })
   )
 }

@@ -1533,7 +1533,85 @@ object Similarity {
              |  coalesce(h1.n, 0) * 1.0 / 5 AS recall_desc
              |FROM q LEFT JOIN h0 ON q.query_id = h0.query_id
              |LEFT JOIN h1 ON q.query_id = h1.query_id
-             |ORDER BY q.query_id""".stripMargin))
+             |ORDER BY q.query_id""".stripMargin)),
+
+    // Hybrid retrieval — reciprocal rank fusion (Cormack, Clarke &
+    // Buettcher SIGIR'09) of the DENSE leg (s01's cosine top-20 over
+    // `embeddings`) and the LEXICAL leg (t31's integer BM25 top-20 over
+    // `documents`; vec_id and doc_id share a key space, TESTDATA.md).
+    // RRF is THE production hybrid-search combiner (Elastic/OpenSearch/
+    // Vespa all ship it) precisely because it fuses incomparable score
+    // scales using only ranks: contribution 1/(60+rank) per leg, here
+    // ×1e9 with floor division so the fused score is an integer sum —
+    // bit-exact in both engines, no float fusion arithmetic at all.
+    // Shape: each leg is output-bound (top-20 per query) BEFORE the
+    // fusion join, so the full-outer join runs on ≤ 40·|queries| rows —
+    // fusion cost is workload-sized, never corpus-sized; the legs
+    // themselves carry s01's broadcast-queries and t31's inverted-index
+    // probe. A doc found by only one leg keeps the other leg's rank
+    // NULL (contribution 0) — the asymmetry the gate pins: rrf of a
+    // both-legs doc strictly dominates a same-rank single-leg doc.
+    Q("s19_hybrid_rrf",
+      "hybrid search: integer reciprocal-rank fusion of cosine top-20 and BM25 top-20, fused top-10 per query",
+      (s, d) => {
+        val e = vectors(s, d)
+        val q = e.filter(col("vec_id") % 50 === 0 && col("vec_id") < 2000)
+          .select(col("vec_id").as("query_id"),
+            col("v").as("qv"), col("nrm").as("qn"))
+        val wv = Window.partitionBy(col("query_id"))
+          .orderBy(col("cosine").desc, col("vec_id").asc)
+        val vleg = e.crossJoin(broadcast(q))
+          .filter(col("vec_id") =!= col("query_id"))
+          .withColumn("cosine",
+            dotFast(col("v"), col("qv")) / (col("nrm") * col("qn")))
+          .withColumn("vec_rank", row_number().over(wv))
+          .filter(col("vec_rank") <= 20)
+          .select(col("query_id"), col("vec_id").as("doc_id"),
+            col("vec_rank").cast("long").as("vec_rank"))
+        val wl = Window.partitionBy(col("query_id"))
+          .orderBy(col("score").desc, col("doc_id").asc)
+        val lleg = TextAnalysis.bm25Scored(s, d)
+          .withColumn("lex_rank", row_number().over(wl))
+          .filter(col("lex_rank") <= 20)
+          .select(col("query_id"), col("doc_id"),
+            col("lex_rank").cast("long").as("lex_rank"))
+        val wf = Window.partitionBy(col("query_id"))
+          .orderBy(col("rrf").desc, col("doc_id").asc)
+        vleg.join(lleg, Seq("query_id", "doc_id"), "full_outer")
+          .withColumn("rrf",
+            coalesce(expr("1000000000 div (60 + vec_rank)"), lit(0L)) +
+              coalesce(expr("1000000000 div (60 + lex_rank)"), lit(0L)))
+          .withColumn("rank", row_number().over(wf))
+          .filter(col("rank") <= 10)
+          .select(col("query_id"), col("rank").cast("long").as("rank"),
+            col("doc_id"), col("rrf"), col("vec_rank"), col("lex_rank"))
+          .orderBy("query_id", "rank")
+      },
+      Some(s"""$sqlVectors,
+             |${TextAnalysis.sqlBm25Ag},
+             |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n
+             |  WHERE vec_id % 50 = 0 AND vec_id < 2000),
+             |vs AS (SELECT q.query_id, n.vec_id AS doc_id,
+             |    row_number() OVER (PARTITION BY q.query_id ORDER BY
+             |      list_reduce(list_transform(range(1, 65), i -> n.v[i] * q.qv[i]), (x, y) -> x + y)
+             |        / (n.nrm * q.qn) DESC, n.vec_id) AS vec_rank
+             |  FROM n CROSS JOIN q WHERE n.vec_id <> q.query_id),
+             |vleg AS (SELECT query_id, doc_id, vec_rank::BIGINT AS vec_rank
+             |  FROM vs WHERE vec_rank <= 20),
+             |lrk AS (SELECT query_id, doc_id, row_number() OVER (
+             |    PARTITION BY query_id ORDER BY score DESC, doc_id) AS lex_rank FROM bag),
+             |lleg AS (SELECT query_id, doc_id, lex_rank::BIGINT AS lex_rank
+             |  FROM lrk WHERE lex_rank <= 20),
+             |fz AS (SELECT coalesce(v.query_id, l.query_id) AS query_id,
+             |    coalesce(v.doc_id, l.doc_id) AS doc_id, v.vec_rank, l.lex_rank,
+             |    coalesce(1000000000 // (60 + v.vec_rank), 0)
+             |      + coalesce(1000000000 // (60 + l.lex_rank), 0) AS rrf
+             |  FROM vleg v FULL OUTER JOIN lleg l
+             |    ON v.query_id = l.query_id AND v.doc_id = l.doc_id),
+             |fr AS (SELECT *, row_number() OVER (PARTITION BY query_id
+             |    ORDER BY rrf DESC, doc_id) AS rank FROM fz)
+             |SELECT query_id, rank, doc_id, rrf::BIGINT AS rrf, vec_rank, lex_rank
+             |FROM fr WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin))
   )
 
   /** s18's engine over any (vec_id, v, nrm) frame — public so the

@@ -1553,8 +1553,149 @@ object TextAnalysis {
              |SELECT pj.gram, pj.tf_exact, min(c.cnt) AS est,
              |  min(c.cnt) >= pj.tf_exact AS no_underestimate
              |FROM pj JOIN cells c ON pj.j = c.j AND pj.bucket = c.bucket
-             |GROUP BY 1, 2 ORDER BY gram""".stripMargin))
+             |GROUP BY 1, 2 ORDER BY gram""".stripMargin)),
+
+    // BM25 lexical retrieval (Robertson & Spärck Jones's probabilistic
+    // ranking, the Okapi form) — the LEXICAL leg the similarity family
+    // was missing: s01–s18 rank by embedding cosine; production
+    // retrieval (and every hybrid-search stack) pairs that with an
+    // inverted-index keyword ranker. Scoring is integer-exact end to
+    // end (see [[bm25Scored]]): k1 = 6/5 and b = 3/4 are exact
+    // rationals, avgdl is the floored integer mean, and idf is the
+    // rational surrogate (N+1)/(df+0.5) WITHOUT the log — t21's
+    // monotone-transform discipline. The log matters only when
+    // CROSS-term sums must trade off frequent vs rare terms on a
+    // damped scale; the divergence from textbook BM25 is a documented
+    // constant-shape choice, not an approximation error, and it buys a
+    // bit-exact oracle in any engine with 64-bit integer division.
+    // Workload is the pinned id-window query-doc set (the s01
+    // convention): each query doc contributes its 4 md5-ranked distinct
+    // long tokens (≥ 7 chars — the rare-ish content words), so the
+    // workload is fixed-size at every SF.
+    Q("t31_bm25_topk",
+      "inverted-index BM25 top-10 per query doc: integer-exact Okapi scoring (rational idf), pinned 4-term queries",
+      (s, d) => {
+        val w = Window.partitionBy(col("query_id"))
+          .orderBy(col("score").desc, col("doc_id").asc)
+        bm25Scored(s, d)
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 10)
+          .select(col("query_id"), col("rank").cast("long").as("rank"),
+            col("doc_id"), col("score"), col("n_terms"))
+          .orderBy("query_id", "rank")
+      },
+      Some(s"""WITH $sqlBm25Ag,
+             |br AS (SELECT query_id, doc_id, score, n_terms, row_number() OVER (
+             |    PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank FROM bag)
+             |SELECT query_id, rank, doc_id, score, n_terms FROM br
+             |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin))
   )
+
+  /** Shared BM25 scaffold for t31 (and s19's lexical leg): per
+    * (query_id, doc_id) integer lexical relevance over the `documents`
+    * corpus. One frame, `(query_id, doc_id, score, n_terms)`.
+    *
+    * Integer-exact Okapi arithmetic — with k1 = 6/5, b = 3/4 and
+    * avgdl := L div N (L = total tokens, N = docs with ≥ 1 token), the
+    * per-term saturation tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)) times
+    * the rational idf (N+1)/(df+0.5) clears all denominators at ×20·avgdl
+    * and ×(2·df+1)·1e-3:
+    *
+    *   idf_i    = ((N+1)·1000) div (2·df+1)
+    *   score_i  = (idf_i·44·avgdl·tf) div (20·avgdl·tf + 6·avgdl + 18·dl)
+    *
+    * so every engine with 64-bit floor division produces identical
+    * scores, and the per-doc SUM over matched terms is an integer sum —
+    * order-free, map-side-partial. Overflow headroom: idf_i ≤ (N+1)·334,
+    * so the numerator stays under 2^63 while N·avgdl·tf_max < 6e14 —
+    * twelve decades above the sf1 fixture, and at real corpus sizes the
+    * idf scale (1000) is configuration.
+    *
+    * Scale shape: ONE exploded-postings pass rides the corpus scan
+    * (checkpointed — reused by the totals rollup, the query-term pick
+    * and the postings probe); the probe is a broadcast SEMI join on the
+    * workload-bounded term set (≤ 4·|queries| tokens — this is the
+    * inverted-index lookup: only postings of query terms survive, so
+    * everything downstream is candidate-sized, never corpus-sized);
+    * df / query-terms / totals all re-attach as broadcast dims. The
+    * corpus is never reshuffled — the only wide exchange is the
+    * tf groupBy over the PROBED postings.
+    */
+  private[operators] def bm25Scored(s: SparkSession, d: String): DataFrame =
+    bm25Scored(s, d, reuse = true)
+
+  /** `reuse = false` skips the two localCheckpoints so the WHOLE shape —
+    * including the broadcast-semi postings probe the checkpoints would
+    * hide behind `Scan ExistingRDD` — is visible in one executed plan.
+    * Test hook only: production callers always want the reused frames
+    * (the corpus explode feeds three consumers, the probed postings two).
+    */
+  private[operators] def bm25Scored(
+      s: SparkSession, d: String, reuse: Boolean): DataFrame = {
+    def keep(df: DataFrame): DataFrame =
+      if (reuse) df.localCheckpoint(true) else df
+    val ex = keep(docs(s, d)
+      .select(col("doc_id"), tokens(normText(col("text"))).as("toks"))
+      .select(col("doc_id"), explode(col("toks")).as("token"),
+        size(col("toks")).cast("long").as("dl")))
+    val tot = ex.groupBy("doc_id").agg(max(col("dl")).as("dl"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("l_tokens"))
+      .withColumn("avg_dl", expr("l_tokens div n_docs"))
+    val wq = Window.partitionBy(col("query_id")).orderBy(md5(col("token")).asc)
+    val qt = ex
+      .filter(col("doc_id") % 50 === 0 && col("doc_id") < 2000 &&
+        length(col("token")) >= 7)
+      .select(col("doc_id").as("query_id"), col("token")).distinct()
+      .withColumn("trm", row_number().over(wq))
+      .filter(col("trm") <= 4).drop("trm")
+    // candidate-postings frame (workload-bounded): checkpointed because
+    // BOTH the df rollup and the score join consume it — without the
+    // checkpoint each consumer replays the corpus semi-join + groupBy
+    // (measured: the duplicate subtree shows as a second
+    // (doc_id, token) exchange in the executed plan)
+    val tf = keep(ex
+      .join(broadcast(qt.select("token").distinct()), Seq("token"), "left_semi")
+      .groupBy("doc_id", "token")
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl")))
+    val dfT = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    tf.join(broadcast(qt), Seq("token"))
+      .filter(col("doc_id") =!= col("query_id"))
+      .join(broadcast(dfT), Seq("token"))
+      .crossJoin(broadcast(tot))
+      .withColumn("idf_i", expr("((n_docs + 1) * 1000) div (2 * df + 1)"))
+      .withColumn("score_i", expr(
+        "(idf_i * 44 * avg_dl * tf) div (20 * avg_dl * tf + 6 * avg_dl + 18 * dl)"))
+      .groupBy("query_id", "doc_id")
+      .agg(sum(col("score_i")).as("score"), count(lit(1)).as("n_terms"))
+  }
+
+  /** Oracle twin of [[bm25Scored]] — CTE chain `bx→btot→bqt0→bqt→btf→
+    * bdf→bsc→bag`; `bag` is (query_id, doc_id, score, n_terms). Shared
+    * by the t31 and s19 oracles so tokenization, the query-term pick
+    * and the integer scoring can never diverge between them. No leading
+    * WITH: callers embed it in their own chain.
+    */
+  // lazy: declared below `registry`, which interpolates it at object init
+  private[operators] lazy val sqlBm25Ag: String =
+    """bn AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm FROM documents),
+      |btk AS (SELECT doc_id, list_filter(string_split(norm, ' '), t -> t <> '') AS toks FROM bn),
+      |bx AS (SELECT doc_id, unnest(toks) AS token, len(toks)::BIGINT AS dl FROM btk),
+      |btot AS (SELECT count(DISTINCT doc_id)::BIGINT AS n_docs, count(*)::BIGINT AS l_tokens FROM bx),
+      |btot2 AS (SELECT n_docs, l_tokens // n_docs AS avg_dl FROM btot),
+      |bqt0 AS (SELECT DISTINCT doc_id AS query_id, token FROM bx
+      |  WHERE doc_id % 50 = 0 AND doc_id < 2000 AND len(token) >= 7),
+      |bqt AS (SELECT query_id, token FROM (SELECT *, row_number() OVER (
+      |    PARTITION BY query_id ORDER BY md5(token)) AS trm FROM bqt0) WHERE trm <= 4),
+      |btf AS (SELECT doc_id, token, count(*)::BIGINT AS tf, max(dl) AS dl FROM bx
+      |  WHERE token IN (SELECT token FROM bqt) GROUP BY 1, 2),
+      |bdf AS (SELECT token, count(*)::BIGINT AS df FROM btf GROUP BY 1),
+      |bsc AS (SELECT q.query_id, t.doc_id,
+      |    ((((btot2.n_docs + 1) * 1000) // (2 * bdf.df + 1)) * 44 * btot2.avg_dl * t.tf)
+      |      // (20 * btot2.avg_dl * t.tf + 6 * btot2.avg_dl + 18 * t.dl) AS score_i
+      |  FROM btf t JOIN bqt q USING (token) JOIN bdf USING (token) CROSS JOIN btot2
+      |  WHERE t.doc_id <> q.query_id),
+      |bag AS (SELECT query_id, doc_id, sum(score_i)::BIGINT AS score,
+      |    count(*)::BIGINT AS n_terms FROM bsc GROUP BY 1, 2)""".stripMargin
 
   /** Registrable domain (eTLD+1) of a hostname: longest matching
     * public suffix from the configured multi-label subset plus one

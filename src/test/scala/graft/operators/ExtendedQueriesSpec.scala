@@ -188,4 +188,99 @@ class ExtendedQueriesSpec extends SparkTestBase {
     assert(h0 === q34Strict,
       "the first decay bucket must equal the last-touch join's strict interior")
   }
+
+  test("t31 BM25: contiguous descending top-10, self excluded, saturation bound holds") {
+    val rows = run("t31_bm25_topk").collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (q, _, doc, score, nTerms) =>
+      assert(doc !== q, "a query doc must never retrieve itself")
+      assert(score > 0L && nTerms >= 1L && nTerms <= 4L)
+    }
+    rows.groupBy(_._1).foreach { case (q, g) =>
+      val byRank = g.sortBy(_._2)
+      assert(byRank.map(_._2) === (1L to byRank.length).toArray.toSeq,
+        s"query $q: ranks must be contiguous from 1")
+      assert(byRank.length <= 10)
+      assert(byRank.sliding(2).forall {
+        case Array(a, b) => a._4 > b._4 || (a._4 == b._4 && a._3 < b._3)
+        case _           => true
+      }, s"query $q: scores must be non-increasing with doc_id tiebreak")
+    }
+    // Okapi saturation: per-term score_i < idf_i·(k1+1) = idf_i·44/20, and
+    // idf_i ≤ ((N+1)·1000) div 3 (df ≥ 1) — so a doc matching m terms is
+    // bounded by m · ((N+1)·1000 div 3) · 44 div 20, independent of tf/dl.
+    val n = graft.core.Tables.load(spark, sf, "documents").count()
+    rows.foreach { case (_, _, _, score, m) =>
+      assert(score < m * (((n + 1) * 1000L) / 3L) * 44L / 20L,
+        "BM25 saturation bound violated")
+    }
+  }
+
+  test("s19 RRF: integer fusion identity, leg presence, both-legs dominance over single-leg") {
+    // sf0.01: the sf0.001 corpus has no doc surfaced by BOTH legs, so the
+    // dominance branch would be vacuous at the default fixture scale
+    val rows = graft.SparkEntry
+      .queries("s19_hybrid_rrf")(spark, "/root/testdata/sf0.01").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)),
+        if (r.isNullAt(5)) None else Some(r.getLong(5))))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, _, _, rrf, vr, lr) =>
+      assert(vr.isDefined || lr.isDefined, "a fused doc must come from a leg")
+      assert(vr.forall(r => r >= 1 && r <= 20) && lr.forall(r => r >= 1 && r <= 20))
+      val expect = vr.map(r => 1000000000L / (60L + r)).getOrElse(0L) +
+        lr.map(r => 1000000000L / (60L + r)).getOrElse(0L)
+      assert(rrf === expect, "rrf must be the exact integer rank fusion")
+    }
+    rows.groupBy(_._1).foreach { case (q, g) =>
+      val byRank = g.sortBy(_._2)
+      assert(byRank.map(_._2) === (1L to byRank.length).toArray.toSeq)
+      assert(byRank.length <= 10)
+      assert(byRank.sliding(2).forall {
+        case Array(a, b) => a._4 > b._4 || (a._4 == b._4 && a._3 < b._3)
+        case _           => true
+      }, s"query $q: fused order must follow (rrf desc, doc_id)")
+    }
+    // the defining RRF property: worst both-legs doc (20, 20) beats the best
+    // single-leg doc (rank 1): 2·(1e9 div 80) = 25e6 > 1e9 div 61 ≈ 16.4e6
+    val both = rows.filter(r => r._5.isDefined && r._6.isDefined)
+    val single = rows.filter(r => r._5.isEmpty != r._6.isEmpty)
+    assert(both.nonEmpty, "fixture must exercise the both-legs branch")
+    assert(single.nonEmpty)
+    assert(both.map(_._4).min > single.map(_._4).max,
+      "every both-legs doc must dominate every single-leg doc")
+  }
+
+  test("q46: matched rows conserved across layouts, no false prunes, z-order prunes where single-key can't") {
+    val rows = run("q46_zorder_skipping").collect().map(r =>
+      (r.getString(0), r.getLong(2), r.getLong(3), r.getBoolean(8),
+        r.getBoolean(9), r.getLong(10), r.getLong(11)))
+    val byLayout = rows.groupBy(_._1)
+    assert(byLayout.keySet === Set("linear", "bykey", "zorder"))
+    // the three layouts are pure re-shardings of the same corpus: total rows
+    // and total box-query matches must be identical
+    assert(byLayout.values.map(_.map(_._2).sum).toSet.size === 1,
+      "row mass must be conserved across layouts")
+    assert(byLayout.values.map(_.map(_._3).sum).toSet.size === 1,
+      "box-query matches must be conserved across layouts")
+    // footer min/max pruning is conservative: a file holding any match may
+    // never be skipped (the audit's correctness leg)
+    rows.foreach { case (lay, _, nMatch, scanned, _, _, _) =>
+      assert(nMatch == 0 || scanned, s"$lay: false prune on a matching file")
+    }
+    def readBox(l: String) = byLayout(l).head._6
+    def readDay(l: String) = byLayout(l).head._7
+    // box query: clustered layouts prune, insertion order reads everything
+    assert(readBox("linear") === byLayout("linear").length.toLong,
+      "insertion-order layout must scan every file for the box query")
+    assert(readBox("zorder") < readBox("linear") &&
+      readBox("bykey") < readBox("linear"))
+    // date-only query: the single-key custkey sort prunes NOTHING (every
+    // file spans the full date range) while the interleave still halves+
+    // the scan — z-order's defining trade
+    assert(readDay("bykey") === byLayout("bykey").length.toLong,
+      "single-key layout must be blind to the date-only predicate")
+    assert(readDay("zorder") < readDay("bykey"))
+  }
 }

@@ -1192,4 +1192,60 @@ class PlanShapeSpec extends SparkTestBase {
     assert(!plan.contains("SortMergeJoin"),
       "probe lookup joins the broadcast cells")
   }
+
+  test("t31: inverted-index probe is a broadcast SEMI join; top-10 is WindowGroupLimit; dims broadcast") {
+    // the registered query checkpoints the corpus explode and the probed
+    // postings (each feeds 2–3 consumers), which hides the probe subtree
+    // behind `Scan ExistingRDD` — so the probe shape is asserted on the
+    // reuse=false twin, whose single executed plan shows everything
+    val full = {
+      val df = TextAnalysis.bm25Scored(spark, sf, reuse = false)
+      df.collect()
+      val s = df.queryExecution.executedPlan.toString
+      val cut = s.indexOf("== Initial Plan ==")
+      if (cut >= 0) s.substring(0, cut) else s
+    }
+    // the postings probe — only postings of query terms survive the scan,
+    // so everything downstream is candidate-sized, never corpus-sized
+    assert(full.contains("LeftSemi, BuildRight"),
+      "postings probe must be a broadcast semi join on the workload-bounded term set")
+    assert(!full.contains("SortMergeJoin"),
+      "df / query-terms / totals attach as broadcast dims, never shuffled joins")
+    val plan = executedPlan("t31_bm25_topk")
+    assert(countOf(plan, "WindowGroupLimit.*row_number\\(\\), 10") >= 1,
+      "per-query top-10 must compile to WindowGroupLimit (≤ 10 rows/query forwarded per partition)")
+    assert(!plan.contains("SortMergeJoin"),
+      "df / query-terms / totals attach as broadcast dims, never shuffled joins")
+    assert(countOf(plan, "hashpartitioning\\(query_id[^)]*doc_id") == 1,
+      "exactly one candidate-grain exchange — the per-(query, doc) score rollup")
+    assert(countOf(plan, "Scan ExistingRDD") >= 2,
+      "checkpointed corpus-explode and probed-postings frames enter as scans (reused, not replayed)")
+  }
+
+  test("s19: both legs are top-20-bounded BEFORE the fusion join; the only shuffled join is the full-outer fuse") {
+    val plan = executedPlan("s19_hybrid_rrf")
+    assert(countOf(plan, "WindowGroupLimit.*row_number\\(\\), 20") >= 2,
+      "each leg must bound to top-20 per query before fusion")
+    val smj = plan.linesIterator.filter(_.contains("SortMergeJoin")).toVector
+    assert(smj.size == 1 && smj.head.contains("FullOuter"),
+      s"exactly the fusion join is sort-merge and full-outer (legs are ≤ 20·|queries| rows):\n$smj")
+    assert(countOf(plan, "WindowGroupLimit.*row_number\\(\\), 10") >= 1,
+      "fused top-10 must compile to WindowGroupLimit")
+  }
+
+  test("q46: layout assignment is a pure projection — the corpus is never reshuffled; one stack pass") {
+    val plan = executedPlan("q46_zorder_skipping")
+    assert(countOf(plan, "FileScan parquet") == 2,
+      "two scans only: the stats rollup and the assignment pass")
+    // every hash exchange runs at (layout[, file_id]) grain — 96 groups;
+    // the row-grain frame never shuffles (bucketing/z/file ids ride the scan)
+    val ex = plan.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toVector
+    assert(ex.forall(_.contains("hashpartitioning(layout")),
+      s"corpus-grain shuffle found:\n$ex")
+    assert(plan.contains("partial_min(ck") && plan.contains("partial_count"),
+      "stats and the per-file rollup must partial-aggregate map-side")
+    assert(plan.contains("Generate stack"),
+      "the three layouts fan out in ONE Generate over the same scan pass")
+  }
 }
