@@ -150,6 +150,15 @@ object Portable {
   def dotFast(a: Column, b: Column): Column =
     call_function("graft_dot", a, b)
 
+  /** Codegen'd mean-centering (graft.plans.CenterArrayD) — ONE O(d)
+    * expression node, so Catalyst inlining (CollapseProject, join null
+    * filters) can never expand it into the O(d²) per-element spelling
+    * that broke the 64 KB codegen limit (m11). Left-to-right sum;
+    * DuckDB twin: `list_transform(v, x -> x - list_aggregate(v, 'sum') / n)`.
+    */
+  def centerFast(v: Column): Column =
+    call_function("graft_center", v)
+
   /** Bounded-state KMV bottom-k distinct sketch aggregate
     * (graft.plans.KmvBottomK) — call after SketchAggregates.register.
     * Emits the ascending sorted ≤ k smallest distinct values of an

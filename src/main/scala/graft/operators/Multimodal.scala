@@ -228,19 +228,18 @@ object Multimodal {
     * kernel pass instead of each paying the decode+grid scan.
     */
   private def imageSketchesOf(pv: DataFrame): DataFrame = {
-    import graft.functions.Portable.{dotFast, hyperplaneArray}
-    val vbar = ((1 to 16).map(i => element_at(col("v"), i))
-      .reduce(_ + _) / lit(16.0)).as("vbar")
-    val cv = array((1 to 16).map(i =>
-      element_at(col("v"), i) - col("vbar")): _*).as("cv")
+    import graft.functions.Portable.{centerFast, dotFast, hyperplaneArray}
+    // centerFast (one O(d) expression node), NOT the per-element
+    // array(v[i] − vbar) spelling: CollapseProject inlines that mean
+    // into all 16 elements and the 16 sign tests re-inline the array —
+    // O(d³) generated code that breaks the janino 64 KB method limit
     val sig = (0 until 16).map { j =>
       when(dotFast(col("cv"),
         typedlit(hyperplaneArray(j, 16).toSeq)) >= 0.0,
         lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
     pv
-      .select(col("doc_id"), col("v"), vbar)
-      .select(col("doc_id"), cv)
+      .select(col("doc_id"), centerFast(col("v")).as("cv"))
       .select(col("doc_id"), sig.as("sig"))
       .localCheckpoint(true)
   }
@@ -695,7 +694,7 @@ object Multimodal {
     Q("m11_image_dedup_verified",
       "production image dedup: banded pHash screen (Hamming <= 2) + exact centered-cosine verify >= 0.9",
       (s, d) => {
-        import graft.functions.Portable.dotFast
+        import graft.functions.Portable.{centerFast, dotFast}
         // ONE kernel pass: the checkpointed patch-vector frame feeds
         // BOTH the sketch (via imageSketchesOf) and the verify's
         // centered vectors — without this, screen and verify each pay
@@ -704,13 +703,11 @@ object Multimodal {
         val screened = sketchPairsOf(imageSketchesOf(pv))
           .filter(col("hamming") <= 2)
           .select(col("doc_a"), col("doc_b"), col("hamming"))
-        val vbar = ((1 to 16).map(i => element_at(col("v"), i))
-          .reduce(_ + _) / lit(16.0)).as("vbar")
-        val cvv = array((1 to 16).map(i =>
-          element_at(col("v"), i) - col("vbar")): _*).as("cv")
+        // centerFast keeps the centering ONE expression node — the
+        // per-element spelling blew past the 64 KB codegen limit once
+        // the norm and the join's null filter re-inlined it (O(d³))
         val cn = pv
-          .select(col("doc_id"), col("v"), vbar)
-          .select(col("doc_id"), cvv)
+          .select(col("doc_id"), centerFast(col("v")).as("cv"))
           .withColumn("cnrm", sqrt(dotFast(col("cv"), col("cv"))))
         val aSide = cn.select(col("doc_id").as("doc_a"),
           col("cv").as("ca"), col("cnrm").as("na"))

@@ -132,6 +132,76 @@ case class RollingHash60(child: Expression)
     copy(child = newChild)
 }
 
+/** Mean-center a dense vector: `cv[i] = v[i] − (Σv)/n`, the pHash
+  * preprocessing step (m08/m11 — §7.4-13: raw patch sums are all-positive
+  * and cluster near the all-ones direction; centering makes sign patterns
+  * discriminative).
+  *
+  * Exists for the same reason as [[DotProductD]], but the enemy here is
+  * expression BLOWUP rather than interpretation: the per-element spelling
+  * (`array(v[1] − vbar, …, v[16] − vbar)` under a 16-term `vbar` sum) gets
+  * its mean INLINED into every element by `CollapseProject`, the norm
+  * `sqrt(dot(cv, cv))` inlines the whole array twice more, and the join's
+  * `isnotnull` filter once more — O(d²) generated code that crossed
+  * janino's 64 KB method limit at d = 16 and silently dropped the m11
+  * verify leg out of whole-stage codegen (interpreted fallback, observed
+  * in the round-11 suite logs). As ONE expression node the centering is
+  * O(d) generated code however often Catalyst inlines it, and common
+  * subexpression elimination collapses repeated copies.
+  *
+  * Sum is strictly left-to-right (bit-identical to the old
+  * `v[1] + v[2] + …` fold and to the DuckDB oracle's
+  * `list_aggregate(v, 'sum')`); the divisor is the runtime length n.
+  * Input must be `array<double>` with no null elements.
+  */
+case class CenterArrayD(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_center expects array<double>, got ${t.sql}")
+  }
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "graft_center"
+
+  override protected def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += x.getDouble(i); i += 1 }
+    val m = s / n
+    val out = new Array[Double](n)
+    i = 0
+    while (i < n) { out(i) = x.getDouble(i) - m; i += 1 }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      val m = ctx.freshName("m")
+      val out = ctx.freshName("out")
+      s"""
+         |int $n = $a.numElements();
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) { $s += $a.getDouble($i); }
+         |double $m = $s / $n;
+         |double[] $out = new double[$n];
+         |for (int $i = 0; $i < $n; $i++) { $out[$i] = $a.getDouble($i) - $m; }
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions
+         |  .UnsafeArrayData.fromPrimitiveArray($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): CenterArrayD =
+    copy(child = newChild)
+}
+
 object VectorExpressions {
 
   private def build(exprs: Seq[Expression]): Expression = {
@@ -153,6 +223,13 @@ object VectorExpressions {
       "graft_dot", build, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_rolling_hash", buildRolling, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_center", buildCenter, "built-in")
+  }
+
+  private def buildCenter(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 1, "graft_center takes exactly 1 argument")
+    CenterArrayD(exprs.head)
   }
 }
 
@@ -178,6 +255,14 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       (exprs: Seq[Expression]) => {
         require(exprs.length == 1, "graft_rolling_hash takes exactly 1 argument")
         RollingHash60(exprs.head)
+      }))
+    ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_center"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[CenterArrayD].getName, "graft_center"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1, "graft_center takes exactly 1 argument")
+        CenterArrayD(exprs.head)
       }))
     ext.injectFunction((
       new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_kmv"),
