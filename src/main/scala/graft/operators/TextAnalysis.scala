@@ -1574,21 +1574,49 @@ object TextAnalysis {
     // workload is fixed-size at every SF.
     Q("t31_bm25_topk",
       "inverted-index BM25 top-10 per query doc: integer-exact Okapi scoring (rational idf), pinned 4-term queries",
+      (s, d) => bm25Top10(bm25Scored(s, d)),
+      Some(sqlBm25Top10)),
+
+    // t31's INCREMENTAL twin — the segment-merge discipline every
+    // production search engine runs (Lucene segments, ES/OpenSearch
+    // shards): the inverted index is a PERSISTED store of aggregated
+    // postings (doc_id, token, tf, dl) appended per ingest batch under
+    // `batch_id=K`; query time reads the STORE and never re-tokenizes
+    // the corpus (the d15/d16/d18/t19 warehouse-sidecar family, now
+    // for retrieval). Because each document lives wholly in one batch,
+    // the multi-batch merge is a pure union-at-read (partition
+    // discovery over batch subdirs — not even an additive fold): df is
+    // a count over merged postings, totals re-derive from per-doc dl,
+    // and the scoring tail is t31's verbatim. The gate runs against a
+    // TWO-batch store (docs split doc_id % 2) and is hash-gated by
+    // t31's oracle — stored-index scoring must be bit-identical to the
+    // full recompute, the "incremental ≡ rebuild" contract every store
+    // in the family pins. Scale: the store is postings-sized and
+    // pre-aggregated (the tf groupBy is the PRODUCER's amortized
+    // cost); the consumer's only corpus-scale work is the store scan +
+    // broadcast-semi probe — strictly cheaper than t31, measured and
+    // plan-asserted (no documents.parquet scan anywhere in the plan).
+    Q("t32_bm25_store_topk",
+      "BM25 top-10 from the persisted two-batch postings store: corpus text never re-read, bit-equal to t31",
       (s, d) => {
-        val w = Window.partitionBy(col("query_id"))
-          .orderBy(col("score").desc, col("doc_id").asc)
-        bm25Scored(s, d)
-          .withColumn("rank", row_number().over(w))
-          .filter(col("rank") <= 10)
-          .select(col("query_id"), col("rank").cast("long").as("rank"),
-            col("doc_id"), col("score"), col("n_terms"))
-          .orderBy("query_id", "rank")
+        val st = s.read.parquet(bm25StorePath(s, d))
+          .select("doc_id", "token", "tf", "dl")
+        val tot = st.groupBy("doc_id").agg(max(col("dl")).as("dl"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("l_tokens"))
+          .withColumn("avg_dl", expr("l_tokens div n_docs"))
+        val wq = Window.partitionBy(col("query_id"))
+          .orderBy(md5(col("token")).asc)
+        val qt = st
+          .filter(col("doc_id") % 50 === 0 && col("doc_id") < 2000 &&
+            length(col("token")) >= 7)
+          .select(col("doc_id").as("query_id"), col("token"))
+          .withColumn("trm", row_number().over(wq))
+          .filter(col("trm") <= 4).drop("trm")
+        val tf = st
+          .join(broadcast(qt.select("token").distinct()), Seq("token"), "left_semi")
+        bm25Top10(bm25ScoreTail(tf, qt, tot))
       },
-      Some(s"""WITH $sqlBm25Ag,
-             |br AS (SELECT query_id, doc_id, score, n_terms, row_number() OVER (
-             |    PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank FROM bag)
-             |SELECT query_id, rank, doc_id, score, n_terms FROM br
-             |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin))
+      Some(sqlBm25Top10))
   )
 
   /** Shared BM25 scaffold for t31 (and s19's lexical leg): per
@@ -1657,6 +1685,19 @@ object TextAnalysis {
       .join(broadcast(qt.select("token").distinct()), Seq("token"), "left_semi")
       .groupBy("doc_id", "token")
       .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl")))
+    bm25ScoreTail(tf, qt, tot)
+  }
+
+  /** Okapi scoring tail shared by t31/s19 (probed exploded postings) and
+    * t32 (probed STORED postings): df rollup over the candidate set,
+    * broadcast dim attaches, the integer score, and the per-(query, doc)
+    * sum. `tf` must be candidate postings (doc_id, token, tf, dl) already
+    * restricted to query terms — df computed here is per-token document
+    * frequency over the FULL corpus precisely because the semi-join probe
+    * keeps every posting of a query term.
+    */
+  private def bm25ScoreTail(tf: DataFrame, qt: DataFrame,
+      tot: DataFrame): DataFrame = {
     val dfT = tf.groupBy("token").agg(count(lit(1)).as("df"))
     tf.join(broadcast(qt), Seq("token"))
       .filter(col("doc_id") =!= col("query_id"))
@@ -1668,6 +1709,39 @@ object TextAnalysis {
       .groupBy("query_id", "doc_id")
       .agg(sum(col("score_i")).as("score"), count(lit(1)).as("n_terms"))
   }
+
+  /** Per-query top-10 over a (query_id, doc_id, score, n_terms) frame —
+    * t31/t32's shared presentation (WindowGroupLimit, doc_id tiebreak). */
+  private def bm25Top10(scored: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 10)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("doc_id"), col("score"), col("n_terms"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** The persisted inverted-index store (the t32 fixture): aggregated
+    * postings (doc_id, token, tf, dl), TWO ingest batches split
+    * doc_id % 2 under `batch_id=K` — each document wholly in one batch,
+    * so the merge at read is pure partition-discovery union. Tokenization
+    * is [[bm25Scored]]'s verbatim (same normText+tokens kernel), which is
+    * what makes stored-index scoring bit-equal to the recompute.
+    */
+  private def bm25StorePath(s: SparkSession, d: String): String =
+    graft.core.StoreFixture("graft_bm25store", d) { p =>
+      (0 to 1).foreach { b =>
+        docs(s, d).filter(col("doc_id") % 2 === b)
+          .select(col("doc_id"), tokens(normText(col("text"))).as("toks"))
+          .select(col("doc_id"), explode(col("toks")).as("token"),
+            size(col("toks")).cast("long").as("dl"))
+          .groupBy("doc_id", "token")
+          .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+          .write.mode("overwrite").parquet(s"$p/batch_id=$b")
+      }
+    }
 
   /** Oracle twin of [[bm25Scored]] — CTE chain `bx→btot→bqt0→bqt→btf→
     * bdf→bsc→bag`; `bag` is (query_id, doc_id, score, n_terms). Shared
@@ -1696,6 +1770,17 @@ object TextAnalysis {
       |  WHERE t.doc_id <> q.query_id),
       |bag AS (SELECT query_id, doc_id, sum(score_i)::BIGINT AS score,
       |    count(*)::BIGINT AS n_terms FROM bsc GROUP BY 1, 2)""".stripMargin
+
+  /** The t31 oracle, shared VERBATIM by t32 — the stored-index scorer's
+    * contract is bit-equality with the full recompute, so the two gates
+    * must share one SQL text (the sqlBm25Ag rationale, one level up).
+    */
+  private lazy val sqlBm25Top10: String =
+    s"""WITH $sqlBm25Ag,
+       |br AS (SELECT query_id, doc_id, score, n_terms, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank FROM bag)
+       |SELECT query_id, rank, doc_id, score, n_terms FROM br
+       |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
 
   /** Registrable domain (eTLD+1) of a hostname: longest matching
     * public suffix from the configured multi-label subset plus one
@@ -1914,7 +1999,7 @@ object TextAnalysis {
     * the first gated consumer.
     */
   private[graft] def warmStores(s: SparkSession, d: String): Unit = {
-    lmStorePath(s, d); cardStorePath(s, d); ()
+    lmStorePath(s, d); cardStorePath(s, d); bm25StorePath(s, d); ()
   }
 
   /** The t27 consumer over an arbitrary batch frame and ANY producer's

@@ -1222,6 +1222,22 @@ class PlanShapeSpec extends SparkTestBase {
       "checkpointed corpus-explode and probed-postings frames enter as scans (reused, not replayed)")
   }
 
+  test("t32: consumer reads ONLY the postings store — no corpus re-tokenization; probe is a visible broadcast semi") {
+    val plan = executedPlan("t32_bm25_store_topk")
+    assert(!plan.contains("documents.parquet"),
+      "the stored-index scorer must never re-read the corpus text")
+    assert(plan.contains("graft_bm25store"),
+      "every scan must be the persisted postings store")
+    // unlike t31 there are no checkpoints here, so the inverted-index
+    // probe is directly visible in the final plan
+    assert(plan.contains("LeftSemi, BuildRight"),
+      "postings probe must be a broadcast semi join on the query-term set")
+    assert(!plan.contains("SortMergeJoin"),
+      "df / query-terms / totals attach as broadcast dims, never shuffled joins")
+    assert(countOf(plan, "WindowGroupLimit.*row_number\\(\\), 10") >= 1,
+      "per-query top-10 must compile to WindowGroupLimit")
+  }
+
   test("s19: both legs are top-20-bounded BEFORE the fusion join; the only shuffled join is the full-outer fuse") {
     val plan = executedPlan("s19_hybrid_rrf")
     assert(countOf(plan, "WindowGroupLimit.*row_number\\(\\), 20") >= 2,
