@@ -1611,7 +1611,88 @@ object Similarity {
              |fr AS (SELECT *, row_number() OVER (PARTITION BY query_id
              |    ORDER BY rrf DESC, doc_id) AS rank FROM fz)
              |SELECT query_id, rank, doc_id, rrf::BIGINT AS rrf, vec_rank, lex_rank
-             |FROM fr WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin))
+             |FROM fr WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin)),
+
+    // Two-stage retrieve-then-rerank — THE production vector-serving
+    // shape (every deployed ANN system is a funnel: a cheap screen over
+    // the whole corpus, an exact rerank over the fetched candidates):
+    // stage 1 scores the 16-dim matryoshka PREFIX (s16's cheap scorer —
+    // ¼ the FLOPs and bytes per corpus row; in a columnar store the
+    // prefix dims prune at the scan) and keeps top-50 per query; stage 2
+    // FETCHES full 64-dim vectors for candidates only (the broadcast
+    // equi-join back to the corpus — the "fetch" of a serving stack) and
+    // reranks by exact full-dim cosine to top-10. Both stages are
+    // deterministic IEEE chains (dotFast's left fold, vec_id tiebreaks),
+    // so the whole funnel is hash-gated — and `stage1_rank` rides along,
+    // making the reorder the rerank buys VISIBLE in the gated output
+    // (rows where rank ≠ stage1-order are the funnel's value; s16
+    // already prices what the prefix screen loses, recall 0.4@5).
+    // Scale shape: stage 1 is the one corpus-scale pass (broadcast
+    // queries, corpus never reshuffles — s01's discipline at ¼ width);
+    // everything after the WindowGroupLimit is candidate-sized:
+    // the candidate set (≤ 50·|queries| rows, output-bound) broadcasts
+    // into the fetch join, the corpus side streams with zero shuffle.
+    Q("s20_two_stage_rerank",
+      "two-stage serving funnel: 16-dim prefix screen to top-50, exact full-dim rerank of fetched candidates to top-10",
+      (s, d) => {
+        val pDim = 16
+        val e = vectors(s, d)
+        val ep = e.select(col("vec_id"), slice(col("v"), 1, pDim).as("pv"))
+          .withColumn("pnrm", sqrt(dotFast(col("pv"), col("pv"))))
+        val q = e.filter(col("vec_id") % 50 === 0 && col("vec_id") < 2000)
+          .withColumn("pv", slice(col("v"), 1, pDim))
+          .withColumn("pnrm", sqrt(dotFast(col("pv"), col("pv"))))
+          .select(col("vec_id").as("query_id"), col("v").as("qv"),
+            col("nrm").as("qn"), col("pv").as("qpv"), col("pnrm").as("qpn"))
+        val w1 = Window.partitionBy(col("query_id"))
+          .orderBy(col("cp").desc, col("vec_id").asc)
+        val cand = ep
+          .crossJoin(broadcast(q.select("query_id", "qpv", "qpn")))
+          .filter(col("vec_id") =!= col("query_id"))
+          .withColumn("cp",
+            dotFast(col("pv"), col("qpv")) / (col("pnrm") * col("qpn")))
+          .withColumn("stage1_rank", row_number().over(w1))
+          .filter(col("stage1_rank") <= 50)
+          .select(col("query_id"), col("vec_id"),
+            col("stage1_rank").cast("long").as("stage1_rank"))
+        val w2 = Window.partitionBy(col("query_id"))
+          .orderBy(col("cosine").desc, col("vec_id").asc)
+        e.join(broadcast(cand), Seq("vec_id"))
+          .join(broadcast(q.select("query_id", "qv", "qn")), Seq("query_id"))
+          .withColumn("cosine",
+            dotFast(col("v"), col("qv")) / (col("nrm") * col("qn")))
+          .withColumn("rank", row_number().over(w2))
+          .filter(col("rank") <= 10)
+          .select(col("query_id"), col("rank").cast("long").as("rank"),
+            col("vec_id"), col("cosine"), col("stage1_rank"))
+          .orderBy("query_id", "rank")
+      },
+      Some(s"""$sqlVectors,
+             |p AS (SELECT vec_id, v, nrm, v[1:16] AS pv,
+             |    sqrt(list_reduce(list_transform(range(1, 17),
+             |      i -> v[i] * v[i]), (x, y) -> x + y)) AS pnrm
+             |  FROM n),
+             |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn,
+             |    pv AS qpv, pnrm AS qpn
+             |  FROM p WHERE vec_id % 50 = 0 AND vec_id < 2000),
+             |s1 AS (SELECT q.query_id, p.vec_id,
+             |    row_number() OVER (PARTITION BY q.query_id ORDER BY
+             |      list_reduce(list_transform(range(1, 17),
+             |        i -> p.pv[i] * q.qpv[i]), (x, y) -> x + y)
+             |        / (p.pnrm * q.qpn) DESC, p.vec_id) AS stage1_rank
+             |  FROM p CROSS JOIN q WHERE p.vec_id <> q.query_id),
+             |cand AS (SELECT query_id, vec_id, stage1_rank::BIGINT AS stage1_rank
+             |  FROM s1 WHERE stage1_rank <= 50),
+             |s2 AS (SELECT c.query_id, c.vec_id, c.stage1_rank,
+             |    list_reduce(list_transform(range(1, 65),
+             |      i -> p.v[i] * q.qv[i]), (x, y) -> x + y) / (p.nrm * q.qn)
+             |      AS cosine
+             |  FROM cand c JOIN p ON c.vec_id = p.vec_id
+             |  JOIN q ON c.query_id = q.query_id),
+             |rr AS (SELECT *, row_number() OVER (PARTITION BY query_id
+             |    ORDER BY cosine DESC, vec_id) AS rank FROM s2)
+             |SELECT query_id, rank::BIGINT AS rank, vec_id, cosine, stage1_rank
+             |FROM rr WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin))
   )
 
   /** s18's engine over any (vec_id, v, nrm) frame — public so the

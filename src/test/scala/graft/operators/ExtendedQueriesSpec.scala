@@ -252,6 +252,36 @@ class ExtendedQueriesSpec extends SparkTestBase {
       "every both-legs doc must dominate every single-leg doc")
   }
 
+  test("s20 funnel: contiguous descending top-10 from within the top-50 screen; the rerank genuinely reorders") {
+    val rows = run("s20_two_stage_rerank").collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (q, _, vec, _, s1) =>
+      assert(vec !== q, "a query must never retrieve itself")
+      assert(s1 >= 1L && s1 <= 50L,
+        "every reranked doc must come from the stage-1 candidate set")
+    }
+    var reordered = false
+    rows.groupBy(_._1).foreach { case (q, g) =>
+      val byRank = g.sortBy(_._2)
+      assert(byRank.map(_._2) === (1L to byRank.length).toArray.toSeq,
+        s"query $q: ranks must be contiguous from 1")
+      assert(byRank.length <= 10)
+      assert(byRank.sliding(2).forall {
+        case Array(a, b) => a._4 > b._4 || (a._4 == b._4 && a._3 < b._3)
+        case _           => true
+      }, s"query $q: final order must follow (cosine desc, vec_id)")
+      // stage-1 ranks are distinct within a query, so any inversion
+      // against the final order is a genuine rerank correction
+      if (byRank.map(_._5).sliding(2).exists {
+        case Array(a, b) => a > b
+        case _           => false
+      }) reordered = true
+    }
+    assert(reordered,
+      "the exact rerank must visibly reorder the prefix screen somewhere — otherwise the funnel is vacuous")
+  }
+
   test("q46: matched rows conserved across layouts, no false prunes, z-order prunes where single-key can't") {
     val rows = run("q46_zorder_skipping").collect().map(r =>
       (r.getString(0), r.getLong(2), r.getLong(3), r.getBoolean(8),

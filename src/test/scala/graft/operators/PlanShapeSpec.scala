@@ -1249,6 +1249,20 @@ class PlanShapeSpec extends SparkTestBase {
       "fused top-10 must compile to WindowGroupLimit")
   }
 
+  test("s20: screen bounds to top-50 before the fetch; candidates broadcast into the fetch join; no shuffled join") {
+    val plan = executedPlan("s20_two_stage_rerank")
+    assert(countOf(plan, "WindowGroupLimit.*row_number\\(\\), 50") >= 1,
+      "stage 1 must bound to top-50 per query (WindowGroupLimit) before any candidate work")
+    assert(countOf(plan, "WindowGroupLimit.*row_number\\(\\), 10") >= 1,
+      "stage 2 rerank must bound to top-10")
+    // the 'fetch': full vectors re-attach to the OUTPUT-BOUND candidate
+    // set by broadcast equi-join — the corpus side streams, zero shuffle
+    assert(countOf(plan, "BroadcastHashJoin") >= 2,
+      "candidate fetch and query attach must both be broadcast hash joins")
+    assert(!plan.contains("SortMergeJoin"),
+      "nothing in the funnel may shuffle a join: candidates and queries are workload-sized")
+  }
+
   test("q46: layout assignment is a pure projection — the corpus is never reshuffled; one stack pass") {
     val plan = executedPlan("q46_zorder_skipping")
     assert(countOf(plan, "FileScan parquet") == 2,
