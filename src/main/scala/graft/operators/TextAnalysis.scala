@@ -1598,26 +1598,48 @@ object TextAnalysis {
     // plan-asserted (no documents.parquet scan anywhere in the plan).
     Q("t32_bm25_store_topk",
       "BM25 top-10 from the persisted two-batch postings store: corpus text never re-read, bit-equal to t31",
-      (s, d) => {
-        val st = s.read.parquet(bm25StorePath(s, d))
-          .select("doc_id", "token", "tf", "dl")
-        val tot = st.groupBy("doc_id").agg(max(col("dl")).as("dl"))
-          .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("l_tokens"))
-          .withColumn("avg_dl", expr("l_tokens div n_docs"))
-        val wq = Window.partitionBy(col("query_id"))
-          .orderBy(md5(col("token")).asc)
-        val qt = st
-          .filter(col("doc_id") % 50 === 0 && col("doc_id") < 2000 &&
-            length(col("token")) >= 7)
-          .select(col("doc_id").as("query_id"), col("token"))
-          .withColumn("trm", row_number().over(wq))
-          .filter(col("trm") <= 4).drop("trm")
-        val tf = st
-          .join(broadcast(qt.select("token").distinct()), Seq("token"), "left_semi")
-        bm25Top10(bm25ScoreTail(tf, qt, tot))
-      },
+      (s, d) => bm25StoreTopK(s, bm25StorePath(s, d)),
       Some(sqlBm25Top10))
   )
+
+  /** t32's consumer over ANY postings store (the gate's two-batch
+    * fixture or the [[graft.streaming.DocumentStreams.postingsIngest]]
+    * streamed store — documents live wholly in one batch, so the
+    * multi-batch merge is pure partition-discovery union and the
+    * result depends only on the union of batches).
+    */
+  private[graft] def bm25StoreTopK(s: SparkSession,
+      storePath: String): DataFrame = {
+    val st = s.read.parquet(storePath)
+      .select("doc_id", "token", "tf", "dl")
+    val tot = st.groupBy("doc_id").agg(max(col("dl")).as("dl"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("l_tokens"))
+      .withColumn("avg_dl", expr("l_tokens div n_docs"))
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(md5(col("token")).asc)
+    val qt = st
+      .filter(col("doc_id") % 50 === 0 && col("doc_id") < 2000 &&
+        length(col("token")) >= 7)
+      .select(col("doc_id").as("query_id"), col("token"))
+      .withColumn("trm", row_number().over(wq))
+      .filter(col("trm") <= 4).drop("trm")
+    val tf = st
+      .join(broadcast(qt.select("token").distinct()), Seq("token"), "left_semi")
+    bm25Top10(bm25ScoreTail(tf, qt, tot))
+  }
+
+  /** Aggregated postings (doc_id, token, tf, dl) of a (doc_id, text)
+    * frame — [[bm25Scored]]'s tokenization verbatim, shared by the t32
+    * fixture builder and the streaming producer so stored-index scoring
+    * can never diverge from the recompute on tokenization.
+    */
+  private[graft] def bm25PostingsOf(docsDF: DataFrame): DataFrame =
+    docsDF
+      .select(col("doc_id"), tokens(normText(col("text"))).as("toks"))
+      .select(col("doc_id"), explode(col("toks")).as("token"),
+        size(col("toks")).cast("long").as("dl"))
+      .groupBy("doc_id", "token")
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
 
   /** Shared BM25 scaffold for t31 (and s19's lexical leg): per
     * (query_id, doc_id) integer lexical relevance over the `documents`
@@ -1733,12 +1755,7 @@ object TextAnalysis {
   private def bm25StorePath(s: SparkSession, d: String): String =
     graft.core.StoreFixture("graft_bm25store", d) { p =>
       (0 to 1).foreach { b =>
-        docs(s, d).filter(col("doc_id") % 2 === b)
-          .select(col("doc_id"), tokens(normText(col("text"))).as("toks"))
-          .select(col("doc_id"), explode(col("toks")).as("token"),
-            size(col("toks")).cast("long").as("dl"))
-          .groupBy("doc_id", "token")
-          .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+        bm25PostingsOf(docs(s, d).filter(col("doc_id") % 2 === b))
           .write.mode("overwrite").parquet(s"$p/batch_id=$b")
       }
     }

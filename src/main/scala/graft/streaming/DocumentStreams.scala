@@ -697,4 +697,36 @@ object DocumentStreams {
       (batch: Dataset[Doc], batchId: Long) =>
         writeCardBatch(batch, store, batchId)
     }
+
+  /** One micro-batch of the inverted-index ingest: the batch's
+    * aggregated postings (doc_id, token, tf, dl) —
+    * [[graft.operators.TextAnalysis.bm25PostingsOf]], the t32 fixture's
+    * builder verbatim — written to `store/batch_id=<id>` in OVERWRITE
+    * mode (the [[writeLmBatch]] idempotence discipline: a redelivered
+    * micro-batch rewrites its own partition). Unlike the count sidecars
+    * there is no additive fold at all: each document lives wholly in
+    * one micro-batch, so the consumer's merge is pure
+    * partition-discovery union — the Lucene-segment shape.
+    */
+  private[graft] def writePostingsBatch(batch: Dataset[Doc],
+      store: String, batchId: Long): Unit =
+    graft.operators.TextAnalysis.bm25PostingsOf(
+      batch.toDF().select("doc_id", "text"))
+      .write.mode("overwrite").parquet(s"$store/batch_id=$batchId")
+
+  /** The streaming PRODUCER of the inverted-index postings store that
+    * t32_bm25_store_topk consumes — continuous lexical-index ingest
+    * (the Lucene segment-write loop as a Structured Streaming sink),
+    * completing the warehouse-sidecar family: signatures
+    * (signatureIngest → d15/d25), exact hashes (hashIngest → d16),
+    * bloom bits (bloomIngest → d18), LM counts (lmIngest → t19),
+    * per-source union-MinHash (sourceSigIngest → d21), the dataset
+    * card (cardIngest → t27), and now the retrieval index itself.
+    */
+  def postingsIngest(docs: Dataset[Doc], store: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[Doc] =
+    docs.writeStream.foreachBatch {
+      (batch: Dataset[Doc], batchId: Long) =>
+        writePostingsBatch(batch, store, batchId)
+    }
 }

@@ -533,6 +533,47 @@ class DocumentStreamsSpec extends SparkTestBase {
       "replaying a delivered batch id must not change any cell count")
   }
 
+  test("t32 consumes a postingsIngest-streamed index: segment union equals the one-shot store") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    implicit val sq = spark.sqlContext
+    val d = "/root/testdata/sf0.001"
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_streamed_postings").toString
+    // stream the WHOLE corpus in two micro-batches (a different split
+    // than the gate fixture's doc_id % 2 — the consumer depends only on
+    // the UNION of segments, which is the point)
+    val docs = graft.core.Tables.documents(spark, d)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"))
+      .collect().sortBy(_.getLong(0))
+      .map(r => DocumentStreams.Doc(r.getLong(0), ts("09:00"),
+        r.getString(1), r.getString(2), r.getString(3)))
+    val (first, second) = docs.splitAt(docs.length / 2)
+    val in = MemoryStream[DocumentStreams.Doc]
+    val q = DocumentStreams.postingsIngest(in.toDS(), store).start()
+    try {
+      in.addData(first.toSeq)
+      q.processAllAvailable()
+      in.addData(second.toSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    val viaStream = rows(
+      graft.operators.TextAnalysis.bm25StoreTopK(spark, store))
+    val viaGate = rows(
+      graft.SparkEntry.queries("t32_bm25_store_topk")(spark, d))
+    assert(viaStream === viaGate,
+      "the streamed segment store must be drop-in for the gate's two-batch fixture")
+    // a failure-redelivered segment rewrites its own subdir: postings
+    // never double-count, scores never move
+    DocumentStreams.writePostingsBatch(second.toSeq.toDS(), store, 1L)
+    assert(rows(graft.operators.TextAnalysis.bm25StoreTopK(spark, store))
+      === viaStream,
+      "replaying a delivered batch id must not change any score")
+  }
+
   test("d16 consumes a hashIngest-streamed store: producer and batch consumer agree") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
