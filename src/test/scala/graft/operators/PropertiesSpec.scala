@@ -46,6 +46,33 @@ class PropertiesSpec extends SparkTestBase {
     }
   }
 
+  test("codegen graft_center equals the per-element spelling bit-exactly; null passes through") {
+    graft.plans.VectorExpressions.register(spark)
+    val vecGen = Gen.listOfN(16, Gen.chooseNum(-1e3, 1e3)).map(_.toArray)
+    val vecs = sample(vecGen, 100, 3L)
+    val df = vecs.toDF("v")
+      .select(
+        Portable.centerFast(col("v")).as("fast"),
+        array((1 to 16).map(i => element_at(col("v"), i) -
+          (1 to 16).map(j => element_at(col("v"), j)).reduce(_ + _)
+            / lit(16.0)): _*).as("slow"))
+    df.collect().foreach { r =>
+      val (f, s) = (r.getSeq[Double](0), r.getSeq[Double](1))
+      assert(f.length === 16)
+      f.zip(s).foreach { case (a, b) =>
+        assert(java.lang.Double.doubleToRawLongBits(a) ===
+          java.lang.Double.doubleToRawLongBits(b))
+      }
+    }
+    // a centered vector sums to ~0 and the transform is idempotent up to
+    // representation error only when the mean is exactly representable —
+    // pin the EXACT invariant instead: null input stays null
+    val n = Seq[Option[Array[Double]]](None, Some(Array(1.0, 2.0, 3.0)))
+      .toDF("v").select(Portable.centerFast(col("v")).as("c")).collect()
+    assert(n(0).isNullAt(0))
+    assert(n(1).getSeq[Double](0) === Seq(-1.0, 0.0, 1.0))
+  }
+
   test("graft_kmv equals brute-force bottom-k of distinct across shuffled partitions") {
     graft.plans.SketchAggregates.register(spark)
     // heavy duplication + several groups; repartition(7) forces partial
