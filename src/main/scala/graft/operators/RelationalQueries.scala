@@ -1494,6 +1494,127 @@ object RelationalQueries {
            |  sum(CASE WHEN scanned_day THEN 1 ELSE 0 END)
            |    OVER (PARTITION BY layout)::BIGINT AS layout_files_read_day
            |FROM sc ORDER BY layout, file_id""".stripMargin
-      })
+      }),
+
+    // HDR-histogram quantiles — the BOUNDED-STATE quantile summary the
+    // sketch family was missing (HLL q31 / KMV q45 count distincts, CMS
+    // t30 counts frequencies; exact quantiles q25 buffer VALUES — a
+    // per-group sort at 100 TB). HdrHistogram's shape (Tene; the
+    // de-facto latency-quantile summary in production monitoring):
+    // values integerize to cents, bucket = log2 octave × 8 linear
+    // sub-buckets (≤ 12.5 % relative bucket width; octaves below 8
+    // cents are exact), so the histogram is ≤ ~8·40 cells per group
+    // REGARDLESS of row count, cells merge by pure addition (the CMS
+    // discipline), and a quantile reads off the cumulative grid. Every
+    // step is 64-bit integer (floor-to-cents, power-of-two bounds,
+    // integer sub-bucket div, ceil-rank (k·n + k') div d) — hash-gated
+    // exactly, like every deterministic sketch here. The output carries
+    // est bucket [lo, hi) next to the EXACT disc quantile: the audit
+    // columns p{50,95,99}_bounded are the histogram's guarantee
+    // (lo ≤ exact < hi — true by construction, the t30
+    // no_underestimate pattern) and est_err_cents prices the bucket
+    // width actually paid. Scale shape: octave assignment is a 40-row
+    // broadcast range join riding the scan (BNLJ against power-of-two
+    // literals — no log2 float anywhere); the ONE corpus exchange is
+    // the (type, bucket) cell rollup, map-side partial; cumulative
+    // windows and quantile selection run on the ~640-cell grid; the
+    // exact quantiles (audit leg only — production drops them) reuse
+    // q25's percentile_disc and re-attach broadcast.
+    Q("q47_hdr_quantiles",
+      "log-histogram p50/p95/p99 per event type: bounded-state mergeable cells, integer-exact, with exact-quantile audit",
+      (s, d) => {
+        val ev = Tables.events(s, d).filter(col("value").isNotNull)
+          .select(col("event_type"),
+            expr("cast(floor(value * 100 + 0.5) as bigint)").as("cents"))
+        val pows = broadcast(s.range(0, 40)
+          .select(expr("shiftleft(1L, cast(id as int))").as("lo"),
+            expr("CASE WHEN id = 39 THEN 9223372036854775807L " +
+              "ELSE shiftleft(1L, cast(id as int) + 1) END").as("hi")))
+        val cells = ev
+          .join(pows, col("cents") >= col("lo") && col("cents") < col("hi"))
+          .withColumn("width", expr("CASE WHEN lo >= 8 THEN lo div 8 ELSE 1 END"))
+          .withColumn("bucket_lo", expr(
+            "CASE WHEN lo >= 8 THEN lo + ((cents - lo) div (lo div 8)) * (lo div 8) ELSE cents END"))
+          .groupBy(col("event_type"), col("bucket_lo"), col("width"))
+          .agg(count(lit(1)).as("cnt"))
+        val wcum = Window.partitionBy(col("event_type"))
+          .orderBy(col("bucket_lo"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val cum = cells
+          .withColumn("cum", sum(col("cnt")).over(wcum))
+          .withColumn("n", sum(col("cnt"))
+            .over(Window.partitionBy(col("event_type"))))
+          .withColumn("bucket_hi", col("bucket_lo") + col("width"))
+        def estOf(num: Int, den: Int, tag: String) = Seq(
+          min(when(col("cum") >= expr(s"($num * n + ${den - 1}) div $den"),
+            col("bucket_lo"))).as(s"est_p${tag}_lo"),
+          min(when(col("cum") >= expr(s"($num * n + ${den - 1}) div $den"),
+            col("bucket_hi"))).as(s"est_p${tag}_hi"))
+        val est = cum.groupBy("event_type")
+          .agg(max(col("n")).as("n"),
+            (estOf(1, 2, "50") ++ estOf(19, 20, "95") ++
+              estOf(99, 100, "99")): _*)
+        val exact = ev.groupBy("event_type").agg(
+          expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY cents)").as("exact_p50"),
+          expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY cents)").as("exact_p95"),
+          expr("percentile_disc(0.99) WITHIN GROUP (ORDER BY cents)").as("exact_p99"))
+        est.join(broadcast(exact), Seq("event_type"))
+          .select(col("event_type"), col("n"),
+            col("est_p50_lo"), col("exact_p50"),
+            (col("est_p50_lo") <= col("exact_p50") &&
+              col("exact_p50") < col("est_p50_hi")).as("p50_bounded"),
+            col("est_p95_lo"), col("exact_p95"),
+            (col("est_p95_lo") <= col("exact_p95") &&
+              col("exact_p95") < col("est_p95_hi")).as("p95_bounded"),
+            col("est_p99_lo"), col("exact_p99"),
+            (col("est_p99_lo") <= col("exact_p99") &&
+              col("exact_p99") < col("est_p99_hi")).as("p99_bounded"),
+            (col("exact_p99") - col("est_p99_lo")).as("est_err_cents"))
+          .orderBy("event_type")
+      },
+      Some("""WITH ev AS (SELECT event_type,
+             |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+             |  FROM events WHERE value IS NOT NULL),
+             |pows AS (SELECT (1::BIGINT << i) AS lo,
+             |    CASE WHEN i = 39 THEN 9223372036854775807
+             |      ELSE (1::BIGINT << (i + 1)) END AS hi
+             |  FROM range(0, 40) t(i)),
+             |b AS (SELECT event_type, cents, lo,
+             |    CASE WHEN lo >= 8 THEN lo // 8 ELSE 1 END AS width,
+             |    CASE WHEN lo >= 8
+             |      THEN lo + ((cents - lo) // (lo // 8)) * (lo // 8)
+             |      ELSE cents END AS bucket_lo
+             |  FROM ev JOIN pows ON cents >= lo AND cents < hi),
+             |cells AS (SELECT event_type, bucket_lo, width,
+             |    count(*)::BIGINT AS cnt
+             |  FROM b GROUP BY 1, 2, 3),
+             |cum AS (SELECT *, sum(cnt) OVER (PARTITION BY event_type
+             |      ORDER BY bucket_lo ROWS UNBOUNDED PRECEDING)::BIGINT AS cum,
+             |    sum(cnt) OVER (PARTITION BY event_type)::BIGINT AS n,
+             |    bucket_lo + width AS bucket_hi
+             |  FROM cells),
+             |est AS (SELECT event_type, max(n) AS n,
+             |    min(CASE WHEN cum >= (1 * n + 1) // 2 THEN bucket_lo END) AS est_p50_lo,
+             |    min(CASE WHEN cum >= (1 * n + 1) // 2 THEN bucket_hi END) AS est_p50_hi,
+             |    min(CASE WHEN cum >= (19 * n + 19) // 20 THEN bucket_lo END) AS est_p95_lo,
+             |    min(CASE WHEN cum >= (19 * n + 19) // 20 THEN bucket_hi END) AS est_p95_hi,
+             |    min(CASE WHEN cum >= (99 * n + 99) // 100 THEN bucket_lo END) AS est_p99_lo,
+             |    min(CASE WHEN cum >= (99 * n + 99) // 100 THEN bucket_hi END) AS est_p99_hi
+             |  FROM cum GROUP BY event_type),
+             |ex AS (SELECT event_type,
+             |    quantile_disc(cents, 0.5) AS exact_p50,
+             |    quantile_disc(cents, 0.95) AS exact_p95,
+             |    quantile_disc(cents, 0.99) AS exact_p99
+             |  FROM ev GROUP BY event_type)
+             |SELECT est.event_type, n,
+             |  est_p50_lo, exact_p50,
+             |  est_p50_lo <= exact_p50 AND exact_p50 < est_p50_hi AS p50_bounded,
+             |  est_p95_lo, exact_p95,
+             |  est_p95_lo <= exact_p95 AND exact_p95 < est_p95_hi AS p95_bounded,
+             |  est_p99_lo, exact_p99,
+             |  est_p99_lo <= exact_p99 AND exact_p99 < est_p99_hi AS p99_bounded,
+             |  exact_p99 - est_p99_lo AS est_err_cents
+             |FROM est JOIN ex ON est.event_type = ex.event_type
+             |ORDER BY est.event_type""".stripMargin))
   )
 }

@@ -282,6 +282,47 @@ class ExtendedQueriesSpec extends SparkTestBase {
       "the exact rerank must visibly reorder the prefix screen somewhere — otherwise the funnel is vacuous")
   }
 
+  test("q47 HDR cells: driver recompute agrees, per-half histograms SUM to the whole (mergeability), bounds hold") {
+    // independent Scala recompute of the histogram → quantile chain, plus
+    // the sketch's defining property: cells built on disjoint halves merge
+    // by pure addition into the full histogram
+    def bucketLo(cents: Long): Long = {
+      val e = 63 - java.lang.Long.numberOfLeadingZeros(cents)
+      val lo = 1L << e
+      if (lo >= 8) lo + ((cents - lo) / (lo / 8)) * (lo / 8) else cents
+    }
+    val evs = graft.core.Tables.events(spark, sf)
+      .filter(col("value").isNotNull)
+      .selectExpr("event_type", "cast(floor(value * 100 + 0.5) as bigint) as cents")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    def cellsOf(rows: Array[(String, Long)]) =
+      rows.groupBy { case (t, c) => (t, bucketLo(c)) }
+        .map { case (k, g) => k -> g.length.toLong }
+    val full = cellsOf(evs)
+    val (h1, h2) = evs.partition(_._2 % 2 == 0)
+    val merged = (cellsOf(h1).toSeq ++ cellsOf(h2).toSeq)
+      .groupBy(_._1).map { case (k, g) => k -> g.map(_._2).sum }
+    assert(merged === full,
+      "per-half histograms must merge by addition into the full histogram")
+    def estOf(t: String, num: Long, den: Long): Long = {
+      val cells = full.collect { case ((tt, b), c) if tt == t => (b, c) }
+        .toSeq.sortBy(_._1)
+      val n = cells.map(_._2).sum
+      val need = (num * n + den - 1) / den
+      cells.scanLeft(0L)(_ + _._2).zip(cells).collectFirst {
+        case (cumBefore, (b, c)) if cumBefore + c >= need => b
+      }.get
+    }
+    run("q47_hdr_quantiles").collect().foreach { r =>
+      val t = r.getString(0)
+      assert(r.getLong(2) === estOf(t, 1, 2), s"$t p50 estimate")
+      assert(r.getLong(5) === estOf(t, 19, 20), s"$t p95 estimate")
+      assert(r.getLong(8) === estOf(t, 99, 100), s"$t p99 estimate")
+      assert(r.getBoolean(4) && r.getBoolean(7) && r.getBoolean(10),
+        s"$t: every exact quantile must land inside its estimated bucket")
+    }
+  }
+
   test("q46: matched rows conserved across layouts, no false prunes, z-order prunes where single-key can't") {
     val rows = run("q46_zorder_skipping").collect().map(r =>
       (r.getString(0), r.getLong(2), r.getLong(3), r.getBoolean(8),

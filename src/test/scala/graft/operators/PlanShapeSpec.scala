@@ -1263,6 +1263,16 @@ class PlanShapeSpec extends SparkTestBase {
       "nothing in the funnel may shuffle a join: candidates and queries are workload-sized")
   }
 
+  test("q47: octave assignment rides the scan (broadcast range join); histogram rollup partial-aggregates") {
+    val plan = executedPlan("q47_hdr_quantiles")
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      "the 40-row power-of-two table must attach as a broadcast range join, not a shuffle")
+    assert(plan.contains("partial_count"),
+      "the (type, bucket) cell rollup must partial-aggregate map-side")
+    assert(!plan.contains("SortMergeJoin"),
+      "exact-quantile audit leg and cells are both grid-sized — broadcast attaches only")
+  }
+
   test("q46: layout assignment is a pure projection — the corpus is never reshuffled; one stack pass") {
     val plan = executedPlan("q46_zorder_skipping")
     assert(countOf(plan, "FileScan parquet") == 2,
