@@ -1526,17 +1526,7 @@ object RelationalQueries {
         val ev = Tables.events(s, d).filter(col("value").isNotNull)
           .select(col("event_type"),
             expr("cast(floor(value * 100 + 0.5) as bigint)").as("cents"))
-        val pows = broadcast(s.range(0, 40)
-          .select(expr("shiftleft(1L, cast(id as int))").as("lo"),
-            expr("CASE WHEN id = 39 THEN 9223372036854775807L " +
-              "ELSE shiftleft(1L, cast(id as int) + 1) END").as("hi")))
-        val cells = ev
-          .join(pows, col("cents") >= col("lo") && col("cents") < col("hi"))
-          .withColumn("width", expr("CASE WHEN lo >= 8 THEN lo div 8 ELSE 1 END"))
-          .withColumn("bucket_lo", expr(
-            "CASE WHEN lo >= 8 THEN lo + ((cents - lo) div (lo div 8)) * (lo div 8) ELSE cents END"))
-          .groupBy(col("event_type"), col("bucket_lo"), col("width"))
-          .agg(count(lit(1)).as("cnt"))
+        val cells = hdrCellsOf(Tables.events(s, d))
         val wcum = Window.partitionBy(col("event_type"))
           .orderBy(col("bucket_lo"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -1617,4 +1607,30 @@ object RelationalQueries {
              |FROM est JOIN ex ON est.event_type = ex.event_type
              |ORDER BY est.event_type""".stripMargin))
   )
+
+  /** q47's histogram cells over any (event_type, value) frame —
+    * (event_type, bucket_lo, width, cnt), shared with the streaming twin
+    * [[graft.streaming.EventStreams.hdrCellsStream]] so batch and stream
+    * can never disagree on the bucketing. Works on a streaming frame
+    * because the octave attach is a stream-static join against the
+    * broadcast 40-row power-of-two table and the rollup is a plain
+    * keyed count (bounded state: ≤ ~8·40 cells per type by construction,
+    * the kmvDistinctStream no-watermark rationale).
+    */
+  private[graft] def hdrCellsOf(events: DataFrame): DataFrame = {
+    val s = events.sparkSession
+    val ev = events.filter(col("value").isNotNull)
+      .select(col("event_type"),
+        expr("cast(floor(value * 100 + 0.5) as bigint)").as("cents"))
+    val pows = broadcast(s.range(0, 40)
+      .select(expr("shiftleft(1L, cast(id as int))").as("lo"),
+        expr("CASE WHEN id = 39 THEN 9223372036854775807L " +
+          "ELSE shiftleft(1L, cast(id as int) + 1) END").as("hi")))
+    ev.join(pows, col("cents") >= col("lo") && col("cents") < col("hi"))
+      .withColumn("width", expr("CASE WHEN lo >= 8 THEN lo div 8 ELSE 1 END"))
+      .withColumn("bucket_lo", expr(
+        "CASE WHEN lo >= 8 THEN lo + ((cents - lo) div (lo div 8)) * (lo div 8) ELSE cents END"))
+      .groupBy(col("event_type"), col("bucket_lo"), col("width"))
+      .agg(count(lit(1)).as("cnt"))
+  }
 }

@@ -49,6 +49,18 @@ object EventStreams extends Serializable {
       .agg(kmvSketch(col("h"), k).as("sk"))
   }
 
+  /** Streaming HDR-histogram cells — q47's twin at the CELL grain, the
+    * same split as q45 (the stream maintains the bounded-state summary;
+    * the consumer reads quantiles off the emitted cell frame unchanged —
+    * q47's cumulative-grid tail). Shares q47's bucketing verbatim
+    * ([[graft.operators.RelationalQueries.hdrCellsOf]]); a keyed count
+    * over ≤ ~8·40 cells per type, so complete/update mode with no
+    * watermark — state is bounded by the SUMMARY's construction, not by
+    * eviction (the kmvDistinctStream rationale, here for quantiles).
+    */
+  def hdrCellsStream(events: DataFrame): DataFrame =
+    graft.operators.RelationalQueries.hdrCellsOf(events)
+
   /** Tumbling-hour rollup with a 2-hour watermark — the streaming twin of
     * q21_events_hourly. Late events beyond the watermark are dropped;
     * everything else lands in its event-time hour.

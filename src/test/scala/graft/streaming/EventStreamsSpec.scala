@@ -68,6 +68,43 @@ class EventStreamsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("hdrCellsStream: shuffled micro-batched histogram equals the batch cells exactly") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    // real sf0.001 events, shuffled deterministically, 4 micro-batches:
+    // counts are order-free, so the streamed cell grid must equal the
+    // one-shot batch histogram cell for cell — and stay bounded
+    val batch = graft.core.Tables.events(spark, "/root/testdata/sf0.001")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    val rows = batch.collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2),
+        r.getString(3), r.getDouble(4)))
+      .sortBy(t => graft.functions.Portable.h60Scala(s"shuf_${t._1}"))
+    val in = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val df = in.toDF().toDF("event_id", "ts", "user_id", "event_type", "value")
+    val q = EventStreams.hdrCellsStream(df)
+      .writeStream.format("memory").queryName("hdr_stream")
+      .outputMode("complete").start()
+    try {
+      rows.grouped(math.max(1, rows.length / 4 + 1)).foreach { chunk =>
+        in.addData(chunk.toIndexedSeq)
+        q.processAllAvailable()
+      }
+      def cells(dfc: org.apache.spark.sql.DataFrame) = dfc.collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2)) -> r.getLong(3))
+        .toMap
+      val streamed = cells(spark.table("hdr_stream"))
+      val expect = cells(EventStreams.hdrCellsStream(batch))
+      assert(streamed === expect,
+        "streamed histogram must equal the batch cells exactly")
+      // the state bound the no-watermark choice rests on: cells per type
+      // stay within the summary's construction limit (~8 sub-buckets × 40
+      // octaves), regardless of how many events streamed in
+      val perType = streamed.keys.groupBy(_._1).map(_._2.size)
+      assert(perType.forall(_ <= 320), s"cell grid must stay bounded: $perType")
+    } finally q.stop()
+  }
+
   test("sessionize closes a session after the inactivity gap (event time)") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
