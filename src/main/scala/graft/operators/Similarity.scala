@@ -1692,7 +1692,86 @@ object Similarity {
              |rr AS (SELECT *, row_number() OVER (PARTITION BY query_id
              |    ORDER BY cosine DESC, vec_id) AS rank FROM s2)
              |SELECT query_id, rank::BIGINT AS rank, vec_id, cosine, stage1_rank
-             |FROM rr WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin))
+             |FROM rr WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin)),
+
+    // The funnel's tuning curve — s20's design question priced the s17
+    // way (s17 prices s15's over-retrieve pool; this prices s20's):
+    // recall@10 of the two-stage funnel vs exact full-dim truth for
+    // stage-1 pools K ∈ {10, 20, 50}. Because stage 2 reranks EXACTLY,
+    // the funnel's final top-10 at pool K is precisely the exact top-10
+    // restricted to the stage-1 top-K — so recall@10 = |exact top-10 ∩
+    // prefix top-K| / 10, an integer intersection count (hash-gated;
+    // the one division is a single IEEE op). K = 50 reconciles against
+    // s20's ACTUAL output row-for-row (spec), the s17 "curve meets the
+    // operator" move. Scale shape: the s16 one-shared-pass discipline —
+    // prefix and exact cosines ride ONE corpus×queries pass, both rank
+    // windows share the query_id exchange, truth rows (≤ 10·|queries|)
+    // cross the broadcast 3-row level table and fold into one 3-row
+    // aggregation.
+    Q("s21_rerank_recall_curve",
+      "two-stage funnel recall@10 vs exact truth for stage-1 pools K in {10,20,50}, one shared pass",
+      (s, d) => {
+        import s.implicits._
+        val pDim = 16
+        val e = vectors(s, d)
+          .withColumn("pv", slice(col("v"), 1, pDim))
+          .withColumn("pnrm", sqrt(dotFast(col("pv"), col("pv"))))
+        val q = e.filter(col("vec_id") % 50 === 0 && col("vec_id") < 2000)
+          .select(col("vec_id").as("query_id"), col("v").as("qv"),
+            col("nrm").as("qn"), col("pv").as("qpv"), col("pnrm").as("qpn"))
+        val we = Window.partitionBy(col("query_id"))
+          .orderBy(col("ce").desc, col("vec_id").asc)
+        val wp = Window.partitionBy(col("query_id"))
+          .orderBy(col("cp").desc, col("vec_id").asc)
+        val levels = Seq(10, 20, 50).toDF("k_pool")
+        e.crossJoin(broadcast(q))
+          .filter(col("vec_id") =!= col("query_id"))
+          .withColumn("ce", dotFast(col("v"), col("qv")) / (col("nrm") * col("qn")))
+          .withColumn("cp", dotFast(col("pv"), col("qpv")) / (col("pnrm") * col("qpn")))
+          .withColumn("rank_e", row_number().over(we))
+          .withColumn("rank_p", row_number().over(wp))
+          .filter(col("rank_e") <= 10)
+          .crossJoin(broadcast(levels))
+          .groupBy("k_pool")
+          .agg(countDistinct(col("query_id")).as("n_queries"),
+            count(lit(1)).as("truth_rows"),
+            sum(when(col("rank_p") <= col("k_pool"), 1L).otherwise(0L))
+              .as("hits"))
+          .select(col("k_pool"), col("n_queries"), col("truth_rows"),
+            col("hits"),
+            (col("hits") * lit(1.0) / col("truth_rows")).as("recall_at_10"))
+          .orderBy("k_pool")
+      },
+      Some(s"""$sqlVectors,
+             |p AS (SELECT vec_id, v, nrm, v[1:16] AS pv,
+             |    sqrt(list_reduce(list_transform(range(1, 17),
+             |      i -> v[i] * v[i]), (x, y) -> x + y)) AS pnrm
+             |  FROM n),
+             |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn,
+             |    pv AS qpv, pnrm AS qpn
+             |  FROM p WHERE vec_id % 50 = 0 AND vec_id < 2000),
+             |sc AS (SELECT q.query_id, p.vec_id,
+             |    list_reduce(list_transform(range(1, 65),
+             |      i -> p.v[i] * q.qv[i]), (x, y) -> x + y) / (p.nrm * q.qn) AS ce,
+             |    list_reduce(list_transform(range(1, 17),
+             |      i -> p.pv[i] * q.qpv[i]), (x, y) -> x + y) / (p.pnrm * q.qpn) AS cp
+             |  FROM p CROSS JOIN q WHERE p.vec_id <> q.query_id),
+             |rk AS (SELECT query_id, vec_id,
+             |    row_number() OVER (PARTITION BY query_id
+             |      ORDER BY ce DESC, vec_id) AS rank_e,
+             |    row_number() OVER (PARTITION BY query_id
+             |      ORDER BY cp DESC, vec_id) AS rank_p
+             |  FROM sc),
+             |tr AS (SELECT * FROM rk WHERE rank_e <= 10),
+             |lv AS (SELECT unnest([10, 20, 50]) AS k_pool)
+             |SELECT lv.k_pool::INT AS k_pool,
+             |  count(DISTINCT tr.query_id)::BIGINT AS n_queries,
+             |  count(*)::BIGINT AS truth_rows,
+             |  sum(CASE WHEN tr.rank_p <= lv.k_pool THEN 1 ELSE 0 END)::BIGINT AS hits,
+             |  sum(CASE WHEN tr.rank_p <= lv.k_pool THEN 1 ELSE 0 END)
+             |    * 1.0 / count(*) AS recall_at_10
+             |FROM tr CROSS JOIN lv
+             |GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 
   /** s18's engine over any (vec_id, v, nrm) frame — public so the

@@ -282,6 +282,37 @@ class ExtendedQueriesSpec extends SparkTestBase {
       "the exact rerank must visibly reorder the prefix screen somewhere — otherwise the funnel is vacuous")
   }
 
+  test("s21 curve is monotone in K and its K=50 point reconciles with s20's actual output") {
+    val curve = run("s21_rerank_recall_curve").collect()
+      .map(r => r.getInt(0) -> (r.getLong(3), r.getDouble(4))).toMap
+    assert(curve.keySet === Set(10, 20, 50))
+    assert(curve(10)._2 <= curve(20)._2 && curve(20)._2 <= curve(50)._2,
+      "a larger stage-1 pool can only help recall")
+    // exact full-dim truth, driver-side (the s04 recompute discipline)
+    val vecs = graft.core.Tables.embeddings(spark, sf)
+      .filter(col("embedding").isNotNull)
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      def dot(x: Array[Double], y: Array[Double]) =
+        x.zip(y).map { case (p, q) => p * q }.sum
+      dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+    }
+    val queries = vecs.keys.filter(id => id % 50 == 0 && id < 2000)
+    val exactTop10 = queries.map { q =>
+      q -> vecs.keys.filter(_ != q).toSeq
+        .map(v => (v, cos(vecs(q), vecs(v))))
+        .sortBy { case (v, c) => (-c, v) }.take(10).map(_._1).toSet
+    }.toMap
+    // s20's final top-10 at pool 50 is exact-top-10 ∩ stage-1-top-50, so
+    // the curve's hits@50 must equal the count of s20 rows that are true
+    // exact-top-10 members — the operator meets its own tuning curve
+    val s20Hits = run("s20_two_stage_rerank").collect()
+      .count(r => exactTop10(r.getLong(0)).contains(r.getLong(2)))
+    assert(curve(50)._1 === s20Hits.toLong,
+      "hits@50 must equal s20's exact-top-10 member count")
+  }
+
   test("q47 HDR cells: driver recompute agrees, per-half histograms SUM to the whole (mergeability), bounds hold") {
     // independent Scala recompute of the histogram → quantile chain, plus
     // the sketch's defining property: cells built on disjoint halves merge

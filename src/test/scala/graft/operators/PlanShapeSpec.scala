@@ -1273,6 +1273,17 @@ class PlanShapeSpec extends SparkTestBase {
       "exact-quantile audit leg and cells are both grid-sized — broadcast attaches only")
   }
 
+  test("s21: prefix and exact ranks ride ONE corpus pass sharing one query_id exchange") {
+    val plan = executedPlan("s21_rerank_recall_curve")
+    // two BNLJs by design: the corpus×queries pass and the 3-row level
+    // attach (which runs on the ≤ 10·|queries| truth rows, not the corpus)
+    assert(countOf(plan, "BroadcastNestedLoopJoin") == 2,
+      "one corpus×queries pass + the tiny level attach — nothing else")
+    assert(countOf(plan, "Exchange hashpartitioning\\(query_id") == 1,
+      "both rank windows must share a single query_id exchange")
+    assert(!plan.contains("SortMergeJoin"))
+  }
+
   test("q46: layout assignment is a pure projection — the corpus is never reshuffled; one stack pass") {
     val plan = executedPlan("q46_zorder_skipping")
     assert(countOf(plan, "FileScan parquet") == 2,
