@@ -397,6 +397,28 @@ object Dedup {
       .distinct()
   }
 
+  /** [[bandRows]]/[[bandedCandidates]] generalized to any (bands, rows)
+    * geometry over the 30-perm signature — d29's knob. Band j hashes
+    * rows [r·j, r·j+r); the array equality after the bucket join is the
+    * same collision re-check the fixed 10×3 path does column-wise.
+    */
+  private def bandedCandidatesG(sigs: DataFrame, nb: Int, r: Int): DataFrame = {
+    val bands = sigs.select(col("doc_id"), explode(array(
+      (0 until nb).map { j =>
+        val ms = (0 until r).map(i => col(s"mh_${r * j + i}"))
+        struct(xxhash64((lit(j) +: ms): _*).as("bkey"),
+          array(ms: _*).as("mrows"))
+      }: _*)).as("b"))
+      .select(col("doc_id"), col("b.bkey").as("bkey"),
+        col("b.mrows").as("mrows"))
+    bands.as("x").hint("merge")
+      .join(bands.as("y"), Seq("bkey"))
+      .filter(col("x.doc_id") < col("y.doc_id") &&
+        col("x.mrows") === col("y.mrows"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+  }
+
   /** Broder signature-agreement estimation of a candidate pair set:
     * attach both docs' 30-long signatures, count agreeing components,
     * keep pairs at estimate >= 0.5 — O(30) per pair, the shingle sets are
@@ -1782,8 +1804,131 @@ object Dedup {
              |    lag(dup_len) OVER (PARTITION BY doc_id ORDER BY pos) AS prev_len FROM d)
              |SELECT doc_id, pos, dup_len AS len FROM m
              |WHERE dup_len >= 12 AND (prev_len IS NULL OR prev_len < dup_len + 1)
-             |ORDER BY doc_id, pos""".stripMargin))
+             |ORDER BY doc_id, pos""".stripMargin)),
+
+    // LSH geometry tuning curve — d20's single-geometry audit swept
+    // across the (bands × rows) knob, the dedup analog of s21's funnel
+    // curve: over the SAME 30-perm signatures, candidates for
+    // (30×1), (15×2), (10×3), (6×5) priced against the exact
+    // Jaccard ≥ 0.5 truth in one shared pass. This is THE published
+    // LSH design trade (the S-curve: collision probability
+    // 1 − (1 − J^r)^b, midpoint ≈ (1/b)^(1/r) — emitted per geometry
+    // as a literal, 0.033 / 0.258 / 0.464 / 0.699, so the measured
+    // recall/precision sits next to the theory that predicts it):
+    // more bands × fewer rows catches lower-J pairs at the cost of
+    // candidate volume; the curve says which geometry a target
+    // threshold needs. Counts are integer intersections (hash-gated);
+    // each recall/precision is one IEEE division. Scale shape: ONE
+    // shingle pass + ONE signature aggregation feed all four
+    // geometries; each geometry's candidates come from the SAME banded
+    // merge-join discipline as d03 (bucket join on the band hash, never
+    // all-pairs — the oracle's all-pairs spelling is fixture-only);
+    // truth is the d20 shingle-join; the full-outer reconcile runs on
+    // candidate∪truth pairs (output-bound), the final grid is 4 rows.
+    Q("d29_lsh_geometry_curve",
+      "LSH (bands x rows) tuning curve over one signature set: recall/precision vs exact J>=0.5 truth per geometry, S-curve midpoint alongside",
+      (s, d) => {
+        import s.implicits._
+        val ex = explodedShingles(s, d).localCheckpoint(true)
+        val sigs = minhashSigs(ex).localCheckpoint(true)
+        val truth = jaccardPairs(ex, 0.5)
+          .select(col("doc_a"), col("doc_b"), lit(1).as("t"))
+        val geomDf = broadcast(LshGeometries
+          .map { case (nb, r, mid) => (nb, r, mid) }
+          .toDF("n_bands", "rows_per_band", "s_curve_midpoint"))
+        val cands = LshGeometries.map { case (nb, r, _) =>
+          bandedCandidatesG(sigs, nb, r)
+            .select(lit(nb).as("n_bands"), lit(r).as("rows_per_band"),
+              col("doc_a"), col("doc_b"), lit(1).as("c"))
+        }.reduce(_ unionByName _)
+        val truthG = truth
+          .crossJoin(broadcast(geomDf.select("n_bands", "rows_per_band")))
+        truthG
+          .join(cands,
+            Seq("n_bands", "rows_per_band", "doc_a", "doc_b"), "full_outer")
+          .groupBy("n_bands", "rows_per_band")
+          .agg(count(col("t")).as("n_true"), count(col("c")).as("n_cand"),
+            count(when(col("t").isNotNull && col("c").isNotNull, lit(1)))
+              .as("n_hit"))
+          .join(geomDf, Seq("n_bands", "rows_per_band"))
+          .select(col("n_bands"), col("rows_per_band"),
+            col("s_curve_midpoint"), col("n_true"), col("n_cand"),
+            col("n_hit"),
+            when(col("n_true") > 0, col("n_hit") * lit(1.0) / col("n_true"))
+              .as("recall"),
+            when(col("n_cand") > 0, col("n_hit") * lit(1.0) / col("n_cand"))
+              .as("precision"))
+          .orderBy("rows_per_band")
+      },
+      Some {
+        val aList = MinHashCoeffs.map(_._1).mkString("[", ",", "]")
+        val bList = MinHashCoeffs.map(_._2).mkString("[", ",", "]")
+        val geomVals = LshGeometries.map { case (nb, r, mid) =>
+          s"($nb, $r, $mid)"
+        }.mkString(", ")
+        val candLegs = LshGeometries.map { case (nb, r, _) =>
+          val rowsEq = (1 to r)
+            .map(i => s"a.sig[$r*j+$i] = b.sig[$r*j+$i]").mkString(" AND ")
+          s"""SELECT $nb AS n_bands, $r AS rows_per_band,
+             |    a.doc_id AS doc_a, b.doc_id AS doc_b
+             |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+             |  WHERE len(list_filter(range(0, $nb), j -> $rowsEq)) > 0"""
+            .stripMargin
+        }.mkString("\n  UNION ALL\n  ")
+        s"""$sqlShingled,
+           |ex AS (SELECT doc_id, nsh, unnest(sh) AS shingle FROM sh),
+           |tru AS (
+           |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           |    a.nsh AS size_a, b.nsh AS size_b, count(*)::BIGINT AS i
+           |  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+           |  GROUP BY 1, 2, 3, 4
+           |  HAVING i * 1.0 / (size_a + size_b - i) >= 0.5),
+           |hs AS (SELECT doc_id,
+           |    list_transform(sh, g0 -> ('0x' || substr(md5(g0), 1, 15))::BIGINT % 2147483647) AS gs
+           |  FROM sh),
+           |sig AS (SELECT doc_id, list_transform(range(0, 30), k ->
+           |      list_aggregate(list_transform(gs,
+           |        g -> (g * ($aList)[k+1] + ($bList)[k+1]) % 2147483647), 'min')) AS sig
+           |  FROM hs),
+           |geoms AS (SELECT * FROM (VALUES $geomVals)
+           |  AS g(n_bands, rows_per_band, s_curve_midpoint)),
+           |cand AS (
+           |  $candLegs),
+           |tg AS (SELECT g.n_bands, g.rows_per_band, t.doc_a, t.doc_b
+           |  FROM (SELECT doc_a, doc_b FROM tru) t CROSS JOIN geoms g),
+           |fo AS (SELECT
+           |    coalesce(t.n_bands, c.n_bands) AS n_bands,
+           |    coalesce(t.rows_per_band, c.rows_per_band) AS rows_per_band,
+           |    (t.doc_a IS NOT NULL)::INT AS is_t,
+           |    (c.doc_a IS NOT NULL)::INT AS is_c
+           |  FROM tg t FULL OUTER JOIN cand c
+           |    ON t.n_bands = c.n_bands AND t.rows_per_band = c.rows_per_band
+           |    AND t.doc_a = c.doc_a AND t.doc_b = c.doc_b),
+           |gr AS (SELECT n_bands, rows_per_band,
+           |    sum(is_t)::BIGINT AS n_true, sum(is_c)::BIGINT AS n_cand,
+           |    sum(is_t * is_c)::BIGINT AS n_hit
+           |  FROM fo GROUP BY 1, 2)
+           |SELECT gr.n_bands::INT AS n_bands, gr.rows_per_band::INT AS rows_per_band,
+           |  g.s_curve_midpoint, n_true, n_cand, n_hit,
+           |  CASE WHEN n_true > 0 THEN n_hit * 1.0 / n_true END AS recall,
+           |  CASE WHEN n_cand > 0 THEN n_hit * 1.0 / n_cand END AS precision
+           |FROM gr JOIN geoms g
+           |  ON gr.n_bands = g.n_bands AND gr.rows_per_band = g.rows_per_band
+           |ORDER BY gr.rows_per_band""".stripMargin
+      })
   )
+
+  /** The d29 geometry sweep: (bands, rows-per-band, S-curve midpoint
+    * (1/b)^(1/r)) — all divisors of the 30-perm signature. Midpoints are
+    * computed ONCE here and interpolated as identical literals into both
+    * engines' plans, so the float never has to agree across pow()
+    * implementations.
+    */
+  // lazy: declared below `registry`, which interpolates it at object init
+  private lazy val LshGeometries: Seq[(Int, Int, Double)] =
+    Seq(30 -> 1, 15 -> 2, 10 -> 3, 6 -> 5).map { case (nb, r) =>
+      (nb, r, math.pow(1.0 / nb, 1.0 / r))
+    }
 
   /** One-sided prefix-filtered containment join over an arbitrary
     * (doc_id, text) frame — d22's engine, public like [[decontaminate]]

@@ -313,6 +313,36 @@ class ExtendedQueriesSpec extends SparkTestBase {
       "hits@50 must equal s20's exact-top-10 member count")
   }
 
+  test("d29 geometry curve: candidate sets nest as rows grow, truth is constant, and the 10x3 row IS d20") {
+    val rows = run("d29_lsh_geometry_curve").collect()
+      .map(r => (r.getInt(1), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .sortBy(_._1) // by rows_per_band ascending
+    assert(rows.map(_._1).toSeq === Seq(1, 2, 3, 5))
+    // one shared truth set prices every geometry
+    assert(rows.map(_._2).distinct.length === 1,
+      "n_true must be identical across geometries")
+    rows.foreach { case (_, nTrue, nCand, nHit) =>
+      assert(nHit <= math.min(nTrue, nCand)) }
+    // an r-row aligned band window of length >= 3 always contains a fully
+    // aligned smaller band (for these divisor geometries), so agreement
+    // at larger r IMPLIES agreement at smaller r: candidates nest, and
+    // with one truth set so do the hits
+    assert(rows.map(_._3).sliding(2).forall {
+      case Array(a, b) => a >= b
+      case _           => true
+    }, "candidate volume must be non-increasing in rows-per-band")
+    assert(rows.map(_._4).sliding(2).forall {
+      case Array(a, b) => a >= b
+      case _           => true
+    }, "hits must be non-increasing in rows-per-band (nested candidates)")
+    // the curve meets the operator: the 10×3 point is exactly d20's audit
+    val d20 = run("d20_lsh_recall_audit").collect().head
+    val p103 = rows.find(_._1 == 3).get
+    assert((p103._2, p103._3, p103._4) ===
+      ((d20.getLong(0), d20.getLong(1), d20.getLong(2))),
+      "the (10 bands × 3 rows) curve point must reproduce d20's numbers")
+  }
+
   test("q47 HDR cells: driver recompute agrees, per-half histograms SUM to the whole (mergeability), bounds hold") {
     // independent Scala recompute of the histogram → quantile chain, plus
     // the sketch's defining property: cells built on disjoint halves merge
