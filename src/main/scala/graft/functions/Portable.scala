@@ -167,4 +167,13 @@ object Portable {
     */
   def kmvSketch(h: Column, k: Int): Column =
     call_function("graft_kmv", h, lit(k))
+
+  /** Bounded-heap mergeable grouped top-k aggregate
+    * (graft.plans.TopKPairs) — call after SketchAggregates.register.
+    * Emits ranks 1..k as array<struct<ord double, id bigint>> ordered by
+    * (ord DESC, id ASC); DuckDB twin: `row_number() OVER (PARTITION BY g
+    * ORDER BY ord DESC, id) <= k`.
+    */
+  def topK(ord: Column, id: Column, k: Int): Column =
+    call_function("graft_topk", ord, id, lit(k))
 }

@@ -1605,7 +1605,45 @@ object RelationalQueries {
              |  est_p99_lo <= exact_p99 AND exact_p99 < est_p99_hi AS p99_bounded,
              |  exact_p99 - est_p99_lo AS est_err_cents
              |FROM est JOIN ex ON est.event_type = ex.event_type
-             |ORDER BY est.event_type""".stripMargin))
+             |ORDER BY est.event_type""".stripMargin)),
+
+    // Grouped top-k via a bounded MERGEABLE heap aggregate (graft_topk,
+    // plans/TopKPairs) — the scale-correct form of the universal
+    // "top k per group" query. The textbook window spelling
+    // (row_number() OVER (PARTITION BY g ORDER BY ord) <= k) shuffles
+    // and sorts the ENTIRE corpus on the group key; the heap aggregate
+    // partial-aggregates map-side, so the exchange carries
+    // O(map_tasks · groups · k) fixed-width buffers — at 100 TB the
+    // difference between shuffling billions of customer rows and
+    // shuffling a few thousand 3-slot heaps. Determinism: (ord DESC,
+    // id ASC) ordering inside the aggregate, so the emitted ranks are
+    // exactly the oracle's row_number with the same tiebreak.
+    // ExtendedQueriesSpec pins heap ≡ window on the Spark side;
+    // PlanShapeSpec pins the partial-aggregate plan shape.
+    Q("q48_grouped_topk",
+      "per-nation top-3 customers by balance: bounded-heap mergeable top-k, map-side combined",
+      (s, d) => {
+        graft.plans.SketchAggregates.register(s)
+        import graft.functions.Portable.topK
+        Tables.load(s, d, "customer")
+          .select(col("c_nationkey"), col("c_acctbal"), col("c_custkey"))
+          .groupBy("c_nationkey")
+          .agg(topK(col("c_acctbal"), col("c_custkey"), 3).as("top"))
+          .select(col("c_nationkey"), posexplode(col("top")))
+          .select(col("c_nationkey"),
+            (col("pos") + 1).cast("long").as("rank"),
+            col("col.id").as("c_custkey"),
+            col("col.ord").as("c_acctbal"))
+          .orderBy("c_nationkey", "rank")
+      },
+      Some("""SELECT c_nationkey, rank, c_custkey, c_acctbal FROM (
+             |  SELECT c_nationkey,
+             |    row_number() OVER (PARTITION BY c_nationkey
+             |      ORDER BY c_acctbal DESC, c_custkey) AS rank,
+             |    c_custkey, c_acctbal
+             |  FROM customer) t
+             |WHERE rank <= 3
+             |ORDER BY c_nationkey, rank""".stripMargin))
   )
 
   /** q47's histogram cells over any (event_type, value) frame —

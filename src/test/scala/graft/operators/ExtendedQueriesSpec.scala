@@ -415,4 +415,25 @@ class ExtendedQueriesSpec extends SparkTestBase {
       "single-key layout must be blind to the date-only predicate")
     assert(readDay("zorder") < readDay("bykey"))
   }
+
+  test("q48: bounded-heap top-k is row-identical to the window row_number spelling") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val heap = run("q48_grouped_topk").collect().toSeq
+    val w = Window.partitionBy("c_nationkey")
+      .orderBy(desc("c_acctbal"), asc("c_custkey"))
+    val window = graft.core.Tables.load(spark, sf, "customer")
+      .select(col("c_nationkey"),
+        row_number().over(w).cast("long").as("rank"),
+        col("c_custkey"), col("c_acctbal"))
+      .filter(col("rank") <= 3)
+      .orderBy("c_nationkey", "rank")
+      .collect().toSeq
+    assert(heap === window,
+      "heap aggregate and window row_number must agree rank-for-rank")
+    // every group emits min(k, group size) ranks, consecutively from 1
+    heap.groupBy(_.getInt(0)).values.foreach { g =>
+      assert(g.map(_.getLong(1)).sorted === (1L to g.size.toLong))
+    }
+  }
 }

@@ -1299,4 +1299,25 @@ class PlanShapeSpec extends SparkTestBase {
     assert(plan.contains("Generate stack"),
       "the three layouts fan out in ONE Generate over the same scan pass")
   }
+
+  test("q48: heap top-k partial-aggregates map-side; no window, no per-group corpus sort") {
+    val plan = executedPlan("q48_grouped_topk")
+    // map-side combine: the exchange carries <= k-entry heap buffers per
+    // (map task, nation), never raw customer rows
+    assert(plan.contains("partial_graft_topk"),
+      "graft_topk must partial-aggregate below the exchange")
+    assert(!plan.contains("Window") && !plan.contains("row_number"),
+      "the heap form must not fall back to a window")
+    val exchanges = plan.linesIterator.filter(_.contains("Exchange")).toVector
+    assert(exchanges.count(l => l.contains("hashpartitioning(c_nationkey") &&
+      !l.contains("ReusedExchange")) == 1 &&
+      exchanges.count(_.contains("rangepartitioning")) == 1 &&
+      exchanges.size == 2,
+      s"one group exchange + the output sort only:\n$exchanges")
+    // scan pruning: only the three referenced columns are read
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("c_nationkey") && readSchema.contains("c_acctbal") &&
+      !readSchema.contains("c_name"),
+      s"scan must read only the top-k columns: $readSchema")
+  }
 }
