@@ -416,6 +416,31 @@ class ExtendedQueriesSpec extends SparkTestBase {
     assert(readDay("zorder") < readDay("bykey"))
   }
 
+  test("t33: distilled classifier beats the majority baseline on held-out docs; score bookkeeping consistent") {
+    val rows = run("t33_quality_classifier").collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5), r.getBoolean(6), r.getBoolean(7),
+        r.getBoolean(8)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, nTok, nKnown, score, snorm, thr, keep, label, agree) =>
+      assert(nKnown <= nTok, s"doc $id: known tokens exceed tokens")
+      assert(id % 5 != 4 || id >= 2000, s"doc $id: train doc leaked into scoring")
+      if (nTok > 0) assert(snorm === score.toDouble / nTok, s"doc $id snorm")
+      else assert(snorm === 0.0 && score === 0L)
+      assert(keep === (snorm > thr) && agree === (keep == label), s"doc $id flags")
+    }
+    // one threshold for the whole run (the broadcast 1-row calibration)
+    assert(rows.map(_._6).distinct.length === 1)
+    // the distilled model must beat predicting the majority class
+    val agreeFrac = rows.count(_._9).toDouble / rows.length
+    val majority = {
+      val p = rows.count(_._8).toDouble / rows.length
+      math.max(p, 1 - p)
+    }
+    assert(agreeFrac > majority,
+      f"agreement $agreeFrac%.3f must beat majority baseline $majority%.3f")
+  }
+
   test("q48: bounded-heap top-k is row-identical to the window row_number spelling") {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._

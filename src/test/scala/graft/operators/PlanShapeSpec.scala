@@ -1300,6 +1300,27 @@ class PlanShapeSpec extends SparkTestBase {
       "the three layouts fan out in ONE Generate over the same scan pass")
   }
 
+  test("t33: train side rides the pushed id-window; model and threshold broadcast; no corpus sort-merge") {
+    val plan = executedPlan("t33_quality_classifier")
+    // the sample-bounded train slice reaches the scan as a pushed filter —
+    // at scale the model build reads a vanishing file subset
+    assert(plan.contains("LessThan(doc_id,2000)"),
+      "train id-window must be a pushed filter")
+    // corpus-side joins are all broadcast (256-row model, 1-row threshold,
+    // per-doc score attach) — a corpus-grain sort-merge join would mean the
+    // token stream shuffled on token
+    assert(!plan.contains("SortMergeJoin"),
+      "scoring must join the broadcast model, never shuffle the token stream")
+    // the per-doc rollup partial-aggregates below its exchange
+    assert(plan.contains("partial_count") && plan.contains("partial_sum"),
+      "doc score rollup must map-side combine")
+    // the scan reads only (doc_id, text)
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("doc_id") && readSchema.contains("text") &&
+      !readSchema.contains("source") && !readSchema.contains("n_chars"),
+      s"scan must read only (doc_id, text): $readSchema")
+  }
+
   test("q48: heap top-k partial-aggregates map-side; no window, no per-group corpus sort") {
     val plan = executedPlan("q48_grouped_topk")
     // map-side combine: the exchange carries <= k-entry heap buffers per
