@@ -1719,7 +1719,144 @@ object TextAnalysis {
              |  snorm > thr AS keep, pos AS label_heuristic,
              |  (snorm > thr) = pos AS agree
              |FROM sn, best WHERE doc_id % 5 <> 4 OR doc_id >= 2000
-             |ORDER BY doc_id""".stripMargin))
+             |ORDER BY doc_id""".stripMargin)),
+
+    // Domain-authority ranking — PageRank over the host link graph, the
+    // signal CommonCrawl derives for every crawl (host/domain-level
+    // ranks from harmonic centrality / PageRank) and quality pipelines
+    // join as a per-domain weight. Power iteration in INTEGER
+    // fixed-point so the gate is hash-exact: ranks are micro-units of
+    // 10¹² total mass, one round is r' = (15·10¹²) div (100·N) +
+    // Σ_in cnt·((r_src·85) div (100·outdeg_src)) — floor at every
+    // step, sums of integers are order-free, both engines agree
+    // bit-for-bit. Five fixed rounds (the d09 bounded-loop discipline,
+    // minus convergence detection — power iteration is paced by round
+    // count, not a fixpoint test), each round = one edge⋈rank join +
+    // one map-side-partial target rollup + one node left-join,
+    // localCheckpoint-ed to bound lineage: the Pregel superstep shape,
+    // everything at GRAPH grain (hosts ≪ corpus). The corpus is
+    // touched exactly once, to derive edges. Dangling nodes lose their
+    // mass (no redistribution — documented divergence from textbook
+    // PageRank; the teleport term keeps every rank positive), and the
+    // fixture graph plants one on purpose (idx 0 only ever links to
+    // itself, and self-edges drop). The corpus has no link column, so
+    // a deterministic synthetic graph stands in (the t29 URL
+    // discipline): domains are t29's registrable domains by
+    // construction, each doc emits 3 outlinks whose target ordinal is
+    // h60 % (src_ordinal + 1) — md5-skewed toward low-ordinal domains,
+    // so the rank vector is genuinely non-uniform (hubs + dangling).
+    // The ordinal index exists only for this synthetic derivation
+    // (real crawls ship edge lists); its global row_number runs once
+    // at host grain.
+    Q("t34_domain_pagerank",
+      "integer fixed-point PageRank over the synthetic domain link graph: 5 Pregel rounds, hubs + dangling node, micro-unit ranks",
+      (s, d) => {
+        val M = 1000000000000L
+        val sfx = element_at(typedlit(Seq("com", "org", "net", "co.uk", "ac.uk")),
+          (h60(concat(lit("tld_"), col("source"))) % 5 + 1).cast("int"))
+        val dom = docs(s, d).select(col("doc_id"),
+          concat(col("source"), lit("."), sfx).as("domain"))
+        val nodes = dom.groupBy("domain").agg(count(lit(1)).as("n_docs"))
+          .withColumn("idx",
+            (row_number().over(Window.orderBy("domain")) - 1).cast("long"))
+          .crossJoin(broadcast(
+            dom.select("domain").distinct().agg(count(lit(1)).as("n"))))
+          .localCheckpoint(true)
+        val e1 = dom.join(nodes.select("domain", "idx"), Seq("domain"))
+          .select(col("doc_id"), col("idx").as("src"),
+            explode(sequence(lit(0), lit(2))).as("j"))
+          .select(col("src"),
+            (h60(concat(lit("lnk_"), col("doc_id").cast("string"), lit("_"),
+              col("j").cast("string"))) % (col("src") + 1)).as("tgt"))
+          .filter(col("src") =!= col("tgt"))
+          .groupBy("src", "tgt").agg(count(lit(1)).as("cnt"))
+        val edges = e1
+          .join(e1.groupBy("src").agg(sum("cnt").as("outdeg")), Seq("src"))
+          .localCheckpoint(true)
+        var ranks = nodes.select(col("idx"), expr(s"$M div n").as("r"))
+          .localCheckpoint(true)
+        for (_ <- 1 to 5) {
+          val contrib = edges
+            .join(ranks.withColumnRenamed("idx", "src"), Seq("src"))
+            .select(col("tgt"),
+              (col("cnt") * expr("(r * 85) div (100 * outdeg)")).as("m"))
+            .groupBy("tgt").agg(sum(col("m")).as("m"))
+          ranks = nodes.select(col("idx"), col("n"))
+            .join(contrib.withColumnRenamed("tgt", "idx"), Seq("idx"), "left")
+            .select(col("idx"),
+              (expr(s"(15 * $M) div (100 * n)") +
+                coalesce(col("m"), lit(0L))).as("r"))
+            .localCheckpoint(true)
+        }
+        nodes.select("domain", "n_docs", "idx")
+          .join(edges.select(col("src").as("idx"), col("outdeg")).distinct(),
+            Seq("idx"), "left")
+          .join(ranks, Seq("idx"))
+          .select(col("domain"), col("n_docs"),
+            coalesce(col("outdeg"), lit(0L)).as("outdeg"),
+            col("r").as("rank_micro"),
+            (col("r").cast("double") / lit(M.toDouble)).as("rank_share"))
+          .orderBy("domain")
+      },
+      Some("""WITH dom AS (SELECT doc_id, source || '.' ||
+             |    ['com','org','net','co.uk','ac.uk'][
+             |      (('0x' || substr(md5('tld_' || source), 1, 15))::BIGINT % 5) + 1]
+             |    AS domain
+             |  FROM documents),
+             |nodes AS (SELECT domain, count(*)::BIGINT AS n_docs,
+             |    (row_number() OVER (ORDER BY domain) - 1)::BIGINT AS idx
+             |  FROM dom GROUP BY domain),
+             |nn AS (SELECT count(*)::BIGINT AS n FROM nodes),
+             |e1 AS (SELECT src, tgt, count(*)::BIGINT AS cnt FROM (
+             |    SELECT nd.idx AS src,
+             |      ('0x' || substr(md5('lnk_' || d.doc_id || '_' || j.j), 1, 15))::BIGINT
+             |        % (nd.idx + 1) AS tgt
+             |    FROM dom d JOIN nodes nd ON d.domain = nd.domain
+             |    CROSS JOIN (SELECT unnest(range(0, 3)) AS j) j)
+             |  WHERE src <> tgt GROUP BY 1, 2),
+             |e AS (SELECT e1.src, e1.tgt, e1.cnt, od.outdeg
+             |  FROM e1 JOIN (SELECT src, sum(cnt)::BIGINT AS outdeg
+             |    FROM e1 GROUP BY 1) od USING (src)),
+             |r0 AS (SELECT idx, 1000000000000 // n AS r FROM nodes, nn),
+             |c1 AS (SELECT e.tgt AS idx,
+             |    sum(e.cnt * ((p.r * 85) // (100 * e.outdeg)))::BIGINT AS m
+             |  FROM e JOIN r0 p ON e.src = p.idx GROUP BY 1),
+             |r1 AS (SELECT nodes.idx,
+             |    (15 * 1000000000000) // (100 * n) + coalesce(c1.m, 0) AS r
+             |  FROM nodes CROSS JOIN nn LEFT JOIN c1 ON nodes.idx = c1.idx),
+             |c2 AS (SELECT e.tgt AS idx,
+             |    sum(e.cnt * ((p.r * 85) // (100 * e.outdeg)))::BIGINT AS m
+             |  FROM e JOIN r1 p ON e.src = p.idx GROUP BY 1),
+             |r2 AS (SELECT nodes.idx,
+             |    (15 * 1000000000000) // (100 * n) + coalesce(c2.m, 0) AS r
+             |  FROM nodes CROSS JOIN nn LEFT JOIN c2 ON nodes.idx = c2.idx),
+             |c3 AS (SELECT e.tgt AS idx,
+             |    sum(e.cnt * ((p.r * 85) // (100 * e.outdeg)))::BIGINT AS m
+             |  FROM e JOIN r2 p ON e.src = p.idx GROUP BY 1),
+             |r3 AS (SELECT nodes.idx,
+             |    (15 * 1000000000000) // (100 * n) + coalesce(c3.m, 0) AS r
+             |  FROM nodes CROSS JOIN nn LEFT JOIN c3 ON nodes.idx = c3.idx),
+             |c4 AS (SELECT e.tgt AS idx,
+             |    sum(e.cnt * ((p.r * 85) // (100 * e.outdeg)))::BIGINT AS m
+             |  FROM e JOIN r3 p ON e.src = p.idx GROUP BY 1),
+             |r4 AS (SELECT nodes.idx,
+             |    (15 * 1000000000000) // (100 * n) + coalesce(c4.m, 0) AS r
+             |  FROM nodes CROSS JOIN nn LEFT JOIN c4 ON nodes.idx = c4.idx),
+             |c5 AS (SELECT e.tgt AS idx,
+             |    sum(e.cnt * ((p.r * 85) // (100 * e.outdeg)))::BIGINT AS m
+             |  FROM e JOIN r4 p ON e.src = p.idx GROUP BY 1),
+             |r5 AS (SELECT nodes.idx,
+             |    (15 * 1000000000000) // (100 * n) + coalesce(c5.m, 0) AS r
+             |  FROM nodes CROSS JOIN nn LEFT JOIN c5 ON nodes.idx = c5.idx)
+             |SELECT nodes.domain, nodes.n_docs,
+             |  coalesce(od.outdeg, 0)::BIGINT AS outdeg,
+             |  r5.r AS rank_micro,
+             |  r5.r::DOUBLE / 1000000000000.0 AS rank_share
+             |FROM nodes
+             |LEFT JOIN (SELECT src, sum(cnt)::BIGINT AS outdeg FROM e1 GROUP BY 1) od
+             |  ON nodes.idx = od.src
+             |JOIN r5 ON nodes.idx = r5.idx
+             |ORDER BY nodes.domain""".stripMargin))
   )
 
   /** t32's consumer over ANY postings store (the gate's two-batch

@@ -441,6 +441,30 @@ class ExtendedQueriesSpec extends SparkTestBase {
       f"agreement $agreeFrac%.3f must beat majority baseline $majority%.3f")
   }
 
+  test("t34: PageRank invariants — teleport floor, mass bound, planted hub and dangling node") {
+    val rows = run("t34_domain_pagerank").collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(rows.nonEmpty)
+    val n = rows.length.toLong
+    val teleport = (15L * 1000000000000L) / (100L * n)
+    // every node keeps at least the teleport mass; total never exceeds unit
+    rows.foreach { case (dom, _, _, rank, share) =>
+      assert(rank >= teleport, s"$dom below teleport floor")
+      assert(share === rank.toDouble / 1e12)
+    }
+    assert(rows.map(_._4).sum <= 1000000000000L,
+      "floors and the dangling sink only ever LOSE mass")
+    // the md5-skewed edge derivation plants idx 0 as the hub: the
+    // alphabetically-first domain absorbs every node's modulo bias...
+    val first = rows.minBy(_._1)
+    assert(first._4 === rows.map(_._4).max, "planted hub must hold top rank")
+    // ...and is the planted dangling node (self-links only, dropped)
+    assert(first._3 === 0L, "idx-0 node must be dangling")
+    // some node receives nothing and sits exactly on the teleport floor
+    assert(rows.exists(_._4 === teleport),
+      "the highest ordinal receives no links: rank == teleport exactly")
+  }
+
   test("q48: bounded-heap top-k is row-identical to the window row_number spelling") {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._
