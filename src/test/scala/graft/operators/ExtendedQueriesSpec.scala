@@ -441,6 +441,17 @@ class ExtendedQueriesSpec extends SparkTestBase {
       f"agreement $agreeFrac%.3f must beat majority baseline $majority%.3f")
   }
 
+  test("t35: stored-model scoring is bit-identical to the t33 retrain; the plan has no train path") {
+    val stored = run("t35_classifier_store")
+    assert(stored.collect().toSeq === run("t33_quality_classifier").collect().toSeq,
+      "persisted model must reproduce the retrain exactly")
+    val plan = stored.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_clfstore"),
+      "scoring must read the persisted weight/threshold store")
+    assert(!plan.contains("LessThan(doc_id,2000)"),
+      "the train-window scan must not appear in the consumer's plan")
+  }
+
   test("t34: PageRank invariants — teleport floor, mass bound, planted hub and dangling node") {
     val rows = run("t34_domain_pagerank").collect().map(r =>
       (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
