@@ -1660,6 +1660,73 @@ object TextAnalysis {
       },
       Some(sqlQualityClassifier)),
 
+    // VALIDATED PII detection — the checksum pass that separates
+    // production PII scrubbing from t20's pattern matching: a 13-19
+    // digit run that LOOKS like a payment card is only treated as one
+    // if its Luhn mod-10 checksum holds (ISO/IEC 7812 — the test every
+    // real DLP pipeline applies, because digit-run regexes alone drown
+    // in false positives: the fixture's planted invalid-checksum and
+    // wrong-length runs are exactly the rows the validator must
+    // reject). Candidates come from one regexp_extract_all riding the
+    // scan; the Luhn fold is a higher-order `aggregate` over the
+    // reversed digit string — all codegen'd builtins, integer-exact,
+    // with the identical list_transform fold in the oracle. Output is
+    // candidate-grain (doc, ordinal BEFORE the length filter — so both
+    // engines number identically — digits length, PCI-display last4,
+    // verdict) and therefore bound by candidate density, not corpus
+    // size; the digit-free driver corpus unions with a planted fixture
+    // (the t29 blocklist / c11 amplicon discipline) so the gate is
+    // non-vacuous: valid cards plain/space/dash-grouped at 13/15/16/19
+    // digits, checksum-flipped twins, too-short/too-long runs, and
+    // multi-candidate docs mixing verdicts.
+    Q("t36_pii_luhn",
+      "Luhn-validated card-number detection: regex candidates, mod-10 checksum verdicts, PCI last4 at candidate grain",
+      (s, d) => {
+        val fix = s.read.option("sep", "\t").option("header", "true")
+          .schema("doc_id LONG, text STRING")
+          .csv(s"$fixtures/pii_docs.tsv")
+        docs(s, d).select("doc_id", "text").unionByName(fix)
+          .select(col("doc_id"), posexplode(
+            expr("regexp_extract_all(text, '[0-9][0-9 -]{11,22}[0-9]', 0)")))
+          .select(col("doc_id"), (col("pos") + 1).cast("long").as("cand_idx"),
+            regexp_replace(col("col"), "[ -]", "").as("ds"))
+          .filter(length(col("ds")).between(13, 19))
+          .withColumn("rev", reverse(col("ds")))
+          .select(col("doc_id"), col("cand_idx"),
+            length(col("ds")).cast("long").as("n_digits"),
+            expr("right(ds, 4)").as("last4"),
+            (expr("""aggregate(sequence(1, length(rev)), 0L, (acc, i) ->
+              acc + CASE WHEN i % 2 = 1
+                THEN cast(substring(rev, i, 1) AS LONG)
+                ELSE CASE WHEN cast(substring(rev, i, 1) AS LONG) > 4
+                  THEN cast(substring(rev, i, 1) AS LONG) * 2 - 9
+                  ELSE cast(substring(rev, i, 1) AS LONG) * 2 END END)""")
+              % 10 === 0).as("luhn_valid"))
+          .orderBy("doc_id", "cand_idx")
+      },
+      Some(s"""WITH a AS (SELECT doc_id, text FROM documents
+             |  UNION ALL SELECT doc_id, text FROM read_csv(
+             |    '$fixtures/pii_docs.tsv', delim='\\t', header=true,
+             |    columns={'doc_id': 'BIGINT', 'text': 'VARCHAR'})),
+             |x AS (SELECT doc_id,
+             |    regexp_extract_all(text, '[0-9][0-9 -]{11,22}[0-9]') AS l
+             |  FROM a),
+             |e AS (SELECT doc_id, unnest(l) AS cand,
+             |    unnest(range(1, len(l) + 1)) AS cand_idx FROM x),
+             |n AS (SELECT doc_id, cand_idx,
+             |    regexp_replace(cand, '[ -]', '', 'g') AS ds FROM e),
+             |f AS (SELECT doc_id, cand_idx, ds, reverse(ds) AS rev FROM n
+             |  WHERE length(ds) BETWEEN 13 AND 19)
+             |SELECT doc_id, cand_idx, length(ds)::BIGINT AS n_digits,
+             |  right(ds, 4) AS last4,
+             |  list_sum(list_transform(range(1, length(rev) + 1), i ->
+             |    CASE WHEN i % 2 = 1 THEN substr(rev, i::INT, 1)::BIGINT
+             |      ELSE CASE WHEN substr(rev, i::INT, 1)::BIGINT > 4
+             |        THEN substr(rev, i::INT, 1)::BIGINT * 2 - 9
+             |        ELSE substr(rev, i::INT, 1)::BIGINT * 2 END END))
+             |    % 10 = 0 AS luhn_valid
+             |FROM f ORDER BY doc_id, cand_idx""".stripMargin)),
+
     // Domain-authority ranking — PageRank over the host link graph, the
     // signal CommonCrawl derives for every crawl (host/domain-level
     // ranks from harmonic centrality / PageRank) and quality pipelines

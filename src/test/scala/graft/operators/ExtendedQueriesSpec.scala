@@ -452,6 +452,30 @@ class ExtendedQueriesSpec extends SparkTestBase {
       "the train-window scan must not appear in the consumer's plan")
   }
 
+  test("t36: Luhn validation — planted verdict mix, length gate, candidate grain fixture-bound") {
+    val rows = run("t36_pii_luhn").collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3), r.getBoolean(4)))
+    assert(rows.nonEmpty)
+    // the digit-free driver corpus must contribute ZERO candidates —
+    // every row comes from the planted fixture id space
+    assert(rows.forall(_._1 >= 9000000000L),
+      "corpus rows leaked into the candidate set")
+    // the wrong-length plants (12 and 23 digits) must be gone
+    assert(rows.forall(r => r._3 >= 13 && r._3 <= 19))
+    // both verdicts present (valid plants accepted, checksum flips rejected)
+    assert(rows.exists(_._5) && rows.exists(!_._5),
+      "fixture plants both verdicts; the validator must produce both")
+    // every planted length shows up validated
+    assert(Set(13L, 15L, 16L, 19L).subsetOf(
+      rows.filter(_._5).map(_._3).toSet))
+    // the multi-candidate docs mix one valid and one flipped candidate
+    val multi = rows.groupBy(_._1).filter(_._2.length > 1)
+    assert(multi.nonEmpty && multi.values.forall(g =>
+      g.exists(_._5) && g.exists(!_._5)),
+      "multi-candidate docs must carry split verdicts")
+    assert(rows.forall(_._4.length == 4), "last4 is the PCI display form")
+  }
+
   test("t34: PageRank invariants — teleport floor, mass bound, planted hub and dangling node") {
     val rows = run("t34_domain_pagerank").collect().map(r =>
       (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
