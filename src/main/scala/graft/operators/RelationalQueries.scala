@@ -1607,6 +1607,107 @@ object RelationalQueries {
              |FROM est JOIN ex ON est.event_type = ex.event_type
              |ORDER BY est.event_type""".stripMargin)),
 
+    // CDC MERGE — the lakehouse change-apply operator (Delta MERGE
+    // INTO / Iceberg upsert / Hudi CoW): resolve an out-of-order change
+    // batch of (key, seq, op ∈ {I,U,D}, payload) against a base
+    // snapshot. Semantics pinned exactly: per key the LAST op by seq
+    // wins (row_number over the change batch — the batch is
+    // change-sized, never the snapshot); D tombstones, I/U both upsert
+    // (I on an existing key updates, U on a missing key inserts — the
+    // WHEN (NOT) MATCHED symmetry real MERGE statements spell out); an
+    // untouched key keeps its base row. Output is CHANGED-KEY grain
+    // (old/new cents, liveness, op audit trail) — bound by the batch,
+    // not the snapshot. The change batch is md5-derived from a ~1/7 key
+    // sample (ops, 100k-cent prices, and a second out-of-order change
+    // for ~1/3 of keys all integer-exact), standing in for a CDC feed.
+    // Scale shape: one PK-keyed shuffle join of snapshot × resolved
+    // batch — the copy-on-write merge cost; with graft.sources
+    // Bucketing both sides co-locate and the exchange disappears, the
+    // documented production lever. Money stays integer cents
+    // (floor(x·100+0.5), the q47 idiom) so both engines agree exactly.
+    Q("q49_cdc_merge",
+      "CDC change-batch merge onto the orders snapshot: last-op-wins resolution, tombstones, upserts, changed-key audit",
+      (s, d) => {
+        import graft.functions.Portable.h60
+        val base = Tables.load(s, d, "orders")
+          .select(col("o_orderkey").as("k"),
+            expr("cast(floor(o_totalprice * 100 + 0.5) AS BIGINT)")
+              .as("old_cents"))
+        val keys = base.select(col("k")).filter(col("k") % 7 === 3)
+        val c1 = keys.select(col("k"), lit(1L).as("seq"),
+          element_at(typedlit(Seq("I", "U", "D")),
+            (h60(concat(lit("op1_"), col("k").cast("string"))) % 3 + 1)
+              .cast("int")).as("op"),
+          (h60(concat(lit("p1_"), col("k").cast("string"))) % 100000)
+            .as("new_cents"))
+        val c2 = keys
+          .filter(h60(concat(lit("two_"), col("k").cast("string"))) % 3 === 0)
+          .select(col("k"), lit(2L).as("seq"),
+            element_at(typedlit(Seq("I", "U", "D")),
+              (h60(concat(lit("op2_"), col("k").cast("string"))) % 3 + 1)
+                .cast("int")).as("op"),
+            (h60(concat(lit("p2_"), col("k").cast("string"))) % 100000)
+              .as("new_cents"))
+        // a NOT-MATCHED leg: changes landing on keys OUTSIDE the
+        // snapshot (fresh inserts; a D on a missing key tombstones
+        // nothing — both rows still audit)
+        val c3 = keys.filter(col("k") % 3 === 0)
+          .select((col("k") + 1000000000L).as("k"), lit(1L).as("seq"),
+            element_at(typedlit(Seq("I", "U", "D")),
+              (h60(concat(lit("op3_"), col("k").cast("string"))) % 3 + 1)
+                .cast("int")).as("op"),
+            (h60(concat(lit("p3_"), col("k").cast("string"))) % 100000)
+              .as("new_cents"))
+        val changes = c1.unionByName(c2).unionByName(c3)
+        val wk = Window.partitionBy(col("k")).orderBy(col("seq").desc)
+        val resolved = changes
+          .withColumn("rn", row_number().over(wk))
+          .withColumn("n_ops",
+            count(lit(1)).over(Window.partitionBy(col("k"))))
+          .filter(col("rn") === 1)
+          .select(col("k"), col("op").as("last_op"), col("new_cents"),
+            col("n_ops"))
+        resolved.join(base, Seq("k"), "left")
+          .select(col("k").as("o_orderkey"),
+            col("old_cents").isNotNull.as("had_base"),
+            col("last_op"), col("n_ops"),
+            (col("last_op") =!= "D").as("alive"),
+            col("old_cents"),
+            when(col("last_op") =!= "D", col("new_cents")).as("new_cents"))
+          .orderBy("o_orderkey")
+      },
+      Some("""WITH base AS (SELECT o_orderkey AS k,
+             |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS old_cents
+             |  FROM orders),
+             |keys AS (SELECT k FROM base WHERE k % 7 = 3),
+             |c1 AS (SELECT k, 1::BIGINT AS seq,
+             |    ['I','U','D'][(('0x' || substr(md5('op1_' || k), 1, 15))::BIGINT % 3) + 1] AS op,
+             |    ('0x' || substr(md5('p1_' || k), 1, 15))::BIGINT % 100000 AS new_cents
+             |  FROM keys),
+             |c2 AS (SELECT k, 2::BIGINT AS seq,
+             |    ['I','U','D'][(('0x' || substr(md5('op2_' || k), 1, 15))::BIGINT % 3) + 1] AS op,
+             |    ('0x' || substr(md5('p2_' || k), 1, 15))::BIGINT % 100000 AS new_cents
+             |  FROM keys
+             |  WHERE ('0x' || substr(md5('two_' || k), 1, 15))::BIGINT % 3 = 0),
+             |c3 AS (SELECT keys.k + 1000000000 AS k, 1::BIGINT AS seq,
+             |    ['I','U','D'][(('0x' || substr(md5('op3_' || keys.k), 1, 15))::BIGINT % 3) + 1] AS op,
+             |    ('0x' || substr(md5('p3_' || keys.k), 1, 15))::BIGINT % 100000 AS new_cents
+             |  FROM keys WHERE keys.k % 3 = 0),
+             |changes AS (SELECT * FROM c1 UNION ALL SELECT * FROM c2
+             |  UNION ALL SELECT * FROM c3),
+             |resolved AS (SELECT k, op AS last_op, new_cents, n_ops FROM (
+             |  SELECT *, row_number() OVER (PARTITION BY k ORDER BY seq DESC) AS rn,
+             |    count(*) OVER (PARTITION BY k)::BIGINT AS n_ops
+             |  FROM changes) WHERE rn = 1)
+             |SELECT r.k AS o_orderkey,
+             |  (b.old_cents IS NOT NULL) AS had_base,
+             |  r.last_op, r.n_ops,
+             |  (r.last_op <> 'D') AS alive,
+             |  b.old_cents,
+             |  CASE WHEN r.last_op <> 'D' THEN r.new_cents END AS new_cents
+             |FROM resolved r LEFT JOIN base b ON r.k = b.k
+             |ORDER BY o_orderkey""".stripMargin)),
+
     // Grouped top-k via a bounded MERGEABLE heap aggregate (graft_topk,
     // plans/TopKPairs) — the scale-correct form of the universal
     // "top k per group" query. The textbook window spelling

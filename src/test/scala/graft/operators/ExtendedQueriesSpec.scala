@@ -452,6 +452,28 @@ class ExtendedQueriesSpec extends SparkTestBase {
       "the train-window scan must not appear in the consumer's plan")
   }
 
+  test("q49: CDC merge exercises all six matched/op paths; liveness and payload law") {
+    val rows = run("q49_cdc_merge").collect().map(r =>
+      (r.getLong(0), r.getBoolean(1), r.getString(2), r.getLong(3),
+        r.getBoolean(4), if (r.isNullAt(5)) None else Some(r.getLong(5)),
+        if (r.isNullAt(6)) None else Some(r.getLong(6))))
+    assert(rows.nonEmpty)
+    rows.foreach { case (k, hadBase, op, nOps, alive, oldC, newC) =>
+      assert(alive === (op != "D"), s"key $k liveness")
+      assert(newC.isDefined === alive, s"key $k: payload defined iff alive")
+      assert(hadBase === (k < 1000000000L), s"key $k: NOT-MATCHED leg id space")
+      assert(hadBase === oldC.isDefined, s"key $k old payload")
+      assert(nOps === 1L || nOps === 2L)
+    }
+    // every (matched, op) combination must appear — incl. insert-on-missing
+    // and delete-of-absent, the WHEN NOT MATCHED symmetry
+    val paths = rows.map(r => (r._2, r._3)).toSet
+    assert(paths === Set(true, false).flatMap(b =>
+      Set("I", "U", "D").map((b, _))), s"missing merge paths: $paths")
+    // out-of-order multi-change keys resolve (seq 2 wins) and exist
+    assert(rows.exists(_._4 === 2L))
+  }
+
   test("t36: Luhn validation — planted verdict mix, length gate, candidate grain fixture-bound") {
     val rows = run("t36_pii_luhn").collect().map(r =>
       (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3), r.getBoolean(4)))
