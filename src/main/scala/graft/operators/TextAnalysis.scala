@@ -2245,7 +2245,7 @@ object TextAnalysis {
     * stopword-ratio teacher label. One definition so the distilled model
     * and its stored-model twin can never diverge on labeling.
     */
-  private def clfLabeled(df: DataFrame): DataFrame = {
+  private[graft] def clfLabeled(df: DataFrame): DataFrame = {
     val stops = Seq("the", "a", "of", "and", "to", "in", "is", "it")
     df.select(col("doc_id"), tokens(col("text")).as("toks"))
       .withColumn("pos",
@@ -2253,24 +2253,51 @@ object TextAnalysis {
           size(col("toks")))
   }
 
-  /** Train the t33 model on a labeled (sample-bounded) frame: returns
-    * (weights (tok, wt) — 256 rows, calibrated threshold (thr) — 1 row).
+  /** The labeled per-token class-occurrence counts (tok, cp, cn) of a
+    * labeled frame — the model's ADDITIVE sufficient statistics (counts
+    * sum across batches, the SURVEY §7.4 rule-9 fold), shared by the
+    * inline trainer and the clfIngest streaming sidecar producer.
     */
-  private def clfModelOf(train: DataFrame): (DataFrame, DataFrame) = {
-    val occ = train.select(col("pos"), explode(col("toks")).as("tok"))
-    val tot = occ.agg(
-      sum(when(col("pos"), 1L).otherwise(0L)).as("tp"),
-      sum(when(!col("pos"), 1L).otherwise(0L)).as("tn"))
-    val w = occ.groupBy("tok")
+  private[graft] def clfCountsOf(train: DataFrame): DataFrame =
+    train.select(col("pos"), explode(col("toks")).as("tok"))
+      .groupBy("tok")
       .agg(sum(when(col("pos"), 1L).otherwise(0L)).as("cp"),
-        sum(when(!col("pos"), 1L).otherwise(0L)).as("cn"),
-        count(lit(1)).as("c"))
-      .orderBy(col("c").desc, md5(col("tok")))
+        sum(when(!col("pos"), 1L).otherwise(0L)).as("cn"))
+
+  /** Weights from a (tok, cp, cn) counts frame: class totals over ALL
+    * tokens, top-256 vocabulary by occurrence count (md5 tiebreak), ppm
+    * fixed-point log-odds surrogate. One definition for the inline
+    * retrain (t33), the stored model build (t35) and the streamed
+    * sidecar consumer, so they cannot diverge.
+    */
+  private[graft] def clfWeightsOfCounts(counts: DataFrame): DataFrame = {
+    val tot = counts.agg(sum(col("cp")).as("tp"), sum(col("cn")).as("tn"))
+    counts
+      .orderBy((col("cp") + col("cn")).desc, md5(col("tok")))
       .limit(256)
       .crossJoin(broadcast(tot))
       .select(col("tok"),
         (expr("(cp * 1000000) div tp") -
           expr("(cn * 1000000) div tn")).as("wt"))
+  }
+
+  /** Weights from the clfIngest count sidecar: fold per-batch counts by
+    * sum (additive statistics), then [[clfWeightsOfCounts]]. The
+    * threshold deliberately stays a sample-side rebuild: calibration
+    * needs per-DOC train scores under the final weights, which no
+    * token-grain additive store can supply — the train sample is small
+    * and persisted by definition, so re-scoring it is O(sample).
+    */
+  private[graft] def clfWeightsFromStore(s: SparkSession,
+      store: String): DataFrame =
+    clfWeightsOfCounts(s.read.parquet(store).groupBy("tok")
+      .agg(sum(col("cp")).as("cp"), sum(col("cn")).as("cn")))
+
+  /** Train the t33 model on a labeled (sample-bounded) frame: returns
+    * (weights (tok, wt) — 256 rows, calibrated threshold (thr) — 1 row).
+    */
+  private[graft] def clfModelOf(train: DataFrame): (DataFrame, DataFrame) = {
+    val w = clfWeightsOfCounts(clfCountsOf(train))
     val trainScored = clfScoredRaw(train, w)
     val best = trainScored
       .select(col("snorm").as("thr")).distinct()

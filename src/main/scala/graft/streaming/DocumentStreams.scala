@@ -729,4 +729,39 @@ object DocumentStreams {
       (batch: Dataset[Doc], batchId: Long) =>
         writePostingsBatch(batch, store, batchId)
     }
+
+  /** One micro-batch of the classifier-statistics ingest: the batch's
+    * labeled per-token class counts (tok, cp, cn) —
+    * [[graft.operators.TextAnalysis.clfCountsOf]] over the teacher-rule
+    * labeling, the t33 trainer's additive sufficient statistics —
+    * written to `store/batch_id=<id>` in OVERWRITE mode (the
+    * [[writeLmBatch]] idempotence discipline). Counts sum across
+    * batches, so the consumer
+    * ([[graft.operators.TextAnalysis.clfWeightsFromStore]]) folds and
+    * derives the SAME 256-weight model as an inline retrain over the
+    * union of batches.
+    */
+  private[graft] def writeClfBatch(batch: Dataset[Doc],
+      store: String, batchId: Long): Unit =
+    graft.operators.TextAnalysis.clfCountsOf(
+      graft.operators.TextAnalysis.clfLabeled(
+        batch.toDF().select("doc_id", "text")))
+      .write.mode("overwrite").parquet(s"$store/batch_id=$batchId")
+
+  /** The streaming PRODUCER of the classifier count sidecar — the
+    * labeled sample arrives continuously (human labels, teacher-rule
+    * runs) and the model's token statistics stay current without a
+    * sample rescan; only the tiny threshold calibration remains a
+    * sample-side rebuild (it needs per-doc scores under the FINAL
+    * weights — see clfWeightsFromStore's note). Joins the sidecar
+    * family: signatures (d15/d25), hashes (d16), bloom bits (d18), LM
+    * counts (t19), source MinHash (d21), the card (t27), postings
+    * (t32).
+    */
+  def clfIngest(docs: Dataset[Doc], store: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[Doc] =
+    docs.writeStream.foreachBatch {
+      (batch: Dataset[Doc], batchId: Long) =>
+        writeClfBatch(batch, store, batchId)
+    }
 }

@@ -486,6 +486,49 @@ class DocumentStreamsSpec extends SparkTestBase {
       "replaying a delivered batch id must not change any count")
   }
 
+  test("clfIngest-streamed count sidecar folds to the exact t33 weight table; redelivery is idempotent") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    implicit val sq = spark.sqlContext
+    val d = "/root/testdata/sf0.001"
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_streamed_clf").toString
+    // stream ONLY the pinned train window (t33's labeled sample), two
+    // micro-batches — per-batch (tok, cp, cn) counts must SUM to the
+    // inline trainer's statistics
+    val docs = graft.core.Tables.documents(spark, d)
+      .filter(col("doc_id") % 5 === 4 && col("doc_id") < 2000)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"))
+      .collect().sortBy(_.getLong(0))
+      .map(r => DocumentStreams.Doc(r.getLong(0), ts("09:00"),
+        r.getString(1), r.getString(2), r.getString(3)))
+    val (first, second) = docs.splitAt(docs.length / 2)
+    val in = MemoryStream[DocumentStreams.Doc]
+    val q = DocumentStreams.clfIngest(in.toDS(), store).start()
+    try {
+      in.addData(first.toSeq)
+      q.processAllAvailable()
+      in.addData(second.toSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    def wRows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1))).sortBy(_._1).toSeq
+    val inline = graft.operators.TextAnalysis.clfModelOf(
+      graft.operators.TextAnalysis.clfLabeled(
+        graft.core.Tables.documents(spark, d).select("doc_id", "text"))
+        .filter(col("doc_id") % 5 === 4 && col("doc_id") < 2000))._1
+    val streamed = graft.operators.TextAnalysis
+      .clfWeightsFromStore(spark, store)
+    assert(wRows(streamed) === wRows(inline),
+      "folded sidecar counts must derive the inline trainer's exact weights")
+    // a failure-redelivered batch rewrites its own subdir, never
+    // double-counts
+    DocumentStreams.writeClfBatch(second.toSeq.toDS(), store, 1L)
+    assert(wRows(graft.operators.TextAnalysis
+      .clfWeightsFromStore(spark, store)) === wRows(inline),
+      "replaying a delivered batch id must not change any weight")
+  }
+
   test("t27 consumes a cardIngest-streamed sidecar: per-batch cell counts sum to the one-shot card") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
