@@ -1660,6 +1660,61 @@ object TextAnalysis {
       },
       Some(sqlQualityClassifier)),
 
+    // JSONL corpus ingest — the interchange format LLM corpora actually
+    // ship in (The Pile, C4, RefinedWeb, FineWeb are all
+    // newline-delimited JSON): schema-PROJECTED parse (the reader
+    // Jackson-streams past fields the schema doesn't name — extra_field
+    // in the fixture is ignored, not an error), missing optional fields
+    // land as NULL and are defaulted downstream (lang → 'und', the
+    // BCP-47 undetermined tag), and malformed lines follow the
+    // DEAD-LETTER flow: PERMISSIVE mode parses them to an all-null row
+    // carrying the raw line in _corrupt_record — the pipeline counts
+    // them (attached as a 1-row broadcast total) instead of failing the
+    // job, and the spec pins the quarantined payloads verbatim. Scale:
+    // JSONL is line-splittable, so the parse parallelizes like any text
+    // scan and the projection prunes at the tokenizer, not after.
+    // Oracle: DuckDB's read_json with ignore_errors lands the SAME
+    // all-null rows for the two planted corrupt lines, so valid-row
+    // selection, null-field defaults and the quarantine count are all
+    // engine-portable.
+    Q("t37_jsonl_ingest",
+      "JSONL corpus ingest: schema-projected parse, missing-field defaults, corrupt-line quarantine count",
+      (s, d) => {
+        val raw = s.read
+          .schema("doc_id LONG, text STRING, lang STRING, source STRING, " +
+            "_corrupt_record STRING")
+          .option("mode", "PERMISSIVE")
+          .option("columnNameOfCorruptRecord", "_corrupt_record")
+          .json(s"$fixtures/docs.jsonl")
+        // quarantine = failed full parse OR missing PK — the disjunction
+        // is load-bearing: with partial-results parsing (default since
+        // Spark 3.4) a doc_id-only pruned scan SALVAGES the id from a
+        // line whose tail is malformed, so a doc_id-IS-NULL test alone
+        // is projection-DEPENDENT (this query's two legs would disagree
+        // with each other); referencing _corrupt_record pins the
+        // full-parse verdict in both legs
+        val quar = raw
+          .filter(col("_corrupt_record").isNotNull || col("doc_id").isNull)
+          .agg(count(lit(1)).as("n_quarantined"))
+        raw.filter(col("_corrupt_record").isNull && col("doc_id").isNotNull)
+          .select(col("doc_id"),
+            size(tokens(col("text"))).cast("long").as("n_tokens"),
+            coalesce(col("lang"), lit("und")).as("lang"), col("source"))
+          .crossJoin(broadcast(quar))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH r AS (SELECT doc_id, text, lang, source
+             |  FROM read_json('$fixtures/docs.jsonl',
+             |    format='newline_delimited',
+             |    columns={'doc_id': 'BIGINT', 'text': 'VARCHAR',
+             |      'lang': 'VARCHAR', 'source': 'VARCHAR'},
+             |    ignore_errors=true)),
+             |q AS (SELECT count(*)::BIGINT AS n_quarantined FROM r
+             |  WHERE doc_id IS NULL)
+             |SELECT doc_id, len($sqlToks)::BIGINT AS n_tokens,
+             |  coalesce(lang, 'und') AS lang, source, n_quarantined
+             |FROM r, q WHERE doc_id IS NOT NULL ORDER BY doc_id""".stripMargin)),
+
     // VALIDATED PII detection — the checksum pass that separates
     // production PII scrubbing from t20's pattern matching: a 13-19
     // digit run that LOOKS like a payment card is only treated as one

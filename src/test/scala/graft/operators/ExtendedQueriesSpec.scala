@@ -452,6 +452,29 @@ class ExtendedQueriesSpec extends SparkTestBase {
       "the train-window scan must not appear in the consumer's plan")
   }
 
+  test("t37: JSONL ingest — quarantine captures raw corrupt lines; missing fields default; extras ignored") {
+    val rows = run("t37_jsonl_ingest").collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3), r.getLong(4)))
+    assert(rows.length === 24, "both planted corrupt lines must be dropped from the valid set")
+    assert(rows.forall(_._5 === 2L), "quarantine total = the two planted corrupt lines")
+    // missing optional lang defaults to the BCP-47 undetermined tag
+    assert(rows.exists(_._3 == "und") && rows.exists(_._3 != "und"))
+    // docs carrying the unknown extra_field parse fine (schema projection)
+    assert(rows.map(_._1).toSet.size === 24)
+    // the dead-letter payloads are the raw lines, verbatim
+    val raw = spark.read
+      .schema("doc_id LONG, text STRING, lang STRING, source STRING, _corrupt_record STRING")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json("/root/repo/fixtures/docs.jsonl")
+    val quarantined = raw
+      .filter(org.apache.spark.sql.functions.col("_corrupt_record").isNotNull)
+      .collect().map(_.getString(4)).toSet
+    assert(quarantined === Set(
+      """{"doc_id": 999, "text": "truncated""",
+      "not json at all"), "quarantine must carry the original lines for replay")
+  }
+
   test("q49: CDC merge exercises all six matched/op paths; liveness and payload law") {
     val rows = run("q49_cdc_merge").collect().map(r =>
       (r.getLong(0), r.getBoolean(1), r.getString(2), r.getLong(3),
