@@ -71,6 +71,34 @@ final class Warehouse(spark: SparkSession, root: String) {
     replace(table, merged)
   }
 
+  /** CDC apply — the q49 merge as a WAREHOUSE mutation (the tombstone
+    * semantics [[upsert]]'s coalesce cannot express: an upsert can only
+    * add or overwrite, never remove). One change batch of
+    * (key, seqCol, opCol ∈ {I,U,D}, payload...) resolves last-op-wins
+    * within the batch (change-sized window), then rewrites the base:
+    * touched keys drop (one keyed anti-join), surviving changes append
+    * with their FULL payload (CDC rows carry whole rows — no per-column
+    * coalesce). Sequential application across batches composes with the
+    * in-batch resolution: applying log-ordered batches one at a time
+    * equals one global last-op-wins merge (the streaming twin's
+    * spec-pinned contract). Same rename-swap commit and scale trade as
+    * [[upsert]].
+    */
+  def applyCdc(table: String, changes: DataFrame, key: String,
+      seqCol: String, opCol: String): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(key)).orderBy(col(seqCol).desc)
+    val resolved = changes.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+    val upserts = resolved.filter(col(opCol) =!= "D").drop(opCol, seqCol)
+    val touched = resolved.select(key)
+    val merged =
+      if (!exists(table)) upserts
+      else read(table).join(touched, Seq(key), "left_anti")
+        .unionByName(upserts)
+    replace(table, merged)
+  }
+
   /** Rewrite via rename-swap. Guarantee: the table directory is missing only
     * within the narrow window between the two renames (not across the whole
     * write, as delete-then-rename would be); a crash leaves either the old

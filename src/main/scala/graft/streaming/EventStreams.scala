@@ -200,6 +200,33 @@ object EventStreams extends Serializable {
         wh.upsert(table, batch.toDF(), "event_id")
       }
 
+  /** A CDC feed row for [[cdcApplyStream]]: q49's change shape (key,
+    * monotone sequence, op ∈ {I,U,D}, full replacement payload).
+    */
+  final case class CdcChange(k: Long, seq: Long, op: String, cents: Long)
+
+  /** q49's STREAMING twin — continuous CDC apply: the change feed
+    * arrives as a stream (Debezium/binlog shape) and each micro-batch
+    * merges into the warehouse snapshot via
+    * [[graft.compendium.Warehouse.applyCdc]] (in-batch last-op-wins
+    * resolution + tombstone anti-join + full-payload upsert,
+    * rename-swap committed). Log-ordered batches compose: state after
+    * streaming batches B₁…Bₙ equals the one-shot q49 merge of
+    * B₁∪…∪Bₙ — the spec-pinned contract, because per-key the last
+    * applied batch's last op wins either way. Idempotence is the
+    * [[warehouseIngest]] layering argument: a replayed micro-batch
+    * re-resolves to the same ops against a base whose touched keys it
+    * already owns (anti-join + re-append ⇒ same rows). Caller starts
+    * the writer and picks trigger/checkpoint.
+    */
+  def cdcApplyStream(changes: Dataset[CdcChange],
+      wh: graft.compendium.Warehouse, table: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[CdcChange] =
+    changes.writeStream.outputMode("append")
+      .foreachBatch { (batch: Dataset[CdcChange], _: Long) =>
+        wh.applyCdc(table, batch.toDF(), "k", "seq", "op")
+      }
+
   /** Stream-static enrichment join: the event stream against a STATIC
     * reference frame (a dimension table). No state, no watermark — the
     * static side is (re)resolved per micro-batch and broadcast under the

@@ -446,6 +446,45 @@ class EventStreamsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("cdcApplyStream: streamed log-ordered batches equal the one-shot q49-style merge; tombstones and resurrection") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    def seed(wh: graft.compendium.Warehouse): Unit =
+      wh.replace("snapshot", Seq(
+        (1L, 100L), (2L, 200L), (3L, 300L), (4L, 400L), (5L, 500L))
+        .toDF("k", "cents"))
+    val batch1 = Seq(
+      EventStreams.CdcChange(1, 1, "U", 110), // update
+      EventStreams.CdcChange(2, 1, "D", 0),   // tombstone
+      EventStreams.CdcChange(7, 1, "I", 700), // insert new key
+      EventStreams.CdcChange(3, 1, "U", 310), // out-of-order pair:
+      EventStreams.CdcChange(3, 2, "D", 0))   //   seq 2 wins → deleted
+    val batch2 = Seq(
+      EventStreams.CdcChange(2, 3, "I", 250), // resurrect a tombstoned key
+      EventStreams.CdcChange(1, 4, "D", 0),   // delete after update
+      EventStreams.CdcChange(8, 1, "D", 0))   // delete of an absent key: no-op
+    def snap(wh: graft.compendium.Warehouse): Seq[(Long, Long)] =
+      wh.read("snapshot").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    // streamed: two micro-batches in log order
+    val whS = new graft.compendium.Warehouse(spark, tmpDir())
+    seed(whS)
+    val in = MemoryStream[EventStreams.CdcChange]
+    val q = EventStreams.cdcApplyStream(in.toDS(), whS, "snapshot").start()
+    try {
+      in.addData(batch1: _*); q.processAllAvailable()
+      in.addData(batch2: _*); q.processAllAvailable()
+    } finally q.stop()
+    // one-shot: the union resolved globally
+    val wh1 = new graft.compendium.Warehouse(spark, tmpDir())
+    seed(wh1)
+    wh1.applyCdc("snapshot", (batch1 ++ batch2).toDF(), "k", "seq", "op")
+    assert(snap(whS) === snap(wh1),
+      "streamed apply must equal the one-shot global merge")
+    assert(snap(whS) === Seq((2L, 250L), (4L, 400L), (5L, 500L), (7L, 700L)),
+      "tombstones drop, resurrection re-inserts, untouched keys survive")
+  }
+
   test("in-session gap splits into two sessions on the same user") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
