@@ -1708,6 +1708,78 @@ object RelationalQueries {
              |FROM resolved r LEFT JOIN base b ON r.k = b.k
              |ORDER BY o_orderkey""".stripMargin)),
 
+    // DATA-QUALITY constraint audit — the pre-publish validation suite
+    // (Deequ / Great Expectations / dbt tests): a declared constraint
+    // set over a table, each check a violation COUNT with a verdict,
+    // emitted as one report the pipeline gates a release on. Scale
+    // shape is the point: five of the six checks (PK uniqueness via
+    // count-distinct, completeness, two range checks, accepted values)
+    // compute in ONE map-side-partial aggregate pass over a 3-column
+    // projection of the scan — adding a constraint adds a column to
+    // that one pass, not a pass; only referential integrity needs a
+    // second frame (orders ⋉̸ customer anti-join on the FK — the
+    // dimension-keys side, at 100 TB a shuffle or bloom-semi join).
+    // The fixture data makes the report non-vacuous in both
+    // directions: four constraints pass, two genuinely fail (status
+    // 'P' violates the accepted {O,F} set; ~half the prices exceed the
+    // planted 250k cap). All counts are integers; verdicts are
+    // count = 0.
+    Q("q50_constraint_audit",
+      "Deequ-style constraint suite over orders: six checks, violation counts, pass/fail verdicts in one report",
+      (s, d) => {
+        val o = Tables.load(s, d, "orders")
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+            col("o_totalprice"), col("o_orderdate"))
+        val onePass = o.agg(
+          count(lit(1)).as("n_rows"),
+          (count(lit(1)) - countDistinct(col("o_orderkey"))).as("v_pk"),
+          sum(when(col("o_orderdate").isNull, 1L).otherwise(0L))
+            .as("v_complete"),
+          sum(when(col("o_totalprice") <= 0.0, 1L).otherwise(0L))
+            .as("v_positive"),
+          sum(when(col("o_totalprice") > 250000.0, 1L).otherwise(0L))
+            .as("v_cap"),
+          sum(when(!col("o_orderstatus").isin("O", "F"), 1L).otherwise(0L))
+            .as("v_status"))
+        val fk = o.join(Tables.load(s, d, "customer").select("c_custkey"),
+            col("o_custkey") === col("c_custkey"), "left_anti")
+          .agg(count(lit(1)).as("v_fk"))
+        onePass.crossJoin(broadcast(fk))
+          .selectExpr("n_rows", """stack(6,
+            'accepted_status_OF', v_status,
+            'complete_orderdate', v_complete,
+            'fk_custkey_in_customer', v_fk,
+            'pk_unique_orderkey', v_pk,
+            'range_price_cap_250k', v_cap,
+            'range_price_positive', v_positive)
+            AS (check_name, n_violations)""")
+          .select(col("check_name"), col("n_rows").as("n_checked"),
+            col("n_violations"),
+            (col("n_violations") === 0L).as("passed"))
+          .orderBy("check_name")
+      },
+      Some("""WITH o AS (SELECT * FROM orders),
+             |one AS (SELECT count(*)::BIGINT AS n_rows,
+             |    (count(*) - count(DISTINCT o_orderkey))::BIGINT AS v_pk,
+             |    sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END)::BIGINT AS v_complete,
+             |    sum(CASE WHEN o_totalprice <= 0.0 THEN 1 ELSE 0 END)::BIGINT AS v_positive,
+             |    sum(CASE WHEN o_totalprice > 250000.0 THEN 1 ELSE 0 END)::BIGINT AS v_cap,
+             |    sum(CASE WHEN o_orderstatus NOT IN ('O','F') THEN 1 ELSE 0 END)::BIGINT AS v_status
+             |  FROM o),
+             |fk AS (SELECT count(*)::BIGINT AS v_fk FROM o
+             |  WHERE NOT EXISTS (SELECT 1 FROM customer c
+             |    WHERE c.c_custkey = o.o_custkey)),
+             |rep AS (
+             |  SELECT 'accepted_status_OF' AS check_name, n_rows, v_status AS n_violations FROM one
+             |  UNION ALL SELECT 'complete_orderdate', n_rows, v_complete FROM one
+             |  UNION ALL SELECT 'fk_custkey_in_customer', n_rows, v_fk FROM one, fk
+             |  UNION ALL SELECT 'pk_unique_orderkey', n_rows, v_pk FROM one
+             |  UNION ALL SELECT 'range_price_cap_250k', n_rows, v_cap FROM one
+             |  UNION ALL SELECT 'range_price_positive', n_rows, v_positive FROM one)
+             |SELECT check_name, n_rows AS n_checked, n_violations,
+             |  n_violations = 0 AS passed
+             |FROM rep ORDER BY check_name""".stripMargin)),
+
     // Grouped top-k via a bounded MERGEABLE heap aggregate (graft_topk,
     // plans/TopKPairs) — the scale-correct form of the universal
     // "top k per group" query. The textbook window spelling

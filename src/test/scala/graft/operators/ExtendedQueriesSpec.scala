@@ -452,6 +452,36 @@ class ExtendedQueriesSpec extends SparkTestBase {
       "the train-window scan must not appear in the consumer's plan")
   }
 
+  test("q50: constraint audit — verdict law, non-vacuous failure mix, single-pass aggregate plan") {
+    val df = run("q50_constraint_audit")
+    val rows = df.collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(rows.map(_._1).toSeq === Seq("accepted_status_OF",
+      "complete_orderdate", "fk_custkey_in_customer", "pk_unique_orderkey",
+      "range_price_cap_250k", "range_price_positive"))
+    rows.foreach { case (c, checked, viol, passed) =>
+      assert(passed === (viol == 0L), s"$c verdict law")
+      assert(viol >= 0L && viol <= checked, s"$c violation bound")
+    }
+    assert(rows.map(_._2).distinct.length === 1, "one table, one n_checked")
+    // the TPC-H-ish data satisfies integrity but fails the planted
+    // business rules — the report must show BOTH verdicts
+    def v(c: String) = rows.find(_._1 == c).get
+    assert(v("pk_unique_orderkey")._4 && v("fk_custkey_in_customer")._4 &&
+      v("complete_orderdate")._4 && v("range_price_positive")._4)
+    assert(!v("accepted_status_OF")._4 && !v("range_price_cap_250k")._4,
+      "the planted business rules must fail on this data")
+    // five checks ride ONE aggregate pass: adding a constraint adds a
+    // column, not a scan — orders appears exactly twice (agg + FK leg)
+    val full = df.queryExecution.executedPlan.toString
+    val cut = full.indexOf("== Initial Plan ==")
+    val plan = if (cut >= 0) full.substring(0, cut) else full
+    val scans = plan.linesIterator.count(_.contains("FileScan parquet"))
+    assert(scans <= 3, s"six checks must not mean six passes: $scans scans")
+    assert(plan.contains("partial_count") || plan.contains("partial_sum"),
+      "the metric pass must map-side combine")
+  }
+
   test("t37: JSONL ingest — quarantine captures raw corrupt lines; missing fields default; extras ignored") {
     val rows = run("t37_jsonl_ingest").collect().map(r =>
       (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3), r.getLong(4)))
