@@ -1915,7 +1915,66 @@ object Dedup {
            |FROM gr JOIN geoms g
            |  ON gr.n_bands = g.n_bands AND gr.rows_per_band = g.rows_per_band
            |ORDER BY gr.rows_per_band""".stripMargin
-      })
+      }),
+
+    // Store CONSISTENCY audit — the ops check every incremental-dedup
+    // deployment needs and none of d15-d25 provides: the persisted hash
+    // sidecar (d16's store, consumed as-is) is only correct while the
+    // corpus it indexed doesn't move under it. Edits after storage
+    // split one hash into an ORPHAN (a stored hash no current doc
+    // carries — the store would vouch for text that no longer exists)
+    // and a MISSING (a current hash the store has never seen — dedup
+    // would wrongly treat it as novel); unedited content stays
+    // CONSISTENT. The drift stands in deterministically (docs with
+    // doc_id % 11 = 7 in the stored slice re-hash with a '!' suffix on
+    // the normalized text — the m01/t29 stand-in discipline: the
+    // simulation is throwaway, the three-way full-outer reconciliation
+    // is the operator), and the corpus's real exact-dup structure
+    // participates: an edited doc whose text a sibling still carries
+    // orphans nothing. Scale shape: two hash-grain frames (the store
+    // scan and one corpus hash rollup), one full-outer join on the
+    // hash — group grain end to end after the rollup, the store never
+    // broadcast (d15's rule: stores enter plans as scans).
+    Q("d30_store_consistency",
+      "hash-store drift audit: consistent / orphaned / missing verdicts from a three-way reconciliation at hash grain",
+      (s, d) => {
+        val current = docs(s, d).filter(!(col("doc_id") % 5 === 4))
+          .select(col("doc_id"),
+            md5(concat(graft.functions.Portable.normText(col("text")),
+              when(col("doc_id") % 11 === 7, "!").otherwise("")))
+              .as("content_hash"))
+          .groupBy("content_hash")
+          .agg(min(col("doc_id")).as("current_canonical"))
+        val store = s.read.parquet(hashStorePath(s, d))
+        store.join(current, Seq("content_hash"), "full_outer")
+          .select(col("content_hash"),
+            when(col("stored_canonical").isNotNull &&
+              col("current_canonical").isNotNull, "consistent")
+              .when(col("current_canonical").isNull, "orphaned")
+              .otherwise("missing").as("status"),
+            col("stored_canonical"), col("current_canonical"))
+          .orderBy("content_hash")
+      },
+      Some("""WITH stored_slice AS (SELECT doc_id, text FROM documents
+             |  WHERE doc_id % 5 <> 4),
+             |store AS (SELECT
+             |    md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS content_hash,
+             |    min(doc_id) AS stored_canonical
+             |  FROM stored_slice GROUP BY 1),
+             |current AS (SELECT
+             |    md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')) ||
+             |      CASE WHEN doc_id % 11 = 7 THEN '!' ELSE '' END) AS content_hash,
+             |    min(doc_id) AS current_canonical
+             |  FROM stored_slice GROUP BY 1)
+             |SELECT coalesce(s.content_hash, c.content_hash) AS content_hash,
+             |  CASE WHEN s.stored_canonical IS NOT NULL
+             |        AND c.current_canonical IS NOT NULL THEN 'consistent'
+             |       WHEN c.current_canonical IS NULL THEN 'orphaned'
+             |       ELSE 'missing' END AS status,
+             |  s.stored_canonical, c.current_canonical
+             |FROM store s FULL OUTER JOIN current c
+             |  ON s.content_hash = c.content_hash
+             |ORDER BY content_hash""".stripMargin))
   )
 
   /** The d29 geometry sweep: (bands, rows-per-band, S-curve midpoint

@@ -452,6 +452,30 @@ class ExtendedQueriesSpec extends SparkTestBase {
       "the train-window scan must not appear in the consumer's plan")
   }
 
+  test("d30: store drift audit — null-pattern law, all three verdicts, drift attributable to the planted edits") {
+    val rows = run("d30_store_consistency").collect().map(r =>
+      (Option(r.getString(0)), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        if (r.isNullAt(3)) None else Some(r.getLong(3))))
+    val byStatus = rows.groupBy(_._2)
+    assert(byStatus.keySet === Set("consistent", "orphaned", "missing"),
+      "the planted drift must surface every verdict")
+    rows.foreach { case (_, st, stored, cur) =>
+      st match {
+        case "consistent" => assert(stored.isDefined && cur.isDefined)
+        case "orphaned" => assert(stored.isDefined && cur.isEmpty)
+        case "missing" => assert(stored.isEmpty && cur.isDefined)
+      }
+    }
+    // a missing hash can only be minted by an edit: its canonical doc
+    // carries the planted doc_id % 11 == 7 marker
+    byStatus("missing").foreach { case (_, _, _, cur) =>
+      assert(cur.get % 11 === 7L, s"missing hash from unedited doc ${cur.get}")
+    }
+    // consistency dominates: drift is the exception, not the rule
+    assert(byStatus("consistent").length > rows.length / 2)
+  }
+
   test("q50: constraint audit — verdict law, non-vacuous failure mix, single-pass aggregate plan") {
     val df = run("q50_constraint_audit")
     val rows = df.collect().map(r =>
