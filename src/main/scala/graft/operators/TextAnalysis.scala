@@ -1813,27 +1813,7 @@ object TextAnalysis {
       "integer fixed-point PageRank over the synthetic domain link graph: 5 Pregel rounds, hubs + dangling node, micro-unit ranks",
       (s, d) => {
         val M = 1000000000000L
-        val sfx = element_at(typedlit(Seq("com", "org", "net", "co.uk", "ac.uk")),
-          (h60(concat(lit("tld_"), col("source"))) % 5 + 1).cast("int"))
-        val dom = docs(s, d).select(col("doc_id"),
-          concat(col("source"), lit("."), sfx).as("domain"))
-        val nodes = dom.groupBy("domain").agg(count(lit(1)).as("n_docs"))
-          .withColumn("idx",
-            (row_number().over(Window.orderBy("domain")) - 1).cast("long"))
-          .crossJoin(broadcast(
-            dom.select("domain").distinct().agg(count(lit(1)).as("n"))))
-          .localCheckpoint(true)
-        val e1 = dom.join(nodes.select("domain", "idx"), Seq("domain"))
-          .select(col("doc_id"), col("idx").as("src"),
-            explode(sequence(lit(0), lit(2))).as("j"))
-          .select(col("src"),
-            (h60(concat(lit("lnk_"), col("doc_id").cast("string"), lit("_"),
-              col("j").cast("string"))) % (col("src") + 1)).as("tgt"))
-          .filter(col("src") =!= col("tgt"))
-          .groupBy("src", "tgt").agg(count(lit(1)).as("cnt"))
-        val edges = e1
-          .join(e1.groupBy("src").agg(sum("cnt").as("outdeg")), Seq("src"))
-          .localCheckpoint(true)
+        val (nodes, edges) = domainGraph(s, d)
         var ranks = nodes.select(col("idx"), expr(s"$M div n").as("r"))
           .localCheckpoint(true)
         for (_ <- 1 to 5) {
@@ -1917,7 +1897,80 @@ object TextAnalysis {
              |LEFT JOIN (SELECT src, sum(cnt)::BIGINT AS outdeg FROM e1 GROUP BY 1) od
              |  ON nodes.idx = od.src
              |JOIN r5 ON nodes.idx = r5.idx
-             |ORDER BY nodes.domain""".stripMargin))
+             |ORDER BY nodes.domain""".stripMargin)),
+
+    // Hop-bounded multi-source reachability over the same host graph —
+    // the crawl-frontier / link-spam-neighborhood question ("which
+    // domains sit within k hops of the trusted seed set") and the one
+    // relational shape the registry lacked: the RECURSIVE CTE. The
+    // oracle IS that shape (DuckDB WITH RECURSIVE, UNION-deduped path
+    // enumeration); the Spark side is its scale-correct physical form —
+    // BFS with an explicit frontier: per round one frontier⋈edges hash
+    // join at GRAPH grain, a distinct on the candidate set, and an
+    // anti-join against the settled set so each node is expanded
+    // exactly once (first touch = min hops, the BFS invariant the
+    // oracle recovers with min(hops) over all enumerated paths).
+    // Rounds are hop-capped (production runs until the frontier
+    // empties — the d09 convergence discipline); localCheckpoint per
+    // round bounds lineage exactly like t34's power iteration. At
+    // 100 TB the corpus is touched once (edge derivation); every BFS
+    // round moves only the frontier — fixed-width rows at host grain.
+    Q("t38_domain_reachability",
+      "multi-source BFS over the domain link graph: min-hop distance from the seeded trust set, 4 hops, frontier-expanded once per node",
+      (s, d) => {
+        val (nodes, edges) = domainGraph(s, d)
+        val seedCond =
+          (h60(concat(lit("seed_"), col("domain"))) % 5 === 0) ||
+            col("idx") === 0L
+        var settled = nodes.filter(seedCond)
+          .select(col("idx"), lit(0L).as("hops")).localCheckpoint(true)
+        var frontier = settled
+        for (h <- 1 to 4) {
+          val next = frontier
+            .join(edges.select(col("src").as("idx"), col("tgt")), Seq("idx"))
+            .select(col("tgt").as("idx")).distinct()
+            .join(settled.select("idx"), Seq("idx"), "left_anti")
+            .select(col("idx"), lit(h.toLong).as("hops"))
+            .localCheckpoint(true)
+          settled = settled.unionByName(next).localCheckpoint(true)
+          frontier = next
+        }
+        nodes.join(settled, Seq("idx"), "left")
+          .select(col("domain"), col("n_docs"),
+            (col("hops") <=> lit(0L)).as("is_seed"),
+            col("hops"),
+            col("hops").isNotNull.as("reached"))
+          .orderBy("domain")
+      },
+      Some("""WITH RECURSIVE dom AS (SELECT doc_id, source || '.' ||
+             |    ['com','org','net','co.uk','ac.uk'][
+             |      (('0x' || substr(md5('tld_' || source), 1, 15))::BIGINT % 5) + 1]
+             |    AS domain
+             |  FROM documents),
+             |nodes AS (SELECT domain, count(*)::BIGINT AS n_docs,
+             |    (row_number() OVER (ORDER BY domain) - 1)::BIGINT AS idx
+             |  FROM dom GROUP BY domain),
+             |e1 AS (SELECT src, tgt FROM (
+             |    SELECT nd.idx AS src,
+             |      ('0x' || substr(md5('lnk_' || d.doc_id || '_' || j.j), 1, 15))::BIGINT
+             |        % (nd.idx + 1) AS tgt
+             |    FROM dom d JOIN nodes nd ON d.domain = nd.domain
+             |    CROSS JOIN (SELECT unnest(range(0, 3)) AS j) j)
+             |  WHERE src <> tgt GROUP BY 1, 2),
+             |rr(idx, hops) AS (
+             |  SELECT idx, 0::BIGINT AS hops FROM nodes
+             |  WHERE ('0x' || substr(md5('seed_' || domain), 1, 15))::BIGINT % 5 = 0
+             |     OR idx = 0
+             |  UNION
+             |  SELECT e1.tgt, rr.hops + 1 FROM rr JOIN e1 ON e1.src = rr.idx
+             |  WHERE rr.hops < 4),
+             |reach AS (SELECT idx, min(hops)::BIGINT AS hops
+             |  FROM rr GROUP BY 1)
+             |SELECT n.domain, n.n_docs,
+             |  r.hops IS NOT DISTINCT FROM 0 AS is_seed,
+             |  r.hops, r.hops IS NOT NULL AS reached
+             |FROM nodes n LEFT JOIN reach r USING (idx)
+             |ORDER BY n.domain""".stripMargin))
   )
 
   /** t32's consumer over ANY postings store (the gate's two-batch
@@ -2116,6 +2169,47 @@ object TextAnalysis {
        |    PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank FROM bag)
        |SELECT query_id, rank, doc_id, score, n_terms FROM br
        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+
+  /** The synthetic host link graph shared by t34 (PageRank) and t38
+    * (reachability): the corpus is touched exactly once to derive
+    * edges; everything downstream runs at GRAPH grain (hosts ≪
+    * corpus). Domains are t29's registrable-domain discipline (source
+    * + md5-picked TLD); each doc emits 3 outlinks whose target ordinal
+    * is h60 % (src_ordinal + 1) — md5-skewed toward low-ordinal
+    * domains so the graph has genuine hubs, and idx 0 is dangling by
+    * construction (it only ever links to itself, and self-edges drop).
+    * Returns (nodes, edges): nodes (domain, n_docs, idx, n) and edges
+    * (src, tgt, cnt, outdeg), both localCheckpoint-ed so iterative
+    * consumers (power iteration, BFS) don't re-derive the corpus scan
+    * per round. The ordinal index exists only for this synthetic
+    * derivation (real crawls ship edge lists); its global row_number
+    * runs once at host grain.
+    */
+  private[graft] def domainGraph(
+      s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val sfx = element_at(typedlit(Seq("com", "org", "net", "co.uk", "ac.uk")),
+      (h60(concat(lit("tld_"), col("source"))) % 5 + 1).cast("int"))
+    val dom = docs(s, d).select(col("doc_id"),
+      concat(col("source"), lit("."), sfx).as("domain"))
+    val nodes = dom.groupBy("domain").agg(count(lit(1)).as("n_docs"))
+      .withColumn("idx",
+        (row_number().over(Window.orderBy("domain")) - 1).cast("long"))
+      .crossJoin(broadcast(
+        dom.select("domain").distinct().agg(count(lit(1)).as("n"))))
+      .localCheckpoint(true)
+    val e1 = dom.join(nodes.select("domain", "idx"), Seq("domain"))
+      .select(col("doc_id"), col("idx").as("src"),
+        explode(sequence(lit(0), lit(2))).as("j"))
+      .select(col("src"),
+        (h60(concat(lit("lnk_"), col("doc_id").cast("string"), lit("_"),
+          col("j").cast("string"))) % (col("src") + 1)).as("tgt"))
+      .filter(col("src") =!= col("tgt"))
+      .groupBy("src", "tgt").agg(count(lit(1)).as("cnt"))
+    val edges = e1
+      .join(e1.groupBy("src").agg(sum("cnt").as("outdeg")), Seq("src"))
+      .localCheckpoint(true)
+    (nodes, edges)
+  }
 
   /** Registrable domain (eTLD+1) of a hostname: longest matching
     * public suffix from the configured multi-label subset plus one

@@ -599,6 +599,43 @@ class ExtendedQueriesSpec extends SparkTestBase {
       "the highest ordinal receives no links: rank == teleport exactly")
   }
 
+  test("t38: frontier BFS min-hop distances equal an independent driver-side BFS") {
+    val rows = run("t38_domain_reachability").collect().map { r =>
+      (r.getString(0), r.getLong(1), r.getBoolean(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)), r.getBoolean(4))
+    }
+    assert(rows.nonEmpty)
+    // reached <=> hops present; seeds are exactly the hops-0 rows; cap holds
+    rows.foreach { case (dom, _, isSeed, hops, reached) =>
+      assert(reached === hops.isDefined, s"$dom: reached flag drifts")
+      assert(isSeed === hops.contains(0L), s"$dom: seed flag drifts")
+      hops.foreach(h => assert(h >= 0L && h <= 4L))
+    }
+    assert(rows.exists(_._3), "seed set must be non-empty by construction")
+    // independent BFS over the same graph, collected at host grain
+    val (nodes, edges) = TextAnalysis.domainGraph(spark, sf)
+    val idxOf = nodes.select("domain", "idx").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val adj = edges.select("src", "tgt").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    var dist = rows.filter(_._3).map(r => idxOf(r._1) -> 0L).toMap
+    var frontier = dist.keySet
+    for (h <- 1L to 4L) {
+      val next = frontier.flatMap(adj.getOrElse(_, Set.empty)) -- dist.keySet
+      dist ++= next.map(_ -> h)
+      frontier = next
+    }
+    rows.foreach { case (dom, _, _, hops, _) =>
+      assert(hops === dist.get(idxOf(dom)),
+        s"$dom: query hops ${hops} != driver BFS ${dist.get(idxOf(dom))}")
+    }
+    // the planted hub (idx 0, every node's modulo bias) is reachable
+    // within one hop of any seeded in-neighbor — with >= 20% of nodes
+    // seeded it is reached in practice on every fixture scale
+    assert(dist.contains(0L), "idx-0 hub must be reached")
+  }
+
   test("q48: bounded-heap top-k is row-identical to the window row_number spelling") {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._
