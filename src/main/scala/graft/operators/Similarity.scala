@@ -1771,7 +1771,74 @@ object Similarity {
              |  sum(CASE WHEN tr.rank_p <= lv.k_pool THEN 1 ELSE 0 END)
              |    * 1.0 / count(*) AS recall_at_10
              |FROM tr CROSS JOIN lv
-             |GROUP BY 1 ORDER BY 1""".stripMargin))
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // RANGE (radius) search — the second vector-DB query API beside
+    // top-k: every neighbor with cosine >= τ, answer-set size
+    // data-dependent (Milvus/Faiss `range_search`). The production
+    // path is the multi-probe LSH screen (s05's 9-bucket probe set —
+    // the corpus never reshuffles, probes ride a broadcast); the audit
+    // leg here scores the screen against the exact range set per
+    // query: one corpus×queries broadcast pass (fixed workload — the
+    // pinned id-window discipline), membership of each true neighbor's
+    // bucket in the query's probe array, counts at query grain. At
+    // 100 TB the truth leg is the auditor's sampled job (d28's
+    // rationale); the screened path is the serving plan. τ = 0.3 sits
+    // at the ~99th cosine percentile of the unstructured fixture
+    // vectors, so range sets are small but non-empty at every SF.
+    Q("s22_range_search",
+      "cosine range search (τ = 0.3): exact range set vs the 9-probe LSH screen, per-query found/missed audit",
+      (s, d) => {
+        val e = vectors(s, d).withColumn("bucket", bucketCol(col("v")))
+        val q0 = e.filter(col("vec_id") % 50 === 0 && col("vec_id") < 2000)
+          .select(col("vec_id").as("query_id"), col("v").as("qv"),
+            col("nrm").as("qn"), col("bucket").as("qbucket"))
+        val probes = q0.select(col("query_id"), array(
+          col("qbucket") +: (0 until 8).map(j =>
+            col("qbucket").bitwiseXOR(lit(1L << j))): _*).as("parr"))
+        val truth = e
+          .crossJoin(broadcast(q0.select("query_id", "qv", "qn")))
+          .filter(col("vec_id") =!= col("query_id"))
+          .withColumn("cosine",
+            dotFast(col("v"), col("qv")) / (col("nrm") * col("qn")))
+          .filter(col("cosine") >= 0.3)
+          .select(col("query_id"), col("vec_id"), col("bucket"))
+        val ag = truth.join(broadcast(probes), Seq("query_id"))
+          .withColumn("hit", array_contains(col("parr"), col("bucket")))
+          .groupBy("query_id")
+          .agg(count(lit(1)).as("n_true"),
+            sum(when(col("hit"), 1L).otherwise(0L)).as("n_found"))
+        q0.select("query_id").join(ag, Seq("query_id"), "left")
+          .select(col("query_id"),
+            coalesce(col("n_true"), lit(0L)).as("n_true"),
+            coalesce(col("n_found"), lit(0L)).as("n_found"),
+            (coalesce(col("n_true"), lit(0L)) -
+              coalesce(col("n_found"), lit(0L))).as("n_missed"),
+            when(col("n_true") > 0L,
+              expr("(n_found * 100) div n_true")).as("found_pct"))
+          .orderBy("query_id")
+      },
+      Some(s"""$sqlVectors,
+             |$sqlBucket,
+             |q0 AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn, bucket AS qbucket
+             |  FROM b WHERE vec_id % 50 = 0 AND vec_id < 2000),
+             |pr AS (SELECT query_id, list_prepend(qbucket,
+             |    list_transform(range(0, 8), j -> xor(qbucket, CAST(power(2, j) AS BIGINT)))) AS parr
+             |  FROM q0),
+             |tr AS (SELECT q0.query_id, b.vec_id, b.bucket
+             |  FROM b CROSS JOIN q0
+             |  WHERE b.vec_id <> q0.query_id
+             |    AND list_reduce(list_transform(range(1, 65), i -> b.v[i] * q0.qv[i]),
+             |      (x, y) -> x + y) / (b.nrm * q0.qn) >= 0.3),
+             |ag AS (SELECT tr.query_id, count(*)::BIGINT AS n_true,
+             |    sum(CASE WHEN list_contains(pr.parr, tr.bucket) THEN 1 ELSE 0 END)::BIGINT AS n_found
+             |  FROM tr JOIN pr USING (query_id) GROUP BY 1)
+             |SELECT q0.query_id, coalesce(ag.n_true, 0)::BIGINT AS n_true,
+             |  coalesce(ag.n_found, 0)::BIGINT AS n_found,
+             |  (coalesce(ag.n_true, 0) - coalesce(ag.n_found, 0))::BIGINT AS n_missed,
+             |  CASE WHEN ag.n_true > 0 THEN (ag.n_found * 100) // ag.n_true END AS found_pct
+             |FROM q0 LEFT JOIN ag USING (query_id)
+             |ORDER BY q0.query_id""".stripMargin))
   )
 
   /** s18's engine over any (vec_id, v, nrm) frame — public so the

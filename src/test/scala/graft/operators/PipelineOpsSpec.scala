@@ -1424,6 +1424,40 @@ class PipelineOpsSpec extends SparkTestBase {
       "truth_rows must equal s15's output rows")
   }
 
+  test("s22 range audit: n_true matches a driver-side exact recount, screen counts are consistent") {
+    val rows = run("s22_range_search").collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getLong(4))))
+    assert(rows.nonEmpty)
+    rows.foreach { case (qid, nt, nf, nm, pct) =>
+      assert(nf >= 0L && nf <= nt, s"query $qid: found must screen the true set")
+      assert(nm === nt - nf)
+      pct match {
+        case Some(p) => assert(nt > 0L && p === nf * 100L / nt)
+        case None    => assert(nt === 0L, "pct only null on an empty range set")
+      }
+    }
+    // independent exact recount of each query's range set (driver-side
+    // doubles; the ±1e-9 band makes the assert ulp-proof at τ — random
+    // fixture cosines never land within it)
+    val vecs = graft.core.Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def dot(a: Array[Double], b: Array[Double]): Double =
+      a.indices.foldLeft(0.0)((acc, i) => acc + a(i) * b(i))
+    val nrm = vecs.view.mapValues(v => math.sqrt(dot(v, v))).toMap
+    rows.foreach { case (qid, nt, _, _, _) =>
+      val qv = vecs(qid)
+      val cos = vecs.collect { case (id, v) if id != qid =>
+        dot(v, qv) / (nrm(id) * nrm(qid))
+      }
+      assert(nt <= cos.count(_ >= 0.3 - 1e-9) &&
+        nt >= cos.count(_ > 0.3 + 1e-9),
+        s"query $qid: engine n_true $nt outside the exact recount band")
+    }
+  }
+
   test("q45 estimators: exact below k (sf0.001), within KMV error above k (sf0.01)") {
     import org.apache.spark.sql.functions._
     def truth(d: String): Map[(String, String), (Long, Long, Long, Long)] = {
