@@ -1628,45 +1628,11 @@ object RelationalQueries {
     Q("q49_cdc_merge",
       "CDC change-batch merge onto the orders snapshot: last-op-wins resolution, tombstones, upserts, changed-key audit",
       (s, d) => {
-        import graft.functions.Portable.h60
         val base = Tables.load(s, d, "orders")
           .select(col("o_orderkey").as("k"),
             expr("cast(floor(o_totalprice * 100 + 0.5) AS BIGINT)")
               .as("old_cents"))
-        val keys = base.select(col("k")).filter(col("k") % 7 === 3)
-        val c1 = keys.select(col("k"), lit(1L).as("seq"),
-          element_at(typedlit(Seq("I", "U", "D")),
-            (h60(concat(lit("op1_"), col("k").cast("string"))) % 3 + 1)
-              .cast("int")).as("op"),
-          (h60(concat(lit("p1_"), col("k").cast("string"))) % 100000)
-            .as("new_cents"))
-        val c2 = keys
-          .filter(h60(concat(lit("two_"), col("k").cast("string"))) % 3 === 0)
-          .select(col("k"), lit(2L).as("seq"),
-            element_at(typedlit(Seq("I", "U", "D")),
-              (h60(concat(lit("op2_"), col("k").cast("string"))) % 3 + 1)
-                .cast("int")).as("op"),
-            (h60(concat(lit("p2_"), col("k").cast("string"))) % 100000)
-              .as("new_cents"))
-        // a NOT-MATCHED leg: changes landing on keys OUTSIDE the
-        // snapshot (fresh inserts; a D on a missing key tombstones
-        // nothing — both rows still audit)
-        val c3 = keys.filter(col("k") % 3 === 0)
-          .select((col("k") + 1000000000L).as("k"), lit(1L).as("seq"),
-            element_at(typedlit(Seq("I", "U", "D")),
-              (h60(concat(lit("op3_"), col("k").cast("string"))) % 3 + 1)
-                .cast("int")).as("op"),
-            (h60(concat(lit("p3_"), col("k").cast("string"))) % 100000)
-              .as("new_cents"))
-        val changes = c1.unionByName(c2).unionByName(c3)
-        val wk = Window.partitionBy(col("k")).orderBy(col("seq").desc)
-        val resolved = changes
-          .withColumn("rn", row_number().over(wk))
-          .withColumn("n_ops",
-            count(lit(1)).over(Window.partitionBy(col("k"))))
-          .filter(col("rn") === 1)
-          .select(col("k"), col("op").as("last_op"), col("new_cents"),
-            col("n_ops"))
+        val resolved = cdcResolved(base)
         resolved.join(base, Seq("k"), "left")
           .select(col("k").as("o_orderkey"),
             col("old_cents").isNotNull.as("had_base"),
@@ -1676,29 +1642,10 @@ object RelationalQueries {
             when(col("last_op") =!= "D", col("new_cents")).as("new_cents"))
           .orderBy("o_orderkey")
       },
-      Some("""WITH base AS (SELECT o_orderkey AS k,
+      Some(s"""WITH base AS (SELECT o_orderkey AS k,
              |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS old_cents
              |  FROM orders),
-             |keys AS (SELECT k FROM base WHERE k % 7 = 3),
-             |c1 AS (SELECT k, 1::BIGINT AS seq,
-             |    ['I','U','D'][(('0x' || substr(md5('op1_' || k), 1, 15))::BIGINT % 3) + 1] AS op,
-             |    ('0x' || substr(md5('p1_' || k), 1, 15))::BIGINT % 100000 AS new_cents
-             |  FROM keys),
-             |c2 AS (SELECT k, 2::BIGINT AS seq,
-             |    ['I','U','D'][(('0x' || substr(md5('op2_' || k), 1, 15))::BIGINT % 3) + 1] AS op,
-             |    ('0x' || substr(md5('p2_' || k), 1, 15))::BIGINT % 100000 AS new_cents
-             |  FROM keys
-             |  WHERE ('0x' || substr(md5('two_' || k), 1, 15))::BIGINT % 3 = 0),
-             |c3 AS (SELECT keys.k + 1000000000 AS k, 1::BIGINT AS seq,
-             |    ['I','U','D'][(('0x' || substr(md5('op3_' || keys.k), 1, 15))::BIGINT % 3) + 1] AS op,
-             |    ('0x' || substr(md5('p3_' || keys.k), 1, 15))::BIGINT % 100000 AS new_cents
-             |  FROM keys WHERE keys.k % 3 = 0),
-             |changes AS (SELECT * FROM c1 UNION ALL SELECT * FROM c2
-             |  UNION ALL SELECT * FROM c3),
-             |resolved AS (SELECT k, op AS last_op, new_cents, n_ops FROM (
-             |  SELECT *, row_number() OVER (PARTITION BY k ORDER BY seq DESC) AS rn,
-             |    count(*) OVER (PARTITION BY k)::BIGINT AS n_ops
-             |  FROM changes) WHERE rn = 1)
+             |$sqlCdcResolved
              |SELECT r.k AS o_orderkey,
              |  (b.old_cents IS NOT NULL) AS had_base,
              |  r.last_op, r.n_ops,
@@ -1707,6 +1654,90 @@ object RelationalQueries {
              |  CASE WHEN r.last_op <> 'D' THEN r.new_cents END AS new_cents
              |FROM resolved r LEFT JOIN base b ON r.k = b.k
              |ORDER BY o_orderkey""".stripMargin)),
+
+    // INCREMENTAL VIEW MAINTENANCE — the Materialize/DBSP/Delta-MV
+    // shape: a per-customer (count, sum) aggregate view maintained
+    // under q49's CDC batch WITHOUT recomputing the view. The Spark
+    // side is the incremental plan: each resolved change becomes a
+    // signed delta row (+new on fresh insert, new−old on upsert, −old
+    // on delete, 0 on a no-op tombstone), deltas roll up at customer
+    // grain, and the new view rows are old + delta — the only base
+    // touch is the point-read of AFFECTED customers' old rows (a semi
+    // join here; a keyed store lookup in production). The oracle
+    // recomputes the view FROM SCRATCH on the applied snapshot —
+    // the hash gate IS the IVM theorem for this view: incremental
+    // maintenance ≡ full recompute, including the delta columns
+    // (oracle derives them as new−old; Spark sums signed deltas). At
+    // 100 TB the recompute touches every order ever written; the
+    // incremental plan touches the change batch + one keyed read.
+    Q("q51_ivm_delta",
+      "incremental view maintenance of the per-customer (n, cents) aggregate under the CDC batch: signed deltas + point-read, hash-equal to full recompute",
+      (s, d) => {
+        import graft.functions.Portable.h60
+        val base = Tables.load(s, d, "orders")
+          .select(col("o_orderkey").as("k"), col("o_custkey").as("ck"),
+            expr("cast(floor(o_totalprice * 100 + 0.5) AS BIGINT)")
+              .as("old_cents"))
+        val eff = cdcResolved(base.select("k", "old_cents"))
+          .join(base, Seq("k"), "left")
+          .select(
+            coalesce(col("ck"),
+              h60(concat(lit("nc_"), col("k").cast("string"))) % 1000 + 1)
+              .as("ck"),
+            when(col("last_op") === "D",
+              when(col("old_cents").isNotNull, -col("old_cents"))
+                .otherwise(lit(0L)))
+              .otherwise(when(col("old_cents").isNotNull,
+                col("new_cents") - col("old_cents"))
+                .otherwise(col("new_cents"))).as("d_cents"),
+            when(col("last_op") === "D",
+              when(col("old_cents").isNotNull, lit(-1L)).otherwise(lit(0L)))
+              .otherwise(when(col("old_cents").isNotNull, lit(0L))
+                .otherwise(lit(1L))).as("d_n"))
+        val delta = eff.groupBy("ck")
+          .agg(sum("d_cents").as("delta_cents"), sum("d_n").as("delta_n"))
+        val oldView = base.join(delta.select("ck"), Seq("ck"), "left_semi")
+          .groupBy("ck").agg(sum("old_cents").as("old_cents_total"),
+            count(lit(1)).as("old_n"))
+        delta.join(oldView, Seq("ck"), "left")
+          .select(col("ck").as("o_custkey"),
+            coalesce(col("old_cents_total"), lit(0L)).as("old_cents_total"),
+            coalesce(col("old_n"), lit(0L)).as("old_n"),
+            col("delta_cents"), col("delta_n"),
+            (coalesce(col("old_cents_total"), lit(0L)) + col("delta_cents"))
+              .as("new_cents_total"),
+            (coalesce(col("old_n"), lit(0L)) + col("delta_n")).as("new_n"))
+          .orderBy("o_custkey")
+      },
+      Some(s"""WITH base AS (SELECT o_orderkey AS k, o_custkey AS ck,
+             |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS old_cents
+             |  FROM orders),
+             |$sqlCdcResolved,
+             |rck AS (SELECT r.k, r.last_op, r.new_cents,
+             |    coalesce(b.ck,
+             |      ('0x' || substr(md5('nc_' || r.k), 1, 15))::BIGINT % 1000 + 1) AS ck
+             |  FROM resolved r LEFT JOIN base b ON r.k = b.k),
+             |affected AS (SELECT DISTINCT ck FROM rck),
+             |applied AS (
+             |  SELECT b.k, b.ck, b.old_cents AS cents FROM base b
+             |  WHERE NOT EXISTS (SELECT 1 FROM rck r WHERE r.k = b.k)
+             |  UNION ALL
+             |  SELECT k, ck, new_cents AS cents FROM rck WHERE last_op <> 'D'),
+             |oldv AS (SELECT ck, sum(old_cents)::BIGINT AS old_cents_total,
+             |    count(*)::BIGINT AS old_n
+             |  FROM base WHERE ck IN (SELECT ck FROM affected) GROUP BY 1),
+             |newv AS (SELECT ck, sum(cents)::BIGINT AS new_cents_total,
+             |    count(*)::BIGINT AS new_n
+             |  FROM applied WHERE ck IN (SELECT ck FROM affected) GROUP BY 1)
+             |SELECT a.ck AS o_custkey,
+             |  coalesce(o.old_cents_total, 0)::BIGINT AS old_cents_total,
+             |  coalesce(o.old_n, 0)::BIGINT AS old_n,
+             |  (coalesce(n.new_cents_total, 0) - coalesce(o.old_cents_total, 0))::BIGINT AS delta_cents,
+             |  (coalesce(n.new_n, 0) - coalesce(o.old_n, 0))::BIGINT AS delta_n,
+             |  coalesce(n.new_cents_total, 0)::BIGINT AS new_cents_total,
+             |  coalesce(n.new_n, 0)::BIGINT AS new_n
+             |FROM affected a LEFT JOIN oldv o USING (ck) LEFT JOIN newv n USING (ck)
+             |ORDER BY o_custkey""".stripMargin)),
 
     // DATA-QUALITY constraint audit — the pre-publish validation suite
     // (Deequ / Great Expectations / dbt tests): a declared constraint
@@ -1818,6 +1849,76 @@ object RelationalQueries {
              |WHERE rank <= 3
              |ORDER BY c_nationkey, rank""".stripMargin))
   )
+
+  /** q49/q51's synthetic CDC batch, resolved to one row per changed key:
+    * (k, last_op, new_cents, n_ops). Three legs over the snapshot's
+    * `k % 7 = 3` keys — two sequenced ops per key (out-of-order
+    * arrival), plus a NOT-MATCHED leg landing on keys OUTSIDE the
+    * snapshot (`k + 10⁹`: fresh inserts; a D on a missing key
+    * tombstones nothing). Last-op-wins via one row_number window over
+    * the (tiny, change-sized) batch. The oracle twin is
+    * [[sqlCdcResolved]] — the two must stay in lockstep.
+    */
+  private[graft] def cdcResolved(base: DataFrame): DataFrame = {
+    import graft.functions.Portable.h60
+    val keys = base.select(col("k")).filter(col("k") % 7 === 3)
+    val c1 = keys.select(col("k"), lit(1L).as("seq"),
+      element_at(typedlit(Seq("I", "U", "D")),
+        (h60(concat(lit("op1_"), col("k").cast("string"))) % 3 + 1)
+          .cast("int")).as("op"),
+      (h60(concat(lit("p1_"), col("k").cast("string"))) % 100000)
+        .as("new_cents"))
+    val c2 = keys
+      .filter(h60(concat(lit("two_"), col("k").cast("string"))) % 3 === 0)
+      .select(col("k"), lit(2L).as("seq"),
+        element_at(typedlit(Seq("I", "U", "D")),
+          (h60(concat(lit("op2_"), col("k").cast("string"))) % 3 + 1)
+            .cast("int")).as("op"),
+        (h60(concat(lit("p2_"), col("k").cast("string"))) % 100000)
+          .as("new_cents"))
+    val c3 = keys.filter(col("k") % 3 === 0)
+      .select((col("k") + 1000000000L).as("k"), lit(1L).as("seq"),
+        element_at(typedlit(Seq("I", "U", "D")),
+          (h60(concat(lit("op3_"), col("k").cast("string"))) % 3 + 1)
+            .cast("int")).as("op"),
+        (h60(concat(lit("p3_"), col("k").cast("string"))) % 100000)
+          .as("new_cents"))
+    val changes = c1.unionByName(c2).unionByName(c3)
+    val wk = Window.partitionBy(col("k")).orderBy(col("seq").desc)
+    changes
+      .withColumn("rn", row_number().over(wk))
+      .withColumn("n_ops",
+        count(lit(1)).over(Window.partitionBy(col("k"))))
+      .filter(col("rn") === 1)
+      .select(col("k"), col("op").as("last_op"), col("new_cents"),
+        col("n_ops"))
+  }
+
+  /** Oracle CTE prefix matching [[cdcResolved]] over `base(k, old_cents)`
+    * — ends with CTE `resolved(k, last_op, new_cents, n_ops)`. The
+    * `base` CTE itself is supplied by the caller.
+    */
+  private[graft] def sqlCdcResolved: String =
+    """keys AS (SELECT k FROM base WHERE k % 7 = 3),
+      |c1 AS (SELECT k, 1::BIGINT AS seq,
+      |    ['I','U','D'][(('0x' || substr(md5('op1_' || k), 1, 15))::BIGINT % 3) + 1] AS op,
+      |    ('0x' || substr(md5('p1_' || k), 1, 15))::BIGINT % 100000 AS new_cents
+      |  FROM keys),
+      |c2 AS (SELECT k, 2::BIGINT AS seq,
+      |    ['I','U','D'][(('0x' || substr(md5('op2_' || k), 1, 15))::BIGINT % 3) + 1] AS op,
+      |    ('0x' || substr(md5('p2_' || k), 1, 15))::BIGINT % 100000 AS new_cents
+      |  FROM keys
+      |  WHERE ('0x' || substr(md5('two_' || k), 1, 15))::BIGINT % 3 = 0),
+      |c3 AS (SELECT keys.k + 1000000000 AS k, 1::BIGINT AS seq,
+      |    ['I','U','D'][(('0x' || substr(md5('op3_' || keys.k), 1, 15))::BIGINT % 3) + 1] AS op,
+      |    ('0x' || substr(md5('p3_' || keys.k), 1, 15))::BIGINT % 100000 AS new_cents
+      |  FROM keys WHERE keys.k % 3 = 0),
+      |changes AS (SELECT * FROM c1 UNION ALL SELECT * FROM c2
+      |  UNION ALL SELECT * FROM c3),
+      |resolved AS (SELECT k, op AS last_op, new_cents, n_ops FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY k ORDER BY seq DESC) AS rn,
+      |    count(*) OVER (PARTITION BY k)::BIGINT AS n_ops
+      |  FROM changes) WHERE rn = 1)""".stripMargin
 
   /** q47's histogram cells over any (event_type, value) frame —
     * (event_type, bucket_lo, width, cnt), shared with the streaming twin

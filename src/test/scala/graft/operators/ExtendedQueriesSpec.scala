@@ -636,6 +636,50 @@ class ExtendedQueriesSpec extends SparkTestBase {
     assert(dist.contains(0L), "idx-0 hub must be reached")
   }
 
+  test("q51: incremental view maintenance equals a Spark-side full recompute") {
+    import org.apache.spark.sql.functions._
+    val inc = run("q51_ivm_delta").collect().map(r =>
+      (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))))
+    assert(inc.nonEmpty)
+    // internal consistency: new = old + delta, both measures
+    inc.foreach { case (ck, (oc, on, dc, dn, nc, nn)) =>
+      assert(nc === oc + dc, s"ck $ck cents drift")
+      assert(nn === on + dn, s"ck $ck count drift")
+    }
+    // the batch genuinely exercises all three directions
+    assert(inc.exists(_._2._4 < 0) && inc.exists(_._2._4 > 0),
+      "deletes and inserts must both land")
+    // full recompute on the Spark side: apply the resolved batch to the
+    // snapshot (q49's semantics read off q49's own gated output), then
+    // re-aggregate — must equal the incremental view on affected keys
+    val base = graft.core.Tables.load(spark, sf, "orders")
+      .select(col("o_orderkey").as("k"), col("o_custkey").as("ck"),
+        expr("cast(floor(o_totalprice * 100 + 0.5) AS BIGINT)").as("cents"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val ckOf = base.map(r => r._1 -> r._2).toMap
+    val q49 = run("q49_cdc_merge").collect().map(r =>
+      (r.getLong(0), r.getString(2),
+        if (r.isNullAt(6)) None else Some(r.getLong(6))))
+    val touched = q49.map(_._1).toSet
+    def nckey(k: Long): Long =
+      graft.functions.Portable.h60Scala(s"nc_$k") % 1000 + 1
+    val applied =
+      base.filterNot(r => touched(r._1)) ++
+        q49.collect { case (k, op, Some(nc)) if op != "D" =>
+          (k, ckOf.getOrElse(k, nckey(k)), nc)
+        }
+    val affected = inc.map(_._1).toSet
+    val recomputed = applied.filter(r => affected(r._2))
+      .groupBy(_._2).view.mapValues(rs =>
+        (rs.map(_._3).sum, rs.length.toLong)).toMap
+    inc.foreach { case (ck, (_, _, _, _, nc, nn)) =>
+      val (rc, rn) = recomputed.getOrElse(ck, (0L, 0L))
+      assert((nc, nn) === ((rc, rn)),
+        s"ck $ck: incremental ($nc,$nn) != recompute ($rc,$rn)")
+    }
+  }
+
   test("q48: bounded-heap top-k is row-identical to the window row_number spelling") {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._
