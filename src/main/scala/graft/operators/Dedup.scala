@@ -229,6 +229,66 @@ object Dedup {
       .orderBy("doc_id", "pos")
   }
 
+  /** CROSS-corpus maximal contaminated substrings — [[maximalDupSpans]]'s
+    * bipartite form, the span-grain upgrade of [[decontaminate]]: for
+    * every train-doc token position, `dup_len` = the longest match
+    * (capped) between the suffix starting there and ANY EVAL suffix —
+    * substring-level benchmark decontamination (the ExactSubstr operator
+    * of Lee et al. 2022 §4 run train-against-eval), reporting positions
+    * and exact lengths so spans can be CUT (d17's rewrite) instead of
+    * dropping whole documents the way d12's window-membership rule does.
+    *
+    * Exactness without all-pairs, one step past d27's lag/lead: in the
+    * UNION'd lexicographic suffix order, the max LCP of a train suffix
+    * against the eval side is attained at the NEAREST eval suffix on one
+    * of the two sides (LCP is non-increasing with sorted distance), so
+    * two running `last(…, ignoreNulls)` windows — one ascending, one
+    * descending — carry each train row its nearest eval key; both are
+    * incremental frames (never an unbounded-FOLLOWING frame, whose
+    * Spark evaluator re-scans per row, O(group²)). Ties between equal
+    * train/eval keys are broken deterministically side-last ascending /
+    * side-first descending, so an eval suffix EQUAL to a train suffix is
+    * always visible to exactly the descending window — both engines
+    * agree by construction, and dup_len values stay engine-sort-
+    * independent as in d27. Anchor sharding, minLen visibility bound and
+    * the left-maximality filter are d27's.
+    *
+    * 100 TB: eval sets are tiny, but unlike d12's hash-set broadcast the
+    * exact-length answer needs eval suffixes IN sort position, so the
+    * corpus pays d27's one anchor-sharded exchange (+ a second in-place
+    * sort for the descending pass) with the eval rows riding along —
+    * |eval| ≪ |train| adds nothing material to the shuffle. Output is
+    * (train doc, pos, len) at hit grain — rare by construction.
+    */
+  def crossDupSpans(train: DataFrame, evalDocs: DataFrame, minLen: Int = 12,
+      cap: Int = 64, anchorLen: Int = 4): DataFrame = {
+    val suff = suffixFrame(train, minLen, cap, anchorLen)
+      .withColumn("side", lit(0))
+      .unionByName(suffixFrame(evalDocs, minLen, cap, anchorLen)
+        .withColumn("side", lit(1)))
+    val evalKey = when(col("side") === 1, col("key"))
+    val asc = Window.partitionBy("anchor")
+      .orderBy(col("key").asc, col("side").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val desc = Window.partitionBy("anchor")
+      .orderBy(col("key").desc, col("side").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val neigh = suff
+      .withColumn("pe", last(evalKey, ignoreNulls = true).over(asc))
+      .withColumn("ne", last(evalKey, ignoreNulls = true).over(desc))
+      .filter(col("side") === 0)
+      .withColumn("dup_len", greatest(
+        lcpCol(col("key"), col("pe")), lcpCol(col("key"), col("ne"))))
+      .select(col("doc_id"), col("pos"), col("dup_len"))
+    val wd = Window.partitionBy("doc_id").orderBy("pos")
+    neigh
+      .withColumn("prev_len", lag(col("dup_len"), 1).over(wd))
+      .filter(col("dup_len") >= minLen &&
+        (col("prev_len").isNull || col("prev_len") < col("dup_len") + 1))
+      .select(col("doc_id"), col("pos"), col("dup_len").as("len"))
+      .orderBy("doc_id", "pos")
+  }
+
   /** Flat exploded shingle frame (doc_id, nsh, shingle-hash) — the shared
     * input of the pair joins (kernels: [[Kernels.lowerTokens]] +
     * [[Kernels.shingles]]). Flat long rows materialize cheaply (unlike the
@@ -1974,7 +2034,52 @@ object Dedup {
              |  s.stored_canonical, c.current_canonical
              |FROM store s FULL OUTER JOIN current c
              |  ON s.content_hash = c.content_hash
-             |ORDER BY content_hash""".stripMargin))
+             |ORDER BY content_hash""".stripMargin)),
+
+    // Substring-level eval decontamination — [[crossDupSpans]] over
+    // d12's deterministic eval split: maximal train-doc spans (>= 12
+    // tokens, capped at 64) that also occur ANYWHERE in the eval slice,
+    // with exact positions/lengths so the fix is d17's span cut, not a
+    // doc drop. The oracle recomputes the identical union'd suffix
+    // order with the side-deterministic tie-break and the two
+    // nearest-eval windows in SQL (IGNORE NULLS running frames);
+    // dup_len is engine-sort-independent as in d27.
+    Q("d31_decontam_spans",
+      "cross-corpus substring decontamination: maximal train spans >= 12 tokens occurring in the eval split, exact positions + lengths",
+      (s, d) => {
+        val all = docs(s, d)
+        crossDupSpans(all.filter(col("doc_id") % 10 =!= 7),
+          all.filter(col("doc_id") % 10 === 7))
+      },
+      Some("""WITH n AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm FROM documents),
+             |tk AS (SELECT doc_id, list_filter(string_split(norm, ' '), t -> t <> '') AS toks FROM n),
+             |sf AS (SELECT doc_id, toks, unnest(range(1, len(toks) - 10)) AS p
+             |  FROM tk WHERE len(toks) >= 12),
+             |k AS (SELECT doc_id, (doc_id % 10 = 7)::INT AS side, (p - 1)::BIGINT AS pos,
+             |    ('0x' || substr(md5(array_to_string(toks[p:p+3], ' ')), 1, 15))::BIGINT AS anchor,
+             |    toks[p:p+63] AS key
+             |  FROM sf),
+             |nb AS (SELECT doc_id, side, pos, key,
+             |    last_value(CASE WHEN side = 1 THEN key END IGNORE NULLS) OVER
+             |      (PARTITION BY anchor ORDER BY key ASC, side ASC
+             |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pe,
+             |    last_value(CASE WHEN side = 1 THEN key END IGNORE NULLS) OVER
+             |      (PARTITION BY anchor ORDER BY key DESC, side DESC
+             |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS ne
+             |  FROM k),
+             |d AS (SELECT doc_id, pos, greatest(
+             |    CASE WHEN pe IS NULL THEN 0
+             |      ELSE coalesce(nullif(list_position(list_transform(range(1, greatest(len(key), len(pe)) + 1),
+             |        i -> coalesce(key[i] = pe[i], false)), false), 0) - 1, least(len(key), len(pe))) END,
+             |    CASE WHEN ne IS NULL THEN 0
+             |      ELSE coalesce(nullif(list_position(list_transform(range(1, greatest(len(key), len(ne)) + 1),
+             |        i -> coalesce(key[i] = ne[i], false)), false), 0) - 1, least(len(key), len(ne))) END
+             |  )::BIGINT AS dup_len FROM nb WHERE side = 0),
+             |m AS (SELECT doc_id, pos, dup_len,
+             |    lag(dup_len) OVER (PARTITION BY doc_id ORDER BY pos) AS prev_len FROM d)
+             |SELECT doc_id, pos, dup_len AS len FROM m
+             |WHERE dup_len >= 12 AND (prev_len IS NULL OR prev_len < dup_len + 1)
+             |ORDER BY doc_id, pos""".stripMargin))
   )
 
   /** The d29 geometry sweep: (bands, rows-per-band, S-curve midpoint

@@ -110,6 +110,33 @@ class PipelineOpsSpec extends SparkTestBase {
     }
   }
 
+  test("d31 cross spans: eval overlap reported exactly, train-train ignored, equal-suffix tie caught") {
+    import spark.implicits._
+    def toks(prefix: String, n: Int): Seq[String] =
+      (1 to n).map(i => s"$prefix$i")
+    val s20 = toks("s", 20) // span shared train <-> eval
+    val t15 = toks("t", 15) // span shared ONLY train <-> train
+    val trainA = (toks("u", 7) ++ s20 ++ t15 ++ toks("v", 4)).mkString(" ")
+    val trainB = (toks("w", 3) ++ t15 ++ toks("x", 12)).mkString(" ")
+    val train = Seq((1L, trainA), (2L, trainB)).toDF("doc_id", "text")
+    val evalD = Seq((9L, (s20 ++ toks("e", 6)).mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = Dedup.crossDupSpans(train, evalD).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // only trainA's s20 copy is contaminated; the train-train t15 repeat
+    // must NOT appear (d27 would report it; d31's sides exclude it)
+    assert(got === Set((1L, 7L, 20L)))
+    // equal-suffix tie: an eval doc IDENTICAL to a train doc sorts on the
+    // same key at every position — the side-deterministic descending
+    // window must still see it (full-length capped runs, d27 cap shape)
+    val same = (1 to 40).map(i => s"q$i").mkString(" ")
+    val got2 = Dedup.crossDupSpans(
+      Seq((3L, same)).toDF("doc_id", "text"),
+      Seq((8L, same)).toDF("doc_id", "text")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got2 === Set((3L, 0L, 40L)))
+  }
+
   test("d09 components: pairs land in one cluster, canonical is the min, sizes add up") {
     val pairs = run("d02_ngram_jaccard").collect()
       .map(r => (r.getLong(0), r.getLong(1)))
