@@ -1156,26 +1156,7 @@ object TextAnalysis {
       "segment every doc with t22's top-20 merges in rank order: per-doc token count + md5 of the segmented form",
       (s, d) => {
         import s.implicits._
-        val pairs = docs(s, d).select(col("doc_id"), col("text"))
-          .as[(Long, String)]
-          .mapPartitions(_.flatMap { case (_, tx) =>
-            Kernels.lowerTokens(tx).iterator.flatMap { w =>
-              (0 until w.length - 1).iterator.map(i => w.substring(i, i + 2))
-            }
-          })
-          .toDF("pair")
-        // rank-ordered merge array: sort_array over (-count, md5, pair)
-        // structs = t22's exact (count desc, md5 tiebreak) order, fully
-        // deterministic where a bare collect_list is not; the transform
-        // HOF runs once over one 20-element row (rule 11 does not apply)
-        val merges = pairs.groupBy("pair")
-          .agg(count(lit(1)).as("pair_count"))
-          .orderBy(col("pair_count").desc, md5(col("pair")))
-          .limit(20)
-          .agg(sort_array(collect_list(struct(
-            (-col("pair_count")).as("nc"), md5(col("pair")).as("tb"),
-            col("pair").as("p")))).as("ms"))
-          .select(expr("transform(ms, x -> x.p)").as("merges"))
+        val merges = bpeMergesTop20(s, d)
         docs(s, d).select(col("doc_id"), col("text"))
           .crossJoin(broadcast(merges))
           .as[(Long, String, Seq[String])]
@@ -1970,7 +1951,95 @@ object TextAnalysis {
              |  r.hops IS NOT DISTINCT FROM 0 AS is_seed,
              |  r.hops, r.hops IS NOT NULL AS reached
              |FROM nodes n LEFT JOIN reach r USING (idx)
-             |ORDER BY n.domain""".stripMargin))
+             |ORDER BY n.domain""".stripMargin)),
+
+    // Tokenizer FERTILITY per language — the tokenizer-fairness audit
+    // (Ács 2019's fertility metric; Petrov et al. 2023's premium): how
+    // many subword tokens the t22/t25 tokenizer spends per whitespace
+    // word, and how many characters each token carries, cut by the
+    // corpus `lang` column. A tokenizer trained on a skewed mixture
+    // segments under-represented languages into more, shorter pieces —
+    // this report is how that premium is priced before training (it
+    // inflates their effective sequence length and cost per byte).
+    // Counts are exact integers from the SAME segmentation t25
+    // fingerprints (one shared merge sidecar, [[bpeMergesTop20]]);
+    // the two ratios are one IEEE division each. Shape: merge table
+    // folds map-side and broadcasts; ONE corpus scan segments, counts
+    // words/chars/tokens per doc, and collapses map-side to the
+    // |langs|-row grid — no corpus exchange at all beyond that rollup.
+    Q("t39_fertility",
+      "tokenizer fertility per language: words, chars, BPE tokens, tokens-per-word and chars-per-token from t22's merges",
+      (s, d) => {
+        import s.implicits._
+        docs(s, d).select(col("lang"), col("text"))
+          .crossJoin(broadcast(bpeMergesTop20(s, d)))
+          .as[(String, String, Seq[String])]
+          .mapPartitions { it =>
+            var mArr: Array[String] = null
+            it.map { case (lang, text, ms) =>
+              if (mArr == null) mArr = ms.toArray
+              val words = Kernels.lowerTokens(text)
+              var nT = 0L
+              var nC = 0L
+              var wi = 0
+              while (wi < words.length) {
+                nT += Kernels.bpeApply(words(wi), mArr).length
+                nC += words(wi).length
+                wi += 1
+              }
+              (lang, words.length.toLong, nC, nT)
+            }
+          }
+          .toDF("lang", "w", "c", "t")
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"), sum("w").as("n_words"),
+            sum("c").as("n_chars"), sum("t").as("n_bpe_tokens"))
+          .select(col("lang"), col("n_docs"), col("n_words"),
+            col("n_chars"), col("n_bpe_tokens"),
+            when(col("n_words") > 0,
+              col("n_bpe_tokens") * lit(1.0) / col("n_words"))
+              .as("fertility"),
+            when(col("n_bpe_tokens") > 0,
+              col("n_chars") * lit(1.0) / col("n_bpe_tokens"))
+              .as("chars_per_token"))
+          .orderBy("lang")
+      },
+      Some("""WITH n AS (SELECT doc_id, lang,
+             |    coalesce(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '') AS norm
+             |  FROM documents),
+             |w AS (SELECT unnest(list_filter(string_split(norm, ' '), t -> t <> '')) AS word FROM n),
+             |p AS (SELECT substr(word, i, 2) AS pair
+             |  FROM w, unnest(range(1, len(word))) AS u(i)
+             |  WHERE len(word) >= 2),
+             |c AS (SELECT pair, count(*)::BIGINT AS pair_count FROM p GROUP BY pair),
+             |r AS (SELECT pair, row_number() OVER (ORDER BY pair_count DESC, md5(pair)) AS rank FROM c),
+             |m AS (SELECT list(pair ORDER BY rank) AS merges FROM r WHERE rank <= 20),
+             |tw AS (SELECT doc_id, lang, list_filter(string_split(norm, ' '), t -> t <> '') AS toks FROM n),
+             |seg AS (SELECT doc_id, lang, list_transform(toks, wd ->
+             |    replace(trim(
+             |      list_reduce(
+             |        list_prepend(
+             |          list_aggregate(list_transform(string_split(wd, ''),
+             |            ch -> chr(30) || ch || chr(30)), 'string_agg', ''),
+             |          merges),
+             |        (acc, mm) -> replace(acc,
+             |          chr(30) || substr(mm, 1, 1) || chr(30) || chr(30) || substr(mm, 2, 1) || chr(30),
+             |          chr(30) || mm || chr(30))),
+             |      chr(30)), chr(30) || chr(30), chr(31))) AS word_forms
+             |  FROM tw CROSS JOIN m),
+             |per AS (SELECT lang,
+             |    coalesce(len(word_forms), 0)::BIGINT AS w,
+             |    coalesce(list_aggregate(list_transform(word_forms,
+             |      f -> len(replace(f, chr(31), ''))), 'sum'), 0)::BIGINT AS c,
+             |    coalesce(list_aggregate(list_transform(word_forms,
+             |      f -> len(string_split(f, chr(31)))), 'sum'), 0)::BIGINT AS t
+             |  FROM seg)
+             |SELECT lang, count(*)::BIGINT AS n_docs,
+             |  sum(w)::BIGINT AS n_words, sum(c)::BIGINT AS n_chars,
+             |  sum(t)::BIGINT AS n_bpe_tokens,
+             |  CASE WHEN sum(w) > 0 THEN sum(t) * 1.0 / sum(w) END AS fertility,
+             |  CASE WHEN sum(t) > 0 THEN sum(c) * 1.0 / sum(t) END AS chars_per_token
+             |FROM per GROUP BY lang ORDER BY lang""".stripMargin))
   )
 
   /** t32's consumer over ANY postings store (the gate's two-batch
@@ -1979,6 +2048,35 @@ object TextAnalysis {
     * multi-batch merge is pure partition-discovery union and the
     * result depends only on the union of batches).
     */
+  /** t22's top-20 BPE merge table as ONE rank-ordered array row — the
+    * shared sidecar of t25 (segmentation) and t39 (fertility): a
+    * rank-ordered merge array via sort_array over (-count, md5, pair)
+    * structs = t22's exact (count desc, md5 tiebreak) order, fully
+    * deterministic where a bare collect_list is not; the transform HOF
+    * runs once over one 20-element row (rule 11 does not apply). Folds
+    * map-side through TakeOrderedAndProject and broadcasts (§7.4 rule
+    * 12: fixed-size by construction).
+    */
+  private def bpeMergesTop20(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val pairs = docs(s, d).select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.flatMap { case (_, tx) =>
+        Kernels.lowerTokens(tx).iterator.flatMap { w =>
+          (0 until w.length - 1).iterator.map(i => w.substring(i, i + 2))
+        }
+      })
+      .toDF("pair")
+    pairs.groupBy("pair")
+      .agg(count(lit(1)).as("pair_count"))
+      .orderBy(col("pair_count").desc, md5(col("pair")))
+      .limit(20)
+      .agg(sort_array(collect_list(struct(
+        (-col("pair_count")).as("nc"), md5(col("pair")).as("tb"),
+        col("pair").as("p")))).as("ms"))
+      .select(expr("transform(ms, x -> x.p)").as("merges"))
+  }
+
   private[graft] def bm25StoreTopK(s: SparkSession,
       storePath: String): DataFrame = {
     val st = s.read.parquet(storePath)

@@ -137,6 +137,26 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(got2 === Set((3L, 0L, 40L)))
   }
 
+  test("t39 fertility reconciles with t25's segmentation totals and metric bounds") {
+    val fert = run("t39_fertility").collect()
+    assert(fert.nonEmpty)
+    // per-lang invariants: every word yields >= 1 token, every token
+    // carries >= 1 char, and the ratios restate the integer columns
+    fert.foreach { r =>
+      val (w, c, t) = (r.getAs[Long]("n_words"), r.getAs[Long]("n_chars"),
+        r.getAs[Long]("n_bpe_tokens"))
+      assert(t >= w && c >= t, s"lang ${r.getString(0)}: w=$w c=$c t=$t")
+      assert(math.abs(r.getAs[Double]("fertility") - t.toDouble / w) < 1e-12)
+      assert(math.abs(
+        r.getAs[Double]("chars_per_token") - c.toDouble / t) < 1e-12)
+    }
+    // the corpus-total token spend must be EXACTLY t25's (one shared
+    // merge sidecar, same segmentation kernel, different rollup grain)
+    val t25Total = run("t25_bpe_apply").collect()
+      .map(_.getAs[Long]("n_tokens")).sum
+    assert(fert.map(_.getAs[Long]("n_bpe_tokens")).sum === t25Total)
+  }
+
   test("d09 components: pairs land in one cluster, canonical is the min, sizes add up") {
     val pairs = run("d02_ngram_jaccard").collect()
       .map(r => (r.getLong(0), r.getLong(1)))
