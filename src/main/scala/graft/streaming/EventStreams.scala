@@ -227,6 +227,102 @@ object EventStreams extends Serializable {
         wh.applyCdc(table, batch.toDF(), "k", "seq", "op")
       }
 
+  /** A CDC feed row for [[ivmStream]]: [[CdcChange]] plus the FK the
+    * maintained view aggregates on (a Debezium payload carries the full
+    * replacement row, FK included).
+    */
+  final case class CdcViewChange(k: Long, seq: Long, op: String, ck: Long,
+      cents: Long)
+
+  /** q51's STREAMING twin — continuous incremental view maintenance:
+    * each CDC micro-batch updates BOTH the base snapshot (k, ck, cents)
+    * and the per-ck aggregate view (ck, n, cents_total) without ever
+    * recomputing the view. Per batch, in q51's delta algebra extended
+    * to FK movement: every resolved change contributes −(old row) at
+    * its OLD ck (if the key existed) and +(new row) at its NEW ck
+    * (unless deleted) — an upsert that moves a key between customers
+    * decrements one group and increments the other, which the batch
+    * q51 (FK held fixed) never has to express. Deltas roll up at ck
+    * grain, merge into the view through a touched-rows-only full-outer
+    * join (untouched view rows pass through an anti-join — the point
+    * read), and groups whose count reaches 0 are DROPPED, matching the
+    * full recompute which never emits order-less customers. The spec
+    * pins the IVM theorem batch-by-batch: after every micro-batch,
+    * view ≡ groupBy recompute of the just-updated base.
+    *
+    * Replay safety: deltas are NOT idempotent (a re-applied batch
+    * double-counts), so a 1-row `<view>__epoch` sidecar records the
+    * last applied foreachBatch epoch and earlier epochs skip — the
+    * standard idempotent-foreachBatch discipline. The crash window
+    * between the three rename-swaps (view, base, marker) is the honest
+    * non-transactional boundary, same as [[graft.compendium.Warehouse
+    * .replace]]'s documented S3 caveat; a table format with multi-table
+    * transactions closes it.
+    *
+    * 100 TB: the view update touches |batch keys| base rows and
+    * |affected ck| view rows — point reads, never a base scan; the
+    * full-recompute alternative scans every order ever written per
+    * trigger. (Here both swaps rewrite the parquet dirs — partitioned /
+    * transactional storage turns them into the keyed writes the
+    * algebra already bounds.)
+    */
+  def ivmStream(changes: Dataset[CdcViewChange],
+      wh: graft.compendium.Warehouse, baseTable: String, viewTable: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[CdcViewChange] =
+    changes.writeStream.outputMode("append")
+      .foreachBatch { (batch: Dataset[CdcViewChange], epoch: Long) =>
+        applyIvmBatch(batch.toDF(), wh, baseTable, viewTable, epoch)
+      }
+
+  private[streaming] def applyIvmBatch(batch: DataFrame,
+      wh: graft.compendium.Warehouse, baseTable: String, viewTable: String,
+      epoch: Long): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types._
+    val s = batch.sparkSession
+    import s.implicits._
+    val marker = viewTable + "__epoch"
+    val lastApplied =
+      if (wh.exists(marker)) wh.read(marker).head().getLong(0) else -1L
+    if (epoch <= lastApplied) return
+    val w = Window.partitionBy(col("k")).orderBy(col("seq").desc)
+    val resolved = batch.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+    val baseSchema = StructType(Seq(StructField("k", LongType),
+      StructField("ck", LongType), StructField("cents", LongType)))
+    val base = wh.readOrEmpty(baseTable, baseSchema)
+    // point read: only the batch's keys' old rows participate
+    val old = base.join(resolved.select("k"), Seq("k"), "left_semi")
+      .select(col("k"), col("ck").as("old_ck"), col("cents").as("old_cents"))
+    val j = resolved.join(old, Seq("k"), "left")
+    val delta = j.filter(col("old_ck").isNotNull)
+      .select(col("old_ck").as("ck"), (-col("old_cents")).as("d_cents"),
+        lit(-1L).as("d_n"))
+      .unionByName(j.filter(col("op") =!= "D")
+        .select(col("ck"), col("cents").as("d_cents"), lit(1L).as("d_n")))
+      .groupBy("ck")
+      .agg(sum("d_cents").as("d_cents"), sum("d_n").as("d_n"))
+    val viewSchema = StructType(Seq(StructField("ck", LongType),
+      StructField("n", LongType), StructField("cents_total", LongType)))
+    val view = wh.readOrEmpty(viewTable, viewSchema)
+    val touched = view.join(delta.select("ck"), Seq("ck"), "left_semi")
+      .join(delta, Seq("ck"), "full_outer")
+      .select(col("ck"),
+        (coalesce(col("n"), lit(0L)) + col("d_n")).as("n"),
+        (coalesce(col("cents_total"), lit(0L)) + col("d_cents"))
+          .as("cents_total"))
+      .filter(col("n") > 0)
+    val untouched = view.join(delta.select("ck"), Seq("ck"), "left_anti")
+    // ORDER MATTERS: the view plan reads the PRE-batch base (its deltas
+    // were computed against it), so the view swaps FIRST — replace()
+    // stages the full result to a __tmp dir before renaming, so a plan
+    // may read the table it replaces; only after the view is down does
+    // the base swap invalidate the old base files.
+    wh.replace(viewTable, untouched.unionByName(touched))
+    wh.applyCdc(baseTable, batch, "k", "seq", "op")
+    wh.replace(marker, Seq(epoch).toDF("epoch"))
+  }
+
   /** Stream-static enrichment join: the event stream against a STATIC
     * reference frame (a dimension table). No state, no watermark — the
     * static side is (re)resolved per micro-batch and broadcast under the

@@ -485,6 +485,54 @@ class EventStreamsSpec extends SparkTestBase {
       "tombstones drop, resurrection re-inserts, untouched keys survive")
   }
 
+  test("ivmStream: view equals full recompute after every batch; FK moves, group drops, epoch replay") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val wh = new graft.compendium.Warehouse(spark, tmpDir())
+    // base: ck 10 has keys {1, 2}, ck 20 has {3}, ck 30 has {4}
+    wh.replace("ivm_base", Seq(
+      (1L, 10L, 100L), (2L, 10L, 200L), (3L, 20L, 300L), (4L, 30L, 400L))
+      .toDF("k", "ck", "cents"))
+    wh.replace("ivm_view", Seq((10L, 2L, 300L), (20L, 1L, 300L),
+      (30L, 1L, 400L)).toDF("ck", "n", "cents_total"))
+    def recompute(): Set[(Long, Long, Long)] =
+      wh.read("ivm_base").groupBy("ck")
+        .agg(org.apache.spark.sql.functions.count("*").as("n"),
+          org.apache.spark.sql.functions.sum("cents").as("cents_total"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    def view(): Set[(Long, Long, Long)] =
+      wh.read("ivm_view").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val in = MemoryStream[EventStreams.CdcViewChange]
+    val q = EventStreams.ivmStream(in.toDS(), wh, "ivm_base", "ivm_view")
+      .start()
+    try {
+      // batch 1: in-place update, FK MOVE (k=3 from ck 20 to ck 10 —
+      // ck 20 empties and must DROP), fresh insert into a new ck
+      in.addData(
+        EventStreams.CdcViewChange(1, 1, "U", 10, 150),
+        EventStreams.CdcViewChange(3, 1, "U", 10, 310),
+        EventStreams.CdcViewChange(9, 1, "I", 40, 900))
+      q.processAllAvailable()
+      assert(view() === recompute(), "batch 1: IVM must equal recompute")
+      assert(!view().exists(_._1 == 20L), "emptied group must drop")
+      // batch 2: delete (ck 30 empties), out-of-order pair resolves to D
+      in.addData(
+        EventStreams.CdcViewChange(4, 2, "D", 0, 0),
+        EventStreams.CdcViewChange(9, 3, "D", 0, 0),
+        EventStreams.CdcViewChange(9, 2, "U", 40, 950))
+      q.processAllAvailable()
+      assert(view() === recompute(), "batch 2: IVM must equal recompute")
+      assert(view() === Set((10L, 3L, 660L)))
+    } finally q.stop()
+    // epoch replay: re-applying an already-applied epoch is a no-op
+    val before = view()
+    EventStreams.applyIvmBatch(
+      Seq(EventStreams.CdcViewChange(1, 5, "D", 0, 0)).toDF(),
+      wh, "ivm_base", "ivm_view", epoch = 0L)
+    assert(view() === before, "stale epoch must skip (no double-apply)")
+  }
+
   test("in-session gap splits into two sessions on the same user") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
