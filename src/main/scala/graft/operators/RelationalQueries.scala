@@ -1516,17 +1516,24 @@ object RelationalQueries {
     // width actually paid. Scale shape: octave assignment is a 40-row
     // broadcast range join riding the scan (BNLJ against power-of-two
     // literals — no log2 float anywhere); the ONE corpus exchange is
-    // the (type, bucket) cell rollup, map-side partial; cumulative
+    // the (type, cents) frequency rollup, map-side partial; cumulative
     // windows and quantile selection run on the ~640-cell grid; the
-    // exact quantiles (audit leg only — production drops them) reuse
-    // q25's percentile_disc and re-attach broadcast.
+    // exact quantiles (audit leg only — production drops them) read
+    // the SAME frequency grain via the SQL-standard percentile_disc
+    // rule (min value with cumfreq ≥ ceil(p·n)) — integer end-to-end
+    // (no DOUBLE-returning percentile_disc agg; round 11's one red
+    // row was exactly that float64-vs-int64 drift), and both legs
+    // hang off one exchange so events is scanned ONCE (ReuseExchange
+    // dedupes the shared (type, cents) rollup).
     Q("q47_hdr_quantiles",
       "log-histogram p50/p95/p99 per event type: bounded-state mergeable cells, integer-exact, with exact-quantile audit",
       (s, d) => {
-        val ev = Tables.events(s, d).filter(col("value").isNotNull)
+        val freq = Tables.events(s, d).filter(col("value").isNotNull)
           .select(col("event_type"),
             expr("cast(floor(value * 100 + 0.5) as bigint)").as("cents"))
-        val cells = hdrCellsOf(Tables.events(s, d))
+          .groupBy("event_type", "cents")
+          .agg(count(lit(1)).as("freq"))
+        val cells = hdrCellsOfFreq(freq)
         val wcum = Window.partitionBy(col("event_type"))
           .orderBy(col("bucket_lo"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -1544,10 +1551,19 @@ object RelationalQueries {
           .agg(max(col("n")).as("n"),
             (estOf(1, 2, "50") ++ estOf(19, 20, "95") ++
               estOf(99, 100, "99")): _*)
-        val exact = ev.groupBy("event_type").agg(
-          expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY cents)").as("exact_p50"),
-          expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY cents)").as("exact_p95"),
-          expr("percentile_disc(0.99) WITHIN GROUP (ORDER BY cents)").as("exact_p99"))
+        val wq = Window.partitionBy(col("event_type")).orderBy(col("cents"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val exact = freq
+          .withColumn("cumf", sum(col("freq")).over(wq))
+          .withColumn("nf", sum(col("freq"))
+            .over(Window.partitionBy(col("event_type"))))
+          .groupBy("event_type").agg(
+            min(when(col("cumf") >= expr("(1 * nf + 1) div 2"),
+              col("cents"))).as("exact_p50"),
+            min(when(col("cumf") >= expr("(19 * nf + 19) div 20"),
+              col("cents"))).as("exact_p95"),
+            min(when(col("cumf") >= expr("(99 * nf + 99) div 100"),
+              col("cents"))).as("exact_p99"))
         est.join(broadcast(exact), Seq("event_type"))
           .select(col("event_type"), col("n"),
             col("est_p50_lo"), col("exact_p50"),
@@ -1565,18 +1581,20 @@ object RelationalQueries {
       Some("""WITH ev AS (SELECT event_type,
              |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
              |  FROM events WHERE value IS NOT NULL),
+             |freq AS (SELECT event_type, cents, count(*)::BIGINT AS freq
+             |  FROM ev GROUP BY 1, 2),
              |pows AS (SELECT (1::BIGINT << i) AS lo,
              |    CASE WHEN i = 39 THEN 9223372036854775807
              |      ELSE (1::BIGINT << (i + 1)) END AS hi
              |  FROM range(0, 40) t(i)),
-             |b AS (SELECT event_type, cents, lo,
+             |b AS (SELECT event_type, cents, freq, lo,
              |    CASE WHEN lo >= 8 THEN lo // 8 ELSE 1 END AS width,
              |    CASE WHEN lo >= 8
              |      THEN lo + ((cents - lo) // (lo // 8)) * (lo // 8)
              |      ELSE cents END AS bucket_lo
-             |  FROM ev JOIN pows ON cents >= lo AND cents < hi),
+             |  FROM freq JOIN pows ON cents >= lo AND cents < hi),
              |cells AS (SELECT event_type, bucket_lo, width,
-             |    count(*)::BIGINT AS cnt
+             |    sum(freq)::BIGINT AS cnt
              |  FROM b GROUP BY 1, 2, 3),
              |cum AS (SELECT *, sum(cnt) OVER (PARTITION BY event_type
              |      ORDER BY bucket_lo ROWS UNBOUNDED PRECEDING)::BIGINT AS cum,
@@ -1591,11 +1609,16 @@ object RelationalQueries {
              |    min(CASE WHEN cum >= (99 * n + 99) // 100 THEN bucket_lo END) AS est_p99_lo,
              |    min(CASE WHEN cum >= (99 * n + 99) // 100 THEN bucket_hi END) AS est_p99_hi
              |  FROM cum GROUP BY event_type),
+             |fq AS (SELECT event_type, cents,
+             |    sum(freq) OVER (PARTITION BY event_type ORDER BY cents
+             |      ROWS UNBOUNDED PRECEDING)::BIGINT AS cumf,
+             |    sum(freq) OVER (PARTITION BY event_type)::BIGINT AS nf
+             |  FROM freq),
              |ex AS (SELECT event_type,
-             |    quantile_disc(cents, 0.5) AS exact_p50,
-             |    quantile_disc(cents, 0.95) AS exact_p95,
-             |    quantile_disc(cents, 0.99) AS exact_p99
-             |  FROM ev GROUP BY event_type)
+             |    min(CASE WHEN cumf >= (1 * nf + 1) // 2 THEN cents END) AS exact_p50,
+             |    min(CASE WHEN cumf >= (19 * nf + 19) // 20 THEN cents END) AS exact_p95,
+             |    min(CASE WHEN cumf >= (99 * nf + 99) // 100 THEN cents END) AS exact_p99
+             |  FROM fq GROUP BY event_type)
              |SELECT est.event_type, n,
              |  est_p50_lo, exact_p50,
              |  est_p50_lo <= exact_p50 AND exact_p50 < est_p50_hi AS p50_bounded,
@@ -1929,6 +1952,12 @@ object RelationalQueries {
     * keyed count (bounded state: ≤ ~8·40 cells per type by construction,
     * the kmvDistinctStream no-watermark rationale).
     */
+  /** Single-aggregation form — kept for the STREAMING twin
+    * (EventStreams.hdrCellsStream), where a chained groupBy (the
+    * freq-grain shape below) would be an unsupported second streaming
+    * aggregation. Batch q47 uses [[hdrCellsOfFreq]] instead so its two
+    * legs share one scan.
+    */
   private[graft] def hdrCellsOf(events: DataFrame): DataFrame = {
     val s = events.sparkSession
     val ev = events.filter(col("value").isNotNull)
@@ -1944,5 +1973,22 @@ object RelationalQueries {
         "CASE WHEN lo >= 8 THEN lo + ((cents - lo) div (lo div 8)) * (lo div 8) ELSE cents END"))
       .groupBy(col("event_type"), col("bucket_lo"), col("width"))
       .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Octave-bucket rollup from the (event_type, cents, freq) frequency
+    * grain — the shared upstream of q47's estimate AND exact-audit legs
+    * (one events scan, one exchange; ReuseExchange dedupes). */
+  private[graft] def hdrCellsOfFreq(freq: DataFrame): DataFrame = {
+    val s = freq.sparkSession
+    val pows = broadcast(s.range(0, 40)
+      .select(expr("shiftleft(1L, cast(id as int))").as("lo"),
+        expr("CASE WHEN id = 39 THEN 9223372036854775807L " +
+          "ELSE shiftleft(1L, cast(id as int) + 1) END").as("hi")))
+    freq.join(pows, col("cents") >= col("lo") && col("cents") < col("hi"))
+      .withColumn("width", expr("CASE WHEN lo >= 8 THEN lo div 8 ELSE 1 END"))
+      .withColumn("bucket_lo", expr(
+        "CASE WHEN lo >= 8 THEN lo + ((cents - lo) div (lo div 8)) * (lo div 8) ELSE cents END"))
+      .groupBy(col("event_type"), col("bucket_lo"), col("width"))
+      .agg(sum(col("freq")).as("cnt"))
   }
 }

@@ -1268,9 +1268,16 @@ class PlanShapeSpec extends SparkTestBase {
     assert(plan.contains("BroadcastNestedLoopJoin"),
       "the 40-row power-of-two table must attach as a broadcast range join, not a shuffle")
     assert(plan.contains("partial_count"),
-      "the (type, bucket) cell rollup must partial-aggregate map-side")
+      "the (type, cents) frequency rollup must partial-aggregate map-side")
     assert(!plan.contains("SortMergeJoin"),
       "exact-quantile audit leg and cells are both grid-sized — broadcast attaches only")
+    // both legs (estimate + exact audit) hang off the SAME (type, cents)
+    // frequency exchange: events is scanned once, the second consumer is
+    // a ReusedExchange — the round-11 ask (VERDICT r11 item 7)
+    assert(countOf(plan, "FileScan parquet") == 1,
+      "estimate and exact-audit legs must share one events scan")
+    assert(plan.contains("ReusedExchange"),
+      "the shared frequency rollup must dedupe via ReuseExchange")
   }
 
   test("s21: prefix and exact ranks ride ONE corpus pass sharing one query_id exchange") {
