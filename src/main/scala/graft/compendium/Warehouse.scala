@@ -86,10 +86,7 @@ final class Warehouse(spark: SparkSession, root: String) {
     */
   def applyCdc(table: String, changes: DataFrame, key: String,
       seqCol: String, opCol: String): Unit = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col(key)).orderBy(col(seqCol).desc)
-    val resolved = changes.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1).drop("__rn")
+    val resolved = Warehouse.resolveLastOp(changes, key, seqCol)
     val upserts = resolved.filter(col(opCol) =!= "D").drop(opCol, seqCol)
     val touched = resolved.select(key)
     val merged =
@@ -124,5 +121,28 @@ final class Warehouse(spark: SparkSession, root: String) {
           (if (hadOld) "; previous copy restored" else ""))
     }
     if (hadOld) fs.delete(old, true)
+  }
+}
+
+object Warehouse {
+  /** THE last-op-wins resolution, shared by [[Warehouse.applyCdc]] and the
+    * IVM delta ([[graft.streaming.EventStreams.applyIvmBatch]]) so the two
+    * consumers of one change batch can never disagree on which row won.
+    * Order: seq DESC, then every remaining column DESC in name order — a
+    * TOTAL order over the row, so a duplicate-(key, seq) tie can only occur
+    * between fully identical rows, where either pick is the same row.
+    * Without the payload tiebreak, row_number's pick within a (key, seq)
+    * tie is partition-layout-dependent: the view delta and the base merge
+    * could each keep a DIFFERENT row of the tie and silently diverge.
+    */
+  private[graft] def resolveLastOp(changes: DataFrame, key: String,
+      seqCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tiebreak = changes.columns
+      .filter(c => c != key && c != seqCol).sorted.map(col(_).desc)
+    val w = Window.partitionBy(col(key))
+      .orderBy((col(seqCol).desc +: tiebreak.toSeq): _*)
+    changes.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
   }
 }

@@ -63,30 +63,57 @@ object Kernels {
     if (text == null) Array.empty
     else tokenize(text.toLowerCase(java.util.Locale.ROOT))
 
-  /** Greedy BPE merge application (t25): start from the word's UTF-16
-    * code units, then for each 2-char merge pair in RANK ORDER run one
+  /** The word as single-CODEPOINT strings — the shared segmentation atom
+    * of t22 (pair counting), t25 (merge application), and t39 (fertility
+    * character counts). Codepoints, not UTF-16 units, because the DuckDB
+    * oracle's `string_split(w, '')` / `len()` / `substr()` all count
+    * codepoints: a supplementary character (emoji, CJK extension B) must
+    * be ONE atom on both engines, never a surrogate pair split in half.
+    */
+  def codepointAtoms(word: String): Array[String] = {
+    val n = word.codePointCount(0, word.length)
+    val a = new Array[String](n)
+    var i = 0
+    var k = 0
+    while (i < word.length) {
+      val next = word.offsetByCodePoints(i, 1)
+      a(k) = word.substring(i, next)
+      i = next
+      k += 1
+    }
+    a
+  }
+
+  /** Adjacent codepoint pairs inside a word — t22's merge candidates,
+    * on the same codepoint basis as [[codepointAtoms]]. Empty for words
+    * shorter than two codepoints.
+    */
+  def codepointPairs(word: String): Iterator[String] = {
+    val atoms = codepointAtoms(word)
+    (0 until atoms.length - 1).iterator.map(i => atoms(i) + atoms(i + 1))
+  }
+
+  /** Greedy BPE merge application (t25): start from the word's
+    * CODEPOINTS ([[codepointAtoms]] — the oracle's string_split basis),
+    * then for each 2-codepoint merge pair in RANK ORDER run one
     * left-to-right non-overlapping pass replacing adjacent singleton
     * tokens (x, y) with the merged token xy — exactly the semantics of
     * a sequential `replace()` on a token-delimited string, which is how
     * the DuckDB oracle computes the same segmentation (the t25
     * kernel↔oracle property pins the equivalence). Merges from t22 are
-    * always char pairs, so merged tokens are 2 units long and never
-    * themselves merge-eligible — the honest scope of applying FIRST-
-    * ROUND pair statistics (true BPE would recount pairs after every
-    * merge; t22/t25 price the first K merges of round one).
+    * always codepoint pairs, so merged tokens are 2 codepoints long and
+    * never themselves merge-eligible — the honest scope of applying
+    * FIRST-ROUND pair statistics (true BPE would recount pairs after
+    * every merge; t22/t25 price the first K merges of round one).
     */
   def bpeApply(word: String, merges: Array[String]): Array[String] = {
-    var toks: Array[String] = {
-      val a = new Array[String](word.length)
-      var i = 0
-      while (i < word.length) { a(i) = word.substring(i, i + 1); i += 1 }
-      a
-    }
+    var toks: Array[String] = codepointAtoms(word)
     var mi = 0
     while (mi < merges.length) {
       val m = merges(mi)
-      val x = m.substring(0, 1)
-      val y = m.substring(1)
+      val cut = m.offsetByCodePoints(0, 1)
+      val x = m.substring(0, cut)
+      val y = m.substring(cut)
       val b = Array.newBuilder[String]
       var i = 0
       while (i < toks.length) {

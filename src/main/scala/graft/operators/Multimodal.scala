@@ -96,16 +96,66 @@ object Multimodal {
   }
 
   /** Frame sampling: every 7th frame index, tagged with a per-frame hash
-    * (stand-in for a per-frame feature vector).
+    * (stand-in for a per-frame feature vector). `tagMod` is the tag key
+    * space — 997 is m02's pinned fixture constant; m07 passes
+    * [[adaptiveTagMod]] so its pair join stays output-bound at scale.
     */
-  def sampleFrames(ds: Dataset[MediaMeta]): Dataset[Frame] = {
+  def sampleFrames(ds: Dataset[MediaMeta],
+      tagMod: Long = 997L): Dataset[Frame] = {
     import ds.sparkSession.implicits._
     ds.flatMap { m =>
       (0L until m.n_frames by 7).map { f =>
-        Frame(m.doc_id, f, (m.cp_sum16 * 2654435761L + f) % 997)
+        Frame(m.doc_id, f, (m.cp_sum16 * 2654435761L + f) % tagMod)
       }
     }
   }
+
+  /** ceil(log2(max(n, 2))) via bit length — INTEGER-exact, because its
+    * DuckDB twin `length(bin(GREATEST(n, 2) - 1))` must agree bit-for-bit
+    * (a float log2 could round either side of an integer at powers of
+    * two and silently split the engines' adaptive widths).
+    */
+  private def ceilLog2(n: Long): Long =
+    64L - java.lang.Long.numberOfLeadingZeros(math.max(n, 2L) - 1L)
+
+  /** The corpus count all three adaptive-width formulas key on — the
+    * raw documents row count (one column-less count job, shared
+    * convention with the oracle's `count(*) FROM documents`).
+    */
+  private def docCount(s: SparkSession, d: String): Long =
+    Tables.documents(s, d).count()
+
+  /** Adaptive pHash band width in bits (the sketch is 2 bands = 2·bb
+    * bits): 8 while the corpus holds ≤ 4096 docs — the gate SFs, where
+    * the hashes stay pinned to the original 16-bit sketch — then
+    * ceil(log2 n) − 4, so a band bucket holds ~2⁴ sketches REGARDLESS
+    * of corpus size and band-collision candidates stay output-bound
+    * (~16n) instead of saturating at n²/256. This is the production
+    * "widen the hash with the corpus" lever (16 → 64-bit pHash at crawl
+    * scale), s18's adaptive-plane precedent applied to m08/m11.
+    * DuckDB twin: [[sqlPhashWidth]].
+    */
+  private def phashBandBits(n: Long): Long = math.max(8L, ceilLog2(n) - 4L)
+
+  /** Adaptive m07 frame-tag modulus: 997 while the corpus holds ≤ 1024
+    * videos (gate SFs pinned), then doubling with each corpus doubling,
+    * so videos-per-tag — and with it the tag pair join's fan-out —
+    * stays constant instead of growing linearly (pairs ~n²/997).
+    * DuckDB twin: [[sqlTagMod]].
+    */
+  private def adaptiveTagMod(n: Long): Long =
+    997L << math.max(0L, ceilLog2(n) - 10L).toInt
+
+  /** Oracle twin of [[phashBandBits]] — a 1-row CTE `wp(bb)`. */
+  private val sqlPhashWidth =
+    """wp AS (SELECT GREATEST(8, length(bin(GREATEST(cnt, 2) - 1)) - 4) AS bb
+      |  FROM (SELECT count(*)::BIGINT AS cnt FROM documents))""".stripMargin
+
+  /** Oracle twin of [[adaptiveTagMod]] — a 1-row CTE `mp(m)`. */
+  private val sqlTagMod =
+    """mp AS (SELECT 997 * (1::BIGINT <<
+      |    GREATEST(0, length(bin(GREATEST(cnt, 2) - 1)) - 10)) AS m
+      |  FROM (SELECT count(*)::BIGINT AS cnt FROM documents))""".stripMargin
 
   final case class AudioFrame(doc_id: Long, frame_idx: Long, energy: Long,
       peak: Long)
@@ -213,27 +263,29 @@ object Multimodal {
       .withColumn("nrm", sqrt(dotFast(col("v"), col("v"))))
   }
 
-  /** 16-bit CENTERED patch-vector SimHash sketch per decodable image
-    * (one long/doc, checkpointed) — m08's pHash, factored so the m11
-    * screen→verify composition reuses the identical sketch. Centering
-    * (subtracting the vector's own mean) is what makes the sign pattern
-    * discriminative: raw patch sums are all-positive and cluster near
-    * the all-ones direction (§7.4-13).
+  /** CENTERED patch-vector SimHash sketch per decodable image (one
+    * long/doc, checkpointed) — m08's pHash, factored so the m11
+    * screen→verify composition reuses the identical sketch. Width =
+    * 2·[[phashBandBits]] bits, derived from the corpus count (16 at the
+    * gate SFs). Centering (subtracting the vector's own mean) is what
+    * makes the sign pattern discriminative: raw patch sums are
+    * all-positive and cluster near the all-ones direction (§7.4-13).
     */
-  private def imageSketches(s: SparkSession, d: String): DataFrame =
-    imageSketchesOf(patchVectors(s, d))
+  private def imageSketches(s: SparkSession, d: String,
+      bandBits: Long): DataFrame =
+    imageSketchesOf(patchVectors(s, d), bandBits)
 
   /** [[imageSketches]] over an arbitrary patch-vector frame — the form
     * m11 needs so its verify leg and the sketch share ONE checkpointed
     * kernel pass instead of each paying the decode+grid scan.
     */
-  private def imageSketchesOf(pv: DataFrame): DataFrame = {
+  private def imageSketchesOf(pv: DataFrame, bandBits: Long): DataFrame = {
     import graft.functions.Portable.{centerFast, dotFast, hyperplaneArray}
     // centerFast (one O(d) expression node), NOT the per-element
     // array(v[i] − vbar) spelling: CollapseProject inlines that mean
     // into all 16 elements and the 16 sign tests re-inline the array —
     // O(d³) generated code that breaks the janino 64 KB method limit
-    val sig = (0 until 16).map { j =>
+    val sig = (0 until (2 * bandBits).toInt).map { j =>
       when(dotFast(col("cv"),
         typedlit(hyperplaneArray(j, 16).toSeq)) >= 0.0,
         lit(1L << j)).otherwise(lit(0L))
@@ -248,17 +300,21 @@ object Multimodal {
     * shared candidate stage of m08 (kept at <= 1, the 2-band pigeonhole
     * losslessness radius) and m11 (screened at <= 2, a deliberate
     * margin past losslessness — documented best-effort, the d23 scope
-    * discipline). One merge-hinted self-join on the 2×8-bit band keys;
-    * the distinct pair set is candidate-bound.
+    * discipline). One merge-hinted self-join on the 2×bandBits-bit band
+    * keys; the distinct pair set is candidate-bound — and with
+    * [[phashBandBits]] sizing the bands, OUTPUT-bound at every corpus
+    * size, not just below the 16-bit saturation point.
     */
-  private def sketchPairs(s: SparkSession, d: String): DataFrame =
-    sketchPairsOf(imageSketches(s, d))
+  private def sketchPairs(s: SparkSession, d: String,
+      bandBits: Long): DataFrame =
+    sketchPairsOf(imageSketches(s, d, bandBits), bandBits)
 
-  private def sketchPairsOf(sk: DataFrame): DataFrame = {
+  private def sketchPairsOf(sk: DataFrame, bandBits: Long): DataFrame = {
+    val mask = (1L << bandBits) - 1L
     val bands = sk.select(col("doc_id"), col("sig"),
       explode(array((0 until 2).map(j =>
-        xxhash64(lit(j), shiftright(col("sig"), 8 * j)
-          .bitwiseAND(lit(0xFFL)))): _*)).as("bkey"))
+        xxhash64(lit(j), shiftright(col("sig"), (bandBits * j).toInt)
+          .bitwiseAND(lit(mask)))): _*)).as("bkey"))
     bands.as("x").hint("merge").join(bands.as("y"), Seq("bkey"))
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
@@ -469,21 +525,26 @@ object Multimodal {
 
     // Cross-video duplicate-FRAME overlap — the video-dedup primitive
     // (shared keyframes mark re-uploads, clips, and edits of the same
-    // footage): m02's sampled frame tags stand in for perceptual frame
-    // hashes, and video pairs are scored by how many distinct tags they
-    // share — d07's capped set-overlap shape at frame granularity.
+    // footage): m02-style sampled frame tags stand in for perceptual
+    // frame hashes, and video pairs are scored by how many distinct tags
+    // they share — d07's capped set-overlap shape at frame granularity.
     // Hot tags (a tag present in more than 25% of videos — intros,
     // color bars, black frames) are capped OUT before the pair join,
     // integer-exact (tf * 4 <= nvids): at 100 TB a tag in f videos
     // contributes f² pair rows, and the universal-frame tags carry no
-    // identity signal — the d07 rationale verbatim. Per-video tag-set
+    // identity signal — the d07 rationale verbatim. The tag key space is
+    // ADAPTIVE (adaptiveTagMod: 997 at the gate SFs, doubling with the
+    // corpus) so videos-per-tag — the pair join's fan-out — stays
+    // constant instead of the fixed-997 space saturating at n²/997
+    // (the r11 decade sweep's 0.82 exponent). Per-video tag-set
     // sizes re-attach shuffle-hash; the self-join is merge-hinted over
     // one reused exchange, AQE-skew-splittable, never a broadcast of a
     // corpus-sized frame table.
     Q("m07_video_overlap",
-      "video pairs sharing a sampled frame tag (capped hot tags), with overlap fraction",
+      "video pairs sharing a sampled frame tag (adaptive tag space, capped hot tags), with overlap fraction",
       (s, d) => {
-        val fr = sampleFrames(decode(mediaRecords(s, d))).toDF()
+        val fr = sampleFrames(decode(mediaRecords(s, d)),
+            adaptiveTagMod(docCount(s, d))).toDF()
           .select(col("doc_id"), col("frame_tag")).distinct()
           .localCheckpoint(true)
         val nv = fr.agg(countDistinct(col("doc_id")).as("nvids"))
@@ -508,11 +569,13 @@ object Multimodal {
           .orderBy("doc_a", "doc_b")
       },
       Some(s"""$sqlMeta,
+             |$sqlTagMod,
              |f AS (SELECT doc_id, cp_sum16,
              |  unnest(range(0, n_bytes // 100 + 1, 7)) AS frame_idx
              |FROM m),
              |ft AS (SELECT DISTINCT doc_id,
-             |  (cp_sum16 * 2654435761 + frame_idx) % 997 AS frame_tag FROM f),
+             |  (cp_sum16 * 2654435761 + frame_idx) % m AS frame_tag
+             |  FROM f CROSS JOIN mp),
              |nv AS (SELECT count(DISTINCT doc_id) AS nvids FROM ft),
              |tf AS (SELECT frame_tag, count(*) AS tf FROM ft GROUP BY 1),
              |capped AS (SELECT doc_id, frame_tag
@@ -532,7 +595,7 @@ object Multimodal {
 
     // Image near-dup via a perceptual hash — the image-dedup primitive
     // (re-encodes, crops, minor edits collapse to nearby hashes): a
-    // 16-bit sign-SimHash of each image's CENTERED patch vector (v − v̄;
+    // sign-SimHash of each image's CENTERED patch vector (v − v̄;
     // raw patch sums are dominated by global magnitude — the un-centered
     // probe collapsed 291 images to 7 signatures, centered gives 268 —
     // the dHash/pHash idea of hashing deviation-from-mean, not
@@ -541,28 +604,35 @@ object Multimodal {
     // centered coords are exact doubles and the hyperplane dot products
     // round identically left-to-right (the m06/d11 contract). Pairing is
     // d11's pigeonhole banding sized to the threshold: Hamming <= 1
-    // cannot differ in BOTH 8-bit halves, so the 2-band join is
+    // cannot differ in BOTH halves, so the 2-band join is
     // lossless; candidates are band-bucket-bound, never all-pairs, and
-    // the sketch frame (16 B/image) eager-checkpoints so the pair plan
-    // is sketch-only — at 100 TB the images are read once for the
-    // patch kernel and never again.
+    // the sketch frame (one long/image) eager-checkpoints so the pair
+    // plan is sketch-only — at 100 TB the images are read once for the
+    // patch kernel and never again. Sketch width ADAPTS to the corpus
+    // (phashBandBits: 2×8 bits at the gate SFs — hashes pinned — then
+    // 2·(ceil(log2 n) − 4)), so a band bucket holds ~16 sketches at any
+    // scale and candidates stay output-bound instead of saturating at
+    // n²/256; the wider hash is also WHY precision holds as n grows
+    // (accidental 16-bit collisions multiply with the corpus — the
+    // production 16 → 64-bit pHash discipline).
     Q("m08_image_neardup",
-      "image near-dup pairs: centered patch-vector SimHash at Hamming <= 1 (2x8-bit bands, lossless)",
+      "image near-dup pairs: centered patch-vector SimHash at Hamming <= 1 (2 corpus-adaptive bands, lossless)",
       (s, d) => {
-        sketchPairs(s, d)
+        sketchPairs(s, d, phashBandBits(docCount(s, d)))
           .filter(col("hamming") <= 1)
           .select(col("doc_a"), col("doc_b"), col("hamming"))
           .orderBy("doc_a", "doc_b")
       },
       Some(s"""$sqlPatchVectors,
+             |$sqlPhashWidth,
              |c AS (SELECT doc_id, v, list_aggregate(v, 'sum') / 16.0 AS vbar FROM n),
              |sk AS (SELECT doc_id,
-             |  list_reduce(list_transform(range(0, 16), j ->
+             |  list_reduce(list_transform(range(0, 2 * bb), j ->
              |    CASE WHEN list_reduce(list_transform(range(1, 17), i -> (v[i] - vbar) *
              |        ((('0x' || substr(md5('hp_' || j || '_' || i), 1, 15))::BIGINT % 2001 - 1000) / 1000.0)),
              |        (x, y) -> x + y) >= 0.0
              |      THEN CAST(power(2, j) AS BIGINT) ELSE 0 END), (x, y) -> x + y) AS sig
-             |FROM c)
+             |FROM c CROSS JOIN wp)
              |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
              |  bit_count(xor(a.sig, b.sig))::BIGINT AS hamming
              |FROM sk a JOIN sk b ON a.doc_id < b.doc_id
@@ -699,8 +769,9 @@ object Multimodal {
         // BOTH the sketch (via imageSketchesOf) and the verify's
         // centered vectors — without this, screen and verify each pay
         // the decode+grid scan (measured 2.64 s vs 1.9 s at sf0.1)
+        val bb = phashBandBits(docCount(s, d))
         val pv = patchVectors(s, d).localCheckpoint(true)
-        val screened = sketchPairsOf(imageSketchesOf(pv))
+        val screened = sketchPairsOf(imageSketchesOf(pv, bb), bb)
           .filter(col("hamming") <= 2)
           .select(col("doc_a"), col("doc_b"), col("hamming"))
         // centerFast keeps the centering ONE expression node — the
@@ -715,14 +786,15 @@ object Multimodal {
           col("cv").as("cb"), col("cnrm").as("nb"))
         // SHUFFLED attaches with the corpus-vector side as build (the
         // d22/d23 size-attach discipline), never a pair-side broadcast:
-        // the fixed 16-bit sketch SATURATES as the corpus grows — each
-        // 8-bit band holds ≤256 values, so candidate pairs scale
-        // ~n²/256 and stop being output-bound (the one-decade check
-        // measured the old broadcast build failing at sf1 with a
-        // driver OOM). Pair rows stream through both joins; production
-        // restores output-boundedness by WIDENING the sketch with the
-        // corpus (64-bit/4-band pHash at crawl scale) — width is a
-        // fixture constant here because the gated hashes pin it.
+        // a FIXED-width sketch saturates as the corpus grows — a 16-bit
+        // sketch's 8-bit bands hold ≤256 values, so candidate pairs
+        // scale ~n²/256 and stop being output-bound (the one-decade
+        // check measured the old broadcast build failing at sf1 with a
+        // driver OOM). phashBandBits now implements the production
+        // lever — the sketch WIDENS with the corpus (the 64-bit/4-band
+        // pHash discipline at crawl scale), keeping candidates
+        // output-bound — but the attach build-side discipline stays:
+        // screen output is still best-effort-bounded, not proven.
         screened.join(aSide.hint("shuffle_hash"), Seq("doc_a"))
           .join(bSide.hint("shuffle_hash"), Seq("doc_b"))
           .withColumn("cosine",
@@ -732,6 +804,7 @@ object Multimodal {
           .orderBy("doc_a", "doc_b")
       },
       Some(s"""$sqlPatchVectors,
+             |$sqlPhashWidth,
              |c AS (SELECT doc_id, v, list_aggregate(v, 'sum') / 16.0 AS vbar FROM n),
              |cvt AS (SELECT doc_id, list_transform(v, x -> x - vbar) AS cv FROM c),
              |cn AS (SELECT doc_id, cv,
@@ -739,17 +812,18 @@ object Multimodal {
              |      (x, y) -> x + y)) AS cnrm
              |  FROM cvt),
              |sk AS (SELECT doc_id,
-             |  list_reduce(list_transform(range(0, 16), j ->
+             |  list_reduce(list_transform(range(0, 2 * bb), j ->
              |    CASE WHEN list_reduce(list_transform(range(1, 17), i -> cv[i] *
              |        ((('0x' || substr(md5('hp_' || j || '_' || i), 1, 15))::BIGINT % 2001 - 1000) / 1000.0)),
              |        (x, y) -> x + y) >= 0.0
              |      THEN CAST(power(2, j) AS BIGINT) ELSE 0 END), (x, y) -> x + y) AS sig
-             |FROM cn),
+             |FROM cn CROSS JOIN wp),
+             |msk AS (SELECT bb, (1::BIGINT << bb) - 1 AS bmask FROM wp),
              |scr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
              |    bit_count(xor(a.sig, b.sig))::BIGINT AS hamming
-             |  FROM sk a JOIN sk b ON a.doc_id < b.doc_id
-             |  WHERE ((a.sig & 255) = (b.sig & 255)
-             |      OR ((a.sig >> 8) & 255) = ((b.sig >> 8) & 255))
+             |  FROM sk a JOIN sk b ON a.doc_id < b.doc_id CROSS JOIN msk
+             |  WHERE ((a.sig & bmask) = (b.sig & bmask)
+             |      OR ((a.sig >> bb) & bmask) = ((b.sig >> bb) & bmask))
              |    AND bit_count(xor(a.sig, b.sig)) <= 2)
              |SELECT s.doc_a, s.doc_b, s.hamming,
              |  list_reduce(list_transform(range(1, 17), i -> x.cv[i] * y.cv[i]),

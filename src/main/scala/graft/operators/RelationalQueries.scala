@@ -1523,14 +1523,26 @@ object RelationalQueries {
     // rule (min value with cumfreq ≥ ceil(p·n)) — integer end-to-end
     // (no DOUBLE-returning percentile_disc agg; round 11's one red
     // row was exactly that float64-vs-int64 drift), and both legs
-    // hang off one exchange so events is scanned ONCE (ReuseExchange
-    // dedupes the shared (type, cents) rollup).
+    // hang off one exchange so events is scanned ONCE — ReuseExchange
+    // dedupes the shared (type, cents) rollup, which requires the
+    // cents >= 1 domain filter below to sit in the SHARED frame
+    // (plan-asserted in PlanShapeSpec).
     Q("q47_hdr_quantiles",
       "log-histogram p50/p95/p99 per event type: bounded-state mergeable cells, integer-exact, with exact-quantile audit",
       (s, d) => {
+        // cents >= 1 is the histogram's representable domain (octave lo
+        // starts at 1): the pows range join drops sub-half-cent values
+        // from the estimate leg anyway, so filtering the SHARED freq
+        // frame (a) keeps the exact-audit leg on the same domain —
+        // p*_bounded really is true by construction — and (b) gives both
+        // legs' scan subtrees identical pushed predicates, so they
+        // canonicalize equal and ReuseExchange fires (without it, the
+        // estimate leg's BNLJ infers isnotnull(cents) and pushes it into
+        // only THAT leg's scan, splitting the subtrees).
         val freq = Tables.events(s, d).filter(col("value").isNotNull)
           .select(col("event_type"),
             expr("cast(floor(value * 100 + 0.5) as bigint)").as("cents"))
+          .filter(col("cents") >= 1)
           .groupBy("event_type", "cents")
           .agg(count(lit(1)).as("freq"))
         val cells = hdrCellsOfFreq(freq)
@@ -1580,7 +1592,8 @@ object RelationalQueries {
       },
       Some("""WITH ev AS (SELECT event_type,
              |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
-             |  FROM events WHERE value IS NOT NULL),
+             |  FROM events WHERE value IS NOT NULL
+             |    AND CAST(floor(value * 100 + 0.5) AS BIGINT) >= 1),
              |freq AS (SELECT event_type, cents, count(*)::BIGINT AS freq
              |  FROM ev GROUP BY 1, 2),
              |pows AS (SELECT (1::BIGINT << i) AS lo,
@@ -1762,6 +1775,88 @@ object RelationalQueries {
              |FROM affected a LEFT JOIN oldv o USING (ck) LEFT JOIN newv n USING (ck)
              |ORDER BY o_custkey""".stripMargin)),
 
+    // STREAMING correctness at the DRIVER's own gate — the one registry
+    // row whose Spark side executes a genuine Structured Streaming
+    // query, not a batch twin: q49/q51's md5-derived CDC feed replays
+    // through MemoryStream → ivmStream (foreachBatch: shared last-op
+    // resolution, signed-delta view maintenance, (queryId, epoch)
+    // replay marker, rename-swap commits) in three micro-batches keyed
+    // k mod 3 — a key's whole change history lands in ONE batch, so
+    // sequential apply ≡ global resolution — and the query returns the
+    // STORE read back. DuckDB recomputes the maintained view from
+    // scratch (base + resolved feed → applied snapshot → groupBy), so
+    // the hash gate IS the stream≡batch IVM theorem, graded by the
+    // driver instead of only spec-pinned (the d30 store-audit pattern
+    // pointed at a stream producer). The driver-fed MemoryStream stands
+    // in for the Kafka feed; everything downstream of the source is the
+    // production path. Scale: the feed is change-sized (~|orders|·1.6/7
+    // rows collected once); per batch the warehouse rewrite is the
+    // documented non-transactional dim-scale trade (partitioned or
+    // transactional storage turns it into keyed writes).
+    Q("c12_stream_replay",
+      "q51's per-customer view maintained by a REAL streaming query (MemoryStream → foreachBatch IVM) over a 3-micro-batch CDC replay, hash-equal to DuckDB's from-scratch fold",
+      (s, d) => {
+        import s.implicits._
+        implicit val sq = s.sqlContext
+        import graft.functions.Portable.h60
+        import graft.streaming.EventStreams
+        import graft.streaming.EventStreams.CdcViewChange
+        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+        val base = Tables.load(s, d, "orders")
+          .select(col("o_orderkey").as("k"), col("o_custkey").as("ck"),
+            expr("cast(floor(o_totalprice * 100 + 0.5) AS BIGINT)")
+              .as("cents"))
+        val raw = cdcChanges(base.select(col("k")))
+        // Debezium-shape payload: every change carries its row's FK —
+        // existing keys keep their base ck, brand-new keys (c3) get
+        // q51's nc_ assignment
+        val feed = raw.join(base.select("k", "ck"), Seq("k"), "left")
+          .select(col("k"), col("seq"), col("op"),
+            coalesce(col("ck"),
+              h60(concat(lit("nc_"), col("k").cast("string"))) % 1000 + 1)
+              .as("ck"),
+            col("new_cents").as("cents"))
+          .as[CdcViewChange]
+          .collect()
+        val root = java.nio.file.Files
+          .createTempDirectory("c12_stream").toString
+        val wh = new graft.compendium.Warehouse(s, root)
+        wh.replace("c12_base", base)
+        val in = MemoryStream[CdcViewChange]
+        val q = EventStreams.ivmStream(in.toDS(), wh, "c12_base", "c12_view")
+          .start()
+        try {
+          (0L until 3L).foreach { b =>
+            val batch = feed.filter(_.k % 3 == b)
+            if (batch.nonEmpty) {
+              in.addData(batch.toSeq)
+              q.processAllAvailable()
+            }
+          }
+        } finally q.stop()
+        // zero-change corpora (empty/degenerate inputs) never trigger a
+        // micro-batch; the view is then the bootstrap aggregate alone
+        if (!wh.exists("c12_view"))
+          EventStreams.applyIvmBatch(s.emptyDataset[CdcViewChange].toDF(),
+            wh, "c12_base", "c12_view", epoch = 0L, queryId = "c12_bootstrap")
+        wh.read("c12_view").orderBy("ck")
+      },
+      Some(s"""WITH base AS (SELECT o_orderkey AS k, o_custkey AS ck,
+             |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+             |  FROM orders),
+             |$sqlCdcResolved,
+             |rck AS (SELECT r.k, r.last_op, r.new_cents,
+             |    coalesce(b.ck,
+             |      ('0x' || substr(md5('nc_' || r.k), 1, 15))::BIGINT % 1000 + 1) AS ck
+             |  FROM resolved r LEFT JOIN base b ON r.k = b.k),
+             |applied AS (
+             |  SELECT b.k, b.ck, b.cents FROM base b
+             |  WHERE NOT EXISTS (SELECT 1 FROM rck r WHERE r.k = b.k)
+             |  UNION ALL
+             |  SELECT k, ck, new_cents AS cents FROM rck WHERE last_op <> 'D')
+             |SELECT ck, count(*)::BIGINT AS n, sum(cents)::BIGINT AS cents_total
+             |FROM applied GROUP BY ck ORDER BY ck""".stripMargin)),
+
     // DATA-QUALITY constraint audit — the pre-publish validation suite
     // (Deequ / Great Expectations / dbt tests): a declared constraint
     // set over a table, each check a violation COUNT with a verdict,
@@ -1883,6 +1978,25 @@ object RelationalQueries {
     * [[sqlCdcResolved]] — the two must stay in lockstep.
     */
   private[graft] def cdcResolved(base: DataFrame): DataFrame = {
+    val changes = cdcChanges(base)
+    val wk = Window.partitionBy(col("k")).orderBy(col("seq").desc)
+    changes
+      .withColumn("rn", row_number().over(wk))
+      .withColumn("n_ops",
+        count(lit(1)).over(Window.partitionBy(col("k"))))
+      .filter(col("rn") === 1)
+      .select(col("k"), col("op").as("last_op"), col("new_cents"),
+        col("n_ops"))
+  }
+
+  /** The RAW md5-derived change feed (k, seq, op, new_cents) behind
+    * [[cdcResolved]] — exposed unresolved so c12 can replay it through
+    * the STREAMING apply (which owns its own last-op-wins resolution,
+    * [[graft.compendium.Warehouse.resolveLastOp]]). Keys: ~1/7 of base
+    * keys change (c1), ~1/3 of those change twice out of order (c2),
+    * and base keys ≡ 0 (mod 3) spawn a brand-new key +1e9 (c3).
+    */
+  private[graft] def cdcChanges(base: DataFrame): DataFrame = {
     import graft.functions.Portable.h60
     val keys = base.select(col("k")).filter(col("k") % 7 === 3)
     val c1 = keys.select(col("k"), lit(1L).as("seq"),
@@ -1906,15 +2020,7 @@ object RelationalQueries {
             .cast("int")).as("op"),
         (h60(concat(lit("p3_"), col("k").cast("string"))) % 100000)
           .as("new_cents"))
-    val changes = c1.unionByName(c2).unionByName(c3)
-    val wk = Window.partitionBy(col("k")).orderBy(col("seq").desc)
-    changes
-      .withColumn("rn", row_number().over(wk))
-      .withColumn("n_ops",
-        count(lit(1)).over(Window.partitionBy(col("k"))))
-      .filter(col("rn") === 1)
-      .select(col("k"), col("op").as("last_op"), col("new_cents"),
-        col("n_ops"))
+    c1.unionByName(c2).unionByName(c3)
   }
 
   /** Oracle CTE prefix matching [[cdcResolved]] over `base(k, old_cents)`
@@ -1959,18 +2065,10 @@ object RelationalQueries {
     * legs share one scan.
     */
   private[graft] def hdrCellsOf(events: DataFrame): DataFrame = {
-    val s = events.sparkSession
     val ev = events.filter(col("value").isNotNull)
       .select(col("event_type"),
         expr("cast(floor(value * 100 + 0.5) as bigint)").as("cents"))
-    val pows = broadcast(s.range(0, 40)
-      .select(expr("shiftleft(1L, cast(id as int))").as("lo"),
-        expr("CASE WHEN id = 39 THEN 9223372036854775807L " +
-          "ELSE shiftleft(1L, cast(id as int) + 1) END").as("hi")))
-    ev.join(pows, col("cents") >= col("lo") && col("cents") < col("hi"))
-      .withColumn("width", expr("CASE WHEN lo >= 8 THEN lo div 8 ELSE 1 END"))
-      .withColumn("bucket_lo", expr(
-        "CASE WHEN lo >= 8 THEN lo + ((cents - lo) div (lo div 8)) * (lo div 8) ELSE cents END"))
+    hdrOctaveAttach(ev)
       .groupBy(col("event_type"), col("bucket_lo"), col("width"))
       .agg(count(lit(1)).as("cnt"))
   }
@@ -1978,17 +2076,27 @@ object RelationalQueries {
   /** Octave-bucket rollup from the (event_type, cents, freq) frequency
     * grain — the shared upstream of q47's estimate AND exact-audit legs
     * (one events scan, one exchange; ReuseExchange dedupes). */
-  private[graft] def hdrCellsOfFreq(freq: DataFrame): DataFrame = {
-    val s = freq.sparkSession
+  private[graft] def hdrCellsOfFreq(freq: DataFrame): DataFrame =
+    hdrOctaveAttach(freq)
+      .groupBy(col("event_type"), col("bucket_lo"), col("width"))
+      .agg(sum(col("freq")).as("cnt"))
+
+  /** The ONE definition of HdrHistogram octave bucketing: the 40-row
+    * power-of-two bounds table broadcast as a range join on `cents`,
+    * plus the (width, bucket_lo) sub-bucket expressions — shared by
+    * [[hdrCellsOf]] (streaming twin) and [[hdrCellsOfFreq]] (batch q47)
+    * so the two can never drift. Drops cents < 1 by construction (the
+    * lowest octave's lo is 1 and the join is inner). */
+  private def hdrOctaveAttach(withCents: DataFrame): DataFrame = {
+    val s = withCents.sparkSession
     val pows = broadcast(s.range(0, 40)
       .select(expr("shiftleft(1L, cast(id as int))").as("lo"),
         expr("CASE WHEN id = 39 THEN 9223372036854775807L " +
           "ELSE shiftleft(1L, cast(id as int) + 1) END").as("hi")))
-    freq.join(pows, col("cents") >= col("lo") && col("cents") < col("hi"))
+    withCents
+      .join(pows, col("cents") >= col("lo") && col("cents") < col("hi"))
       .withColumn("width", expr("CASE WHEN lo >= 8 THEN lo div 8 ELSE 1 END"))
       .withColumn("bucket_lo", expr(
         "CASE WHEN lo >= 8 THEN lo + ((cents - lo) div (lo div 8)) * (lo div 8) ELSE cents END"))
-      .groupBy(col("event_type"), col("bucket_lo"), col("width"))
-      .agg(sum(col("freq")).as("cnt"))
   }
 }

@@ -970,10 +970,11 @@ object TextAnalysis {
     // and t10 (unigram vocab) with the pair-statistics leg a tokenizer
     // trainer actually iterates on. Boundary tiebreak is t18's md5
     // discipline (count ties at K are real; raw-string order would
-    // diverge on supplementary codepoints). Pairing is over UTF-16
-    // code units on the Spark side vs codepoints in the oracle —
-    // identical on BMP text, the same caveat t03's char-level ops
-    // carry. Scale shape: one kernel pass rides the scan; the pair key
+    // diverge on supplementary codepoints). Pairing is over CODEPOINTS
+    // on both engines (Kernels.codepointPairs ↔ the oracle's
+    // codepoint-based substr/len), so supplementary characters pair
+    // whole, never as surrogate halves.
+    // Scale shape: one kernel pass rides the scan; the pair key
     // space is ALPHABET-bounded (not corpus-bounded), so the count
     // collapses map-side to |alphabet|² cells and the top-20 is
     // TakeOrderedAndProject (K rows per partition forwarded, never a
@@ -985,9 +986,7 @@ object TextAnalysis {
         val pairs = docs(s, d).select(col("doc_id"), col("text"))
           .as[(Long, String)]
           .mapPartitions(_.flatMap { case (_, tx) =>
-            Kernels.lowerTokens(tx).iterator.flatMap { w =>
-              (0 until w.length - 1).iterator.map(i => w.substring(i, i + 2))
-            }
+            Kernels.lowerTokens(tx).iterator.flatMap(Kernels.codepointPairs)
           })
           .toDF("pair")
         val top = pairs.groupBy("pair").agg(count(lit(1)).as("pair_count"))
@@ -1983,8 +1982,12 @@ object TextAnalysis {
               var nC = 0L
               var wi = 0
               while (wi < words.length) {
-                nT += Kernels.bpeApply(words(wi), mArr).length
-                nC += words(wi).length
+                val w = words(wi)
+                nT += Kernels.bpeApply(w, mArr).length
+                // CODEPOINTS, matching the oracle's len() — String.length
+                // would count a supplementary character as 2 (UTF-16
+                // units) and drift n_chars/chars_per_token on non-BMP text
+                nC += w.codePointCount(0, w.length)
                 wi += 1
               }
               (lang, words.length.toLong, nC, nT)
@@ -2062,9 +2065,7 @@ object TextAnalysis {
     val pairs = docs(s, d).select(col("doc_id"), col("text"))
       .as[(Long, String)]
       .mapPartitions(_.flatMap { case (_, tx) =>
-        Kernels.lowerTokens(tx).iterator.flatMap { w =>
-          (0 until w.length - 1).iterator.map(i => w.substring(i, i + 2))
-        }
+        Kernels.lowerTokens(tx).iterator.flatMap(Kernels.codepointPairs)
       })
       .toDF("pair")
     pairs.groupBy("pair")

@@ -252,8 +252,13 @@ object EventStreams extends Serializable {
     *
     * Replay safety: deltas are NOT idempotent (a re-applied batch
     * double-counts), so a 1-row `<view>__epoch` sidecar records the
-    * last applied foreachBatch epoch and earlier epochs skip — the
-    * standard idempotent-foreachBatch discipline. The crash window
+    * last applied (query id, foreachBatch epoch) and earlier epochs OF
+    * THE SAME QUERY skip — the standard idempotent-foreachBatch
+    * discipline. The query id (stable across restarts from one
+    * checkpoint, fresh for a re-created checkpoint) scopes the marker:
+    * a fresh checkpoint restarts epochs at 0, and an epoch-only marker
+    * would silently SKIP every batch until the new counter passed the
+    * stale high-water mark — unbounded data loss. The crash window
     * between the three rename-swaps (view, base, marker) is the honest
     * non-transactional boundary, same as [[graft.compendium.Warehouse
     * .replace]]'s documented S3 caveat; a table format with multi-table
@@ -271,23 +276,33 @@ object EventStreams extends Serializable {
       : org.apache.spark.sql.streaming.DataStreamWriter[CdcViewChange] =
     changes.writeStream.outputMode("append")
       .foreachBatch { (batch: Dataset[CdcViewChange], epoch: Long) =>
-        applyIvmBatch(batch.toDF(), wh, baseTable, viewTable, epoch)
+        // the streaming query id: stable across restarts from the SAME
+        // checkpoint (where epoch replay must skip), fresh for a
+        // re-created checkpoint (where epochs restart at 0 and must
+        // apply). StreamExecution publishes it as a thread-local
+        // property on the foreachBatch driver thread.
+        val qid = Option(batch.sparkSession.sparkContext
+          .getLocalProperty("sql.streaming.queryId")).getOrElse("__direct__")
+        applyIvmBatch(batch.toDF(), wh, baseTable, viewTable, epoch, qid)
       }
 
-  private[streaming] def applyIvmBatch(batch: DataFrame,
+  private[graft] def applyIvmBatch(batch: DataFrame,
       wh: graft.compendium.Warehouse, baseTable: String, viewTable: String,
-      epoch: Long): Unit = {
-    import org.apache.spark.sql.expressions.Window
+      epoch: Long, queryId: String = "__direct__"): Unit = {
     import org.apache.spark.sql.types._
     val s = batch.sparkSession
     import s.implicits._
     val marker = viewTable + "__epoch"
-    val lastApplied =
-      if (wh.exists(marker)) wh.read(marker).head().getLong(0) else -1L
-    if (epoch <= lastApplied) return
-    val w = Window.partitionBy(col("k")).orderBy(col("seq").desc)
-    val resolved = batch.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1).drop("__rn")
+    // skip ONLY a replay of this same query's already-applied epoch — a
+    // different query id means a new epoch sequence (fresh checkpoint),
+    // whose epoch 0 is new work, not a replay
+    val replayed = wh.exists(marker) && {
+      val m = wh.read(marker).head()
+      m.getAs[String]("query_id") == queryId &&
+        epoch <= m.getAs[Long]("epoch")
+    }
+    if (replayed) return
+    val resolved = graft.compendium.Warehouse.resolveLastOp(batch, "k", "seq")
     val baseSchema = StructType(Seq(StructField("k", LongType),
       StructField("ck", LongType), StructField("cents", LongType)))
     val base = wh.readOrEmpty(baseTable, baseSchema)
@@ -304,7 +319,17 @@ object EventStreams extends Serializable {
       .agg(sum("d_cents").as("d_cents"), sum("d_n").as("d_n"))
     val viewSchema = StructType(Seq(StructField("ck", LongType),
       StructField("n", LongType), StructField("cents_total", LongType)))
-    val view = wh.readOrEmpty(viewTable, viewSchema)
+    // view bootstrap: a pre-existing base with no view yet (first IVM
+    // batch against an already-populated warehouse) must start from the
+    // base's true aggregate — applying deltas onto readOrEmpty's empty
+    // frame would make the view silently, PERMANENTLY wrong (every
+    // pre-existing key's contribution missing). One full recompute,
+    // exactly once; thereafter the view exists and the algebra owns it.
+    val view =
+      if (!wh.exists(viewTable) && wh.exists(baseTable))
+        base.groupBy("ck").agg(count(lit(1)).as("n"),
+          sum("cents").as("cents_total"))
+      else wh.readOrEmpty(viewTable, viewSchema)
     val touched = view.join(delta.select("ck"), Seq("ck"), "left_semi")
       .join(delta, Seq("ck"), "full_outer")
       .select(col("ck"),
@@ -320,7 +345,7 @@ object EventStreams extends Serializable {
     // the base swap invalidate the old base files.
     wh.replace(viewTable, untouched.unionByName(touched))
     wh.applyCdc(baseTable, batch, "k", "seq", "op")
-    wh.replace(marker, Seq(epoch).toDF("epoch"))
+    wh.replace(marker, Seq((queryId, epoch)).toDF("query_id", "epoch"))
   }
 
   /** Stream-static enrichment join: the event stream against a STATIC

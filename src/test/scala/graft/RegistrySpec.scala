@@ -52,4 +52,58 @@ class RegistrySpec extends AnyFunSuite {
     val bad = SparkEntry.registry.map(_.name).filterNot(n => pat.matches(n))
     assert(bad.isEmpty, s"non-conforming names: ${bad.mkString(", ")}")
   }
+
+  /** Output columns the oracle SQL pins to an integer type (`::BIGINT AS x`
+    * / `CAST(... AS BIGINT) AS x` — the repo's convention for every integer
+    * output). The driver's hash renders values as text, so a Spark DOUBLE
+    * against an oracle BIGINT ('5.0' vs '5') hash-mismatches even when the
+    * values are numerically equal — round 11's one red row (q47) was
+    * exactly this, and the value-only local gate let it reach the driver.
+    */
+  private def intPinnedAliases(sql: String): Set[String] = {
+    val pat = ("(?i)(?:::\\s*(?:BIGINT|INTEGER|INT)\\b|" +
+      "AS\\s+(?:BIGINT|INTEGER|INT)\\s*\\))\\s*AS\\s+([a-zA-Z_][a-zA-Z0-9_]*)").r
+    pat.findAllMatchIn(sql).map(_.group(1).toLowerCase).toSet
+  }
+
+  private def integral(dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt == ByteType || dt == ShortType || dt == IntegerType || dt == LongType
+  }
+
+  test("detector: a planted float column against an int-pinned oracle alias is flagged") {
+    assert(intPinnedAliases(
+      "SELECT count(*)::BIGINT AS n, CAST(sum(x) AS BIGINT) AS total, avg(y) AS m FROM t")
+      === Set("n", "total"))
+    val spark = TestSpark.spark
+    val df = spark.sql("SELECT CAST(1.0 AS DOUBLE) AS n")
+    val drift = df.schema.fields.filter(f =>
+      intPinnedAliases("SELECT 1::BIGINT AS n") contains f.name.toLowerCase)
+      .filterNot(f => integral(f.dataType))
+    assert(drift.nonEmpty, "planted float-vs-BIGINT drift must be caught")
+  }
+
+  test("every oracle-int-pinned output column is integral in the Spark schema (the q47 drift class)") {
+    val spark = TestSpark.spark
+    val sf = "/root/testdata/sf0.001"
+    val offenders = SparkEntry.registry.flatMap { q =>
+      q.oracle.toSeq.flatMap { sql =>
+        val pinned = intPinnedAliases(sql)
+        // schema only — analysis, no execution (cheap even registry-wide);
+        // aliases pinned inside CTEs but absent from the final output are
+        // ignored (only the emitted schema can drift at the driver)
+        val schema =
+          try q.run(spark, sf).schema
+          catch { case e: Throwable =>
+            fail(s"${q.name}: query failed to analyze at $sf: ${e.getMessage}")
+          }
+        schema.fields.toSeq
+          .filter(f => pinned.contains(f.name.toLowerCase))
+          .filterNot(f => integral(f.dataType))
+          .map(f => s"${q.name}.${f.name}: spark ${f.dataType.simpleString} vs oracle integer")
+      }
+    }
+    assert(offenders.isEmpty,
+      s"float-vs-int dtype drift (driver hash would mismatch):\n  ${offenders.mkString("\n  ")}")
+  }
 }

@@ -279,24 +279,46 @@ class PropertiesSpec extends SparkTestBase {
 
   test("Kernels.bpeApply equals the oracle's sequential delimiter-replace on random words") {
     import graft.functions.Kernels
-    // a 4-letter alphabet with 6 random merges maximizes cascade
-    // interactions (aa on aaaa, overlapping x/y roles, dead merges)
-    val wordGen = Gen.nonEmptyListOf(Gen.oneOf('a', 'b', 'c', 'd'))
-      .map(_.mkString.take(24))
+    // a 4-atom alphabet with 6 random merges maximizes cascade
+    // interactions (aa on aaaa, overlapping x/y roles, dead merges);
+    // the fourth atom is SUPPLEMENTARY-plane (2 UTF-16 units) so the
+    // property also pins the codepoint basis the oracle splits on
+    val gclef = new String(Character.toChars(0x1D11E))
+    val atoms = Seq("a", "b", "c", gclef)
+    val wordGen = Gen.nonEmptyListOf(Gen.oneOf(atoms))
+      .map(_.take(24).mkString)
     val mergeGen = Gen.listOfN(6,
-      Gen.zip(Gen.oneOf('a', 'b', 'c', 'd'), Gen.oneOf('a', 'b', 'c', 'd'))
-        .map { case (x, y) => s"$x$y" }).map(_.distinct)
+      Gen.zip(Gen.oneOf(atoms), Gen.oneOf(atoms))).map(_.distinct)
     val RS = "\u001e"
     sample(Gen.zip(wordGen, mergeGen), 400, 11L).foreach { case (w, ms) =>
-      val kernel = Kernels.bpeApply(w, ms.toArray).toSeq
-      // the t25 oracle's algorithm verbatim: wrap each char as RS c RS,
-      // then per merge one global left-to-right non-overlapping
+      val kernel = Kernels.bpeApply(w, ms.map { case (x, y) => x + y }
+        .toArray).toSeq
+      // the t25 oracle's algorithm verbatim: wrap each CODEPOINT as
+      // RS c RS (DuckDB's string_split(w, '') basis), then per merge one
+      // global left-to-right non-overlapping
       // replace(RS x RS RS y RS -> RS xy RS) — String.replace and
       // DuckDB's replace share that contract
-      var s = w.map(c => s"$RS$c$RS").mkString
-      for (m <- ms) s = s.replace(s"$RS${m(0)}$RS$RS${m(1)}$RS", s"$RS$m$RS")
+      var s = Kernels.codepointAtoms(w).map(a => s"$RS$a$RS").mkString
+      for ((x, y) <- ms) s = s.replace(s"$RS$x$RS$RS$y$RS", s"$RS$x$y$RS")
       val ref = s.stripPrefix(RS).stripSuffix(RS).split(s"$RS$RS").toSeq
       assert(kernel === ref, s"word=$w merges=$ms")
     }
+  }
+
+  test("codepoint kernels treat supplementary characters as single atoms (the t22/t25/t39 oracle basis)") {
+    import graft.functions.Kernels
+    val gclef = new String(Character.toChars(0x1D11E)) // 2 UTF-16 units
+    val emoji = new String(Character.toChars(0x1F600))
+    val w = s"a${gclef}b$emoji"
+    assert(w.length === 6, "sanity: the UTF-16 basis would see 6 units")
+    assert(Kernels.codepointAtoms(w).toSeq === Seq("a", gclef, "b", emoji))
+    assert(Kernels.codepointPairs(w).toSeq ===
+      Seq(s"a$gclef", s"${gclef}b", s"b$emoji"),
+      "pairs must never split a surrogate pair in half")
+    assert(Kernels.bpeApply(w, Array(s"${gclef}b")).toSeq ===
+      Seq("a", s"${gclef}b", emoji),
+      "a merge whose x is supplementary must apply as one pair")
+    // the t39 n_chars basis: 4 codepoints (the oracle's len()), not 6
+    assert(w.codePointCount(0, w.length) === 4)
   }
 }

@@ -506,6 +506,7 @@ class EventStreamsSpec extends SparkTestBase {
     val in = MemoryStream[EventStreams.CdcViewChange]
     val q = EventStreams.ivmStream(in.toDS(), wh, "ivm_base", "ivm_view")
       .start()
+    val qid = q.id.toString
     try {
       // batch 1: in-place update, FK MOVE (k=3 from ck 20 to ck 10 —
       // ck 20 empties and must DROP), fresh insert into a new ck
@@ -525,12 +526,86 @@ class EventStreamsSpec extends SparkTestBase {
       assert(view() === recompute(), "batch 2: IVM must equal recompute")
       assert(view() === Set((10L, 3L, 660L)))
     } finally q.stop()
-    // epoch replay: re-applying an already-applied epoch is a no-op
+    // epoch replay: re-applying an already-applied epoch OF THE SAME
+    // QUERY is a no-op (restart from the same checkpoint re-delivers
+    // the in-flight batch under the same query id and epoch)
     val before = view()
     EventStreams.applyIvmBatch(
       Seq(EventStreams.CdcViewChange(1, 5, "D", 0, 0)).toDF(),
-      wh, "ivm_base", "ivm_view", epoch = 0L)
+      wh, "ivm_base", "ivm_view", epoch = 0L, queryId = qid)
     assert(view() === before, "stale epoch must skip (no double-apply)")
+  }
+
+  test("ivmStream: restart with a FRESH checkpoint (new query id, epochs from 0) applies, never skips") {
+    import spark.implicits._
+    val wh = new graft.compendium.Warehouse(spark, tmpDir())
+    wh.replace("ivm_base", Seq((1L, 10L, 100L)).toDF("k", "ck", "cents"))
+    wh.replace("ivm_view", Seq((10L, 1L, 100L)).toDF("ck", "n", "cents_total"))
+    def view(): Set[(Long, Long, Long)] =
+      wh.read("ivm_view").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // query A ran up to epoch 5
+    EventStreams.applyIvmBatch(
+      Seq(EventStreams.CdcViewChange(2, 1, "I", 10, 200)).toDF(),
+      wh, "ivm_base", "ivm_view", epoch = 5L, queryId = "query-A")
+    assert(view() === Set((10L, 2L, 300L)))
+    // checkpoint re-created: query B restarts the epoch counter at 0.
+    // An epoch-only marker would skip this batch (0 <= 5) — unbounded
+    // silent data loss; the (query_id, epoch) marker must apply it.
+    EventStreams.applyIvmBatch(
+      Seq(EventStreams.CdcViewChange(3, 1, "I", 20, 700)).toDF(),
+      wh, "ivm_base", "ivm_view", epoch = 0L, queryId = "query-B")
+    assert(view() === Set((10L, 2L, 300L), (20L, 1L, 700L)),
+      "a new query id's epoch 0 is new work, not a replay")
+    // and query B's OWN replay of epoch 0 still skips
+    EventStreams.applyIvmBatch(
+      Seq(EventStreams.CdcViewChange(3, 2, "D", 0, 0)).toDF(),
+      wh, "ivm_base", "ivm_view", epoch = 0L, queryId = "query-B")
+    assert(view() === Set((10L, 2L, 300L), (20L, 1L, 700L)),
+      "same query id + stale epoch must still skip")
+  }
+
+  test("ivmStream: absent view over a pre-existing base bootstraps from a full recompute") {
+    import spark.implicits._
+    val wh = new graft.compendium.Warehouse(spark, tmpDir())
+    // populated base, NO view table — the first-attach scenario; deltas
+    // onto readOrEmpty's empty frame would lose every pre-existing key
+    wh.replace("ivm_base", Seq(
+      (1L, 10L, 100L), (2L, 10L, 200L), (3L, 20L, 300L))
+      .toDF("k", "ck", "cents"))
+    EventStreams.applyIvmBatch(
+      Seq(EventStreams.CdcViewChange(4, 1, "I", 20, 50)).toDF(),
+      wh, "ivm_base", "ivm_view", epoch = 0L, queryId = "boot")
+    val got = wh.read("ivm_view").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val want = wh.read("ivm_base").groupBy("ck")
+      .agg(org.apache.spark.sql.functions.count("*").as("n"),
+        org.apache.spark.sql.functions.sum("cents").as("cents_total"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === want, "bootstrapped view must equal the full recompute")
+    assert(got === Set((10L, 2L, 300L), (20L, 2L, 350L)))
+  }
+
+  test("ivmStream: duplicate-(k,seq) ties resolve identically in the view delta and the base merge") {
+    import spark.implicits._
+    val wh = new graft.compendium.Warehouse(spark, tmpDir())
+    wh.replace("ivm_base", Seq((1L, 10L, 100L)).toDF("k", "ck", "cents"))
+    wh.replace("ivm_view", Seq((10L, 1L, 100L)).toDF("ck", "n", "cents_total"))
+    // two rows with the SAME (k, seq) but different payloads: without a
+    // shared total-order tiebreak, the view delta and Warehouse.applyCdc
+    // could each keep a different row and the view silently diverges
+    EventStreams.applyIvmBatch(
+      Seq(EventStreams.CdcViewChange(1, 7, "U", 20, 500),
+        EventStreams.CdcViewChange(1, 7, "U", 30, 111)).toDF(),
+      wh, "ivm_base", "ivm_view", epoch = 0L, queryId = "ties")
+    val got = wh.read("ivm_view").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val want = wh.read("ivm_base").groupBy("ck")
+      .agg(org.apache.spark.sql.functions.count("*").as("n"),
+        org.apache.spark.sql.functions.sum("cents").as("cents_total"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === want,
+      "view after a tied batch must equal the recompute of the merged base")
   }
 
   test("in-session gap splits into two sessions on the same user") {

@@ -27,6 +27,47 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
+def type_family(t: str) -> str:
+    """Coarse type families: the driver's hash renders values as text, so
+    int32-vs-int64 (both render '5') is fine but int-vs-float ('5' vs
+    '5.0') is the exact drift class that reached the driver in round 11
+    (q47 percentile_disc DOUBLE vs the oracle's BIGINT). Flag any
+    cross-family pairing."""
+    t = str(t).upper()
+    if t.endswith("[]") or t.startswith("LIST") or t.startswith("ARRAY"):
+        return "list"
+    if t.startswith("DECIMAL") or t.startswith("NUMERIC"):
+        return "decimal"
+    if t in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT", "HUGEINT",
+             "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT"):
+        return "int"
+    if t in ("FLOAT", "REAL", "DOUBLE"):
+        return "float"
+    if t.startswith("TIMESTAMP"):
+        return "timestamp"
+    if t.startswith("STRUCT"):
+        return "struct"
+    if t == "BLOB":
+        return "binary"
+    return t  # BOOLEAN, VARCHAR, DATE, ... compare exactly
+
+
+def dtype_mismatches(con, parquet_glob: str, sql: str):
+    """Compare DuckDB logical types of the Spark parquet output vs the
+    oracle query, per column name, at type-family grain. Routing BOTH
+    sides through DuckDB's type system sidesteps pandas' null-driven
+    int→float coercion, which would false-alarm on nullable ints."""
+    spark_rel = con.sql(f"SELECT * FROM read_parquet('{parquet_glob}')")
+    oracle_rel = con.sql(sql)
+    spark_t = dict(zip(spark_rel.columns,
+                       [type_family(t) for t in spark_rel.types]))
+    oracle_t = dict(zip(oracle_rel.columns,
+                        [type_family(t) for t in oracle_rel.types]))
+    return [f"col {c}: spark {spark_t[c]} != oracle {oracle_t[c]}"
+            for c in sorted(set(spark_t) & set(oracle_t))
+            if spark_t[c] != oracle_t[c]]
+
+
 def values_equal(a, b) -> bool:
     if a is None and b is None:
         return True
@@ -53,6 +94,10 @@ def main():
         try:
             got = pd.read_parquet(f"{out_dir}/{name}")
             want = con.sql(sql).df()
+            bad_types = dtype_mismatches(
+                con, f"{out_dir}/{name}/*.parquet", sql)
+            if bad_types:
+                raise AssertionError("dtype drift: " + "; ".join(bad_types))
             got_c, want_c = canon(got), canon(want)
             if list(got_c.columns) != list(want_c.columns):
                 raise AssertionError(
