@@ -96,16 +96,15 @@ object Multimodal {
   }
 
   /** Frame sampling: every 7th frame index, tagged with a per-frame hash
-    * (stand-in for a per-frame feature vector). `tagMod` is the tag key
-    * space — 997 is m02's pinned fixture constant; m07 passes
-    * [[adaptiveTagMod]] so its pair join stays output-bound at scale.
+    * (stand-in for a per-frame feature vector). The cp_sum16-mod-997 tag
+    * is m02's pinned fixture constant; m07 derives its own
+    * full-content-entropy fingerprint tags instead (see its doc).
     */
-  def sampleFrames(ds: Dataset[MediaMeta],
-      tagMod: Long = 997L): Dataset[Frame] = {
+  def sampleFrames(ds: Dataset[MediaMeta]): Dataset[Frame] = {
     import ds.sparkSession.implicits._
     ds.flatMap { m =>
       (0L until m.n_frames by 7).map { f =>
-        Frame(m.doc_id, f, (m.cp_sum16 * 2654435761L + f) % tagMod)
+        Frame(m.doc_id, f, (m.cp_sum16 * 2654435761L + f) % 997)
       }
     }
   }
@@ -525,27 +524,43 @@ object Multimodal {
 
     // Cross-video duplicate-FRAME overlap — the video-dedup primitive
     // (shared keyframes mark re-uploads, clips, and edits of the same
-    // footage): m02-style sampled frame tags stand in for perceptual
+    // footage): sampled frame FINGERPRINTS stand in for perceptual
     // frame hashes, and video pairs are scored by how many distinct tags
     // they share — d07's capped set-overlap shape at frame granularity.
     // Hot tags (a tag present in more than 25% of videos — intros,
     // color bars, black frames) are capped OUT before the pair join,
     // integer-exact (tf * 4 <= nvids): at 100 TB a tag in f videos
     // contributes f² pair rows, and the universal-frame tags carry no
-    // identity signal — the d07 rationale verbatim. The tag key space is
-    // ADAPTIVE (adaptiveTagMod: 997 at the gate SFs, doubling with the
-    // corpus) so videos-per-tag — the pair join's fan-out — stays
-    // constant instead of the fixed-997 space saturating at n²/997
-    // (the r11 decade sweep's 0.82 exponent). Per-video tag-set
-    // sizes re-attach shuffle-hash; the self-join is merge-hinted over
-    // one reused exchange, AQE-skew-splittable, never a broadcast of a
+    // identity signal — the d07 rationale verbatim. Tag design carries
+    // the scale story, two halves that only work TOGETHER: (1) the tag
+    // derives from an h60 fingerprint of the WHOLE payload plus the
+    // frame index — m02's cp_sum16 basis (a 16-codepoint sum) has only
+    // ~1.5k distinct values, so at 50k+ videos every bucket held
+    // ~n/1500 videos and the pair join was quadratic regardless of the
+    // key space (measured 6.4M pairs at sf1); full-content entropy
+    // restores the uniformity the cap and the modulus both assume.
+    // (2) The key space is ADAPTIVE (adaptiveTagMod: 997 at the gate
+    // SFs, doubling with the corpus), so bucket occupancy n·t̄/M — and
+    // with it the join fan-out — stays constant as the corpus grows.
+    // True re-uploads still collide on every frame (identical payload
+    // ⇒ identical fingerprints). Per-video tag-set sizes re-attach
+    // shuffle-hash; the self-join is merge-hinted over one reused
+    // exchange, AQE-skew-splittable, never a broadcast of a
     // corpus-sized frame table.
     Q("m07_video_overlap",
-      "video pairs sharing a sampled frame tag (adaptive tag space, capped hot tags), with overlap fraction",
+      "video pairs sharing a sampled frame fingerprint (adaptive tag space, capped hot tags), with overlap fraction",
       (s, d) => {
-        val fr = sampleFrames(decode(mediaRecords(s, d)),
-            adaptiveTagMod(docCount(s, d))).toDF()
-          .select(col("doc_id"), col("frame_tag")).distinct()
+        val mTag = adaptiveTagMod(docCount(s, d))
+        val fr = Tables.documents(s, d)
+          .select(col("doc_id"),
+            h60(concat(lit("vfp_"), col("text"))).as("fp"),
+            explode(expr(
+              "sequence(0L, cast(octet_length(encode(text, 'UTF-8')) as bigint) div 100, 7L)"))
+              .as("frame_idx"))
+          .select(col("doc_id"),
+            ((col("fp") + col("frame_idx") * lit(2654435761L)) % mTag)
+              .as("frame_tag"))
+          .distinct()
           .localCheckpoint(true)
         val nv = fr.agg(countDistinct(col("doc_id")).as("nvids"))
         val tf = fr.groupBy("frame_tag").agg(count(lit(1)).as("tf"))
@@ -570,11 +585,12 @@ object Multimodal {
       },
       Some(s"""$sqlMeta,
              |$sqlTagMod,
-             |f AS (SELECT doc_id, cp_sum16,
+             |f AS (SELECT doc_id, text,
              |  unnest(range(0, n_bytes // 100 + 1, 7)) AS frame_idx
              |FROM m),
              |ft AS (SELECT DISTINCT doc_id,
-             |  (cp_sum16 * 2654435761 + frame_idx) % m AS frame_tag
+             |  ((('0x' || substr(md5('vfp_' || text), 1, 15))::BIGINT
+             |    + frame_idx * 2654435761) % m) AS frame_tag
              |  FROM f CROSS JOIN mp),
              |nv AS (SELECT count(DISTINCT doc_id) AS nvids FROM ft),
              |tf AS (SELECT frame_tag, count(*) AS tf FROM ft GROUP BY 1),

@@ -1838,7 +1838,62 @@ object Similarity {
              |  (coalesce(ag.n_true, 0) - coalesce(ag.n_found, 0))::BIGINT AS n_missed,
              |  CASE WHEN ag.n_true > 0 THEN (ag.n_found * 100) // ag.n_true END AS found_pct
              |FROM q0 LEFT JOIN ag USING (query_id)
-             |ORDER BY q0.query_id""".stripMargin))
+             |ORDER BY q0.query_id""".stripMargin)),
+
+    // HARD-NEGATIVE mining — the training-pair op contrastive retrieval
+    // training runs between indexing and the loader (DPR/ANCE: negatives
+    // that the current embedding space ranks HIGH but that are not
+    // positives are the informative gradient signal; random negatives
+    // are too easy, near-positives are label noise). Per pinned query:
+    // corpus vectors inside the cosine band [0.25, 0.40) — above the
+    // random-similarity floor (this corpus's off-pair cosines center at
+    // ~0.003), below the positive threshold (the ANCE false-negative
+    // exclusion; s22's range-search radius 0.3 sits inside the band) —
+    // ranked by cosine desc, top-5. Thresholds are corpus-calibrated
+    // config in production (median random similarity vs the dedup
+    // threshold); fixed constants here, the m01/t29 stand-in rule.
+    // Scale shape: s01's exactness-baseline pass — the pinned query set
+    // broadcasts, ONE corpus scan scores codegen'd dots, and the band
+    // filter runs BEFORE the per-query window so the top-k buffers see
+    // band-sized input, compiling to WindowGroupLimit. At 100 TB the
+    // scale path is the ANCE loop itself: mine from the ANN index
+    // (s03/s20's funnel) and accept screen recall, exactly the
+    // documented s20 trade — the exact pass is the recall yardstick.
+    Q("s23_hard_negatives",
+      "contrastive hard-negative mining: top-5 per query inside the cosine band [0.25, 0.40) — informative but not near-positive",
+      (s, d) => {
+        val e = vectors(s, d)
+        val q = e.filter(col("vec_id") % 50 === 0 && col("vec_id") < 2000)
+          .select(col("vec_id").as("query_id"), col("v").as("qv"),
+            col("nrm").as("qn"))
+        val w = Window.partitionBy(col("query_id"))
+          .orderBy(col("cosine").desc, col("vec_id").asc)
+        e.crossJoin(broadcast(q))
+          .filter(col("vec_id") =!= col("query_id"))
+          .withColumn("cosine",
+            dotFast(col("v"), col("qv")) / (col("nrm") * col("qn")))
+          .filter(col("cosine") >= 0.25 && col("cosine") < 0.40)
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 5)
+          .select(col("query_id"), col("rank"),
+            col("vec_id").as("negative_id"), col("cosine"))
+          .orderBy("query_id", "rank")
+      },
+      Some(s"""$sqlVectors,
+             |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n
+             |  WHERE vec_id % 50 = 0 AND vec_id < 2000),
+             |scored AS (
+             |  SELECT q.query_id, n.vec_id AS negative_id,
+             |    list_reduce(list_transform(range(1, 65), i -> n.v[i] * q.qv[i]), (x, y) -> x + y)
+             |      / (n.nrm * q.qn) AS cosine
+             |  FROM n CROSS JOIN q WHERE n.vec_id <> q.query_id),
+             |banded AS (SELECT * FROM scored
+             |  WHERE cosine >= 0.25 AND cosine < 0.40),
+             |ranked AS (SELECT query_id, negative_id, cosine,
+             |  row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, negative_id) AS rank
+             |FROM banded)
+             |SELECT query_id, rank, negative_id, cosine FROM ranked
+             |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin))
   )
 
   /** s18's engine over any (vec_id, v, nrm) frame — public so the

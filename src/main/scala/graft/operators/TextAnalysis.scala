@@ -2042,7 +2042,76 @@ object TextAnalysis {
              |  sum(t)::BIGINT AS n_bpe_tokens,
              |  CASE WHEN sum(w) > 0 THEN sum(t) * 1.0 / sum(w) END AS fertility,
              |  CASE WHEN sum(t) > 0 THEN sum(c) * 1.0 / sum(t) END AS chars_per_token
-             |FROM per GROUP BY lang ORDER BY lang""".stripMargin))
+             |FROM per GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // POSTINGS-store drift audit — d30's ops check extended to the
+    // retrieval sidecar (t32's persisted inverted index): the store is
+    // only correct while the corpus it indexed doesn't move under it.
+    // Reconciliation runs at the store's own grain, (doc_id, token):
+    // a deleted doc's postings become ORPHANED (the index vouches for
+    // text that no longer exists), an edited doc's new tokens are
+    // MISSING (a query term the index can't find), postings whose
+    // (tf, dl) still match are CONSISTENT — and, richer than d30's
+    // hash grain, a posting present on both sides with drifted counts
+    // is STALE (the token survives the edit but its score inputs are
+    // wrong — BM25 would rank with the old tf/dl). The drift stands in
+    // deterministically (docs ≡ 11 mod 13 deleted; docs ≡ 7 mod 11
+    // gain one ' zz9q' token, shifting every dl — the m01/t29 stand-in
+    // discipline: the simulation is throwaway, the four-way full-outer
+    // reconciliation is the operator). Scale shape: the store enters
+    // as a SCAN (d15's rule, never broadcast), the fresh side is one
+    // exploded-postings rollup riding the corpus scan, and the single
+    // wide op is the full-outer join keyed (doc_id, token) — both
+    // sides shuffle on the same key, posting grain end to end.
+    Q("t40_postings_consistency",
+      "postings-store drift audit: consistent / stale / orphaned / missing verdicts from a full-outer reconciliation at (doc, token) grain",
+      (s, d) => {
+        val store = s.read.parquet(bm25StorePath(s, d))
+          .select(col("doc_id"), col("token"),
+            col("tf").as("stored_tf"), col("dl").as("stored_dl"))
+        val current = bm25PostingsOf(
+          docs(s, d).filter(col("doc_id") % 13 =!= 11)
+            .select(col("doc_id"),
+              concat(col("text"),
+                when(col("doc_id") % 11 === 7, " zz9q").otherwise(""))
+                .as("text")))
+          .select(col("doc_id"), col("token"),
+            col("tf").as("current_tf"), col("dl").as("current_dl"))
+        store.join(current, Seq("doc_id", "token"), "full_outer")
+          .select(col("doc_id"), col("token"),
+            when(col("stored_tf").isNull, "missing")
+              .when(col("current_tf").isNull, "orphaned")
+              .when(col("stored_tf") === col("current_tf") &&
+                col("stored_dl") === col("current_dl"), "consistent")
+              .otherwise("stale").as("status"),
+            col("stored_tf"), col("stored_dl"),
+            col("current_tf"), col("current_dl"))
+          .orderBy("doc_id", "token")
+      },
+      Some("""WITH sn AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm FROM documents),
+             |stk AS (SELECT doc_id, list_filter(string_split(norm, ' '), t -> t <> '') AS toks FROM sn),
+             |sx AS (SELECT doc_id, unnest(toks) AS token, len(toks)::BIGINT AS dl FROM stk),
+             |store AS (SELECT doc_id, token, count(*)::BIGINT AS stored_tf,
+             |    max(dl) AS stored_dl FROM sx GROUP BY 1, 2),
+             |cn AS (SELECT doc_id, trim(regexp_replace(lower(
+             |      text || CASE WHEN doc_id % 11 = 7 THEN ' zz9q' ELSE '' END),
+             |      '\s+', ' ', 'g')) AS norm
+             |  FROM documents WHERE doc_id % 13 <> 11),
+             |ctk AS (SELECT doc_id, list_filter(string_split(norm, ' '), t -> t <> '') AS toks FROM cn),
+             |cx AS (SELECT doc_id, unnest(toks) AS token, len(toks)::BIGINT AS dl FROM ctk),
+             |cur AS (SELECT doc_id, token, count(*)::BIGINT AS current_tf,
+             |    max(dl) AS current_dl FROM cx GROUP BY 1, 2)
+             |SELECT coalesce(s.doc_id, c.doc_id) AS doc_id,
+             |  coalesce(s.token, c.token) AS token,
+             |  CASE WHEN s.stored_tf IS NULL THEN 'missing'
+             |       WHEN c.current_tf IS NULL THEN 'orphaned'
+             |       WHEN s.stored_tf = c.current_tf
+             |        AND s.stored_dl = c.current_dl THEN 'consistent'
+             |       ELSE 'stale' END AS status,
+             |  s.stored_tf, s.stored_dl, c.current_tf, c.current_dl
+             |FROM store s FULL OUTER JOIN cur c
+             |  ON s.doc_id = c.doc_id AND s.token = c.token
+             |ORDER BY doc_id, token""".stripMargin))
   )
 
   /** t32's consumer over ANY postings store (the gate's two-batch

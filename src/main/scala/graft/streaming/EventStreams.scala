@@ -345,7 +345,10 @@ object EventStreams extends Serializable {
     // the base swap invalidate the old base files.
     wh.replace(viewTable, untouched.unionByName(touched))
     wh.applyCdc(baseTable, batch, "k", "seq", "op")
-    wh.replace(marker, Seq((queryId, epoch)).toDF("query_id", "epoch"))
+    // 1-row sidecar → 1 partition: toDF of a local Seq inherits default
+    // parallelism (32 empty tasks + 32 files per epoch otherwise)
+    wh.replace(marker,
+      Seq((queryId, epoch)).toDF("query_id", "epoch").coalesce(1))
   }
 
   /** Stream-static enrichment join: the event stream against a STATIC

@@ -28,28 +28,30 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def type_family(t: str) -> str:
-    """Coarse type families: the driver's hash renders values as text, so
-    int32-vs-int64 (both render '5') is fine but int-vs-float ('5' vs
-    '5.0') is the exact drift class that reached the driver in round 11
-    (q47 percentile_disc DOUBLE vs the oracle's BIGINT). Flag any
-    cross-family pairing."""
+    """Coarse type families AT THE GRAIN THE DRIVER HASHES: values pass
+    through pandas before hashing, so types pandas normalizes together
+    cannot drift there — DATE and TIMESTAMP both land as datetime64,
+    DECIMAL lands as float64 (driver-green rows q19/q27/q31/q32/q40/q44
+    pair Spark TIMESTAMP with oracle DATE, d29 pairs DOUBLE with
+    DECIMAL). What CAN drift is int-vs-float ('5' vs '5.0') — the exact
+    class that reached the driver in round 11 (q47 percentile_disc
+    DOUBLE vs the oracle's BIGINT). Flag only cross-family pairings."""
     t = str(t).upper()
     if t.endswith("[]") or t.startswith("LIST") or t.startswith("ARRAY"):
         return "list"
-    if t.startswith("DECIMAL") or t.startswith("NUMERIC"):
-        return "decimal"
     if t in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT", "HUGEINT",
              "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT"):
         return "int"
-    if t in ("FLOAT", "REAL", "DOUBLE"):
+    if (t in ("FLOAT", "REAL", "DOUBLE")
+            or t.startswith("DECIMAL") or t.startswith("NUMERIC")):
         return "float"
-    if t.startswith("TIMESTAMP"):
-        return "timestamp"
+    if t.startswith("TIMESTAMP") or t == "DATE":
+        return "datetime"
     if t.startswith("STRUCT"):
         return "struct"
     if t == "BLOB":
         return "binary"
-    return t  # BOOLEAN, VARCHAR, DATE, ... compare exactly
+    return t  # BOOLEAN, VARCHAR, ... compare exactly
 
 
 def dtype_mismatches(con, parquet_glob: str, sql: str):
