@@ -1823,6 +1823,11 @@ object RelationalQueries {
         val wh = new graft.compendium.Warehouse(s, root)
         wh.replace("c12_base", base)
         val in = MemoryStream[CdcViewChange]
+        // NOT down-sized like c13's state store: c12 is stateless
+        // (foreachBatch only) and its per-epoch cost is the two
+        // snapshot-sized store rewrites, which WANT the session's write
+        // parallelism (measured: 8 partitions = 6.6 s, 32 = 5.8 s at
+        // sf0.1 quiet).
         val q = EventStreams.ivmStream(in.toDS(), wh, "c12_base", "c12_view")
           .start()
         try {
@@ -1856,6 +1861,82 @@ object RelationalQueries {
              |  SELECT k, ck, new_cents AS cents FROM rck WHERE last_op <> 'D')
              |SELECT ck, count(*)::BIGINT AS n, sum(cents)::BIGINT AS cents_total
              |FROM applied GROUP BY ck ORDER BY ck""".stripMargin)),
+
+    // The SECOND driver-gradeable streaming row — c12 grades the IVM
+    // delta algebra; this grades the other production ingest layering,
+    // watermarked stream dedup (at-least-once sources) feeding the
+    // keyed warehouse upsert. The fixture is a deterministic events
+    // slice (event_id ≡ 3 mod 97) replayed through MemoryStream →
+    // dedupedIngest → foreachBatch upsert in three EVENT-TIME-ordered
+    // micro-batches, with the tail of each batch REDELIVERED in the
+    // next (inside the 2 h watermark horizon — the Kafka-redelivery
+    // shape; time-ordered batching keeps genuinely-new rows ahead of
+    // the watermark, so nothing new is late-dropped). The layered
+    // idempotence contract says the store ends at exactly the distinct
+    // slice whatever the redeliveries: dedup absorbs them inside the
+    // horizon, the event_id-keyed upsert absorbs anything beyond it.
+    // DuckDB recomputes the distinct slice directly — the hash gate IS
+    // that contract.
+    Q("c13_stream_ingest_replay",
+      "watermarked stream dedup + keyed upsert replayed over 3 micro-batches with planted redeliveries: store equals the distinct slice",
+      (s, d) => {
+        import s.implicits._
+        implicit val sq = s.sqlContext
+        import graft.streaming.EventStreams
+        import graft.streaming.EventStreams.Event
+        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+        val slice = Tables.events(s, d)
+          .filter(col("event_id") % 97 === 3)
+          .select("event_id", "ts", "user_id", "event_type", "value")
+          .as[Event].collect()
+          .sortBy(e => (e.ts.getTime, e.event_id))
+        val batches = slice.grouped(math.max((slice.length + 2) / 3, 1))
+          .toSeq
+        val root = java.nio.file.Files
+          .createTempDirectory("c13_stream").toString
+        val wh = new graft.compendium.Warehouse(s, root)
+        val in = MemoryStream[Event]
+        // state-store sizing, the production lever for a stateful
+        // stream: the dedup operator creates one state-store instance
+        // per shuffle partition PER MICRO-BATCH (streaming is exempt
+        // from AQE coalescing), and this state is slice-sized — at the
+        // session's 32 partitions the fixture spends its time on state
+        // file churn, not data. Scoped set-and-restore: the conf is
+        // read once at query start.
+        val savedParts = s.conf.get("spark.sql.shuffle.partitions")
+        val q =
+          try {
+            s.conf.set("spark.sql.shuffle.partitions", "4")
+            EventStreams.warehouseIngest(in.toDS(), wh, "c13_events")
+              .start()
+          } finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
+        try {
+          var redeliver = Seq.empty[Event]
+          batches.foreach { b =>
+            // redeliveries FIRST (the retry arrives with the next
+            // poll), then the batch's new rows; tail-of-batch
+            // redeliveries sit just behind the next batch's start, well
+            // inside the 2 h horizon, so the dedup state still holds
+            // them
+            in.addData(redeliver ++ b)
+            q.processAllAvailable()
+            redeliver = b.takeRight(math.min(50, b.length)).toSeq
+          }
+        } finally q.stop()
+        import org.apache.spark.sql.types._
+        val schema = StructType(Seq(
+          StructField("event_id", LongType),
+          StructField("ts", TimestampType),
+          StructField("user_id", LongType),
+          StructField("event_type", StringType),
+          StructField("value", DoubleType)))
+        wh.readOrEmpty("c13_events", schema)
+          .select("event_id", "ts", "user_id", "event_type", "value")
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, ts, user_id, event_type, value
+             |FROM events WHERE event_id % 97 = 3
+             |ORDER BY event_id""".stripMargin)),
 
     // DATA-QUALITY constraint audit — the pre-publish validation suite
     // (Deequ / Great Expectations / dbt tests): a declared constraint

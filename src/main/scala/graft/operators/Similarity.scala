@@ -1893,7 +1893,91 @@ object Similarity {
              |  row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, negative_id) AS rank
              |FROM banded)
              |SELECT query_id, rank, negative_id, cosine FROM ranked
-             |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin))
+             |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)),
+
+    // CENTROID-store drift audit — the d30/t40 nightly-reconciliation
+    // discipline completed for the third persisted sidecar family: the
+    // s09/s10 centroid index is only correct while the vectors it
+    // summarizes don't move under it, and because the store keeps exact
+    // sufficient statistics (per-dim DECIMAL sums + member count, the
+    // s10 contract), drift detection is EXACT integer/decimal
+    // comparison, not a float tolerance: recompute the stats from the
+    // current corpus and compare cell by cell. Deletion drift stands in
+    // deterministically (stored-slice members with vec_id ≡ 11 mod 13
+    // in labels ≡ 2 mod 3 removed — the m01/t29 stand-in rule), so
+    // labels 2/5/8 must read `drifted` (with ~all 64 sums moved) and
+    // the rest `consistent`; a label missing from either side would
+    // read orphaned/missing, the d30 verdict classes. Scale shape: the
+    // store enters as a k-row SCAN; the fresh side is ONE corpus pass
+    // collapsing map-side to k×64 decimal cells; the reconciliation
+    // join runs at label grain. Stored vectors are never re-read by
+    // the index itself — this audit is exactly the one corpus pass a
+    // nightly job pays to certify that.
+    Q("s24_centroid_drift",
+      "centroid-store drift audit: exact decimal-statistics reconciliation per label — consistent / drifted / orphaned / missing",
+      (s, d) => {
+        graft.plans.VectorExpressions.register(s)
+        val stored = s.read.parquet(centroidStore(s, d))
+          .select(col("clabel") +:
+            ((1 to Dim).map(i => col(s"s_$i").as(s"st_$i")) :+
+              col("cnt").as("stored_cnt")): _*)
+        val cur = centroidStats(
+          Tables.embeddings(s, d)
+            .filter(!(col("vec_id") % 5 === 4))
+            .filter(!(col("vec_id") % 13 === 11 && col("label") % 3 === 2))
+            .select(col("label").cast("long").as("clabel"),
+              vecD(col("embedding")).as("v")), "clabel")
+          .select(col("clabel") +:
+            ((1 to Dim).map(i => col(s"s_$i").as(s"cu_$i")) :+
+              col("cnt").as("current_cnt")): _*)
+        val nDrift = (1 to Dim).map(i =>
+          when(col(s"st_$i") =!= col(s"cu_$i"), lit(1L)).otherwise(lit(0L)))
+          .reduce(_ + _)
+        stored.join(cur, Seq("clabel"), "full_outer")
+          .select(col("clabel"),
+            when(col("stored_cnt").isNull, "missing")
+              .when(col("current_cnt").isNull, "orphaned")
+              .when(col("stored_cnt") === col("current_cnt") &&
+                nDrift === 0L, "consistent")
+              .otherwise("drifted").as("status"),
+            col("stored_cnt"), col("current_cnt"),
+            when(col("stored_cnt").isNotNull && col("current_cnt").isNotNull,
+              nDrift).as("n_dims_drifted"))
+          .orderBy("clabel")
+      },
+      Some(s"""WITH idx AS (SELECT unnest(range(1, ${Dim + 1})) AS dim),
+             |v AS (SELECT vec_id, label::BIGINT AS clabel,
+             |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+             |  FROM embeddings),
+             |stc AS (SELECT clabel, count(*)::BIGINT AS stored_cnt FROM v
+             |  WHERE vec_id % 5 <> 4 GROUP BY 1),
+             |sts AS (SELECT clabel, dim,
+             |    sum(CAST(v[dim] AS VARCHAR)::DECIMAL(18,9))::DECIMAL(30,9) AS s
+             |  FROM v CROSS JOIN idx WHERE vec_id % 5 <> 4 GROUP BY 1, 2),
+             |cuc AS (SELECT clabel, count(*)::BIGINT AS current_cnt FROM v
+             |  WHERE vec_id % 5 <> 4
+             |    AND NOT (vec_id % 13 = 11 AND clabel % 3 = 2) GROUP BY 1),
+             |cus AS (SELECT clabel, dim,
+             |    sum(CAST(v[dim] AS VARCHAR)::DECIMAL(18,9))::DECIMAL(30,9) AS s
+             |  FROM v CROSS JOIN idx WHERE vec_id % 5 <> 4
+             |    AND NOT (vec_id % 13 = 11 AND clabel % 3 = 2) GROUP BY 1, 2),
+             |dims AS (SELECT s.clabel,
+             |    sum(CASE WHEN s.s <> c.s THEN 1 ELSE 0 END)::BIGINT AS nd
+             |  FROM sts s JOIN cus c ON s.clabel = c.clabel AND s.dim = c.dim
+             |  GROUP BY 1)
+             |SELECT coalesce(sc.clabel, cc.clabel) AS clabel,
+             |  CASE WHEN sc.stored_cnt IS NULL THEN 'missing'
+             |       WHEN cc.current_cnt IS NULL THEN 'orphaned'
+             |       WHEN sc.stored_cnt = cc.current_cnt
+             |        AND coalesce(d.nd, 0) = 0 THEN 'consistent'
+             |       ELSE 'drifted' END AS status,
+             |  sc.stored_cnt, cc.current_cnt,
+             |  CASE WHEN sc.stored_cnt IS NOT NULL
+             |        AND cc.current_cnt IS NOT NULL
+             |    THEN coalesce(d.nd, 0) END AS n_dims_drifted
+             |FROM stc sc FULL OUTER JOIN cuc cc ON sc.clabel = cc.clabel
+             |  LEFT JOIN dims d ON coalesce(sc.clabel, cc.clabel) = d.clabel
+             |ORDER BY clabel""".stripMargin))
   )
 
   /** s18's engine over any (vec_id, v, nrm) frame — public so the

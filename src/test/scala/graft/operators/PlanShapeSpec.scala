@@ -1280,6 +1280,31 @@ class PlanShapeSpec extends SparkTestBase {
       "the shared frequency rollup must dedupe via ReuseExchange")
   }
 
+  test("s23: query set broadcasts into one corpus pass; the band filter feeds a WindowGroupLimit top-5") {
+    val plan = executedPlan("s23_hard_negatives")
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"),
+      "the pinned query set must broadcast — the corpus never moves")
+    assert(!plan.contains("CartesianProduct"),
+      "corpus-side cartesian product would shuffle the corpus")
+    assert(countOf(plan, "WindowGroupLimit.*row_number\\(\\), 5") >= 1,
+      "top-5 per query must compile to WindowGroupLimit (band-sized rank buffers)")
+    assert(!plan.contains("SortMergeJoin"),
+      "nothing in the mining pass may reshuffle the corpus")
+  }
+
+  test("t40: one full-outer reconciliation at posting grain; fresh rollup partial-aggregates; two scans only") {
+    val plan = executedPlan("t40_postings_consistency")
+    assert(plan.contains("FullOuter"),
+      s"orphaned AND missing postings must both survive the meet:\n${plan.take(2000)}")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoop"),
+      "the reconciliation must be an equi-join on (doc_id, token)")
+    assert(plan.contains("partial_count"),
+      "the fresh postings rollup must partial-aggregate map-side")
+    assert(countOf(plan, "FileScan parquet") == 2,
+      "exactly two scans: the persisted postings store and one corpus pass")
+  }
+
   test("s21: prefix and exact ranks ride ONE corpus pass sharing one query_id exchange") {
     val plan = executedPlan("s21_rerank_recall_curve")
     // two BNLJs by design: the corpus×queries pass and the 3-row level
