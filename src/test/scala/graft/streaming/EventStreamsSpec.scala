@@ -536,6 +536,47 @@ class EventStreamsSpec extends SparkTestBase {
     assert(view() === before, "stale epoch must skip (no double-apply)")
   }
 
+  test("ivmStream: restart from the SAME checkpoint keeps the query id; post-restart batches apply against the surviving marker") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val wh = new graft.compendium.Warehouse(spark, tmpDir())
+    wh.replace("ivm_base", Seq((1L, 10L, 100L)).toDF("k", "ck", "cents"))
+    wh.replace("ivm_view", Seq((10L, 1L, 100L)).toDF("ck", "n", "cents_total"))
+    def view(): Set[(Long, Long, Long)] =
+      wh.read("ivm_view").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    def recompute(): Set[(Long, Long, Long)] =
+      wh.read("ivm_base").groupBy("ck")
+        .agg(org.apache.spark.sql.functions.count("*").as("n"),
+          org.apache.spark.sql.functions.sum("cents").as("cents_total"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val ckpt = tmpDir()
+    val in = MemoryStream[EventStreams.CdcViewChange]
+    def start() =
+      EventStreams.ivmStream(in.toDS(), wh, "ivm_base", "ivm_view")
+        .option("checkpointLocation", ckpt).start()
+    val q1 = start()
+    val id1 = q1.id
+    in.addData(EventStreams.CdcViewChange(2, 1, "I", 10, 200))
+    q1.processAllAvailable()
+    q1.stop()
+    assert(view() === Set((10L, 2L, 300L)))
+    // restart FROM THE SAME CHECKPOINT: StreamingQuery.id (what the
+    // marker scopes on) must survive, so the marker written by the
+    // first incarnation still guards replays, and the restarted query's
+    // NEXT epoch (1 > 0) applies normally
+    val q2 = start()
+    try {
+      assert(q2.id === id1,
+        "same checkpoint must resume under the same query id — the marker's scope")
+      in.addData(EventStreams.CdcViewChange(3, 1, "I", 20, 700))
+      q2.processAllAvailable()
+      assert(view() === recompute(),
+        "post-restart batch must apply against the surviving marker")
+      assert(view() === Set((10L, 2L, 300L), (20L, 1L, 700L)))
+    } finally q2.stop()
+  }
+
   test("ivmStream: restart with a FRESH checkpoint (new query id, epochs from 0) applies, never skips") {
     import spark.implicits._
     val wh = new graft.compendium.Warehouse(spark, tmpDir())
