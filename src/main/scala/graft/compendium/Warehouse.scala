@@ -122,6 +122,55 @@ final class Warehouse(spark: SparkSession, root: String) {
     }
     if (hadOld) fs.delete(old, true)
   }
+
+  /** Per-table file statistics — (n_files, total_bytes): the inputs of
+    * the small-files decision every append-heavy store accumulates
+    * toward (each streaming micro-batch / CDC epoch / per-project
+    * append adds files; reads then pay per-file open + footer costs and
+    * the scheduler pays per-split overhead).
+    */
+  def fileStats(table: String): (Long, Long) = {
+    val p = new org.apache.hadoop.fs.Path(path(table))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(p, true)
+    var n = 0L
+    var bytes = 0L
+    while (it.hasNext) {
+      val f = it.next()
+      // count data files only: _SUCCESS markers and checksums are not
+      // read work
+      if (!f.getPath.getName.startsWith("_")
+          && !f.getPath.getName.startsWith(".")) {
+        n += 1
+        bytes += f.getLen
+      }
+    }
+    (n, bytes)
+  }
+
+  /** Small-files compaction — the maintenance rewrite every
+    * append-accumulating store needs (Delta OPTIMIZE / Iceberg
+    * rewrite_data_files shape): when the table holds more data files
+    * than its bytes justify at `targetFileBytes` per file, rewrite it
+    * into ceil(bytes / target) files via the same rename-swap commit as
+    * [[replace]] (readers see the old or the new layout, never a
+    * partial one). A no-op — zero reads, zero writes — when the layout
+    * is already within budget, so a nightly sweep over every table
+    * costs one file listing per healthy table. Returns
+    * (files_before, files_after). Row-preserving by construction
+    * (coalesce only merges partitions); at cluster scale the same call
+    * runs per PARTITION of a partitioned table so one hot partition
+    * doesn't force a whole-table rewrite.
+    */
+  def compact(table: String, targetFileBytes: Long = 128L << 20): (Long, Long) = {
+    val (nFiles, bytes) = fileStats(table)
+    val want = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes)
+    if (nFiles <= want) (nFiles, nFiles)
+    else {
+      replace(table, read(table).coalesce(want.toInt))
+      (nFiles, fileStats(table)._1)
+    }
+  }
 }
 
 object Warehouse {

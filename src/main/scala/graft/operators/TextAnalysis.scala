@@ -2111,7 +2111,82 @@ object TextAnalysis {
              |  s.stored_tf, s.stored_dl, c.current_tf, c.current_dl
              |FROM store s FULL OUTER JOIN cur c
              |  ON s.doc_id = c.doc_id AND s.token = c.token
-             |ORDER BY doc_id, token""".stripMargin))
+             |ORDER BY doc_id, token""".stripMargin)),
+
+    // TEMPERATURE-smoothed mixture weights — the α-sampling table
+    // multilingual/multi-source LM training uses between the raw corpus
+    // proportions and the loader (mC4/XLM-R: sample source s with
+    // probability ∝ p_s^α; α = 1/2 here): low-resource sources are
+    // upsampled (epochs > 1 — data repeated), heads are downsampled,
+    // and this report prices exactly that per source: raw share vs
+    // temperature share, the token allocation from a fixed budget, and
+    // the implied epoch count. Complements t07 (mixture SAMPLING
+    // executes a design), t16 (importance resampling to a TARGET mix)
+    // and t23 (epoch scheduling from given weights) with the step that
+    // DERIVES the weights. Determinism discipline: w_s = sqrt(n_tokens)
+    // is a single correctly-rounded IEEE op, and the normalizer W = Σw
+    // — the one float SUM — folds LEFT-TO-RIGHT over the
+    // source-name-ordered list on both engines (Spark sort_array +
+    // aggregate HOF, DuckDB list_reduce over list(... ORDER BY source))
+    // because a plain float sum() is partition-order-dependent and
+    // would hash-split the engines; every downstream value is one more
+    // pinned op on (w, W). Scale shape: ONE corpus pass collapses
+    // map-side to the |sources| grid; the fold and all shares run on
+    // that grid; the grid re-joins itself via one broadcast of the
+    // 1-row totals. The budget is config (1M tokens here).
+    Q("t41_temperature_mix",
+      "temperature-smoothed (alpha = 1/2) source mixture: raw vs smoothed shares, token allocation from a 1M budget, implied epochs",
+      (s, d) => {
+        val per = docs(s, d)
+          .select(col("source"),
+            size(tokens(normText(coalesce(col("text"), lit("")))))
+              .cast("long").as("n"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"), sum("n").as("n_tokens"))
+          .withColumn("weight", sqrt(col("n_tokens").cast("double")))
+        val tot = per.agg(
+          sum(col("n_tokens")).as("tot_tokens"),
+          expr("aggregate(transform(sort_array(collect_list(" +
+            "struct(source, weight))), x -> x.weight), " +
+            "cast(0.0 as double), (a, x) -> a + x)").as("wsum"))
+        per.crossJoin(broadcast(tot))
+          .select(col("source"), col("n_docs"), col("n_tokens"),
+            when(col("tot_tokens") > 0,
+              col("n_tokens") * lit(1.0) / col("tot_tokens"))
+              .as("raw_share"),
+            col("weight"),
+            when(col("wsum") > 0, col("weight") / col("wsum"))
+              .as("temp_share"),
+            when(col("wsum") > 0,
+              floor(col("weight") / col("wsum") * lit(1000000.0))
+                .cast("long")).as("alloc_tokens"),
+            when(col("wsum") > 0 && col("n_tokens") > 0,
+              floor(col("weight") / col("wsum") * lit(1000000.0))
+                / col("n_tokens").cast("double")).as("epochs"))
+          .orderBy("source")
+      },
+      Some("""WITH n AS (SELECT source,
+             |    coalesce(trim(regexp_replace(lower(coalesce(text, '')), '\s+', ' ', 'g')), '') AS norm
+             |  FROM documents),
+             |per AS (SELECT source, count(*)::BIGINT AS n_docs,
+             |    sum(len(list_filter(string_split(norm, ' '), t -> t <> '')))::BIGINT AS n_tokens
+             |  FROM n GROUP BY source),
+             |w AS (SELECT source, n_docs, n_tokens,
+             |    sqrt(n_tokens::DOUBLE) AS weight FROM per),
+             |tot AS (SELECT sum(n_tokens)::BIGINT AS tot_tokens,
+             |    list_reduce(list_prepend(0.0::DOUBLE,
+             |      list(weight ORDER BY source)), (a, x) -> a + x) AS wsum
+             |  FROM w)
+             |SELECT source, n_docs, n_tokens,
+             |  CASE WHEN tot_tokens > 0
+             |    THEN n_tokens * 1.0 / tot_tokens END AS raw_share,
+             |  weight,
+             |  CASE WHEN wsum > 0 THEN weight / wsum END AS temp_share,
+             |  CASE WHEN wsum > 0
+             |    THEN floor(weight / wsum * 1000000.0)::BIGINT END AS alloc_tokens,
+             |  CASE WHEN wsum > 0 AND n_tokens > 0
+             |    THEN floor(weight / wsum * 1000000.0) / n_tokens::DOUBLE END AS epochs
+             |FROM w CROSS JOIN tot ORDER BY source""".stripMargin))
   )
 
   /** t32's consumer over ANY postings store (the gate's two-batch

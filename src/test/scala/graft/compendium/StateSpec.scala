@@ -113,4 +113,36 @@ class SelectionSpec extends SparkTestBase {
     assert(r.getAs[Long]("n_samples") === 9L)
     assert(r.getAs[Long]("n_samples_with_results") === 2L)
   }
+
+  test("compact: many-file append accumulation rewrites to the byte-justified file count, rows preserved") {
+    val wh = new Warehouse(spark, tmpDir())
+    // simulate an append-heavy store: 8 micro-batch appends, each
+    // flushing its own files (the streaming-sidecar accumulation shape)
+    (0 until 8).foreach { b =>
+      wh.append("acc", (b * 100 until (b + 1) * 100).toDF("id")
+        .repartition(4))
+    }
+    val (before, bytes) = wh.fileStats("acc")
+    assert(before === 32L, "8 appends x 4 files accumulate")
+    val rowsBefore = wh.read("acc").collect().map(_.getInt(0)).sorted.toSeq
+    // a target far above the table size justifies exactly ONE file
+    val (b0, a0) = wh.compact("acc", targetFileBytes = bytes * 10)
+    assert(b0 === 32L && a0 === 1L)
+    assert(wh.read("acc").collect().map(_.getInt(0)).sorted.toSeq
+      === rowsBefore, "compaction must be row-preserving")
+    // already-within-budget layout: a no-op, nothing rewritten
+    val mtime = {
+      val p = new org.apache.hadoop.fs.Path(s"${wh.read("acc").inputFiles.head}")
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .getFileStatus(p).getModificationTime
+    }
+    val (b1, a1) = wh.compact("acc", targetFileBytes = bytes * 10)
+    assert(b1 === 1L && a1 === 1L)
+    val mtime2 = {
+      val p = new org.apache.hadoop.fs.Path(s"${wh.read("acc").inputFiles.head}")
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .getFileStatus(p).getModificationTime
+    }
+    assert(mtime2 === mtime, "a healthy layout must not be rewritten")
+  }
 }
