@@ -269,7 +269,10 @@ object EventStreams extends Serializable {
     * full-recompute alternative scans every order ever written per
     * trigger. (Here both swaps rewrite the parquet dirs — partitioned /
     * transactional storage turns them into the keyed writes the
-    * algebra already bounds.)
+    * algebra already bounds; [[graft.compendium.Warehouse
+    * .applyCdcPartitioned]] IS that lever for the base side: touched
+    * partitions only, untouched files byte-stable, emptied partitions
+    * swept.)
     */
   def ivmStream(changes: Dataset[CdcViewChange],
       wh: graft.compendium.Warehouse, baseTable: String, viewTable: String)

@@ -146,3 +146,92 @@ class SelectionSpec extends SparkTestBase {
     assert(mtime2 === mtime, "a healthy layout must not be rewritten")
   }
 }
+
+class WarehouseCdcPartitionedSpec extends graft.SparkTestBase {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  private def partFiles(root: String, table: String, part: Long) = {
+    val p = new org.apache.hadoop.fs.Path(s"$root/$table/pk=$part")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Seq.empty
+    else {
+      val it = fs.listFiles(p, true)
+      val b = Seq.newBuilder[(String, Long)]
+      while (it.hasNext) {
+        val f = it.next()
+        if (!f.getPath.getName.startsWith("_"))
+          b += ((f.getPath.toString, f.getModificationTime))
+      }
+      b.result().sortBy(_._1)
+    }
+  }
+
+  private val changes = Seq(
+    (34L, 1L, "U", 34990L),  // update in partition 2
+    (37L, 1L, "D", 0L),      // tombstone in partition 5
+    (37L, 2L, "I", 37100L),  // ...resurrected by a later seq (5 again)
+    (1002L, 1L, "I", 500L),  // brand-new key -> partition 10
+    (9999L, 1L, "D", 0L))    // delete of an absent key: no-op (part 15)
+
+  test("applyCdcPartitioned equals the flat applyCdc merge on the row set") {
+    val rootA = tmpDir(); val rootB = tmpDir()
+    val whA = new Warehouse(spark, rootA)
+    val whB = new Warehouse(spark, rootB)
+    val base = (0L until 160L).map(k => (k, k * 10)).toDF("k", "cents")
+    whA.replace("flat", base)
+    whB.applyCdcPartitioned("part", base
+      .withColumn("seq", lit(0L)).withColumn("op", lit("I"))
+      .select("k", "seq", "op", "cents"),
+      "k", "seq", "op", "pk", c => pmod(c, lit(16L)))
+    whA.applyCdc("flat", changes.toDF("k", "seq", "op", "cents"),
+      "k", "seq", "op")
+    whB.applyCdcPartitioned("part",
+      changes.toDF("k", "seq", "op", "cents"),
+      "k", "seq", "op", "pk", c => pmod(c, lit(16L)))
+    val a = whA.read("flat").collect()
+      .map(r => (r.getAs[Long]("k"), r.getAs[Long]("cents"))).sorted.toSeq
+    val b = whB.read("part").select("k", "cents").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(a === b, "partitioned CoW must produce the flat merge's rows")
+  }
+
+  test("applyCdcPartitioned leaves untouched partitions byte-identical on disk") {
+    val root = tmpDir()
+    val wh = new Warehouse(spark, root)
+    wh.applyCdcPartitioned("t",
+      (0L until 160L).map(k => (k, 0L, "I", k * 10)).toDF("k", "seq", "op", "cents"),
+      "k", "seq", "op", "pk", c => pmod(c, lit(16L)))
+    val untouchedBefore = (0L until 16L)
+      .filterNot(Set(2L, 5L, 10L, 15L)).map(p => p -> partFiles(root, "t", p))
+    val touchedBefore = partFiles(root, "t", 2)
+    wh.applyCdcPartitioned("t", changes.toDF("k", "seq", "op", "cents"),
+      "k", "seq", "op", "pk", c => pmod(c, lit(16L)))
+    untouchedBefore.foreach { case (p, files) =>
+      assert(partFiles(root, "t", p) === files,
+        s"partition $p was not touched by the batch — its files must not move")
+    }
+    assert(partFiles(root, "t", 2) !== touchedBefore,
+      "the touched partition must have been rewritten")
+    val rows = wh.read("t").select("k", "cents").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(rows(34L) === 34990L && rows(37L) === 37100L &&
+      rows(1002L) === 500L && !rows.contains(9999L))
+  }
+
+  test("applyCdcPartitioned drops a partition the batch fully tombstones (no resurrection)") {
+    val root = tmpDir()
+    val wh = new Warehouse(spark, root)
+    // one key per partition, so deleting k=7 empties partition 7
+    wh.applyCdcPartitioned("t",
+      (0L until 16L).map(k => (k, 0L, "I", k * 10)).toDF("k", "seq", "op", "cents"),
+      "k", "seq", "op", "pk", c => pmod(c, lit(16L)))
+    wh.applyCdcPartitioned("t",
+      Seq((7L, 1L, "D", 0L)).toDF("k", "seq", "op", "cents"),
+      "k", "seq", "op", "pk", c => pmod(c, lit(16L)))
+    assert(partFiles(root, "t", 7).isEmpty,
+      "an emptied partition's old files would resurrect deleted rows")
+    val ks = wh.read("t").select("k").collect().map(_.getLong(0)).toSet
+    assert(ks === (0L until 16L).toSet - 7L)
+  }
+}
