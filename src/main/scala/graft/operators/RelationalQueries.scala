@@ -1938,6 +1938,62 @@ object RelationalQueries {
              |FROM events WHERE event_id % 97 = 3
              |ORDER BY event_id""".stripMargin)),
 
+    // q49's merge through the PARTITION-GRANULAR copy-on-write path —
+    // Warehouse.applyCdcPartitioned driver-graded: the orders snapshot
+    // loads partitioned by pk = k mod 16, the same md5-derived change
+    // feed applies touching only its keys' partitions (pruned read +
+    // dynamic partition overwrite + emptied-partition sweep), and the
+    // query returns the whole snapshot read back. DuckDB recomputes the
+    // applied snapshot from scratch, so the hash gate pins
+    // partitioned-CoW ≡ flat merge ≡ recompute — the third corner of
+    // the triangle whose first two edges q49 (flat, changed-key audit)
+    // and the WarehouseCdcPartitionedSpec (byte-stability of untouched
+    // partitions) already hold. At 100 TB this path IS the documented
+    // production lever: the batch's partitions rewrite, the lake
+    // doesn't.
+    Q("c14_cdc_partitioned",
+      "q49's CDC merge through partition-granular copy-on-write: full snapshot read-back, hash-equal to the from-scratch apply",
+      (s, d) => {
+        val base = Tables.load(s, d, "orders")
+          .select(col("o_orderkey").as("k"),
+            expr("cast(floor(o_totalprice * 100 + 0.5) AS BIGINT)")
+              .as("cents"))
+        val root = java.nio.file.Files
+          .createTempDirectory("c14_cdc").toString
+        val wh = new graft.compendium.Warehouse(s, root)
+        def partOf(c: org.apache.spark.sql.Column) = pmod(c, lit(16L))
+        // initial load and the change batch go through the SAME
+        // partitioned apply — load is just the epoch-0 all-inserts batch
+        wh.applyCdcPartitioned("c14_snap",
+          base.select(col("k"), lit(0L).as("seq"), lit("I").as("op"),
+            col("cents")),
+          "k", "seq", "op", "pk", partOf)
+        wh.applyCdcPartitioned("c14_snap",
+          cdcChanges(base.select(col("k")))
+            .select(col("k"), col("seq"), col("op"),
+              col("new_cents").as("cents")),
+          "k", "seq", "op", "pk", partOf)
+        // empty corpora never create the table (all-empty batches are
+        // no-ops by design) — surface an empty frame, not a read error
+        import org.apache.spark.sql.types._
+        wh.readOrEmpty("c14_snap", StructType(Seq(
+            StructField("k", LongType), StructField("cents", LongType),
+            StructField("pk", LongType))))
+          .select(col("k"), col("pk").cast("long").as("pk"), col("cents"))
+          .orderBy("k")
+      },
+      Some(s"""WITH base AS (SELECT o_orderkey AS k,
+             |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+             |  FROM orders),
+             |$sqlCdcResolved,
+             |applied AS (
+             |  SELECT b.k, b.cents FROM base b
+             |  WHERE NOT EXISTS (SELECT 1 FROM resolved r WHERE r.k = b.k)
+             |  UNION ALL
+             |  SELECT k, new_cents AS cents FROM resolved WHERE last_op <> 'D')
+             |SELECT k, k % 16 AS pk, cents FROM applied
+             |ORDER BY k""".stripMargin)),
+
     // DATA-QUALITY constraint audit — the pre-publish validation suite
     // (Deequ / Great Expectations / dbt tests): a declared constraint
     // set over a table, each check a violation COUNT with a verdict,
