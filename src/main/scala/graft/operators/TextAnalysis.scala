@@ -2137,6 +2137,12 @@ object TextAnalysis {
     Q("t41_temperature_mix",
       "temperature-smoothed (alpha = 1/2) source mixture: raw vs smoothed shares, token allocation from a 1M budget, implied epochs",
       (s, d) => {
+        // the |sources| grid feeds TWO consumers (the output rows and
+        // the totals fold) — eager-checkpointed (§7.4 rule 3) so the
+        // corpus is tokenized ONCE; without it, column pruning gives
+        // each consumer a differently-pruned scan subtree and
+        // ReuseExchange can't dedupe them (the q47 canonicalization
+        // lesson), doubling the corpus pass. Plan-asserted.
         val per = docs(s, d)
           .select(col("source"),
             size(tokens(normText(coalesce(col("text"), lit("")))))
@@ -2144,6 +2150,7 @@ object TextAnalysis {
           .groupBy("source")
           .agg(count(lit(1)).as("n_docs"), sum("n").as("n_tokens"))
           .withColumn("weight", sqrt(col("n_tokens").cast("double")))
+          .localCheckpoint(true)
         val tot = per.agg(
           sum(col("n_tokens")).as("tot_tokens"),
           expr("aggregate(transform(sort_array(collect_list(" +

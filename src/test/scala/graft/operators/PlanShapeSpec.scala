@@ -1293,6 +1293,24 @@ class PlanShapeSpec extends SparkTestBase {
       "nothing in the mining pass may reshuffle the corpus")
   }
 
+  test("t41: the checkpointed source grid feeds both consumers — no corpus scan in the final plan, totals attach broadcast") {
+    val plan = executedPlan("t41_temperature_mix")
+    // the corpus is tokenized ONCE, at the grid checkpoint's
+    // materialization (outside this plan); the output and totals
+    // branches must both read the 20-row RDD leaf, never re-scan —
+    // without the rule-3 checkpoint, column pruning split the two
+    // subtrees and the plan held TWO full documents scans
+    assert(countOf(plan, "FileScan parquet") == 0,
+      "a documents scan here means a consumer re-tokenized the corpus")
+    assert(countOf(plan, "Scan ExistingRDD") >= 2,
+      "both consumers must read the checkpointed grid")
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"),
+      "the 1-row totals frame must attach broadcast")
+    assert(!plan.contains("SortMergeJoin"),
+      "nothing at the |sources| grain may sort-merge")
+  }
+
   test("t40: one full-outer reconciliation at posting grain; fresh rollup partial-aggregates; two scans only") {
     val plan = executedPlan("t40_postings_consistency")
     assert(plan.contains("FullOuter"),
