@@ -1,0 +1,144 @@
+package graft.compendium
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Manifest-pointer commits over a warehouse root — the transactional
+  * layer that closes the two documented visibility gaps of rename-swap
+  * storage ([[Warehouse.replace]]'s S3 caveat, and the view-then-base
+  * window in the IVM epoch apply, where a reader interleaved between the
+  * two renames can see a NEW view over an OLD base):
+  *
+  *   - writers stage every table of a commit into fresh VERSIONED
+  *     directories (`<table>__v<N>` — never reused, never renamed), then
+  *     flip ONE small manifest file naming the current directory of every
+  *     table. The flip is a create-exclusive write of a new log file
+  *     (`_log/v<N>.manifest`), atomic on any store with atomic single-file
+  *     create (rename-free, so the S3 caveat does not apply);
+  *   - readers resolve a table through the highest manifest version and
+  *     hold that resolution for as many tables as they need — a multi-table
+  *     read through one manifest is consistent BY CONSTRUCTION, because a
+  *     commit never mutates a directory an older manifest names.
+  *
+  * This is the Delta/Iceberg log-pointer shape reduced to its essence: the
+  * log entry is the whole current-state map (table → directory), not a
+  * delta, so recovery needs only the single highest file. A crash anywhere
+  * before the manifest create leaves staged orphan directories (garbage,
+  * swept by the next commit's GC) and readers never see them; a crash
+  * after it leaves a fully committed state. Concurrency contract matches
+  * [[Warehouse]]: one writer (create-exclusive makes a second concurrent
+  * committer FAIL LOUDLY rather than corrupt), any number of readers.
+  *
+  * `retain` keeps the last N versions' directories on disk so an in-flight
+  * reader holding a just-superseded manifest still finds its files — the
+  * reader-horizon knob every log-pointer store exposes (Delta's
+  * deletedFileRetentionDuration, here in versions instead of time).
+  */
+final class ManifestCommit(spark: SparkSession, root: String,
+    retain: Int = 2) {
+  require(retain >= 1, "retain must keep at least the current version")
+
+  private val logDir = new Path(s"$root/_log")
+  private def fs = logDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def manifestPath(v: Long) = new Path(logDir, f"v$v%012d.manifest")
+
+  private def versions(): Seq[Long] =
+    if (!fs.exists(logDir)) Seq.empty
+    else fs.listStatus(logDir).toSeq.map(_.getPath.getName)
+      .filter(n => n.startsWith("v") && n.endsWith(".manifest"))
+      .map(n => n.stripPrefix("v").stripSuffix(".manifest").toLong)
+      .sorted
+
+  def currentVersion(): Option[Long] = versions().lastOption
+
+  /** The table→directory map at version `v`. */
+  def manifestAt(v: Long): Map[String, String] = {
+    val in = fs.open(manifestPath(v))
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+      .filter(_.nonEmpty)
+      .map { line =>
+        val i = line.indexOf('\t')
+        line.substring(0, i) -> line.substring(i + 1)
+      }.toMap
+    finally in.close()
+  }
+
+  /** The current table→directory map — resolve ONCE and read every table
+    * of a multi-table invariant through the same resolution.
+    */
+  def current(): Map[String, String] =
+    currentVersion().map(manifestAt).getOrElse(Map.empty)
+
+  def exists(table: String): Boolean = current().contains(table)
+
+  /** Read `table` through the CURRENT manifest. For multi-table
+    * consistency, resolve [[current]] once and use [[readAt]].
+    */
+  def read(table: String): DataFrame = readAt(current(), table)
+
+  def readAt(manifest: Map[String, String], table: String): DataFrame =
+    spark.read.parquet(s"$root/${manifest(table)}")
+
+  /** Atomically commit `writes` as one new version: every frame stages to
+    * a fresh `<table>__v<N>` directory, tables NOT in `writes` carry their
+    * previous directories forward, and the single manifest create makes
+    * the whole set visible at once — the (base, view, marker) trio flips
+    * together or not at all. Returns the committed version.
+    */
+  def commit(writes: Map[String, DataFrame]): Long =
+    commitAs(currentVersion().getOrElse(0L) + 1L, writes)
+
+  /** The version-pinned commit body — separated so the concurrent-writer
+    * contract is testable: a committer whose version was taken by a race
+    * winner lands HERE with the stale v and must fail on the exclusive
+    * manifest create, never overwrite.
+    */
+  private[compendium] def commitAs(v: Long,
+      writes: Map[String, DataFrame]): Long = {
+    val prev = if (v <= 1) Map.empty[String, String] else manifestAt(v - 1)
+    // the attempt token makes staging dirs WRITER-UNIQUE: two committers
+    // racing to one version must not overwrite each other's staged files
+    // either — the loser's orphan dirs are garbage, not corruption, and
+    // the exclusive manifest create below still decides the winner
+    val token = java.util.UUID.randomUUID().toString.take(8)
+    val staged = writes.keys.map(t => t -> s"${t}__v${v}_$token").toMap
+    writes.foreach { case (table, df) =>
+      df.write.mode(SaveMode.Overwrite).parquet(s"$root/${staged(table)}")
+    }
+    val next = prev ++ staged
+    val body = next.toSeq.sorted.map { case (t, d) => s"$t\t$d" }
+      .mkString("", "\n", "\n")
+    // create-exclusive: a concurrent committer racing to the same version
+    // fails here (no torn or last-writer-wins manifest), and readers only
+    // ever list COMPLETE files because the content is written before close
+    val out = fs.create(manifestPath(v), false)
+    try out.write(body.getBytes("UTF-8")) finally out.close()
+    gc(v)
+    v
+  }
+
+  /** Drop manifests older than the retain horizon and every versioned
+    * directory no retained manifest references. Runs AFTER the flip, so a
+    * crash mid-GC leaves only unreachable garbage, never a dangling
+    * manifest. Directories referenced by ANY retained manifest survive —
+    * a table last rewritten many versions ago keeps its old directory for
+    * as long as a live manifest names it.
+    */
+  private def gc(committed: Long): Unit = {
+    val keepVersions = versions().filter(_ > committed - retain)
+    val referenced = keepVersions.flatMap(v => manifestAt(v).values).toSet
+    versions().filterNot(keepVersions.contains)
+      .foreach(v => fs.delete(manifestPath(v), false))
+    val rootPath = new Path(root)
+    fs.listStatus(rootPath).toSeq
+      .filter(s => s.isDirectory &&
+        s.getPath.getName.matches(".+__v\\d+_[0-9a-f]+") &&
+        !referenced.contains(s.getPath.getName) &&
+        // never sweep a version being staged ABOVE the committed one
+        // (a concurrent writer's work-in-progress is not garbage)
+        s.getPath.getName.replaceAll("^.+__v", "")
+          .replaceAll("_.*$", "").toLong <= committed)
+      .foreach(s => fs.delete(s.getPath, true))
+  }
+}

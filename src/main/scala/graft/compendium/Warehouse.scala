@@ -49,6 +49,41 @@ final class Warehouse(spark: SparkSession, root: String) {
       .partitionBy(partitionCols: _*)
       .parquet(path(table))
 
+  /** The on-disk directory name Spark's writer gives one partition value —
+    * Hive-escaped via the same catalyst utility the writer uses, with null
+    * mapping to the default-partition name. Raw interpolation
+    * (s"$partCol=$v") silently misses any value the writer escapes
+    * (spaces, ':', '%', …) and null entirely, so a sweep built on it
+    * would leave tombstoned files behind — the exact resurrection the
+    * sweep exists to prevent.
+    */
+  private def partitionDirName(partCol: String, v: Any): String =
+    org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+      .getPartitionPathString(partCol, if (v == null) null else v.toString)
+
+  /** Dynamic-overwrite `df` into partitioned `table`, then sweep any
+    * `touched` partition the output no longer carries: dynamic overwrite
+    * only replaces partitions PRESENT in the output, so an emptied
+    * partition's old files would survive and resurrect its deleted rows.
+    * The survivors are computed from the OUTPUT frame before the write —
+    * a disk re-read after it would see the very rows the sweep must
+    * remove. Shared by [[applyCdcPartitioned]] and the partitioned IVM
+    * view upsert ([[graft.streaming.EventStreams]]) so the two
+    * partition-granular writers can never disagree on sweep semantics.
+    */
+  private[graft] def overwriteAndSweep(table: String, df: DataFrame,
+      partCol: String, touched: Seq[Any]): Unit = {
+    val remaining = df.select(partCol).distinct()
+      .collect().map(_.get(0)).toSet
+    overwritePartitions(table, df, Seq(partCol))
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    touched.filterNot(remaining).foreach { v =>
+      fs.delete(new org.apache.hadoop.fs.Path(
+        s"${path(table)}/${partitionDirName(partCol, v)}"), true): Unit
+    }
+  }
+
   /** K2 (db.py:440-470): conditional-column merge — for each delta column,
     * take the new value when present else keep the old; rows only in the
     * delta are appended. Equivalent to the reference's per-field UPDATE
@@ -119,6 +154,21 @@ final class Warehouse(spark: SparkSession, root: String) {
       partOf: org.apache.spark.sql.Column => org.apache.spark.sql.Column): Unit = {
     val resolved = Warehouse.resolveLastOp(changes, key, seqCol)
       .withColumn(partCol, partOf(col(key)))
+    // the sweep names directories from collected VALUES, so the value's
+    // string form must round-trip the writer's dir naming exactly —
+    // true for integrals and (Hive-escaped) strings, NOT for
+    // timestamp/date/decimal whose dir rendering is format-dependent
+    resolved.schema(partCol).dataType match {
+      case org.apache.spark.sql.types.ByteType |
+          org.apache.spark.sql.types.ShortType |
+          org.apache.spark.sql.types.IntegerType |
+          org.apache.spark.sql.types.LongType |
+          org.apache.spark.sql.types.StringType => ()
+      case dt => throw new IllegalArgumentException(
+        s"applyCdcPartitioned($table): partOf must derive an integral or " +
+          s"string partition key (got ${dt.simpleString}) — other types' " +
+          "directory renderings don't round-trip the emptied-partition sweep")
+    }
     val upserts = resolved.filter(col(opCol) =!= "D").drop(opCol, seqCol)
     if (!exists(table)) {
       if (!upserts.isEmpty)
@@ -134,19 +184,7 @@ final class Warehouse(spark: SparkSession, root: String) {
     val merged = base
       .join(resolved.select(key), Seq(key), "left_anti")
       .unionByName(upserts.select(base.columns.map(col).toSeq: _*))
-    // partitions the MERGED OUTPUT still carries — computed from the
-    // output frame, NOT re-read from disk after the write: dynamic
-    // overwrite leaves an emptied partition's old files in place, so a
-    // disk re-read would see the very rows the sweep must remove
-    val remaining = merged.select(partCol).distinct()
-      .collect().map(_.get(0)).toSet
-    overwritePartitions(table, merged, Seq(partCol))
-    val fs = new org.apache.hadoop.fs.Path(root)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    touched.filterNot(remaining).foreach { v =>
-      fs.delete(new org.apache.hadoop.fs.Path(
-        s"${path(table)}/$partCol=$v"), true): Unit
-    }
+    overwriteAndSweep(table, merged, partCol, touched)
   }
 
   /** Rewrite via rename-swap. Guarantee: the table directory is missing only
@@ -156,12 +194,21 @@ final class Warehouse(spark: SparkSession, root: String) {
     * without atomic rename (e.g. S3) the window widens to the rename copy —
     * a transactional table format would be required for a hard guarantee.
     */
-  def replace(table: String, df: DataFrame): Unit = {
+  def replace(table: String, df: DataFrame): Unit =
+    replaceAt(new org.apache.hadoop.fs.Path(path(table)),
+      new org.apache.hadoop.fs.Path(path(table + "__tmp")),
+      new org.apache.hadoop.fs.Path(path(table + "__old")), df)
+
+  /** [[replace]] generalized to an arbitrary destination directory, with
+    * caller-chosen staging dirs — the staging MUST live outside any
+    * partitioned table root (a sibling `pk=2__tmp` dir inside the table
+    * would corrupt partition discovery for every concurrent reader).
+    */
+  private def replaceAt(dst: org.apache.hadoop.fs.Path,
+      tmp: org.apache.hadoop.fs.Path, old: org.apache.hadoop.fs.Path,
+      df: DataFrame): Unit = {
     val fs = new org.apache.hadoop.fs.Path(root)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val tmp = new org.apache.hadoop.fs.Path(path(table + "__tmp"))
-    val old = new org.apache.hadoop.fs.Path(path(table + "__old"))
-    val dst = new org.apache.hadoop.fs.Path(path(table))
     df.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
     if (fs.exists(old)) fs.delete(old, true)
     val hadOld = fs.exists(dst) && fs.rename(dst, old)
@@ -170,7 +217,7 @@ final class Warehouse(spark: SparkSession, root: String) {
       // only copy deleted; surface the failure instead of silently dropping it.
       if (hadOld) fs.rename(old, dst)
       throw new java.io.IOException(
-        s"replace($table): rename ${tmp} -> ${dst} failed" +
+        s"replace: rename ${tmp} -> ${dst} failed" +
           (if (hadOld) "; previous copy restored" else ""))
     }
     if (hadOld) fs.delete(old, true)
@@ -182,8 +229,10 @@ final class Warehouse(spark: SparkSession, root: String) {
     * append adds files; reads then pay per-file open + footer costs and
     * the scheduler pays per-split overhead).
     */
-  def fileStats(table: String): (Long, Long) = {
-    val p = new org.apache.hadoop.fs.Path(path(table))
+  def fileStats(table: String): (Long, Long) = fileStatsAt(path(table))
+
+  private def fileStatsAt(dir: String): (Long, Long) = {
+    val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val it = fs.listFiles(p, true)
     var n = 0L
@@ -216,6 +265,13 @@ final class Warehouse(spark: SparkSession, root: String) {
     * doesn't force a whole-table rewrite.
     */
   def compact(table: String, targetFileBytes: Long = 128L << 20): (Long, Long) = {
+    val parts = partitionDirNames(table)
+    if (parts.nonEmpty) throw new IllegalArgumentException(
+      s"compact($table): table is partitioned (${parts.take(3).mkString(", ")}" +
+        s"${if (parts.size > 3) ", …" else ""}) — a flat coalesce-rewrite " +
+        "would strip the partition layout, and a later dynamic partition " +
+        "overwrite only replaces partition directories, leaving the flat " +
+        "root files to DUPLICATE every row; use compactPartitions")
     val (nFiles, bytes) = fileStats(table)
     val want = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes)
     if (nFiles <= want) (nFiles, nFiles)
@@ -223,6 +279,59 @@ final class Warehouse(spark: SparkSession, root: String) {
       replace(table, read(table).coalesce(want.toInt))
       (nFiles, fileStats(table)._1)
     }
+  }
+
+  /** First-level `col=value` partition directories of `table` (empty for a
+    * flat table) — how both compaction paths detect the layout, so neither
+    * can be pointed at the wrong table shape.
+    */
+  private def partitionDirNames(table: String): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(path(table))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.contains("="))
+      .map(_.getPath.getName)
+  }
+
+  /** [[compact]] at PARTITION granularity — the maintenance shape the
+    * partitioned stores need ([[applyCdcPartitioned]] and the partitioned
+    * IVM view accrete small files only in their HOT partitions): each
+    * over-budget partition rewrites ALONE via its own rename-swap, staged
+    * OUTSIDE the table root (a `pk=2__tmp` sibling inside it would corrupt
+    * partition discovery for concurrent readers), and healthy partitions
+    * are never read or written — one fragmented partition costs one
+    * partition's rewrite, not the table's. Returns (files_before,
+    * files_after) across all partitions. Refuses a flat table: the
+    * per-partition loop would silently no-op on it.
+    */
+  def compactPartitions(table: String, targetFileBytes: Long = 128L << 20)
+      : (Long, Long) = {
+    val parts = partitionDirNames(table)
+    if (parts.isEmpty) throw new IllegalArgumentException(
+      s"compactPartitions($table): no col=value partition directories — " +
+        "use compact for a flat table")
+    var before = 0L
+    var after = 0L
+    parts.foreach { dir =>
+      val dirPath = s"${path(table)}/$dir"
+      val (n, bytes) = fileStatsAt(dirPath)
+      val want = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes)
+      before += n
+      if (n <= want) after += n
+      else {
+        // the partition value lives in the DIRECTORY NAME, not the files,
+        // so rewriting the files in place preserves it; staging dirs are
+        // table-root siblings with the '=' sanitized out
+        val safe = dir.replace('=', '~')
+        replaceAt(new org.apache.hadoop.fs.Path(dirPath),
+          new org.apache.hadoop.fs.Path(path(s"${table}__cmp_tmp_$safe")),
+          new org.apache.hadoop.fs.Path(path(s"${table}__cmp_old_$safe")),
+          spark.read.parquet(dirPath).coalesce(want.toInt))
+        after += fileStatsAt(dirPath)._1
+      }
+    }
+    (before, after)
   }
 }
 

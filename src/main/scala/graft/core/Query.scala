@@ -15,7 +15,17 @@ final case class Q(
     name: String,
     doc: String,
     run: (SparkSession, String) => DataFrame,
-    oracle: Option[String] = None
+    oracle: Option[String] = None,
+    /** Declared output schema for DRIVER-SIDE queries whose `run` cannot
+      * produce a plan without executing (streaming replays, warehouse
+      * round-trips, eager checkpoints): the schema-only consumers
+      * (RegistrySpec's dtype-drift meta-guard) read this instead of
+      * calling `run`. Leave None for plan-pure queries — `.schema` on the
+      * unexecuted plan is free there, and a declared copy could drift.
+      * Drift in a DECLARED schema is still caught downstream: the driver
+      * gate hashes the real output's columns and dtypes every round.
+      */
+    staticSchema: Option[org.apache.spark.sql.types.StructType] = None
 )
 
 object Q {

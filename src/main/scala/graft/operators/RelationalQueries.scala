@@ -1860,7 +1860,9 @@ object RelationalQueries {
              |  UNION ALL
              |  SELECT k, ck, new_cents AS cents FROM rck WHERE last_op <> 'D')
              |SELECT ck, count(*)::BIGINT AS n, sum(cents)::BIGINT AS cents_total
-             |FROM applied GROUP BY ck ORDER BY ck""".stripMargin)),
+             |FROM applied GROUP BY ck ORDER BY ck""".stripMargin),
+      staticSchema = Some(org.apache.spark.sql.types.StructType.fromDDL(
+        "ck BIGINT, n BIGINT, cents_total BIGINT"))),
 
     // The SECOND driver-gradeable streaming row — c12 grades the IVM
     // delta algebra; this grades the other production ingest layering,
@@ -1936,7 +1938,10 @@ object RelationalQueries {
       },
       Some("""SELECT event_id, ts, user_id, event_type, value
              |FROM events WHERE event_id % 97 = 3
-             |ORDER BY event_id""".stripMargin)),
+             |ORDER BY event_id""".stripMargin),
+      staticSchema = Some(org.apache.spark.sql.types.StructType.fromDDL(
+        "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, " +
+          "event_type STRING, value DOUBLE"))),
 
     // q49's merge through the PARTITION-GRANULAR copy-on-write path —
     // Warehouse.applyCdcPartitioned driver-graded: the orders snapshot
@@ -1992,7 +1997,185 @@ object RelationalQueries {
              |  UNION ALL
              |  SELECT k, new_cents AS cents FROM resolved WHERE last_op <> 'D')
              |SELECT k, k % 16 AS pk, cents FROM applied
-             |ORDER BY k""".stripMargin)),
+             |ORDER BY k""".stripMargin),
+      staticSchema = Some(org.apache.spark.sql.types.StructType.fromDDL(
+        "k BIGINT, pk BIGINT, cents BIGINT"))),
+
+    // c12's CONTINUOUS IVM replay re-run over PARTITION-GRANULAR stores —
+    // the round that closes the registry's one graded scale-killer: the
+    // flat ivmStream rewrites the whole base+view snapshot every epoch;
+    // ivmStreamPartitioned writes only the partitions each batch touches
+    // (base: pk = k mod 16 through applyCdcPartitioned's pruned read +
+    // dynamic overwrite + emptied-dir sweep; view: the same
+    // overwrite-and-sweep at pck = ck mod 16 grain). The fixture, feed,
+    // batching, and DuckDB oracle are c12's VERBATIM, so the hash gate
+    // pins a three-way equivalence: partitioned continuous apply ≡ flat
+    // continuous apply ≡ from-scratch recompute. The FS-level claim —
+    // an epoch touching k buckets rewrites only those k, untouched
+    // files byte-stable — is spec-pinned (IvmPartitionedSpec), and the
+    // per-epoch write volume is now proportional to the batch, not the
+    // store: the 100 TB continuous path.
+    Q("c15_stream_replay_partitioned",
+      "c12's 3-micro-batch CDC replay through partition-granular base+view stores: epoch writes touch only the batch's partitions, view hash-equal to DuckDB's from-scratch fold",
+      (s, d) => {
+        import s.implicits._
+        implicit val sq = s.sqlContext
+        import graft.functions.Portable.h60
+        import graft.streaming.EventStreams
+        import graft.streaming.EventStreams.CdcViewChange
+        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+        val base = Tables.load(s, d, "orders")
+          .select(col("o_orderkey").as("k"), col("o_custkey").as("ck"),
+            expr("cast(floor(o_totalprice * 100 + 0.5) AS BIGINT)")
+              .as("cents"))
+        val raw = cdcChanges(base.select(col("k")))
+        val feed = raw.join(base.select("k", "ck"), Seq("k"), "left")
+          .select(col("k"), col("seq"), col("op"),
+            coalesce(col("ck"),
+              h60(concat(lit("nc_"), col("k").cast("string"))) % 1000 + 1)
+              .as("ck"),
+            col("new_cents").as("cents"))
+          .as[CdcViewChange]
+          .collect()
+        val root = java.nio.file.Files
+          .createTempDirectory("c15_stream").toString
+        val wh = new graft.compendium.Warehouse(s, root)
+        // the base loads PARTITIONED through the same epoch-0 all-inserts
+        // discipline as c14 — the store the stream maintains is
+        // partition-granular from birth, never converted
+        wh.applyCdcPartitioned("c15_base",
+          base.select(col("k"), lit(0L).as("seq"), lit("I").as("op"),
+            col("ck"), col("cents")),
+          "k", "seq", "op", "pk", c => pmod(c, lit(16L)))
+        val in = MemoryStream[CdcViewChange]
+        val q = EventStreams
+          .ivmStreamPartitioned(in.toDS(), wh, "c15_base", "c15_view", 16)
+          .start()
+        try {
+          (0L until 3L).foreach { b =>
+            val batch = feed.filter(_.k % 3 == b)
+            if (batch.nonEmpty) {
+              in.addData(batch.toSeq)
+              q.processAllAvailable()
+            }
+          }
+        } finally q.stop()
+        if (!wh.exists("c15_view"))
+          EventStreams.applyIvmBatchPartitioned(
+            s.emptyDataset[CdcViewChange].toDF(),
+            wh, "c15_base", "c15_view", epoch = 0L,
+            queryId = "c15_bootstrap", buckets = 16)
+        import org.apache.spark.sql.types._
+        wh.readOrEmpty("c15_view", StructType(Seq(
+            StructField("ck", LongType), StructField("n", LongType),
+            StructField("cents_total", LongType))))
+          .select("ck", "n", "cents_total").orderBy("ck")
+      },
+      Some(s"""WITH base AS (SELECT o_orderkey AS k, o_custkey AS ck,
+             |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+             |  FROM orders),
+             |$sqlCdcResolved,
+             |rck AS (SELECT r.k, r.last_op, r.new_cents,
+             |    coalesce(b.ck,
+             |      ('0x' || substr(md5('nc_' || r.k), 1, 15))::BIGINT % 1000 + 1) AS ck
+             |  FROM resolved r LEFT JOIN base b ON r.k = b.k),
+             |applied AS (
+             |  SELECT b.k, b.ck, b.cents FROM base b
+             |  WHERE NOT EXISTS (SELECT 1 FROM rck r WHERE r.k = b.k)
+             |  UNION ALL
+             |  SELECT k, ck, new_cents AS cents FROM rck WHERE last_op <> 'D')
+             |SELECT ck, count(*)::BIGINT AS n, sum(cents)::BIGINT AS cents_total
+             |FROM applied GROUP BY ck ORDER BY ck""".stripMargin),
+      staticSchema = Some(org.apache.spark.sql.types.StructType.fromDDL(
+        "ck BIGINT, n BIGINT, cents_total BIGINT"))),
+
+    // The FIRST stateful-operator streaming oracle row — c12/c13/c15
+    // grade foreachBatch ingest layers (stateless operators feeding
+    // driver-side applies); this row's Spark side executes
+    // mapGroupsWithState (funnelStream), the flatMapGroupsWithState
+    // family's gate. The fixture is a deterministic events slice
+    // (event_id ≡ 5 mod 97) delivered in three DELIBERATELY SHUFFLED
+    // micro-batches (md5-hash batching scatters each user's events
+    // across batches in non-time order) — exactly the disorder
+    // funnelStream's monotone-depth algebra claims exactness under, with
+    // no watermark to hide behind (NoTimeout, arbitrary lateness). The
+    // sink keeps each user's LAST update-mode emission, which by the
+    // monotone argument is the depth over the user's full slice; DuckDB
+    // recomputes q41's regex-subsequence depth on the time-ordered
+    // slice, so the hash gate IS the stream≡batch funnel theorem under
+    // shuffled replay, graded by the driver instead of only spec-pinned.
+    Q("c16_stream_funnel_stateful",
+      "q41's funnel depth from a REAL stateful streaming query (mapGroupsWithState) over 3 hash-shuffled micro-batches, hash-equal to the batch recompute",
+      (s, d) => {
+        import s.implicits._
+        implicit val sq = s.sqlContext
+        import graft.streaming.EventStreams
+        import graft.streaming.EventStreams.{Event, FunnelDepth}
+        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+        val slice = Tables.events(s, d)
+          .filter(col("event_id") % 97 === 5)
+          .select("event_id", "ts", "user_id", "event_type", "value")
+          .as[Event].collect()
+        // hash batching: a user's events land in DIFFERENT batches in
+        // non-time order — the adversarial delivery the operator's
+        // monotone-depth algebra must absorb
+        val h = java.security.MessageDigest.getInstance("MD5")
+        def bucket(id: Long): Int = {
+          val dg = h.digest(s"c16_$id".getBytes("UTF-8"))
+          math.floorMod(dg(0).toInt, 3)
+        }
+        val batches = (0 until 3).map(b => slice.filter(e => bucket(e.event_id) == b))
+        val root = java.nio.file.Files
+          .createTempDirectory("c16_funnel").toString
+        val wh = new graft.compendium.Warehouse(s, root)
+        val in = MemoryStream[Event]
+        // state-store sizing: c13's rationale — one state-store instance
+        // per shuffle partition per micro-batch, slice-sized state
+        val savedParts = s.conf.get("spark.sql.shuffle.partitions")
+        val q =
+          try {
+            s.conf.set("spark.sql.shuffle.partitions", "4")
+            EventStreams.funnelStream(in.toDS()).writeStream
+              .outputMode("update")
+              .foreachBatch { (b: org.apache.spark.sql.Dataset[FunnelDepth],
+                  epoch: Long) =>
+                // the "sink keeps the latest" contract, made concrete as
+                // a keyed warehouse upsert — each user's newest depth
+                // overwrites the previous epoch's row
+                wh.upsert("c16_depths", b.toDF(), "user_id")
+              }
+              .start()
+          } finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
+        try {
+          batches.foreach { b =>
+            if (b.nonEmpty) {
+              in.addData(b.toSeq)
+              q.processAllAvailable()
+            }
+          }
+        } finally q.stop()
+        import org.apache.spark.sql.types._
+        wh.readOrEmpty("c16_depths", StructType(Seq(
+            StructField("user_id", LongType),
+            StructField("funnel_stage", IntegerType))))
+          .select("user_id", "funnel_stage").orderBy("user_id")
+      },
+      Some("""WITH sq AS (
+             |  SELECT user_id,
+             |    string_agg(CASE event_type WHEN 'signup' THEN 's'
+             |        WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'
+             |        WHEN 'purchase' THEN 'p' ELSE 'x' END,
+             |      '' ORDER BY ts, event_id) AS seq
+             |  FROM events WHERE event_id % 97 = 5 GROUP BY user_id)
+             |SELECT user_id,
+             |  CASE WHEN regexp_matches(seq, 's.*v.*c.*p') THEN 4
+             |       WHEN regexp_matches(seq, 's.*v.*c') THEN 3
+             |       WHEN regexp_matches(seq, 's.*v') THEN 2
+             |       WHEN regexp_matches(seq, 's') THEN 1
+             |       ELSE 0 END AS funnel_stage
+             |FROM sq ORDER BY user_id""".stripMargin),
+      staticSchema = Some(org.apache.spark.sql.types.StructType.fromDDL(
+        "user_id BIGINT, funnel_stage INT"))),
 
     // DATA-QUALITY constraint audit — the pre-publish validation suite
     // (Deequ / Great Expectations / dbt tests): a declared constraint
@@ -2116,7 +2299,13 @@ object RelationalQueries {
     */
   private[graft] def cdcResolved(base: DataFrame): DataFrame = {
     val changes = cdcChanges(base)
-    val wk = Window.partitionBy(col("k")).orderBy(col("seq").desc)
+    // payload tiebreak after seq — the SAME total order as
+    // Warehouse.resolveLastOp (seq DESC, then remaining columns DESC in
+    // name order: new_cents, op), so a feed that ever emits duplicate
+    // (k, seq) rows resolves identically here, in the streaming apply,
+    // and in the oracle twin, instead of partition-layout-dependently
+    val wk = Window.partitionBy(col("k"))
+      .orderBy(col("seq").desc, col("new_cents").desc, col("op").desc)
     changes
       .withColumn("rn", row_number().over(wk))
       .withColumn("n_ops",
@@ -2182,7 +2371,8 @@ object RelationalQueries {
       |changes AS (SELECT * FROM c1 UNION ALL SELECT * FROM c2
       |  UNION ALL SELECT * FROM c3),
       |resolved AS (SELECT k, op AS last_op, new_cents, n_ops FROM (
-      |  SELECT *, row_number() OVER (PARTITION BY k ORDER BY seq DESC) AS rn,
+      |  SELECT *, row_number() OVER (PARTITION BY k
+      |      ORDER BY seq DESC, new_cents DESC, op DESC) AS rn,
       |    count(*) OVER (PARTITION BY k)::BIGINT AS n_ops
       |  FROM changes) WHERE rn = 1)""".stripMargin
 

@@ -2193,7 +2193,13 @@ object TextAnalysis {
              |    THEN floor(weight / wsum * 1000000.0)::BIGINT END AS alloc_tokens,
              |  CASE WHEN wsum > 0 AND n_tokens > 0
              |    THEN floor(weight / wsum * 1000000.0) / n_tokens::DOUBLE END AS epochs
-             |FROM w CROSS JOIN tot ORDER BY source""".stripMargin))
+             |FROM w CROSS JOIN tot ORDER BY source""".stripMargin),
+      // the eager localCheckpoint makes even `.schema` execute the corpus
+      // pass — declared so schema-only consumers never pay it
+      staticSchema = Some(org.apache.spark.sql.types.StructType.fromDDL(
+        "source STRING, n_docs BIGINT, n_tokens BIGINT, raw_share DOUBLE, " +
+          "weight DOUBLE, temp_share DOUBLE, alloc_tokens BIGINT, " +
+          "epochs DOUBLE")))
   )
 
   /** t32's consumer over ANY postings store (the gate's two-batch

@@ -289,6 +289,23 @@ object EventStreams extends Serializable {
         applyIvmBatch(batch.toDF(), wh, baseTable, viewTable, epoch, qid)
       }
 
+  /** Read the `(query_id, epoch)` replay marker, tolerating the previous
+    * epoch-only format: a marker persisted by an older build lacks the
+    * query_id column, and throwing on it would fail the stream at the
+    * first post-upgrade batch instead of migrating. A legacy marker is
+    * interpreted with its own (epoch-only) semantics — the very next
+    * applied batch rewrites it in the new schema.
+    */
+  private def markerSaysReplayed(wh: graft.compendium.Warehouse,
+      marker: String, epoch: Long, queryId: String): Boolean =
+    wh.exists(marker) && {
+      val df = wh.read(marker)
+      val m = df.head()
+      (!df.columns.contains("query_id") ||
+        m.getAs[String]("query_id") == queryId) &&
+        epoch <= m.getAs[Long]("epoch")
+    }
+
   private[graft] def applyIvmBatch(batch: DataFrame,
       wh: graft.compendium.Warehouse, baseTable: String, viewTable: String,
       epoch: Long, queryId: String = "__direct__"): Unit = {
@@ -299,12 +316,7 @@ object EventStreams extends Serializable {
     // skip ONLY a replay of this same query's already-applied epoch — a
     // different query id means a new epoch sequence (fresh checkpoint),
     // whose epoch 0 is new work, not a replay
-    val replayed = wh.exists(marker) && {
-      val m = wh.read(marker).head()
-      m.getAs[String]("query_id") == queryId &&
-        epoch <= m.getAs[Long]("epoch")
-    }
-    if (replayed) return
+    if (markerSaysReplayed(wh, marker, epoch, queryId)) return
     val resolved = graft.compendium.Warehouse.resolveLastOp(batch, "k", "seq")
     val baseSchema = StructType(Seq(StructField("k", LongType),
       StructField("ck", LongType), StructField("cents", LongType)))
@@ -350,6 +362,122 @@ object EventStreams extends Serializable {
     wh.applyCdc(baseTable, batch, "k", "seq", "op")
     // 1-row sidecar → 1 partition: toDF of a local Seq inherits default
     // parallelism (32 empty tasks + 32 files per epoch otherwise)
+    wh.replace(marker,
+      Seq((queryId, epoch)).toDF("query_id", "epoch").coalesce(1))
+  }
+
+  /** [[ivmStream]] over PARTITION-GRANULAR stores — the continuous path's
+    * scale fix: the flat form's per-epoch cost is two whole-snapshot
+    * rewrites however few keys the batch touches (a full-table write per
+    * trigger at 100 TB); here base AND view live partitioned by a stable
+    * key bucket (base: pk = k mod buckets, view: pck = ck mod buckets)
+    * and an epoch writes ONLY the partitions its batch touches — the
+    * base through [[graft.compendium.Warehouse.applyCdcPartitioned]]
+    * (pruned read, dynamic partition overwrite, emptied-partition
+    * sweep), the view through the same overwrite-and-sweep at pck
+    * grain. Untouched partitions' files stay byte-identical on disk
+    * (spec-pinned), so per-epoch write volume is proportional to the
+    * BATCH's key spread, not the store: at 100 TB with
+    * date/bucket-partitioned facts and clustered change batches, the
+    * difference between rewriting gigabytes and rewriting the lake.
+    * Same delta algebra, replay marker, and view-before-base commit
+    * order as the flat form — the two paths share
+    * [[graft.compendium.Warehouse.resolveLastOp]], so they can never
+    * disagree on which row of a batch wins.
+    */
+  def ivmStreamPartitioned(changes: Dataset[CdcViewChange],
+      wh: graft.compendium.Warehouse, baseTable: String, viewTable: String,
+      buckets: Int = 16)
+      : org.apache.spark.sql.streaming.DataStreamWriter[CdcViewChange] =
+    changes.writeStream.outputMode("append")
+      .foreachBatch { (batch: Dataset[CdcViewChange], epoch: Long) =>
+        val qid = Option(batch.sparkSession.sparkContext
+          .getLocalProperty("sql.streaming.queryId")).getOrElse("__direct__")
+        applyIvmBatchPartitioned(batch.toDF(), wh, baseTable, viewTable,
+          epoch, qid, buckets)
+      }
+
+  private[graft] def applyIvmBatchPartitioned(batch: DataFrame,
+      wh: graft.compendium.Warehouse, baseTable: String, viewTable: String,
+      epoch: Long, queryId: String = "__direct__", buckets: Int = 16): Unit = {
+    import org.apache.spark.sql.types._
+    val s = batch.sparkSession
+    import s.implicits._
+    val nb = lit(buckets.toLong)
+    val marker = viewTable + "__epoch"
+    if (markerSaysReplayed(wh, marker, epoch, queryId)) return
+    val resolved = graft.compendium.Warehouse.resolveLastOp(batch, "k", "seq")
+    val baseExists = wh.exists(baseTable)
+    // the batch's base partitions — batch-bounded (≤ buckets values),
+    // collected once to prune the old-rows point read to the only
+    // directories that can hold a touched key's previous row
+    val touchedPk = resolved.select(pmod(col("k"), nb).as("pk"))
+      .distinct().collect().map(_.getLong(0)).toSeq
+    val baseSchema = StructType(Seq(StructField("k", LongType),
+      StructField("ck", LongType), StructField("cents", LongType)))
+    val basePruned =
+      if (baseExists)
+        wh.read(baseTable).filter(col("pk").isin(touchedPk: _*))
+      else wh.readOrEmpty(baseTable, baseSchema)
+    val old = basePruned
+      .join(resolved.select("k"), Seq("k"), "left_semi")
+      .select(col("k"), col("ck").as("old_ck"), col("cents").as("old_cents"))
+    val j = resolved.join(old, Seq("k"), "left")
+    val delta = j.filter(col("old_ck").isNotNull)
+      .select(col("old_ck").as("ck"), (-col("old_cents")).as("d_cents"),
+        lit(-1L).as("d_n"))
+      .unionByName(j.filter(col("op") =!= "D")
+        .select(col("ck"), col("cents").as("d_cents"), lit(1L).as("d_n")))
+      .groupBy("ck")
+      .agg(sum("d_cents").as("d_cents"), sum("d_n").as("d_n"))
+    // the batch's view partitions — the only pck directories this epoch
+    // may rewrite (delta is change-sized: ≤ 2·|batch keys| groups)
+    val touchedPck = delta.select(pmod(col("ck"), nb).as("pck"))
+      .distinct().collect().map(_.getLong(0)).toSeq
+    if (wh.exists(viewTable)) {
+      if (touchedPck.nonEmpty) {
+        // pruned merge: partition-mates of touched groups rewrite with
+        // their partition (d_* coalesce to 0); untouched partitions are
+        // never read, never written
+        val viewPruned = wh.read(viewTable)
+          .filter(col("pck").isin(touchedPck: _*))
+          .select("ck", "n", "cents_total")
+        val merged = viewPruned.join(delta, Seq("ck"), "full_outer")
+          .select(col("ck"),
+            (coalesce(col("n"), lit(0L)) + coalesce(col("d_n"), lit(0L)))
+              .as("n"),
+            (coalesce(col("cents_total"), lit(0L)) +
+              coalesce(col("d_cents"), lit(0L))).as("cents_total"))
+          .filter(col("n") > 0)
+          .withColumn("pck", pmod(col("ck"), nb))
+        wh.overwriteAndSweep(viewTable, merged, "pck", touchedPck)
+      }
+    } else {
+      // view bootstrap — the flat form's argument verbatim: a
+      // pre-existing base with no view must seed from the base's true
+      // aggregate (one FULL scan, exactly once); thereafter every epoch
+      // is partition-pruned
+      val seed =
+        if (baseExists)
+          wh.read(baseTable).groupBy("ck").agg(count(lit(1)).as("n"),
+            sum("cents").as("cents_total"))
+        else delta.limit(0).select(col("ck"), col("d_n").as("n"),
+          col("d_cents").as("cents_total"))
+      val merged = seed.join(delta, Seq("ck"), "full_outer")
+        .select(col("ck"),
+          (coalesce(col("n"), lit(0L)) + coalesce(col("d_n"), lit(0L)))
+            .as("n"),
+          (coalesce(col("cents_total"), lit(0L)) +
+            coalesce(col("d_cents"), lit(0L))).as("cents_total"))
+        .filter(col("n") > 0)
+        .withColumn("pck", pmod(col("ck"), nb))
+      if (!merged.isEmpty)
+        wh.overwritePartitions(viewTable, merged, Seq("pck"))
+    }
+    // base after view (the flat form's commit-order reasoning): the view
+    // plan's deltas were computed against the pre-batch base partitions
+    wh.applyCdcPartitioned(baseTable, batch, "k", "seq", "op", "pk",
+      c => pmod(c, nb))
     wh.replace(marker,
       Seq((queryId, epoch)).toDF("query_id", "epoch").coalesce(1))
   }

@@ -53,6 +53,20 @@ class RegistrySpec extends AnyFunSuite {
     assert(bad.isEmpty, s"non-conforming names: ${bad.mkString(", ")}")
   }
 
+  test("staticSchema is declared only for driver-side queries (conscious-review allowlist)") {
+    // a declared schema bypasses the live `.schema` check below, so every
+    // declaration must argue its way onto this list — the singleRow
+    // allowlist discipline; plan-pure queries must NOT declare one
+    val driverSide = Set("c12_stream_replay", "c13_stream_ingest_replay",
+      "c14_cdc_partitioned", "c15_stream_replay_partitioned",
+      "c16_stream_funnel_stateful", "t41_temperature_mix")
+    val declared = SparkEntry.registry.filter(_.staticSchema.isDefined)
+      .map(_.name).toSet
+    assert(declared === driverSide,
+      s"staticSchema allowlist drift: unexpected ${declared -- driverSide}, " +
+        s"missing ${driverSide -- declared}")
+  }
+
   /** Output columns the oracle SQL pins to an integer type (`::BIGINT AS x`
     * / `CAST(... AS BIGINT) AS x` — the repo's convention for every integer
     * output). The driver's hash renders values as text, so a Spark DOUBLE
@@ -89,14 +103,20 @@ class RegistrySpec extends AnyFunSuite {
     val offenders = SparkEntry.registry.flatMap { q =>
       q.oracle.toSeq.flatMap { sql =>
         val pinned = intPinnedAliases(sql)
-        // schema only — analysis, no execution (cheap even registry-wide);
-        // aliases pinned inside CTEs but absent from the final output are
-        // ignored (only the emitted schema can drift at the driver)
-        val schema =
+        // plan-pure queries: `.schema` is analysis only, no execution —
+        // cheap even registry-wide. Driver-side queries (streaming
+        // replays, warehouse round-trips, eager checkpoints) EXECUTE on
+        // `.schema`, so they declare a staticSchema instead; a declared
+        // schema that drifts from reality is still caught by the driver
+        // gate, which hashes the real output's columns every round.
+        // Aliases pinned inside CTEs but absent from the final output are
+        // ignored (only the emitted schema can drift at the driver).
+        val schema = q.staticSchema.getOrElse {
           try q.run(spark, sf).schema
           catch { case e: Throwable =>
             fail(s"${q.name}: query failed to analyze at $sf: ${e.getMessage}")
           }
+        }
         schema.fields.toSeq
           .filter(f => pinned.contains(f.name.toLowerCase))
           .filterNot(f => integral(f.dataType))

@@ -219,6 +219,43 @@ class WarehouseCdcPartitionedSpec extends graft.SparkTestBase {
       rows(1002L) === 500L && !rows.contains(9999L))
   }
 
+  test("compact refuses a partitioned table; compactPartitions rewrites only the fragmented partition, rows preserved") {
+    val root = tmpDir()
+    val wh = new Warehouse(spark, root)
+    // 2-partition table: pk=0 healthy (1 file), pk=1 fragmented by 6
+    // small appends (the hot-partition accumulation shape)
+    wh.append("t", Seq((0L, 0L, 100L)).toDF("k", "pk", "cents")
+      .coalesce(1), Seq("pk"))
+    (0 until 6).foreach { i =>
+      wh.append("t", Seq((10L + i, 1L, i * 10L)).toDF("k", "pk", "cents")
+        .coalesce(1), Seq("pk"))
+    }
+    // the flat path must refuse: its coalesce-rewrite would flatten the
+    // layout, and a later dynamic partition overwrite only replaces
+    // partition dirs, leaving the flat root files to DUPLICATE rows
+    val e = intercept[IllegalArgumentException] { wh.compact("t") }
+    assert(e.getMessage.contains("compactPartitions"))
+    val healthyBefore = partFiles(root, "t", 0)
+    val rowsBefore = wh.read("t").select("k", "cents").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val (before, after) = wh.compactPartitions("t",
+      targetFileBytes = 1L << 20)
+    assert(before === 7L && after === 2L,
+      "6 fragments + 1 healthy must compact to 1 + 1")
+    assert(partFiles(root, "t", 0) === healthyBefore,
+      "the healthy partition must not be read or rewritten")
+    assert(partFiles(root, "t", 1).size === 1,
+      "the fragmented partition compacts to its byte-justified file count")
+    assert(wh.read("t").select("k", "cents").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq === rowsBefore,
+      "partition-granular compaction must be row-preserving")
+    // and the flat entry point stays available for flat tables only
+    val e2 = intercept[IllegalArgumentException] {
+      wh.compactPartitions("t_missing")
+    }
+    assert(e2.getMessage.contains("flat"))
+  }
+
   test("applyCdcPartitioned drops a partition the batch fully tombstones (no resurrection)") {
     val root = tmpDir()
     val wh = new Warehouse(spark, root)
