@@ -127,6 +127,27 @@ object Kernels {
     toks
   }
 
+  /** One greedy left-to-right non-overlapping merge pass replacing every
+    * adjacent token pair (x, y) with the merged token xy — the per-round
+    * step of ITERATED BPE training (t42), where unlike [[bpeApply]]'s
+    * first-round scope the inputs are arbitrary already-merged tokens,
+    * not single codepoints. Exactly the semantics of one `replace()` on
+    * the token-delimited string form (the DuckDB oracle's formulation,
+    * pinned by the t25 kernel↔oracle equivalence): scan left to right,
+    * consume both tokens on a match, never rescan the merged output —
+    * so [a,a,a] under (a,a) yields [aa,a] on both engines.
+    */
+  def mergePass(toks: Array[String], x: String, y: String): Array[String] = {
+    val b = Array.newBuilder[String]
+    var i = 0
+    while (i < toks.length) {
+      if (i + 1 < toks.length && toks(i) == x && toks(i + 1) == y) {
+        b += (x + y); i += 2
+      } else { b += toks(i); i += 1 }
+    }
+    b.result()
+  }
+
   /** Distinct word-trigram 60-bit shingle hashes of a token array. Twin of
     * `list_distinct(list_transform(range(1, len(toks)-1), i -> toks[i] || ' ' || ...))`
     * hashed with h60; empty when the document has fewer than 3 tokens.

@@ -2199,8 +2199,134 @@ object TextAnalysis {
       staticSchema = Some(org.apache.spark.sql.types.StructType.fromDDL(
         "source STRING, n_docs BIGINT, n_tokens BIGINT, raw_share DOUBLE, " +
           "weight DOUBLE, temp_share DOUBLE, alloc_tokens BIGINT, " +
-          "epochs DOUBLE")))
+          "epochs DOUBLE"))),
+
+    // ITERATED BPE training — the real Sennrich algorithm t22/t25
+    // deliberately scope away from: merge k depends on merges 1..k-1,
+    // because each adopted merge CONSUMES pair occurrences (after
+    // merging 'th', every 'the' stops contributing a ('h','e') pair),
+    // so ranking all K merges off one raw count pass (t22) diverges
+    // from the trained tokenizer at merge 2 onward — demonstrated
+    // non-vacuously on the fixture by BpeIteratedSpec. This query runs
+    // K = 5 true rounds: count adjacent TOKEN pairs weighted by word
+    // frequency, adopt the argmax (count desc, md5 tiebreak — t18's
+    // boundary discipline over the chr(31)-keyed pair so ('ab','c')
+    // never collides with ('a','bc')), apply one greedy
+    // left-to-right merge pass ([[Kernels.mergePass]] ↔ the oracle's
+    // sequential replace(), the t25-pinned equivalence), recount.
+    // The oracle recomputes the identical K rounds as unrolled CTE
+    // stages over the chr(30)-delimited token-string form.
+    //
+    // Scale shape — the d09 bounded-loop discipline on the BPE
+    // trainer's standard working set: training runs at WORD-FREQUENCY
+    // grain (one corpus tokenize + groupBy, after which the corpus is
+    // never touched again), so each round is one flatMap+partial-agg
+    // over the vocab grid plus a 1-row TakeOrdered collect, and the
+    // adopted pair ships back as a closure constant (broadcast-sized
+    // by construction). Per-round eager localCheckpoint truncates the
+    // k-deep lineage exactly as d09/t38 do. At 100 TB the vocab grid
+    // is millions of rows against the corpus's billions — the whole
+    // loop runs on ~0.1% of the data after pass one.
+    Q("t42_bpe_iterated_train",
+      "8 true BPE training rounds at word-frequency grain: recount adjacent token pairs after every adopted merge (merge k depends on 1..k-1)",
+      (s, d) => {
+        import s.implicits._
+        // 8 rounds crosses the first one-shot/iterated divergence on the
+        // committed corpus (round 6: adopted merges have consumed enough
+        // ('r','t') adjacencies to demote it) and adopts multi-token
+        // merges ('p'+'ar') no single raw-count pass can even express —
+        // BpeIteratedSpec pins both, non-vacuously
+        val K = 8
+        val wf = docs(s, d).select(col("text")).as[String]
+          .mapPartitions(_.flatMap(tx => Kernels.lowerTokens(tx).iterator))
+          .toDF("word")
+          .groupBy("word").agg(count(lit(1)).as("freq"))
+          .as[(String, Long)]
+        var state = wf
+          .map { case (w, f) => (f, Kernels.codepointAtoms(w)) }
+          .localCheckpoint(true)
+        val merges = Seq.newBuilder[(Long, String, String, Long)]
+        var r = 1
+        var exhausted = false
+        while (r <= K && !exhausted) {
+          val top = state
+            .flatMap { case (f, toks) =>
+              (0 until toks.length - 1).iterator
+                .map(i => (toks(i) + "\u001F" + toks(i + 1), f))
+            }
+            .toDF("pair", "freq")
+            .groupBy("pair").agg(sum("freq").as("cnt"))
+            .orderBy(col("cnt").desc, md5(col("pair")))
+            .limit(1).collect()
+          if (top.isEmpty) exhausted = true
+          else {
+            val pair = top(0).getString(0)
+            val cnt = top(0).getLong(1)
+            val cut = pair.indexOf('\u001F')
+            val lft = pair.substring(0, cut)
+            val rgt = pair.substring(cut + 1)
+            merges += ((r.toLong, lft, rgt, cnt))
+            val prev = state
+            state = state
+              .map { case (f, toks) => (f, Kernels.mergePass(toks, lft, rgt)) }
+              .localCheckpoint(true)
+            prev.unpersist(blocking = false)
+          }
+          r += 1
+        }
+        state.unpersist(blocking = false)
+        merges.result()
+          .toDF("round", "merge_left", "merge_right", "pair_count")
+          .orderBy("round")
+      },
+      Some(sqlBpeIterated(8)),
+      // the per-round collect makes `.schema` execute the whole loop
+      staticSchema = Some(org.apache.spark.sql.types.StructType.fromDDL(
+        "round BIGINT, merge_left STRING, merge_right STRING, " +
+          "pair_count BIGINT")))
   )
+
+  /** The unrolled-CTE oracle of t42: K true BPE rounds over the
+    * chr(30)-delimited token-string form of the word-frequency table —
+    * per round, pair counts from the current segmentation, argmax by
+    * (count DESC, md5(pair)), one sequential replace() applying the
+    * merge (≡ [[graft.functions.Kernels.mergePass]], the t25-pinned
+    * equivalence). A round with no pairs left yields an empty m_k and
+    * the LEFT JOIN carries the segmentation through unchanged, matching
+    * the Spark loop's early exhaustion.
+    */
+  private def sqlBpeIterated(k: Int): String = {
+    val head =
+      """WITH n AS (SELECT trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+        |  FROM documents WHERE text IS NOT NULL),
+        |w AS (SELECT unnest(list_filter(string_split(norm, ' '), t -> t <> '')) AS word FROM n),
+        |wf AS (SELECT word, count(*)::BIGINT AS freq FROM w GROUP BY word),
+        |s0 AS (SELECT freq, chr(30) ||
+        |    list_aggregate(string_split(word, ''), 'string_agg', chr(30) || chr(30))
+        |    || chr(30) AS seq FROM wf)""".stripMargin
+    val rounds = (1 to k).map { r =>
+      s""",
+         |tk$r AS (SELECT freq,
+         |    string_split(trim(seq, chr(30)), chr(30) || chr(30)) AS toks
+         |  FROM s${r - 1}),
+         |p$r AS (SELECT u.pair, sum(freq)::BIGINT AS cnt
+         |  FROM tk$r, unnest(list_transform(range(1, len(toks)),
+         |    i -> toks[i] || chr(31) || toks[i + 1])) AS u(pair)
+         |  GROUP BY u.pair),
+         |m$r AS (SELECT pair, cnt, split_part(pair, chr(31), 1) AS lft,
+         |    split_part(pair, chr(31), 2) AS rgt
+         |  FROM p$r ORDER BY cnt DESC, md5(pair) LIMIT 1),
+         |s$r AS (SELECT freq, CASE WHEN m.pair IS NULL THEN s.seq
+         |    ELSE replace(s.seq,
+         |      chr(30) || m.lft || chr(30) || chr(30) || m.rgt || chr(30),
+         |      chr(30) || m.lft || m.rgt || chr(30)) END AS seq
+         |  FROM s${r - 1} s LEFT JOIN m$r m ON TRUE)""".stripMargin
+    }.mkString
+    val unions = (1 to k).map(r =>
+      s"SELECT $r::BIGINT AS round, lft AS merge_left, rgt AS merge_right, " +
+        s"cnt AS pair_count FROM m$r").mkString("\n  UNION ALL\n  ")
+    s"$head$rounds\nSELECT * FROM (\n  $unions\n) ORDER BY round"
+  }
 
   /** t32's consumer over ANY postings store (the gate's two-batch
     * fixture or the [[graft.streaming.DocumentStreams.postingsIngest]]
