@@ -1977,8 +1977,97 @@ object Similarity {
              |    THEN coalesce(d.nd, 0) END AS n_dims_drifted
              |FROM stc sc FULL OUTER JOIN cuc cc ON sc.clabel = cc.clabel
              |  LEFT JOIN dims d ON coalesce(sc.clabel, cc.clabel) = d.clabel
-             |ORDER BY clabel""".stripMargin))
+             |ORDER BY clabel""".stripMargin)),
+
+    // MULTI-ROUND k-NN descent — the rounds-to-convergence index BUILD
+    // s18's single-round audit prices one step of (Dong et al. WWW'11
+    // iterates until no edge changes; HNSW/NSG builds do the
+    // equivalent): three descent rounds from the same two-table LSH
+    // seed, each round the IDENTICAL extracted plan
+    // ([[descentRound]] — undirect, 2-hop compose, score, re-top-K,
+    // per-round localCheckpoint), reported per (query, round) as hits
+    // against the exact top-5. Monotone per query at every round by
+    // the superset argument (a true top-5 neighbor can be displaced
+    // only by >4 strictly-better candidates, which cannot exist);
+    // STRICT progress across rounds is the planted-cluster spec's
+    // claim, not the gate's — on real data later rounds saturate,
+    // which this curve prices (the s14/s17 one-pass-whole-knob-range
+    // discipline, here for the round count: where recall plateaus is
+    // where a production build stops). Oracle: the identical three
+    // rounds unrolled as CTE stages.
+    Q("s25_knn_descent_rounds",
+      "3 k-NN-descent rounds from the LSH seed: per-(query, round) hits vs exact top-5 — the build's convergence curve",
+      (s, d) => {
+        val rounds = 3
+        knnDescentRoundsAudit(vectors(s, d), rounds)
+          .select(col("query_id"), col("round"), col("n_hits"),
+            (col("n_hits") * lit(1.0) / 5).as("recall"))
+          .orderBy("query_id", "round")
+      },
+      Some(s"""$sqlVectors,
+             |$sqlBucket4,
+             |p0 AS (SELECT s.vec_id AS src, t.vec_id AS dst,
+             |    list_reduce(list_transform(range(1, 65), i -> s.v[i] * t.v[i]), (x, y) -> x + y)
+             |      / (s.nrm * t.nrm) AS cosine
+             |  FROM b4 s JOIN b4 t ON s.bucket_a = t.bucket_a AND s.vec_id <> t.vec_id
+             |  UNION
+             |  SELECT s.vec_id, t.vec_id,
+             |    list_reduce(list_transform(range(1, 65), i -> s.v[i] * t.v[i]), (x, y) -> x + y)
+             |      / (s.nrm * t.nrm)
+             |  FROM b4 s JOIN b4 t ON s.bucket_b = t.bucket_b AND s.vec_id <> t.vec_id),
+             |g0 AS (SELECT src, dst, cosine FROM (
+             |    SELECT src, dst, cosine,
+             |      row_number() OVER (PARTITION BY src ORDER BY cosine DESC, dst) AS rk
+             |    FROM p0) WHERE rk <= 5)${sqlDescentRounds(3)},
+             |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n WHERE vec_id % 50 = 0 AND vec_id < 2000),
+             |ex AS (SELECT query_id, vec_id AS tru FROM (
+             |    SELECT q.query_id, n.vec_id,
+             |      row_number() OVER (PARTITION BY q.query_id ORDER BY
+             |        list_reduce(list_transform(range(1, 65), i -> n.v[i] * q.qv[i]), (x, y) -> x + y)
+             |          / (n.nrm * q.qn) DESC, n.vec_id) AS rank
+             |    FROM n CROSS JOIN q WHERE n.vec_id <> q.query_id) WHERE rank <= 5),
+             |hh AS (${(0 to 3).map(i =>
+                s"SELECT $i::BIGINT AS round, ex.query_id, count(*)::BIGINT AS n " +
+                  s"FROM ex JOIN g$i g ON ex.query_id = g.src AND ex.tru = g.dst GROUP BY 2")
+                .mkString("\n  UNION ALL\n  ")}),
+             |rd AS (SELECT unnest([0, 1, 2, 3]) AS round)
+             |SELECT q.query_id, rd.round::BIGINT AS round,
+             |  coalesce(hh.n, 0)::BIGINT AS n_hits,
+             |  coalesce(hh.n, 0) * 1.0 / 5 AS recall
+             |FROM q CROSS JOIN rd
+             |LEFT JOIN hh ON hh.query_id = q.query_id AND hh.round = rd.round
+             |ORDER BY q.query_id, round""".stripMargin),
+      // the adaptive-plane count() makes `.schema` execute a corpus pass
+      staticSchema = Some(org.apache.spark.sql.types.StructType.fromDDL(
+        "query_id BIGINT, round BIGINT, n_hits BIGINT, recall DOUBLE")))
   )
+
+  /** Unrolled per-round CTE stages of the s25 oracle: g{i} → rv/adj/non/
+    * sc/u → g{i+1}, the SQL twin of [[descentRound]] (s18's one-round
+    * fragment, parameterized by round index).
+    */
+  private def sqlDescentRounds(rounds: Int): String =
+    (0 until rounds).map { i =>
+      s""",
+         |rv$i AS (SELECT dst AS src, src AS dst FROM (
+         |    SELECT src, dst,
+         |      row_number() OVER (PARTITION BY dst ORDER BY cosine DESC, src) AS rrk
+         |    FROM g$i) WHERE rrk <= 5),
+         |adj$i AS (SELECT src, dst FROM g$i UNION SELECT src, dst FROM rv$i),
+         |non$i AS (SELECT DISTINCT a.src AS src, c.dst AS dst
+         |  FROM adj$i a JOIN adj$i c ON a.dst = c.src WHERE a.src <> c.dst),
+         |sc$i AS (SELECT non$i.src, non$i.dst,
+         |    list_reduce(list_transform(range(1, 65), i -> s.v[i] * t.v[i]), (x, y) -> x + y)
+         |      / (s.nrm * t.nrm) AS cosine
+         |  FROM non$i JOIN n s ON non$i.src = s.vec_id JOIN n t ON non$i.dst = t.vec_id),
+         |u$i AS (SELECT src, dst, max(cosine) AS cosine FROM (
+         |    SELECT src, dst, cosine FROM g$i
+         |    UNION ALL SELECT src, dst, cosine FROM sc$i) GROUP BY 1, 2),
+         |g${i + 1} AS (SELECT src, dst, cosine FROM (
+         |    SELECT src, dst, cosine,
+         |      row_number() OVER (PARTITION BY src ORDER BY cosine DESC, dst) AS rk
+         |    FROM u$i) WHERE rk <= 5)""".stripMargin
+    }.mkString
 
   /** s18's engine over any (vec_id, v, nrm) frame — public so the
     * planted-cluster spec can run it on crafted vectors.
@@ -2045,27 +2134,7 @@ object Similarity {
     val g0 = topK(bucketPairs("bucket_a").union(bucketPairs("bucket_b"))
       .distinct())
       .localCheckpoint(true)
-    val wr = Window.partitionBy("dst")
-      .orderBy(col("cosine").desc, col("src").asc)
-    val rev = g0.withColumn("rrk", row_number().over(wr))
-      .filter(col("rrk") <= K)
-      .select(col("dst").as("src"), col("src").as("dst"))
-    val adj = g0.select("src", "dst").union(rev).distinct()
-    val non = adj.select(col("src"), col("dst").as("mid"))
-      .hint("shuffle_hash")
-      .join(adj.select(col("src").as("mid"), col("dst")), Seq("mid"))
-      .filter(col("src") =!= col("dst"))
-      .select("src", "dst").distinct()
-    val scored = non
-      .join(e.select(col("vec_id").as("src"), col("v").as("sv"),
-        col("nrm").as("sn")).hint("shuffle_hash"), Seq("src"))
-      .join(e.select(col("vec_id").as("dst"), col("v").as("dv"),
-        col("nrm").as("dn")).hint("shuffle_hash"), Seq("dst"))
-      .withColumn("cosine",
-        dotFast(col("sv"), col("dv")) / (col("sn") * col("dn")))
-      .select("src", "dst", "cosine")
-    val g1 = topK(g0.union(scored)
-      .groupBy("src", "dst").agg(max(col("cosine")).as("cosine")))
+    val g1 = descentRound(e, g0, K)
     val q = e.filter(col("vec_id") % queryMod === 0 &&
         col("vec_id") < queryCap)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
@@ -2095,6 +2164,126 @@ object Similarity {
         (coalesce(col("n_desc"), lit(0L)) * lit(1.0) / K)
           .as("recall_desc"))
       .orderBy("query_id")
+  }
+
+  /** THE k-NN-descent round (Dong et al., WWW'11), extracted so the
+    * single-round audit (s18) and the rounds-to-convergence build (s25)
+    * run the IDENTICAL per-round plan: undirect the current graph
+    * (top-K reverse edges), compose 2-hop neighbor-of-neighbor
+    * candidates through one keyed self-join, score them, and re-top-K
+    * against the incumbent edges (max-cosine dedup). Returns g_{i+1},
+    * eagerly checkpointed — the d09 per-round lineage discipline, and
+    * the reason a bounded loop over this function stays O(rounds) plans
+    * deep, not O(rounds²). Everything is keyed-shuffled and O(n·K²)
+    * output-bound; nothing corpus-scale broadcasts.
+    */
+  private def descentRound(e: DataFrame, g: DataFrame, K: Int): DataFrame = {
+    val wTop = Window.partitionBy("src")
+      .orderBy(col("cosine").desc, col("dst").asc)
+    val wr = Window.partitionBy("dst")
+      .orderBy(col("cosine").desc, col("src").asc)
+    val rev = g.withColumn("rrk", row_number().over(wr))
+      .filter(col("rrk") <= K)
+      .select(col("dst").as("src"), col("src").as("dst"))
+    val adj = g.select("src", "dst").union(rev).distinct()
+    val non = adj.select(col("src"), col("dst").as("mid"))
+      .hint("shuffle_hash")
+      .join(adj.select(col("src").as("mid"), col("dst")), Seq("mid"))
+      .filter(col("src") =!= col("dst"))
+      .select("src", "dst").distinct()
+    val scored = non
+      .join(e.select(col("vec_id").as("src"), col("v").as("sv"),
+        col("nrm").as("sn")).hint("shuffle_hash"), Seq("src"))
+      .join(e.select(col("vec_id").as("dst"), col("v").as("dv"),
+        col("nrm").as("dn")).hint("shuffle_hash"), Seq("dst"))
+      .withColumn("cosine",
+        dotFast(col("sv"), col("dv")) / (col("sn") * col("dn")))
+      .select("src", "dst", "cosine")
+    g.union(scored)
+      .groupBy("src", "dst").agg(max(col("cosine")).as("cosine"))
+      .withColumn("rk", row_number().over(wTop))
+      .filter(col("rk") <= K).select("src", "dst", "cosine")
+      .localCheckpoint(true)
+  }
+
+  /** MULTI-ROUND k-NN descent (s25) — the production build s18's
+    * single-round audit prices: iterate [[descentRound]] a bounded
+    * `rounds` times from the same two-table LSH seed and report, PER
+    * QUERY AND PER ROUND, the hits against the exact top-K. Monotone by
+    * construction at every step — g_{i+1} is the top-K of a SUPERSET of
+    * g_i's edges, and a true top-K neighbor can be displaced only by a
+    * strictly-higher-cosine candidate, of which fewer than K exist — so
+    * per-query hit counts never decrease with the round; the planted-
+    * cluster spec additionally pins strict progress ACROSS rounds (a
+    * 2-hop-per-round frontier needs round i+1 to reach what round i
+    * composed). Early-exit on convergence (new graph ≡ old graph) is
+    * the production lever; here rounds are small and fixed so the gate
+    * prices the full ladder.
+    */
+  private[graft] def knnDescentRoundsAudit(vecs: DataFrame, rounds: Int,
+      queryMod: Int = 50, queryCap: Long = 2000L): DataFrame = {
+    val K = 5
+    val n = vecs.count()
+    var p = 4
+    while (n > (32L << p)) p += 1
+    val e = vecs
+      .withColumn("bucket_a", bucketPCol(col("v"), 0, p))
+      .withColumn("bucket_b", bucketPCol(col("v"), p, p))
+      .localCheckpoint(true)
+    def side(role: String): DataFrame = e.select(
+      col("vec_id").as(role),
+      col("v").as(s"${role.head}v"), col("nrm").as(s"${role.head}n"),
+      col("bucket_a"), col("bucket_b"))
+    val src = side("src")
+    val dst = side("dst")
+    def bucketPairs(bucket: String): DataFrame =
+      src.drop(if (bucket == "bucket_a") "bucket_b" else "bucket_a")
+        .hint("shuffle_hash").join(
+          dst.drop(if (bucket == "bucket_a") "bucket_b" else "bucket_a"),
+          Seq(bucket))
+        .filter(col("src") =!= col("dst"))
+        .withColumn("cosine",
+          dotFast(col("sv"), col("dv")) / (col("sn") * col("dn")))
+        .select("src", "dst", "cosine")
+    val wTop = Window.partitionBy("src")
+      .orderBy(col("cosine").desc, col("dst").asc)
+    var g = bucketPairs("bucket_a").union(bucketPairs("bucket_b"))
+      .distinct()
+      .withColumn("rk", row_number().over(wTop))
+      .filter(col("rk") <= K).select("src", "dst", "cosine")
+      .localCheckpoint(true)
+    val graphs = Seq.newBuilder[(Int, DataFrame)]
+    graphs += ((0, g))
+    (1 to rounds).foreach { i =>
+      val prev = g
+      g = descentRound(e, g, K)
+      graphs += ((i, g))
+      prev.unpersist(blocking = false): Unit
+    }
+    val q = e.filter(col("vec_id") % queryMod === 0 &&
+        col("vec_id") < queryCap)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn"))
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    val exact = e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cosine",
+        dotFast(col("v"), col("qv")) / (col("nrm") * col("qn")))
+      .withColumn("rank", row_number().over(wq))
+      .filter(col("rank") <= K)
+      .select(col("query_id"), col("vec_id").as("tru"))
+      .localCheckpoint(true)
+    graphs.result().map { case (i, gi) =>
+      q.select("query_id")
+        .join(exact
+          .join(gi.select(col("src").as("query_id"), col("dst").as("tru")),
+            Seq("query_id", "tru"), "left_semi")
+          .groupBy("query_id").agg(count(lit(1)).as("n_hits")),
+          Seq("query_id"), "left")
+        .select(col("query_id"), lit(i.toLong).as("round"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+    }.reduce(_.unionByName(_))
   }
 
   /** One Lloyd maintenance step in WRITE-BACK form: assign each batch

@@ -1067,6 +1067,55 @@ class PipelineOpsSpec extends SparkTestBase {
       s"descent must strictly improve on clustered data: $init -> $desc")
   }
 
+  test("s25 multi-round descent: per-query recall non-decreasing at EVERY round; strict overall progress on the planted corpus") {
+    import spark.implicits._
+    graft.plans.VectorExpressions.register(spark)
+    import org.apache.spark.sql.functions.{col, sqrt}
+    // the s18 planted fixture: 3 separated clusters, perturbations
+    // scatter each across both tables' sign buckets, so the seed is
+    // imperfect and each round's 2-hop frontier has real work to do
+    val rnd = new scala.util.Random(7L)
+    val dim = 64
+    val rows = (0 until 90).map { i =>
+      val c = i % 3
+      val v = Array.tabulate(dim) { k =>
+        (if (k == c) 1.0 else 0.0) + 0.25 * (rnd.nextDouble() * 2 - 1)
+      }
+      (i.toLong, v)
+    }
+    val vecs = rows.toDF("vec_id", "v")
+      .withColumn("nrm", sqrt(graft.functions.Portable.dotFast(col("v"), col("v"))))
+    val got = Similarity.knnDescentRoundsAudit(vecs, rounds = 3, queryMod = 10)
+      .collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("round"),
+        r.getAs[Long]("n_hits")))
+    assert(got.length === 9 * 4, "9 queries x rounds 0..3")
+    // g_{i+1} is the top-5 of a SUPERSET of g_i's edges, and a true
+    // top-5 neighbor can't be displaced — so per-query hits may never
+    // decrease at ANY round, not just seed-vs-final
+    got.groupBy(_._1).foreach { case (q, rs) =>
+      val curve = rs.sortBy(_._2).map(_._3).toSeq
+      assert(curve.zip(curve.tail).forall { case (a, b) => b >= a },
+        s"query $q: per-round hits regressed ($curve)")
+    }
+    // and iteration must genuinely converge upward on clustered data:
+    // the final round's total strictly beats the seed's
+    val byRound = got.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    assert(byRound(3L) > byRound(0L),
+      s"3 rounds must strictly improve on the seed: ${byRound.toSeq.sorted}")
+    // round 1 here must agree with s18's single-round audit — same seed,
+    // same extracted per-round plan
+    val s18 = Similarity.knnDescentAudit(vecs, queryMod = 10).collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("n_init"), r.getAs[Long]("n_desc")))
+      .sortBy(_._1)
+    val r01 = got.filter(t => t._2 <= 1L).groupBy(_._1).view
+      .mapValues(rs => (rs.sortBy(_._2).map(_._3))).toMap
+    s18.foreach { case (q, i0, i1) =>
+      assert(r01(q) === Seq(i0, i1),
+        s"query $q: s25 rounds 0/1 (${r01(q)}) must equal s18's audit ($i0, $i1)")
+    }
+  }
+
   test("s14 recall curve is monotone in nprobe and consistent with s01 truth size") {
     val rows = run("s14_ivf_recall_curve").collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getAs[Double]("recall")))
