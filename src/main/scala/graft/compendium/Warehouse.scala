@@ -192,7 +192,9 @@ final class Warehouse(spark: SparkSession, root: String) {
     * write, as delete-then-rename would be); a crash leaves either the old
     * or the new copy recoverable on disk (`__old` / `__tmp`). On stores
     * without atomic rename (e.g. S3) the window widens to the rename copy —
-    * a transactional table format would be required for a hard guarantee.
+    * [[ManifestCommit]] IS the hard guarantee for that case (and for
+    * multi-table atomicity): rename-free versioned staging behind one
+    * create-exclusive manifest flip.
     */
   def replace(table: String, df: DataFrame): Unit =
     replaceAt(new org.apache.hadoop.fs.Path(path(table)),

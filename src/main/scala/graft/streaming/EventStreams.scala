@@ -261,18 +261,20 @@ object EventStreams extends Serializable {
     * stale high-water mark — unbounded data loss. The crash window
     * between the three rename-swaps (view, base, marker) is the honest
     * non-transactional boundary, same as [[graft.compendium.Warehouse
-    * .replace]]'s documented S3 caveat; a table format with multi-table
-    * transactions closes it.
+    * .replace]]'s documented S3 caveat;
+    * [[graft.compendium.ManifestCommit]] closes it — stage all three
+    * as one commit and a reader can never see them torn.
     *
     * 100 TB: the view update touches |batch keys| base rows and
     * |affected ck| view rows — point reads, never a base scan; the
     * full-recompute alternative scans every order ever written per
-    * trigger. (Here both swaps rewrite the parquet dirs — partitioned /
-    * transactional storage turns them into the keyed writes the
-    * algebra already bounds; [[graft.compendium.Warehouse
-    * .applyCdcPartitioned]] IS that lever for the base side: touched
-    * partitions only, untouched files byte-stable, emptied partitions
-    * swept.)
+    * trigger. BUT this flat form still REWRITES both whole snapshots
+    * per epoch (the reads are bounded; the writes are not) — at fact
+    * scale use [[ivmStreamPartitioned]], the same algebra over
+    * partition-granular stores, where an epoch writes only the
+    * partitions its batch touches (c15-gated). The flat form remains
+    * the dim-scale tool: below ~one partition of data the partitioned
+    * form's per-partition bookkeeping buys nothing.
     */
   def ivmStream(changes: Dataset[CdcViewChange],
       wh: graft.compendium.Warehouse, baseTable: String, viewTable: String)
