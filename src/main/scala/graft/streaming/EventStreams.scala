@@ -408,7 +408,12 @@ object EventStreams extends Serializable {
     val nb = lit(buckets.toLong)
     val marker = viewTable + "__epoch"
     if (markerSaysReplayed(wh, marker, epoch, queryId)) return
+    // change-sized, consumed by THREE downstream jobs (touched-pk
+    // collect, delta, view merge) — eager-checkpointed so the per-epoch
+    // job count doesn't multiply the resolve window (the t42/d09
+    // discipline; measured: the uncheckpointed form re-ran it 5×/epoch)
     val resolved = graft.compendium.Warehouse.resolveLastOp(batch, "k", "seq")
+      .localCheckpoint(true)
     val baseExists = wh.exists(baseTable)
     // the batch's base partitions — batch-bounded (≤ buckets values),
     // collected once to prune the old-rows point read to the only
@@ -432,8 +437,12 @@ object EventStreams extends Serializable {
         .select(col("ck"), col("cents").as("d_cents"), lit(1L).as("d_n")))
       .groupBy("ck")
       .agg(sum("d_cents").as("d_cents"), sum("d_n").as("d_n"))
+      // change-sized (≤ 2·|batch keys| groups), consumed by the
+      // touched-pck collect AND the view merge — checkpoint for the
+      // same reason as `resolved`
+      .localCheckpoint(true)
     // the batch's view partitions — the only pck directories this epoch
-    // may rewrite (delta is change-sized: ≤ 2·|batch keys| groups)
+    // may rewrite
     val touchedPck = delta.select(pmod(col("ck"), nb).as("pck"))
       .distinct().collect().map(_.getLong(0)).toSeq
     if (wh.exists(viewTable)) {
@@ -477,11 +486,16 @@ object EventStreams extends Serializable {
         wh.overwritePartitions(viewTable, merged, Seq("pck"))
     }
     // base after view (the flat form's commit-order reasoning): the view
-    // plan's deltas were computed against the pre-batch base partitions
+    // plan's deltas were computed against the pre-batch base partitions.
+    // The apply re-resolves from the raw batch — harmless (resolveLastOp
+    // is deterministic and total-ordered) and keeps the two consumers'
+    // contract in one place.
     wh.applyCdcPartitioned(baseTable, batch, "k", "seq", "op", "pk",
       c => pmod(c, nb))
     wh.replace(marker,
       Seq((queryId, epoch)).toDF("query_id", "epoch").coalesce(1))
+    resolved.unpersist(blocking = false)
+    delta.unpersist(blocking = false): Unit
   }
 
   /** Stream-static enrichment join: the event stream against a STATIC
