@@ -368,6 +368,99 @@ object EventStreams extends Serializable {
       Seq((queryId, epoch)).toDF("query_id", "epoch").coalesce(1))
   }
 
+  /** [[ivmStream]] with the epoch's three rename-swaps replaced by ONE
+    * [[graft.compendium.ManifestCommit]] flip — the transactional form:
+    * (view, base, marker) stage into fresh versioned directories and
+    * become visible together or not at all, so the documented crash/
+    * visibility window between the flat form's three swaps (a reader
+    * catching the NEW view over the OLD base) is closed structurally,
+    * and the commit-ORDER reasoning the flat form needs ("view swaps
+    * first because its plan reads the pre-batch base") dissolves:
+    * staging never renames the old directories, so every read of the
+    * epoch's plans resolves through the pre-epoch manifest untouched.
+    * Works on rename-less object stores (the create-exclusive flip is
+    * the only commit point). Same delta algebra and replay-marker
+    * semantics as [[ivmStream]]; dim-scale like it (whole-snapshot
+    * staging per epoch) — [[ivmStreamPartitioned]] stays the fact-scale
+    * lever.
+    */
+  def ivmStreamCommitted(changes: Dataset[CdcViewChange],
+      mc: graft.compendium.ManifestCommit, baseTable: String,
+      viewTable: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[CdcViewChange] =
+    changes.writeStream.outputMode("append")
+      .foreachBatch { (batch: Dataset[CdcViewChange], epoch: Long) =>
+        val qid = Option(batch.sparkSession.sparkContext
+          .getLocalProperty("sql.streaming.queryId")).getOrElse("__direct__")
+        applyIvmBatchCommitted(batch.toDF(), mc, baseTable, viewTable,
+          epoch, qid)
+      }
+
+  private[graft] def applyIvmBatchCommitted(batch: DataFrame,
+      mc: graft.compendium.ManifestCommit, baseTable: String,
+      viewTable: String, epoch: Long, queryId: String = "__direct__"): Unit = {
+    import org.apache.spark.sql.types._
+    val s = batch.sparkSession
+    import s.implicits._
+    val marker = viewTable + "__epoch"
+    // ONE manifest resolution scopes the whole epoch: every read below
+    // sees the same committed (base, view, marker) trio
+    val snap = mc.current()
+    val replayed = snap.contains(marker) && {
+      val df = mc.readAt(snap, marker)
+      val m = df.head()
+      (!df.columns.contains("query_id") ||
+        m.getAs[String]("query_id") == queryId) &&
+        epoch <= m.getAs[Long]("epoch")
+    }
+    if (replayed) return
+    val resolved = graft.compendium.Warehouse.resolveLastOp(batch, "k", "seq")
+    val baseSchema = StructType(Seq(StructField("k", LongType),
+      StructField("ck", LongType), StructField("cents", LongType)))
+    val base =
+      if (snap.contains(baseTable)) mc.readAt(snap, baseTable)
+      else s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        baseSchema)
+    val old = base.join(resolved.select("k"), Seq("k"), "left_semi")
+      .select(col("k"), col("ck").as("old_ck"), col("cents").as("old_cents"))
+    val j = resolved.join(old, Seq("k"), "left")
+    val delta = j.filter(col("old_ck").isNotNull)
+      .select(col("old_ck").as("ck"), (-col("old_cents")).as("d_cents"),
+        lit(-1L).as("d_n"))
+      .unionByName(j.filter(col("op") =!= "D")
+        .select(col("ck"), col("cents").as("d_cents"), lit(1L).as("d_n")))
+      .groupBy("ck")
+      .agg(sum("d_cents").as("d_cents"), sum("d_n").as("d_n"))
+    val viewSchema = StructType(Seq(StructField("ck", LongType),
+      StructField("n", LongType), StructField("cents_total", LongType)))
+    val view =
+      if (!snap.contains(viewTable) && snap.contains(baseTable))
+        base.groupBy("ck").agg(count(lit(1)).as("n"),
+          sum("cents").as("cents_total"))
+      else if (snap.contains(viewTable)) mc.readAt(snap, viewTable)
+      else s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        viewSchema)
+    val touched = view.join(delta.select("ck"), Seq("ck"), "left_semi")
+      .join(delta, Seq("ck"), "full_outer")
+      .select(col("ck"),
+        (coalesce(col("n"), lit(0L)) + col("d_n")).as("n"),
+        (coalesce(col("cents_total"), lit(0L)) + col("d_cents"))
+          .as("cents_total"))
+      .filter(col("n") > 0)
+    val untouched = view.join(delta.select("ck"), Seq("ck"), "left_anti")
+    val upserts = resolved.filter(col("op") =!= "D").drop("op", "seq")
+    val newBase = base.join(resolved.select("k"), Seq("k"), "left_anti")
+      .unionByName(upserts.select(base.columns.map(col).toSeq: _*))
+    // ONE flip: staging writes fresh directories (the old ones are never
+    // renamed, so the plans above read them safely mid-commit), then the
+    // trio becomes visible atomically — no commit-order reasoning left
+    mc.commit(Map(
+      viewTable -> untouched.unionByName(touched),
+      baseTable -> newBase,
+      marker -> Seq((queryId, epoch)).toDF("query_id", "epoch").coalesce(1)))
+    : Unit
+  }
+
   /** [[ivmStream]] over PARTITION-GRANULAR stores — the continuous path's
     * scale fix: the flat form's per-epoch cost is two whole-snapshot
     * rewrites however few keys the batch touches (a full-table write per
