@@ -479,10 +479,22 @@ object EventStreams extends Serializable {
     * order as the flat form — the two paths share
     * [[graft.compendium.Warehouse.resolveLastOp]], so they can never
     * disagree on which row of a batch wins.
+    *
+    * `compactEvery` (0 = off) is the AUTO-MAINTENANCE cadence every
+    * partitioned streaming store needs: each epoch leaves one file per
+    * touched partition, so a hot partition accretes files at the
+    * trigger rate; every `compactEvery`-th epoch runs
+    * [[graft.compendium.Warehouse.compactPartitions]] over base and
+    * view — only over-budget partitions rewrite (per-partition
+    * rename-swap, readers unaffected), so a healthy store pays one file
+    * listing. Runs AFTER the epoch's marker commit: compaction is
+    * row-preserving and idempotent, so a crash between apply and
+    * compact loses only maintenance, never data.
     */
   def ivmStreamPartitioned(changes: Dataset[CdcViewChange],
       wh: graft.compendium.Warehouse, baseTable: String, viewTable: String,
-      buckets: Int = 16)
+      buckets: Int = 16, compactEvery: Int = 0,
+      targetFileBytes: Long = 128L << 20)
       : org.apache.spark.sql.streaming.DataStreamWriter[CdcViewChange] =
     changes.writeStream.outputMode("append")
       .foreachBatch { (batch: Dataset[CdcViewChange], epoch: Long) =>
@@ -490,6 +502,11 @@ object EventStreams extends Serializable {
           .getLocalProperty("sql.streaming.queryId")).getOrElse("__direct__")
         applyIvmBatchPartitioned(batch.toDF(), wh, baseTable, viewTable,
           epoch, qid, buckets)
+        if (compactEvery > 0 && epoch % compactEvery == compactEvery - 1L) {
+          Seq(baseTable, viewTable).foreach { t =>
+            if (wh.exists(t)) wh.compactPartitions(t, targetFileBytes): Unit
+          }
+        }
       }
 
   private[graft] def applyIvmBatchPartitioned(batch: DataFrame,

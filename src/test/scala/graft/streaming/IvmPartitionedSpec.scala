@@ -152,6 +152,33 @@ class IvmPartitionedSpec extends SparkTestBase {
       "bootstrap view must cover every pre-existing group, not just the batch's")
   }
 
+  test("compactEvery: a hot partition's per-epoch file accretion is bounded by auto-maintenance, rows preserved") {
+    implicit val sq = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val root = tmpDir()
+    val wh = new Warehouse(spark, root)
+    val in = MemoryStream[EventStreams.CdcViewChange]
+    // every epoch updates the SAME key (k=3 -> pk 3, ck 3 -> pck 3):
+    // the hot-partition shape — one new file in pk=3 and pck=3 per epoch
+    val q = EventStreams.ivmStreamPartitioned(in.toDS(), wh, "base", "view",
+        buckets = B, compactEvery = 3).start()
+    try {
+      (0 until 6).foreach { i =>
+        in.addData(EventStreams.CdcViewChange(3L, i.toLong, "U", 3L, 100L + i))
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    // 6 epochs at compactEvery=3 -> maintenance ran at epochs 2 and 5;
+    // a tiny partition's byte-justified count is ONE file, so the hot
+    // dirs must hold 1 file each, not 6
+    assert(partFiles(root, "base", "pk=3").size === 1,
+      "auto-compaction must bound the hot base partition's file count")
+    assert(partFiles(root, "view", "pck=3").size === 1,
+      "auto-compaction must bound the hot view partition's file count")
+    assert(viewRows(wh) === Seq((3L, 1L, 105L)), "last update wins")
+    assert(viewRows(wh) === recompute(wh))
+  }
+
   test("replay of an already-applied epoch is skipped; a legacy epoch-only marker migrates instead of throwing") {
     val root = tmpDir()
     val wh = seedStore(root)
