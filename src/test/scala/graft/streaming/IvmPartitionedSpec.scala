@@ -152,6 +152,34 @@ class IvmPartitionedSpec extends SparkTestBase {
       "bootstrap view must cover every pre-existing group, not just the batch's")
   }
 
+  test("the pruned-read shape carries PartitionFilters — directory pruning, not row filtering") {
+    // the epoch apply builds read(table).filter(pk isin touched); this
+    // pins that THAT shape resolves to plan-time partition pruning (a
+    // PartitionFilters entry on the scan, zero data filters) — if the
+    // filter ever drifted to a derived expression (pmod(k, n) instead of
+    // the stored pk column), pruning would silently vanish while every
+    // row-level result stayed correct
+    val root = tmpDir()
+    seedStore(root)
+    val wh = new Warehouse(spark, root)
+    val pruned = wh.read("base").filter(col("pk").isin(3L, 6L))
+    pruned.collect()
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: ["), plan.take(1200))
+    val pf = plan.linesIterator.find(_.contains("PartitionFilters"))
+      .getOrElse("")
+    assert(pf.contains("pk"), s"partition filter must bind the pk column: $pf")
+    // and the scan's own pruning metric confirms it read TWO directories
+    // (inputFiles would lie here — it lists the un-pruned relation)
+    val scan = pruned.queryExecution.executedPlan.collectLeaves()
+      .collectFirst {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }.get
+    assert(scan.metrics("numPartitions").value === 2L,
+      s"scan must read exactly the 2 touched partitions, " +
+        s"got ${scan.metrics("numPartitions").value}")
+  }
+
   test("compactEvery: a hot partition's per-epoch file accretion is bounded by auto-maintenance, rows preserved") {
     implicit val sq = spark.sqlContext
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
