@@ -2236,46 +2236,8 @@ object TextAnalysis {
         // ('r','t') adjacencies to demote it) and adopts multi-token
         // merges ('p'+'ar') no single raw-count pass can even express —
         // BpeIteratedSpec pins both, non-vacuously
-        val K = 8
-        val wf = docs(s, d).select(col("text")).as[String]
-          .mapPartitions(_.flatMap(tx => Kernels.lowerTokens(tx).iterator))
-          .toDF("word")
-          .groupBy("word").agg(count(lit(1)).as("freq"))
-          .as[(String, Long)]
-        var state = wf
-          .map { case (w, f) => (f, Kernels.codepointAtoms(w)) }
-          .localCheckpoint(true)
-        val merges = Seq.newBuilder[(Long, String, String, Long)]
-        var r = 1
-        var exhausted = false
-        while (r <= K && !exhausted) {
-          val top = state
-            .flatMap { case (f, toks) =>
-              (0 until toks.length - 1).iterator
-                .map(i => (toks(i) + "\u001F" + toks(i + 1), f))
-            }
-            .toDF("pair", "freq")
-            .groupBy("pair").agg(sum("freq").as("cnt"))
-            .orderBy(col("cnt").desc, md5(col("pair")))
-            .limit(1).collect()
-          if (top.isEmpty) exhausted = true
-          else {
-            val pair = top(0).getString(0)
-            val cnt = top(0).getLong(1)
-            val cut = pair.indexOf('\u001F')
-            val lft = pair.substring(0, cut)
-            val rgt = pair.substring(cut + 1)
-            merges += ((r.toLong, lft, rgt, cnt))
-            val prev = state
-            state = state
-              .map { case (f, toks) => (f, Kernels.mergePass(toks, lft, rgt)) }
-              .localCheckpoint(true)
-            prev.unpersist(blocking = false)
-          }
-          r += 1
-        }
-        state.unpersist(blocking = false)
-        merges.result()
+        val (merges, _, _) = bpeTrain(s, d, 8)
+        merges
           .toDF("round", "merge_left", "merge_right", "pair_count")
           .orderBy("round")
       },
@@ -2283,8 +2245,108 @@ object TextAnalysis {
       // the per-round collect makes `.schema` execute the whole loop
       staticSchema = Some(org.apache.spark.sql.types.StructType.fromDDL(
         "round BIGINT, merge_left STRING, merge_right STRING, " +
-          "pair_count BIGINT")))
+          "pair_count BIGINT"))),
+
+    // The BPE TRAINING CURVE — what a tokenizer build actually watches
+    // while t42's loop runs: corpus token count (word-frequency
+    // weighted) after every merge round, i.e. compression as a function
+    // of merge-table size. Round 0 is the codepoint floor
+    // (total_tokens = total_chars, chars_per_token = 1.0 exactly); each
+    // adopted merge with pair-count c removes AT MOST c tokens (greedy
+    // overlap can replace fewer — BpeIteratedSpec pins both bounds), so
+    // the curve strictly decreases while merges adopt and goes flat
+    // after exhaustion — exactly where a production build stops growing
+    // the vocabulary (the s25/s14 whole-knob-range discipline, here for
+    // merge count). Shares [[bpeTrain]] with t42, so the curve can
+    // never diverge from the adopted merges; per-round cost is one tiny
+    // sum over the checkpointed vocab grid. Oracle: the identical
+    // rounds unrolled, one aggregate per stage.
+    Q("t43_bpe_compression_curve",
+      "per-round corpus token counts under t42's training loop: the compression-vs-merge-count curve, round 0 = codepoint floor",
+      (s, d) => {
+        import s.implicits._
+        val (_, stats, chars) = bpeTrain(s, d, 8, withStats = true)
+        stats.map { case (r, t) => (r, t, chars) }
+          .toDF("round", "total_tokens", "total_chars")
+          .withColumn("chars_per_token",
+            col("total_chars") * lit(1.0) / col("total_tokens"))
+          .orderBy("round")
+      },
+      Some(sqlBpeCompression(8)),
+      // shares t42's loop — `.schema` would execute it
+      staticSchema = Some(org.apache.spark.sql.types.StructType.fromDDL(
+        "round BIGINT, total_tokens BIGINT, total_chars BIGINT, " +
+          "chars_per_token DOUBLE")))
   )
+
+  /** The ONE t42/t43 trainer: k true BPE rounds at word-frequency grain
+    * (corpus tokenized once into (word, freq); every round is a
+    * flatMap+partial-agg over that vocab grid, a 1-row TakeOrdered
+    * collect, one [[graft.functions.Kernels.mergePass]] map, and an
+    * eager localCheckpoint — the d09 loop discipline). Returns the
+    * adopted merges, the per-round weighted token totals for rounds
+    * 0..k (`None` on an empty corpus; stagnant after early exhaustion,
+    * matching the carried-through oracle stages — only computed
+    * when `withStats`, so t42 skips the t43-only aggregates), and
+    * the weighted codepoint total.
+    */
+  private def bpeTrain(s: SparkSession, d: String, k: Int,
+      withStats: Boolean = false)
+      : (Seq[(Long, String, String, Long)], Seq[(Long, Option[Long])],
+        Option[Long]) = {
+    import s.implicits._
+    val wf = docs(s, d).select(col("text")).as[String]
+      .mapPartitions(_.flatMap(tx => Kernels.lowerTokens(tx).iterator))
+      .toDF("word")
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .as[(String, Long)]
+    var state = wf
+      .map { case (w, f) => (f, Kernels.codepointAtoms(w)) }
+      .localCheckpoint(true)
+    def total(st: org.apache.spark.sql.Dataset[(Long, Array[String])])
+        : Option[Long] = {
+      val row = st.map { case (f, t) => f * t.length }.toDF("n")
+        .agg(sum(col("n"))).head()
+      if (row.isNullAt(0)) None else Some(row.getLong(0))
+    }
+    val chars = if (withStats) total(state) else None
+    val merges = Seq.newBuilder[(Long, String, String, Long)]
+    val stats = Seq.newBuilder[(Long, Option[Long])]
+    stats += ((0L, chars))
+    var lastTotal = chars
+    var exhausted = false
+    (1 to k).foreach { r =>
+      if (!exhausted) {
+        val top = state
+          .flatMap { case (f, toks) =>
+            (0 until toks.length - 1).iterator
+              .map(i => (toks(i) + "\u001F" + toks(i + 1), f))
+          }
+          .toDF("pair", "freq")
+          .groupBy("pair").agg(sum("freq").as("cnt"))
+          .orderBy(col("cnt").desc, md5(col("pair")))
+          .limit(1).collect()
+        if (top.isEmpty) exhausted = true
+        else {
+          val pair = top(0).getString(0)
+          val cnt = top(0).getLong(1)
+          val cut = pair.indexOf('\u001F')
+          val lft = pair.substring(0, cut)
+          val rgt = pair.substring(cut + 1)
+          merges += ((r.toLong, lft, rgt, cnt))
+          val prev = state
+          state = state
+            .map { case (f, toks) => (f, Kernels.mergePass(toks, lft, rgt)) }
+            .localCheckpoint(true)
+          prev.unpersist(blocking = false)
+          if (withStats) lastTotal = total(state)
+        }
+      }
+      stats += ((r.toLong, lastTotal))
+    }
+    state.unpersist(blocking = false)
+    (merges.result(), stats.result(), chars)
+  }
 
   /** The unrolled-CTE oracle of t42: K true BPE rounds over the
     * chr(30)-delimited token-string form of the word-frequency table —
@@ -2296,6 +2358,41 @@ object TextAnalysis {
     * the Spark loop's early exhaustion.
     */
   private def sqlBpeIterated(k: Int): String = {
+    val unions = (1 to k).map(r =>
+      s"SELECT $r::BIGINT AS round, lft AS merge_left, rgt AS merge_right, " +
+        s"cnt AS pair_count FROM m$r").mkString("\n  UNION ALL\n  ")
+    s"${sqlBpeStages(k)}\nSELECT * FROM (\n  $unions\n) ORDER BY round"
+  }
+
+  /** t43's oracle: the SAME unrolled training stages, one weighted token
+    * count per stage (round 0 = the codepoint floor), total chars from
+    * the word-frequency grid, and the chars-per-token compression
+    * column. Aggregates over an empty corpus yield single NULL rows —
+    * the Spark loop's None totals, row for row.
+    */
+  private def sqlBpeCompression(k: Int): String = {
+    val sts = (0 to k).map { r =>
+      s""",
+         |st$r AS (SELECT $r::BIGINT AS round,
+         |  sum(freq * len(string_split(trim(seq, chr(30)), chr(30) || chr(30))))::BIGINT AS total_tokens
+         |  FROM s$r)""".stripMargin
+    }.mkString
+    val unions = (0 to k).map(r => s"SELECT * FROM st$r")
+      .mkString("\n  UNION ALL\n  ")
+    // the stages are already margin-stripped — an outer stripMargin over
+    // the interpolated whole would eat the leading '||' of their concat
+    // continuation lines (a single '|' is DuckDB's bitwise-or: binder error)
+    val tail = s""",
+       |ch AS (SELECT sum(freq * len(string_split(word, '')))::BIGINT AS total_chars FROM wf)
+       |SELECT round, total_tokens, total_chars,
+       |  total_chars * 1.0 / total_tokens AS chars_per_token
+       |FROM (
+       |  $unions
+       |) CROSS JOIN ch ORDER BY round""".stripMargin
+    s"${sqlBpeStages(k)}$sts$tail"
+  }
+
+  private def sqlBpeStages(k: Int): String = {
     val head =
       """WITH n AS (SELECT trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
         |  FROM documents WHERE text IS NOT NULL),
@@ -2322,10 +2419,7 @@ object TextAnalysis {
          |      chr(30) || m.lft || m.rgt || chr(30)) END AS seq
          |  FROM s${r - 1} s LEFT JOIN m$r m ON TRUE)""".stripMargin
     }.mkString
-    val unions = (1 to k).map(r =>
-      s"SELECT $r::BIGINT AS round, lft AS merge_left, rgt AS merge_right, " +
-        s"cnt AS pair_count FROM m$r").mkString("\n  UNION ALL\n  ")
-    s"$head$rounds\nSELECT * FROM (\n  $unions\n) ORDER BY round"
+    s"$head$rounds"
   }
 
   /** t32's consumer over ANY postings store (the gate's two-batch

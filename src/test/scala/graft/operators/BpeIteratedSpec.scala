@@ -80,4 +80,33 @@ class BpeIteratedSpec extends SparkTestBase {
       "8 rounds adopted only codepoint pairs — true iteration would have " +
         "begun composing merged tokens on this corpus")
   }
+
+  test("t43 curve bounds: codepoint floor at round 0, strict decrease per adopted merge, decrement <= that merge's pair count") {
+    val sf = "/root/testdata/sf0.001"
+    val curve = graft.SparkEntry.queries("t43_bpe_compression_curve")(spark, sf)
+      .collect()
+      .map(r => (r.getAs[Long]("round"), r.getAs[Long]("total_tokens"),
+        r.getAs[Long]("total_chars"), r.getAs[Double]("chars_per_token")))
+      .sortBy(_._1)
+    val merges = graft.SparkEntry.queries("t42_bpe_iterated_train")(spark, sf)
+      .collect()
+      .map(r => r.getAs[Long]("round") -> r.getAs[Long]("pair_count")).toMap
+    assert(curve.length === 9, "rounds 0..8")
+    // round 0 is the codepoint floor: every token is one codepoint
+    assert(curve.head._2 === curve.head._3 && curve.head._4 === 1.0)
+    curve.sliding(2).foreach { case Array((r0, t0, _, _), (r1, t1, _, cpt1)) =>
+      merges.get(r1) match {
+        case Some(cnt) =>
+          // a greedy pass replaces at least one and at most `cnt`
+          // occurrences (overlapping pairs share tokens), each replacement
+          // removing exactly one token
+          assert(t1 < t0, s"round $r1 adopted a merge but tokens did not drop")
+          assert(t0 - t1 <= cnt,
+            s"round $r1 removed ${t0 - t1} tokens > its pair count $cnt")
+        case None =>
+          assert(t1 === t0, s"round $r1 adopted nothing — curve must be flat")
+      }
+      assert(cpt1 === curve.head._3.toDouble / t1)
+    }
+  }
 }
