@@ -2177,6 +2177,101 @@ object RelationalQueries {
       staticSchema = Some(org.apache.spark.sql.types.StructType.fromDDL(
         "user_id BIGINT, funnel_stage INT"))),
 
+    // The flatMapGroupsWithState-PROPER streaming oracle row — c16
+    // grades mapGroupsWithState's monotone-depth algebra; this grades
+    // the OTHER stateful mechanism, WATERMARK-ORDERED EMISSION
+    // (transitionStream): per-user consecutive-event transitions have
+    // no monotone structure, so correctness comes from buffering
+    // arrivals un-emitted until the watermark passes them, then
+    // emitting the settled prefix in (ts, event_id) order. The fixture
+    // delivers a deterministic events slice (event_id ≡ 7 mod 97) in
+    // three md5-shuffled micro-batches — FULL cross-batch disorder, a
+    // user's chain scattered arbitrarily (the allowance out-spans the
+    // replay, so nothing late-drops; the drop contract is
+    // hourlyRollup's) — then two far-future sentinel events advance the
+    // watermark and fire the armed timeouts so every tail settles. The
+    // appended emissions, rolled up per (user, from, to), must
+    // hash-equal DuckDB's lead() recompute over the time-ordered slice
+    // (exits excluded — a stream cannot know an event is a user's
+    // last): the watermark-ordering theorem at the driver's gate.
+    Q("c17_stream_transitions_stateful",
+      "per-user event transitions from a REAL flatMapGroupsWithState streaming query under full md5-shuffled 3-batch disorder, hash-equal to the lead() recompute",
+      (s, d) => {
+        import s.implicits._
+        implicit val sq = s.sqlContext
+        import graft.streaming.EventStreams
+        import graft.streaming.EventStreams.Event
+        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+        val slice = Tables.events(s, d)
+          .filter(col("event_id") % 97 === 7)
+          .select("event_id", "ts", "user_id", "event_type", "value")
+          .as[Event].collect()
+        val md = java.security.MessageDigest.getInstance("MD5")
+        def hx(id: Long): String =
+          md.digest(s"c17_$id".getBytes("UTF-8"))
+            .map("%02x".format(_)).mkString
+        val shuffled = slice.sortBy(e => hx(e.event_id))
+        val root = java.nio.file.Files
+          .createTempDirectory("c17_trans").toString
+        val wh = new graft.compendium.Warehouse(s, root)
+        val in = MemoryStream[Event]
+        val savedParts = s.conf.get("spark.sql.shuffle.partitions")
+        val q =
+          try {
+            s.conf.set("spark.sql.shuffle.partitions", "4")
+            EventStreams.transitionStream(in.toDS(), allowance = "3650 days")
+              .writeStream.outputMode("append")
+              .foreachBatch {
+                (b: org.apache.spark.sql.Dataset[EventStreams.Transition],
+                    epoch: Long) =>
+                  // append-only sink: each settled pair emits exactly
+                  // once (append mode), so the store is the emission log
+                  wh.append("c17_transitions", b.toDF())
+              }
+              .start()
+          } finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
+        try {
+          val third = math.max((shuffled.length + 2) / 3, 1)
+          shuffled.grouped(third).foreach { b =>
+            in.addData(b.toSeq)
+            q.processAllAvailable()
+          }
+          if (slice.nonEmpty) {
+            val lastTs = slice.map(_.ts.getTime).max
+            // filler 1 advances the watermark past every real event;
+            // filler 2 triggers the batch in which the armed timeouts
+            // settle the buffered tails (sentinel users emit no pairs)
+            in.addData(Event(-1L, new java.sql.Timestamp(
+              lastTs + 4000L * 24 * 3600 * 1000), -998L, "flush", 0.0))
+            q.processAllAvailable()
+            in.addData(Event(-2L, new java.sql.Timestamp(
+              lastTs + 4001L * 24 * 3600 * 1000), -999L, "flush", 0.0))
+            q.processAllAvailable()
+          }
+        } finally q.stop()
+        import org.apache.spark.sql.types._
+        wh.readOrEmpty("c17_transitions", StructType(Seq(
+            StructField("user_id", LongType),
+            StructField("event_type", StringType),
+            StructField("next_type", StringType))))
+          .filter(col("user_id") >= 0)
+          .groupBy("user_id", "event_type", "next_type")
+          .agg(count(lit(1)).as("n"))
+          .orderBy("user_id", "event_type", "next_type")
+      },
+      Some("""WITH e AS (SELECT user_id, ts, event_id, event_type
+             |  FROM events WHERE event_id % 97 = 7),
+             |p AS (SELECT user_id, event_type,
+             |    lead(event_type) OVER (PARTITION BY user_id
+             |      ORDER BY ts, event_id) AS next_type
+             |  FROM e)
+             |SELECT user_id, event_type, next_type, count(*)::BIGINT AS n
+             |FROM p WHERE next_type IS NOT NULL
+             |GROUP BY 1, 2, 3
+             |ORDER BY 1, 2, 3""".stripMargin),
+      staticSchema = Some(org.apache.spark.sql.types.StructType.fromDDL(
+        "user_id BIGINT, event_type STRING, next_type STRING, n BIGINT"))),
+
     // DATA-QUALITY constraint audit — the pre-publish validation suite
     // (Deequ / Great Expectations / dbt tests): a declared constraint
     // set over a table, each check a violation COUNT with a verdict,
