@@ -2225,8 +2225,13 @@ object RelationalQueries {
                 (b: org.apache.spark.sql.Dataset[EventStreams.Transition],
                     epoch: Long) =>
                   // append-only sink: each settled pair emits exactly
-                  // once (append mode), so the store is the emission log
-                  wh.append("c17_transitions", b.toDF())
+                  // once (append mode), so the store is the emission log.
+                  // Empty batches (everything still buffered behind the
+                  // watermark — the NORMAL state of the pre-sentinel
+                  // batches here) must not touch the store: a dir of
+                  // only _SUCCESS markers would fail schema inference
+                  // on the read-back of a degenerate corpus
+                  if (!b.isEmpty) wh.append("c17_transitions", b.toDF())
               }
               .start()
           } finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
