@@ -190,8 +190,8 @@ final class Warehouse(spark: SparkSession, root: String) {
           s"string partition key (got ${dt.simpleString}) — other types' " +
           "directory renderings don't round-trip the emptied-partition sweep")
     }
-    val upserts = resolved.filter(col(opCol) =!= "D").drop(opCol, seqCol)
     if (!exists(table)) {
+      val upserts = resolved.filter(col(opCol) =!= "D").drop(opCol, seqCol)
       if (!upserts.isEmpty)
         upserts.repartition(col(partCol))
           .write.partitionBy(partCol).parquet(path(table))
@@ -201,18 +201,38 @@ final class Warehouse(spark: SparkSession, root: String) {
     // anti-join AND the upsert union — one eager materialization beats
     // re-running the resolve window per job (the t42/d09 discipline)
     val resolvedC = resolved.localCheckpoint(true)
-    val upsertsC = resolvedC.filter(col(opCol) =!= "D").drop(opCol, seqCol)
     // touched partitions: batch-bounded (≤ |batch| values), collected
     // once to drive both the pruned read and the emptied-dir sweep
     val touched = resolvedC.select(partCol).distinct()
       .collect().map(_.get(0)).toSeq
-    if (touched.isEmpty) { resolvedC.unpersist(blocking = false); return }
-    val base = read(table).filter(col(partCol).isin(touched: _*))
-    val merged = base
-      .join(resolvedC.select(key), Seq(key), "left_anti")
-      .unionByName(upsertsC.select(base.columns.map(col).toSeq: _*))
-    overwriteAndSweep(table, merged, partCol, touched)
+    applyCdcPartitionedResolved(table, resolvedC, key, seqCol, opCol,
+      partCol, touched)
     resolvedC.unpersist(blocking = false): Unit
+  }
+
+  /** The ALREADY-RESOLVED fast path of [[applyCdcPartitioned]] (table
+    * must exist): `resolved` is the exact
+    * [[Warehouse.resolveLastOp]](changes) output with `partCol` attached
+    * — eagerly materialized by the caller, since three jobs consume it —
+    * and `touched` its distinct `partCol` values, already collected. The
+    * partitioned IVM epoch apply materializes both for its OWN delta
+    * plan, so routing the base apply through them (instead of the public
+    * entry re-running the resolve window, re-checkpointing and
+    * re-collecting per epoch) removes two jobs and a batch
+    * materialization from every micro-batch — and makes "both consumers
+    * share one resolution" true by construction rather than by
+    * resolveLastOp's determinism argument.
+    */
+  private[graft] def applyCdcPartitionedResolved(table: String,
+      resolved: DataFrame, key: String, seqCol: String, opCol: String,
+      partCol: String, touched: Seq[Any]): Unit = {
+    if (touched.isEmpty) return
+    val base = read(table).filter(col(partCol).isin(touched: _*))
+    val upserts = resolved.filter(col(opCol) =!= "D").drop(opCol, seqCol)
+    val merged = base
+      .join(resolved.select(key), Seq(key), "left_anti")
+      .unionByName(upserts.select(base.columns.map(col).toSeq: _*))
+    overwriteAndSweep(table, merged, partCol, touched)
   }
 
   /** Rewrite via rename-swap. Guarantee: the table directory is missing only

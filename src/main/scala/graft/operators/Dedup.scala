@@ -622,6 +622,44 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** d32's incremental leg over arbitrary frames: fold a NEW eval batch
+    * into a persisted decontamination store — `storedHashes` the
+    * already-screened eval `span_hash` set, `storedVerdicts` the
+    * (doc_id, n_hits, first_pos) rows that screening produced — and
+    * return the verdicts as if [[decontaminate]] had run on the union
+    * eval set from scratch. Exactness: the never-seen hash set
+    * partitions the hit space, so counts ADD and first positions take
+    * `least()`; a hash already stored contributes nothing new by
+    * construction (the anti-join), so a re-shipped batch is a no-op.
+    *
+    * Scale: both hash frames are eval-scaled (the d12 broadcast
+    * argument), so the anti-join is cheap in any strategy and the
+    * surviving fresh set broadcasts onto the corpus window stream —
+    * the corpus is scanned once per genuinely-new batch and never
+    * shuffles; the verdict merge exchanges only CONTAMINATED rows (the
+    * rare set), with the verdict store entering as a scan.
+    */
+  private[graft] def decontaminateIncrement(corpus: DataFrame,
+      storedHashes: DataFrame, storedVerdicts: DataFrame,
+      newEval: DataFrame, w: Int = 13): DataFrame = {
+    val fresh = positionalWindowsOf(newEval, w)
+      .select(col("span_hash")).distinct()
+      .join(storedHashes.hint("shuffle_hash"), Seq("span_hash"), "left_anti")
+    val delta = positionalWindowsOf(corpus, w)
+      .join(broadcast(fresh), Seq("span_hash"), "left_semi")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("d_hits"), min(col("pos")).as("d_first"))
+    storedVerdicts
+      .select(col("doc_id"), col("n_hits").as("s_hits"),
+        col("first_pos").as("s_first"))
+      .join(delta, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        (coalesce(col("s_hits"), lit(0L)) + coalesce(col("d_hits"), lit(0L)))
+          .as("n_hits"),
+        least(col("s_first"), col("d_first")).as("first_pos"))
+      .orderBy("doc_id")
+  }
+
   /** Connected components of an undirected pair list (doc_a, doc_b) by
     * alternating large-star / small-star (Kiveris et al., "Connected
     * Components in MapReduce and Beyond", SoCC'14): converges in O(log n)
@@ -2079,7 +2117,52 @@ object Dedup {
              |    lag(dup_len) OVER (PARTITION BY doc_id ORDER BY pos) AS prev_len FROM d)
              |SELECT doc_id, pos, dup_len AS len FROM m
              |WHERE dup_len >= 12 AND (prev_len IS NULL OR prev_len < dup_len + 1)
-             |ORDER BY doc_id, pos""".stripMargin))
+             |ORDER BY doc_id, pos""".stripMargin)),
+
+    // INCREMENTAL decontamination — the d16/d15 store discipline applied
+    // to d12: eval suites GROW (a new benchmark ships), and the naive
+    // response re-screens a 100 TB corpus against the ENTIRE accumulated
+    // eval n-gram set. The persisted store holds (a) the eval 13-gram
+    // hash set already screened and (b) the per-doc verdicts it
+    // produced; folding a new eval batch costs ONE corpus window pass
+    // against ONLY the batch's never-seen hashes (new-batch hashes
+    // anti-join the hash store — both frames eval-scaled; the survivor
+    // set broadcasts onto the corpus window stream exactly like d12's
+    // ev), and the verdict merge is a full-outer at CONTAMINATED-doc
+    // grain (the rare set — old hits are never recomputed, the corpus
+    // never shuffles). Verdicts compose exactly because the hash sets
+    // partition the hits: n_hits adds, first_pos takes least(). A
+    // re-shipped eval batch folds to a no-op (every hash already
+    // stored → empty delta → zero corpus work — DecontaminateSpec's
+    // idempotence claim). The gate splits d12's eval half (doc_id%10=7)
+    // into stored (%20=7) + new (%20=17) batches and must hash-equal
+    // d12's from-scratch recompute over the full split — incremental ≡
+    // full, the d12/d32 edge of the triangle whose c12/c15 analogue the
+    // streaming rows pin.
+    Q("d32_incremental_decontam",
+      "fold a NEW eval batch (doc_id%20=17) into the persisted decontamination store: only never-seen eval hashes rescan the corpus, verdicts merge at hit grain — hash-equal to d12's from-scratch recompute",
+      (s, d) => {
+        val p = decontStorePath(s, d)
+        decontaminateIncrement(
+          docs(s, d).filter(col("doc_id") % 10 =!= 7),
+          s.read.parquet(p + "/eval_hashes"),
+          s.read.parquet(p + "/verdicts"),
+          docs(s, d).filter(col("doc_id") % 20 === 17))
+      },
+      // d12's oracle VERBATIM: the full-split recompute is the spec of
+      // what the incremental fold must equal
+      Some("""WITH n AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm FROM documents),
+             |tk AS (SELECT doc_id, list_filter(string_split(norm, ' '), t -> t <> '') AS toks FROM n),
+             |w AS (SELECT doc_id, toks, unnest(range(1, len(toks) - 11)) AS p
+             |  FROM tk WHERE len(toks) >= 13),
+             |h AS (SELECT doc_id, (p - 1)::BIGINT AS pos,
+             |    ('0x' || substr(md5(array_to_string(toks[p:p+12], ' ')), 1, 15))::BIGINT AS span_hash
+             |  FROM w),
+             |ev AS (SELECT DISTINCT span_hash FROM h WHERE doc_id % 10 = 7)
+             |SELECT doc_id, count(*)::BIGINT AS n_hits, min(pos) AS first_pos
+             |FROM h JOIN ev USING (span_hash)
+             |WHERE doc_id % 10 <> 7
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin))
   )
 
   /** The d29 geometry sweep: (bands, rows-per-band, S-curve midpoint
@@ -2304,6 +2387,23 @@ object Dedup {
       contentHashes(docs(s, d).filter(!(col("doc_id") % 5 === 4)))
         .groupBy("content_hash").agg(min(col("doc_id")).as("stored_canonical"))
         .write.mode("overwrite").parquet(p)
+    }
+
+  /** The d32 decontamination sidecar — the eval 13-gram hash set already
+    * screened (stored batch: doc_id%20=7) plus the per-doc verdicts that
+    * screen produced, built ONCE per JVM (StoreFixture discipline;
+    * production appends one hash-set + verdict delta per eval release).
+    * Two sub-tables under one store root: consumers select the table
+    * they own.
+    */
+  private def decontStorePath(s: SparkSession, d: String): String =
+    graft.core.StoreFixture("graft_decontstore", d) { p =>
+      val all = docs(s, d)
+      val evalA = all.filter(col("doc_id") % 20 === 7)
+      positionalWindowsOf(evalA, 13).select(col("span_hash")).distinct()
+        .write.mode("overwrite").parquet(p + "/eval_hashes")
+      decontaminate(all.filter(col("doc_id") % 10 =!= 7), evalA)
+        .write.mode("overwrite").parquet(p + "/verdicts")
     }
 
   /** The d15/d25 warehouse sidecar — 30-perm signature + exact set size

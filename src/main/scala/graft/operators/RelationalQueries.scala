@@ -2277,6 +2277,123 @@ object RelationalQueries {
       staticSchema = Some(org.apache.spark.sql.types.StructType.fromDDL(
         "user_id BIGINT, event_type STRING, next_type STRING, n BIGINT"))),
 
+    // The THIRD stateful mechanism at the driver's gate — c16 grades
+    // mapGroupsWithState's monotone algebra, c17 watermark-ordered
+    // emission; this row grades WATERMARK-TIMEOUT SESSION STATE
+    // (EventStreams.sessionize, flatMapGroupsWithState +
+    // EventTimeTimeout): a session closes either inline (a same-user
+    // event arrives past the 30-min gap) or by TIMEOUT (the watermark
+    // passes session_end + gap with no successor — the mechanism the
+    // other two rows never exercise). Delivery honors the operator's
+    // documented exactness contract (watermark delay = gap): three
+    // TIME-CONTIGUOUS micro-batches — cross-batch in event-time order,
+    // so sessions spanning a batch boundary merge in state exactly as
+    // the batch twin's global sort would — with FULL md5 disorder
+    // INSIDE each batch (the per-batch sort absorbs it). Two far-future
+    // sentinel users then advance the watermark and fire the armed
+    // timeouts (c17's arm-then-fire: timeouts set in batch N fire in a
+    // batch processed AFTER the watermark advances), so every
+    // still-open session settles. The appended emissions must
+    // hash-equal DuckDB's gaps-and-islands recompute (q22's oracle) on
+    // the time-ordered slice. total_value is deliberately NOT in the
+    // gate: the stream folds it in arrival order (a raw double sum);
+    // q22 gates the same sum through the exact-decimal discipline, and
+    // the batch≡stream spec covers it on real data. Session IDENTITY —
+    // boundaries, membership counts, timeout closure — is what
+    // sessionization means, and that is what this row pins.
+    Q("c18_stream_sessionize_stateful",
+      "per-user 30-min-gap sessions from a REAL watermark-timeout streaming query (flatMapGroupsWithState) over 3 time-contiguous md5-scrambled batches, hash-equal to q22's gaps-and-islands recompute",
+      (s, d) => {
+        import s.implicits._
+        implicit val sq = s.sqlContext
+        import graft.streaming.EventStreams
+        import graft.streaming.EventStreams.{Event, Session}
+        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+        val slice = Tables.events(s, d)
+          .filter(col("event_id") % 97 === 11)
+          .select("event_id", "ts", "user_id", "event_type", "value")
+          .as[Event].collect()
+          .sortBy(e => (e.ts.getTime, e.event_id))
+        val md = java.security.MessageDigest.getInstance("MD5")
+        def hx(id: Long): String =
+          md.digest(s"c18_$id".getBytes("UTF-8"))
+            .map("%02x".format(_)).mkString
+        // contiguous thirds of the TIME-SORTED slice (the in-order
+        // cross-batch contract), each scrambled internally (the
+        // operator's per-batch sort must absorb it)
+        val third = math.max((slice.length + 2) / 3, 1)
+        val batches = slice.grouped(third).map(_.sortBy(e => hx(e.event_id)))
+        val root = java.nio.file.Files
+          .createTempDirectory("c18_sess").toString
+        val wh = new graft.compendium.Warehouse(s, root)
+        val in = MemoryStream[Event]
+        val savedParts = s.conf.get("spark.sql.shuffle.partitions")
+        val q =
+          try {
+            s.conf.set("spark.sql.shuffle.partitions", "4")
+            EventStreams.sessionize(in.toDS()).writeStream
+              .outputMode("append")
+              .foreachBatch { (b: org.apache.spark.sql.Dataset[Session],
+                  epoch: Long) =>
+                // append-only: a session emits exactly once (inline close
+                // or timeout); empty pre-sentinel batches skip the store
+                // (c17's degenerate-corpus schema-inference guard)
+                if (!b.isEmpty) wh.append("c18_sessions", b.toDF())
+              }
+              .start()
+          } finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
+        try {
+          batches.foreach { b =>
+            if (b.nonEmpty) {
+              in.addData(b.toSeq)
+              q.processAllAvailable()
+            }
+          }
+          if (slice.nonEmpty) {
+            val lastTs = slice.map(_.ts.getTime).max
+            // sentinel 1 advances the watermark past every armed
+            // timeout (last + gap); sentinel 2 triggers the batch that
+            // fires them — sentinel users' own sessions stay open in
+            // state and are filtered on read-back
+            in.addData(Event(-1L, new java.sql.Timestamp(
+              lastTs + 24L * 3600 * 1000), -998L, "flush", 0.0))
+            q.processAllAvailable()
+            in.addData(Event(-2L, new java.sql.Timestamp(
+              lastTs + 48L * 3600 * 1000), -999L, "flush", 0.0))
+            q.processAllAvailable()
+          }
+        } finally q.stop()
+        import org.apache.spark.sql.types._
+        wh.readOrEmpty("c18_sessions", StructType(Seq(
+            StructField("user_id", LongType),
+            StructField("session_start", TimestampType),
+            StructField("session_end", TimestampType),
+            StructField("n_events", LongType))))
+          .filter(col("user_id") >= 0)
+          .select("user_id", "session_start", "session_end", "n_events")
+          .orderBy("user_id", "session_start")
+      },
+      Some("""WITH e AS (SELECT user_id, ts, event_id FROM events
+             |  WHERE event_id % 97 = 11),
+             |w AS (SELECT user_id, ts, event_id,
+             |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             |      AS prev_ts FROM e),
+             |flags AS (SELECT *, CASE WHEN prev_ts IS NULL
+             |      OR epoch_ms(ts) - epoch_ms(prev_ts) > 1800000
+             |    THEN 1 ELSE 0 END AS new_session FROM w),
+             |sess AS (SELECT *,
+             |    sum(new_session) OVER (PARTITION BY user_id
+             |      ORDER BY ts, event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      AS session_idx FROM flags)
+             |SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+             |  count(*)::BIGINT AS n_events
+             |FROM sess GROUP BY user_id, session_idx
+             |ORDER BY user_id, session_start""".stripMargin),
+      staticSchema = Some(org.apache.spark.sql.types.StructType.fromDDL(
+        "user_id BIGINT, session_start TIMESTAMP, session_end TIMESTAMP, " +
+          "n_events BIGINT"))),
+
     // DATA-QUALITY constraint audit — the pre-publish validation suite
     // (Deequ / Great Expectations / dbt tests): a declared constraint
     // set over a table, each check a violation COUNT with a verdict,

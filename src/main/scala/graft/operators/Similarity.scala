@@ -2039,8 +2039,162 @@ object Similarity {
              |ORDER BY q.query_id, round""".stripMargin),
       // the adaptive-plane count() makes `.schema` execute a corpus pass
       staticSchema = Some(org.apache.spark.sql.types.StructType.fromDDL(
-        "query_id BIGINT, round BIGINT, n_hits BIGINT, recall DOUBLE")))
+        "query_id BIGINT, round BIGINT, n_hits BIGINT, recall DOUBLE"))),
+
+    // ITERATED LLOYD TRAINING (spherical k-means — Dhillon & Modha,
+    // Mach. Learn. 42, 2001) — the clustering leg of the registry's
+    // iterated-training triad (t42 recounts BPE pair statistics after
+    // every adopted merge; s25 re-tops the descent graph each round):
+    // s04 grades ONE assignment step and s10 ONE centroid fold, but a
+    // real quantizer build ITERATES — assign under the current
+    // centroids, recompute exact means, repeat — so round r's centroids
+    // depend on every earlier round. Per round the corpus is touched in
+    // EXACTLY ONE shuffle-free pass: the ≤k centroids collect to the
+    // driver (k×dim doubles — bounded, the d09 convergence-probe
+    // discipline) and re-enter as array LITERALS, so assignment is k
+    // codegen'd dots against constants with an array_position argmax
+    // (ties → lowest cluster id, the oracle's row_number tiebreak), and
+    // the round's single map-side-partial agg carries the cluster size,
+    // the arrivals count (this round's label ≠ last round's — BOTH
+    // labels computed from literal centroid sets inside the same pass,
+    // so no corpus-sized state survives between rounds), and the next
+    // centroids' DECIMAL(18,9) sufficient statistics. That scale is
+    // centroidStats' bound: the decimal→double cast is single-rounded
+    // in BOTH engines, so round-r centroids are BIT-EQUAL cross-engine
+    // and float divergence cannot compound across rounds — the property
+    // that makes an iterated float pipeline hash-gateable at all.
+    // Seeds are Forgy (the k lowest vec_ids' own vectors — both engines
+    // read them verbatim). At 100 TB: R passes over a corpus that never
+    // shuffles and never broadcasts, k×dim bytes of driver state — the
+    // textbook distributed Lloyd shape. Cosine is scale-invariant, so
+    // assignment against the unnormalized mean equals the spherical
+    // normalized-mean update and the assignment-time objective
+    // Σ max-cosine is non-decreasing round over round;
+    // KmeansLloydSpec asserts that curve and that round 2 genuinely
+    // reassigns vectors on the fixture (non-vacuity: the iterated
+    // build differs from s04's one-shot).
+    Q("s26_kmeans_lloyd_rounds",
+      "3 spherical Lloyd rounds from Forgy seeds: per-(round, cluster) size + arrivals via literal-centroid passes, exact decimal centroid sums — the quantizer build curve",
+      (s, d) => lloydRounds(vectors(s, d), k = 8, rounds = 3)._1,
+      Some(s"""$sqlVectors,
+             |sd AS (SELECT vec_id, v, nrm FROM n ORDER BY vec_id LIMIT 8),
+             |c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS clabel,
+             |    v AS cent, nrm AS cnrm FROM sd)${sqlLloydRounds(3)},
+             |rep AS (SELECT * FROM r1 UNION ALL SELECT * FROM r2
+             |  UNION ALL SELECT * FROM r3)
+             |SELECT round, clabel, n, moved_in FROM rep
+             |ORDER BY round, clabel""".stripMargin),
+      // driver-side loop: constructing the plan runs the per-round collects
+      staticSchema = Some(org.apache.spark.sql.types.StructType.fromDDL(
+        "round BIGINT, clabel BIGINT, n BIGINT, moved_in BIGINT")))
   )
+
+  /** s26's engine over any (vec_id, v, nrm) frame — public so
+    * KmeansLloydSpec can drive it on crafted vectors and read the
+    * objective curve. Returns (report, per-round assignment-time
+    * objectives Σ max-cosine — spec-only, never hash-gated: a
+    * corpus-order double sum).
+    *
+    * Round r: score every vector against the ≤k LITERAL centroids
+    * (collected rows from round r-1's agg — k×dim driver state), argmax
+    * with first-occurrence tiebreak (= lowest cluster id, matching the
+    * oracle's `ORDER BY ccos DESC, clabel`), then ONE agg produces the
+    * report row and the next round's exact decimal sufficient
+    * statistics ([[statSumCols]] / [[withCentroid]] — the s10 store
+    * discipline, so cross-engine centroid bit-equality survives
+    * iteration). Empty clusters simply drop out of the agg (classic
+    * Lloyd); the label literal array keeps index→cluster-id honest when
+    * ids go non-contiguous.
+    */
+  private[graft] def lloydRounds(vecs: DataFrame, k: Int, rounds: Int)
+      : (DataFrame, Seq[Double]) = {
+    val s = vecs.sparkSession
+    import s.implicits._
+    val v = vecs.select("vec_id", "v", "nrm").localCheckpoint(true)
+    val seeds = v.orderBy("vec_id").limit(k).select("v", "nrm").collect()
+    // (cluster id, centroid, norm) — ≤ k×dim doubles of driver state
+    var cents: Seq[(Long, Seq[Double], Double)] = seeds.toSeq.zipWithIndex
+      .map { case (r, i) => (i.toLong, r.getSeq[Double](0), r.getDouble(1)) }
+    var prev: Option[Seq[(Long, Seq[Double], Double)]] = None
+    val report = Seq.newBuilder[(Long, Long, Long, Option[Long])]
+    val objectives = Seq.newBuilder[Double]
+    // an EMPTY corpus seeds no centroids — zero rounds, empty report
+    // (array() of zero score columns would not even analyze)
+    (1 to (if (cents.isEmpty) 0 else rounds)).foreach { r =>
+      def scoresOf(cs: Seq[(Long, Seq[Double], Double)]): Column =
+        array(cs.map { case (_, c, cn) =>
+          dotFast(col("v"), typedlit(c)) / (col("nrm") * lit(cn)) }: _*)
+      def labelOf(cs: Seq[(Long, Seq[Double], Double)], sc: Column): Column =
+        element_at(typedlit(cs.map(_._1)),
+          array_position(sc, array_max(sc)).cast("int"))
+      val assigned = v
+        .withColumn("sc", scoresOf(cents))
+        .withColumn("clabel", labelOf(cents, col("sc")))
+        .withColumn("best", array_max(col("sc")))
+        .withColumn("prev_label",
+          prev.map(p => labelOf(p, scoresOf(p)))
+            .getOrElse(lit(null).cast("long")))
+      val aggCols: Seq[Column] = Seq(
+        count(lit(1)).as("n"),
+        sum(when(col("prev_label") =!= col("clabel"), 1L).otherwise(0L))
+          .as("moved_in"),
+        sum(col("best")).as("obj")) ++
+        (statSumCols("s") :+ count(lit(1)).as("cnt"))
+      val rows = withCentroid(
+          assigned.groupBy("clabel").agg(aggCols.head, aggCols.tail: _*))
+        .select(col("clabel"), col("n"), col("moved_in"), col("obj"),
+          col("cent"), col("cnrm"))
+        .collect().sortBy(_.getLong(0)) // ≤ k rows — bounded driver state
+      rows.foreach { row =>
+        report += ((r.toLong, row.getLong(0), row.getLong(1),
+          if (r == 1) None else Some(row.getLong(2))))
+      }
+      objectives += rows.map(_.getDouble(3)).sum
+      prev = Some(cents)
+      cents = rows.toSeq.map(rw =>
+        (rw.getLong(0), rw.getSeq[Double](4), rw.getDouble(5)))
+    }
+    val df = report.result()
+      .toDF("round", "clabel", "n", "moved_in")
+      .orderBy("round", "clabel")
+    (df, objectives.result())
+  }
+
+  /** Unrolled per-round CTE stages of the s26 oracle, the SQL twin of
+    * one [[lloydRounds]] pass: c{i-1} → sc{i} (cosines) → a{i} (argmax
+    * assignment, row_number tiebreak) → r{i} (report row: size +
+    * arrivals vs a{i-1}) → c{i} (next centroids via [[sqlStatsMeanList]]
+    * — the (18,9) exact-decimal mean, bit-equal to the Spark side).
+    */
+  private def sqlLloydRounds(rounds: Int): String =
+    (1 to rounds).map { i =>
+      val prevJoin = if (i > 1) s"JOIN a${i - 1} p USING (vec_id)" else ""
+      val moved =
+        if (i == 1) "NULL::BIGINT"
+        else "sum(CASE WHEN p.clabel <> a.clabel THEN 1 ELSE 0 END)::BIGINT"
+      val cent =
+        if (i < rounds) s""",
+           |cs$i AS (SELECT a.clabel, ${sqlStatsMeanList("n.v", Dim)} AS cent
+           |  FROM a$i a JOIN n ON a.vec_id = n.vec_id GROUP BY a.clabel),
+           |c$i AS (SELECT clabel, cent,
+           |    sqrt(list_reduce(list_transform(range(1, ${Dim + 1}),
+           |      j -> cent[j] * cent[j]), (x, y) -> x + y)) AS cnrm
+           |  FROM cs$i)""".stripMargin
+        else ""
+      s""",
+         |sc$i AS (SELECT n.vec_id, c.clabel,
+         |    list_reduce(list_transform(range(1, ${Dim + 1}),
+         |      j -> n.v[j] * c.cent[j]), (x, y) -> x + y)
+         |      / (n.nrm * c.cnrm) AS ccos
+         |  FROM n CROSS JOIN c${i - 1} c),
+         |a$i AS (SELECT vec_id, clabel FROM (SELECT vec_id, clabel,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, clabel)
+         |      AS rk
+         |  FROM sc$i) WHERE rk = 1),
+         |r$i AS (SELECT $i::BIGINT AS round, a.clabel,
+         |    count(*)::BIGINT AS n, $moved AS moved_in
+         |  FROM a$i a $prevJoin GROUP BY a.clabel)$cent""".stripMargin
+    }.mkString
 
   /** Unrolled per-round CTE stages of the s25 oracle: g{i} → rv/adj/non/
     * sc/u → g{i+1}, the SQL twin of [[descentRound]] (s18's one-round

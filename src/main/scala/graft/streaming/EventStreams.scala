@@ -597,11 +597,18 @@ object EventStreams extends Serializable {
     }
     // base after view (the flat form's commit-order reasoning): the view
     // plan's deltas were computed against the pre-batch base partitions.
-    // The apply re-resolves from the raw batch — harmless (resolveLastOp
-    // is deterministic and total-ordered) and keeps the two consumers'
-    // contract in one place.
-    wh.applyCdcPartitioned(baseTable, batch, "k", "seq", "op", "pk",
-      c => pmod(c, nb))
+    // The apply REUSES this epoch's checkpointed resolution and touched
+    // set (applyCdcPartitionedResolved) — the two consumers share one
+    // resolution by construction, and the epoch sheds the second resolve
+    // window + collect the public entry would re-run. Only the
+    // table-creation epoch (no base yet) takes the public path.
+    if (baseExists)
+      wh.applyCdcPartitionedResolved(baseTable,
+        resolved.withColumn("pk", pmod(col("k"), nb)),
+        "k", "seq", "op", "pk", touchedPk.map(v => v: Any))
+    else
+      wh.applyCdcPartitioned(baseTable, batch, "k", "seq", "op", "pk",
+        c => pmod(c, nb))
     wh.replace(marker,
       Seq((queryId, epoch)).toDF("query_id", "epoch").coalesce(1))
     resolved.unpersist(blocking = false)

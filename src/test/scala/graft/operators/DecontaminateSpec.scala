@@ -69,4 +69,77 @@ class DecontaminateSpec extends SparkTestBase {
     assert(got === expected,
       "decontaminate must equal the plain-Scala window-overlap fold")
   }
+
+  test("d32: incremental fold over two eval batches equals the from-scratch union recompute") {
+    val corpus = Seq(
+      // hit for batch A only
+      (10L, s"one two three $evalPhrase and then some trailing words"),
+      // hits for batch B only (the cleanTail 13-gram), two phrasings
+      (11L, s"totally unrelated content $cleanTail"),
+      (12L, s"prefix words here $cleanTail suffix"),
+      // hits from BOTH batches: A's phrase at 0, B's phrase later
+      (13L, s"$evalPhrase bridging tokens $cleanTail")
+    ).toDF("doc_id", "text")
+    val batchA = Seq((1000L, s"suite one asks $evalPhrase verbatim"))
+      .toDF("doc_id", "text")
+    val batchB = Seq((2000L, s"suite two ships $cleanTail entirely"))
+      .toDF("doc_id", "text")
+    val tmp = tmpDir()
+    Dedup.positionalWindowsOf(batchA, 13)
+      .select("span_hash").distinct()
+      .write.mode("overwrite").parquet(s"$tmp/eval_hashes")
+    Dedup.decontaminate(corpus, batchA)
+      .write.mode("overwrite").parquet(s"$tmp/verdicts")
+    val inc = Dedup.decontaminateIncrement(corpus,
+        spark.read.parquet(s"$tmp/eval_hashes"),
+        spark.read.parquet(s"$tmp/verdicts"), batchB)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val full = Dedup.decontaminate(corpus, batchA.unionByName(batchB))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(inc === full,
+      s"incremental fold diverged from the union recompute: $inc vs $full")
+    // the fixture exercises all three merge cases: batch-A-only (10),
+    // batch-B-only (11, 12), and both-batches (13, counts ADDING)
+    assert(full.map(_._1) === Set(10L, 11L, 12L, 13L))
+    assert(inc.find(_._1 == 13L).get._2 >= 2L,
+      "doc 13 must accumulate hits from BOTH batches")
+  }
+
+  test("d32: re-shipping an already-stored eval batch is a no-op (empty delta, verdicts unchanged)") {
+    val corpus = Seq(
+      (10L, s"one two three $evalPhrase and then some trailing words"),
+      (11L, s"totally unrelated content $cleanTail")
+    ).toDF("doc_id", "text")
+    val batchA = Seq((1000L, s"suite one asks $evalPhrase verbatim"))
+      .toDF("doc_id", "text")
+    val tmp = tmpDir()
+    Dedup.positionalWindowsOf(batchA, 13)
+      .select("span_hash").distinct()
+      .write.mode("overwrite").parquet(s"$tmp/eval_hashes")
+    Dedup.decontaminate(corpus, batchA)
+      .write.mode("overwrite").parquet(s"$tmp/verdicts")
+    val again = Dedup.decontaminateIncrement(corpus,
+        spark.read.parquet(s"$tmp/eval_hashes"),
+        spark.read.parquet(s"$tmp/verdicts"), batchA)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val stored = spark.read.parquet(s"$tmp/verdicts")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(again === stored,
+      "re-folding a stored batch must leave every verdict untouched")
+  }
+
+  test("d32 gate fixture is non-vacuous: both the stored batch and the new batch contribute hits") {
+    import org.apache.spark.sql.functions.col
+    val d = "/root/testdata/sf0.001"
+    val all = graft.core.Tables.documents(spark, d)
+    val corpus = all.filter(col("doc_id") % 10 =!= 7)
+    val hitsA = Dedup.decontaminate(corpus,
+      all.filter(col("doc_id") % 20 === 7)).count()
+    val hitsB = Dedup.decontaminate(corpus,
+      all.filter(col("doc_id") % 20 === 17)).count()
+    assert(hitsA > 0, "stored batch (doc_id%20=7) finds no contamination " +
+      "— the incremental gate would never read the store")
+    assert(hitsB > 0, "new batch (doc_id%20=17) finds no contamination " +
+      "— the incremental gate's delta leg would be vacuous")
+  }
 }
