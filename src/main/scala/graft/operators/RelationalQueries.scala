@@ -2394,6 +2394,200 @@ object RelationalQueries {
         "user_id BIGINT, session_start TIMESTAMP, session_end TIMESTAMP, " +
           "n_events BIGINT"))),
 
+    // The NATIVE stateful-dedup operator at the driver's gate —
+    // c16/c17/c18 grade the three custom-state mechanisms
+    // (mapGroupsWithState, flatMapGroupsWithState append,
+    // watermark-timeout sessions); this row grades the engine's OWN
+    // stateful operator, dropDuplicatesWithinWatermark (dedupedIngest,
+    // EventStreams.scala:88) — the shape a 100 TB/day at-least-once
+    // ingest actually deploys, because its state holds only keys
+    // younger than the watermark: memory tracks the redelivery
+    // horizon, not history. The fixture is a deterministic events
+    // slice (event_id ≡ 13 mod 97) delivered AT-LEAST-ONCE: each
+    // original exactly once across two md5-split batches, then a third
+    // batch redelivering every event_id ≡ 0 mod 3 — byte-identical
+    // payloads, always in a STRICTLY LATER batch than the original, so
+    // suppression can only come from cross-batch state, never from
+    // intra-batch distinct. The delay out-spans the replay (no state
+    // eviction mid-stream — the eviction caveat, a redelivery AFTER
+    // eviction re-emitting, is EventStreamsSpec's TTL twin);
+    // dedup is not an aggregation, so append emits each first-seen row
+    // in its arrival batch and the store accumulates exactly-once
+    // ingest recovered from at-least-once delivery: hash-equal to the
+    // slice itself, graded by the driver.
+    Q("c19_stream_dedup_native",
+      "exactly-once ingest from at-least-once redelivery via the NATIVE dropDuplicatesWithinWatermark operator over 3 batches, hash-equal to the distinct slice",
+      (s, d) => {
+        import s.implicits._
+        implicit val sq = s.sqlContext
+        import graft.streaming.EventStreams
+        import graft.streaming.EventStreams.Event
+        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+        val slice = Tables.events(s, d)
+          .filter(col("event_id") % 97 === 13)
+          .select("event_id", "ts", "user_id", "event_type", "value")
+          .as[Event].collect()
+        val md = java.security.MessageDigest.getInstance("MD5")
+        def hx(id: Long): String =
+          md.digest(s"c19_$id".getBytes("UTF-8"))
+            .map("%02x".format(_)).mkString
+        // originals md5-split over batches 0|1 (scrambled inside each);
+        // batch 2 is pure redelivery — every dupe lands after its original
+        val originals = (0 until 2).map(b => slice
+          .filter(e => Integer.parseInt(hx(e.event_id).take(2), 16) % 2 == b)
+          .sortBy(e => hx(e.event_id)))
+        val redelivered = slice.filter(_.event_id % 3 == 0)
+          .sortBy(e => hx(e.event_id))
+        val batches = originals :+ redelivered
+        val root = java.nio.file.Files
+          .createTempDirectory("c19_dedup").toString
+        val wh = new graft.compendium.Warehouse(s, root)
+        val in = MemoryStream[Event]
+        val savedParts = s.conf.get("spark.sql.shuffle.partitions")
+        val q =
+          try {
+            s.conf.set("spark.sql.shuffle.partitions", "4")
+            EventStreams.dedupedIngest(in.toDS(), watermark = "3650 days")
+              .writeStream.outputMode("append")
+              .foreachBatch { (b: org.apache.spark.sql.Dataset[Event],
+                  epoch: Long) =>
+                // append-only: a key's first sighting emits exactly once;
+                // empty batches skip the store (c17's degenerate-corpus
+                // schema-inference guard)
+                if (!b.isEmpty) wh.append("c19_events", b.toDF())
+              }
+              .start()
+          } finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
+        try {
+          batches.foreach { b =>
+            if (b.nonEmpty) {
+              in.addData(b.toSeq)
+              q.processAllAvailable()
+            }
+          }
+        } finally q.stop()
+        import org.apache.spark.sql.types._
+        wh.readOrEmpty("c19_events", StructType(Seq(
+            StructField("event_id", LongType),
+            StructField("ts", TimestampType),
+            StructField("user_id", LongType),
+            StructField("event_type", StringType),
+            StructField("value", DoubleType))))
+          .select("event_id", "ts", "user_id", "event_type", "value")
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, ts, user_id, event_type, value
+             |FROM events WHERE event_id % 97 = 13
+             |ORDER BY event_id""".stripMargin),
+      staticSchema = Some(org.apache.spark.sql.types.StructType.fromDDL(
+        "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, " +
+          "event_type STRING, value DOUBLE"))),
+
+    // The WATERMARK LATE-DROP contract at the driver's gate — the last
+    // streaming semantic with no oracle row. Every other c-row replays
+    // under "the allowance out-spans the replay", so nothing drops;
+    // production watermarks EXIST to drop — bounded state is bought by
+    // discarding stragglers older than the allowance, and a row that
+    // never exercises the drop would grade only half the operator.
+    // hourlyRollup (q21's streaming twin, its shipped 2-hour delay)
+    // runs over a deterministic slice (event_id ≡ 17 mod 97) in three
+    // TIME-RANGE batches: days [1,10) MINUS the planted stragglers
+    // L = {event_id ≡ 1 mod 3 ∧ ts < Jan 8}, then days [10,20) — after
+    // which the watermark sits near Jan 20 − 2 h — then days [20,∞)
+    // PLUS L, now ~12 days past the allowance: every L row's window
+    // closed long before, so the operator MUST drop all of L, and
+    // every fresh batch-3 row is ahead of the watermark, so it may
+    // drop NOTHING else. Append mode emits each finalized window
+    // exactly once (two far-future sentinels flush the tail; the
+    // second sentinel's own window never finalizes and the first's is
+    // filtered by its event_type). The oracle recomputes q21 over the
+    // slice minus L — the hash gate passes iff exactly the planted set
+    // and nothing else was dropped. EventStreamsSpec pins non-vacuity:
+    // L is nonempty at the gate's sf and the full-slice recompute
+    // differs.
+    Q("c20_stream_window_latedrop",
+      "hourly windowed rollup under a REAL watermark drop: planted 12-days-late stragglers discarded, everything else exact — hash-equal to q21 over the slice minus the late set",
+      (s, d) => {
+        import s.implicits._
+        implicit val sq = s.sqlContext
+        import graft.streaming.EventStreams
+        import graft.streaming.EventStreams.Event
+        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+        val slice = Tables.events(s, d)
+          .filter(col("event_id") % 97 === 17)
+          .select("event_id", "ts", "user_id", "event_type", "value")
+          .as[Event].collect()
+        val md = java.security.MessageDigest.getInstance("MD5")
+        def hx(id: Long): String =
+          md.digest(s"c20_$id".getBytes("UTF-8"))
+            .map("%02x".format(_)).mkString
+        val day10 = java.sql.Timestamp.valueOf("2024-01-10 00:00:00")
+        val day20 = java.sql.Timestamp.valueOf("2024-01-20 00:00:00")
+        def late(e: Event): Boolean = e.event_id % 3 == 1 &&
+          e.ts.before(java.sql.Timestamp.valueOf("2024-01-08 00:00:00"))
+        val batches = Seq(
+          slice.filter(e => e.ts.before(day10) && !late(e)),
+          slice.filter(e => !e.ts.before(day10) && e.ts.before(day20)),
+          slice.filter(e => !e.ts.before(day20)) ++ slice.filter(late))
+          .map(_.sortBy(e => hx(e.event_id)))
+        val root = java.nio.file.Files
+          .createTempDirectory("c20_latedrop").toString
+        val wh = new graft.compendium.Warehouse(s, root)
+        val in = MemoryStream[Event]
+        val savedParts = s.conf.get("spark.sql.shuffle.partitions")
+        val q =
+          try {
+            s.conf.set("spark.sql.shuffle.partitions", "4")
+            EventStreams.hourlyRollup(in.toDF()).writeStream
+              .outputMode("append")
+              .foreachBatch { (b: DataFrame, epoch: Long) =>
+                // append-only: a window emits once, when the watermark
+                // passes its end
+                if (!b.isEmpty) wh.append("c20_hourly", b)
+              }
+              .start()
+          } finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
+        try {
+          batches.foreach { b =>
+            if (b.nonEmpty) {
+              in.addData(b.toSeq)
+              q.processAllAvailable()
+            }
+          }
+          if (slice.nonEmpty) {
+            val lastTs = slice.map(_.ts.getTime).max
+            // sentinel 1 pushes the watermark past every real window;
+            // sentinel 2 pushes it past sentinel 1's OWN window so that
+            // one also flushes (and is filtered below by event_type) —
+            // sentinel 2's window never finalizes and cannot leak
+            in.addData(Event(-1L, new java.sql.Timestamp(
+              lastTs + 400L * 24 * 3600 * 1000), -998L, "flush", 0.0))
+            q.processAllAvailable()
+            in.addData(Event(-2L, new java.sql.Timestamp(
+              lastTs + 401L * 24 * 3600 * 1000), -999L, "flush", 0.0))
+            q.processAllAvailable()
+          }
+        } finally q.stop()
+        import org.apache.spark.sql.types._
+        wh.readOrEmpty("c20_hourly", StructType(Seq(
+            StructField("hour", TimestampType),
+            StructField("event_type", StringType),
+            StructField("n", LongType),
+            StructField("total_value", DoubleType))))
+          .filter(col("event_type") =!= "flush")
+          .select("hour", "event_type", "n", "total_value")
+          .orderBy("hour", "event_type")
+      },
+      Some("""SELECT date_trunc('hour', ts) AS hour, event_type,
+             |  count(*) AS n,
+             |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+             |FROM events
+             |WHERE event_id % 97 = 17
+             |  AND NOT (event_id % 3 = 1 AND ts < TIMESTAMP '2024-01-08')
+             |GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin),
+      staticSchema = Some(org.apache.spark.sql.types.StructType.fromDDL(
+        "hour TIMESTAMP, event_type STRING, n BIGINT, total_value DOUBLE"))),
+
     // DATA-QUALITY constraint audit — the pre-publish validation suite
     // (Deequ / Great Expectations / dbt tests): a declared constraint
     // set over a table, each check a violation COUNT with a verdict,

@@ -2086,7 +2086,54 @@ object Similarity {
              |ORDER BY round, clabel""".stripMargin),
       // driver-side loop: constructing the plan runs the per-round collects
       staticSchema = Some(org.apache.spark.sql.types.StructType.fromDDL(
-        "round BIGINT, clabel BIGINT, n BIGINT, moved_in BIGINT")))
+        "round BIGINT, clabel BIGINT, n BIGINT, moved_in BIGINT"))),
+
+    // PQ CODEBOOK TRAINING (product quantization — Jégou, Douze &
+    // Schmid, TPAMI 2011 §III: independent k-means per subspace) — the
+    // missing BUILD step of the registry's PQ lifecycle: s06/s07
+    // quantize and search against FIXED codebooks, s11/s12 grade the
+    // scalar-quantizer leg, s26 the full-dimension clustering loop;
+    // this row trains the per-subspace codebooks themselves. Each
+    // vector splits into M=4 contiguous 16-dim subvectors and each
+    // subspace runs its OWN iterated L2 Lloyd (assignment by
+    // argmin |x−c|² ⇔ argmax x·c − ½|c|², ties → lowest codeword — the
+    // s26 row_number tiebreak), because PQ's whole premise is that the
+    // product of M small codebooks spans k^M cells no single k-means
+    // could afford. One corpus pass per round covers ALL subspaces:
+    // the exploded (vec_id, sub, subvector) frame — same total bytes
+    // as the corpus — is scored against M×k LITERAL centroids (the
+    // ≤ k×dim driver-state discipline of s26; ½|c|² is driver-folded
+    // in index order, the oracle's list_reduce twin), and the round's
+    // single map-side-partial agg per (sub, codeword) carries size,
+    // arrivals, and the next centroids' DECIMAL(18,9) sufficient
+    // statistics — so round-r codebooks are BIT-EQUAL cross-engine and
+    // float divergence cannot compound (centroidStats' bound). Seeds
+    // are Forgy: the k lowest vec_ids' own subvectors, per subspace.
+    // At 100 TB: R passes over a corpus that never shuffles and never
+    // broadcasts, M×k×16 doubles of driver state — then s06's encode
+    // is one broadcast of these trained tables. PqCodebookSpec pins
+    // the L2 objective's round-over-round descent, mass conservation
+    // per (round, sub), non-vacuous reassignment on the fixture, and
+    // that the subspaces genuinely train APART on a corpus clustered
+    // differently per subspace.
+    Q("s27_pq_codebook_train",
+      "per-subspace iterated L2 Lloyd (PQ codebook build, 4×16-dim, k=4, 3 rounds): per-(round, sub, codeword) size + arrivals from exact-decimal centroid statistics",
+      (s, d) => pqCodebookRounds(vectors(s, d).select("vec_id", "v"),
+        m = 4, subDim = 16, k = 4, rounds = 3)._1,
+      Some(s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+             |sv AS (SELECT vec_id, t.sub, v[t.sub * 16 + 1 : t.sub * 16 + 16] AS sv
+             |  FROM e CROSS JOIN range(0, 4) t(sub)),
+             |c0 AS (SELECT sub, rk - 1 AS clabel, sv AS cent FROM (
+             |    SELECT sub, sv,
+             |      row_number() OVER (PARTITION BY sub ORDER BY vec_id) AS rk
+             |    FROM sv) WHERE rk <= 4)${sqlPqRounds(3)},
+             |rep AS (SELECT * FROM r1 UNION ALL SELECT * FROM r2
+             |  UNION ALL SELECT * FROM r3)
+             |SELECT round, sub, clabel, n, moved_in FROM rep
+             |ORDER BY round, sub, clabel""".stripMargin),
+      // driver-side loop: constructing the plan runs the per-round collects
+      staticSchema = Some(org.apache.spark.sql.types.StructType.fromDDL(
+        "round BIGINT, sub BIGINT, clabel BIGINT, n BIGINT, moved_in BIGINT")))
   )
 
   /** s26's engine over any (vec_id, v, nrm) frame — public so
@@ -2194,6 +2241,147 @@ object Similarity {
          |r$i AS (SELECT $i::BIGINT AS round, a.clabel,
          |    count(*)::BIGINT AS n, $moved AS moved_in
          |  FROM a$i a $prevJoin GROUP BY a.clabel)$cent""".stripMargin
+    }.mkString
+
+  /** s27's engine over any (vec_id, v) frame — public so PqCodebookSpec
+    * can drive it on crafted vectors and read the objective curve.
+    * Returns (report, per-round assignment-time objectives
+    * Σ max(x·c − ½|c|²) — spec-only, never hash-gated: a corpus-order
+    * double sum whose NON-DECREASE is equivalent to L2 SSE descent,
+    * since |x−c|² = |x|² − 2(x·c − ½|c|²) and Σ|x|² is constant).
+    *
+    * Round r, ONE corpus pass for all M subspaces: the exploded
+    * (vec_id, sub, sv) frame is scored by a per-sub chain of literal
+    * centroid arrays (M×k dot products against constants, ½|c|²
+    * driver-folded in index order — the oracle's list_reduce twin),
+    * argmax with first-occurrence tiebreak = lowest codeword, then one
+    * agg per (sub, clabel) yields the report row and the next round's
+    * exact-decimal sufficient statistics. Empty codewords drop out
+    * (classic Lloyd); per-sub label literals keep index→codeword
+    * honest when they do.
+    */
+  private[graft] def pqCodebookRounds(vecs: DataFrame, m: Int, subDim: Int,
+      k: Int, rounds: Int): (DataFrame, Seq[Double]) = {
+    val s = vecs.sparkSession
+    import s.implicits._
+    val sv = vecs.select(col("vec_id"),
+        posexplode(array((0 until m).map(j =>
+          slice(col("v"), j * subDim + 1, subDim)): _*)).as(Seq("sub", "sv")))
+      .localCheckpoint(true)
+    // Forgy seeds: the k lowest vec_ids' subvectors, every subspace —
+    // k·m rows of driver state, read verbatim by both engines
+    val seedRows = sv.orderBy("vec_id", "sub").limit(k * m).collect()
+    val seedIds = seedRows.map(_.getLong(0)).distinct.sorted
+    def halfNrm2(c: Seq[Double]): Double = 0.5 * c.map(x => x * x).sum
+    var cents: Map[Int, Seq[(Long, Seq[Double], Double)]] =
+      (0 until m).map { j =>
+        j -> seedIds.zipWithIndex.map { case (id, ci) =>
+          val c = seedRows.find(r => r.getLong(0) == id && r.getInt(1) == j)
+            .get.getSeq[Double](2)
+          (ci.toLong, c, halfNrm2(c))
+        }.toSeq
+      }.toMap
+    var prev: Option[Map[Int, Seq[(Long, Seq[Double], Double)]]] = None
+    val report = Seq.newBuilder[(Long, Long, Long, Long, Option[Long])]
+    val objectives = Seq.newBuilder[Double]
+    (1 to (if (seedIds.isEmpty) 0 else rounds)).foreach { r =>
+      def scoresOf(cs: Map[Int, Seq[(Long, Seq[Double], Double)]]): Column =
+        (1 until m).foldLeft(when(col("sub") === 0,
+            array(cs(0).map { case (_, c, hn) =>
+              dotFast(col("sv"), typedlit(c)) - lit(hn) }: _*))) { (acc, j) =>
+          acc.when(col("sub") === j,
+            array(cs(j).map { case (_, c, hn) =>
+              dotFast(col("sv"), typedlit(c)) - lit(hn) }: _*))
+        }
+      def labelOf(cs: Map[Int, Seq[(Long, Seq[Double], Double)]],
+          sc: Column): Column = {
+        val pos = array_position(sc, array_max(sc)).cast("int")
+        (1 until m).foldLeft(when(col("sub") === 0,
+            element_at(typedlit(cs(0).map(_._1)), pos))) { (acc, j) =>
+          acc.when(col("sub") === j,
+            element_at(typedlit(cs(j).map(_._1)), pos))
+        }
+      }
+      val assigned = sv
+        .withColumn("sc", scoresOf(cents))
+        .withColumn("clabel", labelOf(cents, col("sc")))
+        .withColumn("best", array_max(col("sc")))
+        .withColumn("prev_label",
+          prev.map(p => labelOf(p, scoresOf(p)))
+            .getOrElse(lit(null).cast("long")))
+      val statCols: Seq[Column] = (1 to subDim).map(i =>
+        sum(element_at(col("sv"), i).cast(DecimalType(18, 9)))
+          .cast(DecimalType(30, 9)).as(s"s_$i"))
+      val aggCols: Seq[Column] = Seq(
+        count(lit(1)).as("n"),
+        sum(when(col("prev_label") =!= col("clabel"), 1L).otherwise(0L))
+          .as("moved_in"),
+        sum(col("best")).as("obj")) ++
+        (statCols :+ count(lit(1)).as("cnt"))
+      val rows = assigned.groupBy("sub", "clabel")
+        .agg(aggCols.head, aggCols.tail: _*)
+        .withColumn("cent", array((1 to subDim).map(i =>
+          col(s"s_$i").cast("double") / col("cnt")): _*))
+        .select(col("sub"), col("clabel"), col("n"), col("moved_in"),
+          col("obj"), col("cent"))
+        .collect().sortBy(rw => (rw.getInt(0), rw.getLong(1))) // ≤ m·k rows
+      rows.foreach { row =>
+        report += ((r.toLong, row.getInt(0).toLong, row.getLong(1),
+          row.getLong(2), if (r == 1) None else Some(row.getLong(3))))
+      }
+      objectives += rows.map(_.getDouble(4)).sum
+      prev = Some(cents)
+      cents = rows.groupBy(_.getInt(0)).map { case (sub, rws) =>
+        sub -> rws.toSeq.map { rw =>
+          val c = rw.getSeq[Double](5)
+          (rw.getLong(1), c, halfNrm2(c))
+        }
+      }.toMap
+    }
+    val df = report.result()
+      .toDF("round", "sub", "clabel", "n", "moved_in")
+      .orderBy("round", "sub", "clabel")
+    (df, objectives.result())
+  }
+
+  /** Unrolled per-round CTE stages of the s27 oracle, the SQL twin of
+    * one [[pqCodebookRounds]] pass at subDim = 16, k = 4: c{i-1} →
+    * h{i-1} (½|c|², the same index-ordered fold the driver runs) →
+    * sc{i} (L2 scores x·c − ½|c|²) → a{i} (argmax per (vec, sub),
+    * row_number tiebreak) → r{i} (report row) → c{i} (next codebooks
+    * via [[sqlStatsMeanList]] — the (18,9) exact-decimal mean,
+    * bit-equal to the Spark side).
+    */
+  private def sqlPqRounds(rounds: Int): String =
+    (1 to rounds).map { i =>
+      val prevJoin =
+        if (i > 1) s"JOIN a${i - 1} p ON a.vec_id = p.vec_id AND a.sub = p.sub"
+        else ""
+      val moved =
+        if (i == 1) "NULL::BIGINT"
+        else "sum(CASE WHEN p.clabel <> a.clabel THEN 1 ELSE 0 END)::BIGINT"
+      val cent =
+        if (i < rounds) s""",
+           |c$i AS (SELECT a.sub, a.clabel, ${sqlStatsMeanList("s.sv", 16)} AS cent
+           |  FROM a$i a JOIN sv s ON a.vec_id = s.vec_id AND a.sub = s.sub
+           |  GROUP BY a.sub, a.clabel)""".stripMargin
+        else ""
+      s""",
+         |h${i - 1} AS (SELECT sub, clabel, cent,
+         |    0.5 * list_reduce(list_transform(range(1, 17),
+         |      j -> cent[j] * cent[j]), (x, y) -> x + y) AS hn
+         |  FROM c${i - 1}),
+         |sc$i AS (SELECT s.vec_id, s.sub, c.clabel,
+         |    list_reduce(list_transform(range(1, 17),
+         |      j -> s.sv[j] * c.cent[j]), (x, y) -> x + y) - c.hn AS score
+         |  FROM sv s JOIN h${i - 1} c ON s.sub = c.sub),
+         |a$i AS (SELECT vec_id, sub, clabel FROM (SELECT vec_id, sub, clabel,
+         |    row_number() OVER (PARTITION BY vec_id, sub
+         |      ORDER BY score DESC, clabel) AS rk
+         |  FROM sc$i) WHERE rk = 1),
+         |r$i AS (SELECT $i::BIGINT AS round, a.sub, a.clabel,
+         |    count(*)::BIGINT AS n, $moved AS moved_in
+         |  FROM a$i a $prevJoin GROUP BY a.sub, a.clabel)$cent""".stripMargin
     }.mkString
 
   /** Unrolled per-round CTE stages of the s25 oracle: g{i} → rv/adj/non/

@@ -60,10 +60,12 @@ class RegistrySpec extends AnyFunSuite {
     val driverSide = Set("c12_stream_replay", "c13_stream_ingest_replay",
       "c14_cdc_partitioned", "c15_stream_replay_partitioned",
       "c16_stream_funnel_stateful", "c17_stream_transitions_stateful",
-      "c18_stream_sessionize_stateful",
+      "c18_stream_sessionize_stateful", "c19_stream_dedup_native",
+      "c20_stream_window_latedrop",
       "t41_temperature_mix",
       "t42_bpe_iterated_train", "t43_bpe_compression_curve",
-      "s25_knn_descent_rounds", "s26_kmeans_lloyd_rounds")
+      "s25_knn_descent_rounds", "s26_kmeans_lloyd_rounds",
+      "s27_pq_codebook_train")
     val declared = SparkEntry.registry.filter(_.staticSchema.isDefined)
       .map(_.name).toSet
     assert(declared === driverSide,

@@ -226,6 +226,72 @@ class EventStreamsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("dedupedIngest TTL: a redelivery AFTER state eviction re-emits (the within-watermark contract c19's long delay avoids)") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    // The caveat in dropDuplicatesWithinWatermark's name: state holds a
+    // key only while its event time is inside the watermark window, so a
+    // redelivery carrying a FRESH timestamp (ingest-time reassignment —
+    // the Kafka-retry shape) after the original's state was evicted is
+    // NOT suppressed. c19's gate replay sets the delay to out-span the
+    // replay precisely so this path cannot fire there; this twin pins
+    // that the trade is real, not imagined — memory is bounded by the
+    // redelivery horizon BECAUSE suppression beyond it is surrendered.
+    val in = MemoryStream[EventStreams.Event]
+    val q = EventStreams.dedupedIngest(in.toDS()) // shipped 2 h delay
+      .writeStream.format("memory").queryName("dedup_ttl")
+      .outputMode("append").start()
+    try {
+      // B1: the original sighting of key 1 at 10:00
+      in.addData(EventStreams.Event(1, ts("10:00"), 1, "click", 1.0))
+      q.processAllAvailable()
+      // B2 advances max event time to 16:00 → watermark 14:00; key 2's
+      // state (15:00) stays inside the window
+      in.addData(EventStreams.Event(99, ts("16:00"), 9, "view", 0.0),
+        EventStreams.Event(2, ts("15:00"), 2, "view", 2.0))
+      q.processAllAvailable()
+      // B3: a full batch boundary under watermark 14:00 — key 1's state
+      // (event time 10:00) is evicted no later than this batch
+      in.addData(EventStreams.Event(98, ts("16:05"), 9, "view", 0.0))
+      q.processAllAvailable()
+      // B4: both keys redelivered with fresh timestamps (≥ watermark, so
+      // neither is late-dropped): key 2 is still in state → suppressed;
+      // key 1's state is gone → re-emitted
+      in.addData(EventStreams.Event(1, ts("15:40"), 1, "click", 1.0),
+        EventStreams.Event(2, ts("15:45"), 2, "view", 2.0))
+      q.processAllAvailable()
+      val counts = spark.table("dedup_ttl").collect()
+        .groupBy(_.getLong(0)).view.mapValues(_.length).toMap
+      assert(counts(1L) === 2, s"evicted key must re-emit: $counts")
+      assert(counts(2L) === 1, s"in-window key must stay suppressed: $counts")
+    } finally q.stop()
+  }
+
+  test("c19/c20 gate fixtures are non-vacuous at sf0.01: dupes delivered, stragglers dropped, rollup changed") {
+    import spark.implicits._
+    val ev = graft.core.Tables.events(spark, "/root/testdata/sf0.01")
+    // c19: the redelivery set (event_id ≡ 0 mod 3 inside the ≡13 mod 97
+    // slice) must be nonempty, else the row grades plain passthrough
+    val c19Dupes = ev.filter(col("event_id") % 97 === 13 &&
+      col("event_id") % 3 === 0).count()
+    assert(c19Dupes > 0, "c19 redelivery plant is empty at the gate sf")
+    // c20: the planted straggler set L must be nonempty AND removing it
+    // must change q21's rollup — the hash gate then proves the stream
+    // dropped exactly L
+    val slice = ev.filter(col("event_id") % 97 === 17)
+    val lateL = col("event_id") % 3 === 1 &&
+      col("ts") < lit(java.sql.Timestamp.valueOf("2024-01-08 00:00:00"))
+    assert(slice.filter(lateL).count() > 0,
+      "c20 straggler plant is empty at the gate sf")
+    def rollup(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2)))
+      .toSet
+    assert(rollup(slice) !== rollup(slice.filter(!lateL)),
+      "dropping L must change the hourly rollup (non-vacuity)")
+  }
+
   test("late-but-within-watermark event in a later batch widens session start") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
