@@ -2588,6 +2588,95 @@ object RelationalQueries {
       staticSchema = Some(org.apache.spark.sql.types.StructType.fromDDL(
         "hour TIMESTAMP, event_type STRING, n BIGINT, total_value DOUBLE"))),
 
+    // The STREAM-STREAM JOIN at the driver's gate — the last canonical
+    // stateful operator family with no oracle row (ingest c12/c13/c15,
+    // CDC c14, custom state c16–c18, native dedup c19, windowed agg +
+    // late drop c20 — joins were spec-only). purchaseAttribution is
+    // q34's continuous twin: each purchase inner-joins the SAME user's
+    // clicks in the preceding window, both sides watermarked, the time
+    // bound being what lets the engine expire buffered clicks once no
+    // future purchase can match them — state tracks the watermark
+    // horizon, not history. The fixture slice is event_id ≡ 4 mod 13
+    // with a 72-hour window (the 1-hour default finds zero pairs on a
+    // 1/13 subsample — thinning a self-join thins pairs quadratically);
+    // delivery is three FULLY md5-shuffled batches, so a pair's click
+    // and purchase routinely land in different batches in either order
+    // and matching can only come from cross-batch join state (the
+    // allowance out-spans the replay; expiry is EventStreamsSpec's
+    // bounded-state twin, and EventStreamsSpec pins that cross-batch
+    // pairs exist at this gate's sf — non-vacuity). Inner join in
+    // append mode emits each matched pair exactly once, when its later
+    // side arrives — no sentinels needed; the store must hash-equal
+    // DuckDB's batch interval join.
+    Q("c21_stream_stream_join",
+      "purchases ⋈ same-user clicks (72 h window) from a REAL stream-stream interval join over 3 md5-shuffled batches, hash-equal to the batch recompute",
+      (s, d) => {
+        import s.implicits._
+        implicit val sq = s.sqlContext
+        import graft.streaming.EventStreams
+        import graft.streaming.EventStreams.Event
+        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+        val slice = Tables.events(s, d)
+          .filter(col("event_id") % 13 === 4)
+          .select("event_id", "ts", "user_id", "event_type", "value")
+          .as[Event].collect()
+        val md = java.security.MessageDigest.getInstance("MD5")
+        def hx(id: Long): String =
+          md.digest(s"c21_$id".getBytes("UTF-8"))
+            .map("%02x".format(_)).mkString
+        val shuffled = slice.sortBy(e => hx(e.event_id))
+        val root = java.nio.file.Files
+          .createTempDirectory("c21_ssjoin").toString
+        val wh = new graft.compendium.Warehouse(s, root)
+        val in = MemoryStream[Event]
+        val savedParts = s.conf.get("spark.sql.shuffle.partitions")
+        val q =
+          try {
+            s.conf.set("spark.sql.shuffle.partitions", "4")
+            EventStreams.purchaseAttribution(in.toDS(),
+                watermark = "3650 days", windowHours = 72)
+              .writeStream.outputMode("append")
+              .foreachBatch { (b: DataFrame, epoch: Long) =>
+                // append-only: a pair emits once, when its later side
+                // arrives; match-free batches skip the store
+                if (!b.isEmpty) wh.append("c21_pairs", b)
+              }
+              .start()
+          } finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
+        try {
+          val third = math.max((shuffled.length + 2) / 3, 1)
+          shuffled.grouped(third).foreach { b =>
+            in.addData(b.toSeq)
+            q.processAllAvailable()
+          }
+        } finally q.stop()
+        import org.apache.spark.sql.types._
+        wh.readOrEmpty("c21_pairs", StructType(Seq(
+            StructField("user_id", LongType),
+            StructField("purchase_id", LongType),
+            StructField("purchase_ts", TimestampType),
+            StructField("click_id", LongType),
+            StructField("click_ts", TimestampType),
+            StructField("value", DoubleType))))
+          .select("user_id", "purchase_id", "purchase_ts",
+            "click_id", "click_ts", "value")
+          .orderBy("purchase_id", "click_id")
+      },
+      Some("""WITH ev AS (SELECT event_id, ts::TIMESTAMP AS ts, user_id, event_type, value
+             |  FROM events WHERE event_id % 13 = 4),
+             |c AS (SELECT user_id, ts AS click_ts, event_id AS click_id
+             |  FROM ev WHERE event_type = 'click'),
+             |p AS (SELECT user_id, ts AS purchase_ts, event_id AS purchase_id, value
+             |  FROM ev WHERE event_type = 'purchase')
+             |SELECT p.user_id, purchase_id, purchase_ts, click_id, click_ts, value
+             |FROM p JOIN c ON p.user_id = c.user_id
+             |  AND click_ts <= purchase_ts
+             |  AND click_ts >= purchase_ts - INTERVAL 72 HOUR
+             |ORDER BY purchase_id, click_id""".stripMargin),
+      staticSchema = Some(org.apache.spark.sql.types.StructType.fromDDL(
+        "user_id BIGINT, purchase_id BIGINT, purchase_ts TIMESTAMP, " +
+          "click_id BIGINT, click_ts TIMESTAMP, value DOUBLE"))),
+
     // DATA-QUALITY constraint audit — the pre-publish validation suite
     // (Deequ / Great Expectations / dbt tests): a declared constraint
     // set over a table, each check a violation COUNT with a verdict,

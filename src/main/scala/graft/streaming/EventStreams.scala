@@ -639,7 +639,7 @@ object EventStreams extends Serializable {
     * the same semantics the batch twin sees on the non-dropped subset.
     */
   def purchaseAttribution(events: Dataset[Event],
-      watermark: String = "2 hours"): DataFrame = {
+      watermark: String = "2 hours", windowHours: Int = 1): DataFrame = {
     val clicks = events.toDF()
       .filter(col("event_type") === "click")
       .select(col("user_id"), col("ts").as("click_ts"),
@@ -653,7 +653,8 @@ object EventStreams extends Serializable {
     purchases.join(clicks,
         col("p_user_id") === col("user_id") &&
           col("click_ts") <= col("purchase_ts") &&
-          col("click_ts") >= col("purchase_ts") - expr("INTERVAL 1 HOUR"))
+          col("click_ts") >= col("purchase_ts") -
+            expr(s"INTERVAL $windowHours HOUR"))
       .select(col("user_id"), col("purchase_id"), col("purchase_ts"),
         col("click_id"), col("click_ts"), col("value"))
   }

@@ -292,6 +292,38 @@ class EventStreamsSpec extends SparkTestBase {
       "dropping L must change the hourly rollup (non-vacuity)")
   }
 
+  test("c21 gate fixture is non-vacuous at sf0.01: pairs exist and at least one pair CROSSES the md5 batch split") {
+    import spark.implicits._
+    // the row grades cross-batch join state; if every matched pair's
+    // click and purchase landed in the same micro-batch, intra-batch
+    // joining would pass the hash gate without any state surviving a
+    // batch boundary — recompute the row's exact md5 thirds and assert
+    // a crossing pair exists
+    val ev = graft.core.Tables.events(spark, "/root/testdata/sf0.01")
+      .filter(col("event_id") % 13 === 4)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2),
+        r.getString(3)))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def hx(id: Long): String =
+      md.digest(s"c21_$id".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val order = ev.sortBy(e => hx(e._1)).map(_._1).zipWithIndex.toMap
+    val third = math.max((ev.length + 2) / 3, 1)
+    def batchOf(id: Long): Int = order(id) / third
+    val clicks = ev.filter(_._4 == "click")
+    val purchases = ev.filter(_._4 == "purchase")
+    val pairs = for {
+      p <- purchases
+      c <- clicks
+      if c._3 == p._3 && !c._2.after(p._2) &&
+        p._2.getTime - c._2.getTime <= 72L * 3600 * 1000
+    } yield (p._1, c._1)
+    assert(pairs.nonEmpty, "c21 slice has no matched pairs at the gate sf")
+    assert(pairs.exists { case (p, c) => batchOf(p) != batchOf(c) },
+      "every matched pair is intra-batch: the replay never exercises " +
+        "cross-batch join state — re-seed the md5 split")
+  }
+
   test("late-but-within-watermark event in a later batch widens session start") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
