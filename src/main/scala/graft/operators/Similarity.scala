@@ -2133,7 +2133,98 @@ object Similarity {
              |ORDER BY round, sub, clabel""".stripMargin),
       // driver-side loop: constructing the plan runs the per-round collects
       staticSchema = Some(org.apache.spark.sql.types.StructType.fromDDL(
-        "round BIGINT, sub BIGINT, clabel BIGINT, n BIGINT, moved_in BIGINT")))
+        "round BIGINT, sub BIGINT, clabel BIGINT, n BIGINT, moved_in BIGINT"))),
+
+    // DOES TRAINING IMPROVE SEARCH — the audit that closes the PQ
+    // lifecycle: s27 trains codebooks, s06/s07 search against fixed
+    // ones; this row ENCODES the corpus under the codebook of each
+    // s27 training round and measures ADC top-5 recall against the
+    // exact cosine top-5 — the recall-vs-training-rounds curve a
+    // quantizer build signs off on before shipping an index (the s14 /
+    // s21 curve discipline applied to the training axis). Trains on
+    // the NORMALIZED corpus (quantizing direction, the cosine-search
+    // regime; s27 grades the raw-corpus trainer — same loop, one
+    // shared pqTrain). ADC distance decomposes per subspace
+    // (Σ_sub |q_sub|² − 2·q_sub·c + |c|²) and the M terms fold in
+    // FIXED subspace order — a plain SUM would reassociate by shuffle
+    // order and flip last-ulp ties at the rank-5 boundary, the exact
+    // failure class the s26 decimal discipline exists for. Scale
+    // shape: codes ⋈ codebook and queries enter BROADCAST; the corpus
+    // never reshuffles; the one wide exchange is the per-(query, vec)
+    // term fold — |q|·n·M rows, output-bound like s06's ADC scan.
+    // PqCodebookSpec pins that round-3 recall dominates round-1 on a
+    // planted per-subspace-clustered corpus (training genuinely helps)
+    // and that the grid is complete on the real fixture.
+    Q("s28_pq_train_recall",
+      "ADC top-5 recall vs exact, per s27 training round: the recall-vs-rounds curve — encode under each round's codebook, fixed-order term fold, one shared trainer",
+      (s, d) => pqTrainRecall(vectors(s, d),
+        m = 4, subDim = 16, k = 16, rounds = 3),
+      Some(s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+             |n AS (SELECT vec_id, v,
+             |  sqrt(list_reduce(list_transform(range(1, 65), i -> v[i] * v[i]), (x, y) -> x + y)) AS nrm
+             |FROM e),
+             |nv AS (SELECT vec_id, list_transform(v, x -> x / nrm) AS v FROM n),
+             |sv AS (SELECT vec_id, t.sub, v[t.sub * 16 + 1 : t.sub * 16 + 16] AS sv
+             |  FROM nv CROSS JOIN range(0, 4) t(sub)),
+             |c0 AS (SELECT sub, rk - 1 AS clabel, sv AS cent FROM (
+             |    SELECT sub, sv,
+             |      row_number() OVER (PARTITION BY sub ORDER BY vec_id) AS rk
+             |    FROM sv) WHERE rk <= 16)${sqlPqRounds(4)},
+             |cb AS (SELECT 1 AS round, sub, clabel, cent FROM c1
+             |  UNION ALL SELECT 2, sub, clabel, cent FROM c2
+             |  UNION ALL SELECT 3, sub, clabel, cent FROM c3),
+             |code AS (SELECT 1 AS round, vec_id, sub, clabel FROM a2
+             |  UNION ALL SELECT 2, vec_id, sub, clabel FROM a3
+             |  UNION ALL SELECT 3, vec_id, sub, clabel FROM a4),
+             |h AS (SELECT round, sub, clabel, cent,
+             |    list_reduce(list_transform(range(1, 17), j -> cent[j] * cent[j]),
+             |      (x, y) -> x + y) AS cnrm2
+             |  FROM cb),
+             |qs AS (SELECT vec_id AS query_id, sub, sv AS qsv,
+             |    list_reduce(list_transform(range(1, 17), j -> sv[j] * sv[j]),
+             |      (x, y) -> x + y) AS qs2
+             |  FROM sv WHERE vec_id % 50 = 0 AND vec_id < 2000),
+             |tm AS (SELECT code.round, qs.query_id, code.vec_id, code.sub,
+             |    qs.qs2 - 2.0 * list_reduce(list_transform(range(1, 17),
+             |      j -> qs.qsv[j] * h.cent[j]), (x, y) -> x + y) + h.cnrm2 AS term
+             |  FROM code
+             |  JOIN h ON code.round = h.round AND code.sub = h.sub
+             |    AND code.clabel = h.clabel
+             |  JOIN qs ON qs.sub = code.sub
+             |  WHERE code.vec_id <> qs.query_id),
+             |dd AS (SELECT round, query_id, vec_id,
+             |    sum(CASE WHEN sub = 0 THEN term END)
+             |      + sum(CASE WHEN sub = 1 THEN term END)
+             |      + sum(CASE WHEN sub = 2 THEN term END)
+             |      + sum(CASE WHEN sub = 3 THEN term END) AS dist2
+             |  FROM tm GROUP BY round, query_id, vec_id),
+             |adc AS (SELECT round, query_id, vec_id FROM (
+             |    SELECT round, query_id, vec_id,
+             |      row_number() OVER (PARTITION BY round, query_id
+             |        ORDER BY dist2, vec_id) AS rk
+             |    FROM dd) WHERE rk <= 5),
+             |qfull AS (SELECT vec_id AS query_id, v AS qv FROM nv
+             |  WHERE vec_id % 50 = 0 AND vec_id < 2000),
+             |tr AS (SELECT query_id, vec_id FROM (SELECT q.query_id, nv.vec_id,
+             |    row_number() OVER (PARTITION BY q.query_id ORDER BY
+             |      list_reduce(list_transform(range(1, 65),
+             |        i -> nv.v[i] * q.qv[i]), (x, y) -> x + y) DESC,
+             |      nv.vec_id) AS rk
+             |  FROM nv CROSS JOIN qfull q WHERE nv.vec_id <> q.query_id)
+             |  WHERE rk <= 5),
+             |hits AS (SELECT a.round, a.query_id, count(*)::BIGINT AS n
+             |  FROM adc a JOIN tr USING (query_id, vec_id) GROUP BY 1, 2),
+             |grid AS (SELECT query_id, r.round
+             |  FROM (SELECT DISTINCT query_id FROM qs) CROSS JOIN range(1, 4) r(round))
+             |SELECT g.query_id, g.round,
+             |  coalesce(h2.n, 0)::BIGINT AS n_hits,
+             |  coalesce(h2.n, 0) / 5.0 AS recall
+             |FROM grid g LEFT JOIN hits h2
+             |  ON g.query_id = h2.query_id AND g.round = h2.round
+             |ORDER BY g.query_id, g.round""".stripMargin),
+      // driver-side: the trainer's per-round collects run at plan time
+      staticSchema = Some(org.apache.spark.sql.types.StructType.fromDDL(
+        "query_id BIGINT, round BIGINT, n_hits BIGINT, recall DOUBLE")))
   )
 
   /** s26's engine over any (vec_id, v, nrm) frame — public so
@@ -2262,6 +2353,47 @@ object Similarity {
     */
   private[graft] def pqCodebookRounds(vecs: DataFrame, m: Int, subDim: Int,
       k: Int, rounds: Int): (DataFrame, Seq[Double]) = {
+    val t = pqTrain(vecs, m, subDim, k, rounds)
+    (t.report, t.objectives)
+  }
+
+  /** One subspace's codebook entries: (codeword id, centroid, ½|c|²). */
+  private type PqBook = Seq[(Long, Seq[Double], Double)]
+
+  /** Trained PQ state: the checkpointed exploded (vec_id, sub, sv)
+    * frame, the report/objective curves, and the codebooks AFTER each
+    * round (cents(r-1) = round r's update) — what s28 encodes and
+    * searches against.
+    */
+  private[graft] final case class PqTrained(sv: DataFrame, report: DataFrame,
+      objectives: Seq[Double], cents: Seq[Map[Int, PqBook]])
+
+  /** L2 score array vs each of the row's OWN subspace's literal
+    * centroids: x·c − ½|c|² (argmax ⇔ argmin |x−c|²), chained per sub.
+    */
+  private def pqScores(m: Int, cs: Map[Int, PqBook]): Column =
+    (1 until m).foldLeft(when(col("sub") === 0,
+        array(cs(0).map { case (_, c, hn) =>
+          dotFast(col("sv"), typedlit(c)) - lit(hn) }: _*))) { (acc, j) =>
+      acc.when(col("sub") === j,
+        array(cs(j).map { case (_, c, hn) =>
+          dotFast(col("sv"), typedlit(c)) - lit(hn) }: _*))
+    }
+
+  /** Codeword of the argmax score, first-occurrence tiebreak = lowest
+    * codeword id (the oracle's row_number ORDER BY score DESC, clabel).
+    */
+  private def pqLabels(m: Int, cs: Map[Int, PqBook], sc: Column): Column = {
+    val pos = array_position(sc, array_max(sc)).cast("int")
+    (1 until m).foldLeft(when(col("sub") === 0,
+        element_at(typedlit(cs(0).map(_._1)), pos))) { (acc, j) =>
+      acc.when(col("sub") === j,
+        element_at(typedlit(cs(j).map(_._1)), pos))
+    }
+  }
+
+  private[graft] def pqTrain(vecs: DataFrame, m: Int, subDim: Int,
+      k: Int, rounds: Int): PqTrained = {
     val s = vecs.sparkSession
     import s.implicits._
     val sv = vecs.select(col("vec_id"),
@@ -2273,7 +2405,7 @@ object Similarity {
     val seedRows = sv.orderBy("vec_id", "sub").limit(k * m).collect()
     val seedIds = seedRows.map(_.getLong(0)).distinct.sorted
     def halfNrm2(c: Seq[Double]): Double = 0.5 * c.map(x => x * x).sum
-    var cents: Map[Int, Seq[(Long, Seq[Double], Double)]] =
+    var cents: Map[Int, PqBook] =
       (0 until m).map { j =>
         j -> seedIds.zipWithIndex.map { case (id, ci) =>
           val c = seedRows.find(r => r.getLong(0) == id && r.getInt(1) == j)
@@ -2281,27 +2413,14 @@ object Similarity {
           (ci.toLong, c, halfNrm2(c))
         }.toSeq
       }.toMap
-    var prev: Option[Map[Int, Seq[(Long, Seq[Double], Double)]]] = None
+    var prev: Option[Map[Int, PqBook]] = None
     val report = Seq.newBuilder[(Long, Long, Long, Long, Option[Long])]
     val objectives = Seq.newBuilder[Double]
+    val perRound = Seq.newBuilder[Map[Int, PqBook]]
     (1 to (if (seedIds.isEmpty) 0 else rounds)).foreach { r =>
-      def scoresOf(cs: Map[Int, Seq[(Long, Seq[Double], Double)]]): Column =
-        (1 until m).foldLeft(when(col("sub") === 0,
-            array(cs(0).map { case (_, c, hn) =>
-              dotFast(col("sv"), typedlit(c)) - lit(hn) }: _*))) { (acc, j) =>
-          acc.when(col("sub") === j,
-            array(cs(j).map { case (_, c, hn) =>
-              dotFast(col("sv"), typedlit(c)) - lit(hn) }: _*))
-        }
-      def labelOf(cs: Map[Int, Seq[(Long, Seq[Double], Double)]],
-          sc: Column): Column = {
-        val pos = array_position(sc, array_max(sc)).cast("int")
-        (1 until m).foldLeft(when(col("sub") === 0,
-            element_at(typedlit(cs(0).map(_._1)), pos))) { (acc, j) =>
-          acc.when(col("sub") === j,
-            element_at(typedlit(cs(j).map(_._1)), pos))
-        }
-      }
+      def scoresOf(cs: Map[Int, PqBook]): Column = pqScores(m, cs)
+      def labelOf(cs: Map[Int, PqBook], sc: Column): Column =
+        pqLabels(m, cs, sc)
       val assigned = sv
         .withColumn("sc", scoresOf(cents))
         .withColumn("clabel", labelOf(cents, col("sc")))
@@ -2337,11 +2456,88 @@ object Similarity {
           (rw.getLong(1), c, halfNrm2(c))
         }
       }.toMap
+      perRound += cents
     }
     val df = report.result()
       .toDF("round", "sub", "clabel", "n", "moved_in")
       .orderBy("round", "sub", "clabel")
-    (df, objectives.result())
+    PqTrained(sv, df, objectives.result(), perRound.result())
+  }
+
+  /** s28's engine: train M×k PQ codebooks on the NORMALIZED corpus
+    * ([[pqTrain]], the s27 loop verbatim), then for each round's
+    * codebook encode the corpus and run ADC top-5 for the fixed query
+    * set, counting hits against the exact cosine top-5 — the
+    * recall-vs-training-rounds curve a quantizer build signs off on.
+    *
+    * Exactness discipline: ADC distance to an encoded vector is
+    * Σ_sub (|q_sub|² − 2·q_sub·c + |c|²). The per-sub terms are
+    * computed once each (dotFast + driver/list_reduce folds, the
+    * established bit-equal kernels) and summed in FIXED subspace order
+    * (t0+t1+t2+t3, left-associated in both engines) — a plain SUM over
+    * the M rows would reassociate by shuffle order and flip last-ulp
+    * ties at the rank-5 boundary. Codes join their codebook as a
+    * BROADCAST dim (M·k rows); the query set joins broadcast (s01's
+    * discipline); the corpus never reshuffles for probes — the one
+    * wide exchange is the per-(query, vec) term fold.
+    */
+  private[graft] def pqTrainRecall(vecs: DataFrame, m: Int, subDim: Int,
+      k: Int, rounds: Int): DataFrame = {
+    val s = vecs.sparkSession
+    import s.implicits._
+    val vn = vecs.select(col("vec_id"),
+        transform(col("v"), x => x / col("nrm")).as("v"))
+      .localCheckpoint(true)
+    val t = pqTrain(vn, m, subDim, k, rounds)
+    val qv = vn.filter(col("vec_id") % 50 === 0 && col("vec_id") < 2000)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val qsub = qv.select(col("query_id"),
+        posexplode(array((0 until m).map(j =>
+          slice(col("qv"), j * subDim + 1, subDim)): _*)).as(Seq("sub", "qsv")))
+      .withColumn("qs2", dotFast(col("qsv"), col("qsv")))
+    val wAdc = Window.partitionBy(col("round"), col("query_id"))
+      .orderBy(col("dist2").asc, col("vec_id").asc)
+    val approx = t.cents.zipWithIndex.map { case (cb, i) =>
+      val cbDf = cb.toSeq.flatMap { case (sub, book) =>
+        book.map { case (cl, c, hn) => (sub, cl, c, 2.0 * hn) }
+      }.toDF("sub", "clabel", "cent", "cnrm2")
+      t.sv
+        .withColumn("clabel", pqLabels(m, cb, pqScores(m, cb)))
+        .join(broadcast(cbDf), Seq("sub", "clabel"))
+        .join(broadcast(qsub), Seq("sub"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .withColumn("term",
+          col("qs2") - lit(2.0) * dotFast(col("qsv"), col("cent")) +
+            col("cnrm2"))
+        .groupBy(col("query_id"), col("vec_id"))
+        .agg(sum(when(col("sub") === 0, col("term"))).as("t0"),
+          (1 until m).map(j =>
+            sum(when(col("sub") === j, col("term"))).as(s"t$j")): _*)
+        .withColumn("dist2", (1 until m).foldLeft[Column](col("t0")) {
+          (acc, j) => acc + col(s"t$j") })
+        .withColumn("round", lit((i + 1).toLong))
+        .withColumn("adc_rank", row_number().over(wAdc))
+        .filter(col("adc_rank") <= 5)
+        .select(col("round"), col("query_id"), col("vec_id"))
+    }.reduce(_ unionAll _)
+    val wT = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    val truth = vn.crossJoin(broadcast(qv))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cosine", dotFast(col("v"), col("qv")))
+      .withColumn("rank", row_number().over(wT))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("vec_id"))
+    val hits = approx.join(truth, Seq("query_id", "vec_id"))
+      .groupBy(col("round"), col("query_id"))
+      .agg(count(lit(1)).as("hits"))
+    val grid = qv.select(col("query_id"))
+      .crossJoin((1 to rounds).map(_.toLong).toDF("round"))
+    grid.join(hits, Seq("round", "query_id"), "left")
+      .select(col("query_id"), col("round"),
+        coalesce(col("hits"), lit(0L)).as("n_hits"))
+      .withColumn("recall", col("n_hits") / lit(5.0))
+      .orderBy("query_id", "round")
   }
 
   /** Unrolled per-round CTE stages of the s27 oracle, the SQL twin of

@@ -65,7 +65,7 @@ class RegistrySpec extends AnyFunSuite {
       "t41_temperature_mix",
       "t42_bpe_iterated_train", "t43_bpe_compression_curve",
       "s25_knn_descent_rounds", "s26_kmeans_lloyd_rounds",
-      "s27_pq_codebook_train")
+      "s27_pq_codebook_train", "s28_pq_train_recall")
     val declared = SparkEntry.registry.filter(_.staticSchema.isDefined)
       .map(_.name).toSet
     assert(declared === driverSide,

@@ -2,8 +2,8 @@ package graft.operators
 
 import graft.SparkTestBase
 import graft.core.Tables
-import graft.functions.Portable.vecD
-import org.apache.spark.sql.functions.col
+import graft.functions.Portable.{dotFast, vecD}
+import org.apache.spark.sql.functions.{col, sqrt}
 
 /** s27 PQ codebook training — the claims the oracle hash can't see:
   * the L2 objective's round-over-round descent (via the equivalent
@@ -87,5 +87,71 @@ class PqCodebookSpec extends SparkTestBase {
     assert(moved2 > 0L,
       "round 2 moved nothing: the iterated codebook build is vacuously " +
         "one-shot on the fixture — reseed or re-craft")
+  }
+
+  /** 200 16-dim vectors in 40 TIGHT five-member blobs for the s28
+    * recall curve: blob b = i % 40 is one-hot (b % 8) in subspace 0 and
+    * one-hot (b / 8) in subspace 1 (patterns 0–4 of 8). A CORRECT
+    * product quantizer puts each blob in its own (8 × 8)-cell, so ADC
+    * top-5 finds the 4 blob-mates; the Forgy seeds (vec_ids 0–7 =
+    * blobs 0–7) cover only subspace-1 pattern 0, so the round-1
+    * codebook starts blind to patterns 1–4 and only iteration spreads
+    * codewords to them — the curve has real ground to gain.
+    */
+  private def plantedTight(n: Int = 200) = {
+    import spark.implicits._
+    graft.plans.VectorExpressions.register(spark)
+    val rnd = new scala.util.Random(27L)
+    val rows = (0 until n).map { i =>
+      val b = i % 40
+      val v = Array.tabulate(16) { d =>
+        val signal =
+          if (d < 8) { if (d == b % 8) 1.0 else 0.0 }
+          else { if (d - 8 == b / 8) 1.0 else 0.0 }
+        signal + 0.1 * (rnd.nextDouble() * 2 - 1)
+      }
+      (i.toLong, v)
+    }
+    rows.toDF("vec_id", "v")
+      .withColumn("nrm", sqrt(dotFast(col("v"), col("v"))))
+  }
+
+  test("s28 planted corpus: training helps — degenerate Forgy seeds recover the planted cells and recall rises") {
+    val out = Similarity.pqTrainRecall(plantedTight(),
+      m = 2, subDim = 8, k = 8, rounds = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    // query grid: vec_id % 50 == 0 below 2000 → 4 queries × 3 rounds
+    assert(out.length === 12, s"grid incomplete: ${out.length} rows")
+    def mean(r: Long): Double = {
+      val xs = out.filter(_._2 == r).map(_._4)
+      xs.sum / xs.length
+    }
+    info(s"planted recall curve: r1=${mean(1)} r2=${mean(2)} r3=${mean(3)}")
+    assert(mean(3L) >= mean(1L),
+      s"training regressed recall: r1=${mean(1L)} r3=${mean(3L)}")
+    assert(mean(3L) >= 0.5,
+      s"trained codebook fails to recover the planted cells: ${mean(3L)}")
+  }
+
+  test("s28 real fixture: grid complete, hits bounded, recall consistent, curve not flat") {
+    graft.plans.VectorExpressions.register(spark)
+    val vecs = Tables.embeddings(spark, "/root/testdata/sf0.01")
+      .select(col("vec_id"), vecD(col("embedding")).as("v"))
+      .withColumn("nrm", sqrt(dotFast(col("v"), col("v"))))
+    val out = Similarity.pqTrainRecall(vecs, m = 4, subDim = 16,
+      k = 16, rounds = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    val queries = out.map(_._1).distinct
+    assert(queries.nonEmpty, "empty query grid on the real fixture")
+    assert(out.length === queries.length * 3, "missing (query, round) rows")
+    assert(out.forall(t => t._3 >= 0L && t._3 <= 5L), "hits out of [0,5]")
+    assert(out.forall(t => t._4 == t._3 / 5.0), "recall != n_hits/5")
+    val byRound = (1L to 3L).map(r =>
+      out.filter(_._2 == r).map(t => t._1 -> t._3).toMap)
+    assert(byRound.distinct.size > 1,
+      "identical ADC hits at every round: the per-round encode is " +
+        "vacuously one-shot on the fixture")
   }
 }
