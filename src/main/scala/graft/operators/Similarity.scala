@@ -2497,7 +2497,10 @@ object Similarity {
       .withColumn("qs2", dotFast(col("qsv"), col("qsv")))
     val wAdc = Window.partitionBy(col("round"), col("query_id"))
       .orderBy(col("dist2").asc, col("vec_id").asc)
-    val approx = t.cents.zipWithIndex.map { case (cb, i) =>
+    // an EMPTY corpus trains no codebooks — zero rounds, empty curve
+    // (reduce over zero round legs would throw, the seed-from-sample
+    // crash class the degenerate-input sweep polices)
+    val legs = t.cents.zipWithIndex.map { case (cb, i) =>
       val cbDf = cb.toSeq.flatMap { case (sub, book) =>
         book.map { case (cl, c, hn) => (sub, cl, c, 2.0 * hn) }
       }.toDF("sub", "clabel", "cent", "cnrm2")
@@ -2519,7 +2522,11 @@ object Similarity {
         .withColumn("adc_rank", row_number().over(wAdc))
         .filter(col("adc_rank") <= 5)
         .select(col("round"), col("query_id"), col("vec_id"))
-    }.reduce(_ unionAll _)
+    }
+    val approx = legs
+      .reduceOption(_ unionAll _)
+      .getOrElse(Seq.empty[(Long, Long, Long)]
+        .toDF("round", "query_id", "vec_id"))
     val wT = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("vec_id").asc)
     val truth = vn.crossJoin(broadcast(qv))
