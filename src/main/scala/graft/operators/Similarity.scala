@@ -2224,7 +2224,69 @@ object Similarity {
              |ORDER BY g.query_id, g.round""".stripMargin),
       // driver-side: the trainer's per-round collects run at plan time
       staticSchema = Some(org.apache.spark.sql.types.StructType.fromDDL(
-        "query_id BIGINT, round BIGINT, n_hits BIGINT, recall DOUBLE")))
+        "query_id BIGINT, round BIGINT, n_hits BIGINT, recall DOUBLE"))),
+
+    // DELETION PROPAGATION through the vector index — t44's
+    // counterpart on the s09/s10 centroid store, and the reason the
+    // store keeps DECIMAL per-dimension SUMS instead of means: sums
+    // form a GROUP (subtraction is exact), so erasing vectors is one
+    // fold over the tombstoned batch DECREMENTED from the store —
+    // corpus never re-read, store rewritten at k×dim size — and the
+    // result is BIT-EQUAL to rebuilding the statistics from the
+    // surviving members (decimal subtraction never rounds; the cast to
+    // double happens once, after the fold, in both engines). A
+    // mean-grain store cannot honor erasure this way, and min()-grain
+    // stores (the dedup sidecar's canonical) cannot at all without
+    // member lists — the store-design lesson ForgetSpec pins from both
+    // sides. Forget set: stored members (vec_id ≢ 4 mod 5) with
+    // vec_id ≡ 2 mod 7 — every deletion shifts its cluster's sums and
+    // count, so the gate is non-vacuous at any SF. A cluster whose
+    // members are ALL erased drops from the store (classic Lloyd;
+    // spec-planted). Output is s10's gate shape (per-(cluster, dim)
+    // folded sum / count / mean) so the two directions of maintenance
+    // grade on the same surface.
+    Q("s29_forget_centroids",
+      "right-to-be-forgotten on the centroid store: tombstoned vectors' exact-decimal sums DECREMENTED — bit-equal to a rebuild over the surviving members",
+      (s, d) => {
+        graft.plans.VectorExpressions.register(s)
+        import org.apache.spark.sql.functions.posexplode
+        val store = s.read.parquet(centroidStore(s, d))
+        val gone = Tables.embeddings(s, d)
+          .filter(col("vec_id") % 5 =!= 4 && col("vec_id") % 7 === 2)
+          .select(col("label").cast("long").as("clabel"),
+            vecD(col("embedding")).as("v"))
+        val decCols: Seq[Column] = (1 to Dim).map(i =>
+          sum(element_at(col("v"), i).cast(DecimalType(18, 9)))
+            .cast(DecimalType(30, 9)).as(s"d_$i")) :+
+          count(lit(1)).as("dcnt")
+        val dec = gone.groupBy("clabel").agg(decCols.head, decCols.tail: _*)
+        val folded = store.join(broadcast(dec), Seq("clabel"), "left")
+          .select(col("clabel") +: ((1 to Dim).map(i =>
+            (col(s"s_$i") - coalesce(col(s"d_$i"),
+              lit(0).cast(DecimalType(30, 9))))
+              .cast(DecimalType(30, 9)).as(s"s_$i")) :+
+            (col("cnt") - coalesce(col("dcnt"), lit(0L))).as("cnt")): _*)
+          .filter(col("cnt") > 0)
+        folded.select(col("clabel"), col("cnt").as("upd_cnt"),
+            posexplode(array((1 to Dim).map(i => col(s"s_$i")): _*))
+              .as(Seq("pos", "f")))
+          .select(col("clabel"), (col("pos") + 1).as("dim"),
+            col("f").cast("double").as("upd_sum"), col("upd_cnt"),
+            (col("f").cast("double") / col("upd_cnt")).as("upd_mean"))
+          .orderBy("clabel", "dim")
+      },
+      Some(s"""WITH e AS (SELECT vec_id, label::BIGINT AS clabel,
+             |    list_transform(embedding, x -> x::DOUBLE) AS v
+             |  FROM embeddings),
+             |idx AS (SELECT unnest(range(1, ${Dim + 1})) AS dim)
+             |SELECT clabel, dim,
+             |  CAST(sum(CAST(v[dim] AS VARCHAR)::DECIMAL(18,9))::DECIMAL(30,9) AS DOUBLE) AS upd_sum,
+             |  count(*)::BIGINT AS upd_cnt,
+             |  CAST(sum(CAST(v[dim] AS VARCHAR)::DECIMAL(18,9))::DECIMAL(30,9) AS DOUBLE) / count(*) AS upd_mean
+             |FROM e CROSS JOIN idx
+             |WHERE vec_id % 5 <> 4 AND vec_id % 7 <> 2
+             |GROUP BY clabel, dim
+             |ORDER BY clabel, dim""".stripMargin))
   )
 
   /** s26's engine over any (vec_id, v, nrm) frame — public so

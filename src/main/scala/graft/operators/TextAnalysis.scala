@@ -2276,7 +2276,42 @@ object TextAnalysis {
       // shares t42's loop — `.schema` would execute it
       staticSchema = Some(org.apache.spark.sql.types.StructType.fromDDL(
         "round BIGINT, total_tokens BIGINT, total_chars BIGINT, " +
-          "chars_per_token DOUBLE")))
+          "chars_per_token DOUBLE"))),
+
+    // DELETION PROPAGATION through the retrieval store — the
+    // right-to-be-forgotten / takedown path a production corpus must
+    // run (GDPR erasure, poisoned-document removal): forgetting a
+    // document is NOT just dropping its rows, because the store's
+    // derived statistics embed it — N, avgdl and every df shift, so
+    // EVERY query's BM25 scores change. t44 applies a tombstone list
+    // (doc_id ≡ 3 mod 25, disjoint from the pinned query window by
+    // arithmetic) to the t32 postings store as one BROADCAST anti-join
+    // on the store scan, re-derives all statistics from the surviving
+    // postings (the shared bm25TopKOverPostings tail — deletion and
+    // the live path CANNOT diverge on derivation), and must be
+    // bit-equal to t31's integer-exact recompute on the corpus MINUS
+    // the forgotten set. The postings store can honor erasure this way
+    // BECAUSE it persists member grain (doc_id rows); contrast the
+    // hash-grain dedup sidecar, whose min()-canonical is not
+    // decrementable without member lists — the store-design lesson
+    // ForgetSpec pins (with s29's group-property counterpart on the
+    // centroid store). Scale: tombstones broadcast; the store scans
+    // once, never shuffles; everything downstream is t32's plan.
+    Q("t44_forget_postings",
+      "right-to-be-forgotten on the BM25 postings store: broadcast tombstone anti-join, stats re-derived from survivors — bit-equal to the recompute on the reduced corpus",
+      (s, d) => {
+        val st = s.read.parquet(bm25StorePath(s, d))
+          .select("doc_id", "token", "tf", "dl")
+        val tombstones = st.select("doc_id").distinct()
+          .filter(col("doc_id") % 25 === 3)
+        bm25TopKOverPostings(
+          st.join(broadcast(tombstones), Seq("doc_id"), "left_anti"))
+      },
+      Some(s"""WITH ${sqlBm25AgOver("(SELECT * FROM documents WHERE doc_id % 25 <> 3)")},
+             |br AS (SELECT query_id, doc_id, score, n_terms, row_number() OVER (
+             |    PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank FROM bag)
+             |SELECT query_id, rank, doc_id, score, n_terms FROM br
+             |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin))
   )
 
   /** The ONE t42/t43 trainer: k true BPE rounds at word-frequency grain
@@ -2456,9 +2491,16 @@ object TextAnalysis {
   }
 
   private[graft] def bm25StoreTopK(s: SparkSession,
-      storePath: String): DataFrame = {
-    val st = s.read.parquet(storePath)
-      .select("doc_id", "token", "tf", "dl")
+      storePath: String): DataFrame =
+    bm25TopKOverPostings(s.read.parquet(storePath)
+      .select("doc_id", "token", "tf", "dl"))
+
+  /** The t32 consumer tail over ANY aggregated-postings frame — shared
+    * with t44's tombstoned store so deletion can never diverge from the
+    * live path on stats derivation (n_docs, avgdl, df all re-derive
+    * from whatever postings survive).
+    */
+  private[graft] def bm25TopKOverPostings(st: DataFrame): DataFrame = {
     val tot = st.groupBy("doc_id").agg(max(col("dl")).as("dl"))
       .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("l_tokens"))
       .withColumn("avg_dl", expr("l_tokens div n_docs"))
@@ -2614,8 +2656,14 @@ object TextAnalysis {
     * WITH: callers embed it in their own chain.
     */
   // lazy: declared below `registry`, which interpolates it at object init
-  private[operators] lazy val sqlBm25Ag: String =
-    """bn AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm FROM documents),
+  private[operators] lazy val sqlBm25Ag: String = sqlBm25AgOver("documents")
+
+  /** [[sqlBm25Ag]] over an arbitrary document relation — t44 passes the
+    * tombstone-filtered corpus; the default keeps t31/t32's text
+    * byte-identical.
+    */
+  private[operators] def sqlBm25AgOver(rel: String): String =
+    s"""bn AS (SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm FROM $rel),
       |btk AS (SELECT doc_id, list_filter(string_split(norm, ' '), t -> t <> '') AS toks FROM bn),
       |bx AS (SELECT doc_id, unnest(toks) AS token, len(toks)::BIGINT AS dl FROM btk),
       |btot AS (SELECT count(DISTINCT doc_id)::BIGINT AS n_docs, count(*)::BIGINT AS l_tokens FROM bx),
