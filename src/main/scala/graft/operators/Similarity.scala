@@ -51,7 +51,7 @@ import graft.functions.Portable._
   */
 object Similarity {
 
-  private val Dim = 64
+  private[graft] val Dim = 64
 
   /** Exact per-dimension mean of a vector column per group — order-free
     * AND bit-portable. Each dimension sums as DECIMAL(38,18): exact and
@@ -141,7 +141,7 @@ object Similarity {
   /** Derive the centroid columns (cent, cnrm) from a stats frame's
     * s_1..s_64 + cnt — shared by the build and the fold.
     */
-  private def withCentroid(stats: DataFrame): DataFrame =
+  private[graft] def withCentroid(stats: DataFrame): DataFrame =
     stats
       .withColumn("cent", array((1 to Dim).map(i =>
         col(s"s_$i").cast("double") / col("cnt")): _*))
@@ -2255,18 +2255,7 @@ object Similarity {
           .filter(col("vec_id") % 5 =!= 4 && col("vec_id") % 7 === 2)
           .select(col("label").cast("long").as("clabel"),
             vecD(col("embedding")).as("v"))
-        val decCols: Seq[Column] = (1 to Dim).map(i =>
-          sum(element_at(col("v"), i).cast(DecimalType(18, 9)))
-            .cast(DecimalType(30, 9)).as(s"d_$i")) :+
-          count(lit(1)).as("dcnt")
-        val dec = gone.groupBy("clabel").agg(decCols.head, decCols.tail: _*)
-        val folded = store.join(broadcast(dec), Seq("clabel"), "left")
-          .select(col("clabel") +: ((1 to Dim).map(i =>
-            (col(s"s_$i") - coalesce(col(s"d_$i"),
-              lit(0).cast(DecimalType(30, 9))))
-              .cast(DecimalType(30, 9)).as(s"s_$i")) :+
-            (col("cnt") - coalesce(col("dcnt"), lit(0L))).as("cnt")): _*)
-          .filter(col("cnt") > 0)
+        val folded = decrementStats(store, gone)
         folded.select(col("clabel"), col("cnt").as("upd_cnt"),
             posexplode(array((1 to Dim).map(i => col(s"s_$i")): _*))
               .as(Seq("pos", "f")))
@@ -2937,6 +2926,32 @@ object Similarity {
     * [[centroidStats]] of the stored (vec_id % 5 != 4) slice, built
     * once per JVM at a per-process path (StoreFixture).
     */
+  /** The ONE decrement fold of the centroid-store forget path — s29's
+    * gate and the streaming [[graft.streaming.VectorStreams.forgetIngest]]
+    * producer share it, so continuous erasure can never diverge from the
+    * gated one-shot on the statistics arithmetic. `gone` is (clabel, v);
+    * the batch's exact-decimal per-dimension sums and counts SUBTRACT
+    * from the store's (decimal subtraction never rounds — sums form a
+    * group, the property the store's schema was chosen for), and a
+    * cluster whose count reaches zero drops out (classic Lloyd). The
+    * tombstone batch enters BROADCAST; the store scans once.
+    */
+  private[graft] def decrementStats(store: DataFrame,
+      gone: DataFrame): DataFrame = {
+    val decCols: Seq[Column] = (1 to Dim).map(i =>
+      sum(element_at(col("v"), i).cast(DecimalType(18, 9)))
+        .cast(DecimalType(30, 9)).as(s"d_$i")) :+
+      count(lit(1)).as("dcnt")
+    val dec = gone.groupBy("clabel").agg(decCols.head, decCols.tail: _*)
+    store.join(broadcast(dec), Seq("clabel"), "left")
+      .select(col("clabel") +: ((1 to Dim).map(i =>
+        (col(s"s_$i") - coalesce(col(s"d_$i"),
+          lit(0).cast(DecimalType(30, 9))))
+          .cast(DecimalType(30, 9)).as(s"s_$i")) :+
+        (col("cnt") - coalesce(col("dcnt"), lit(0L))).as("cnt")): _*)
+      .filter(col("cnt") > 0)
+  }
+
   private[graft] def centroidStore(s: SparkSession, d: String): String =
     graft.core.StoreFixture("graft_centstore", d) { p =>
       graft.plans.VectorExpressions.register(s)

@@ -1,0 +1,101 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.compendium.ManifestCommit
+import graft.operators.Similarity
+
+/** Streaming producers for the VECTOR-side warehouse sidecars — the
+  * embedding analog of [[DocumentStreams]]' document sidecar family.
+  *
+  * The first resident is the one producer the document family could not
+  * have: continuous DELETION. Every other sidecar ingest is
+  * at-least-once safe because its per-batch write is idempotent (an
+  * overwritten `batch_id=` subdir, a min-fold, a keyed upsert) — but
+  * s29's centroid-store decrement is NOT idempotent: redelivering a
+  * tombstone batch would subtract it twice and silently corrupt the
+  * statistics forever. Exactly-once here is therefore STRUCTURAL, not
+  * best-effort, and it composes from two pieces the warehouse already
+  * has:
+  *
+  *   - a (stats, marker) pair committed through ONE [[ManifestCommit]]
+  *     flip — the decremented table and the high-water batch id become
+  *     visible together or not at all, so a crash between "applied" and
+  *     "recorded" cannot exist;
+  *   - a batch-id guard on entry — foreachBatch redelivers a batch with
+  *     the SAME id after checkpoint recovery, and a redelivered id at or
+  *     below the marker's high water is a provable no-op (the
+  *     [[EventStreams]] ivmStream replay-marker discipline, applied to a
+  *     non-idempotent fold).
+  */
+object VectorStreams {
+
+  /** One tombstoned vector: the id, its vector, and the cluster whose
+    * statistics it was folded into at ingest time (erasure must
+    * decrement the SAME cluster the fold-in credited).
+    */
+  final case class Tombstone(vec_id: Long, v: Seq[Double], clabel: Long)
+
+  /** Manifest table names of the forget store. */
+  private[streaming] val StatsTable = "centroids"
+  private[streaming] val MarkerTable = "forget_marker"
+
+  /** Seed the manifest store with an initial statistics table (what a
+    * fold-in producer would have committed) — version 1.
+    */
+  def seed(spark: SparkSession, root: String, stats: DataFrame): Long =
+    new ManifestCommit(spark, root).commit(Map(StatsTable -> stats))
+
+  /** Apply ONE tombstone micro-batch exactly once: no-op if `batchId`
+    * is at or below the committed high water, else decrement the
+    * current statistics by the batch's exact-decimal sums
+    * ([[Similarity.decrementStats]] — the s29 fold verbatim) and flip
+    * (stats, marker) in one manifest commit. Returns true iff the
+    * batch was applied (false = redelivery no-op).
+    *
+    * The batch `collect`s nothing; the one driver-side action is the
+    * manifest read/flip. Cost per batch is a store-sized rewrite at
+    * k×dim rows — the store IS small (that is why sufficient
+    * statistics, not members, live here).
+    */
+  private[graft] def applyForgetBatch(batch: Dataset[Tombstone],
+      root: String, batchId: Long): Boolean = {
+    val s = batch.sparkSession
+    import s.implicits._
+    // withCentroid's cnrm derivation rides the graft_dot expression
+    graft.plans.VectorExpressions.register(s)
+    val mc = new ManifestCommit(s, root)
+    val cur = mc.current()
+    val applied = cur.get(MarkerTable).map { _ =>
+      mc.readAt(cur, MarkerTable).select(max(col("batch_id")))
+        .as[Long].head()
+    }
+    if (applied.exists(_ >= batchId)) false
+    else {
+      val store = mc.readAt(cur, StatsTable)
+        .select(col("clabel") +:
+          ((1 to Similarity.Dim).map(i => col(s"s_$i")) :+ col("cnt")): _*)
+      val folded = Similarity.withCentroid(
+        Similarity.decrementStats(store,
+          batch.toDF().select(col("clabel"), col("v"))))
+      mc.commit(Map(
+        StatsTable -> folded,
+        MarkerTable -> Seq(batchId).toDF("batch_id").coalesce(1)))
+      true
+    }
+  }
+
+  /** The continuous erasure consumer: tombstone batches stream in and
+    * each decrements the centroid statistics exactly once. Start with
+    * `.option("checkpointLocation", ...)` like any sink; recovery
+    * redelivers the in-flight batch and the marker guard makes the
+    * second application a no-op.
+    */
+  def forgetIngest(tombstones: Dataset[Tombstone], root: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[Tombstone] =
+    tombstones.writeStream.foreachBatch {
+      (batch: Dataset[Tombstone], batchId: Long) =>
+        applyForgetBatch(batch, root, batchId); ()
+    }
+}

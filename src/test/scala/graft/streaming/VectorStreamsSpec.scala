@@ -1,0 +1,90 @@
+package graft.streaming
+
+import graft.SparkTestBase
+import graft.compendium.ManifestCommit
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** forgetIngest — continuous exactly-once erasure of the centroid
+  * statistics store. The claims: streamed tombstone batches leave the
+  * store BIT-EQUAL to a batch rebuild over the survivors (the s29
+  * contract, continuously); a fully-erased cluster drops mid-stream; a
+  * redelivered batch id is a provable no-op (the non-idempotent-fold
+  * hazard the manifest marker exists for); and the (stats, marker)
+  * pair is never torn (one manifest resolution sees them move
+  * together).
+  */
+class VectorStreamsSpec extends SparkTestBase {
+
+  private def vec(id: Long): Seq[Double] =
+    (0 until 64).map(i => (id * 64 + i).toDouble / 1000.0)
+
+  // members: label 0 = ids {0, 1, 3}, label 1 = ids {2, 16, 23, 37};
+  // tombstones erase ALL of label 1 plus label 0's id 3
+  private val members: Seq[(Long, Long)] = Seq(
+    (0L, 0L), (1L, 0L), (3L, 0L), (2L, 1L), (16L, 1L), (23L, 1L), (37L, 1L))
+
+  private def seedStats(root: String): Unit = {
+    import spark.implicits._
+    graft.plans.VectorExpressions.register(spark)
+    val df = members.map { case (id, lab) => (lab, vec(id)) }
+      .toDF("clabel", "v")
+    VectorStreams.seed(spark,
+      root, graft.operators.Similarity.centroidStats(df, "clabel"))
+  }
+
+  test("streamed tombstones ≡ batch rebuild over survivors; full cluster drops; marker tracks the high water") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val root = tmpDir()
+    seedStats(root)
+    val in = MemoryStream[VectorStreams.Tombstone]
+    val q = VectorStreams.forgetIngest(in.toDS(), root)
+      .option("checkpointLocation", s"$root/_ckpt").start()
+    try {
+      in.addData(VectorStreams.Tombstone(2L, vec(2L), 1L),
+        VectorStreams.Tombstone(16L, vec(16L), 1L))
+      q.processAllAvailable()
+      in.addData(VectorStreams.Tombstone(23L, vec(23L), 1L),
+        VectorStreams.Tombstone(37L, vec(37L), 1L),
+        VectorStreams.Tombstone(3L, vec(3L), 0L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val mc = new ManifestCommit(spark, root)
+    val cur = mc.current()
+    // marker and stats resolve through ONE manifest — the pair is
+    // consistent by construction, and the high water is batch 1
+    assert(mc.readAt(cur, VectorStreams.MarkerTable)
+      .select(max(col("batch_id"))).as[Long].head() === 1L)
+    val got = mc.readAt(cur, VectorStreams.StatsTable)
+    // label 1 fully erased → dropped; label 0 survives with ids {0, 1}
+    val rebuild = graft.operators.Similarity.centroidStats(
+      Seq((0L, vec(0L)), (0L, vec(1L))).toDF("clabel", "v"), "clabel")
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("clabel") +: col("cnt") +:
+        (1 to 64).map(i => col(s"s_$i").cast("string").as(s"s_$i")): _*)
+      .collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long])
+    assert(canon(got) === canon(rebuild),
+      "streamed decrement diverged from the batch rebuild")
+  }
+
+  test("redelivered batch id is a no-op: same version, same stats (the non-idempotent-fold guard)") {
+    import spark.implicits._
+    val root = tmpDir()
+    seedStats(root)
+    val b0 = Seq(VectorStreams.Tombstone(2L, vec(2L), 1L)).toDS()
+    assert(VectorStreams.applyForgetBatch(b0, root, 0L),
+      "first delivery must apply")
+    val mc = new ManifestCommit(spark, root)
+    val vAfter = mc.currentVersion().get
+    val statsAfter = mc.read(VectorStreams.StatsTable)
+      .select(col("clabel"), col("cnt")).collect().map(_.toSeq).toSet
+    // checkpoint-recovery shape: the SAME batch id arrives again
+    assert(!VectorStreams.applyForgetBatch(b0, root, 0L),
+      "redelivery must be refused")
+    assert(mc.currentVersion().get === vAfter, "no-op must not commit")
+    assert(mc.read(VectorStreams.StatsTable)
+      .select(col("clabel"), col("cnt")).collect().map(_.toSeq).toSet
+      === statsAfter, "redelivery double-subtracted")
+  }
+}
