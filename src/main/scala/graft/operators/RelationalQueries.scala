@@ -2677,6 +2677,93 @@ object RelationalQueries {
         "user_id BIGINT, purchase_id BIGINT, purchase_ts TIMESTAMP, " +
           "click_id BIGINT, click_ts TIMESTAMP, value DOUBLE"))),
 
+    // CONTINUOUS ERASURE at the driver's gate — the streaming twin of
+    // s29 (the c12↔q51 relationship, for deletion): tombstone batches
+    // stream through VectorStreams.forgetIngest, each decrementing the
+    // centroid store's exact-decimal statistics EXACTLY ONCE — the
+    // decrement is the one non-idempotent sidecar fold, so each batch
+    // commits (stats, high-water marker) through ONE ManifestCommit
+    // flip and redelivered batch ids are refused on entry
+    // (VectorStreamsSpec pins the no-op; the mechanism is ivmStream's
+    // replay marker applied to a fold that CANNOT tolerate
+    // at-least-once). The store seeds from the member statistics
+    // (vec_id ≢ 4 mod 5, label-grain — what the fold-in producer would
+    // have committed), the s29 forget set (vec_id ≡ 2 mod 7) arrives
+    // in two md5-split micro-batches, and because decimal sums form a
+    // group, the final streamed state must be BIT-EQUAL to a rebuild
+    // over the survivors — so this row shares s29's oracle VERBATIM
+    // (the t31/t32 shared-text discipline): continuous ≡ one-shot ≡
+    // from-scratch at the hash gate.
+    Q("c22_stream_forget_replay",
+      "continuous erasure: tombstones replayed through forgetIngest's exactly-once manifest commits, final store hash-equal to the rebuild over survivors (s29's oracle verbatim)",
+      (s, d) => {
+        import s.implicits._
+        implicit val sq = s.sqlContext
+        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+        import graft.streaming.VectorStreams
+        import graft.functions.Portable.vecD
+        graft.plans.VectorExpressions.register(s)
+        val emb = Tables.embeddings(s, d)
+          .select(col("vec_id"), col("label").cast("long").as("clabel"),
+            vecD(col("embedding")).as("v"))
+        val root = java.nio.file.Files
+          .createTempDirectory("c22_forget").toString
+        VectorStreams.seed(s, root, Similarity.centroidStats(
+          emb.filter(col("vec_id") % 5 =!= 4).select("clabel", "v"),
+          "clabel"))
+        val gone = emb
+          .filter(col("vec_id") % 5 =!= 4 && col("vec_id") % 7 === 2)
+          .as[VectorStreams.Tombstone].collect()
+        val md = java.security.MessageDigest.getInstance("MD5")
+        def hx(id: Long): String =
+          md.digest(s"c22_$id".getBytes("UTF-8"))
+            .map("%02x".format(_)).mkString
+        val batches = (0 until 2).map(b => gone
+          .filter(e => Integer.parseInt(hx(e.vec_id).take(2), 16) % 2 == b)
+          .sortBy(e => hx(e.vec_id)))
+        val in = MemoryStream[VectorStreams.Tombstone]
+        val savedParts = s.conf.get("spark.sql.shuffle.partitions")
+        val q =
+          try {
+            s.conf.set("spark.sql.shuffle.partitions", "4")
+            VectorStreams.forgetIngest(in.toDS(), root)
+              .option("checkpointLocation", s"$root/_ckpt").start()
+          } finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
+        try {
+          batches.foreach { b =>
+            if (b.nonEmpty) {
+              in.addData(b.toSeq)
+              q.processAllAvailable()
+            }
+          }
+        } finally q.stop()
+        val mc = new graft.compendium.ManifestCommit(s, root)
+        import org.apache.spark.sql.functions.posexplode
+        mc.read("centroids")
+          .select(col("clabel"), col("cnt").as("upd_cnt"),
+            posexplode(array((1 to 64).map(i => col(s"s_$i")): _*))
+              .as(Seq("pos", "f")))
+          .select(col("clabel"), (col("pos") + 1).as("dim"),
+            col("f").cast("double").as("upd_sum"), col("upd_cnt"),
+            (col("f").cast("double") / col("upd_cnt")).as("upd_mean"))
+          .orderBy("clabel", "dim")
+      },
+      Some("""WITH e AS (SELECT vec_id, label::BIGINT AS clabel,
+             |    list_transform(embedding, x -> x::DOUBLE) AS v
+             |  FROM embeddings),
+             |idx AS (SELECT unnest(range(1, 65)) AS dim)
+             |SELECT clabel, dim,
+             |  CAST(sum(CAST(v[dim] AS VARCHAR)::DECIMAL(18,9))::DECIMAL(30,9) AS DOUBLE) AS upd_sum,
+             |  count(*)::BIGINT AS upd_cnt,
+             |  CAST(sum(CAST(v[dim] AS VARCHAR)::DECIMAL(18,9))::DECIMAL(30,9) AS DOUBLE) / count(*) AS upd_mean
+             |FROM e CROSS JOIN idx
+             |WHERE vec_id % 5 <> 4 AND vec_id % 7 <> 2
+             |GROUP BY clabel, dim
+             |ORDER BY clabel, dim""".stripMargin),
+      staticSchema = Some(org.apache.spark.sql.types.StructType.fromDDL(
+        "clabel BIGINT, dim INT, upd_sum DOUBLE, upd_cnt BIGINT, " +
+          "upd_mean DOUBLE"))),
+
     // DATA-QUALITY constraint audit — the pre-publish validation suite
     // (Deequ / Great Expectations / dbt tests): a declared constraint
     // set over a table, each check a violation COUNT with a verdict,
