@@ -159,6 +159,25 @@ object Portable {
   def centerFast(v: Column): Column =
     call_function("graft_center", v)
 
+  /** Codegen'd PQ codebook argmax — label / best-score of the L2
+    * surrogate scan against one LITERAL codebook (graft.plans
+    * PqArgLabelD / PqBestScoreD; see there for the codegen-size
+    * rationale). `cents` row-major k×d, `hns` the ½|c|² terms.
+    */
+  def pqLabelFast(sv: Column, cents: Seq[Seq[Double]], labels: Seq[Long],
+      hns: Seq[Double]): Column =
+    call_function("graft_pq_label", sv,
+      org.apache.spark.sql.functions.typedlit(cents.flatten),
+      org.apache.spark.sql.functions.typedlit(labels),
+      org.apache.spark.sql.functions.typedlit(hns))
+
+  def pqBestFast(sv: Column, cents: Seq[Seq[Double]], labels: Seq[Long],
+      hns: Seq[Double]): Column =
+    call_function("graft_pq_best", sv,
+      org.apache.spark.sql.functions.typedlit(cents.flatten),
+      org.apache.spark.sql.functions.typedlit(labels),
+      org.apache.spark.sql.functions.typedlit(hns))
+
   /** Bounded-state KMV bottom-k distinct sketch aggregate
     * (graft.plans.KmvBottomK) — call after SketchAggregates.register.
     * Emits the ascending sorted ≤ k smallest distinct values of an

@@ -2419,29 +2419,27 @@ object Similarity {
   private[graft] final case class PqTrained(sv: DataFrame, report: DataFrame,
       objectives: Seq[Double], cents: Seq[Map[Int, PqBook]])
 
-  /** L2 score array vs each of the row's OWN subspace's literal
-    * centroids: x·c − ½|c|² (argmax ⇔ argmin |x−c|²), chained per sub.
+  /** Codeword of the per-subspace L2 argmax (x·c − ½|c|², argmax ⇔
+    * argmin |x−c|²; first-occurrence tiebreak = lowest codeword id,
+    * the oracle's row_number ORDER BY score DESC, clabel), chained per
+    * sub. One compact codegen'd scan per branch (PqArgLabelD) — the
+    * spelled-out k-dot array form fell out of whole-stage codegen at
+    * k = 16 (janino 64 KB; see PqCodebookScan).
     */
-  private def pqScores(m: Int, cs: Map[Int, PqBook]): Column =
-    (1 until m).foldLeft(when(col("sub") === 0,
-        array(cs(0).map { case (_, c, hn) =>
-          dotFast(col("sv"), typedlit(c)) - lit(hn) }: _*))) { (acc, j) =>
-      acc.when(col("sub") === j,
-        array(cs(j).map { case (_, c, hn) =>
-          dotFast(col("sv"), typedlit(c)) - lit(hn) }: _*))
+  private def pqLabelOf(m: Int, cs: Map[Int, PqBook]): Column =
+    (1 until m).foldLeft(when(col("sub") === 0, pqLabelFast(col("sv"),
+        cs(0).map(_._2), cs(0).map(_._1), cs(0).map(_._3)))) { (acc, j) =>
+      acc.when(col("sub") === j, pqLabelFast(col("sv"),
+        cs(j).map(_._2), cs(j).map(_._1), cs(j).map(_._3)))
     }
 
-  /** Codeword of the argmax score, first-occurrence tiebreak = lowest
-    * codeword id (the oracle's row_number ORDER BY score DESC, clabel).
-    */
-  private def pqLabels(m: Int, cs: Map[Int, PqBook], sc: Column): Column = {
-    val pos = array_position(sc, array_max(sc)).cast("int")
-    (1 until m).foldLeft(when(col("sub") === 0,
-        element_at(typedlit(cs(0).map(_._1)), pos))) { (acc, j) =>
-      acc.when(col("sub") === j,
-        element_at(typedlit(cs(j).map(_._1)), pos))
+  /** Best score of the same scan (the objective term), chained per sub. */
+  private def pqBestOf(m: Int, cs: Map[Int, PqBook]): Column =
+    (1 until m).foldLeft(when(col("sub") === 0, pqBestFast(col("sv"),
+        cs(0).map(_._2), cs(0).map(_._1), cs(0).map(_._3)))) { (acc, j) =>
+      acc.when(col("sub") === j, pqBestFast(col("sv"),
+        cs(j).map(_._2), cs(j).map(_._1), cs(j).map(_._3)))
     }
-  }
 
   private[graft] def pqTrain(vecs: DataFrame, m: Int, subDim: Int,
       k: Int, rounds: Int): PqTrained = {
@@ -2469,15 +2467,11 @@ object Similarity {
     val objectives = Seq.newBuilder[Double]
     val perRound = Seq.newBuilder[Map[Int, PqBook]]
     (1 to (if (seedIds.isEmpty) 0 else rounds)).foreach { r =>
-      def scoresOf(cs: Map[Int, PqBook]): Column = pqScores(m, cs)
-      def labelOf(cs: Map[Int, PqBook], sc: Column): Column =
-        pqLabels(m, cs, sc)
       val assigned = sv
-        .withColumn("sc", scoresOf(cents))
-        .withColumn("clabel", labelOf(cents, col("sc")))
-        .withColumn("best", array_max(col("sc")))
+        .withColumn("clabel", pqLabelOf(m, cents))
+        .withColumn("best", pqBestOf(m, cents))
         .withColumn("prev_label",
-          prev.map(p => labelOf(p, scoresOf(p)))
+          prev.map(p => pqLabelOf(m, p))
             .getOrElse(lit(null).cast("long")))
       val statCols: Seq[Column] = (1 to subDim).map(i =>
         sum(element_at(col("sv"), i).cast(DecimalType(18, 9)))
@@ -2556,7 +2550,7 @@ object Similarity {
         book.map { case (cl, c, hn) => (sub, cl, c, 2.0 * hn) }
       }.toDF("sub", "clabel", "cent", "cnrm2")
       t.sv
-        .withColumn("clabel", pqLabels(m, cb, pqScores(m, cb)))
+        .withColumn("clabel", pqLabelOf(m, cb))
         .join(broadcast(cbDf), Seq("sub", "clabel"))
         .join(broadcast(qsub), Seq("sub"))
         .filter(col("vec_id") =!= col("query_id"))

@@ -202,11 +202,162 @@ case class CenterArrayD(child: Expression)
     copy(child = newChild)
 }
 
+/** Shared scan state of the PQ codebook expressions: one LITERAL
+  * codebook (k codewords × d dims, row-major), its labels, and the
+  * precomputed ½|c|² terms. Scoring is the L2 surrogate
+  * s_j = (Σ_i x_i·c_ji) − hn_j — dot folded LEFT-TO-RIGHT from 0.0 and
+  * the subtraction applied once after the fold, exactly the
+  * `dotFast(x, c) − hn` association the DuckDB oracle replays — and the
+  * argmax keeps the FIRST maximum (strict `>`), which with
+  * label-ascending codebooks equals the oracle's
+  * `row_number() ... ORDER BY score DESC, clabel` tiebreak.
+  *
+  * These exist for CODEGEN SIZE, not speed alone: the spelled-out
+  * alternative (an array of k dotFast calls chained through
+  * per-subspace CASE branches, duplicated again inside
+  * `array_position(sc, array_max(sc))`) inflates to hundreds of inlined
+  * dot loops at k = 16 and falls out of whole-stage codegen past
+  * janino's 64 KB method limit — the m11/CenterArrayD failure class,
+  * caught for s28 by CodegenHealthSpec. Here the whole scan is ONE
+  * generated j×i loop against reference arrays.
+  */
+sealed trait PqCodebookScan { self: Expression =>
+  def child: Expression
+  def cents: IndexedSeq[Double]
+  def labels: IndexedSeq[Long]
+  def hns: IndexedSeq[Double]
+
+  protected lazy val k: Int = labels.length
+  protected lazy val d: Int = if (k == 0) 0 else cents.length / k
+  @transient protected lazy val cArr: Array[Double] = cents.toArray
+  @transient protected lazy val lArr: Array[Long] = labels.toArray
+  @transient protected lazy val hArr: Array[Double] = hns.toArray
+
+  def checkPq(): TypeCheckResult =
+    if (k == 0) TypeCheckResult.TypeCheckFailure("empty PQ codebook")
+    else if (cents.length != k * d || hns.length != k)
+      TypeCheckResult.TypeCheckFailure("codebook shape mismatch")
+    else child.dataType match {
+      case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"PQ scan expects array<double>, got ${t.sql}")
+    }
+
+  /** (best index, best score) of the scan — interpreted path. */
+  protected def scan(a: Any): (Int, Double) = {
+    val x = a.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), d)
+    var bi = -1
+    var bs = 0.0
+    var j = 0
+    while (j < k) {
+      var s = 0.0
+      var i = 0
+      while (i < n) { s += x.getDouble(i) * cArr(j * d + i); i += 1 }
+      s -= hArr(j)
+      if (bi < 0 || s > bs) { bi = j; bs = s }
+      j += 1
+    }
+    (bi, bs)
+  }
+
+  /** Generated j×i scan; `use` consumes (bestIdx, bestScore) vars. */
+  protected def genScan(ctx: CodegenContext, a: String,
+      use: (String, String) => String): String = {
+    val cRef = ctx.addReferenceObj("pqCents", cArr, "double[]")
+    val hRef = ctx.addReferenceObj("pqHns", hArr, "double[]")
+    val n = ctx.freshName("n")
+    val bi = ctx.freshName("bi")
+    val bs = ctx.freshName("bs")
+    val j = ctx.freshName("j")
+    val i = ctx.freshName("i")
+    val s = ctx.freshName("s")
+    s"""
+       |int $n = java.lang.Math.min($a.numElements(), $d);
+       |int $bi = -1;
+       |double $bs = 0.0;
+       |for (int $j = 0; $j < $k; $j++) {
+       |  double $s = 0.0;
+       |  for (int $i = 0; $i < $n; $i++) {
+       |    $s += $a.getDouble($i) * $cRef[$j * $d + $i];
+       |  }
+       |  $s -= $hRef[$j];
+       |  if ($bi < 0 || $s > $bs) { $bi = $j; $bs = $s; }
+       |}
+       |${use(bi, bs)}
+     """.stripMargin
+  }
+}
+
+/** Codeword LABEL of the argmax — `graft_pq_label`. */
+case class PqArgLabelD(child: Expression, cents: IndexedSeq[Double],
+    labels: IndexedSeq[Long], hns: IndexedSeq[Double])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with PqCodebookScan {
+  override def checkInputDataTypes(): TypeCheckResult = checkPq()
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "graft_pq_label"
+  override protected def nullSafeEval(a: Any): Any = lArr(scan(a)._1)
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val lRef = ctx.addReferenceObj("pqLabels", lArr, "long[]")
+      genScan(ctx, a, (bi, _) => s"${ev.value} = $lRef[$bi];")
+    })
+  override protected def withNewChildInternal(
+      newChild: Expression): PqArgLabelD = copy(child = newChild)
+}
+
+/** Best SCORE of the argmax (the assignment-time objective term) —
+  * `graft_pq_best`.
+  */
+case class PqBestScoreD(child: Expression, cents: IndexedSeq[Double],
+    labels: IndexedSeq[Long], hns: IndexedSeq[Double])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with PqCodebookScan {
+  override def checkInputDataTypes(): TypeCheckResult = checkPq()
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_pq_best"
+  override protected def nullSafeEval(a: Any): Any = scan(a)._2
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      genScan(ctx, a, (_, bs) => s"${ev.value} = $bs;"))
+  override protected def withNewChildInternal(
+      newChild: Expression): PqBestScoreD = copy(child = newChild)
+}
+
 object VectorExpressions {
 
   private def build(exprs: Seq[Expression]): Expression = {
     require(exprs.length == 2, "graft_dot takes exactly 2 arguments")
     DotProductD(exprs.head, exprs(1))
+  }
+
+  /** Fold a foldable literal array argument to primitives at BUILD time
+    * (the codebook/label/½|c|² arguments of the PQ scan functions).
+    */
+  private def foldD(e: Expression, what: String): IndexedSeq[Double] = {
+    require(e.foldable, s"graft_pq_*: $what must be a literal array")
+    e.eval().asInstanceOf[ArrayData].toDoubleArray().toIndexedSeq
+  }
+  private def foldL(e: Expression, what: String): IndexedSeq[Long] = {
+    require(e.foldable, s"graft_pq_*: $what must be a literal array")
+    e.eval().asInstanceOf[ArrayData].toLongArray().toIndexedSeq
+  }
+
+  private def buildPqLabel(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 4,
+      "graft_pq_label takes (vec, cents, labels, hns)")
+    PqArgLabelD(exprs.head, foldD(exprs(1), "cents"),
+      foldL(exprs(2), "labels"), foldD(exprs(3), "hns"))
+  }
+
+  private def buildPqBest(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 4,
+      "graft_pq_best takes (vec, cents, labels, hns)")
+    PqBestScoreD(exprs.head, foldD(exprs(1), "cents"),
+      foldL(exprs(2), "labels"), foldD(exprs(3), "hns"))
   }
 
   private def buildRolling(exprs: Seq[Expression]): Expression = {
@@ -225,6 +376,10 @@ object VectorExpressions {
       "graft_rolling_hash", buildRolling, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_center", buildCenter, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_pq_label", buildPqLabel, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_pq_best", buildPqBest, "built-in")
   }
 
   private def buildCenter(exprs: Seq[Expression]): Expression = {
