@@ -346,14 +346,14 @@ object VectorExpressions {
     e.eval().asInstanceOf[ArrayData].toLongArray().toIndexedSeq
   }
 
-  private def buildPqLabel(exprs: Seq[Expression]): Expression = {
+  private[plans] def buildPqLabel(exprs: Seq[Expression]): Expression = {
     require(exprs.length == 4,
       "graft_pq_label takes (vec, cents, labels, hns)")
     PqArgLabelD(exprs.head, foldD(exprs(1), "cents"),
       foldL(exprs(2), "labels"), foldD(exprs(3), "hns"))
   }
 
-  private def buildPqBest(exprs: Seq[Expression]): Expression = {
+  private[plans] def buildPqBest(exprs: Seq[Expression]): Expression = {
     require(exprs.length == 4,
       "graft_pq_best takes (vec, cents, labels, hns)")
     PqBestScoreD(exprs.head, foldD(exprs(1), "cents"),
@@ -419,6 +419,16 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
         require(exprs.length == 1, "graft_center takes exactly 1 argument")
         CenterArrayD(exprs.head)
       }))
+    ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_pq_label"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[PqArgLabelD].getName, "graft_pq_label"),
+      (exprs: Seq[Expression]) => VectorExpressions.buildPqLabel(exprs)))
+    ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_pq_best"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[PqBestScoreD].getName, "graft_pq_best"),
+      (exprs: Seq[Expression]) => VectorExpressions.buildPqBest(exprs)))
     ext.injectFunction((
       new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_kmv"),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
