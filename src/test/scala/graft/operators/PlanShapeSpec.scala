@@ -1391,4 +1391,30 @@ class PlanShapeSpec extends SparkTestBase {
       !readSchema.contains("c_name"),
       s"scan must read only the top-k columns: $readSchema")
   }
+
+  test("t44: the tombstone erasure is a broadcast ANTI join on the store scan; corpus text never read") {
+    val plan = executedPlan("t44_forget_postings")
+    // the forget list broadcasts; the store — TBs at corpus scale —
+    // streams through the anti join unshuffled
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      "tombstones must broadcast into an anti join")
+    assert(!plan.contains("SortMergeJoin"),
+      "the store must never co-shuffle with the tombstone list")
+    assert(!plan.contains("documents.parquet"),
+      "erasure must run from the postings store alone — no corpus re-read")
+  }
+
+  test("s29: the decrement folds the tombstone batch broadcast onto one store scan") {
+    val plan = executedPlan("s29_forget_centroids")
+    // the per-cluster decrement sums broadcast into the store-side left
+    // join (the store is k×dim rows; the FOLD side is what must stay
+    // small and broadcastable at any corpus size)
+    assert(plan.contains("BroadcastHashJoin"),
+      "tombstone sums must broadcast into the store join")
+    assert(!plan.contains("SortMergeJoin"),
+      "the decrement must not co-shuffle store and batch")
+    // the batch's decimal sums partial-aggregate map-side before moving
+    assert(plan.contains("partial_sum"),
+      "tombstone statistics must map-side combine")
+  }
 }
