@@ -2521,10 +2521,18 @@ object RelationalQueries {
         def hx(id: Long): String =
           md.digest(s"c20_$id".getBytes("UTF-8"))
             .map("%02x".format(_)).mkString
-        val day10 = java.sql.Timestamp.valueOf("2024-01-10 00:00:00")
-        val day20 = java.sql.Timestamp.valueOf("2024-01-20 00:00:00")
+        // UTC-pinned boundary instants: Timestamp.valueOf would read
+        // these in the JVM DEFAULT zone (the one TZ knob the session's
+        // spark.sql.session.timeZone=UTC does not control), shifting
+        // the batch split against the oracle's naive-UTC literals on a
+        // non-UTC driver
+        def utc(iso: String): java.sql.Timestamp =
+          java.sql.Timestamp.from(java.time.LocalDateTime.parse(iso)
+            .toInstant(java.time.ZoneOffset.UTC))
+        val day10 = utc("2024-01-10T00:00:00")
+        val day20 = utc("2024-01-20T00:00:00")
         def late(e: Event): Boolean = e.event_id % 3 == 1 &&
-          e.ts.before(java.sql.Timestamp.valueOf("2024-01-08 00:00:00"))
+          e.ts.before(utc("2024-01-08T00:00:00"))
         val batches = Seq(
           slice.filter(e => e.ts.before(day10) && !late(e)),
           slice.filter(e => !e.ts.before(day10) && e.ts.before(day20)),

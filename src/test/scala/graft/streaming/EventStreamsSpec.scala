@@ -280,7 +280,9 @@ class EventStreamsSpec extends SparkTestBase {
     // dropped exactly L
     val slice = ev.filter(col("event_id") % 97 === 17)
     val lateL = col("event_id") % 3 === 1 &&
-      col("ts") < lit(java.sql.Timestamp.valueOf("2024-01-08 00:00:00"))
+      col("ts") < lit(java.sql.Timestamp.from(
+        java.time.LocalDateTime.parse("2024-01-08T00:00:00")
+          .toInstant(java.time.ZoneOffset.UTC)))
     assert(slice.filter(lateL).count() > 0,
       "c20 straggler plant is empty at the gate sf")
     def rollup(df: org.apache.spark.sql.DataFrame) = df
