@@ -2311,7 +2311,102 @@ object TextAnalysis {
              |br AS (SELECT query_id, doc_id, score, n_terms, row_number() OVER (
              |    PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank FROM bag)
              |SELECT query_id, rank, doc_id, score, n_terms FROM br
-             |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin))
+             |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin)),
+
+    // HTML → TEXT EXTRACTION — the stage every web-scale corpus starts
+    // with (trafilatura/jusText/resiliparse class) and the registry's
+    // one missing pipeline step between "crawl bytes" and the t01+
+    // text surface. Regex-grammar extraction, deliberately: a real
+    // extractor is a DOM parser with boilerplate heuristics, but the
+    // container has no parser lib and the PIPELINE properties — drop
+    // script/style/comment content, strip tags, decode entities
+    // (&amp; decoded LAST so &amp;lt; yields literal-angle text, not a
+    // tag), collapse whitespace, surface title/link-count metadata —
+    // are deterministic, engine-portable (RE2 ∩ Java regex: lazy
+    // quantifiers, inline (?is), no backreferences — script and style
+    // get separate patterns for exactly that reason), and therefore
+    // hash-gateable; the documented stray-'<' semantics (swallow to
+    // the next '>', a trailing unmatched '<' survives) are the honest
+    // limits of the grammar, pinned on the fixture
+    // (fixtures/html_docs.tsv: script/style/comment leakage, entity
+    // battery, link counting with and without href, case-insensitive
+    // tags, self-closing tags, unclosed tags, empty body, no-markup
+    // passthrough). The corpus rides along (the t36 union discipline):
+    // markup-free text flows through as a whitespace-normalizing
+    // no-op, so the scale shape is measured on real volume — one
+    // narrow scan, every transform a codegen'd regexp riding it, zero
+    // joins, zero exchanges before the output sort.
+    Q("t45_html_extract",
+      "HTML-to-text extraction: script/style/comment removal, tag strip, entity decode, title + link-count metadata — regex-grammar, hash-gated on a planted fixture + the corpus",
+      (s, d) => {
+        val fix = s.read.option("sep", "\t").option("header", "true")
+          .schema("doc_id LONG, html STRING")
+          .csv(s"$fixtures/html_docs.tsv")
+        docs(s, d).select(col("doc_id"), col("text").as("html"))
+          .unionByName(fix)
+          .withColumn("clean", regexp_replace(regexp_replace(regexp_replace(
+            col("html"),
+            "(?is)<script[^>]*>.*?</script>", " "),
+            "(?is)<style[^>]*>.*?</style>", " "),
+            "(?s)<!--.*?-->", " "))
+          .withColumn("title", trim(regexp_replace(
+            regexp_extract(col("clean"), "(?is)<title[^>]*>(.*?)</title>", 1),
+            "\\s+", " ")))
+          .withColumn("n_links",
+            expr("size(regexp_extract_all(clean, '(?is)<a\\\\s[^>]*href\\\\s*=', 0))")
+              .cast("long"))
+          .withColumn("text", {
+            // head removal (title/meta must not leak into body text),
+            // tag strip, then entity decode with &amp; LAST, then
+            // whitespace collapse — the oracle's replace chain in the
+            // same order
+            val entities = Seq("&lt;" -> "<", "&gt;" -> ">",
+              "&quot;" -> "\"", "&#39;" -> "'", "&nbsp;" -> " ",
+              "&amp;" -> "&")
+            val decoded = entities.foldLeft(
+              regexp_replace(regexp_replace(col("clean"),
+                "(?is)<head[^>]*>.*?</head>", " "),
+                "(?s)<[^>]*>", " ")) {
+              case (c, (from, to)) => regexp_replace(c, from, to)
+            }
+            trim(regexp_replace(decoded, "\\s+", " "))
+          })
+          .select(col("doc_id"), col("title"), col("n_links"),
+            length(col("text")).cast("long").as("n_chars"),
+            when(length(col("text")) === 0, 0L)
+              .otherwise(size(split(col("text"), " ")).cast("long"))
+              .as("n_tokens"),
+            col("text"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH a AS (SELECT doc_id, text AS html FROM documents
+             |  UNION ALL SELECT doc_id, html FROM read_csv(
+             |    '$fixtures/html_docs.tsv', delim='\\t', header=true,
+             |    columns={'doc_id': 'BIGINT', 'html': 'VARCHAR'})),
+             |c AS (SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(
+             |    html,
+             |    '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+             |    '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+             |    '(?s)<!--.*?-->', ' ', 'g') AS clean FROM a),
+             |t AS (SELECT doc_id,
+             |    trim(regexp_replace(coalesce(
+             |      regexp_extract(clean, '(?is)<title[^>]*>(.*?)</title>', 1),
+             |      ''), '\\s+', ' ', 'g')) AS title,
+             |    len(regexp_extract_all(clean, '(?is)<a\\s[^>]*href\\s*='))::BIGINT AS n_links,
+             |    trim(regexp_replace(replace(replace(replace(replace(replace(replace(
+             |      regexp_replace(regexp_replace(clean,
+             |        '(?is)<head[^>]*>.*?</head>', ' ', 'g'),
+             |        '(?s)<[^>]*>', ' ', 'g'),
+             |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+             |      '&#39;', chr(39)), '&nbsp;', ' '), '&amp;', '&'),
+             |      '\\s+', ' ', 'g')) AS text
+             |  FROM c)
+             |SELECT doc_id, title, n_links,
+             |  length(text)::BIGINT AS n_chars,
+             |  (CASE WHEN length(text) = 0 THEN 0
+             |    ELSE len(string_split(text, ' ')) END)::BIGINT AS n_tokens,
+             |  text
+             |FROM t ORDER BY doc_id""".stripMargin))
   )
 
   /** The ONE t42/t43 trainer: k true BPE rounds at word-frequency grain

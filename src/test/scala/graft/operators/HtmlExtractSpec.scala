@@ -1,0 +1,74 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions.col
+
+/** t45 HTML extraction — the per-document claims the oracle hash
+  * proves only in aggregate: script/style/comment CONTENT never leaks
+  * into text, entities decode in the &amp;-last order (so &amp;lt;
+  * yields literal-angle TEXT, not a tag), links count only href
+  * anchors, tags match case-insensitively, the documented stray-'<'
+  * grammar limits hold, and markup-free documents pass through as a
+  * whitespace-normalizing no-op.
+  */
+class HtmlExtractSpec extends SparkTestBase {
+
+  private lazy val out: Map[Long, (String, Long, String)] =
+    graft.SparkEntry.queries("t45_html_extract")(
+        spark, "/root/testdata/sf0.001")
+      .filter(col("doc_id") >= 9100000000L)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2),
+        r.getString(5)))).toMap
+
+  test("style and script content never leaks; title extracted and whitespace-collapsed") {
+    val (title0, _, text0) = out(9100000000L)
+    assert(title0 === "Crawl Basics")
+    assert(!text0.contains("color") && !text0.contains("red"),
+      s"style content leaked: $text0")
+    assert(text0 === "Crawl Basics Fetch the page and extract the main text.")
+    val (title1, _, text1) = out(9100000001L)
+    assert(title1 === "Spaced Title", "title must collapse internal runs")
+    assert(!text1.contains("secret") && !text1.contains("12345"),
+      s"script content leaked: $text1")
+    assert(text1 === "Visible words only.")
+    // uppercase tags strip too
+    val (_, _, text9) = out(9100000009L)
+    assert(!text9.contains("upper.case"), s"SCRIPT (uppercase) leaked: $text9")
+    assert(text9 === "Case insensitive tags survive.")
+  }
+
+  test("entity battery decodes with &amp; last; &amp;lt; yields literal-angle text") {
+    val (_, _, text2) = out(9100000002L)
+    assert(text2 ===
+      "Entities: fish & chips cost <5 >2 and a space plus 'quoted' " +
+        "and \"cited\" text.")
+    val (_, _, text10) = out(9100000010L)
+    assert(text10 === "Amp edge: &lt; decodes to literal-angle text not a tag.",
+      "double-decoding &amp;lt; would produce a bare < here")
+  }
+
+  test("comments never leak; links count href anchors only; self-closing tags vanish") {
+    val (_, _, text3) = out(9100000003L)
+    assert(!text3.contains("hidden") && !text3.contains("Fake"),
+      s"comment content leaked: $text3")
+    assert(text3 === "Comment content must not leak.")
+    val (_, links4, _) = out(9100000004L)
+    assert(links4 === 2L, "the href-less anchor must not count")
+    val (_, links11, text11) = out(9100000011L)
+    assert(links11 === 1L)
+    assert(text11 === "Breaks and images vanish. rel link")
+  }
+
+  test("grammar limits and degenerate shapes: stray '<', empty body, markup-free passthrough") {
+    val (_, _, text6) = out(9100000006L)
+    assert(text6 === "Unclosed paragraph dangling bold then a trailing stray < survives",
+      "a trailing '<' with no closing '>' must survive as text")
+    val (title7, _, text7) = out(9100000007L)
+    assert(title7 === "Empty Body" && text7 === "")
+    val (_, _, text8) = out(9100000008L)
+    assert(text8 === "no markup at all just plain words")
+    val (_, _, text5) = out(9100000005L)
+    assert(text5 === "Nested bold italic runs alpha beta")
+  }
+}
