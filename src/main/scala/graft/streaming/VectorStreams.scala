@@ -47,12 +47,24 @@ object VectorStreams {
   def seed(spark: SparkSession, root: String, stats: DataFrame): Long =
     new ManifestCommit(spark, root).commit(Map(StatsTable -> stats))
 
-  /** Apply ONE tombstone micro-batch exactly once: no-op if `batchId`
-    * is at or below the committed high water, else decrement the
-    * current statistics by the batch's exact-decimal sums
-    * ([[Similarity.decrementStats]] — the s29 fold verbatim) and flip
-    * (stats, marker) in one manifest commit. Returns true iff the
-    * batch was applied (false = redelivery no-op).
+  /** Apply ONE tombstone micro-batch exactly once: no-op if the SAME
+    * query lineage already committed `batchId` (its id is at or below
+    * the marker's high water), else decrement the current statistics
+    * by the batch's exact-decimal sums ([[Similarity.decrementStats]]
+    * — the s29 fold verbatim) and flip (stats, marker) in one manifest
+    * commit. Returns true iff the batch was applied (false =
+    * redelivery no-op).
+    *
+    * The marker is `(query_id, batch_id)` — the ivmStream replay-marker
+    * discipline. An epoch-only marker would make a FRESH checkpoint
+    * (batch ids restarting at 0 under a new query id) silently SKIP
+    * real tombstone batches: for erasure that is lost deletions, the
+    * one failure a compliance path cannot have. A new query id instead
+    * APPLIES and takes the marker over; the source-position contract is
+    * the operator's documented half — a fresh checkpoint must start
+    * from the current offset, because re-feeding already-applied
+    * tombstones through a new lineage would double-subtract (the same
+    * starting-offsets discipline every non-idempotent sink demands).
     *
     * The batch `collect`s nothing; the one driver-side action is the
     * manifest read/flip. Cost per batch is a store-sized rewrite at
@@ -65,13 +77,16 @@ object VectorStreams {
     import s.implicits._
     // withCentroid's cnrm derivation rides the graft_dot expression
     graft.plans.VectorExpressions.register(s)
+    val queryId = Option(s.sparkContext
+      .getLocalProperty("sql.streaming.queryId")).getOrElse("__direct__")
     val mc = new ManifestCommit(s, root)
     val cur = mc.current()
-    val applied = cur.get(MarkerTable).map { _ =>
-      mc.readAt(cur, MarkerTable).select(max(col("batch_id")))
-        .as[Long].head()
+    val replayed = cur.get(MarkerTable).exists { _ =>
+      val m = mc.readAt(cur, MarkerTable).head()
+      m.getAs[String]("query_id") == queryId &&
+        m.getAs[Long]("batch_id") >= batchId
     }
-    if (applied.exists(_ >= batchId)) false
+    if (replayed) false
     else {
       val store = mc.readAt(cur, StatsTable)
         .select(col("clabel") +:
@@ -81,7 +96,8 @@ object VectorStreams {
           batch.toDF().select(col("clabel"), col("v"))))
       mc.commit(Map(
         StatsTable -> folded,
-        MarkerTable -> Seq(batchId).toDF("batch_id").coalesce(1)))
+        MarkerTable -> Seq((queryId, batchId))
+          .toDF("query_id", "batch_id").coalesce(1)))
       true
     }
   }

@@ -87,4 +87,30 @@ class VectorStreamsSpec extends SparkTestBase {
       .select(col("clabel"), col("cnt")).collect().map(_.toSeq).toSet
       === statsAfter, "redelivery double-subtracted")
   }
+
+  test("a NEW query lineage applies from batch 0 — a fresh checkpoint never silently drops erasures") {
+    import spark.implicits._
+    val root = tmpDir()
+    seedStats(root)
+    val sc = spark.sparkContext
+    try {
+      sc.setLocalProperty("sql.streaming.queryId", "lineage-a")
+      assert(VectorStreams.applyForgetBatch(
+        Seq(VectorStreams.Tombstone(2L, vec(2L), 1L)).toDS(), root, 0L))
+      assert(!VectorStreams.applyForgetBatch(
+        Seq(VectorStreams.Tombstone(2L, vec(2L), 1L)).toDS(), root, 0L),
+        "same lineage, same id: must refuse")
+      // failover: the restarted job gets a NEW query id and its batch
+      // ids restart at 0 — an epoch-only marker would refuse this and
+      // LOSE the erasure; the lineage-aware marker applies it
+      sc.setLocalProperty("sql.streaming.queryId", "lineage-b")
+      assert(VectorStreams.applyForgetBatch(
+        Seq(VectorStreams.Tombstone(16L, vec(16L), 1L)).toDS(), root, 0L),
+        "a new lineage's batch 0 must apply")
+      val mc = new ManifestCommit(spark, root)
+      val cnt1 = mc.read(VectorStreams.StatsTable)
+        .filter(col("clabel") === 1L).select(col("cnt")).as[Long].head()
+      assert(cnt1 === 2L, s"both lineages' erasures must land: cnt=$cnt1")
+    } finally sc.setLocalProperty("sql.streaming.queryId", null)
+  }
 }
