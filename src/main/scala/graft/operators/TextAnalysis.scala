@@ -2342,41 +2342,8 @@ object TextAnalysis {
         val fix = s.read.option("sep", "\t").option("header", "true")
           .schema("doc_id LONG, html STRING")
           .csv(s"$fixtures/html_docs.tsv")
-        docs(s, d).select(col("doc_id"), col("text").as("html"))
-          .unionByName(fix)
-          .withColumn("clean", regexp_replace(regexp_replace(regexp_replace(
-            col("html"),
-            "(?is)<script[^>]*>.*?</script>", " "),
-            "(?is)<style[^>]*>.*?</style>", " "),
-            "(?s)<!--.*?-->", " "))
-          .withColumn("title", trim(regexp_replace(
-            regexp_extract(col("clean"), "(?is)<title[^>]*>(.*?)</title>", 1),
-            "\\s+", " ")))
-          .withColumn("n_links",
-            expr("size(regexp_extract_all(clean, '(?is)<a\\\\s[^>]*href\\\\s*=', 0))")
-              .cast("long"))
-          .withColumn("text", {
-            // head removal (title/meta must not leak into body text),
-            // tag strip, then entity decode with &amp; LAST, then
-            // whitespace collapse — the oracle's replace chain in the
-            // same order
-            val entities = Seq("&lt;" -> "<", "&gt;" -> ">",
-              "&quot;" -> "\"", "&#39;" -> "'", "&nbsp;" -> " ",
-              "&amp;" -> "&")
-            val decoded = entities.foldLeft(
-              regexp_replace(regexp_replace(col("clean"),
-                "(?is)<head[^>]*>.*?</head>", " "),
-                "(?s)<[^>]*>", " ")) {
-              case (c, (from, to)) => regexp_replace(c, from, to)
-            }
-            trim(regexp_replace(decoded, "\\s+", " "))
-          })
-          .select(col("doc_id"), col("title"), col("n_links"),
-            length(col("text")).cast("long").as("n_chars"),
-            when(length(col("text")) === 0, 0L)
-              .otherwise(size(split(col("text"), " ")).cast("long"))
-              .as("n_tokens"),
-            col("text"))
+        htmlExtract(docs(s, d).select(col("doc_id"), col("text").as("html"))
+          .unionByName(fix))
           .orderBy("doc_id")
       },
       Some(s"""WITH a AS (SELECT doc_id, text AS html FROM documents
@@ -2743,6 +2710,52 @@ object TextAnalysis {
           .write.mode("overwrite").parquet(s"$p/batch_id=$b")
       }
     }
+
+  /** t45's engine over any (doc_id, html) frame — public so
+    * HtmlExtractSpec's generative tag-soup properties can drive it on
+    * arbitrary strings. The whole chain is codegen'd regexps riding
+    * one narrow scan; see the registry entry for the grammar contract
+    * (script/style/comment and head removal, tag strip, entity decode
+    * with &amp; LAST, whitespace collapse, title + href-link
+    * metadata). A structural consequence the property tests pin: after
+    * the global tag strip, every surviving '<' has NO later '>' in its
+    * document (else the pair would have matched), so entity-free
+    * output can never contain a complete `<...>` span.
+    */
+  private[graft] def htmlExtract(htmlDocs: DataFrame): DataFrame =
+    htmlDocs
+      .withColumn("clean", regexp_replace(regexp_replace(regexp_replace(
+        col("html"),
+        "(?is)<script[^>]*>.*?</script>", " "),
+        "(?is)<style[^>]*>.*?</style>", " "),
+        "(?s)<!--.*?-->", " "))
+      .withColumn("title", trim(regexp_replace(
+        regexp_extract(col("clean"), "(?is)<title[^>]*>(.*?)</title>", 1),
+        "\\s+", " ")))
+      .withColumn("n_links",
+        expr("size(regexp_extract_all(clean, '(?is)<a\\\\s[^>]*href\\\\s*=', 0))")
+          .cast("long"))
+      .withColumn("text", {
+        // head removal (title/meta must not leak into body text), tag
+        // strip, then entity decode with &amp; LAST, then whitespace
+        // collapse — the oracle's replace chain in the same order
+        val entities = Seq("&lt;" -> "<", "&gt;" -> ">",
+          "&quot;" -> "\"", "&#39;" -> "'", "&nbsp;" -> " ",
+          "&amp;" -> "&")
+        val decoded = entities.foldLeft(
+          regexp_replace(regexp_replace(col("clean"),
+            "(?is)<head[^>]*>.*?</head>", " "),
+            "(?s)<[^>]*>", " ")) {
+          case (c, (from, to)) => regexp_replace(c, from, to)
+        }
+        trim(regexp_replace(decoded, "\\s+", " "))
+      })
+      .select(col("doc_id"), col("title"), col("n_links"),
+        length(col("text")).cast("long").as("n_chars"),
+        when(length(col("text")) === 0, 0L)
+          .otherwise(size(split(col("text"), " ")).cast("long"))
+          .as("n_tokens"),
+        col("text"))
 
   /** Oracle twin of [[bm25Scored]] — CTE chain `bx→btot→bqt0→bqt→btf→
     * bdf→bsc→bag`; `bag` is (query_id, doc_id, score, n_terms). Shared

@@ -71,4 +71,47 @@ class HtmlExtractSpec extends SparkTestBase {
     val (_, _, text5) = out(9100000005L)
     assert(text5 === "Nested bold italic runs alpha beta")
   }
+
+  test("generative tag soup: never throws, output shape consistent, no complete tag survives, script secrets never leak") {
+    import spark.implicits._
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // entity-free soup fragments: words, whole tags, half tags, bare
+    // brackets, and ONE atomic script fragment carrying a sentinel —
+    // the lazy script match must remove the sentinel no matter what
+    // unpaired openers/closers surround it
+    val frag = Gen.oneOf(
+      Gen.oneOf("alpha", "beta", " ", "  ", ">", "<", "<p>", "</p>",
+        "<b", "b>", "<a href='x'>link</a>", "</script>", "<ScRiPt>",
+        "<!--", "-->", "<!-- note -->", "<head>", "</head>"),
+      Gen.asciiPrintableStr.map(_.take(8)
+        .filterNot(c => c == '&' || c == '\t' || c == '\n')))
+    val soup = Gen.listOfN(12, frag).map(_.mkString(""))
+      .map { s =>
+        val cut = s.length / 2
+        s.take(cut) + "<script>ZZSECRETZZ</script>" + s.drop(cut)
+      }
+    val docs = Iterator.from(0).map(i =>
+      soup.apply(Gen.Parameters.default, Seed(45L + i))).flatten
+      .take(150).toSeq.zipWithIndex
+      .map { case (h, i) => (i.toLong, h) }
+    val out = TextAnalysis.htmlExtract(docs.toDF("doc_id", "html"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getString(5)))
+    assert(out.length === docs.length, "a row was lost or duplicated")
+    out.foreach { case (id, _, links, nChars, nTokens, text) =>
+      assert(nChars === text.length.toLong, s"doc $id n_chars drifted")
+      assert(nTokens ===
+        (if (text.isEmpty) 0L else text.split(" ", -1).length.toLong),
+        s"doc $id n_tokens drifted")
+      assert(links >= 0L)
+      assert(!text.contains("ZZSECRETZZ"),
+        s"doc $id leaked script content: $text")
+      // entity-free input ⇒ no complete <...> span can survive the
+      // global strip (every surviving '<' has no later '>')
+      assert(!text.matches("(?s).*<[^>]*>.*"),
+        s"doc $id kept a complete tag: $text")
+    }
+  }
 }
