@@ -161,7 +161,7 @@ object Portable {
 
   /** Codegen'd PQ codebook argmax — label / best-score of the L2
     * surrogate scan against one LITERAL codebook (graft.plans
-    * PqArgLabelD / PqBestScoreD; see there for the codegen-size
+    * PqArgLabelD / PqArgMaxD; see there for the codegen-size
     * rationale). `cents` row-major k×d, `hns` the ½|c|² terms.
     */
   def pqLabelFast(sv: Column, cents: Seq[Seq[Double]], labels: Seq[Long],
@@ -171,9 +171,13 @@ object Portable {
       org.apache.spark.sql.functions.typedlit(labels),
       org.apache.spark.sql.functions.typedlit(hns))
 
-  def pqBestFast(sv: Column, cents: Seq[Seq[Double]], labels: Seq[Long],
+  /** One scan yielding struct(clabel, best) — the trainer's per-row
+    * form; project-level CSE evaluates it once per row however many
+    * fields are read.
+    */
+  def pqArgMaxFast(sv: Column, cents: Seq[Seq[Double]], labels: Seq[Long],
       hns: Seq[Double]): Column =
-    call_function("graft_pq_best", sv,
+    call_function("graft_pq_argmax", sv,
       org.apache.spark.sql.functions.typedlit(cents.flatten),
       org.apache.spark.sql.functions.typedlit(labels),
       org.apache.spark.sql.functions.typedlit(hns))

@@ -2749,8 +2749,8 @@ object RelationalQueries {
         import org.apache.spark.sql.functions.posexplode
         mc.read("centroids")
           .select(col("clabel"), col("cnt").as("upd_cnt"),
-            posexplode(array((1 to 64).map(i => col(s"s_$i")): _*))
-              .as(Seq("pos", "f")))
+            posexplode(array((1 to Similarity.Dim).map(i =>
+              col(s"s_$i")): _*)).as(Seq("pos", "f")))
           .select(col("clabel"), (col("pos") + 1).as("dim"),
             col("f").cast("double").as("upd_sum"), col("upd_cnt"),
             (col("f").cast("double") / col("upd_cnt")).as("upd_mean"))

@@ -2419,6 +2419,16 @@ object Similarity {
   private[graft] final case class PqTrained(sv: DataFrame, report: DataFrame,
       objectives: Seq[Double], cents: Seq[Map[Int, PqBook]])
 
+  /** Per-subspace dispatch over one codebook-scan leaf: the row's OWN
+    * sub selects its codebook. One definition for every scan variant so
+    * the dispatch shape cannot desynchronize between them.
+    */
+  private def pqChain(m: Int, cs: Map[Int, PqBook])
+      (leaf: PqBook => Column): Column =
+    (1 until m).foldLeft(when(col("sub") === 0, leaf(cs(0)))) { (acc, j) =>
+      acc.when(col("sub") === j, leaf(cs(j)))
+    }
+
   /** Codeword of the per-subspace L2 argmax (x·c − ½|c|², argmax ⇔
     * argmin |x−c|²; first-occurrence tiebreak = lowest codeword id,
     * the oracle's row_number ORDER BY score DESC, clabel), chained per
@@ -2427,19 +2437,17 @@ object Similarity {
     * k = 16 (janino 64 KB; see PqCodebookScan).
     */
   private def pqLabelOf(m: Int, cs: Map[Int, PqBook]): Column =
-    (1 until m).foldLeft(when(col("sub") === 0, pqLabelFast(col("sv"),
-        cs(0).map(_._2), cs(0).map(_._1), cs(0).map(_._3)))) { (acc, j) =>
-      acc.when(col("sub") === j, pqLabelFast(col("sv"),
-        cs(j).map(_._2), cs(j).map(_._1), cs(j).map(_._3)))
-    }
+    pqChain(m, cs)(b =>
+      pqLabelFast(col("sv"), b.map(_._2), b.map(_._1), b.map(_._3)))
 
-  /** Best score of the same scan (the objective term), chained per sub. */
-  private def pqBestOf(m: Int, cs: Map[Int, PqBook]): Column =
-    (1 until m).foldLeft(when(col("sub") === 0, pqBestFast(col("sv"),
-        cs(0).map(_._2), cs(0).map(_._1), cs(0).map(_._3)))) { (acc, j) =>
-      acc.when(col("sub") === j, pqBestFast(col("sv"),
-        cs(j).map(_._2), cs(j).map(_._1), cs(j).map(_._3)))
-    }
+  /** Label AND objective term from ONE scan (struct(clabel, best)) —
+    * the trainer reads both per row, and separate label/best
+    * expressions would scan the identical codebook twice; CSE
+    * evaluates the struct node once however many fields are read.
+    */
+  private def pqArgMaxOf(m: Int, cs: Map[Int, PqBook]): Column =
+    pqChain(m, cs)(b =>
+      pqArgMaxFast(col("sv"), b.map(_._2), b.map(_._1), b.map(_._3)))
 
   private[graft] def pqTrain(vecs: DataFrame, m: Int, subDim: Int,
       k: Int, rounds: Int): PqTrained = {
@@ -2468,8 +2476,9 @@ object Similarity {
     val perRound = Seq.newBuilder[Map[Int, PqBook]]
     (1 to (if (seedIds.isEmpty) 0 else rounds)).foreach { r =>
       val assigned = sv
-        .withColumn("clabel", pqLabelOf(m, cents))
-        .withColumn("best", pqBestOf(m, cents))
+        .withColumn("am", pqArgMaxOf(m, cents))
+        .withColumn("clabel", col("am").getField("clabel"))
+        .withColumn("best", col("am").getField("best"))
         .withColumn("prev_label",
           prev.map(p => pqLabelOf(m, p))
             .getOrElse(lit(null).cast("long")))
@@ -2931,19 +2940,36 @@ object Similarity {
     * tombstone batch enters BROADCAST; the store scans once.
     */
   private[graft] def decrementStats(store: DataFrame,
-      gone: DataFrame): DataFrame = {
+      gone: DataFrame, validate: Boolean = false): DataFrame = {
     val decCols: Seq[Column] = (1 to Dim).map(i =>
       sum(element_at(col("v"), i).cast(DecimalType(18, 9)))
         .cast(DecimalType(30, 9)).as(s"d_$i")) :+
       count(lit(1)).as("dcnt")
     val dec = gone.groupBy("clabel").agg(decCols.head, decCols.tail: _*)
-    store.join(broadcast(dec), Seq("clabel"), "left")
+    val folded = store.join(broadcast(dec), Seq("clabel"), "left")
       .select(col("clabel") +: ((1 to Dim).map(i =>
         (col(s"s_$i") - coalesce(col(s"d_$i"),
           lit(0).cast(DecimalType(30, 9))))
           .cast(DecimalType(30, 9)).as(s"s_$i")) :+
         (col("cnt") - coalesce(col("dcnt"), lit(0L))).as("cnt")): _*)
-      .filter(col("cnt") > 0)
+    if (validate) {
+      // the silent failure modes of a compliance path, surfaced: a
+      // tombstone set exceeding a cluster's folded members would
+      // otherwise vanish into the cnt > 0 filter (erasing never-erased
+      // members' statistics with it), and a tombstone crediting a
+      // cluster the store never folded would no-op while its real
+      // cluster stays inflated. Two k-sized driver actions — callers on
+      // the plan-pure gate path (s29/c22) keep the default and the
+      // documented classic-Lloyd drop semantics.
+      val over = folded.filter(col("cnt") < 0).count()
+      require(over == 0,
+        s"over-erasure: $over clusters driven negative — tombstones exceed folded members")
+      val unknown = dec.join(store.select("clabel"), Seq("clabel"),
+        "left_anti").count()
+      require(unknown == 0,
+        s"$unknown tombstone clusters unknown to the store")
+    }
+    folded.filter(col("cnt") > 0)
   }
 
   private[graft] def centroidStore(s: SparkSession, d: String): String =

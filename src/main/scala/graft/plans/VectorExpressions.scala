@@ -308,23 +308,40 @@ case class PqArgLabelD(child: Expression, cents: IndexedSeq[Double],
       newChild: Expression): PqArgLabelD = copy(child = newChild)
 }
 
-/** Best SCORE of the argmax (the assignment-time objective term) —
-  * `graft_pq_best`.
+/** Label AND best score from ONE scan — `graft_pq_argmax`,
+  * struct<clabel, best>. The trainer needs both per row per round;
+  * separate label/best expressions scan the identical codebook twice,
+  * and project-level common-subexpression elimination evaluates this
+  * node once however many fields are extracted from it.
   */
-case class PqBestScoreD(child: Expression, cents: IndexedSeq[Double],
+case class PqArgMaxD(child: Expression, cents: IndexedSeq[Double],
     labels: IndexedSeq[Long], hns: IndexedSeq[Double])
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
     with PqCodebookScan {
   override def checkInputDataTypes(): TypeCheckResult = checkPq()
-  override def dataType: DataType = DoubleType
-  override def prettyName: String = "graft_pq_best"
-  override protected def nullSafeEval(a: Any): Any = scan(a)._2
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("clabel",
+      org.apache.spark.sql.types.LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("best", DoubleType,
+      nullable = false)))
+  override def prettyName: String = "graft_pq_argmax"
+  override protected def nullSafeEval(a: Any): Any = {
+    val (bi, bs) = scan(a)
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](lArr(bi), bs))
+  }
   override protected def doGenCode(ctx: CodegenContext,
       ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, a =>
-      genScan(ctx, a, (_, bs) => s"${ev.value} = $bs;"))
+    nullSafeCodeGen(ctx, ev, a => {
+      val lRef = ctx.addReferenceObj("pqLabels", lArr, "long[]")
+      genScan(ctx, a, (bi, bs) =>
+        s"""${ev.value} = new org.apache.spark.sql.catalyst.expressions
+           |  .GenericInternalRow(new Object[]{
+           |    java.lang.Long.valueOf($lRef[$bi]),
+           |    java.lang.Double.valueOf($bs)});""".stripMargin)
+    })
   override protected def withNewChildInternal(
-      newChild: Expression): PqBestScoreD = copy(child = newChild)
+      newChild: Expression): PqArgMaxD = copy(child = newChild)
 }
 
 object VectorExpressions {
@@ -353,10 +370,10 @@ object VectorExpressions {
       foldL(exprs(2), "labels"), foldD(exprs(3), "hns"))
   }
 
-  private[plans] def buildPqBest(exprs: Seq[Expression]): Expression = {
+  private[plans] def buildPqArgMax(exprs: Seq[Expression]): Expression = {
     require(exprs.length == 4,
-      "graft_pq_best takes (vec, cents, labels, hns)")
-    PqBestScoreD(exprs.head, foldD(exprs(1), "cents"),
+      "graft_pq_argmax takes (vec, cents, labels, hns)")
+    PqArgMaxD(exprs.head, foldD(exprs(1), "cents"),
       foldL(exprs(2), "labels"), foldD(exprs(3), "hns"))
   }
 
@@ -379,7 +396,7 @@ object VectorExpressions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_pq_label", buildPqLabel, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_pq_best", buildPqBest, "built-in")
+      "graft_pq_argmax", buildPqArgMax, "built-in")
   }
 
   private def buildCenter(exprs: Seq[Expression]): Expression = {
@@ -425,10 +442,10 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
         classOf[PqArgLabelD].getName, "graft_pq_label"),
       (exprs: Seq[Expression]) => VectorExpressions.buildPqLabel(exprs)))
     ext.injectFunction((
-      new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_pq_best"),
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_pq_argmax"),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
-        classOf[PqBestScoreD].getName, "graft_pq_best"),
-      (exprs: Seq[Expression]) => VectorExpressions.buildPqBest(exprs)))
+        classOf[PqArgMaxD].getName, "graft_pq_argmax"),
+      (exprs: Seq[Expression]) => VectorExpressions.buildPqArgMax(exprs)))
     ext.injectFunction((
       new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_kmv"),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(

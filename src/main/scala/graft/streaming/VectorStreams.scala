@@ -77,26 +77,37 @@ object VectorStreams {
     import s.implicits._
     // withCentroid's cnrm derivation rides the graft_dot expression
     graft.plans.VectorExpressions.register(s)
+    // empty batches must not rewrite a store-sized table and burn a
+    // manifest version (the c17 empty-batch discipline)
+    if (batch.isEmpty) return false
     val queryId = Option(s.sparkContext
       .getLocalProperty("sql.streaming.queryId")).getOrElse("__direct__")
     val mc = new ManifestCommit(s, root)
     val cur = mc.current()
-    val replayed = cur.get(MarkerTable).exists { _ =>
-      val m = mc.readAt(cur, MarkerTable).head()
-      m.getAs[String]("query_id") == queryId &&
-        m.getAs[Long]("batch_id") >= batchId
-    }
-    if (replayed) false
+    // per-LINEAGE high-water map, not one latest-writer row: with a
+    // single row, a takeover lineage's first commit would erase the old
+    // lineage's guard, and a zombie driver's redelivered batch (query_id
+    // no longer matching) would re-apply a non-idempotent decrement —
+    // the double-subtraction the marker exists to prevent. The map is
+    // bounded by lineages ever seen (restart count, not data size).
+    val marks: Map[String, Long] =
+      if (cur.contains(MarkerTable))
+        mc.readAt(cur, MarkerTable).collect()
+          .map(r => r.getAs[String]("query_id") -> r.getAs[Long]("batch_id"))
+          .groupMapReduce(_._1)(_._2)(math.max)
+      else Map.empty
+    if (marks.get(queryId).exists(_ >= batchId)) false
     else {
       val store = mc.readAt(cur, StatsTable)
         .select(col("clabel") +:
           ((1 to Similarity.Dim).map(i => col(s"s_$i")) :+ col("cnt")): _*)
       val folded = Similarity.withCentroid(
         Similarity.decrementStats(store,
-          batch.toDF().select(col("clabel"), col("v"))))
+          batch.toDF().select(col("clabel"), col("v")),
+          validate = true))
       mc.commit(Map(
         StatsTable -> folded,
-        MarkerTable -> Seq((queryId, batchId))
+        MarkerTable -> (marks + (queryId -> batchId)).toSeq
           .toDF("query_id", "batch_id").coalesce(1)))
       true
     }

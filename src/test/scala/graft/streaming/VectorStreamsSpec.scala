@@ -111,6 +111,47 @@ class VectorStreamsSpec extends SparkTestBase {
       val cnt1 = mc.read(VectorStreams.StatsTable)
         .filter(col("clabel") === 1L).select(col("cnt")).as[Long].head()
       assert(cnt1 === 2L, s"both lineages' erasures must land: cnt=$cnt1")
+      // ZOMBIE lineage: A's driver resurfaces and redelivers ITS batch 0
+      // after B took over — with a single latest-writer marker row, A's
+      // guard would be gone and the decrement would double-apply; the
+      // per-lineage high-water map must still refuse it
+      sc.setLocalProperty("sql.streaming.queryId", "lineage-a")
+      assert(!VectorStreams.applyForgetBatch(
+        Seq(VectorStreams.Tombstone(2L, vec(2L), 1L)).toDS(), root, 0L),
+        "a zombie lineage's redelivered batch must stay refused")
+      assert(mc.read(VectorStreams.StatsTable)
+        .filter(col("clabel") === 1L).select(col("cnt")).as[Long].head()
+        === 2L, "zombie redelivery double-subtracted")
+      // and an EMPTY batch neither applies nor burns a manifest version
+      val vNow = mc.currentVersion().get
+      assert(!VectorStreams.applyForgetBatch(
+        Seq.empty[VectorStreams.Tombstone].toDS(), root, 99L),
+        "empty batch must be a no-op")
+      assert(mc.currentVersion().get === vNow,
+        "empty batch committed a version")
     } finally sc.setLocalProperty("sql.streaming.queryId", null)
+  }
+
+  test("over-erasure and unknown clusters fail loudly on the validated streaming path") {
+    import spark.implicits._
+    val root = tmpDir()
+    seedStats(root)
+    // same vector erased twice in one batch: label 1 has 4 members, so
+    // counts stay positive and ONLY the sums corrupt — exactly the
+    // silent case; validate must still... (it cannot see sum-grain
+    // over-erasure without member lists, the documented store-design
+    // limit) — what it MUST catch is count-grain over-erasure:
+    val five = Seq(2L, 16L, 23L, 37L, 2L)
+      .map(id => VectorStreams.Tombstone(id, vec(id), 1L))
+    val e1 = intercept[IllegalArgumentException] {
+      VectorStreams.applyForgetBatch(five.toDS(), root, 0L)
+    }
+    assert(e1.getMessage.contains("over-erasure"), e1.getMessage)
+    // a tombstone crediting a cluster the store never folded
+    val e2 = intercept[IllegalArgumentException] {
+      VectorStreams.applyForgetBatch(
+        Seq(VectorStreams.Tombstone(2L, vec(2L), 77L)).toDS(), root, 1L)
+    }
+    assert(e2.getMessage.contains("unknown to the store"), e2.getMessage)
   }
 }
