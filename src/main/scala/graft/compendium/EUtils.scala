@@ -175,6 +175,80 @@ object EUtils {
     merged
   }
 
+  /** [[enrich]]'s EXECUTOR-SIDE twin. The driver-side loop stays the
+    * DEFAULT (reference parity — the bottleneck is NCBI throttling, not
+    * compute), but at fleet scale the fetch fans out: the driver builds
+    * the SAME deterministic batch sequence (`grouped(eutilsBatchSize)` —
+    * the 80-per-query envelope), slices it contiguously over
+    * `parallelism` partitions, and each partition runs the driver
+    * loop's envelope locally —
+    *
+    *   - its own client, constructed ON the executor via
+    *     `clientFactory` (HTTP clients don't serialize; the factory
+    *     closure must);
+    *   - the 1950-char URL hard cap (db.py:314-317), which stops that
+    *     partition and, after every fetched batch has merged, aborts
+    *     the call — the reference's persist-then-exit discipline;
+    *   - two CONSECUTIVE failures stop that partition's remaining
+    *     batches while other partitions continue (db.py:326-384 applied
+    *     per worker — the driver loop's global counter has no
+    *     distributed equivalent that isn't a barrier);
+    *   - a per-request sleep of `parallelism × eutilsThrottleMs`, so
+    *     the FLEET-wide request rate never exceeds the single-driver
+    *     NCBI budget of one request per eutilsThrottleMs — the
+    *     global-throttle invariant (spec-asserted with a recording
+    *     fake): P workers × rate 1/(P·t) = 1/t.
+    *
+    * Results merge through the same [[mergeInfos]] upsert as the driver
+    * path, so on a clean run the two paths are provably
+    * output-identical (EUtilsSpec pins it on the shared fixture).
+    */
+  def enrichDistributed(spark: SparkSession, wh: Warehouse,
+      clientFactory: () => EUtilsClient, budget: Int,
+      cfg: EngineConfig = EngineConfig.default,
+      parallelism: Int = 4): Long = {
+    import spark.implicits._
+    require(parallelism >= 1, "parallelism must be at least 1")
+    val samples = wh.readOrEmpty("samples", Schemas.samples)
+    val todo = Selection.unresolvedSamples(samples, budget)
+      .as[String].collect().toSeq
+    val batches = todo.grouped(cfg.eutilsBatchSize).toVector
+    if (batches.isEmpty) return 0L
+    val perRequestSleepMs = cfg.eutilsThrottleMs * parallelism
+    val urlMax = cfg.eutilsUrlMaxChars
+    val fetched = spark.sparkContext
+      .parallelize(batches, math.min(parallelism, batches.size))
+      .mapPartitions { it =>
+        val client = clientFactory()
+        var consecutiveFailures = 0
+        var abort: Option[String] = None
+        val out = Vector.newBuilder[(Seq[SraRunInfo], Option[String])]
+        while (it.hasNext && consecutiveFailures < 2 && abort.isEmpty) {
+          val batch = it.next()
+          val url = esearchUrl(batch)
+          if (url.length > urlMax)
+            abort = Some(s"esearch URL ${url.length} chars exceeds " +
+              s"$urlMax (db.py:314-317)")
+          else {
+            Thread.sleep(perRequestSleepMs)
+            try {
+              out += ((parseResponse(client.fetch(batch)), None))
+              consecutiveFailures = 0
+            } catch {
+              case scala.util.control.NonFatal(_) =>
+                consecutiveFailures += 1
+            }
+          }
+        }
+        abort.foreach(a => out += ((Seq.empty, Some(a))))
+        Iterator.single(out.result())
+      }.collect().toSeq.flatten
+    val merged = mergeInfos(spark, wh, fetched.flatMap(_._1))
+    fetched.flatMap(_._2).headOption
+      .foreach(m => throw new IllegalStateException(m))
+    merged
+  }
+
   private def mergeInfos(spark: SparkSession, wh: Warehouse,
       infos: Seq[SraRunInfo]): Long = {
     import spark.implicits._

@@ -80,14 +80,58 @@ final class ManifestCommit(spark: SparkSession, root: String,
   def readAt(manifest: Map[String, String], table: String): DataFrame =
     spark.read.parquet(s"$root/${manifest(table)}")
 
+  /** Partition keys of a partition-granular table: the manifest entries
+    * `table/<partCol>=<value>`, one per live partition directory.
+    */
+  def partitionKeys(manifest: Map[String, String], table: String)
+      : Seq[String] =
+    manifest.keys.filter(_.startsWith(table + "/")).toSeq.sorted
+
+  /** Read SOME partitions of a partition-granular table through one
+    * manifest resolution — the pruned read: absent values (a partition
+    * never written, or swept empty) simply contribute nothing, and
+    * directories outside `values` are never listed, never opened. The
+    * partition column is restored from the manifest key (staged files
+    * do not carry it — `partitionBy` moved it into the directory name);
+    * bucket keys are LONG by the IVM convention. Returns None when no
+    * requested partition exists.
+    */
+  def readPartitionsAt(manifest: Map[String, String], table: String,
+      partCol: String, values: Seq[Long]): Option[DataFrame] = {
+    val frames = values.flatMap { v =>
+      manifest.get(s"$table/$partCol=$v").map(dir =>
+        spark.read.parquet(s"$root/$dir")
+          .withColumn(partCol, org.apache.spark.sql.functions.lit(v)))
+    }
+    frames.reduceOption(_ unionByName _)
+  }
+
+  /** Read the WHOLE partition-granular family of `table`. */
+  def readPartitionedAt(manifest: Map[String, String], table: String)
+      : Option[DataFrame] = {
+    val vals = partitionKeys(manifest, table).map { k =>
+      val kv = k.substring(k.indexOf('/') + 1)
+      (kv.substring(0, kv.indexOf('=')),
+        kv.substring(kv.indexOf('=') + 1).toLong)
+    }
+    vals.headOption.flatMap { case (partCol, _) =>
+      readPartitionsAt(manifest, table, partCol, vals.map(_._2))
+    }
+  }
+
   /** Atomically commit `writes` as one new version: every frame stages to
     * a fresh `<table>__v<N>` directory, tables NOT in `writes` carry their
     * previous directories forward, and the single manifest create makes
     * the whole set visible at once — the (base, view, marker) trio flips
-    * together or not at all. Returns the committed version.
+    * together or not at all. Tables named in `drop` leave the manifest in
+    * the same flip (their directories stay on disk until the retain
+    * horizon passes, then GC sweeps them) — the segment-compaction shape:
+    * N small append segments merge into one table and vanish from the map
+    * in a single atomic commit. Returns the committed version.
     */
-  def commit(writes: Map[String, DataFrame]): Long =
-    commitAs(currentVersion().getOrElse(0L) + 1L, writes)
+  def commit(writes: Map[String, DataFrame],
+      drop: Set[String] = Set.empty): Long =
+    commitAs(currentVersion().getOrElse(0L) + 1L, writes, drop)
 
   /** The version-pinned commit body — separated so the concurrent-writer
     * contract is testable: a committer whose version was taken by a race
@@ -95,8 +139,36 @@ final class ManifestCommit(spark: SparkSession, root: String,
     * manifest create, never overwrite.
     */
   private[compendium] def commitAs(v: Long,
-      writes: Map[String, DataFrame]): Long = {
-    val prev = if (v <= 1) Map.empty[String, String] else manifestAt(v - 1)
+      writes: Map[String, DataFrame],
+      drop: Set[String] = Set.empty): Long =
+    commitPartitionedAs(v, Map.empty, writes, drop)
+
+  /** [[commit]] extended with PARTITION-GRANULAR tables — the fact-scale
+    * commit shape: `partWrites` maps a table to `(partCol, df, touched)`
+    * where `df` holds the NEW content of exactly the `touched` partition
+    * values (df's partCol column decides placement; bucket values are
+    * LONG). The frame stages in ONE `partitionBy` write job into a fresh
+    * versioned parent, each produced `partCol=<v>` subdirectory becomes
+    * the manifest entry `table/partCol=<v>`, every untouched partition
+    * carries its previous directory forward (byte-stable on disk, entry
+    * unchanged), and a touched value that produced no rows leaves the
+    * manifest — the emptied-partition sweep as a map edit. Flat `writes`
+    * (the marker) ride the same single flip, so (base partitions, view
+    * partitions, marker) become visible together or not at all.
+    */
+  def commitPartitioned(
+      partWrites: Map[String, (String, DataFrame, Seq[Long])],
+      writes: Map[String, DataFrame] = Map.empty,
+      drop: Set[String] = Set.empty): Long =
+    commitPartitionedAs(currentVersion().getOrElse(0L) + 1L,
+      partWrites, writes, drop)
+
+  private[compendium] def commitPartitionedAs(v: Long,
+      partWrites: Map[String, (String, DataFrame, Seq[Long])],
+      writes: Map[String, DataFrame],
+      drop: Set[String]): Long = {
+    val prev: Map[String, String] =
+      (if (v <= 1) Map.empty[String, String] else manifestAt(v - 1)) -- drop
     // the attempt token makes staging dirs WRITER-UNIQUE: two committers
     // racing to one version must not overwrite each other's staged files
     // either — the loser's orphan dirs are garbage, not corruption, and
@@ -106,7 +178,21 @@ final class ManifestCommit(spark: SparkSession, root: String,
     writes.foreach { case (table, df) =>
       df.write.mode(SaveMode.Overwrite).parquet(s"$root/${staged(table)}")
     }
-    val next = prev ++ staged
+    val partEntries = partWrites.flatMap {
+      case (table, (partCol, df, touched)) =>
+        val parent = s"${table}__v${v}_$token"
+        df.write.mode(SaveMode.Overwrite).partitionBy(partCol)
+          .parquet(s"$root/$parent")
+        val produced = fs.listStatus(new Path(s"$root/$parent")).toSeq
+          .filter(_.isDirectory).map(_.getPath.getName)
+          .filter(_.startsWith(partCol + "="))
+        produced.map(p => s"$table/$p" -> s"$parent/$p")
+    }
+    val touchedKeys = partWrites.flatMap {
+      case (table, (partCol, _, touched)) =>
+        touched.map(x => s"$table/$partCol=$x")
+    }.toSet
+    val next = (prev -- touchedKeys) ++ partEntries ++ staged
     val body = next.toSeq.sorted.map { case (t, d) => s"$t\t$d" }
       .mkString("", "\n", "\n")
     // create-exclusive: a concurrent committer racing to the same version
@@ -127,18 +213,35 @@ final class ManifestCommit(spark: SparkSession, root: String,
     */
   private def gc(committed: Long): Unit = {
     val keepVersions = versions().filter(_ > committed - retain)
-    val referenced = keepVersions.flatMap(v => manifestAt(v).values).toSet
+    val fullRefs = keepVersions.flatMap(v => manifestAt(v).values).toSet
+    // a partition-granular entry references `<parent>/<partCol>=<v>`:
+    // its PARENT staging dir is live as long as any subdirectory is
+    val parentRefs = fullRefs.map(_.split('/').head)
     versions().filterNot(keepVersions.contains)
       .foreach(v => fs.delete(manifestPath(v), false))
     val rootPath = new Path(root)
-    fs.listStatus(rootPath).toSeq
+    val stagedDirs = fs.listStatus(rootPath).toSeq
       .filter(s => s.isDirectory &&
         s.getPath.getName.matches(".+__v\\d+_[0-9a-f]+") &&
-        !referenced.contains(s.getPath.getName) &&
         // never sweep a version being staged ABOVE the committed one
         // (a concurrent writer's work-in-progress is not garbage)
         s.getPath.getName.replaceAll("^.+__v", "")
           .replaceAll("_.*$", "").toLong <= committed)
+    stagedDirs.filterNot(s => parentRefs.contains(s.getPath.getName))
       .foreach(s => fs.delete(s.getPath, true))
+    // SUBDIR-grain sweep inside partition-granular parents: a rewritten
+    // partition's old `partCol=<v>` directory must free even while its
+    // parent still hosts carried-forward live partitions — without this
+    // a hot partition's history pins the whole parent forever. Flat
+    // tables (parent itself referenced) are never descended into.
+    stagedDirs
+      .filter(s => parentRefs.contains(s.getPath.getName) &&
+        !fullRefs.contains(s.getPath.getName))
+      .foreach { s =>
+        fs.listStatus(s.getPath).toSeq
+          .filter(d => d.isDirectory && d.getPath.getName.contains("=") &&
+            !fullRefs.contains(s"${s.getPath.getName}/${d.getPath.getName}"))
+          .foreach(d => fs.delete(d.getPath, true))
+      }
   }
 }

@@ -199,4 +199,13 @@ object Portable {
     */
   def topK(ord: Column, id: Column, k: Int): Column =
     call_function("graft_topk", ord, id, lit(k))
+
+  /** Codegen'd numeric-character-reference decode
+    * (graft.plans.NcrDecode) — `&#NNNN;`/`&#xHHHH;` → codepoint, one
+    * left-to-right pass, invalid references preserved as literal text.
+    * Call after VectorExpressions.register(spark). DuckDB twin: the
+    * split/extract/reassemble CTE in t45's oracle (sqlNcrDecode).
+    */
+  def ncrDecode(s: Column): Column =
+    call_function("graft_ncr_decode", s)
 }

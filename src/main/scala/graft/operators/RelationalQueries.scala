@@ -2772,6 +2772,95 @@ object RelationalQueries {
         "clabel BIGINT, dim INT, upd_sum DOUBLE, upd_cnt BIGINT, " +
           "upd_mean DOUBLE"))),
 
+    // c15 re-run through the TRANSACTIONAL fact-scale path — the round
+    // that closes the partitioned form's last visibility gap: c15's
+    // per-epoch writes are partition-pruned but land as two independent
+    // overwrites (view, then base) plus a marker rename, so a reader
+    // interleaved between them can still pair a new view with an old
+    // base; ivmStreamPartitionedCommitted stages the SAME pruned
+    // partition set as versioned directories and flips (base
+    // partitions, view partitions, marker) in ONE ManifestCommit
+    // manifest create — untouched partition directories carry forward
+    // byte-identical (IvmPartitionedCommittedSpec pins the FS claim and
+    // the held-snapshot claim), and the commit works on rename-less
+    // object stores. Fixture, feed, batching, and DuckDB oracle are
+    // c12/c15's VERBATIM, so the hash gate pins the four-way
+    // equivalence: committed-partitioned ≡ partitioned ≡ flat ≡
+    // from-scratch recompute.
+    Q("c23_stream_replay_manifest",
+      "c15's partition-pruned CDC replay with every epoch's (base, view, marker) flipped in ONE manifest commit: no torn window, hash-equal to DuckDB's from-scratch fold",
+      (s, d) => {
+        import s.implicits._
+        implicit val sq = s.sqlContext
+        import graft.functions.Portable.h60
+        import graft.streaming.EventStreams
+        import graft.streaming.EventStreams.CdcViewChange
+        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+        val base = Tables.load(s, d, "orders")
+          .select(col("o_orderkey").as("k"), col("o_custkey").as("ck"),
+            expr("cast(floor(o_totalprice * 100 + 0.5) AS BIGINT)")
+              .as("cents"))
+        val raw = cdcChanges(base.select(col("k")))
+        val feed = raw.join(base.select("k", "ck"), Seq("k"), "left")
+          .select(col("k"), col("seq"), col("op"),
+            coalesce(col("ck"),
+              h60(concat(lit("nc_"), col("k").cast("string"))) % 1000 + 1)
+              .as("ck"),
+            col("new_cents").as("cents"))
+          .as[CdcViewChange]
+          .collect()
+        val root = java.nio.file.Files
+          .createTempDirectory("c23_stream").toString
+        val mc = new graft.compendium.ManifestCommit(s, root)
+        // the base loads through the SAME applier as the stream — the
+        // epoch-0 all-inserts batch under its own seed lineage, so the
+        // store is manifest-committed partition-granular from birth
+        EventStreams.applyIvmBatchPartitionedCommitted(
+          base.select(col("k"), lit(0L).as("seq"), lit("I").as("op"),
+            col("ck"), col("cents")),
+          mc, "c23_base", "c23_view", epoch = 0L, queryId = "c23_seed",
+          buckets = 16)
+        val in = MemoryStream[CdcViewChange]
+        val q = EventStreams
+          .ivmStreamPartitionedCommitted(in.toDS(), mc,
+            "c23_base", "c23_view", 16)
+          .start()
+        try {
+          (0L until 3L).foreach { b =>
+            val batch = feed.filter(_.k % 3 == b)
+            if (batch.nonEmpty) {
+              in.addData(batch.toSeq)
+              q.processAllAvailable()
+            }
+          }
+        } finally q.stop()
+        import org.apache.spark.sql.types._
+        mc.readPartitionedAt(mc.current(), "c23_view")
+          .getOrElse(s.createDataFrame(
+            s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            StructType(Seq(StructField("ck", LongType),
+              StructField("n", LongType),
+              StructField("cents_total", LongType)))))
+          .select("ck", "n", "cents_total").orderBy("ck")
+      },
+      Some(s"""WITH base AS (SELECT o_orderkey AS k, o_custkey AS ck,
+             |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+             |  FROM orders),
+             |$sqlCdcResolved,
+             |rck AS (SELECT r.k, r.last_op, r.new_cents,
+             |    coalesce(b.ck,
+             |      ('0x' || substr(md5('nc_' || r.k), 1, 15))::BIGINT % 1000 + 1) AS ck
+             |  FROM resolved r LEFT JOIN base b ON r.k = b.k),
+             |applied AS (
+             |  SELECT b.k, b.ck, b.cents FROM base b
+             |  WHERE NOT EXISTS (SELECT 1 FROM rck r WHERE r.k = b.k)
+             |  UNION ALL
+             |  SELECT k, ck, new_cents AS cents FROM rck WHERE last_op <> 'D')
+             |SELECT ck, count(*)::BIGINT AS n, sum(cents)::BIGINT AS cents_total
+             |FROM applied GROUP BY ck ORDER BY ck""".stripMargin),
+      staticSchema = Some(org.apache.spark.sql.types.StructType.fromDDL(
+        "ck BIGINT, n BIGINT, cents_total BIGINT"))),
+
     // DATA-QUALITY constraint audit — the pre-publish validation suite
     // (Deequ / Great Expectations / dbt tests): a declared constraint
     // set over a table, each check a violation COUNT with a verdict,

@@ -2320,8 +2320,11 @@ object TextAnalysis {
     // extractor is a DOM parser with boilerplate heuristics, but the
     // container has no parser lib and the PIPELINE properties — drop
     // script/style/comment content, strip tags, decode entities
-    // (&amp; decoded LAST so &amp;lt; yields literal-angle text, not a
-    // tag), collapse whitespace, surface title/link-count metadata —
+    // (NUMERIC references &#NNNN;/&#xHHHH; first via the codegen'd
+    // NcrDecode grammar pass — valid scalar codepoints only, invalid
+    // forms stay literal — then the named table with &amp; decoded
+    // LAST so &amp;lt; yields literal-angle text, not a tag), collapse
+    // whitespace, surface title/link-count metadata —
     // are deterministic, engine-portable (RE2 ∩ Java regex: lazy
     // quantifiers, inline (?is), no backreferences — script and style
     // get separate patterns for exactly that reason), and therefore
@@ -2355,19 +2358,40 @@ object TextAnalysis {
              |    '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
              |    '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
              |    '(?s)<!--.*?-->', ' ', 'g') AS clean FROM a),
+             |st AS (SELECT doc_id, clean,
+             |    regexp_replace(regexp_replace(clean,
+             |      '(?is)<head[^>]*>.*?</head>', ' ', 'g'),
+             |      '(?s)<[^>]*>', ' ', 'g') AS stripped FROM c),
+             |nx AS (SELECT doc_id, clean, stripped,
+             |    regexp_split_to_array(stripped,
+             |      '&#(?:[0-9]{1,7}|[xX][0-9a-fA-F]{1,6});') AS segs,
+             |    list_transform(regexp_extract_all(stripped,
+             |      '&#([0-9]{1,7}|[xX][0-9a-fA-F]{1,6});', 1), e ->
+             |      struct_pack(raw := e, cp := CASE WHEN lower(e) LIKE 'x%'
+             |        THEN ('0x' || substr(e, 2))::BIGINT
+             |        ELSE e::BIGINT END)) AS ents
+             |  FROM st),
+             |nd AS (SELECT doc_id, clean,
+             |    CASE WHEN len(ents) = 0 THEN stripped
+             |    ELSE segs[1] || array_to_string(
+             |      list_transform(range(1, len(ents) + 1), i ->
+             |        coalesce(CASE WHEN ents[i].cp BETWEEN 1 AND 1114111
+             |            AND NOT (ents[i].cp BETWEEN 55296 AND 57343)
+             |          THEN chr(ents[i].cp::INT) END,
+             |          '&#' || ents[i].raw || ';') || segs[i + 1]), '')
+             |    END AS dtext
+             |  FROM nx),
              |t AS (SELECT doc_id,
              |    trim(regexp_replace(coalesce(
              |      regexp_extract(clean, '(?is)<title[^>]*>(.*?)</title>', 1),
              |      ''), '\\s+', ' ', 'g')) AS title,
              |    len(regexp_extract_all(clean, '(?is)<a\\s[^>]*href\\s*='))::BIGINT AS n_links,
              |    trim(regexp_replace(replace(replace(replace(replace(replace(replace(
-             |      regexp_replace(regexp_replace(clean,
-             |        '(?is)<head[^>]*>.*?</head>', ' ', 'g'),
-             |        '(?s)<[^>]*>', ' ', 'g'),
+             |      dtext,
              |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
              |      '&#39;', chr(39)), '&nbsp;', ' '), '&amp;', '&'),
              |      '\\s+', ' ', 'g')) AS text
-             |  FROM c)
+             |  FROM nd)
              |SELECT doc_id, title, n_links,
              |  length(text)::BIGINT AS n_chars,
              |  (CASE WHEN length(text) = 0 THEN 0
@@ -2722,7 +2746,8 @@ object TextAnalysis {
     * document (else the pair would have matched), so entity-free
     * output can never contain a complete `<...>` span.
     */
-  private[graft] def htmlExtract(htmlDocs: DataFrame): DataFrame =
+  private[graft] def htmlExtract(htmlDocs: DataFrame): DataFrame = {
+    graft.plans.VectorExpressions.register(htmlDocs.sparkSession)
     htmlDocs
       .withColumn("clean", regexp_replace(regexp_replace(regexp_replace(
         col("html"),
@@ -2737,15 +2762,20 @@ object TextAnalysis {
           .cast("long"))
       .withColumn("text", {
         // head removal (title/meta must not leak into body text), tag
-        // strip, then entity decode with &amp; LAST, then whitespace
-        // collapse — the oracle's replace chain in the same order
+        // strip, then entity decode — NUMERIC references first (grammar:
+        // the codegen'd NcrDecode pass, so `&amp;#60;` stays literal
+        // `&#60;` and `&#38;lt;` yields literal `&lt;` — single-pass,
+        // replacements never rescanned), then the named table with
+        // &amp; LAST, then whitespace collapse — the oracle's chain in
+        // the same order
         val entities = Seq("&lt;" -> "<", "&gt;" -> ">",
           "&quot;" -> "\"", "&#39;" -> "'", "&nbsp;" -> " ",
           "&amp;" -> "&")
         val decoded = entities.foldLeft(
-          regexp_replace(regexp_replace(col("clean"),
-            "(?is)<head[^>]*>.*?</head>", " "),
-            "(?s)<[^>]*>", " ")) {
+          graft.functions.Portable.ncrDecode(
+            regexp_replace(regexp_replace(col("clean"),
+              "(?is)<head[^>]*>.*?</head>", " "),
+              "(?s)<[^>]*>", " "))) {
           case (c, (from, to)) => regexp_replace(c, from, to)
         }
         trim(regexp_replace(decoded, "\\s+", " "))
@@ -2756,6 +2786,7 @@ object TextAnalysis {
           .otherwise(size(split(col("text"), " ")).cast("long"))
           .as("n_tokens"),
         col("text"))
+  }
 
   /** Oracle twin of [[bm25Scored]] — CTE chain `bx→btot→bqt0→bqt→btf→
     * bdf→bsc→bag`; `bag` is (query_id, doc_id, score, n_terms). Shared

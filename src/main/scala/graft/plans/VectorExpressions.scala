@@ -243,17 +243,26 @@ sealed trait PqCodebookScan { self: Expression =>
         s"PQ scan expects array<double>, got ${t.sql}")
     }
 
-  /** (best index, best score) of the scan — interpreted path. */
+  /** (best index, best score) of the scan — interpreted path. A row
+    * whose vector length differs from the codebook dimension is a data
+    * error, not a scoring question: a prefix dot against a d-dim
+    * codeword returns a plausible-but-wrong label, so the shape check
+    * `checkPq` enforces on the LITERAL codebook is mirrored per row
+    * here (and in the generated path) as a hard failure.
+    */
   protected def scan(a: Any): (Int, Double) = {
     val x = a.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), d)
+    if (x.numElements() != d)
+      throw new IllegalArgumentException(
+        s"$prettyName: input vector length ${x.numElements()} != " +
+          s"codebook dim $d")
     var bi = -1
     var bs = 0.0
     var j = 0
     while (j < k) {
       var s = 0.0
       var i = 0
-      while (i < n) { s += x.getDouble(i) * cArr(j * d + i); i += 1 }
+      while (i < d) { s += x.getDouble(i) * cArr(j * d + i); i += 1 }
       s -= hArr(j)
       if (bi < 0 || s > bs) { bi = j; bs = s }
       j += 1
@@ -266,19 +275,22 @@ sealed trait PqCodebookScan { self: Expression =>
       use: (String, String) => String): String = {
     val cRef = ctx.addReferenceObj("pqCents", cArr, "double[]")
     val hRef = ctx.addReferenceObj("pqHns", hArr, "double[]")
-    val n = ctx.freshName("n")
     val bi = ctx.freshName("bi")
     val bs = ctx.freshName("bs")
     val j = ctx.freshName("j")
     val i = ctx.freshName("i")
     val s = ctx.freshName("s")
     s"""
-       |int $n = java.lang.Math.min($a.numElements(), $d);
+       |if ($a.numElements() != $d) {
+       |  throw new IllegalArgumentException(
+       |    "$prettyName: input vector length " + $a.numElements() +
+       |    " != codebook dim $d");
+       |}
        |int $bi = -1;
        |double $bs = 0.0;
        |for (int $j = 0; $j < $k; $j++) {
        |  double $s = 0.0;
-       |  for (int $i = 0; $i < $n; $i++) {
+       |  for (int $i = 0; $i < $d; $i++) {
        |    $s += $a.getDouble($i) * $cRef[$j * $d + $i];
        |  }
        |  $s -= $hRef[$j];
@@ -397,6 +409,13 @@ object VectorExpressions {
       "graft_pq_label", buildPqLabel, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_pq_argmax", buildPqArgMax, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_ncr_decode", buildNcr, "built-in")
+  }
+
+  private def buildNcr(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 1, "graft_ncr_decode takes exactly 1 argument")
+    NcrDecode(exprs.head)
   }
 
   private def buildCenter(exprs: Seq[Expression]): Expression = {
@@ -451,5 +470,13 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[KmvBottomK].getName, "graft_kmv"),
       (exprs: Seq[Expression]) => SketchAggregates.buildKmv(exprs)))
+    ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_ncr_decode"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[NcrDecode].getName, "graft_ncr_decode"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1, "graft_ncr_decode takes exactly 1 argument")
+        NcrDecode(exprs.head)
+      }))
   }
 }

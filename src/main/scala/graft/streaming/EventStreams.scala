@@ -117,14 +117,25 @@ object EventStreams extends Serializable {
   def sessionize(events: Dataset[Event], gapMinutes: Int = 30,
       watermarkMinutes: Option[Int] = None): Dataset[Session] = {
     import events.sparkSession.implicits._
-    val gapMs = gapMinutes * 60L * 1000L
     val wmMinutes = watermarkMinutes.getOrElse(gapMinutes)
     require(wmMinutes >= gapMinutes,
       "watermark delay below the gap would drop events the gap logic admits")
+    events
+      .withWatermark("ts", s"$wmMinutes minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(sessionUpdate(gapMinutes))
+  }
 
-    def update(userId: Long, rows: Iterator[Event],
-        state: GroupState[SessionState]): Iterator[Session] = {
-      if (state.hasTimedOut) {
+  /** The shared session update function — both sessionize overloads use
+    * it, so the rehydrated query can never disagree with the continuous
+    * one on merge/close semantics.
+    */
+  private def sessionUpdate(gapMinutes: Int)(userId: Long,
+      rows: Iterator[Event],
+      state: GroupState[SessionState]): Iterator[Session] = {
+    val gapMs = gapMinutes * 60L * 1000L
+    if (state.hasTimedOut) {
         val s = state.get
         state.remove()
         Iterator(Session(userId, s.start, s.last, s.n, s.total))
@@ -168,13 +179,45 @@ object EventStreams extends Serializable {
         }
         closed.reverseIterator
       }
-    }
+  }
 
+  /** [[sessionize]] REHYDRATED from demoted open-session rows — the
+    * retentionStream/X81s demote lever for the session operator. The
+    * demotable artifact here is the user's OPEN session (closed sessions
+    * have already emitted and carry no state), and a [[Session]] row is
+    * a lossless encoding of [[SessionState]] — (start, last, n, total)
+    * round-trips through (session_start, session_end, n_events,
+    * total_value) — so the sidecar schema IS the output schema:
+    * [[sessionStateFrom]] is the whole codec. On the seeded query's
+    * first batch each rehydrated user's update fold runs over empty
+    * rows, leaves the state intact, and re-arms the gap timeout, so an
+    * open session that stays idle still closes and emits exactly once.
+    * Same replay contract as [[retentionStream]]: equivalence holds for
+    * arrivals after the demote watermark.
+    */
+  def sessionize(events: Dataset[Event], gapMinutes: Int,
+      watermarkMinutes: Option[Int],
+      initial: Dataset[(Long, SessionState)]): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    val wmMinutes = watermarkMinutes.getOrElse(gapMinutes)
     events
       .withWatermark("ts", s"$wmMinutes minutes")
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append,
-        GroupStateTimeout.EventTimeTimeout)(update)
+        GroupStateTimeout.EventTimeTimeout,
+        initial.groupByKey(_._1).mapValues(_._2))(
+        sessionUpdate(gapMinutes))
+  }
+
+  /** Demote codec for [[sessionize]]: open-session rows → per-user
+    * state. Lossless by construction (see the rehydrating overload).
+    */
+  def sessionStateFrom(open: Dataset[Session])
+      : Dataset[(Long, SessionState)] = {
+    import open.sparkSession.implicits._
+    open.map(s => (s.user_id,
+      SessionState(s.session_start, s.session_end, s.n_events,
+        s.total_value)))
   }
 
   /** Continuous warehouse ingest — the production shape for streaming
@@ -291,22 +334,56 @@ object EventStreams extends Serializable {
         applyIvmBatch(batch.toDF(), wh, baseTable, viewTable, epoch, qid)
       }
 
-  /** Read the `(query_id, epoch)` replay marker, tolerating the previous
-    * epoch-only format: a marker persisted by an older build lacks the
-    * query_id column, and throwing on it would fail the stream at the
-    * first post-upgrade batch instead of migrating. A legacy marker is
-    * interpreted with its own (epoch-only) semantics — the very next
-    * applied batch rewrites it in the new schema.
+  /** Sentinel lineage a LEGACY epoch-only marker migrates to: its old
+    * semantics were "this epoch is applied, whoever asks", so the
+    * migrated entry floors EVERY lineage rather than being lost.
     */
-  private def markerSaysReplayed(wh: graft.compendium.Warehouse,
-      marker: String, epoch: Long, queryId: String): Boolean =
-    wh.exists(marker) && {
-      val df = wh.read(marker)
-      val m = df.head()
-      (!df.columns.contains("query_id") ||
-        m.getAs[String]("query_id") == queryId) &&
-        epoch <= m.getAs[Long]("epoch")
-    }
+  private[streaming] val AnyLineage = "__any__"
+
+  /** Marker rows → per-LINEAGE high-water map. One latest-writer row is
+    * NOT enough: after a takeover (lineage B commits), a single-row
+    * marker has forgotten lineage A's guard, and a zombie A driver
+    * redelivering an already-applied epoch would re-apply an ADDITIVE
+    * view delta — silent view/base divergence, the exact hazard the
+    * forget path's map already closes (VectorStreams.applyForgetBatch).
+    * The map is bounded by lineages ever seen (restart count, not data
+    * size). Tolerates both previous formats: an epoch-only marker (no
+    * query_id column) migrates to an [[AnyLineage]] floor; a
+    * single-(query_id, epoch) row IS a one-entry map.
+    */
+  private def markerMarks(wh: graft.compendium.Warehouse,
+      marker: String): Map[String, Long] =
+    if (!wh.exists(marker)) Map.empty
+    else marksOf(wh.read(marker))
+
+  private[streaming] def marksOf(df: DataFrame): Map[String, Long] = {
+    val rows = df.collect()
+    if (rows.isEmpty) Map.empty
+    else if (!df.columns.contains("query_id"))
+      Map(AnyLineage -> rows.map(_.getAs[Long]("epoch")).max)
+    else rows.map(r => r.getAs[String]("query_id") -> r.getAs[Long]("epoch"))
+      .groupMapReduce(_._1)(_._2)(math.max)
+  }
+
+  /** Replayed iff THIS lineage already applied `epoch` — or a migrated
+    * legacy marker floors it for every lineage. A different live
+    * lineage's high water is deliberately NOT consulted: a takeover's
+    * fresh checkpoint restarts epochs at 0 and its batches are new
+    * work, not replays.
+    */
+  private def saysReplayed(marks: Map[String, Long], epoch: Long,
+      queryId: String): Boolean =
+    marks.get(queryId).exists(_ >= epoch) ||
+      marks.get(AnyLineage).exists(_ >= epoch)
+
+  /** The full map persists every epoch — 1-row-per-lineage sidecar,
+    * coalesced so a 32-thread local session doesn't spray 32 files.
+    */
+  private def marksFrame(s: org.apache.spark.sql.SparkSession,
+      marks: Map[String, Long]): DataFrame = {
+    import s.implicits._
+    marks.toSeq.toDF("query_id", "epoch").coalesce(1)
+  }
 
   private[graft] def applyIvmBatch(batch: DataFrame,
       wh: graft.compendium.Warehouse, baseTable: String, viewTable: String,
@@ -317,8 +394,11 @@ object EventStreams extends Serializable {
     val marker = viewTable + "__epoch"
     // skip ONLY a replay of this same query's already-applied epoch — a
     // different query id means a new epoch sequence (fresh checkpoint),
-    // whose epoch 0 is new work, not a replay
-    if (markerSaysReplayed(wh, marker, epoch, queryId)) return
+    // whose epoch 0 is new work, not a replay; the map keeps EVERY
+    // lineage's high water so a zombie predecessor stays refused after
+    // a takeover
+    val marks = markerMarks(wh, marker)
+    if (saysReplayed(marks, epoch, queryId)) return
     val resolved = graft.compendium.Warehouse.resolveLastOp(batch, "k", "seq")
     val baseSchema = StructType(Seq(StructField("k", LongType),
       StructField("ck", LongType), StructField("cents", LongType)))
@@ -362,10 +442,7 @@ object EventStreams extends Serializable {
     // the base swap invalidate the old base files.
     wh.replace(viewTable, untouched.unionByName(touched))
     wh.applyCdc(baseTable, batch, "k", "seq", "op")
-    // 1-row sidecar → 1 partition: toDF of a local Seq inherits default
-    // parallelism (32 empty tasks + 32 files per epoch otherwise)
-    wh.replace(marker,
-      Seq((queryId, epoch)).toDF("query_id", "epoch").coalesce(1))
+    wh.replace(marker, marksFrame(s, marks + (queryId -> epoch)))
   }
 
   /** [[ivmStream]] with the epoch's three rename-swaps replaced by ONE
@@ -406,14 +483,10 @@ object EventStreams extends Serializable {
     // ONE manifest resolution scopes the whole epoch: every read below
     // sees the same committed (base, view, marker) trio
     val snap = mc.current()
-    val replayed = snap.contains(marker) && {
-      val df = mc.readAt(snap, marker)
-      val m = df.head()
-      (!df.columns.contains("query_id") ||
-        m.getAs[String]("query_id") == queryId) &&
-        epoch <= m.getAs[Long]("epoch")
-    }
-    if (replayed) return
+    val marks =
+      if (snap.contains(marker)) marksOf(mc.readAt(snap, marker))
+      else Map.empty[String, Long]
+    if (saysReplayed(marks, epoch, queryId)) return
     val resolved = graft.compendium.Warehouse.resolveLastOp(batch, "k", "seq")
     val baseSchema = StructType(Seq(StructField("k", LongType),
       StructField("ck", LongType), StructField("cents", LongType)))
@@ -457,7 +530,7 @@ object EventStreams extends Serializable {
     mc.commit(Map(
       viewTable -> untouched.unionByName(touched),
       baseTable -> newBase,
-      marker -> Seq((queryId, epoch)).toDF("query_id", "epoch").coalesce(1)))
+      marker -> marksFrame(s, marks + (queryId -> epoch))))
     : Unit
   }
 
@@ -517,7 +590,8 @@ object EventStreams extends Serializable {
     import s.implicits._
     val nb = lit(buckets.toLong)
     val marker = viewTable + "__epoch"
-    if (markerSaysReplayed(wh, marker, epoch, queryId)) return
+    val marks = markerMarks(wh, marker)
+    if (saysReplayed(marks, epoch, queryId)) return
     // change-sized, consumed by THREE downstream jobs (touched-pk
     // collect, delta, view merge) — eager-checkpointed so the per-epoch
     // job count doesn't multiply the resolve window (the t42/d09
@@ -609,8 +683,134 @@ object EventStreams extends Serializable {
     else
       wh.applyCdcPartitioned(baseTable, batch, "k", "seq", "op", "pk",
         c => pmod(c, nb))
-    wh.replace(marker,
-      Seq((queryId, epoch)).toDF("query_id", "epoch").coalesce(1))
+    wh.replace(marker, marksFrame(s, marks + (queryId -> epoch)))
+    resolved.unpersist(blocking = false)
+    delta.unpersist(blocking = false): Unit
+  }
+
+  /** [[ivmStreamPartitioned]] × [[ivmStreamCommitted]] — the fact-scale
+    * path with the transactional flip: per-epoch write volume stays
+    * proportional to the batch's key spread (only touched `pk`/`pck`
+    * partitions stage, untouched partition directories carry forward
+    * byte-identical), AND the whole epoch — touched base partitions,
+    * touched view partitions, replay marker — becomes visible in ONE
+    * [[graft.compendium.ManifestCommit]] manifest create. This closes
+    * the partitioned form's remaining torn window (a reader interleaved
+    * between its view overwrite and base overwrite sees a NEW view over
+    * an OLD base) the same way the flat committed form closed its
+    * three-rename window: staging never touches a directory an older
+    * manifest names, so a held resolution stays pairwise-consistent and
+    * the commit-order reasoning dissolves. Works on rename-less object
+    * stores. Same delta algebra and per-lineage replay-marker semantics
+    * as the other three forms (shared resolveLastOp / marks machinery —
+    * the paths cannot disagree on which row of a batch wins).
+    */
+  def ivmStreamPartitionedCommitted(changes: Dataset[CdcViewChange],
+      mc: graft.compendium.ManifestCommit, baseTable: String,
+      viewTable: String, buckets: Int = 16)
+      : org.apache.spark.sql.streaming.DataStreamWriter[CdcViewChange] =
+    changes.writeStream.outputMode("append")
+      .foreachBatch { (batch: Dataset[CdcViewChange], epoch: Long) =>
+        val qid = Option(batch.sparkSession.sparkContext
+          .getLocalProperty("sql.streaming.queryId")).getOrElse("__direct__")
+        applyIvmBatchPartitionedCommitted(batch.toDF(), mc, baseTable,
+          viewTable, epoch, qid, buckets)
+      }
+
+  private[graft] def applyIvmBatchPartitionedCommitted(batch: DataFrame,
+      mc: graft.compendium.ManifestCommit, baseTable: String,
+      viewTable: String, epoch: Long, queryId: String = "__direct__",
+      buckets: Int = 16): Unit = {
+    val s = batch.sparkSession
+    val nb = lit(buckets.toLong)
+    val marker = viewTable + "__epoch"
+    if (batch.isEmpty) return
+    // ONE manifest resolution scopes every read of the epoch
+    val snap = mc.current()
+    val marks =
+      if (snap.contains(marker)) marksOf(mc.readAt(snap, marker))
+      else Map.empty[String, Long]
+    if (saysReplayed(marks, epoch, queryId)) return
+    // change-sized, consumed by three downstream jobs — checkpointed so
+    // the per-epoch job count doesn't multiply the resolve window
+    val resolved = graft.compendium.Warehouse.resolveLastOp(batch, "k", "seq")
+      .localCheckpoint(true)
+    val touchedPk = resolved.select(pmod(col("k"), nb).as("pk"))
+      .distinct().collect().map(_.getLong(0)).toSeq
+    val baseExists = mc.partitionKeys(snap, baseTable).nonEmpty
+    // pruned point read: only the touched pk directories are opened —
+    // pruning is STRUCTURAL here (the untouched directories are never
+    // even listed; the manifest is the index)
+    val basePruned = mc.readPartitionsAt(snap, baseTable, "pk", touchedPk)
+      .getOrElse(resolved.limit(0)
+        .select(col("k"), col("ck").cast("long").as("ck"),
+          col("cents").cast("long").as("cents"), pmod(col("k"), nb).as("pk")))
+    val old = basePruned
+      .join(resolved.select("k"), Seq("k"), "left_semi")
+      .select(col("k"), col("ck").as("old_ck"), col("cents").as("old_cents"))
+    val j = resolved.join(old, Seq("k"), "left")
+    val delta = j.filter(col("old_ck").isNotNull)
+      .select(col("old_ck").as("ck"), (-col("old_cents")).as("d_cents"),
+        lit(-1L).as("d_n"))
+      .unionByName(j.filter(col("op") =!= "D")
+        .select(col("ck"), col("cents").as("d_cents"), lit(1L).as("d_n")))
+      .groupBy("ck")
+      .agg(sum("d_cents").as("d_cents"), sum("d_n").as("d_n"))
+      .localCheckpoint(true)
+    val touchedPck = delta.select(pmod(col("ck"), nb).as("pck"))
+      .distinct().collect().map(_.getLong(0)).toSeq
+    val viewExists = mc.partitionKeys(snap, viewTable).nonEmpty
+    // the view's new content for ITS touched partitions — or, on first
+    // attach over a pre-existing base, the one full-aggregate bootstrap
+    // (the flat form's argument verbatim), after which every epoch is
+    // partition-pruned
+    val (mergedView, viewTouched) =
+      if (viewExists) {
+        val viewPruned = mc
+          .readPartitionsAt(snap, viewTable, "pck", touchedPck)
+          .map(_.select("ck", "n", "cents_total"))
+          .getOrElse(delta.limit(0).select(col("ck"),
+            col("d_n").as("n"), col("d_cents").as("cents_total")))
+        (viewPruned.join(delta, Seq("ck"), "full_outer")
+          .select(col("ck"),
+            (coalesce(col("n"), lit(0L)) + coalesce(col("d_n"), lit(0L)))
+              .as("n"),
+            (coalesce(col("cents_total"), lit(0L)) +
+              coalesce(col("d_cents"), lit(0L))).as("cents_total"))
+          .filter(col("n") > 0)
+          .withColumn("pck", pmod(col("ck"), nb)), touchedPck)
+      } else {
+        val seed =
+          if (baseExists)
+            mc.readPartitionedAt(snap, baseTable).get
+              .groupBy("ck").agg(count(lit(1)).as("n"),
+                sum("cents").as("cents_total"))
+          else delta.limit(0).select(col("ck"), col("d_n").as("n"),
+            col("d_cents").as("cents_total"))
+        val m = seed.join(delta, Seq("ck"), "full_outer")
+          .select(col("ck"),
+            (coalesce(col("n"), lit(0L)) + coalesce(col("d_n"), lit(0L)))
+              .as("n"),
+            (coalesce(col("cents_total"), lit(0L)) +
+              coalesce(col("d_cents"), lit(0L))).as("cents_total"))
+          .filter(col("n") > 0)
+          .withColumn("pck", pmod(col("ck"), nb))
+        (m, Seq.empty[Long])
+      }
+    // the touched base partitions' new content: survivors ∪ upserts
+    val upserts = resolved.filter(col("op") =!= "D")
+      .select(col("k"), col("ck"), col("cents"))
+      .withColumn("pk", pmod(col("k"), nb))
+    val newBase = basePruned
+      .join(resolved.select("k"), Seq("k"), "left_anti")
+      .select(col("k"), col("ck"), col("cents"), col("pk"))
+      .unionByName(upserts)
+    // ONE flip: (base pk-partitions, view pck-partitions, marker)
+    mc.commitPartitioned(
+      Map(
+        baseTable -> (("pk", newBase, touchedPk)),
+        viewTable -> (("pck", mergedView, viewTouched))),
+      writes = Map(marker -> marksFrame(s, marks + (queryId -> epoch))))
     resolved.unpersist(blocking = false)
     delta.unpersist(blocking = false): Unit
   }
@@ -629,14 +829,17 @@ object EventStreams extends Serializable {
 
   /** Stream-stream time-interval join — the streaming twin of
     * q34_event_attribution: each purchase joins the SAME user's clicks
-    * from the preceding hour, continuously. Both sides carry watermarks
-    * AND the join condition time-bounds one stream against the other,
-    * which is exactly what lets Spark expire join state: a buffered click
-    * is droppable once the purchase-side watermark passes
-    * click_ts + 1 h (no future purchase can still match it), so state
-    * tracks the watermark horizon, not history. Emits only matched pairs
-    * (inner join) in append mode — late events beyond the watermark drop,
-    * the same semantics the batch twin sees on the non-dropped subset.
+    * from the preceding `windowHours` hours, continuously. Both sides
+    * carry watermarks AND the join condition time-bounds one stream
+    * against the other, which is exactly what lets Spark expire join
+    * state: a buffered click is droppable once the purchase-side
+    * watermark passes click_ts + windowHours (no future purchase can
+    * still match it), so state tracks the watermark horizon — whose
+    * depth scales WITH windowHours (c21 runs this at 72 h, holding
+    * three days of clicks per user, not one hour's) — never history.
+    * Emits only matched pairs (inner join) in append mode — late events
+    * beyond the watermark drop, the same semantics the batch twin sees
+    * on the non-dropped subset.
     */
   def purchaseAttribution(events: Dataset[Event],
       watermark: String = "2 hours", windowHours: Int = 1): DataFrame = {
@@ -791,9 +994,20 @@ object EventStreams extends Serializable {
   def transitionStream(events: Dataset[Event],
       allowance: String = "2 hours"): Dataset[Transition] = {
     import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", allowance)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(transitionUpdate)
+  }
 
-    def settle(userId: Long, st: TransState, wm: Long,
-        state: GroupState[TransState]): Iterator[Transition] = {
+  /** The shared transition update function — both transitionStream
+    * overloads use it, so the rehydrated query can never disagree with
+    * the continuous one on ordering, settlement, or the straggler guard.
+    */
+  private def transitionUpdate(userId: Long, rows: Iterator[Event],
+      state: GroupState[TransState]): Iterator[Transition] = {
+    def settle(st: TransState, wm: Long): Iterator[Transition] = {
       val (ready, rest) = st.buf.partition(_._1 / 1000L <= wm)
       val ordered = ready.sortBy(e => (e._1, e._2))
       val chain = st.bridge.toVector ++ ordered
@@ -806,31 +1020,62 @@ object EventStreams extends Serializable {
       out.iterator
     }
 
-    def update(userId: Long, rows: Iterator[Event],
-        state: GroupState[TransState]): Iterator[Transition] = {
-      val wm = state.getCurrentWatermarkMs()
-      val st0 = state.getOption.getOrElse(TransState(None, Vector.empty))
-      val st =
-        if (state.hasTimedOut) st0
-        else rows.foldLeft(st0) { (st, e) =>
-          val t = micros(e.ts)
-          // beyond-watermark-late, or a redelivery of a buffered or
-          // already-settled (≤ bridge frontier) event: drop — emitting
-          // it would order-corrupt pairs already in the sink
-          val lateOrDup = t / 1000L <= wm ||
-            st.buf.exists(b => b._2 == e.event_id) ||
-            st.bridge.exists(br => (t, e.event_id) == ((br._1, br._2)))
-          if (lateOrDup) st
-          else st.copy(buf = st.buf :+ ((t, e.event_id, e.event_type)))
-        }
-      settle(userId, st, wm, state)
-    }
+    val wm = state.getCurrentWatermarkMs()
+    val st0 = state.getOption.getOrElse(TransState(None, Vector.empty))
+    val st =
+      if (state.hasTimedOut) st0
+      else rows.foldLeft(st0) { (st, e) =>
+        val t = micros(e.ts)
+        // beyond-watermark-late, or a redelivery of a buffered or
+        // already-settled (≤ bridge frontier) event: drop — emitting
+        // it would order-corrupt pairs already in the sink
+        val lateOrDup = t / 1000L <= wm ||
+          st.buf.exists(b => b._2 == e.event_id) ||
+          st.bridge.exists(br => (t, e.event_id) == ((br._1, br._2)))
+        if (lateOrDup) st
+        else st.copy(buf = st.buf :+ ((t, e.event_id, e.event_type)))
+      }
+    settle(st, wm)
+  }
 
+  /** [[transitionStream]] REHYDRATED from the event history — the
+    * demote lever for the chain operator. A SETTLED user (watermark past
+    * their last event) holds exactly `TransState(bridge = their latest
+    * (ts, id, type), buf = ∅)`, and that bridge is reconstructible from
+    * the warehouse's event history alone: [[transitionStateFrom]] takes
+    * each demoted user's maximum (micros, event_id) event. The emitted
+    * Transition sidecar cannot serve as the codec source (it carries
+    * only the type pair — the frontier's timestamp and id, which the
+    * straggler guard needs, are gone), which is WHY the codec reads
+    * history; at 100 TB the scan prunes to the demoted user set (a
+    * keyed point-read per user, not a corpus pass). Settled-only
+    * contract, retentionStream's verbatim: demote a user only once the
+    * watermark passed their last event (their buffer has settled and
+    * every pair emitted); replay only post-demote-watermark events.
+    */
+  def transitionStream(events: Dataset[Event], allowance: String,
+      initial: Dataset[(Long, TransState)]): Dataset[Transition] = {
+    import events.sparkSession.implicits._
     events
       .withWatermark("ts", allowance)
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append,
-        GroupStateTimeout.EventTimeTimeout)(update)
+        GroupStateTimeout.EventTimeTimeout,
+        initial.groupByKey(_._1).mapValues(_._2))(transitionUpdate)
+  }
+
+  /** Demote codec for [[transitionStream]]: each user's settled frontier
+    * — their maximum (micros, event_id) event — becomes the bridge of a
+    * buffer-empty state.
+    */
+  def transitionStateFrom(history: Dataset[Event])
+      : Dataset[(Long, TransState)] = {
+    import history.sparkSession.implicits._
+    history.groupByKey(_.user_id).mapGroups { (uid, rows) =>
+      val last = rows.map(e => (micros(e.ts), e.event_id, e.event_type))
+        .maxBy(e => (e._1, e._2))
+      (uid, TransState(Some(last), Vector.empty))
+    }
   }
 
   /** Per-stage candidate timestamps, each list ascending (micros,
@@ -916,27 +1161,73 @@ object EventStreams extends Serializable {
     */
   def funnelStream(events: Dataset[Event]): Dataset[FunnelDepth] = {
     import events.sparkSession.implicits._
-
-    def update(userId: Long, rows: Iterator[Event],
-        state: GroupState[FunnelState]): FunnelDepth = {
-      var st = state.getOption.getOrElse(
-        FunnelState(Vector.empty, Vector.empty, Vector.empty, Vector.empty))
-      rows.foreach(e => st = funnelInsert(st, e))
-      val ch = funnelChain(st)
-      st = funnelPrune(st, ch)
-      // never store a row for a user who has no funnel-type events at
-      // all: at scale the state store must track funnel-ACTIVE users,
-      // not every user the stream has ever seen (the depth-0 output row
-      // still emits). Once any funnel event entered, the lists stay
-      // non-empty — pruning keeps each chosen fₖ itself.
-      if (st.s.nonEmpty || st.v.nonEmpty || st.c.nonEmpty || st.p.nonEmpty)
-        state.update(st)
-      FunnelDepth(userId, ch.takeWhile(_.isDefined).length)
-    }
-
     events
       .groupByKey(_.user_id)
-      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(update)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(funnelUpdate)
+  }
+
+  /** The shared exact-funnel update function — both funnelStream
+    * overloads use it, so the rehydrated query can never disagree with
+    * the continuous one on chain choice or pruning.
+    */
+  private def funnelUpdate(userId: Long, rows: Iterator[Event],
+      state: GroupState[FunnelState]): FunnelDepth = {
+    var st = state.getOption.getOrElse(
+      FunnelState(Vector.empty, Vector.empty, Vector.empty, Vector.empty))
+    rows.foreach(e => st = funnelInsert(st, e))
+    val ch = funnelChain(st)
+    st = funnelPrune(st, ch)
+    // never store a row for a user who has no funnel-type events at
+    // all: at scale the state store must track funnel-ACTIVE users,
+    // not every user the stream has ever seen (the depth-0 output row
+    // still emits). Once any funnel event entered, the lists stay
+    // non-empty — pruning keeps each chosen fₖ itself.
+    if (st.s.nonEmpty || st.v.nonEmpty || st.c.nonEmpty || st.p.nonEmpty)
+      state.update(st)
+    FunnelDepth(userId, ch.takeWhile(_.isDefined).length)
+  }
+
+  /** [[funnelStream]] REHYDRATED from demoted per-user state — the
+    * demote lever for the funnel operator. The demote artifact is the
+    * PRUNED candidate-list state itself (the emitted FunnelDepth
+    * sidecar cannot serve: depth alone cannot say which stage-k
+    * candidates a late unlock may still choose), and
+    * [[funnelStateFrom]] rebuilds it from the warehouse's event
+    * history — insert-all then prune is deterministic and
+    * batch-order-free, so the rebuilt state is IDENTICAL to what the
+    * continuous query held, whatever micro-batch boundaries it saw
+    * (FunnelRehydrateSpec pins demote/rehydrate ≡ continuous). At
+    * 100 TB the history scan prunes to the demoted user set and the
+    * four funnel event types — a keyed, type-filtered read, not a
+    * corpus pass. A rehydrated user emits no row until their next
+    * arrival (update-mode semantics: the sink already holds their
+    * depth).
+    */
+  def funnelStream(events: Dataset[Event],
+      initial: Dataset[(Long, FunnelState)]): Dataset[FunnelDepth] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout,
+        initial.groupByKey(_._1).mapValues(_._2))(funnelUpdate)
+  }
+
+  /** Demote codec for [[funnelStream]]: rebuild each user's pruned
+    * candidate-list state from their funnel-type event history. Users
+    * with no funnel-type events get no state row (the operator's own
+    * never-store rule).
+    */
+  def funnelStateFrom(history: Dataset[Event])
+      : Dataset[(Long, FunnelState)] = {
+    import history.sparkSession.implicits._
+    history
+      .filter(e => funnelStageOf.contains(e.event_type))
+      .groupByKey(_.user_id).mapGroups { (uid, rows) =>
+        var st = FunnelState(Vector.empty, Vector.empty, Vector.empty,
+          Vector.empty)
+        rows.foreach(e => st = funnelInsert(st, e))
+        (uid, funnelPrune(st, funnelChain(st)))
+      }
   }
 
   /** The PRODUCTION variant of [[funnelStream]] — the TTL lever its doc

@@ -41,6 +41,22 @@ object VectorStreams {
   private[streaming] val StatsTable = "centroids"
   private[streaming] val MarkerTable = "forget_marker"
 
+  /** Erased-id segments: `forget_erased_seg_<n>`, append-only. Each
+    * applied batch commits ONE new segment holding only ITS fresh
+    * vec_ids (batch-sized write, never store-sized), and the manifest's
+    * carry-forward keeps every earlier segment visible for free; readers
+    * union the family. Every [[CompactSegs]]-th segment the family
+    * merges into one table and the old names leave the manifest in the
+    * same atomic flip — LSM compaction reduced to a map edit, so the
+    * manifest stays bounded and the store-sized rewrite is amortized
+    * 1/[[CompactSegs]].
+    */
+  private[streaming] val ErasedSegPrefix = "forget_erased_seg_"
+  private[streaming] val CompactSegs = 8
+
+  private def erasedSegs(manifest: Map[String, String]): Seq[String] =
+    manifest.keys.filter(_.startsWith(ErasedSegPrefix)).toSeq.sorted
+
   /** Seed the manifest store with an initial statistics table (what a
     * fold-in producer would have committed) — version 1.
     */
@@ -56,20 +72,29 @@ object VectorStreams {
     * redelivery no-op).
     *
     * The marker is `(query_id, batch_id)` — the ivmStream replay-marker
-    * discipline. An epoch-only marker would make a FRESH checkpoint
-    * (batch ids restarting at 0 under a new query id) silently SKIP
-    * real tombstone batches: for erasure that is lost deletions, the
-    * one failure a compliance path cannot have. A new query id instead
-    * APPLIES and takes the marker over; the source-position contract is
-    * the operator's documented half — a fresh checkpoint must start
-    * from the current offset, because re-feeding already-applied
-    * tombstones through a new lineage would double-subtract (the same
-    * starting-offsets discipline every non-idempotent sink demands).
+    * discipline, a per-LINEAGE high-water map. An epoch-only marker
+    * would make a FRESH checkpoint (batch ids restarting at 0 under a
+    * new query id) silently SKIP real tombstone batches: for erasure
+    * that is lost deletions, the one failure a compliance path cannot
+    * have. A new query id instead APPLIES from its own batch 0.
     *
-    * The batch `collect`s nothing; the one driver-side action is the
-    * manifest read/flip. Cost per batch is a store-sized rewrite at
-    * k×dim rows — the store IS small (that is why sufficient
-    * statistics, not members, live here).
+    * The marker alone is batch-grain; idempotence here must be
+    * TOMBSTONE-grain, because an at-least-once upstream can repeat a
+    * vec_id inside one batch or re-send it under a fresh batch id (or
+    * fresh lineage), and count-grain validation cannot see the sum
+    * corruption a double-subtraction leaves. So every applied batch
+    * also commits its vec_ids into the [[ErasedSegPrefix]] segment
+    * family, and each new batch first dedups on vec_id, then drops
+    * every id the family already holds — a re-sent tombstone is a
+    * provable no-op on any path, not a policy promise.
+    *
+    * Driver-side actions are the manifest read/flip and the
+    * batch-bounded duplicate probe (the erased store streams, the batch
+    * broadcasts — the intersection can never exceed the batch). Cost
+    * per batch is a store-sized stats rewrite at k×dim rows (the store
+    * IS small — that is why sufficient statistics, not members, live
+    * here) plus a batch-sized erased segment; the segment family
+    * compacts every [[CompactSegs]] commits.
     */
   private[graft] def applyForgetBatch(batch: Dataset[Tombstone],
       root: String, batchId: Long): Boolean = {
@@ -98,18 +123,55 @@ object VectorStreams {
       else Map.empty
     if (marks.get(queryId).exists(_ >= batchId)) false
     else {
-      val store = mc.readAt(cur, StatsTable)
-        .select(col("clabel") +:
-          ((1 to Similarity.Dim).map(i => col(s"s_$i")) :+ col("cnt")): _*)
-      val folded = Similarity.withCentroid(
-        Similarity.decrementStats(store,
-          batch.toDF().select(col("clabel"), col("v")),
-          validate = true))
-      mc.commit(Map(
-        StatsTable -> folded,
-        MarkerTable -> (marks + (queryId -> batchId)).toSeq
-          .toDF("query_id", "batch_id").coalesce(1)))
-      true
+      // TOMBSTONE-GRAIN idempotence, not just batch-grain: the marker
+      // catches a redelivered batch ID, but an at-least-once upstream
+      // can re-send the same vec_id twice IN one batch or across
+      // DIFFERENT batch ids — and the decrement is non-idempotent, so
+      // either shape double-subtracts sums the count-grain validation
+      // cannot see. Two guards: dedup the batch on vec_id (intra-batch),
+      // then drop every id the erased-segment store already holds
+      // (cross-batch). The duplicate probe streams the erased store and
+      // BROADCASTS the batch — the collect is bounded by the batch's own
+      // id count, never the store's.
+      val deduped = batch.toDF()
+        .dropDuplicates("vec_id").localCheckpoint(true)
+      val segs = erasedSegs(cur)
+      val dupIds: Set[Long] =
+        if (segs.isEmpty) Set.empty
+        else segs.map(t => mc.readAt(cur, t)).reduce(_ unionByName _)
+          .join(broadcast(deduped.select("vec_id")), Seq("vec_id"),
+            "left_semi")
+          .collect().map(_.getLong(0)).toSet
+      val fresh =
+        if (dupIds.isEmpty) deduped
+        else deduped.filter(!col("vec_id").isin(dupIds.toSeq: _*))
+      if (fresh.isEmpty) { deduped.unpersist(blocking = false); false }
+      else {
+        val store = mc.readAt(cur, StatsTable)
+          .select(col("clabel") +:
+            ((1 to Similarity.Dim).map(i => col(s"s_$i")) :+ col("cnt")): _*)
+        val folded = Similarity.withCentroid(
+          Similarity.decrementStats(store,
+            fresh.select(col("clabel"), col("v")),
+            validate = true))
+        val freshIds = fresh.select("vec_id").coalesce(1)
+        val nextSeg = ErasedSegPrefix + f"${segs.size + 1}%06d_$batchId"
+        val writes = Map(
+          StatsTable -> folded,
+          MarkerTable -> (marks + (queryId -> batchId)).toSeq
+            .toDF("query_id", "batch_id").coalesce(1))
+        // compaction cadence: merge the family into one segment and drop
+        // the old names in the SAME flip — crash-safe (the old segments
+        // stay readable under every retained manifest)
+        if (segs.size + 1 >= CompactSegs) {
+          val merged = (segs.map(t => mc.readAt(cur, t)) :+ freshIds)
+            .reduce(_ unionByName _).coalesce(1)
+          mc.commit(writes + ((ErasedSegPrefix + "000001_c") -> merged),
+            drop = segs.toSet)
+        } else mc.commit(writes + (nextSeg -> freshIds))
+        deduped.unpersist(blocking = false)
+        true
+      }
     }
   }
 

@@ -85,6 +85,38 @@ class ManifestCommitSpec extends SparkTestBase {
     assert(tagOf(mc.read("base")) === 1 && tagOf(mc.read("view")) === 3)
   }
 
+  test("drop removes tables from the map in the same atomic flip; their directories outlive the flip until the retain horizon") {
+    val root = tmpDir()
+    val mc = new ManifestCommit(spark, root, retain = 2)
+    mc.commit(Map("seg_1" -> tagged(1), "seg_2" -> tagged(2),
+      "stats" -> tagged(10)))
+    val preDrop = mc.current()
+    // the compaction shape: two segments merge into one table and both
+    // old names leave the manifest in ONE commit
+    mc.commit(Map("seg_merged" -> tagged(3), "stats" -> tagged(11)),
+      drop = Set("seg_1", "seg_2"))
+    val cur = mc.current()
+    assert(!cur.contains("seg_1") && !cur.contains("seg_2"),
+      "dropped tables still in the manifest")
+    assert(tagOf(mc.readAt(cur, "seg_merged")) === 3 &&
+      tagOf(mc.readAt(cur, "stats")) === 11)
+    // an in-flight reader holding the PRE-drop resolution still reads
+    // the dropped tables (retain horizon covers it)
+    assert(tagOf(mc.readAt(preDrop, "seg_1")) === 1 &&
+      tagOf(mc.readAt(preDrop, "seg_2")) === 2,
+      "retained version lost its dropped tables' directories")
+    // two more commits push the dropped dirs past the horizon → GC'd
+    mc.commit(Map("stats" -> tagged(12)))
+    mc.commit(Map("stats" -> tagged(13)))
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val segDirs = fs.listStatus(new org.apache.hadoop.fs.Path(root)).toSeq
+      .map(_.getPath.getName)
+      .filter(n => n.startsWith("seg_1__v") || n.startsWith("seg_2__v"))
+    assert(segDirs.isEmpty,
+      s"dropped tables' directories never collected: $segDirs")
+  }
+
   test("a racing committer fails loudly instead of silently overwriting the winner's manifest") {
     val root = tmpDir()
     val mc = new ManifestCommit(spark, root)

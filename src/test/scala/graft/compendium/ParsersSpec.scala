@@ -208,4 +208,124 @@ class EUtilsSpec extends SparkTestBase {
     val s3 = samples.filter($"srs" === "SRS000003").collect().head
     assert(s3.isNullAt(s3.fieldIndex("srr")))
   }
+
+  test("enrichDistributed equals the driver-side path on the shared fixture; requests obey the global throttle") {
+    import spark.implicits._
+    def canon(wh: Warehouse) = wh.read("samples").collect()
+      .map(_.toSeq).toSet
+    // driver-side reference, through the SAME accession-filtering fake
+    // (a real efetch answers only the posted accessions; serving the
+    // whole fixture to both paths would differ only through batching)
+    val whD = new Warehouse(spark, tmpDir())
+    Ingest.loadSamples(spark, whD, "408170", s"$fixtures/biosamples.xml")
+    FakeEutilsRecorder.reset()
+    val nD = EUtils.enrich(spark, whD, FakeEutilsRecorder.recordingClient(),
+      budget = 10, EngineConfig.default.copy(eutilsThrottleMs = 0))
+    // executor-side path: one-accession batches across 2 partitions so
+    // the fan-out is real; the factory closure carries NO client state
+    // (each partition constructs its own) and records every request
+    FakeEutilsRecorder.reset()
+    val whX = new Warehouse(spark, tmpDir())
+    Ingest.loadSamples(spark, whX, "408170", s"$fixtures/biosamples.xml")
+    val throttleMs = 40L
+    val par = 2
+    val nX = EUtils.enrichDistributed(spark, whX,
+      () => FakeEutilsRecorder.recordingClient(), budget = 10,
+      EngineConfig.default.copy(eutilsThrottleMs = throttleMs,
+        eutilsBatchSize = 1),
+      parallelism = par)
+    assert(nX === nD, "the two paths must fetch the same packages")
+    assert(canon(whX) === canon(whD),
+      "executor-side enrich must leave the samples table identical to the driver-side path")
+    // global-throttle invariant: each partition sleeps parallelism ×
+    // throttle before EVERY request, so within a partition consecutive
+    // requests are ≥ par·throttle apart — fleet rate ≤ 1/throttle
+    val calls = FakeEutilsRecorder.calls()
+    assert(calls.nonEmpty)
+    calls.groupBy(_._1).foreach { case (pid, cs) =>
+      val times = cs.map(_._2).sorted
+      times.zip(times.tail).foreach { case (a, b) =>
+        assert(b - a >= (par * throttleMs - 2) * 1000000L,
+          s"partition $pid requests ${(b - a) / 1e6} ms apart — " +
+            s"violates the ${par * throttleMs} ms per-partition throttle")
+      }
+    }
+  }
+
+  test("enrichDistributed: two consecutive failures stop a partition's remaining batches; the URL cap merges-then-aborts") {
+    import spark.implicits._
+    // failure envelope: every fetch throws; 3 unresolved samples at
+    // batch size 1 on ONE partition → exactly 2 calls, like the driver
+    FakeEutilsRecorder.reset()
+    val wh = new Warehouse(spark, tmpDir())
+    Ingest.loadSamples(spark, wh, "408170", s"$fixtures/biosamples.xml")
+    val n = EUtils.enrichDistributed(spark, wh,
+      () => FakeEutilsRecorder.failingClient(), budget = 10,
+      EngineConfig.default.copy(eutilsThrottleMs = 0, eutilsBatchSize = 1),
+      parallelism = 1)
+    assert(n === 0)
+    assert(FakeEutilsRecorder.calls().size === 2,
+      "the partition must stop after the 2nd consecutive failure")
+    // URL cap: same long-accession shape as the driver-side cap test
+    val wh2 = new Warehouse(spark, tmpDir())
+    val longSrs = (1 to 60).map(i => f"SRS$i%0120d")
+    wh2.append("samples", longSrs.map(s =>
+      (s, null.asInstanceOf[String], null.asInstanceOf[String],
+        null.asInstanceOf[String], null.asInstanceOf[String],
+        null.asInstanceOf[String], null.asInstanceOf[String],
+        null.asInstanceOf[String], null.asInstanceOf[String])).toDF(
+      "srs", "project", "taxon", "srr", "library_strategy",
+      "library_source", "instrument", "pubdate", "geo_loc_name"))
+    intercept[IllegalStateException] {
+      EUtils.enrichDistributed(spark, wh2,
+        () => FakeEutilsRecorder.emptyClient(), budget = 60,
+        EngineConfig.default.copy(eutilsThrottleMs = 0,
+          eutilsBatchSize = 30),
+        parallelism = 2)
+    }
+  }
+}
+
+/** Spec-side serializable fakes for the executor-side enrich path: the
+  * factory closures ship to tasks, so the fakes live in a top-level
+  * object (no Spec-instance capture) and record through a JVM-static
+  * buffer (local[*]: executors share the JVM).
+  */
+object FakeEutilsRecorder extends Serializable {
+  val fixturePath = "/root/repo/fixtures/efetch_response.xml"
+  private val buf =
+    new java.util.concurrent.ConcurrentLinkedQueue[(Int, Long)]()
+  def reset(): Unit = buf.clear()
+  def calls(): Seq[(Int, Long)] = {
+    val it = buf.iterator()
+    val b = Seq.newBuilder[(Int, Long)]
+    while (it.hasNext) b += it.next()
+    b.result()
+  }
+  private def record(): Unit =
+    buf.add((org.apache.spark.TaskContext.getPartitionId(),
+      System.nanoTime()))
+  /** Serves the fixture RESTRICTED to the requested accessions — a real
+    * efetch answers only the posted search, and the per-accession
+    * batching of the distributed test would otherwise multiply packages.
+    */
+  def recordingClient(): EUtilsClient = new EUtilsClient {
+    def fetch(batch: Seq[String]): String = {
+      record()
+      val xml = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(fixturePath)), "UTF-8")
+      xml.split("""(?=<EXPERIMENT_PACKAGE[>\s])""").toSeq
+        .filter(c => !c.startsWith("<EXPERIMENT_PACKAGE") ||
+          batch.exists(c.contains))
+        .mkString("")
+    }
+  }
+  def failingClient(): EUtilsClient = new EUtilsClient {
+    def fetch(batch: Seq[String]): String = {
+      record(); throw new RuntimeException("boom")
+    }
+  }
+  def emptyClient(): EUtilsClient = new EUtilsClient {
+    def fetch(batch: Seq[String]): String = "<EXPERIMENT_PACKAGE_SET/>"
+  }
 }

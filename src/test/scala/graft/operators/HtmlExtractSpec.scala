@@ -72,6 +72,87 @@ class HtmlExtractSpec extends SparkTestBase {
     assert(text5 === "Nested bold italic runs alpha beta")
   }
 
+  test("numeric character references: decimal, hex, case-insensitive x, non-BMP; invalid forms stay literal") {
+    val (_, _, text12) = out(9100000012L)
+    assert(text12 ===
+      "Numeric: café and tab stop and snow ☃ plus hex ☃ " +
+        "and 😀 emoji.",
+      s"numeric decode drifted: $text12")
+    val (_, _, text13) = out(9100000013L)
+    assert(text13 ===
+      "Invalid: &#0; and &#xD800; and &#99999999; and &#x; and " +
+        "unterminated &#12 stay literal.",
+      s"an invalid reference decoded or was mangled: $text13")
+  }
+
+  test("decode ordering: &amp;-encoded numerics stay literal; a numeric '&' can re-form a named entity for the later stage") {
+    val (_, _, text14) = out(9100000014L)
+    // &amp;#60; / &amp;#62; — the numeric pass sees no '&#' (the amp is
+    // still encoded) and the amp-LAST named decode leaves '&#60;'
+    // literal; &#38;#62; — the numeric pass consumes '&#38;', the
+    // emitted '&' is never rescanned, '#62;' follows it literally;
+    // &#38;lt; — the staged grammar's honest consequence: the numeric
+    // stage emits '&lt;' and the SUBSEQUENT named stage decodes it
+    assert(text14 ===
+      "Order: &#60;b&#62; is not a tag, &#62; is literal, and < " +
+        "re-forms a named entity.",
+      s"decode ordering drifted: $text14")
+  }
+
+  test("generative numeric-entity soup: never throws, sentinels decode/survive exactly, engine matches the interpreted twin") {
+    import spark.implicits._
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val frag = Gen.oneOf(
+      Gen.oneOf("alpha", " ", "&#9731;", "&#x2603;", "&#X48;", "&#233;",
+        "&amp;#60;", "&#38;", "&#0;", "&#xD800;", "&#99999999;", "&#x;",
+        "&#12", "&#", "&", ";", "<p>", "</p>", "<b", "b>"),
+      Gen.chooseNum(1, 1114111).map(cp => s"&#$cp;"),
+      Gen.chooseNum(1, 1114111).map(cp => s"&#x${cp.toHexString};"),
+      Gen.asciiPrintableStr.map(_.take(6)
+        .filterNot(c => c == '&' || c == '\t' || c == '\n')))
+    val soup = Gen.listOfN(14, frag).map(_.mkString(""))
+    val docs = Iterator.from(0).map(i =>
+      soup.apply(Gen.Parameters.default, Seed(63L + i))).flatten
+      .take(150).toSeq.zipWithIndex
+      .map { case (h, i) => (i.toLong, h) }
+    val got = TextAnalysis.htmlExtract(docs.toDF("doc_id", "html"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getLong(4), r.getString(5)))
+    assert(got.length === docs.length, "a row was lost or duplicated")
+    // the spec-side reference pipeline: the SAME staged grammar, but
+    // driven through the INTERPRETED NcrDecode twin and plain Scala
+    // regex — a codegen bug in the generated scan cannot hide from this
+    val named = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+    def reference(html: String): String = {
+      val stripped = html
+        .replaceAll("(?is)<script[^>]*>.*?</script>", " ")
+        .replaceAll("(?is)<style[^>]*>.*?</style>", " ")
+        .replaceAll("(?s)<!--.*?-->", " ")
+        .replaceAll("(?is)<head[^>]*>.*?</head>", " ")
+        .replaceAll("(?s)<[^>]*>", " ")
+      val decoded = named.foldLeft(
+        graft.plans.NcrDecode.decode(stripped)) {
+        case (s, (from, to)) => s.replace(from, to)
+      }
+      // Spark's trim strips SPACES only (Java's String.trim would also
+      // eat decoded control codepoints ≤ 0x20 and silently diverge)
+      decoded.replaceAll("\\s+", " ").replaceAll("^ | $", "")
+    }
+    val byId = docs.toMap
+    got.foreach { case (id, nChars, nTokens, text) =>
+      val want = reference(byId(id))
+      assert(text === want,
+        s"doc $id diverged from the interpreted reference:\n got $text\nwant $want\n raw ${byId(id)}")
+      assert(nChars === text.codePointCount(0, text.length).toLong,
+        s"doc $id n_chars drifted (codepoint grain)")
+      assert(nTokens ===
+        (if (text.isEmpty) 0L else text.split(" ", -1).length.toLong),
+        s"doc $id n_tokens drifted")
+    }
+  }
+
   test("generative tag soup: never throws, output shape consistent, no complete tag survives, script secrets never leak") {
     import spark.implicits._
     import org.scalacheck.Gen

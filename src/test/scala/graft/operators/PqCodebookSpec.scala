@@ -154,4 +154,39 @@ class PqCodebookSpec extends SparkTestBase {
       "identical ADC hits at every round: the per-round encode is " +
         "vacuously one-shot on the fixture")
   }
+
+  test("PQ scan refuses a vector whose length differs from the codebook dim — interpreted and codegen paths") {
+    import spark.implicits._
+    graft.plans.VectorExpressions.register(spark)
+    // a 2×2 codebook (labels 7, 8); a 3-dim input must FAIL, not score a
+    // prefix into a plausible-but-wrong label — the per-row mirror of
+    // checkPq's literal-codebook shape check
+    val cents = IndexedSeq(1.0, 0.0, 0.0, 1.0)
+    val labels = IndexedSeq(7L, 8L)
+    val hns = IndexedSeq(0.5, 0.5)
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    val bad = graft.plans.PqArgLabelD(
+      Literal.create(Seq(1.0, 2.0, 3.0), ArrayType(DoubleType)),
+      cents, labels, hns)
+    val e1 = intercept[IllegalArgumentException] { bad.eval(null) }
+    assert(e1.getMessage.contains("codebook dim"), e1.getMessage)
+    // the matched length still scans (both paths)
+    val ok = graft.plans.PqArgLabelD(
+      Literal.create(Seq(1.0, 0.0), ArrayType(DoubleType)),
+      cents, labels, hns)
+    assert(ok.eval(null) === 7L)
+    // codegen path through the SQL registration
+    val sql = (v: String) => Seq(1).toDF("ignore").selectExpr(
+      s"graft_pq_label($v, array(1.0D, 0.0D, 0.0D, 1.0D), " +
+        "array(7L, 8L), array(0.5D, 0.5D)) AS l")
+    assert(sql("array(1.0D, 0.0D)").collect().map(_.getLong(0)).toSeq
+      === Seq(7L))
+    val e2 = intercept[Throwable] { sql("array(1.0D, 2.0D, 3.0D)").collect() }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Seq.empty else t +: causes(t.getCause)
+    assert(causes(e2).exists(c =>
+      Option(c.getMessage).exists(_.contains("codebook dim"))),
+      s"codegen path scored a mis-sized vector: $e2")
+  }
 }

@@ -704,6 +704,16 @@ class EventStreamsSpec extends SparkTestBase {
       wh, "ivm_base", "ivm_view", epoch = 0L, queryId = "query-B")
     assert(view() === Set((10L, 2L, 300L), (20L, 1L, 700L)),
       "same query id + stale epoch must still skip")
+    // ZOMBIE lineage: query A's driver resurfaces AFTER B's takeover and
+    // redelivers its already-applied epoch 5 — with a single
+    // latest-writer marker row, B's commit would have erased A's guard
+    // and the ADDITIVE delta would re-apply (view/base divergence); the
+    // per-lineage map must still refuse it
+    EventStreams.applyIvmBatch(
+      Seq(EventStreams.CdcViewChange(2, 1, "I", 10, 200)).toDF(),
+      wh, "ivm_base", "ivm_view", epoch = 5L, queryId = "query-A")
+    assert(view() === Set((10L, 2L, 300L), (20L, 1L, 700L)),
+      "a zombie lineage's redelivered epoch re-applied after takeover")
   }
 
   test("ivmStream: absent view over a pre-existing base bootstraps from a full recompute") {

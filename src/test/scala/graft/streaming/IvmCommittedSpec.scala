@@ -88,4 +88,40 @@ class IvmCommittedSpec extends SparkTestBase {
     assert(mc.currentVersion() === v0,
       "a replayed epoch must not even produce a new manifest version")
   }
+
+  test("zombie lineage after takeover: the predecessor's redelivered epoch stays refused; the successor's new work applies") {
+    val mc = new ManifestCommit(spark, tmpDir())
+    val seed = (0L until 16L).map(k => (k, 0L, "I", k % 4, k * 10))
+    // lineage A seeds and runs to epoch 1
+    EventStreams.applyIvmBatchCommitted(batchDF(seed), mc, "base", "view",
+      epoch = 0L, queryId = "lineage-a")
+    EventStreams.applyIvmBatchCommitted(batchDF(epochs.head), mc,
+      "base", "view", epoch = 1L, queryId = "lineage-a")
+    // takeover: lineage B starts from a fresh checkpoint (epoch 0 = new
+    // work) — must apply
+    EventStreams.applyIvmBatchCommitted(batchDF(epochs(1)), mc,
+      "base", "view", epoch = 0L, queryId = "lineage-b")
+    val snap = mc.current()
+    val settled = viewRows(mc.readAt(snap, "view"))
+    assert(settled === recomputeOf(mc.readAt(snap, "base")))
+    val vSettled = mc.currentVersion()
+    // ZOMBIE: A's driver resurfaces and redelivers its epoch 1 — a
+    // single latest-writer marker row (now owned by B) would re-apply
+    // the additive delta; the per-lineage map must refuse it, without
+    // even a manifest version
+    EventStreams.applyIvmBatchCommitted(batchDF(epochs.head), mc,
+      "base", "view", epoch = 1L, queryId = "lineage-a")
+    assert(mc.currentVersion() === vSettled,
+      "zombie redelivery burned a manifest version")
+    assert(viewRows(mc.read("view")) === settled,
+      "zombie redelivery re-applied an additive delta after takeover")
+    // while A's NEXT epoch (2 > its high water 1) would be new work —
+    // the map scopes refusal per lineage, not globally
+    EventStreams.applyIvmBatchCommitted(batchDF(epochs(2)), mc,
+      "base", "view", epoch = 2L, queryId = "lineage-a")
+    val fin = mc.current()
+    assert(viewRows(mc.readAt(fin, "view"))
+      === recomputeOf(mc.readAt(fin, "base")),
+      "post-zombie new epoch must still apply cleanly")
+  }
 }

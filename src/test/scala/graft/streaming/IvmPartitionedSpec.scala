@@ -232,4 +232,28 @@ class IvmPartitionedSpec extends SparkTestBase {
     assert(wh.read("view__epoch").columns.contains("query_id"),
       "the applied batch rewrites the marker in the new schema")
   }
+
+  test("zombie lineage after takeover: the predecessor's redelivered epoch stays refused on the partitioned path") {
+    val root = tmpDir()
+    val wh = seedStore(root)
+    val aBatch = Seq((3L, 1L, "U", 5L, 999L))
+      .toDF("k", "seq", "op", "ck", "cents")
+    // lineage A applies epoch 1, then lineage B takes over from a fresh
+    // checkpoint (its epoch 0 is new work and must apply)
+    EventStreams.applyIvmBatchPartitioned(aBatch, wh, "base", "view",
+      epoch = 1L, queryId = "lineage-a", buckets = B)
+    EventStreams.applyIvmBatchPartitioned(
+      Seq((19L, 1L, "U", 3L, 555L)).toDF("k", "seq", "op", "ck", "cents"),
+      wh, "base", "view", epoch = 0L, queryId = "lineage-b", buckets = B)
+    val settled = viewRows(wh)
+    assert(settled === recompute(wh))
+    // ZOMBIE: A redelivers its epoch 1 after B's commit — the
+    // per-lineage map must refuse the additive delta
+    EventStreams.applyIvmBatchPartitioned(aBatch, wh, "base", "view",
+      epoch = 1L, queryId = "lineage-a", buckets = B)
+    assert(viewRows(wh) === settled,
+      "zombie redelivery re-applied on the partitioned path")
+    assert(viewRows(wh) === recompute(wh),
+      "view/base diverged after the zombie redelivery")
+  }
 }

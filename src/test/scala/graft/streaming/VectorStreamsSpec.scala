@@ -136,12 +136,11 @@ class VectorStreamsSpec extends SparkTestBase {
     import spark.implicits._
     val root = tmpDir()
     seedStats(root)
-    // same vector erased twice in one batch: label 1 has 4 members, so
-    // counts stay positive and ONLY the sums corrupt — exactly the
-    // silent case; validate must still... (it cannot see sum-grain
-    // over-erasure without member lists, the documented store-design
-    // limit) — what it MUST catch is count-grain over-erasure:
-    val five = Seq(2L, 16L, 23L, 37L, 2L)
+    // five DISTINCT ids claiming label 1 (which folded only 4 members):
+    // count-grain over-erasure, the loud-failure case validate owns.
+    // (A DUPLICATED id is no longer an error at all — the vec_id dedup
+    // collapses it before the fold; see the idempotence tests below.)
+    val five = Seq(2L, 16L, 23L, 37L, 99L)
       .map(id => VectorStreams.Tombstone(id, vec(id), 1L))
     val e1 = intercept[IllegalArgumentException] {
       VectorStreams.applyForgetBatch(five.toDS(), root, 0L)
@@ -153,5 +152,104 @@ class VectorStreamsSpec extends SparkTestBase {
         Seq(VectorStreams.Tombstone(2L, vec(2L), 77L)).toDS(), root, 1L)
     }
     assert(e2.getMessage.contains("unknown to the store"), e2.getMessage)
+  }
+
+  test("a vec_id repeated IN one batch decrements exactly once (intra-batch dedup)") {
+    import spark.implicits._
+    val root = tmpDir()
+    seedStats(root)
+    // id 2 arrives twice in the same micro-batch — the at-least-once
+    // shape the marker cannot catch (one batch id). Without the dedup
+    // the count survives (4 − 2 = 2 > 0) and ONLY the sums corrupt —
+    // the silent case. The store must equal a rebuild over survivors
+    // {16, 23, 37}, bit-equal, proving one subtraction happened.
+    assert(VectorStreams.applyForgetBatch(
+      Seq(VectorStreams.Tombstone(2L, vec(2L), 1L),
+        VectorStreams.Tombstone(2L, vec(2L), 1L)).toDS(), root, 0L))
+    val mc = new ManifestCommit(spark, root)
+    val got = mc.read(VectorStreams.StatsTable).filter(col("clabel") === 1L)
+    val rebuild = graft.operators.Similarity.centroidStats(
+      Seq(16L, 23L, 37L).map(id => (1L, vec(id))).toDF("clabel", "v"),
+      "clabel")
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("clabel") +: col("cnt") +:
+        (1 to 64).map(i => col(s"s_$i").cast("string").as(s"s_$i")): _*)
+      .collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long])
+    assert(canon(got) === canon(rebuild),
+      "duplicated tombstone double-subtracted inside one batch")
+  }
+
+  test("a vec_id re-sent under a NEW batch id (and a new lineage) is a provable no-op — the erased-segment guard") {
+    import spark.implicits._
+    val root = tmpDir()
+    seedStats(root)
+    val sc = spark.sparkContext
+    try {
+      sc.setLocalProperty("sql.streaming.queryId", "lineage-a")
+      assert(VectorStreams.applyForgetBatch(
+        Seq(VectorStreams.Tombstone(2L, vec(2L), 1L)).toDS(), root, 0L))
+      // same id re-sent under a HIGHER batch id of the same lineage —
+      // the marker passes it, the erased store must drop it; the fresh
+      // id in the same batch must still land
+      assert(VectorStreams.applyForgetBatch(
+        Seq(VectorStreams.Tombstone(2L, vec(2L), 1L),
+          VectorStreams.Tombstone(16L, vec(16L), 1L)).toDS(), root, 1L))
+      val mc = new ManifestCommit(spark, root)
+      val got = mc.read(VectorStreams.StatsTable)
+        .filter(col("clabel") === 1L)
+      val rebuild = graft.operators.Similarity.centroidStats(
+        Seq(23L, 37L).map(id => (1L, vec(id))).toDF("clabel", "v"),
+        "clabel")
+      def canon(df: org.apache.spark.sql.DataFrame) = df
+        .select(col("clabel") +: col("cnt") +:
+          (1 to 64).map(i => col(s"s_$i").cast("string").as(s"s_$i")): _*)
+        .collect().map(_.toSeq)
+      assert(canon(got) === canon(rebuild),
+        "cross-batch re-sent tombstone double-subtracted")
+      // an ALL-already-erased batch from a brand-new lineage: nothing
+      // fresh → refused outright, no manifest version burned
+      sc.setLocalProperty("sql.streaming.queryId", "lineage-b")
+      val vNow = mc.currentVersion().get
+      assert(!VectorStreams.applyForgetBatch(
+        Seq(VectorStreams.Tombstone(2L, vec(2L), 1L)).toDS(), root, 0L),
+        "a fresh lineage re-feeding erased tombstones must no-op")
+      assert(mc.currentVersion().get === vNow,
+        "all-duplicate batch committed a version")
+    } finally sc.setLocalProperty("sql.streaming.queryId", null)
+  }
+
+  test("erased segments stay bounded: the family compacts in one atomic flip and the guard survives it") {
+    import spark.implicits._
+    val root = tmpDir()
+    graft.plans.VectorExpressions.register(spark)
+    // a 12-member cluster so the compaction cadence (CompactSegs = 8) is
+    // reachable one tombstone per batch without over-erasing
+    val df = (100L to 111L).map(id => (0L, vec(id))).toDF("clabel", "v")
+    VectorStreams.seed(spark, root,
+      graft.operators.Similarity.centroidStats(df, "clabel"))
+    val mc = new ManifestCommit(spark, root)
+    def segCount = mc.current().keys
+      .count(_.startsWith("forget_erased_seg_"))
+    (0 until 7).foreach { i =>
+      assert(VectorStreams.applyForgetBatch(
+        Seq(VectorStreams.Tombstone(100L + i, vec(100L + i), 0L)).toDS(),
+        root, i.toLong))
+    }
+    assert(segCount === 7, s"expected 7 append segments, got $segCount")
+    // the 8th applied batch crosses the cadence: the whole family merges
+    // into ONE segment and the old names leave the manifest in the same
+    // atomic flip
+    assert(VectorStreams.applyForgetBatch(
+      Seq(VectorStreams.Tombstone(107L, vec(107L), 0L)).toDS(), root, 7L))
+    assert(segCount === 1, s"compaction left $segCount segments")
+    // the guard must survive the merge: a pre-compaction id re-sent
+    // under a new batch id is still a provable no-op
+    assert(!VectorStreams.applyForgetBatch(
+      Seq(VectorStreams.Tombstone(100L, vec(100L), 0L)).toDS(), root, 8L),
+      "erased id re-applied after compaction")
+    // and a post-compaction append starts the family growing again
+    assert(VectorStreams.applyForgetBatch(
+      Seq(VectorStreams.Tombstone(108L, vec(108L), 0L)).toDS(), root, 9L))
+    assert(segCount === 2, s"post-compaction append gave $segCount segments")
   }
 }
