@@ -106,6 +106,22 @@ final class ManifestCommit(spark: SparkSession, root: String,
     frames.reduceOption(_ unionByName _)
   }
 
+  /** The selected partitions as ONE multi-path relation, WITHOUT the
+    * partition column — for callers whose partition key is DERIVABLE
+    * from data columns (the IVM stores: pk = k mod B, pck = ck mod B).
+    * One relation instead of |values| unioned ones matters: every
+    * consumer job re-resolves each relation (driver-side listing +
+    * footer read per directory), so the unioned form pays
+    * O(partitions × consumers) driver work per epoch where this pays
+    * O(consumers).
+    */
+  def readPartitionPathsAt(manifest: Map[String, String], table: String,
+      partCol: String, values: Seq[Long]): Option[DataFrame] = {
+    val paths = values.flatMap(v => manifest.get(s"$table/$partCol=$v"))
+      .map(d => s"$root/$d")
+    if (paths.isEmpty) None else Some(spark.read.parquet(paths: _*))
+  }
+
   /** Read the WHOLE partition-granular family of `table`. */
   def readPartitionedAt(manifest: Map[String, String], table: String)
       : Option[DataFrame] = {
@@ -181,7 +197,14 @@ final class ManifestCommit(spark: SparkSession, root: String,
     val partEntries = partWrites.flatMap {
       case (table, (partCol, df, touched)) =>
         val parent = s"${table}__v${v}_$token"
-        df.write.mode(SaveMode.Overwrite).partitionBy(partCol)
+        // CLUSTER by the partition column before the partitionBy write:
+        // unclustered, every task holding rows of k partitions writes k
+        // files — tasks × dirs sprayed files per epoch (the same lesson
+        // Warehouse's dynamic overwrite learned); clustered, each
+        // partition value lands wholly in one task → one file per
+        // touched directory
+        df.repartition(org.apache.spark.sql.functions.col(partCol))
+          .write.mode(SaveMode.Overwrite).partitionBy(partCol)
           .parquet(s"$root/$parent")
         val produced = fs.listStatus(new Path(s"$root/$parent")).toSeq
           .filter(_.isDirectory).map(_.getPath.getName)

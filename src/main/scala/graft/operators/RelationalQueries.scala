@@ -2812,14 +2812,16 @@ object RelationalQueries {
         val root = java.nio.file.Files
           .createTempDirectory("c23_stream").toString
         val mc = new graft.compendium.ManifestCommit(s, root)
-        // the base loads through the SAME applier as the stream — the
-        // epoch-0 all-inserts batch under its own seed lineage, so the
-        // store is manifest-committed partition-granular from birth
-        EventStreams.applyIvmBatchPartitionedCommitted(
-          base.select(col("k"), lit(0L).as("seq"), lit("I").as("op"),
-            col("ck"), col("cents")),
-          mc, "c23_base", "c23_view", epoch = 0L, queryId = "c23_seed",
-          buckets = 16)
+        // the base loads as ONE partition-granular manifest commit — the
+        // c15 seed discipline (applyCdcPartitioned there): the initial
+        // load is a write, not a CDC epoch, so it must not pay
+        // resolveLastOp + delta + view work over the whole snapshot;
+        // the view bootstraps from the full base aggregate on the first
+        // stream epoch, exactly as the partitioned form does
+        mc.commitPartitioned(Map("c23_base" -> (("pk",
+          base.select(col("k"), col("ck"), col("cents"))
+            .withColumn("pk", pmod(col("k"), lit(16L))),
+          (0L until 16L).toSeq))))
         val in = MemoryStream[CdcViewChange]
         val q = EventStreams
           .ivmStreamPartitionedCommitted(in.toDS(), mc,

@@ -740,8 +740,13 @@ object EventStreams extends Serializable {
     val baseExists = mc.partitionKeys(snap, baseTable).nonEmpty
     // pruned point read: only the touched pk directories are opened —
     // pruning is STRUCTURAL here (the untouched directories are never
-    // even listed; the manifest is the index)
-    val basePruned = mc.readPartitionsAt(snap, baseTable, "pk", touchedPk)
+    // even listed; the manifest is the index). ONE multi-path relation,
+    // pk restored from k (it is derivable — that is why the store
+    // bucketing uses k mod B): the per-directory unioned form pays
+    // O(dirs × consumer jobs) driver-side listing/footer work per epoch
+    val basePruned = mc
+      .readPartitionPathsAt(snap, baseTable, "pk", touchedPk)
+      .map(_.withColumn("pk", pmod(col("k"), nb)))
       .getOrElse(resolved.limit(0)
         .select(col("k"), col("ck").cast("long").as("ck"),
           col("cents").cast("long").as("cents"), pmod(col("k"), nb).as("pk")))
@@ -767,7 +772,7 @@ object EventStreams extends Serializable {
     val (mergedView, viewTouched) =
       if (viewExists) {
         val viewPruned = mc
-          .readPartitionsAt(snap, viewTable, "pck", touchedPck)
+          .readPartitionPathsAt(snap, viewTable, "pck", touchedPck)
           .map(_.select("ck", "n", "cents_total"))
           .getOrElse(delta.limit(0).select(col("ck"),
             col("d_n").as("n"), col("d_cents").as("cents_total")))
@@ -782,7 +787,9 @@ object EventStreams extends Serializable {
       } else {
         val seed =
           if (baseExists)
-            mc.readPartitionedAt(snap, baseTable).get
+            mc.readPartitionPathsAt(snap, baseTable, "pk",
+              mc.partitionKeys(snap, baseTable)
+                .map(k => k.substring(k.indexOf('=') + 1).toLong)).get
               .groupBy("ck").agg(count(lit(1)).as("n"),
                 sum("cents").as("cents_total"))
           else delta.limit(0).select(col("ck"), col("d_n").as("n"),

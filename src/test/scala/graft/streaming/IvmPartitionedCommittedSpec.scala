@@ -96,8 +96,14 @@ class IvmPartitionedCommittedSpec extends SparkTestBase {
       assert(before(k) === after(k), s"$k remapped by an epoch that never touched it")
       assert(files(before, k) === files(after, k), s"$k files changed")
     }
-    // and the touched entries DID move to fresh staged directories
+    // and the touched entries DID move to fresh staged directories,
+    // each holding ONE data file (the staged write clusters by the
+    // partition column — unclustered it would spray tasks × dirs files)
     touchedBase.foreach(k => assert(before(k) !== after(k), s"$k not rewritten"))
+    (touchedBase ++ touchedView).filter(after.contains).foreach { k =>
+      assert(files(after, k).size === 1,
+        s"$k staged ${files(after, k).size} files — the write is unclustered")
+    }
   }
 
   test("a reader's held resolution never mixes epochs — the partitioned form's torn window, closed") {
