@@ -2397,7 +2397,87 @@ object TextAnalysis {
              |  (CASE WHEN length(text) = 0 THEN 0
              |    ELSE len(string_split(text, ' ')) END)::BIGINT AS n_tokens,
              |  text
-             |FROM t ORDER BY doc_id""".stripMargin))
+             |FROM t ORDER BY doc_id""".stripMargin)),
+
+    // URL EXTRACTION + CANONICALIZATION + registrable-domain rollup —
+    // the crawl-frontier stage between t45's page text and the next
+    // fetch round, and the URL-level dedup key every web pipeline
+    // groups on (two fetches of ...?utm_source=x and ...#frag are ONE
+    // page). Regex-grammar like t45 (RE2 ∩ Java: char classes, no
+    // lookaround), deliberately staged so each rule is hash-gateable:
+    // extract `https?://` spans (trailing sentence punctuation
+    // stripped — the documented grammar limit: a real URL ending '.'
+    // loses it), drop the fragment, lowercase scheme and host only,
+    // strip the scheme's DEFAULT port (:80/:443 — a non-default port
+    // stays in the canonical form but never in the domain), empty path
+    // → '/', and filter query params by NAME against the tracking set
+    // (utm_*, gclid, fbclid, ref) preserving order — value 'utm_x'
+    // under another name survives. Registrable domain is the
+    // public-suffix rule reduced to a config-class list (the multi-label
+    // suffixes the fixture exercises; IPv4 hosts and single-label hosts
+    // are their own domain). Scale shape: one narrow scan, explode at
+    // URL grain (bounded by text length), one partial-agg rollup at
+    // domain grain — zero joins; at 100 TB the frontier dedup this
+    // feeds is d16's incremental hash-store shape keyed on `canon`.
+    Q("t46_url_canonicalize",
+      "crawl-frontier URL stage: extract, canonicalize (fragment/default-port/tracking-param rules), registrable-domain rollup — n_urls + distinct canonical forms per domain",
+      (s, d) => {
+        val fix = s.read.option("sep", "\t").option("header", "true")
+          .schema("doc_id LONG, text STRING")
+          .csv(s"$fixtures/url_docs.tsv")
+        urlCanonical(docs(s, d).select(col("doc_id"), col("text"))
+          .unionByName(fix))
+          .groupBy("domain")
+          .agg(count(lit(1)).as("n_urls"),
+            countDistinct(col("canon")).as("n_canon"))
+          .orderBy("domain")
+      },
+      Some(s"""WITH a AS (SELECT doc_id, text FROM documents
+             |  UNION ALL SELECT doc_id, text FROM read_csv(
+             |    '$fixtures/url_docs.tsv', delim='\\t', header=true,
+             |    columns={'doc_id': 'BIGINT', 'text': 'VARCHAR'})),
+             |u0 AS (SELECT doc_id, unnest(regexp_extract_all(text,
+             |    '[hH][tT][tT][pP][sS]?://[^\\s"''<>]+')) AS raw FROM a),
+             |u1 AS (SELECT doc_id,
+             |    regexp_replace(raw, '[.,;:!?)\\]]+$$', '') AS u FROM u0),
+             |p AS (SELECT doc_id,
+             |    lower(regexp_extract(u, '^([A-Za-z]+)://', 1)) AS scheme,
+             |    regexp_replace(regexp_replace(u, '^[A-Za-z]+://', ''),
+             |      '#.*$$', '') AS rest
+             |  FROM u1),
+             |h AS (SELECT doc_id, scheme, rest,
+             |    lower(regexp_extract(rest, '^([^/?]+)', 1)) AS hostport
+             |  FROM p),
+             |h2 AS (SELECT doc_id, scheme,
+             |    CASE WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$$', '')
+             |         WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$$', '')
+             |         ELSE hostport END AS hp,
+             |    substr(rest, length(hostport) + 1) AS tail
+             |  FROM h),
+             |pq AS (SELECT doc_id, scheme, hp,
+             |    CASE WHEN regexp_extract(tail, '^([^?]*)', 1) = '' THEN '/'
+             |         ELSE regexp_extract(tail, '^([^?]*)', 1) END AS path,
+             |    coalesce(array_to_string(list_filter(
+             |      string_split(regexp_extract(tail, '\\?(.*)$$', 1), '&'),
+             |      x -> x <> '' AND NOT regexp_matches(x,
+             |        '^(utm_[^=]*|gclid|fbclid|ref)(=|$$)')), '&'), '') AS q
+             |  FROM h2),
+             |c AS (SELECT doc_id,
+             |    scheme || '://' || hp || path ||
+             |      CASE WHEN q = '' THEN '' ELSE '?' || q END AS canon,
+             |    regexp_replace(hp, ':[0-9]+$$', '') AS hn FROM pq),
+             |dm AS (SELECT doc_id, canon,
+             |    CASE WHEN regexp_matches(hn, '^[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+$$') THEN hn
+             |         WHEN regexp_extract(hn, '([^.]+\\.[^.]+)$$', 1) IN
+             |             ('co.uk','ac.uk','org.uk','gov.uk','com.au','net.au','co.jp','or.jp','com.br','co.in','co.nz')
+             |           THEN coalesce(nullif(regexp_extract(hn,
+             |             '([^.]+\\.[^.]+\\.[^.]+)$$', 1), ''), hn)
+             |         WHEN hn NOT LIKE '%.%' THEN hn
+             |         ELSE regexp_extract(hn, '([^.]+\\.[^.]+)$$', 1) END AS domain
+             |  FROM c)
+             |SELECT domain, count(*)::BIGINT AS n_urls,
+             |  count(DISTINCT canon)::BIGINT AS n_canon
+             |FROM dm GROUP BY domain ORDER BY domain""".stripMargin))
   )
 
   /** The ONE t42/t43 trainer: k true BPE rounds at word-frequency grain
@@ -2786,6 +2866,63 @@ object TextAnalysis {
           .otherwise(size(split(col("text"), " ")).cast("long"))
           .as("n_tokens"),
         col("text"))
+  }
+
+  /** t46's engine over any (doc_id, text) frame — public to the package
+    * so UrlCanonicalizeSpec can pin per-URL rules the domain-grain hash
+    * gate only sees in aggregate. Emits one row per extracted URL:
+    * (doc_id, url — the raw match after trailing-punctuation strip,
+    * canon, domain). Every stage is a codegen'd regexp/HOF riding the
+    * scan; see the registry entry for the grammar contract.
+    */
+  private[graft] def urlCanonical(docsDf: DataFrame): DataFrame = {
+    val multiSuffix = Seq("co.uk", "ac.uk", "org.uk", "gov.uk", "com.au",
+      "net.au", "co.jp", "or.jp", "com.br", "co.in", "co.nz")
+    docsDf
+      .select(col("doc_id"), explode(expr(
+        """regexp_extract_all(text, '[hH][tT][tT][pP][sS]?://[^\\s"\'<>]+', 0)"""))
+        .as("raw"))
+      .withColumn("url", regexp_replace(col("raw"), "[.,;:!?)\\]]+$", ""))
+      .withColumn("scheme",
+        lower(regexp_extract(col("url"), "^([A-Za-z]+)://", 1)))
+      .withColumn("rest", regexp_replace(
+        regexp_replace(col("url"), "^[A-Za-z]+://", ""), "#.*$", ""))
+      .withColumn("hostport",
+        lower(regexp_extract(col("rest"), "^([^/?]+)", 1)))
+      .withColumn("hp",
+        when(col("scheme") === "http",
+          regexp_replace(col("hostport"), ":80$", ""))
+          .when(col("scheme") === "https",
+            regexp_replace(col("hostport"), ":443$", ""))
+          .otherwise(col("hostport")))
+      .withColumn("tail",
+        col("rest").substr(length(col("hostport")) + 1, lit(1 << 24)))
+      .withColumn("path", {
+        val p = regexp_extract(col("tail"), "^([^?]*)", 1)
+        when(p === "", "/").otherwise(p)
+      })
+      .withColumn("q", array_join(filter(
+        split(regexp_extract(col("tail"), "\\?(.*)$", 1), "&"),
+        x => x =!= "" &&
+          !x.rlike("^(utm_[^=]*|gclid|fbclid|ref)(=|$)")), "&"))
+      .withColumn("canon", concat(col("scheme"), lit("://"), col("hp"),
+        col("path"),
+        when(col("q") === "", "").otherwise(concat(lit("?"), col("q")))))
+      .withColumn("hn", regexp_replace(col("hp"), ":[0-9]+$", ""))
+      .withColumn("domain",
+        when(col("hn").rlike("^[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+$"),
+          col("hn"))
+          .when(regexp_extract(col("hn"), "([^.]+\\.[^.]+)$", 1)
+              .isin(multiSuffix: _*),
+            coalesce(
+              when(regexp_extract(col("hn"),
+                "([^.]+\\.[^.]+\\.[^.]+)$", 1) === "", null)
+                .otherwise(regexp_extract(col("hn"),
+                  "([^.]+\\.[^.]+\\.[^.]+)$", 1)),
+              col("hn")))
+          .when(!col("hn").contains("."), col("hn"))
+          .otherwise(regexp_extract(col("hn"), "([^.]+\\.[^.]+)$", 1)))
+      .select("doc_id", "url", "canon", "domain")
   }
 
   /** Oracle twin of [[bm25Scored]] — CTE chain `bx→btot→bqt0→bqt→btf→
