@@ -2162,8 +2162,73 @@ object Dedup {
              |SELECT doc_id, count(*)::BIGINT AS n_hits, min(pos) AS first_pos
              |FROM h JOIN ev USING (span_hash)
              |WHERE doc_id % 10 <> 7
-             |GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // CRAWL-FRONTIER dedup — t46's canonical form used as the key of an
+    // incremental seen-URL store, the d16 discipline applied to the
+    // fetch queue: yesterday's canons persist as a sidecar (built once
+    // per JVM — production appends per crawl round), today's batch
+    // canonicalizes its extracted URLs and flags which are NEW fetches.
+    // Scale shape is d16's verbatim: the batch's distinct canons
+    // BROADCAST left-semi onto the store scan (the store — billions of
+    // URLs at 100 TB — is scanned once, never shuffled or broadcast;
+    // plan-asserted), the ≤|batch| survivors join back broadcast. The
+    // oracle recomputes store membership from first principles through
+    // the SAME canonicalization CTE chain t46's gate runs
+    // (TextAnalysis.sqlUrlCanon — one shared text, so the frontier can
+    // never disagree with the extractor on what a canonical URL is).
+    Q("d33_url_frontier",
+      "today's URLs (odd doc_id) against the persisted canonical-URL frontier store: unseen forms flagged as new fetches, store scanned once",
+      (s, d) => {
+        val store = s.read.parquet(urlStorePath(s, d)).select(col("canon"))
+        val batch = TextAnalysis.urlCanonical(
+            urlDocs(s, d).filter(col("doc_id") % 2 === 1))
+          .groupBy("canon", "domain").agg(count(lit(1)).as("n_refs"))
+          .localCheckpoint(true)
+        val seen = store
+          .join(broadcast(batch.select("canon").distinct()),
+            Seq("canon"), "left_semi")
+          .withColumn("is_seen", lit(true))
+        batch.join(broadcast(seen), Seq("canon"), "left")
+          .select(col("canon"), col("domain"), col("n_refs"),
+            not(coalesce(col("is_seen"), lit(false))).as("is_new"))
+          .orderBy("canon")
+      },
+      Some(s"""WITH a AS (SELECT doc_id, text FROM documents
+             |  UNION ALL SELECT doc_id, text FROM read_csv(
+             |    '${TextAnalysis.urlFixturePath}', delim='\\t', header=true,
+             |    columns={'doc_id': 'BIGINT', 'text': 'VARCHAR'})),
+             |${TextAnalysis.sqlUrlCanon},
+             |st AS (SELECT DISTINCT canon FROM dm WHERE doc_id % 2 = 0),
+             |b AS (SELECT canon, min(domain) AS domain,
+             |    count(*)::BIGINT AS n_refs
+             |  FROM dm WHERE doc_id % 2 = 1 GROUP BY canon)
+             |SELECT b.canon, b.domain, b.n_refs,
+             |  (st.canon IS NULL) AS is_new
+             |FROM b LEFT JOIN st ON b.canon = st.canon
+             |ORDER BY b.canon""".stripMargin))
   )
+
+  /** (doc_id, text) over corpus ∪ the URL fixture battery — the t46/d33
+    * shared input frame.
+    */
+  private def urlDocs(s: SparkSession, d: String): DataFrame =
+    docs(s, d).select(col("doc_id"), col("text")).unionByName(
+      s.read.option("sep", "\t").option("header", "true")
+        .schema("doc_id LONG, text STRING")
+        .csv(TextAnalysis.urlFixturePath))
+
+  /** The frontier sidecar: every canonical URL the even-doc_id half ever
+    * referenced — one row per DISTINCT canon (StoreFixture discipline:
+    * built once per JVM, the gated query times the consumer; production
+    * appends one delta per crawl round).
+    */
+  private def urlStorePath(s: SparkSession, d: String): String =
+    graft.core.StoreFixture("graft_urlstore", d) { p =>
+      TextAnalysis.urlCanonical(urlDocs(s, d).filter(col("doc_id") % 2 === 0))
+        .select("canon").distinct()
+        .write.mode("overwrite").parquet(p)
+    }
 
   /** The d29 geometry sweep: (bands, rows-per-band, S-curve midpoint
     * (1/b)^(1/r)) — all divisors of the 30-perm signature. Midpoints are

@@ -2436,49 +2436,62 @@ object TextAnalysis {
              |  UNION ALL SELECT doc_id, text FROM read_csv(
              |    '$fixtures/url_docs.tsv', delim='\\t', header=true,
              |    columns={'doc_id': 'BIGINT', 'text': 'VARCHAR'})),
-             |u0 AS (SELECT doc_id, unnest(regexp_extract_all(text,
-             |    '[hH][tT][tT][pP][sS]?://[^\\s"''<>]+')) AS raw FROM a),
-             |u1 AS (SELECT doc_id,
-             |    regexp_replace(raw, '[.,;:!?)\\]]+$$', '') AS u FROM u0),
-             |p AS (SELECT doc_id,
-             |    lower(regexp_extract(u, '^([A-Za-z]+)://', 1)) AS scheme,
-             |    regexp_replace(regexp_replace(u, '^[A-Za-z]+://', ''),
-             |      '#.*$$', '') AS rest
-             |  FROM u1),
-             |h AS (SELECT doc_id, scheme, rest,
-             |    lower(regexp_extract(rest, '^([^/?]+)', 1)) AS hostport
-             |  FROM p),
-             |h2 AS (SELECT doc_id, scheme,
-             |    CASE WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$$', '')
-             |         WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$$', '')
-             |         ELSE hostport END AS hp,
-             |    substr(rest, length(hostport) + 1) AS tail
-             |  FROM h),
-             |pq AS (SELECT doc_id, scheme, hp,
-             |    CASE WHEN regexp_extract(tail, '^([^?]*)', 1) = '' THEN '/'
-             |         ELSE regexp_extract(tail, '^([^?]*)', 1) END AS path,
-             |    coalesce(array_to_string(list_filter(
-             |      string_split(regexp_extract(tail, '\\?(.*)$$', 1), '&'),
-             |      x -> x <> '' AND NOT regexp_matches(x,
-             |        '^(utm_[^=]*|gclid|fbclid|ref)(=|$$)')), '&'), '') AS q
-             |  FROM h2),
-             |c AS (SELECT doc_id,
-             |    scheme || '://' || hp || path ||
-             |      CASE WHEN q = '' THEN '' ELSE '?' || q END AS canon,
-             |    regexp_replace(hp, ':[0-9]+$$', '') AS hn FROM pq),
-             |dm AS (SELECT doc_id, canon,
-             |    CASE WHEN regexp_matches(hn, '^[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+$$') THEN hn
-             |         WHEN regexp_extract(hn, '([^.]+\\.[^.]+)$$', 1) IN
-             |             ('co.uk','ac.uk','org.uk','gov.uk','com.au','net.au','co.jp','or.jp','com.br','co.in','co.nz')
-             |           THEN coalesce(nullif(regexp_extract(hn,
-             |             '([^.]+\\.[^.]+\\.[^.]+)$$', 1), ''), hn)
-             |         WHEN hn NOT LIKE '%.%' THEN hn
-             |         ELSE regexp_extract(hn, '([^.]+\\.[^.]+)$$', 1) END AS domain
-             |  FROM c)
+             |$sqlUrlCanon
              |SELECT domain, count(*)::BIGINT AS n_urls,
              |  count(DISTINCT canon)::BIGINT AS n_canon
              |FROM dm GROUP BY domain ORDER BY domain""".stripMargin))
   )
+
+  /** The t46/d33 URL fixture battery. */
+  private[operators] lazy val urlFixturePath: String =
+    s"$fixtures/url_docs.tsv"
+
+  /** Oracle twin of [[urlCanonical]] — the staged URL grammar as a CTE
+    * chain `u0→u1→p→h→h2→pq→c→dm`; `dm` is (doc_id, canon, domain) over
+    * relation `a(doc_id, text)`. Shared VERBATIM by t46 and the d33
+    * frontier store (the t31/t32 shared-text discipline: the two gates
+    * must agree on what a canonical URL is). No leading WITH.
+    */
+  private[operators] lazy val sqlUrlCanon: String =
+    """u0 AS (SELECT doc_id, unnest(regexp_extract_all(text,
+      |    '[hH][tT][tT][pP][sS]?://[^\s"''<>]+')) AS raw FROM a),
+      |u1 AS (SELECT doc_id,
+      |    regexp_replace(raw, '[.,;:!?)\]]+$', '') AS u FROM u0),
+      |p AS (SELECT doc_id,
+      |    lower(regexp_extract(u, '^([A-Za-z]+)://', 1)) AS scheme,
+      |    regexp_replace(regexp_replace(u, '^[A-Za-z]+://', ''),
+      |      '#.*$', '') AS rest
+      |  FROM u1),
+      |h AS (SELECT doc_id, scheme, rest,
+      |    lower(regexp_extract(rest, '^([^/?]+)', 1)) AS hostport
+      |  FROM p),
+      |h2 AS (SELECT doc_id, scheme,
+      |    CASE WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '')
+      |         WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
+      |         ELSE hostport END AS hp,
+      |    substr(rest, length(hostport) + 1) AS tail
+      |  FROM h),
+      |pq AS (SELECT doc_id, scheme, hp,
+      |    CASE WHEN regexp_extract(tail, '^([^?]*)', 1) = '' THEN '/'
+      |         ELSE regexp_extract(tail, '^([^?]*)', 1) END AS path,
+      |    coalesce(array_to_string(list_filter(
+      |      string_split(regexp_extract(tail, '\?(.*)$', 1), '&'),
+      |      x -> x <> '' AND NOT regexp_matches(x,
+      |        '^(utm_[^=]*|gclid|fbclid|ref)(=|$)')), '&'), '') AS q
+      |  FROM h2),
+      |c AS (SELECT doc_id,
+      |    scheme || '://' || hp || path ||
+      |      CASE WHEN q = '' THEN '' ELSE '?' || q END AS canon,
+      |    regexp_replace(hp, ':[0-9]+$', '') AS hn FROM pq),
+      |dm AS (SELECT doc_id, canon,
+      |    CASE WHEN regexp_matches(hn, '^[0-9]+\.[0-9]+\.[0-9]+\.[0-9]+$') THEN hn
+      |         WHEN regexp_extract(hn, '([^.]+\.[^.]+)$', 1) IN
+      |             ('co.uk','ac.uk','org.uk','gov.uk','com.au','net.au','co.jp','or.jp','com.br','co.in','co.nz')
+      |           THEN coalesce(nullif(regexp_extract(hn,
+      |             '([^.]+\.[^.]+\.[^.]+)$', 1), ''), hn)
+      |         WHEN hn NOT LIKE '%.%' THEN hn
+      |         ELSE regexp_extract(hn, '([^.]+\.[^.]+)$', 1) END AS domain
+      |  FROM c)""".stripMargin
 
   /** The ONE t42/t43 trainer: k true BPE rounds at word-frequency grain
     * (corpus tokenized once into (word, freq); every round is a

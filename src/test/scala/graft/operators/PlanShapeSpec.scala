@@ -404,6 +404,18 @@ class PlanShapeSpec extends SparkTestBase {
       "the store must never sort or shuffle to meet the batch")
   }
 
+  test("d33: batch canons broadcast-semi onto the frontier store scan — the store never shuffles") {
+    val df = graft.SparkEntry.queries("d33_url_frontier")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_urlstore"),
+      s"the frontier side must scan the persisted canonical-URL sidecar:\n${plan.take(2000)}")
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      s"batch canons must broadcast left-semi onto the store:\n${plan.take(2000)}")
+    assert(!plan.contains("SortMergeJoin"),
+      "the store must never sort or shuffle to meet the batch")
+  }
+
   test("s09: assignment reads the centroid store; the new batch never shuffles") {
     val plan = executedPlan("s09_incremental_assign")
     assert(plan.contains("graft_centstore"),
