@@ -2179,21 +2179,7 @@ object Dedup {
     // never disagree with the extractor on what a canonical URL is).
     Q("d33_url_frontier",
       "today's URLs (odd doc_id) against the persisted canonical-URL frontier store: unseen forms flagged as new fetches, store scanned once",
-      (s, d) => {
-        val store = s.read.parquet(urlStorePath(s, d)).select(col("canon"))
-        val batch = TextAnalysis.urlCanonical(
-            urlDocs(s, d).filter(col("doc_id") % 2 === 1))
-          .groupBy("canon", "domain").agg(count(lit(1)).as("n_refs"))
-          .localCheckpoint(true)
-        val seen = store
-          .join(broadcast(batch.select("canon").distinct()),
-            Seq("canon"), "left_semi")
-          .withColumn("is_seen", lit(true))
-        batch.join(broadcast(seen), Seq("canon"), "left")
-          .select(col("canon"), col("domain"), col("n_refs"),
-            not(coalesce(col("is_seen"), lit(false))).as("is_new"))
-          .orderBy("canon")
-      },
+      (s, d) => urlFrontier(s, d, urlStorePath(s, d)),
       Some(s"""WITH a AS (SELECT doc_id, text FROM documents
              |  UNION ALL SELECT doc_id, text FROM read_csv(
              |    '${TextAnalysis.urlFixturePath}', delim='\\t', header=true,
@@ -2217,6 +2203,32 @@ object Dedup {
       s.read.option("sep", "\t").option("header", "true")
         .schema("doc_id LONG, text STRING")
         .csv(TextAnalysis.urlFixturePath))
+
+  /** The d33 consumer over an arbitrary frontier store path — public to
+    * the package so the DocumentStreamsSpec evolution test can point it
+    * at a [[graft.streaming.DocumentStreams.frontierIngest]]-streamed
+    * store (one `batch_id=` subdir per micro-batch; the left-semi probe
+    * is set-semantics, so duplicate canons across subdirs are harmless).
+    */
+  private[graft] def urlFrontier(s: SparkSession, d: String,
+      storePath: String): DataFrame = {
+    val store = s.read.parquet(storePath).select(col("canon"))
+    val batch = TextAnalysis.urlCanonical(
+        urlDocs(s, d).filter(col("doc_id") % 2 === 1))
+      .groupBy("canon", "domain").agg(count(lit(1)).as("n_refs"))
+      .localCheckpoint(true)
+    val seen = store
+      .join(broadcast(batch.select("canon").distinct()),
+        Seq("canon"), "left_semi")
+      .withColumn("is_seen", lit(true))
+      // a multi-batch store holds the same canon once per subdir that
+      // saw it; the flag join needs one row per canon
+      .distinct()
+    batch.join(broadcast(seen), Seq("canon"), "left")
+      .select(col("canon"), col("domain"), col("n_refs"),
+        not(coalesce(col("is_seen"), lit(false))).as("is_new"))
+      .orderBy("canon")
+  }
 
   /** The frontier sidecar: every canonical URL the even-doc_id half ever
     * referenced — one row per DISTINCT canon (StoreFixture discipline:

@@ -555,6 +555,39 @@ object DocumentStreams {
         writeHashBatch(batch, store, batchId)
     }
 
+  /** One micro-batch of the frontier ingest: the batch's DISTINCT
+    * canonical URLs ([[graft.operators.TextAnalysis.urlCanonical]] —
+    * bit-identical to what t46/d33 derive), written to
+    * `store/batch_id=<id>` in OVERWRITE mode, the [[writeHashBatch]]
+    * idempotence discipline. Re-seen canons across batches are the
+    * normal case for a frontier (links repeat); the consumer's
+    * membership probe is set-semantics (left-semi), so duplicate rows
+    * across batch subdirs are harmless by construction — no merge rule
+    * needed at all, the weakest (and therefore most robust) conflict
+    * contract of the sidecar family.
+    */
+  private[graft] def writeFrontierBatch(batch: Dataset[Doc],
+      store: String, batchId: Long): Unit =
+    graft.operators.TextAnalysis.urlCanonical(
+      batch.toDF().select("doc_id", "text"))
+      .select("canon").distinct()
+      .write.mode("overwrite").parquet(s"$store/batch_id=$batchId")
+
+  /** The streaming PRODUCER of the canonical-URL frontier sidecar that
+    * d33_url_frontier consumes: as crawled documents stream in, each
+    * micro-batch's distinct canonical URLs append to the seen-store, so
+    * the next crawl round's "is this a new fetch?" probe reads an
+    * up-to-date canon set and never re-extracts history. State is
+    * bounded by distinct URLs ever seen — the quantity a frontier must
+    * track by definition.
+    */
+  def frontierIngest(docs: Dataset[Doc], store: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[Doc] =
+    docs.writeStream.foreachBatch {
+      (batch: Dataset[Doc], batchId: Long) =>
+        writeFrontierBatch(batch, store, batchId)
+    }
+
   /** One micro-batch of the source-signature ingest: the batch's
     * per-source union-MinHash rows
     * ([[graft.operators.Dedup.sourceSignatures]] — bit-identical to

@@ -654,6 +654,54 @@ class DocumentStreamsSpec extends SparkTestBase {
       "the streamed store must be drop-in for the batch-rebuilt store")
   }
 
+  test("d33 consumes a frontierIngest-streamed store: producer and batch consumer agree; re-sent canons are harmless") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    implicit val sq = spark.sqlContext
+    val d = "/root/testdata/sf0.001"
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_streamed_urlstore").toString
+    // stream the even-doc_id half (what the frontier held before
+    // today's crawl round): corpus evens plus the URL fixture's evens,
+    // through the production producer, two micro-batches
+    val fix = spark.read.option("sep", "\t").option("header", "true")
+      .schema("doc_id LONG, text STRING")
+      .csv("/root/repo/fixtures/url_docs.tsv")
+      .withColumn("lang", org.apache.spark.sql.functions.lit("en"))
+      .withColumn("source", org.apache.spark.sql.functions.lit("fix"))
+    val docs = graft.core.Tables.documents(spark, d)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"))
+      .unionByName(fix.select("doc_id", "text", "lang", "source"))
+      .filter(col("doc_id") % 2 === 0)
+      .collect().sortBy(_.getLong(0))
+      .map(r => DocumentStreams.Doc(r.getLong(0), ts("09:00"),
+        r.getString(1), r.getString(2), r.getString(3)))
+    val (first, second) = docs.splitAt(docs.length / 2)
+    val in = MemoryStream[DocumentStreams.Doc]
+    val q = DocumentStreams.frontierIngest(in.toDS(), store).start()
+    try {
+      in.addData(first.toSeq)
+      q.processAllAvailable()
+      in.addData(second.toSeq)
+      q.processAllAvailable()
+      // an at-least-once upstream re-sends the second batch's docs under
+      // a NEW batch id: a third subdir with already-seen canons — the
+      // set-semantics probe must be unaffected
+      in.addData(second.toSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getBoolean(3))).toSeq
+    val viaStream = rows(graft.operators.Dedup.urlFrontier(spark, d, store))
+    val viaGate = rows(
+      graft.SparkEntry.queries("d33_url_frontier")(spark, d))
+    assert(viaStream === viaGate,
+      "the streamed frontier must be drop-in for the batch-rebuilt store")
+    assert(viaGate.exists(_._4) && viaGate.exists(!_._4),
+      "the fixture must exercise both is_new polarities")
+  }
+
   test("nearDupStream finds exactly d14's estimated pairs across batch boundaries") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
