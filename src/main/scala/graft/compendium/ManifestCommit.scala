@@ -80,6 +80,15 @@ final class ManifestCommit(spark: SparkSession, root: String,
   def readAt(manifest: Map[String, String], table: String): DataFrame =
     spark.read.parquet(s"$root/${manifest(table)}")
 
+  /** Several SAME-SCHEMA manifest tables as ONE multi-path relation —
+    * the segment-family read shape (erased-id segments, LSM-style
+    * append families): one relation's listing/footer resolution instead
+    * of |tables| unioned ones per consumer job.
+    */
+  def readPaths(manifest: Map[String, String], tables: Seq[String])
+      : DataFrame =
+    spark.read.parquet(tables.map(t => s"$root/${manifest(t)}"): _*)
+
   /** Partition keys of a partition-granular table: the manifest entries
     * `table/<partCol>=<value>`, one per live partition directory.
     */

@@ -2863,6 +2863,121 @@ object RelationalQueries {
       staticSchema = Some(org.apache.spark.sql.types.StructType.fromDDL(
         "ck BIGINT, n BIGINT, cents_total BIGINT"))),
 
+    // JOIN-view IVM — the maintenance problem the aggregate IVM family
+    // (c12/c15/c23) does not cover, and the one that separates real
+    // view maintenance from enrichment: V = fact ⟕ dim stays correct
+    // under CDC arriving on BOTH join sides. The operator's three
+    // design decisions (EventStreams.ivmJoinStream): the view buckets
+    // by the JOIN key so it serves as its own fact-by-join-key index (a
+    // dim change prunes to one view partition — never a fact scan); the
+    // view is LEFT-join so a dim insert is a pruned rate fill instead
+    // of the unrecoverable inner-join drop; and every epoch's (A, B, V,
+    // marker) flip is ONE manifest commit. The fixture exercises every
+    // hard case: dim updates and deletes on referenced keys (rate
+    // rewrite / null-out), dim INSERTS of keys facts already reference
+    // (the null-fill), fact re-keys across view partitions, fact
+    // inserts referencing absent dims. Oracle: DuckDB applies both CDC
+    // streams from first principles and left-joins — continuous
+    // two-sided maintenance ≡ from-scratch recompute at the hash gate.
+    Q("c24_stream_join_ivm",
+      "LEFT-join view under two-sided CDC (fact re-keys, dim update/delete/insert incl. null-fill), partition-pruned epochs, one manifest flip — hash-equal to the from-scratch join",
+      (s, d) => {
+        import s.implicits._
+        implicit val sq = s.sqlContext
+        import graft.functions.Portable.h60
+        import graft.streaming.EventStreams
+        import graft.streaming.EventStreams.CdcJoinChange
+        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+        val base = Tables.load(s, d, "orders")
+          .select(col("o_orderkey").as("k"), col("o_custkey").as("ck"),
+            expr("cast(floor(o_totalprice * 100 + 0.5) AS BIGINT)")
+              .as("cents"))
+        val cust = Tables.load(s, d, "customer")
+          .select(col("c_custkey").as("ck"),
+            expr("cast(floor(c_acctbal * 100 + 0.5) AS BIGINT)")
+              .as("rate"))
+        // the dim seeds WITHOUT the %50=3 keys — their later INSERT is
+        // the null-fill case a left view must handle without a fact scan
+        val bSeed = cust.filter(col("ck") % 50 =!= 3)
+        val raw = cdcChanges(base.select(col("k")))
+        val feedA = raw.join(base.select("k", "ck"), Seq("k"), "left")
+          .select(lit("A").as("side"), col("k").as("key"), col("seq"),
+            col("op"),
+            coalesce(col("ck"),
+              h60(concat(lit("nc_"), col("k").cast("string"))) % 1000 + 1)
+              .as("ck"),
+            col("new_cents").as("amt"))
+        val feedB = cust
+          .select(lit("B").as("side"), col("ck").as("key"), lit(1L).as("seq"),
+            when(col("ck") % 50 === 3, "I")
+              .when(col("ck") % 11 === 5, "D")
+              .when(col("ck") % 7 === 2, "U").as("op"),
+            col("ck"),
+            when(col("ck") % 50 === 3, col("ck") * 3)
+              .when(col("ck") % 11 === 5, lit(0L))
+              .otherwise(col("rate") + 1000).as("amt"))
+          .filter(col("op").isNotNull)
+        val feed = feedA.unionByName(feedB).as[CdcJoinChange].collect()
+        val root = java.nio.file.Files
+          .createTempDirectory("c24_join").toString
+        val mc = new graft.compendium.ManifestCommit(s, root)
+        EventStreams.seedJoinView(mc, base, bSeed,
+          "c24_a", "c24_b", "c24_v", 16)
+        val in = MemoryStream[CdcJoinChange]
+        val q = EventStreams
+          .ivmJoinStream(in.toDS(), mc, "c24_a", "c24_b", "c24_v", 16)
+          .start()
+        try {
+          (0L until 3L).foreach { b =>
+            val bt = feed.filter(_.key % 3 == b)
+            if (bt.nonEmpty) {
+              in.addData(bt.toSeq)
+              q.processAllAvailable()
+            }
+          }
+        } finally q.stop()
+        import org.apache.spark.sql.types._
+        val snap = mc.current()
+        mc.readPartitionPathsAt(snap, "c24_v", "pck",
+            mc.partitionKeys(snap, "c24_v")
+              .map(x => x.substring(x.indexOf('=') + 1).toLong))
+          .getOrElse(s.createDataFrame(
+            s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            StructType(Seq(StructField("k", LongType),
+              StructField("ck", LongType), StructField("cents", LongType),
+              StructField("rate", LongType)))))
+          .select("k", "ck", "cents", "rate").orderBy("k")
+      },
+      Some(s"""WITH base AS (SELECT o_orderkey AS k, o_custkey AS ck,
+             |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+             |  FROM orders),
+             |$sqlCdcResolved,
+             |rck AS (SELECT r.k, r.last_op, r.new_cents,
+             |    coalesce(b.ck,
+             |      ('0x' || substr(md5('nc_' || r.k), 1, 15))::BIGINT % 1000 + 1) AS ck
+             |  FROM resolved r LEFT JOIN base b ON r.k = b.k),
+             |applied AS (
+             |  SELECT b.k, b.ck, b.cents FROM base b
+             |  WHERE NOT EXISTS (SELECT 1 FROM rck r WHERE r.k = b.k)
+             |  UNION ALL
+             |  SELECT k, ck, new_cents AS cents FROM rck WHERE last_op <> 'D'),
+             |cust AS (SELECT c_custkey AS ck,
+             |    CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS rate
+             |  FROM customer),
+             |bfinal AS (
+             |  SELECT ck, rate FROM cust
+             |    WHERE ck % 50 <> 3 AND ck % 11 <> 5 AND ck % 7 <> 2
+             |  UNION ALL
+             |  SELECT ck, rate + 1000 FROM cust
+             |    WHERE ck % 50 <> 3 AND ck % 11 <> 5 AND ck % 7 = 2
+             |  UNION ALL
+             |  SELECT ck, ck * 3 FROM cust WHERE ck % 50 = 3)
+             |SELECT a.k, a.ck, a.cents, bf.rate
+             |FROM applied a LEFT JOIN bfinal bf ON a.ck = bf.ck
+             |ORDER BY a.k""".stripMargin),
+      staticSchema = Some(org.apache.spark.sql.types.StructType.fromDDL(
+        "k BIGINT, ck BIGINT, cents BIGINT, rate BIGINT"))),
+
     // DATA-QUALITY constraint audit — the pre-publish validation suite
     // (Deequ / Great Expectations / dbt tests): a declared constraint
     // set over a table, each check a violation COUNT with a verdict,

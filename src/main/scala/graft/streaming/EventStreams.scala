@@ -822,6 +822,178 @@ object EventStreams extends Serializable {
     delta.unpersist(blocking = false): Unit
   }
 
+  /** One change on a TWO-TABLE CDC bus: `side` names the table ('A' the
+    * fact, 'B' the dim), `key` the changed entity (A: the fact key k;
+    * B: the join key ck), `seq` the per-key change sequence, `op`
+    * I/U/D, and the payload — for A `ck` (the foreign key) + `amt`
+    * (cents), for B just `amt` (the rate; its `ck` field mirrors
+    * `key`).
+    */
+  final case class CdcJoinChange(side: String, key: Long, seq: Long,
+      op: String, ck: Long, amt: Long)
+
+  /** JOIN-view IVM — the maintenance problem the aggregate IVM family
+    * (c12/c15/c23) does not cover: keep V = A ⟕ B (fact LEFT JOIN dim
+    * on ck) continuously correct under CDC arriving on BOTH sides of
+    * the join, with per-epoch work proportional to the batch.
+    *
+    * Three design decisions carry the whole operator:
+    *
+    *   - **The view is its own A-index.** A dim change to `ck` must
+    *     rewrite every fact row joined to it; scanning A by ck would be
+    *     a full pass (A is bucketed by its OWN key). But V already
+    *     holds exactly A's rows keyed by (k, ck) — so V buckets by
+    *     pck = ck mod buckets, a dim change prunes to ONE view
+    *     partition, and the epoch never reads A by join key at all.
+    *   - **LEFT join, not inner.** An inner view drops fact rows whose
+    *     dim key is absent — and a later B-insert of that key would
+    *     need the dropped rows back, recoverable only by re-scanning A:
+    *     the classic IVM trap. The left view keeps every fact row
+    *     (rate null), so a B-insert is a pruned-partition rate fill,
+    *     never a corpus scan.
+    *   - **One flip.** (A touched pk-partitions, B touched
+    *     pbk-partitions, V touched pck-partitions, marker) commit in
+    *     ONE manifest create — a reader holding one resolution can
+    *     never see the fact applied but the view stale, on any of the
+    *     three tables.
+    *
+    * Epoch cost: every read is a pruned partition set bounded by the
+    * batch's key spread (A by changed fact keys' pk, B by changed dim
+    * keys' pbk, V and the B-lookup by the union of affected cks' pck);
+    * every join is batch-vs-pruned-partition. Same per-lineage replay
+    * marker as the rest of the family.
+    */
+  def ivmJoinStream(changes: Dataset[CdcJoinChange],
+      mc: graft.compendium.ManifestCommit, aTable: String, bTable: String,
+      viewTable: String, buckets: Int = 16)
+      : org.apache.spark.sql.streaming.DataStreamWriter[CdcJoinChange] =
+    changes.writeStream.outputMode("append")
+      .foreachBatch { (batch: Dataset[CdcJoinChange], epoch: Long) =>
+        val qid = Option(batch.sparkSession.sparkContext
+          .getLocalProperty("sql.streaming.queryId")).getOrElse("__direct__")
+        applyIvmJoinBatch(batch.toDF(), mc, aTable, bTable, viewTable,
+          epoch, qid, buckets)
+      }
+
+  private[graft] def applyIvmJoinBatch(batch: DataFrame,
+      mc: graft.compendium.ManifestCommit, aTable: String, bTable: String,
+      viewTable: String, epoch: Long, queryId: String = "__direct__",
+      buckets: Int = 16): Unit = {
+    val s = batch.sparkSession
+    val nb = lit(buckets.toLong)
+    val marker = viewTable + "__epoch"
+    if (batch.isEmpty) return
+    val snap = mc.current()
+    val marks =
+      if (snap.contains(marker)) marksOf(mc.readAt(snap, marker))
+      else Map.empty[String, Long]
+    if (saysReplayed(marks, epoch, queryId)) return
+    // per-side last-op resolution — the shared total-order discipline
+    val ra = graft.compendium.Warehouse.resolveLastOp(
+      batch.filter(col("side") === "A")
+        .select(col("key").as("k"), col("seq"), col("op"), col("ck"),
+          col("amt").as("cents")), "k", "seq")
+      .localCheckpoint(true)
+    val rb = graft.compendium.Warehouse.resolveLastOp(
+      batch.filter(col("side") === "B")
+        .select(col("key").as("ck"), col("seq"), col("op"),
+          col("amt").as("rate")), "ck", "seq")
+      .localCheckpoint(true)
+    // ---- A (fact, bucketed pk = k mod nb): point CDC apply
+    val touchedPk = ra.select(pmod(col("k"), nb).as("pk"))
+      .distinct().collect().map(_.getLong(0)).toSeq
+    val aPruned = mc.readPartitionPathsAt(snap, aTable, "pk", touchedPk)
+      .map(_.withColumn("pk", pmod(col("k"), nb)))
+      .getOrElse(ra.limit(0).select(col("k"), col("ck"), col("cents"),
+        pmod(col("k"), nb).as("pk")))
+    val oldA = aPruned.join(ra.select("k"), Seq("k"), "left_semi")
+      .select(col("k"), col("ck").as("old_ck"))
+      .localCheckpoint(true)
+    val newA = aPruned.join(ra.select("k"), Seq("k"), "left_anti")
+      .select(col("k"), col("ck"), col("cents"), col("pk"))
+      .unionByName(ra.filter(col("op") =!= "D")
+        .select(col("k"), col("ck"), col("cents"))
+        .withColumn("pk", pmod(col("k"), nb)))
+    // ---- B (dim, bucketed pbk = ck mod nb): point CDC apply
+    val touchedPbk = rb.select(pmod(col("ck"), nb).as("pbk"))
+      .distinct().collect().map(_.getLong(0)).toSeq
+    val bPruned = mc.readPartitionPathsAt(snap, bTable, "pbk", touchedPbk)
+      .map(_.withColumn("pbk", pmod(col("ck"), nb)))
+      .getOrElse(rb.limit(0).select(col("ck"), col("rate"),
+        pmod(col("ck"), nb).as("pbk")))
+    val newB = bPruned.join(rb.select("ck"), Seq("ck"), "left_anti")
+      .select(col("ck"), col("rate"), col("pbk"))
+      .unionByName(rb.filter(col("op") =!= "D")
+        .select(col("ck"), col("rate"))
+        .withColumn("pbk", pmod(col("ck"), nb)))
+    // ---- V (bucketed pck = ck mod nb): the affected-ck partition set —
+    // changed fact rows' OLD and NEW join keys plus changed dim keys,
+    // all batch-bounded
+    val touchedPck = oldA.select(pmod(col("old_ck"), nb).as("pck"))
+      .unionByName(ra.filter(col("op") =!= "D")
+        .select(pmod(col("ck"), nb).as("pck")))
+      .unionByName(rb.select(pmod(col("ck"), nb).as("pck")))
+      .distinct().collect().map(_.getLong(0)).toSeq
+    val vPruned = mc.readPartitionPathsAt(snap, viewTable, "pck", touchedPck)
+      .getOrElse(ra.limit(0).select(col("k"), col("ck"), col("cents"),
+        lit(null).cast("long").as("rate")))
+    // the dim's POST-batch state for every partition the epoch's
+    // A-inserts may reference: rewritten partitions come from newB, the
+    // rest from storage — never a full B scan
+    val lookupPbk = touchedPck.filterNot(touchedPbk.contains)
+    val bNow = newB.select(col("ck"), col("rate"))
+      .unionByName(mc.readPartitionPathsAt(snap, bTable, "pbk", lookupPbk)
+        .map(_.select(col("ck"), col("rate")))
+        .getOrElse(rb.limit(0).select(col("ck"), col("rate"))))
+    // rebuild the touched view partitions: keep unchanged-fact rows
+    // (with dim changes folded into their rate), drop changed-fact
+    // rows, re-insert the batch's upserts against the post-batch dim
+    val vKeep = vPruned.join(ra.select("k"), Seq("k"), "left_anti")
+      .join(rb.select(col("ck"), col("op").as("b_op"),
+          col("rate").as("b_rate")).hint("shuffle_hash"),
+        Seq("ck"), "left")
+      .select(col("k"), col("ck"), col("cents"),
+        when(col("b_op") === "D", lit(null).cast("long"))
+          .when(col("b_op").isNotNull, col("b_rate"))
+          .otherwise(col("rate")).as("rate"))
+    val aIns = ra.filter(col("op") =!= "D")
+      .select(col("k"), col("ck"), col("cents"))
+      .join(bNow.hint("shuffle_hash"), Seq("ck"), "left")
+      .select(col("k"), col("ck"), col("cents"), col("rate"))
+    val newV = vKeep.unionByName(aIns)
+      .withColumn("pck", pmod(col("ck"), nb))
+    mc.commitPartitioned(
+      Map(
+        aTable -> (("pk", newA, touchedPk)),
+        bTable -> (("pbk", newB, touchedPbk)),
+        viewTable -> (("pck", newV, touchedPck))),
+      writes = Map(marker -> marksFrame(s, marks + (queryId -> epoch))))
+    ra.unpersist(blocking = false)
+    rb.unpersist(blocking = false)
+    oldA.unpersist(blocking = false): Unit
+  }
+
+  /** Seed the (A, B, V) trio in ONE flip from initial loads — the
+    * c15/c23 seed discipline: the initial load is a write, not a CDC
+    * epoch. V computes as A ⟕ B once; thereafter the epochs own it.
+    */
+  def seedJoinView(mc: graft.compendium.ManifestCommit,
+      a: DataFrame, b: DataFrame, aTable: String, bTable: String,
+      viewTable: String, buckets: Int = 16): Unit = {
+    val nb = lit(buckets.toLong)
+    val v = a.select(col("k"), col("ck"), col("cents"))
+      .join(b.select(col("ck"), col("rate")), Seq("ck"), "left")
+      .select(col("k"), col("ck"), col("cents"), col("rate"))
+    mc.commitPartitioned(Map(
+      aTable -> (("pk",
+        a.withColumn("pk", pmod(col("k"), nb)), (0L until buckets).toSeq)),
+      bTable -> (("pbk",
+        b.withColumn("pbk", pmod(col("ck"), nb)), (0L until buckets).toSeq)),
+      viewTable -> (("pck",
+        v.withColumn("pck", pmod(col("ck"), nb)), (0L until buckets).toSeq))))
+    : Unit
+  }
+
   /** Stream-static enrichment join: the event stream against a STATIC
     * reference frame (a dimension table). No state, no watermark — the
     * static side is (re)resolved per micro-batch and broadcast under the

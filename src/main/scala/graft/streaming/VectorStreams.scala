@@ -136,9 +136,14 @@ object VectorStreams {
       val deduped = batch.toDF()
         .dropDuplicates("vec_id").localCheckpoint(true)
       val segs = erasedSegs(cur)
+      // the family reads as ONE multi-path relation (the c23 lesson:
+      // per-directory relations unioned pay O(dirs) driver-side
+      // listing/footer work per consumer) — bounded at CompactSegs dirs
+      // here, but the read shape should not depend on the compaction
+      // cadence being healthy
       val dupIds: Set[Long] =
         if (segs.isEmpty) Set.empty
-        else segs.map(t => mc.readAt(cur, t)).reduce(_ unionByName _)
+        else mc.readPaths(cur, segs)
           .join(broadcast(deduped.select("vec_id")), Seq("vec_id"),
             "left_semi")
           .collect().map(_.getLong(0)).toSet
@@ -164,8 +169,8 @@ object VectorStreams {
         // the old names in the SAME flip — crash-safe (the old segments
         // stay readable under every retained manifest)
         if (segs.size + 1 >= CompactSegs) {
-          val merged = (segs.map(t => mc.readAt(cur, t)) :+ freshIds)
-            .reduce(_ unionByName _).coalesce(1)
+          val merged = mc.readPaths(cur, segs)
+            .unionByName(freshIds).coalesce(1)
           mc.commit(writes + ((ErasedSegPrefix + "000001_c") -> merged),
             drop = segs.toSet)
         } else mc.commit(writes + (nextSeg -> freshIds))
