@@ -64,6 +64,36 @@ class UrlCanonicalizeSpec extends SparkTestBase {
       "fragment-only variants must collapse")
   }
 
+  test("generative URL soup: never throws, scheme/host always lowercase, no fragment survives, idempotent") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val frag = Gen.oneOf(
+      Gen.oneOf("http://", "https://", "HTTP://", "Example.COM", ":80",
+        ":443", ":8443", "/Path", "?", "?a=1", "&utm_source=x", "&b=2",
+        "#frag", ".", " ", "www.", "co.uk", "192.168.0.1", "..", "&",
+        "=", "localhost"),
+      Gen.asciiPrintableStr.map(_.take(5)
+        .filterNot(c => c == '\t' || c == '\n')))
+    val soup = Gen.listOfN(10, frag).map(_.mkString(""))
+    val texts = Iterator.from(0).map(i =>
+      soup.apply(Gen.Parameters.default, Seed(91L + i))).flatten
+      .take(200).toSeq
+    val rows = extract(texts) // must not throw, whatever the soup
+    rows.foreach { case (_, canon, domain) =>
+      val scheme = canon.takeWhile(_ != ':')
+      assert(scheme == scheme.toLowerCase, s"scheme case survived: $canon")
+      assert(!canon.contains("#"), s"fragment survived: $canon")
+      assert(domain == domain.toLowerCase, s"domain case survived: $domain")
+    }
+    // idempotence over every generated canonical form, one pass
+    val canons = rows.map(_._2).toSeq
+    if (canons.nonEmpty) {
+      val again = extract(canons.map(c => s"x $c x")).map(_._2)
+      assert(again.sorted === canons.sorted,
+        s"re-canonicalization changed ${canons.diff(again).take(3)}")
+    }
+  }
+
   test("canonicalization is idempotent: canon(canon(u)) == canon(u) across the fixture battery") {
     import spark.implicits._
     val fix = spark.read.option("sep", "\t").option("header", "true")

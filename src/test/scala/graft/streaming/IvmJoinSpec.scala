@@ -135,6 +135,43 @@ class IvmJoinSpec extends SparkTestBase {
     assert(viewRows(mc) === recompute(mc))
   }
 
+  test("randomized two-sided CDC: 8 epochs of mixed fact/dim churn, view == from-scratch join after every epoch") {
+    // the fuzz the curated cases can't give: interleaved inserts,
+    // re-inserts after deletes, repeated re-keys, dim flapping
+    // (I → D → I on one ck), multiple changes to one key inside one
+    // epoch (exercising the in-batch last-op resolution) — seeded, so a
+    // failure replays
+    val mc = new ManifestCommit(spark, tmpDir())
+    seed(mc)
+    val rnd = new scala.util.Random(77L)
+    var seq = 100L
+    def nextSeq() = { seq += 1; seq }
+    (0 until 8).foreach { epoch =>
+      val nA = 1 + rnd.nextInt(6)
+      val nB = 1 + rnd.nextInt(3)
+      val aChanges = (0 until nA).map { _ =>
+        val k = rnd.nextInt(40).toLong
+        val op = Seq("I", "U", "D")(rnd.nextInt(3))
+        ch("A", k, nextSeq(), op, rnd.nextInt(7).toLong,
+          k * 1000 + epoch)
+      }
+      val bChanges = (0 until nB).map { _ =>
+        val ck = rnd.nextInt(7).toLong
+        val op = Seq("I", "U", "D")(rnd.nextInt(3))
+        ch("B", ck, nextSeq(), op, ck, ck * 10 + epoch)
+      }
+      EventStreams.applyIvmJoinBatch(
+        chDF(rnd.shuffle(aChanges ++ bChanges)), mc, "a", "b", "v",
+        epoch = epoch.toLong, queryId = "fuzz", buckets = B)
+      assert(viewRows(mc) === recompute(mc),
+        s"fuzz epoch $epoch diverged (seed 77)")
+      // structural invariant: the view holds each fact key exactly once
+      val ks = viewRows(mc).map(_._1)
+      assert(ks.distinct.size === ks.size,
+        s"fuzz epoch $epoch duplicated a fact key in the view")
+    }
+  }
+
   test("replay and zombie lineages are refused; an applied epoch is exactly once") {
     val mc = new ManifestCommit(spark, tmpDir())
     seed(mc)
