@@ -193,11 +193,14 @@ object EUtils {
     *     batches while other partitions continue (db.py:326-384 applied
     *     per worker — the driver loop's global counter has no
     *     distributed equivalent that isn't a barrier);
-    *   - a per-request sleep of `parallelism × eutilsThrottleMs`, so
-    *     the FLEET-wide request rate never exceeds the single-driver
-    *     NCBI budget of one request per eutilsThrottleMs — the
-    *     global-throttle invariant (spec-asserted with a recording
-    *     fake): P workers × rate 1/(P·t) = 1/t.
+    *   - a per-request sleep of `parallelism × eutilsThrottleMs` plus a
+    *     per-partition PHASE stagger on the first request (worker p
+    *     starts p slots late), so the FLEET-wide request rate never
+    *     exceeds the single-driver NCBI budget of one request per
+    *     eutilsThrottleMs — as an interleaved stream, not as P-request
+    *     bursts whose average merely equals it (spec-asserted per
+    *     partition with a recording fake): P workers × rate 1/(P·t)
+    *     = 1/t.
     *
     * Results merge through the same [[mergeInfos]] upsert as the driver
     * path, so on a clean run the two paths are provably
@@ -215,11 +218,23 @@ object EUtils {
     val batches = todo.grouped(cfg.eutilsBatchSize).toVector
     if (batches.isEmpty) return 0L
     val perRequestSleepMs = cfg.eutilsThrottleMs * parallelism
+    val throttleMs = cfg.eutilsThrottleMs
     val urlMax = cfg.eutilsUrlMaxChars
     val fetched = spark.sparkContext
       .parallelize(batches, math.min(parallelism, batches.size))
       .mapPartitions { it =>
         val client = clientFactory()
+        // PHASE-stagger the first request by the partition index: with
+        // identical sleeps from a common start, P workers would fire
+        // P-request bursts every P slots — the AVERAGE rate meets the
+        // budget but the instantaneous burst is what a per-second
+        // limiter rejects. Worker p starting p throttle-slots late
+        // interleaves the fleet at one request per slot (request-latency
+        // drift can still re-align phases over long sessions; the
+        // per-request P×throttle sleep keeps even a fully re-aligned
+        // fleet at the average budget).
+        var nextSleepMs = perRequestSleepMs +
+          org.apache.spark.TaskContext.getPartitionId().toLong * throttleMs
         var consecutiveFailures = 0
         var abort: Option[String] = None
         val out = Vector.newBuilder[(Seq[SraRunInfo], Option[String])]
@@ -230,7 +245,8 @@ object EUtils {
             abort = Some(s"esearch URL ${url.length} chars exceeds " +
               s"$urlMax (db.py:314-317)")
           else {
-            Thread.sleep(perRequestSleepMs)
+            Thread.sleep(nextSleepMs)
+            nextSleepMs = perRequestSleepMs
             try {
               out += ((parseResponse(client.fetch(batch)), None))
               consecutiveFailures = 0

@@ -96,6 +96,19 @@ final class ManifestCommit(spark: SparkSession, root: String,
       : Seq[String] =
     manifest.keys.filter(_.startsWith(table + "/")).toSeq.sorted
 
+  /** The LIVE partition values of a partition-granular table — the one
+    * parser of the `table/partCol=<v>` key grammar (bucket values are
+    * LONG by the IVM convention); every caller that needs "all
+    * partitions" goes through here instead of re-implementing the
+    * substring split.
+    */
+  def partitionValues(manifest: Map[String, String], table: String)
+      : Seq[Long] =
+    partitionKeys(manifest, table).map { k =>
+      val kv = k.substring(k.indexOf('/') + 1)
+      kv.substring(kv.indexOf('=') + 1).toLong
+    }
+
   /** Read SOME partitions of a partition-granular table through one
     * manifest resolution — the pruned read: absent values (a partition
     * never written, or swept empty) simply contribute nothing, and
@@ -133,16 +146,12 @@ final class ManifestCommit(spark: SparkSession, root: String,
 
   /** Read the WHOLE partition-granular family of `table`. */
   def readPartitionedAt(manifest: Map[String, String], table: String)
-      : Option[DataFrame] = {
-    val vals = partitionKeys(manifest, table).map { k =>
+      : Option[DataFrame] =
+    partitionKeys(manifest, table).headOption.flatMap { k =>
       val kv = k.substring(k.indexOf('/') + 1)
-      (kv.substring(0, kv.indexOf('=')),
-        kv.substring(kv.indexOf('=') + 1).toLong)
+      readPartitionsAt(manifest, table, kv.substring(0, kv.indexOf('=')),
+        partitionValues(manifest, table))
     }
-    vals.headOption.flatMap { case (partCol, _) =>
-      readPartitionsAt(manifest, table, partCol, vals.map(_._2))
-    }
-  }
 
   /** Atomically commit `writes` as one new version: every frame stages to
     * a fresh `<table>__v<N>` directory, tables NOT in `writes` carry their

@@ -2939,8 +2939,7 @@ object RelationalQueries {
         import org.apache.spark.sql.types._
         val snap = mc.current()
         mc.readPartitionPathsAt(snap, "c24_v", "pck",
-            mc.partitionKeys(snap, "c24_v")
-              .map(x => x.substring(x.indexOf('=') + 1).toLong))
+            mc.partitionValues(snap, "c24_v"))
           .getOrElse(s.createDataFrame(
             s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
             StructType(Seq(StructField("k", LongType),

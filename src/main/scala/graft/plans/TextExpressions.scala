@@ -22,10 +22,18 @@ import org.apache.spark.sql.types.DataType
   *     `&#99999999;`, `&#xD800;`, `&#x;`, unterminated `&#12`) passes
   *     through as literal text — malformed input must never fail the
   *     scan or desync the two engines;
-  *   - replacement text is never rescanned (single pass): `&#38;#60;`
-  *     yields `&#60;` literally, the same answer a global regex
-  *     replace gives because matches are disjoint and replacements are
-  *     not re-matched.
+  *   - replacement text is never rescanned WITHIN this pass (single
+  *     pass): `&#38;#60;` yields `&#60;` literally, the same answer a
+  *     global regex replace gives because matches are disjoint and
+  *     replacements are not re-matched. Note the STAGED-grammar
+  *     consequence one level up, deliberate and spec-pinned
+  *     (HtmlExtractSpec's decode-ordering test): t45 runs this pass
+  *     BEFORE its named-entity table, so a decoded '&' can re-form a
+  *     named entity for that later stage — `&#38;lt;` ends as `<`,
+  *     where single-pass HTML decoding would leave `&lt;`. Both
+  *     engines implement the same staging, so the gate pins it; a
+  *     caller needing HTML-spec never-reparse semantics would fold the
+  *     named table into this expression instead of chaining.
   *
   * Reference behavior (HTML spec numeric references, restricted to the
   * always-valid subset): /root/reference has no HTML layer — this is

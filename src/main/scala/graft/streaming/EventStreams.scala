@@ -200,6 +200,8 @@ object EventStreams extends Serializable {
       initial: Dataset[(Long, SessionState)]): Dataset[Session] = {
     import events.sparkSession.implicits._
     val wmMinutes = watermarkMinutes.getOrElse(gapMinutes)
+    require(wmMinutes >= gapMinutes,
+      "watermark delay below the gap would drop events the gap logic admits")
     events
       .withWatermark("ts", s"$wmMinutes minutes")
       .groupByKey(_.user_id)
@@ -378,11 +380,20 @@ object EventStreams extends Serializable {
 
   /** The full map persists every epoch — 1-row-per-lineage sidecar,
     * coalesced so a 32-thread local session doesn't spray 32 files.
+    * The migrated [[AnyLineage]] floor is DROPPED on write (the legacy
+    * marker's documented upgrade-in-place semantics: the very next
+    * applied batch rewrites it in the new schema): persisting it would
+    * make the floor permanent, and every FUTURE fresh-checkpoint
+    * lineage restarting epochs at 0 would silently skip its first
+    * floor+1 batches — unbounded CDC loss, the exact failure the
+    * lineage-aware marker exists to prevent. The floor still guards the
+    * one batch that performs the migration (saysReplayed consults it
+    * BEFORE this write).
     */
   private def marksFrame(s: org.apache.spark.sql.SparkSession,
       marks: Map[String, Long]): DataFrame = {
     import s.implicits._
-    marks.toSeq.toDF("query_id", "epoch").coalesce(1)
+    (marks - AnyLineage).toSeq.toDF("query_id", "epoch").coalesce(1)
   }
 
   private[graft] def applyIvmBatch(batch: DataFrame,
@@ -582,6 +593,25 @@ object EventStreams extends Serializable {
         }
       }
 
+  /** The partition-granular forms' view merge: previous (ck, n,
+    * cents_total) rows full-outer the epoch delta, zero-coalesced sums,
+    * emptied groups dropped, partition column re-derived. ONE body for
+    * the four call sites across [[applyIvmBatchPartitioned]] and
+    * [[applyIvmBatchPartitionedCommitted]] (live-view merge and
+    * bootstrap in each), so the merge algebra cannot drift between the
+    * partitioned paths.
+    */
+  private def mergeViewDelta(prev: DataFrame, delta: DataFrame,
+      nb: org.apache.spark.sql.Column): DataFrame =
+    prev.join(delta, Seq("ck"), "full_outer")
+      .select(col("ck"),
+        (coalesce(col("n"), lit(0L)) + coalesce(col("d_n"), lit(0L)))
+          .as("n"),
+        (coalesce(col("cents_total"), lit(0L)) +
+          coalesce(col("d_cents"), lit(0L))).as("cents_total"))
+      .filter(col("n") > 0)
+      .withColumn("pck", pmod(col("ck"), nb))
+
   private[graft] def applyIvmBatchPartitioned(batch: DataFrame,
       wh: graft.compendium.Warehouse, baseTable: String, viewTable: String,
       epoch: Long, queryId: String = "__direct__", buckets: Int = 16): Unit = {
@@ -637,14 +667,7 @@ object EventStreams extends Serializable {
         val viewPruned = wh.read(viewTable)
           .filter(col("pck").isin(touchedPck: _*))
           .select("ck", "n", "cents_total")
-        val merged = viewPruned.join(delta, Seq("ck"), "full_outer")
-          .select(col("ck"),
-            (coalesce(col("n"), lit(0L)) + coalesce(col("d_n"), lit(0L)))
-              .as("n"),
-            (coalesce(col("cents_total"), lit(0L)) +
-              coalesce(col("d_cents"), lit(0L))).as("cents_total"))
-          .filter(col("n") > 0)
-          .withColumn("pck", pmod(col("ck"), nb))
+        val merged = mergeViewDelta(viewPruned, delta, nb)
         wh.overwriteAndSweep(viewTable, merged, "pck", touchedPck)
       }
     } else {
@@ -658,14 +681,7 @@ object EventStreams extends Serializable {
             sum("cents").as("cents_total"))
         else delta.limit(0).select(col("ck"), col("d_n").as("n"),
           col("d_cents").as("cents_total"))
-      val merged = seed.join(delta, Seq("ck"), "full_outer")
-        .select(col("ck"),
-          (coalesce(col("n"), lit(0L)) + coalesce(col("d_n"), lit(0L)))
-            .as("n"),
-          (coalesce(col("cents_total"), lit(0L)) +
-            coalesce(col("d_cents"), lit(0L))).as("cents_total"))
-        .filter(col("n") > 0)
-        .withColumn("pck", pmod(col("ck"), nb))
+      val merged = mergeViewDelta(seed, delta, nb)
       if (!merged.isEmpty)
         wh.overwritePartitions(viewTable, merged, Seq("pck"))
     }
@@ -776,33 +792,17 @@ object EventStreams extends Serializable {
           .map(_.select("ck", "n", "cents_total"))
           .getOrElse(delta.limit(0).select(col("ck"),
             col("d_n").as("n"), col("d_cents").as("cents_total")))
-        (viewPruned.join(delta, Seq("ck"), "full_outer")
-          .select(col("ck"),
-            (coalesce(col("n"), lit(0L)) + coalesce(col("d_n"), lit(0L)))
-              .as("n"),
-            (coalesce(col("cents_total"), lit(0L)) +
-              coalesce(col("d_cents"), lit(0L))).as("cents_total"))
-          .filter(col("n") > 0)
-          .withColumn("pck", pmod(col("ck"), nb)), touchedPck)
+        (mergeViewDelta(viewPruned, delta, nb), touchedPck)
       } else {
         val seed =
           if (baseExists)
             mc.readPartitionPathsAt(snap, baseTable, "pk",
-              mc.partitionKeys(snap, baseTable)
-                .map(k => k.substring(k.indexOf('=') + 1).toLong)).get
+              mc.partitionValues(snap, baseTable)).get
               .groupBy("ck").agg(count(lit(1)).as("n"),
                 sum("cents").as("cents_total"))
           else delta.limit(0).select(col("ck"), col("d_n").as("n"),
             col("d_cents").as("cents_total"))
-        val m = seed.join(delta, Seq("ck"), "full_outer")
-          .select(col("ck"),
-            (coalesce(col("n"), lit(0L)) + coalesce(col("d_n"), lit(0L)))
-              .as("n"),
-            (coalesce(col("cents_total"), lit(0L)) +
-              coalesce(col("d_cents"), lit(0L))).as("cents_total"))
-          .filter(col("n") > 0)
-          .withColumn("pck", pmod(col("ck"), nb))
-        (m, Seq.empty[Long])
+        (mergeViewDelta(seed, delta, nb), Seq.empty[Long])
       }
     // the touched base partitions' new content: survivors ∪ upserts
     val upserts = resolved.filter(col("op") =!= "D")

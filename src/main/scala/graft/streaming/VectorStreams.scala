@@ -136,17 +136,18 @@ object VectorStreams {
       val deduped = batch.toDF()
         .dropDuplicates("vec_id").localCheckpoint(true)
       val segs = erasedSegs(cur)
-      // the family reads as ONE multi-path relation (the c23 lesson:
-      // per-directory relations unioned pay O(dirs) driver-side
-      // listing/footer work per consumer) — bounded at CompactSegs dirs
-      // here, but the read shape should not depend on the compaction
-      // cadence being healthy
-      val dupIds: Set[Long] =
-        if (segs.isEmpty) Set.empty
-        else mc.readPaths(cur, segs)
-          .join(broadcast(deduped.select("vec_id")), Seq("vec_id"),
+      // the family reads as ONE multi-path relation, built ONCE per
+      // batch and shared by the duplicate probe and (on compacting
+      // batches) the merge (the c23 lesson: per-directory relations
+      // unioned pay O(dirs) driver-side listing/footer work per
+      // consumer) — bounded at CompactSegs dirs here, but the read
+      // shape should not depend on the compaction cadence being healthy
+      val family: Option[DataFrame] =
+        if (segs.isEmpty) None else Some(mc.readPaths(cur, segs))
+      val dupIds: Set[Long] = family.fold(Set.empty[Long])(
+        _.join(broadcast(deduped.select("vec_id")), Seq("vec_id"),
             "left_semi")
-          .collect().map(_.getLong(0)).toSet
+          .collect().map(_.getLong(0)).toSet)
       val fresh =
         if (dupIds.isEmpty) deduped
         else deduped.filter(!col("vec_id").isin(dupIds.toSeq: _*))
@@ -169,7 +170,7 @@ object VectorStreams {
         // the old names in the SAME flip — crash-safe (the old segments
         // stay readable under every retained manifest)
         if (segs.size + 1 >= CompactSegs) {
-          val merged = mc.readPaths(cur, segs)
+          val merged = family.get
             .unionByName(freshIds).coalesce(1)
           mc.commit(writes + ((ErasedSegPrefix + "000001_c") -> merged),
             drop = segs.toSet)

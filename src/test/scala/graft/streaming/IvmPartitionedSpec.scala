@@ -231,6 +231,20 @@ class IvmPartitionedSpec extends SparkTestBase {
       "post-legacy-marker batch must apply and the marker must upgrade")
     assert(wh.read("view__epoch").columns.contains("query_id"),
       "the applied batch rewrites the marker in the new schema")
+    // the migrated floor must EXPIRE with that rewrite: a later fresh
+    // lineage restarting epochs at 0 is new work — a persisted floor
+    // would silently skip its first batches forever (unbounded CDC loss)
+    EventStreams.applyIvmBatchPartitioned(
+      Seq((23L, 1L, "U", 7L, 444L)).toDF("k", "seq", "op", "ck", "cents"),
+      wh, "base", "view", epoch = 0L, queryId = "fresh-after-legacy",
+      buckets = B)
+    assert(viewRows(wh) === recompute(wh),
+      "view/base diverged after the post-migration fresh-lineage epoch")
+    // the non-vacuous half: the batch actually LANDED (a skip would
+    // leave view == recompute trivially, with the row missing from both)
+    assert(wh.read("base").filter(col("k") === 23L &&
+      col("cents") === 444L).count() === 1L,
+      "a fresh lineage's epoch 0 was refused by a permanently-persisted legacy floor")
   }
 
   test("zombie lineage after takeover: the predecessor's redelivered epoch stays refused on the partitioned path") {
