@@ -192,7 +192,11 @@ object EUtils {
     *   - two CONSECUTIVE failures stop that partition's remaining
     *     batches while other partitions continue (db.py:326-384 applied
     *     per worker — the driver loop's global counter has no
-    *     distributed equivalent that isn't a barrier);
+    *     distributed equivalent that isn't a barrier); the give-up is
+    *     RECORDED alongside the URL-cap abort markers and raised after
+    *     every partition's results have merged (persist-then-exit, the
+    *     same loud bail as the driver path — a caller can never mistake
+    *     a partial run for a clean one);
     *   - a per-request sleep of `parallelism × eutilsThrottleMs` plus a
     *     per-partition PHASE stagger on the first request (worker p
     *     starts p slots late), so the FLEET-wide request rate never
@@ -257,6 +261,15 @@ object EUtils {
           }
         }
         abort.foreach(a => out += ((Seq.empty, Some(a))))
+        // a give-up must survive the fan-out: without a marker the
+        // driver merges whatever succeeded and returns a NORMAL count,
+        // indistinguishable from a clean run (the driver path and
+        // db.py:326-384 both bail loudly on two-in-a-row)
+        if (consecutiveFailures >= 2)
+          out += ((Seq.empty, Some(
+            s"partition ${org.apache.spark.TaskContext.getPartitionId()} " +
+              s"gave up after 2 consecutive fetch failures with " +
+              s"${it.size} batches unfetched (db.py:326-384)")))
         Iterator.single(out.result())
       }.collect().toSeq.flatten
     val merged = mergeInfos(spark, wh, fetched.flatMap(_._1))

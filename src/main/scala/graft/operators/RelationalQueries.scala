@@ -3085,7 +3085,67 @@ object RelationalQueries {
              |    c_custkey, c_acctbal
              |  FROM customer) t
              |WHERE rank <= 3
-             |ORDER BY c_nationkey, rank""".stripMargin))
+             |ORDER BY c_nationkey, rank""".stripMargin)),
+
+    // STAR JOIN with runtime pruning — the end-to-end anchor for the
+    // two fact-scan reducers the engine spec-asserts in isolation
+    // (PlanShapeSpec: runtime bloom row-filter, partition pruning):
+    // lineitem (fact) ⋈ orders (selective date window) ⋈ customer ⋈
+    // nation ⋈ region='ASIA' (TPC-H Q5's shape on the tables TESTDATA
+    // ships). Scale design, innermost out: region⋈nation is a 5×25-row
+    // product — broadcast, so the region predicate becomes a
+    // customer-side row filter for free; customer⋈orders and
+    // orders⋈lineitem shuffle on their keys (both sides fact-scale at
+    // 100 TB — no broadcast), and the ~15%-selective date predicate
+    // pushes INTO the orders parquet scan (PushedFilters) and then
+    // row-filters lineitem BEFORE its shuffle via the runtime bloom
+    // filter when thresholds arm (InjectRuntimeFilter; q52's
+    // PlanShapeSpec test pins might_contain/bloom_filter_agg on the
+    // fact side with production thresholds scaled to the fixture).
+    // Revenue is integer-exact (cents × discount-percent units), so
+    // the group sums hash bit-equal in both engines regardless of
+    // parallelism or add order.
+    Q("q52_star_revenue",
+      "per-nation revenue star: lineitem ⋈ date-filtered orders ⋈ customer ⋈ broadcast(nation ⋈ region='ASIA'), integer-exact sums",
+      (s, d) => {
+        val li = Tables.load(s, d, "lineitem").select(col("l_orderkey"),
+          expr("cast(floor(l_extendedprice * 100 + 0.5) AS BIGINT)")
+            .as("cents"),
+          expr("cast(floor(l_discount * 100 + 0.5) AS BIGINT)").as("disc"))
+        val o = Tables.load(s, d, "orders")
+          .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp")
+            && col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+          .select("o_orderkey", "o_custkey")
+        val c = Tables.load(s, d, "customer")
+          .select("c_custkey", "c_nationkey")
+        val nr = Tables.load(s, d, "nation")
+          .join(broadcast(Tables.load(s, d, "region")
+            .filter(col("r_name") === "ASIA")),
+            col("n_regionkey") === col("r_regionkey"))
+          .select("n_nationkey", "n_name")
+        li.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(c, col("o_custkey") === col("c_custkey"))
+          .join(broadcast(nr), col("c_nationkey") === col("n_nationkey"))
+          .groupBy("n_name")
+          .agg(count(lit(1)).as("n_items"),
+            sum(expr("cents * (100 - disc)")).as("revenue_units"))
+          .orderBy("n_name")
+      },
+      Some("""SELECT n.n_name,
+             |  count(*)::BIGINT AS n_items,
+             |  CAST(sum(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)
+             |    * (100 - CAST(floor(l.l_discount * 100 + 0.5) AS BIGINT))) AS BIGINT)
+             |    AS revenue_units
+             |FROM lineitem l
+             |JOIN orders o ON l.l_orderkey = o.o_orderkey
+             |JOIN customer c ON o.o_custkey = c.c_custkey
+             |JOIN nation n ON c.c_nationkey = n.n_nationkey
+             |JOIN region r ON n.n_regionkey = r.r_regionkey
+             |WHERE r.r_name = 'ASIA'
+             |  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+             |  AND o.o_orderdate < TIMESTAMP '1997-01-01'
+             |GROUP BY n.n_name
+             |ORDER BY n.n_name""".stripMargin))
   )
 
   /** q49/q51's synthetic CDC batch, resolved to one row per changed key:

@@ -59,12 +59,15 @@ case class NcrDecode(child: Expression)
   override protected def doGenCode(ctx: CodegenContext,
       ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a => {
-      // one static Java method per query, shared by every row — the
-      // scan loop is branchy enough that inlining it per call site
-      // would bloat the generated method for no gain
+      // one Java method per query, shared by every row — the scan loop
+      // is branchy enough that inlining it per call site would bloat
+      // the generated method for no gain. Instance-private, NOT static:
+      // when codegen size-splitting moves added functions into a
+      // non-static nested inner class, a static member is illegal Java
+      // and Janino rejects the whole generated class
       val decodeFn = ctx.addNewFunction("graftNcrDecode",
         s"""
-           |private static java.lang.String graftNcrDecode(java.lang.String s) {
+           |private java.lang.String graftNcrDecode(java.lang.String s) {
            |  int i = s.indexOf("&#");
            |  if (i < 0) return s;
            |  java.lang.StringBuilder sb = new java.lang.StringBuilder(s.length());

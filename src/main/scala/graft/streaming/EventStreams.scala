@@ -368,15 +368,34 @@ object EventStreams extends Serializable {
   }
 
   /** Replayed iff THIS lineage already applied `epoch` — or a migrated
-    * legacy marker floors it for every lineage. A different live
-    * lineage's high water is deliberately NOT consulted: a takeover's
-    * fresh checkpoint restarts epochs at 0 and its batches are new
-    * work, not replays.
+    * legacy marker floors it. A different live lineage's high water is
+    * deliberately NOT consulted: a takeover's fresh checkpoint restarts
+    * epochs at 0 and its batches are new work, not replays.
+    *
+    * When the skip is caused SOLELY by the [[AnyLineage]] floor (no
+    * same-lineage high-water hit), `rescope` persists the marker
+    * rewritten in the new schema INSIDE this same batch, with the floor
+    * attributed to this lineage — the first lineage to replay against a
+    * legacy marker is the resumer that marker was guarding (an
+    * epoch-only marker cannot name it, so first-claimant is the only
+    * attribution available). Without the rescope, a skip returns before
+    * any marker write, the un-migrated floor persists on disk, and
+    * every FUTURE fresh-checkpoint lineage's epochs <= floor are
+    * silently dropped until some lineage's counter happens to exceed
+    * it — the exact CDC-loss mode the [[marksFrame]] drop-on-write
+    * closes for APPLIED batches but cannot reach on the skip path
+    * (the drop only runs after a batch actually applies).
     */
-  private def saysReplayed(marks: Map[String, Long], epoch: Long,
-      queryId: String): Boolean =
-    marks.get(queryId).exists(_ >= epoch) ||
-      marks.get(AnyLineage).exists(_ >= epoch)
+  private def skipAsReplay(marks: Map[String, Long], epoch: Long,
+      queryId: String)(rescope: Map[String, Long] => Unit): Boolean = {
+    val own = marks.get(queryId).exists(_ >= epoch)
+    val floored = !own && marks.get(AnyLineage).exists(_ >= epoch)
+    // AnyLineage never coexists with per-lineage entries on disk
+    // (markerMarks migrates whole legacy markers), so the rescoped map
+    // is exactly the floor under this lineage's name
+    if (floored) rescope(marks - AnyLineage + (queryId -> marks(AnyLineage)))
+    own || floored
+  }
 
   /** The full map persists every epoch — 1-row-per-lineage sidecar,
     * coalesced so a 32-thread local session doesn't spray 32 files.
@@ -387,8 +406,12 @@ object EventStreams extends Serializable {
     * lineage restarting epochs at 0 would silently skip its first
     * floor+1 batches — unbounded CDC loss, the exact failure the
     * lineage-aware marker exists to prevent. The floor still guards the
-    * one batch that performs the migration (saysReplayed consults it
-    * BEFORE this write).
+    * one batch that performs the migration ([[skipAsReplay]] consults
+    * it BEFORE this write), and the SKIP path performs its own
+    * migration — a floor-only skip rescopes the floor to the skipping
+    * lineage and rewrites the marker in that same batch, so the legacy
+    * schema never outlives the first batch that touches it, applied or
+    * skipped.
     */
   private def marksFrame(s: org.apache.spark.sql.SparkSession,
       marks: Map[String, Long]): DataFrame = {
@@ -409,7 +432,8 @@ object EventStreams extends Serializable {
     // lineage's high water so a zombie predecessor stays refused after
     // a takeover
     val marks = markerMarks(wh, marker)
-    if (saysReplayed(marks, epoch, queryId)) return
+    if (skipAsReplay(marks, epoch, queryId)(m =>
+        wh.replace(marker, marksFrame(s, m)))) return
     val resolved = graft.compendium.Warehouse.resolveLastOp(batch, "k", "seq")
     val baseSchema = StructType(Seq(StructField("k", LongType),
       StructField("ck", LongType), StructField("cents", LongType)))
@@ -497,7 +521,8 @@ object EventStreams extends Serializable {
     val marks =
       if (snap.contains(marker)) marksOf(mc.readAt(snap, marker))
       else Map.empty[String, Long]
-    if (saysReplayed(marks, epoch, queryId)) return
+    if (skipAsReplay(marks, epoch, queryId)(m =>
+        mc.commit(Map(marker -> marksFrame(s, m))))) return
     val resolved = graft.compendium.Warehouse.resolveLastOp(batch, "k", "seq")
     val baseSchema = StructType(Seq(StructField("k", LongType),
       StructField("ck", LongType), StructField("cents", LongType)))
@@ -621,7 +646,8 @@ object EventStreams extends Serializable {
     val nb = lit(buckets.toLong)
     val marker = viewTable + "__epoch"
     val marks = markerMarks(wh, marker)
-    if (saysReplayed(marks, epoch, queryId)) return
+    if (skipAsReplay(marks, epoch, queryId)(m =>
+        wh.replace(marker, marksFrame(s, m)))) return
     // change-sized, consumed by THREE downstream jobs (touched-pk
     // collect, delta, view merge) — eager-checkpointed so the per-epoch
     // job count doesn't multiply the resolve window (the t42/d09
@@ -746,7 +772,8 @@ object EventStreams extends Serializable {
     val marks =
       if (snap.contains(marker)) marksOf(mc.readAt(snap, marker))
       else Map.empty[String, Long]
-    if (saysReplayed(marks, epoch, queryId)) return
+    if (skipAsReplay(marks, epoch, queryId)(m =>
+        mc.commit(Map(marker -> marksFrame(s, m))))) return
     // change-sized, consumed by three downstream jobs — checkpointed so
     // the per-epoch job count doesn't multiply the resolve window
     val resolved = graft.compendium.Warehouse.resolveLastOp(batch, "k", "seq")
@@ -887,7 +914,8 @@ object EventStreams extends Serializable {
     val marks =
       if (snap.contains(marker)) marksOf(mc.readAt(snap, marker))
       else Map.empty[String, Long]
-    if (saysReplayed(marks, epoch, queryId)) return
+    if (skipAsReplay(marks, epoch, queryId)(m =>
+        mc.commit(Map(marker -> marksFrame(s, m))))) return
     // per-side last-op resolution — the shared total-order discipline
     val ra = graft.compendium.Warehouse.resolveLastOp(
       batch.filter(col("side") === "A")
@@ -1375,7 +1403,7 @@ object EventStreams extends Serializable {
     * history — insert-all then prune is deterministic and
     * batch-order-free, so the rebuilt state is IDENTICAL to what the
     * continuous query held, whatever micro-batch boundaries it saw
-    * (FunnelRehydrateSpec pins demote/rehydrate ≡ continuous). At
+    * (StateRehydrationSpec pins demote/rehydrate ≡ continuous). At
     * 100 TB the history scan prunes to the demoted user set and the
     * four funnel event types — a keyed, type-filtered read, not a
     * corpus pass. A rehydrated user emits no row until their next

@@ -259,11 +259,17 @@ class EUtilsSpec extends SparkTestBase {
     FakeEutilsRecorder.reset()
     val wh = new Warehouse(spark, tmpDir())
     Ingest.loadSamples(spark, wh, "408170", s"$fixtures/biosamples.xml")
-    val n = EUtils.enrichDistributed(spark, wh,
-      () => FakeEutilsRecorder.failingClient(), budget = 10,
-      EngineConfig.default.copy(eutilsThrottleMs = 0, eutilsBatchSize = 1),
-      parallelism = 1)
-    assert(n === 0)
+    val giveUp = intercept[IllegalStateException] {
+      EUtils.enrichDistributed(spark, wh,
+        () => FakeEutilsRecorder.failingClient(), budget = 10,
+        EngineConfig.default.copy(eutilsThrottleMs = 0, eutilsBatchSize = 1),
+        parallelism = 1)
+    }
+    // the give-up must be LOUD (merge-then-throw, like the URL cap and
+    // the driver path's two-in-a-row bail) — a normal return here would
+    // be indistinguishable from a clean run
+    assert(giveUp.getMessage.contains("gave up after 2 consecutive"))
+    assert(giveUp.getMessage.contains("1 batches unfetched"))
     assert(FakeEutilsRecorder.calls().size === 2,
       "the partition must stop after the 2nd consecutive failure")
     // URL cap: same long-accession shape as the driver-side cap test

@@ -282,6 +282,44 @@ class PlanShapeSpec extends SparkTestBase {
     }
   }
 
+  test("q52: star join — date filter pushed to the orders scan, dims broadcast, fact bloom-filtered end-to-end") {
+    // the gated query (q52_star_revenue) anchors what the isolated
+    // bloom/DPP specs assert piecewise: on the REGISTRY query itself,
+    // the selective date window reaches the orders parquet scan, the
+    // nation⋈region product broadcasts, and — with the petabyte-sized
+    // production thresholds scaled to the fixture — InjectRuntimeFilter
+    // row-filters the lineitem fact from the filtered orders side
+    // BEFORE its join shuffle
+    import org.apache.spark.sql.functions._
+    val basePlan = executedPlan("q52_star_revenue")
+    assert(basePlan.contains("PushedFilters: [") &&
+      basePlan.contains("GreaterThanOrEqual(o_orderdate"),
+      s"date window must reach the orders scan:\n${basePlan.take(2000)}")
+    assert(countOf(basePlan, "BroadcastHashJoin") >= 2,
+      "region⋈nation and the dim join onto customer must broadcast")
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val df = graft.SparkEntry.queries("q52_star_revenue")(spark, sf)
+      df.collect()
+      val full = df.queryExecution.executedPlan.toString
+      val cut = full.indexOf("== Initial Plan ==")
+      val plan = if (cut >= 0) full.substring(0, cut) else full
+      assert(plan.contains("might_contain"),
+        s"lineitem must be bloom-row-filtered before its shuffle:\n${plan.take(2000)}")
+      assert(plan.contains("bloom_filter_agg"),
+        "the date-filtered orders side must build the bloom filter")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("kNN top-k windows run under WindowGroupLimit (bounded partial top-k)") {
     // Catalyst pushes a rank() <= k filter into WindowGroupLimitExec: a
     // size-k heap per group BEFORE the window's full sort, partial on the

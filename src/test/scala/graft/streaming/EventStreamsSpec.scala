@@ -716,6 +716,48 @@ class EventStreamsSpec extends SparkTestBase {
       "a zombie lineage's redelivered epoch re-applied after takeover")
   }
 
+  test("ivmStream: a floor-only SKIP rescopes a legacy epoch-only marker so later fresh lineages apply") {
+    import spark.implicits._
+    val wh = new graft.compendium.Warehouse(spark, tmpDir())
+    wh.replace("ivm_base", Seq((1L, 10L, 100L)).toDF("k", "ck", "cents"))
+    wh.replace("ivm_view", Seq((10L, 1L, 100L)).toDF("ck", "n", "cents_total"))
+    // a LEGACY epoch-only marker (pre-lineage schema): "epoch 5 applied"
+    wh.replace("ivm_view__epoch", Seq(5L).toDF("epoch"))
+    def view(): Set[(Long, Long, Long)] =
+      wh.read("ivm_view").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // the resuming lineage redelivers epoch 3 <= floor: must SKIP (it is
+    // a replay under legacy semantics) — and the skip itself must
+    // rewrite the marker in the new schema with the floor scoped to the
+    // skipper, because no marker write ever follows a skip
+    EventStreams.applyIvmBatch(
+      Seq(EventStreams.CdcViewChange(9, 1, "I", 99, 999)).toDF(),
+      wh, "ivm_base", "ivm_view", epoch = 3L, queryId = "resumer")
+    assert(view() === Set((10L, 1L, 100L)), "floor skip must not apply")
+    val marker = wh.read("ivm_view__epoch")
+    assert(marker.columns.contains("query_id"),
+      "a floor-only skip must migrate the legacy marker to the lineage-scoped schema")
+    assert(marker.collect().map(r =>
+        (r.getAs[String]("query_id"), r.getAs[Long]("epoch"))).toSet ===
+      Set(("resumer", 5L)),
+      "the floor must be re-scoped to the skipping lineage at its legacy value")
+    // a FRESH lineage's epoch 0 now applies — with the un-migrated floor
+    // persisting, every epoch <= 5 here was silently dropped (the CDC
+    // loss the rescope closes)
+    EventStreams.applyIvmBatch(
+      Seq(EventStreams.CdcViewChange(2, 1, "I", 20, 700)).toDF(),
+      wh, "ivm_base", "ivm_view", epoch = 0L, queryId = "fresh")
+    assert(view() === Set((10L, 1L, 100L), (20L, 1L, 700L)),
+      "a fresh lineage's epoch 0 must apply after the floor is scoped away")
+    // and the resumer's guard survived the rescope: its epoch 5 replay
+    // still refuses
+    EventStreams.applyIvmBatch(
+      Seq(EventStreams.CdcViewChange(9, 1, "I", 99, 999)).toDF(),
+      wh, "ivm_base", "ivm_view", epoch = 5L, queryId = "resumer")
+    assert(view() === Set((10L, 1L, 100L), (20L, 1L, 700L)),
+      "the rescoped floor must still guard the resuming lineage's replays")
+  }
+
   test("ivmStream: absent view over a pre-existing base bootstraps from a full recompute") {
     import spark.implicits._
     val wh = new graft.compendium.Warehouse(spark, tmpDir())
