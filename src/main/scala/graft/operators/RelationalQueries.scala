@@ -2977,6 +2977,226 @@ object RelationalQueries {
       staticSchema = Some(org.apache.spark.sql.types.StructType.fromDDL(
         "k BIGINT, ck BIGINT, cents BIGINT, rate BIGINT"))),
 
+    // AGGREGATE-over-join IVM — the delta-rule shape c24's flat join
+    // view doesn't cover: V(ck) = (count, SUM(cents), SUM(cents×rate))
+    // over fact ⟕ dim, maintained under CDC on BOTH sides. The design
+    // decision the gate proves (EventStreams.ivmAggJoinStream): the
+    // view stores its sufficient statistic (cents_total), so a dim
+    // change RE-WEIGHTS the aggregated row as cents_total × rate_new —
+    // O(touched groups) arithmetic from the view row alone, with the
+    // fact store contributing zero reads and zero writes to a dim-only
+    // epoch (IvmAggJoinSpec pins that at manifest and bytes-read
+    // grain). Same two-sided fixture as c24 — dim updates/deletes/
+    // inserts on referenced keys incl. the null-fill, fact re-keys
+    // across groups, inserts referencing absent dims — so every change
+    // class lands at aggregate grain; epochs stay partition-pruned with
+    // one manifest flip. Oracle: DuckDB folds both CDC streams from
+    // first principles, left-joins, and aggregates — continuous
+    // maintenance ≡ from-scratch GROUP BY at the hash gate (revenue is
+    // NULL exactly where the group's dim is absent: SUM over all-NULL
+    // products).
+    Q("c25_stream_agg_join_ivm",
+      "aggregate-over-join view under two-sided CDC: dim changes re-weight via the stored sufficient statistic (never a fact re-scan), hash-equal to the from-scratch aggregate",
+      (s, d) => {
+        import s.implicits._
+        implicit val sq = s.sqlContext
+        import graft.functions.Portable.h60
+        import graft.streaming.EventStreams
+        import graft.streaming.EventStreams.CdcJoinChange
+        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+        val base = Tables.load(s, d, "orders")
+          .select(col("o_orderkey").as("k"), col("o_custkey").as("ck"),
+            expr("cast(floor(o_totalprice * 100 + 0.5) AS BIGINT)")
+              .as("cents"))
+        val cust = Tables.load(s, d, "customer")
+          .select(col("c_custkey").as("ck"),
+            expr("cast(floor(c_acctbal * 100 + 0.5) AS BIGINT)")
+              .as("rate"))
+        val bSeed = cust.filter(col("ck") % 50 =!= 3)
+        val raw = cdcChanges(base.select(col("k")))
+        val feedA = raw.join(base.select("k", "ck"), Seq("k"), "left")
+          .select(lit("A").as("side"), col("k").as("key"), col("seq"),
+            col("op"),
+            coalesce(col("ck"),
+              h60(concat(lit("nc_"), col("k").cast("string"))) % 1000 + 1)
+              .as("ck"),
+            col("new_cents").as("amt"))
+        val feedB = cust
+          .select(lit("B").as("side"), col("ck").as("key"), lit(1L).as("seq"),
+            when(col("ck") % 50 === 3, "I")
+              .when(col("ck") % 11 === 5, "D")
+              .when(col("ck") % 7 === 2, "U").as("op"),
+            col("ck"),
+            when(col("ck") % 50 === 3, col("ck") * 3)
+              .when(col("ck") % 11 === 5, lit(0L))
+              .otherwise(col("rate") + 1000).as("amt"))
+          .filter(col("op").isNotNull)
+        val feed = feedA.unionByName(feedB).as[CdcJoinChange].collect()
+        val root = java.nio.file.Files
+          .createTempDirectory("c25_agg").toString
+        val mc = new graft.compendium.ManifestCommit(s, root)
+        EventStreams.seedAggJoinView(mc, base, bSeed,
+          "c25_a", "c25_b", "c25_v", 16)
+        val in = MemoryStream[CdcJoinChange]
+        val q = EventStreams
+          .ivmAggJoinStream(in.toDS(), mc, "c25_a", "c25_b", "c25_v", 16)
+          .start()
+        try {
+          (0L until 3L).foreach { b =>
+            val bt = feed.filter(_.key % 3 == b)
+            if (bt.nonEmpty) {
+              in.addData(bt.toSeq)
+              q.processAllAvailable()
+            }
+          }
+        } finally q.stop()
+        import org.apache.spark.sql.types._
+        val snap = mc.current()
+        mc.readPartitionPathsAt(snap, "c25_v", "pck",
+            mc.partitionValues(snap, "c25_v"))
+          .getOrElse(s.createDataFrame(
+            s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            StructType(Seq(StructField("ck", LongType),
+              StructField("n", LongType),
+              StructField("cents_total", LongType),
+              StructField("rate", LongType),
+              StructField("revenue_total", LongType)))))
+          .select("ck", "n", "cents_total", "rate", "revenue_total")
+          .orderBy("ck")
+      },
+      Some(s"""WITH base AS (SELECT o_orderkey AS k, o_custkey AS ck,
+             |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+             |  FROM orders),
+             |$sqlCdcResolved,
+             |rck AS (SELECT r.k, r.last_op, r.new_cents,
+             |    coalesce(b.ck,
+             |      ('0x' || substr(md5('nc_' || r.k), 1, 15))::BIGINT % 1000 + 1) AS ck
+             |  FROM resolved r LEFT JOIN base b ON r.k = b.k),
+             |applied AS (
+             |  SELECT b.k, b.ck, b.cents FROM base b
+             |  WHERE NOT EXISTS (SELECT 1 FROM rck r WHERE r.k = b.k)
+             |  UNION ALL
+             |  SELECT k, ck, new_cents AS cents FROM rck WHERE last_op <> 'D'),
+             |cust AS (SELECT c_custkey AS ck,
+             |    CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS rate
+             |  FROM customer),
+             |bfinal AS (
+             |  SELECT ck, rate FROM cust
+             |    WHERE ck % 50 <> 3 AND ck % 11 <> 5 AND ck % 7 <> 2
+             |  UNION ALL
+             |  SELECT ck, rate + 1000 FROM cust
+             |    WHERE ck % 50 <> 3 AND ck % 11 <> 5 AND ck % 7 = 2
+             |  UNION ALL
+             |  SELECT ck, ck * 3 FROM cust WHERE ck % 50 = 3)
+             |SELECT a.ck, count(*)::BIGINT AS n,
+             |  CAST(sum(a.cents) AS BIGINT) AS cents_total,
+             |  bf.rate,
+             |  CAST(sum(a.cents * bf.rate) AS BIGINT) AS revenue_total
+             |FROM applied a LEFT JOIN bfinal bf ON a.ck = bf.ck
+             |GROUP BY a.ck, bf.rate
+             |ORDER BY a.ck""".stripMargin),
+      staticSchema = Some(org.apache.spark.sql.types.StructType.fromDDL(
+        "ck BIGINT, n BIGINT, cents_total BIGINT, rate BIGINT, " +
+          "revenue_total BIGINT"))),
+
+    // c15's replay with the feed moved OFF the driver: every other
+    // streaming gate's MemoryStream is a test harness that collect()s
+    // its feed to the driver first — fine for bounded gate slices, but
+    // it leaves the claim "the twins run off a real source" untested.
+    // Here the SAME change feed is STAGED as committed parquet by a
+    // distributed write (one append per epoch, executor→disk — the
+    // driver never holds a row) and the twin reads it through
+    // FileStreamSource (spark.readStream.parquet), the executor-side
+    // source a production CDC drop-folder uses; this is the reference's
+    // autoforward polling loop (main.py:113-134) as a streaming source
+    // instead of a driver loop. Epoch slices are disjoint (k mod 3), so
+    // the IVM algebra is batching-independent — however the source
+    // micro-batches the files, the result folds to the same view, and
+    // the oracle is c15's VERBATIM from-scratch fold: the hash gate
+    // pins file-source twin ≡ MemoryStream twin ≡ batch recompute.
+    // FileSourceTwinSpec additionally pins the running query's source
+    // IS FileStreamSource and the per-epoch progress rows came from it.
+    Q("c26_stream_file_source",
+      "c15's partition-granular CDC replay fed by FileStreamSource over staged parquet (no driver-side feed), hash-equal to the from-scratch fold",
+      (s, d) => {
+        import s.implicits._
+        import graft.functions.Portable.h60
+        import graft.streaming.EventStreams
+        import graft.streaming.EventStreams.CdcViewChange
+        val base = Tables.load(s, d, "orders")
+          .select(col("o_orderkey").as("k"), col("o_custkey").as("ck"),
+            expr("cast(floor(o_totalprice * 100 + 0.5) AS BIGINT)")
+              .as("cents"))
+        val raw = cdcChanges(base.select(col("k")))
+        // the feed stays a DISTRIBUTED frame end to end — eagerly
+        // checkpointed once so the three slice writes don't re-derive
+        // the md5 feed plan, never collected
+        val feed = raw.join(base.select("k", "ck"), Seq("k"), "left")
+          .select(col("k"), col("seq"), col("op"),
+            coalesce(col("ck"),
+              h60(concat(lit("nc_"), col("k").cast("string"))) % 1000 + 1)
+              .as("ck"),
+            col("new_cents").as("cents"))
+          .localCheckpoint(true)
+        val root = java.nio.file.Files
+          .createTempDirectory("c26_stream").toString
+        val srcDir = s"$root/changes_in"
+        // FileStreamSource resolves the path at stream start — the
+        // watched folder must exist before the first file lands
+        new java.io.File(srcDir).mkdirs()
+        val wh = new graft.compendium.Warehouse(s, s"$root/wh")
+        wh.applyCdcPartitioned("c26_base",
+          base.select(col("k"), lit(0L).as("seq"), lit("I").as("op"),
+            col("ck"), col("cents")),
+          "k", "seq", "op", "pk", c => pmod(c, lit(16L)))
+        val changes = s.readStream
+          .schema(org.apache.spark.sql.types.StructType.fromDDL(
+            "k BIGINT, seq BIGINT, op STRING, ck BIGINT, cents BIGINT"))
+          .parquet(srcDir)
+          .as[CdcViewChange]
+        val q = EventStreams
+          .ivmStreamPartitioned(changes, wh, "c26_base", "c26_view", 16)
+          .option("checkpointLocation", s"$root/ckpt")
+          .start()
+        try {
+          (0L until 3L).foreach { b =>
+            // one distributed append per epoch: executors write the
+            // slice straight into the watched folder
+            feed.filter(col("k") % 3 === b)
+              .write.mode("append").parquet(srcDir)
+            q.processAllAvailable()
+          }
+        } finally q.stop()
+        if (!wh.exists("c26_view"))
+          EventStreams.applyIvmBatchPartitioned(
+            s.emptyDataset[CdcViewChange].toDF(),
+            wh, "c26_base", "c26_view", epoch = 0L,
+            queryId = "c26_bootstrap", buckets = 16)
+        feed.unpersist(blocking = false)
+        import org.apache.spark.sql.types._
+        wh.readOrEmpty("c26_view", StructType(Seq(
+            StructField("ck", LongType), StructField("n", LongType),
+            StructField("cents_total", LongType))))
+          .select("ck", "n", "cents_total").orderBy("ck")
+      },
+      Some(s"""WITH base AS (SELECT o_orderkey AS k, o_custkey AS ck,
+             |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+             |  FROM orders),
+             |$sqlCdcResolved,
+             |rck AS (SELECT r.k, r.last_op, r.new_cents,
+             |    coalesce(b.ck,
+             |      ('0x' || substr(md5('nc_' || r.k), 1, 15))::BIGINT % 1000 + 1) AS ck
+             |  FROM resolved r LEFT JOIN base b ON r.k = b.k),
+             |applied AS (
+             |  SELECT b.k, b.ck, b.cents FROM base b
+             |  WHERE NOT EXISTS (SELECT 1 FROM rck r WHERE r.k = b.k)
+             |  UNION ALL
+             |  SELECT k, ck, new_cents AS cents FROM rck WHERE last_op <> 'D')
+             |SELECT ck, count(*)::BIGINT AS n, sum(cents)::BIGINT AS cents_total
+             |FROM applied GROUP BY ck ORDER BY ck""".stripMargin),
+      staticSchema = Some(org.apache.spark.sql.types.StructType.fromDDL(
+        "ck BIGINT, n BIGINT, cents_total BIGINT"))),
+
     // DATA-QUALITY constraint audit — the pre-publish validation suite
     // (Deequ / Great Expectations / dbt tests): a declared constraint
     // set over a table, each check a violation COUNT with a verdict,

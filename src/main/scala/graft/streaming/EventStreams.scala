@@ -1022,6 +1022,205 @@ object EventStreams extends Serializable {
     : Unit
   }
 
+  /** AGGREGATE-over-join view maintenance under two-sided CDC — the
+    * classic IVM shape [[ivmJoinStream]] (c24, the flat join view) does
+    * not cover: V(ck) = (n, cents_total, revenue_total) where
+    * revenue_total = SUM(cents × rate) over A(k, ck, cents) ⟕ B(ck,
+    * rate), grouped by the join key. The delta rule is the whole
+    * point — neither change side may ever re-scan the fact store:
+    *
+    *   - a FACT change adjusts (n, cents_total) by its point delta
+    *     (old row from a pruned A read, new row from the batch), and
+    *     revenue re-derives as cents_total' × rate — the group's rate
+    *     comes from the VIEW row itself (or a pruned B lookup for a
+    *     group born this epoch);
+    *   - a DIM change RE-WEIGHTS the aggregated row from the view's own
+    *     sufficient statistic: revenue' = cents_total × rate_new. The
+    *     stored cents_total is exactly why SUM(cents × rate)
+    *     decomposes — rate is functionally determined by the group key,
+    *     so the sum factors, and the update is O(|touched groups|)
+    *     arithmetic, never a fact read (the fact side contributes ZERO
+    *     I/O to a dim-only epoch — IvmAggJoinSpec pins the A
+    *     partitions' manifest entries AND bytes-read at 0).
+    *
+    * Store layout and epoch mechanics are [[ivmJoinStream]]'s: A
+    * bucketed by pk = k mod B, B by pbk = ck mod B, V by pck = ck mod
+    * B (pck ≡ pbk for one ck, so dim lookups are co-bucketed), every
+    * read pruned to the batch's touched partition values through one
+    * manifest snapshot, and the epoch's (A, B, V, marker) staged as ONE
+    * [[graft.compendium.ManifestCommit]] flip. LEFT-join semantics:
+    * facts on an absent dim hold rate NULL and contribute a NULL
+    * revenue product, so revenue_total is NULL exactly when the
+    * group's dim is absent (SQL's SUM over all-NULL products) and a
+    * dim INSERT re-weights them in place — the c24 null-fill case at
+    * aggregate grain. Same per-lineage replay marker as the family.
+    *
+    * 100 TB: the view is |distinct ck| rows — dimension-scale, however
+    * large A grows; an epoch's cost is bounded by the BATCH's key
+    * spread on every side (pruned partition reads, batch-vs-partition
+    * joins, one staged write per touched directory). The from-scratch
+    * alternative re-joins and re-aggregates the full fact table per
+    * trigger.
+    */
+  def ivmAggJoinStream(changes: Dataset[CdcJoinChange],
+      mc: graft.compendium.ManifestCommit, aTable: String, bTable: String,
+      viewTable: String, buckets: Int = 16)
+      : org.apache.spark.sql.streaming.DataStreamWriter[CdcJoinChange] =
+    changes.writeStream.outputMode("append")
+      .foreachBatch { (batch: Dataset[CdcJoinChange], epoch: Long) =>
+        val qid = Option(batch.sparkSession.sparkContext
+          .getLocalProperty("sql.streaming.queryId")).getOrElse("__direct__")
+        applyIvmAggJoinBatch(batch.toDF(), mc, aTable, bTable, viewTable,
+          epoch, qid, buckets)
+      }
+
+  private[graft] def applyIvmAggJoinBatch(batch: DataFrame,
+      mc: graft.compendium.ManifestCommit, aTable: String, bTable: String,
+      viewTable: String, epoch: Long, queryId: String = "__direct__",
+      buckets: Int = 16): Unit = {
+    val s = batch.sparkSession
+    val nb = lit(buckets.toLong)
+    val marker = viewTable + "__epoch"
+    if (batch.isEmpty) return
+    val snap = mc.current()
+    val marks =
+      if (snap.contains(marker)) marksOf(mc.readAt(snap, marker))
+      else Map.empty[String, Long]
+    if (skipAsReplay(marks, epoch, queryId)(m =>
+        mc.commit(Map(marker -> marksFrame(s, m))))) return
+    val ra = graft.compendium.Warehouse.resolveLastOp(
+      batch.filter(col("side") === "A")
+        .select(col("key").as("k"), col("seq"), col("op"), col("ck"),
+          col("amt").as("cents")), "k", "seq")
+      .localCheckpoint(true)
+    val rb = graft.compendium.Warehouse.resolveLastOp(
+      batch.filter(col("side") === "B")
+        .select(col("key").as("ck"), col("seq"), col("op"),
+          col("amt").as("rate")), "ck", "seq")
+      .localCheckpoint(true)
+    // ---- A (fact): point CDC apply, pruned to the batch's pk set —
+    // EMPTY when the epoch carries no fact changes, in which case the
+    // fact store contributes no reads and no writes at all (the
+    // dim-only re-weight path)
+    val touchedPk = ra.select(pmod(col("k"), nb).as("pk"))
+      .distinct().collect().map(_.getLong(0)).toSeq
+    val aPruned = mc.readPartitionPathsAt(snap, aTable, "pk", touchedPk)
+      .map(_.withColumn("pk", pmod(col("k"), nb)))
+      .getOrElse(ra.limit(0).select(col("k"), col("ck"), col("cents"),
+        pmod(col("k"), nb).as("pk")))
+    // old rows carry (ck, cents) — both feed the group delta
+    val oldA = aPruned.join(ra.select("k"), Seq("k"), "left_semi")
+      .select(col("k"), col("ck").as("old_ck"),
+        col("cents").as("old_cents"))
+      .localCheckpoint(true)
+    val newA = aPruned.join(ra.select("k"), Seq("k"), "left_anti")
+      .select(col("k"), col("ck"), col("cents"), col("pk"))
+      .unionByName(ra.filter(col("op") =!= "D")
+        .select(col("k"), col("ck"), col("cents"))
+        .withColumn("pk", pmod(col("k"), nb)))
+    // the GROUP delta: retract every changed key's old contribution,
+    // add its new one — change-sized, two consumers (touched-pck
+    // collect + merge), checkpointed per the family discipline
+    val delta = oldA
+      .select(col("old_ck").as("ck"), lit(-1L).as("d_n"),
+        (-col("old_cents")).as("d_cents"))
+      .unionByName(ra.filter(col("op") =!= "D")
+        .select(col("ck"), lit(1L).as("d_n"), col("cents").as("d_cents")))
+      .groupBy("ck")
+      .agg(sum("d_n").as("d_n"), sum("d_cents").as("d_cents"))
+      .localCheckpoint(true)
+    // ---- B (dim): point CDC apply
+    val touchedPbk = rb.select(pmod(col("ck"), nb).as("pbk"))
+      .distinct().collect().map(_.getLong(0)).toSeq
+    val bPruned = mc.readPartitionPathsAt(snap, bTable, "pbk", touchedPbk)
+      .map(_.withColumn("pbk", pmod(col("ck"), nb)))
+      .getOrElse(rb.limit(0).select(col("ck"), col("rate"),
+        pmod(col("ck"), nb).as("pbk")))
+    val newB = bPruned.join(rb.select("ck"), Seq("ck"), "left_anti")
+      .select(col("ck"), col("rate"), col("pbk"))
+      .unionByName(rb.filter(col("op") =!= "D")
+        .select(col("ck"), col("rate"))
+        .withColumn("pbk", pmod(col("ck"), nb)))
+    // ---- V: touched groups = fact-delta groups ∪ dim-changed groups
+    val touchedPck = delta.select(pmod(col("ck"), nb).as("pck"))
+      .unionByName(rb.select(pmod(col("ck"), nb).as("pck")))
+      .distinct().collect().map(_.getLong(0)).toSeq
+    val vPruned = mc.readPartitionPathsAt(snap, viewTable, "pck", touchedPck)
+      .map(_.select("ck", "n", "cents_total", "rate"))
+      .getOrElse(delta.limit(0).select(col("ck"), col("d_n").as("n"),
+        col("d_cents").as("cents_total"),
+        lit(null).cast("long").as("rate")))
+    // post-batch dim state for every partition a NEW group may need a
+    // rate from: rewritten partitions come from newB, the rest from
+    // storage — co-bucketed with the view (pck ≡ pbk), never a B scan
+    val lookupPbk = touchedPck.filterNot(touchedPbk.contains)
+    val bNow = newB.select(col("ck"), col("rate"))
+      .unionByName(mc.readPartitionPathsAt(snap, bTable, "pbk", lookupPbk)
+        .map(_.select(col("ck"), col("rate")))
+        .getOrElse(rb.limit(0).select(col("ck"), col("rate"))))
+    // merge: partition-mates carry forward (deltas coalesce to 0, rate
+    // kept); dim changes re-weight via the stored cents_total; groups
+    // born this epoch pull their rate from the post-batch dim
+    val merged = vPruned
+      .join(delta.hint("shuffle_hash"), Seq("ck"), "full_outer")
+      .join(rb.select(col("ck"), col("op").as("b_op"),
+          col("rate").as("b_rate")).hint("shuffle_hash"),
+        Seq("ck"), "left")
+      .join(bNow.select(col("ck"), col("rate").as("now_rate"))
+          .hint("shuffle_hash"),
+        Seq("ck"), "left")
+      .select(col("ck"),
+        (coalesce(col("n"), lit(0L)) + coalesce(col("d_n"), lit(0L)))
+          .as("n"),
+        (coalesce(col("cents_total"), lit(0L)) +
+          coalesce(col("d_cents"), lit(0L))).as("cents_total"),
+        when(col("b_op") === "D", lit(null).cast("long"))
+          .when(col("b_op").isNotNull, col("b_rate"))
+          .when(col("n").isNull, col("now_rate"))
+          .otherwise(col("rate")).as("rate"))
+      .filter(col("n") > 0)
+      .withColumn("revenue_total", col("cents_total") * col("rate"))
+      .withColumn("pck", pmod(col("ck"), nb))
+    // an untouched SIDE stages nothing at all — a dim-only epoch runs
+    // zero fact-store jobs (not even an empty staging write), and vice
+    // versa; the manifest carries the absent side's entries forward
+    val partWrites =
+      (if (touchedPk.nonEmpty) Map(aTable -> (("pk", newA, touchedPk)))
+       else Map.empty[String, (String, DataFrame, Seq[Long])]) ++
+      (if (touchedPbk.nonEmpty) Map(bTable -> (("pbk", newB, touchedPbk)))
+       else Map.empty[String, (String, DataFrame, Seq[Long])]) ++
+      Map(viewTable -> (("pck", merged, touchedPck)))
+    mc.commitPartitioned(partWrites,
+      writes = Map(marker -> marksFrame(s, marks + (queryId -> epoch))))
+    ra.unpersist(blocking = false)
+    rb.unpersist(blocking = false)
+    oldA.unpersist(blocking = false)
+    delta.unpersist(blocking = false): Unit
+  }
+
+  /** Seed the aggregate-view trio in ONE flip: V = γ_ck(A) ⟕ B with
+    * the sufficient statistic (cents_total) stored so every later dim
+    * change re-weights without a fact read.
+    */
+  def seedAggJoinView(mc: graft.compendium.ManifestCommit,
+      a: DataFrame, b: DataFrame, aTable: String, bTable: String,
+      viewTable: String, buckets: Int = 16): Unit = {
+    val nb = lit(buckets.toLong)
+    val v = a.groupBy("ck")
+      .agg(count(lit(1)).as("n"), sum("cents").as("cents_total"))
+      .join(b.select(col("ck"), col("rate")), Seq("ck"), "left")
+      .select(col("ck"), col("n"), col("cents_total"), col("rate"),
+        (col("cents_total") * col("rate")).as("revenue_total"))
+    mc.commitPartitioned(Map(
+      aTable -> (("pk",
+        a.withColumn("pk", pmod(col("k"), nb)), (0L until buckets).toSeq)),
+      bTable -> (("pbk",
+        b.withColumn("pbk", pmod(col("ck"), nb)), (0L until buckets).toSeq)),
+      viewTable -> (("pck",
+        v.withColumn("pck", pmod(col("ck"), nb)), (0L until buckets).toSeq))))
+    : Unit
+  }
+
   /** Stream-static enrichment join: the event stream against a STATIC
     * reference frame (a dimension table). No state, no watermark — the
     * static side is (re)resolved per micro-batch and broadcast under the
