@@ -3197,6 +3197,98 @@ object RelationalQueries {
       staticSchema = Some(org.apache.spark.sql.types.StructType.fromDDL(
         "ck BIGINT, n BIGINT, cents_total BIGINT"))),
 
+    // CLUSTERED-change IVM — the measurement closing the family's open
+    // claim: c15/c23/c24 argue "per-epoch cost ∝ touched partitions"
+    // but their md5-spread feeds touch most buckets every epoch, so at
+    // gate scale the pruning never pays. This feed is the reference's
+    // status-table point-upsert workload (projects.py:87-106): each
+    // entity is its own view group (ck = k), and every epoch's changes
+    // are CONFINED to one key bucket (epoch e touches only k ≡ e mod
+    // 16), so of the 16 (pk, pck) partition pairs an epoch reads and
+    // rewrites exactly ONE — the manifest diff is the proof (one
+    // base entry + one view entry + marker flip per epoch;
+    // IvmClusteredPruningSpec additionally HIDES the untouched
+    // directories during a clustered epoch to prove they are never even
+    // listed, and pins write file counts ∝ touched buckets against a
+    // same-volume spread epoch). Both stores pre-seed partitioned so no
+    // epoch pays the one-off view bootstrap scan. Oracle: from-scratch
+    // fold of the clustered change subset — maintenance ≡ recompute at
+    // the hash gate, same as the spread siblings.
+    Q("c27_stream_clustered_cdc",
+      "status-upsert workload: 4 bucket-confined CDC epochs over partition-granular stores — each epoch reads/writes exactly one of 16 partitions, hash-equal to the from-scratch fold",
+      (s, d) => {
+        import s.implicits._
+        implicit val sq = s.sqlContext
+        import graft.streaming.EventStreams
+        import graft.streaming.EventStreams.CdcViewChange
+        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+        val base = Tables.load(s, d, "orders")
+          .select(col("o_orderkey").as("k"),
+            expr("cast(floor(o_totalprice * 100 + 0.5) AS BIGINT)")
+              .as("cents"))
+        // point-group view: every entity its own group (ck = k) — the
+        // status-table shape, where an upsert touches one row of one
+        // partition
+        val feed = cdcChanges(base.select(col("k")))
+          .select(col("k"), col("seq"), col("op"), col("k").as("ck"),
+            col("new_cents").as("cents"))
+          .as[CdcViewChange]
+          .collect()
+        val root = java.nio.file.Files
+          .createTempDirectory("c27_clustered").toString
+        val mc = new graft.compendium.ManifestCommit(s, root)
+        val nb = lit(16L)
+        mc.commitPartitioned(Map(
+          "c27_base" -> (("pk",
+            base.select(col("k"), col("k").as("ck"), col("cents"))
+              .withColumn("pk", pmod(col("k"), nb)),
+            (0L until 16L).toSeq)),
+          "c27_view" -> (("pck",
+            base.select(col("k").as("ck"), col("cents"))
+              .groupBy("ck").agg(count(lit(1)).as("n"),
+                sum("cents").as("cents_total"))
+              .withColumn("pck", pmod(col("ck"), nb)),
+            (0L until 16L).toSeq))))
+        val in = MemoryStream[CdcViewChange]
+        val q = EventStreams
+          .ivmStreamPartitionedCommitted(in.toDS(), mc,
+            "c27_base", "c27_view", 16)
+          .start()
+        try {
+          // the clustering: epoch e's changes live entirely in bucket e
+          (0L until 4L).foreach { e =>
+            val batch = feed.filter(_.k % 16 == e)
+            if (batch.nonEmpty) {
+              in.addData(batch.toSeq)
+              q.processAllAvailable()
+            }
+          }
+        } finally q.stop()
+        import org.apache.spark.sql.types._
+        mc.readPartitionedAt(mc.current(), "c27_view")
+          .getOrElse(s.createDataFrame(
+            s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            StructType(Seq(StructField("ck", LongType),
+              StructField("n", LongType),
+              StructField("cents_total", LongType)))))
+          .select("ck", "n", "cents_total").orderBy("ck")
+      },
+      Some(s"""WITH base AS (SELECT o_orderkey AS k,
+             |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+             |  FROM orders),
+             |$sqlCdcResolved,
+             |clustered AS (SELECT * FROM resolved WHERE k % 16 IN (0, 1, 2, 3)),
+             |applied AS (
+             |  SELECT b.k, b.cents FROM base b
+             |  WHERE NOT EXISTS (SELECT 1 FROM clustered r WHERE r.k = b.k)
+             |  UNION ALL
+             |  SELECT k, new_cents AS cents FROM clustered WHERE last_op <> 'D')
+             |SELECT k AS ck, count(*)::BIGINT AS n,
+             |  sum(cents)::BIGINT AS cents_total
+             |FROM applied GROUP BY k ORDER BY ck""".stripMargin),
+      staticSchema = Some(org.apache.spark.sql.types.StructType.fromDDL(
+        "ck BIGINT, n BIGINT, cents_total BIGINT"))),
+
     // DATA-QUALITY constraint audit — the pre-publish validation suite
     // (Deequ / Great Expectations / dbt tests): a declared constraint
     // set over a table, each check a violation COUNT with a verdict,
