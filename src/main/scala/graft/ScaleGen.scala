@@ -98,4 +98,59 @@ object ScaleGen {
         df.withColumn("text", translate(col("text"), alpha, rot))
       })
   }
+
+  /** Per-language SYLLABLE inventories for [[multilingualDocs]] — five
+    * genuinely distinct character distributions (the driver corpus is
+    * one shared vocabulary, so t28/t03's gated accuracy there is chance
+    * by construction, documented at the gate). Latin languages share an
+    * alphabet but not n-gram statistics (the real langid regime);
+    * zh is script-distinct (CJK codepoints).
+    */
+  private val syllables: Seq[(String, IndexedSeq[String])] = Seq(
+    "en" -> Vector("the", "and", "ing", "ion", "ent", "her", "for",
+      "tha", "ver", "int", "wh", "ou", "ght", "st"),
+    "es" -> Vector("cion", "ando", "ente", "ar", "os", "la", "que",
+      "ado", "mente", "illo", "ue", "nos", "ras", "del"),
+    "fr" -> Vector("eau", "oux", "tion", "ment", "les", "de", "que",
+      "ais", "eur", "oir", "ons", "aient", "eux", "çon"),
+    "de" -> Vector("sch", "ung", "ein", "ich", "der", "und", "chen",
+      "ber", "gen", "eit", "auf", "tz", "pf", "zw"),
+    "zh" -> Vector("的", "是", "在", "了", "和", "有", "人", "这",
+      "中", "大", "为", "上", "个", "国"))
+
+  /** Deterministic multilingual corpus with per-language CHARACTER
+    * distributions: (doc_id, lang, text), lang round-robin over the five
+    * [[syllables]] languages, each doc ~40 words of 1–3 syllables drawn
+    * by a hash of (lang, doc, word, slot) — no RNG state, so the fixture
+    * is bit-identical across runs and JVMs. This is the fixture that
+    * makes a held-out langid accuracy MEANINGFUL (the driver corpus
+    * cannot): trigram profiles trained on doc_id%5≠4 separate these
+    * distributions, and the floor is pinned by
+    * PipelineOpsSpec ("t28 on the ScaleGen multilingual fixture").
+    * Generation is distributed (one map over spark.range — scales to
+    * any nDocs like the rest of ScaleGen).
+    */
+  def multilingualDocs(spark: SparkSession, nDocs: Int): DataFrame = {
+    import spark.implicits._
+    val inv = syllables
+    spark.range(nDocs).as[Long].mapPartitions { it =>
+      it.map { id =>
+        // lang keys on id/5, NOT id: t28's holdout is doc_id % 5 = 4,
+        // so an id-mod assignment would put one whole language in the
+        // held-out slice and none of it in training
+        val (lang, syl) = inv(((id / 5) % inv.size).toInt)
+        def pick(w: Int, k: Int): String = {
+          val h = scala.util.hashing.MurmurHash3
+            .stringHash(s"$lang|$id|$w|$k")
+          syl(math.floorMod(h, syl.size))
+        }
+        val words = (0 until 40).map { w =>
+          val n = 1 + math.floorMod(scala.util.hashing.MurmurHash3
+            .stringHash(s"len|$lang|$id|$w"), 3)
+          (0 until n).map(k => pick(w, k)).mkString
+        }
+        (id, lang, words.mkString(" "))
+      }
+    }.toDF("doc_id", "lang", "text")
+  }
 }

@@ -2275,7 +2275,145 @@ object Similarity {
              |FROM e CROSS JOIN idx
              |WHERE vec_id % 5 <> 4 AND vec_id % 7 <> 2
              |GROUP BY clabel, dim
-             |ORDER BY clabel, dim""".stripMargin))
+             |ORDER BY clabel, dim""".stripMargin)),
+
+    // GRAPH-ANN QUERY LEG — the half the graph family was missing:
+    // s18/s25 BUILD the k-NN-descent graph (HNSW's construction step);
+    // this runs the SEARCH that makes it an index (the FAISS/HNSW query
+    // path): best-first beam search (beam 8, 5 hops) from one fixed
+    // entry point over the undirected one-round graph, per-query
+    // recall@5 audited against the exact scan, with n_visited exposing
+    // the sublinearity — O(hops·beam·2K) scored nodes per query vs
+    // s01's full-corpus scan. Both engines execute the IDENTICAL
+    // deterministic algorithm (same graph, same entry, same tie-breaks),
+    // so the hash gate pins every hop, not just the final recall.
+    Q("s30_graph_beam_search",
+      "beam search over the k-NN-descent graph from a fixed entry: per-query visited count, hits and recall@5 vs exact — the query leg of the s18/s25 index",
+      (s, d) => knnBeamSearchAudit(vectors(s, d)),
+      Some(s"""$sqlVectors,
+             |$sqlBucket4,
+             |p0 AS (SELECT s.vec_id AS src, t.vec_id AS dst,
+             |    list_reduce(list_transform(range(1, 65), i -> s.v[i] * t.v[i]), (x, y) -> x + y)
+             |      / (s.nrm * t.nrm) AS cosine
+             |  FROM b4 s JOIN b4 t ON s.bucket_a = t.bucket_a AND s.vec_id <> t.vec_id
+             |  UNION
+             |  SELECT s.vec_id, t.vec_id,
+             |    list_reduce(list_transform(range(1, 65), i -> s.v[i] * t.v[i]), (x, y) -> x + y)
+             |      / (s.nrm * t.nrm)
+             |  FROM b4 s JOIN b4 t ON s.bucket_b = t.bucket_b AND s.vec_id <> t.vec_id),
+             |g0 AS (SELECT src, dst, cosine FROM (
+             |    SELECT src, dst, cosine,
+             |      row_number() OVER (PARTITION BY src ORDER BY cosine DESC, dst) AS rk
+             |    FROM p0) WHERE rk <= 5),
+             |rv AS (SELECT dst AS src, src AS dst FROM (
+             |    SELECT src, dst,
+             |      row_number() OVER (PARTITION BY dst ORDER BY cosine DESC, src) AS rrk
+             |    FROM g0) WHERE rrk <= 5),
+             |adj AS (SELECT src, dst FROM g0 UNION SELECT src, dst FROM rv),
+             |non AS (SELECT DISTINCT a.src AS src, c.dst AS dst
+             |  FROM adj a JOIN adj c ON a.dst = c.src WHERE a.src <> c.dst),
+             |sc AS (SELECT non.src, non.dst,
+             |    list_reduce(list_transform(range(1, 65), i -> s.v[i] * t.v[i]), (x, y) -> x + y)
+             |      / (s.nrm * t.nrm) AS cosine
+             |  FROM non JOIN n s ON non.src = s.vec_id JOIN n t ON non.dst = t.vec_id),
+             |u AS (SELECT src, dst, max(cosine) AS cosine FROM (
+             |    SELECT src, dst, cosine FROM g0
+             |    UNION ALL SELECT src, dst, cosine FROM sc) GROUP BY 1, 2),
+             |g1 AS (SELECT src, dst FROM (
+             |    SELECT src, dst,
+             |      row_number() OVER (PARTITION BY src ORDER BY cosine DESC, dst) AS rk
+             |    FROM u) WHERE rk <= 5),
+             |adj2 AS (SELECT src, dst FROM g1 UNION SELECT dst, src FROM g1),
+             |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n WHERE vec_id % 50 = 0 AND vec_id < 2000),
+             |entry AS (SELECT min(vec_id) AS eid FROM n),
+             |v0 AS (SELECT q.query_id, n.vec_id,
+             |    list_reduce(list_transform(range(1, 65), i -> n.v[i] * q.qv[i]), (x, y) -> x + y)
+             |      / (n.nrm * q.qn) AS cosine
+             |  FROM q CROSS JOIN entry JOIN n ON n.vec_id = entry.eid),
+             |b0 AS (SELECT query_id, vec_id FROM (
+             |    SELECT query_id, vec_id,
+             |      row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rk
+             |    FROM v0) WHERE rk <= 8),
+             |c1 AS (SELECT DISTINCT b.query_id, a.dst AS vec_id
+             |  FROM b0 b JOIN adj2 a ON b.vec_id = a.src
+             |  WHERE NOT EXISTS (SELECT 1 FROM v0 v
+             |    WHERE v.query_id = b.query_id AND v.vec_id = a.dst)),
+             |s1 AS (SELECT c.query_id, c.vec_id,
+             |    list_reduce(list_transform(range(1, 65), i -> n.v[i] * q.qv[i]), (x, y) -> x + y)
+             |      / (n.nrm * q.qn) AS cosine
+             |  FROM c1 c JOIN n ON n.vec_id = c.vec_id JOIN q ON q.query_id = c.query_id),
+             |v1 AS (SELECT * FROM v0 UNION ALL SELECT * FROM s1),
+             |b1 AS (SELECT query_id, vec_id FROM (
+             |    SELECT query_id, vec_id,
+             |      row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rk
+             |    FROM v1) WHERE rk <= 8),
+             |c2 AS (SELECT DISTINCT b.query_id, a.dst AS vec_id
+             |  FROM b1 b JOIN adj2 a ON b.vec_id = a.src
+             |  WHERE NOT EXISTS (SELECT 1 FROM v1 v
+             |    WHERE v.query_id = b.query_id AND v.vec_id = a.dst)),
+             |s2 AS (SELECT c.query_id, c.vec_id,
+             |    list_reduce(list_transform(range(1, 65), i -> n.v[i] * q.qv[i]), (x, y) -> x + y)
+             |      / (n.nrm * q.qn) AS cosine
+             |  FROM c2 c JOIN n ON n.vec_id = c.vec_id JOIN q ON q.query_id = c.query_id),
+             |v2 AS (SELECT * FROM v1 UNION ALL SELECT * FROM s2),
+             |b2 AS (SELECT query_id, vec_id FROM (
+             |    SELECT query_id, vec_id,
+             |      row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rk
+             |    FROM v2) WHERE rk <= 8),
+             |c3 AS (SELECT DISTINCT b.query_id, a.dst AS vec_id
+             |  FROM b2 b JOIN adj2 a ON b.vec_id = a.src
+             |  WHERE NOT EXISTS (SELECT 1 FROM v2 v
+             |    WHERE v.query_id = b.query_id AND v.vec_id = a.dst)),
+             |s3 AS (SELECT c.query_id, c.vec_id,
+             |    list_reduce(list_transform(range(1, 65), i -> n.v[i] * q.qv[i]), (x, y) -> x + y)
+             |      / (n.nrm * q.qn) AS cosine
+             |  FROM c3 c JOIN n ON n.vec_id = c.vec_id JOIN q ON q.query_id = c.query_id),
+             |v3 AS (SELECT * FROM v2 UNION ALL SELECT * FROM s3),
+             |b3 AS (SELECT query_id, vec_id FROM (
+             |    SELECT query_id, vec_id,
+             |      row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rk
+             |    FROM v3) WHERE rk <= 8),
+             |c4 AS (SELECT DISTINCT b.query_id, a.dst AS vec_id
+             |  FROM b3 b JOIN adj2 a ON b.vec_id = a.src
+             |  WHERE NOT EXISTS (SELECT 1 FROM v3 v
+             |    WHERE v.query_id = b.query_id AND v.vec_id = a.dst)),
+             |s4 AS (SELECT c.query_id, c.vec_id,
+             |    list_reduce(list_transform(range(1, 65), i -> n.v[i] * q.qv[i]), (x, y) -> x + y)
+             |      / (n.nrm * q.qn) AS cosine
+             |  FROM c4 c JOIN n ON n.vec_id = c.vec_id JOIN q ON q.query_id = c.query_id),
+             |v4 AS (SELECT * FROM v3 UNION ALL SELECT * FROM s4),
+             |bm4 AS (SELECT query_id, vec_id FROM (
+             |    SELECT query_id, vec_id,
+             |      row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rk
+             |    FROM v4) WHERE rk <= 8),
+             |c5 AS (SELECT DISTINCT b.query_id, a.dst AS vec_id
+             |  FROM bm4 b JOIN adj2 a ON b.vec_id = a.src
+             |  WHERE NOT EXISTS (SELECT 1 FROM v4 v
+             |    WHERE v.query_id = b.query_id AND v.vec_id = a.dst)),
+             |s5 AS (SELECT c.query_id, c.vec_id,
+             |    list_reduce(list_transform(range(1, 65), i -> n.v[i] * q.qv[i]), (x, y) -> x + y)
+             |      / (n.nrm * q.qn) AS cosine
+             |  FROM c5 c JOIN n ON n.vec_id = c.vec_id JOIN q ON q.query_id = c.query_id),
+             |v5 AS (SELECT * FROM v4 UNION ALL SELECT * FROM s5),
+             |ans AS (SELECT query_id, vec_id FROM (
+             |    SELECT query_id, vec_id,
+             |      row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rk
+             |    FROM v5 WHERE vec_id <> query_id) WHERE rk <= 5),
+             |ex AS (SELECT query_id, vec_id AS tru FROM (
+             |    SELECT q.query_id, n.vec_id,
+             |      row_number() OVER (PARTITION BY q.query_id ORDER BY
+             |        list_reduce(list_transform(range(1, 65), i -> n.v[i] * q.qv[i]), (x, y) -> x + y)
+             |          / (n.nrm * q.qn) DESC, n.vec_id) AS rank
+             |    FROM n CROSS JOIN q WHERE n.vec_id <> q.query_id) WHERE rank <= 5),
+             |h AS (SELECT ex.query_id, count(*)::BIGINT AS n FROM ex
+             |  JOIN ans a ON ex.query_id = a.query_id AND ex.tru = a.vec_id GROUP BY 1),
+             |nv AS (SELECT query_id, count(*)::BIGINT AS n_visited FROM v5 GROUP BY 1)
+             |SELECT q.query_id, nv.n_visited,
+             |  coalesce(h.n, 0)::BIGINT AS n_hits,
+             |  coalesce(h.n, 0) * 1.0 / 5 AS recall_beam
+             |FROM q JOIN nv ON q.query_id = nv.query_id
+             |LEFT JOIN h ON q.query_id = h.query_id
+             |ORDER BY q.query_id""".stripMargin))
   )
 
   /** s26's engine over any (vec_id, v, nrm) frame — public so
@@ -2883,6 +3021,131 @@ object Similarity {
         .select(col("query_id"), lit(i.toLong).as("round"),
           coalesce(col("n_hits"), lit(0L)).as("n_hits"))
     }.reduce(_.unionByName(_))
+  }
+
+  /** GRAPH-ANN QUERY LEG (s30) — the search half that makes the s18/s25
+    * k-NN graph an INDEX (the HNSW/NSG query path): best-first BEAM
+    * search from one fixed entry point (the corpus's min vec_id — the
+    * deterministic stand-in for HNSW's top-layer entry) over the
+    * UNDIRECTED one-descent-round graph, audited per query against the
+    * exact top-K (the d20/s12/s13/s16 audit discipline). Per hop: the
+    * beam (≤ |queries|·BEAM rows) probes the edge list on its source —
+    * a keyed, workload-sized join against a corpus-sized but
+    * degree-bounded adjacency (≤ 2·K·n edges); unseen candidates score
+    * against the broadcast queries; visited accumulates and the next
+    * beam is its per-query top-BEAM (best-first with memory — monotone
+    * by construction). The corpus never re-shuffles, nothing
+    * corpus-scale broadcasts, and per-query work is O(HOPS·BEAM·2K)
+    * scored nodes however large the corpus — the sublinearity the
+    * n_visited output column exhibits directly against the s01 exact
+    * scan the recall is audited on.
+    */
+  private[graft] def knnBeamSearchAudit(vecs: DataFrame,
+      queryMod: Int = 50, queryCap: Long = 2000L): DataFrame = {
+    val K = 5
+    val BEAM = 8
+    val HOPS = 5
+    // identical build to knnDescentAudit: adaptive-plane two-table LSH
+    // seed, one descent round → g1 (the persisted index a production
+    // build would ship; rebuilt here so gate and oracle stay in
+    // lockstep on one code path)
+    val n = vecs.count()
+    var p = 4
+    while (n > (32L << p)) p += 1
+    val e = vecs
+      .withColumn("bucket_a", bucketPCol(col("v"), 0, p))
+      .withColumn("bucket_b", bucketPCol(col("v"), p, p))
+      .localCheckpoint(true)
+    def side(role: String): DataFrame = e.select(
+      col("vec_id").as(role),
+      col("v").as(s"${role.head}v"), col("nrm").as(s"${role.head}n"),
+      col("bucket_a"), col("bucket_b"))
+    val src = side("src")
+    val dst = side("dst")
+    def bucketPairs(bucket: String): DataFrame =
+      src.drop(if (bucket == "bucket_a") "bucket_b" else "bucket_a")
+        .hint("shuffle_hash").join(
+          dst.drop(if (bucket == "bucket_a") "bucket_b" else "bucket_a"),
+          Seq(bucket))
+        .filter(col("src") =!= col("dst"))
+        .withColumn("cosine",
+          dotFast(col("sv"), col("dv")) / (col("sn") * col("dn")))
+        .select("src", "dst", "cosine")
+    val wTop = Window.partitionBy("src")
+      .orderBy(col("cosine").desc, col("dst").asc)
+    val g0 = bucketPairs("bucket_a").union(bucketPairs("bucket_b"))
+      .distinct()
+      .withColumn("rk", row_number().over(wTop))
+      .filter(col("rk") <= K).select("src", "dst", "cosine")
+      .localCheckpoint(true)
+    val g1 = descentRound(e, g0, K)
+    // the SEARCH graph: undirected adjacency (HNSW searches neighbor
+    // lists both ways) — degree-bounded at 2K
+    val adj = g1.select("src", "dst")
+      .union(g1.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .localCheckpoint(true)
+    val q = e.filter(col("vec_id") % queryMod === 0 &&
+        col("vec_id") < queryCap)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn"))
+    // fixed deterministic entry point — one metadata-cheap action (the
+    // production analogue reads the index's entry id, not the corpus)
+    val entryId = vecs.agg(min(col("vec_id"))).head().getLong(0)
+    def scored(cand: DataFrame): DataFrame = cand
+      .join(e.select(col("vec_id"), col("v"), col("nrm"))
+        .hint("shuffle_hash"), Seq("vec_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .withColumn("cosine",
+        dotFast(col("v"), col("qv")) / (col("nrm") * col("qn")))
+      .select("query_id", "vec_id", "cosine")
+    var visited = scored(q.select(col("query_id"))
+        .withColumn("vec_id", lit(entryId)))
+      .localCheckpoint(true)
+    val wb = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    (1 to HOPS).foreach { _ =>
+      val beam = visited.withColumn("rk", row_number().over(wb))
+        .filter(col("rk") <= BEAM)
+        .select("query_id", "vec_id")
+      val cand = beam.select(col("query_id"), col("vec_id").as("src"))
+        .hint("shuffle_hash").join(adj, Seq("src"))
+        .select(col("query_id"), col("dst").as("vec_id"))
+        .distinct()
+        .join(visited.select("query_id", "vec_id"),
+          Seq("query_id", "vec_id"), "left_anti")
+      val prev = visited
+      visited = visited.unionByName(scored(cand)).localCheckpoint(true)
+      prev.unpersist(blocking = false): Unit
+    }
+    val ans = visited.filter(col("vec_id") =!= col("query_id"))
+      .withColumn("rk", row_number().over(wb))
+      .filter(col("rk") <= K)
+      .select("query_id", "vec_id")
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    val exact = e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cosine",
+        dotFast(col("v"), col("qv")) / (col("nrm") * col("qn")))
+      .withColumn("rank", row_number().over(wq))
+      .filter(col("rank") <= K)
+      .select(col("query_id"), col("vec_id").as("tru"))
+    val hits = exact
+      .join(ans.select(col("query_id"), col("vec_id").as("tru")),
+        Seq("query_id", "tru"), "left_semi")
+      .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
+    val nVisited = visited.groupBy("query_id")
+      .agg(count(lit(1)).as("n_visited"))
+    q.select("query_id")
+      .join(nVisited, Seq("query_id"), "left")
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_visited"), lit(0L)).as("n_visited"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)) * lit(1.0) / K)
+          .as("recall_beam"))
+      .orderBy("query_id")
   }
 
   /** One Lloyd maintenance step in WRITE-BACK form: assign each batch

@@ -654,6 +654,28 @@ class PipelineOpsSpec extends SparkTestBase {
     }
   }
 
+  test("t28 on the ScaleGen multilingual fixture: held-out accuracy clears 0.9 (chance is 0.2)") {
+    // the corpus-scale version of the planted-distribution test: 500
+    // docs over five per-language character distributions
+    // (ScaleGen.multilingualDocs — Latin languages separated by n-gram
+    // statistics, zh by script). The driver corpus can't ground this
+    // number (one shared vocabulary → chance, documented at the t28
+    // gate); here the trained profile must actually classify.
+    val frame = graft.ScaleGen.multilingualDocs(spark, 500)
+    val got = TextAnalysis.ngramLangId(frame).collect()
+    assert(got.length === 100, "doc_id%5=4 holds out 100 of 500")
+    val byLang = got.groupBy(_.getAs[String]("lang_label"))
+    assert(byLang.keySet === Set("en", "es", "fr", "de", "zh"),
+      "every language must appear in the held-out slice")
+    val acc = got.count(_.getAs[Boolean]("is_correct")).toDouble / got.length
+    assert(acc >= 0.9, s"held-out accuracy $acc below the 0.9 floor")
+    // script-distinct zh must be perfect — its trigrams share nothing
+    // with the Latin profiles
+    val zh = byLang("zh")
+    assert(zh.forall(_.getAs[Boolean]("is_correct")),
+      "zh (script-distinct) must classify perfectly")
+  }
+
   test("t28: docs with no trigram still get a scored row (und, zero distances)") {
     import spark.implicits._
     val frame = Seq(
@@ -1113,6 +1135,40 @@ class PipelineOpsSpec extends SparkTestBase {
     s18.foreach { case (q, i0, i1) =>
       assert(r01(q) === Seq(i0, i1),
         s"query $q: s25 rounds 0/1 (${r01(q)}) must equal s18's audit ($i0, $i1)")
+    }
+  }
+
+  test("s30 beam search walks a connected ring graph to the query's true neighborhood") {
+    import spark.implicits._
+    graft.plans.VectorExpressions.register(spark)
+    import org.apache.spark.sql.functions.{col, sqrt}
+    // a 1-D manifold: 40 unit vectors around a circle (2 active dims,
+    // angles jittered so no two cosines tie). The 5-NN graph is the
+    // LOCAL ring (±1, ±2 hops), so the only way to answer a query far
+    // from the entry (vec 0) is to actually WALK the graph — exactly
+    // what best-first beam search claims. Queries 0/4/8 sit 0/4/8 ring
+    // steps from the entry; with 5 hops × ±2-step edges all three true
+    // neighborhoods are reachable, so recall@5 must be PERFECT, while
+    // n_visited stays well under the corpus (the sublinearity claim).
+    val n = 40
+    val dim = 64
+    val rows = (0 until n).map { i =>
+      val theta = 2 * math.Pi * (i + 0.05 * math.sin(i * 1.7)) / n
+      val v = Array.tabulate(dim)(k =>
+        if (k == 0) math.cos(theta) else if (k == 1) math.sin(theta) else 0.0)
+      (i.toLong, v)
+    }
+    val vecs = rows.toDF("vec_id", "v")
+      .withColumn("nrm", sqrt(graft.functions.Portable.dotFast(col("v"), col("v"))))
+    val got = Similarity.knnBeamSearchAudit(vecs, queryMod = 4, queryCap = 9)
+      .collect()
+    assert(got.map(_.getLong(0)).toSeq === Seq(0L, 4L, 8L))
+    got.foreach { r =>
+      assert(r.getAs[Double]("recall_beam") === 1.0,
+        s"query ${r.getLong(0)}: beam search must find the full true " +
+          s"neighborhood on a connected local graph (got ${r.getAs[Long]("n_hits")}/5)")
+      assert(r.getAs[Long]("n_visited") < n,
+        s"query ${r.getLong(0)} visited the whole corpus — not a search")
     }
   }
 
