@@ -2292,7 +2292,7 @@ object Similarity {
       (s, d) => knnBeamSearchAudit(vectors(s, d)),
       Some(s"""$sqlVectors,
              |$sqlBucket4,
-             |p0 AS (SELECT s.vec_id AS src, t.vec_id AS dst,
+             |p0 AS MATERIALIZED (SELECT s.vec_id AS src, t.vec_id AS dst,
              |    list_reduce(list_transform(range(1, 65), i -> s.v[i] * t.v[i]), (x, y) -> x + y)
              |      / (s.nrm * t.nrm) AS cosine
              |  FROM b4 s JOIN b4 t ON s.bucket_a = t.bucket_a AND s.vec_id <> t.vec_id
@@ -2301,105 +2301,105 @@ object Similarity {
              |    list_reduce(list_transform(range(1, 65), i -> s.v[i] * t.v[i]), (x, y) -> x + y)
              |      / (s.nrm * t.nrm)
              |  FROM b4 s JOIN b4 t ON s.bucket_b = t.bucket_b AND s.vec_id <> t.vec_id),
-             |g0 AS (SELECT src, dst, cosine FROM (
+             |g0 AS MATERIALIZED (SELECT src, dst, cosine FROM (
              |    SELECT src, dst, cosine,
              |      row_number() OVER (PARTITION BY src ORDER BY cosine DESC, dst) AS rk
              |    FROM p0) WHERE rk <= 5),
-             |rv AS (SELECT dst AS src, src AS dst FROM (
+             |rv AS MATERIALIZED (SELECT dst AS src, src AS dst FROM (
              |    SELECT src, dst,
              |      row_number() OVER (PARTITION BY dst ORDER BY cosine DESC, src) AS rrk
              |    FROM g0) WHERE rrk <= 5),
-             |adj AS (SELECT src, dst FROM g0 UNION SELECT src, dst FROM rv),
-             |non AS (SELECT DISTINCT a.src AS src, c.dst AS dst
+             |adj AS MATERIALIZED (SELECT src, dst FROM g0 UNION SELECT src, dst FROM rv),
+             |non AS MATERIALIZED (SELECT DISTINCT a.src AS src, c.dst AS dst
              |  FROM adj a JOIN adj c ON a.dst = c.src WHERE a.src <> c.dst),
-             |sc AS (SELECT non.src, non.dst,
+             |sc AS MATERIALIZED (SELECT non.src, non.dst,
              |    list_reduce(list_transform(range(1, 65), i -> s.v[i] * t.v[i]), (x, y) -> x + y)
              |      / (s.nrm * t.nrm) AS cosine
              |  FROM non JOIN n s ON non.src = s.vec_id JOIN n t ON non.dst = t.vec_id),
-             |u AS (SELECT src, dst, max(cosine) AS cosine FROM (
+             |u AS MATERIALIZED (SELECT src, dst, max(cosine) AS cosine FROM (
              |    SELECT src, dst, cosine FROM g0
              |    UNION ALL SELECT src, dst, cosine FROM sc) GROUP BY 1, 2),
-             |g1 AS (SELECT src, dst FROM (
+             |g1 AS MATERIALIZED (SELECT src, dst FROM (
              |    SELECT src, dst,
              |      row_number() OVER (PARTITION BY src ORDER BY cosine DESC, dst) AS rk
              |    FROM u) WHERE rk <= 5),
-             |adj2 AS (SELECT src, dst FROM g1 UNION SELECT dst, src FROM g1),
+             |adj2 AS MATERIALIZED (SELECT src, dst FROM g1 UNION SELECT dst, src FROM g1),
              |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n WHERE vec_id % 50 = 0 AND vec_id < 2000),
              |entry AS (SELECT min(vec_id) AS eid FROM n),
-             |v0 AS (SELECT q.query_id, n.vec_id,
+             |v0 AS MATERIALIZED (SELECT q.query_id, n.vec_id,
              |    list_reduce(list_transform(range(1, 65), i -> n.v[i] * q.qv[i]), (x, y) -> x + y)
              |      / (n.nrm * q.qn) AS cosine
              |  FROM q CROSS JOIN entry JOIN n ON n.vec_id = entry.eid),
-             |b0 AS (SELECT query_id, vec_id FROM (
+             |b0 AS MATERIALIZED (SELECT query_id, vec_id FROM (
              |    SELECT query_id, vec_id,
              |      row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rk
              |    FROM v0) WHERE rk <= 8),
-             |c1 AS (SELECT DISTINCT b.query_id, a.dst AS vec_id
+             |c1 AS MATERIALIZED (SELECT DISTINCT b.query_id, a.dst AS vec_id
              |  FROM b0 b JOIN adj2 a ON b.vec_id = a.src
              |  WHERE NOT EXISTS (SELECT 1 FROM v0 v
              |    WHERE v.query_id = b.query_id AND v.vec_id = a.dst)),
-             |s1 AS (SELECT c.query_id, c.vec_id,
+             |s1 AS MATERIALIZED (SELECT c.query_id, c.vec_id,
              |    list_reduce(list_transform(range(1, 65), i -> n.v[i] * q.qv[i]), (x, y) -> x + y)
              |      / (n.nrm * q.qn) AS cosine
              |  FROM c1 c JOIN n ON n.vec_id = c.vec_id JOIN q ON q.query_id = c.query_id),
-             |v1 AS (SELECT * FROM v0 UNION ALL SELECT * FROM s1),
-             |b1 AS (SELECT query_id, vec_id FROM (
+             |v1 AS MATERIALIZED (SELECT * FROM v0 UNION ALL SELECT * FROM s1),
+             |b1 AS MATERIALIZED (SELECT query_id, vec_id FROM (
              |    SELECT query_id, vec_id,
              |      row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rk
              |    FROM v1) WHERE rk <= 8),
-             |c2 AS (SELECT DISTINCT b.query_id, a.dst AS vec_id
+             |c2 AS MATERIALIZED (SELECT DISTINCT b.query_id, a.dst AS vec_id
              |  FROM b1 b JOIN adj2 a ON b.vec_id = a.src
              |  WHERE NOT EXISTS (SELECT 1 FROM v1 v
              |    WHERE v.query_id = b.query_id AND v.vec_id = a.dst)),
-             |s2 AS (SELECT c.query_id, c.vec_id,
+             |s2 AS MATERIALIZED (SELECT c.query_id, c.vec_id,
              |    list_reduce(list_transform(range(1, 65), i -> n.v[i] * q.qv[i]), (x, y) -> x + y)
              |      / (n.nrm * q.qn) AS cosine
              |  FROM c2 c JOIN n ON n.vec_id = c.vec_id JOIN q ON q.query_id = c.query_id),
-             |v2 AS (SELECT * FROM v1 UNION ALL SELECT * FROM s2),
-             |b2 AS (SELECT query_id, vec_id FROM (
+             |v2 AS MATERIALIZED (SELECT * FROM v1 UNION ALL SELECT * FROM s2),
+             |b2 AS MATERIALIZED (SELECT query_id, vec_id FROM (
              |    SELECT query_id, vec_id,
              |      row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rk
              |    FROM v2) WHERE rk <= 8),
-             |c3 AS (SELECT DISTINCT b.query_id, a.dst AS vec_id
+             |c3 AS MATERIALIZED (SELECT DISTINCT b.query_id, a.dst AS vec_id
              |  FROM b2 b JOIN adj2 a ON b.vec_id = a.src
              |  WHERE NOT EXISTS (SELECT 1 FROM v2 v
              |    WHERE v.query_id = b.query_id AND v.vec_id = a.dst)),
-             |s3 AS (SELECT c.query_id, c.vec_id,
+             |s3 AS MATERIALIZED (SELECT c.query_id, c.vec_id,
              |    list_reduce(list_transform(range(1, 65), i -> n.v[i] * q.qv[i]), (x, y) -> x + y)
              |      / (n.nrm * q.qn) AS cosine
              |  FROM c3 c JOIN n ON n.vec_id = c.vec_id JOIN q ON q.query_id = c.query_id),
-             |v3 AS (SELECT * FROM v2 UNION ALL SELECT * FROM s3),
-             |b3 AS (SELECT query_id, vec_id FROM (
+             |v3 AS MATERIALIZED (SELECT * FROM v2 UNION ALL SELECT * FROM s3),
+             |b3 AS MATERIALIZED (SELECT query_id, vec_id FROM (
              |    SELECT query_id, vec_id,
              |      row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rk
              |    FROM v3) WHERE rk <= 8),
-             |c4 AS (SELECT DISTINCT b.query_id, a.dst AS vec_id
+             |c4 AS MATERIALIZED (SELECT DISTINCT b.query_id, a.dst AS vec_id
              |  FROM b3 b JOIN adj2 a ON b.vec_id = a.src
              |  WHERE NOT EXISTS (SELECT 1 FROM v3 v
              |    WHERE v.query_id = b.query_id AND v.vec_id = a.dst)),
-             |s4 AS (SELECT c.query_id, c.vec_id,
+             |s4 AS MATERIALIZED (SELECT c.query_id, c.vec_id,
              |    list_reduce(list_transform(range(1, 65), i -> n.v[i] * q.qv[i]), (x, y) -> x + y)
              |      / (n.nrm * q.qn) AS cosine
              |  FROM c4 c JOIN n ON n.vec_id = c.vec_id JOIN q ON q.query_id = c.query_id),
-             |v4 AS (SELECT * FROM v3 UNION ALL SELECT * FROM s4),
-             |bm4 AS (SELECT query_id, vec_id FROM (
+             |v4 AS MATERIALIZED (SELECT * FROM v3 UNION ALL SELECT * FROM s4),
+             |bm4 AS MATERIALIZED (SELECT query_id, vec_id FROM (
              |    SELECT query_id, vec_id,
              |      row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rk
              |    FROM v4) WHERE rk <= 8),
-             |c5 AS (SELECT DISTINCT b.query_id, a.dst AS vec_id
+             |c5 AS MATERIALIZED (SELECT DISTINCT b.query_id, a.dst AS vec_id
              |  FROM bm4 b JOIN adj2 a ON b.vec_id = a.src
              |  WHERE NOT EXISTS (SELECT 1 FROM v4 v
              |    WHERE v.query_id = b.query_id AND v.vec_id = a.dst)),
-             |s5 AS (SELECT c.query_id, c.vec_id,
+             |s5 AS MATERIALIZED (SELECT c.query_id, c.vec_id,
              |    list_reduce(list_transform(range(1, 65), i -> n.v[i] * q.qv[i]), (x, y) -> x + y)
              |      / (n.nrm * q.qn) AS cosine
              |  FROM c5 c JOIN n ON n.vec_id = c.vec_id JOIN q ON q.query_id = c.query_id),
-             |v5 AS (SELECT * FROM v4 UNION ALL SELECT * FROM s5),
+             |v5 AS MATERIALIZED (SELECT * FROM v4 UNION ALL SELECT * FROM s5),
              |ans AS (SELECT query_id, vec_id FROM (
              |    SELECT query_id, vec_id,
              |      row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rk
              |    FROM v5 WHERE vec_id <> query_id) WHERE rk <= 5),
-             |ex AS (SELECT query_id, vec_id AS tru FROM (
+             |ex AS MATERIALIZED (SELECT query_id, vec_id AS tru FROM (
              |    SELECT q.query_id, n.vec_id,
              |      row_number() OVER (PARTITION BY q.query_id ORDER BY
              |        list_reduce(list_transform(range(1, 65), i -> n.v[i] * q.qv[i]), (x, y) -> x + y)
@@ -3090,8 +3090,15 @@ object Similarity {
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("nrm").as("qn"))
     // fixed deterministic entry point — one metadata-cheap action (the
-    // production analogue reads the index's entry id, not the corpus)
-    val entryId = vecs.agg(min(col("vec_id"))).head().getLong(0)
+    // production analogue reads the index's entry id, not the corpus).
+    // An EMPTY corpus has no entry (min is NULL): no queries exist
+    // either, so the audit is the empty frame with the gate's schema
+    val entryRow = vecs.agg(min(col("vec_id"))).head()
+    if (entryRow.isNullAt(0))
+      return q.select(col("query_id"), lit(0L).as("n_visited"),
+        lit(0L).as("n_hits"), lit(0.0).as("recall_beam"))
+        .orderBy("query_id")
+    val entryId = entryRow.getLong(0)
     def scored(cand: DataFrame): DataFrame = cand
       .join(e.select(col("vec_id"), col("v"), col("nrm"))
         .hint("shuffle_hash"), Seq("vec_id"))
