@@ -3027,7 +3027,13 @@ object RelationalQueries {
               .when(col("ck") % 11 === 5, "D")
               .when(col("ck") % 7 === 2, "U").as("op"),
             col("ck"),
-            when(col("ck") % 50 === 3, col("ck") * 3)
+            // the inserted dim's rate derives from ck BOUNDED (mod 1e5):
+            // c24 stores rate per fact row so ck*3 fits a long even with
+            // ScaleGen's 1e12-shifted keys, but HERE revenue_total =
+            // cents_total × rate and an unbounded ck×3 rate overflows at
+            // the sf1 decade — the fixture must stay in the product's
+            // long range at every SF the table prices
+            when(col("ck") % 50 === 3, (col("ck") % 100000) * 3)
               .when(col("ck") % 11 === 5, lit(0L))
               .otherwise(col("rate") + 1000).as("amt"))
           .filter(col("op").isNotNull)
@@ -3087,7 +3093,7 @@ object RelationalQueries {
              |  SELECT ck, rate + 1000 FROM cust
              |    WHERE ck % 50 <> 3 AND ck % 11 <> 5 AND ck % 7 = 2
              |  UNION ALL
-             |  SELECT ck, ck * 3 FROM cust WHERE ck % 50 = 3)
+             |  SELECT ck, (ck % 100000) * 3 FROM cust WHERE ck % 50 = 3)
              |SELECT a.ck, count(*)::BIGINT AS n,
              |  CAST(sum(a.cents) AS BIGINT) AS cents_total,
              |  bf.rate,
