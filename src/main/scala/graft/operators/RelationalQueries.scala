@@ -3167,8 +3167,18 @@ object RelationalQueries {
         try {
           (0L until 3L).foreach { b =>
             // one distributed append per epoch: executors write the
-            // slice straight into the watched folder
-            feed.filter(col("k") % 3 === b)
+            // slice straight into the watched folder. The write KEYS
+            // its files by the CDC key (repartition on k): the running
+            // query's trigger can list the folder MID-WRITE and split a
+            // slice's committed files across micro-batches, and the IVM
+            // apply — like any CDC consumer — requires a key's changes
+            // to arrive in seq order ACROSS batches (within a batch
+            // resolveLastOp orders them); key-partitioned files make
+            // file-granular batching preserve that contract, the same
+            // per-key-ordering guarantee a partitioned CDC topic gives
+            // (an unkeyed write measurably split one key's seq-1/seq-2
+            // rows across two batches and applied them backwards)
+            feed.filter(col("k") % 3 === b).repartition(col("k"))
               .write.mode("append").parquet(srcDir)
             q.processAllAvailable()
           }

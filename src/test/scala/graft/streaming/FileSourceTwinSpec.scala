@@ -47,7 +47,10 @@ class FileSourceTwinSpec extends SparkTestBase {
       .start()
     try {
       slices.foreach { s =>
-        s.toDF().write.mode("append").parquet(srcDir)
+        // key the slice's files by k — the per-key-ordering contract
+        // the c26 gate documents (a mid-write listing may split a
+        // slice's files across micro-batches)
+        s.toDF().repartition(col("k")).write.mode("append").parquet(srcDir)
         qF.processAllAvailable()
       }
       // the mechanism claim: the query's ONE source is the file source,

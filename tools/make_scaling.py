@@ -40,6 +40,12 @@ def load(path):
         if rs:
             times[q] = min(min(rs), times.get(q, float("inf")))
     errored = {str(e).split(":")[0] for e in (d.get("errors") or [])}
+    # an errored query's recorded duration is a crash time, not a
+    # measurement — it must never become a best-of (Bench's own rule;
+    # the r16 c25 sf1 crash read as a 2x speedup through the merge path
+    # before this drop)
+    for q in errored:
+        times.pop(q, None)
     return times, errored, d
 
 
