@@ -2826,20 +2826,30 @@ object Similarity {
     * the top-K of a superset of g0's edges, so descent recall never
     * drops below seed recall.
     */
-  private[graft] def knnDescentAudit(vecs: DataFrame,
-      queryMod: Int = 50, queryCap: Long = 2000L): DataFrame = {
-    val K = 5
-    // Index-build-time occupancy knob: p planes per table holds bucket
-    // size n/2^p at ~16–32 vectors, so the seed self-join's Σ|b|² is
-    // n·occupancy — LINEAR in the corpus, not n²/2^p at fixed p (the
-    // r11 decade sweep measured the fixed-4-plane build at exponent
-    // 1.21/decade). p(n) = max(4, ceil(log2(n/32))), integer-exact
-    // (ln-ratio log2 is off by 1 ulp exactly at powers of two, which
-    // would bump the gate off its oracle): 4 at the sf0.01 oracle gate
-    // (n = 500, matching the SQL twin's planes 0–3 / 4–7), 6 at sf0.1,
-    // 10 at sf1. The count() is one metadata-cheap action — the
-    // production analogue is the index builder reading the vector
-    // store's row count before choosing its hash family.
+  /** THE adaptive-plane two-table LSH seed every graph audit builds on
+    * (s18 one-round, s25 rounds-to-convergence, s30 beam search):
+    * returns the bucketed corpus `e` and the top-K seed graph `g0`,
+    * both eagerly checkpointed. ONE body — the [[descentRound]] /
+    * mergeViewDelta extraction discipline — so the three audits can
+    * never disagree on the index they build, iterate, or search (a
+    * seed-rule change applied to one copy and missed in another would
+    * silently price or search a DIFFERENT graph than the one the gates
+    * hash).
+    *
+    * Index-build-time occupancy knob: p planes per table holds bucket
+    * size n/2^p at ~16–32 vectors, so the seed self-join's Σ|b|² is
+    * n·occupancy — LINEAR in the corpus, not n²/2^p at fixed p (the
+    * r11 decade sweep measured the fixed-4-plane build at exponent
+    * 1.21/decade). p(n) = max(4, ceil(log2(n/32))), integer-exact
+    * (ln-ratio log2 is off by 1 ulp exactly at powers of two, which
+    * would bump the gates off their oracles): 4 at the sf0.01 oracle
+    * gate (n = 500, matching the SQL twins' planes 0–3 / 4–7), 6 at
+    * sf0.1, 10 at sf1. The count() is one metadata-cheap action — the
+    * production analogue is the index builder reading the vector
+    * store's row count before choosing its hash family.
+    */
+  private def lshSeedGraph(vecs: DataFrame, K: Int)
+      : (DataFrame, DataFrame) = {
     val n = vecs.count()
     var p = 4
     while (n > (32L << p)) p += 1
@@ -2862,15 +2872,20 @@ object Similarity {
         .withColumn("cosine",
           dotFast(col("sv"), col("dv")) / (col("sn") * col("dn")))
         .select("src", "dst", "cosine")
-    def topK(edges: DataFrame): DataFrame = {
-      val w = Window.partitionBy("src")
-        .orderBy(col("cosine").desc, col("dst").asc)
-      edges.withColumn("rk", row_number().over(w))
-        .filter(col("rk") <= K).select("src", "dst", "cosine")
-    }
-    val g0 = topK(bucketPairs("bucket_a").union(bucketPairs("bucket_b"))
-      .distinct())
+    val wTop = Window.partitionBy("src")
+      .orderBy(col("cosine").desc, col("dst").asc)
+    val g0 = bucketPairs("bucket_a").union(bucketPairs("bucket_b"))
+      .distinct()
+      .withColumn("rk", row_number().over(wTop))
+      .filter(col("rk") <= K).select("src", "dst", "cosine")
       .localCheckpoint(true)
+    (e, g0)
+  }
+
+  private[graft] def knnDescentAudit(vecs: DataFrame,
+      queryMod: Int = 50, queryCap: Long = 2000L): DataFrame = {
+    val K = 5
+    val (e, g0) = lshSeedGraph(vecs, K)
     val g1 = descentRound(e, g0, K)
     val q = e.filter(col("vec_id") % queryMod === 0 &&
         col("vec_id") < queryCap)
@@ -2960,35 +2975,8 @@ object Similarity {
   private[graft] def knnDescentRoundsAudit(vecs: DataFrame, rounds: Int,
       queryMod: Int = 50, queryCap: Long = 2000L): DataFrame = {
     val K = 5
-    val n = vecs.count()
-    var p = 4
-    while (n > (32L << p)) p += 1
-    val e = vecs
-      .withColumn("bucket_a", bucketPCol(col("v"), 0, p))
-      .withColumn("bucket_b", bucketPCol(col("v"), p, p))
-      .localCheckpoint(true)
-    def side(role: String): DataFrame = e.select(
-      col("vec_id").as(role),
-      col("v").as(s"${role.head}v"), col("nrm").as(s"${role.head}n"),
-      col("bucket_a"), col("bucket_b"))
-    val src = side("src")
-    val dst = side("dst")
-    def bucketPairs(bucket: String): DataFrame =
-      src.drop(if (bucket == "bucket_a") "bucket_b" else "bucket_a")
-        .hint("shuffle_hash").join(
-          dst.drop(if (bucket == "bucket_a") "bucket_b" else "bucket_a"),
-          Seq(bucket))
-        .filter(col("src") =!= col("dst"))
-        .withColumn("cosine",
-          dotFast(col("sv"), col("dv")) / (col("sn") * col("dn")))
-        .select("src", "dst", "cosine")
-    val wTop = Window.partitionBy("src")
-      .orderBy(col("cosine").desc, col("dst").asc)
-    var g = bucketPairs("bucket_a").union(bucketPairs("bucket_b"))
-      .distinct()
-      .withColumn("rk", row_number().over(wTop))
-      .filter(col("rk") <= K).select("src", "dst", "cosine")
-      .localCheckpoint(true)
+    val (e, g0) = lshSeedGraph(vecs, K)
+    var g = g0
     val graphs = Seq.newBuilder[(Int, DataFrame)]
     graphs += ((0, g))
     (1 to rounds).foreach { i =>
@@ -3045,39 +3033,11 @@ object Similarity {
     val K = 5
     val BEAM = 8
     val HOPS = 5
-    // identical build to knnDescentAudit: adaptive-plane two-table LSH
-    // seed, one descent round → g1 (the persisted index a production
-    // build would ship; rebuilt here so gate and oracle stay in
-    // lockstep on one code path)
-    val n = vecs.count()
-    var p = 4
-    while (n > (32L << p)) p += 1
-    val e = vecs
-      .withColumn("bucket_a", bucketPCol(col("v"), 0, p))
-      .withColumn("bucket_b", bucketPCol(col("v"), p, p))
-      .localCheckpoint(true)
-    def side(role: String): DataFrame = e.select(
-      col("vec_id").as(role),
-      col("v").as(s"${role.head}v"), col("nrm").as(s"${role.head}n"),
-      col("bucket_a"), col("bucket_b"))
-    val src = side("src")
-    val dst = side("dst")
-    def bucketPairs(bucket: String): DataFrame =
-      src.drop(if (bucket == "bucket_a") "bucket_b" else "bucket_a")
-        .hint("shuffle_hash").join(
-          dst.drop(if (bucket == "bucket_a") "bucket_b" else "bucket_a"),
-          Seq(bucket))
-        .filter(col("src") =!= col("dst"))
-        .withColumn("cosine",
-          dotFast(col("sv"), col("dv")) / (col("sn") * col("dn")))
-        .select("src", "dst", "cosine")
-    val wTop = Window.partitionBy("src")
-      .orderBy(col("cosine").desc, col("dst").asc)
-    val g0 = bucketPairs("bucket_a").union(bucketPairs("bucket_b"))
-      .distinct()
-      .withColumn("rk", row_number().over(wTop))
-      .filter(col("rk") <= K).select("src", "dst", "cosine")
-      .localCheckpoint(true)
+    // identical build to knnDescentAudit — the SHARED lshSeedGraph +
+    // one descent round → g1 (the persisted index a production build
+    // would ship; rebuilt here so gate and oracle stay in lockstep on
+    // one code path)
+    val (e, g0) = lshSeedGraph(vecs, K)
     val g1 = descentRound(e, g0, K)
     // the SEARCH graph: undirected adjacency (HNSW searches neighbor
     // lists both ways) — degree-bounded at 2K

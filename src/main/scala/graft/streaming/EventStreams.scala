@@ -902,20 +902,42 @@ object EventStreams extends Serializable {
           epoch, qid, buckets)
       }
 
-  private[graft] def applyIvmJoinBatch(batch: DataFrame,
-      mc: graft.compendium.ManifestCommit, aTable: String, bTable: String,
-      viewTable: String, epoch: Long, queryId: String = "__direct__",
-      buckets: Int = 16): Unit = {
-    val s = batch.sparkSession
-    val nb = lit(buckets.toLong)
-    val marker = viewTable + "__epoch"
-    if (batch.isEmpty) return
-    val snap = mc.current()
-    val marks =
-      if (snap.contains(marker)) marksOf(mc.readAt(snap, marker))
-      else Map.empty[String, Long]
-    if (skipAsReplay(marks, epoch, queryId)(m =>
-        mc.commit(Map(marker -> marksFrame(s, m))))) return
+  /** The two-sided appliers' shared point-apply scaffolding (c24's join
+    * view AND c25's aggregate view): per-side last-op resolution, the
+    * pruned fact/dim reads, survivors∪upserts new partition contents,
+    * the affected-ck view partition set, and the post-batch dim lookup.
+    * ONE body — the [[mergeViewDelta]] extraction discipline — so the
+    * two view shapes can never drift on the STORE algebra; only the
+    * V-merge differs between them. `ra`/`rb`/`oldA` are eagerly
+    * checkpointed (each feeds several downstream jobs); callers release
+    * them via [[TwoSidedCdc.unpersist]] after their commit.
+    */
+  private final case class TwoSidedCdc(
+      ra: DataFrame, rb: DataFrame,
+      touchedPk: Seq[Long], oldA: DataFrame, newA: DataFrame,
+      touchedPbk: Seq[Long], newB: DataFrame,
+      touchedPck: Seq[Long], bNow: DataFrame) {
+    /** The staged partition writes — a side with NO changes stages
+      * nothing at all (not even an empty write job); the manifest
+      * carries its entries forward untouched.
+      */
+    def partWrites(aTable: String, bTable: String)
+        : Map[String, (String, DataFrame, Seq[Long])] =
+      (if (touchedPk.nonEmpty) Map(aTable -> (("pk", newA, touchedPk)))
+       else Map.empty[String, (String, DataFrame, Seq[Long])]) ++
+      (if (touchedPbk.nonEmpty) Map(bTable -> (("pbk", newB, touchedPbk)))
+       else Map.empty[String, (String, DataFrame, Seq[Long])])
+    def unpersist(): Unit = {
+      ra.unpersist(blocking = false)
+      rb.unpersist(blocking = false)
+      oldA.unpersist(blocking = false): Unit
+    }
+  }
+
+  private def twoSidedPointApply(batch: DataFrame,
+      mc: graft.compendium.ManifestCommit, snap: Map[String, String],
+      aTable: String, bTable: String,
+      nb: org.apache.spark.sql.Column): TwoSidedCdc = {
     // per-side last-op resolution — the shared total-order discipline
     val ra = graft.compendium.Warehouse.resolveLastOp(
       batch.filter(col("side") === "A")
@@ -934,8 +956,12 @@ object EventStreams extends Serializable {
       .map(_.withColumn("pk", pmod(col("k"), nb)))
       .getOrElse(ra.limit(0).select(col("k"), col("ck"), col("cents"),
         pmod(col("k"), nb).as("pk")))
+    // old rows carry BOTH join key and payload: the join view needs
+    // old_ck (re-key pruning), the aggregate view also retracts
+    // old_cents
     val oldA = aPruned.join(ra.select("k"), Seq("k"), "left_semi")
-      .select(col("k"), col("ck").as("old_ck"))
+      .select(col("k"), col("ck").as("old_ck"),
+        col("cents").as("old_cents"))
       .localCheckpoint(true)
     val newA = aPruned.join(ra.select("k"), Seq("k"), "left_anti")
       .select(col("k"), col("ck"), col("cents"), col("pk"))
@@ -962,43 +988,60 @@ object EventStreams extends Serializable {
         .select(pmod(col("ck"), nb).as("pck")))
       .unionByName(rb.select(pmod(col("ck"), nb).as("pck")))
       .distinct().collect().map(_.getLong(0)).toSeq
-    val vPruned = mc.readPartitionPathsAt(snap, viewTable, "pck", touchedPck)
-      .getOrElse(ra.limit(0).select(col("k"), col("ck"), col("cents"),
-        lit(null).cast("long").as("rate")))
-    // the dim's POST-batch state for every partition the epoch's
-    // A-inserts may reference: rewritten partitions come from newB, the
-    // rest from storage — never a full B scan
+    // the dim's POST-batch state for every partition the epoch's view
+    // rebuild may need a rate from: rewritten partitions come from
+    // newB, the rest from storage — never a full B scan (co-bucketed
+    // with the view: pck ≡ pbk for one ck)
     val lookupPbk = touchedPck.filterNot(touchedPbk.contains)
     val bNow = newB.select(col("ck"), col("rate"))
       .unionByName(mc.readPartitionPathsAt(snap, bTable, "pbk", lookupPbk)
         .map(_.select(col("ck"), col("rate")))
         .getOrElse(rb.limit(0).select(col("ck"), col("rate"))))
+    TwoSidedCdc(ra, rb, touchedPk, oldA, newA, touchedPbk, newB,
+      touchedPck, bNow)
+  }
+
+  private[graft] def applyIvmJoinBatch(batch: DataFrame,
+      mc: graft.compendium.ManifestCommit, aTable: String, bTable: String,
+      viewTable: String, epoch: Long, queryId: String = "__direct__",
+      buckets: Int = 16): Unit = {
+    val s = batch.sparkSession
+    val nb = lit(buckets.toLong)
+    val marker = viewTable + "__epoch"
+    if (batch.isEmpty) return
+    val snap = mc.current()
+    val marks =
+      if (snap.contains(marker)) marksOf(mc.readAt(snap, marker))
+      else Map.empty[String, Long]
+    if (skipAsReplay(marks, epoch, queryId)(m =>
+        mc.commit(Map(marker -> marksFrame(s, m))))) return
+    val t = twoSidedPointApply(batch, mc, snap, aTable, bTable, nb)
+    val vPruned = mc.readPartitionPathsAt(snap, viewTable, "pck",
+        t.touchedPck)
+      .getOrElse(t.ra.limit(0).select(col("k"), col("ck"), col("cents"),
+        lit(null).cast("long").as("rate")))
     // rebuild the touched view partitions: keep unchanged-fact rows
     // (with dim changes folded into their rate), drop changed-fact
     // rows, re-insert the batch's upserts against the post-batch dim
-    val vKeep = vPruned.join(ra.select("k"), Seq("k"), "left_anti")
-      .join(rb.select(col("ck"), col("op").as("b_op"),
+    val vKeep = vPruned.join(t.ra.select("k"), Seq("k"), "left_anti")
+      .join(t.rb.select(col("ck"), col("op").as("b_op"),
           col("rate").as("b_rate")).hint("shuffle_hash"),
         Seq("ck"), "left")
       .select(col("k"), col("ck"), col("cents"),
         when(col("b_op") === "D", lit(null).cast("long"))
           .when(col("b_op").isNotNull, col("b_rate"))
           .otherwise(col("rate")).as("rate"))
-    val aIns = ra.filter(col("op") =!= "D")
+    val aIns = t.ra.filter(col("op") =!= "D")
       .select(col("k"), col("ck"), col("cents"))
-      .join(bNow.hint("shuffle_hash"), Seq("ck"), "left")
+      .join(t.bNow.hint("shuffle_hash"), Seq("ck"), "left")
       .select(col("k"), col("ck"), col("cents"), col("rate"))
     val newV = vKeep.unionByName(aIns)
       .withColumn("pck", pmod(col("ck"), nb))
     mc.commitPartitioned(
-      Map(
-        aTable -> (("pk", newA, touchedPk)),
-        bTable -> (("pbk", newB, touchedPbk)),
-        viewTable -> (("pck", newV, touchedPck))),
+      t.partWrites(aTable, bTable) ++
+        Map(viewTable -> (("pck", newV, t.touchedPck))),
       writes = Map(marker -> marksFrame(s, marks + (queryId -> epoch))))
-    ra.unpersist(blocking = false)
-    rb.unpersist(blocking = false)
-    oldA.unpersist(blocking = false): Unit
+    t.unpersist()
   }
 
   /** Seed the (A, B, V) trio in ONE flip from initial loads — the
@@ -1088,85 +1131,38 @@ object EventStreams extends Serializable {
       else Map.empty[String, Long]
     if (skipAsReplay(marks, epoch, queryId)(m =>
         mc.commit(Map(marker -> marksFrame(s, m))))) return
-    val ra = graft.compendium.Warehouse.resolveLastOp(
-      batch.filter(col("side") === "A")
-        .select(col("key").as("k"), col("seq"), col("op"), col("ck"),
-          col("amt").as("cents")), "k", "seq")
-      .localCheckpoint(true)
-    val rb = graft.compendium.Warehouse.resolveLastOp(
-      batch.filter(col("side") === "B")
-        .select(col("key").as("ck"), col("seq"), col("op"),
-          col("amt").as("rate")), "ck", "seq")
-      .localCheckpoint(true)
-    // ---- A (fact): point CDC apply, pruned to the batch's pk set —
-    // EMPTY when the epoch carries no fact changes, in which case the
-    // fact store contributes no reads and no writes at all (the
-    // dim-only re-weight path)
-    val touchedPk = ra.select(pmod(col("k"), nb).as("pk"))
-      .distinct().collect().map(_.getLong(0)).toSeq
-    val aPruned = mc.readPartitionPathsAt(snap, aTable, "pk", touchedPk)
-      .map(_.withColumn("pk", pmod(col("k"), nb)))
-      .getOrElse(ra.limit(0).select(col("k"), col("ck"), col("cents"),
-        pmod(col("k"), nb).as("pk")))
-    // old rows carry (ck, cents) — both feed the group delta
-    val oldA = aPruned.join(ra.select("k"), Seq("k"), "left_semi")
-      .select(col("k"), col("ck").as("old_ck"),
-        col("cents").as("old_cents"))
-      .localCheckpoint(true)
-    val newA = aPruned.join(ra.select("k"), Seq("k"), "left_anti")
-      .select(col("k"), col("ck"), col("cents"), col("pk"))
-      .unionByName(ra.filter(col("op") =!= "D")
-        .select(col("k"), col("ck"), col("cents"))
-        .withColumn("pk", pmod(col("k"), nb)))
+    // shared A/B point-apply scaffolding (the c24 body) — a dim-only
+    // epoch has an empty touchedPk, so the fact store contributes no
+    // reads and no writes at all (the re-weight path)
+    val t = twoSidedPointApply(batch, mc, snap, aTable, bTable, nb)
     // the GROUP delta: retract every changed key's old contribution,
-    // add its new one — change-sized, two consumers (touched-pck
-    // collect + merge), checkpointed per the family discipline
-    val delta = oldA
+    // add its new one — change-sized, single consumer (the merge; the
+    // touched-pck set is the shared scaffolding's), fed by the
+    // checkpointed oldA/ra so no resolve window re-runs
+    val delta = t.oldA
       .select(col("old_ck").as("ck"), lit(-1L).as("d_n"),
         (-col("old_cents")).as("d_cents"))
-      .unionByName(ra.filter(col("op") =!= "D")
+      .unionByName(t.ra.filter(col("op") =!= "D")
         .select(col("ck"), lit(1L).as("d_n"), col("cents").as("d_cents")))
       .groupBy("ck")
       .agg(sum("d_n").as("d_n"), sum("d_cents").as("d_cents"))
-      .localCheckpoint(true)
-    // ---- B (dim): point CDC apply
-    val touchedPbk = rb.select(pmod(col("ck"), nb).as("pbk"))
-      .distinct().collect().map(_.getLong(0)).toSeq
-    val bPruned = mc.readPartitionPathsAt(snap, bTable, "pbk", touchedPbk)
-      .map(_.withColumn("pbk", pmod(col("ck"), nb)))
-      .getOrElse(rb.limit(0).select(col("ck"), col("rate"),
-        pmod(col("ck"), nb).as("pbk")))
-    val newB = bPruned.join(rb.select("ck"), Seq("ck"), "left_anti")
-      .select(col("ck"), col("rate"), col("pbk"))
-      .unionByName(rb.filter(col("op") =!= "D")
-        .select(col("ck"), col("rate"))
-        .withColumn("pbk", pmod(col("ck"), nb)))
-    // ---- V: touched groups = fact-delta groups ∪ dim-changed groups
-    val touchedPck = delta.select(pmod(col("ck"), nb).as("pck"))
-      .unionByName(rb.select(pmod(col("ck"), nb).as("pck")))
-      .distinct().collect().map(_.getLong(0)).toSeq
-    val vPruned = mc.readPartitionPathsAt(snap, viewTable, "pck", touchedPck)
+    // touched groups = fact-delta groups ∪ dim-changed groups — exactly
+    // the shared touchedPck (delta's group keys ARE old_ck ∪ non-D ck)
+    val vPruned = mc.readPartitionPathsAt(snap, viewTable, "pck",
+        t.touchedPck)
       .map(_.select("ck", "n", "cents_total", "rate"))
       .getOrElse(delta.limit(0).select(col("ck"), col("d_n").as("n"),
         col("d_cents").as("cents_total"),
         lit(null).cast("long").as("rate")))
-    // post-batch dim state for every partition a NEW group may need a
-    // rate from: rewritten partitions come from newB, the rest from
-    // storage — co-bucketed with the view (pck ≡ pbk), never a B scan
-    val lookupPbk = touchedPck.filterNot(touchedPbk.contains)
-    val bNow = newB.select(col("ck"), col("rate"))
-      .unionByName(mc.readPartitionPathsAt(snap, bTable, "pbk", lookupPbk)
-        .map(_.select(col("ck"), col("rate")))
-        .getOrElse(rb.limit(0).select(col("ck"), col("rate"))))
     // merge: partition-mates carry forward (deltas coalesce to 0, rate
     // kept); dim changes re-weight via the stored cents_total; groups
     // born this epoch pull their rate from the post-batch dim
     val merged = vPruned
       .join(delta.hint("shuffle_hash"), Seq("ck"), "full_outer")
-      .join(rb.select(col("ck"), col("op").as("b_op"),
+      .join(t.rb.select(col("ck"), col("op").as("b_op"),
           col("rate").as("b_rate")).hint("shuffle_hash"),
         Seq("ck"), "left")
-      .join(bNow.select(col("ck"), col("rate").as("now_rate"))
+      .join(t.bNow.select(col("ck"), col("rate").as("now_rate"))
           .hint("shuffle_hash"),
         Seq("ck"), "left")
       .select(col("ck"),
@@ -1181,21 +1177,11 @@ object EventStreams extends Serializable {
       .filter(col("n") > 0)
       .withColumn("revenue_total", col("cents_total") * col("rate"))
       .withColumn("pck", pmod(col("ck"), nb))
-    // an untouched SIDE stages nothing at all — a dim-only epoch runs
-    // zero fact-store jobs (not even an empty staging write), and vice
-    // versa; the manifest carries the absent side's entries forward
-    val partWrites =
-      (if (touchedPk.nonEmpty) Map(aTable -> (("pk", newA, touchedPk)))
-       else Map.empty[String, (String, DataFrame, Seq[Long])]) ++
-      (if (touchedPbk.nonEmpty) Map(bTable -> (("pbk", newB, touchedPbk)))
-       else Map.empty[String, (String, DataFrame, Seq[Long])]) ++
-      Map(viewTable -> (("pck", merged, touchedPck)))
-    mc.commitPartitioned(partWrites,
+    mc.commitPartitioned(
+      t.partWrites(aTable, bTable) ++
+        Map(viewTable -> (("pck", merged, t.touchedPck))),
       writes = Map(marker -> marksFrame(s, marks + (queryId -> epoch))))
-    ra.unpersist(blocking = false)
-    rb.unpersist(blocking = false)
-    oldA.unpersist(blocking = false)
-    delta.unpersist(blocking = false): Unit
+    t.unpersist()
   }
 
   /** Seed the aggregate-view trio in ONE flip: V = γ_ck(A) ⟕ B with

@@ -78,9 +78,18 @@ def main():
     for p in merges_b:
         merge(big, p)
     rows = {}
-    for q in sorted(set(small) & set(big)):
-        if q in err_s or q in err_b:
-            rows[q] = {"error": True}
+    # iterate the UNION incl. errored names: a query that crashed and was
+    # never cleanly re-run must appear as a visible error row (the
+    # errored-times drop in load() would otherwise make it vanish from
+    # the table and read as full coverage); a query whose crash WAS
+    # adjudicated by a clean --merge leg has a valid time by now and
+    # prices normally
+    for q in sorted(set(small) | set(big) | err_s | err_b):
+        if q not in small or q not in big:
+            if q in err_s or q in err_b:
+                rows[q] = {"error": True, "error_side":
+                    ("small" if q not in small else "big")}
+            # else: present in only one sweep (registry drift) — skip
             continue
         ts, tb = small[q], big[q]
         ratio = tb / ts if ts > 0 else float("inf")
@@ -102,6 +111,8 @@ def main():
         "load_big": [meta_b.get("load_avg_before"), meta_b.get("load_avg_after")],
         "merged_small": merges_s, "merged_big": merges_b,
         "n_queries": len(rows),
+        "n_errors": sum(1 for r in rows.values() if r.get("error")),
+        "errors": sorted(q for q, r in rows.items() if r.get("error")),
         "n_superlinear": len(flagged),
         "superlinear": sorted(flagged),
         "annotated": annotated,
@@ -111,6 +122,7 @@ def main():
         json.dump(out, f, indent=1, sort_keys=False)
         f.write("\n")
     print(f"{out_p}: {len(rows)} queries, "
+          f"{out['n_errors']} unadjudicated errors: {out['errors']}, "
           f"{len(flagged)} superlinear-and-material: {sorted(flagged)}")
     for q in sorted(flagged):
         r = rows[q]
