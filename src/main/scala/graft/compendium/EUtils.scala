@@ -265,11 +265,19 @@ object EUtils {
         // driver merges whatever succeeded and returns a NORMAL count,
         // indistinguishable from a clean run (the driver path and
         // db.py:326-384 both bail loudly on two-in-a-row)
-        if (consecutiveFailures >= 2)
+        if (consecutiveFailures >= 2) {
+          // unfetched = the never-attempted remainder PLUS the two
+          // failed batches themselves ("0 unfetched" on a last-two-
+          // batches failure would read as no data loss); capture the
+          // remainder into a val — it.size DRAINS the iterator, which
+          // is safe only done once, here, after the loop is over
+          val remaining = it.size
           out += ((Seq.empty, Some(
             s"partition ${org.apache.spark.TaskContext.getPartitionId()} " +
               s"gave up after 2 consecutive fetch failures with " +
-              s"${it.size} batches unfetched (db.py:326-384)")))
+              s"${remaining + 2} batches unfetched (incl. the 2 failed; " +
+              s"db.py:326-384)")))
+        }
         Iterator.single(out.result())
       }.collect().toSeq.flatten
     val merged = mergeInfos(spark, wh, fetched.flatMap(_._1))

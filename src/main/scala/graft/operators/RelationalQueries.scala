@@ -2685,6 +2685,116 @@ object RelationalQueries {
         "user_id BIGINT, purchase_id BIGINT, purchase_ts TIMESTAMP, " +
           "click_id BIGINT, click_ts TIMESTAMP, value DOUBLE"))),
 
+    // The stream-stream LEFT OUTER interval join — the half of the
+    // attribution contract c21's inner gate leaves uncovered: a
+    // purchase with NO click in its window must still appear,
+    // null-credited (dropping it silently under-reports conversions).
+    // The semantics under test is EMISSION TIMING, not just the row
+    // set: an unmatched purchase cannot emit on arrival — a matching
+    // click may still be in flight, even time-stamped earlier, under
+    // the gate's full-md5 disorder — so the engine holds it in join
+    // state and emits the null row exactly once, when the click-side
+    // watermark closes its 72 h match window (watermark-closed
+    // emission, derived automatically from the join's time-bound;
+    // EventStreamsSpec pins the before/after timing). The replay
+    // watermark out-spans the data (3650 d) so no real event drops
+    // mid-replay; two sentinel rounds (a far-future click + purchase
+    // pair, negative ids, filtered from output) then push BOTH
+    // watermarks past every real window so each held purchase
+    // flushes — c20's sentinel-flush discipline applied to join state.
+    // Oracle: DuckDB's batch LEFT interval join — matched rows
+    // identical to c21's, plus one null-click row per windowless
+    // purchase.
+    Q("c28_stream_outer_join",
+      "purchases ⟕ same-user clicks (72 h window): watermark-closed null emission for unmatched purchases, hash-equal to the batch left interval join",
+      (s, d) => {
+        import s.implicits._
+        implicit val sq = s.sqlContext
+        import graft.streaming.EventStreams
+        import graft.streaming.EventStreams.Event
+        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+        val slice = Tables.events(s, d)
+          .filter(col("event_id") % 13 === 4)
+          .select("event_id", "ts", "user_id", "event_type", "value")
+          .as[Event].collect()
+        val md = java.security.MessageDigest.getInstance("MD5")
+        def hx(id: Long): String =
+          md.digest(s"c28_$id".getBytes("UTF-8"))
+            .map("%02x".format(_)).mkString
+        val shuffled = slice.sortBy(e => hx(e.event_id))
+        val root = java.nio.file.Files
+          .createTempDirectory("c28_outer").toString
+        val wh = new graft.compendium.Warehouse(s, root)
+        val in = MemoryStream[Event]
+        val savedParts = s.conf.get("spark.sql.shuffle.partitions")
+        val q =
+          try {
+            s.conf.set("spark.sql.shuffle.partitions", "4")
+            EventStreams.purchaseAttribution(in.toDS(),
+                watermark = "3650 days", windowHours = 72,
+                joinType = "left_outer")
+              .writeStream.outputMode("append")
+              .foreachBatch { (b: DataFrame, epoch: Long) =>
+                if (!b.isEmpty) wh.append("c28_pairs", b)
+              }
+              .start()
+          } finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
+        try {
+          val third = math.max((shuffled.length + 2) / 3, 1)
+          shuffled.grouped(third).foreach { b =>
+            in.addData(b.toSeq)
+            q.processAllAvailable()
+          }
+          if (slice.nonEmpty) {
+            val lastTs = slice.map(_.ts.getTime).max
+            // sentinel round 1 advances both side's watermarks past
+            // every real purchase's window (delay 3650 d → watermark
+            // lands ~50 d past the data); round 2 re-advances so the
+            // eviction batch definitely runs — held purchases flush
+            // their null rows, the sentinels themselves are filtered
+            // by id below (round 2's purchase never flushes and
+            // cannot leak)
+            Seq(3700L, 7400L).foreach { days =>
+              val ts = new java.sql.Timestamp(
+                lastTs + days * 24 * 3600 * 1000)
+              // Event(event_id, ts, user_id, ...): negative ids keep
+              // the sentinels out of the output filter and off real
+              // users
+              in.addData(
+                Event(-996L - days, ts, -1L, "click", 0.0),
+                Event(-998L - days, ts, -1L, "purchase", 0.0))
+              q.processAllAvailable()
+            }
+          }
+        } finally q.stop()
+        import org.apache.spark.sql.types._
+        wh.readOrEmpty("c28_pairs", StructType(Seq(
+            StructField("user_id", LongType),
+            StructField("purchase_id", LongType),
+            StructField("purchase_ts", TimestampType),
+            StructField("click_id", LongType),
+            StructField("click_ts", TimestampType),
+            StructField("value", DoubleType))))
+          .filter(col("purchase_id") >= 0)
+          .select("user_id", "purchase_id", "purchase_ts",
+            "click_id", "click_ts", "value")
+          .orderBy("purchase_id", "click_id")
+      },
+      Some("""WITH ev AS (SELECT event_id, ts::TIMESTAMP AS ts, user_id, event_type, value
+             |  FROM events WHERE event_id % 13 = 4),
+             |c AS (SELECT user_id, ts AS click_ts, event_id AS click_id
+             |  FROM ev WHERE event_type = 'click'),
+             |p AS (SELECT user_id, ts AS purchase_ts, event_id AS purchase_id, value
+             |  FROM ev WHERE event_type = 'purchase')
+             |SELECT p.user_id, purchase_id, purchase_ts, click_id, click_ts, value
+             |FROM p LEFT JOIN c ON p.user_id = c.user_id
+             |  AND click_ts <= purchase_ts
+             |  AND click_ts >= purchase_ts - INTERVAL 72 HOUR
+             |ORDER BY purchase_id, click_id""".stripMargin),
+      staticSchema = Some(org.apache.spark.sql.types.StructType.fromDDL(
+        "user_id BIGINT, purchase_id BIGINT, purchase_ts TIMESTAMP, " +
+          "click_id BIGINT, click_ts TIMESTAMP, value DOUBLE"))),
+
     // CONTINUOUS ERASURE at the driver's gate — the streaming twin of
     // s29 (the c12↔q51 relationship, for deletion): tombstone batches
     // stream through VectorStreams.forgetIngest, each decrementing the
@@ -2986,11 +3096,13 @@ object RelationalQueries {
     // O(touched groups) arithmetic from the view row alone, with the
     // fact store contributing zero reads and zero writes to a dim-only
     // epoch (IvmAggJoinSpec pins that at manifest and bytes-read
-    // grain). Same two-sided fixture as c24 — dim updates/deletes/
-    // inserts on referenced keys incl. the null-fill, fact re-keys
-    // across groups, inserts referencing absent dims — so every change
-    // class lands at aggregate grain; epochs stay partition-pruned with
-    // one manifest flip. Oracle: DuckDB folds both CDC streams from
+    // grain). c24's two-sided fixture plus a re-key clause — dim
+    // updates/deletes/inserts on referenced keys incl. the null-fill,
+    // inserts referencing absent dims, and fact re-keys ACROSS groups
+    // (U-ops on k % 17 = 4 move one group over: retract-from-old +
+    // add-to-new at aggregate grain, exercised by this gate itself) —
+    // so every change class lands at aggregate grain; epochs stay
+    // partition-pruned with one manifest flip. Oracle: DuckDB folds both CDC streams from
     // first principles, left-joins, and aggregates — continuous
     // maintenance ≡ from-scratch GROUP BY at the hash gate (revenue is
     // NULL exactly where the group's dim is absent: SUM over all-NULL
@@ -3014,11 +3126,19 @@ object RelationalQueries {
               .as("rate"))
         val bSeed = cust.filter(col("ck") % 50 =!= 3)
         val raw = cdcChanges(base.select(col("k")))
+        // U-ops on k % 17 = 4 RE-KEY the fact one group over (ck + 1):
+        // cross-group moves — retract from the old group, add to the
+        // new — exercised by the GATE itself, not only by
+        // IvmAggJoinSpec's curated cases; the offset depends only on
+        // (k, this row's op), so DuckDB's last-op resolution derives
+        // the same final ck
         val feedA = raw.join(base.select("k", "ck"), Seq("k"), "left")
           .select(lit("A").as("side"), col("k").as("key"), col("seq"),
             col("op"),
-            coalesce(col("ck"),
+            (coalesce(col("ck"),
               h60(concat(lit("nc_"), col("k").cast("string"))) % 1000 + 1)
+              + when(col("op") === "U" && col("k") % 17 === 4, 1L)
+                .otherwise(0L))
               .as("ck"),
             col("new_cents").as("amt"))
         val feedB = cust
@@ -3076,7 +3196,9 @@ object RelationalQueries {
              |$sqlCdcResolved,
              |rck AS (SELECT r.k, r.last_op, r.new_cents,
              |    coalesce(b.ck,
-             |      ('0x' || substr(md5('nc_' || r.k), 1, 15))::BIGINT % 1000 + 1) AS ck
+             |      ('0x' || substr(md5('nc_' || r.k), 1, 15))::BIGINT % 1000 + 1)
+             |      + CASE WHEN r.last_op = 'U' AND r.k % 17 = 4
+             |             THEN 1 ELSE 0 END AS ck
              |  FROM resolved r LEFT JOIN base b ON r.k = b.k),
              |applied AS (
              |  SELECT b.k, b.ck, b.cents FROM base b
@@ -3294,6 +3416,106 @@ object RelationalQueries {
              |  FROM orders),
              |$sqlCdcResolved,
              |clustered AS (SELECT * FROM resolved WHERE k % 16 IN (0, 1, 2, 3)),
+             |applied AS (
+             |  SELECT b.k, b.cents FROM base b
+             |  WHERE NOT EXISTS (SELECT 1 FROM clustered r WHERE r.k = b.k)
+             |  UNION ALL
+             |  SELECT k, new_cents AS cents FROM clustered WHERE last_op <> 'D')
+             |SELECT k AS ck, count(*)::BIGINT AS n,
+             |  sum(cents)::BIGINT AS cents_total
+             |FROM applied GROUP BY k ORDER BY ck""".stripMargin),
+      staticSchema = Some(org.apache.spark.sql.types.StructType.fromDDL(
+        "ck BIGINT, n BIGINT, cents_total BIGINT"))),
+
+    // TIME-TRAVEL READ — the lakehouse reader contract the
+    // transactional layer already pays for (Delta/Iceberg `VERSION AS
+    // OF`), turned into a gated row: a manifest VERSION is a complete,
+    // immutable multi-table snapshot, so reading "the view as of
+    // version v" is the SAME pruned multi-path scan as reading the
+    // current view — only the resolution differs (manifestAt(v)
+    // instead of current()), and the directories it names are
+    // byte-stable forever after their commit (never rewritten, only
+    // superseded). The workload is c27's status-upsert replay,
+    // SNAPSHOTTED mid-stream: capture currentVersion() after epoch 1,
+    // apply epoch 2 on top, then emit the AS-OF-v read — which must
+    // hash-equal the oracle's fold of EXACTLY the first two epochs,
+    // proving the later epoch is invisible through the pinned manifest
+    // even though it committed before the query's read executes.
+    // `retain` is the horizon knob (Delta's
+    // deletedFileRetentionDuration in versions): the gate holds 8 so
+    // the snapshot outlives its supersession; ManifestCommitSpec pins
+    // the other side (past the horizon the manifest itself is deleted
+    // and a versioned read fails LOUDLY, never silently reads newer
+    // data). 100 TB: time travel costs nothing at write time (the
+    // versions exist anyway) and a version read prunes identically to
+    // a current read — the horizon bounds disk, not read cost.
+    Q("c29_time_travel_read",
+      "mid-replay snapshot read: the view AS OF a captured manifest version, after a later epoch committed — hash-equal to the fold of exactly the first two epochs",
+      (s, d) => {
+        import s.implicits._
+        implicit val sq = s.sqlContext
+        import graft.streaming.EventStreams
+        import graft.streaming.EventStreams.CdcViewChange
+        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+        val base = Tables.load(s, d, "orders")
+          .select(col("o_orderkey").as("k"),
+            expr("cast(floor(o_totalprice * 100 + 0.5) AS BIGINT)")
+              .as("cents"))
+        val feed = cdcChanges(base.select(col("k")))
+          .select(col("k"), col("seq"), col("op"), col("k").as("ck"),
+            col("new_cents").as("cents"))
+          .as[CdcViewChange]
+          .collect()
+        val root = java.nio.file.Files
+          .createTempDirectory("c29_timetravel").toString
+        val mc = new graft.compendium.ManifestCommit(s, root, retain = 8)
+        val nb = lit(16L)
+        mc.commitPartitioned(Map(
+          "c29_base" -> (("pk",
+            base.select(col("k"), col("k").as("ck"), col("cents"))
+              .withColumn("pk", pmod(col("k"), nb)),
+            (0L until 16L).toSeq)),
+          "c29_view" -> (("pck",
+            base.select(col("k").as("ck"), col("cents"))
+              .groupBy("ck").agg(count(lit(1)).as("n"),
+                sum("cents").as("cents_total"))
+              .withColumn("pck", pmod(col("ck"), nb)),
+            (0L until 16L).toSeq)))): Unit
+        val in = MemoryStream[CdcViewChange]
+        val q = EventStreams
+          .ivmStreamPartitionedCommitted(in.toDS(), mc,
+            "c29_base", "c29_view", 16)
+          .start()
+        var vMid = 0L
+        try {
+          (0L until 3L).foreach { e =>
+            val batch = feed.filter(_.k % 16 == e)
+            if (batch.nonEmpty) {
+              in.addData(batch.toSeq)
+              q.processAllAvailable()
+            }
+            // the snapshot: whatever version the store is at once
+            // epochs 0 and 1 are folded — epoch 2 commits AFTER it
+            if (e == 1L) vMid = mc.currentVersion().get
+          }
+        } finally q.stop()
+        // the AS-OF read: resolve the PINNED manifest, not current()
+        // — the read path (pruned multi-path scan) is otherwise
+        // identical; epoch 2's commit must be invisible through it
+        import org.apache.spark.sql.types._
+        mc.readPartitionedAt(mc.manifestAt(vMid), "c29_view")
+          .getOrElse(s.createDataFrame(
+            s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            StructType(Seq(StructField("ck", LongType),
+              StructField("n", LongType),
+              StructField("cents_total", LongType)))))
+          .select("ck", "n", "cents_total").orderBy("ck")
+      },
+      Some(s"""WITH base AS (SELECT o_orderkey AS k,
+             |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+             |  FROM orders),
+             |$sqlCdcResolved,
+             |clustered AS (SELECT * FROM resolved WHERE k % 16 IN (0, 1)),
              |applied AS (
              |  SELECT b.k, b.cents FROM base b
              |  WHERE NOT EXISTS (SELECT 1 FROM clustered r WHERE r.k = b.k)

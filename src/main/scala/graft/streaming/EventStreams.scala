@@ -385,6 +385,21 @@ object EventStreams extends Serializable {
     * it — the exact CDC-loss mode the [[marksFrame]] drop-on-write
     * closes for APPLIED batches but cannot reach on the skip path
     * (the drop only runs after a batch actually applies).
+    *
+    * KNOWN, ACCEPTED residual of first-claimant attribution: if a
+    * FRESH takeover lineage is the first to hit the floor, it claims
+    * it, and a true legacy resumer appearing AFTERWARDS finds its
+    * replayed epochs <= floor no longer refused (re-applied
+    * additively — the divergence hazard). The window requires a
+    * legacy-era driver to resume after BOTH the upgrade and a takeover
+    * whose epoch counter collided with the legacy range, and closes
+    * permanently at the first post-upgrade marker write. The
+    * alternative — retaining the floor alongside the claimed entry —
+    * re-opens [[marksFrame]]'s documented UNBOUNDED loss mode (every
+    * future fresh lineage's first floor+1 batches silently dropped,
+    * forever). An epoch-only marker cannot name its owner, so one of
+    * the two must be chosen; bounded-window divergence on a zombie
+    * upgrade race loses to unbounded CDC loss on every restart.
     */
   private def skipAsReplay(marks: Map[String, Long], epoch: Long,
       queryId: String)(rescope: Map[String, Long] => Unit): Boolean = {
@@ -1001,6 +1016,45 @@ object EventStreams extends Serializable {
       touchedPck, bNow)
   }
 
+  /** Unseeded-view detection for the two-sided appliers: a view with NO
+    * live partitions over a base that HAS some is the
+    * first-IVM-batch-against-a-pre-populated-warehouse case the
+    * single-sided family bootstraps at [[applyIvmBatch]] — applying
+    * point deltas onto `readPartitionPathsAt(...).getOrElse(empty)`
+    * would silently, PERMANENTLY drop every pre-existing row's
+    * contribution (retractions vanish through `filter(n > 0)`,
+    * untouched pre-existing groups never materialize). The seed-first
+    * entry points ([[seedJoinView]]/[[seedAggJoinView]]) remain the
+    * production path — they stage the trio in one flip without a
+    * corpus-scale join inside a streaming trigger — but an applier that
+    * detects this state must recompute once, not mis-maintain forever.
+    */
+  private def unseededView(mc: graft.compendium.ManifestCommit,
+      snap: Map[String, String], aTable: String, bTable: String,
+      viewTable: String): Boolean =
+    mc.partitionKeys(snap, viewTable).isEmpty &&
+      (mc.partitionKeys(snap, aTable).nonEmpty ||
+        mc.partitionKeys(snap, bTable).nonEmpty)
+
+  /** The whole live (A, B) pair at one snapshot as two multi-path
+    * relations — the bootstrap's one-time full read (never on the
+    * steady-state epoch path). Empty-with-schema when a side has no
+    * live partitions, taken from the batch's own resolved frames.
+    */
+  private def wholeAB(mc: graft.compendium.ManifestCommit,
+      snap: Map[String, String], aTable: String, bTable: String,
+      t: TwoSidedCdc): (DataFrame, DataFrame) = {
+    val aAll = mc.readPartitionPathsAt(snap, aTable, "pk",
+        mc.partitionValues(snap, aTable))
+      .map(_.select("k", "ck", "cents"))
+      .getOrElse(t.ra.limit(0).select("k", "ck", "cents"))
+    val bAll = mc.readPartitionPathsAt(snap, bTable, "pbk",
+        mc.partitionValues(snap, bTable))
+      .map(_.select("ck", "rate"))
+      .getOrElse(t.rb.limit(0).select("ck", "rate"))
+    (aAll, bAll)
+  }
+
   private[graft] def applyIvmJoinBatch(batch: DataFrame,
       mc: graft.compendium.ManifestCommit, aTable: String, bTable: String,
       viewTable: String, epoch: Long, queryId: String = "__direct__",
@@ -1016,10 +1070,20 @@ object EventStreams extends Serializable {
     if (skipAsReplay(marks, epoch, queryId)(m =>
         mc.commit(Map(marker -> marksFrame(s, m))))) return
     val t = twoSidedPointApply(batch, mc, snap, aTable, bTable, nb)
-    val vPruned = mc.readPartitionPathsAt(snap, viewTable, "pck",
-        t.touchedPck)
-      .getOrElse(t.ra.limit(0).select(col("k"), col("ck"), col("cents"),
-        lit(null).cast("long").as("rate")))
+    // view bootstrap (the single-sided discipline at :454-460): a
+    // pre-existing base with no view recomputes A ⟕ B ONCE at the
+    // snapshot, and this epoch commits EVERY view partition; thereafter
+    // the view exists and the point algebra owns it
+    val boot = unseededView(mc, snap, aTable, bTable, viewTable)
+    val vPruned =
+      if (boot) {
+        val (aAll, bAll) = wholeAB(mc, snap, aTable, bTable, t)
+        aAll.join(bAll, Seq("ck"), "left")
+          .select(col("k"), col("ck"), col("cents"), col("rate"))
+      } else mc.readPartitionPathsAt(snap, viewTable, "pck", t.touchedPck)
+        .getOrElse(t.ra.limit(0).select(col("k"), col("ck"), col("cents"),
+          lit(null).cast("long").as("rate")))
+    val vCommitPck = if (boot) (0L until buckets).toSeq else t.touchedPck
     // rebuild the touched view partitions: keep unchanged-fact rows
     // (with dim changes folded into their rate), drop changed-fact
     // rows, re-insert the batch's upserts against the post-batch dim
@@ -1039,7 +1103,7 @@ object EventStreams extends Serializable {
       .withColumn("pck", pmod(col("ck"), nb))
     mc.commitPartitioned(
       t.partWrites(aTable, bTable) ++
-        Map(viewTable -> (("pck", newV, t.touchedPck))),
+        Map(viewTable -> (("pck", newV, vCommitPck))),
       writes = Map(marker -> marksFrame(s, marks + (queryId -> epoch))))
     t.unpersist()
   }
@@ -1147,13 +1211,26 @@ object EventStreams extends Serializable {
       .groupBy("ck")
       .agg(sum("d_n").as("d_n"), sum("d_cents").as("d_cents"))
     // touched groups = fact-delta groups ∪ dim-changed groups — exactly
-    // the shared touchedPck (delta's group keys ARE old_ck ∪ non-D ck)
-    val vPruned = mc.readPartitionPathsAt(snap, viewTable, "pck",
-        t.touchedPck)
-      .map(_.select("ck", "n", "cents_total", "rate"))
-      .getOrElse(delta.limit(0).select(col("ck"), col("d_n").as("n"),
-        col("d_cents").as("cents_total"),
-        lit(null).cast("long").as("rate")))
+    // the shared touchedPck (delta's group keys ARE old_ck ∪ non-D ck).
+    // View bootstrap (the single-sided discipline at :454-460): a
+    // pre-existing base with no view recomputes γ_ck(A) ⟕ B ONCE at the
+    // snapshot — with the sufficient statistic stored, as the seed
+    // does — and this epoch commits EVERY view partition; thereafter
+    // the delta algebra owns it.
+    val boot = unseededView(mc, snap, aTable, bTable, viewTable)
+    val vPruned =
+      if (boot) {
+        val (aAll, bAll) = wholeAB(mc, snap, aTable, bTable, t)
+        aAll.groupBy("ck")
+          .agg(count(lit(1)).as("n"), sum("cents").as("cents_total"))
+          .join(bAll, Seq("ck"), "left")
+          .select(col("ck"), col("n"), col("cents_total"), col("rate"))
+      } else mc.readPartitionPathsAt(snap, viewTable, "pck", t.touchedPck)
+        .map(_.select("ck", "n", "cents_total", "rate"))
+        .getOrElse(delta.limit(0).select(col("ck"), col("d_n").as("n"),
+          col("d_cents").as("cents_total"),
+          lit(null).cast("long").as("rate")))
+    val vCommitPck = if (boot) (0L until buckets).toSeq else t.touchedPck
     // merge: partition-mates carry forward (deltas coalesce to 0, rate
     // kept); dim changes re-weight via the stored cents_total; groups
     // born this epoch pull their rate from the post-batch dim
@@ -1179,7 +1256,7 @@ object EventStreams extends Serializable {
       .withColumn("pck", pmod(col("ck"), nb))
     mc.commitPartitioned(
       t.partWrites(aTable, bTable) ++
-        Map(viewTable -> (("pck", merged, t.touchedPck))),
+        Map(viewTable -> (("pck", merged, vCommitPck))),
       writes = Map(marker -> marksFrame(s, marks + (queryId -> epoch))))
     t.unpersist()
   }
@@ -1229,12 +1306,28 @@ object EventStreams extends Serializable {
     * still match it), so state tracks the watermark horizon — whose
     * depth scales WITH windowHours (c21 runs this at 72 h, holding
     * three days of clicks per user, not one hour's) — never history.
-    * Emits only matched pairs (inner join) in append mode — late events
-    * beyond the watermark drop, the same semantics the batch twin sees
-    * on the non-dropped subset.
+    * `joinType = "inner"` (c21) emits only matched pairs in append
+    * mode — late events beyond the watermark drop, the same semantics
+    * the batch twin sees on the non-dropped subset.
+    *
+    * `joinType = "left_outer"` (c28) is the production attribution
+    * contract: a purchase with NO click in its window must still
+    * appear, null-credited — dropping it silently under-reports
+    * conversions. The null row CANNOT emit when the purchase arrives
+    * (a matching click may still be in flight, even time-stamped
+    * EARLIER — disorder is the whole premise), so the engine holds the
+    * purchase in join state and emits the null row exactly once, when
+    * the CLICK-side watermark passes the purchase's match window and
+    * no future click can possibly pair with it — watermark-closed
+    * emission, the same deferred-finality discipline as c20's window
+    * flush, derived automatically from the join's time-bound
+    * condition. Matched pairs still emit eagerly, when the later side
+    * arrives. EventStreamsSpec pins the timing: no null row before
+    * the watermark closes the window; exactly one after.
     */
   def purchaseAttribution(events: Dataset[Event],
-      watermark: String = "2 hours", windowHours: Int = 1): DataFrame = {
+      watermark: String = "2 hours", windowHours: Int = 1,
+      joinType: String = "inner"): DataFrame = {
     val clicks = events.toDF()
       .filter(col("event_type") === "click")
       .select(col("user_id"), col("ts").as("click_ts"),
@@ -1245,13 +1338,16 @@ object EventStreams extends Serializable {
       .select(col("user_id").as("p_user_id"), col("ts").as("purchase_ts"),
         col("event_id").as("purchase_id"), col("value"))
       .withWatermark("purchase_ts", watermark)
+    // user_id projects from the PURCHASE side: on the outer path the
+    // click side is null for unmatched rows (identical on matches)
     purchases.join(clicks,
         col("p_user_id") === col("user_id") &&
           col("click_ts") <= col("purchase_ts") &&
           col("click_ts") >= col("purchase_ts") -
-            expr(s"INTERVAL $windowHours HOUR"))
-      .select(col("user_id"), col("purchase_id"), col("purchase_ts"),
-        col("click_id"), col("click_ts"), col("value"))
+            expr(s"INTERVAL $windowHours HOUR"),
+        joinType)
+      .select(col("p_user_id").as("user_id"), col("purchase_id"),
+        col("purchase_ts"), col("click_id"), col("click_ts"), col("value"))
   }
 
   /** One user's open SCD2 interval: the dimension's CURRENT row, held as

@@ -65,6 +65,7 @@ class RegistrySpec extends AnyFunSuite {
       "c22_stream_forget_replay", "c23_stream_replay_manifest",
       "c24_stream_join_ivm", "c25_stream_agg_join_ivm",
       "c26_stream_file_source", "c27_stream_clustered_cdc",
+      "c28_stream_outer_join", "c29_time_travel_read",
       "t41_temperature_mix",
       "t42_bpe_iterated_train", "t43_bpe_compression_curve",
       "s25_knn_descent_rounds", "s26_kmeans_lloyd_rounds",

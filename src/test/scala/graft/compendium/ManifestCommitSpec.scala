@@ -85,6 +85,32 @@ class ManifestCommitSpec extends SparkTestBase {
     assert(tagOf(mc.read("base")) === 1 && tagOf(mc.read("view")) === 3)
   }
 
+  test("time travel: a version number pins a full multi-table snapshot; past the retain horizon the versioned read fails loudly") {
+    val root = tmpDir()
+    val mc = new ManifestCommit(spark, root, retain = 3)
+    mc.commit(Map("base" -> tagged(1), "view" -> tagged(1)))
+    val v1 = mc.currentVersion().get
+    mc.commit(Map("view" -> tagged(2)))
+    mc.commit(Map("base" -> tagged(3)))
+    // AS OF v1: BOTH tables resolve to their v1 state through one
+    // manifestAt — a version is a consistent multi-table snapshot,
+    // not per-table history, even after both were superseded
+    val snap = mc.manifestAt(v1)
+    assert(tagOf(mc.readAt(snap, "base")) === 1 &&
+      tagOf(mc.readAt(snap, "view")) === 1,
+      "a pinned version must read the state AS OF that commit")
+    // current() is unaffected by the pinned read
+    assert(tagOf(mc.read("base")) === 3 && tagOf(mc.read("view")) === 2)
+    // push v1 past the retain-3 horizon: its manifest file is deleted,
+    // so the versioned read fails LOUDLY (file-not-found), never
+    // silently resolving newer data — the Delta/Iceberg
+    // version-expired contract
+    mc.commit(Map("view" -> tagged(4)))
+    intercept[java.io.FileNotFoundException] { mc.manifestAt(v1) }
+    // versions inside the horizon still travel
+    assert(tagOf(mc.readAt(mc.manifestAt(v1 + 1), "view")) === 2)
+  }
+
   test("drop removes tables from the map in the same atomic flip; their directories outlive the flip until the retain horizon") {
     val root = tmpDir()
     val mc = new ManifestCommit(spark, root, retain = 2)

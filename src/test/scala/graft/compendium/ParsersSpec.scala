@@ -269,7 +269,10 @@ class EUtilsSpec extends SparkTestBase {
     // the driver path's two-in-a-row bail) — a normal return here would
     // be indistinguishable from a clean run
     assert(giveUp.getMessage.contains("gave up after 2 consecutive"))
-    assert(giveUp.getMessage.contains("1 batches unfetched"))
+    // 3 batches total: 1 never attempted + the 2 that failed — the
+    // count must include the failed ones ("0 unfetched" on a last-two-
+    // batches failure would read as no data loss)
+    assert(giveUp.getMessage.contains("3 batches unfetched"))
     assert(FakeEutilsRecorder.calls().size === 2,
       "the partition must stop after the 2nd consecutive failure")
     // URL cap: same long-accession shape as the driver-side cap test

@@ -324,6 +324,13 @@ class EventStreamsSpec extends SparkTestBase {
     assert(pairs.exists { case (p, c) => batchOf(p) != batchOf(c) },
       "every matched pair is intra-batch: the replay never exercises " +
         "cross-batch join state — re-seed the md5 split")
+    // c28 (the left-outer twin, same slice): UNMATCHED purchases must
+    // exist, or the gate's null-emission path is vacuous and the outer
+    // row would hash-pass as a plain inner join
+    val matchedP = pairs.map(_._1).toSet
+    assert(purchases.exists(p => !matchedP.contains(p._1)),
+      "every purchase has a click in window: c28's null-credit path " +
+        "is never exercised at the gate sf")
   }
 
   test("late-but-within-watermark event in a later batch widens session start") {
@@ -459,6 +466,56 @@ class EventStreamsSpec extends SparkTestBase {
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
       assert(got === Set((1L, 5L, 1L), (1L, 5L, 2L)),
         "exactly the same-user clicks within the preceding hour")
+    } finally q.stop()
+  }
+
+  test("left-outer attribution: null row held until the watermark closes the window, then emitted exactly once") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[EventStreams.Event]
+    // 1 h window, 1 h watermark delay — emission timing is the contract
+    val q = EventStreams.purchaseAttribution(in.toDS(),
+        watermark = "1 hour", windowHours = 1, joinType = "left_outer")
+      .writeStream.format("memory").queryName("attrib_outer")
+      .outputMode("append").start()
+    // the timing assertions look only at purchases 10 and 12 — the
+    // watermark-advancing traffic below adds its own (held) purchases
+    def rows() = spark.table("attrib_outer").collect()
+      .map(r => (r.getLong(1), if (r.isNullAt(3)) None else Some(r.getLong(3))))
+      .filter(t => t._1 == 10L || t._1 == 12L).toSeq.sorted
+    try {
+      // user 1: a matched pair in ONE batch; user 2: a purchase with
+      // NO click in its window  (Event fields: event_id, ts, user_id)
+      in.addData(
+        EventStreams.Event(11, ts("09:50"), 1, "click", 0.0),
+        EventStreams.Event(12, ts("10:10"), 1, "purchase", 7.0),
+        EventStreams.Event(10, ts("10:00"), 2, "purchase", 5.0))
+      q.processAllAvailable()
+      // the matched pair emits eagerly; the unmatched purchase must NOT
+      // — a click time-stamped 09:30 could still arrive (disorder)
+      assert(rows() === Seq((12L, Some(11L))),
+        "unmatched purchase emitted before its window closed / matched pair not eager")
+      // advance BOTH watermark branches past 10:10 (the global
+      // watermark is the MIN of the click- and purchase-side branches,
+      // so clicks alone cannot move it): click+purchase at 12:30+
+      // on non-pairing users → watermark 11:30; the held purchase's
+      // null row flushes, exactly once
+      in.addData(
+        EventStreams.Event(13, ts("12:30"), 3, "click", 0.0),
+        EventStreams.Event(14, ts("12:35"), 4, "purchase", 1.0))
+      q.processAllAvailable()
+      in.addData(
+        EventStreams.Event(15, ts("12:50"), 3, "click", 0.0),
+        EventStreams.Event(16, ts("12:55"), 4, "purchase", 1.0))
+      q.processAllAvailable()
+      assert(rows() === Seq((10L, None), (12L, Some(11L))),
+        "watermark close must emit the null-credit row exactly once, " +
+          "and never a null row for an already-matched purchase")
+      // and a LATE click behind the closed window can no longer pair
+      in.addData(EventStreams.Event(17, ts("09:59"), 2, "click", 0.0))
+      q.processAllAvailable()
+      assert(rows() === Seq((10L, None), (12L, Some(11L))),
+        "a late click must not re-credit an already-closed purchase")
     } finally q.stop()
   }
 

@@ -158,6 +158,41 @@ class IvmAggJoinSpec extends SparkTestBase {
     touched.foreach(k => assert(before(k) !== after(k), s"$k not rewritten"))
   }
 
+  test("an unseeded pre-existing base bootstraps γ(A)⟕B once — retractions and untouched groups survive") {
+    val mc = new ManifestCommit(spark, tmpDir())
+    // (A, B) live, no view: pre-fix, the empty-frame fallback made a
+    // retraction vanish through filter(n > 0) and every untouched
+    // pre-existing group never materialize
+    val a = (0L until 32L).map(k => (k, k % 4, k * 10))
+      .toDF("k", "ck", "cents")
+    val b = (0L until 3L).map(ck => (ck, ck * 100 + 7))
+      .toDF("ck", "rate")
+    val nb = lit(B.toLong)
+    mc.commitPartitioned(Map(
+      "a" -> (("pk", a.withColumn("pk", pmod(col("k"), nb)),
+        (0L until B).toSeq)),
+      "b" -> (("pbk", b.withColumn("pbk", pmod(col("ck"), nb)),
+        (0L until B).toSeq)))): Unit
+    // first CDC epoch WITHOUT seedAggJoinView: a fact DELETE (retracts
+    // from a pre-existing group) + a dim re-rate — both demand the
+    // pre-existing aggregate exist
+    EventStreams.applyIvmAggJoinBatch(
+      chDF(Seq(ch("A", 4, 1, "D", 0, 0), ch("B", 1, 1, "U", 1, 999))),
+      mc, "a", "b", "v", epoch = 0L, queryId = "q", buckets = B)
+    val v0 = viewRows(mc)
+    assert(v0.map(_._1).toSet === Set(0L, 1L, 2L, 3L),
+      "bootstrap must materialize every pre-existing group")
+    assert(v0 === recompute(mc),
+      "bootstrapped view must equal the from-scratch aggregate")
+    assert(v0.find(_._1 == 0L).get._2 === 7L,
+      "the retraction must land on the bootstrapped count")
+    // the NEXT epoch takes the normal pruned delta path
+    EventStreams.applyIvmAggJoinBatch(
+      chDF(Seq(ch("A", 200, 2, "I", 2, 1234))), mc, "a", "b", "v",
+      epoch = 1L, queryId = "q", buckets = B)
+    assert(viewRows(mc) === recompute(mc))
+  }
+
   test("randomized two-sided CDC: 8 epochs of mixed churn, view == from-scratch aggregate after every epoch") {
     val mc = new ManifestCommit(spark, tmpDir())
     seed(mc)

@@ -172,6 +172,40 @@ class IvmJoinSpec extends SparkTestBase {
     }
   }
 
+  test("an unseeded pre-existing base bootstraps the view once — never silently drops pre-existing facts") {
+    val mc = new ManifestCommit(spark, tmpDir())
+    // a warehouse populated BEFORE IVM was enabled: (A, B) live, no
+    // view table — the case the appliers must recompute once, not
+    // mis-maintain (the pre-fix behavior: every untouched pre-existing
+    // fact row missing from the view, forever)
+    val a = (0L until 32L).map(k => (k, k % 4, k * 10))
+      .toDF("k", "ck", "cents")
+    val b = (0L until 3L).map(ck => (ck, ck * 100 + 7))
+      .toDF("ck", "rate")
+    val nb = lit(B.toLong)
+    mc.commitPartitioned(Map(
+      "a" -> (("pk", a.withColumn("pk", pmod(col("k"), nb)),
+        (0L until B).toSeq)),
+      "b" -> (("pbk", b.withColumn("pbk", pmod(col("ck"), nb)),
+        (0L until B).toSeq)))): Unit
+    // first CDC epoch arrives WITHOUT seedJoinView: one fact update +
+    // one dim update
+    EventStreams.applyIvmJoinBatch(
+      chDF(Seq(ch("A", 9, 1, "U", 1, 91), ch("B", 2, 1, "U", 2, 222))),
+      mc, "a", "b", "v", epoch = 0L, queryId = "q", buckets = B)
+    val v0 = viewRows(mc)
+    assert(v0.size === 32,
+      "bootstrap must materialize every pre-existing fact row")
+    assert(v0 === recompute(mc),
+      "bootstrapped view must equal the from-scratch join")
+    // the NEXT epoch takes the normal pruned path on the now-live view
+    EventStreams.applyIvmJoinBatch(
+      chDF(Seq(ch("A", 4, 2, "D", 0, 0))), mc, "a", "b", "v",
+      epoch = 1L, queryId = "q", buckets = B)
+    assert(viewRows(mc) === recompute(mc))
+    assert(!viewRows(mc).exists(_._1 == 4L))
+  }
+
   test("replay and zombie lineages are refused; an applied epoch is exactly once") {
     val mc = new ManifestCommit(spark, tmpDir())
     seed(mc)

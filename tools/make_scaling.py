@@ -87,8 +87,9 @@ def main():
     for q in sorted(set(small) | set(big) | err_s | err_b):
         if q not in small or q not in big:
             if q in err_s or q in err_b:
-                rows[q] = {"error": True, "error_side":
-                    ("small" if q not in small else "big")}
+                side = ("both" if q not in small and q not in big
+                        else "small" if q not in small else "big")
+                rows[q] = {"error": True, "error_side": side}
             # else: present in only one sweep (registry drift) — skip
             continue
         ts, tb = small[q], big[q]
