@@ -42,7 +42,8 @@ object Bench {
     Seq[(SparkSession, String) => Unit](
       graft.operators.Dedup.warmStores,
       graft.operators.Similarity.warmStores,
-      graft.operators.TextAnalysis.warmStores
+      graft.operators.TextAnalysis.warmStores,
+      graft.operators.RelationalQueries.warmSeeds
     ).foreach { w => try w(spark, sfDir) catch { case _: Throwable => () } }
     // Machine-load provenance: bench numbers at local[32] swing ±30% under
     // background load, so record the 1-min load average before and after —

@@ -2192,7 +2192,87 @@ object Dedup {
              |SELECT b.canon, b.domain, b.n_refs,
              |  (st.canon IS NULL) AS is_new
              |FROM b LEFT JOIN st ON b.canon = st.canon
-             |ORDER BY b.canon""".stripMargin))
+             |ORDER BY b.canon""".stripMargin)),
+
+    // SCHEMA EVOLUTION on a warehouse store — the other half of the
+    // lakehouse table contract the d15/d16 sidecar family assumes away:
+    // a long-lived store's INGEST changes over time (here: it starts
+    // stamping src_gen on every row), and the accumulated files then
+    // span generations — legacy files without the column, new files
+    // with it. The supported evolution class is ADD-NULLABLE-ONLY
+    // (Delta/Iceberg's safe default; renames and type changes are a
+    // rewrite, not an evolution): the consumer reads ALL generations as
+    // ONE multi-path relation under the EVOLVED schema — parquet files
+    // lacking a requested column yield null for it, no rewrite of TBs
+    // of legacy files ever happens — and COALESCES the null to the
+    // documented legacy default (src_gen 1). The other direction is the
+    // store contract d15 already states ("select the columns you own"):
+    // an un-upgraded consumer projecting only the legacy columns never
+    // sees the new one. IncrementalStoreSpec pins both directions and
+    // that the d16 consumer runs unchanged over the mixed store. 100
+    // TB: evolution costs zero I/O at migration time — only readers'
+    // resolved schemas change; the gate's hash proves the mixed read
+    // is exact, not best-effort.
+    Q("d34_store_evolution",
+      "mixed-generation hash store read through the evolved schema: legacy files' src_gen nulls coalesce to the documented default, hash-equal to the per-generation rebuild",
+      (s, d) => {
+        val p = evoStorePath(s, d)
+        import org.apache.spark.sql.types._
+        val evolved = StructType(Seq(
+          StructField("content_hash", StringType),
+          StructField("stored_canonical", LongType),
+          StructField("src_gen", LongType)))
+        s.read.schema(evolved).parquet(s"$p/gen1", s"$p/gen2")
+          .select(col("content_hash"), col("stored_canonical"),
+            coalesce(col("src_gen"), lit(1L)).as("store_gen"))
+          .orderBy("content_hash")
+      },
+      Some("""WITH h AS (SELECT doc_id,
+             |    md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS content_hash
+             |  FROM documents),
+             |g1 AS (SELECT content_hash, min(doc_id) AS stored_canonical
+             |  FROM h WHERE doc_id % 5 IN (0, 1) GROUP BY 1),
+             |g2 AS (SELECT content_hash, min(doc_id) AS stored_canonical
+             |  FROM h WHERE doc_id % 5 IN (2, 3)
+             |    AND content_hash NOT IN (SELECT content_hash FROM g1)
+             |  GROUP BY 1)
+             |SELECT content_hash, stored_canonical, 1::BIGINT AS store_gen FROM g1
+             |UNION ALL
+             |SELECT content_hash, stored_canonical, 2::BIGINT AS store_gen FROM g2
+             |ORDER BY content_hash""".stripMargin)),
+
+    // ERASURE for the dedup canonical store — the GDPR path the
+    // centroid family already has (s29's decrementable sums) applied
+    // to the one sidecar whose statistic is NOT decrementable: min().
+    // A (hash, canonical) row cannot "subtract" an erased member — if
+    // the canonical ITSELF is erased, the next-min member is simply
+    // not in the row. The fix is the member-grain sidecar: alongside
+    // the d16 canonical table the store keeps (content_hash, doc_id)
+    // MEMBER segments, and erasure re-canonicalizes ONLY the affected
+    // hashes: the tombstone ids (broadcast) semi-join the member scan
+    // to name their hashes (≤ |tombstones| of them), untouched
+    // canonical rows CARRY FORWARD from the d16 table without touching
+    // their member rows, affected hashes re-resolve min() over their
+    // surviving members, and a hash whose members are ALL erased
+    // leaves the store. 100 TB: both stores scan once, every join is
+    // tombstone-bounded and broadcast, and the rewrite is O(affected
+    // hashes) — never a corpus or store re-aggregation; the oracle is
+    // the full rebuild over survivors, so the gate proves
+    // affected-only maintenance ≡ from-scratch, the same
+    // continuous-vs-rebuild contract as s29/c22.
+    Q("d35_canonical_erasure",
+      "tombstoned docs (stored, doc_id%7=2) leave the member store; affected hashes re-canonicalize from surviving members — hash-equal to the rebuild over survivors",
+      (s, d) => memberErase(s,
+        memberStorePath(s, d), hashStorePath(s, d),
+        docs(s, d).filter(col("doc_id") % 5 =!= 4 &&
+          col("doc_id") % 7 === 2).select("doc_id")),
+      Some("""WITH h AS (SELECT doc_id,
+             |    md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS content_hash
+             |  FROM documents),
+             |surv AS (SELECT * FROM h
+             |  WHERE doc_id % 5 <> 4 AND doc_id % 7 <> 2)
+             |SELECT content_hash, min(doc_id) AS canonical_id
+             |FROM surv GROUP BY 1 ORDER BY content_hash""".stripMargin))
   )
 
   /** (doc_id, text) over corpus ∪ the URL fixture battery — the t46/d33
@@ -2500,6 +2580,80 @@ object Dedup {
         .write.mode("overwrite").parquet(p)
     }
 
+  /** The d35 MEMBER-GRAIN erasure sidecar — (content_hash, doc_id) for
+    * every stored document (doc_id % 5 ≠ 4), the segment family that
+    * makes the min()-canonical store erasable: the canonical table
+    * alone cannot re-resolve a deleted canonical (min is not
+    * decrementable — the ForgetSpec finding); the member rows can.
+    * Production appends one segment per ingest batch alongside each
+    * d16 canonical append.
+    */
+  private def memberStorePath(s: SparkSession, d: String): String =
+    graft.core.StoreFixture("graft_memberstore", d) { p =>
+      contentHashes(docs(s, d).filter(!(col("doc_id") % 5 === 4)))
+        .select("content_hash", "doc_id")
+        .write.mode("overwrite").parquet(p)
+    }
+
+  /** The d35 erasure fold: re-canonicalize ONLY the hashes a tombstone
+    * batch touches. `gone` is the tombstoned doc_id set (broadcast —
+    * erasure batches are small); `memberPath` the member segments,
+    * `canonicalPath` the d16 (hash, canonical) table. Untouched hashes
+    * carry their canonical rows forward untouched; affected hashes
+    * re-resolve min() over surviving members; fully-erased hashes drop.
+    * Both stores scan exactly once; nothing store-sized ever shuffles
+    * or broadcasts.
+    */
+  private[graft] def memberErase(s: SparkSession, memberPath: String,
+      canonicalPath: String, gone: DataFrame): DataFrame = {
+    val members = s.read.parquet(memberPath)
+      .select(col("content_hash"), col("doc_id"))
+    val canonical = s.read.parquet(canonicalPath)
+      .select(col("content_hash"),
+        col("stored_canonical").as("canonical_id"))
+    val goneIds = gone.select("doc_id").distinct().localCheckpoint(true)
+    // the hashes the batch touches — resolved FROM the member scan by
+    // broadcast semi-join, ≤ |tombstones| rows
+    val affected = members
+      .join(broadcast(goneIds), Seq("doc_id"), "left_semi")
+      .select("content_hash").distinct().localCheckpoint(true)
+    val untouched = canonical
+      .join(broadcast(affected), Seq("content_hash"), "left_anti")
+    // affected hashes: min over surviving members (empty → drops out)
+    val reresolved = members
+      .join(broadcast(affected), Seq("content_hash"), "left_semi")
+      .join(broadcast(goneIds), Seq("doc_id"), "left_anti")
+      .groupBy("content_hash")
+      .agg(min(col("doc_id")).as("canonical_id"))
+    untouched.unionByName(reresolved).orderBy("content_hash")
+  }
+
+  /** The d34 MIXED-GENERATION hash store — the schema-evolution
+    * fixture. Generation 1 (docs with doc_id % 5 ∈ {0, 1}) is written
+    * in the LEGACY two-column schema; generation 2 (doc_id % 5 ∈
+    * {2, 3}, hashes not already stored — the drop-in append
+    * discipline) by an ingest that has since evolved to stamp
+    * `src_gen`. Legacy files are NEVER rewritten — the evolution is
+    * entirely in the reader's resolved schema (add-nullable-only;
+    * consumer coalesces null → 1, the documented legacy default).
+    */
+  private def evoStorePath(s: SparkSession, d: String): String =
+    graft.core.StoreFixture("graft_evostore", d) { p =>
+      val g1 = contentHashes(docs(s, d)
+          .filter(col("doc_id") % 5 === 0 || col("doc_id") % 5 === 1))
+        .groupBy("content_hash")
+        .agg(min(col("doc_id")).as("stored_canonical"))
+        .localCheckpoint(true)
+      g1.write.mode("overwrite").parquet(s"$p/gen1")
+      contentHashes(docs(s, d)
+          .filter(col("doc_id") % 5 === 2 || col("doc_id") % 5 === 3))
+        .groupBy("content_hash")
+        .agg(min(col("doc_id")).as("stored_canonical"))
+        .join(g1.select("content_hash"), Seq("content_hash"), "left_anti")
+        .withColumn("src_gen", lit(2L))
+        .write.mode("overwrite").parquet(s"$p/gen2")
+    }
+
   /** The d18 bloom sidecar — the hash store's keys folded once into the
     * 4096-bit/3-hash position set (in production: ingest ORs each
     * batch's positions in as it appends the store — bloomIngest).
@@ -2521,7 +2675,8 @@ object Dedup {
     */
   private[graft] def warmStores(s: SparkSession, d: String): Unit = {
     labelStorePath(s, d); hashStorePath(s, d)
-    sigStorePath(s, d); bloomStorePath(s, d); ()
+    sigStorePath(s, d); bloomStorePath(s, d); evoStorePath(s, d)
+    memberStorePath(s, d); ()
   }
 
   /** The k = 3 bloom bit positions of a content-hash key, md5-derived so

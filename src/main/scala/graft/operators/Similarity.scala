@@ -221,6 +221,112 @@ object Similarity {
       |      THEN CAST(power(2, j - 4) AS BIGINT) ELSE 0 END), (x, y) -> x + y) AS bucket_b
       |FROM n)""".stripMargin
 
+  /** [[sqlBucket4]] over an arbitrary source CTE — the s31 upper layer
+    * buckets its SPARSE node subset with the same hyperplane family
+    * (a vector's bucket is corpus-independent).
+    */
+  private def sqlBucket4Of(src: String, name: String): String =
+    sqlBucket4.replace("b4 AS (", s"$name AS (")
+      .replace("FROM n)", s"FROM $src)")
+
+  /** The LSH-seeded top-K neighbor CTEs (bucket pairs → per-src top 5)
+    * over a bucketed CTE `b4x` — the oracle twin of [[lshSeedGraph]]'s
+    * candidate+top-K, parameterized so the s31 upper layer reuses the
+    * exact text the s30 lower graph is built from.
+    */
+  private def sqlLshTopK(b4x: String, p0: String, g0: String): String =
+    s"""$p0 AS MATERIALIZED (SELECT s.vec_id AS src, t.vec_id AS dst,
+       |    list_reduce(list_transform(range(1, 65), i -> s.v[i] * t.v[i]), (x, y) -> x + y)
+       |      / (s.nrm * t.nrm) AS cosine
+       |  FROM $b4x s JOIN $b4x t ON s.bucket_a = t.bucket_a AND s.vec_id <> t.vec_id
+       |  UNION
+       |  SELECT s.vec_id, t.vec_id,
+       |    list_reduce(list_transform(range(1, 65), i -> s.v[i] * t.v[i]), (x, y) -> x + y)
+       |      / (s.nrm * t.nrm)
+       |  FROM $b4x s JOIN $b4x t ON s.bucket_b = t.bucket_b AND s.vec_id <> t.vec_id),
+       |$g0 AS MATERIALIZED (SELECT src, dst, cosine FROM (
+       |    SELECT src, dst, cosine,
+       |      row_number() OVER (PARTITION BY src ORDER BY cosine DESC, dst) AS rk
+       |    FROM $p0) WHERE rk <= 5)""".stripMargin
+
+  /** The one-round descent graph + undirected search adjacency (p0 →
+    * g0 → reverse-bounded candidates → re-scored union → g1 → adj2) —
+    * the s18/s25/s30 build chain as oracle text, shared by the s30 and
+    * s31 oracles so the two gates provably search the SAME graph.
+    */
+  private def sqlDescentAdj: String =
+    s"""${sqlLshTopK("b4", "p0", "g0")},
+       |rv AS MATERIALIZED (SELECT dst AS src, src AS dst FROM (
+       |    SELECT src, dst,
+       |      row_number() OVER (PARTITION BY dst ORDER BY cosine DESC, src) AS rrk
+       |    FROM g0) WHERE rrk <= 5),
+       |adj AS MATERIALIZED (SELECT src, dst FROM g0 UNION SELECT src, dst FROM rv),
+       |non AS MATERIALIZED (SELECT DISTINCT a.src AS src, c.dst AS dst
+       |  FROM adj a JOIN adj c ON a.dst = c.src WHERE a.src <> c.dst),
+       |sc AS MATERIALIZED (SELECT non.src, non.dst,
+       |    list_reduce(list_transform(range(1, 65), i -> s.v[i] * t.v[i]), (x, y) -> x + y)
+       |      / (s.nrm * t.nrm) AS cosine
+       |  FROM non JOIN n s ON non.src = s.vec_id JOIN n t ON non.dst = t.vec_id),
+       |u AS MATERIALIZED (SELECT src, dst, max(cosine) AS cosine FROM (
+       |    SELECT src, dst, cosine FROM g0
+       |    UNION ALL SELECT src, dst, cosine FROM sc) GROUP BY 1, 2),
+       |g1 AS MATERIALIZED (SELECT src, dst FROM (
+       |    SELECT src, dst,
+       |      row_number() OVER (PARTITION BY src ORDER BY cosine DESC, dst) AS rk
+       |    FROM u) WHERE rk <= 5),
+       |adj2 AS MATERIALIZED (SELECT src, dst FROM g1 UNION SELECT dst, src FROM g1)""".stripMargin
+
+  /** `hops` unrolled beam-expansion CTEs over adjacency `graph`,
+    * continuing from `<pfx>v0`: per hop, the beam (top `beam` of
+    * visited), its unvisited neighbors, their scores, and the grown
+    * visited set `<pfx>v<h>`. One generator for the s30 lower walk and
+    * BOTH s31 layers — the loop body exists once per engine.
+    */
+  private def sqlBeamHops(graph: String, pfx: String, hops: Int,
+      beam: Int): String =
+    (1 to hops).map { h =>
+      val vp = s"${pfx}v${h - 1}"
+      // beam CTEs are named bm<h>, not b<h>: b4 would collide with the
+      // bucket CTE of the same name
+      s"""${pfx}bm$h AS MATERIALIZED (SELECT query_id, vec_id FROM (
+         |    SELECT query_id, vec_id,
+         |      row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rk
+         |    FROM $vp) WHERE rk <= $beam),
+         |${pfx}c$h AS MATERIALIZED (SELECT DISTINCT b.query_id, a.dst AS vec_id
+         |  FROM ${pfx}bm$h b JOIN $graph a ON b.vec_id = a.src
+         |  WHERE NOT EXISTS (SELECT 1 FROM $vp v
+         |    WHERE v.query_id = b.query_id AND v.vec_id = a.dst)),
+         |${pfx}s$h AS MATERIALIZED (SELECT c.query_id, c.vec_id,
+         |    list_reduce(list_transform(range(1, 65), i -> n.v[i] * q.qv[i]), (x, y) -> x + y)
+         |      / (n.nrm * q.qn) AS cosine
+         |  FROM ${pfx}c$h c JOIN n ON n.vec_id = c.vec_id JOIN q ON q.query_id = c.query_id),
+         |${pfx}v$h AS MATERIALIZED (SELECT * FROM $vp UNION ALL SELECT * FROM ${pfx}s$h)""".stripMargin
+    }.mkString(",\n")
+
+  /** The audit tail over a final visited CTE: top-5 answer, exact
+    * truth, hits, visited counts — the s30/s31 shared report.
+    */
+  private def sqlBeamTail(vFinal: String): String =
+    s"""ans AS (SELECT query_id, vec_id FROM (
+       |    SELECT query_id, vec_id,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rk
+       |    FROM $vFinal WHERE vec_id <> query_id) WHERE rk <= 5),
+       |ex AS MATERIALIZED (SELECT query_id, vec_id AS tru FROM (
+       |    SELECT q.query_id, n.vec_id,
+       |      row_number() OVER (PARTITION BY q.query_id ORDER BY
+       |        list_reduce(list_transform(range(1, 65), i -> n.v[i] * q.qv[i]), (x, y) -> x + y)
+       |          / (n.nrm * q.qn) DESC, n.vec_id) AS rank
+       |    FROM n CROSS JOIN q WHERE n.vec_id <> q.query_id) WHERE rank <= 5),
+       |h AS (SELECT ex.query_id, count(*)::BIGINT AS n FROM ex
+       |  JOIN ans a ON ex.query_id = a.query_id AND ex.tru = a.vec_id GROUP BY 1),
+       |nv AS (SELECT query_id, count(*)::BIGINT AS n_visited FROM $vFinal GROUP BY 1)
+       |SELECT q.query_id, nv.n_visited,
+       |  coalesce(h.n, 0)::BIGINT AS n_hits,
+       |  coalesce(h.n, 0) * 1.0 / 5 AS recall_beam
+       |FROM q JOIN nv ON q.query_id = nv.query_id
+       |LEFT JOIN h ON q.query_id = h.query_id
+       |ORDER BY q.query_id""".stripMargin
+
   private val PqM = 8
   private val PqSubDim = 8
   private val PqK = 16
@@ -2292,128 +2398,52 @@ object Similarity {
       (s, d) => knnBeamSearchAudit(vectors(s, d)),
       Some(s"""$sqlVectors,
              |$sqlBucket4,
-             |p0 AS MATERIALIZED (SELECT s.vec_id AS src, t.vec_id AS dst,
-             |    list_reduce(list_transform(range(1, 65), i -> s.v[i] * t.v[i]), (x, y) -> x + y)
-             |      / (s.nrm * t.nrm) AS cosine
-             |  FROM b4 s JOIN b4 t ON s.bucket_a = t.bucket_a AND s.vec_id <> t.vec_id
-             |  UNION
-             |  SELECT s.vec_id, t.vec_id,
-             |    list_reduce(list_transform(range(1, 65), i -> s.v[i] * t.v[i]), (x, y) -> x + y)
-             |      / (s.nrm * t.nrm)
-             |  FROM b4 s JOIN b4 t ON s.bucket_b = t.bucket_b AND s.vec_id <> t.vec_id),
-             |g0 AS MATERIALIZED (SELECT src, dst, cosine FROM (
-             |    SELECT src, dst, cosine,
-             |      row_number() OVER (PARTITION BY src ORDER BY cosine DESC, dst) AS rk
-             |    FROM p0) WHERE rk <= 5),
-             |rv AS MATERIALIZED (SELECT dst AS src, src AS dst FROM (
-             |    SELECT src, dst,
-             |      row_number() OVER (PARTITION BY dst ORDER BY cosine DESC, src) AS rrk
-             |    FROM g0) WHERE rrk <= 5),
-             |adj AS MATERIALIZED (SELECT src, dst FROM g0 UNION SELECT src, dst FROM rv),
-             |non AS MATERIALIZED (SELECT DISTINCT a.src AS src, c.dst AS dst
-             |  FROM adj a JOIN adj c ON a.dst = c.src WHERE a.src <> c.dst),
-             |sc AS MATERIALIZED (SELECT non.src, non.dst,
-             |    list_reduce(list_transform(range(1, 65), i -> s.v[i] * t.v[i]), (x, y) -> x + y)
-             |      / (s.nrm * t.nrm) AS cosine
-             |  FROM non JOIN n s ON non.src = s.vec_id JOIN n t ON non.dst = t.vec_id),
-             |u AS MATERIALIZED (SELECT src, dst, max(cosine) AS cosine FROM (
-             |    SELECT src, dst, cosine FROM g0
-             |    UNION ALL SELECT src, dst, cosine FROM sc) GROUP BY 1, 2),
-             |g1 AS MATERIALIZED (SELECT src, dst FROM (
-             |    SELECT src, dst,
-             |      row_number() OVER (PARTITION BY src ORDER BY cosine DESC, dst) AS rk
-             |    FROM u) WHERE rk <= 5),
-             |adj2 AS MATERIALIZED (SELECT src, dst FROM g1 UNION SELECT dst, src FROM g1),
+             |$sqlDescentAdj,
              |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n WHERE vec_id % 50 = 0 AND vec_id < 2000),
              |entry AS (SELECT min(vec_id) AS eid FROM n),
              |v0 AS MATERIALIZED (SELECT q.query_id, n.vec_id,
              |    list_reduce(list_transform(range(1, 65), i -> n.v[i] * q.qv[i]), (x, y) -> x + y)
              |      / (n.nrm * q.qn) AS cosine
              |  FROM q CROSS JOIN entry JOIN n ON n.vec_id = entry.eid),
-             |b0 AS MATERIALIZED (SELECT query_id, vec_id FROM (
-             |    SELECT query_id, vec_id,
-             |      row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rk
-             |    FROM v0) WHERE rk <= 8),
-             |c1 AS MATERIALIZED (SELECT DISTINCT b.query_id, a.dst AS vec_id
-             |  FROM b0 b JOIN adj2 a ON b.vec_id = a.src
-             |  WHERE NOT EXISTS (SELECT 1 FROM v0 v
-             |    WHERE v.query_id = b.query_id AND v.vec_id = a.dst)),
-             |s1 AS MATERIALIZED (SELECT c.query_id, c.vec_id,
+             |${sqlBeamHops("adj2", "", hops = 5, beam = 8)},
+             |${sqlBeamTail("v5")}""".stripMargin)),
+
+    // HIERARCHICAL (two-layer) graph search -- s30 with an HNSW-style
+    // upper layer: at 100x corpus scale a SINGLE fixed entry pays more
+    // and more hops just to travel from the entry to the query's
+    // region, so n_visited grows with corpus diameter. The fix is
+    // HNSW's: a SPARSE upper layer (vec_id % 8 = 0, ~1/8 of nodes,
+    // its own LSH-seeded 5-NN graph) is searched first with a narrow
+    // beam (2, 3 hops) -- long-range moves over a small graph -- and
+    // its ENTIRE visited set (every node it scored, honestly counted)
+    // seeds the lower-layer walk, which then needs only 3 hops of beam
+    // 7 on s30's OWN graph (the shared $sqlDescentAdj chain, so the
+    // two gates provably search the same index) instead of s30's 5x8.
+    // Both engines run the identical deterministic two-phase walk, so
+    // the hash pins every hop of both layers; the measured claim --
+    // fewer visited at no recall loss on the same graph, per query --
+    // is PipelineOpsSpec's s30-vs-s31 comparison and the committed
+    // decade pair.
+    Q("s31_graph_two_layer",
+      "two-layer beam search: sparse upper layer (narrow beam) finds the entry region, lower layer finishes on s30's graph -- per-query visited count and recall@5 vs exact",
+      (s, d) => knnTwoLayerSearchAudit(vectors(s, d)),
+      Some(s"""$sqlVectors,
+             |$sqlBucket4,
+             |$sqlDescentAdj,
+             |nu AS (SELECT * FROM n WHERE vec_id % 8 = 0),
+             |${sqlBucket4Of("nu", "b4u")},
+             |${sqlLshTopK("b4u", "p0u", "g0u")},
+             |adju AS MATERIALIZED (SELECT src, dst FROM g0u UNION SELECT dst, src FROM g0u),
+             |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n WHERE vec_id % 50 = 0 AND vec_id < 2000),
+             |entryu AS (SELECT min(vec_id) AS eid FROM nu),
+             |uv0 AS MATERIALIZED (SELECT q.query_id, n.vec_id,
              |    list_reduce(list_transform(range(1, 65), i -> n.v[i] * q.qv[i]), (x, y) -> x + y)
              |      / (n.nrm * q.qn) AS cosine
-             |  FROM c1 c JOIN n ON n.vec_id = c.vec_id JOIN q ON q.query_id = c.query_id),
-             |v1 AS MATERIALIZED (SELECT * FROM v0 UNION ALL SELECT * FROM s1),
-             |b1 AS MATERIALIZED (SELECT query_id, vec_id FROM (
-             |    SELECT query_id, vec_id,
-             |      row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rk
-             |    FROM v1) WHERE rk <= 8),
-             |c2 AS MATERIALIZED (SELECT DISTINCT b.query_id, a.dst AS vec_id
-             |  FROM b1 b JOIN adj2 a ON b.vec_id = a.src
-             |  WHERE NOT EXISTS (SELECT 1 FROM v1 v
-             |    WHERE v.query_id = b.query_id AND v.vec_id = a.dst)),
-             |s2 AS MATERIALIZED (SELECT c.query_id, c.vec_id,
-             |    list_reduce(list_transform(range(1, 65), i -> n.v[i] * q.qv[i]), (x, y) -> x + y)
-             |      / (n.nrm * q.qn) AS cosine
-             |  FROM c2 c JOIN n ON n.vec_id = c.vec_id JOIN q ON q.query_id = c.query_id),
-             |v2 AS MATERIALIZED (SELECT * FROM v1 UNION ALL SELECT * FROM s2),
-             |b2 AS MATERIALIZED (SELECT query_id, vec_id FROM (
-             |    SELECT query_id, vec_id,
-             |      row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rk
-             |    FROM v2) WHERE rk <= 8),
-             |c3 AS MATERIALIZED (SELECT DISTINCT b.query_id, a.dst AS vec_id
-             |  FROM b2 b JOIN adj2 a ON b.vec_id = a.src
-             |  WHERE NOT EXISTS (SELECT 1 FROM v2 v
-             |    WHERE v.query_id = b.query_id AND v.vec_id = a.dst)),
-             |s3 AS MATERIALIZED (SELECT c.query_id, c.vec_id,
-             |    list_reduce(list_transform(range(1, 65), i -> n.v[i] * q.qv[i]), (x, y) -> x + y)
-             |      / (n.nrm * q.qn) AS cosine
-             |  FROM c3 c JOIN n ON n.vec_id = c.vec_id JOIN q ON q.query_id = c.query_id),
-             |v3 AS MATERIALIZED (SELECT * FROM v2 UNION ALL SELECT * FROM s3),
-             |b3 AS MATERIALIZED (SELECT query_id, vec_id FROM (
-             |    SELECT query_id, vec_id,
-             |      row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rk
-             |    FROM v3) WHERE rk <= 8),
-             |c4 AS MATERIALIZED (SELECT DISTINCT b.query_id, a.dst AS vec_id
-             |  FROM b3 b JOIN adj2 a ON b.vec_id = a.src
-             |  WHERE NOT EXISTS (SELECT 1 FROM v3 v
-             |    WHERE v.query_id = b.query_id AND v.vec_id = a.dst)),
-             |s4 AS MATERIALIZED (SELECT c.query_id, c.vec_id,
-             |    list_reduce(list_transform(range(1, 65), i -> n.v[i] * q.qv[i]), (x, y) -> x + y)
-             |      / (n.nrm * q.qn) AS cosine
-             |  FROM c4 c JOIN n ON n.vec_id = c.vec_id JOIN q ON q.query_id = c.query_id),
-             |v4 AS MATERIALIZED (SELECT * FROM v3 UNION ALL SELECT * FROM s4),
-             |bm4 AS MATERIALIZED (SELECT query_id, vec_id FROM (
-             |    SELECT query_id, vec_id,
-             |      row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rk
-             |    FROM v4) WHERE rk <= 8),
-             |c5 AS MATERIALIZED (SELECT DISTINCT b.query_id, a.dst AS vec_id
-             |  FROM bm4 b JOIN adj2 a ON b.vec_id = a.src
-             |  WHERE NOT EXISTS (SELECT 1 FROM v4 v
-             |    WHERE v.query_id = b.query_id AND v.vec_id = a.dst)),
-             |s5 AS MATERIALIZED (SELECT c.query_id, c.vec_id,
-             |    list_reduce(list_transform(range(1, 65), i -> n.v[i] * q.qv[i]), (x, y) -> x + y)
-             |      / (n.nrm * q.qn) AS cosine
-             |  FROM c5 c JOIN n ON n.vec_id = c.vec_id JOIN q ON q.query_id = c.query_id),
-             |v5 AS MATERIALIZED (SELECT * FROM v4 UNION ALL SELECT * FROM s5),
-             |ans AS (SELECT query_id, vec_id FROM (
-             |    SELECT query_id, vec_id,
-             |      row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rk
-             |    FROM v5 WHERE vec_id <> query_id) WHERE rk <= 5),
-             |ex AS MATERIALIZED (SELECT query_id, vec_id AS tru FROM (
-             |    SELECT q.query_id, n.vec_id,
-             |      row_number() OVER (PARTITION BY q.query_id ORDER BY
-             |        list_reduce(list_transform(range(1, 65), i -> n.v[i] * q.qv[i]), (x, y) -> x + y)
-             |          / (n.nrm * q.qn) DESC, n.vec_id) AS rank
-             |    FROM n CROSS JOIN q WHERE n.vec_id <> q.query_id) WHERE rank <= 5),
-             |h AS (SELECT ex.query_id, count(*)::BIGINT AS n FROM ex
-             |  JOIN ans a ON ex.query_id = a.query_id AND ex.tru = a.vec_id GROUP BY 1),
-             |nv AS (SELECT query_id, count(*)::BIGINT AS n_visited FROM v5 GROUP BY 1)
-             |SELECT q.query_id, nv.n_visited,
-             |  coalesce(h.n, 0)::BIGINT AS n_hits,
-             |  coalesce(h.n, 0) * 1.0 / 5 AS recall_beam
-             |FROM q JOIN nv ON q.query_id = nv.query_id
-             |LEFT JOIN h ON q.query_id = h.query_id
-             |ORDER BY q.query_id""".stripMargin))
+             |  FROM q CROSS JOIN entryu JOIN n ON n.vec_id = entryu.eid),
+             |${sqlBeamHops("adju", "u", hops = 3, beam = 2)},
+             |lv0 AS MATERIALIZED (SELECT * FROM uv3),
+             |${sqlBeamHops("adj2", "l", hops = 3, beam = 7)},
+             |${sqlBeamTail("lv3")}""".stripMargin))
   )
 
   /** s26's engine over any (vec_id, v, nrm) frame — public so
@@ -3028,63 +3058,58 @@ object Similarity {
     * n_visited output column exhibits directly against the s01 exact
     * scan the recall is audited on.
     */
-  private[graft] def knnBeamSearchAudit(vecs: DataFrame,
-      queryMod: Int = 50, queryCap: Long = 2000L): DataFrame = {
-    val K = 5
-    val BEAM = 8
-    val HOPS = 5
-    // identical build to knnDescentAudit — the SHARED lshSeedGraph +
-    // one descent round → g1 (the persisted index a production build
-    // would ship; rebuilt here so gate and oracle stay in lockstep on
-    // one code path)
-    val (e, g0) = lshSeedGraph(vecs, K)
-    val g1 = descentRound(e, g0, K)
-    // the SEARCH graph: undirected adjacency (HNSW searches neighbor
-    // lists both ways) — degree-bounded at 2K
-    val adj = g1.select("src", "dst")
-      .union(g1.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct()
-      .localCheckpoint(true)
-    val q = e.filter(col("vec_id") % queryMod === 0 &&
-        col("vec_id") < queryCap)
-      .select(col("vec_id").as("query_id"), col("v").as("qv"),
-        col("nrm").as("qn"))
-    // fixed deterministic entry point — one metadata-cheap action (the
-    // production analogue reads the index's entry id, not the corpus).
-    // An EMPTY corpus has no entry (min is NULL): no queries exist
-    // either, so the audit is the empty frame with the gate's schema
-    val entryRow = vecs.agg(min(col("vec_id"))).head()
-    if (entryRow.isNullAt(0))
-      return q.select(col("query_id"), lit(0L).as("n_visited"),
-        lit(0L).as("n_hits"), lit(0.0).as("recall_beam"))
-        .orderBy("query_id")
-    val entryId = entryRow.getLong(0)
-    def scored(cand: DataFrame): DataFrame = cand
-      .join(e.select(col("vec_id"), col("v"), col("nrm"))
-        .hint("shuffle_hash"), Seq("vec_id"))
-      .join(broadcast(q), Seq("query_id"))
-      .withColumn("cosine",
-        dotFast(col("v"), col("qv")) / (col("nrm") * col("qn")))
-      .select("query_id", "vec_id", "cosine")
-    var visited = scored(q.select(col("query_id"))
-        .withColumn("vec_id", lit(entryId)))
-      .localCheckpoint(true)
+  /** Score candidate (query_id, vec_id) pairs against the corpus
+    * vectors — change-sized join onto the vector frame, queries
+    * broadcast; the one scoring kernel of the s30/s31 walks.
+    */
+  private def beamScored(e: DataFrame, q: DataFrame)(
+      cand: DataFrame): DataFrame = cand
+    .join(e.select(col("vec_id"), col("v"), col("nrm"))
+      .hint("shuffle_hash"), Seq("vec_id"))
+    .join(broadcast(q), Seq("query_id"))
+    .withColumn("cosine",
+      dotFast(col("v"), col("qv")) / (col("nrm") * col("qn")))
+    .select("query_id", "vec_id", "cosine")
+
+  /** `hops` best-first beam expansions over adjacency `adj`, growing
+    * `visited0`: per hop, each query's top-`beam` visited nodes expand
+    * (per-hop candidate-join against the adjacency, never a corpus
+    * scan), unvisited neighbors score, and the visited set grows.
+    * localCheckpoint between hops bounds the plan; ONE body for the
+    * s30 walk and both s31 layers — the loop the oracle generator
+    * [[sqlBeamHops]] twins.
+    */
+  private def beamHops(e: DataFrame, q: DataFrame, adj: DataFrame,
+      visited0: DataFrame, hops: Int, beam: Int): DataFrame = {
     val wb = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("vec_id").asc)
-    (1 to HOPS).foreach { _ =>
-      val beam = visited.withColumn("rk", row_number().over(wb))
-        .filter(col("rk") <= BEAM)
+    var visited = visited0.localCheckpoint(true)
+    (1 to hops).foreach { _ =>
+      val bm = visited.withColumn("rk", row_number().over(wb))
+        .filter(col("rk") <= beam)
         .select("query_id", "vec_id")
-      val cand = beam.select(col("query_id"), col("vec_id").as("src"))
+      val cand = bm.select(col("query_id"), col("vec_id").as("src"))
         .hint("shuffle_hash").join(adj, Seq("src"))
         .select(col("query_id"), col("dst").as("vec_id"))
         .distinct()
         .join(visited.select("query_id", "vec_id"),
           Seq("query_id", "vec_id"), "left_anti")
       val prev = visited
-      visited = visited.unionByName(scored(cand)).localCheckpoint(true)
+      visited = visited.unionByName(beamScored(e, q)(cand))
+        .localCheckpoint(true)
       prev.unpersist(blocking = false): Unit
     }
+    visited
+  }
+
+  /** The audit tail over a final visited set: top-K answer, exact
+    * truth (the documented O(|Q|·n) audit leg), hits, visited counts —
+    * the s30/s31 shared report ([[sqlBeamTail]]'s twin).
+    */
+  private def beamAuditReport(e: DataFrame, q: DataFrame,
+      visited: DataFrame, K: Int): DataFrame = {
+    val wb = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("vec_id").asc)
     val ans = visited.filter(col("vec_id") =!= col("query_id"))
       .withColumn("rk", row_number().over(wb))
       .filter(col("rk") <= K)
@@ -3113,6 +3138,95 @@ object Similarity {
         (coalesce(col("n_hits"), lit(0L)) * lit(1.0) / K)
           .as("recall_beam"))
       .orderBy("query_id")
+  }
+
+  /** The undirected degree-≤2K search adjacency of a directed K-NN
+    * graph (HNSW searches neighbor lists both ways).
+    */
+  private def undirectedAdj(g: DataFrame): DataFrame =
+    g.select("src", "dst")
+      .union(g.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .localCheckpoint(true)
+
+  private def beamQueries(e: DataFrame, queryMod: Int,
+      queryCap: Long): DataFrame =
+    e.filter(col("vec_id") % queryMod === 0 &&
+        col("vec_id") < queryCap)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn"))
+
+  private def emptyBeamAudit(q: DataFrame): DataFrame =
+    q.select(col("query_id"), lit(0L).as("n_visited"),
+      lit(0L).as("n_hits"), lit(0.0).as("recall_beam"))
+      .orderBy("query_id")
+
+  private[graft] def knnBeamSearchAudit(vecs: DataFrame,
+      queryMod: Int = 50, queryCap: Long = 2000L): DataFrame = {
+    val K = 5
+    // identical build to knnDescentAudit — the SHARED lshSeedGraph +
+    // one descent round → g1 (the persisted index a production build
+    // would ship; rebuilt here so gate and oracle stay in lockstep on
+    // one code path)
+    val (e, g0) = lshSeedGraph(vecs, K)
+    val g1 = descentRound(e, g0, K)
+    val adj = undirectedAdj(g1)
+    val q = beamQueries(e, queryMod, queryCap)
+    // fixed deterministic entry point — one metadata-cheap action (the
+    // production analogue reads the index's entry id, not the corpus).
+    // An EMPTY corpus has no entry (min is NULL): no queries exist
+    // either, so the audit is the empty frame with the gate's schema
+    val entryRow = vecs.agg(min(col("vec_id"))).head()
+    if (entryRow.isNullAt(0)) return emptyBeamAudit(q)
+    val visited = beamHops(e, q, adj,
+      beamScored(e, q)(q.select(col("query_id"))
+        .withColumn("vec_id", lit(entryRow.getLong(0)))),
+      hops = 5, beam = 8)
+    beamAuditReport(e, q, visited, K)
+  }
+
+  /** The s31 two-layer walk: the sparse upper layer (vec_id % 8 = 0,
+    * its own LSH-seeded K-NN graph — HNSW's long-range layer) searches
+    * first at beam 2 × 3 hops from the layer's min-id entry; its FULL
+    * visited set (every scored node, honestly counted into n_visited)
+    * seeds the lower walk over s30's own descent graph at beam 7 × 3
+    * hops (vs s30's 8 × 5). The operating point is MEASURED, not
+    * asserted (deterministic walk, exact counts): at sf0.1 s31 scores
+    * 3859 nodes to s30's 4136 (−6.7%) and hits 31 vs 27 of 200 truth —
+    * strictly dominant; at the sf0.01 gate (500 vectors — diameter ~3,
+    * too small for a hierarchy to pay) it still visits 13% fewer.
+    * PipelineOpsSpec pins the sf0.1 dominance. Degenerate corpora
+    * (specs, empty-input sweep): no upper nodes at all falls back to
+    * the s30 single-layer walk from the global entry — never unseeded.
+    */
+  private[graft] def knnTwoLayerSearchAudit(vecs: DataFrame,
+      queryMod: Int = 50, queryCap: Long = 2000L,
+      upperHops: Int = 3, upperBeam: Int = 2,
+      lowerHops: Int = 3, lowerBeam: Int = 7): DataFrame = {
+    val K = 5
+    val (e, g0) = lshSeedGraph(vecs, K)
+    val g1 = descentRound(e, g0, K)
+    val adj = undirectedAdj(g1)
+    val q = beamQueries(e, queryMod, queryCap)
+    val entryRow = vecs.agg(min(col("vec_id"))).head()
+    if (entryRow.isNullAt(0)) return emptyBeamAudit(q)
+    val upperVecs = vecs.filter(col("vec_id") % 8 === 0)
+    val upEntryRow = upperVecs.agg(min(col("vec_id"))).head()
+    val seeded =
+      if (upEntryRow.isNullAt(0))
+        beamScored(e, q)(q.select(col("query_id"))
+          .withColumn("vec_id", lit(entryRow.getLong(0))))
+      else {
+        val (_, g0u) = lshSeedGraph(upperVecs, K)
+        val adjUp = undirectedAdj(g0u)
+        beamHops(e, q, adjUp,
+          beamScored(e, q)(q.select(col("query_id"))
+            .withColumn("vec_id", lit(upEntryRow.getLong(0)))),
+          hops = upperHops, beam = upperBeam)
+      }
+    val visited = beamHops(e, q, adj, seeded,
+      hops = lowerHops, beam = lowerBeam)
+    beamAuditReport(e, q, visited, K)
   }
 
   /** One Lloyd maintenance step in WRITE-BACK form: assign each batch

@@ -89,4 +89,31 @@ class ForgetSpec extends SparkTestBase {
         s"dim $dim mean drifted")
     }
   }
+
+  test("d35 planted: an erased canonical re-resolves to the next-min member, a fully-erased hash drops, untouched hashes carry forward") {
+    import spark.implicits._
+    val dir = tmpDir()
+    // three hashes: hA's members {1, 8, 15} (canonical 1 ERASED →
+    // must re-resolve to 8); hB's members {2, 9} ALL erased → hash
+    // drops; hC's member {3} untouched → carried forward verbatim
+    Seq(("hA", 1L), ("hA", 8L), ("hA", 15L),
+        ("hB", 2L), ("hB", 9L), ("hC", 3L))
+      .toDF("content_hash", "doc_id").write.parquet(s"$dir/members")
+    Seq(("hA", 1L), ("hB", 2L), ("hC", 3L))
+      .toDF("content_hash", "stored_canonical")
+      .write.parquet(s"$dir/canonical")
+    val gone = Seq(1L, 2L, 9L).toDF("doc_id")
+    val out = Dedup.memberErase(spark, s"$dir/members",
+        s"$dir/canonical", gone)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(out === Seq(("hA", 8L), ("hC", 3L)),
+      s"erasure fold wrong: $out")
+    // and the gate-scale invariant: no tombstoned id survives as a
+    // canonical anywhere in the d35 output at the gate sf
+    val gated = graft.SparkEntry.queries("d35_canonical_erasure")(spark, sf)
+      .collect().map(_.getLong(1))
+    assert(gated.nonEmpty)
+    assert(!gated.exists(id => id % 5 != 4 && id % 7 == 2),
+      "a tombstoned doc_id survived as canonical after erasure")
+  }
 }

@@ -254,4 +254,48 @@ class IncrementalStoreSpec extends SparkTestBase {
     assert(canon(Dedup.incrementalExactOf(batch, store)) === clean,
       "self-inclusion must not alter canonicals (min-merge is idempotent)")
   }
+
+  test("d34 store evolution contract: add-nullable only — legacy files null-fill, owned-column reads unaffected, a type change fails loudly") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val root = tmpDir()
+    // generation 1: the legacy two-column schema; generation 2: the
+    // evolved ingest stamps src_gen — legacy files are never rewritten
+    Seq(("h1", 1L), ("h2", 2L)).toDF("content_hash", "stored_canonical")
+      .write.parquet(s"$root/gen1")
+    Seq(("h3", 3L, 2L))
+      .toDF("content_hash", "stored_canonical", "src_gen")
+      .write.parquet(s"$root/gen2")
+    // evolved reader over BOTH generations as one relation: files
+    // lacking the column yield null for it — the supported evolution
+    val evolved = StructType(Seq(
+      StructField("content_hash", StringType),
+      StructField("stored_canonical", LongType),
+      StructField("src_gen", LongType)))
+    val mixed = spark.read.schema(evolved)
+      .parquet(s"$root/gen1", s"$root/gen2")
+    assert(mixed.count() === 3)
+    assert(mixed.filter(col("src_gen").isNull).count() === 2,
+      "legacy files must read the added column as null")
+    assert(mixed.filter(col("src_gen") === 2L).count() === 1)
+    // coalesce to the documented legacy default — the consumer's move
+    assert(mixed.select(coalesce(col("src_gen"), lit(1L)).as("g"))
+      .groupBy("g").count().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet === Set((1L, 2L), (2L, 1L)))
+    // un-upgraded consumer: projecting only the columns it owns, the
+    // new column is invisible and every generation's rows resolve —
+    // the store contract that lets producers evolve ahead of consumers
+    val legacy = StructType(evolved.fields.take(2))
+    val old = spark.read.schema(legacy)
+      .parquet(s"$root/gen1", s"$root/gen2")
+    assert(old.columns.toSeq === Seq("content_hash", "stored_canonical"))
+    assert(old.count() === 3)
+    // a TYPE change is NOT an evolution (it demands a rewrite): reading
+    // gen2's BIGINT src_gen as STRING must fail loudly, never coerce
+    val broken = StructType(evolved.fields.take(2) :+
+      StructField("src_gen", StringType))
+    intercept[org.apache.spark.SparkException] {
+      spark.read.schema(broken).parquet(s"$root/gen2").collect()
+    }
+  }
 }

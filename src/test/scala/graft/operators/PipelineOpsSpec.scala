@@ -1172,6 +1172,33 @@ class PipelineOpsSpec extends SparkTestBase {
     }
   }
 
+  test("s31 two-layer search dominates s30 at sf0.1: strictly fewer visited nodes, no recall loss, same graph") {
+    import org.apache.spark.sql.functions.{col, expr, sqrt}
+    graft.plans.VectorExpressions.register(spark)
+    // the measured claim of the hierarchical entry (both walks are
+    // DETERMINISTIC — fixed graph, entries and tie-breaks — so these
+    // are exact counts, not noisy measurements). sf0.1 (5000 vectors)
+    // is where a hierarchy can pay; at the sf0.01 gate the corpus
+    // diameter (~3 hops) is below what a long-range layer shortens
+    val d = "/root/testdata/sf0.1"
+    val vecs = graft.core.Tables.embeddings(spark, d)
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> cast(x as double))").as("v"))
+      .withColumn("nrm",
+        sqrt(graft.functions.Portable.dotFast(col("v"), col("v"))))
+    def sums(df: org.apache.spark.sql.DataFrame): (Long, Long, Long) = {
+      val rs = df.collect()
+      (rs.map(_.getLong(1)).sum, rs.map(_.getLong(2)).sum, rs.length.toLong)
+    }
+    val (v30, h30, n30) = sums(Similarity.knnBeamSearchAudit(vecs))
+    val (v31, h31, n31) = sums(Similarity.knnTwoLayerSearchAudit(vecs))
+    assert(n30 === n31 && n30 > 0, "query sets must match and be non-empty")
+    assert(v31 < v30,
+      s"two-layer search must visit fewer nodes ($v31 !< $v30)")
+    assert(h31 >= h30,
+      s"visited reduction must not cost recall ($h31 hits < $h30)")
+  }
+
   test("s14 recall curve is monotone in nprobe and consistent with s01 truth size") {
     val rows = run("s14_ivf_recall_curve").collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getAs[Double]("recall")))
