@@ -34,7 +34,13 @@ private[graft] object SeededStore {
     * complete seeded store (all table dirs + manifest/log) at `path`.
     */
   def apply(kind: String, input: String)(build: String => Unit): String = {
-    val tmpl = StoreFixture(s"seedtmpl_$kind", input)(build)
+    val tmpl = StoreFixture(s"seedtmpl_$kind", input) { p =>
+      build(p)
+      // an EMPTY-corpus seed may legitimately write nothing at all
+      // (zero partitions → zero directories): the template is then an
+      // empty store, which must still exist to be copied
+      Files.createDirectories(Paths.get(p)): Unit
+    }
     val dst = Files.createTempDirectory(s"seed_$kind").toString
     copyTree(Paths.get(tmpl), Paths.get(dst))
     dst
