@@ -209,26 +209,65 @@ final class ManifestCommit(spark: SparkSession, root: String,
     // the exclusive manifest create below still decides the winner
     val token = java.util.UUID.randomUUID().toString.take(8)
     val staged = writes.keys.map(t => t -> s"${t}__v${v}_$token").toMap
-    writes.foreach { case (table, df) =>
-      df.write.mode(SaveMode.Overwrite).parquet(s"$root/${staged(table)}")
-    }
-    val partEntries = partWrites.flatMap {
-      case (table, (partCol, df, touched)) =>
-        val parent = s"${table}__v${v}_$token"
-        // CLUSTER by the partition column before the partitionBy write:
-        // unclustered, every task holding rows of k partitions writes k
-        // files — tasks × dirs sprayed files per epoch (the same lesson
-        // Warehouse's dynamic overwrite learned); clustered, each
-        // partition value lands wholly in one task → one file per
-        // touched directory
-        df.repartition(org.apache.spark.sql.functions.col(partCol))
-          .write.mode(SaveMode.Overwrite).partitionBy(partCol)
-          .parquet(s"$root/$parent")
-        val produced = fs.listStatus(new Path(s"$root/$parent")).toSeq
-          .filter(_.isDirectory).map(_.getPath.getName)
-          .filter(_.startsWith(partCol + "="))
-        produced.map(p => s"$table/$p" -> s"$parent/$p")
-    }
+    // Stage all tables of the commit CONCURRENTLY (optimization guide
+    // §2.6): the staging writes are independent jobs into disjoint fresh
+    // directories, and the commit point is the single manifest create
+    // AFTER every write returns — so overlapping them changes nothing a
+    // reader can observe while collapsing the epoch's staging wall-clock
+    // from the sum of the writes to their max (each write's fixed cost —
+    // committer setup, file open/close, footer — dominates at
+    // change-bounded batch sizes, and the tail of one write's job
+    // back-fills the next one's). 2-3 in flight is the guide's "enough
+    // to fill the tail" number; job groups/descriptions are thread-local
+    // so each staged write keeps its own label.
+    val flatJobs: Seq[() => Seq[(String, String)]] =
+      writes.toSeq.map { case (table, df) =>
+        () =>
+          graft.core.Jobs.described(spark, s"mc: stage $table") {
+            df.write.mode(SaveMode.Overwrite)
+              .parquet(s"$root/${staged(table)}")
+          }
+          Nil
+      }
+    val partJobs: Seq[() => Seq[(String, String)]] =
+      partWrites.toSeq.map { case (table, (partCol, df, _)) =>
+        () => {
+          val parent = s"${table}__v${v}_$token"
+          // CLUSTER by the partition column before the partitionBy write
+          // — unclustered, every task holding rows of k partitions writes
+          // k files (tasks × dirs sprayed files per epoch). REBALANCE
+          // (not repartition): same same-value-same-task clustering, but
+          // AQE sizes the shuffle output by bytes — tiny epochs collapse
+          // to one write task instead of |buckets| fixed-cost tasks, and
+          // an oversized hot partition may split into several
+          // target-sized files (the guide §6 write-sizing shape).
+          graft.core.Jobs.described(spark, s"mc: stage $table") {
+            df.hint("rebalance", org.apache.spark.sql.functions.col(partCol))
+              .write.mode(SaveMode.Overwrite).partitionBy(partCol)
+              .parquet(s"$root/$parent")
+          }
+          val produced = fs.listStatus(new Path(s"$root/$parent")).toSeq
+            .filter(_.isDirectory).map(_.getPath.getName)
+            .filter(_.startsWith(partCol + "="))
+          produced.map(p => s"$table/$p" -> s"$parent/$p")
+        }
+      }
+    val stagingJobs = flatJobs ++ partJobs
+    val partEntries: Seq[(String, String)] =
+      if (stagingJobs.sizeIs <= 1) stagingJobs.flatMap(_.apply())
+      else {
+        import scala.concurrent.{Await, ExecutionContext, Future}
+        import scala.concurrent.duration.Duration
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          math.min(3, stagingJobs.size))
+        try {
+          implicit val ec: ExecutionContext =
+            ExecutionContext.fromExecutorService(pool)
+          Await.result(
+            Future.sequence(stagingJobs.map(j => Future(j()))),
+            Duration.Inf).flatten
+        } finally pool.shutdown()
+      }
     val touchedKeys = partWrites.flatMap {
       case (table, (partCol, _, touched)) =>
         touched.map(x => s"$table/$partCol=$x")

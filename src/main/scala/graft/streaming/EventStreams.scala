@@ -953,20 +953,28 @@ object EventStreams extends Serializable {
       mc: graft.compendium.ManifestCommit, snap: Map[String, String],
       aTable: String, bTable: String,
       nb: org.apache.spark.sql.Column): TwoSidedCdc = {
+    val s = batch.sparkSession
+    import graft.core.Jobs.described
     // per-side last-op resolution — the shared total-order discipline
-    val ra = graft.compendium.Warehouse.resolveLastOp(
-      batch.filter(col("side") === "A")
-        .select(col("key").as("k"), col("seq"), col("op"), col("ck"),
-          col("amt").as("cents")), "k", "seq")
-      .localCheckpoint(true)
-    val rb = graft.compendium.Warehouse.resolveLastOp(
-      batch.filter(col("side") === "B")
-        .select(col("key").as("ck"), col("seq"), col("op"),
-          col("amt").as("rate")), "ck", "seq")
-      .localCheckpoint(true)
+    val ra = described(s, "ivm2: resolve A") {
+      graft.compendium.Warehouse.resolveLastOp(
+        batch.filter(col("side") === "A")
+          .select(col("key").as("k"), col("seq"), col("op"), col("ck"),
+            col("amt").as("cents")), "k", "seq")
+        .localCheckpoint(true)
+    }
+    val rb = described(s, "ivm2: resolve B") {
+      graft.compendium.Warehouse.resolveLastOp(
+        batch.filter(col("side") === "B")
+          .select(col("key").as("ck"), col("seq"), col("op"),
+            col("amt").as("rate")), "ck", "seq")
+        .localCheckpoint(true)
+    }
     // ---- A (fact, bucketed pk = k mod nb): point CDC apply
-    val touchedPk = ra.select(pmod(col("k"), nb).as("pk"))
-      .distinct().collect().map(_.getLong(0)).toSeq
+    val touchedPk = described(s, "ivm2: touched pk") {
+      ra.select(pmod(col("k"), nb).as("pk"))
+        .distinct().collect().map(_.getLong(0)).toSeq
+    }
     val aPruned = mc.readPartitionPathsAt(snap, aTable, "pk", touchedPk)
       .map(_.withColumn("pk", pmod(col("k"), nb)))
       .getOrElse(ra.limit(0).select(col("k"), col("ck"), col("cents"),
@@ -974,18 +982,22 @@ object EventStreams extends Serializable {
     // old rows carry BOTH join key and payload: the join view needs
     // old_ck (re-key pruning), the aggregate view also retracts
     // old_cents
-    val oldA = aPruned.join(ra.select("k"), Seq("k"), "left_semi")
-      .select(col("k"), col("ck").as("old_ck"),
-        col("cents").as("old_cents"))
-      .localCheckpoint(true)
+    val oldA = described(s, "ivm2: oldA point read") {
+      aPruned.join(ra.select("k"), Seq("k"), "left_semi")
+        .select(col("k"), col("ck").as("old_ck"),
+          col("cents").as("old_cents"))
+        .localCheckpoint(true)
+    }
     val newA = aPruned.join(ra.select("k"), Seq("k"), "left_anti")
       .select(col("k"), col("ck"), col("cents"), col("pk"))
       .unionByName(ra.filter(col("op") =!= "D")
         .select(col("k"), col("ck"), col("cents"))
         .withColumn("pk", pmod(col("k"), nb)))
     // ---- B (dim, bucketed pbk = ck mod nb): point CDC apply
-    val touchedPbk = rb.select(pmod(col("ck"), nb).as("pbk"))
-      .distinct().collect().map(_.getLong(0)).toSeq
+    val touchedPbk = described(s, "ivm2: touched pbk") {
+      rb.select(pmod(col("ck"), nb).as("pbk"))
+        .distinct().collect().map(_.getLong(0)).toSeq
+    }
     val bPruned = mc.readPartitionPathsAt(snap, bTable, "pbk", touchedPbk)
       .map(_.withColumn("pbk", pmod(col("ck"), nb)))
       .getOrElse(rb.limit(0).select(col("ck"), col("rate"),
@@ -998,11 +1010,13 @@ object EventStreams extends Serializable {
     // ---- V (bucketed pck = ck mod nb): the affected-ck partition set —
     // changed fact rows' OLD and NEW join keys plus changed dim keys,
     // all batch-bounded
-    val touchedPck = oldA.select(pmod(col("old_ck"), nb).as("pck"))
-      .unionByName(ra.filter(col("op") =!= "D")
-        .select(pmod(col("ck"), nb).as("pck")))
-      .unionByName(rb.select(pmod(col("ck"), nb).as("pck")))
-      .distinct().collect().map(_.getLong(0)).toSeq
+    val touchedPck = described(s, "ivm2: touched pck") {
+      oldA.select(pmod(col("old_ck"), nb).as("pck"))
+        .unionByName(ra.filter(col("op") =!= "D")
+          .select(pmod(col("ck"), nb).as("pck")))
+        .unionByName(rb.select(pmod(col("ck"), nb).as("pck")))
+        .distinct().collect().map(_.getLong(0)).toSeq
+    }
     // the dim's POST-batch state for every partition the epoch's view
     // rebuild may need a rate from: rewritten partitions come from
     // newB, the rest from storage — never a full B scan (co-bucketed
