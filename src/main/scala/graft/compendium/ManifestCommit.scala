@@ -38,6 +38,12 @@ final class ManifestCommit(spark: SparkSession, root: String,
     retain: Int = 2) {
   require(retain >= 1, "retain must keep at least the current version")
 
+  /** The session store reads/writes plan through — epoch-scoped conf
+    * (EventStreams.withPackedScans) must target THIS session, not the
+    * micro-batch clone foreachBatch binds its batch frame to.
+    */
+  private[graft] def session: SparkSession = spark
+
   private val logDir = new Path(s"$root/_log")
   private def fs = logDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
 

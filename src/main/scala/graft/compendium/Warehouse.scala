@@ -20,6 +20,12 @@ import org.apache.spark.sql.functions._
   */
 final class Warehouse(spark: SparkSession, root: String) {
 
+  /** The session store reads/writes plan through — epoch-scoped conf
+    * (EventStreams.withPackedScans) must target THIS session, not the
+    * micro-batch clone foreachBatch binds its batch frame to.
+    */
+  private[graft] def session: SparkSession = spark
+
   private def path(table: String) = s"$root/$table"
 
   def exists(table: String): Boolean =
@@ -149,7 +155,10 @@ final class Warehouse(spark: SparkSession, root: String) {
       seqCol: String, opCol: String): Unit = {
     val resolved = Warehouse.resolveLastOp(changes, key, seqCol)
     val upserts = resolved.filter(col(opCol) =!= "D").drop(opCol, seqCol)
-    val touched = resolved.select(key)
+    // the batch's key set enters BROADCAST (a change batch is bounded
+    // by contract), so the base rewrite scans the table exactly once,
+    // never shuffles it (guide §3.1)
+    val touched = broadcast(resolved.select(key))
     val merged =
       if (!exists(table)) upserts
       else read(table).join(touched, Seq(key), "left_anti")
@@ -234,8 +243,10 @@ final class Warehouse(spark: SparkSession, root: String) {
     if (touched.isEmpty) return
     val base = read(table).filter(col(partCol).isin(touched: _*))
     val upserts = resolved.filter(col(opCol) =!= "D").drop(opCol, seqCol)
+    // broadcast the change-sized key set: the pruned base partitions
+    // are scanned, never shuffled (guide §3.1)
     val merged = base
-      .join(resolved.select(key), Seq(key), "left_anti")
+      .join(broadcast(resolved.select(key)), Seq(key), "left_anti")
       .unionByName(upserts.select(base.columns.map(col).toSeq: _*))
     overwriteAndSweep(table, merged, partCol, touched)
   }

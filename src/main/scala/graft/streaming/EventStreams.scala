@@ -434,9 +434,44 @@ object EventStreams extends Serializable {
     (marks - AnyLineage).toSeq.toDF("query_id", "epoch").coalesce(1)
   }
 
+  /** Epoch-scoped scan packing (optimization guide §2.2/§6, "fewer,
+    * larger map tasks"): the session keeps the default
+    * `spark.sql.files.minPartitionNum` floor (= core count) so BIG
+    * corpus scans parallelize, but an IVM epoch's reads are
+    * change-bounded store partitions — at that size the floor only
+    * fans each tiny file into its own task, and the per-task fixed
+    * cost (measured ~0.4 s/task at sf0.1: reader init + scheduling)
+    * dominates the epoch. Scoped to the epoch body, splitting becomes
+    * purely size-driven (`maxPartitionBytes` still caps a split, so a
+    * genuinely large partition read keeps its parallelism at any
+    * scale). Set-and-restore, same discipline as the gate-level
+    * shuffle-partition scoping (c13/c21). NOTE the session: foreachBatch
+    * hands the applier a frame bound to the micro-batch's CLONED session,
+    * but the store reads plan through the Warehouse/ManifestCommit's
+    * ORIGINAL session — the conf must scope on the latter.
+    */
+  private def withPackedScans[T](s: org.apache.spark.sql.SparkSession)(
+      body: => T): T = {
+    val k = "spark.sql.files.minPartitionNum"
+    val prev = s.conf.getOption(k)
+    s.conf.set(k, "1")
+    try body
+    finally prev match {
+      case Some(v) => s.conf.set(k, v)
+      case None    => s.conf.unset(k)
+    }
+  }
+
   private[graft] def applyIvmBatch(batch: DataFrame,
       wh: graft.compendium.Warehouse, baseTable: String, viewTable: String,
-      epoch: Long, queryId: String = "__direct__"): Unit = {
+      epoch: Long, queryId: String = "__direct__"): Unit =
+    withPackedScans(wh.session) {
+      applyIvmBatchBody(batch, wh, baseTable, viewTable, epoch, queryId)
+    }
+
+  private def applyIvmBatchBody(batch: DataFrame,
+      wh: graft.compendium.Warehouse, baseTable: String, viewTable: String,
+      epoch: Long, queryId: String): Unit = {
     import org.apache.spark.sql.types._
     val s = batch.sparkSession
     import s.implicits._
@@ -453,10 +488,12 @@ object EventStreams extends Serializable {
     val baseSchema = StructType(Seq(StructField("k", LongType),
       StructField("ck", LongType), StructField("cents", LongType)))
     val base = wh.readOrEmpty(baseTable, baseSchema)
-    // point read: only the batch's keys' old rows participate
-    val old = base.join(resolved.select("k"), Seq("k"), "left_semi")
+    // point read: only the batch's keys' old rows participate — the
+    // batch's key set enters BROADCAST (change-sized by the CDC
+    // contract), so the base scan is never shuffled (guide §3.1)
+    val old = base.join(broadcast(resolved.select("k")), Seq("k"), "left_semi")
       .select(col("k"), col("ck").as("old_ck"), col("cents").as("old_cents"))
-    val j = resolved.join(old, Seq("k"), "left")
+    val j = resolved.join(broadcast(old), Seq("k"), "left")
     val delta = j.filter(col("old_ck").isNotNull)
       .select(col("old_ck").as("ck"), (-col("old_cents")).as("d_cents"),
         lit(-1L).as("d_n"))
@@ -477,14 +514,24 @@ object EventStreams extends Serializable {
         base.groupBy("ck").agg(count(lit(1)).as("n"),
           sum("cents").as("cents_total"))
       else wh.readOrEmpty(viewTable, viewSchema)
-    val touched = view.join(delta.select("ck"), Seq("ck"), "left_semi")
-      .join(delta, Seq("ck"), "full_outer")
+    // (view ⋉ delta) ⟗ delta decomposed into broadcast-joinable legs
+    // (full outer cannot broadcast-hash; guide §3.1): matched view rows
+    // merge in place, delta-only groups append with zeroed view state —
+    // the view scan itself never shuffles, only the change-sized delta
+    // moves (twice as a broadcast, once — keys only — through the anti).
+    val touched = view.join(broadcast(delta), Seq("ck"), "inner")
+      .unionByName(delta.hint("shuffle_hash")
+        .join(view.select("ck"), Seq("ck"), "left_anti")
+        .select(col("ck"), lit(null).cast("long").as("n"),
+          lit(null).cast("long").as("cents_total"),
+          col("d_cents"), col("d_n")))
       .select(col("ck"),
         (coalesce(col("n"), lit(0L)) + col("d_n")).as("n"),
         (coalesce(col("cents_total"), lit(0L)) + col("d_cents"))
           .as("cents_total"))
       .filter(col("n") > 0)
-    val untouched = view.join(delta.select("ck"), Seq("ck"), "left_anti")
+    val untouched = view.join(broadcast(delta.select("ck")), Seq("ck"),
+      "left_anti")
     // ORDER MATTERS: the view plan reads the PRE-batch base (its deltas
     // were computed against it), so the view swaps FIRST — replace()
     // stages the full result to a __tmp dir before renaming, so a plan
@@ -643,7 +690,17 @@ object EventStreams extends Serializable {
     */
   private def mergeViewDelta(prev: DataFrame, delta: DataFrame,
       nb: org.apache.spark.sql.Column): DataFrame =
-    prev.join(delta, Seq("ck"), "full_outer")
+    // full outer decomposed into broadcast-joinable legs (full outer
+    // cannot broadcast-hash; guide §3.1): prev (store-partition-sized —
+    // must never shuffle) left-joins the broadcast change-sized delta;
+    // groups born this epoch append through a keys-only anti join (the
+    // only prev bytes that move are its group keys, guide §2.3).
+    prev.join(broadcast(delta), Seq("ck"), "left")
+      .unionByName(delta.hint("shuffle_hash")
+        .join(prev.select("ck"), Seq("ck"), "left_anti")
+        .select(col("ck"), lit(null).cast("long").as("n"),
+          lit(null).cast("long").as("cents_total"),
+          col("d_cents"), col("d_n")))
       .select(col("ck"),
         (coalesce(col("n"), lit(0L)) + coalesce(col("d_n"), lit(0L)))
           .as("n"),
@@ -654,7 +711,15 @@ object EventStreams extends Serializable {
 
   private[graft] def applyIvmBatchPartitioned(batch: DataFrame,
       wh: graft.compendium.Warehouse, baseTable: String, viewTable: String,
-      epoch: Long, queryId: String = "__direct__", buckets: Int = 16): Unit = {
+      epoch: Long, queryId: String = "__direct__", buckets: Int = 16): Unit =
+    withPackedScans(wh.session) {
+      applyIvmBatchPartitionedBody(batch, wh, baseTable, viewTable, epoch,
+        queryId, buckets)
+    }
+
+  private def applyIvmBatchPartitionedBody(batch: DataFrame,
+      wh: graft.compendium.Warehouse, baseTable: String, viewTable: String,
+      epoch: Long, queryId: String, buckets: Int): Unit = {
     import org.apache.spark.sql.types._
     val s = batch.sparkSession
     import s.implicits._
@@ -681,10 +746,12 @@ object EventStreams extends Serializable {
       if (baseExists)
         wh.read(baseTable).filter(col("pk").isin(touchedPk: _*))
       else wh.readOrEmpty(baseTable, baseSchema)
+    // batch keys enter BROADCAST (change-sized by the CDC contract), so
+    // the pruned base partitions are scanned, never shuffled (guide §3.1)
     val old = basePruned
-      .join(resolved.select("k"), Seq("k"), "left_semi")
+      .join(broadcast(resolved.select("k")), Seq("k"), "left_semi")
       .select(col("k"), col("ck").as("old_ck"), col("cents").as("old_cents"))
-    val j = resolved.join(old, Seq("k"), "left")
+    val j = resolved.join(broadcast(old), Seq("k"), "left")
     val delta = j.filter(col("old_ck").isNotNull)
       .select(col("old_ck").as("ck"), (-col("old_cents")).as("d_cents"),
         lit(-1L).as("d_n"))
@@ -777,7 +844,16 @@ object EventStreams extends Serializable {
   private[graft] def applyIvmBatchPartitionedCommitted(batch: DataFrame,
       mc: graft.compendium.ManifestCommit, baseTable: String,
       viewTable: String, epoch: Long, queryId: String = "__direct__",
-      buckets: Int = 16): Unit = {
+      buckets: Int = 16): Unit =
+    withPackedScans(mc.session) {
+      applyIvmBatchPartitionedCommittedBody(batch, mc, baseTable, viewTable,
+        epoch, queryId, buckets)
+    }
+
+  private def applyIvmBatchPartitionedCommittedBody(batch: DataFrame,
+      mc: graft.compendium.ManifestCommit, baseTable: String,
+      viewTable: String, epoch: Long, queryId: String,
+      buckets: Int): Unit = {
     val s = batch.sparkSession
     val nb = lit(buckets.toLong)
     val marker = viewTable + "__epoch"
@@ -808,10 +884,12 @@ object EventStreams extends Serializable {
       .getOrElse(resolved.limit(0)
         .select(col("k"), col("ck").cast("long").as("ck"),
           col("cents").cast("long").as("cents"), pmod(col("k"), nb).as("pk")))
+    // batch keys enter BROADCAST (change-sized by the CDC contract), so
+    // the pruned base partitions are scanned, never shuffled (guide §3.1)
     val old = basePruned
-      .join(resolved.select("k"), Seq("k"), "left_semi")
+      .join(broadcast(resolved.select("k")), Seq("k"), "left_semi")
       .select(col("k"), col("ck").as("old_ck"), col("cents").as("old_cents"))
-    val j = resolved.join(old, Seq("k"), "left")
+    val j = resolved.join(broadcast(old), Seq("k"), "left")
     val delta = j.filter(col("old_ck").isNotNull)
       .select(col("old_ck").as("ck"), (-col("old_cents")).as("d_cents"),
         lit(-1L).as("d_n"))
@@ -851,7 +929,7 @@ object EventStreams extends Serializable {
       .select(col("k"), col("ck"), col("cents"))
       .withColumn("pk", pmod(col("k"), nb))
     val newBase = basePruned
-      .join(resolved.select("k"), Seq("k"), "left_anti")
+      .join(broadcast(resolved.select("k")), Seq("k"), "left_anti")
       .select(col("k"), col("ck"), col("cents"), col("pk"))
       .unionByName(upserts)
     // ONE flip: (base pk-partitions, view pck-partitions, marker)
@@ -982,13 +1060,15 @@ object EventStreams extends Serializable {
     // old rows carry BOTH join key and payload: the join view needs
     // old_ck (re-key pruning), the aggregate view also retracts
     // old_cents
+    // batch keys enter BROADCAST (change-sized by the CDC contract), so
+    // the pruned store partitions are scanned, never shuffled (guide §3.1)
     val oldA = described(s, "ivm2: oldA point read") {
-      aPruned.join(ra.select("k"), Seq("k"), "left_semi")
+      aPruned.join(broadcast(ra.select("k")), Seq("k"), "left_semi")
         .select(col("k"), col("ck").as("old_ck"),
           col("cents").as("old_cents"))
         .localCheckpoint(true)
     }
-    val newA = aPruned.join(ra.select("k"), Seq("k"), "left_anti")
+    val newA = aPruned.join(broadcast(ra.select("k")), Seq("k"), "left_anti")
       .select(col("k"), col("ck"), col("cents"), col("pk"))
       .unionByName(ra.filter(col("op") =!= "D")
         .select(col("k"), col("ck"), col("cents"))
@@ -1002,7 +1082,7 @@ object EventStreams extends Serializable {
       .map(_.withColumn("pbk", pmod(col("ck"), nb)))
       .getOrElse(rb.limit(0).select(col("ck"), col("rate"),
         pmod(col("ck"), nb).as("pbk")))
-    val newB = bPruned.join(rb.select("ck"), Seq("ck"), "left_anti")
+    val newB = bPruned.join(broadcast(rb.select("ck")), Seq("ck"), "left_anti")
       .select(col("ck"), col("rate"), col("pbk"))
       .unionByName(rb.filter(col("op") =!= "D")
         .select(col("ck"), col("rate"))
@@ -1072,7 +1152,16 @@ object EventStreams extends Serializable {
   private[graft] def applyIvmJoinBatch(batch: DataFrame,
       mc: graft.compendium.ManifestCommit, aTable: String, bTable: String,
       viewTable: String, epoch: Long, queryId: String = "__direct__",
-      buckets: Int = 16): Unit = {
+      buckets: Int = 16): Unit =
+    withPackedScans(mc.session) {
+      applyIvmJoinBatchBody(batch, mc, aTable, bTable, viewTable, epoch,
+        queryId, buckets)
+    }
+
+  private def applyIvmJoinBatchBody(batch: DataFrame,
+      mc: graft.compendium.ManifestCommit, aTable: String, bTable: String,
+      viewTable: String, epoch: Long, queryId: String,
+      buckets: Int): Unit = {
     val s = batch.sparkSession
     val nb = lit(buckets.toLong)
     val marker = viewTable + "__epoch"
@@ -1101,9 +1190,13 @@ object EventStreams extends Serializable {
     // rebuild the touched view partitions: keep unchanged-fact rows
     // (with dim changes folded into their rate), drop changed-fact
     // rows, re-insert the batch's upserts against the post-batch dim
-    val vKeep = vPruned.join(t.ra.select("k"), Seq("k"), "left_anti")
-      .join(t.rb.select(col("ck"), col("op").as("b_op"),
-          col("rate").as("b_rate")).hint("shuffle_hash"),
+    // both attach sides are change/dim-partition-bounded — broadcast
+    // them so the view partitions (fact-scale for this view) are
+    // scanned, never shuffled (guide §3.1)
+    val vKeep = vPruned.join(broadcast(t.ra.select("k")), Seq("k"),
+        "left_anti")
+      .join(broadcast(t.rb.select(col("ck"), col("op").as("b_op"),
+          col("rate").as("b_rate"))),
         Seq("ck"), "left")
       .select(col("k"), col("ck"), col("cents"),
         when(col("b_op") === "D", lit(null).cast("long"))
@@ -1111,7 +1204,7 @@ object EventStreams extends Serializable {
           .otherwise(col("rate")).as("rate"))
     val aIns = t.ra.filter(col("op") =!= "D")
       .select(col("k"), col("ck"), col("cents"))
-      .join(t.bNow.hint("shuffle_hash"), Seq("ck"), "left")
+      .join(broadcast(t.bNow), Seq("ck"), "left")
       .select(col("k"), col("ck"), col("cents"), col("rate"))
     val newV = vKeep.unionByName(aIns)
       .withColumn("pck", pmod(col("ck"), nb))
@@ -1198,7 +1291,16 @@ object EventStreams extends Serializable {
   private[graft] def applyIvmAggJoinBatch(batch: DataFrame,
       mc: graft.compendium.ManifestCommit, aTable: String, bTable: String,
       viewTable: String, epoch: Long, queryId: String = "__direct__",
-      buckets: Int = 16): Unit = {
+      buckets: Int = 16): Unit =
+    withPackedScans(mc.session) {
+      applyIvmAggJoinBatchBody(batch, mc, aTable, bTable, viewTable, epoch,
+        queryId, buckets)
+    }
+
+  private def applyIvmAggJoinBatchBody(batch: DataFrame,
+      mc: graft.compendium.ManifestCommit, aTable: String, bTable: String,
+      viewTable: String, epoch: Long, queryId: String,
+      buckets: Int): Unit = {
     val s = batch.sparkSession
     val nb = lit(buckets.toLong)
     val marker = viewTable + "__epoch"
@@ -1248,13 +1350,24 @@ object EventStreams extends Serializable {
     // merge: partition-mates carry forward (deltas coalesce to 0, rate
     // kept); dim changes re-weight via the stored cents_total; groups
     // born this epoch pull their rate from the post-batch dim
+    // full outer decomposed into broadcast-joinable legs (guide §3.1):
+    // existing groups (incl. partition-mates) left-join the broadcast
+    // change-sized delta; groups born this epoch append through a
+    // keys-only anti join — the pruned view partitions are scanned,
+    // never shuffled, and the dim attaches (rb, bNow — change/dim-
+    // partition-bounded) broadcast too.
     val merged = vPruned
-      .join(delta.hint("shuffle_hash"), Seq("ck"), "full_outer")
-      .join(t.rb.select(col("ck"), col("op").as("b_op"),
-          col("rate").as("b_rate")).hint("shuffle_hash"),
+      .join(broadcast(delta), Seq("ck"), "left")
+      .unionByName(delta.hint("shuffle_hash")
+        .join(vPruned.select("ck"), Seq("ck"), "left_anti")
+        .select(col("ck"), lit(null).cast("long").as("n"),
+          lit(null).cast("long").as("cents_total"),
+          lit(null).cast("long").as("rate"),
+          col("d_n"), col("d_cents")))
+      .join(broadcast(t.rb.select(col("ck"), col("op").as("b_op"),
+          col("rate").as("b_rate"))),
         Seq("ck"), "left")
-      .join(t.bNow.select(col("ck"), col("rate").as("now_rate"))
-          .hint("shuffle_hash"),
+      .join(broadcast(t.bNow.select(col("ck"), col("rate").as("now_rate"))),
         Seq("ck"), "left")
       .select(col("ck"),
         (coalesce(col("n"), lit(0L)) + coalesce(col("d_n"), lit(0L)))
