@@ -1906,12 +1906,30 @@ object RelationalQueries {
         // file churn, not data. Scoped set-and-restore: the conf is
         // read once at query start.
         val savedParts = s.conf.get("spark.sql.shuffle.partitions")
+        // noDataMicroBatches OFF for the replay (scoped set-and-restore,
+        // like the state-store partition sizing): every emission in
+        // these gates rides a DATA batch — arrival-time emission for
+        // joins/dedup/upserts, and the sentinel rounds exist precisely
+        // to advance the watermark WITH data where deferred emission is
+        // the semantics under test — so the bookkeeping micro-batch
+        // Spark appends after each processAllAvailable is a full
+        // state-store commit cycle that adds no rows. Production keeps
+        // the default (a live stream wants evictions without waiting
+        // for traffic); a bounded replay does not.
+        val savedNoData = s.conf.get(
+          "spark.sql.streaming.noDataMicroBatches.enabled")
         val q =
           try {
             s.conf.set("spark.sql.shuffle.partitions", "4")
+            s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled",
+              "false")
             EventStreams.warehouseIngest(in.toDS(), wh, "c13_events")
               .start()
-          } finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
+          } finally {
+            s.conf.set("spark.sql.shuffle.partitions", savedParts)
+            s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled",
+              savedNoData)
+          }
         try {
           var redeliver = Seq.empty[Event]
           batches.foreach { b =>
@@ -2123,9 +2141,23 @@ object RelationalQueries {
         // state-store sizing: c13's rationale — one state-store instance
         // per shuffle partition per micro-batch, slice-sized state
         val savedParts = s.conf.get("spark.sql.shuffle.partitions")
+        // noDataMicroBatches OFF for the replay (scoped set-and-restore,
+        // like the state-store partition sizing): every emission in
+        // these gates rides a DATA batch — arrival-time emission for
+        // joins/dedup/upserts, and the sentinel rounds exist precisely
+        // to advance the watermark WITH data where deferred emission is
+        // the semantics under test — so the bookkeeping micro-batch
+        // Spark appends after each processAllAvailable is a full
+        // state-store commit cycle that adds no rows. Production keeps
+        // the default (a live stream wants evictions without waiting
+        // for traffic); a bounded replay does not.
+        val savedNoData = s.conf.get(
+          "spark.sql.streaming.noDataMicroBatches.enabled")
         val q =
           try {
             s.conf.set("spark.sql.shuffle.partitions", "4")
+            s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled",
+              "false")
             EventStreams.funnelStream(in.toDS()).writeStream
               .outputMode("update")
               .foreachBatch { (b: org.apache.spark.sql.Dataset[FunnelDepth],
@@ -2136,7 +2168,11 @@ object RelationalQueries {
                 wh.upsert("c16_depths", b.toDF(), "user_id")
               }
               .start()
-          } finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
+          } finally {
+            s.conf.set("spark.sql.shuffle.partitions", savedParts)
+            s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled",
+              savedNoData)
+          }
         try {
           batches.foreach { b =>
             if (b.nonEmpty) {
@@ -2207,9 +2243,23 @@ object RelationalQueries {
         val wh = new graft.compendium.Warehouse(s, root)
         val in = MemoryStream[Event]
         val savedParts = s.conf.get("spark.sql.shuffle.partitions")
+        // noDataMicroBatches OFF for the replay (scoped set-and-restore,
+        // like the state-store partition sizing): every emission in
+        // these gates rides a DATA batch — arrival-time emission for
+        // joins/dedup/upserts, and the sentinel rounds exist precisely
+        // to advance the watermark WITH data where deferred emission is
+        // the semantics under test — so the bookkeeping micro-batch
+        // Spark appends after each processAllAvailable is a full
+        // state-store commit cycle that adds no rows. Production keeps
+        // the default (a live stream wants evictions without waiting
+        // for traffic); a bounded replay does not.
+        val savedNoData = s.conf.get(
+          "spark.sql.streaming.noDataMicroBatches.enabled")
         val q =
           try {
             s.conf.set("spark.sql.shuffle.partitions", "4")
+            s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled",
+              "false")
             EventStreams.transitionStream(in.toDS(), allowance = "3650 days")
               .writeStream.outputMode("append")
               .foreachBatch {
@@ -2225,7 +2275,11 @@ object RelationalQueries {
                   if (!b.isEmpty) wh.append("c17_transitions", b.toDF())
               }
               .start()
-          } finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
+          } finally {
+            s.conf.set("spark.sql.shuffle.partitions", savedParts)
+            s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled",
+              savedNoData)
+          }
         try {
           val third = math.max((shuffled.length + 2) / 3, 1)
           shuffled.grouped(third).foreach { b =>
@@ -2319,9 +2373,23 @@ object RelationalQueries {
         val wh = new graft.compendium.Warehouse(s, root)
         val in = MemoryStream[Event]
         val savedParts = s.conf.get("spark.sql.shuffle.partitions")
+        // noDataMicroBatches OFF for the replay (scoped set-and-restore,
+        // like the state-store partition sizing): every emission in
+        // these gates rides a DATA batch — arrival-time emission for
+        // joins/dedup/upserts, and the sentinel rounds exist precisely
+        // to advance the watermark WITH data where deferred emission is
+        // the semantics under test — so the bookkeeping micro-batch
+        // Spark appends after each processAllAvailable is a full
+        // state-store commit cycle that adds no rows. Production keeps
+        // the default (a live stream wants evictions without waiting
+        // for traffic); a bounded replay does not.
+        val savedNoData = s.conf.get(
+          "spark.sql.streaming.noDataMicroBatches.enabled")
         val q =
           try {
             s.conf.set("spark.sql.shuffle.partitions", "4")
+            s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled",
+              "false")
             EventStreams.sessionize(in.toDS()).writeStream
               .outputMode("append")
               .foreachBatch { (b: org.apache.spark.sql.Dataset[Session],
@@ -2332,7 +2400,11 @@ object RelationalQueries {
                 if (!b.isEmpty) wh.append("c18_sessions", b.toDF())
               }
               .start()
-          } finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
+          } finally {
+            s.conf.set("spark.sql.shuffle.partitions", savedParts)
+            s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled",
+              savedNoData)
+          }
         try {
           batches.foreach { b =>
             if (b.nonEmpty) {
@@ -2435,9 +2507,23 @@ object RelationalQueries {
         val wh = new graft.compendium.Warehouse(s, root)
         val in = MemoryStream[Event]
         val savedParts = s.conf.get("spark.sql.shuffle.partitions")
+        // noDataMicroBatches OFF for the replay (scoped set-and-restore,
+        // like the state-store partition sizing): every emission in
+        // these gates rides a DATA batch — arrival-time emission for
+        // joins/dedup/upserts, and the sentinel rounds exist precisely
+        // to advance the watermark WITH data where deferred emission is
+        // the semantics under test — so the bookkeeping micro-batch
+        // Spark appends after each processAllAvailable is a full
+        // state-store commit cycle that adds no rows. Production keeps
+        // the default (a live stream wants evictions without waiting
+        // for traffic); a bounded replay does not.
+        val savedNoData = s.conf.get(
+          "spark.sql.streaming.noDataMicroBatches.enabled")
         val q =
           try {
             s.conf.set("spark.sql.shuffle.partitions", "4")
+            s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled",
+              "false")
             EventStreams.dedupedIngest(in.toDS(), watermark = "3650 days")
               .writeStream.outputMode("append")
               .foreachBatch { (b: org.apache.spark.sql.Dataset[Event],
@@ -2448,7 +2534,11 @@ object RelationalQueries {
                 if (!b.isEmpty) wh.append("c19_events", b.toDF())
               }
               .start()
-          } finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
+          } finally {
+            s.conf.set("spark.sql.shuffle.partitions", savedParts)
+            s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled",
+              savedNoData)
+          }
         try {
           batches.foreach { b =>
             if (b.nonEmpty) {
@@ -2534,9 +2624,23 @@ object RelationalQueries {
         val wh = new graft.compendium.Warehouse(s, root)
         val in = MemoryStream[Event]
         val savedParts = s.conf.get("spark.sql.shuffle.partitions")
+        // noDataMicroBatches OFF for the replay (scoped set-and-restore,
+        // like the state-store partition sizing): every emission in
+        // these gates rides a DATA batch — arrival-time emission for
+        // joins/dedup/upserts, and the sentinel rounds exist precisely
+        // to advance the watermark WITH data where deferred emission is
+        // the semantics under test — so the bookkeeping micro-batch
+        // Spark appends after each processAllAvailable is a full
+        // state-store commit cycle that adds no rows. Production keeps
+        // the default (a live stream wants evictions without waiting
+        // for traffic); a bounded replay does not.
+        val savedNoData = s.conf.get(
+          "spark.sql.streaming.noDataMicroBatches.enabled")
         val q =
           try {
             s.conf.set("spark.sql.shuffle.partitions", "4")
+            s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled",
+              "false")
             EventStreams.hourlyRollup(in.toDF()).writeStream
               .outputMode("append")
               .foreachBatch { (b: DataFrame, epoch: Long) =>
@@ -2545,7 +2649,11 @@ object RelationalQueries {
                 if (!b.isEmpty) wh.append("c20_hourly", b)
               }
               .start()
-          } finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
+          } finally {
+            s.conf.set("spark.sql.shuffle.partitions", savedParts)
+            s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled",
+              savedNoData)
+          }
         try {
           batches.foreach { b =>
             if (b.nonEmpty) {
@@ -2629,9 +2737,23 @@ object RelationalQueries {
         val wh = new graft.compendium.Warehouse(s, root)
         val in = MemoryStream[Event]
         val savedParts = s.conf.get("spark.sql.shuffle.partitions")
+        // noDataMicroBatches OFF for the replay (scoped set-and-restore,
+        // like the state-store partition sizing): every emission in
+        // these gates rides a DATA batch — arrival-time emission for
+        // joins/dedup/upserts, and the sentinel rounds exist precisely
+        // to advance the watermark WITH data where deferred emission is
+        // the semantics under test — so the bookkeeping micro-batch
+        // Spark appends after each processAllAvailable is a full
+        // state-store commit cycle that adds no rows. Production keeps
+        // the default (a live stream wants evictions without waiting
+        // for traffic); a bounded replay does not.
+        val savedNoData = s.conf.get(
+          "spark.sql.streaming.noDataMicroBatches.enabled")
         val q =
           try {
             s.conf.set("spark.sql.shuffle.partitions", "4")
+            s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled",
+              "false")
             EventStreams.purchaseAttribution(in.toDS(),
                 watermark = "3650 days", windowHours = 72)
               .writeStream.outputMode("append")
@@ -2641,7 +2763,11 @@ object RelationalQueries {
                 if (!b.isEmpty) wh.append("c21_pairs", b)
               }
               .start()
-          } finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
+          } finally {
+            s.conf.set("spark.sql.shuffle.partitions", savedParts)
+            s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled",
+              savedNoData)
+          }
         try {
           val third = math.max((shuffled.length + 2) / 3, 1)
           shuffled.grouped(third).foreach { b =>
@@ -2718,9 +2844,23 @@ object RelationalQueries {
         val wh = new graft.compendium.Warehouse(s, root)
         val in = MemoryStream[Event]
         val savedParts = s.conf.get("spark.sql.shuffle.partitions")
+        // noDataMicroBatches OFF for the replay (scoped set-and-restore,
+        // like the state-store partition sizing): every emission in
+        // these gates rides a DATA batch — arrival-time emission for
+        // joins/dedup/upserts, and the sentinel rounds exist precisely
+        // to advance the watermark WITH data where deferred emission is
+        // the semantics under test — so the bookkeeping micro-batch
+        // Spark appends after each processAllAvailable is a full
+        // state-store commit cycle that adds no rows. Production keeps
+        // the default (a live stream wants evictions without waiting
+        // for traffic); a bounded replay does not.
+        val savedNoData = s.conf.get(
+          "spark.sql.streaming.noDataMicroBatches.enabled")
         val q =
           try {
             s.conf.set("spark.sql.shuffle.partitions", "4")
+            s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled",
+              "false")
             EventStreams.purchaseAttribution(in.toDS(),
                 watermark = "3650 days", windowHours = 72,
                 joinType = "left_outer")
@@ -2729,7 +2869,11 @@ object RelationalQueries {
                 if (!b.isEmpty) wh.append("c28_pairs", b)
               }
               .start()
-          } finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
+          } finally {
+            s.conf.set("spark.sql.shuffle.partitions", savedParts)
+            s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled",
+              savedNoData)
+          }
         try {
           val third = math.max((shuffled.length + 2) / 3, 1)
           shuffled.grouped(third).foreach { b =>
@@ -2832,12 +2976,30 @@ object RelationalQueries {
           .sortBy(e => hx(e.vec_id)))
         val in = MemoryStream[VectorStreams.Tombstone]
         val savedParts = s.conf.get("spark.sql.shuffle.partitions")
+        // noDataMicroBatches OFF for the replay (scoped set-and-restore,
+        // like the state-store partition sizing): every emission in
+        // these gates rides a DATA batch — arrival-time emission for
+        // joins/dedup/upserts, and the sentinel rounds exist precisely
+        // to advance the watermark WITH data where deferred emission is
+        // the semantics under test — so the bookkeeping micro-batch
+        // Spark appends after each processAllAvailable is a full
+        // state-store commit cycle that adds no rows. Production keeps
+        // the default (a live stream wants evictions without waiting
+        // for traffic); a bounded replay does not.
+        val savedNoData = s.conf.get(
+          "spark.sql.streaming.noDataMicroBatches.enabled")
         val q =
           try {
             s.conf.set("spark.sql.shuffle.partitions", "4")
+            s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled",
+              "false")
             VectorStreams.forgetIngest(in.toDS(), root)
               .option("checkpointLocation", s"$root/_ckpt").start()
-          } finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
+          } finally {
+            s.conf.set("spark.sql.shuffle.partitions", savedParts)
+            s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled",
+              savedNoData)
+          }
         try {
           batches.foreach { b =>
             if (b.nonEmpty) {
