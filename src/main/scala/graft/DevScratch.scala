@@ -60,6 +60,18 @@ object DevScratch {
         .write.partitionBy("pk")
         .mode("overwrite").parquet(s"$root/out_nopart$i")
     }
+    // does localCheckpoint preserve hash partitioning for later joins?
+    val big = spark.range(100000).select(col("id").as("vec_id"),
+      (col("id")*3).as("v"))
+      .repartition(col("vec_id")).localCheckpoint(true)
+    val probe = spark.range(50).select(col("id").as("vec_id"))
+    val j = probe.hint("shuffle_hash").join(big, Seq("vec_id"))
+    j.write.format("noop").mode("overwrite").save()
+    println("[scratch] join plan (look for Exchange count over big side):")
+    println(j.queryExecution.executedPlan.toString.linesIterator
+      .filter(l => l.contains("Exchange") || l.contains("Scan") || l.contains("Join"))
+      .mkString("\n"))
+
     // tiny frames: per-job fixed cost
     val tiny = spark.range(100).select(col("id").as("k")).localCheckpoint(true)
     for (i <- 1 to 3) time(s"warm$i: tiny collect") { tiny.collect(): Unit }

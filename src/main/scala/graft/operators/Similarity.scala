@@ -3063,9 +3063,13 @@ object Similarity {
     * broadcast; the one scoring kernel of the s30/s31 walks.
     */
   private def beamScored(e: DataFrame, q: DataFrame)(
-      cand: DataFrame): DataFrame = cand
-    .join(e.select(col("vec_id"), col("v"), col("nrm"))
-      .hint("shuffle_hash"), Seq("vec_id"))
+      cand: DataFrame): DataFrame = broadcast(cand)
+    // the candidate set is workload-sized (≤ |Q|·beam·2K rows per hop):
+    // broadcasting it means the corpus vector frame is SCANNED, never
+    // shuffled, by every scoring pass (guide §3.1 — r17: the
+    // shuffle_hash form re-exchanged the whole corpus each hop, since
+    // localCheckpoint does not carry partitioning across hops)
+    .join(e.select(col("vec_id"), col("v"), col("nrm")), Seq("vec_id"))
     .join(broadcast(q), Seq("query_id"))
     .withColumn("cosine",
       dotFast(col("v"), col("qv")) / (col("nrm") * col("qn")))
@@ -3088,11 +3092,16 @@ object Similarity {
       val bm = visited.withColumn("rk", row_number().over(wb))
         .filter(col("rk") <= beam)
         .select("query_id", "vec_id")
-      val cand = bm.select(col("query_id"), col("vec_id").as("src"))
-        .hint("shuffle_hash").join(adj, Seq("src"))
+      // beam and visited are workload-sized (≤ |Q|·beam resp.
+      // |Q|·hops·beam·2K rows — bounded by the walk's construction,
+      // independent of corpus size): broadcast both so the
+      // degree-bounded but corpus-SCALE adjacency is scanned, never
+      // shuffled, on every hop (guide §3.1)
+      val cand = broadcast(bm.select(col("query_id"), col("vec_id").as("src")))
+        .join(adj, Seq("src"))
         .select(col("query_id"), col("dst").as("vec_id"))
         .distinct()
-        .join(visited.select("query_id", "vec_id"),
+        .join(broadcast(visited.select("query_id", "vec_id")),
           Seq("query_id", "vec_id"), "left_anti")
       val prev = visited
       visited = visited.unionByName(beamScored(e, q)(cand))

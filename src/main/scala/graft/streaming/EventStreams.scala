@@ -1033,26 +1033,45 @@ object EventStreams extends Serializable {
       nb: org.apache.spark.sql.Column): TwoSidedCdc = {
     val s = batch.sparkSession
     import graft.core.Jobs.described
-    // per-side last-op resolution — the shared total-order discipline
-    val ra = described(s, "ivm2: resolve A") {
-      graft.compendium.Warehouse.resolveLastOp(
-        batch.filter(col("side") === "A")
-          .select(col("key").as("k"), col("seq"), col("op"), col("ck"),
-            col("amt").as("cents")), "k", "seq")
-        .localCheckpoint(true)
+    // per-side last-op resolution — the shared total-order discipline.
+    // The two sides are independent change-sized materializations, so
+    // they run concurrently (guide §2.6): wall = max, not sum, of the
+    // two checkpoint jobs.
+    val (ra, rb) = {
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.Duration
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+      try {
+        implicit val ec: ExecutionContext =
+          ExecutionContext.fromExecutorService(pool)
+        val fa = Future(described(s, "ivm2: resolve A") {
+          graft.compendium.Warehouse.resolveLastOp(
+            batch.filter(col("side") === "A")
+              .select(col("key").as("k"), col("seq"), col("op"), col("ck"),
+                col("amt").as("cents")), "k", "seq")
+            .localCheckpoint(true)
+        })
+        val fb = Future(described(s, "ivm2: resolve B") {
+          graft.compendium.Warehouse.resolveLastOp(
+            batch.filter(col("side") === "B")
+              .select(col("key").as("ck"), col("seq"), col("op"),
+                col("amt").as("rate")), "ck", "seq")
+            .localCheckpoint(true)
+        })
+        (Await.result(fa, Duration.Inf), Await.result(fb, Duration.Inf))
+      } finally pool.shutdown()
     }
-    val rb = described(s, "ivm2: resolve B") {
-      graft.compendium.Warehouse.resolveLastOp(
-        batch.filter(col("side") === "B")
-          .select(col("key").as("ck"), col("seq"), col("op"),
-            col("amt").as("rate")), "ck", "seq")
-        .localCheckpoint(true)
+    // ---- touched buckets, both sides in ONE action (the two distinct
+    // sets are batch-bounded; one union job replaces two collects)
+    val touchedBoth = described(s, "ivm2: touched pk/pbk") {
+      ra.select(pmod(col("k"), nb).as("b"), lit("A").as("side"))
+        .unionByName(rb.select(pmod(col("ck"), nb).as("b"),
+          lit("B").as("side")))
+        .distinct().collect()
     }
     // ---- A (fact, bucketed pk = k mod nb): point CDC apply
-    val touchedPk = described(s, "ivm2: touched pk") {
-      ra.select(pmod(col("k"), nb).as("pk"))
-        .distinct().collect().map(_.getLong(0)).toSeq
-    }
+    val touchedPk = touchedBoth.filter(_.getString(1) == "A")
+      .map(_.getLong(0)).toSeq
     val aPruned = mc.readPartitionPathsAt(snap, aTable, "pk", touchedPk)
       .map(_.withColumn("pk", pmod(col("k"), nb)))
       .getOrElse(ra.limit(0).select(col("k"), col("ck"), col("cents"),
@@ -1074,10 +1093,8 @@ object EventStreams extends Serializable {
         .select(col("k"), col("ck"), col("cents"))
         .withColumn("pk", pmod(col("k"), nb)))
     // ---- B (dim, bucketed pbk = ck mod nb): point CDC apply
-    val touchedPbk = described(s, "ivm2: touched pbk") {
-      rb.select(pmod(col("ck"), nb).as("pbk"))
-        .distinct().collect().map(_.getLong(0)).toSeq
-    }
+    val touchedPbk = touchedBoth.filter(_.getString(1) == "B")
+      .map(_.getLong(0)).toSeq
     val bPruned = mc.readPartitionPathsAt(snap, bTable, "pbk", touchedPbk)
       .map(_.withColumn("pbk", pmod(col("ck"), nb)))
       .getOrElse(rb.limit(0).select(col("ck"), col("rate"),
