@@ -3368,8 +3368,12 @@ object RelationalQueries {
             // file-granular batching preserve that contract, the same
             // per-key-ordering guarantee a partitioned CDC topic gives
             // (an unkeyed write measurably split one key's seq-1/seq-2
-            // rows across two batches and applied them backwards)
-            feed.filter(col("k") % 3 === b).repartition(col("k"))
+            // rows across two batches and applied them backwards).
+            // REBALANCE, not repartition: the same same-key-same-file
+            // guarantee, but AQE sizes the output by bytes — one file
+            // per epoch slice instead of |session cores| tiny ones for
+            // the source to list and read (guide §6 small-files).
+            feed.filter(col("k") % 3 === b).hint("rebalance", col("k"))
               .write.mode("append").parquet(srcDir)
             q.processAllAvailable()
           }
