@@ -86,6 +86,16 @@ final class ManifestCommit(spark: SparkSession, root: String,
   def readAt(manifest: Map[String, String], table: String): DataFrame =
     spark.read.parquet(s"$root/${manifest(table)}")
 
+  private[graft] def hadoopConf: org.apache.hadoop.conf.Configuration =
+    spark.sparkContext.hadoopConfiguration
+
+  /** The committed directory of `table` under `manifest` — for the
+    * driver-direct sidecar read ([[graft.core.TinyParquet]]), which
+    * needs the path, not a DataFrame.
+    */
+  private[graft] def dirAt(manifest: Map[String, String],
+      table: String): Path = new Path(s"$root/${manifest(table)}")
+
   /** Several SAME-SCHEMA manifest tables as ONE multi-path relation —
     * the segment-family read shape (erased-id segments, LSM-style
     * append families): one relation's listing/footer resolution instead
@@ -170,8 +180,9 @@ final class ManifestCommit(spark: SparkSession, root: String,
     * in a single atomic commit. Returns the committed version.
     */
   def commit(writes: Map[String, DataFrame],
-      drop: Set[String] = Set.empty): Long =
-    commitAs(currentVersion().getOrElse(0L) + 1L, writes, drop)
+      drop: Set[String] = Set.empty,
+      tiny: Map[String, ManifestCommit.TinyTable] = Map.empty): Long =
+    commitAs(currentVersion().getOrElse(0L) + 1L, writes, drop, tiny)
 
   /** The version-pinned commit body — separated so the concurrent-writer
     * contract is testable: a committer whose version was taken by a race
@@ -180,8 +191,9 @@ final class ManifestCommit(spark: SparkSession, root: String,
     */
   private[compendium] def commitAs(v: Long,
       writes: Map[String, DataFrame],
-      drop: Set[String] = Set.empty): Long =
-    commitPartitionedAs(v, Map.empty, writes, drop)
+      drop: Set[String] = Set.empty,
+      tiny: Map[String, ManifestCommit.TinyTable] = Map.empty): Long =
+    commitPartitionedAs(v, Map.empty, writes, drop, tiny)
 
   /** [[commit]] extended with PARTITION-GRANULAR tables — the fact-scale
     * commit shape: `partWrites` maps a table to `(partCol, df, touched)`
@@ -199,14 +211,16 @@ final class ManifestCommit(spark: SparkSession, root: String,
   def commitPartitioned(
       partWrites: Map[String, (String, DataFrame, Seq[Long])],
       writes: Map[String, DataFrame] = Map.empty,
-      drop: Set[String] = Set.empty): Long =
+      drop: Set[String] = Set.empty,
+      tiny: Map[String, ManifestCommit.TinyTable] = Map.empty): Long =
     commitPartitionedAs(currentVersion().getOrElse(0L) + 1L,
-      partWrites, writes, drop)
+      partWrites, writes, drop, tiny)
 
   private[compendium] def commitPartitionedAs(v: Long,
       partWrites: Map[String, (String, DataFrame, Seq[Long])],
       writes: Map[String, DataFrame],
-      drop: Set[String]): Long = {
+      drop: Set[String],
+      tiny: Map[String, ManifestCommit.TinyTable] = Map.empty): Long = {
     val prev: Map[String, String] =
       (if (v <= 1) Map.empty[String, String] else manifestAt(v - 1)) -- drop
     // the attempt token makes staging dirs WRITER-UNIQUE: two committers
@@ -214,7 +228,16 @@ final class ManifestCommit(spark: SparkSession, root: String,
     // either — the loser's orphan dirs are garbage, not corruption, and
     // the exclusive manifest create below still decides the winner
     val token = java.util.UUID.randomUUID().toString.take(8)
-    val staged = writes.keys.map(t => t -> s"${t}__v${v}_$token").toMap
+    val staged = (writes.keys ++ tiny.keys)
+      .map(t => t -> s"${t}__v${v}_$token").toMap
+    // TINY sidecars (replay/forget markers: driver-held, lineage-bounded
+    // row sets) stage as ONE direct driver-side file create — same
+    // versioned-directory discipline and the same single manifest flip,
+    // but no Spark job per epoch (guide §1.2: the job moved no data)
+    tiny.foreach { case (table, (cols, rows)) =>
+      graft.core.TinyParquet.write(hadoopConf,
+        new Path(s"$root/${staged(table)}"), cols, rows)
+    }
     // Stage all tables of the commit CONCURRENTLY (optimization guide
     // §2.6): the staging writes are independent jobs into disjoint fresh
     // directories, and the commit point is the single manifest create
@@ -330,4 +353,12 @@ final class ManifestCommit(spark: SparkSession, root: String,
           .foreach(d => fs.delete(d.getPath, true))
       }
   }
+}
+
+object ManifestCommit {
+  /** A driver-held tiny table for the direct staging path: column
+    * (name, type) pairs plus the rows, in column order.
+    */
+  type TinyTable =
+    (Seq[(String, graft.core.TinyParquet.ColType)], Seq[Seq[Any]])
 }

@@ -28,6 +28,12 @@ final class Warehouse(spark: SparkSession, root: String) {
 
   private def path(table: String) = s"$root/$table"
 
+  private[graft] def hadoopConf: org.apache.hadoop.conf.Configuration =
+    spark.sparkContext.hadoopConfiguration
+
+  private[graft] def tablePath(table: String): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(path(table))
+
   def exists(table: String): Boolean =
     new org.apache.hadoop.fs.Path(path(table))
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -265,6 +271,23 @@ final class Warehouse(spark: SparkSession, root: String) {
       new org.apache.hadoop.fs.Path(path(table + "__tmp")),
       new org.apache.hadoop.fs.Path(path(table + "__old")), df)
 
+  /** [[replace]] for a TINY driver-held row set (the replay-marker
+    * sidecars: one row per stream lineage): identical rename-swap commit
+    * and on-disk parquet format, but the staging write is a direct
+    * driver-side file create ([[graft.core.TinyParquet]]) instead of a
+    * Spark write job — one job per epoch removed from every IVM replay
+    * (optimization guide §1.2: the job moved no data).
+    */
+  private[graft] def replaceTiny(table: String,
+      cols: Seq[(String, graft.core.TinyParquet.ColType)],
+      rows: Seq[Seq[Any]]): Unit =
+    replaceStaged(new org.apache.hadoop.fs.Path(path(table)),
+      new org.apache.hadoop.fs.Path(path(table + "__tmp")),
+      new org.apache.hadoop.fs.Path(path(table + "__old"))) { (fs, tmp) =>
+      if (fs.exists(tmp)) fs.delete(tmp, true)
+      graft.core.TinyParquet.write(hadoopConf, tmp, cols, rows)
+    }
+
   /** [[replace]] generalized to an arbitrary destination directory, with
     * caller-chosen staging dirs — the staging MUST live outside any
     * partitioned table root (a sibling `pk=2__tmp` dir inside the table
@@ -272,10 +295,21 @@ final class Warehouse(spark: SparkSession, root: String) {
     */
   private def replaceAt(dst: org.apache.hadoop.fs.Path,
       tmp: org.apache.hadoop.fs.Path, old: org.apache.hadoop.fs.Path,
-      df: DataFrame): Unit = {
+      df: DataFrame): Unit =
+    replaceStaged(dst, tmp, old)((_, t) =>
+      df.write.mode(SaveMode.Overwrite).parquet(t.toString))
+
+  /** The rename-swap commit shared by the Spark-staged and driver-staged
+    * ([[replaceTiny]]) forms: `stage` fills the `tmp` directory, then the
+    * two renames flip it in with the documented crash guarantees.
+    */
+  private def replaceStaged(dst: org.apache.hadoop.fs.Path,
+      tmp: org.apache.hadoop.fs.Path, old: org.apache.hadoop.fs.Path)(
+      stage: (org.apache.hadoop.fs.FileSystem,
+        org.apache.hadoop.fs.Path) => Unit): Unit = {
     val fs = new org.apache.hadoop.fs.Path(root)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    df.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    stage(fs, tmp)
     if (fs.exists(old)) fs.delete(old, true)
     val hadOld = fs.exists(dst) && fs.rename(dst, old)
     if (!fs.rename(tmp, dst) || !fs.exists(dst)) {

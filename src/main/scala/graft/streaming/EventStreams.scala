@@ -356,14 +356,28 @@ object EventStreams extends Serializable {
   private def markerMarks(wh: graft.compendium.Warehouse,
       marker: String): Map[String, Long] =
     if (!wh.exists(marker)) Map.empty
-    else marksOf(wh.read(marker))
+    else marksOfRows(graft.core.TinyParquet.readRows(wh.hadoopConf,
+      wh.tablePath(marker)))
 
-  private[streaming] def marksOf(df: DataFrame): Map[String, Long] = {
-    val rows = df.collect()
+  /** [[markerMarks]] through a manifest resolution — absent marker is an
+    * empty map. Both read paths are DRIVER-DIRECT parquet
+    * ([[graft.core.TinyParquet]]): the sidecar is lineage-bounded, and
+    * reading it through a Spark collect job cost one job per epoch of
+    * every IVM replay for a few dozen bytes (guide §1.2).
+    */
+  private def markerMarksAt(mc: graft.compendium.ManifestCommit,
+      manifest: Map[String, String], marker: String): Map[String, Long] =
+    if (!manifest.contains(marker)) Map.empty
+    else marksOfRows(graft.core.TinyParquet.readRows(mc.hadoopConf,
+      mc.dirAt(manifest, marker)))
+
+  private[streaming] def marksOfRows(
+      rows: Seq[Map[String, Any]]): Map[String, Long] = {
     if (rows.isEmpty) Map.empty
-    else if (!df.columns.contains("query_id"))
-      Map(AnyLineage -> rows.map(_.getAs[Long]("epoch")).max)
-    else rows.map(r => r.getAs[String]("query_id") -> r.getAs[Long]("epoch"))
+    else if (!rows.head.contains("query_id"))
+      Map(AnyLineage -> rows.map(_("epoch").asInstanceOf[Long]).max)
+    else rows.map(r => r("query_id").asInstanceOf[String] ->
+        r("epoch").asInstanceOf[Long])
       .groupMapReduce(_._1)(_._2)(math.max)
   }
 
@@ -382,7 +396,7 @@ object EventStreams extends Serializable {
     * any marker write, the un-migrated floor persists on disk, and
     * every FUTURE fresh-checkpoint lineage's epochs <= floor are
     * silently dropped until some lineage's counter happens to exceed
-    * it — the exact CDC-loss mode the [[marksFrame]] drop-on-write
+    * it — the exact CDC-loss mode the [[markerRows]] drop-on-write
     * closes for APPLIED batches but cannot reach on the skip path
     * (the drop only runs after a batch actually applies).
     *
@@ -395,7 +409,7 @@ object EventStreams extends Serializable {
     * whose epoch counter collided with the legacy range, and closes
     * permanently at the first post-upgrade marker write. The
     * alternative — retaining the floor alongside the claimed entry —
-    * re-opens [[marksFrame]]'s documented UNBOUNDED loss mode (every
+    * re-opens [[markerRows]]'s documented UNBOUNDED loss mode (every
     * future fresh lineage's first floor+1 batches silently dropped,
     * forever). An epoch-only marker cannot name its owner, so one of
     * the two must be chosen; bounded-window divergence on a zombie
@@ -412,8 +426,10 @@ object EventStreams extends Serializable {
     own || floored
   }
 
-  /** The full map persists every epoch — 1-row-per-lineage sidecar,
-    * coalesced so a 32-thread local session doesn't spray 32 files.
+  /** The full map persists every epoch — a 1-row-per-lineage sidecar,
+    * staged as ONE driver-written parquet file
+    * ([[graft.core.TinyParquet]]; previously a coalesce(1) Spark write
+    * job per epoch — same file count, same format, no job).
     * The migrated [[AnyLineage]] floor is DROPPED on write (the legacy
     * marker's documented upgrade-in-place semantics: the very next
     * applied batch rewrites it in the new schema): persisting it would
@@ -428,11 +444,19 @@ object EventStreams extends Serializable {
     * schema never outlives the first batch that touches it, applied or
     * skipped.
     */
-  private def marksFrame(s: org.apache.spark.sql.SparkSession,
-      marks: Map[String, Long]): DataFrame = {
-    import s.implicits._
-    (marks - AnyLineage).toSeq.toDF("query_id", "epoch").coalesce(1)
-  }
+  private val MarkerCols: Seq[(String, graft.core.TinyParquet.ColType)] =
+    Seq("query_id" -> graft.core.TinyParquet.StringCol,
+      "epoch" -> graft.core.TinyParquet.LongCol)
+
+  private def markerRows(marks: Map[String, Long]): Seq[Seq[Any]] =
+    (marks - AnyLineage).toSeq.map { case (q, e) => Seq(q, e) }
+
+  /** The marker as a [[graft.compendium.ManifestCommit.TinyTable]] for
+    * the direct-staging commit path.
+    */
+  private def markerTiny(marks: Map[String, Long])
+      : graft.compendium.ManifestCommit.TinyTable =
+    (MarkerCols, markerRows(marks))
 
   /** Epoch-scoped scan packing (optimization guide §2.2/§6, "fewer,
     * larger map tasks"): the session keeps the default
@@ -483,7 +507,7 @@ object EventStreams extends Serializable {
     // a takeover
     val marks = markerMarks(wh, marker)
     if (skipAsReplay(marks, epoch, queryId)(m =>
-        wh.replace(marker, marksFrame(s, m)))) return
+        wh.replaceTiny(marker, MarkerCols, markerRows(m)))) return
     val resolved = graft.compendium.Warehouse.resolveLastOp(batch, "k", "seq")
     val baseSchema = StructType(Seq(StructField("k", LongType),
       StructField("ck", LongType), StructField("cents", LongType)))
@@ -539,7 +563,8 @@ object EventStreams extends Serializable {
     // the base swap invalidate the old base files.
     wh.replace(viewTable, untouched.unionByName(touched))
     wh.applyCdc(baseTable, batch, "k", "seq", "op")
-    wh.replace(marker, marksFrame(s, marks + (queryId -> epoch)))
+    wh.replaceTiny(marker, MarkerCols,
+      markerRows(marks + (queryId -> epoch)))
   }
 
   /** [[ivmStream]] with the epoch's three rename-swaps replaced by ONE
@@ -581,10 +606,9 @@ object EventStreams extends Serializable {
     // sees the same committed (base, view, marker) trio
     val snap = mc.current()
     val marks =
-      if (snap.contains(marker)) marksOf(mc.readAt(snap, marker))
-      else Map.empty[String, Long]
+      markerMarksAt(mc, snap, marker)
     if (skipAsReplay(marks, epoch, queryId)(m =>
-        mc.commit(Map(marker -> marksFrame(s, m))))) return
+        mc.commit(Map.empty, tiny = Map(marker -> markerTiny(m))))) return
     val resolved = graft.compendium.Warehouse.resolveLastOp(batch, "k", "seq")
     val baseSchema = StructType(Seq(StructField("k", LongType),
       StructField("ck", LongType), StructField("cents", LongType)))
@@ -627,8 +651,8 @@ object EventStreams extends Serializable {
     // trio becomes visible atomically — no commit-order reasoning left
     mc.commit(Map(
       viewTable -> untouched.unionByName(touched),
-      baseTable -> newBase,
-      marker -> marksFrame(s, marks + (queryId -> epoch))))
+      baseTable -> newBase),
+      tiny = Map(marker -> markerTiny(marks + (queryId -> epoch))))
     : Unit
   }
 
@@ -727,7 +751,7 @@ object EventStreams extends Serializable {
     val marker = viewTable + "__epoch"
     val marks = markerMarks(wh, marker)
     if (skipAsReplay(marks, epoch, queryId)(m =>
-        wh.replace(marker, marksFrame(s, m)))) return
+        wh.replaceTiny(marker, MarkerCols, markerRows(m)))) return
     // change-sized, consumed by THREE downstream jobs (touched-pk
     // collect, delta, view merge) — eager-checkpointed so the per-epoch
     // job count doesn't multiply the resolve window (the t42/d09
@@ -807,7 +831,8 @@ object EventStreams extends Serializable {
     else
       wh.applyCdcPartitioned(baseTable, batch, "k", "seq", "op", "pk",
         c => pmod(c, nb))
-    wh.replace(marker, marksFrame(s, marks + (queryId -> epoch)))
+    wh.replaceTiny(marker, MarkerCols,
+      markerRows(marks + (queryId -> epoch)))
     resolved.unpersist(blocking = false)
     delta.unpersist(blocking = false): Unit
   }
@@ -861,10 +886,9 @@ object EventStreams extends Serializable {
     // ONE manifest resolution scopes every read of the epoch
     val snap = mc.current()
     val marks =
-      if (snap.contains(marker)) marksOf(mc.readAt(snap, marker))
-      else Map.empty[String, Long]
+      markerMarksAt(mc, snap, marker)
     if (skipAsReplay(marks, epoch, queryId)(m =>
-        mc.commit(Map(marker -> marksFrame(s, m))))) return
+        mc.commit(Map.empty, tiny = Map(marker -> markerTiny(m))))) return
     // change-sized, consumed by three downstream jobs — checkpointed so
     // the per-epoch job count doesn't multiply the resolve window
     val resolved = graft.compendium.Warehouse.resolveLastOp(batch, "k", "seq")
@@ -937,7 +961,7 @@ object EventStreams extends Serializable {
       Map(
         baseTable -> (("pk", newBase, touchedPk)),
         viewTable -> (("pck", mergedView, viewTouched))),
-      writes = Map(marker -> marksFrame(s, marks + (queryId -> epoch))))
+      tiny = Map(marker -> markerTiny(marks + (queryId -> epoch))))
     resolved.unpersist(blocking = false)
     delta.unpersist(blocking = false): Unit
   }
@@ -1185,10 +1209,9 @@ object EventStreams extends Serializable {
     if (batch.isEmpty) return
     val snap = mc.current()
     val marks =
-      if (snap.contains(marker)) marksOf(mc.readAt(snap, marker))
-      else Map.empty[String, Long]
+      markerMarksAt(mc, snap, marker)
     if (skipAsReplay(marks, epoch, queryId)(m =>
-        mc.commit(Map(marker -> marksFrame(s, m))))) return
+        mc.commit(Map.empty, tiny = Map(marker -> markerTiny(m))))) return
     val t = twoSidedPointApply(batch, mc, snap, aTable, bTable, nb)
     // view bootstrap (the single-sided discipline at :454-460): a
     // pre-existing base with no view recomputes A ⟕ B ONCE at the
@@ -1228,7 +1251,7 @@ object EventStreams extends Serializable {
     mc.commitPartitioned(
       t.partWrites(aTable, bTable) ++
         Map(viewTable -> (("pck", newV, vCommitPck))),
-      writes = Map(marker -> marksFrame(s, marks + (queryId -> epoch))))
+      tiny = Map(marker -> markerTiny(marks + (queryId -> epoch))))
     t.unpersist()
   }
 
@@ -1324,10 +1347,9 @@ object EventStreams extends Serializable {
     if (batch.isEmpty) return
     val snap = mc.current()
     val marks =
-      if (snap.contains(marker)) marksOf(mc.readAt(snap, marker))
-      else Map.empty[String, Long]
+      markerMarksAt(mc, snap, marker)
     if (skipAsReplay(marks, epoch, queryId)(m =>
-        mc.commit(Map(marker -> marksFrame(s, m))))) return
+        mc.commit(Map.empty, tiny = Map(marker -> markerTiny(m))))) return
     // shared A/B point-apply scaffolding (the c24 body) — a dim-only
     // epoch has an empty touchedPk, so the fact store contributes no
     // reads and no writes at all (the re-weight path)
@@ -1401,7 +1423,7 @@ object EventStreams extends Serializable {
     mc.commitPartitioned(
       t.partWrites(aTable, bTable) ++
         Map(viewTable -> (("pck", merged, vCommitPck))),
-      writes = Map(marker -> marksFrame(s, marks + (queryId -> epoch))))
+      tiny = Map(marker -> markerTiny(marks + (queryId -> epoch))))
     t.unpersist()
   }
 

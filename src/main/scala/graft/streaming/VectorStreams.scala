@@ -115,10 +115,15 @@ object VectorStreams {
     // no longer matching) would re-apply a non-idempotent decrement —
     // the double-subtraction the marker exists to prevent. The map is
     // bounded by lineages ever seen (restart count, not data size).
+    // driver-direct sidecar read (graft.core.TinyParquet): the marker is
+    // lineage-bounded, so the Spark collect job it used to cost per
+    // batch moved no data (optimization guide §1.2)
     val marks: Map[String, Long] =
       if (cur.contains(MarkerTable))
-        mc.readAt(cur, MarkerTable).collect()
-          .map(r => r.getAs[String]("query_id") -> r.getAs[Long]("batch_id"))
+        graft.core.TinyParquet.readRows(mc.hadoopConf,
+            mc.dirAt(cur, MarkerTable))
+          .map(r => r("query_id").asInstanceOf[String] ->
+            r("batch_id").asInstanceOf[Long])
           .groupMapReduce(_._1)(_._2)(math.max)
       else Map.empty
     if (marks.get(queryId).exists(_ >= batchId)) false
@@ -162,10 +167,15 @@ object VectorStreams {
             validate = true))
         val freshIds = fresh.select("vec_id").coalesce(1)
         val nextSeg = ErasedSegPrefix + f"${segs.size + 1}%06d_$batchId"
-        val writes = Map(
-          StatsTable -> folded,
-          MarkerTable -> (marks + (queryId -> batchId)).toSeq
-            .toDF("query_id", "batch_id").coalesce(1))
+        val writes = Map(StatsTable -> folded)
+        // the marker stages driver-direct (same file count and format as
+        // the old coalesce(1) Spark write, one job per batch removed)
+        val tiny = Map(MarkerTable -> ((
+          Seq("query_id" -> graft.core.TinyParquet.StringCol,
+            "batch_id" -> graft.core.TinyParquet.LongCol),
+          (marks + (queryId -> batchId)).toSeq
+            .map { case (q, b) => Seq[Any](q, b) })
+          : graft.compendium.ManifestCommit.TinyTable))
         // compaction cadence: merge the family into one segment and drop
         // the old names in the SAME flip — crash-safe (the old segments
         // stay readable under every retained manifest)
@@ -173,8 +183,8 @@ object VectorStreams {
           val merged = family.get
             .unionByName(freshIds).coalesce(1)
           mc.commit(writes + ((ErasedSegPrefix + "000001_c") -> merged),
-            drop = segs.toSet)
-        } else mc.commit(writes + (nextSeg -> freshIds))
+            drop = segs.toSet, tiny = tiny)
+        } else mc.commit(writes + (nextSeg -> freshIds), tiny = tiny)
         deduped.unpersist(blocking = false)
         true
       }
