@@ -3111,27 +3111,35 @@ object Similarity {
     visited
   }
 
-  /** The audit tail over a final visited set: top-K answer, exact
-    * truth (the documented O(|Q|·n) audit leg), hits, visited counts —
-    * the s30/s31 shared report ([[sqlBeamTail]]'s twin).
+  /** The exact top-K truth of the walk audits — the documented
+    * O(|Q|·n) audit leg, shared by s30/s31 and materialized EARLY on a
+    * pool thread (guide §2.6): it depends only on (e, q), so it runs
+    * concurrently with the beam walk instead of serially after it.
     */
-  private def beamAuditReport(e: DataFrame, q: DataFrame,
-      visited: DataFrame, K: Int): DataFrame = {
-    val wb = Window.partitionBy("query_id")
-      .orderBy(col("cosine").desc, col("vec_id").asc)
-    val ans = visited.filter(col("vec_id") =!= col("query_id"))
-      .withColumn("rk", row_number().over(wb))
-      .filter(col("rk") <= K)
-      .select("query_id", "vec_id")
+  private def beamExact(e: DataFrame, q: DataFrame, K: Int): DataFrame = {
     val wq = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("vec_id").asc)
-    val exact = e.crossJoin(broadcast(q))
+    e.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("cosine",
         dotFast(col("v"), col("qv")) / (col("nrm") * col("qn")))
       .withColumn("rank", row_number().over(wq))
       .filter(col("rank") <= K)
       .select(col("query_id"), col("vec_id").as("tru"))
+  }
+
+  /** The audit tail over a final visited set: top-K answer, hits vs the
+    * (pre-materialized) exact truth, visited counts — the s30/s31
+    * shared report ([[sqlBeamTail]]'s twin).
+    */
+  private def beamAuditReport(q: DataFrame,
+      visited: DataFrame, K: Int, exact: DataFrame): DataFrame = {
+    val wb = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    val ans = visited.filter(col("vec_id") =!= col("query_id"))
+      .withColumn("rk", row_number().over(wb))
+      .filter(col("rk") <= K)
+      .select("query_id", "vec_id")
     val hits = exact
       .join(ans.select(col("query_id"), col("vec_id").as("tru")),
         Seq("query_id", "tru"), "left_semi")
@@ -3187,11 +3195,21 @@ object Similarity {
     // either, so the audit is the empty frame with the gate's schema
     val entryRow = vecs.agg(min(col("vec_id"))).head()
     if (entryRow.isNullAt(0)) return emptyBeamAudit(q)
-    val visited = beamHops(e, q, adj,
-      beamScored(e, q)(q.select(col("query_id"))
-        .withColumn("vec_id", lit(entryRow.getLong(0)))),
-      hops = 5, beam = 8)
-    beamAuditReport(e, q, visited, K)
+    // the exact-truth audit leg needs only (e, q): materialize it on a
+    // pool thread WHILE the walk runs (guide §2.6) instead of after it
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(1)
+    try {
+      implicit val ec: ExecutionContext =
+        ExecutionContext.fromExecutorService(pool)
+      val exactF = Future(beamExact(e, q, K).localCheckpoint(true))
+      val visited = beamHops(e, q, adj,
+        beamScored(e, q)(q.select(col("query_id"))
+          .withColumn("vec_id", lit(entryRow.getLong(0)))),
+        hops = 5, beam = 8)
+      beamAuditReport(q, visited, K, Await.result(exactF, Duration.Inf))
+    } finally pool.shutdown()
   }
 
   /** The s31 two-layer walk: the sparse upper layer (vec_id % 8 = 0,
@@ -3213,29 +3231,54 @@ object Similarity {
       upperHops: Int = 3, upperBeam: Int = 2,
       lowerHops: Int = 3, lowerBeam: Int = 7): DataFrame = {
     val K = 5
-    val (e, g0) = lshSeedGraph(vecs, K)
-    val g1 = descentRound(e, g0, K)
-    val adj = undirectedAdj(g1)
-    val q = beamQueries(e, queryMod, queryCap)
-    val entryRow = vecs.agg(min(col("vec_id"))).head()
-    if (entryRow.isNullAt(0)) return emptyBeamAudit(q)
-    val upperVecs = vecs.filter(col("vec_id") % 8 === 0)
-    val upEntryRow = upperVecs.agg(min(col("vec_id"))).head()
-    val seeded =
-      if (upEntryRow.isNullAt(0))
-        beamScored(e, q)(q.select(col("query_id"))
-          .withColumn("vec_id", lit(entryRow.getLong(0))))
-      else {
-        val (_, g0u) = lshSeedGraph(upperVecs, K)
-        val adjUp = undirectedAdj(g0u)
-        beamHops(e, q, adjUp,
-          beamScored(e, q)(q.select(col("query_id"))
-            .withColumn("vec_id", lit(upEntryRow.getLong(0)))),
-          hops = upperHops, beam = upperBeam)
+    // The FULL index build (LSH seed + one descent round + undirect —
+    // the expensive eager chain) and the sparse UPPER layer's build and
+    // walk are independent until the lower walk starts: overlap them
+    // (guide §2.6, independent jobs from a driver pool). The upper walk
+    // scores against the upper layer's OWN bucketed frame — its
+    // candidates are upper nodes by construction (adjUp edges connect
+    // only upper nodes), and v/nrm there are the same values the full
+    // frame carries, so every cosine is bit-identical; `q` derives from
+    // the raw corpus for the same reason (one extra eager checkpoint,
+    // reused by every per-hop broadcast build of both walks).
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(1)
+    try {
+      implicit val ec: ExecutionContext =
+        ExecutionContext.fromExecutorService(pool)
+      val lowerF = Future {
+        val (e, g0) = lshSeedGraph(vecs, K)
+        (e, undirectedAdj(descentRound(e, g0, K)))
       }
-    val visited = beamHops(e, q, adj, seeded,
-      hops = lowerHops, beam = lowerBeam)
-    beamAuditReport(e, q, visited, K)
+      val q = beamQueries(vecs, queryMod, queryCap).localCheckpoint(true)
+      val entryRow = vecs.agg(min(col("vec_id"))).head()
+      if (entryRow.isNullAt(0)) return emptyBeamAudit(q)
+      val upperVecs = vecs.filter(col("vec_id") % 8 === 0)
+      val upEntryRow = upperVecs.agg(min(col("vec_id"))).head()
+      val seeded =
+        if (upEntryRow.isNullAt(0)) {
+          // no upper layer at all: the s30 single-layer fallback seeds
+          // from the global entry — needs the full frame, so await it
+          val (e, _) = Await.result(lowerF, Duration.Inf)
+          beamScored(e, q)(q.select(col("query_id"))
+            .withColumn("vec_id", lit(entryRow.getLong(0))))
+        } else {
+          val (eu, g0u) = lshSeedGraph(upperVecs, K)
+          val adjUp = undirectedAdj(g0u)
+          beamHops(eu, q, adjUp,
+            beamScored(eu, q)(q.select(col("query_id"))
+              .withColumn("vec_id", lit(upEntryRow.getLong(0)))),
+            hops = upperHops, beam = upperBeam)
+        }
+      val (e, adj) = Await.result(lowerF, Duration.Inf)
+      // exact truth overlaps the LOWER walk the same way (it needs only
+      // the just-arrived full frame and q)
+      val exactF = Future(beamExact(e, q, K).localCheckpoint(true))
+      val visited = beamHops(e, q, adj, seeded,
+        hops = lowerHops, beam = lowerBeam)
+      beamAuditReport(q, visited, K, Await.result(exactF, Duration.Inf))
+    } finally pool.shutdown()
   }
 
   /** One Lloyd maintenance step in WRITE-BACK form: assign each batch
