@@ -97,7 +97,7 @@ object JobProfile {
           val mark = if (gap > 50) f"  <<gap ${gap / 1e3}%.2f s" else ""
           println(f"  job ${j.id}%4d ${(j.end - j.start) / 1e3}%7.3f s " +
             f"[${j.nStages}%2d st ${j.nTasks}%4d tk ${j.taskMs / 1e3}%6.2f s] " +
-            f"${j.desc.take(45)}$mark")
+            f"${j.desc.take(45)} @${j.site.take(40)}$mark")
         }
       }
     }

@@ -18,6 +18,46 @@ import org.apache.spark.sql.functions._
   */
 object Portable {
 
+  /** Exact money/measure sums without per-row Decimal aggregation.
+    *
+    * `sum(cast(v AS DECIMAL(18,s)))` produces a DECIMAL(28,s) accumulator:
+    * precision 28 exceeds Decimal's compact-Long backing (≤18 digits), so
+    * every partial add runs through BigDecimal with overflow checks —
+    * measured 2.3–2.8× slower than a LONG hash aggregate on the same data
+    * (DevScratch, sf0.1 lineitem, bit-identical output). These helpers sum
+    * the 10^s-scaled integers as LONG and unscale ONCE per group through
+    * exact decimal division, so the decimal arithmetic runs per GROUP, not
+    * per row (guide §2.3 "narrower types" + whole-stage-codegen-friendly
+    * primitives).
+    *
+    * Equivalence (verified bit-for-bit in DevScratch on grouped, decimal-
+    * typed, window and adversarial >2^53 / negative inputs):
+    *  - the input columns these replace are ALREADY at scale s (2- or
+    *    4-decimal generated money values; the reference cast never
+    *    rounds), so `floor(v·10^s + 0.5)` recovers the exact scaled
+    *    integer — the double error of v·10^s is ≤ ~4e-7 ≪ 0.5 for
+    *    |v·10^s| < 2^52, and no value sits at a .5 boundary;
+    *  - the LONG sum is exact up to ±9.2e18 scaled units — at 100 TB TPC-H
+    *    (sf ≈ 100k) the GLOBAL revenue sum is ~3e18 scaled units, inside
+    *    the bound with 3× margin, and every use here is grouped far below
+    *    it (a DECIMAL(28,s) accumulator overflows-to-null at 1e28 — the
+    *    honest failure bound moves, it does not appear);
+    *  - unscaling via decimal division (`sumL::DECIMAL(38,0) / 10^s`,
+    *    result scale 6 ≥ s, exact) then casting rounds ONCE, exactly like
+    *    DECIMAL(28,s)::DOUBLE — a plain `/ 10.0^s` would double-round
+    *    above 2^53.
+    */
+  def scaledLong(e: Column, s: Int): Column =
+    floor(e * lit(math.pow(10, s).round) + lit(0.5d)).cast("long")
+  private def unscale(sumL: Column, s: Int): Column =
+    sumL.cast("decimal(38,0)") / lit(math.pow(10, s).round).cast("decimal(19,0)")
+  /** ≡ sum(cast(e AS DECIMAL(18,s))).cast("double") */
+  def exactSumDbl(e: Column, s: Int): Column =
+    unscale(sum(scaledLong(e, s)), s).cast("double")
+  /** ≡ sum(cast(e AS DECIMAL(18,s))) — DECIMAL(28,s) output dtype kept */
+  def exactSumDec(e: Column, s: Int): Column =
+    unscale(sum(scaledLong(e, s)), s).cast(s"decimal(28,$s)")
+
   /** 60-bit non-negative hash of a string: the first 15 hex digits of md5.
     * DuckDB twin: `('0x' || substr(md5(x), 1, 15))::BIGINT`.
     */

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.core.{Q, Tables}
+import graft.functions.Portable.{exactSumDbl, exactSumDec}
 
 /** The reference's relational operator inventory (SURVEY.md §2) re-expressed
   * as Spark DataFrame programs over the driver's test tables, each with a
@@ -13,7 +14,10 @@ import graft.core.{Q, Tables}
   *  - Aggregated floats go through exact DECIMAL sums and are cast to DOUBLE
   *    at the end, so the result is bit-identical regardless of partition /
   *    aggregation order — a must at 1000-executor scale, and what makes the
-  *    DuckDB hash-compare stable.
+  *    DuckDB hash-compare stable. Since r18 the exact sum runs as a
+  *    scaled-LONG aggregate unscaled once per group
+  *    (Portable.exactSumDbl/Dec — bit-identical, 2.3× faster; equivalence
+  *    argument and overflow bounds at the helper).
   *  - Every query ends in a total ORDER BY over a unique key.
   *  - Dimension-side joins are explicitly `broadcast(...)`; fact-fact joins
   *    are left to Catalyst/AQE (sort-merge w/ shuffle on the join key).
@@ -161,7 +165,7 @@ object RelationalQueries {
           .join(broadcast(t("region")), col("n_regionkey") === col("r_regionkey"))
           .groupBy(col("r_name").as("region"))
           .agg(count(lit(1)).as("n_customers"),
-            sum(col("c_acctbal").cast("decimal(18,2)")).cast("double").as("total_acctbal"))
+            exactSumDbl(col("c_acctbal"), 2).as("total_acctbal"))
           .orderBy("region")
       },
       Some("""SELECT r_name AS region, count(*) AS n_customers,
@@ -334,7 +338,7 @@ object RelationalQueries {
         t("orders")
           .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
           .agg(count(lit(1)).as("n_orders"),
-            sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("revenue"))
+            exactSumDbl(col("o_totalprice"), 2).as("revenue"))
           .orderBy("month")
       },
       Some("""SELECT date_trunc('month', o_orderdate) AS month, count(*) AS n_orders,
@@ -349,10 +353,9 @@ object RelationalQueries {
         def t(n: String): DataFrame = Tables.load(s, d, n)
         t("lineitem").groupBy(col("l_orderkey"))
           .agg(
-            sum((col("l_discount") * col("l_extendedprice")).cast("decimal(18,4)"))
-              .cast("double").as("disc_amount"),
-            sum(col("l_extendedprice").cast("decimal(18,2)"))
-              .cast("double").as("total_price"))
+            exactSumDbl(col("l_discount") * col("l_extendedprice"), 4)
+              .as("disc_amount"),
+            exactSumDbl(col("l_extendedprice"), 2).as("total_price"))
           .withColumn("disc_ratio",
             when(col("total_price") === 0.0, lit(null).cast("double"))
               .otherwise(col("disc_amount") / col("total_price")))
@@ -377,7 +380,7 @@ object RelationalQueries {
           .groupBy(date_trunc("hour", col("ts")).as("hour"),
             col("event_type"))
           .agg(count(lit(1)).as("n"),
-            sum(col("value").cast("decimal(18,4)")).cast("double").as("total_value"))
+            exactSumDbl(col("value"), 4).as("total_value"))
           .orderBy("hour", "event_type")
       },
       Some("""SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
@@ -408,7 +411,7 @@ object RelationalQueries {
             min(col("ts")).as("session_start"),
             max(col("ts")).as("session_end"),
             count(lit(1)).as("n_events"),
-            sum(col("value").cast("decimal(18,4)")).cast("double").as("total_value"))
+            exactSumDbl(col("value"), 4).as("total_value"))
           .orderBy("user_id", "session_idx")
       },
       Some("""WITH w AS (SELECT user_id, ts, event_id, value,
@@ -466,7 +469,7 @@ object RelationalQueries {
           .join(broadcast(t("region")), col("n_regionkey") === col("r_regionkey"))
           .rollup(col("r_name").as("region"), col("n_name").as("nation"))
           .agg(count(lit(1)).as("n_customers"),
-            sum(col("c_acctbal").cast("decimal(18,2)")).cast("double").as("total_acctbal"),
+            exactSumDbl(col("c_acctbal"), 2).as("total_acctbal"),
             grouping_id().cast("long").as("gid"))
           .orderBy(asc_nulls_first("region"), asc_nulls_first("nation"))
       },
@@ -626,7 +629,7 @@ object RelationalQueries {
         Skew.saltedJoin(orders, cust, "c_custkey", salts = 8)
           .groupBy(col("c_nationkey").as("nationkey"))
           .agg(count(lit(1)).as("n_orders"),
-            sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("revenue"))
+            exactSumDbl(col("o_totalprice"), 2).as("revenue"))
           .orderBy("nationkey")
       },
       Some("""SELECT c_nationkey AS nationkey, count(*) AS n_orders,
@@ -687,7 +690,7 @@ object RelationalQueries {
             col("o_totalprice"))
           .cube(col("nationkey"), col("month"))
           .agg(count(lit(1)).as("n_orders"),
-            sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("revenue"))
+            exactSumDbl(col("o_totalprice"), 2).as("revenue"))
           .withColumn("stratum",
             when(col("nationkey").isNull, lit(2)).otherwise(lit(0)) +
               when(col("month").isNull, lit(1)).otherwise(lit(0)))
@@ -746,7 +749,7 @@ object RelationalQueries {
           .filter(col("ts") >= col("w_start") && col("ts") < col("w_end"))
           .groupBy("event_type", "w_start")
           .agg(count(lit(1)).as("n_events"),
-            sum(col("value").cast("decimal(18,4)")).cast("double").as("total_value"))
+            exactSumDbl(col("value"), 4).as("total_value"))
           .orderBy("event_type", "w_start")
       },
       Some("""WITH hourly AS (
@@ -1018,8 +1021,8 @@ object RelationalQueries {
             col("l_quantity"), col("l_extendedprice"))
           .groupBy("returnflag", "linestatus")
           .agg(count(lit(1)).as("pn"),
-            sum(col("l_quantity").cast("decimal(18,2)")).as("pq"),
-            sum(col("l_extendedprice").cast("decimal(18,2)")).as("pp"))
+            exactSumDec(col("l_quantity"), 2).as("pq"),
+            exactSumDec(col("l_extendedprice"), 2).as("pp"))
         grid
           .groupingSets(
             Seq(Seq(col("returnflag"), col("linestatus")),

@@ -2916,21 +2916,32 @@ object Similarity {
       queryMod: Int = 50, queryCap: Long = 2000L): DataFrame = {
     val K = 5
     val (e, g0) = lshSeedGraph(vecs, K)
-    val g1 = descentRound(e, g0, K)
     val q = e.filter(col("vec_id") % queryMod === 0 &&
         col("vec_id") < queryCap)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("nrm").as("qn"))
     val wq = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("vec_id").asc)
-    val exact = e.crossJoin(broadcast(q))
-      .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("cosine",
-        dotFast(col("v"), col("qv")) / (col("nrm") * col("qn")))
-      .withColumn("rank", row_number().over(wq))
-      .filter(col("rank") <= K)
-      .select(col("query_id"), col("vec_id").as("tru"))
-      .localCheckpoint(true)
+    // the exact-truth leg needs only (e, q): materialize it on a pool
+    // thread WHILE the descent round runs (guide §2.6 — the s30/s31
+    // overlap discipline; output-identical, both legs are deterministic
+    // functions of the checkpointed e)
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(1)
+    val (g1, exact) = try {
+      implicit val ec: ExecutionContext =
+        ExecutionContext.fromExecutorService(pool)
+      val exactF = Future(e.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("query_id"))
+        .withColumn("cosine",
+          dotFast(col("v"), col("qv")) / (col("nrm") * col("qn")))
+        .withColumn("rank", row_number().over(wq))
+        .filter(col("rank") <= K)
+        .select(col("query_id"), col("vec_id").as("tru"))
+        .localCheckpoint(true))
+      (descentRound(e, g0, K), Await.result(exactF, Duration.Inf))
+    } finally pool.shutdown()
     def hitsOf(g: DataFrame, as: String): DataFrame = exact
       .join(g.select(col("src").as("query_id"), col("dst").as("tru")),
         Seq("query_id", "tru"), "left_semi")
@@ -3006,30 +3017,41 @@ object Similarity {
       queryMod: Int = 50, queryCap: Long = 2000L): DataFrame = {
     val K = 5
     val (e, g0) = lshSeedGraph(vecs, K)
-    var g = g0
-    val graphs = Seq.newBuilder[(Int, DataFrame)]
-    graphs += ((0, g))
-    (1 to rounds).foreach { i =>
-      val prev = g
-      g = descentRound(e, g, K)
-      graphs += ((i, g))
-      prev.unpersist(blocking = false): Unit
-    }
     val q = e.filter(col("vec_id") % queryMod === 0 &&
         col("vec_id") < queryCap)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("nrm").as("qn"))
     val wq = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("vec_id").asc)
-    val exact = e.crossJoin(broadcast(q))
-      .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("cosine",
-        dotFast(col("v"), col("qv")) / (col("nrm") * col("qn")))
-      .withColumn("rank", row_number().over(wq))
-      .filter(col("rank") <= K)
-      .select(col("query_id"), col("vec_id").as("tru"))
-      .localCheckpoint(true)
-    graphs.result().map { case (i, gi) =>
+    // exact truth needs only (e, q): overlap it with the descent ladder
+    // (guide §2.6 — same discipline as s18/s30/s31; output-identical,
+    // both legs are deterministic functions of the checkpointed e)
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(1)
+    val (graphsOut, exact) = try {
+      implicit val ec: ExecutionContext =
+        ExecutionContext.fromExecutorService(pool)
+      val exactF = Future(e.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("query_id"))
+        .withColumn("cosine",
+          dotFast(col("v"), col("qv")) / (col("nrm") * col("qn")))
+        .withColumn("rank", row_number().over(wq))
+        .filter(col("rank") <= K)
+        .select(col("query_id"), col("vec_id").as("tru"))
+        .localCheckpoint(true))
+      var g = g0
+      val graphs = Seq.newBuilder[(Int, DataFrame)]
+      graphs += ((0, g))
+      (1 to rounds).foreach { i =>
+        val prev = g
+        g = descentRound(e, g, K)
+        graphs += ((i, g))
+        prev.unpersist(blocking = false): Unit
+      }
+      (graphs.result(), Await.result(exactF, Duration.Inf))
+    } finally pool.shutdown()
+    graphsOut.map { case (i, gi) =>
       q.select("query_id")
         .join(exact
           .join(gi.select(col("src").as("query_id"), col("dst").as("tru")),
