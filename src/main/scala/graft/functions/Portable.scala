@@ -60,9 +60,14 @@ object Portable {
 
   /** 60-bit non-negative hash of a string: the first 15 hex digits of md5.
     * DuckDB twin: `('0x' || substr(md5(x), 1, 15))::BIGINT`.
+    * Computed by graft.plans.Md5Prefix60 — bit-identical to
+    * `conv(substring(md5(c), 1, 15), 16, 10)::LONG` (Md5Prefix60Spec)
+    * without that form's three per-call string materializations.
     */
   def h60(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.plans.Md5Prefix60(
+        org.apache.spark.sql.GraftColumnBridge.expression(c)))
 
   /** Whitespace tokens, empty strings dropped.
     * DuckDB twin: `list_filter(string_split(x, ' '), t -> t <> '')`.

@@ -411,6 +411,13 @@ object VectorExpressions {
       "graft_pq_argmax", buildPqArgMax, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_ncr_decode", buildNcr, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_md5_prefix60", buildMd5Prefix60, "built-in")
+  }
+
+  private def buildMd5Prefix60(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 1, "graft_md5_prefix60 takes exactly 1 argument")
+    Md5Prefix60(exprs.head)
   }
 
   private def buildNcr(exprs: Seq[Expression]): Expression = {
@@ -477,6 +484,15 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       (exprs: Seq[Expression]) => {
         require(exprs.length == 1, "graft_ncr_decode takes exactly 1 argument")
         NcrDecode(exprs.head)
+      }))
+    ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_md5_prefix60"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[Md5Prefix60].getName, "graft_md5_prefix60"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1,
+          "graft_md5_prefix60 takes exactly 1 argument")
+        Md5Prefix60(exprs.head)
       }))
   }
 }
