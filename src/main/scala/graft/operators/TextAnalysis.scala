@@ -2514,9 +2514,17 @@ object TextAnalysis {
       .toDF("word")
       .groupBy("word").agg(count(lit(1)).as("freq"))
       .as[(String, Long)]
-    var state = wf
+    // ONE eager checkpoint: everything corpus-derived (the word-frequency
+    // rollup) materializes here, and the ≤k merge rounds chain as plain
+    // MapElements on top of it. Per-round re-checkpointing (the old form)
+    // bought nothing — the chained passes are vocab-grain CPU (≤k·|vocab|
+    // token-array walks, trivial next to one corpus scan) — and cost one
+    // eager cache job + unpersist churn per round, ~40% of t42/t43's
+    // wall at sf0.1 (guide §1.2: the job moved no data).
+    val state0 = wf
       .map { case (w, f) => (f, Kernels.codepointAtoms(w)) }
       .localCheckpoint(true)
+    var state = state0
     def total(st: org.apache.spark.sql.Dataset[(Long, Array[String])])
         : Option[Long] = {
       val row = st.map { case (f, t) => f * t.length }.toDF("n")
@@ -2548,17 +2556,14 @@ object TextAnalysis {
           val lft = pair.substring(0, cut)
           val rgt = pair.substring(cut + 1)
           merges += ((r.toLong, lft, rgt, cnt))
-          val prev = state
           state = state
             .map { case (f, toks) => (f, Kernels.mergePass(toks, lft, rgt)) }
-            .localCheckpoint(true)
-          prev.unpersist(blocking = false)
           if (withStats) lastTotal = total(state)
         }
       }
       stats += ((r.toLong, lastTotal))
     }
-    state.unpersist(blocking = false)
+    state0.unpersist(blocking = false)
     (merges.result(), stats.result(), chars)
   }
 
