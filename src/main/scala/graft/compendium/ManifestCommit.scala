@@ -83,8 +83,20 @@ final class ManifestCommit(spark: SparkSession, root: String,
     */
   def read(table: String): DataFrame = readAt(current(), table)
 
-  def readAt(manifest: Map[String, String], table: String): DataFrame =
-    spark.read.parquet(s"$root/${manifest(table)}")
+  /** Optional explicit schema on every read path: parquet relation
+    * creation without one pays driver-side footer inference per
+    * DataFrame creation (~85 ms warm at sf0.1) — a per-epoch tax for
+    * the IVM appliers, which create several fresh store relations per
+    * epoch. Callers that know their store's schema (they all wrote it)
+    * pass it; `None` keeps inference. Metadata only — the scan still
+    * reads the files at execution.
+    */
+  private def reader(schema: Option[org.apache.spark.sql.types.StructType]) =
+    schema.fold(spark.read)(spark.read.schema)
+
+  def readAt(manifest: Map[String, String], table: String,
+      schema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame =
+    reader(schema).parquet(s"$root/${manifest(table)}")
 
   private[graft] def hadoopConf: org.apache.hadoop.conf.Configuration =
     spark.sparkContext.hadoopConfiguration
@@ -101,9 +113,10 @@ final class ManifestCommit(spark: SparkSession, root: String,
     * append families): one relation's listing/footer resolution instead
     * of |tables| unioned ones per consumer job.
     */
-  def readPaths(manifest: Map[String, String], tables: Seq[String])
+  def readPaths(manifest: Map[String, String], tables: Seq[String],
+      schema: Option[org.apache.spark.sql.types.StructType] = None)
       : DataFrame =
-    spark.read.parquet(tables.map(t => s"$root/${manifest(t)}"): _*)
+    reader(schema).parquet(tables.map(t => s"$root/${manifest(t)}"): _*)
 
   /** Partition keys of a partition-granular table: the manifest entries
     * `table/<partCol>=<value>`, one per live partition directory.
@@ -135,10 +148,12 @@ final class ManifestCommit(spark: SparkSession, root: String,
     * requested partition exists.
     */
   def readPartitionsAt(manifest: Map[String, String], table: String,
-      partCol: String, values: Seq[Long]): Option[DataFrame] = {
+      partCol: String, values: Seq[Long],
+      schema: Option[org.apache.spark.sql.types.StructType] = None)
+      : Option[DataFrame] = {
     val frames = values.flatMap { v =>
       manifest.get(s"$table/$partCol=$v").map(dir =>
-        spark.read.parquet(s"$root/$dir")
+        reader(schema).parquet(s"$root/$dir")
           .withColumn(partCol, org.apache.spark.sql.functions.lit(v)))
     }
     frames.reduceOption(_ unionByName _)
@@ -154,19 +169,22 @@ final class ManifestCommit(spark: SparkSession, root: String,
     * O(consumers).
     */
   def readPartitionPathsAt(manifest: Map[String, String], table: String,
-      partCol: String, values: Seq[Long]): Option[DataFrame] = {
+      partCol: String, values: Seq[Long],
+      schema: Option[org.apache.spark.sql.types.StructType] = None)
+      : Option[DataFrame] = {
     val paths = values.flatMap(v => manifest.get(s"$table/$partCol=$v"))
       .map(d => s"$root/$d")
-    if (paths.isEmpty) None else Some(spark.read.parquet(paths: _*))
+    if (paths.isEmpty) None else Some(reader(schema).parquet(paths: _*))
   }
 
   /** Read the WHOLE partition-granular family of `table`. */
-  def readPartitionedAt(manifest: Map[String, String], table: String)
+  def readPartitionedAt(manifest: Map[String, String], table: String,
+      schema: Option[org.apache.spark.sql.types.StructType] = None)
       : Option[DataFrame] =
     partitionKeys(manifest, table).headOption.flatMap { k =>
       val kv = k.substring(k.indexOf('/') + 1)
       readPartitionsAt(manifest, table, kv.substring(0, kv.indexOf('=')),
-        partitionValues(manifest, table))
+        partitionValues(manifest, table), schema)
     }
 
   /** Atomically commit `writes` as one new version: every frame stages to

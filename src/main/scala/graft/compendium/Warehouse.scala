@@ -39,10 +39,46 @@ final class Warehouse(spark: SparkSession, root: String) {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
       .exists(new org.apache.hadoop.fs.Path(path(table)))
 
-  def read(table: String): DataFrame = spark.read.parquet(path(table))
+  /** Per-table schema memo: a schemaless `spark.read.parquet` pays
+    * driver-side footer inference on EVERY DataFrame creation (~85 ms
+    * warm at sf0.1 — a per-epoch tax on the IVM appliers, which read
+    * each store once per micro-batch). Every write path below records
+    * the on-disk schema it just produced (data columns in frame order,
+    * partition columns appended — the same order inference returns), so
+    * steady-state reads infer nothing. Correctness: the memo is updated
+    * at every mutation of the table, and a fresh Warehouse instance
+    * (every gate run) starts empty — the first read of a pre-existing
+    * table infers once. Metadata only; scans still read the files.
+    */
+  private val schemaMemo = new scala.collection.concurrent.TrieMap[
+    String, org.apache.spark.sql.types.StructType]()
 
+  private def memoWrite(table: String, df: DataFrame,
+      partitionCols: Seq[String] = Nil): Unit = {
+    val s = df.schema
+    val onDisk =
+      if (partitionCols.isEmpty) s
+      else org.apache.spark.sql.types.StructType(
+        s.fields.filterNot(f => partitionCols.contains(f.name)) ++
+          partitionCols.map(c => s(c)))
+    schemaMemo.put(table, onDisk): Unit
+  }
+
+  def read(table: String): DataFrame = {
+    val sch = schemaMemo.getOrElseUpdate(table,
+      spark.read.parquet(path(table)).schema)
+    spark.read.schema(sch).parquet(path(table))
+  }
+
+  /** The declared schema serves BOTH arms: the empty frame, and the live
+    * read as an explicit parquet schema — skipping the driver-side
+    * footer inference every schemaless DataFrame creation pays (~85 ms
+    * warm; a per-epoch tax on the IVM appliers and a per-run tax on
+    * every gate's final store read). Every caller declares exactly the
+    * columns its own writer produced; parquet resolves them by name.
+    */
   def readOrEmpty(table: String, schema: org.apache.spark.sql.types.StructType): DataFrame =
-    if (exists(table)) read(table)
+    if (exists(table)) spark.read.schema(schema).parquet(path(table))
     else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
 
   /** K1: append rows; `partitionBy` for the project-keyed results tables.
@@ -53,6 +89,7 @@ final class Warehouse(spark: SparkSession, root: String) {
     val w = df.write.mode(SaveMode.Append)
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
       .parquet(path(table))
+    memoWrite(table, df, partitionCols)
   }
 
   /** The write CLUSTERS by the partition columns first: without it every
@@ -70,12 +107,14 @@ final class Warehouse(spark: SparkSession, root: String) {
     * files-per-partition count is what the next read's scheduler pays
     * for, at any scale.
     */
-  def overwritePartitions(table: String, df: DataFrame, partitionCols: Seq[String]): Unit =
+  def overwritePartitions(table: String, df: DataFrame, partitionCols: Seq[String]): Unit = {
     df.hint("rebalance", partitionCols.map(col): _*)
       .write.mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy(partitionCols: _*)
       .parquet(path(table))
+    memoWrite(table, df, partitionCols)
+  }
 
   /** The on-disk directory name Spark's writer gives one partition value —
     * Hive-escaped via the same catalyst utility the writer uses, with null
@@ -212,9 +251,11 @@ final class Warehouse(spark: SparkSession, root: String) {
     }
     if (!exists(table)) {
       val upserts = resolved.filter(col(opCol) =!= "D").drop(opCol, seqCol)
-      if (!upserts.isEmpty)
+      if (!upserts.isEmpty) {
         upserts.hint("rebalance", col(partCol))
           .write.partitionBy(partCol).parquet(path(table))
+        memoWrite(table, upserts, Seq(partCol))
+      }
       return
     }
     // batch-sized, consumed by the touched collect, the tombstone
@@ -266,10 +307,12 @@ final class Warehouse(spark: SparkSession, root: String) {
     * multi-table atomicity): rename-free versioned staging behind one
     * create-exclusive manifest flip.
     */
-  def replace(table: String, df: DataFrame): Unit =
+  def replace(table: String, df: DataFrame): Unit = {
     replaceAt(new org.apache.hadoop.fs.Path(path(table)),
       new org.apache.hadoop.fs.Path(path(table + "__tmp")),
       new org.apache.hadoop.fs.Path(path(table + "__old")), df)
+    memoWrite(table, df)
+  }
 
   /** [[replace]] for a TINY driver-held row set (the replay-marker
     * sidecars: one row per stream lineage): identical rename-swap commit
@@ -280,13 +323,15 @@ final class Warehouse(spark: SparkSession, root: String) {
     */
   private[graft] def replaceTiny(table: String,
       cols: Seq[(String, graft.core.TinyParquet.ColType)],
-      rows: Seq[Seq[Any]]): Unit =
+      rows: Seq[Seq[Any]]): Unit = {
+    schemaMemo.remove(table)
     replaceStaged(new org.apache.hadoop.fs.Path(path(table)),
       new org.apache.hadoop.fs.Path(path(table + "__tmp")),
       new org.apache.hadoop.fs.Path(path(table + "__old"))) { (fs, tmp) =>
       if (fs.exists(tmp)) fs.delete(tmp, true)
       graft.core.TinyParquet.write(hadoopConf, tmp, cols, rows)
     }
+  }
 
   /** [[replace]] generalized to an arbitrary destination directory, with
     * caller-chosen staging dirs — the staging MUST live outside any

@@ -3055,7 +3055,8 @@ object RelationalQueries {
           }
         } finally q.stop()
         import org.apache.spark.sql.types._
-        mc.readPartitionedAt(mc.current(), "c23_view")
+        mc.readPartitionedAt(mc.current(), "c23_view",
+            Some(StructType.fromDDL("ck BIGINT, n BIGINT, cents_total BIGINT")))
           .getOrElse(s.createDataFrame(
             s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
             StructType(Seq(StructField("ck", LongType),
@@ -3124,7 +3125,9 @@ object RelationalQueries {
         import org.apache.spark.sql.types._
         val snap = mc.current()
         mc.readPartitionPathsAt(snap, "c24_v", "pck",
-            mc.partitionValues(snap, "c24_v"))
+            mc.partitionValues(snap, "c24_v"),
+            Some(StructType.fromDDL(
+              "k BIGINT, ck BIGINT, cents BIGINT, rate BIGINT")))
           .getOrElse(s.createDataFrame(
             s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
             StructType(Seq(StructField("k", LongType),
@@ -3215,7 +3218,9 @@ object RelationalQueries {
         import org.apache.spark.sql.types._
         val snap = mc.current()
         mc.readPartitionPathsAt(snap, "c25_v", "pck",
-            mc.partitionValues(snap, "c25_v"))
+            mc.partitionValues(snap, "c25_v"),
+            Some(StructType.fromDDL("ck BIGINT, n BIGINT, " +
+              "cents_total BIGINT, rate BIGINT, revenue_total BIGINT")))
           .getOrElse(s.createDataFrame(
             s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
             StructType(Seq(StructField("ck", LongType),
@@ -3424,7 +3429,8 @@ object RelationalQueries {
           }
         } finally q.stop()
         import org.apache.spark.sql.types._
-        mc.readPartitionedAt(mc.current(), "c27_view")
+        mc.readPartitionedAt(mc.current(), "c27_view",
+            Some(StructType.fromDDL("ck BIGINT, n BIGINT, cents_total BIGINT")))
           .getOrElse(s.createDataFrame(
             s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
             StructType(Seq(StructField("ck", LongType),
@@ -3507,7 +3513,8 @@ object RelationalQueries {
         // — the read path (pruned multi-path scan) is otherwise
         // identical; epoch 2's commit must be invisible through it
         import org.apache.spark.sql.types._
-        mc.readPartitionedAt(mc.manifestAt(vMid), "c29_view")
+        mc.readPartitionedAt(mc.manifestAt(vMid), "c29_view",
+            Some(StructType.fromDDL("ck BIGINT, n BIGINT, cents_total BIGINT")))
           .getOrElse(s.createDataFrame(
             s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
             StructType(Seq(StructField("ck", LongType),

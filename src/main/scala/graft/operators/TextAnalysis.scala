@@ -1794,6 +1794,13 @@ object TextAnalysis {
       (s, d) => {
         val M = 1000000000000L
         val (nodes, edges) = domainGraph(s, d)
+        // Rounds keep the per-round eager checkpoint DELIBERATELY: the
+        // t42-style chained form was tried this round and measured
+        // SLOWER (1.31 → 1.44 s best-of-3 at sf0.1/32c) — five chained
+        // join+agg stages make one deep AQE plan whose per-stage
+        // re-optimization costs more than the five small cache jobs it
+        // removes. Chaining wins where rounds are narrow maps (t42's
+        // MapElements); it loses where each round is a join+shuffle.
         var ranks = nodes.select(col("idx"), expr(s"$M div n").as("r"))
           .localCheckpoint(true)
         for (_ <- 1 to 5) {
@@ -1912,7 +1919,12 @@ object TextAnalysis {
             .join(settled.select("idx"), Seq("idx"), "left_anti")
             .select(col("idx"), lit(h.toLong).as("hops"))
             .localCheckpoint(true)
-          settled = settled.unionByName(next).localCheckpoint(true)
+          // `next` stays checkpointed (two consumers per round: the
+          // union and the next frontier join); the union itself is a
+          // cheap concat of ≤ h cached frames — checkpointing IT too
+          // paid one eager cache job per round for nothing (t42/t34
+          // discipline)
+          settled = settled.unionByName(next)
           frontier = next
         }
         nodes.join(settled, Seq("idx"), "left")

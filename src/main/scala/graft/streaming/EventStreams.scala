@@ -448,6 +448,25 @@ object EventStreams extends Serializable {
     Seq("query_id" -> graft.core.TinyParquet.StringCol,
       "epoch" -> graft.core.TinyParquet.LongCol)
 
+  /** On-disk FILE schemas of the IVM store families (partition columns
+    * live in directory names, never in files) — passed to every pruned
+    * store read so relation creation skips parquet footer inference
+    * (~85 ms of driver time per schemaless creation, times ~4 fresh
+    * relations per epoch; guide §1.2). Each matches exactly what the
+    * family's own writer stages.
+    */
+  private val BaseFileSchema = org.apache.spark.sql.types.StructType
+    .fromDDL("k BIGINT, ck BIGINT, cents BIGINT")
+  private val ViewFileSchema = org.apache.spark.sql.types.StructType
+    .fromDDL("ck BIGINT, n BIGINT, cents_total BIGINT")
+  private val JoinViewFileSchema = org.apache.spark.sql.types.StructType
+    .fromDDL("k BIGINT, ck BIGINT, cents BIGINT, rate BIGINT")
+  private val AggJoinViewFileSchema = org.apache.spark.sql.types.StructType
+    .fromDDL(
+      "ck BIGINT, n BIGINT, cents_total BIGINT, rate BIGINT, revenue_total BIGINT")
+  private val DimFileSchema = org.apache.spark.sql.types.StructType
+    .fromDDL("ck BIGINT, rate BIGINT")
+
   private def markerRows(marks: Map[String, Long]): Seq[Seq[Any]] =
     (marks - AnyLineage).toSeq.map { case (q, e) => Seq(q, e) }
 
@@ -613,7 +632,8 @@ object EventStreams extends Serializable {
     val baseSchema = StructType(Seq(StructField("k", LongType),
       StructField("ck", LongType), StructField("cents", LongType)))
     val base =
-      if (snap.contains(baseTable)) mc.readAt(snap, baseTable)
+      if (snap.contains(baseTable))
+        mc.readAt(snap, baseTable, Some(BaseFileSchema))
       else s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         baseSchema)
     val old = base.join(resolved.select("k"), Seq("k"), "left_semi")
@@ -632,7 +652,8 @@ object EventStreams extends Serializable {
       if (!snap.contains(viewTable) && snap.contains(baseTable))
         base.groupBy("ck").agg(count(lit(1)).as("n"),
           sum("cents").as("cents_total"))
-      else if (snap.contains(viewTable)) mc.readAt(snap, viewTable)
+      else if (snap.contains(viewTable))
+        mc.readAt(snap, viewTable, Some(ViewFileSchema))
       else s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         viewSchema)
     val touched = view.join(delta.select("ck"), Seq("ck"), "left_semi")
@@ -903,7 +924,8 @@ object EventStreams extends Serializable {
     // bucketing uses k mod B): the per-directory unioned form pays
     // O(dirs × consumer jobs) driver-side listing/footer work per epoch
     val basePruned = mc
-      .readPartitionPathsAt(snap, baseTable, "pk", touchedPk)
+      .readPartitionPathsAt(snap, baseTable, "pk", touchedPk,
+        Some(BaseFileSchema))
       .map(_.withColumn("pk", pmod(col("k"), nb)))
       .getOrElse(resolved.limit(0)
         .select(col("k"), col("ck").cast("long").as("ck"),
@@ -932,7 +954,8 @@ object EventStreams extends Serializable {
     val (mergedView, viewTouched) =
       if (viewExists) {
         val viewPruned = mc
-          .readPartitionPathsAt(snap, viewTable, "pck", touchedPck)
+          .readPartitionPathsAt(snap, viewTable, "pck", touchedPck,
+            Some(ViewFileSchema))
           .map(_.select("ck", "n", "cents_total"))
           .getOrElse(delta.limit(0).select(col("ck"),
             col("d_n").as("n"), col("d_cents").as("cents_total")))
@@ -941,7 +964,7 @@ object EventStreams extends Serializable {
         val seed =
           if (baseExists)
             mc.readPartitionPathsAt(snap, baseTable, "pk",
-              mc.partitionValues(snap, baseTable)).get
+              mc.partitionValues(snap, baseTable), Some(BaseFileSchema)).get
               .groupBy("ck").agg(count(lit(1)).as("n"),
                 sum("cents").as("cents_total"))
           else delta.limit(0).select(col("ck"), col("d_n").as("n"),
@@ -1096,7 +1119,8 @@ object EventStreams extends Serializable {
     // ---- A (fact, bucketed pk = k mod nb): point CDC apply
     val touchedPk = touchedBoth.filter(_.getString(1) == "A")
       .map(_.getLong(0)).toSeq
-    val aPruned = mc.readPartitionPathsAt(snap, aTable, "pk", touchedPk)
+    val aPruned = mc.readPartitionPathsAt(snap, aTable, "pk", touchedPk,
+        Some(BaseFileSchema))
       .map(_.withColumn("pk", pmod(col("k"), nb)))
       .getOrElse(ra.limit(0).select(col("k"), col("ck"), col("cents"),
         pmod(col("k"), nb).as("pk")))
@@ -1119,7 +1143,8 @@ object EventStreams extends Serializable {
     // ---- B (dim, bucketed pbk = ck mod nb): point CDC apply
     val touchedPbk = touchedBoth.filter(_.getString(1) == "B")
       .map(_.getLong(0)).toSeq
-    val bPruned = mc.readPartitionPathsAt(snap, bTable, "pbk", touchedPbk)
+    val bPruned = mc.readPartitionPathsAt(snap, bTable, "pbk", touchedPbk,
+        Some(DimFileSchema))
       .map(_.withColumn("pbk", pmod(col("ck"), nb)))
       .getOrElse(rb.limit(0).select(col("ck"), col("rate"),
         pmod(col("ck"), nb).as("pbk")))
@@ -1144,7 +1169,8 @@ object EventStreams extends Serializable {
     // with the view: pck ≡ pbk for one ck)
     val lookupPbk = touchedPck.filterNot(touchedPbk.contains)
     val bNow = newB.select(col("ck"), col("rate"))
-      .unionByName(mc.readPartitionPathsAt(snap, bTable, "pbk", lookupPbk)
+      .unionByName(mc.readPartitionPathsAt(snap, bTable, "pbk", lookupPbk,
+          Some(DimFileSchema))
         .map(_.select(col("ck"), col("rate")))
         .getOrElse(rb.limit(0).select(col("ck"), col("rate"))))
     TwoSidedCdc(ra, rb, touchedPk, oldA, newA, touchedPbk, newB,
@@ -1180,11 +1206,11 @@ object EventStreams extends Serializable {
       snap: Map[String, String], aTable: String, bTable: String,
       t: TwoSidedCdc): (DataFrame, DataFrame) = {
     val aAll = mc.readPartitionPathsAt(snap, aTable, "pk",
-        mc.partitionValues(snap, aTable))
+        mc.partitionValues(snap, aTable), Some(BaseFileSchema))
       .map(_.select("k", "ck", "cents"))
       .getOrElse(t.ra.limit(0).select("k", "ck", "cents"))
     val bAll = mc.readPartitionPathsAt(snap, bTable, "pbk",
-        mc.partitionValues(snap, bTable))
+        mc.partitionValues(snap, bTable), Some(DimFileSchema))
       .map(_.select("ck", "rate"))
       .getOrElse(t.rb.limit(0).select("ck", "rate"))
     (aAll, bAll)
@@ -1223,7 +1249,8 @@ object EventStreams extends Serializable {
         val (aAll, bAll) = wholeAB(mc, snap, aTable, bTable, t)
         aAll.join(bAll, Seq("ck"), "left")
           .select(col("k"), col("ck"), col("cents"), col("rate"))
-      } else mc.readPartitionPathsAt(snap, viewTable, "pck", t.touchedPck)
+      } else mc.readPartitionPathsAt(snap, viewTable, "pck", t.touchedPck,
+          Some(JoinViewFileSchema))
         .getOrElse(t.ra.limit(0).select(col("k"), col("ck"), col("cents"),
           lit(null).cast("long").as("rate")))
     val vCommitPck = if (boot) (0L until buckets).toSeq else t.touchedPck
@@ -1380,7 +1407,8 @@ object EventStreams extends Serializable {
           .agg(count(lit(1)).as("n"), sum("cents").as("cents_total"))
           .join(bAll, Seq("ck"), "left")
           .select(col("ck"), col("n"), col("cents_total"), col("rate"))
-      } else mc.readPartitionPathsAt(snap, viewTable, "pck", t.touchedPck)
+      } else mc.readPartitionPathsAt(snap, viewTable, "pck", t.touchedPck,
+          Some(AggJoinViewFileSchema))
         .map(_.select("ck", "n", "cents_total", "rate"))
         .getOrElse(delta.limit(0).select(col("ck"), col("d_n").as("n"),
           col("d_cents").as("cents_total"),
